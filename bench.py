@@ -1,0 +1,77 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints one
+JSON line. Each query is forced through the noop sink so the full plan
+(including projections) executes — count() alone would let column pruning
+skip the work being measured."""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from stglib_spark import queries as registry
+from stglib_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "qaqc_min_max",
+    "qaqc_diff_rules",
+    "qaqc_med_diff",
+    "qaqc_fliers",
+    "ts_gap_fill_hourly",
+    "ts_asof_atmos_correct",
+    "ts_burst_average",
+    "phys_dispersion_qkfs",
+    "coord_beam2enu",
+    "wave_stats_welch",
+    "text_quality_score",
+    "text_lang_id",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "sim_cosine_topk",
+    "sim_embedding_neardup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("stglib-spark-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm the JVM + parquet footers so timings measure the plans, not JIT
+    registry.QUERIES["q1_pricing_summary"](spark, sf_dir).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_query_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,252 @@
+"""Deduplication operators at corpus scale: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Design for 100 TB (BASELINE.json north star):
+- exact dedup is a hash-groupBy — one shuffle on the 128-bit digest, never
+  on the raw text;
+- MinHash signatures are computed with the JVM-native ``xxhash64`` over
+  exploded shingles (no Python), LSH banding turns the O(n²) pair problem
+  into an equi-join on (band_id, band_hash) — the only pairs materialized
+  are co-bucketed candidates;
+- SimHash is a 64-bit projection computed with bitwise aggregates;
+  near-dup lookup is a bucket join on bit-blocks (Hamming ≤ k ⇒ some
+  block of the fingerprint matches exactly — pigeonhole);
+- n-gram Jaccard verifies candidate pairs exactly with array set ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def normalize_text(text: Column) -> Column:
+    """Lowercase, strip punctuation, collapse whitespace — shared
+    normalization for every dedup signal."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+        )
+    )
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate removal on the normalized-text digest: keep the
+    minimum id per digest. One shuffle on md5 (md5 so a SQL oracle
+    reproduces it bit-for-bit; at scale xxhash64 halves the key width)."""
+    digest = F.md5(normalize_text(F.col(text_col)))
+    return (
+        df.withColumn("__digest", digest)
+        .groupBy("__digest")
+        .agg(F.min(id_col).alias(id_col), F.count(F.lit(1)).alias("dup_count"))
+        .drop("__digest")
+    )
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of the normalized text as an array column:
+    distinct contiguous n-token windows (empty-safe)."""
+    toks = F.split(normalize_text(text), " ")
+    k = F.size(toks) - (n - 1)
+    return F.when(
+        k <= 0,
+        # degenerate short doc: single shingle = whole text
+        F.array(F.array_join(toks, " ")),
+    ).otherwise(
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), k - 1),
+                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+            )
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: sig[i] = min over shingles of
+    xxhash64(shingle, seed=i). Explode → groupBy(id) with num_hashes min
+    aggregates — map-side partial aggregation keeps the shuffle at
+    (docs × num_hashes × 8B), independent of document length."""
+    exploded = df.select(
+        F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
+    )
+    aggs = [
+        F.min(F.xxhash64(F.lit(i), F.col("__sh"))).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into ``bands`` bands of
+    r = num_hashes/bands rows; documents sharing any (band, band-hash)
+    bucket become a candidate pair. Returns distinct (doc_a, doc_b) with
+    doc_a < doc_b.
+
+    Scale shape: self-join happens per bucket only — the band hash is the
+    join key, so skew is bounded by bucket size, and AQE's skew-join
+    splitting handles pathological buckets."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
+        for b in range(bands)
+    ]
+    banded = sigs.select(F.col(id_col), *band_cols)
+    stacked = banded.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    left = stacked.alias("l")
+    right = stacked.alias("r")
+    pairs = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs (verification
+    stage after LSH): |A∩B| / |A∪B| with array set ops. When no candidate
+    set is given, all-pairs within the DataFrame are compared (small-input
+    / test path only — the scale path always feeds LSH candidates)."""
+    sh = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
+    )
+    if candidate_pairs is None:
+        a = sh.select(F.col(id_col).alias("doc_a"), F.col("__sh").alias("__sha"))
+        b = sh.select(F.col(id_col).alias("doc_b"), F.col("__sh").alias("__shb"))
+        joined = a.crossJoin(b).filter(F.col("doc_a") < F.col("doc_b"))
+    else:
+        joined = (
+            candidate_pairs.join(
+                sh.withColumnsRenamed({id_col: "doc_a", "__sh": "__sha"}), "doc_a"
+            ).join(sh.withColumnsRenamed({id_col: "doc_b", "__sh": "__shb"}), "doc_b")
+        )
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    union = F.size(F.array_union(F.col("__sha"), F.col("__shb")))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    out = joined.select(
+        "doc_a", "doc_b", F.round(jac, 6).alias("jaccard")
+    )
+    if threshold > 0:
+        out = out.filter(F.col("jaccard") >= F.lit(threshold))
+    return out
+
+
+def simhash(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash fingerprint: per token t, h = xxhash64(t); for each
+    bit position the signed vote is +1 if set else −1; fingerprint bit =
+    sign of the vote sum. Explode + one groupBy with ``bits`` conditional
+    sums (all JVM-side), reassembled with bit-shifts."""
+    toks = F.split(normalize_text(F.col(text_col)), " ")
+    exploded = df.select(F.col(id_col), F.explode(toks).alias("__t")).withColumn(
+        "__h", F.xxhash64(F.col("__t"))
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.col("__h").bitwiseAND(F.shiftleft(F.lit(1).cast("long"), i)) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"v_{i}")
+        for i in range(bits)
+    ]
+    agg = exploded.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(bits):
+        bit = F.when(F.col(f"v_{i}") > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_pairs(
+    fingerprints: DataFrame,
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by SimHash: pigeonhole on ``blocks`` 16-bit
+    blocks (Hamming ≤ blocks−1 guarantees ≥1 identical block), equi-join
+    per block, verify exact Hamming distance with bit_count(xor)."""
+    width = 64 // blocks
+    stacked = fingerprints.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("simhash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bh"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bh").alias("bh"))
+    l, r = stacked.alias("l"), stacked.alias("r")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_a"),
+            F.col(f"r.{id_col}").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+    return pairs

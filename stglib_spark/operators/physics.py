@@ -1,0 +1,99 @@
+"""Physical derivations — pressure/depth, salinity/conductance, SSC,
+water level, dispersion relation — all native Column math.
+
+Reference semantics:
+- ``pres2dep`` seawater depth from pressure (``core/utils.py:1926-1985``,
+  gsw TEOS-10). The exact-TEOS path needs the gsw library; the engine
+  implements the UNESCO/simplified constant-density fallback natively and
+  fences exact TEOS-10 behind an optional import.
+- ``create_water_depth_var`` (``utils.py:1052-1100``),
+  ``create_water_level_var`` (``utils.py:1650-1712``).
+- ``salinity_from_spcon`` / ``spcon_from_salinity`` Schemel polynomials
+  (``utils.py:1494-1532``).
+- ``turbidity_to_ssc`` linear calibration (``utils.py:2006-2041``).
+- ``qkfs`` surface-wave dispersion ω,h → k, 3 Newton iterations
+  (Wiberg & Sherwood 2009; ``core/waves.py:988-1007``).
+- transfer function Kp = cosh(k·z)/cosh(k·h) (``core/waves.py:778-803``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+G = 9.81
+
+
+def pres2dep_simple(pressure_dbar: Column, density_kgm3: float = 1025.0) -> Column:
+    """Pressure (dbar) → depth (m) with constant density:
+    dep = P·1e4 / (ρ·g) — the reference's structure (utils.py:1966-1978)
+    with ρ(S,T,P) frozen to a scalar (its ``average_salinity`` scalar path)."""
+    return pressure_dbar * 1.0e4 / (F.lit(density_kgm3) * F.lit(G))
+
+
+def water_depth(dep: Column, instrument_height: float) -> Column:
+    """water_depth = burst-mean depth + initial_instrument_height
+    (utils.py:1052-1100) — caller supplies the burst-mean dep column."""
+    return dep + F.lit(float(instrument_height))
+
+
+def water_level(dep: Column, z_navd88: float) -> Column:
+    """water_level = dep + z(NAVD88) (utils.py:1650-1712)."""
+    return dep + F.lit(float(z_navd88))
+
+
+def salinity_from_spcon(spcon_uscm: Column) -> Column:
+    """Schemel (2001) practical salinity from specific conductance (µS/cm)
+    (utils.py:1494-1513): S = K1 + K2·R^½ + K3·R + K4·R^1.5 + K5·R² +
+    K6·R^2.5 with R = spcon/53087."""
+    r = spcon_uscm / 53087.0
+    return (
+        F.lit(0.0120)
+        + F.lit(-0.2174) * F.pow(r, 0.5)
+        + F.lit(25.3283) * r
+        + F.lit(13.7714) * F.pow(r, 1.5)
+        + F.lit(-6.4788) * F.pow(r, 2.0)
+        + F.lit(2.5842) * F.pow(r, 2.5)
+    )
+
+
+def spcon_from_salinity(sal: Column) -> Column:
+    """Specific conductance (µS/cm) from salinity (utils.py:1516-1532,
+    Schemel 2001): S/35·53087 + S·(S−35)·(J1 + J2·S^½ + J3·S + J4·S^1.5)."""
+    s = sal
+    return s / 35.0 * 53087.0 + s * (s - 35.0) * (
+        F.lit(-16.072)
+        + F.lit(4.1495) * F.pow(s, 0.5)
+        + F.lit(-0.5345) * s
+        + F.lit(0.0261) * F.pow(s, 1.5)
+    )
+
+
+def turbidity_to_ssc(turb: Column, coefs: list[float]) -> Column:
+    """ssc = polyval(coefs, turb), highest-order first
+    (utils.py:2006-2041)."""
+    out: Column = F.lit(float(coefs[0]))
+    for c in coefs[1:]:
+        out = out * turb + F.lit(float(c))
+    return out
+
+
+def qkfs(omega: Column, h: Column) -> Column:
+    """Dispersion ω, h → wavenumber k (core/waves.py:988-1007, Wiberg &
+    Sherwood 2009): x = ω²h/g; start kh = √x for x<1 else x; three Newton
+    iterations of f = kh·tanh(kh) − x. Unrolled as pure column math — no
+    UDF."""
+    x = omega * omega * h / F.lit(G)
+    kh = F.when(x < 1.0, F.sqrt(x)).otherwise(x)
+    for _ in range(3):
+        t = F.tanh(kh)
+        f = kh * t - x
+        fprime = t + kh * (F.lit(1.0) - t * t)
+        kh = kh - f / fprime
+    return kh / h
+
+
+def transfer_function_kp(k: Column, height: Column, depth: Column) -> Column:
+    """Pressure-attenuation transfer Kp = cosh(k·z)/cosh(k·h) with z the
+    sensor height above bed and h water depth (core/waves.py:778-803;
+    Kp(0 Hz) = 1 handled by cosh(0)/cosh(0))."""
+    return F.cosh(k * height) / F.cosh(k * depth)

@@ -1,0 +1,141 @@
+"""Text-analysis operators for large-scale training-data pipelines:
+tokenization stats, language ID, quality scoring, fingerprinting.
+
+These extend the engine beyond the reference's own surface (BASELINE.json
+north star): every operator is pure native Column work — regex + string
+functions that stay in whole-stage codegen, no Python in the hot path —
+so they stream over 100 TB of documents at scan speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+# Minimal per-language stopword marker sets for the n-gram/stopword
+# heuristic language ID. Chosen to be high-frequency and disjoint.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "is", "to"],
+    "es": ["el", "la", "de", "que", "los"],
+    "fr": ["le", "la", "les", "et", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty string → empty array (split of '' in
+    Spark yields [''], which must not count as a token)."""
+    trimmed = F.trim(text)
+    return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
+        F.split(trimmed, r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-ish subword proxy: count of word-piece matches of a regex that
+    splits words, digits, and punctuation runs — a deterministic stand-in
+    for a real tokenizer's token count (≈ GPT-2 pre-tokenizer classes)."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+)"), 0)
+    )
+
+
+def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document character statistics used by quality scoring."""
+    t = F.col(text_col)
+    return df.withColumns(
+        {
+            "n_chars_calc": F.length(t),
+            "n_tokens": token_count(t),
+            "n_alpha": F.length(F.regexp_replace(t, r"[^A-Za-z]", "")),
+            "n_digit": F.length(F.regexp_replace(t, r"[^0-9]", "")),
+            "n_punct": F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", "")),
+            "n_space": F.length(F.regexp_replace(t, r"[^ ]", "")),
+        }
+    )
+
+
+def mean_token_length(text: Column) -> Column:
+    """Mean token length = len(text without whitespace) / token count."""
+    n = token_count(text)
+    return F.when(
+        n > 0, F.length(F.regexp_replace(text, r"\s+", "")) / n
+    ).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are language stopwords (quality signal)."""
+    toks = tokens(F.lower(text))
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    n = F.size(toks)
+    return F.when(n > 0, n_stop / n).otherwise(F.lit(0.0))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Composite quality score from length / punctuation / stopword /
+    alpha ratios — the standard pretraining-corpus heuristics (Gopher-style
+    rules), expressed as one codegen'd projection.
+
+    score = 0.25·len_ok + 0.25·alpha_ratio + 0.25·stop_signal + 0.25·punct_ok
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    n_tok = token_count(t)
+    alpha_ratio = F.when(n_chars > 0, F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / n_chars).otherwise(F.lit(0.0))
+    mean_tok = mean_token_length(t)
+    len_ok = (n_chars >= 50) & (n_chars <= 100000)
+    tok_ok = (mean_tok >= 2.0) & (mean_tok <= 12.0)
+    punct_ok = punct_ratio <= 0.2
+    stop = stopword_ratio(t)
+    score = (
+        F.when(len_ok, 0.25).otherwise(0.0)
+        + F.when(tok_ok, 0.25).otherwise(0.0)
+        + F.when(punct_ok, 0.25).otherwise(0.0)
+        + F.least(stop * 2.5, F.lit(0.25))
+    )
+    return df.withColumns(
+        {
+            "n_tokens": n_tok,
+            "alpha_ratio": F.round(alpha_ratio, 6),
+            "punct_ratio": F.round(punct_ratio, 6),
+            "mean_token_len": F.round(mean_tok, 6),
+            "stopword_ratio": F.round(stop, 6),
+            "quality_score": F.round(score, 6),
+        }
+    )
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -> DataFrame:
+    """Stopword-marker language ID: the language with the most marker-token
+    hits wins; ties and zero-hit rows → 'und'. Pure Column expressions
+    (greatest over per-language hit counts)."""
+    toks = tokens(F.lower(F.col(text_col)))
+    hits = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+    best = F.greatest(*hits.values())
+    # first language (declaration order) with hit count == best wins ties
+    chain = None
+    for lang in LANG_MARKERS:
+        cond = (hits[lang] == best) & (best > 0)
+        chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
+    pred = chain.otherwise(F.lit("und"))
+    return df.withColumn(out_col, pred)
+
+
+def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (lowercased, punctuation stripped, whitespace collapsed) — the exact
+    dedup key. md5 chosen over xxhash64 so a SQL oracle (DuckDB) computes
+    the identical value."""
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "
+    )
+    return df.withColumn(out_col, F.md5(F.trim(norm)))

@@ -1,0 +1,166 @@
+"""Time toolkit: clock corrections, burst keys, gap-fill, dedup.
+
+Reference semantics:
+- ``shift_time`` — burst-center offset; −ClockError; linear ClockDrift ramp
+  over the record, rounded to 1 s (``stglib/core/utils.py:997-1049``).
+- continuous→burst derived keys (``core/waves.py:2037-2091``
+  make_wave_bursts_mi) — here pure column math: tumbling-window start +
+  within-window index; no physical reshape, no extra shuffle beyond the
+  window partition.
+- gap-fill to a regular grid (``sig/cdf2nc.py:1553-1594``, ``mar.py:190-209``)
+  — ``sequence()`` time grid + left join.
+- ``drop_duplicates(dim="time")`` (``sig/cdf2nc.py:1582``).
+- burst boundary detection from sample markers (``sig/cdf2nc.py:1597-1643``
+  ds_make_burst_shape) — running sum of boundary flags.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def shift_time(
+    df: DataFrame,
+    time_col: str = "time",
+    shift_seconds: float = 0.0,
+    clock_error: float | None = None,
+    clock_drift: float | None = None,
+    series_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Apply burst-center shift, ClockError, and linear ClockDrift ramp.
+
+    utils.py:997-1049: total correction (s) =
+      shift − ClockError + ClockDrift · (row_fraction), rounded to 1 s.
+    The drift ramp runs 0 → ClockDrift over the record (linspace), which in
+    long form is ``(row_number-1)/(count-1)``.
+    """
+    t = F.col(time_col)
+    total = F.lit(float(shift_seconds))
+    if clock_error:
+        total = total - F.lit(float(clock_error))
+    out = df
+    if clock_drift:
+        w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(time_col)
+        wall = Window.partitionBy(*[F.col(c) for c in series_cols])
+        frac = (F.row_number().over(w) - F.lit(1)) / F.greatest(
+            F.count(F.lit(1)).over(wall) - F.lit(1), F.lit(1)
+        )
+        total = total + F.lit(float(clock_drift)) * frac
+    shifted = F.timestamp_seconds(F.round(F.unix_timestamp(t) + F.round(total, 10), 0))
+    # sub-second component of the original timestamp is preserved by the
+    # reference's 1 s rounding of the *correction*, not of the timestamp;
+    # replicate: t + round(correction) seconds.
+    shifted = t + F.make_dt_interval(secs=F.round(total, 0))
+    return out.withColumn(time_col, shifted)
+
+
+def burst_keys(
+    df: DataFrame,
+    time_col: str = "time",
+    interval_seconds: int = 3600,
+    series_cols: Sequence[str] = (),
+    burst_col: str = "burst_time",
+    sample_col: str = "sample",
+) -> DataFrame:
+    """Derive (burst_time, sample) keys from a continuous series.
+
+    Continuous→burst reshape (waves.py:2037-2091) without any physical
+    reshape: burst_time = tumbling-window start, sample = 0-based index
+    within the window. One shuffle on (series, burst window), shared by
+    every downstream per-burst operator.
+    """
+    win = F.window(F.col(time_col), f"{interval_seconds} seconds")
+    out = df.withColumn(burst_col, win.start)
+    w = Window.partitionBy(*[F.col(c) for c in series_cols], F.col(burst_col)).orderBy(
+        time_col
+    )
+    return out.withColumn(sample_col, F.row_number().over(w) - 1)
+
+
+def truncate_to_whole_bursts(
+    df: DataFrame,
+    samples_per_burst: int,
+    sample_col: str = "sample",
+) -> DataFrame:
+    """Drop trailing partial-burst samples (rsk/csv2cdf.py:63-68:
+    truncate record length to a multiple of samples_per_burst — in long
+    form simply drop samples beyond the burst size)."""
+    return df.filter(F.col(sample_col) < F.lit(int(samples_per_burst)))
+
+
+def wave_duration_trim(
+    df: DataFrame, nsamps: int, sample_col: str = "sample"
+) -> DataFrame:
+    """Truncate each burst to its first nsamps samples
+    (rsk/nc2waves.py:33-42)."""
+    return df.filter(F.col(sample_col) < F.lit(int(nsamps)))
+
+
+def drop_duplicate_times(
+    df: DataFrame, time_col: str = "time", series_cols: Sequence[str] = ()
+) -> DataFrame:
+    """First row wins per timestamp (sig/cdf2nc.py:1582
+    drop_duplicates(dim='time', keep='first') — 'first' in time order is
+    made deterministic here by taking the minimum of every other column's
+    tie-break ordering via row_number)."""
+    w = Window.partitionBy(*[F.col(c) for c in series_cols], F.col(time_col)).orderBy(
+        *[F.col(c) for c in df.columns]
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def fill_time_gaps(
+    df: DataFrame,
+    time_col: str = "time",
+    step_seconds: int = 60,
+    series_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Reindex onto a regular time grid, filling gaps with null rows.
+
+    sig/cdf2nc.py:1553-1594: build the regular grid from min..max at the
+    sampling interval and left-join the observed rows onto it. The grid is
+    generated distributed (sequence + explode per series), so no driver
+    materialization; join is sort-merge on (series, time).
+    """
+    keys = [F.col(c) for c in series_cols]
+    bounds = df.groupBy(*keys).agg(
+        F.min(time_col).alias("__t0"), F.max(time_col).alias("__t1")
+    )
+    grid = bounds.select(
+        *[F.col(c) for c in series_cols],
+        F.explode(
+            F.sequence(
+                F.col("__t0"),
+                F.col("__t1"),
+                F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+            )
+        ).alias(time_col),
+    )
+    return grid.join(df, [*series_cols, time_col], "left")
+
+
+def mark_bursts_from_samples(
+    df: DataFrame,
+    time_col: str = "time",
+    sample_col: str = "sample",
+    series_cols: Sequence[str] = (),
+    burst_col: str = "burst",
+) -> DataFrame:
+    """Assign burst ids from recorded sample==first markers
+    (sig/cdf2nc.py:1597-1643): running count of boundary rows."""
+    w = (
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    first_sample = F.min(F.col(sample_col)).over(
+        Window.partitionBy(*[F.col(c) for c in series_cols])
+    )
+    boundary = (F.col(sample_col) == first_sample).cast("int")
+    return df.withColumn(burst_col, F.sum(boundary).over(w) - 1)

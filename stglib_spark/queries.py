@@ -1,0 +1,1044 @@
+"""Query registry — every implemented operator exposed as a
+(spark, sf_dir) → DataFrame callable plus a DuckDB oracle SQL string.
+
+This is the engine's correctness surface (driver contract in
+``__spark_entry__.py``): each SURVEY §2 operator family is exercised
+against the driver's synthetic tables. Column names are aliased
+identically on both sides; floating-point outputs are rounded (6 dp for
+unit-scale values, 2 dp for large sums) in BOTH engines so value hashes
+match despite summation-order differences.
+
+Naming: ``q*`` relational core, ``clip_*``/``qaqc_*``/``ts_*`` the stglib
+operator families on the ``events`` stream table, ``wave_*`` spectral,
+``text_*``/``dedup_*``/``sim_*`` the large-scale pipeline extensions.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from stglib_spark.session import load_table
+from stglib_spark.operators import clip as clip_ops
+from stglib_spark.operators import dedup as dedup_ops
+from stglib_spark.operators import joins as join_ops
+from stglib_spark.operators import physics
+from stglib_spark.operators import qaqc as qaqc_ops
+from stglib_spark.operators import similarity as sim_ops
+from stglib_spark.operators import text as text_ops
+from stglib_spark.operators import timeops
+from stglib_spark.operators import transforms
+from stglib_spark.operators import waves as wave_ops
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# --------------------------------------------------------------------------
+# Relational core (engine basics: scan, filter pushdown, broadcast joins,
+# partial aggregation — the plumbing every stglib pipeline stage rides on)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6) AS avg_qty,
+           round(avg(l_extendedprice), 6) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_top_revenue_orders",
+    """
+    SELECT l.l_orderkey AS o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy(
+            F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority"
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("o_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_nation_revenue",
+    """
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Clip / row-selection family (SURVEY §2.3; deletes rows — the only family
+# that does)
+# --------------------------------------------------------------------------
+
+_DEP = "2024-01-08 00:00:00"
+_REC = "2024-01-22 00:00:00"
+
+
+@register(
+    "clip_deployment",
+    f"""
+    SELECT event_id, ts, user_id, event_type, round(value, 6) AS value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '{_DEP}' AND TIMESTAMP '{_REC}'
+    """,
+)
+def clip_deployment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = clip_ops.clip_ds(
+        ev, {"Deployment_date": _DEP, "Recovery_date": _REC}, time_col="ts"
+    )
+    return out.select(
+        "event_id", "ts", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
+@register(
+    "clip_good_dates",
+    """
+    SELECT event_id, ts, round(value, 6) AS value
+    FROM events
+    WHERE ts BETWEEN TIMESTAMP '2024-01-03 00:00:00' AND TIMESTAMP '2024-01-06 00:00:00'
+       OR ts BETWEEN TIMESTAMP '2024-01-25 00:00:00' AND TIMESTAMP '2024-01-28 00:00:00'
+    """,
+)
+def clip_good_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = clip_ops.clip_ds(
+        ev,
+        {
+            "good_dates": [
+                ("2024-01-03 00:00:00", "2024-01-06 00:00:00"),
+                ("2024-01-25 00:00:00", "2024-01-28 00:00:00"),
+            ]
+        },
+        time_col="ts",
+    )
+    return out.select("event_id", "ts", F.round("value", 6).alias("value"))
+
+
+# --------------------------------------------------------------------------
+# QA/QC rule engine (SURVEY §2.4; nulls cells, never deletes)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "qaqc_min_max",
+    """
+    SELECT event_id,
+           CASE WHEN value < 2.0 OR value > 95.0 THEN NULL
+                ELSE round(value, 6) END AS value
+    FROM events
+    """,
+)
+def qaqc_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {"value_min": 2.0, "value_max": 95.0},
+        ["value"],
+        qaqc_ops.SeriesSpec(time_col="ts"),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_diff_rules",
+    """
+    WITH d AS (
+      SELECT event_id, value,
+             coalesce(value - lag(value) OVER w, 0.0) AS dprev,
+             lead(value) OVER w - value AS dnext
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           CASE WHEN abs(dprev) >= 60.0
+                     OR (dprev > 40.0 AND dnext < -40.0)
+                THEN NULL ELSE round(value, 6) END AS value
+    FROM d
+    """,
+)
+def qaqc_diff_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {"value_maxabs_diff": 60.0, "value_max_blip": 40.0},
+        ["value"],
+        qaqc_ops.SeriesSpec(
+            time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
+        ),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_med_diff",
+    """
+    WITH m AS (
+      SELECT event_id, value,
+             median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN abs(value - med) > 30.0 THEN NULL
+                ELSE round(value, 6) END AS value
+    FROM m
+    """,
+)
+def qaqc_med_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {"value_med_diff": (5, 30.0)},
+        ["value"],
+        qaqc_ops.SeriesSpec(
+            time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
+        ),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_fliers",
+    """
+    WITH cleaned AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN value < 15.0 THEN NULL ELSE value END AS v
+      FROM events
+    ), grp AS (
+      SELECT event_id, v,
+             sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g,
+             user_id
+      FROM cleaned
+    ), runs AS (
+      SELECT event_id, v,
+             sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id, g) AS run_len
+      FROM grp
+    )
+    SELECT event_id,
+           CASE WHEN v IS NOT NULL AND run_len <= 2 THEN NULL
+                ELSE round(v, 6) END AS value
+    FROM runs
+    """,
+)
+def qaqc_fliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spec = qaqc_ops.SeriesSpec(
+        time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
+    )
+    step1 = qaqc_ops.apply_qaqc(ev, {"value_min": 15.0}, ["value"], spec).df
+    step2 = qaqc_ops.apply_qaqc(step1, {"value_fliers": 2}, ["value"], spec).df
+    return step2.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_mask_expr",
+    """
+    SELECT event_id,
+           CASE WHEN (value < 5.0) OR (value IS NULL) THEN NULL
+                ELSE round(value, 6) END AS value
+    FROM events
+    """,
+)
+def qaqc_mask_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {"value_mask_expr": "(value < 5.0) | (value == nan)"},
+        ["value"],
+        qaqc_ops.SeriesSpec(time_col="ts"),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_trim_warmup",
+    """
+    WITH s AS (
+      SELECT event_id, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) - 1 AS sample
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN sample < 2 THEN NULL ELSE round(value, 6) END AS value
+    FROM s
+    """,
+)
+def qaqc_trim_warmup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.date_trunc("hour", F.col("ts"))).orderBy("ts", "event_id")
+    with_sample = ev.withColumn("sample", F.row_number().over(w) - 1)
+    res = qaqc_ops.apply_qaqc(
+        with_sample,
+        {"value_warmup_samples": 2},
+        ["value"],
+        qaqc_ops.SeriesSpec(time_col="ts", sample_col="sample"),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+# --------------------------------------------------------------------------
+# Time toolkit (SURVEY §2.8-2.9, §3): shift/drift, dedup, gap fill,
+# burst/interval aggregation, circular mean
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_shift_clock_drift",
+    """
+    WITH n AS (SELECT count(*) AS cnt FROM events),
+    s AS (
+      SELECT event_id, ts,
+             (row_number() OVER (ORDER BY ts, event_id) - 1)::DOUBLE
+               / greatest(cnt - 1, 1) AS frac
+      FROM events, n
+    )
+    SELECT event_id,
+           make_timestamp(epoch_us(ts)
+             + round(-5.0 + 10.0 * frac, 0)::BIGINT * 1000000) AS ts_corrected
+    FROM s
+    """,
+)
+def ts_shift_clock_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy("ts", "event_id")
+    n = ev.count()
+    frac = (F.row_number().over(w) - 1).cast("double") / F.lit(max(n - 1, 1))
+    total = F.lit(-5.0) + F.lit(10.0) * frac
+    shifted = F.timestamp_micros(
+        F.unix_micros(F.col("ts"))
+        + F.round(total, 0).cast("long") * F.lit(1000000).cast("long")
+    )
+    return ev.select("event_id", shifted.alias("ts_corrected"))
+
+
+@register(
+    "ts_dedup",
+    """
+    SELECT user_id, ts, min(event_id) AS event_id, count(*) AS n
+    FROM events GROUP BY user_id, ts
+    """,
+)
+def ts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "ts").agg(
+        F.min("event_id").alias("event_id"), F.count(F.lit(1)).alias("n")
+    )
+
+
+@register(
+    "ts_gap_fill_hourly",
+    """
+    WITH b AS (
+      SELECT date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1
+      FROM events
+    ), grid AS (
+      SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour FROM b
+    ), h AS (
+      SELECT date_trunc('hour', ts) AS hour, count(*) AS n,
+             round(avg(value), 6) AS avg_value
+      FROM events GROUP BY 1
+    )
+    SELECT g.hour, h.n, h.avg_value FROM grid g LEFT JOIN h USING (hour)
+    """,
+)
+def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
+        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+    grid = timeops.fill_time_gaps(
+        hourly, time_col="hour", step_seconds=3600
+    )
+    return grid.select("hour", "n", "avg_value")
+
+
+@register(
+    "ts_burst_average",
+    """
+    SELECT date_trunc('hour', ts) AS burst_time,
+           CASE WHEN count(value) >= 10 THEN round(avg(value), 6) END AS value_avg,
+           count(*) AS n
+    FROM events GROUP BY 1
+    """,
+)
+def ts_burst_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("burst_time")).agg(
+        F.when(F.count("value") >= 10, F.round(F.avg("value"), 6)).alias("value_avg"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "ts_interval_average_duration",
+    """
+    SELECT date_trunc('hour', ts) AS burst_time,
+           round(avg(value), 6) AS value_avg, count(*) AS n
+    FROM events
+    WHERE extract(minute FROM ts) < 30
+    GROUP BY 1
+    """,
+)
+def ts_interval_average_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    in_duration = ev.filter(F.minute("ts") < 30)
+    return in_duration.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("burst_time")
+    ).agg(F.round(F.avg("value"), 6).alias("value_avg"), F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "ts_circular_mean_daily",
+    """
+    SELECT date_trunc('day', ts) AS day,
+           round((degrees(atan2(avg(sin(radians(value * 3.6))),
+                                avg(cos(radians(value * 3.6))))) + 360.0) % 360.0,
+                 6) AS dir_mean
+    FROM events GROUP BY 1
+    """,
+)
+def ts_circular_mean_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stglib_spark.operators.aggregations import circular_mean_deg
+
+    ev = load_table(spark, sf_dir, "events")
+    angle = F.col("value") * 3.6
+    return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.round(circular_mean_deg(angle), 6).alias("dir_mean")
+    )
+
+
+@register(
+    "ts_asof_atmos_correct",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hts, avg(value) AS baseline
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id,
+           round(e.value - h.baseline - 0.5, 6) AS value_ac
+    FROM events e ASOF LEFT JOIN hourly h ON e.ts >= h.hts
+    """,
+)
+def ts_asof_atmos_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("ts")).agg(
+        F.avg("value").alias("baseline")
+    )
+    joined = join_ops.asof_join(
+        ev.select("event_id", "ts", "value"),
+        hourly,
+        on="ts",
+        value_cols=["baseline"],
+        direction="backward",
+    )
+    return joined.select(
+        "event_id",
+        F.round(F.col("value") - F.col("baseline") - F.lit(0.5), 6).alias("value_ac"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Physical conversions (SURVEY §2.5) — column math, oracle-mirrored
+# --------------------------------------------------------------------------
+
+
+@register(
+    "phys_spd2uv",
+    """
+    SELECT event_id,
+           round(value * sin(radians((event_id % 360)::DOUBLE)), 6) AS u,
+           round(value * cos(radians((event_id % 360)::DOUBLE)), 6) AS v,
+           round(value, 6) AS spd_back
+    FROM events
+    """,
+)
+def phys_spd2uv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    direction = (F.col("event_id") % 360).cast("double")
+    u, v = transforms.spd2uv(F.col("value"), direction)
+    spd, _ = transforms.uv2spd(u, v)
+    return ev.select(
+        "event_id",
+        F.round(u, 6).alias("u"),
+        F.round(v, 6).alias("v"),
+        F.round(spd, 6).alias("spd_back"),
+    )
+
+
+@register(
+    "phys_salinity_spcon",
+    """
+    WITH s AS (SELECT event_id, value * 1000.0 + 100.0 AS spcon FROM events),
+    r AS (
+      SELECT event_id, spcon, spcon / 53087.0 AS rr FROM s
+    )
+    SELECT event_id,
+           round(0.0120 - 0.2174 * rr^0.5 + 25.3283 * rr + 13.7714 * rr^1.5
+                 - 6.4788 * rr^2.0 + 2.5842 * rr^2.5, 6) AS salinity
+    FROM r
+    """,
+)
+def phys_salinity_spcon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spcon = F.col("value") * 1000.0 + 100.0
+    sal = physics.salinity_from_spcon(spcon)
+    return ev.select("event_id", F.round(sal, 6).alias("salinity"))
+
+
+@register(
+    "phys_pres2dep_ssc",
+    """
+    SELECT event_id,
+           round(value / 10.0 * 1e4 / (1025.0 * 9.81), 6) AS depth,
+           round(1.8 * value + 2.5, 6) AS ssc
+    FROM events
+    """,
+)
+def phys_pres2dep_ssc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dep = physics.pres2dep_simple(F.col("value") / 10.0)
+    ssc = physics.turbidity_to_ssc(F.col("value"), [1.8, 2.5])
+    return ev.select(
+        "event_id", F.round(dep, 6).alias("depth"), F.round(ssc, 6).alias("ssc")
+    )
+
+
+_QKFS_SQL = """
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             2 * pi() / (4.0 + (l_linenumber % 8)) AS omega,
+             greatest(l_quantity, 1.0) AS h
+      FROM lineitem
+    ), init AS (
+      SELECT l_orderkey, l_linenumber, omega, h,
+             omega * omega * h / 9.81 AS x
+      FROM base
+    ), i0 AS (
+      SELECT *, CASE WHEN x < 1 THEN sqrt(x) ELSE x END AS y FROM init
+    ), i1 AS (
+      SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - x)
+        / ((1 - 2/(exp(2*y)+1)) + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y)
+      FROM i0
+    ), i2 AS (
+      SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - x)
+        / ((1 - 2/(exp(2*y)+1)) + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y)
+      FROM i1
+    ), i3 AS (
+      SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - x)
+        / ((1 - 2/(exp(2*y)+1)) + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y)
+      FROM i2
+    )
+    SELECT l_orderkey, l_linenumber, round(y / h, 6) AS k
+    FROM i3
+"""
+
+
+@register("phys_dispersion_qkfs", _QKFS_SQL)
+def phys_dispersion_qkfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    omega = 2.0 * math.pi / (4.0 + (F.col("l_linenumber") % 8))
+    h = F.greatest(F.col("l_quantity"), F.lit(1.0))
+
+    # identical arithmetic to the SQL oracle: tanh expressed via exp so both
+    # engines execute the same IEEE operations
+    def tanh_exp(y):
+        return 1.0 - 2.0 / (F.exp(2.0 * y) + 1.0)
+
+    x = omega * omega * h / 9.81
+    y = F.when(x < 1.0, F.sqrt(x)).otherwise(x)
+    for _ in range(3):
+        t = tanh_exp(y)
+        y = y - ((y * t - x) / (t + y * (1.0 - t * t)))
+    return li.select(
+        "l_orderkey", "l_linenumber", F.round(y / h, 6).alias("k")
+    )
+
+
+def _beam2enu_sql_exprs(
+    T: list[list[float]], down: bool
+) -> tuple[str, str, str]:
+    """Generate the ENU SQL expressions with the same operation structure
+    as transforms.beam2enu_columns so both engines run identical IEEE
+    arithmetic."""
+    Tm = [list(row) for row in T]
+    if down:
+        Tm[1] = [-x for x in Tm[1]]
+        Tm[2] = [-x for x in Tm[2]]
+    H = [["ch", "sh", "0.0"], ["(-sh)", "ch", "0.0"], ["0.0", "0.0", "1.0"]]
+    P = [
+        ["cp", "((-sp)*sr)", "((-sp)*cr)"],
+        ["0.0", "cr", "(-sr)"],
+        ["sp", "(cp*sr)", "(cp*cr)"],
+    ]
+
+    def mm(A, B):
+        return [
+            [
+                "(0.0+" + "+".join(f"({A[i][k]}*{B[k][j]})" for k in range(3)) + ")"
+                for j in range(3)
+            ]
+            for i in range(3)
+        ]
+
+    Ts = [[repr(float(x)) for x in row] for row in Tm]
+    R = mm(mm(H, P), Ts)
+    vels = ["vel1", "vel2", "vel3"]
+    return tuple(
+        "(0.0+" + "+".join(f"({R[i][k]}*{vels[k]})" for k in range(3)) + ")"
+        for i in range(3)
+    )
+
+
+_TRANS_MATRIX = [
+    [2896.0 / 4096, 2896.0 / 4096, 0.0],
+    [-2896.0 / 4096, 2896.0 / 4096, 0.0],
+    [-2896.0 / 4096, -2896.0 / 4096, 5792.0 / 4096],
+]
+
+_U_SQL, _V_SQL, _W_SQL = _beam2enu_sql_exprs(_TRANS_MATRIX, down=False)
+
+_COORD_SQL = f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity / 10.0 AS vel1,
+             l_discount * 100.0 - 5.0 AS vel2,
+             l_tax * 100.0 - 4.0 AS vel3,
+             radians(((l_orderkey * 7) % 360)::DOUBLE - 90.0) AS hh,
+             radians((l_partkey % 21)::DOUBLE - 10.0) AS pp,
+             radians((l_suppkey % 11)::DOUBLE - 5.0) AS rr
+      FROM lineitem
+    ), trig AS (
+      SELECT l_orderkey, l_linenumber, vel1, vel2, vel3,
+             cos(hh) AS ch, sin(hh) AS sh,
+             cos(pp) AS cp, sin(pp) AS sp,
+             cos(rr) AS cr, sin(rr) AS sr
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           round({_U_SQL}, 6) AS u,
+           round({_V_SQL}, 6) AS v,
+           round({_W_SQL}, 6) AS w
+    FROM trig
+"""
+
+
+@register("coord_beam2enu", _COORD_SQL)
+def coord_beam2enu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / 10.0).alias("vel1"),
+        (F.col("l_discount") * 100.0 - 5.0).alias("vel2"),
+        (F.col("l_tax") * 100.0 - 4.0).alias("vel3"),
+        (((F.col("l_orderkey") * 7) % 360).cast("double")).alias("Heading"),
+        ((F.col("l_partkey") % 21).cast("double") - 10.0).alias("Pitch"),
+        ((F.col("l_suppkey") % 11).cast("double") - 5.0).alias("Roll"),
+    )
+    enu = transforms.beam2enu_columns(
+        [F.col("vel1"), F.col("vel2"), F.col("vel3")],
+        F.col("Heading"),
+        F.col("Pitch"),
+        F.col("Roll"),
+        _TRANS_MATRIX,
+        orientation_down=False,
+    )
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(enu[0], 6).alias("u"),
+        F.round(enu[1], 6).alias("v"),
+        F.round(enu[2], 6).alias("w"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (north-star pipeline ops on `documents`)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "text_token_stats",
+    r"""
+    SELECT doc_id,
+           CASE WHEN trim(text) = '' THEN 0
+                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+)')) AS n_bpe
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text_ops.token_count(F.col("text")).alias("n_tokens"),
+        text_ops.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+    )
+
+
+@register(
+    "text_quality_score",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x IN ('the','and','of','is','to'))) END AS n_stop
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tok > 0 THEN n_nospace / n_tok ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+             n_chars
+      FROM t
+    )
+    SELECT doc_id, n_tok AS n_tokens,
+           round(alpha_ratio, 6) AS alpha_ratio,
+           round(punct_ratio, 6) AS punct_ratio,
+           round(mean_token_len, 6) AS mean_token_len,
+           round(stop_ratio, 6) AS stopword_ratio,
+           round(
+             (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+             + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+             + least(stop_ratio * 2.5, 0.25), 6) AS quality_score
+    FROM r
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.quality_score(docs).select(
+        "doc_id",
+        "n_tokens",
+        "alpha_ratio",
+        "punct_ratio",
+        "mean_token_len",
+        "stopword_ratio",
+        "quality_score",
+    )
+
+
+_LANG_CASES = []
+for _lang, _markers in text_ops.LANG_MARKERS.items():
+    _inlist = ",".join(f"'{m}'" for m in _markers)
+    _LANG_CASES.append(
+        f"CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter("
+        f"string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ({_inlist}))) END"
+        f" AS hits_{_lang}"
+    )
+_LANG_HITS = ", ".join(_LANG_CASES)
+_LANG_BEST = "greatest(" + ", ".join(f"hits_{l}" for l in text_ops.LANG_MARKERS) + ")"
+_LANG_WHEN = " ".join(
+    f"WHEN hits_{l} = best AND best > 0 THEN '{l}'" for l in text_ops.LANG_MARKERS
+)
+
+_LANG_SQL = f"""
+    WITH h AS (SELECT doc_id, {_LANG_HITS} FROM documents),
+    b AS (SELECT *, {_LANG_BEST} AS best FROM h)
+    SELECT doc_id, CASE {_LANG_WHEN} ELSE 'und' END AS lang_pred FROM b
+"""
+
+
+@register("text_lang_id", _LANG_SQL)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.lang_id(docs).select("doc_id", "lang_pred")
+
+
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "text_fingerprint",
+    f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return text_ops.doc_fingerprint(docs).select("doc_id", "fingerprint")
+
+
+# --------------------------------------------------------------------------
+# Deduplication (north-star): exact, token-Jaccard; MinHash-LSH and SimHash
+# are rows-only checked (xxhash64 has no DuckDB equivalent)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    f"""
+    WITH d AS (SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents)
+    SELECT min(doc_id) AS doc_id, count(*) AS dup_count
+    FROM d GROUP BY digest
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.exact_dedup(docs).select("doc_id", "dup_count")
+
+
+@register(
+    "dedup_token_jaccard",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             list_distinct(string_split({_NORM_SQL}, ' ')) AS tok
+      FROM documents
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           round(len(list_intersect(a.tok, b.tok))::DOUBLE
+                 / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
+    FROM toks a JOIN toks b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    """,
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.array_distinct(
+            F.split(dedup_ops.normalize_text(F.col("text")), " ")
+        ).alias("tok"),
+    )
+    a, b = toks.alias("a"), toks.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
+    union = F.size(F.array_union(F.col("a.tok"), F.col("b.tok")))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+        )
+    )
+
+
+@register("dedup_minhash_lsh")  # rows-only: xxhash64 not reproducible in DuckDB
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_n=2)
+
+
+@register("dedup_simhash")  # rows-only: xxhash64 not reproducible in DuckDB
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.simhash(docs)
+
+
+# --------------------------------------------------------------------------
+# Similarity search (north-star) on `embeddings`
+# --------------------------------------------------------------------------
+
+_QUERY_VEC = [round(math.cos(0.3 * i), 6) for i in range(64)]
+_QV_SQL = "[" + ", ".join(repr(x) for x in _QUERY_VEC) + "]::DOUBLE[]"
+
+
+@register(
+    "sim_cosine_topk",
+    f"""
+    WITH q AS (SELECT {_QV_SQL} AS qv),
+    s AS (
+      SELECT vec_id,
+             list_sum(list_transform(list_zip(embedding::DOUBLE[], qv),
+                      x -> x[1] * x[2]))
+               / nullif(sqrt(list_sum(list_transform(embedding::DOUBLE[], x -> x*x)))
+                        * sqrt(list_sum(list_transform(qv, x -> x*x))), 0.0)
+               AS cs
+      FROM embeddings, q
+    )
+    SELECT vec_id, round(cs, 6) AS cosine
+    FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def sim_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.brute_force_topk(emb, _QUERY_VEC, k=10)
+
+
+@register(
+    "sim_embedding_neardup",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_sum(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]))
+               / nullif(sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x*x))), 0.0) AS cs
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, round(cs, 6) AS cosine FROM p WHERE round(cs, 6) >= 0.25
+    """,
+)
+def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.pairwise_topk_within(emb, group_col="label", threshold=0.25)
+
+
+@register("sim_ann_lsh_topk")  # rows-only: LSH probe set is engine-defined
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ann_topk_lsh(emb, _QUERY_VEC, k=10, n_planes=8, probe_hamming=2)
+
+
+# --------------------------------------------------------------------------
+# Waves (SURVEY §2.10) — spectral chain per burst; rows-only (FFT not
+# SQL-expressible)
+# --------------------------------------------------------------------------
+
+
+@register("wave_stats_welch")  # rows-only oracle
+def wave_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # treat the event stream as a pressure series: 6-hour bursts
+    with_burst = timeops.burst_keys(
+        ev.select(F.col("ts").alias("time"), (F.col("value") / 10.0).alias("P_1ac")),
+        time_col="time",
+        interval_seconds=6 * 3600,
+    )
+    # wave_fcut: the synthetic event stream is noise-like, so the J&M
+    # auto-cutoff (12× noise floor) correctly rejects most bursts; the
+    # user-cutoff path (make_user_cutoff, waves.py:2117-2152) keeps the
+    # spectral chain deterministic and non-degenerate here.
+    cfg = {
+        "sample_interval": 155.0,
+        "pressure_sensor_height": 0.5,
+        "wave_fcut": 0.002,
+    }
+    out = wave_ops.make_waves_ds(with_burst, cfg)
+    return out.select(
+        "burst_time",
+        F.round("m0", 6).alias("m0"),
+        F.round("wh_4061", 6).alias("wh_4061"),
+        F.round("wp_4060", 6).alias("wp_4060"),
+        F.round("wp_peak", 6).alias("wp_peak"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return dict(QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(ORACLES)

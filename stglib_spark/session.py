@@ -1,0 +1,76 @@
+"""SparkSession management tuned for the engine.
+
+Local testing runs ``local[N]`` but every conf here is chosen for a real
+multi-executor cluster at ~100 TB: AQE on (runtime coalesce + skew-join
+splitting), Arrow on (all Python UDF traffic is batched), shuffle
+partitions sized for the local box but overridden by AQE at scale.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def get_spark(app_name: str = "stglib_spark", cpus: int | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with scale-oriented defaults.
+
+    AQE handles runtime partition coalescing and skew-join splitting so the
+    same plan survives a 1000-executor cluster; Arrow makes every
+    applyInPandas/pandas_udf hop a columnar batch transfer instead of
+    row-at-a-time pickling.
+    """
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+# Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects;
+# read as long (legacy conf) and floor-divide to microseconds — the same
+# truncation DuckDB applies when narrowing ns → µs.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one synthetic table (see TESTDATA.md) as a DataFrame."""
+    from pyspark.sql import functions as F
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    ns_cols = _NANOS_TS_COLS.get(name, ())
+    if ns_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    for c in ns_cols:
+        if dict(df.dtypes).get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Read every synthetic table; keys match the DuckDB oracle views."""
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}

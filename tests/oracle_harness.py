@@ -1,0 +1,80 @@
+"""Local replica of the driver's correctness gate: run each queries()
+entry on Spark and its oracle_sql() on DuckDB over the same parquet
+tables, then compare row count, schema shape, and order-insensitive
+values (columns sorted by name, rows sorted by all columns)."""
+
+from __future__ import annotations
+
+import math
+import os
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in TABLES:
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def _normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        if df[c].dtype == object:
+            # lists (array columns) → tuples for sortability
+            if df[c].map(lambda x: isinstance(x, (list, np.ndarray))).any():
+                df[c] = df[c].map(
+                    lambda x: tuple(x) if isinstance(x, (list, np.ndarray)) else x
+                )
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
+    return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
+
+
+def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
+    problems: list[str] = []
+    s = _normalize(spark_df.toPandas())
+    d = _normalize(duck_df)
+    if len(s) != len(d):
+        problems.append(f"{name}: row count {len(s)} vs oracle {len(d)}")
+        return problems
+    if list(s.columns) != list(d.columns):
+        problems.append(f"{name}: columns {list(s.columns)} vs {list(d.columns)}")
+        return problems
+    for c in s.columns:
+        sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sv = sv.astype(float)
+            dv = dv.astype(float)
+            both_nan = np.isnan(sv) & np.isnan(dv)
+            eq = (sv == dv) | both_nan
+        else:
+            eq = np.asarray(
+                pd.Series(sv).fillna("__null__").values
+                == pd.Series(dv).fillna("__null__").values
+            )
+        if not eq.all():
+            bad = int((~eq).sum())
+            i = int(np.argmax(~eq))
+            problems.append(
+                f"{name}: column {c} mismatches {bad}/{len(eq)} "
+                f"(first at row {i}: {sv[i]!r} vs {dv[i]!r})"
+            )
+    return problems
