@@ -42,7 +42,10 @@ def clip_ds(
         idx = F.row_number().over(w) - 1  # 0-based like the reference's isel
         cond = F.lit(False)
         for start, end in pairs:
-            cond = cond | ((idx >= F.lit(int(start))) & (idx < F.lit(int(end))))
+            cond = cond | (
+                (F.col("__idx") >= F.lit(int(start)))
+                & (F.col("__idx") < F.lit(int(end)))
+            )
         return df.withColumn("__idx", idx).filter(cond).drop("__idx")
     if config.get("good_dates") is not None:
         cond = F.lit(False)

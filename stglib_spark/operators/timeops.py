@@ -31,29 +31,32 @@ def shift_time(
 ) -> DataFrame:
     """Apply burst-center shift, ClockError, and linear ClockDrift ramp.
 
-    utils.py:997-1049: total correction (s) =
-      shift − ClockError + ClockDrift · (row_fraction), rounded to 1 s.
-    The drift ramp runs 0 → ClockDrift over the record (linspace), which in
-    long form is ``(row_number-1)/(count-1)``.
+    utils.py:997-1049 exactly:
+      1. time += int(shift) s  (truncated, with the reference's warning for
+         non-integer shifts);
+      2. time += −ClockError s;
+      3. time += linspace(0, −ClockDrift, n) s, then the TIMESTAMP is
+         rounded to 1 s (the drift ramp is the only fractional part).
+    In long form the linspace fraction is (row_number−1)/(count−1).
     """
     t = F.col(time_col)
-    total = F.lit(float(shift_seconds))
-    if clock_error:
-        total = total - F.lit(float(clock_error))
+    whole = int(shift_seconds) - int(clock_error or 0)
     out = df
+    if whole:
+        t = t + F.make_dt_interval(secs=F.lit(whole))
     if clock_drift:
         w = Window.partitionBy(*[F.col(c) for c in series_cols]).orderBy(time_col)
         wall = Window.partitionBy(*[F.col(c) for c in series_cols])
-        frac = (F.row_number().over(w) - F.lit(1)) / F.greatest(
+        frac = (F.row_number().over(w) - F.lit(1)).cast("double") / F.greatest(
             F.count(F.lit(1)).over(wall) - F.lit(1), F.lit(1)
         )
-        total = total + F.lit(float(clock_drift)) * frac
-    shifted = F.timestamp_seconds(F.round(F.unix_timestamp(t) + F.round(total, 10), 0))
-    # sub-second component of the original timestamp is preserved by the
-    # reference's 1 s rounding of the *correction*, not of the timestamp;
-    # replicate: t + round(correction) seconds.
-    shifted = t + F.make_dt_interval(secs=F.round(total, 0))
-    return out.withColumn(time_col, shifted)
+        drift_us = F.round(-float(clock_drift) * frac * 1e6, 0).cast("long")
+        # apply drift then round the timestamp to the nearest second
+        shifted_us = F.unix_micros(t) + drift_us
+        t = F.timestamp_seconds(
+            F.round(shifted_us.cast("double") / 1e6, 0).cast("long")
+        )
+    return out.withColumn(time_col, t)
 
 
 def burst_keys(

@@ -1003,6 +1003,363 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# More QA/QC rules (diff-pct, std gates, bad_ens ranges)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "qaqc_diff_pct",
+    """
+    WITH d AS (
+      SELECT event_id, value,
+             CASE WHEN lag(value) OVER w IS NULL OR lag(value) OVER w = 0
+                  THEN 0.0
+                  ELSE 100.0 * (value - lag(value) OVER w) / (lag(value) OVER w)
+             END AS dpct
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id,
+           CASE WHEN dpct < -400.0 OR dpct > 400.0 THEN NULL
+                ELSE round(value, 6) END AS value
+    FROM d
+    """,
+)
+def qaqc_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {"value_min_diff_pct": -400.0, "value_max_diff_pct": 400.0},
+        ["value"],
+        qaqc_ops.SeriesSpec(
+            time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
+        ),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_std_gates",
+    """
+    WITH s AS (
+      SELECT event_id, value, ((event_id % 7)::DOUBLE) / 2.0 AS value_std
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN value_std > 2.5
+                     OR (CASE WHEN value != 0 THEN value_std / value ELSE 0.0 END) > 0.2
+                THEN NULL ELSE round(value, 6) END AS value
+    FROM s
+    """,
+)
+def qaqc_std_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "value_std", (F.col("event_id") % 7).cast("double") / 2.0
+    )
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {"value_max_std": 2.5, "value_std_ratio": 0.2},
+        ["value"],
+        qaqc_ops.SeriesSpec(time_col="ts"),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_bad_ens",
+    """
+    SELECT event_id,
+           CASE WHEN ts BETWEEN TIMESTAMP '2024-01-05 00:00:00' AND TIMESTAMP '2024-01-07 00:00:00'
+                     OR ts BETWEEN TIMESTAMP '2024-01-15 12:00:00' AND TIMESTAMP '2024-01-16 00:00:00'
+                THEN NULL ELSE round(value, 6) END AS value
+    FROM events
+    """,
+)
+def qaqc_bad_ens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {
+            "value_bad_ens": [
+                ("2024-01-05 00:00:00", "2024-01-07 00:00:00"),
+                ("2024-01-15 12:00:00", "2024-01-16 00:00:00"),
+            ]
+        },
+        ["value"],
+        qaqc_ops.SeriesSpec(time_col="ts"),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+# --------------------------------------------------------------------------
+# EPIC time codec (SURVEY §2.5, utils.py:879-929) — exact integer math
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_epic_time_codec",
+    """
+    WITH e AS (
+      SELECT event_id, epoch_us(ts) AS us FROM events
+    )
+    SELECT event_id,
+           (us // 86400000000 + 2440588) AS epic_time,
+           round(((us % 86400000000)::DOUBLE) / 1000.0, 0)::BIGINT AS epic_time2,
+           make_timestamp((us // 86400000000) * 86400000000
+                          + (us % 86400000000) // 1000 * 1000) AS ts_roundtrip
+    FROM e
+    """,
+)
+def ts_epic_time_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EPIC two-part time: epic_time = floor(julian day)+0.5 convention
+    (= unix days + 2440588), epic_time2 = ms of day; roundtrip truncates
+    to ms (utils.py:891-929)."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts"))
+    day_us = F.lit(86400000000).cast("long")
+    epic_time = (us / day_us).cast("long") + 2440588
+    ms_of_day = F.round((us % day_us).cast("double") / 1000.0, 0).cast("long")
+    roundtrip = F.timestamp_micros(
+        (us / day_us).cast("long") * day_us + ((us % day_us) / 1000).cast("long") * 1000
+    )
+    return ev.select(
+        "event_id",
+        epic_time.alias("epic_time"),
+        ms_of_day.alias("epic_time2"),
+        roundtrip.alias("ts_roundtrip"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Aggregation specials: brange (arg-max), regression, top-third threshold,
+# min/max attrs (SURVEY §2.7)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "agg_brange_argmax",
+    """
+    SELECT l_orderkey,
+           arg_max(l_linenumber, l_extendedprice) AS brange_bin,
+           round(max(l_extendedprice), 2) AS amp_max
+    FROM lineitem
+    WHERE l_linenumber > 1
+    GROUP BY l_orderkey
+    """,
+)
+def agg_brange_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """brange boundary detection (sig/cdf2nc.py:1728-1777): max_by over
+    bins beyond the blanking distance — here lineitem as a synthetic
+    profile (orderkey=ensemble, linenumber=bin, price=amplitude)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_linenumber") > 1)
+        .groupBy("l_orderkey")
+        .agg(
+            F.max_by(F.col("l_linenumber"), F.col("l_extendedprice")).alias(
+                "brange_bin"
+            ),
+            F.round(F.max("l_extendedprice"), 2).alias("amp_max"),
+        )
+    )
+
+
+@register(
+    "agg_linregress",
+    """
+    SELECT round(covar_samp(value, (event_id % 100)::DOUBLE)
+                 / var_samp(value), 6) AS slope,
+           round(avg((event_id % 100)::DOUBLE)
+                 - covar_samp(value, (event_id % 100)::DOUBLE)
+                   / var_samp(value) * avg(value), 6) AS intercept,
+           round(corr(value, (event_id % 100)::DOUBLE), 6) AS rvalue,
+           count(*) AS n
+    FROM events
+    """,
+)
+def agg_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-velocity rating regression (indexvel.py:120-134) as closed-form
+    aggregates."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "y", (F.col("event_id") % 100).cast("double")
+    )
+    x, y = F.col("value"), F.col("y")
+    slope = F.covar_samp(x, y) / F.var_samp(x)
+    return ev.agg(
+        F.round(slope, 6).alias("slope"),
+        F.round(F.avg(y) - slope * F.avg(x), 6).alias("intercept"),
+        F.round(F.corr(x, y), 6).alias("rvalue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "agg_top_third_threshold",
+    """
+    WITH p AS (SELECT quantile_cont(value, 2.0/3.0) AS p67 FROM events)
+    SELECT round(avg(value) * 0.85, 6) AS threshold,
+           count(*) AS n_top
+    FROM events, p WHERE value >= p67
+    """,
+)
+def agg_top_third_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AST quality data-derived threshold (sig/cdf2nc.py:1808-1830): mean
+    of the top third × 0.85. Exact percentile both sides."""
+    ev = load_table(spark, sf_dir, "events")
+    p67 = ev.agg(F.percentile(F.col("value"), 2.0 / 3.0).alias("p")).collect()[0]["p"]
+    return ev.filter(F.col("value") >= F.lit(p67)).agg(
+        F.round(F.avg("value") * 0.85, 6).alias("threshold"),
+        F.count(F.lit(1)).alias("n_top"),
+    )
+
+
+@register(
+    "agg_min_max_attrs",
+    """
+    SELECT round(min(value), 6) AS value_min, round(max(value), 6) AS value_max,
+           min(ts) AS start_time, max(ts) AS stop_time, count(*) AS n
+    FROM events
+    """,
+)
+def agg_min_max_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """add_min_max + add_start_stop_time (utils.py:183-235, 942-948) in one
+    aggregation pass."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.round(F.min("value"), 6).alias("value_min"),
+        F.round(F.max("value"), 6).alias("value_max"),
+        F.min("ts").alias("start_time"),
+        F.max("ts").alias("stop_time"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Burst keys + direction conversions
+# --------------------------------------------------------------------------
+
+
+@register(
+    "ts_burst_keys",
+    """
+    SELECT event_id,
+           time_bucket(INTERVAL 2 HOURS, ts, TIMESTAMP '1970-01-01') AS burst_time,
+           row_number() OVER (
+             PARTITION BY time_bucket(INTERVAL 2 HOURS, ts, TIMESTAMP '1970-01-01')
+             ORDER BY ts, event_id) - 1 AS sample
+    FROM events
+    """,
+)
+def ts_burst_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous→burst derived keys (waves.py:2037-2091): tumbling-window
+    start + within-window index, no physical reshape."""
+    ev = load_table(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "2 hours").start
+    w = Window.partitionBy(win).orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        win.alias("burst_time"),
+        (F.row_number().over(w) - 1).alias("sample"),
+    )
+
+
+@register(
+    "phys_direction_conventions",
+    """
+    SELECT event_id,
+           round((90.0 - ((event_id * 13) % 360)::DOUBLE + 360.0) % 360.0, 6)
+             AS compass,
+           round((((event_id * 13) % 360)::DOUBLE + 180.0) % 360.0, 6) AS fromdir,
+           round(((((event_id * 13) % 360)::DOUBLE) + 12.5 + 360.0) % 360.0, 6)
+             AS heading_magvar
+    FROM events
+    """,
+)
+def phys_direction_conventions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """polar2compass / to2from (core/waves.py:964-985) + magvar heading
+    correction (aqdutils.py:372-426)."""
+    ev = load_table(spark, sf_dir, "events")
+    polar = ((F.col("event_id") * 13) % 360).cast("double")
+    return ev.select(
+        "event_id",
+        F.round(transforms.polar2compass(polar), 6).alias("compass"),
+        F.round(transforms.to2from(polar), 6).alias("fromdir"),
+        F.round(transforms.magvar_correct_heading(polar, 12.5), 6).alias(
+            "heading_magvar"
+        ),
+    )
+
+
+@register(
+    "phys_transfer_function",
+    """
+    WITH k AS (
+      SELECT l_orderkey, l_linenumber,
+             (l_linenumber % 8)::DOUBLE / 10.0 + 0.05 AS kk,
+             greatest(l_quantity, 1.0) AS h
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           round(((exp(kk * 0.5) + exp(-kk * 0.5)) / 2.0)
+                 / ((exp(kk * h) + exp(-kk * h)) / 2.0), 6) AS kp
+    FROM k
+    """,
+)
+def phys_transfer_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pressure transfer Kp = cosh(k·z)/cosh(k·h) (waves.py:778-803),
+    cosh inlined via exp on both engines (DuckDB lacks hyperbolics)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    kk = (F.col("l_linenumber") % 8).cast("double") / 10.0 + 0.05
+    h = F.greatest(F.col("l_quantity"), F.lit(1.0))
+
+    def cosh_exp(v):
+        return (F.exp(v) + F.exp(-v)) / 2.0
+
+    kp = cosh_exp(kk * 0.5) / cosh_exp(kk * h)
+    return li.select("l_orderkey", "l_linenumber", F.round(kp, 6).alias("kp"))
+
+
+# --------------------------------------------------------------------------
+# Smoothing filters (SURVEY §2.8, core/filter.py) — IIR not SQL-expressible
+# --------------------------------------------------------------------------
+
+
+@register("filt_butterworth_lowpass")  # rows-only: zero-phase IIR
+def filt_butterworth_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stglib_spark.operators import filters
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("time")).agg(
+        F.avg("value").alias("water_level")
+    )
+    out = filters.filtered_water_level(
+        hourly, sample_interval_seconds=3600.0, cutoff_seconds=6 * 3600.0
+    )
+    return out.select(
+        "time",
+        F.round("water_level", 6).alias("water_level"),
+        F.round("water_level_filt", 6).alias("water_level_filt"),
+    )
+
+
+@register("filt_median_smoother")  # rows-only: zero-padded edges not worth SQL
+def filt_median_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from stglib_spark.operators import filters
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").alias("time"), "value"
+    )
+    out = filters.med_filter(
+        ev, "value", kernel_size=5, group_cols=("user_id",), keep_unfiltered=True
+    )
+    return out.select(
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.round("value_unfiltered", 6).alias("value_unfiltered"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Waves (SURVEY §2.10) — spectral chain per burst; rows-only (FFT not
 # SQL-expressible)
 # --------------------------------------------------------------------------
