@@ -1,0 +1,282 @@
+"""Directional wave spectrum estimation (DIWASP-equivalent), from scratch
+in vectorized NumPy.
+
+Implements the published algorithms the reference's bundled pyDIWASP uses
+(Hashimoto, N. 1997, "Analysis of the directional wave spectrum from field
+data", Advances in Coastal Engineering Vol.3): cross-power spectral matrix
+→ per-sensor transfer functions → DFTM (direct Fourier transform method)
+or IMLM (iterated maximum likelihood method) estimator → directional
+spectrum on a user grid. Reference behavior anchors (semantics, not code):
+``stglib/lib/pyDIWASP/dirspec.py:23-189``, ``private/IMLM.py``,
+``private/DFTM.py``, ``private/diwasp_csd.py``, ``private/pres.py`` /
+``velx.py`` / ``vely.py`` / ``elev.py`` (Kz floor 0.1),
+``private/wavenumber.py`` (Dalrymple converging Newton),
+``infospec.py:6-57`` (Hs/Tp/DTp/Dp).
+
+Differences by design (this is not a port): the m×n×direction loops are
+einsum-vectorized, and the final (freq, dir) regrid is separable bilinear
+interpolation on the polar grid with circular wraparound in direction
+instead of scipy ``griddata`` scatter interpolation (scipy is unavailable;
+the grids are regular so separable interpolation is exact to the same
+order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+G = 9.81
+
+
+def hamming_periodic(n: int) -> np.ndarray:
+    k = np.arange(n)
+    return 0.54 - 0.46 * np.cos(2.0 * np.pi * k / n)
+
+
+def csd_matrix(data: np.ndarray, nfft: int, fs: float) -> tuple[np.ndarray, np.ndarray]:
+    """Cross-power spectral density matrix of the data columns.
+
+    Matches scipy.signal.csd(window='hamming', noverlap=0, detrend=False)
+    as called by diwasp_csd: segments of length nfft, no overlap, one-sided
+    density scaling; xps[m, n] = E[conj(X_m) · X_n]. Returns
+    (xps (szd, szd, nfft//2), F (nfft//2,)) dropping the DC bin, like
+    dirspec.py:106-111.
+    """
+    ndat, szd = data.shape
+    nseg = max(ndat // nfft, 1)
+    w = hamming_periodic(nfft)
+    scale = 1.0 / (fs * (w * w).sum())
+
+    segs = data[: nseg * nfft].reshape(nseg, nfft, szd)
+    spec = np.fft.rfft(segs * w[None, :, None], n=nfft, axis=1)  # (nseg,nf+1,szd)
+    # cross spectra: conj(X_m)·X_n averaged over segments
+    xps_full = np.einsum("sfm,sfn->mnf", np.conj(spec), spec) * scale / nseg
+    # one-sided doubling except DC and Nyquist
+    xps_full[..., 1:-1] *= 2.0
+    f_full = np.fft.rfftfreq(nfft, d=1.0 / fs)
+    return xps_full[..., 1 : nfft // 2 + 1], f_full[1 : nfft // 2 + 1]
+
+
+def wavenumber(sigma: np.ndarray, h: np.ndarray) -> np.ndarray:
+    """Converging Newton dispersion solve (Dalrymple), semantics of
+    private/wavenumber.py: iterate to |Δ/a| < 1e-8."""
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        a0 = sigma * sigma * h / G
+        b1 = 1.0 / np.tanh(a0**0.75)
+        a1 = a0 * b1**0.666
+        for _ in range(100):
+            th = np.tanh(a1)
+            ch = np.cosh(a1)
+            f1 = a0 - a1 * th
+            f2 = -a1 * (1.0 / ch) ** 2 - th
+            da1 = -f1 / f2
+            a1 = a1 + da1
+            if np.all(np.abs(da1 / np.where(a1 == 0, 1, a1)) < 1e-8):
+                break
+        return a1 / h
+
+
+def transfer_fn(
+    kind: str,
+    omega: np.ndarray,
+    dirs: np.ndarray,
+    wns: np.ndarray,
+    z: float,
+    depth: float,
+) -> np.ndarray:
+    """Per-sensor transfer function (nf, ndirs). Kz floored at 0.1 for
+    pres/velx/vely (private/pres.py etc.)."""
+    nf, nd = len(omega), len(dirs)
+    with np.errstate(over="ignore", invalid="ignore"):
+        if kind == "elev":
+            return np.ones((nf, nd))
+        if kind == "pres":
+            kz = np.cosh(z * wns) / np.cosh(depth * wns)
+            kz = np.where(kz < 0.1, 0.1, kz)
+            return kz[:, None] * np.ones(nd)[None, :]
+        if kind == "velx":
+            kz = np.cosh(z * wns) / np.sinh(depth * wns)
+            kz = np.where(kz < 0.1, 0.1, kz)
+            return (omega * kz)[:, None] * np.cos(dirs)[None, :]
+        if kind == "vely":
+            kz = np.cosh(z * wns) / np.sinh(depth * wns)
+            kz = np.where(kz < 0.1, 0.1, kz)
+            return (omega * kz)[:, None] * np.sin(dirs)[None, :]
+    raise ValueError(f"unknown datatype {kind!r}")
+
+
+def dftm(xps, trm, kx, ss, ddir):
+    """Direct Fourier transform estimator, vectorized over directions
+    (private/DFTM.py semantics): S[f,:] ∝ Σ_mn xps[m,n,f]·H_n·H_m*·e^{i kx}."""
+    # xps: (m,n,f); trm: (m,f,d); kx: (m,n,f,d)
+    ht = np.einsum("nfd,mfd,mnfd->fdmn", trm, np.conj(trm), np.exp(1j * kx))
+    sf = np.einsum("mnf,fdmn->fd", xps, ht)
+    e = np.conj(sf)
+    norm = ddir * np.sum(e, axis=1, keepdims=True)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        e = np.where(norm != 0, e / norm, 0)
+    return ss[0][:, None] * e
+
+
+def imlm(xps, trm, kx, ss, ddir, miter=50, gamma=0.1, alpha=0.1):
+    """Iterated maximum likelihood estimator (private/IMLM.py semantics),
+    einsum-vectorized; per frequency: MLE seed from inverse cross-spectral
+    matrix, then `miter` relaxation iterations toward consistency."""
+    szd, _, nf = xps.shape
+    nd = trm.shape[2]
+    expx = np.exp(1j * kx)  # (m,n,f,d)
+    htemp = np.einsum("nfd,mfd,mnfd->fmnd", trm, np.conj(trm), expx)
+    ihtemp = np.einsum("nfd,mfd,mnfd->fmnd", trm, np.conj(trm), np.conj(expx))
+
+    S = np.zeros((nf, nd), dtype=complex)
+    for ff in range(nf):
+        mat = xps[:, :, ff]
+        try:
+            invcps = np.linalg.inv(mat)
+        except np.linalg.LinAlgError:
+            invcps = np.linalg.pinv(mat)
+        sftmp = np.einsum("mn,mnd->d", invcps, htemp[ff])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            eo = 1.0 / sftmp
+        eo = eo / (ddir * np.sum(eo))
+        e = eo.copy()
+        t = eo.copy()
+        for _ in range(miter):
+            ixps = np.einsum("mnd,d->mn", ihtemp[ff], e) * ddir
+            try:
+                invi = np.linalg.inv(ixps)
+            except np.linalg.LinAlgError:
+                invi = np.linalg.pinv(ixps)
+            sftmp = np.einsum("mn,mnd->d", invi, htemp[ff])
+            told = t
+            with np.errstate(divide="ignore", invalid="ignore"):
+                t = 1.0 / sftmp
+            t = t / (ddir * np.sum(t))
+            e = e + gamma * ((eo - t) + alpha * (t - told))
+            e = e / (ddir * np.sum(e))
+        S[ff, :] = ss[0, ff] * np.conj(e)
+    return S
+
+
+def interp_spectrum(
+    S: np.ndarray,
+    f_in: np.ndarray,
+    d_in: np.ndarray,
+    f_out: np.ndarray,
+    d_out: np.ndarray,
+) -> np.ndarray:
+    """Separable bilinear regrid of a directional spectrum from
+    (f_in, d_in[rad]) to (f_out, d_out[rad]), circular in direction.
+    Replaces interpspec's cartesian griddata with an equivalent
+    regular-grid interpolation; out-of-range frequencies → 0."""
+    S = np.real(S)
+    # frequency interpolation (rows), 0 outside range
+    Sf = np.empty((len(f_out), S.shape[1]))
+    for j in range(S.shape[1]):
+        Sf[:, j] = np.interp(f_out, f_in, S[:, j], left=0.0, right=0.0)
+    # direction: circular interp
+    order = np.argsort(d_in)
+    d_sorted = d_in[order]
+    period = 2 * np.pi
+    d_ext = np.concatenate([d_sorted, [d_sorted[0] + period]])
+    out = np.empty((len(f_out), len(d_out)))
+    d_out_wrapped = (d_out - d_sorted[0]) % period + d_sorted[0]
+    for i in range(len(f_out)):
+        row = Sf[i, order]
+        row_ext = np.concatenate([row, [row[0]]])
+        out[i, :] = np.interp(d_out_wrapped, d_ext, row_ext)
+    return out
+
+
+def dirspec(
+    data: np.ndarray,
+    datatypes: list[str],
+    layout: np.ndarray,
+    depth: float,
+    fs: float,
+    freqs_out: np.ndarray,
+    dirs_out_deg: np.ndarray,
+    method: str = "IMLM",
+    nfft: int | None = None,
+    dres: int = 180,
+    miter: int = 50,
+) -> dict:
+    """Full directional-spectrum estimation for one burst
+    (dirspec.py:23-189 flow): detrend → csd matrix → wavenumber →
+    transfer functions + phase lags → estimator → regrid → info stats.
+
+    Returns dict with 'S' (nfout, ndout), 'freqs', 'dirs_deg', 'fspec',
+    'hs', 'tp', 'dtp_deg', 'dp_deg'.
+    """
+    from stglib_spark.functions.signal import detrend_linear
+
+    data = np.column_stack([detrend_linear(data[:, i]) for i in range(data.shape[1])])
+    ndat, szd = data.shape
+    if nfft is None:
+        nfft = int(2 ** (8 + np.round(np.log2(fs))))
+    nfft = int(min(nfft, ndat))
+    nfft -= nfft % 2  # even for clean one-sided split
+
+    xps, F = csd_matrix(data, nfft, fs)
+    wns = wavenumber(2 * np.pi * F, depth * np.ones_like(F))
+    pidirs = np.linspace(-np.pi, np.pi - 2 * np.pi / dres, num=dres)
+    ddir = 2 * np.pi / dres
+
+    trm = np.zeros((szd, len(F), dres))
+    kx = np.zeros((szd, szd, len(F), dres))
+    for m in range(szd):
+        trm[m] = transfer_fn(
+            datatypes[m], 2 * np.pi * F, pidirs, wns, layout[2, m], depth
+        )
+        for n in range(szd):
+            kx[m, n] = wns[:, None] * (
+                (layout[0, n] - layout[0, m]) * np.cos(pidirs)[None, :]
+                + (layout[1, n] - layout[1, m]) * np.sin(pidirs)[None, :]
+            )
+
+    # per-sensor surface-equivalent auto-spectra (dirspec.py:133-140)
+    ss = np.zeros((szd, len(F)), dtype=complex)
+    for m in range(szd):
+        tmax = np.max(np.conj(trm[m]).T, axis=0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ss[m] = xps[m, m, :] / (tmax * np.conj(tmax))
+
+    ffs = (F >= freqs_out.min()) & (F <= freqs_out.max())
+    if method.upper() == "IMLM":
+        S1 = imlm(xps[:, :, ffs], trm[:, ffs, :], kx[:, :, ffs, :], ss[:, ffs], ddir, miter)
+    elif method.upper() == "DFTM":
+        S1 = dftm(xps[:, :, ffs], trm[:, ffs, :], kx[:, :, ffs, :], ss[:, ffs], ddir)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    S1 = np.real(S1)
+    S1[np.isnan(S1) | (S1 < 0)] = 0.0
+
+    dirs_out_rad = np.radians(dirs_out_deg)
+    S = interp_spectrum(S1, F[ffs], pidirs, freqs_out, dirs_out_rad)
+
+    # info stats (infospec.py:6-57) — computed on the INTERNAL estimation
+    # grid, not the regridded one: a narrow (near-delta) IMLM spectrum
+    # loses/gains energy under any regrid (the reference's interpspec
+    # warns at >2% Hsig drift for exactly this reason)
+    fint = F[ffs]
+    df_int = fint[1] - fint[0] if len(fint) > 1 else 1.0
+    hs = 4.0 * np.sqrt(np.sum(S1) * df_int * ddir)
+    fspec_int = np.sum(S1, axis=1) * ddir
+    ipk = int(np.argmax(fspec_int))
+    tp = 1.0 / fint[ipk] if fint[ipk] > 0 else np.nan
+    dirs_int_deg = np.degrees(pidirs) % 360.0
+    dtp = dirs_int_deg[int(np.argmax(S1[ipk, :]))]
+    dp = dirs_int_deg[int(np.argmax(np.sum(S1, axis=0)))]
+    # fspec on the output frequency grid for the assembled dataset
+    dd_out = dirs_out_rad[1] - dirs_out_rad[0] if len(dirs_out_rad) > 1 else 1.0
+    fspec = np.sum(S, axis=1) * dd_out
+    return {
+        "S": S,
+        "freqs": freqs_out,
+        "dirs_deg": dirs_out_deg,
+        "fspec": fspec,
+        "hs": float(hs),
+        "tp": float(tp),
+        "dtp_deg": float(dtp),
+        "dp_deg": float(dp),
+    }

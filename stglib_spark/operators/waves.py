@@ -174,6 +174,202 @@ def burst_wave_stats_kernel(
     return pd.DataFrame(rows, columns=cols)
 
 
+def puv_quick_np(
+    p: np.ndarray,
+    u: np.ndarray,
+    v: np.ndarray,
+    depth: float,
+    height_of_pressure: float,
+    height_of_velocity: float,
+    fs: float,
+    fft_length: int = 512,
+    rho: float = 1025.0,
+    first_frequency_cutoff: float = 1 / 50,
+    infra_gravity_cutoff: float = 0.05,
+    last_frequency_cutoff: float = 1 / 5,
+) -> dict:
+    """PUV directional wave parameters for ONE burst (Madsen 1994 /
+    Thornton & Guza), replicating ``core/waves.py:1024-1351``
+    (puv_quick_vectorized) step-for-step: linear detrend → Welch of
+    ρg·p, u, v → k(ω, depth) → transfer functions Hp = ρg·cosh(kzp)/cosh(kh),
+    Huv = ω·cosh(kzuv)/sinh(kh) → band-limited Snp/Snu → Hrms = 2√(2ΣS df),
+    ubr/omegar/Tr, peak periods, direction φr from sign(corr(u,v)) and the
+    Gvv/Guu band integrals, azimuth = 90 − φr·180/π, band-split
+    ublo/ubig/ubhi, f⁻⁴-tail variants via the J&M cutoff."""
+    from stglib_spark.functions.signal import detrend_linear
+
+    g = 9.81
+    p = detrend_linear(np.asarray(p, dtype=float))
+    u = detrend_linear(np.asarray(u, dtype=float))
+    v = detrend_linear(np.asarray(v, dtype=float))
+    fft_length = int(min(fft_length, len(p)))
+
+    f, gpp = welch_psd(rho * g * p, fs=fs, nperseg=fft_length)
+    _, guu = welch_psd(u, fs=fs, nperseg=fft_length)
+    _, gvv = welch_psd(v, fs=fs, nperseg=fft_length)
+    df = f[2] - f[1]
+    omega = 2 * np.pi * f
+    k = qkfs_np(omega, float(depth))
+
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        kh = k * depth
+        hp = rho * g * (np.cosh(k * height_of_pressure) / np.cosh(kh))
+        huv = omega * (np.cosh(k * height_of_velocity) / np.sinh(kh))
+    if np.isnan(omega[0]) or omega[0] <= 0:
+        hp[0] = 1.0
+        huv[0] = 1.0
+    if np.isnan(k[0]):
+        hp[0] = 1.0
+        huv[0] = 1.0
+
+    guv = guu + gvv
+    ff = int(np.argmax(f > first_frequency_cutoff)) - 1
+    lf = int(np.argmax(f > last_frequency_cutoff))
+    if lf == 0:
+        lf = len(f)
+    ff = max(ff, 1)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        snp = gpp[ff:lf] / hp[ff:lf] ** 2
+        snu = guv[ff:lf] / huv[ff:lf] ** 2
+    fclip = f[ff:lf]
+
+    # tails (J&M cutoff on the untransformed spectra)
+    with np.errstate(divide="ignore", invalid="ignore", over="ignore"):
+        kp = np.cosh(k * height_of_pressure) / np.cosh(kh)
+        kp[np.isnan(k)] = 1.0
+        tailind = define_cutoff_np(f, gpp, kp)
+        snp_tail = make_tail_np(f, gpp / hp**2, tailind)
+        kp_u = np.cosh(k * height_of_velocity) / np.cosh(kh)
+        kp_u[np.isnan(k)] = 1.0
+        tailind_u = define_cutoff_np(f, guv, kp_u)
+        snu_tail = make_tail_np(f, guv / huv**2, tailind_u)
+    snp_tail[0] = np.nan
+    snu_tail[0] = np.nan
+
+    hrmsu = 2 * np.sqrt(2 * np.sum(snu * df))
+    hrmsp = 2 * np.sqrt(2 * np.sum(snp * df))
+    hrmsu_tail = 2 * np.sqrt(2 * np.nansum(snu_tail[1:] * df))
+    hrmsp_tail = 2 * np.sqrt(2 * np.nansum(snp_tail[1:] * df))
+
+    ubr = np.sqrt(2 * np.sum(guv[ff:lf] * df))
+    denom = np.sum(guv[ff:lf] * df)
+    omegar = (
+        np.sum(omega[ff:lf] * guv[ff:lf] * df) / denom if denom > 0 else np.nan
+    )
+    tr = 2 * np.pi / omegar if omegar and np.isfinite(omegar) else np.nan
+
+    tpp = 1.0 / fclip[int(np.argmax(snp))] if len(snp) else np.nan
+    tpu = 1.0 / fclip[int(np.argmax(snu))] if len(snu) else np.nan
+
+    su, sv = np.std(u), np.std(v)
+    rr = float(np.corrcoef(u, v)[0, 1]) if su > 0 and sv > 0 else 0.0
+    ortest = np.sign(rr) if rr != 0 else 1.0
+    phir = np.arctan2(ortest * np.sum(gvv[ff:lf] * df), np.sum(guu[ff:lf] * df))
+    phir_tail = np.arctan2(ortest * np.sum(gvv * df), np.sum(guu * df))
+    azr = 90.0 - np.degrees(phir)
+    azr_tail = 90.0 - np.degrees(phir_tail)
+
+    ig_idx = np.where(f <= infra_gravity_cutoff)[0]
+    ig = int(ig_idx.max()) if len(ig_idx) else 0
+    ublo = np.sqrt(2 * np.sum(guv[1:ff] * df)) if ff > 1 else 0.0
+    ubig = np.sqrt(2 * np.sum(guv[ff:ig] * df)) if ig > ff else 0.0
+    ubhi = np.sqrt(2 * np.sum(guv[lf:] * df)) if lf < len(f) else 0.0
+
+    return {
+        "Hrmsp": float(hrmsp),
+        "Hrmsu": float(hrmsu),
+        "ubr": float(ubr),
+        "omegar": float(omegar),
+        "Tr": float(tr),
+        "Tpp": float(tpp),
+        "Tpu": float(tpu),
+        "phir": float(phir),
+        "azr": float(azr),
+        "ublo": float(ublo),
+        "ubig": float(ubig),
+        "ubhi": float(ubhi),
+        "Hrmsp_tail": float(hrmsp_tail),
+        "Hrmsu_tail": float(hrmsu_tail),
+        "phir_tail": float(phir_tail),
+        "azr_tail": float(azr_tail),
+    }
+
+
+_PUV_FIELDS = [
+    "Hrmsp",
+    "Hrmsu",
+    "ubr",
+    "omegar",
+    "Tr",
+    "Tpp",
+    "Tpu",
+    "phir",
+    "azr",
+    "ublo",
+    "ubig",
+    "ubhi",
+    "Hrmsp_tail",
+    "Hrmsu_tail",
+    "phir_tail",
+    "azr_tail",
+]
+
+
+def puv_schema(burst_col: str = "burst_time") -> StructType:
+    return StructType(
+        [StructField(burst_col, TimestampType())]
+        + [StructField(name, DoubleType()) for name in _PUV_FIELDS]
+    )
+
+
+def make_puv_ds(
+    df: DataFrame,
+    config: dict,
+    burst_col: str = "burst_time",
+    pressure_col: str = "P_1ac",
+    u_col: str = "u_1205",
+    v_col: str = "v_1206",
+    sample_col: str = "sample",
+) -> DataFrame:
+    """Distributed PUV (wrapper semantics of waves.py:1847-1989 /
+    sig/nc2waves.py:550-599): shuffle on burst key, puv_quick per burst in
+    Arrow batches. Depth per burst = mean pressure + sensor height."""
+    fs = 1.0 / float(config.get("sample_interval", 1.0))
+    zp = float(config.get("pressure_sensor_height", config.get("initial_instrument_height", 0.0)) or 0.0)
+    zuv = float(config.get("velocity_sample_volume_height", zp) or zp)
+    fft_length = int(config.get("puv_fft_length", 512))
+
+    slim = df.select(burst_col, sample_col, pressure_col, u_col, v_col)
+    schema = puv_schema(burst_col)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for bt, grp in pdf.groupby(burst_col, sort=True):
+            grp = grp.sort_values(sample_col)
+            p = grp[pressure_col].to_numpy(dtype=float)
+            u = grp[u_col].to_numpy(dtype=float)
+            v = grp[v_col].to_numpy(dtype=float)
+            if len(p) < 32 or np.isnan(p).all():
+                continue
+            depth = float(np.nanmean(p)) + zp
+            out = puv_quick_np(
+                np.nan_to_num(p, nan=float(np.nanmean(p))),
+                np.nan_to_num(u),
+                np.nan_to_num(v),
+                depth,
+                zp,
+                zuv,
+                fs,
+                fft_length=fft_length,
+            )
+            out[burst_col] = bt
+            rows.append(out)
+        return pd.DataFrame(rows, columns=[burst_col] + _PUV_FIELDS)
+
+    return slim.groupBy(burst_col).applyInPandas(apply_fn, schema)
+
+
 def wave_stats_schema(burst_col: str = "burst_time") -> StructType:
     return StructType(
         [

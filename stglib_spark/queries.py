@@ -1365,6 +1365,81 @@ def filt_median_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@register("wave_puv_directional")  # rows-only: FFT + cross-spectra
+def wave_puv_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PUV directional wave parameters per burst (waves.py:1024-1351) on a
+    synthetic p/u/v triplet derived from the event stream."""
+    ev = load_table(spark, sf_dir, "events")
+    base = timeops.burst_keys(
+        ev.select(F.col("ts").alias("time"), (F.col("value") / 10.0).alias("P_1ac")),
+        time_col="time",
+        interval_seconds=6 * 3600,
+    )
+    synth = base.withColumns(
+        {
+            "u_1205": F.sin(F.col("sample") * 0.4) * 0.3
+            + (F.col("P_1ac") - 5.0) * 0.05,
+            "v_1206": F.cos(F.col("sample") * 0.4) * 0.2
+            + (F.col("P_1ac") - 5.0) * 0.025,
+        }
+    )
+    cfg = {
+        "sample_interval": 155.0,
+        "pressure_sensor_height": 0.5,
+        "puv_fft_length": 64,
+    }
+    out = wave_ops.make_puv_ds(synth, cfg)
+    return out.select(
+        "burst_time",
+        F.round("Hrmsp", 6).alias("Hrmsp"),
+        F.round("Hrmsu", 6).alias("Hrmsu"),
+        F.round("ubr", 6).alias("ubr"),
+        F.round("Tr", 6).alias("Tr"),
+        F.round("azr", 6).alias("azr"),
+    )
+
+
+@register("wave_diwasp_dirspec")  # rows-only: complex cross-spectra + IMLM
+def wave_diwasp_dirspec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional wave spectra per burst (DIWASP semantics:
+    lib/pyDIWASP/dirspec.py via core/waves.py:309-568), IMLM estimator."""
+    from stglib_spark.operators.dirspec import make_diwasp_ds
+
+    ev = load_table(spark, sf_dir, "events")
+    base = timeops.burst_keys(
+        ev.select(F.col("ts").alias("time"), (F.col("value") / 10.0).alias("P_1ac")),
+        time_col="time",
+        interval_seconds=6 * 3600,
+    )
+    synth = base.withColumns(
+        {
+            "u_1205": F.sin(F.col("sample") * 0.7) * 0.3,
+            "v_1206": F.sin(F.col("sample") * 0.7) * 0.2,
+        }
+    )
+    cfg = {
+        "sample_interval": 155.0,
+        "pressure_sensor_height": 0.5,
+        "diwasp": "puv",
+        "diwasp_method": "IMLM",
+        "diwasp_nfft": 64,
+        "diwasp_iter": 10,
+        "diwasp_dres": 36,
+        "diwasp_nfreqs": 16,
+        "diwasp_ndirs": 18,
+    }
+    out = make_diwasp_ds(synth, cfg)
+    return out.select(
+        "burst_time",
+        F.round("wh_4061", 6).alias("wh_4061"),
+        F.round("wp_peak", 6).alias("wp_peak"),
+        F.round("wvdir", 6).alias("wvdir"),
+        F.round("dwvdir", 6).alias("dwvdir"),
+        F.round("wd_4062", 6).alias("wd_4062"),
+        "diwasp_type",
+    )
+
+
 @register("wave_stats_welch")  # rows-only oracle
 def wave_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -1,0 +1,130 @@
+"""Directional spectrum estimator checks: a unidirectional linear wave
+must produce a spectrum peaking at its travel direction and frequency,
+with Hs matching the wave amplitude (DIWASP semantics; the reference
+golden-tests its estimators against published spectra, test_stglib.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from stglib_spark.functions.diwasp import csd_matrix, dirspec, wavenumber
+from stglib_spark.operators.dirspec import make_mwd
+
+
+def _puv_wave(a=0.5, T=8.0, h=10.0, zp=0.5, zuv=1.0, fs=4.0, n=4096, theta_deg=60.0):
+    t = np.arange(n) / fs
+    om = 2 * np.pi / T
+    k = wavenumber(np.array([om]), np.array([h]))[0]
+    th = np.radians(theta_deg)
+    eta = a * np.cos(om * t)
+    p = 10.0 + eta * np.cosh(k * zp) / np.cosh(k * h)
+    uamp = a * om * np.cosh(k * zuv) / np.sinh(k * h)
+    u = uamp * np.cos(om * t) * np.cos(th)
+    v = uamp * np.cos(om * t) * np.sin(th)
+    return np.column_stack([p, u, v])
+
+
+@pytest.mark.parametrize("method", ["DFTM", "IMLM"])
+def test_dirspec_recovers_direction_and_frequency(method):
+    theta = 60.0
+    data = _puv_wave(theta_deg=theta)
+    layout = np.array([[0.0, 0, 0], [0.0, 0, 0], [0.5, 1.0, 1.0]])
+    freqs = np.linspace(0.02, 0.5, 25)
+    dirs = np.arange(0.0, 360.0, 10.0)
+    res = dirspec(
+        data,
+        ["pres", "velx", "vely"],
+        layout,
+        10.25,
+        4.0,
+        freqs,
+        dirs,
+        method=method,
+        nfft=512,
+        dres=90,
+        miter=20,
+    )
+    assert res["tp"] == pytest.approx(8.0, rel=0.15)
+    # peak direction within one grid step of the true travel direction
+    d_err = min(abs(res["dp_deg"] - theta), 360 - abs(res["dp_deg"] - theta))
+    assert d_err <= 20.0
+    # Hs ≈ 4·sqrt(a²/2) = 1.414 for a=0.5. DFTM conserves energy tightly;
+    # IMLM inflates on a pure delta input because negative relaxation
+    # lobes are clamped to zero (the reference clamps identically,
+    # dirspec.py:158) — so only bound it loosely there.
+    expected_hs = 4 * np.sqrt(0.5**2 / 2)
+    if method == "DFTM":
+        assert res["hs"] == pytest.approx(expected_hs, rel=0.1)
+    else:
+        assert expected_hs * 0.5 < res["hs"] < expected_hs * 2.5
+    dm = make_mwd(res["freqs"], res["dirs_deg"], res["S"])
+    dm_err = min(abs(dm - theta), 360 - abs(dm - theta))
+    assert dm_err <= 25.0
+
+
+def _spread_sea(seed=5, fs=4.0, n=4096, h=10.0, zp=0.5, zuv=1.0):
+    """Directionally-spread random sea, per-component linear-wave
+    consistent (p, u, v all derived from each component's own k)."""
+    rng = np.random.RandomState(seed)
+    t = np.arange(n) / fs
+    eta = np.zeros(n)
+    u = np.zeros(n)
+    v = np.zeros(n)
+    p = np.zeros(n)
+    en_sin = en_cos = 0.0
+    for f0 in np.linspace(0.08, 0.2, 10):
+        a = 0.08 * (1 + rng.rand())
+        th = np.radians(60.0 + rng.randn() * 15)
+        ph = rng.rand() * 2 * np.pi
+        om = 2 * np.pi * f0
+        k = wavenumber(np.array([om]), np.array([h]))[0]
+        eta += a * np.cos(om * t + ph)
+        p += a * np.cos(om * t + ph) * np.cosh(k * zp) / np.cosh(k * h)
+        uamp = a * om * np.cosh(k * zuv) / np.sinh(k * h)
+        u += uamp * np.cos(om * t + ph) * np.cos(th)
+        v += uamp * np.cos(om * t + ph) * np.sin(th)
+        en_sin += a * a * np.sin(th)
+        en_cos += a * a * np.cos(th)
+    mean_dir = np.degrees(np.arctan2(en_sin, en_cos))
+    return np.column_stack([10.0 + p, u, v]), eta, mean_dir
+
+
+@pytest.mark.parametrize(
+    "method,hs_rtol,dir_tol", [("DFTM", 0.1, 20.0), ("IMLM", 0.6, 25.0)]
+)
+def test_spread_sea_energy_and_direction(method, hs_rtol, dir_tol):
+    """Energy conservation + mean direction on a realistic spread sea.
+    DFTM conserves tightly; IMLM inflates somewhat from negative-lobe
+    clamping (same as the reference) so gets a looser bound."""
+    data, eta, mean_dir = _spread_sea()
+    layout = np.array([[0.0, 0, 0], [0.0, 0, 0], [0.5, 1.0, 1.0]])
+    freqs = np.linspace(0.02, 0.5, 25)
+    dirs = np.arange(0.0, 360.0, 10.0)
+    res = dirspec(
+        data, ["pres", "velx", "vely"], layout, 10.25, 4.0, freqs, dirs,
+        method=method, nfft=512, dres=90, miter=20,
+    )
+    expected_hs = 4 * np.sqrt(np.var(eta))
+    assert res["hs"] == pytest.approx(expected_hs, rel=hs_rtol)
+    d_err = min(abs(res["dp_deg"] - mean_dir), 360 - abs(res["dp_deg"] - mean_dir))
+    assert d_err <= dir_tol
+
+
+def test_csd_matrix_auto_spectrum_is_psd():
+    rng = np.random.RandomState(3)
+    x = rng.randn(4096)
+    data = np.column_stack([x, x])
+    xps, f = csd_matrix(data, 256, 2.0)
+    # auto-spectrum integrates to the variance (Parseval), and the
+    # cross-spectrum of identical signals equals the auto-spectrum
+    var_est = np.sum(np.real(xps[0, 0])) * (f[1] - f[0])
+    assert var_est == pytest.approx(x.var(), rel=0.1)
+    np.testing.assert_allclose(np.real(xps[0, 1]), np.real(xps[0, 0]), rtol=1e-10)
+
+
+def test_wavenumber_satisfies_dispersion():
+    om = np.array([0.5, 1.0, 2.0])
+    h = np.array([10.0, 10.0, 10.0])
+    k = wavenumber(om, h)
+    np.testing.assert_allclose(9.81 * k * np.tanh(k * h), om**2, rtol=1e-6)
