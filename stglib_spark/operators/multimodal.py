@@ -1,0 +1,179 @@
+"""Multimodal columns: images/audio/video as opaque binary columns with
+typed metadata, processed via Arrow-batched ``mapInPandas``.
+
+North-star component (BASELINE.json): a 100 TB training-data pipeline
+carries media as ``binary`` columns next to structured metadata. The
+Spark-side plumbing here is real and tested — schemas, batch iteration,
+partition sizing, UDF signatures; the actual codecs (PIL/ffmpeg/soundfile)
+are NOT in this container, so the decode step is a clearly marked STUB:
+``decode_stub=True`` (default) runs a deterministic fake decoder so the
+pipeline shape is exercised end-to-end; ``decode_stub=False`` raises
+``NotImplementedError`` at the exact point a real codec plugs in.
+
+Scale notes: mapInPandas streams Arrow batches — peak memory is one batch
+of binary payloads per core, so ``spark.sql.files.maxPartitionBytes`` (and
+``maxRecordsPerBatch``) bound executor memory, not file count; feature
+outputs are fixed-width arrays so downstream shuffles carry features, not
+payloads.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("kind", StringType()),  # image | audio | video
+        StructField("content", BinaryType()),
+        StructField("mime", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("duration_ms", IntegerType()),
+    ]
+)
+
+
+def _fake_decode(content: bytes, out_pixels: int) -> np.ndarray:
+    """Deterministic fake decoder: bytes → pseudo-pixel array seeded by the
+    content digest. Stands in for PIL/ffmpeg so batch shapes, dtypes and
+    determinism are testable without codecs."""
+    seed = int.from_bytes(hashlib.sha256(content).digest()[:8], "big") % (2**32)
+    rng = np.random.RandomState(seed)
+    return rng.randint(0, 256, size=out_pixels).astype(np.uint8)
+
+
+def decode_features(
+    df: DataFrame,
+    feature_dim: int = 64,
+    decode_stub: bool = True,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """binary column → fixed-width float feature vector via mapInPandas.
+
+    Real implementation decodes with PIL/ffmpeg then pools; the stub
+    derives features from the fake-decoded byte field. Either way the
+    OUTPUT CONTRACT is identical: (media_id, n_bytes, feature[float xD]).
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, sizes, feats = [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                payload = bytes(content) if content is not None else b""
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real media decode requires PIL/ffmpeg/soundfile, "
+                        "not installed in this container — run with "
+                        "decode_stub=True or plug a codec in here"
+                    )
+                pixels = _fake_decode(payload, feature_dim * 16)
+                # mean-pool 16 pseudo-pixels per feature slot, scaled to [0,1]
+                feat = pixels.reshape(feature_dim, 16).mean(axis=1) / 255.0
+                ids.append(mid)
+                sizes.append(len(payload))
+                feats.append(feat.astype(np.float32).tolist())
+            yield pd.DataFrame(
+                {id_col: ids, "n_bytes": sizes, "feature": feats}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(fn, out_schema)
+
+
+def resize_images(
+    df: DataFrame,
+    target_w: int = 224,
+    target_h: int = 224,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """image binary → resized binary (stub: content-digest-seeded bytes of
+    the target size; real: PIL decode→resize→encode). Output keeps the
+    MEDIA_SCHEMA contract with updated dims."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            new_content = []
+            for content in pdf["content"]:
+                payload = bytes(content) if content is not None else b""
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real image resize requires PIL — plug in here"
+                    )
+                new_content.append(
+                    _fake_decode(payload, target_w * target_h).tobytes()
+                )
+            out["content"] = new_content
+            out["width"] = target_w
+            out["height"] = target_h
+            yield out
+
+    return df.mapInPandas(fn, df.schema)
+
+
+def sample_video_frames(
+    df: DataFrame,
+    n_frames: int = 8,
+    decode_stub: bool = True,
+) -> DataFrame:
+    """video binary → n_frames evenly-spaced frame features, one row per
+    (media_id, frame_idx) — the explode-to-frames shape a video training
+    pipeline needs. Stub derives per-frame features; real: ffmpeg seek."""
+    out_schema = StructType(
+        [
+            StructField("media_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("t_ms", IntegerType()),
+            StructField("feature", ArrayType(FloatType())),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"media_id": [], "frame_idx": [], "t_ms": [], "feature": []}
+            for mid, content, dur in zip(
+                pdf["media_id"], pdf["content"], pdf["duration_ms"]
+            ):
+                payload = bytes(content) if content is not None else b""
+                if not decode_stub:
+                    raise NotImplementedError(
+                        "real frame sampling requires ffmpeg — plug in here"
+                    )
+                dur = int(dur) if dur is not None else 1000
+                for i in range(n_frames):
+                    t_ms = int(i * dur / n_frames)
+                    frame = _fake_decode(payload + t_ms.to_bytes(4, "big"), 64)
+                    rows["media_id"].append(mid)
+                    rows["frame_idx"].append(i)
+                    rows["t_ms"].append(t_ms)
+                    rows["feature"].append(
+                        (frame.astype(np.float32) / 255.0).tolist()
+                    )
+            yield pd.DataFrame(rows)
+
+    return df.filter(F.col("kind") == "video").select(
+        "media_id", "content", "duration_ms"
+    ).mapInPandas(fn, out_schema)

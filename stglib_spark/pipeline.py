@@ -1,0 +1,168 @@
+"""The three-stage pipeline driver — the engine's ``runots`` equivalent.
+
+Reference lifecycle (SURVEY §3): ``runots <instrument> <step>`` dispatches
+(instrument, step) through a registry (``core/runcmd.py:527-613``); the
+merged gatts+YAML metadata dict drives every operator. Here:
+
+    run_ingest(spark, config)  — vendor format → raw zone Parquet
+    run_clean(spark, config)   — clip → atmos-correct → derives → QA/QC →
+                                 clean zone Parquet
+    run_waves(spark, config)   — burst keys → spectral chain → wave
+                                 products Parquet
+
+Each stage reads the previous stage's Parquet zone, so stages restart
+independently (same contract as the reference's -raw.cdf → b.nc → s-a.nc
+files). The History log mirrors the reference's append-only ``history``
+attr (utils.py:238-250) and is persisted as a JSON sidecar next to each
+zone.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from stglib_spark.config import History
+from stglib_spark.operators import clip as clip_ops
+from stglib_spark.operators import joins, physics, qaqc, timeops
+from stglib_spark.operators import waves as wave_ops
+from stglib_spark.sources import ingest
+
+
+def _zone_path(config: dict[str, Any], zone: str) -> str:
+    base = config.get("output_dir", "/root/repo/.tmp/zones")
+    name = config.get("filename", "deployment")
+    return os.path.join(base, f"{name}_{zone}")
+
+
+def _write_zone(
+    df: DataFrame, config: dict[str, Any], zone: str, history: History
+) -> str:
+    path = _zone_path(config, zone)
+    df.write.mode("overwrite").parquet(path)
+    sidecar = {
+        "history": history.entries,
+        "notes": history.notes,
+        "config": {k: v for k, v in config.items() if isinstance(v, (str, int, float, bool))},
+    }
+    with open(path + ".meta.json", "w", encoding="utf-8") as f:
+        json.dump(sidecar, f, indent=2, default=str)
+    return path
+
+
+def run_ingest(spark: SparkSession, config: dict[str, Any]) -> str:
+    """Stage 1 (*2cdf): vendor file → raw zone (SURVEY §3.1)."""
+    history = History()
+    df = ingest(spark, config["instrument"], config["input_path"], config)
+    if config.get("ClockError") or config.get("ClockDrift") or config.get("time_shift"):
+        df = timeops.shift_time(
+            df,
+            shift_seconds=float(config.get("time_shift", 0) or 0),
+            clock_error=config.get("ClockError"),
+            clock_drift=config.get("ClockDrift"),
+        )
+        history.insert_history("Applied clock corrections.")
+    history.insert_history(
+        f"Ingested {config['input_path']} with adapter {config['instrument']}."
+    )
+    return _write_zone(df, config, "raw", history)
+
+
+def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
+    """Stage 2 (cdf2nc): raw zone → clean zone (SURVEY §3.2 order:
+    clip → atmos correct → derives → QA/QC → audit)."""
+    history = History()
+    df = spark.read.parquet(_zone_path(config, "raw"))
+
+    df = clip_ops.clip_ds(df, config)
+    history.insert_history("Clipped to deployment window / good ranges.")
+
+    if config.get("atmpres_path") and "P_1" in df.columns:
+        met = spark.read.parquet(config["atmpres_path"])
+        df = joins.atmos_correct(df, met, config)
+        history.insert_history("Atmospherically corrected pressure (P_1ac).")
+
+    pcol = "P_1ac" if "P_1ac" in df.columns else ("P_1" if "P_1" in df.columns else None)
+    if pcol:
+        df = df.withColumn(
+            "depth_m", physics.pres2dep_simple(F.col(pcol))
+        )
+        if config.get("initial_instrument_height") is not None:
+            df = df.withColumn(
+                "water_depth",
+                physics.water_depth(
+                    F.col("depth_m"), float(config["initial_instrument_height"])
+                ),
+            )
+        if config.get("NAVD88_ref") is not None:
+            df = df.withColumn(
+                "water_level",
+                physics.water_level(F.col("depth_m"), float(config["NAVD88_ref"])),
+            )
+    if "Turb" in df.columns and config.get("Turb_ssc_coeffs"):
+        df = df.withColumn(
+            "SSC_791",
+            physics.turbidity_to_ssc(F.col("Turb"), list(config["Turb_ssc_coeffs"])),
+        )
+
+    value_cols = [
+        c for c, t in df.dtypes if t in ("double", "float") and not c.startswith("__")
+    ]
+    spec = qaqc.SeriesSpec(
+        time_col="time",
+        sample_col="sample" if "sample" in df.columns else None,
+        burst_col="burst" if "burst" in df.columns else None,
+    )
+    result = qaqc.apply_qaqc(df, config, value_cols, spec, keep_audit_cols=True)
+    counts = result.audit_counts()
+    for key, count in counts.items():
+        var, rule = key.split(":", 1)
+        history.insert_note(var, f"{rule}: {count} values nulled.")
+    clean = result.df.select(*[c for c in result.df.columns if not c.startswith("__")])
+    history.insert_history("Applied QA/QC rule engine.")
+    return _write_zone(clean, config, "clean", history)
+
+
+def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
+    """Stage 3 (nc2waves): clean zone → wave statistics product
+    (SURVEY §3.3)."""
+    history = History()
+    df = spark.read.parquet(_zone_path(config, "clean"))
+    pcol = "P_1ac" if "P_1ac" in df.columns else "P_1"
+
+    if config.get("wave_interval"):
+        # continuous→burst derived keys (waves.py:2037-2091). Re-derived
+        # from the clock even when ingest marked bursts: clipping may have
+        # removed leading rows and shifted count-based burst boundaries.
+        df = df.drop("burst", "sample", "burst_time")
+        df = timeops.burst_keys(
+            df,
+            time_col="time",
+            interval_seconds=int(config["wave_interval"]),
+            burst_col="burst_time",
+        )
+    elif "burst" in df.columns:
+        df = df.withColumn(
+            "burst_time", F.min("time").over(Window.partitionBy("burst"))
+        )
+    if config.get("wave_duration") and config.get("sample_interval"):
+        nsamps = int(
+            float(config["wave_duration"]) / float(config["sample_interval"])
+        )
+        df = timeops.wave_duration_trim(df, nsamps)
+
+    waves = wave_ops.make_waves_ds(df, config, pressure_col=pcol)
+    waves = clip_ops.trim_max_wp(waves, config)
+    history.insert_history("Computed wave statistics (Welch spectral chain).")
+    return _write_zone(waves, config, "waves", history)
+
+
+def run_all(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
+    """Full runots chain: ingest → clean → waves."""
+    paths = {"raw": run_ingest(spark, config), "clean": run_clean(spark, config)}
+    if config.get("wave_interval") or config.get("samples_per_burst"):
+        paths["waves"] = run_waves(spark, config)
+    return paths

@@ -1,0 +1,49 @@
+"""Ingest adapters (the reference's ``*2cdf`` stage, SURVEY §2.1).
+
+The reference registers ~60 (instrument, step) pairs in
+``stglib/core/runcmd.py:527-599``; each ingest step parses a vendor format
+into the raw zone. Here each adapter is a function
+``(spark, path, config) -> DataFrame`` registered by instrument name; the
+raw zone is Parquet (netCDF only at the edge).
+
+Adapter rules:
+- header sniffing / config parsing happens at the DRIVER (small);
+- bulk rows go through ``spark.read.csv`` / ``binaryFile`` +
+  ``mapPartitions`` so ingest scales with the cluster, never through a
+  driver-side pandas materialization;
+- vendor→EPIC column renames (rsk/csv2cdf.py:295-327) are select-aliases
+  applied at ingest so every later stage sees canonical names.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+ADAPTERS: dict[str, Callable[..., DataFrame]] = {}
+
+
+def register_adapter(name: str):
+    def deco(fn):
+        ADAPTERS[name] = fn
+        return fn
+
+    return deco
+
+
+def ingest(
+    spark: SparkSession, instrument: str, path: str, config: dict[str, Any]
+) -> DataFrame:
+    """Dispatch to the instrument adapter (runcmd.py:602-613 dispatch)."""
+    if instrument not in ADAPTERS:
+        raise KeyError(
+            f"no ingest adapter for {instrument!r}; available: {sorted(ADAPTERS)}"
+        )
+    return ADAPTERS[instrument](spark, path, config)
+
+
+from stglib_spark.sources import csv as _csv  # noqa: E402,F401  (registers adapters)
+from stglib_spark.sources import binary as _binary  # noqa: E402,F401
+from stglib_spark.sources import netcdf as _netcdf  # noqa: E402,F401

@@ -1,0 +1,130 @@
+"""Delimited-text ingest adapters (RBR / EXO / HOBO / generic CSV family).
+
+Reference semantics: RBR CSV (``rsk/csv2cdf.py:11-268``: pyarrow CSV,
+burst reshape, EPIC renames), EXO (``exo.py:9-137``: skiprows + header
+sniff), HOBO (``hobo.py:11-434``), generic whitespace files
+(``aqd/hdr2cdf.py:8-116``). Spark-first: ``spark.read.csv`` with options;
+only the header sniff touches the driver.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from stglib_spark.sources import register_adapter
+
+# vendor → EPIC variable renames (rsk/csv2cdf.py:295-327, utils.py:1759-1789)
+EPIC_RENAMES = {
+    "Pressure": "P_1",
+    "pressure": "P_1",
+    "Temperature": "T_28",
+    "temperature": "T_28",
+    "Salinity": "S_41",
+    "salinity": "S_41",
+    "Conductivity": "C_51",
+    "conductivity": "C_51",
+    "Turbidity": "Turb",
+    "turbidity": "Turb",
+    "Depth": "D_3",
+}
+
+
+def apply_epic_renames(df: DataFrame) -> DataFrame:
+    mapping = {c: EPIC_RENAMES[c] for c in df.columns if c in EPIC_RENAMES}
+    return df.withColumnsRenamed(mapping) if mapping else df
+
+
+@register_adapter("rbr_csv")
+def read_rbr_csv(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    """RBR Ruskin CSV export: header row, ISO timestamps in `Time` column
+    (rsk/csv2cdf.py:19-30). Burst/wave deployments get (burst, sample)
+    keys derived from samples_per_burst (rsk/csv2cdf.py:55-102) — pure
+    column math, no reshape."""
+    df = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .option("timestampFormat", "yyyy-MM-dd HH:mm:ss[.SSS]")
+        .csv(path)
+    )
+    if "Time" in df.columns:
+        df = df.withColumnRenamed("Time", "time")
+    df = df.withColumn("time", F.col("time").cast("timestamp"))
+    df = apply_epic_renames(df)
+
+    spb = config.get("samples_per_burst")
+    if spb:
+        from pyspark.sql import Window
+
+        w = Window.orderBy("time")
+        rn = F.row_number().over(w) - 1
+        df = (
+            df.withColumn("__rn", rn)
+            .withColumn("burst", (F.col("__rn") / int(spb)).cast("long"))
+            .withColumn("sample", (F.col("__rn") % int(spb)).cast("int"))
+            .drop("__rn")
+        )
+    return df
+
+
+@register_adapter("exo_csv")
+def read_exo_csv(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    """YSI EXO KOR export: metadata preamble lines before the header row
+    (exo.py:9-137 sniffs skiprows). The preamble length comes from config
+    (``exo_skiprows``) or a driver-side sniff of the first KB."""
+    skip = config.get("exo_skiprows")
+    if skip is None:
+        # driver-side sniff: first line starting with 'Date' is the header
+        sc_file = open(path.replace("file:", ""), encoding="utf-8", errors="ignore")
+        for i, line in enumerate(sc_file):
+            if line.split(",")[0].strip().lower() in ("date", "date (mm/dd/yyyy)"):
+                skip = i
+                break
+            if i > 100:
+                skip = 0
+                break
+        sc_file.close()
+    raw = spark.read.text(path)
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.monotonically_increasing_id())
+    numbered = raw.withColumn("__ln", F.row_number().over(w) - 1)
+    data = numbered.filter(F.col("__ln") >= int(skip or 0)).drop("__ln")
+    header = data.limit(1).collect()[0][0].split(",")
+    body = data.filter(F.col("value") != data.limit(1).collect()[0][0])
+    parts = F.split(F.col("value"), ",")
+    cols = [
+        F.trim(parts.getItem(i)).alias(name.strip() or f"col{i}")
+        for i, name in enumerate(header)
+    ]
+    return apply_epic_renames(body.select(*cols))
+
+
+@register_adapter("generic_csv")
+def read_generic_csv(
+    spark: SparkSession, path: str, config: dict[str, Any]
+) -> DataFrame:
+    """Generic delimited reader covering the HOBO/TCM/troll/met/eco/mc
+    family (SURVEY §2.1 row 'EXO/HOBO/TCM/...'): delimiter, skiprows,
+    time column name/format from config."""
+    reader = (
+        spark.read.option("header", "true")
+        .option("inferSchema", "true")
+        .option("sep", str(config.get("csv_sep", ",")))
+    )
+    if config.get("csv_skiprows"):
+        reader = reader.option("skipRows", int(config["csv_skiprows"]))
+    if config.get("csv_comment"):
+        reader = reader.option("comment", str(config["csv_comment"]))
+    df = reader.csv(path)
+    tcol = config.get("time_col", "time")
+    if tcol in df.columns and tcol != "time":
+        df = df.withColumnRenamed(tcol, "time")
+    if "time" in df.columns:
+        fmt = config.get("time_format")
+        df = df.withColumn(
+            "time",
+            F.to_timestamp(F.col("time"), fmt) if fmt else F.col("time").cast("timestamp"),
+        )
+    return apply_epic_renames(df)

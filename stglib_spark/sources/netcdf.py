@@ -1,0 +1,51 @@
+"""netCDF edge adapters — import/export at the boundary only.
+
+The reference's inter-stage format is netCDF (``-raw.cdf`` / ``b.nc``);
+this engine's inter-stage format is Parquet (SURVEY §7.1 three-zone
+design), with netCDF only at the edges for interop with existing stglib
+consumers. The xarray/netCDF4 libraries are not present in this container,
+so both directions are gated behind an import-try and raise with a clear
+message; the Parquet path is always available.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+from stglib_spark.sources import register_adapter
+
+
+def _require_xarray():
+    try:
+        import xarray  # noqa: F401
+
+        return xarray
+    except ImportError as exc:  # pragma: no cover - env without xarray
+        raise NotImplementedError(
+            "netCDF edge adapter requires xarray+netCDF4, which are not "
+            "installed in this environment; use the Parquet zones instead "
+            "(stglib_spark writes/reads Parquet between stages)"
+        ) from exc
+
+
+@register_adapter("netcdf")
+def read_netcdf(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    """netCDF → DataFrame via a driver-side xarray load (edge-only; fine
+    for the reference's single-deployment file sizes)."""
+    xr = _require_xarray()
+    ds = xr.open_dataset(path)
+    pdf = ds.to_dataframe().reset_index()
+    return spark.createDataFrame(pdf)
+
+
+def write_netcdf(df: DataFrame, path: str, attrs: dict[str, Any] | None = None) -> None:
+    """DataFrame → netCDF with attrs (export edge; collect-to-driver is
+    acceptable only for final per-deployment products, mirroring the
+    reference's one-file-per-deployment outputs)."""
+    xr = _require_xarray()
+    pdf = df.toPandas()
+    ds = xr.Dataset.from_dataframe(pdf.set_index("time"))
+    ds.attrs.update(attrs or {})
+    ds.to_netcdf(path, unlimited_dims=["time"])

@@ -1,0 +1,23 @@
+"""Structured Streaming analogues of the reference's batch semantics
+(SURVEY §2.13). The reference is pure batch; these expose its windowing /
+dedup / gap semantics on an unbounded stream so the same engine serves the
+`events`-style live feed:
+
+- ``wave_interval`` / ``average_interval`` bursting (waves.py:2037-2091)
+  ≡ tumbling windows with watermark;
+- duplicate timestamps (sig/cdf2nc.py:1582 drop_duplicates) ≡
+  ``dropDuplicatesWithinWatermark``;
+- burst NaN-fill tolerance (waves.py:1992-2034) ≡ allowed lateness.
+"""
+
+from stglib_spark.streaming.bursts import (
+    read_events_stream,
+    streaming_burst_average,
+    streaming_dedup,
+)
+
+__all__ = [
+    "read_events_stream",
+    "streaming_burst_average",
+    "streaming_dedup",
+]

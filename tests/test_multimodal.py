@@ -1,0 +1,60 @@
+"""Multimodal plumbing: schemas, mapInPandas batch shapes, determinism,
+and the stub/real seam (NotImplementedError exactly at the codec point)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from stglib_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_features,
+    resize_images,
+    sample_video_frames,
+)
+
+
+@pytest.fixture(scope="module")
+def media_df(spark):
+    rows = [
+        (0, "image", b"\x89PNG-fake-0", "image/png", 640, 480, None),
+        (1, "image", b"\x89PNG-fake-1", "image/png", 800, 600, None),
+        (2, "audio", b"RIFF-fake", "audio/wav", None, None, 2000),
+        (3, "video", b"ftyp-fake", "video/mp4", 1920, 1080, 4000),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_decode_features_contract(spark, media_df):
+    out = decode_features(media_df, feature_dim=32)
+    rows = {r.media_id: r for r in out.collect()}
+    assert set(rows) == {0, 1, 2, 3}
+    assert all(len(r.feature) == 32 for r in rows.values())
+    assert rows[0].n_bytes == len(b"\x89PNG-fake-0")
+    assert all(0.0 <= x <= 1.0 for x in rows[0].feature)
+    # determinism: same content → same features
+    again = {r.media_id: r for r in decode_features(media_df, feature_dim=32).collect()}
+    assert again[1].feature == rows[1].feature
+
+
+def test_resize_images_keeps_schema(spark, media_df):
+    out = resize_images(media_df.filter(F.col("kind") == "image"), 64, 64)
+    rows = out.collect()
+    assert len(rows) == 2
+    assert all(r.width == 64 and r.height == 64 for r in rows)
+    assert all(len(bytes(r.content)) == 64 * 64 for r in rows)
+    assert out.schema == media_df.schema
+
+
+def test_video_frame_sampling(spark, media_df):
+    out = sample_video_frames(media_df, n_frames=4)
+    rows = out.orderBy("frame_idx").collect()
+    assert len(rows) == 4
+    assert [r.t_ms for r in rows] == [0, 1000, 2000, 3000]
+    assert all(len(r.feature) == 64 for r in rows)
+
+
+def test_real_decode_seam_raises(spark, media_df):
+    with pytest.raises(Exception) as exc:
+        decode_features(media_df, decode_stub=False).collect()
+    assert "NotImplementedError" in str(exc.value) or "requires" in str(exc.value)

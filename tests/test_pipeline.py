@@ -1,0 +1,147 @@
+"""End-to-end pipeline test: the reference's canonical demo — "RBR d|wave
+deployment → significant wave height time series" (SURVEY §7.3,
+tests/test_scripts.py:258-263) — on a synthetic F3-shaped burst CSV with a
+KNOWN injected wave, through ingest → clean → waves, with the Hs oracle
+(FIXTURES invariant 1, rtol 1e-2 on the spectral estimate)."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stglib_spark.operators.waves import qkfs_np
+from stglib_spark.pipeline import run_all
+from stglib_spark.sources import ingest
+from stglib_spark.sources.binary import write_demo_file
+
+TMP = "/root/repo/.tmp/pipeline_test"
+
+
+@pytest.fixture(scope="module")
+def fixture_dir():
+    os.makedirs(TMP, exist_ok=True)
+    yield TMP
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+@pytest.fixture(scope="module")
+def burst_csv(fixture_dir):
+    """F3 burst_pressure fixture: bursts of 512 samples at 0.5 s every
+    1800 s; wave amplitude 0.4 m, T=8 s on 10 dbar mean; plus a spike for
+    QA and rows outside the deployment window for clip."""
+    fs, spb, n_bursts = 2.0, 512, 10
+    rows = []
+    t0 = pd.Timestamp("2024-06-01 00:00:00")
+    a, T = 0.4, 8.0
+    h = 10.0
+    k = qkfs_np(np.array([2 * np.pi / T]), h + 0.5)[0]
+    kp = np.cosh(k * 0.5) / np.cosh(k * (h + 0.5))
+    for b in range(n_bursts):
+        bt = t0 + pd.Timedelta(seconds=1800 * b)
+        tt = np.arange(spb) / fs
+        p = h + a * kp * np.sin(2 * np.pi / T * tt)
+        temp = 12.0 + 0.01 * b + 0.001 * tt
+        for s in range(spb):
+            rows.append(
+                {
+                    "Time": (bt + pd.Timedelta(seconds=tt[s])).strftime(
+                        "%Y-%m-%d %H:%M:%S.%f"
+                    )[:-3],
+                    "Pressure": p[s],
+                    "Temperature": temp[s],
+                }
+            )
+    # out-of-window rows (before deployment) + a spike
+    rows.insert(0, {"Time": "2024-05-31 10:00:00.000", "Pressure": 0.1, "Temperature": 99.0})
+    rows[100]["Temperature"] = 60.0  # T_28_max victim
+    pdf = pd.DataFrame(rows)
+    path = os.path.join(TMP, "burst.csv")
+    pdf.to_csv(path, index=False)
+    return path
+
+
+CONFIG = {
+    "instrument": "rbr_csv",
+    "filename": "rbrtest",
+    "output_dir": TMP,
+    "Deployment_date": "2024-06-01 00:00:00",
+    "Recovery_date": "2024-06-02 00:00:00",
+    "samples_per_burst": 512,
+    "sample_interval": 0.5,
+    "wave_interval": 1800,
+    "pressure_sensor_height": 0.5,
+    "initial_instrument_height": 0.5,
+    "T_28_max": 50.0,
+    "wave_Kpmin": 0.1,
+    # nsegs=4 → nfft=128: the coarse default (16 → nfft=32) leaks enough
+    # energy into high-1/Kp² bins to inflate Hs ~14% on a pure sine; the
+    # reference exposes the same spec_nsegs knob for the same reason
+    "spec_nsegs": 4,
+    "wh_min": 0.05,
+    "wh_max": 10.0,
+}
+
+
+def test_pipeline_end_to_end(spark, burst_csv):
+    cfg = dict(CONFIG, input_path=burst_csv)
+    paths = run_all(spark, cfg)
+
+    raw = spark.read.parquet(paths["raw"])
+    assert "P_1" in raw.columns and "T_28" in raw.columns  # EPIC renames
+    assert raw.count() == 10 * 512 + 1
+
+    clean = spark.read.parquet(paths["clean"])
+    # clip deleted the pre-deployment row
+    assert clean.count() == 10 * 512
+    # QA nulled the temperature spike but kept the row
+    assert clean.filter(F.col("T_28").isNull()).count() == 1
+    # audit sidecar recorded the affected count
+    meta = json.load(open(paths["clean"] + ".meta.json"))
+    assert any("1 values nulled" in n for n in meta["notes"].get("T_28", []))
+
+    waves = spark.read.parquet(paths["waves"])
+    rows = waves.orderBy("burst_time").collect()
+    assert len(rows) == 10
+    # Hs oracle: surface Hs = 4·sqrt(a²/2) = 1.131 (the injected pressure
+    # was pre-attenuated by Kp, so the engine's Kp correction recovers the
+    # surface amplitude)
+    expected_hs = 4 * np.sqrt(0.4**2 / 2)
+    for r in rows:
+        assert r.wh_4061 == pytest.approx(expected_hs, rel=2e-2)
+        assert r.wp_peak == pytest.approx(8.0, rel=0.05)
+
+
+def test_binary_ensemble_adapter(spark, fixture_dir):
+    path = os.path.join(fixture_dir, "demo.bin")
+    ensembles = [
+        (1700000000000000 + i * 1000000, [float(i), float(i) * 2, 3.0])
+        for i in range(50)
+    ]
+    write_demo_file(path, ensembles)
+    df = ingest(spark, "binary_ensemble", path, {})
+    rows = df.orderBy("seq").collect()
+    assert len(rows) == 50
+    assert rows[10].vals == [10.0, 20.0, 3.0]
+    assert rows[0].time is not None
+
+
+def test_generic_csv_adapter(spark, fixture_dir):
+    path = os.path.join(fixture_dir, "generic.csv")
+    pd.DataFrame(
+        {
+            "timestamp": pd.date_range("2024-01-01", periods=20, freq="1min").astype(str),
+            "temperature": np.linspace(10, 12, 20),
+            "conductivity": np.linspace(30, 35, 20),
+        }
+    ).to_csv(path, index=False)
+    df = ingest(
+        spark, "generic_csv", path, {"time_col": "timestamp"}
+    )
+    assert set(df.columns) >= {"time", "T_28", "C_51"}
+    assert df.count() == 20

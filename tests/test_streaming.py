@@ -1,0 +1,85 @@
+"""Structured Streaming surface: the streaming burst average must produce
+the same result as the batch interval_average when the stream is drained
+with an availableNow trigger (SURVEY §2.13 — streaming/batch parity is the
+point of reusing the engine for live feeds)."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from stglib_spark.session import load_table
+from stglib_spark.streaming import (
+    read_events_stream,
+    streaming_burst_average,
+    streaming_dedup,
+)
+
+
+@pytest.fixture()
+def checkpoint_dir():
+    d = tempfile.mkdtemp(prefix="ckpt", dir="/root/repo/.tmp")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _drain(stream_df, checkpoint_dir, name):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if name == "bursts" else "append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_streaming_burst_average_matches_batch(spark, sf_dir, checkpoint_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = streaming_burst_average(stream, interval_seconds=3600, min_count=2)
+    _drain(out, checkpoint_dir, "bursts")
+    streamed = {
+        r["burst_time"]: (r["value_avg"], r["n"])
+        for r in spark.sql("SELECT * FROM bursts").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    batch = {
+        r["burst_time"]: (r["value_avg"], r["n"])
+        for r in ev.groupBy(
+            F.window("ts", "3600 seconds").start.alias("burst_time")
+        )
+        .agg(
+            F.when(F.count(F.lit(1)) >= 2, F.avg("value")).alias("value_avg"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for k in batch:
+        sb, bb = streamed[k], batch[k]
+        assert sb[1] == bb[1]
+        if bb[0] is None:
+            assert sb[0] is None
+        else:
+            assert abs(sb[0] - bb[0]) < 1e-9
+
+
+def test_streaming_dedup_runs(spark, sf_dir, checkpoint_dir):
+    stream = read_events_stream(spark, sf_dir)
+    out = streaming_dedup(stream)
+    _drain(out, checkpoint_dir, "deduped")
+    n = spark.sql("SELECT count(*) c FROM deduped").collect()[0]["c"]
+    total = load_table(spark, sf_dir, "events").count()
+    distinct = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "ts")
+        .distinct()
+        .count()
+    )
+    assert n == distinct <= total
