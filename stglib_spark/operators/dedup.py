@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from stglib_spark.session import spread
+
 
 def normalize_text(text: Column) -> Column:
     """Lowercase, strip punctuation, collapse whitespace — shared
@@ -46,21 +48,37 @@ def exact_dedup(
 
 def word_shingles(text: Column, n: int = 3) -> Column:
     """Word n-gram shingles of the normalized text as an array column:
-    distinct contiguous n-token windows (empty-safe)."""
+    distinct contiguous n-token windows (empty-safe).
+
+    Built from n shifted copies of the token array combined with
+    ``zip_with`` — O(n·L) per document. (The obvious
+    ``transform(sequence, i -> slice(toks, i, n))`` is O(L²): ``slice``
+    with a non-literal start re-walks the array per position — measured
+    ~10× slower on real documents.)"""
     toks = F.split(normalize_text(text), " ")
-    k = F.size(toks) - (n - 1)
+    length = F.size(toks)
+    k = length - (n - 1)
+    if n == 1:
+        combined = toks
+    else:
+        combined = toks
+        for i in range(1, n):
+            shifted = F.slice(toks, i + 1, length)
+            # zip_with pads the shorter array with null; null propagates
+            # through concat and the tail is cut by the slice below
+            combined = F.zip_with(
+                combined, shifted, lambda a, b: F.concat_ws(" ", a, b)
+            )
+        combined = F.zip_with(
+            combined,
+            F.slice(toks, n, length),
+            lambda a, b: F.when(b.isNotNull(), a),
+        )
     return F.when(
         k <= 0,
         # degenerate short doc: single shingle = whole text
         F.array(F.array_join(toks, " ")),
-    ).otherwise(
-        F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(0), k - 1),
-                lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-            )
-        )
-    )
+    ).otherwise(F.array_distinct(F.filter(combined, lambda x: x.isNotNull())))
 
 
 def minhash_signatures(
@@ -74,7 +92,7 @@ def minhash_signatures(
     xxhash64(shingle, seed=i). Explode → groupBy(id) with num_hashes min
     aggregates — map-side partial aggregation keeps the shuffle at
     (docs × num_hashes × 8B), independent of document length."""
-    exploded = df.select(
+    exploded = spread(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
     )
     aggs = [
@@ -147,7 +165,7 @@ def ngram_jaccard_pairs(
     stage after LSH): |A∩B| / |A∪B| with array set ops. When no candidate
     set is given, all-pairs within the DataFrame are compared (small-input
     / test path only — the scale path always feeds LSH candidates)."""
-    sh = df.select(
+    sh = spread(df).select(
         F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__sh")
     )
     if candidate_pairs is None:
@@ -182,7 +200,7 @@ def simhash(
     sign of the vote sum. Explode + one groupBy with ``bits`` conditional
     sums (all JVM-side), reassembled with bit-shifts."""
     toks = F.split(normalize_text(F.col(text_col)), " ")
-    exploded = df.select(F.col(id_col), F.explode(toks).alias("__t")).withColumn(
+    exploded = spread(df).select(F.col(id_col), F.explode(toks).alias("__t")).withColumn(
         "__h", F.xxhash64(F.col("__t"))
     )
     votes = [

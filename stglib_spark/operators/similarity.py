@@ -15,6 +15,8 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
+from stglib_spark.session import spread
+
 
 def dot(a: Column, b: Column) -> Column:
     """Σ aᵢ·bᵢ via zip_with + aggregate (native, codegen'd)."""
@@ -66,7 +68,7 @@ def pairwise_topk_within(
     """Embedding near-duplicate pairs within a partition key (e.g. LSH
     bucket or label): equi-join on the group key bounds the pair blow-up;
     AQE skew-join splits oversized groups."""
-    slim = df.select(
+    slim = spread(df).select(
         F.col(group_col), F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
     )
     l, r = slim.alias("l"), slim.alias("r")

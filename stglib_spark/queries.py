@@ -20,7 +20,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from stglib_spark.session import load_table
+from stglib_spark.session import load_table, spread
 from stglib_spark.operators import clip as clip_ops
 from stglib_spark.operators import dedup as dedup_ops
 from stglib_spark.operators import joins as join_ops
@@ -640,7 +640,7 @@ _QKFS_SQL = """
 
 @register("phys_dispersion_qkfs", _QKFS_SQL)
 def phys_dispersion_qkfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     omega = 2.0 * math.pi / (4.0 + (F.col("l_linenumber") % 8))
     h = F.greatest(F.col("l_quantity"), F.lit(1.0))
 
@@ -729,7 +729,7 @@ _COORD_SQL = f"""
 
 @register("coord_beam2enu", _COORD_SQL)
 def coord_beam2enu(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     df = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -773,7 +773,7 @@ def coord_beam2enu(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         text_ops.token_count(F.col("text")).alias("n_tokens"),
@@ -819,7 +819,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return text_ops.quality_score(docs).select(
         "doc_id",
         "n_tokens",
@@ -854,7 +854,7 @@ _LANG_SQL = f"""
 
 @register("text_lang_id", _LANG_SQL)
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return text_ops.lang_id(docs).select("doc_id", "lang_pred")
 
 
@@ -869,7 +869,7 @@ _NORM_SQL = (
     f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     return text_ops.doc_fingerprint(docs).select("doc_id", "fingerprint")
 
 
@@ -908,7 +908,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     toks = docs.select(
         "doc_id",
         "lang",

@@ -34,7 +34,7 @@ def get_spark(app_name: str = "stglib_spark", cpus: int | None = None) -> SparkS
     applyInPandas/pandas_udf hop a columnar batch transfer instead of
     row-at-a-time pickling.
     """
-    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", "4"))
+    cpus = cpus or int(os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 4)))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(f"local[{cpus}]")
@@ -74,3 +74,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     """Read every synthetic table; keys match the DuckDB oracle views."""
     return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
+    """Repartition UP to cluster parallelism when the scan produced too few
+    partitions (a single small parquet file arrives as ONE partition, which
+    serializes CPU-heavy per-row work on one core). Never shrinks: at real
+    scale the scan already has thousands of partitions and this is a no-op,
+    so the shuffle cost is only paid exactly when it buys parallelism."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * multiplier
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
