@@ -85,25 +85,54 @@ def drop_vars(df: DataFrame, config: dict[str, Any]) -> DataFrame:
 
 
 def trim_max_wp(df: DataFrame, config: dict[str, Any]) -> DataFrame:
-    """Wave-stats QA (utils.py:752-828): null wave stats where period /
-    height / ratio out of bounds. Nulls cells, never deletes rows."""
+    """Wave-stats QA (utils.py:752-828): four sequential keep-where rules,
+    each nulling its own variable list. Order matters — a stat nulled by an
+    earlier rule makes a later rule's condition unevaluable (NULL), which
+    nulls the cell, exactly like the reference's NaN-comparison → False →
+    ``.where`` fill. Nulls cells, never deletes rows.
+
+      wp_max   : null wp_peak, wp_4060 unless wp_peak < m AND wp_4060 < m
+      wh_min   : null wp_peak, wh_4061, wp_4060 unless wh_4061 > m
+      wh_max   : null wp_peak, wh_4061, wp_4060 unless wh_4061 < m
+      wp_ratio : null wp_peak, wp_4060 unless wp_peak/wp_4060 < m
+    """
+
+    def keep(out: DataFrame, cond, variables: list[str]) -> DataFrame:
+        # materialize the condition BEFORE nulling: every var in the list
+        # must be judged against the rule-start values, not ones already
+        # nulled by this same rule
+        out = out.withColumn("__keep", F.coalesce(cond, F.lit(False)))
+        for s in variables:
+            if s in out.columns:
+                out = out.withColumn(
+                    s, F.when(F.col("__keep"), F.col(s)).otherwise(F.lit(None))
+                )
+        return out.drop("__keep")
+
     out = df
-    stats = [c for c in ("wh_4061", "wp_4060", "wp_peak") if c in df.columns]
-    conds = []
     if config.get("wp_max") is not None:
-        conds.append(F.col("wp_peak") > F.lit(config["wp_max"]))
+        m = F.lit(config["wp_max"])
+        out = keep(
+            out,
+            (F.col("wp_peak") < m) & (F.col("wp_4060") < m),
+            ["wp_peak", "wp_4060"],
+        )
     if config.get("wh_min") is not None:
-        conds.append(F.col("wh_4061") < F.lit(config["wh_min"]))
+        out = keep(
+            out,
+            F.col("wh_4061") > F.lit(config["wh_min"]),
+            ["wp_peak", "wh_4061", "wp_4060"],
+        )
     if config.get("wh_max") is not None:
-        conds.append(F.col("wh_4061") > F.lit(config["wh_max"]))
+        out = keep(
+            out,
+            F.col("wh_4061") < F.lit(config["wh_max"]),
+            ["wp_peak", "wh_4061", "wp_4060"],
+        )
     if config.get("wp_ratio") is not None:
-        conds.append(F.col("wp_peak") / F.col("wp_4060") > F.lit(config["wp_ratio"]))
-    if not conds:
-        return out
-    bad = conds[0]
-    for c in conds[1:]:
-        bad = bad | c
-    bad = F.coalesce(bad, F.lit(False))
-    for s in stats:
-        out = out.withColumn(s, F.when(bad, F.lit(None)).otherwise(F.col(s)))
+        out = keep(
+            out,
+            F.col("wp_peak") / F.col("wp_4060") < F.lit(config["wp_ratio"]),
+            ["wp_peak", "wp_4060"],
+        )
     return out

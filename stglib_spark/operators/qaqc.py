@@ -51,6 +51,7 @@ class SeriesSpec:
     burst_col: str | None = None
     sample_col: str | None = None
     order_cols: tuple[str, ...] | None = None
+    bin_col: str | None = None  # vertical/profile dim (bindist/z) for 2-D rules
 
     def ordering(self) -> list:
         return [F.col(c) for c in (self.order_cols or (self.time_col,))]
@@ -202,6 +203,24 @@ def compile_rules(
             add("max_blip_pct", v, (up > F.lit(t)) & (down < F.lit(-t)))
         if has("maxabs_diff"):
             add("maxabs_diff", v, F.abs(c - prev) >= F.lit(val("maxabs_diff")))
+        if has("maxabs_diff_2d") and spec.bin_col:
+            # (val_along_time, val_along_bin); bad where |diff| ≥ t along
+            # EITHER dim (reference applies the two wheres sequentially =
+            # OR; first element of each dim padded not-bad, qaqc.py:458-493)
+            t1, t2 = val("maxabs_diff_2d")
+            w_time = Window.partitionBy(
+                *[F.col(x) for x in spec.series_cols], F.col(spec.bin_col)
+            ).orderBy(*spec.ordering())
+            w_bin = Window.partitionBy(
+                *[F.col(x) for x in spec.series_cols], F.col(spec.time_col)
+            ).orderBy(F.col(spec.bin_col))
+            d1 = F.abs(c - F.lag(c).over(w_time)) >= F.lit(t1)
+            d2 = F.abs(c - F.lag(c).over(w_bin)) >= F.lit(t2)
+            add(
+                "maxabs_diff_2d",
+                v,
+                F.coalesce(d1, F.lit(False)) | F.coalesce(d2, F.lit(False)),
+            )
         if has("max_std"):
             add("max_std", v, F.col(f"{v}_std") > F.lit(val("max_std")))
         if has("std_ratio"):
@@ -243,6 +262,26 @@ def compile_rules(
             add("mask", v, cond)
         if has("mask_expr"):
             add("mask_expr", v, F.expr(translate_mask_expr(val("mask_expr"))))
+        if has("trim_single_bins") and spec.bin_col:
+            # null cells at times where exactly ONE valid bin remains in the
+            # profile (aqdutils.py:661-672: keep where count(valid over z) != 1)
+            w_prof = Window.partitionBy(
+                *[F.col(x) for x in spec.series_cols], F.col(spec.time_col)
+            )
+            nvalid = F.sum(F.when(c.isNotNull(), 1).otherwise(0)).over(w_prof)
+            add("trim_single_bins", v, nvalid == 1)
+        # trim_by_<trimvar>: null v where the sentinel variable is null,
+        # unless v is excluded (qaqc.py:315-336 trim_by_any)
+        for key, enabled in config.items():
+            if not key.startswith("trim_by_") or key.endswith("_exclude"):
+                continue
+            if not enabled or str(enabled).lower() == "false":
+                continue
+            trimvar = key[len("trim_by_"):]
+            excl = config.get(f"{key}_exclude") or ()
+            if v in excl:
+                continue
+            add("trim_by", v, F.col(trimvar).isNull())
         if has("warmup_samples") and spec.sample_col:
             add("warmup_samples", v, F.col(spec.sample_col) < F.lit(int(val("warmup_samples"))))
         if has("burst_min_kill"):

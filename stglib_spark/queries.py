@@ -30,6 +30,7 @@ from stglib_spark.operators import similarity as sim_ops
 from stglib_spark.operators import text as text_ops
 from stglib_spark.operators import timeops
 from stglib_spark.operators import transforms
+from stglib_spark.operators import velocity as vel_ops
 from stglib_spark.operators import waves as wave_ops
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -916,21 +917,20 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(
             F.split(dedup_ops.normalize_text(F.col("text")), " ")
         ).alias("tok"),
-    )
+    ).withColumn("n", F.size("tok"))
     a, b = toks.alias("a"), toks.alias("b")
     inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
-    union = F.size(F.array_union(F.col("a.tok"), F.col("b.tok")))
+    # union from distinct sizes (|A|+|B|−inter): one hash-set per pair
+    # instead of array_union's extra build+allocation — ~8× on this query
     return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        a.join(b, ["lang", "source"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.round(inter.cast("double") / union, 6).alias("jaccard"),
+            F.round(
+                inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter), 6
+            ).alias("jaccard"),
         )
     )
 
@@ -1089,6 +1089,428 @@ def qaqc_bad_ens(spark: SparkSession, sf_dir: str) -> DataFrame:
         qaqc_ops.SeriesSpec(time_col="ts"),
     )
     return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_bad_ens_indiv",
+    """
+    SELECT event_id,
+           CASE WHEN ts IN (SELECT ts FROM events WHERE event_id % 500 = 7)
+                THEN NULL ELSE round(value, 6) END AS value
+    FROM events
+    """,
+)
+def qaqc_bad_ens_indiv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bad_ens_indiv (qaqc.py:289-312): null at individually listed
+    instants. The instants are looked up from the data at plan-build time
+    (every 500th event) exactly as a user would copy timestamps into the
+    config file — the rule itself receives plain literals."""
+    ev = load_table(spark, sf_dir, "events")
+    instants = [
+        r["ts"] for r in ev.filter(F.col("event_id") % 500 == 7).select("ts").collect()
+    ]
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {"value_bad_ens_indiv": instants},
+        ["value"],
+        qaqc_ops.SeriesSpec(time_col="ts"),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_mask_trim_by",
+    """
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_tax > 0.05 THEN l_tax END AS aux,
+             l_quantity, l_extendedprice
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN aux IS NULL THEN NULL ELSE round(l_quantity, 6) END AS qty,
+           CASE WHEN aux IS NULL THEN NULL ELSE round(l_extendedprice, 2) END AS price
+    FROM s
+    """,
+)
+def qaqc_mask_trim_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """mask (qaqc.py:496-522) + trim_by_any (qaqc.py:315-336): null a
+    variable where a sentinel companion variable is null — here l_quantity
+    via an explicit `mask` list and l_extendedprice via a `trim_by_aux`
+    directive (with the sentinel excluding itself)."""
+    li = load_table(spark, sf_dir, "lineitem").withColumn(
+        "aux", F.when(F.col("l_tax") > 0.05, F.col("l_tax"))
+    )
+    res = qaqc_ops.apply_qaqc(
+        li,
+        {
+            "l_quantity_mask": ["aux"],
+            "trim_by_aux": True,
+            "trim_by_aux_exclude": ["aux", "l_quantity"],
+        },
+        ["l_quantity", "l_extendedprice"],
+        qaqc_ops.SeriesSpec(time_col="l_orderkey"),
+    )
+    return res.df.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("l_quantity", 6).alias("qty"),
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+
+
+@register(
+    "qaqc_maxabs_diff_2d",
+    """
+    WITH grid AS (
+      SELECT user_id, date_trunc('hour', ts) AS h, avg(value) AS v
+      FROM events GROUP BY 1, 2
+    ), d AS (
+      SELECT user_id, h, v,
+             abs(v - lag(v) OVER (PARTITION BY user_id ORDER BY h)) AS d1,
+             abs(v - lag(v) OVER (PARTITION BY h ORDER BY user_id)) AS d2
+      FROM grid
+    )
+    SELECT user_id, h,
+           CASE WHEN coalesce(d1 >= 35.0, false) OR coalesce(d2 >= 45.0, false)
+                THEN NULL ELSE round(v, 6) END AS v
+    FROM d
+    """,
+)
+def qaqc_maxabs_diff_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """maxabs_diff_2d (qaqc.py:458-493) on a unique 2-D grid (hour ×
+    user): null where |diff| ≥ t independently along either dim; the first
+    element of each dim is never trimmed."""
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.avg("value").alias("v"))
+    res = qaqc_ops.apply_qaqc(
+        grid,
+        {"v_maxabs_diff_2d": (35.0, 45.0)},
+        ["v"],
+        qaqc_ops.SeriesSpec(
+            time_col="h", series_cols=(), bin_col="user_id", order_cols=("h",)
+        ),
+    )
+    return res.df.select("user_id", "h", F.round("v", 6).alias("v"))
+
+
+@register(
+    "qaqc_trim_single_bins",
+    """
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber,
+             CASE WHEN l_quantity > 45.0 THEN NULL ELSE l_quantity END AS v
+      FROM lineitem
+    ), c AS (
+      SELECT l_orderkey, l_linenumber, v,
+             sum(CASE WHEN v IS NOT NULL THEN 1 ELSE 0 END)
+               OVER (PARTITION BY l_orderkey) AS nvalid
+      FROM s
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN nvalid = 1 THEN NULL ELSE round(v, 6) END AS qty
+    FROM c
+    """,
+)
+def qaqc_trim_single_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim_single_bins (aqdutils.py:661-672): after a max-gate nulls most
+    of a profile, kill profiles left with exactly one valid bin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    spec = qaqc_ops.SeriesSpec(time_col="l_orderkey", bin_col="l_linenumber")
+    step1 = qaqc_ops.apply_qaqc(li, {"l_quantity_max": 45.0}, ["l_quantity"], spec).df
+    step2 = qaqc_ops.apply_qaqc(
+        step1, {"l_quantity_trim_single_bins": True}, ["l_quantity"], spec
+    ).df
+    return step2.select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty")
+    )
+
+
+@register(
+    "qaqc_burst_min_kill",
+    """
+    WITH b AS (
+      SELECT event_id, value,
+             min(value) OVER (PARTITION BY user_id, date_trunc('hour', ts)) AS bmin
+      FROM events
+    )
+    SELECT event_id,
+           CASE WHEN bmin < 3.0 THEN NULL ELSE round(value, 6) END AS value
+    FROM b
+    """,
+)
+def qaqc_burst_min_kill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-kill min (rsk/cdf2nc.py:242-262): if ANY sample in the burst
+    fails the minimum, null the WHOLE burst. Bursts = user × hour."""
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "burst", F.date_trunc("hour", F.col("ts"))
+    )
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {"value_burst_min_kill": 3.0},
+        ["value"],
+        qaqc_ops.SeriesSpec(
+            time_col="ts", series_cols=("user_id",), burst_col="burst"
+        ),
+    )
+    return res.df.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "qaqc_wave_stats_trims",
+    """
+    WITH s AS (
+      SELECT user_id, date_trunc('hour', ts) AS burst,
+             4.0 + max(value) / 25.0  AS wp_peak,
+             4.0 + avg(value) / 12.0  AS wp_4060,
+             stddev_samp(value) / 10.0 AS wh_4061
+      FROM events GROUP BY 1, 2
+    ), r1 AS (  -- wp_max: null wp_peak, wp_4060
+      SELECT user_id, burst, wh_4061,
+             CASE WHEN wp_peak < 7.5 AND wp_4060 < 7.5 THEN wp_peak END AS wp_peak,
+             CASE WHEN wp_peak < 7.5 AND wp_4060 < 7.5 THEN wp_4060 END AS wp_4060
+      FROM s
+    ), r2 AS (  -- wh_min: null all three
+      SELECT user_id, burst,
+             CASE WHEN wh_4061 > 0.8 THEN wp_peak END AS wp_peak,
+             CASE WHEN wh_4061 > 0.8 THEN wh_4061 END AS wh_4061,
+             CASE WHEN wh_4061 > 0.8 THEN wp_4060 END AS wp_4060
+      FROM r1
+    ), r3 AS (  -- wh_max
+      SELECT user_id, burst,
+             CASE WHEN wh_4061 < 3.5 THEN wp_peak END AS wp_peak,
+             CASE WHEN wh_4061 < 3.5 THEN wh_4061 END AS wh_4061,
+             CASE WHEN wh_4061 < 3.5 THEN wp_4060 END AS wp_4060
+      FROM r2
+    )
+    SELECT user_id, burst,
+           round(CASE WHEN wp_peak / wp_4060 < 1.08 THEN wp_peak END, 6) AS wp_peak,
+           round(wh_4061, 6) AS wh_4061,
+           round(CASE WHEN wp_peak / wp_4060 < 1.08 THEN wp_4060 END, 6) AS wp_4060
+    FROM r3
+    """,
+)
+def qaqc_wave_stats_trims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wave-stats QA (utils.py:752-828): the four sequential trims
+    (wp_max, wh_min, wh_max, wp_ratio) on synthetic burst statistics —
+    each rule judges against the values as left by the previous rule."""
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("burst")
+    ).agg(
+        (F.lit(4.0) + F.max("value") / 25.0).alias("wp_peak"),
+        (F.lit(4.0) + F.avg("value") / 12.0).alias("wp_4060"),
+        (F.stddev_samp("value") / 10.0).alias("wh_4061"),
+    )
+    out = clip_ops.trim_max_wp(
+        stats, {"wp_max": 7.5, "wh_min": 0.8, "wh_max": 3.5, "wp_ratio": 1.08}
+    )
+    return out.select(
+        "user_id",
+        "burst",
+        F.round("wp_peak", 6).alias("wp_peak"),
+        F.round("wh_4061", 6).alias("wh_4061"),
+        F.round("wp_4060", 6).alias("wp_4060"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Velocity trims & signal-quality gates (SURVEY §2.4 velocity family,
+# aqdutils.py:435-658, 1631-1714; iq.py:661-708)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "vel_trim_sidelobe",
+    f"""
+    WITH prof AS (
+      SELECT l_orderkey, l_linenumber,
+             0.5 + l_linenumber * 0.5 AS bindist,
+             2.0 + l_quantity / 10.0  AS p,
+             l_extendedprice AS u, l_discount * 100.0 AS v
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN bindist < p * {math.cos(math.radians(20.0))!r} - 0.5
+                THEN round(u, 2) END AS u,
+           CASE WHEN bindist < p * {math.cos(math.radians(20.0))!r} - 0.5
+                THEN round(v, 6) END AS v
+    FROM prof
+    """,
+)
+def vel_trim_sidelobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """trim_vel 'water level sl' (aqdutils.py:487-506): UP-looking profile,
+    null bins above P·cos(beam_angle) minus one extra surface bin."""
+    li = load_table(spark, sf_dir, "lineitem")
+    prof = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.lit(0.5) + F.col("l_linenumber") * 0.5).alias("bindist"),
+        (F.lit(2.0) + F.col("l_quantity") / 10.0).alias("p"),
+        F.col("l_extendedprice").alias("u"),
+        (F.col("l_discount") * 100.0).alias("v"),
+    )
+    out = vel_ops.trim_vel(
+        prof,
+        {
+            "orientation": "UP",
+            "trim_method": "water level sl",
+            "beam_angle": 20.0,
+            "bin_size": 0.5,
+            "trim_surf_bins": 1,
+        },
+        data_vars=["u", "v"],
+        pressure_col="p",
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("u", 2).alias("u"),
+        F.round("v", 6).alias("v"),
+    )
+
+
+@register(
+    "vel_agc_cor_gates",
+    """
+    WITH g AS (
+      SELECT l_orderkey, l_linenumber,
+             l_tax * 1000.0 AS agc, l_discount * 1000.0 AS cor,
+             l_extendedprice AS u, l_quantity AS w
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN agc > 20.0 AND cor > 30.0 THEN round(u, 2) END AS u_1205,
+           CASE WHEN agc > 20.0 AND cor > 30.0 THEN round(w, 6) END AS w_1204,
+           CASE WHEN cor > 45.0 THEN round(agc, 6) END AS AGC_1202
+    FROM g
+    """,
+)
+def vel_agc_cor_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """fill_agc + fill_cor (aqdutils.py:1631-1714): null velocities where
+    echo intensity (AGC) or average correlation fails its threshold; echo
+    intensity itself gated on a stricter correlation floor."""
+    li = load_table(spark, sf_dir, "lineitem")
+    g = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_tax") * 1000.0).alias("AGC_1202"),
+        (F.col("l_discount") * 1000.0).alias("cor_avg"),
+        F.col("l_extendedprice").alias("u_1205"),
+        F.col("l_quantity").alias("w_1204"),
+    )
+    out = vel_ops.fill_agc(g, {"velocity_agc_min": 20.0})
+    out = vel_ops.fill_cor(out, {"velocity_cor_min": 30.0, "agc_cor_min": 45.0})
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("u_1205", 2).alias("u_1205"),
+        F.round("w_1204", 6).alias("w_1204"),
+        F.round("AGC_1202", 6).alias("AGC_1202"),
+    )
+
+
+@register(
+    "vel_snr_gate",
+    """
+    WITH s AS (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity AS vel_1, l_extendedprice / 1000.0 AS vel_2,
+             l_tax * 200.0 AS snr_1, l_discount * 200.0 AS snr_2
+      FROM lineitem
+    )
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN snr_1 >= 10.0 THEN round(vel_1, 6) END AS vel_1,
+           CASE WHEN snr_2 >= 10.0 THEN round(vel_2, 6) END AS vel_2,
+           CASE WHEN snr_1 >= 10.0 AND snr_2 >= 10.0
+                THEN round((vel_1 + vel_2) / 2.0, 6) END AS vel_mean
+    FROM s
+    """,
+)
+def vel_snr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-beam SNR gate (iq.py:661-708): each component nulled where its
+    beam's SNR < threshold; the combined mean requires ALL beams to pass
+    (iq.py:744-768 fill_velmean mask-AND)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").alias("vel_1"),
+        (F.col("l_extendedprice") / 1000.0).alias("vel_2"),
+        (F.col("l_tax") * 200.0).alias("snr_1"),
+        (F.col("l_discount") * 200.0).alias("snr_2"),
+    ).withColumn("vel_mean", (F.col("vel_1") + F.col("vel_2")) / 2.0)
+    out = vel_ops.fill_snr(
+        s, {"snr_min": 10.0}, vel_vars=["vel_1", "vel_2"], snr_vars=["snr_1", "snr_2"]
+    )
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round("vel_1", 6).alias("vel_1"),
+        F.round("vel_2", 6).alias("vel_2"),
+        F.round("vel_mean", 6).alias("vel_mean"),
+    )
+
+
+@register(
+    "qaqc_ast_quality_trim",
+    """
+    WITH q AS (
+      SELECT event_id, value AS brange, 40.0 + 60.0 * (event_id % 97) / 96.0 AS quality
+      FROM events
+    ), ranked AS (
+      SELECT quality, row_number() OVER (ORDER BY quality) AS rn,
+             count(*) OVER () AS n
+      FROM q
+    ), v13 AS (
+      -- int(n * (2/3)) with FLOAT 2/3, replicating numpy indexing exactly
+      SELECT quality AS val13 FROM ranked
+      WHERE rn = cast(floor(n * (2.0/3.0)) AS BIGINT) + 1
+    ), thr AS (
+      SELECT round(avg(quality) * 0.85) AS t FROM q, v13 WHERE quality > val13
+    )
+    SELECT event_id,
+           CASE WHEN quality < t THEN NULL ELSE round(brange, 6) END AS brange,
+           round(brange, 6) AS brange_untrimmed
+    FROM q, thr
+    """,
+)
+def qaqc_ast_quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AST quality trim (sig/cdf2nc.py:1808-1865): data-derived threshold =
+    round(mean of qualities strictly above the sorted 2/3-index value ×
+    0.85); null brange below it, keeping an _untrimmed copy. The global
+    order statistic is one tiny two-stage aggregation broadcast back."""
+    ev = load_table(spark, sf_dir, "events")
+    q = ev.select(
+        "event_id",
+        F.col("value").alias("brange"),
+        (F.lit(40.0) + 60.0 * (F.col("event_id") % 97) / 96.0).alias("quality"),
+    )
+    n = q.count()
+    ind13 = int(n * (2 / 3))  # 0-based sorted index (sig/cdf2nc.py:1816)
+    val13 = (
+        q.select("quality")
+        .orderBy("quality")
+        .limit(ind13 + 1)
+        .agg(F.max("quality").alias("v"))
+    )
+    thr = (
+        q.crossJoin(F.broadcast(val13))
+        .filter(F.col("quality") > F.col("v"))
+        .agg(F.round(F.avg("quality") * 0.85, 0).alias("t"))
+    )
+    return (
+        q.crossJoin(F.broadcast(thr))
+        .select(
+            "event_id",
+            F.when(
+                F.col("quality") < F.col("t"), F.lit(None)
+            ).otherwise(F.round("brange", 6)).alias("brange"),
+            F.round("brange", 6).alias("brange_untrimmed"),
+        )
+    )
 
 
 # --------------------------------------------------------------------------
