@@ -27,11 +27,11 @@ from pyspark.sql import Column, DataFrame, functions as F
 
 def mean_minf(value: Column, minf: float, n: Column | int) -> Column:
     """Mean gated on minimum valid fraction (utils.py:2044-2086):
-    null unless count(valid) >= minf * n (n = expected samples)."""
+    null unless count(valid) >= int(n * minf) — the reference truncates
+    the threshold to an integer (min_count, utils.py:2067)."""
     n_col = F.lit(n) if isinstance(n, int) else n
-    return F.when(
-        F.count(value) >= F.lit(float(minf)) * n_col, F.avg(value)
-    ).otherwise(F.lit(None))
+    min_count = F.floor(F.lit(float(minf)) * n_col)
+    return F.when(F.count(value) >= min_count, F.avg(value)).otherwise(F.lit(None))
 
 
 def circular_mean_deg(angle_deg: Column) -> Column:

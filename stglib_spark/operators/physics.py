@@ -97,3 +97,82 @@ def transfer_function_kp(k: Column, height: Column, depth: Column) -> Column:
     sensor height above bed and h water depth (core/waves.py:778-803;
     Kp(0 Hz) = 1 handled by cosh(0)/cosh(0))."""
     return F.cosh(k * height) / F.cosh(k * depth)
+
+
+def make_bin_depth(
+    pressure: Column, bindist: Column, orientation: str = "UP"
+) -> Column:
+    """bin_depth = P + bindist (DOWN) / P − bindist (UP)
+    (aqd/aqdutils.py:337-369; the waves variant passes the burst-mean
+    pressure column instead)."""
+    if orientation.upper() == "DOWN":
+        return pressure + bindist
+    return pressure - bindist
+
+
+def create_z(config: dict, bindist: Column | None = None) -> Column:
+    """z coordinate relative to the geopotential datum
+    (core/utils.py:1178-1205): z = hagd + initial_instrument_height ±
+    bindist (UP adds, DOWN subtracts; scalar when no profile dim)."""
+    hagd = float(
+        config.get("NAVD88_ref")
+        or config.get("height_above_geopotential_datum")
+        or 0.0
+    )
+    iih = float(config["initial_instrument_height"])
+    base = F.lit(hagd + iih)
+    if bindist is None:
+        return base
+    if str(config.get("orientation", "UP")).upper() == "DOWN":
+        return base - bindist
+    return base + bindist
+
+
+def create_depth(config: dict, bindist: Column | None = None) -> Column:
+    """depth coordinate below the sea-floor reference
+    (core/utils.py:1227-1262): depth = WATER_DEPTH − iih ± bindist
+    (DOWN adds bindist, UP subtracts)."""
+    wd = None
+    for name in (
+        "sea_floor_depth_below_geoid",
+        "sea_floor_depth_below_geopotential_datum",
+        "sea_floor_depth_below_mean_sea_level",
+        "sea_floor_depth_below_reference_ellipsoid",
+        "sea_floor_depth_below_sea_surface",
+        "WATER_DEPTH",
+    ):
+        if name in config:
+            wd = float(config[name])
+            break
+    if wd is None:
+        raise KeyError("no sea-floor depth attribute in config")
+    iih = float(config["initial_instrument_height"])
+    base = F.lit(wd - iih)
+    if bindist is None:
+        return base
+    if str(config.get("orientation", "UP")).upper() == "DOWN":
+        return base + bindist
+    return base - bindist
+
+
+def boundary_elevation(
+    brange: Column, config: dict
+) -> Column:
+    """Seabed elevation referenced to a datum (eofe.py:418-519), rounded
+    to mm:
+      datum given (NAVD88_ref / height_above_geopotential_datum):
+        DOWN: datum − brange + iih     UP: datum + brange + iih
+      no datum (LMSL, positive down):
+        DOWN: WATER_DEPTH + brange − iih   UP: WATER_DEPTH − brange − iih
+    """
+    iih = float(config["initial_instrument_height"])
+    down = str(config.get("orientation", "UP")).upper() == "DOWN"
+    datum = config.get("NAVD88_ref", config.get("height_above_geopotential_datum"))
+    if datum is not None:
+        sign = -1.0 if down else 1.0
+        out = F.lit(float(datum)) + brange * F.lit(sign) + F.lit(iih)
+    else:
+        wd = float(config["WATER_DEPTH"])
+        sign = 1.0 if down else -1.0
+        out = F.lit(wd) + brange * F.lit(sign) - F.lit(iih)
+    return F.round(out, 3)

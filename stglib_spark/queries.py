@@ -25,6 +25,7 @@ from stglib_spark.operators import clip as clip_ops
 from stglib_spark.operators import dedup as dedup_ops
 from stglib_spark.operators import joins as join_ops
 from stglib_spark.operators import physics
+from stglib_spark.operators import profiles as prof_ops
 from stglib_spark.operators import qaqc as qaqc_ops
 from stglib_spark.operators import similarity as sim_ops
 from stglib_spark.operators import text as text_ops
@@ -1514,6 +1515,209 @@ def qaqc_ast_quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Ragged profiles (SURVEY §1.1/§2.3 — CF contiguous ragged array,
+# rsk/csv2cdf.py:117-215, rsk/cdf2nc.py:94-113,396-438)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "prof_ragged_index",
+    """
+    WITH sizes AS (
+      SELECT l_orderkey AS profile, count(*) AS row_size
+      FROM lineitem GROUP BY 1
+    )
+    SELECT profile, row_size,
+           coalesce(sum(row_size) OVER (ORDER BY profile
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+             AS row_start
+    FROM sizes
+    """,
+)
+def prof_ragged_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CF ragged-array index (rsk/csv2cdf.py:157-164): per-profile row_size
+    + exclusive-prefix-sum row_start. Window runs over the per-cast index
+    table (1 row per profile), not the observations."""
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_orderkey", "profile"
+    )
+    return prof_ops.ragged_index(li, profile_col="profile")
+
+
+@register(
+    "prof_clip_profiles",
+    """
+    SELECT l_orderkey, l_linenumber, round(l_quantity, 6) AS qty
+    FROM lineitem
+    WHERE (l_orderkey BETWEEN 100 AND 2000
+           OR l_orderkey BETWEEN 30000 AND 40000)
+      AND l_linenumber BETWEEN 2 AND 5
+    """,
+)
+def prof_clip_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-profile selection by index ranges (rsk/cdf2nc.py:396-438)
+    composed with the vertical good_bindist clip (utils.py:1812-1854)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = prof_ops.profile_clip(
+        li,
+        {"good_profs": [(100, 2000), (30000, 40000)]},
+        profile_col="l_orderkey",
+    )
+    out = clip_ops.clip_ds_prf(
+        out, {"good_bindist": (2, 5)}, bindist_col="l_linenumber"
+    )
+    return out.select(
+        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# Geometry / elevation builders (SURVEY §2.5: create_z utils.py:1178-1299,
+# make_bin_depth aqdutils.py:337-369, boundary elevation eofe.py:418-519)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "phys_z_geometry",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round((2.0 + l_quantity / 10.0) - (0.5 + l_linenumber * 0.5), 6)
+             AS bin_depth,
+           round(1.5 + 1.2 + (0.5 + l_linenumber * 0.5), 6) AS z,
+           round(10.0 - 1.2 - (0.5 + l_linenumber * 0.5), 6) AS depth
+    FROM lineitem
+    """,
+)
+def phys_z_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UP-looking profile geometry: bin_depth = P − bindist
+    (aqdutils.py:337-369), z = datum + instrument height + bindist, depth
+    = WATER_DEPTH − instrument height − bindist (utils.py:1178-1299)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cfg = {
+        "orientation": "UP",
+        "initial_instrument_height": 1.2,
+        "NAVD88_ref": 1.5,
+        "WATER_DEPTH": 10.0,
+    }
+    bindist = F.lit(0.5) + F.col("l_linenumber") * 0.5
+    pres = F.lit(2.0) + F.col("l_quantity") / 10.0
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(physics.make_bin_depth(pres, bindist, "UP"), 6).alias("bin_depth"),
+        F.round(physics.create_z(cfg, bindist), 6).alias("z"),
+        F.round(physics.create_depth(cfg, bindist), 6).alias("depth"),
+    )
+
+
+@register(
+    "phys_boundary_elevation",
+    """
+    SELECT event_id, round(-1.25 + value / 50.0 + 0.3, 3) AS boundary_elevation
+    FROM events
+    """,
+)
+def phys_boundary_elevation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seabed elevation vs NAVD88 datum, UP orientation (eofe.py:418-519):
+    datum + brange + instrument height, rounded to mm."""
+    ev = load_table(spark, sf_dir, "events")
+    brange = F.col("value") / 50.0
+    cfg = {
+        "NAVD88_ref": -1.25,
+        "initial_instrument_height": 0.3,
+        "orientation": "UP",
+    }
+    return ev.select(
+        "event_id",
+        physics.boundary_elevation(brange, cfg).alias("boundary_elevation"),
+    )
+
+
+@register(
+    "agg_mean_minf",
+    """
+    WITH s AS (
+      SELECT user_id, date_trunc('hour', ts) AS h,
+             CASE WHEN value < 15.0 THEN NULL ELSE value END AS v
+      FROM events
+    ), g AS (
+      SELECT user_id, h, count(*) AS n, count(v) AS nv, avg(v) AS m
+      FROM s GROUP BY 1, 2
+    )
+    SELECT user_id, h,
+           CASE WHEN nv >= floor(n * 0.5) THEN round(m, 6) END AS value_mean
+    FROM g
+    """,
+)
+def agg_mean_minf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ds_mean_count_minf (utils.py:2044-2086): burst mean gated on a
+    minimum valid fraction — count(valid) >= int(n·minf), else fill."""
+    from stglib_spark.operators.aggregations import mean_minf
+
+    ev = load_table(spark, sf_dir, "events")
+    s = ev.select(
+        "user_id",
+        F.date_trunc("hour", F.col("ts")).alias("h"),
+        F.when(F.col("value") >= 15.0, F.col("value")).alias("v"),
+    )
+    return (
+        s.groupBy("user_id", "h")
+        .agg(F.round(mean_minf(F.col("v"), 0.5, F.count(F.lit(1))), 6).alias("value_mean"))
+    )
+
+
+@register(
+    "ts_seagauge_tides",
+    """
+    WITH s AS (
+      SELECT date_trunc('hour', ts) AS bt, value,
+             row_number() OVER (PARTITION BY date_trunc('hour', ts)
+                                ORDER BY ts, event_id) - 1 AS samp
+      FROM events
+    ), f AS (
+      SELECT bt, value, samp, samp // 15 AS tide FROM s WHERE samp < 60
+    ), agg AS (
+      SELECT bt, tide,
+             CASE WHEN count(CASE WHEN samp % 15 < 10 THEN value END) = 10
+                  THEN avg(CASE WHEN samp % 15 < 10 THEN value END) END AS m
+      FROM f GROUP BY 1, 2
+    ), grid AS (
+      SELECT bt, gs.generate_series AS tide
+      FROM (SELECT DISTINCT bt FROM s) CROSS JOIN generate_series(0, 3) gs
+    )
+    SELECT make_timestamp(epoch_us(g.bt) + g.tide * 900000000) AS time,
+           round(a.m, 6) AS value
+    FROM grid g LEFT JOIN agg a ON g.bt = a.bt AND g.tide = a.tide
+    """,
+)
+def ts_seagauge_tides(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seagauge tide product (sg/cdf2nc.py:147-230): hourly 60-sample
+    bursts subdivided into four 15-sample tide intervals; each interval =
+    mean of its first 10 samples, gated on all 10 being present (the
+    reference's NaN-padded np.mean), timestamped burst + i·15 min."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.date_trunc("hour", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    s = ev.select(
+        F.date_trunc("hour", F.col("ts")).alias("bt"),
+        F.col("value"),
+        (F.row_number().over(w) - 1).alias("samp"),
+    )
+    out = timeops.avg_tide_bursts(
+        s,
+        burst_col="bt",
+        sample_col="samp",
+        value_cols=["value"],
+        samples_per_burst=60,
+        interval_samples=15,
+        avg_samples=10,
+        interval_seconds=900.0,
+    )
+    return out.select("time", F.round("value", 6).alias("value"))
+
+
+# --------------------------------------------------------------------------
 # EPIC time codec (SURVEY §2.5, utils.py:879-929) — exact integer math
 # --------------------------------------------------------------------------
 
@@ -1887,6 +2091,90 @@ def wave_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("wh_4061", 6).alias("wh_4061"),
         F.round("wp_4060", 6).alias("wp_4060"),
         F.round("wp_peak", 6).alias("wp_peak"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Sonar image regrid (son/nc2xy.py:60-125) and multimodal binary columns
+# (north-star: media as binary + typed metadata, Arrow-batched UDFs)
+# --------------------------------------------------------------------------
+
+
+@register("sonar_xy_regrid")  # rows-only: bilinear resample not worth SQL
+def sonar_xy_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Polar sweep → cartesian image per time step (son/nc2xy.py:60-125):
+    synthesizes a dense (theta × range) sweep per hour from the events
+    stream, then applyInPandas-resamples each sweep onto an x/y grid."""
+    from stglib_spark.operators.sonar import polar_to_xy
+
+    ev = load_table(spark, sf_dir, "events")
+    sweeps = (
+        ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("time"))
+        .agg(F.avg("value").alias("seed"))
+        .limit(24)
+    )
+    polar = (
+        sweeps.withColumn(
+            "theta_deg", F.explode(F.sequence(F.lit(0), F.lit(35)))
+        )
+        .withColumn("rng_i", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .select(
+            "time",
+            (F.col("theta_deg") * 10.0).cast("double").alias("theta_deg"),
+            (F.col("rng_i") * 0.5 + 0.5).alias("horz_rng"),
+            (
+                F.col("seed")
+                * F.cos(F.radians(F.col("theta_deg") * 10.0))
+                / (F.lit(1.0) + F.col("rng_i") * 0.5)
+            ).alias("amp"),
+        )
+    )
+    out = polar_to_xy(polar, total_range=10.0, dxy=2.0)
+    return out.select(
+        "time", "x", "y", F.round("sonar_image", 6).alias("sonar_image")
+    )
+
+
+@register("mm_decode_features")  # rows-only: stub decoder is engine-defined
+def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal decode→feature-extract plumbing (north-star): documents'
+    text re-encoded as opaque binary payloads, mapInPandas feature
+    extraction with a deterministic stub decoder."""
+    from stglib_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+    )
+    out = mm.decode_features(media, feature_dim=16)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        F.round(F.element_at("feature", 16), 6).alias("f15"),
+    )
+
+
+@register("mm_video_frames")  # rows-only: stub frame sampler
+def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling shape (north-star): one output row per
+    (media, frame), evenly spaced over the clip duration."""
+    from stglib_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("video").alias("kind"),
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        (F.length("text") * 10).cast("int").alias("duration_ms"),
+    )
+    out = mm.sample_video_frames(media, n_frames=4)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "t_ms",
+        F.round(F.element_at("feature", 1), 6).alias("f0"),
     )
 
 

@@ -1,0 +1,125 @@
+"""Unit tests for the velocity-trim, profile, geometry, and sonar
+operators added after the first coverage pass."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from stglib_spark.operators import physics, profiles, velocity
+from stglib_spark.operators.sonar import _interp_regular_2d
+
+
+def test_interp_regular_2d_exact_nodes():
+    theta = np.array([0.0, 10.0, 20.0])
+    rng = np.array([1.0, 2.0])
+    img = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])
+    # at grid nodes the interpolant reproduces the image
+    tg = np.array([0.0, 10.0, 20.0, 20.0])
+    rg = np.array([1.0, 2.0, 1.0, 2.0])
+    out = _interp_regular_2d(tg, rg, theta, rng, img)
+    np.testing.assert_allclose(out, [1.0, 4.0, 5.0, 6.0])
+
+
+def test_interp_regular_2d_midpoint_and_oob():
+    theta = np.array([0.0, 10.0])
+    rng = np.array([0.0, 1.0])
+    img = np.array([[0.0, 1.0], [2.0, 3.0]])
+    tg = np.array([5.0, 15.0, -1.0])
+    rg = np.array([0.5, 0.5, 0.5])
+    out = _interp_regular_2d(tg, rg, theta, rng, img)
+    assert out[0] == pytest.approx(1.5)  # mean of 4 corners
+    assert np.isnan(out[1]) and np.isnan(out[2])  # outside hull → NaN
+
+
+def test_trim_vel_water_level_sl(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "bindist": [0.5, 1.0, 1.5, 2.0],
+                "P_1ac": [2.0, 2.0, 2.0, 2.0],
+                "U": [1.0, 2.0, 3.0, 4.0],
+            }
+        )
+    )
+    out = velocity.trim_vel(
+        df,
+        {
+            "orientation": "UP",
+            "trim_method": "water level sl",
+            "beam_angle": 60.0,  # cos = 0.5 → cutoff = 2*0.5 - 0 = 1.0
+            "bin_size": 0.25,
+            "trim_surf_bins": 0,
+        },
+        data_vars=["U"],
+    ).orderBy("bindist")
+    vals = [r["U"] for r in out.collect()]
+    # cutoff = 2·cos(60°) = 1.0000000000000002 in IEEE doubles (same as the
+    # reference's np.cos(np.deg2rad(60))), so bindist 1.0 survives too
+    assert vals == [1.0, 2.0, None, None]
+
+
+def test_drop_all_null_tail_bins(spark):
+    rows = []
+    for t in range(3):
+        for b, v in [(1.0, 1.0), (2.0, None), (3.0, 2.0), (4.0, None)]:
+            rows.append((t, b, v))
+    df = spark.createDataFrame(rows, "t INT, bindist DOUBLE, U DOUBLE")
+    out = velocity.drop_all_null_tail_bins(df, "U", time_col="t")
+    # bin 2.0 is the FIRST all-null bin → keep only bindist < 2.0
+    assert sorted({r["bindist"] for r in out.collect()}) == [1.0]
+
+
+def test_ragged_index(spark):
+    df = spark.createDataFrame(
+        [(1, i) for i in range(3)] + [(2, i) for i in range(5)] + [(4, 0)],
+        "profile INT, obs INT",
+    )
+    out = {
+        r["profile"]: (r["row_size"], r["row_start"])
+        for r in profiles.ragged_index(df).collect()
+    }
+    assert out == {1: (3, 0), 2: (5, 3), 4: (1, 8)}
+
+
+def test_boundary_elevation_conventions():
+    import pandas as pd
+
+    # column-math check via a tiny local DataFrame is overkill; validate
+    # the sign conventions symbolically through the generated expressions
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    df = spark.createDataFrame(pd.DataFrame({"brange": [2.0]}))
+    up = df.select(
+        physics.boundary_elevation(
+            F.col("brange"),
+            {"NAVD88_ref": -1.0, "initial_instrument_height": 0.5, "orientation": "UP"},
+        ).alias("b")
+    ).collect()[0]["b"]
+    down = df.select(
+        physics.boundary_elevation(
+            F.col("brange"),
+            {"WATER_DEPTH": 10.0, "initial_instrument_height": 0.5, "orientation": "DOWN"},
+        ).alias("b")
+    ).collect()[0]["b"]
+    assert up == pytest.approx(-1.0 + 2.0 + 0.5)
+    assert down == pytest.approx(10.0 + 2.0 - 0.5)
+
+
+def test_mean_minf_gate(spark):
+    from stglib_spark.operators.aggregations import mean_minf
+
+    df = spark.createDataFrame(
+        [(1, 1.0), (1, 3.0), (1, None), (1, None)]
+        + [(2, None), (2, None), (2, None), (2, 5.0)],
+        "g INT, v DOUBLE",
+    )
+    out = {
+        r["g"]: r["m"]
+        for r in df.groupBy("g")
+        .agg(mean_minf(F.col("v"), 0.5, F.count(F.lit(1))).alias("m"))
+        .collect()
+    }
+    assert out[1] == pytest.approx(2.0)  # 2 valid of 4, int(4·0.5)=2 → pass
+    assert out[2] is None  # 1 valid of 4 < 2 → fill
