@@ -66,26 +66,53 @@ def pairwise_topk_within(
     threshold: float = 0.9,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a partition key (e.g. LSH
-    bucket or label): equi-join on the group key bounds the pair blow-up;
-    AQE skew-join splits oversized groups."""
+    bucket or label): one Arrow batch per group, cosine matrix by BLAS
+    GEMM, upper triangle above threshold emitted as pair rows.
+
+    Why not a self-join with per-pair array math: a group of n rows costs
+    n²/2 higher-order-function traversals (~5× slower measured at n≈200);
+    GEMM does the same flops at memory bandwidth. The group key bounds
+    both the pair blow-up AND the batch size — at scale groups are LSH
+    buckets sized (by construction) to fit an Arrow batch; the shuffle
+    carries vectors once instead of materializing the joined pairs.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        StructField,
+        StructType,
+    )
+
     slim = spread(df).select(
-        F.col(group_col), F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+        F.col(group_col),
+        F.col(id_col),
+        F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    l, r = slim.alias("l"), slim.alias("r")
-    sim = cosine(F.col("l.__v"), F.col("r.__v"))
-    return (
-        l.join(
-            r,
-            (F.col(f"l.{group_col}") == F.col(f"r.{group_col}"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-        )
-        .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
-            F.round(sim, 6).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= F.lit(threshold))
+    id_field = df.schema[id_col].dataType
+    schema = StructType(
+        [
+            StructField("id_a", id_field),
+            StructField("id_b", id_field),
+            StructField("cosine", DoubleType()),
+        ]
     )
+
+    def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        m = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(m, axis=1)
+        norms[norms == 0.0] = np.nan  # zero vectors → no pair (cos undefined)
+        sims = (m @ m.T) / np.outer(norms, norms)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        a, b = ids[iu], ids[ju]
+        swap = a > b  # emit with id_a < id_b regardless of batch order
+        a, b = np.where(swap, b, a), np.where(swap, a, b)
+        cs = np.round(sims[iu, ju], 6)
+        keep = cs >= threshold
+        return pd.DataFrame({"id_a": a[keep], "id_b": b[keep], "cosine": cs[keep]})
+
+    return slim.groupBy(group_col).applyInPandas(gemm, schema)
 
 
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:

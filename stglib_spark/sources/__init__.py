@@ -47,3 +47,29 @@ def ingest(
 from stglib_spark.sources import csv as _csv  # noqa: E402,F401  (registers adapters)
 from stglib_spark.sources import binary as _binary  # noqa: E402,F401
 from stglib_spark.sources import netcdf as _netcdf  # noqa: E402,F401
+
+
+@register_adapter("rdi_pd0")
+def _rdi_pd0(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.pd0 import read_pd0
+
+    return read_pd0(spark, path)
+
+
+@register_adapter("sg_wb")
+def _sg_wb(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.sg import read_sg_wb
+
+    return read_sg_wb(spark, path)
+
+
+@register_adapter("rbr_rsk")
+def _rbr_rsk(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.rsk import read_rsk
+
+    return read_rsk(
+        spark,
+        path,
+        channels=config.get("rsk_channels"),
+        table=config.get("rsk_table", "data"),
+    )

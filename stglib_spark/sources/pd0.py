@@ -1,0 +1,347 @@
+"""TRDI PD0 binary ADCP ingest — real ensemble parser, Spark-parallel.
+
+Covers the same record family as the reference's reader
+(``stglib/rdi/rdiadcpy.py:43-405`` ensemble loop, field parsers :449-1944):
+header walk with resync, fixed leader, variable leader, velocity,
+correlation, echo intensity, percent-good. Layout follows the public TRDI
+"Workhorse Commands and Output Data Format" spec; this implementation is
+written fresh against that spec (struct tables + flat row emission), not a
+translation of the reference's per-field unpack functions.
+
+Spark shape: ``spark.read.format("binaryFile")`` → ``mapPartitions`` —
+one vendor file per task, rows stream out as the canonical profile long
+form (one row per ensemble × cell, per-beam values as columns), so a
+100 TB deployment drop parallelizes per file with zero driver work.
+
+Checksums: PD0 ensembles end with a 16-bit modulo-65536 sum; bad-checksum
+ensembles are skipped and the scan resyncs on the next 0x7F7F pair, the
+same recovery strategy the reference uses for truncated files.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+HEADER_ID = 0x7F7F
+FIXED_ID = 0x0000
+VARIABLE_ID = 0x8000
+VELOCITY_ID = 0x0100
+CORRELATION_ID = 0x0200
+ECHO_ID = 0x0300
+PCTGOOD_ID = 0x0400
+BAD_VEL = -32768
+
+PD0_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType()),
+        StructField("ensemble", LongType()),
+        StructField("time", TimestampType()),
+        StructField("cell", IntegerType()),
+        StructField("bindist", DoubleType()),  # m to cell center
+        StructField("heading", DoubleType()),  # deg
+        StructField("pitch", DoubleType()),
+        StructField("roll", DoubleType()),
+        StructField("temperature", DoubleType()),  # °C
+        StructField("pressure", DoubleType()),  # dbar
+        StructField("sound_speed", DoubleType()),  # m/s
+        StructField("salinity", DoubleType()),
+        StructField("xducer_depth", DoubleType()),  # m
+        StructField("vel1", DoubleType()),  # m/s, null where vendor-bad
+        StructField("vel2", DoubleType()),
+        StructField("vel3", DoubleType()),
+        StructField("vel4", DoubleType()),
+        StructField("cor1", IntegerType()),
+        StructField("cor2", IntegerType()),
+        StructField("cor3", IntegerType()),
+        StructField("cor4", IntegerType()),
+        StructField("echo1", IntegerType()),
+        StructField("echo2", IntegerType()),
+        StructField("echo3", IntegerType()),
+        StructField("echo4", IntegerType()),
+        StructField("pg1", IntegerType()),
+        StructField("pg2", IntegerType()),
+        StructField("pg3", IntegerType()),
+        StructField("pg4", IntegerType()),
+    ]
+)
+
+
+def _parse_fixed(buf: bytes, off: int) -> dict[str, Any]:
+    (
+        _id,
+        fw_ver,
+        fw_rev,
+        sysconfig,
+        _realsim,
+        _lag,
+        nbeams,
+        ncells,
+        _pings,
+        cell_len_cm,
+        _blank_cm,
+    ) = struct.unpack_from("<HBBHBBBBHHH", buf, off)
+    bin1_cm = struct.unpack_from("<H", buf, off + 32)[0]
+    return {
+        "nbeams": nbeams,
+        "ncells": ncells,
+        "cell_len": cell_len_cm / 100.0,
+        "bin1": bin1_cm / 100.0,
+        "up": bool(sysconfig & 0x0080),
+        "coord": (struct.unpack_from("<B", buf, off + 25)[0] >> 3) & 0x03,
+    }
+
+
+def _parse_variable(buf: bytes, off: int) -> dict[str, Any]:
+    (
+        _id,
+        ens_lo,
+        year,
+        month,
+        day,
+        hour,
+        minute,
+        sec,
+        hund,
+        ens_hi,
+        _bit,
+        ssp,
+        depth_dm,
+        heading,
+        pitch,
+        roll,
+        sal,
+        temp,
+    ) = struct.unpack_from("<HHBBBBBBBBHHHHhhHh", buf, off)
+    pressure_dapa = struct.unpack_from("<I", buf, off + 48)[0]
+    import datetime as dt
+
+    yr = 2000 + year if year < 100 else year
+    try:
+        t = dt.datetime(yr, month, day, hour, minute, sec, hund * 10000)
+    except ValueError:
+        t = None
+    return {
+        "ensemble": ens_lo + (ens_hi << 16),
+        "time": t,
+        "sound_speed": float(ssp),
+        "xducer_depth": depth_dm / 10.0,
+        "heading": heading / 100.0,
+        "pitch": pitch / 100.0,
+        "roll": roll / 100.0,
+        "salinity": float(sal),
+        "temperature": temp / 100.0,
+        "pressure": pressure_dapa / 1000.0,  # decapascal → dbar
+    }
+
+
+def parse_ensembles(content: bytes, source: str) -> Iterator[Row]:
+    """Walk a PD0 byte stream, yield one Row per (ensemble, cell)."""
+    n = len(content)
+    pos = 0
+    while pos + 6 <= n:
+        if struct.unpack_from("<H", content, pos)[0] != HEADER_ID:
+            pos += 1  # resync scan
+            continue
+        nbytes, _spare, ndt = struct.unpack_from("<HBB", content, pos + 2)
+        end = pos + nbytes + 2  # + checksum
+        if nbytes < 6 + 2 * ndt or end > n:
+            pos += 1
+            continue
+        stored = struct.unpack_from("<H", content, pos + nbytes)[0]
+        if (sum(content[pos : pos + nbytes]) & 0xFFFF) != stored:
+            pos += 1
+            continue
+        ens = content[pos : pos + nbytes]
+        offsets = struct.unpack_from(f"<{ndt}H", ens, 6)
+
+        fixed: dict[str, Any] | None = None
+        var: dict[str, Any] | None = None
+        vel = cor = echo = pg = None
+        for o in offsets:
+            if o + 2 > len(ens):
+                continue
+            dtid = struct.unpack_from("<H", ens, o)[0]
+            if dtid == FIXED_ID:
+                fixed = _parse_fixed(ens, o)
+            elif dtid == VARIABLE_ID:
+                var = _parse_variable(ens, o)
+            elif fixed is not None and dtid in (
+                VELOCITY_ID,
+                CORRELATION_ID,
+                ECHO_ID,
+                PCTGOOD_ID,
+            ):
+                nc, nb = fixed["ncells"], fixed["nbeams"]
+                if dtid == VELOCITY_ID:
+                    vel = struct.unpack_from(f"<{nc * nb}h", ens, o + 2)
+                elif dtid == CORRELATION_ID:
+                    cor = struct.unpack_from(f"<{nc * nb}B", ens, o + 2)
+                elif dtid == ECHO_ID:
+                    echo = struct.unpack_from(f"<{nc * nb}B", ens, o + 2)
+                else:
+                    pg = struct.unpack_from(f"<{nc * nb}B", ens, o + 2)
+
+        if fixed is not None and var is not None:
+            nb = fixed["nbeams"]
+
+            def beam(arr, cell: int, b: int):
+                if arr is None or b >= nb:
+                    return None
+                return arr[cell * nb + b]
+
+            for cell in range(fixed["ncells"]):
+                v = [beam(vel, cell, b) for b in range(4)]
+                yield Row(
+                    source_file=source,
+                    ensemble=var["ensemble"],
+                    time=var["time"],
+                    cell=cell,
+                    bindist=fixed["bin1"] + cell * fixed["cell_len"],
+                    heading=var["heading"],
+                    pitch=var["pitch"],
+                    roll=var["roll"],
+                    temperature=var["temperature"],
+                    pressure=var["pressure"],
+                    sound_speed=var["sound_speed"],
+                    salinity=var["salinity"],
+                    xducer_depth=var["xducer_depth"],
+                    vel1=None if v[0] in (None, BAD_VEL) else v[0] / 1000.0,
+                    vel2=None if v[1] in (None, BAD_VEL) else v[1] / 1000.0,
+                    vel3=None if v[2] in (None, BAD_VEL) else v[2] / 1000.0,
+                    vel4=None if v[3] in (None, BAD_VEL) else v[3] / 1000.0,
+                    cor1=beam(cor, cell, 0),
+                    cor2=beam(cor, cell, 1),
+                    cor3=beam(cor, cell, 2),
+                    cor4=beam(cor, cell, 3),
+                    echo1=beam(echo, cell, 0),
+                    echo2=beam(echo, cell, 1),
+                    echo3=beam(echo, cell, 2),
+                    echo4=beam(echo, cell, 3),
+                    pg1=beam(pg, cell, 0),
+                    pg2=beam(pg, cell, 1),
+                    pg3=beam(pg, cell, 2),
+                    pg4=beam(pg, cell, 3),
+                )
+        pos = end
+
+
+def read_pd0(spark: SparkSession, path: str) -> DataFrame:
+    """PD0 files → canonical profile long form. One file per task."""
+
+    def parse_partition(rows) -> Iterator[Row]:
+        for r in rows:
+            yield from parse_ensembles(bytes(r.content), r.path)
+
+    binary = spark.read.format("binaryFile").load(path)
+    return binary.select("path", "content").rdd.mapPartitions(
+        parse_partition
+    ).toDF(PD0_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Test-fixture writer (round-trip harness; NOT part of the ingest path)
+# ---------------------------------------------------------------------------
+
+
+def write_pd0(
+    path: str,
+    ensembles: list[dict[str, Any]],
+    ncells: int = 4,
+    nbeams: int = 4,
+    cell_len_cm: int = 100,
+    bin1_cm: int = 150,
+) -> None:
+    """Write a minimal spec-conformant PD0 file: fixed + variable leader,
+    velocity, correlation, echo, percent-good per ensemble."""
+    with open(path, "wb") as f:
+        for e in ensembles:
+            fixed = bytearray(59)
+            struct.pack_into(
+                "<HBBHBBBBHHH",
+                fixed,
+                0,
+                FIXED_ID,
+                51,
+                41,
+                0x0080 if e.get("up", True) else 0,
+                0,
+                0,
+                nbeams,
+                ncells,
+                1,
+                cell_len_cm,
+                88,
+            )
+            struct.pack_into("<H", fixed, 32, bin1_cm)
+
+            var = bytearray(65)
+            t = e["time"]
+            struct.pack_into(
+                "<HHBBBBBBBBHHHHhhHh",
+                var,
+                0,
+                VARIABLE_ID,
+                e["ensemble"] & 0xFFFF,
+                t.year - 2000,
+                t.month,
+                t.day,
+                t.hour,
+                t.minute,
+                t.second,
+                t.microsecond // 10000,
+                e["ensemble"] >> 16,
+                0,
+                int(e.get("sound_speed", 1500)),
+                int(e.get("xducer_depth", 10.0) * 10),
+                int(e.get("heading", 0.0) * 100),
+                int(e.get("pitch", 0.0) * 100),
+                int(e.get("roll", 0.0) * 100),
+                int(e.get("salinity", 35)),
+                int(e.get("temperature", 20.0) * 100),
+            )
+            struct.pack_into("<I", var, 48, int(e.get("pressure", 0.0) * 1000))
+
+            vels = e.get(
+                "vel", [[0] * nbeams for _ in range(ncells)]
+            )
+            vel = struct.pack("<H", VELOCITY_ID) + struct.pack(
+                f"<{ncells * nbeams}h", *[v for c in vels for v in c]
+            )
+            ones = [1] * (ncells * nbeams)
+            cor = struct.pack("<H", CORRELATION_ID) + struct.pack(
+                f"<{ncells * nbeams}B", *[min(127, x + 100) for x in ones]
+            )
+            echo = struct.pack("<H", ECHO_ID) + struct.pack(
+                f"<{ncells * nbeams}B", *[min(255, x + 60) for x in ones]
+            )
+            pg = struct.pack("<H", PCTGOOD_ID) + struct.pack(
+                f"<{ncells * nbeams}B", *[100] * (ncells * nbeams)
+            )
+
+            blocks = [bytes(fixed), bytes(var), vel, cor, echo, pg]
+            ndt = len(blocks)
+            header_len = 6 + 2 * ndt
+            offsets = []
+            o = header_len
+            for b in blocks:
+                offsets.append(o)
+                o += len(b)
+            nbytes = o
+            header = struct.pack(
+                f"<HHBB{ndt}H", HEADER_ID, nbytes, 0, ndt, *offsets
+            )
+            body = header + b"".join(blocks)
+            checksum = sum(body) & 0xFFFF
+            f.write(body + struct.pack("<H", checksum))
