@@ -176,3 +176,89 @@ def boundary_elevation(
         sign = 1.0 if down else -1.0
         out = F.lit(wd) + brange * F.lit(sign) - F.lit(iih)
     return F.round(out, 3)
+
+
+def _density_sql(s: str, t: str, p_dbar: str) -> str:
+    """UNESCO EOS-80 density ρ(S, T, p) as a SQL expression string (valid
+    in both Spark SQL and DuckDB — used verbatim by the engine AND the
+    oracle so the arithmetic is bit-identical).
+
+    Fofonoff & Millard (1983) one-atmosphere density + secant bulk
+    modulus; p in dbar (converted to bar inside). Mirrors the reference's
+    gsw density step in ``pres2dep`` (utils.py:1926-1985) with the public
+    EOS-80 formulation in place of TEOS-10 (differences < 0.05 kg/m³ over
+    oceanographic ranges)."""
+    rho_w = (
+        f"(999.842594 + 6.793952e-2*{t} - 9.095290e-3*{t}*{t}"
+        f" + 1.001685e-4*{t}*{t}*{t} - 1.120083e-6*{t}*{t}*{t}*{t}"
+        f" + 6.536332e-9*{t}*{t}*{t}*{t}*{t})"
+    )
+    rho_0 = (
+        f"({rho_w}"
+        f" + {s}*(8.24493e-1 - 4.0899e-3*{t} + 7.6438e-5*{t}*{t}"
+        f"        - 8.2467e-7*{t}*{t}*{t} + 5.3875e-9*{t}*{t}*{t}*{t})"
+        f" + power({s}, 1.5)*(-5.72466e-3 + 1.0227e-4*{t} - 1.6546e-6*{t}*{t})"
+        f" + 4.8314e-4*{s}*{s})"
+    )
+    kw = (
+        f"(19652.21 + 148.4206*{t} - 2.327105*{t}*{t}"
+        f" + 1.360477e-2*{t}*{t}*{t} - 5.155288e-5*{t}*{t}*{t}*{t})"
+    )
+    k0 = (
+        f"({kw}"
+        f" + {s}*(54.6746 - 0.603459*{t} + 1.09987e-2*{t}*{t} - 6.1670e-5*{t}*{t}*{t})"
+        f" + power({s}, 1.5)*(7.944e-2 + 1.6483e-2*{t} - 5.3009e-4*{t}*{t}))"
+    )
+    aa = (
+        f"((3.239908 + 1.43713e-3*{t} + 1.16092e-4*{t}*{t} - 5.77905e-7*{t}*{t}*{t})"
+        f" + {s}*(2.2838e-3 - 1.0981e-5*{t} - 1.6078e-6*{t}*{t})"
+        f" + 1.91075e-4*power({s}, 1.5))"
+    )
+    bb = (
+        f"((8.50935e-5 - 6.12293e-6*{t} + 5.2787e-8*{t}*{t})"
+        f" + {s}*(-9.9348e-7 + 2.0816e-8*{t} + 9.1697e-10*{t}*{t}))"
+    )
+    pb = f"({p_dbar}/10.0)"
+    k = f"({k0} + {aa}*{pb} + {bb}*{pb}*{pb})"
+    return f"({rho_0} / (1.0 - {pb}/{k}))"
+
+
+def _gravity_sql(lat: str) -> str:
+    """UNESCO gravity g(latitude) SQL expression (same dual-engine use)."""
+    sin2 = f"(sin(radians({lat}))*sin(radians({lat})))"
+    return f"(9.780318*(1.0 + 5.2788e-3*{sin2} + 2.36e-5*{sin2}*{sin2}))"
+
+
+def pres2dep_sql(p_dbar: str, s: str, t: str, lat: str) -> str:
+    """Full pressure→depth SQL expression: dep = P·1e4 / (ρ(S,T,P)·g(lat))
+    — the reference's pres2dep structure (utils.py:1966-1978) with EOS-80
+    density. Use with ``F.expr`` engine-side and verbatim in the oracle."""
+    return f"({p_dbar}*1.0e4 / ({_density_sql(s, t, p_dbar)} * {_gravity_sql(lat)}))"
+
+
+def seawater_density_unesco(
+    salinity_col: str, temperature_col: str, pressure_dbar_col: str
+) -> Column:
+    """EOS-80 density as a Column over named input columns (library API;
+    built from the same SQL text the oracle uses, so engine and oracle
+    share one formulation)."""
+    from pyspark.sql import functions as _F
+
+    return _F.expr(_density_sql(salinity_col, temperature_col, pressure_dbar_col))
+
+
+def pres2dep_full(
+    df: DataFrame,
+    pressure_col: str,
+    salinity_col: str,
+    temperature_col: str,
+    latitude: float,
+    out_col: str = "depth_m",
+) -> DataFrame:
+    """pres2dep with EOS-80 density and latitude gravity
+    (utils.py:1926-1985; the scalar-salinity fallback path is
+    ``pres2dep_simple``)."""
+    from pyspark.sql import functions as _F
+
+    expr = pres2dep_sql(pressure_col, salinity_col, temperature_col, repr(latitude))
+    return df.withColumn(out_col, _F.expr(expr))

@@ -1514,6 +1514,46 @@ def qaqc_ast_quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_P2D_EXPR = None  # populated lazily below (physics.pres2dep_sql)
+
+
+def _p2d_sql() -> str:
+    global _P2D_EXPR
+    if _P2D_EXPR is None:
+        _P2D_EXPR = physics.pres2dep_sql("p", "s", "t", "42.3")
+    return _P2D_EXPR
+
+
+@register(
+    "phys_pres2dep_density",
+    f"""
+    WITH b AS (
+      SELECT event_id,
+             10.0 + value / 10.0 AS p,
+             30.0 + (event_id % 10) / 2.0 AS s,
+             10.0 + value / 5.0 AS t
+      FROM events
+    )
+    SELECT event_id, round({physics.pres2dep_sql("p", "s", "t", "42.3")}, 6) AS depth_m
+    FROM b
+    """,
+)
+def phys_pres2dep_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pres2dep with full EOS-80 seawater density and latitude gravity
+    (utils.py:1926-1985): dep = P·1e4/(ρ(S,T,P)·g(lat)). Engine and oracle
+    evaluate the IDENTICAL SQL expression text, so parity is exact."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        (F.lit(10.0) + F.col("value") / 10.0).alias("p"),
+        (F.lit(30.0) + (F.col("event_id") % 10) / 2.0).alias("s"),
+        (F.lit(10.0) + F.col("value") / 5.0).alias("t"),
+    )
+    return b.select(
+        "event_id", F.round(F.expr(_p2d_sql()), 6).alias("depth_m")
+    )
+
+
 # --------------------------------------------------------------------------
 # Ragged profiles (SURVEY §1.1/§2.3 — CF contiguous ragged array,
 # rsk/csv2cdf.py:117-215, rsk/cdf2nc.py:94-113,396-438)

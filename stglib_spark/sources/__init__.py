@@ -63,6 +63,20 @@ def _sg_wb(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     return read_sg_wb(spark, path)
 
 
+@register_adapter("aqd")
+def _aqd(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.aqd import read_aquadopp
+
+    return read_aquadopp(spark, path, config)
+
+
+@register_adapter("vec")
+def _vec(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.aqd import read_vector
+
+    return read_vector(spark, path, config)
+
+
 @register_adapter("rbr_rsk")
 def _rbr_rsk(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     from stglib_spark.sources.rsk import read_rsk

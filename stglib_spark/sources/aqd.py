@@ -1,0 +1,242 @@
+"""Nortek Aquadopp text-file ingest (.hdr/.sen/.a1-3/.v1-3).
+
+Reference: ``stglib/aqd/hdr2cdf.py:8-160`` (``load_sen`` fixed column
+positions, ``load_amp_vel`` per-beam profile matrices) and the .hdr
+metadata scan ``stglib/aqd/aqdutils.py:675-921``.
+
+Spark shape: every data file goes ``binaryFile → mapPartitions`` emitting
+(row_idx, tokens) so line order is explicit and per-file parallel; the
+.sen system file stays one-row-per-timestep while each .aN/.vN profile
+matrix melts to long form (row_idx, bin, value) via per-line token
+explode. Beams and sensors then JOIN on row_idx — the same alignment the
+reference gets implicitly from DataFrame row order, made explicit and
+shuffle-partitioned. The .hdr scan is driver-side config."""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_LINES_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType()),
+        StructField("row_idx", LongType()),
+        StructField("tok", ArrayType(StringType())),
+    ]
+)
+
+
+def _read_tokens(spark: SparkSession, path: str) -> DataFrame:
+    """Whitespace file → (row_idx, tokens[]) with per-file row numbering."""
+
+    def parse_partition(rows) -> Iterator[Row]:
+        for r in rows:
+            text = bytes(r.content).decode("utf-8", errors="replace")
+            i = 0
+            for line in text.splitlines():
+                toks = line.split()
+                if not toks:
+                    continue
+                yield Row(source_file=r.path, row_idx=i, tok=toks)
+                i += 1
+
+    binary = spark.read.format("binaryFile").load(path)
+    return binary.select("path", "content").rdd.mapPartitions(
+        parse_partition
+    ).toDF(_LINES_SCHEMA)
+
+
+def read_aqd_sen(spark: SparkSession, path: str) -> DataFrame:
+    """.sen system file (hdr2cdf.py:68-114): fixed positional columns —
+    month day year hour min sec, battery@8, heading@10 pitch@11 roll@12
+    pressure@13 temperature@14, analog1@15 analog2@16 (scaled 5/65535)."""
+    t = _read_tokens(spark, path)
+    c = lambda i: F.element_at(F.col("tok"), i + 1)  # noqa: E731
+    return t.select(
+        "source_file",
+        "row_idx",
+        F.make_timestamp(
+            c(2).cast("int"),
+            c(0).cast("int"),
+            c(1).cast("int"),
+            c(3).cast("int"),
+            c(4).cast("int"),
+            c(5).cast("decimal(10,4)"),
+        ).alias("time"),
+        c(8).cast("double").alias("Battery"),
+        c(10).cast("double").alias("Heading"),
+        c(11).cast("double").alias("Pitch"),
+        c(12).cast("double").alias("Roll"),
+        c(13).cast("double").alias("Pressure"),
+        c(14).cast("double").alias("Temperature"),
+        (c(15).cast("double") * 5 / 65535).alias("AnalogInput1"),
+        (c(16).cast("double") * 5 / 65535).alias("AnalogInput2"),
+    )
+
+
+def read_aqd_profile_matrix(
+    spark: SparkSession, path: str, value_name: str
+) -> DataFrame:
+    """.aN/.vN profile matrix (hdr2cdf.py:117-145): one line per time
+    step, one token per bin → long form (row_idx, bin, value)."""
+    t = _read_tokens(spark, path)
+    return t.select(
+        "row_idx",
+        F.posexplode(F.col("tok")).alias("bin", "__s"),
+    ).select("row_idx", "bin", F.col("__s").cast("double").alias(value_name))
+
+
+# coordinate system → component names per beam file (hdr2cdf.py:135-143)
+_COORD_VARS = {
+    "BEAM": {1: "VEL1", 2: "VEL2", 3: "VEL3"},
+    "ENU": {1: "U", 2: "V", 3: "W"},
+    "XYZ": {1: "X", 2: "Y", 3: "Z"},
+}
+
+
+def read_aquadopp(
+    spark: SparkSession, basefile: str, config: dict[str, Any]
+) -> DataFrame:
+    """Full Aquadopp deployment: .sen sensors × (.a1-3 amplitude,
+    .v1-3 velocity) joined on (row_idx[, bin]) → canonical profile long
+    form with bindist from blanking distance + cell size."""
+    coord = str(config.get("AQDCoordinateSystem", "BEAM")).upper()
+    names = _COORD_VARS[coord]
+    sen = read_aqd_sen(spark, basefile + ".sen")
+
+    prof: DataFrame | None = None
+    for n in (1, 2, 3):
+        a = read_aqd_profile_matrix(spark, f"{basefile}.a{n}", f"AMP{n}")
+        v = read_aqd_profile_matrix(spark, f"{basefile}.v{n}", names[n])
+        nv = a.join(v, ["row_idx", "bin"])
+        prof = nv if prof is None else prof.join(nv, ["row_idx", "bin"])
+
+    blank = float(config.get("AQDBlankingDistance", 0.0))
+    cell = float(config.get("AQDCellSize_m", config.get("bin_size", 1.0)))
+    out = sen.join(prof, "row_idx")
+    return out.withColumn(
+        "bindist", F.lit(blank + cell / 2) + F.col("bin") * F.lit(cell)
+    )
+
+
+_HDR_KEYS = [
+    ("Measurement/Burst interval", "AQDMeasurementBurstInterval", r"([\d.]+)\s*sec"),
+    ("Cell size", "AQDCellSize", r"([\d.]+)\s*(?:mm|cm)"),
+    ("Number of cells", "AQDNumberOfCells", r"(\d+)"),
+    ("Blanking distance", "AQDBlankingDistance", r"([\d.]+)\s*m"),
+    ("Coordinate system", "AQDCoordinateSystem", r"(\w+)"),
+    ("Serial number", "AQDSerial_Number", r"(\S+)"),
+    ("Number of measurements", "AQDNumberOfMeasurements", r"(\d+)"),
+    ("Compass update rate", "AQDCompassUpdateRate", r"([\d.]+)\s*sec"),
+    ("Transmit pulse length", "AQDTransmitPulseLength", r"([\d.]+)\s*m"),
+]
+
+
+def read_aqd_hdr_meta(path: str) -> dict[str, Any]:
+    """Driver-side .hdr metadata scan (aqdutils.py:675-921): label up to
+    column ~38, value after — parsed here label-prefix + regex so it
+    tolerates format drift between firmware versions."""
+    meta: dict[str, Any] = {}
+    with open(path, errors="replace") as f:
+        for line in f:
+            line = line.rstrip()
+            for label, key, pat in _HDR_KEYS:
+                if line.startswith(label) and key not in meta:
+                    m = re.search(pat, line[len(label):])
+                    if m:
+                        v = m.group(1)
+                        try:
+                            meta[key] = int(v)
+                        except ValueError:
+                            try:
+                                meta[key] = float(v)
+                            except ValueError:
+                                meta[key] = v
+    return meta
+
+
+# ---------------------------------------------------------------------------
+# Nortek Vector (.dat/.sen/.vhd) — point velocimeter burst data
+# Reference: stglib/vec/dat2cdf.py:11-443 (load_vhd :103-137,
+# load_sen :139-170, load_dat :183-240)
+# ---------------------------------------------------------------------------
+
+_VEC_DAT_COLS = [
+    "Burst", "Ensemble", "VEL1", "VEL2", "VEL3", "AMP1", "AMP2", "AMP3",
+    "SNR1", "SNR2", "SNR3", "COR1", "COR2", "COR3", "Pressure",
+    "AnalogInput1", "AnalogInput2", "Checksum",
+]
+
+
+def read_vec_vhd(spark: SparkSession, path: str) -> DataFrame:
+    """.vhd burst headers → (Burst, time, nsamp) (dat2cdf.py:103-137)."""
+    t = _read_tokens(spark, path)
+    c = lambda i: F.element_at(F.col("tok"), i + 1)  # noqa: E731
+    return t.select(
+        F.make_timestamp(
+            c(2).cast("int"), c(0).cast("int"), c(1).cast("int"),
+            c(3).cast("int"), c(4).cast("int"), c(5).cast("decimal(10,4)"),
+        ).alias("time"),
+        c(6).cast("long").alias("Burst"),
+        c(7).cast("int").alias("nsamp"),
+    )
+
+
+def read_vec_sen(spark: SparkSession, path: str) -> DataFrame:
+    """.sen 1 Hz system rows (dat2cdf.py:139-170): heading/pitch/roll,
+    temperature, battery, with error/status kept as raw strings."""
+    t = _read_tokens(spark, path)
+    c = lambda i: F.element_at(F.col("tok"), i + 1)  # noqa: E731
+    return t.select(
+        F.make_timestamp(
+            c(2).cast("int"), c(0).cast("int"), c(1).cast("int"),
+            c(3).cast("int"), c(4).cast("int"), c(5).cast("decimal(10,4)"),
+        ).alias("time"),
+        c(6).alias("ErrorCode"),
+        c(7).alias("StatusCode"),
+        c(8).cast("double").alias("Battery"),
+        c(9).cast("double").alias("Soundspeed"),
+        c(10).cast("double").alias("Heading"),
+        c(11).cast("double").alias("Pitch"),
+        c(12).cast("double").alias("Roll"),
+        c(13).cast("double").alias("Temperature"),
+    )
+
+
+def read_vector(
+    spark: SparkSession, basefile: str, config: dict[str, Any]
+) -> DataFrame:
+    """Vector burst data: .dat sample rows joined to .vhd burst start
+    times; per-sample time = burst_start + (Ensemble − 1)/sampling_rate
+    (dat2cdf.py:207-228). The join is broadcast (burst headers are tiny);
+    sample timing is pure column arithmetic."""
+    t = _read_tokens(spark, basefile + ".dat")
+    cols = [
+        F.element_at(F.col("tok"), i + 1).cast(
+            "long" if name in ("Burst", "Ensemble", "Checksum") else "double"
+        ).alias(name)
+        for i, name in enumerate(_VEC_DAT_COLS)
+    ]
+    dat = t.select(*cols)
+    vhd = read_vec_vhd(spark, basefile + ".vhd").select(
+        "Burst", F.col("time").alias("burst_start")
+    )
+    rate = float(config.get("VECSamplingRate", 32))
+    out = dat.join(F.broadcast(vhd), "Burst", "left")
+    us_per_sample = int(round(1_000_000 / rate))
+    return out.withColumn(
+        "time",
+        F.timestamp_micros(
+            F.unix_micros(F.col("burst_start"))
+            + (F.col("Ensemble") - 1) * F.lit(us_per_sample)
+        ),
+    ).drop("burst_start").withColumnRenamed("Ensemble", "sample")
