@@ -262,3 +262,37 @@ def pres2dep_full(
 
     expr = pres2dep_sql(pressure_col, salinity_col, temperature_col, repr(latitude))
     return df.withColumn(out_col, _F.expr(expr))
+
+
+def troll_salinity_sql(t: str, ac: str, full: bool = False) -> str:
+    """Aqua-TROLL practical salinity from temperature + actual
+    conductivity (µS/cm) as dual-engine SQL text (troll.py:307-392,
+    In-Situ tech-note coefficients).
+
+    NOTE: the reference's ``compute_S`` contains dead code — the
+    temperature-correction b-polynomial and the two rational correction
+    terms sit AFTER the ``return`` statement (troll.py:374-389) and never
+    execute, so the reference returns only the a-polynomial. ``full=False``
+    (default) reproduces that actual behavior for parity; ``full=True``
+    evaluates the complete tech-note formula."""
+    rt = f"({ac} / (29752.63 + 830.5102*{t} + 3.429338*{t}*{t} - 0.02193934*{t}*{t}*{t}))"
+    a_poly = (
+        f"(0.0080 - 0.1692*power({rt}, 0.5) + 25.3851*{rt}"
+        f" + 14.0941*power({rt}, 1.5) - 7.0261*{rt}*{rt}"
+        f" + 2.7081*power({rt}, 2.5))"
+    )
+    if not full:
+        return a_poly
+    ft = f"(({t} - 15.0) / (1.0 + 0.0162*({t} - 15.0)))"
+    b_poly = (
+        f"(0.0005 - 0.0056*power({rt}, 0.5) - 0.0066*{rt}"
+        f" - 0.0375*power({rt}, 1.5) + 0.0636*{rt}*{rt}"
+        f" - 0.0144*power({rt}, 2.5))"
+    )
+    x = f"(400.0*{rt})"
+    y = f"(100.0*{rt})"
+    return (
+        f"({a_poly} + {ft}*{b_poly}"
+        f" - 0.0080/(1.0 + 1.5*{x} + {x}*{x})"
+        f" - 0.0005*{ft}/(1.0 + power({y}, 0.5) + power({y}, 1.5)))"
+    )

@@ -1554,6 +1554,42 @@ def phys_pres2dep_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "phys_troll_salinity",
+    f"""
+    WITH b AS (
+      SELECT event_id, 5.0 + value / 4.0 AS t,
+             20000.0 + value * 300.0 AS ac
+      FROM events
+    )
+    SELECT event_id,
+           round({physics.troll_salinity_sql("t", "ac")}, 6) AS salinity,
+           round({physics.troll_salinity_sql("t", "ac", full=True)}, 6)
+             AS salinity_full
+    FROM b
+    """,
+)
+def phys_troll_salinity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aqua-TROLL practical salinity from T + actual conductivity
+    (troll.py:307-392). Emits BOTH the reference-faithful value (the
+    reference's b-polynomial and correction terms are unreachable dead
+    code after its return statement) and the complete tech-note formula.
+    Engine and oracle evaluate identical SQL text."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.select(
+        "event_id",
+        (F.lit(5.0) + F.col("value") / 4.0).alias("t"),
+        (F.lit(20000.0) + F.col("value") * 300.0).alias("ac"),
+    )
+    return b.select(
+        "event_id",
+        F.round(F.expr(physics.troll_salinity_sql("t", "ac")), 6).alias("salinity"),
+        F.round(
+            F.expr(physics.troll_salinity_sql("t", "ac", full=True)), 6
+        ).alias("salinity_full"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Ragged profiles (SURVEY §1.1/§2.3 — CF contiguous ragged array,
 # rsk/csv2cdf.py:117-215, rsk/cdf2nc.py:94-113,396-438)

@@ -63,6 +63,21 @@ def _sg_wb(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     return read_sg_wb(spark, path)
 
 
+@register_adapter("eofe")
+def _eofe(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.eofe import read_ea_instmeta, read_ea_profile
+
+    meta = dict(config.get("instmeta") or read_ea_instmeta(path))
+    return read_ea_profile(spark, path, meta)
+
+
+@register_adapter("qrev")
+def _qrev(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.qrev import read_qrev_xml
+
+    return read_qrev_xml(spark, path, negateq=config.get("negateq", False))
+
+
 @register_adapter("aqd")
 def _aqd(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     from stglib_spark.sources.aqd import read_aquadopp

@@ -111,3 +111,92 @@ def test_rsk_reader_burst_keys(tmp_path, spark):
     rows = df.orderBy("time").collect()
     assert [r["sample"] for r in rows] == [0, 1, 2, 3, 0, 1, 2, 3]
     assert [r["burst"] for r in rows] == [0, 0, 0, 0, 1, 1, 1, 1]
+
+
+def _write_ea_log(path, nseries=2, samples=2, nbins=3):
+    with open(path, "w") as f:
+        f.write("#DeviceID EA400 SN 9001\n")
+        f.write(f"#NSamples {nbins}\n")
+        f.write("#Resolution,m 0.05\n")
+        f.write(f"#Pulses in series,num {samples}\n")
+        ping = 0
+        for s in range(nseries):
+            for i in range(samples):
+                ping += 1
+                f.write(f"#TimeUTC 01.03.2024 10:0{s}:0{i}.000\n")
+                f.write(f"#Ping   {ping}\n")
+                f.write(f"#Altitude,m {1.5 + 0.1 * ping}\n")
+                f.write("#Temperature,C 18.2\n")
+                f.write("#Pitch,deg 1.0\n")
+                f.write("#Roll,deg -0.5\n")
+        f.write("##DataStart\n")
+        for k in range(nseries * samples * nbins):
+            f.write(f"{100 + k}\n")
+        f.write("##DataEnd\n")
+
+
+def test_eofe_log(tmp_path, spark):
+    from stglib_spark.sources.eofe import (
+        read_ea_instmeta,
+        read_ea_point,
+        read_ea_profile,
+    )
+
+    p = str(tmp_path / "ea.log")
+    _write_ea_log(p)
+    meta = read_ea_instmeta(p)
+    assert meta["EABin_count"] == 3
+    assert meta["EAPulses_in_series_num"] == 2
+    assert meta["serial_number"] == "EA400"
+
+    pt = read_ea_point(spark, p, meta).orderBy("ping").collect()
+    assert len(pt) == 4
+    assert pt[0]["time"] == dt.datetime(2024, 3, 1, 10, 0, 0)
+    assert pt[1]["time"] == dt.datetime(2024, 3, 1, 10, 0, 0)  # same series
+    assert pt[2]["time"] == dt.datetime(2024, 3, 1, 10, 1, 0)
+    assert pt[1]["sample"] == 1
+    assert pt[0]["Altitude_m"] == pytest.approx(1.6)
+
+    prof = read_ea_profile(spark, p, meta).orderBy("time", "sample", "bins").collect()
+    assert len(prof) == 12
+    assert prof[0]["Counts"] == 100.0
+    assert prof[0]["bins"] == 0 and prof[0]["sample"] == 0
+    assert prof[11]["Counts"] == 111.0
+    assert prof[11]["time"] == dt.datetime(2024, 3, 1, 10, 1, 0)
+
+
+def test_qrev_xml(tmp_path, spark):
+    from stglib_spark.sources.qrev import read_qrev_xml
+
+    p = str(tmp_path / "qrev.xml")
+    with open(p, "w") as f:
+        f.write(
+            """<Channel>
+  <Transect>
+    <Filename>t1.mmt</Filename>
+    <StartDateTime>03/01/2024 10:00:00</StartDateTime>
+    <EndDateTime>03/01/2024 10:10:00</EndDateTime>
+    <Discharge><Total>12.5</Total><Top>2.0</Top><Middle>8.0</Middle>
+      <Bottom>1.5</Bottom><Left>0.5</Left><Right>0.5</Right></Discharge>
+    <Other><Area>25.0</Area><Width>30.0</Width><QoverA>0.5</QoverA></Other>
+    <Edge><LeftDistance>3.0</LeftDistance><RightDistance>4.0</RightDistance></Edge>
+  </Transect>
+  <Transect>
+    <Filename>t2.mmt</Filename>
+    <StartDateTime>03/01/2024 11:00:00</StartDateTime>
+    <EndDateTime>03/01/2024 11:10:00</EndDateTime>
+    <Discharge><Total>-11.0</Total><Top>1.0</Top><Middle>8.0</Middle>
+      <Bottom>1.0</Bottom><Left>0.5</Left><Right>0.5</Right></Discharge>
+    <Other><Area>24.0</Area><Width>29.0</Width><QoverA>-0.45</QoverA></Other>
+    <Edge><LeftDistance>3.1</LeftDistance><RightDistance>4.1</RightDistance></Edge>
+  </Transect>
+</Channel>"""
+        )
+    df = read_qrev_xml(spark, p, negateq=[False, True])
+    rows = df.orderBy("time").collect()
+    assert len(rows) == 2
+    assert rows[0]["time"] == dt.datetime(2024, 3, 1, 10, 5)
+    assert rows[0]["q"] == pytest.approx(12.5)
+    assert rows[1]["q"] == pytest.approx(11.0)  # negated
+    assert rows[1]["QoverA"] == pytest.approx(0.45)
+    assert rows[0]["Width"] == pytest.approx(30.0)
