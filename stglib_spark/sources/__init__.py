@@ -63,6 +63,20 @@ def _sg_wb(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     return read_sg_wb(spark, path)
 
 
+@register_adapter("son_81r")
+def _son_81r(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.son import read_81r
+
+    return read_81r(spark, path)
+
+
+@register_adapter("mat")
+def _mat(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.matfile import read_mat
+
+    return read_mat(spark, path)
+
+
 @register_adapter("eofe")
 def _eofe(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     from stglib_spark.sources.eofe import read_ea_instmeta, read_ea_profile

@@ -200,3 +200,95 @@ def test_qrev_xml(tmp_path, spark):
     assert rows[1]["q"] == pytest.approx(11.0)  # negated
     assert rows[1]["QoverA"] == pytest.approx(0.45)
     assert rows[0]["Width"] == pytest.approx(30.0)
+
+
+def test_imagenex_81r(tmp_path, spark):
+    from stglib_spark.sources.son import read_81r, write_81r
+
+    p = str(tmp_path / "sweep.81R")
+    scans = [
+        {
+            "ping_number": k + 1,
+            "head_position": 600 + k * 10,
+            "step_counts": 10,  # 3.0° per step
+            "profile_range": 123,
+            "pitch_raw": 320,  # ≈ 7.03°; bit7 of the low byte is the
+            # decoder's sign flag, so keep it clear for a positive pitch
+            "roll_raw": 228,
+            "heading_raw": 4096,  # 90°
+            "echo": [min(255, k * 50 + j % 250) for j in range(252)],
+        }
+        for k in range(3)
+    ]
+    write_81r(p, scans)
+    df = read_81r(spark, p).orderBy("scan")
+    rows = df.collect()
+    assert len(rows) == 3
+    r = rows[0]
+    assert r["ping_number"] == 1
+    assert r["HeadPosition"] == 600
+    assert r["HeadAngle"] == pytest.approx(0.0)
+    assert rows[1]["HeadAngle"] == pytest.approx(30.0)  # 10 counts * 3.0°
+    assert r["ProfileRange"] == 123
+    assert r["Pitch"] == pytest.approx(320 * 360 / 16384)
+    assert r["Heading"] == pytest.approx(90.0)
+    assert len(r["sonar_image"]) == 252
+    assert rows[2]["sonar_image"][0] == 100
+
+
+def test_mat5_roundtrip(tmp_path):
+    import numpy as np
+
+    from stglib_spark.functions.mat5 import loadmat, savemat
+
+    p = str(tmp_path / "x.mat")
+    a = np.array([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]])
+    savemat(
+        p,
+        {
+            "Burst": {"Pressure": a, "SerialNo": "S123"},
+            "vel": np.array([[0.1, -0.2]]),
+            "label": "hello",
+        },
+    )
+    out = loadmat(p)
+    np.testing.assert_allclose(out["Burst"]["Pressure"], a)
+    assert out["Burst"]["SerialNo"] == "S123"
+    np.testing.assert_allclose(out["vel"], [[0.1, -0.2]])
+    assert out["label"] == "hello"
+
+
+def test_mat5_compressed(tmp_path):
+    import numpy as np
+
+    from stglib_spark.functions.mat5 import loadmat, savemat
+
+    p = str(tmp_path / "c.mat")
+    a = np.arange(20, dtype=float).reshape(4, 5)
+    savemat(p, {"M": a}, compress=True)
+    np.testing.assert_allclose(loadmat(p)["M"], a)
+
+
+def test_read_mat_dataframe(tmp_path, spark):
+    import numpy as np
+
+    from stglib_spark.functions.mat5 import savemat
+    from stglib_spark.sources.matfile import read_mat
+
+    p = str(tmp_path / "dep.mat")
+    savemat(
+        p,
+        {
+            "Data": {
+                "Pressure": np.array([[10.0, 10.5, 11.0, 10.2]]),
+                "Temp": np.array([[18.0, 18.1, 18.2, 18.3]]),
+            },
+            "serial": "SIG1000",
+        },
+    )
+    df = read_mat(spark, p)
+    rows = df.orderBy("idx").collect()
+    assert len(rows) == 4
+    assert rows[0]["Data_Pressure"] == pytest.approx(10.0)
+    assert rows[3]["Data_Temp"] == pytest.approx(18.3)
+    assert rows[0]["serial"] == "SIG1000"
