@@ -47,6 +47,7 @@ def ingest(
 from stglib_spark.sources import csv as _csv  # noqa: E402,F401  (registers adapters)
 from stglib_spark.sources import binary as _binary  # noqa: E402,F401
 from stglib_spark.sources import netcdf as _netcdf  # noqa: E402,F401
+from stglib_spark.sources import vendor_csv as _vendor_csv  # noqa: E402,F401
 
 
 @register_adapter("rdi_pd0")
