@@ -652,10 +652,19 @@ def phys_dispersion_qkfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         return 1.0 - 2.0 / (F.exp(2.0 * y) + 1.0)
 
     x = omega * omega * h / 9.81
-    y = F.when(x < 1.0, F.sqrt(x)).otherwise(x)
-    for _ in range(3):
-        t = tanh_exp(y)
-        y = y - ((y * t - x) / (t + y * (1.0 - t * t)))
+    y0 = F.when(x < 1.0, F.sqrt(x)).otherwise(x)
+    # fold over 3 Newton steps: the lambda binds y once per step, so the
+    # expression tree stays linear (a naive unroll duplicates y ~7× per
+    # step → 7³ subtrees, breaking codegen and costing ~10× at sf0.1)
+    y = F.aggregate(
+        F.sequence(F.lit(1), F.lit(3)),
+        y0,
+        lambda y, _i: y
+        - (
+            (y * tanh_exp(y) - x)
+            / (tanh_exp(y) + y * (1.0 - tanh_exp(y) * tanh_exp(y)))
+        ),
+    )
     return li.select(
         "l_orderkey", "l_linenumber", F.round(y / h, 6).alias("k")
     )
