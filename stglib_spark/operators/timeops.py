@@ -232,3 +232,68 @@ def avg_tide_bursts(
         tide_time.alias("time"),
         *[F.col(v) for v in value_cols],
     )
+
+
+def burst_nan_fill(
+    df: DataFrame,
+    value_col: str,
+    burst_col: str = "burst",
+    sample_col: str = "sample",
+    tolerance_samples: int = 8,
+    max_nan_frac: float = 0.1,
+    series_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Per-burst NaN fill before wave analysis
+    (core/waves.py:1992-2034 var_wave_burst_fill_nans): a null sample is
+    replaced by the value of the NEAREST non-null sample in the same
+    burst, but only when it lies within ``tolerance_samples`` (the
+    reference's ``wavedat_tolerance`` × sample_rate) AND the burst has
+    fewer than ``max_nan_frac`` (default 10%) null samples — bursts above
+    the threshold are left untouched, exactly as the reference declines
+    to fill them.
+
+    Pure window functions over (series, burst) ordered by sample — no
+    UDF, no reshape; the partition key bounds the window state so it
+    scales with burst size, not series length. Ties (equidistant
+    neighbours) take the earlier sample, matching nearest-reindex
+    behaviour on a regular grid.
+    """
+    keys = [F.col(c) for c in series_cols] + [F.col(burst_col)]
+    v = F.col(value_col)
+    wb = Window.partitionBy(*keys)
+    asc = Window.partitionBy(*keys).orderBy(sample_col)
+    desc = Window.partitionBy(*keys).orderBy(F.col(sample_col).desc())
+
+    nan_ok = (
+        F.sum(v.isNull().cast("long")).over(wb)
+        < F.count(F.lit(1)).over(wb) * F.lit(float(max_nan_frac))
+    )
+
+    prev_s = F.last(F.when(v.isNotNull(), F.col(sample_col)), ignorenulls=True).over(
+        asc.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    prev_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(
+        asc.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_s = F.last(F.when(v.isNotNull(), F.col(sample_col)), ignorenulls=True).over(
+        desc.rowsBetween(Window.unboundedPreceding, 0)
+    )
+    next_v = F.last(F.when(v.isNotNull(), v), ignorenulls=True).over(
+        desc.rowsBetween(Window.unboundedPreceding, 0)
+    )
+
+    d_prev = F.col(sample_col) - prev_s
+    d_next = next_s - F.col(sample_col)
+    tol = F.lit(int(tolerance_samples))
+
+    prev_ok = prev_s.isNotNull() & (d_prev <= tol)
+    next_ok = next_s.isNotNull() & (d_next <= tol)
+
+    filled = (
+        F.when(v.isNotNull(), v)
+        .when(~nan_ok, v)
+        .when(prev_ok & (~next_ok | (d_prev <= d_next)), prev_v)
+        .when(next_ok, next_v)
+        .otherwise(v)
+    )
+    return df.withColumn(value_col, filled)

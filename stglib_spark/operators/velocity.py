@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import math
 from typing import Any
+from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -194,3 +195,32 @@ def fill_snr(
     if all_pass is not None and "vel_mean" in out.columns:
         out = _null_unless(out, all_pass, ["vel_mean"])
     return out
+
+
+def fill_vbper(
+    df: DataFrame,
+    config: dict[str, Any],
+    variables: Sequence[str] = ("Depth", "Stage", "Area", "Range"),
+    vbper_col: str = "VbPercentGood",
+) -> DataFrame:
+    """Vertical-beam percent-good gate (iq.py:711-741 fill_vbper): null
+    stage/area/range/depth where VbPercentGood fails the
+    ``vbper_threshold`` config. Keep-condition is strictly-greater, as in
+    the reference's ``.where(ds.VbPercentGood > threshold)``."""
+    thr = config.get("vbper_threshold")
+    if thr is None or vbper_col not in df.columns:
+        return df
+    keep = F.col(vbper_col) > F.lit(float(thr))
+    return _null_unless(df, keep, [v for v in variables if v in df.columns])
+
+
+def puv_qaqc(df: DataFrame, config: dict[str, Any] | None = None) -> DataFrame:
+    """PUV direction QA (core/waves.py:1831-1836 puv_qaqc): null the wave
+    direction/azimuth estimates wherever the tail-spliced RMS height is
+    null (no valid spectral tail → no trustworthy direction)."""
+    sentinel = "Hrmsu_tail"
+    if sentinel not in df.columns:
+        return df
+    keep = F.col(sentinel).isNotNull()
+    targets = [c for c in ("phir", "azr", "phir_tail", "azr_tail") if c in df.columns]
+    return _null_unless(df, keep, targets)

@@ -2263,6 +2263,94 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "ts_burst_nan_fill",
+    """
+    WITH base AS (
+      SELECT event_id, user_id, date_trunc('hour', ts) AS burst,
+             row_number() OVER (PARTITION BY user_id, date_trunc('hour', ts)
+                                ORDER BY ts, event_id) - 1 AS sample,
+             CASE WHEN value < 15.0 THEN NULL ELSE value END AS v
+      FROM events
+    ), st AS (
+      SELECT event_id, sample, v,
+        sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+          OVER (PARTITION BY user_id, burst) AS nnull,
+        count(*) OVER (PARTITION BY user_id, burst) AS n,
+        last_value(CASE WHEN v IS NOT NULL THEN sample END IGNORE NULLS)
+          OVER (PARTITION BY user_id, burst ORDER BY sample
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_s,
+        last_value(v IGNORE NULLS)
+          OVER (PARTITION BY user_id, burst ORDER BY sample
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+        first_value(CASE WHEN v IS NOT NULL THEN sample END IGNORE NULLS)
+          OVER (PARTITION BY user_id, burst ORDER BY sample
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_s,
+        first_value(v IGNORE NULLS)
+          OVER (PARTITION BY user_id, burst ORDER BY sample
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v
+      FROM base
+    )
+    SELECT event_id,
+      round(CASE WHEN v IS NOT NULL THEN v
+           WHEN nnull >= n * 0.3 THEN v
+           WHEN prev_s IS NOT NULL AND (sample - prev_s) <= 2
+                AND (next_s IS NULL OR (next_s - sample) > 2
+                     OR (sample - prev_s) <= (next_s - sample)) THEN prev_v
+           WHEN next_s IS NOT NULL AND (next_s - sample) <= 2 THEN next_v
+           ELSE v END, 6) AS value
+    FROM st
+    """,
+)
+def ts_burst_nan_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst NaN pre-fill before wave analysis (core/waves.py:1992-2034):
+    nearest-within-tolerance fill, skipped for bursts over the NaN-fraction
+    threshold."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.withColumn("burst", F.date_trunc("hour", F.col("ts")))
+    w = Window.partitionBy("user_id", "burst").orderBy("ts", "event_id")
+    df = df.withColumn("sample", F.row_number().over(w) - 1)
+    df = df.withColumn(
+        "value", F.when(F.col("value") < 15.0, None).otherwise(F.col("value"))
+    )
+    filled = timeops.burst_nan_fill(
+        df,
+        "value",
+        burst_col="burst",
+        sample_col="sample",
+        tolerance_samples=2,
+        max_nan_frac=0.3,
+        series_cols=("user_id",),
+    )
+    return filled.select("event_id", F.round("value", 6).alias("value"))
+
+
+@register(
+    "vel_vbper_gate",
+    """
+    SELECT event_id,
+           CASE WHEN (event_id % 100) > 20.0 THEN round(value, 6) END AS depth,
+           CAST(event_id % 100 AS DOUBLE) AS vbper
+    FROM events
+    """,
+)
+def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vertical-beam percent-good gate (iq.py:711-741): null Depth/Stage/
+    Area/Range where VbPercentGood fails the threshold."""
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.select(
+        "event_id",
+        F.round("value", 6).alias("Depth"),
+        (F.col("event_id") % 100).cast("double").alias("VbPercentGood"),
+    )
+    out = vel_ops.fill_vbper(df, {"vbper_threshold": 20.0}, variables=("Depth",))
+    return out.select(
+        "event_id",
+        F.col("Depth").alias("depth"),
+        F.col("VbPercentGood").alias("vbper"),
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 

@@ -123,3 +123,58 @@ def test_mean_minf_gate(spark):
     }
     assert out[1] == pytest.approx(2.0)  # 2 valid of 4, int(4·0.5)=2 → pass
     assert out[2] is None  # 1 valid of 4 < 2 → fill
+
+
+def test_burst_nan_fill(spark):
+    """core/waves.py:1992-2034: nearest-within-tolerance fill, skip bursts
+    with too many NaNs, ties prefer the earlier sample."""
+    import pyspark.sql.functions as F
+
+    from stglib_spark.operators.timeops import burst_nan_fill
+
+    rows = []
+    # burst 0: 10 samples, 1 null at sample 4 (10% < 30%) -> filled from
+    # nearest (sample 3 and 5 equidistant -> earlier wins)
+    for s in range(10):
+        rows.append((0, s, None if s == 4 else float(100 + s)))
+    # burst 1: 10 samples, 5 nulls (50% >= 30%) -> untouched
+    for s in range(10):
+        rows.append((1, s, None if s % 2 == 0 else float(200 + s)))
+    # burst 2: nulls at 0,1 (20% < 30%); nearest non-null is sample 2
+    rows += [(2, 0, None), (2, 1, None)]
+    rows += [(2, s, float(300 + s)) for s in range(2, 10)]
+    # burst 3: single null at sample 0, nearest non-null at sample 3
+    # (sample gap 3 > tol 2) -> stays null
+    rows += [(3, 0, None)]
+    rows += [(3, s, float(400 + s)) for s in range(3, 10)]
+    df = spark.createDataFrame(rows, "burst INT, sample INT, value DOUBLE")
+    out = burst_nan_fill(
+        df, "value", tolerance_samples=2, max_nan_frac=0.3
+    ).orderBy("burst", "sample")
+    got = {(r["burst"], r["sample"]): r["value"] for r in out.collect()}
+    assert got[(0, 4)] == 103.0  # tie -> earlier sample 3
+    assert got[(1, 0)] is None and got[(1, 2)] is None  # 50% nulls: skip
+    assert got[(2, 0)] == 302.0  # distance 2 <= tol
+    assert got[(2, 1)] == 302.0  # distance 1 <= tol
+    assert got[(3, 0)] is None  # nearest non-null beyond tolerance
+
+
+def test_fill_vbper_and_puv_qaqc(spark):
+    from stglib_spark.operators.velocity import fill_vbper, puv_qaqc
+
+    df = spark.createDataFrame(
+        [(1, 5.0, 25.0), (2, 6.0, 15.0), (3, 7.0, 20.0)],
+        "id INT, Depth DOUBLE, VbPercentGood DOUBLE",
+    )
+    out = {r["id"]: r["Depth"] for r in fill_vbper(df, {"vbper_threshold": 20.0}).collect()}
+    assert out[1] == 5.0
+    assert out[2] is None
+    assert out[3] is None  # strictly-greater keep, iq.py:731
+
+    puv = spark.createDataFrame(
+        [(1, 0.5, 30.0, 120.0), (2, None, 40.0, 130.0)],
+        "id INT, Hrmsu_tail DOUBLE, phir DOUBLE, azr DOUBLE",
+    )
+    got = {r["id"]: (r["phir"], r["azr"]) for r in puv_qaqc(puv).collect()}
+    assert got[1] == (30.0, 120.0)
+    assert got[2] == (None, None)
