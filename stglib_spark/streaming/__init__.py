@@ -14,10 +14,12 @@ from stglib_spark.streaming.bursts import (
     read_events_stream,
     streaming_burst_average,
     streaming_dedup,
+    streaming_diff_gate,
 )
 
 __all__ = [
     "read_events_stream",
     "streaming_burst_average",
     "streaming_dedup",
+    "streaming_diff_gate",
 ]

@@ -71,3 +71,86 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
         ["user_id", "ts"]
     )
+
+
+def streaming_diff_gate(
+    events: DataFrame,
+    max_diff: float,
+    value_col: str = "value",
+    series_col: str = "user_id",
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stateful streaming twin of the ``<v>_max_diff`` QA/QC rule
+    (core/qaqc.py:120-130): null any value whose first difference from the
+    previous value in its series exceeds ``max_diff`` — with the previous
+    RAW value carried across micro-batch boundaries in keyed state, so the
+    gate behaves identically to the batch rule over an unbounded feed.
+
+    ``applyInPandasWithState`` per series key: state is one (ts, value)
+    pair per series — constant memory per key regardless of feed volume;
+    keys are evicted by the watermark's state cleanup. Within a micro-batch
+    rows are sorted by event time, matching the batch rule's
+    ``Window.orderBy(time)``.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField(time_col, TimestampType()),
+            StructField(series_col, LongType()),
+            StructField(value_col, DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("last_ts", LongType()), StructField("last_value", DoubleType())]
+    )
+
+    def gate(key, pdf_iter, state):
+        last_ts, last_value = state.get if state.exists else (None, None)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(time_col)
+            raw = pdf[value_col].to_numpy(copy=True)
+            gated = raw.copy()
+            for i in range(len(raw)):
+                if (
+                    last_value is not None
+                    and raw[i] == raw[i]  # not NaN
+                    and abs(raw[i] - last_value) > max_diff
+                ):
+                    gated[i] = float("nan")
+                if raw[i] == raw[i]:
+                    last_value = float(raw[i])
+            ts_ns = pdf[time_col].astype("int64")
+            if len(ts_ns):
+                last_ts = int(ts_ns.iloc[-1])
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    time_col: pdf[time_col],
+                    series_col: key[0],
+                    value_col: gated,
+                }
+            )
+        state.update((last_ts, last_value))
+
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(series_col)
+        .applyInPandasWithState(
+            gate,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -83,3 +83,43 @@ def test_streaming_dedup_runs(spark, sf_dir, checkpoint_dir):
         .count()
     )
     assert n == distinct <= total
+
+
+def test_streaming_diff_gate_matches_batch(spark, sf_dir, checkpoint_dir):
+    """The stateful gate must null exactly the rows the batch max_diff
+    rule nulls (diff computed against the previous RAW value per series,
+    qaqc.py:120-130)."""
+    from stglib_spark.streaming import streaming_diff_gate
+    from pyspark.sql import Window
+
+    MAXD = 20.0
+    stream = read_events_stream(spark, sf_dir)
+    out = streaming_diff_gate(stream, MAXD)
+    _drain(out, checkpoint_dir, "diffgated")
+    streamed = {
+        r["event_id"]: r["value"]
+        for r in spark.sql("SELECT * FROM diffgated").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    prev = F.lag("value").over(w)
+    batch = {
+        r["event_id"]: r["gated"]
+        for r in ev.withColumn(
+            "gated",
+            F.when(
+                prev.isNotNull() & (F.abs(F.col("value") - prev) > MAXD), None
+            ).otherwise(F.col("value")),
+        ).collect()
+    }
+    assert streamed.keys() == batch.keys()
+    nulled = 0
+    for k, bv in batch.items():
+        sv = streamed[k]
+        if bv is None:
+            assert sv is None or sv != sv
+            nulled += 1
+        else:
+            assert abs(sv - bv) < 1e-9
+    assert nulled > 0  # the rule actually fired on this data
