@@ -43,9 +43,20 @@ def read_netcdf(spark: SparkSession, path: str, config: dict[str, Any]) -> DataF
 def write_netcdf(df: DataFrame, path: str, attrs: dict[str, Any] | None = None) -> None:
     """DataFrame → netCDF with attrs (export edge; collect-to-driver is
     acceptable only for final per-deployment products, mirroring the
-    reference's one-file-per-deployment outputs)."""
+    reference's one-file-per-deployment outputs). Column metadata attached
+    by ``stglib_spark.attrs.apply_var_attrs`` becomes per-variable netCDF
+    attributes, so exports carry the reference's CF-1.11 units/
+    standard_name/epic_code layer (stglib/core/attrs.py)."""
     xr = _require_xarray()
+    from stglib_spark.attrs import collect_var_attrs
+
+    var_attrs = collect_var_attrs(df)
     pdf = df.toPandas()
     ds = xr.Dataset.from_dataframe(pdf.set_index("time"))
     ds.attrs.update(attrs or {})
+    for var, meta in var_attrs.items():
+        if var in ds:
+            ds[var].attrs.update(meta)
+        elif var in ds.coords:
+            ds[var].attrs.update(meta)
     ds.to_netcdf(path, unlimited_dims=["time"])
