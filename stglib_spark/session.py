@@ -47,7 +47,29 @@ def get_spark(app_name: str = "stglib_spark", cpus: int | None = None) -> SparkS
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    _warm_collation_support(spark)
+    return spark
+
+
+def _warm_collation_support(spark: SparkSession) -> None:
+    """Force the one-time ICU collation class initialization at session
+    startup instead of mid-query.
+
+    Spark 4 routes ``lower``/``upper``/``initcap`` through
+    ``CollationSupport``, whose first call triggers the static initializer
+    of ``CollationAwareUTF8String`` (ICU data load). That init takes
+    seconds and serializes: every concurrent task blocks on the class
+    monitor, so the first string-heavy stage of a session stalls all its
+    tasks at once (observed 7-19 s on local[32]). Paying it here, once,
+    on an empty session keeps query times free of JVM warm-up artifacts.
+    Per-executor JVMs on a real cluster pay the same init once each —
+    amortized over the executor lifetime either way.
+    """
+    try:
+        spark.sql("select lower('ΣAa'), upper('σaA'), initcap('ßx')").collect()
+    except Exception:
+        pass  # warm-up must never block session creation
 
 
 # Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects;
