@@ -115,6 +115,132 @@ def pairwise_topk_within(
     return slim.groupBy(group_col).applyInPandas(gemm, schema)
 
 
+def _sq_l2(v: Column, c: Column) -> Column:
+    """Squared L2 distance as a sequential fold (same op order as the
+    DuckDB oracle's list_sum, so distances match bit-for-bit)."""
+    return F.aggregate(
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def ivf_seed_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[tuple[object, list[float]]]:
+    """Deterministic IVF codebook: the ``n_centroids`` vectors with the
+    smallest ids. A real deployment trains on a sample (see
+    ``ivf_refine``); seeding by id keeps the whole index SQL-expressible
+    so the DuckDB oracle can replay it. The codebook is tiny (K×dim) —
+    collecting it to the driver is the standard IVF train step, not a
+    driver-side data loop."""
+    rows = (
+        df.select(id_col, F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(id_col)
+        .limit(n_centroids)
+        .collect()
+    )
+    return [(r[0], list(r[1])) for r in rows]
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: list[tuple[object, list[float]]],
+    vec_col: str = "embedding",
+    out_col: str = "ivf_cell",
+) -> DataFrame:
+    """Nearest-centroid cell id per vector, fully native: per-centroid
+    squared-L2 folds into an array<struct<d,c>>, array_min picks the
+    (distance, cid) lexicographic minimum — ties break to the lowest cid.
+    At 100 TB the assigned table is written partitioned by ``out_col`` so
+    a probe is partition pruning; assignment itself is one scan-speed
+    projection (no shuffle, no UDF)."""
+    v = F.col(vec_col).cast("array<double>")
+    cells = F.array(
+        *[
+            F.struct(
+                _sq_l2(v, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
+                F.lit(cid).alias("c"),
+            )
+            for cid, cv in centroids
+        ]
+    )
+    return df.withColumn(out_col, F.array_min(cells)["c"])
+
+
+def ivf_refine(
+    df: DataFrame,
+    centroids: list[tuple[object, list[float]]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[tuple[object, list[float]]]:
+    """Lloyd refinement of the codebook (the production IVF train path;
+    not used by the oracled query because k-means isn't SQL-replayable).
+    Each iteration: native assignment + one groupBy computing per-cell
+    element-wise means over the vector column, codebook collected back
+    (K×dim floats). Empty cells keep their previous centroid."""
+    dim = len(centroids[0][1])
+    for _ in range(iters):
+        assigned = ivf_assign(df, centroids, vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        means = (
+            assigned.select(F.col("ivf_cell"), *[v[i].alias(f"_e{i}") for i in range(dim)])
+            .groupBy("ivf_cell")
+            .agg(*[F.avg(f"_e{i}").alias(f"_e{i}") for i in range(dim)])
+            .collect()
+        )
+        updated = {r["ivf_cell"]: [r[f"_e{i}"] for i in range(dim)] for r in means}
+        centroids = [(cid, updated.get(cid, cv)) for cid, cv in centroids]
+    return centroids
+
+
+def ann_topk_ivf(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    refine_iters: int = 0,
+) -> DataFrame:
+    """IVF approximate top-k: partition the corpus into Voronoi cells of
+    a K-vector codebook, probe the ``nprobe`` cells nearest the query,
+    exact cosine inside the probed cells only — scanning ~nprobe/K of the
+    corpus. This is the scale path next to ``ann_topk_lsh``: at 100 TB
+    the assigned table lives partitioned by cell and a query touches
+    nprobe partitions. Probe selection runs on the driver over the K-row
+    codebook (Python sequential sums mirror the oracle's list_sum)."""
+    centroids = ivf_seed_centroids(df, n_centroids, vec_col, id_col)
+    if refine_iters:
+        centroids = ivf_refine(df, centroids, refine_iters, vec_col)
+
+    def sqdist(a: list[float], b: list[float]) -> float:
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    probed = [
+        cid
+        for cid, _ in sorted(
+            centroids, key=lambda c: (sqdist(query_vec, c[1]), c[0])
+        )[:nprobe]
+    ]
+    assigned = ivf_assign(df, centroids, vec_col)
+    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    return (
+        assigned.filter(F.col("ivf_cell").isin(probed))
+        .select(F.col(id_col), F.round(sim, 6).alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     """Fixed seeded Gaussian hyperplanes for LSH signatures."""
     rng = np.random.RandomState(seed)

@@ -1012,6 +1012,60 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.ann_topk_lsh(emb, _QUERY_VEC, k=10, n_planes=8, probe_hamming=2)
 
 
+_IVF_K, _IVF_NPROBE = 16, 4
+
+@register(
+    "sim_ann_ivf_topk",
+    f"""
+    WITH q AS (SELECT {_QV_SQL} AS qv),
+    c AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_IVF_K}
+    ),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    a AS (
+      SELECT e.vec_id, e.v, c.cid,
+             list_sum(list_transform(list_zip(e.v, c.cv),
+                      x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+      FROM e, c
+    ),
+    asg AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+        FROM a
+      ) WHERE rn = 1
+    ),
+    probe AS (
+      SELECT cid FROM (
+        SELECT cid,
+               row_number() OVER (ORDER BY list_sum(list_transform(
+                 list_zip(qv, cv), x -> (x[1] - x[2]) * (x[1] - x[2]))), cid) AS rn
+        FROM c, q
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    s AS (
+      SELECT vec_id,
+             list_sum(list_transform(list_zip(v, qv), x -> x[1] * x[2]))
+               / nullif(sqrt(list_sum(list_transform(v, x -> x*x)))
+                        * sqrt(list_sum(list_transform(qv, x -> x*x))), 0.0) AS cs
+      FROM asg JOIN probe USING (cid), q
+    )
+    SELECT vec_id, round(cs, 6) AS cosine
+    FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+    """,
+)
+def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-partitioned ANN (SURVEY north star: 'IVF … as the scale path').
+    Deterministic seed codebook (lowest vec_ids) so the DuckDB oracle
+    replays the full index: assignment, nprobe probe, in-cell exact
+    cosine. Lloyd-refined codebooks (ivf_refine) are the production
+    variant, exercised in tests/test_similarity tests instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.ann_topk_ivf(
+        emb, _QUERY_VEC, k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE
+    )
+
+
 # --------------------------------------------------------------------------
 # More QA/QC rules (diff-pct, std gates, bad_ens ranges)
 # --------------------------------------------------------------------------

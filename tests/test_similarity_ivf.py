@@ -1,0 +1,77 @@
+"""IVF ANN index: assignment, Lloyd refinement, probe recall.
+
+The oracled query (sim_ann_ivf_topk) replays the seed-codebook index in
+DuckDB; these tests cover the production path the oracle can't — Lloyd
+refinement — and the recall contract of probing.
+"""
+
+import math
+
+import pytest
+
+from stglib_spark.operators import similarity as sim
+from stglib_spark.queries import _QUERY_VEC, load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_ivf_assign_nearest(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.1]), (2, [1.0, 0.9]), (3, [0.05, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    cents = [(10, [0.0, 0.0]), (20, [1.0, 1.0])]
+    got = {
+        r["vec_id"]: r["ivf_cell"]
+        for r in sim.ivf_assign(df, cents).select("vec_id", "ivf_cell").collect()
+    }
+    assert got == {1: 10, 2: 20, 3: 10}
+
+
+def test_ivf_assign_tie_breaks_low_cid(spark):
+    df = spark.createDataFrame([(1, [0.5])], ["vec_id", "embedding"])
+    cents = [(7, [0.0]), (3, [1.0])]  # equidistant → lowest cid wins
+    row = sim.ivf_assign(df, cents).first()
+    assert row["ivf_cell"] == 3
+
+
+def test_ivf_refine_moves_centroids_to_cell_means(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 2) * 10.0 + d]) for i, d in zip(range(8), [0.0, 0.0, 1.0, 1.0, 2.0, 2.0, 3.0, 3.0])],
+        ["vec_id", "embedding"],
+    )
+    seed = sim.ivf_seed_centroids(df, 2)
+    refined = sim.ivf_refine(df, seed, iters=3)
+    centers = sorted(v[0] for _, v in refined)
+    # cluster A: values 0,1,2,3 → mean 1.5; cluster B: 10,11,12,13 → 11.5
+    assert centers[0] == pytest.approx(1.5)
+    assert centers[1] == pytest.approx(11.5)
+
+
+def test_ivf_probe_recall_vs_brute_force(emb):
+    exact = [r["vec_id"] for r in sim.brute_force_topk(emb, _QUERY_VEC, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in sim.ann_topk_ivf(
+            emb, _QUERY_VEC, k=10, n_centroids=16, nprobe=8, refine_iters=1
+        ).collect()
+    ]
+    # probing half the refined cells must recover most of the exact top-10
+    recall = len(set(exact) & set(approx)) / 10
+    assert recall >= 0.5
+
+
+def test_ivf_full_probe_equals_brute_force(emb):
+    exact = [(r["vec_id"], r["cosine"]) for r in sim.brute_force_topk(emb, _QUERY_VEC, k=10).collect()]
+    full = [
+        (r["vec_id"], r["cosine"])
+        for r in sim.ann_topk_ivf(
+            emb, _QUERY_VEC, k=10, n_centroids=8, nprobe=8
+        ).collect()
+    ]
+    assert full == exact
