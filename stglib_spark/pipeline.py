@@ -130,13 +130,21 @@ def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
     """Stage 3 (nc2waves): clean zone → wave statistics product
     (SURVEY §3.3)."""
     history = History()
-    df = spark.read.parquet(_zone_path(config, "clean"))
+    # burst keys re-derived from the clock even when ingest marked bursts:
+    # clipping may have removed leading rows and shifted count-based
+    # burst boundaries (waves.py:2037-2091)
+    df = _burst_keyed(spark.read.parquet(_zone_path(config, "clean")), config)
     pcol = "P_1ac" if "P_1ac" in df.columns else "P_1"
+    waves = wave_ops.make_waves_ds(df, config, pressure_col=pcol)
+    waves = clip_ops.trim_max_wp(waves, config)
+    history.insert_history("Computed wave statistics (Welch spectral chain).")
+    return _write_zone(waves, config, "waves", history)
 
+
+def _burst_keyed(df: DataFrame, config: dict[str, Any]) -> DataFrame:
+    """Shared front half of the analyze stages: derive burst keys and trim
+    to wave_duration (SURVEY §3.3 steps 2-3)."""
     if config.get("wave_interval"):
-        # continuous→burst derived keys (waves.py:2037-2091). Re-derived
-        # from the clock even when ingest marked bursts: clipping may have
-        # removed leading rows and shifted count-based burst boundaries.
         df = df.drop("burst", "sample", "burst_time")
         df = timeops.burst_keys(
             df,
@@ -153,11 +161,31 @@ def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
             float(config["wave_duration"]) / float(config["sample_interval"])
         )
         df = timeops.wave_duration_trim(df, nsamps)
+    return df
 
-    waves = wave_ops.make_waves_ds(df, config, pressure_col=pcol)
-    waves = clip_ops.trim_max_wp(waves, config)
-    history.insert_history("Computed wave statistics (Welch spectral chain).")
-    return _write_zone(waves, config, "waves", history)
+
+def run_diwasp(spark: SparkSession, config: dict[str, Any]) -> str:
+    """Stage 3 variant (nc2diwasp): clean zone → directional wave spectra
+    product (SURVEY §3.3 DIWASP branch; reference fan-out
+    core/waves.py:263-306 replaced by per-burst applyInPandas)."""
+    from stglib_spark.operators import dirspec
+
+    history = History()
+    df = _burst_keyed(spark.read.parquet(_zone_path(config, "clean")), config)
+    pcol = "P_1ac" if "P_1ac" in df.columns else "P_1"
+    if "u_1205" not in df.columns or "v_1206" not in df.columns:
+        # pressure-only deployment: fall back to the 'pres' estimator
+        # input (reference: diwasp data-type selection, doc/config.rst:118)
+        config = {**config, "diwasp": config.get("diwasp", "pres")}
+        for c in ("u_1205", "v_1206"):
+            if c not in df.columns:
+                df = df.withColumn(c, F.lit(0.0))
+    out = dirspec.make_diwasp_ds(df, config, pressure_col=pcol)
+    history.insert_history(
+        f"Computed DIWASP directional spectra "
+        f"({config.get('diwasp_method', 'IMLM')} estimator)."
+    )
+    return _write_zone(out, config, "diwasp", history)
 
 
 def run_all(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:

@@ -1,0 +1,99 @@
+"""runots-equivalent CLI (python -m stglib_spark): argument surface,
+step dispatch, gatts+YAML merge reaching the pipeline stages."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from stglib_spark.__main__ import main
+
+TMP = "/root/repo/.tmp/cli_test"
+
+
+@pytest.fixture(scope="module")
+def cli_fixture(spark):
+    os.makedirs(TMP, exist_ok=True)
+    # small continuous scalar series (6 h at 1 min) with one spike
+    t0 = pd.Timestamp("2024-06-01 00:00:00")
+    rows = [
+        {
+            "Time": (t0 + pd.Timedelta(minutes=i)).strftime("%Y-%m-%d %H:%M:%S.%f")[:-3],
+            "Pressure": 10.0 + 0.1 * np.sin(i / 20),
+            "Temperature": 12.0 + (50.0 if i == 100 else 0.0),
+        }
+        for i in range(360)
+    ]
+    rows.insert(0, {"Time": "2024-05-30 00:00:00.000", "Pressure": 0.0, "Temperature": 0.0})
+    pd.DataFrame(rows).to_csv(os.path.join(TMP, "in.csv"), index=False)
+
+    with open(os.path.join(TMP, "gatts.txt"), "w") as f:
+        f.write("MOORING; 9999\n")
+        f.write("Deployment_date; 2024-06-01 00:00:00\n")
+        f.write("Recovery_date; 2024-06-02 00:00:00\n")
+        f.write("initial_instrument_height; 0.5\n")
+    with open(os.path.join(TMP, "config.yaml"), "w") as f:
+        f.write("filename: clitest\n")
+        f.write(f"input_path: {TMP}/in.csv\n")
+        f.write("T_28_max: 50.0\n")
+    yield TMP
+    shutil.rmtree(TMP, ignore_errors=True)
+
+
+def test_cli_list_adapters(capsys):
+    assert main(["--list"]) == 0
+    out = capsys.readouterr().out.split()
+    assert "rbr_csv" in out and "rdi_pd0" in out
+
+
+def test_cli_usage_without_args():
+    assert main([]) == 2
+
+
+def test_cli_unknown_step(cli_fixture):
+    assert main(["rbr_csv", "bogus_step"]) == 2
+
+
+def test_cli_ingest_then_clean(cli_fixture, spark):
+    rc = main(
+        [
+            "rbr_csv",
+            "csv2cdf",
+            f"{TMP}/gatts.txt",
+            f"{TMP}/config.yaml",
+            "--output-dir",
+            TMP,
+        ]
+    )
+    assert rc == 0
+    raw = spark.read.parquet(os.path.join(TMP, "clitest_raw"))
+    assert raw.count() == 361  # clip happens in cdf2nc, not ingest
+    assert "P_1" in raw.columns  # EPIC rename applied at ingest
+
+    rc = main(
+        [
+            "rbr_csv",
+            "cdf2nc",
+            f"{TMP}/gatts.txt",
+            f"{TMP}/config.yaml",
+            "--output-dir",
+            TMP,
+        ]
+    )
+    assert rc == 0
+    clean = spark.read.parquet(os.path.join(TMP, "clitest_clean"))
+    assert clean.count() == 360  # out-of-window row clipped
+    # T_28_max rule nulled the spike, row retained
+    assert clean.filter("T_28 IS NULL").count() == 1
+    # gatts value flowed through (instrument height → water_depth)
+    assert "water_depth" in clean.columns
+    # history sidecar written with audit note
+    with open(os.path.join(TMP, "clitest_clean.meta.json")) as f:
+        meta = json.load(f)
+    assert any("QA/QC" in h for h in meta["history"])
+    assert any("T_28" in var for var in meta["notes"])

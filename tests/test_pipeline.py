@@ -145,3 +145,30 @@ def test_generic_csv_adapter(spark, fixture_dir):
     )
     assert set(df.columns) >= {"time", "T_28", "C_51"}
     assert df.count() == 20
+
+
+def test_run_diwasp_stage(spark, burst_csv):
+    """nc2diwasp stage on a pressure-only deployment: falls back to the
+    'pres' estimator input and recovers the injected wave's Hs/Tp."""
+    from stglib_spark.pipeline import run_clean, run_diwasp, run_ingest
+
+    cfg = dict(
+        CONFIG,
+        input_path=burst_csv,
+        filename="diwasptest",
+        diwasp_method="DFTM",
+        diwasp_nfreqs=24,
+    )
+    run_ingest(spark, cfg)
+    run_clean(spark, cfg)
+    path = run_diwasp(spark, cfg)
+    out = spark.read.parquet(path)
+    rows = out.orderBy("burst_time").collect()
+    assert len(rows) == 10
+    assert all(r.diwasp_type == "pres" for r in rows)
+    expected_hs = 4 * np.sqrt(0.4**2 / 2)
+    for r in rows:
+        assert r.wh_4061 == pytest.approx(expected_hs, rel=0.15)
+        assert r.wp_peak == pytest.approx(8.0, rel=0.1)
+        assert len(r.diwasp_frequency) == 24
+        assert len(r.diwasp_dspec) == 24
