@@ -60,3 +60,8 @@ def write_netcdf(df: DataFrame, path: str, attrs: dict[str, Any] | None = None) 
         elif var in ds.coords:
             ds[var].attrs.update(meta)
     ds.to_netcdf(path, unlimited_dims=["time"])
+    # post-write CF check, like the reference's check_compliance call
+    # after every nc write (rsk/cdf2nc.py:148); non-fatal by design
+    from stglib_spark.cf import check_netcdf
+
+    check_netcdf(path)
