@@ -70,6 +70,30 @@ def _warm_collation_support(spark: SparkSession) -> None:
         spark.sql("select lower('ΣAa'), upper('σaA'), initcap('ßx')").collect()
     except Exception:
         pass  # warm-up must never block session creation
+    _warm_python_workers(spark)
+
+
+def _warm_python_workers(spark: SparkSession) -> None:
+    """Spawn the Python UDF worker pool at session startup.
+
+    The first applyInPandas/pandas_udf stage of a session forks one
+    pyspark.daemon worker per core and pays the pandas/Arrow import in
+    each — ~1-2 s that otherwise lands inside whichever query hits a UDF
+    first. A no-op applyInPandas over defaultParallelism groups moves
+    that cost to session build. Workers are reused afterwards
+    (spark.python.worker.reuse defaults true)."""
+    try:
+        n = spark.sparkContext.defaultParallelism
+        (
+            spark.range(n)
+            .groupBy("id")
+            .applyInPandas(lambda pdf: pdf, "id long")
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    except Exception:
+        pass
 
 
 # Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects;
