@@ -15,6 +15,7 @@ from stglib_spark.streaming.bursts import (
     streaming_burst_average,
     streaming_dedup,
     streaming_diff_gate,
+    streaming_gap_fill,
 )
 
 __all__ = [
@@ -22,4 +23,5 @@ __all__ = [
     "streaming_burst_average",
     "streaming_dedup",
     "streaming_diff_gate",
+    "streaming_gap_fill",
 ]

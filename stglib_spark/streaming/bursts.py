@@ -73,6 +73,108 @@ def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     )
 
 
+def streaming_gap_fill(
+    events: DataFrame,
+    step_seconds: int = 3600,
+    series_col: str = "user_id",
+    time_col: str = "ts",
+    value_col: str = "value",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of the regular-grid reindex
+    (``timeops.fill_time_gaps``, sig/cdf2nc.py:1553-1594): one output row
+    per grid tick per series between its first and last observation —
+    observed ticks carry (n, avg), missing ticks are emitted with n=0 and
+    a null average, exactly what the batch grid + left join produces.
+
+    ``applyInPandasWithState`` with an **event-time timeout**: state per
+    series is one open tick (tick start, running sum/counts) — a tick is
+    closed and emitted either when a later tick's data arrives (gap ticks
+    in between are emitted as nulls) or when the watermark passes the
+    tick end (timeout), so a silent series still flushes its final tick.
+    State is O(1) per series; gap emission is bounded by the span of data
+    actually seen, mirroring the batch grid's min..max bounds.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    step_us = int(step_seconds) * 1_000_000
+    out_schema = StructType(
+        [
+            StructField(series_col, LongType()),
+            StructField("tick", TimestampType()),
+            StructField("n", LongType()),
+            StructField("avg_value", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("open_tick", LongType()),
+            StructField("acc_sum", DoubleType()),
+            StructField("n_vals", LongType()),
+            StructField("n_rows", LongType()),
+        ]
+    )
+
+    def row_for(key, tick_us, n_rows, acc_sum, n_vals):
+        return {
+            series_col: key,
+            "tick": pd.Timestamp(tick_us * 1000),
+            "n": n_rows,
+            "avg_value": (acc_sum / n_vals) if n_vals else None,
+        }
+
+    def fill(key, pdf_iter, state):
+        if state.hasTimedOut:
+            open_tick, acc_sum, n_vals, n_rows = state.get
+            yield pd.DataFrame([row_for(key[0], open_tick, n_rows, acc_sum, n_vals)])
+            state.remove()
+            return
+        open_tick, acc_sum, n_vals, n_rows = (
+            state.get if state.exists else (None, 0.0, 0, 0)
+        )
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values(time_col)
+            ticks = (pdf[time_col].astype("int64") // 1000 // step_us) * step_us
+            vals = pd.to_numeric(pdf[value_col], errors="coerce")
+            for tick_us, grp in vals.groupby(ticks):
+                if open_tick is None:
+                    open_tick = int(tick_us)
+                while open_tick < tick_us:  # close open + emit gap nulls
+                    out.append(row_for(key[0], open_tick, n_rows, acc_sum, n_vals))
+                    open_tick += step_us
+                    acc_sum, n_vals, n_rows = 0.0, 0, 0
+                n_rows += len(grp)
+                finite = grp.dropna()
+                n_vals += len(finite)
+                acc_sum += float(finite.sum())
+        if out:
+            yield pd.DataFrame(out)
+        state.update((open_tick, acc_sum, n_vals, n_rows))
+        # flush the open tick when the watermark passes its end
+        state.setTimeoutTimestamp((open_tick + step_us) // 1000)
+
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(series_col)
+        .applyInPandasWithState(
+            fill,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_diff_gate(
     events: DataFrame,
     max_diff: float,

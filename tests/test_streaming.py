@@ -123,3 +123,52 @@ def test_streaming_diff_gate_matches_batch(spark, sf_dir, checkpoint_dir):
         else:
             assert abs(sv - bv) < 1e-9
     assert nulled > 0  # the rule actually fired on this data
+
+
+def test_streaming_gap_fill_matches_batch(spark, sf_dir, checkpoint_dir):
+    """The stateful grid fill must emit the same per-series hourly grid
+    (observed ticks with n/avg, gap ticks with n=0/null) as the batch
+    sequence+left-join, for every tick whose end the watermark passed.
+    The final open tick per series flushes on event-time timeout, which
+    availableNow may or may not trigger — so parity is asserted on all
+    ticks strictly before each series' last observed hour."""
+    from stglib_spark.streaming import streaming_gap_fill
+
+    stream = read_events_stream(spark, sf_dir)
+    out = streaming_gap_fill(stream, step_seconds=3600, watermark="1 minute")
+    _drain(out, checkpoint_dir, "gapfill")
+    streamed = {
+        (r["user_id"], r["tick"]): (r["n"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM gapfill").collect()
+    }
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("user_id"), F.date_trunc("hour", F.col("ts")).alias("tick")
+    ).agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("avg_value"))
+    from stglib_spark.operators.timeops import fill_time_gaps
+
+    grid = fill_time_gaps(
+        hourly, time_col="tick", step_seconds=3600, series_cols=["user_id"]
+    )
+    last_tick = {
+        r["user_id"]: r["t1"]
+        for r in hourly.groupBy("user_id").agg(F.max("tick").alias("t1")).collect()
+    }
+    batch = {
+        (r["user_id"], r["tick"]): (r["n"] or 0, r["avg_value"])
+        for r in grid.collect()
+        if r["tick"] < last_tick[r["user_id"]]
+    }
+    assert batch, "expected at least one closed tick"
+    missing = set(batch) - set(streamed)
+    assert not missing, f"{len(missing)} ticks missing from stream output"
+    for k, (bn, bavg) in batch.items():
+        sn, savg = streamed[k]
+        assert sn == bn, k
+        if bavg is None:
+            assert savg is None, k
+        else:
+            assert abs(savg - bavg) < 1e-9, k
+    # gap ticks (n=0) exist in this dataset and were emitted as nulls
+    assert any(n == 0 for n, _ in batch.values())
