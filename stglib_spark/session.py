@@ -48,6 +48,7 @@ def get_spark(app_name: str = "stglib_spark", cpus: int | None = None) -> SparkS
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
+    ensure_package_shipped(spark)
     _warm_collation_support(spark)
     return spark
 
@@ -71,6 +72,47 @@ def _warm_collation_support(spark: SparkSession) -> None:
     except Exception:
         pass  # warm-up must never block session creation
     _warm_python_workers(spark)
+
+
+_SHIPPED: set[int] = set()
+
+
+def ensure_package_shipped(spark: SparkSession) -> None:
+    """Make ``stglib_spark`` importable on executors regardless of the
+    driver's working directory.
+
+    UDF closures (applyInPandas kernels) are pickled by reference, so the
+    worker must import this package; that silently works in local mode
+    only while the driver's cwd is the repo root. Shipping a zip via
+    ``addPyFile`` is the same mechanism as ``spark-submit --py-files`` on
+    a real cluster. Idempotent per SparkContext."""
+    import zipfile
+
+    sc = spark.sparkContext
+    key = id(sc)
+    if key in _SHIPPED:
+        return
+    try:
+        pkg_dir = os.path.dirname(os.path.abspath(__file__))
+        zip_path = os.path.join(
+            os.environ.get("TMPDIR", "/tmp"), "stglib_spark_pkg.zip"
+        )
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                if "__pycache__" in root:
+                    continue
+                for name in files:
+                    if not name.endswith(".py"):
+                        continue
+                    full = os.path.join(root, name)
+                    rel = os.path.join(
+                        "stglib_spark", os.path.relpath(full, pkg_dir)
+                    )
+                    zf.write(full, rel)
+        sc.addPyFile(zip_path)
+        _SHIPPED.add(key)
+    except Exception:
+        pass  # best-effort; local-mode repo-cwd runs work without it
 
 
 def _warm_python_workers(spark: SparkSession) -> None:
@@ -105,6 +147,10 @@ _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (see TESTDATA.md) as a DataFrame."""
     from pyspark.sql import functions as F
+
+    # sessions built outside get_spark (the driver brings its own) still
+    # need the package on executors for the UDF-backed queries
+    ensure_package_shipped(spark)
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _NANOS_TS_COLS.get(name, ())
