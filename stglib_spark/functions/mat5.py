@@ -70,7 +70,13 @@ def _parse_matrix(payload: bytes) -> tuple[str, Any]:
     ty, dims_b, off = _read_element(payload, off)
     dims = np.frombuffer(dims_b, np.int32).tolist()
     ty, name_b, off = _read_element(payload, off)
-    name = name_b.tobytes().decode() if hasattr(name_b, "tobytes") else bytes(name_b).decode("ascii", errors="replace")
+    raw_name = name_b.tobytes() if hasattr(name_b, "tobytes") else bytes(name_b)
+    # names are ASCII per the MAT5 spec, but roundtrip our own UTF-8
+    # writer losslessly; latin-1 salvages non-UTF8 vendor bytes
+    try:
+        name = raw_name.decode("utf-8")
+    except UnicodeDecodeError:
+        name = raw_name.decode("latin-1")
 
     if klass == mxCHAR:
         ty, data, off = _read_element(payload, off)

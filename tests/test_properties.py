@@ -1,0 +1,211 @@
+"""Property-based invariants (reference test strategy, SURVEY §5:
+variance preservation, conversion roundtrips, golden identities).
+
+Pure NumPy kernels get hypothesis-generated inputs; Column-expression
+operators get batched seeded-random inputs through one Spark evaluation
+per test (hypothesis-per-example with a SparkSession would re-plan per
+example).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+G = 9.81
+
+
+# --------------------------------------------------------------------------
+# hypothesis on pure kernels
+# --------------------------------------------------------------------------
+
+
+@given(
+    omega=st.floats(0.15, 3.0),
+    h=st.floats(1.0, 200.0),
+)
+@settings(max_examples=200, deadline=None)
+def test_qkfs_satisfies_dispersion_relation(omega, h):
+    """qkfs (Wiberg & Sherwood 2009, core/waves.py:988-1007) must return k
+    with ω² = g·k·tanh(k·h)."""
+    from stglib_spark.operators.waves import qkfs_np
+
+    k = qkfs_np(np.array([omega]), h)[0]
+    residual = omega**2 - G * k * np.tanh(k * h)
+    assert abs(residual) / omega**2 < 1e-3
+
+
+@given(
+    cutoff_frac=st.floats(0.05, 0.45),
+    dc=st.floats(-5.0, 5.0),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=25, deadline=None)
+def test_butterworth_lowpass_preserves_dc_kills_nyquist(cutoff_frac, dc, seed):
+    """Zero-phase Butterworth (core/filter.py semantics): DC passes
+    unchanged; a Nyquist-frequency tone is crushed."""
+    from stglib_spark.functions.signal import butter_ba, filtfilt
+
+    n = 512
+    nyq_tone = np.cos(np.pi * np.arange(n))  # f = fs/2
+    x = dc + nyq_tone
+    b, a = butter_ba(4, cutoff_frac)
+    y = filtfilt(b, a, x)
+    mid = y[100:-100]
+    assert np.allclose(mid.mean(), dc, atol=5e-2)
+    # Nyquist amplitude reduced by >100× in the interior
+    assert np.abs(mid - dc).max() < 1e-2
+
+
+@given(seed=st.integers(0, 2**32 - 1))
+@settings(max_examples=20, deadline=None)
+def test_welch_variance_preservation(seed):
+    """PUV invariant (test_puv_quick.py): ∫PSD df ≈ time-domain variance."""
+    from stglib_spark.functions.signal import welch_psd
+
+    x = np.random.RandomState(seed).randn(4096)
+    f, pxx = welch_psd(x, fs=2.0, nperseg=256)
+    assert abs(np.trapz(pxx, f) - x.var()) / x.var() < 0.15
+
+
+@given(
+    data=st.lists(
+        st.floats(-1e6, 1e6, allow_nan=False), min_size=1, max_size=40
+    ),
+    name=st.text(
+        alphabet=st.characters(whitelist_categories=("Ll", "Lu")),
+        min_size=1,
+        max_size=10,
+    ),
+)
+@settings(max_examples=50, deadline=None)
+def test_mat5_roundtrip(tmp_path_factory, data, name):
+    """Pure-Python MAT5 writer/reader roundtrip (functions/mat5.py)."""
+    from stglib_spark.functions.mat5 import loadmat, savemat
+
+    path = str(tmp_path_factory.mktemp("mat") / "t.mat")
+    arr = np.asarray(data, dtype=np.float64)
+    savemat(path, {name: arr})
+    back = loadmat(path)
+    np.testing.assert_allclose(np.ravel(back[name]), arr)
+
+
+@given(
+    n=st.integers(16, 200),
+    kernel=st.sampled_from([3, 5, 7]),
+    seed=st.integers(0, 2**16),
+)
+@settings(max_examples=30, deadline=None)
+def test_medfilt_idempotent_on_monotone(n, kernel, seed):
+    """A k-point median filter leaves a monotone ramp unchanged away from
+    the zero-padded edges (scipy.signal.medfilt parity property)."""
+    from stglib_spark.functions.signal import medfilt
+
+    x = np.linspace(0, 1, n) + seed * 0.0
+    y = medfilt(x, kernel)
+    half = kernel // 2
+    np.testing.assert_allclose(y[half:-half], x[half:-half], atol=1e-12)
+
+
+# --------------------------------------------------------------------------
+# batched seeded-random properties through Spark column expressions
+# --------------------------------------------------------------------------
+
+
+T_NORTEK = [
+    [2896 / 4096, 2896 / 4096, 0.0],
+    [-2896 / 4096, 2896 / 4096, 0.0],
+    [-2896 / 4096, -2896 / 4096, 5792 / 4096],
+]
+
+
+@pytest.mark.parametrize("down", [False, True])
+def test_beam_enu_roundtrip_random_attitudes(spark, down):
+    """BEAM→ENU→BEAM is identity for any attitude, both orientations
+    (test_stglib.py:239-261 roundtrip, generalized to 200 random draws)."""
+    from stglib_spark.operators.transforms import (
+        beam2enu_columns,
+        enu2beam_columns,
+    )
+
+    rng = np.random.RandomState(11)
+    n = 200
+    pdf = pd.DataFrame(
+        {
+            "h": rng.uniform(0, 360, n),
+            "p": rng.uniform(-25, 25, n),
+            "r": rng.uniform(-25, 25, n),
+            "b1": rng.uniform(-2, 2, n),
+            "b2": rng.uniform(-2, 2, n),
+            "b3": rng.uniform(-2, 2, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    enu = beam2enu_columns(
+        [F.col("b1"), F.col("b2"), F.col("b3")],
+        F.col("h"), F.col("p"), F.col("r"), T_NORTEK, down,
+    )
+    mid = df.select(
+        "h", "p", "r", "b1", "b2", "b3",
+        enu[0].alias("u"), enu[1].alias("v"), enu[2].alias("w"),
+    )
+    beam = enu2beam_columns(
+        [F.col("u"), F.col("v"), F.col("w")],
+        F.col("h"), F.col("p"), F.col("r"), T_NORTEK, down,
+    )
+    got = mid.select(
+        "b1", "b2", "b3",
+        beam[0].alias("r1"), beam[1].alias("r2"), beam[2].alias("r3"),
+    ).toPandas()
+    np.testing.assert_allclose(got["r1"], got["b1"], atol=1e-9)
+    np.testing.assert_allclose(got["r2"], got["b2"], atol=1e-9)
+    np.testing.assert_allclose(got["r3"], got["b3"], atol=1e-9)
+
+
+def test_spd2uv_roundtrip_random(spark):
+    """spd/dir → u/v → spd/dir identity over random draws
+    (utils.py:1881-1904 conventions)."""
+    from stglib_spark.operators.transforms import spd2uv, uv2spd
+
+    rng = np.random.RandomState(5)
+    n = 500
+    pdf = pd.DataFrame(
+        {"spd": rng.uniform(0.01, 3.0, n), "dir": rng.uniform(0, 360, n)}
+    )
+    df = spark.createDataFrame(pdf)
+    u, v = spd2uv(F.col("spd"), F.col("dir"))
+    df2 = df.select("spd", "dir", u.alias("u"), v.alias("v"))
+    s2, d2 = uv2spd(F.col("u"), F.col("v"))
+    got = df2.select("spd", "dir", s2.alias("s2"), d2.alias("d2")).toPandas()
+    np.testing.assert_allclose(got["s2"], got["spd"], rtol=1e-9)
+    dd = (got["d2"] - got["dir"] + 180) % 360 - 180
+    np.testing.assert_allclose(dd, np.zeros(n), atol=1e-9)
+
+
+def test_epic_time_codec_roundtrip_random(spark):
+    """CF datetime → EPIC (julian day, ms-of-day) → CF datetime is the
+    identity for ms-precision timestamps (utils.py:879-929; same
+    expressions as the ts_epic_time_codec registry query)."""
+    rng = np.random.RandomState(3)
+    base = pd.Timestamp("2000-01-01")
+    ts = [
+        base + pd.Timedelta(seconds=int(s), milliseconds=int(ms))
+        for s, ms in zip(rng.randint(0, 10**9, 300), rng.randint(0, 1000, 300))
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"time": ts}))
+    us = F.unix_micros(F.col("time"))
+    day_us = F.lit(86400000000).cast("long")
+    epic_day = (us / day_us).cast("long") + 2440588
+    ms_of_day = ((us % day_us) / 1000).cast("long")
+    # decode: (julian day − epoch offset)·day + ms-of-day
+    decoded = F.timestamp_micros(
+        (F.col("epic_day") - 2440588) * day_us + F.col("time2") * 1000
+    )
+    enc = df.select(
+        "time", epic_day.alias("epic_day"), ms_of_day.alias("time2")
+    )
+    back = enc.select("time", decoded.alias("rt")).toPandas()
+    assert (back["time"] == back["rt"]).all()
