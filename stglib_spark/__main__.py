@@ -9,8 +9,9 @@ three-zone Parquet pipeline.
 Steps (reference registry names; any ``*2cdf`` spelling maps to ingest):
     csv2cdf / dat2cdf / mat2cdf / hdr2cdf / raw2cdf / rsk2cdf / ...  ingest
     cdf2nc                                                           clean
-    nc2waves                                                         waves
+    nc2waves                                                         waves (+PUV when ``puv: true``)
     nc2diwasp                                                        diwasp
+    nc2xy                                                            sonar xy images
     all                                                              ingest+clean[+waves]
 
 Instrument = an ingest adapter name (``stglib_spark.sources.ADAPTERS``);
@@ -30,7 +31,7 @@ def build_parser() -> argparse.ArgumentParser:
         description="Three-stage oceanographic pipeline (ingest/clean/analyze) on PySpark.",
     )
     p.add_argument("instrument", nargs="?", help="ingest adapter name (see --list)")
-    p.add_argument("step", nargs="?", help="*2cdf | cdf2nc | nc2waves | nc2diwasp | all")
+    p.add_argument("step", nargs="?", help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | all")
     p.add_argument("gatts", nargs="?", help="global attributes file (key; value lines)")
     p.add_argument("config", nargs="?", help="YAML instrument config")
     p.add_argument("--input", dest="input_path", help="vendor input file/dir (else config input_path)")
@@ -77,6 +78,8 @@ def main(argv: list[str] | None = None) -> int:
             path = pipeline.run_waves(spark, config)
         elif step == "nc2diwasp":
             path = pipeline.run_diwasp(spark, config)
+        elif step == "nc2xy":
+            path = pipeline.run_xy(spark, config)
         elif step == "all":
             path = pipeline.run_all(spark, config)
         else:

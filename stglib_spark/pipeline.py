@@ -138,7 +138,34 @@ def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
     waves = wave_ops.make_waves_ds(df, config, pressure_col=pcol)
     waves = clip_ops.trim_max_wp(waves, config)
     history.insert_history("Computed wave statistics (Welch spectral chain).")
+    if (
+        config.get("puv")
+        and "u_1205" in df.columns
+        and "v_1206" in df.columns
+    ):
+        # PUV directional statistics joined onto the wave table (the
+        # reference computes both in vec/sig nc2waves when puv: true,
+        # sig/nc2waves.py:550-599)
+        puv = wave_ops.make_puv_ds(df, config, pressure_col=pcol)
+        waves = waves.join(puv, "burst_time", "left")
+        history.insert_history("Computed PUV directional wave statistics.")
     return _write_zone(waves, config, "waves", history)
+
+
+def run_xy(spark: SparkSession, config: dict[str, Any]) -> str:
+    """Stage 3 variant (nc2xy): clean sonar sweeps → cartesian images
+    (son/nc2xy.py:67-123)."""
+    from stglib_spark.operators import sonar
+
+    history = History()
+    df = spark.read.parquet(_zone_path(config, "clean"))
+    out = sonar.polar_to_xy(
+        df,
+        total_range=float(config["sonar_range"]),
+        dxy=float(config.get("sonar_dxy", 0.1)),
+    )
+    history.insert_history("Resampled polar sweeps to cartesian images.")
+    return _write_zone(out, config, "xy", history)
 
 
 def _burst_keyed(df: DataFrame, config: dict[str, Any]) -> DataFrame:

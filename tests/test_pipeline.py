@@ -172,3 +172,76 @@ def test_run_diwasp_stage(spark, burst_csv):
         assert r.wp_peak == pytest.approx(8.0, rel=0.1)
         assert len(r.diwasp_frequency) == 24
         assert len(r.diwasp_dspec) == 24
+
+
+def test_run_waves_puv_branch(spark, burst_csv, fixture_dir):
+    """puv: true joins PUV directional stats onto the wave table when
+    velocity columns exist (sig/nc2waves.py:550-599 behavior)."""
+    import pandas as _pd
+
+    from stglib_spark.pipeline import _zone_path, run_waves
+
+    cfg = dict(CONFIG, input_path=burst_csv, filename="puvtest", puv=True)
+    # synthesize a clean zone with u/v orbital velocities alongside P_1
+    fs, spb, n_bursts = 2.0, 512, 10
+    rows = []
+    t0 = _pd.Timestamp("2024-06-01 00:00:00")
+    for b in range(n_bursts):
+        bt = t0 + _pd.Timedelta(seconds=1800 * b)
+        tt = np.arange(spb) / fs
+        p = 10.0 + 0.4 * np.sin(2 * np.pi / 8.0 * tt)
+        u = 0.3 * np.sin(2 * np.pi / 8.0 * tt)
+        v = 0.1 * np.sin(2 * np.pi / 8.0 * tt)
+        for s in range(spb):
+            rows.append(
+                (
+                    (bt + _pd.Timedelta(seconds=tt[s])).to_pydatetime(),
+                    float(p[s]),
+                    float(u[s]),
+                    float(v[s]),
+                )
+            )
+    spark.createDataFrame(
+        rows, "time timestamp, P_1 double, u_1205 double, v_1206 double"
+    ).write.mode("overwrite").parquet(_zone_path(cfg, "clean"))
+
+    path = run_waves(spark, cfg)
+    out = spark.read.parquet(path)
+    assert out.count() == n_bursts
+    cols = set(out.columns)
+    assert {"wh_4061", "wp_peak"} <= cols
+    # PUV fields joined on
+    assert any(c.startswith("Hrms") or c == "azr" or c == "phir" for c in cols), cols
+
+
+def test_run_xy_stage(spark):
+    """nc2xy: polar sweeps → cartesian images (son/nc2xy.py:67-123)."""
+    import pandas as _pd
+
+    from stglib_spark.pipeline import _zone_path, run_xy
+
+    cfg = {"filename": "sonartest", "output_dir": TMP, "sonar_range": 2.0, "sonar_dxy": 0.5}
+    os.makedirs(TMP, exist_ok=True)
+    t = _pd.Timestamp("2024-06-01")
+    rows = []
+    for ti in range(2):
+        for th in range(0, 360, 5):
+            for r_i, rng_m in enumerate(np.arange(0.25, 2.25, 0.25)):
+                rows.append(
+                    (
+                        (t + _pd.Timedelta(minutes=ti)).to_pydatetime(),
+                        float(th),
+                        float(rng_m),
+                        float(th % 90 + r_i),
+                    )
+                )
+    spark.createDataFrame(
+        rows, "time timestamp, theta_deg double, horz_rng double, amp double"
+    ).write.mode("overwrite").parquet(_zone_path(cfg, "clean"))
+
+    path = run_xy(spark, cfg)
+    out = spark.read.parquet(path)
+    axis_len = len(np.arange(-2.0, 2.0 + 0.5, 0.5))
+    assert out.count() == 2 * axis_len * axis_len
+    assert {"time", "x", "y", "sonar_image"} <= set(out.columns)
+    assert out.filter("sonar_image IS NOT NULL").count() > 0
