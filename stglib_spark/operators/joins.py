@@ -8,19 +8,26 @@ companion (``reindex_like nearest``, ``utils.py:1947-1954``), brange height
 file (nearest within tolerance, ``aqdutils.py:551-557``), per-profile met
 lookup (``rsk/cdf2nc.py:188-193``).
 
-Spark-first design: the as-of join is implemented as a UNION + ordered
-window ("last right row at or before t"), which is a single sort-merge
-pass per series partition — no O(n·m) range explosion, no driver
-collect, and it scales to both sides being large (100 TB fact vs
-multi-GB companion). When the right side is small Spark's AQE will
-already have broadcast the union input's partitions cheaply.
+Spark-first design, two physical strategies:
+
+- **tolerance given (the engine default)** — time-bucketed equi-join:
+  the right side is pre-aggregated into per-bucket sorted arrays
+  (bucket = floor(time/tolerance)), the left joins buckets b−1/b/b+1 and
+  picks the nearest candidate with array expressions. Shuffle is
+  equi-join shaped (broadcastable when the companion is small), left
+  rows are never windowed globally — this is the 100 TB path.
+- **no tolerance** — UNION + ordered window ("last right row at or
+  before t"): exact unbounded-lookback semantics, but the window is
+  global when ``by`` is empty, so one partition sees the whole series.
+  Kept only for unbounded lookups on bounded data; scale callers must
+  pass ``by`` series keys or a tolerance.
 """
 
 from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def asof_join(
@@ -37,13 +44,11 @@ def asof_join(
     time is nearest at-or-before (backward), at-or-after (forward), or
     nearest-either-side (nearest), optionally within a tolerance.
 
-    Single-pass union + window implementation:
-      1. tag sides, union on (by, on, right value cols),
-      2. per (by) partition ordered by (on, side) compute
-         ``last(value, ignorenulls=True)`` / ``first(...)`` over the
-         running frame → backward/forward candidates and their times,
-      3. keep only left rows; pick candidate per direction; null out
-         candidates beyond tolerance.
+    With a tolerance the search window is ±tolerance and buckets are
+    sized to it; without one, buckets are sized adaptively from the right
+    side's span and a bucket-level carry (computed over the tiny bucket
+    summary table) supplies the "nearest match in some earlier/later
+    bucket" fallback — no window ever runs over the fact table.
     """
     value_cols = list(
         value_cols
@@ -52,68 +57,215 @@ def asof_join(
     )
     by = list(by)
 
-    lhs = left.withColumn("__side", F.lit(1))
-    for c in value_cols:
-        lhs = lhs.withColumn(f"__rv_{c}", F.lit(None).cast(right.schema[c].dataType))
-    lhs = lhs.withColumn("__rt", F.lit(None).cast(right.schema[on].dataType))
+    if tolerance_seconds is not None:
+        return _asof_join_bucketed(
+            left, right, on, by, value_cols, direction,
+            float(tolerance_seconds), suffix,
+        )
+    return _asof_join_unbounded(
+        left, right, on, by, value_cols, direction, suffix
+    )
 
-    rhs = right.select(
-        *[F.col(c) for c in by],
-        F.col(on),
+
+def _asof_join_unbounded(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    direction: str,
+    suffix: str,
+) -> DataFrame:
+    """Unbounded as-of as bucketed join + bucket-level carry.
+
+    1. Bucket both sides on an adaptive width (right-side span / ~8×
+       parallelism — one tiny agg job at plan build).
+    2. Right side → per (by, bucket) sorted candidate array, plus a
+       bucket summary (first/last struct per bucket).
+    3. Carry: union the summary bucket keys with the left side's distinct
+       bucket keys (small: O(#buckets)), window over THAT table to find
+       each bucket's last-preceding / first-following right struct. The
+       only unbounded window in the plan runs over this summary table —
+       thousands of rows — never over the fact rows.
+    4. Left rows equi-join their bucket's array + carry; in-bucket
+       candidates win by construction (they're strictly nearer than any
+       carried struct on that side).
+    """
+    stats = right.select(
+        F.min(on).alias("t0"), F.max(on).alias("t1"), F.count(F.lit(1)).alias("n")
+    ).first()
+    result_left = [F.col(c) for c in left.columns]
+    if stats["n"] == 0:
+        nulls = [
+            F.lit(None).cast(right.schema[c].dataType).alias(f"{c}{suffix}")
+            for c in value_cols
+        ]
+        return left.select(*result_left, *nulls)
+    span = max(
+        (stats["t1"] - stats["t0"]).total_seconds()
+        if hasattr(stats["t1"] - stats["t0"], "total_seconds")
+        else float(stats["t1"] - stats["t0"]),
+        0.0,
+    )
+    parallelism = left.sparkSession.sparkContext.defaultParallelism
+    width = max(span / max(parallelism * 8, 1), 1e-6)
+
+    def bucket(t: Column) -> Column:
+        return F.floor(t.cast("double") / F.lit(width)).cast("long")
+
+    rstruct = F.struct(
+        F.col(on).alias("__rt"),
         *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
-    ).withColumn("__side", F.lit(0)).withColumn("__rt", F.col(on))
-    for c in left.columns:
-        if c not in by and c != on:
-            rhs = rhs.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
-    unioned = lhs.unionByName(rhs.select(*lhs.columns))
-
-    # right rows sort before left rows at identical time → "at or before"
-    w_back = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(F.col(on), F.col("__side"))
-        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    w_fwd = (
+    rb = (
+        right.select(*[F.col(c) for c in by], F.col(on), rstruct.alias("__s"))
+        .withColumn("__bk", bucket(F.col(on)))
+        .groupBy(*[F.col(c) for c in by], F.col("__bk"))
+        .agg(
+            F.sort_array(F.collect_list("__s")).alias("__arr"),
+            F.min("__s").alias("__first"),
+            F.max("__s").alias("__last"),
+        )
+    )
+    arr_type = rb.schema["__arr"].dataType
+
+    # bucket-key universe: every bucket either side touches
+    lkeys = (
+        left.select(*[F.col(c) for c in by], bucket(F.col(on)).alias("__bk"))
+        .distinct()
+    )
+    keys = lkeys.unionByName(
+        rb.select(*[F.col(c) for c in by], F.col("__bk"))
+    ).distinct()
+    summaries = keys.join(
+        rb.select(*[F.col(c) for c in by], "__bk", "__first", "__last"),
+        [*by, "__bk"],
+        "left",
+    )
+    w_prev = (
         Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy(F.col(on), F.col("__side"))
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy("__bk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_next = (
+        Window.partitionBy(*[F.col(c) for c in by])
+        .orderBy("__bk")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    carry = summaries.select(
+        *[F.col(c) for c in by],
+        "__bk",
+        F.last("__last", ignorenulls=True).over(w_prev).alias("__carry_back"),
+        F.first("__first", ignorenulls=True).over(w_next).alias("__carry_fwd"),
     )
 
-    out = unioned
-    for c in value_cols:
-        out = out.withColumn(f"__b_{c}", F.last(f"__rv_{c}", ignorenulls=True).over(w_back))
-        out = out.withColumn(f"__f_{c}", F.first(f"__rv_{c}", ignorenulls=True).over(w_fwd))
-    out = out.withColumn("__bt", F.last("__rt", ignorenulls=True).over(w_back))
-    out = out.withColumn("__ft", F.first("__rt", ignorenulls=True).over(w_fwd))
-
-    out = out.filter(F.col("__side") == 1)
-
+    out = (
+        left.withColumn("__bk", bucket(F.col(on)))
+        .join(rb.select(*[F.col(c) for c in by], "__bk", "__arr"), [*by, "__bk"], "left")
+        .join(carry, [*by, "__bk"], "left")
+    )
+    cand = F.coalesce(F.col("__arr"), F.array().cast(arr_type))
     t = F.col(on).cast("double")
-    bdist = t - F.col("__bt").cast("double")
-    fdist = F.col("__ft").cast("double") - t
+    in_back = F.array_max(F.filter(cand, lambda x: x["__rt"].cast("double") <= t))
+    in_fwd = F.array_min(F.filter(cand, lambda x: x["__rt"].cast("double") >= t))
+    back = F.coalesce(in_back, F.col("__carry_back"))
+    fwd = F.coalesce(in_fwd, F.col("__carry_fwd"))
 
-    def within(dist):
-        if tolerance_seconds is None:
-            return F.lit(True)
-        return dist <= F.lit(float(tolerance_seconds))
+    if direction == "backward":
+        picked = back
+    elif direction == "forward":
+        picked = fwd
+    elif direction == "nearest":
+        bdist = t - back["__rt"].cast("double")
+        fdist = fwd["__rt"].cast("double") - t
+        picked = F.when(
+            back.isNotNull() & (fwd.isNull() | (bdist <= fdist)), back
+        ).otherwise(fwd)
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
 
-    result_cols = [F.col(c) for c in left.columns]
-    for c in value_cols:
-        back_ok = F.col("__bt").isNotNull() & within(bdist)
-        fwd_ok = F.col("__ft").isNotNull() & within(fdist)
-        if direction == "backward":
-            picked = F.when(back_ok, F.col(f"__b_{c}"))
-        elif direction == "forward":
-            picked = F.when(fwd_ok, F.col(f"__f_{c}"))
-        elif direction == "nearest":
-            picked = (
-                F.when(
-                    back_ok & (~fwd_ok | (bdist <= fdist)), F.col(f"__b_{c}")
-                ).when(fwd_ok, F.col(f"__f_{c}"))
-            )
-        else:
-            raise ValueError(f"unknown direction {direction!r}")
-        result_cols.append(picked.alias(f"{c}{suffix}"))
+    return out.select(
+        *result_left,
+        *[picked[f"__rv_{c}"].alias(f"{c}{suffix}") for c in value_cols],
+    )
+
+
+def _asof_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: list[str],
+    value_cols: list[str],
+    direction: str,
+    tol: float,
+    suffix: str,
+) -> DataFrame:
+    """Tolerance-bounded as-of join as a time-bucketed equi-join.
+
+    Right rows are collected into one sorted array per (by, bucket) with
+    bucket = floor(t/tol); any candidate within ±tol of a left row lives
+    in the left row's bucket or an adjacent one, so three equi-joins
+    (b−1, b, b+1) cover the search window. Candidate selection is pure
+    array expressions. Per-bucket arrays are bounded by tol × the right
+    side's sample rate — the companion series by construction (SURVEY
+    §2.6: met/salinity/brange lookups).
+    """
+
+    def bucket(t: Column) -> Column:
+        return F.floor(t.cast("double") / F.lit(tol)).cast("long")
+
+    rstruct = F.struct(
+        F.col(on).alias("__rt"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+    )
+    rb = (
+        right.select(*[F.col(c) for c in by], F.col(on), rstruct.alias("__s"))
+        .withColumn("__bk", bucket(F.col(on)))
+        .groupBy(*[F.col(c) for c in by], F.col("__bk"))
+        .agg(F.sort_array(F.collect_list("__s")).alias("__arr"))
+    )
+    arr_type = rb.schema["__arr"].dataType
+
+    out = left.withColumn("__bk", bucket(F.col(on)))
+    for i, d in enumerate((-1, 0, 1)):
+        shifted = rb.select(
+            *[F.col(c) for c in by],
+            (F.col("__bk") + F.lit(d)).alias("__bk"),
+            F.col("__arr").alias(f"__arr_{i}"),
+        )
+        out = out.join(shifted, [*by, "__bk"], "left")
+
+    empty = F.array().cast(arr_type)
+    cand = F.concat(
+        *[F.coalesce(F.col(f"__arr_{i}"), empty) for i in range(3)]
+    )
+    t = F.col(on).cast("double")
+
+    def rt(x: Column) -> Column:
+        return x["__rt"].cast("double")
+
+    back = F.array_max(
+        F.filter(cand, lambda x: (rt(x) <= t) & (t - rt(x) <= F.lit(tol)))
+    )
+    fwd = F.array_min(
+        F.filter(cand, lambda x: (rt(x) >= t) & (rt(x) - t <= F.lit(tol)))
+    )
+    if direction == "backward":
+        picked = back
+    elif direction == "forward":
+        picked = fwd
+    elif direction == "nearest":
+        bdist = t - back["__rt"].cast("double")
+        fdist = fwd["__rt"].cast("double") - t
+        picked = F.when(
+            back.isNotNull() & (fwd.isNull() | (bdist <= fdist)), back
+        ).otherwise(fwd)
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+
+    result_cols = [F.col(c) for c in left.columns] + [
+        picked[f"__rv_{c}"].alias(f"{c}{suffix}") for c in value_cols
+    ]
     return out.select(*result_cols)
 
 
