@@ -65,6 +65,30 @@ def magvar_correct_heading(heading: Column, magvar_deg: float) -> Column:
     return (heading + F.lit(magvar_deg) + 360.0) % 360.0
 
 
+def wind_dir_correct(
+    direction: Column,
+    time: Column,
+    magnetic_variation: float,
+    dir_offset: float | None = None,
+    dir_offset_time: str | None = None,
+) -> Column:
+    """Met-station wind-direction correction (met.py:100-162): optional
+    sensor-misalignment offset — applied from ``dir_offset_time`` onward
+    when given, else to the whole series — then magnetic→true rotation,
+    rounded to whole degrees, wrapped to [0, 360)."""
+    d = direction
+    if dir_offset is not None:
+        off = F.lit(float(dir_offset))
+        if dir_offset_time is not None:
+            d = F.when(time < F.lit(dir_offset_time).cast("timestamp"), d).otherwise(
+                d + off
+            )
+        else:
+            d = d + off
+    d = F.round(d + F.lit(float(magnetic_variation)), 0)
+    return F.pmod(d, F.lit(360.0))
+
+
 def beam2enu_columns(
     beam_cols: Sequence[Column],
     heading: Column,

@@ -2056,6 +2056,37 @@ def phys_direction_conventions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "phys_wind_dir_correct",
+    """
+    WITH d AS (
+      SELECT event_id, ts, ((event_id * 17) % 360)::DOUBLE AS wd
+      FROM events
+    )
+    SELECT event_id,
+           ((round(
+              (CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                    THEN wd ELSE wd + 8.0 END) + (-12.5), 0)
+             % 360.0) + 360.0) % 360.0 AS wd_true
+    FROM d
+    """,
+)
+def phys_wind_dir_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Met wind-direction correction (met.py:100-162): dir_offset applied
+    from dir_offset_time onward, magnetic→true rotation, rounded and
+    wrapped to [0, 360)."""
+    ev = load_table(spark, sf_dir, "events")
+    wd = ((F.col("event_id") * 17) % 360).cast("double")
+    out = transforms.wind_dir_correct(
+        wd,
+        F.col("ts"),
+        magnetic_variation=-12.5,
+        dir_offset=8.0,
+        dir_offset_time="2024-01-15 00:00:00",
+    )
+    return ev.select("event_id", out.alias("wd_true"))
+
+
+@register(
     "phys_transfer_function",
     """
     WITH k AS (

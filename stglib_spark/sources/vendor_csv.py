@@ -466,3 +466,73 @@ def read_troll(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFr
             "time", F.col("time") + F.lit(toshift) * F.expr("INTERVAL 1 SECOND")
         )
     return df
+
+
+# ---------------------------------------------------------------- Geolux / Argonaut
+
+
+@register_adapter("glx")
+def read_glx(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    """Geolux wave radar .dat/.txt (glx.py:12-60): TOA5-style — header on
+    line 2 with TIMESTAMP, two metadata rows below it, RECORD counters
+    int, everything else float. ``path`` may be a glob (the reference
+    concatenates ``basefile*.dat`` + ``basefile*.txt``); Spark's csv
+    reader globs natively, so multi-file deployments scale out instead of
+    concatenating driver-side."""
+    import glob as _glob
+
+    local = _local(path)
+    candidates = sorted(_glob.glob(local)) if any(ch in local for ch in "*?[") else [local]
+    if not candidates:
+        raise ValueError(f"no files match {path}")
+    header = None
+    with open(candidates[0], encoding="utf-8", errors="ignore") as f:
+        for line in f:
+            if "TIMESTAMP" in line:
+                header = [c.strip().strip('"') for c in line.rstrip("\n").split(",")]
+                break
+    if header is None:
+        raise ValueError(f"no TIMESTAMP header line in {candidates[0]}")
+    df = _named_csv(spark, path, header)
+    df = df.withColumn(
+        "time", F.try_to_timestamp(F.regexp_replace(F.col("TIMESTAMP"), '"', ""))
+    )
+    df = _keep_timed(df).drop("TIMESTAMP")
+    casts = {}
+    for c in df.columns:
+        if c == "time":
+            continue
+        casts[c] = (
+            F.col(c).try_cast("long") if "RECORD" in c else F.col(c).try_cast("double")
+        )
+    return df.withColumns(casts).orderBy("time")
+
+
+@register_adapter("argonaut_dat")
+def read_argonaut_dat(
+    spark: SparkSession, path: str, config: dict[str, Any]
+) -> DataFrame:
+    """SonTek Argonaut whitespace .dat (argonaut.py:15-28): header line
+    of column names, Year/Month/Day/Hour/Minute/Second date parts →
+    time, remaining columns numeric. Whitespace-delimited files have no
+    fixed separator for the csv reader, so rows are split distributed
+    with a regex over spark.read.text."""
+    with open(_local(path), encoding="utf-8", errors="ignore") as f:
+        names = f.readline().split()
+    date_parts = ["Year", "Month", "Day", "Hour", "Minute", "Second"]
+    missing = [p for p in date_parts if p not in names]
+    if missing:
+        raise ValueError(f"argonaut header missing {missing} in {path}")
+    txt = spark.read.text(str(path))
+    parts = F.split(F.trim(F.col("value")), r"\s+")
+    df = txt.select(*[parts[i].alias(n) for i, n in enumerate(names)])
+    ints = {p: F.col(p).try_cast("int") for p in date_parts}
+    df = df.withColumns(ints).withColumn(
+        "time",
+        F.try_make_timestamp(
+            F.col("Year"), F.col("Month"), F.col("Day"),
+            F.col("Hour"), F.col("Minute"), F.col("Second").cast("double"),
+        ),
+    )
+    df = _keep_timed(df).drop(*date_parts)
+    return _cast_doubles(df, [c for c in df.columns if c != "time"]).orderBy("time")

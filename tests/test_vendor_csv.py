@@ -212,3 +212,43 @@ def test_troll_dejitter_and_shift(tmp_path, spark):
     assert rows[1]["time"].second == 20
     assert rows[0]["temperature"] == pytest.approx(20.0)
     assert rows[0]["pressure"] == pytest.approx(101.0)
+
+
+def test_read_glx_multifile(spark, tmp_path):
+    """Geolux TOA5-style glob ingest (glx.py:12-60)."""
+    for i in range(2):
+        lines = [
+            '"TOA5","geolux","CR300"',
+            '"TIMESTAMP","RECORD","distance","level"',
+            '"TS","RN","m","m"',
+            '"","","Smp","Smp"',
+        ]
+        for j in range(5):
+            ts = f"2024-03-0{i+1} 00:0{j}:00"
+            lines.append(f'"{ts}",{j},{10.0 + j},{2.0 + 0.1 * j}')
+        (tmp_path / f"glx_{i}.dat").write_text("\n".join(lines))
+    from stglib_spark.sources import ingest
+
+    df = ingest(spark, "glx", str(tmp_path / "glx_*.dat"), {})
+    rows = df.collect()
+    assert len(rows) == 10  # header/units rows dropped, both files read
+    assert dict(df.dtypes)["RECORD"] == "bigint"
+    assert dict(df.dtypes)["distance"] == "double"
+    assert rows[0]["time"].day == 1 and rows[-1]["time"].day == 2
+
+
+def test_read_argonaut_dat(spark, tmp_path):
+    """Argonaut whitespace .dat with date-part columns (argonaut.py:15-28)."""
+    lines = ["Year Month Day Hour Minute Second Vel1 Vel2 SNR1"]
+    for j in range(4):
+        lines.append(f"2024 3 5 12 {j} 30   {0.1*j:.2f} {0.2*j:.2f} {20+j}")
+    p = tmp_path / "arg.dat"
+    p.write_text("\n".join(lines))
+    from stglib_spark.sources import ingest
+
+    df = ingest(spark, "argonaut_dat", str(p), {})
+    rows = df.orderBy("time").collect()
+    assert len(rows) == 4
+    assert rows[1]["time"].minute == 1 and rows[1]["time"].second == 30
+    assert rows[2]["Vel1"] == pytest.approx(0.2)
+    assert dict(df.dtypes)["SNR1"] == "double"
