@@ -2138,18 +2138,53 @@ def filt_butterworth_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("filt_median_smoother")  # rows-only: zero-padded edges not worth SQL
+@register(
+    "filt_median_smoother",
+    """
+    WITH d AS (
+      SELECT user_id, ts, avg(value) AS value
+      FROM events WHERE value IS NOT NULL GROUP BY user_id, ts
+    ),
+    m AS (
+      SELECT user_id, ts, value,
+             median(value) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING) AS med,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n
+      FROM d
+    )
+    SELECT user_id, ts,
+           round(med, 6) AS value,
+           round(value, 6) AS value_unfiltered
+    FROM m WHERE rn > 2 AND rn <= n - 2
+    """,
+)
 def filt_median_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median smoother with `_unfiltered` copy (core/filter.py:157-229).
+    The kernel zero-pads at series edges (scipy medfilt semantics), which
+    SQL's shrinking window can't express — so the oracle compares the
+    interior rows, where a full 5-row window is exact. Duplicate (user,
+    ts) rows are pre-aggregated so the window ordering is deterministic
+    in both engines."""
     from stglib_spark.operators import filters
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", F.col("ts").alias("time"), "value"
+    ev = load_table(spark, sf_dir, "events")
+    d = (
+        ev.filter(F.col("value").isNotNull())
+        .groupBy("user_id", F.col("ts").alias("time"))
+        .agg(F.avg("value").alias("value"))
     )
     out = filters.med_filter(
-        ev, "value", kernel_size=5, group_cols=("user_id",), keep_unfiltered=True
+        d, "value", kernel_size=5, group_cols=("user_id",), keep_unfiltered=True
     )
-    return out.select(
-        "event_id",
+    w = Window.partitionBy("user_id").orderBy("time")
+    wall = Window.partitionBy("user_id")
+    out = out.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wall)
+    )
+    return out.filter((F.col("__rn") > 2) & (F.col("__rn") <= F.col("__n") - 2)).select(
+        "user_id",
+        F.col("time").alias("ts"),
         F.round("value", 6).alias("value"),
         F.round("value_unfiltered", 6).alias("value_unfiltered"),
     )
