@@ -108,6 +108,8 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             physics.turbidity_to_ssc(F.col("Turb"), list(config["Turb_ssc_coeffs"])),
         )
 
+    df = _velocity_stack(df, config, history, pcol)
+
     value_cols = [
         c for c, t in df.dtypes if t in ("double", "float") and not c.startswith("__")
     ]
@@ -124,6 +126,80 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
     clean = result.df.select(*[c for c in result.df.columns if not c.startswith("__")])
     history.insert_history("Applied QA/QC rule engine.")
     return _write_zone(clean, config, "clean", history)
+
+
+def _velocity_stack(
+    df: DataFrame, config: dict[str, Any], history: History, pcol: str | None
+) -> DataFrame:
+    """The aqd/vec cdf2nc velocity path (aqd/cdf2nc.py:60-110): beam
+    averages, BEAM/XYZ→ENU + magvar, AGC/correlation/SNR gates, side-lobe
+    and water-level bin trims. Applied only when the deployment carries
+    velocity columns; every step is config-gated like the reference."""
+    from stglib_spark.operators import transforms, velocity
+
+    vel_cols = [c for c in ("vel1", "vel2", "vel3") if c in df.columns]
+    if len(vel_cols) != 3:
+        vel_cols = [c for c in ("VEL1", "VEL2", "VEL3") if c in df.columns]
+    heading = next((c for c in ("Heading", "Hdg_1215") if c in df.columns), None)
+    pitch = next((c for c in ("Pitch", "Ptch_1216") if c in df.columns), None)
+    roll = next((c for c in ("Roll", "Roll_1217") if c in df.columns), None)
+
+    # beam averages (aqd/cdf2nc.py:66; sig/cdf2nc.py:111-114)
+    if "AGC_1202" not in df.columns and all(
+        f"AMP{i}" in df.columns for i in (1, 2, 3)
+    ):
+        df = df.withColumn(
+            "AGC_1202", (F.col("AMP1") + F.col("AMP2") + F.col("AMP3")) / 3.0
+        )
+    if "cor_avg" not in df.columns and all(
+        f"COR{i}" in df.columns for i in (1, 2, 3)
+    ):
+        df = df.withColumn(
+            "cor_avg", (F.col("COR1") + F.col("COR2") + F.col("COR3")) / 3.0
+        )
+
+    system = config.get("AQDCoordinateSystem") or config.get("VECCoordinateSystem")
+    if len(vel_cols) == 3 and heading and pitch and roll and system:
+        df = transforms.transform_velocities(
+            df,
+            {**config, "AQDCoordinateSystem": system},
+            vel_cols=vel_cols,
+            heading_col=heading,
+            pitch_col=pitch,
+            roll_col=roll,
+        )
+        history.insert_history(
+            f"Transformed velocities {system}→ENU"
+            + (
+                f"; rotated by magnetic variation {config['magnetic_variation']}."
+                if config.get("magnetic_variation")
+                else "."
+            )
+        )
+    if "u_1205" in df.columns:
+        if "AGC_1202" in df.columns and (
+            config.get("velocity_agc_min") is not None
+            or config.get("velocity_agc_max") is not None
+        ):
+            df = velocity.fill_agc(df, config)
+            history.insert_history("Applied AGC velocity gates.")
+        if config.get("velocity_cor_min") is not None or config.get("agc_cor_min") is not None:
+            df = velocity.fill_cor(df, config)
+            history.insert_history("Applied correlation velocity gates.")
+        if config.get("snr_min") is not None:
+            df = velocity.fill_snr(df, config)
+            history.insert_history("Applied SNR velocity gates.")
+        if config.get("trim_method") and "bindist" in df.columns:
+            df = velocity.trim_vel(
+                df,
+                config,
+                data_vars=["u_1205", "v_1206", "w_1204", "AGC_1202"],
+                pressure_col=pcol,
+            )
+            history.insert_history(
+                f"Trimmed velocity bins ({config['trim_method']})."
+            )
+    return df
 
 
 def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:

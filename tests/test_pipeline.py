@@ -245,3 +245,67 @@ def test_run_xy_stage(spark):
     assert out.count() == 2 * axis_len * axis_len
     assert {"time", "x", "y", "sonar_image"} <= set(out.columns)
     assert out.filter("sonar_image IS NOT NULL").count() > 0
+
+
+def test_run_clean_velocity_stack(spark):
+    """Profile-velocity deployment (F5 shape) through run_clean: BEAM→ENU
+    transform, AGC gate, water-level side-lobe trim, audit history."""
+    import pandas as _pd
+
+    from stglib_spark.pipeline import _zone_path, run_clean
+
+    cfg = {
+        "filename": "veltest",
+        "output_dir": TMP,
+        "Deployment_date": "2024-06-01 00:00:00",
+        "Recovery_date": "2024-06-02 00:00:00",
+        "AQDCoordinateSystem": "BEAM",
+        "TransMatrix": [
+            [2896 / 4096, 2896 / 4096, 0.0],
+            [-2896 / 4096, 2896 / 4096, 0.0],
+            [-2896 / 4096, -2896 / 4096, 5792 / 4096],
+        ],
+        "orientation": "UP",
+        "beam_angle": 25.0,
+        "bin_size": 0.5,
+        "velocity_agc_min": 30.0,
+        "trim_method": "water level",
+    }
+    os.makedirs(TMP, exist_ok=True)
+    t0 = _pd.Timestamp("2024-06-01 01:00:00")
+    rows = []
+    for ti in range(20):
+        for b in range(10):
+            bindist = 0.5 + 0.5 * b
+            rows.append(
+                (
+                    (t0 + _pd.Timedelta(minutes=ti)).to_pydatetime(),
+                    bindist,
+                    0.1 * b, -0.05 * b, 0.02,
+                    40.0 if b < 8 else 10.0,  # AGC fails for far bins
+                    41.0, 39.0,
+                    30.0, 2.0, -1.0,
+                    4.0,  # pressure: water surface at 4 dbar ≈ 4 m
+                )
+            )
+    spark.createDataFrame(
+        rows,
+        "time timestamp, bindist double, vel1 double, vel2 double, vel3 double, "
+        "AMP1 double, AMP2 double, AMP3 double, "
+        "Heading double, Pitch double, Roll double, P_1 double",
+    ).write.mode("overwrite").parquet(_zone_path(cfg, "raw"))
+
+    path = run_clean(spark, cfg)
+    clean = spark.read.parquet(path)
+    assert {"u_1205", "v_1206", "w_1204", "AGC_1202"} <= set(clean.columns)
+    # AGC gate nulled far-bin velocities (AGC 10 < 30) where bindist < P kept them
+    gated = clean.filter("bindist = 4.5")
+    assert gated.filter("u_1205 IS NULL").count() == gated.count()
+    # water-level trim nulled bins at/above the surface (bindist >= 4.0)
+    surf = clean.filter("bindist >= 4.0")
+    assert surf.filter("u_1205 IS NOT NULL").count() == 0
+    near = clean.filter("bindist = 0.5")
+    assert near.filter("u_1205 IS NOT NULL").count() == near.count()
+    meta = json.load(open(path + ".meta.json"))
+    hist = " ".join(meta["history"])
+    assert "BEAM→ENU" in hist and "AGC" in hist and "water level" in hist
