@@ -50,14 +50,22 @@ def average_burst(
     expected_n: int | None = None,
 ) -> DataFrame:
     """Mean over the sample dim per burst (aqdutils.py:1717-1740), with the
-    optional min-valid-fraction gate of utils.py:2044-2086."""
+    optional min-valid-fraction gate of utils.py:2044-2086. Integer input
+    columns are re-cast to their original type after the mean, matching
+    the reference's dtype restore (aqdutils.py:1731-1735)."""
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    dtypes = dict(df.dtypes)
     aggs = []
     for v in value_cols:
         c = F.col(v)
-        if minf is not None and expected_n is not None:
-            aggs.append(mean_minf(c, minf, expected_n).alias(v))
-        else:
-            aggs.append(F.avg(c).alias(v))
+        agg = (
+            mean_minf(c, minf, expected_n)
+            if minf is not None and expected_n is not None
+            else F.avg(c)
+        )
+        if dtypes.get(v) in int_types:
+            agg = agg.cast(dtypes[v])
+        aggs.append(agg.alias(v))
     return df.groupBy(*[F.col(c) for c in burst_cols]).agg(*aggs)
 
 

@@ -39,10 +39,19 @@ def _zone_path(config: dict[str, Any], zone: str) -> str:
 
 
 def _write_zone(
-    df: DataFrame, config: dict[str, Any], zone: str, history: History
+    df: DataFrame,
+    config: dict[str, Any],
+    zone: str,
+    history: History,
+    partition_by: str | None = None,
 ) -> str:
     path = _zone_path(config, zone)
-    df.write.mode("overwrite").parquet(path)
+    writer = df.write.mode("overwrite")
+    if partition_by and partition_by in df.columns:
+        # one directory per key — the reference's split-per-profile files
+        # (rsk/cdf2nc.py:212-239) as partitioned parquet
+        writer = writer.partitionBy(partition_by)
+    writer.parquet(path)
     sidecar = {
         "history": history.entries,
         "notes": history.notes,
@@ -125,7 +134,8 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
         history.insert_note(var, f"{rule}: {count} values nulled.")
     clean = result.df.select(*[c for c in result.df.columns if not c.startswith("__")])
     history.insert_history("Applied QA/QC rule engine.")
-    return _write_zone(clean, config, "clean", history)
+    split = "profile" if config.get("split_profiles") else None
+    return _write_zone(clean, config, "clean", history, partition_by=split)
 
 
 def _velocity_stack(

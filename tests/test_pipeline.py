@@ -309,3 +309,42 @@ def test_run_clean_velocity_stack(spark):
     meta = json.load(open(path + ".meta.json"))
     hist = " ".join(meta["history"])
     assert "BEAM→ENU" in hist and "AGC" in hist and "water level" in hist
+
+
+def test_split_profiles_partitioned_write(spark):
+    """split_profiles → clean zone partitioned per profile (the
+    reference's one-nc-per-cast, rsk/cdf2nc.py:212-239)."""
+    import pandas as _pd
+
+    from stglib_spark.pipeline import _zone_path, run_clean
+
+    cfg = {"filename": "proftest", "output_dir": TMP, "split_profiles": True}
+    os.makedirs(TMP, exist_ok=True)
+    t0 = _pd.Timestamp("2024-06-01")
+    rows = [
+        ((t0 + _pd.Timedelta(seconds=i)).to_pydatetime(), i // 10, 10.0 + i)
+        for i in range(30)
+    ]
+    spark.createDataFrame(
+        rows, "time timestamp, profile int, P_1 double"
+    ).write.mode("overwrite").parquet(_zone_path(cfg, "raw"))
+    path = run_clean(spark, cfg)
+    subdirs = {d for d in os.listdir(path) if d.startswith("profile=")}
+    assert subdirs == {"profile=0", "profile=1", "profile=2"}
+    assert spark.read.parquet(path).count() == 30
+
+
+def test_average_burst_int_recast(spark):
+    """Integer vars keep their dtype through the burst mean
+    (aqdutils.py:1717-1740)."""
+    from stglib_spark.operators.aggregations import average_burst
+
+    df = spark.createDataFrame(
+        [(1, 10, 1.5), (1, 20, 2.5), (2, 31, 3.5)],
+        "burst int, counts bigint, temp double",
+    )
+    out = average_burst(df, ["burst"], ["counts", "temp"])
+    types = dict(out.dtypes)
+    assert types["counts"] == "bigint" and types["temp"] == "double"
+    got = {r["burst"]: (r["counts"], r["temp"]) for r in out.collect()}
+    assert got[1] == (15, 2.0)
