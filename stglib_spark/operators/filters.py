@@ -157,3 +157,61 @@ def filtered_water_level(
         group_cols=group_cols,
         time_col=time_col,
     )
+
+
+def apply_config_filters(
+    df: DataFrame,
+    config: dict,
+    variables: Sequence[str],
+    group_cols: Sequence[str] = (),
+    time_col: str = "time",
+) -> tuple[DataFrame, list[str]]:
+    """Config-driven filter dispatch (filter.py:98-229; called at the top
+    of the reference's QA/QC loop, core/qaqc.py:19-20): per variable,
+    ``<var>_lowpass_filt`` / ``_highpass_filt`` (cutoff period seconds) /
+    ``_bandpass_filt`` ([lo, hi] periods) / ``_med_filt`` (kernel size).
+    Butterworth keeps an ``_unfiltered`` copy like the reference; returns
+    (df, audit messages)."""
+    notes: list[str] = []
+    if "sample_rate" in config:
+        sr = float(config["sample_rate"])
+    elif "sample_interval" in config:
+        sr = 1.0 / float(config["sample_interval"])
+    else:
+        sr = None
+    for var in variables:
+        if var not in df.columns:
+            continue
+        band = next(
+            (
+                (ft, config[f"{var}_{ft}_filt"])
+                for ft in ("lowpass", "highpass", "bandpass")
+                if config.get(f"{var}_{ft}_filt") is not None
+            ),
+            None,
+        )
+        if band is not None:
+            if sr is None:
+                raise ValueError(
+                    "sample_rate or sample_interval do not exist in global "
+                    f"attributes, cannot apply {band[0]} filter to {var}."
+                )
+            ftype, period = band
+            cutfreq = (
+                [1.0 / float(period[0]), 1.0 / float(period[1])]
+                if ftype == "bandpass"
+                else 1.0 / float(period)
+            )
+            df = butter_filter(
+                df, var, sr, cutfreq, ftype,
+                group_cols=group_cols, time_col=time_col, keep_unfiltered=True,
+            )
+            notes.append(f"Applied {ftype} filter to {var} (cutoff {period} s).")
+        if config.get(f"{var}_med_filt") is not None:
+            k = int(config[f"{var}_med_filt"])
+            df = med_filter(
+                df, var, k, group_cols=group_cols, time_col=time_col,
+                keep_unfiltered=f"{var}_unfiltered" not in df.columns,
+            )
+            notes.append(f"Applied {k}-point median filter to {var}.")
+    return df, notes

@@ -122,6 +122,18 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
     value_cols = [
         c for c, t in df.dtypes if t in ("double", "float") and not c.startswith("__")
     ]
+
+    # config-driven smoothing/filtering runs before the rules, matching
+    # the top of the reference's QA/QC loop (core/qaqc.py:19-20)
+    from stglib_spark.operators import filters as filter_ops
+
+    fgroups = ["burst"] if "burst" in df.columns else []
+    df, filter_notes = filter_ops.apply_config_filters(
+        df, config, value_cols, group_cols=fgroups
+    )
+    for note in filter_notes:
+        history.insert_history(note)
+
     spec = qaqc.SeriesSpec(
         time_col="time",
         sample_col="sample" if "sample" in df.columns else None,

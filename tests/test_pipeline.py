@@ -348,3 +348,52 @@ def test_average_burst_int_recast(spark):
     assert types["counts"] == "bigint" and types["temp"] == "double"
     got = {r["burst"]: (r["counts"], r["temp"]) for r in out.collect()}
     assert got[1] == (15, 2.0)
+
+
+def test_config_driven_filters_in_clean(spark):
+    """<var>_lowpass_filt and <var>_med_filt config keys smooth the
+    variable in run_clean and keep the _unfiltered copy
+    (core/filter.py:98-229 dispatch)."""
+    import pandas as _pd
+
+    from stglib_spark.pipeline import _zone_path, run_clean
+
+    cfg = {
+        "filename": "filttest",
+        "output_dir": TMP,
+        "sample_interval": 1.0,
+        "T_28_lowpass_filt": 30.0,  # 30 s cutoff period
+        "Turb_med_filt": 5,
+    }
+    os.makedirs(TMP, exist_ok=True)
+    t0 = _pd.Timestamp("2024-06-01")
+    n = 600
+    tt = np.arange(n)
+    temp = 10.0 + np.sin(2 * np.pi * tt / 120) + 0.8 * np.sin(2 * np.pi * tt / 4)
+    turb = np.full(n, 5.0)
+    turb[100] = 50.0  # spike the median filter should remove
+    rows = [
+        ((t0 + _pd.Timedelta(seconds=int(i))).to_pydatetime(), float(temp[i]), float(turb[i]))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "time timestamp, T_28 double, Turb double"
+    ).write.mode("overwrite").parquet(_zone_path(cfg, "raw"))
+
+    path = run_clean(spark, cfg)
+    clean = spark.read.parquet(path).orderBy("time").toPandas()
+    assert "T_28_unfiltered" in clean.columns and "Turb_unfiltered" in clean.columns
+    # lowpass killed the 4-s tone in the interior, kept the 120-s tone
+    # (convolve the FULL series before slicing — convolving a slice makes
+    # its own zero-padding edge artifacts that dwarf the signal)
+    y = clean["T_28"].to_numpy()
+    u = clean["T_28_unfiltered"].to_numpy()
+    hf_power = np.var((y - np.convolve(y, np.ones(9) / 9, "same"))[100:-100])
+    hf_power_raw = np.var((u - np.convolve(u, np.ones(9) / 9, "same"))[100:-100])
+    assert hf_power < 0.05 * hf_power_raw
+    # median filter removed the spike, preserved the raw copy
+    assert clean["Turb"].to_numpy()[100] == pytest.approx(5.0)
+    assert clean["Turb_unfiltered"].to_numpy()[100] == pytest.approx(50.0)
+    meta = json.load(open(path + ".meta.json"))
+    hist = " ".join(meta["history"])
+    assert "lowpass" in hist and "median" in hist
