@@ -1,0 +1,105 @@
+"""Physical-plan regression tests: the SCALE.md claims, enforced.
+
+Each test asserts a property of the optimized plan that the 100 TB
+design depends on — column pruning reaching the scan, dimension joins
+broadcasting, QA/QC compiling to shuffle-free projections, top-k
+compiling to TakeOrderedAndProject, and no single-partition exchange
+ever feeding on fact-table rows. A regression here is a scale bug even
+when results stay correct.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from stglib_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, mode: str = "formatted") -> str:
+    """'formatted' carries ReadSchema/PushedFilters; 'simple' keeps the
+    Exchange partitioning spec inline (formatted splits it into an
+    Arguments section)."""
+    df = QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(mode)
+    )
+
+
+def count(plan: str, pat: str) -> int:
+    return len(re.findall(pat, plan))
+
+
+def test_q1_prunes_columns_at_scan(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = m.group(1)
+    # 7 needed columns, not all 16 of lineitem
+    assert "l_comment" not in cols and "l_orderkey" not in cols
+    assert "l_quantity" in cols and "l_returnflag" in cols
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_q5_joins_all_broadcast(spark):
+    plan = plan_of(spark, "q5_nation_revenue")
+    assert count(plan, r"BroadcastHashJoin") >= 4
+    assert count(plan, r"SortMergeJoin") == 0
+
+
+def test_qaqc_value_rules_have_no_exchange(spark):
+    """Value-gate rules are one projection — zero shuffles at any scale."""
+    plan = plan_of(spark, "qaqc_min_max")
+    assert count(plan, r"Exchange") == 0
+
+
+def test_qaqc_ordered_rules_share_one_series_exchange(spark):
+    """Diff/blip rules share a single (series)-partitioned exchange."""
+    plan = plan_of(spark, "qaqc_diff_rules", "simple")
+    assert count(plan, r"Exchange hashpartitioning") == 1
+    assert count(plan, r"Exchange SinglePartition") == 0
+
+
+def test_topk_compiles_to_take_ordered(spark):
+    for name in ("sim_cosine_topk", "sim_ann_ivf_topk"):
+        plan = plan_of(spark, name)
+        assert "TakeOrderedAndProject" in plan, name
+        assert count(plan, r"Exchange") == 0, name
+
+
+def test_asof_join_never_windows_fact_rows(spark):
+    """The only SinglePartition exchange in the as-of plan feeds on the
+    bucket-summary aggregate, never on the events scan."""
+    plan = plan_of(spark, "ts_asof_atmos_correct")
+    assert count(plan, r"SortMergeJoin") == 0
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" in line:
+            below = "\n".join(lines[i : i + 6])
+            # the subtree under the exchange must be the per-bucket
+            # summary projection (bucket key + carried struct)
+            assert "__bk" in below, below
+
+
+def test_burst_average_single_aggregate_exchange(spark):
+    plan = plan_of(spark, "ts_burst_average", "simple")
+    assert count(plan, r"Exchange hashpartitioning") == 1
+    assert count(plan, r"HashAggregate") == 2  # partial + final (map-side combine)
+
+
+def test_minhash_lsh_band_join_is_equi_join(spark):
+    """LSH candidate pairing is an equi-join on (band, hash) — no
+    cartesian/broadcast-nested-loop anywhere."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert count(plan, r"CartesianProduct") == 0
+    assert count(plan, r"BroadcastNestedLoopJoin") == 0
+
+
+def test_text_quality_is_pure_projection(spark):
+    plan = plan_of(spark, "text_quality_score", "simple")
+    # spread() may add one round-robin repartition; nothing else shuffles
+    assert count(plan, r"Exchange hashpartitioning") == 0
+    assert count(plan, r"Exchange SinglePartition") == 0
