@@ -45,6 +45,15 @@ def get_spark(app_name: str = "stglib_spark", cpus: int | None = None) -> SparkS
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # every query's whole-stage-codegen class JIT-compiles into the
+        # code cache; the 240 MB JVM default fills after a few dozen
+        # distinct plans, HotSpot stops compiling, and hot generated
+        # methods run interpreted (measured 6x slowdown on the trig-heavy
+        # transform after ~70 queries in one session)
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing",
+        )
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
