@@ -31,6 +31,16 @@ def normalize_text(text: Column) -> Column:
     )
 
 
+def hash60(col: Column, seed: str | None = None) -> Column:
+    """Portable 60-bit hash: the top 15 hex digits of md5, parsed as an
+    integer. Bit-for-bit reproducible in DuckDB as
+    ``(('0x' || substring(md5(s), 1, 15))::UBIGINT)::BIGINT`` — used by the
+    oracle-checked variants of MinHash/SimHash. xxhash64 stays the scale
+    default (one JVM hash vs md5's full digest, ~3× cheaper per string)."""
+    s = F.concat(F.lit(seed), col) if seed else col
+    return F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long")
+
+
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -87,6 +97,7 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """MinHash signature per document: sig[i] = min over shingles of
     h_i(shingle). Explode → groupBy(id) with num_hashes min aggregates —
@@ -94,19 +105,27 @@ def minhash_signatures(
     (docs × num_hashes × 8B), independent of document length.
 
     The hash family uses double hashing, h_i = h1 + i·h2 with two
-    independent xxhash64 of the shingle (Kirsch & Mitzenmacher): each
+    independent hashes of the shingle (Kirsch & Mitzenmacher): each
     string is hashed TWICE total instead of once per hash function —
     num_hashes/2 fewer string traversals for the same minhash collision
-    statistics (measured ~2× on the LSH bench path)."""
+    statistics (measured ~2× on the LSH bench path). ``portable=True``
+    swaps xxhash64 for the md5-derived ``hash60`` so a DuckDB oracle
+    reproduces signatures exactly; xxhash64 is the 100 TB default."""
     # arithmetic in the prime field M (largest 32-bit prime) so
     # h1 + i·h2 can never overflow a long under ANSI mode
     m = F.lit(4294967291)
+    if portable:
+        h1 = F.pmod(hash60(F.col("__sh")), m)
+        h2 = F.pmod(hash60(F.col("__sh"), "mh2"), m)
+    else:
+        h1 = F.pmod(F.xxhash64(F.col("__sh")), m)
+        h2 = F.pmod(F.xxhash64(F.lit("mh2"), F.col("__sh")), m)
     exploded = spread(df).select(
         F.col(id_col), F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh")
     ).select(
         F.col(id_col),
-        F.pmod(F.xxhash64(F.col("__sh")), m).alias("__h1"),
-        F.pmod(F.xxhash64(F.lit("mh2"), F.col("__sh")), m).alias("__h2"),
+        h1.alias("__h1"),
+        h2.alias("__h2"),
     )
     aggs = [
         F.min(F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), m)).alias(f"mh_{i}")
@@ -122,21 +141,31 @@ def minhash_lsh_pairs(
     num_hashes: int = 64,
     bands: int = 16,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     r = num_hashes/bands rows; documents sharing any (band, band-hash)
     bucket become a candidate pair. Returns distinct (doc_a, doc_b) with
-    doc_a < doc_b.
+    doc_a < doc_b. ``portable=True`` uses the DuckDB-reproducible
+    ``hash60`` family end-to-end (signatures and band hashes).
 
     Scale shape: self-join happens per bucket only — the band hash is the
     join key, so skew is bounded by bucket size, and AQE's skew-join
     splitting handles pathological buckets."""
     r = num_hashes // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
-    band_cols = [
-        F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
-        for b in range(bands)
-    ]
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, portable)
+    if portable:
+        band_cols = [
+            hash60(
+                F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)])
+            ).alias(f"band_{b}")
+            for b in range(bands)
+        ]
+    else:
+        band_cols = [
+            F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
+            for b in range(bands)
+        ]
     banded = sigs.select(F.col(id_col), *band_cols)
     stacked = banded.select(
         F.col(id_col),
@@ -228,14 +257,20 @@ def simhash(
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
+    portable: bool = False,
 ) -> DataFrame:
     """64-bit SimHash fingerprint: per token t, h = xxhash64(t); for each
     bit position the signed vote is +1 if set else −1; fingerprint bit =
     sign of the vote sum. Explode + one groupBy with ``bits`` conditional
-    sums (all JVM-side), reassembled with bit-shifts."""
+    sums (all JVM-side), reassembled with bit-shifts. ``portable=True``
+    uses the 60-bit md5 hash (pass ``bits=60``) so a DuckDB oracle
+    rebuilds the identical fingerprint."""
+    if portable and bits > 60:
+        raise ValueError("portable simhash carries at most 60 hash bits")
     toks = F.split(normalize_text(F.col(text_col)), " ")
+    tok_hash = hash60(F.col("__t")) if portable else F.xxhash64(F.col("__t"))
     exploded = spread(df).select(F.col(id_col), F.explode(toks).alias("__t")).withColumn(
-        "__h", F.xxhash64(F.col("__t"))
+        "__h", tok_hash
     )
     votes = [
         F.sum(

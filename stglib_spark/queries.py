@@ -945,16 +945,96 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_minhash_lsh")  # rows-only: xxhash64 not reproducible in DuckDB
+# Portable-hash dedup oracles: hash60(s) = top 15 hex digits of md5 as an
+# int — identical in Spark (conv(substring(md5(s),1,15),16,10)) and DuckDB
+# (('0x'||substring(md5(s),1,15))::UBIGINT). The engine's scale default is
+# xxhash64 (minhash_lsh_pairs(portable=False)); the oracle-checked query
+# runs the same plan with the portable family so DuckDB rebuilds
+# signatures, band hashes, and fingerprints bit-for-bit.
+_MH_PRIME = 4294967291
+_MH_N, _MH_BANDS, _MH_R = 32, 8, 4
+_H60 = "(('0x' || substring(md5({s}), 1, 15))::UBIGINT)::BIGINT"
+_MH_SIG = ", ".join(
+    f"min((h1 + {i} * h2) % {_MH_PRIME}) AS mh_{i}" for i in range(_MH_N)
+)
+_MH_BAND_ROWS = "\n      UNION ALL\n".join(
+    "      SELECT doc_id, {b} AS band, {h} AS bh FROM sig".format(
+        b=b,
+        h=_H60.format(
+            s="concat_ws('|', "
+            + ", ".join(f"mh_{b * _MH_R + i}" for i in range(_MH_R))
+            + ")"
+        ),
+    )
+    for b in range(_MH_BANDS)
+)
+_NORM_SQL = r"""
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH norm AS ({_NORM_SQL}),
+    tok AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) <= 1 THEN [t]
+                    ELSE list_distinct([array_to_string(toks[i:i+1], ' ')
+                                        FOR i IN generate_series(1, len(toks) - 1)])
+                    END) AS s
+      FROM tok
+    ),
+    h AS (
+      SELECT doc_id,
+             {_H60.format(s="s")} % {_MH_PRIME} AS h1,
+             {_H60.format(s="'mh2' || s")} % {_MH_PRIME} AS h2
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {_MH_SIG} FROM h GROUP BY doc_id),
+    band AS (
+{_MH_BAND_ROWS}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a JOIN band b
+      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.minhash_lsh_pairs(docs, num_hashes=32, bands=8, shingle_n=2)
+    return dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True
+    )
 
 
-@register("dedup_simhash")  # rows-only: xxhash64 not reproducible in DuckDB
+_SH_BITS = 60
+_SH_VOTES = ", ".join(
+    f"sum(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
+    for i in range(_SH_BITS)
+)
+_SH_FP = " + ".join(
+    f"(CASE WHEN v_{i} > 0 THEN (1::BIGINT << {i}) ELSE 0 END)"
+    for i in range(_SH_BITS)
+)
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH norm AS ({_NORM_SQL}),
+    tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm),
+    h AS (SELECT doc_id, {_H60.format(s="tk")} AS hh FROM tok),
+    v AS (SELECT doc_id, {_SH_VOTES} FROM h GROUP BY doc_id)
+    SELECT doc_id, {_SH_FP} AS simhash FROM v
+    """,
+)
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup_ops.simhash(docs)
+    return dedup_ops.simhash(docs, bits=_SH_BITS, portable=True)
 
 
 # --------------------------------------------------------------------------
@@ -1006,7 +1086,55 @@ def sim_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim_ops.pairwise_topk_within(emb, group_col="label", threshold=0.25)
 
 
-@register("sim_ann_lsh_topk")  # rows-only: LSH probe set is engine-defined
+# LSH-ANN oracle: the seeded hyperplanes are plan-time constants, so the
+# oracle embeds the same literals and rebuilds bucket signatures + the
+# Hamming-probe set exactly; the Spark side is still independently checked
+# (bucket bit math, probe filter, cosine, top-k).
+def _lsh_oracle_sql() -> str:
+    planes = sim_ops.random_hyperplanes(64, 8, seed=42)
+    import numpy as _np
+
+    qv = _np.asarray(_QUERY_VEC, dtype=float)
+    qsig = 0
+    for i, plane in enumerate(planes):
+        if float(qv @ plane) >= 0:
+            qsig |= 1 << i
+    plane_rows = ",\n      ".join(
+        "({i}, [{v}]::DOUBLE[])".format(
+            i=i, v=", ".join(repr(float(x)) for x in plane)
+        )
+        for i, plane in enumerate(planes)
+    )
+    return f"""
+    WITH planes(i, p) AS (VALUES
+      {plane_rows}
+    ),
+    q AS (SELECT {_QV_SQL} AS qv),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bits AS (
+      SELECT e.vec_id,
+             sum(CASE WHEN list_sum(list_transform(list_zip(e.v, planes.p),
+                                    x -> x[1] * x[2])) >= 0
+                 THEN (1::BIGINT << planes.i) ELSE 0 END) AS bucket
+      FROM e, planes GROUP BY e.vec_id
+    ),
+    cand AS (
+      SELECT vec_id FROM bits
+      WHERE bit_count(xor(bucket, {qsig}::BIGINT)) <= 2
+    ),
+    s AS (
+      SELECT e.vec_id,
+             list_sum(list_transform(list_zip(e.v, qv), x -> x[1] * x[2]))
+               / nullif(sqrt(list_sum(list_transform(e.v, x -> x*x)))
+                        * sqrt(list_sum(list_transform(qv, x -> x*x))), 0.0) AS cs
+      FROM e JOIN cand USING (vec_id), q
+    )
+    SELECT vec_id, round(cs, 6) AS cosine
+    FROM s ORDER BY cosine DESC, vec_id LIMIT 10
+    """
+
+
+@register("sim_ann_lsh_topk", _lsh_oracle_sql())
 def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return sim_ops.ann_topk_lsh(emb, _QUERY_VEC, k=10, n_planes=8, probe_hamming=2)
