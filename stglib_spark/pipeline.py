@@ -65,7 +65,10 @@ def _write_zone(
 def run_ingest(spark: SparkSession, config: dict[str, Any]) -> str:
     """Stage 1 (*2cdf): vendor file → raw zone (SURVEY §3.1)."""
     history = History()
-    df = ingest(spark, config["instrument"], config["input_path"], config)
+    from stglib_spark.sources import resolve_instrument
+
+    adapter = resolve_instrument(config["instrument"])
+    df = ingest(spark, adapter, config["input_path"], config)
     if config.get("ClockError") or config.get("ClockDrift") or config.get("time_shift"):
         df = timeops.shift_time(
             df,

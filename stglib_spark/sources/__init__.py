@@ -117,3 +117,48 @@ def _rbr_rsk(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFram
         channels=config.get("rsk_channels"),
         table=config.get("rsk_table", "data"),
     )
+
+
+@register_adapter("aqd_wad")
+def _aqd_wad(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.aqd import read_aquadopp_waves
+
+    return read_aquadopp_waves(spark, path, config)
+
+
+@register_adapter("sg_tid")
+def _sg_tid(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.sg import read_sg_tid
+
+    return read_sg_tid(spark, path)
+
+
+# Reference instrument names (runcmd.py:527-599) → adapter names, so the
+# CLI accepts the same spellings a stglib user types (``runots sig
+# mat2cdf`` etc.). Ambiguous families default to the most common member;
+# the specific adapter names remain available.
+INSTRUMENT_ALIASES: dict[str, str] = {
+    "abss": "mat",
+    "sig": "mat",
+    "iq": "mat",
+    "rdi": "mat",  # reference rdi step is mat2cdf; raw PD0 -> "rdi_pd0"
+    "aqdhr": "aqd",
+    "aqdwvs": "aqd_wad",
+    "wvs": "aqd_wad",
+    "rbr": "rbr_csv",
+    "rsk": "rbr_rsk",
+    "exo": "exo_csv",
+    "eco": "eco_ntu",
+    "met": "met_campbell",
+    "sgtid": "sg_tid",
+    "sgwvs": "sg_wb",
+    "son": "son_81r",
+}
+
+
+def resolve_instrument(name: str) -> str:
+    """Adapter name for a CLI instrument: exact adapter names win,
+    reference spellings map through INSTRUMENT_ALIASES."""
+    if name in ADAPTERS:
+        return name
+    return INSTRUMENT_ALIASES.get(name, name)

@@ -138,6 +138,12 @@ _HDR_KEYS = [
     ("Number of measurements", "AQDNumberOfMeasurements", r"(\d+)"),
     ("Compass update rate", "AQDCompassUpdateRate", r"([\d.]+)\s*sec"),
     ("Transmit pulse length", "AQDTransmitPulseLength", r"([\d.]+)\s*m"),
+    # wave-burst keys (aqdutils.py:762-775)
+    ("Wave measurements", "WaveMeasurements", r"(\w+)"),
+    ("Wave - Interval", "WaveInterval", r"([\d.]+)\s*sec"),
+    ("Wave - Number of samples", "WaveNumberOfSamples", r"(\d+)"),
+    ("Wave - Sampling rate", "WaveSampleRate", r"([\d.]+)\s*Hz"),
+    ("Wave - Cell size", "WaveCellSize", r"([\d.]+)\s*m"),
 ]
 
 
@@ -162,6 +168,115 @@ def read_aqd_hdr_meta(path: str) -> dict[str, Any]:
                             except ValueError:
                                 meta[key] = v
     return meta
+
+
+# ---------------------------------------------------------------------------
+# Aquadopp wave bursts (.whd/.wad) — aqdwvs/wvs wad2cdf
+# Reference: stglib/aqd/wvswad2cdf.py:9-206 (load_whd :72-134,
+# load_wad :137-206)
+# ---------------------------------------------------------------------------
+
+
+def read_aqd_whd(spark: SparkSession, path: str) -> DataFrame:
+    """.whd per-burst header file (wvswad2cdf.py:72-134): one line per
+    wave burst — timestamp components, burst counter, cell position,
+    battery, attitude, temperature, per-beam average amplitude. The
+    reference drops minpressure/cellsize/nrecs/soundspeed after load; we
+    never select them."""
+    t = _read_tokens(spark, path)
+    c = lambda i: F.element_at(F.col("tok"), i + 1)  # noqa: E731
+    return t.select(
+        "source_file",
+        "row_idx",
+        F.make_timestamp(
+            c(2).cast("int"),
+            c(0).cast("int"),
+            c(1).cast("int"),
+            c(3).cast("int"),
+            c(4).cast("int"),
+            c(5).cast("decimal(10,4)"),
+        ).alias("time"),
+        c(6).cast("int").alias("burst"),
+        c(8).cast("double").alias("cellpos"),
+        c(9).cast("double").alias("Battery"),
+        c(11).cast("double").alias("Heading"),
+        c(12).cast("double").alias("Pitch"),
+        c(13).cast("double").alias("Roll"),
+        c(16).cast("double").alias("Temperature"),
+        c(18).cast("double").alias("avgamp1"),
+        c(19).cast("double").alias("avgamp2"),
+        c(20).cast("double").alias("avgamp3"),
+    )
+
+
+def read_aqd_wad(
+    spark: SparkSession, path: str, samples_per_burst: int, coord: str = "BEAM"
+) -> DataFrame:
+    """.wad wave-burst samples (wvswad2cdf.py:137-206): flat rows in
+    burst-major order; columns 2,5,6,7 = pressure + three velocity
+    components (named per coordinate system), 9,10,11 = per-beam
+    amplitudes. Burst/sample keys are derived from the file row index —
+    the reference's (time, sample) reshape as column arithmetic, no
+    physical reshape — and the tail partial burst is truncated like
+    wvswad2cdf.py:167-176."""
+    names = _COORD_VARS[coord.upper()]
+    t = _read_tokens(spark, path)
+    c = lambda i: F.element_at(F.col("tok"), i + 1)  # noqa: E731
+    n = F.lit(int(samples_per_burst))
+    return t.select(
+        "source_file",
+        (F.col("row_idx") / n).cast("long").alias("burst_idx"),
+        F.pmod(F.col("row_idx"), n).cast("int").alias("sample"),
+        c(2).cast("double").alias("Pressure"),
+        c(5).cast("double").alias(names[1]),
+        c(6).cast("double").alias(names[2]),
+        c(7).cast("double").alias(names[3]),
+        c(9).cast("double").alias("AMP1"),
+        c(10).cast("double").alias("AMP2"),
+        c(11).cast("double").alias("AMP3"),
+    )
+
+
+def read_aquadopp_waves(
+    spark: SparkSession, basefile: str, config: dict[str, Any]
+) -> DataFrame:
+    """Full Aquadopp wave deployment (wvswad2cdf.py:9-69): .hdr metadata
+    scan (driver-side) + .whd burst headers × .wad samples joined on the
+    burst index. Burst truncation: a trailing partial burst in the .wad
+    is dropped, and ``num_wave_bursts`` in the config caps the burst
+    count (wvswad2cdf.py:158-176). Returns canonical burst long form
+    (time = burst start from .whd, sample within burst)."""
+    meta = dict(read_aqd_hdr_meta(basefile + ".hdr")) if _exists(
+        basefile + ".hdr"
+    ) else {}
+    meta.update(config)
+    nsamps = int(meta.get("WaveNumberOfSamples", meta.get("samples_per_burst", 1024)))
+    coord = str(meta.get("AQDCoordinateSystem", "BEAM"))
+    whd = read_aqd_whd(spark, basefile + ".whd")
+    wad = read_aqd_wad(spark, basefile + ".wad", nsamps, coord).drop("source_file")
+    # whole bursts only (wvswad2cdf.py:167-176): bound = floor(rows/nsamps),
+    # carried as a broadcast single-row aggregate, no driver collect;
+    # num_wave_bursts in the config overrides the bound
+    if "num_wave_bursts" in meta:
+        whd = whd.filter(F.col("row_idx") < int(meta["num_wave_bursts"]))
+    else:
+        bound = wad.agg(
+            ((F.count(F.lit(1)) / nsamps).cast("long")).alias("__nburst")
+        )
+        wad = wad.crossJoin(F.broadcast(bound)).filter(
+            F.col("burst_idx") < F.col("__nburst")
+        ).drop("__nburst")
+    joined = whd.join(wad, whd["row_idx"] == wad["burst_idx"]).drop("burst_idx")
+    if "WaveSampleRate" in meta:
+        fs = float(str(meta["WaveSampleRate"]).split()[0])
+        joined = joined.withColumn("sample_interval", F.lit(1.0 / fs))
+    return joined
+
+
+def _exists(path: str) -> bool:
+    import os
+
+    return os.path.exists(path)
 
 
 # ---------------------------------------------------------------------------

@@ -18,7 +18,7 @@ import datetime as dt
 import re
 from typing import Any, Iterator
 
-from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession, functions as F
 from pyspark.sql.types import (
     DoubleType,
     IntegerType,
@@ -128,3 +128,21 @@ def read_sg_wb(spark: SparkSession, path: str) -> DataFrame:
     return binary.select("path", "content").rdd.mapPartitions(
         parse_partition
     ).toDF(SG_WB_SCHEMA)
+
+
+def read_sg_tid(spark: SparkSession, path: str) -> DataFrame:
+    """SBE 26plus Seagauge .tid tide file (sg/tid2cdf.py:7-21): whitespace
+    rows ``sample MM/DD/YYYY HH:MM:SS pressure_psia temperature``.
+    Pressure is converted psia → dbar on read (tid2cdf.py:44-45), the
+    reference's first transform after load."""
+    lines = spark.read.text(path)
+    tok = F.split(F.trim(F.col("value")), r"\s+")
+    c = lambda i: F.element_at(tok, i + 1)  # noqa: E731
+    return lines.filter(F.trim(F.col("value")) != "").select(
+        c(0).cast("int").alias("sample"),
+        F.to_timestamp(
+            F.concat_ws(" ", c(1), c(2)), "MM/dd/yyyy HH:mm:ss"
+        ).alias("time"),
+        (c(3).cast("double") / 14.503773800722 * 10).alias("P_1"),
+        c(4).cast("double").alias("Temp"),
+    )

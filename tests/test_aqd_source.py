@@ -5,6 +5,8 @@ import datetime as dt
 import pytest
 
 from stglib_spark.sources.aqd import (
+    read_aqd_whd,
+    read_aquadopp_waves,
     read_aqd_hdr_meta,
     read_aqd_sen,
     read_aquadopp,
@@ -108,3 +110,62 @@ def test_vector_dat(tmp_path, spark):
     assert rows[1]["time"] == dt.datetime(2024, 3, 15, 12, 0, 0, 500000)
     assert rows[4]["time"] == dt.datetime(2024, 3, 15, 13, 0, 0)
     assert rows[0]["VEL1"] == 0.1 and rows[0]["Pressure"] == 10.5
+
+
+def _write_wave_deployment(base, nburst=2, nsamps=4, partial=2):
+    """.whd burst headers + .wad burst-major samples with a partial tail."""
+    with open(base + ".hdr", "w") as f:
+        f.write("Wave measurements                     ENABLED\n")
+        f.write("Wave - Number of samples              %d\n" % nsamps)
+        f.write("Wave - Sampling rate                  2 Hz\n")
+        f.write("Coordinate system                     BEAM\n")
+    with open(base + ".whd", "w") as f:
+        for b in range(nburst + 1):  # header rows may outnumber full bursts
+            f.write(
+                f"3 15 2024 {10 + b} 0 0.0000 {b + 1} {nsamps} 0.41 12.5 1500.0 "
+                f"{100.0 + b} 1.5 -0.5 10.0 0 {18.5 + b} 0.5 120 121 122\n"
+            )
+    with open(base + ".wad", "w") as f:
+        rows = nburst * nsamps + partial  # trailing partial burst
+        for i in range(rows):
+            f.write(
+                f"{i // nsamps + 1} {i % nsamps + 1} {10.0 + i / 10:.2f} 0 0 "
+                f"{0.01 * i:.3f} {0.02 * i:.3f} {0.03 * i:.3f} 0 "
+                f"{140 + i} {141 + i} {142 + i}\n"
+            )
+
+
+def test_aqd_whd(tmp_path, spark):
+    base = str(tmp_path / "WVS01")
+    _write_wave_deployment(base)
+    whd = read_aqd_whd(spark, base + ".whd").orderBy("row_idx").collect()
+    assert len(whd) == 3
+    assert whd[0]["time"] == dt.datetime(2024, 3, 15, 10, 0)
+    assert whd[1]["burst"] == 2
+    assert whd[0]["cellpos"] == pytest.approx(0.41)
+    assert whd[2]["Temperature"] == pytest.approx(20.5)
+    assert whd[0]["avgamp3"] == pytest.approx(122.0)
+
+
+def test_aqd_wad_burst_keys_and_truncation(tmp_path, spark):
+    base = str(tmp_path / "WVS01")
+    _write_wave_deployment(base, nburst=2, nsamps=4, partial=2)
+    cfg = {"basefile": base}
+    df = read_aquadopp_waves(spark, base, cfg)
+    rows = df.orderBy("burst", "sample").collect()
+    # 2 full bursts of 4 samples; the 2-sample tail is truncated
+    assert len(rows) == 8
+    assert {"Pressure", "VEL1", "VEL2", "VEL3", "AMP1"} <= set(df.columns)
+    assert rows[0]["sample"] == 0 and rows[3]["sample"] == 3
+    assert rows[4]["burst"] == 2  # second burst header joined
+    assert rows[4]["time"] == dt.datetime(2024, 3, 15, 11, 0)
+    assert rows[0]["VEL1"] == pytest.approx(0.0)
+    assert rows[5]["Pressure"] == pytest.approx(10.5)
+    assert rows[0]["sample_interval"] == pytest.approx(0.5)
+
+
+def test_aqd_wad_num_wave_bursts_override(tmp_path, spark):
+    base = str(tmp_path / "WVS01")
+    _write_wave_deployment(base, nburst=2, nsamps=4, partial=2)
+    df = read_aquadopp_waves(spark, base, {"num_wave_bursts": 1})
+    assert df.count() == 4

@@ -292,3 +292,38 @@ def test_read_mat_dataframe(tmp_path, spark):
     assert rows[0]["Data_Pressure"] == pytest.approx(10.0)
     assert rows[3]["Data_Temp"] == pytest.approx(18.3)
     assert rows[0]["serial"] == "SIG1000"
+
+
+def test_sg_tid(tmp_path, spark):
+    from stglib_spark.sources.sg import read_sg_tid
+
+    p = str(tmp_path / "deploy.tid")
+    with open(p, "w") as f:
+        f.write("    1  01/15/2024  00:00:00  14.503773800722  20.50\n")
+        f.write("    2  01/15/2024  00:06:00  29.007547601444  20.60\n")
+        f.write("\n")
+    rows = read_sg_tid(spark, p).orderBy("sample").collect()
+    assert len(rows) == 2
+    assert rows[0]["sample"] == 1
+    assert rows[0]["time"] == dt.datetime(2024, 1, 15, 0, 0, 0)
+    assert rows[0]["P_1"] == pytest.approx(10.0)  # psia -> dbar
+    assert rows[1]["P_1"] == pytest.approx(20.0)
+    assert rows[1]["Temp"] == pytest.approx(20.6)
+
+
+def test_instrument_aliases():
+    from stglib_spark.sources import ADAPTERS, INSTRUMENT_ALIASES, resolve_instrument
+
+    # every reference instrument spelling resolves to a registered adapter
+    reference_instruments = [
+        "abss", "aqd", "aqdhr", "aqdwvs", "wvs", "rbr", "rsk", "sig", "vec",
+        "eco", "eofe", "exo", "glx", "hobo", "iq", "lisst", "mc", "rdi",
+        "sgtid", "sgwvs", "tb", "tcm", "troll", "met", "son", "mar",
+    ]
+    for inst in reference_instruments:
+        assert resolve_instrument(inst) in ADAPTERS, inst
+    # exact adapter names always win over aliases
+    for name in ADAPTERS:
+        assert resolve_instrument(name) == name
+    for alias, target in INSTRUMENT_ALIASES.items():
+        assert target in ADAPTERS
