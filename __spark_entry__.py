@@ -28,6 +28,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted for non-SQL-expressible
-    operators — spectral/FFT chains and hash-seeded LSH)."""
+    """DuckDB-equivalent SQL per query (omitted only for non-SQL-
+    expressible operators — spectral/FFT chains, IIR filtering, and the
+    multimodal/sonar kernels; the dedup/LSH family is fully oracled via a
+    DuckDB-reproducible hash)."""
     return _registry.oracle_sql()

@@ -230,6 +230,41 @@ ALIASES = {
     "Depth": "D_3",
 }
 
+# Aquadopp/Vector-family vendor names → EPIC codes, applied at the CLEAN
+# stage exactly where the reference renames them (aqd/aqdutils.py:10-58
+# ``ds_rename``). Temperature maps to the transducer code Tx_1211 here —
+# not the water-temperature T_28 the generic CSV families use.
+AQD_EPIC_RENAMES = {
+    "Pressure": "P_1",
+    "pressure": "P_1",
+    "Pressure_ac": "P_1ac",
+    "Temperature": "Tx_1211",
+    "Heading": "Hdg_1215",
+    "heading": "Hdg_1215",
+    "Pitch": "Ptch_1216",
+    "pitch": "Ptch_1216",
+    "Roll": "Roll_1217",
+    "roll": "Roll_1217",
+    "Battery": "Bat_106",
+    "batt": "Bat_106",
+    "Soundspeed": "SV_80",
+    "Burst": "burst",
+    "U": "u_1205",
+    "V": "v_1206",
+    "W": "w_1204",
+    "AGC": "AGC_1202",
+    "VEL1": "vel1_1277",
+    "VEL2": "vel2_1278",
+    "VEL3": "vel3_1279",
+    "AMP1": "AGC1_1221",
+    "AMP2": "AGC2_1222",
+    "AMP3": "AGC3_1223",
+    "COR1": "cor1_1285",
+    "COR2": "cor2_1286",
+    "COR3": "cor3_1287",
+    "COR": "cor_avg",
+}
+
 
 def attrs_for(column: str) -> dict[str, object] | None:
     """Attribute dict for a column name, following aliases."""

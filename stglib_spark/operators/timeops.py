@@ -66,18 +66,22 @@ def burst_keys(
     series_cols: Sequence[str] = (),
     burst_col: str = "burst_time",
     sample_col: str = "sample",
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Derive (burst_time, sample) keys from a continuous series.
 
     Continuous→burst reshape (waves.py:2037-2091) without any physical
     reshape: burst_time = tumbling-window start, sample = 0-based index
     within the window. One shuffle on (series, burst window), shared by
-    every downstream per-burst operator.
+    every downstream per-burst operator. ``tiebreak_col`` stabilizes the
+    within-window order when timestamps repeat (burst-header formats
+    stamp all samples with the burst start time).
     """
     win = F.window(F.col(time_col), f"{interval_seconds} seconds")
     out = df.withColumn(burst_col, win.start)
+    order = [F.col(time_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(*[F.col(c) for c in series_cols], F.col(burst_col)).orderBy(
-        time_col
+        *order
     )
     return out.withColumn(sample_col, F.row_number().over(w) - 1)
 

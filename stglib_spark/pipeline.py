@@ -89,6 +89,22 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
     history = History()
     df = spark.read.parquet(_zone_path(config, "raw"))
 
+    from stglib_spark.sources import resolve_instrument
+
+    if resolve_instrument(str(config.get("instrument", ""))) in (
+        "aqd",
+        "vec",
+        "aqd_wad",
+    ):
+        # EPIC renames happen at the clean stage for the Nortek family,
+        # exactly like the reference (aqd/aqdutils.py:10-58 ds_rename)
+        from stglib_spark.attrs import AQD_EPIC_RENAMES
+
+        mapping = {c: AQD_EPIC_RENAMES[c] for c in df.columns if c in AQD_EPIC_RENAMES}
+        if mapping:
+            df = df.withColumnsRenamed(mapping)
+            history.insert_history("Renamed variables to EPIC codes.")
+
     df = clip_ops.clip_ds(df, config)
     history.insert_history("Clipped to deployment window / good ranges.")
 
@@ -273,13 +289,24 @@ def _burst_keyed(df: DataFrame, config: dict[str, Any]) -> DataFrame:
     """Shared front half of the analyze stages: derive burst keys and trim
     to wave_duration (SURVEY §3.3 steps 2-3)."""
     if config.get("wave_interval"):
-        df = df.drop("burst", "sample", "burst_time")
+        # keep any ingest-recorded sample index as the ordering tiebreak:
+        # burst-header formats (.wad, .wb) stamp every sample with the
+        # burst START time, so ordering by time alone would scramble the
+        # within-burst sequence the spectra depend on
+        tiebreak = None
+        if "sample" in df.columns:
+            df = df.withColumnRenamed("sample", "__ingest_sample")
+            tiebreak = "__ingest_sample"
+        df = df.drop("burst", "burst_time")
         df = timeops.burst_keys(
             df,
             time_col="time",
             interval_seconds=int(config["wave_interval"]),
             burst_col="burst_time",
+            tiebreak_col=tiebreak,
         )
+        if tiebreak:
+            df = df.drop(tiebreak)
     elif "burst" in df.columns:
         df = df.withColumn(
             "burst_time", F.min("time").over(Window.partitionBy("burst"))

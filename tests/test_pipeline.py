@@ -397,3 +397,58 @@ def test_config_driven_filters_in_clean(spark):
     meta = json.load(open(path + ".meta.json"))
     hist = " ".join(meta["history"])
     assert "lowpass" in hist and "median" in hist
+
+
+def test_aqdwvs_chain(spark, fixture_dir):
+    """Reference aqdwvs chain (wad2cdf -> cdf2nc -> nc2waves) through the
+    instrument alias: .whd/.wad ingest, EPIC renames at clean
+    (aqdutils.py:10-58), Welch wave stats with the known injected wave
+    (a=0.4, T=8 s at 2 Hz -> Tp == 8.0)."""
+    base = os.path.join(fixture_dir, "WVS02")
+    # fs=4 with 1024-sample bursts puts the 0.125 Hz wave exactly on a
+    # Welch bin with little Kp² amplification of window leakage (at low
+    # fs / deep sensor the 1/Kp² correction can raise the leakage bin
+    # above the true peak — a property of the method, reference included)
+    fs, spb, n_bursts = 4.0, 1024, 3
+    with open(base + ".hdr", "w") as f:
+        f.write("Wave measurements                     ENABLED\n")
+        f.write(f"Wave - Number of samples              {spb}\n")
+        f.write(f"Wave - Sampling rate                  {int(fs)} Hz\n")
+        f.write("Coordinate system                     BEAM\n")
+    with open(base + ".whd", "w") as f:
+        for b in range(n_bursts):
+            f.write(
+                f"6 1 2024 {10 + b} 0 0.0000 {b + 1} {spb} 0.41 12.5 1500.0 "
+                f"{100.0 + b} 1.5 -0.5 10.0 0 18.5 0.5 120 121 122\n"
+            )
+    tt = np.arange(spb) / fs
+    with open(base + ".wad", "w") as f:
+        for b in range(n_bursts):
+            p = 10.0 + 0.4 * np.sin(2 * np.pi / 8.0 * tt)
+            for s in range(spb):
+                f.write(
+                    f"{b + 1} {s + 1} {p[s]:.5f} 0 0 0.01 0.02 0.03 0 140 141 142\n"
+                )
+    cfg = {
+        "instrument": "aqdwvs",
+        "input_path": base,
+        "output_dir": os.path.join(fixture_dir, "wvs_out"),
+        "filename": "WVS02",
+        "wave_interval": 3600,
+        "sample_interval": 1 / fs,
+        "initial_instrument_height": 0.5,
+        "Deployment_date": "2024-06-01 00:00",
+        "Recovery_date": "2024-06-02 00:00",
+    }
+    from stglib_spark.pipeline import run_clean, run_ingest, run_waves
+
+    run_ingest(spark, cfg)
+    clean = spark.read.parquet(run_clean(spark, cfg))
+    # EPIC renames applied at clean, reference ds_rename semantics
+    assert "P_1" in clean.columns
+    assert "vel1_1277" in clean.columns and "Hdg_1215" in clean.columns
+    waves = spark.read.parquet(run_waves(spark, cfg)).orderBy("burst_time").collect()
+    assert len(waves) == n_bursts
+    for w in waves:
+        assert w["wp_peak"] == pytest.approx(8.0, rel=1e-6)
+        assert w["wh_4061"] > 0
