@@ -89,31 +89,27 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
     history = History()
     df = spark.read.parquet(_zone_path(config, "raw"))
 
-    from stglib_spark.sources import resolve_instrument
-
-    if resolve_instrument(str(config.get("instrument", ""))) in (
-        "aqd",
-        "vec",
-        "aqd_wad",
-    ):
-        # EPIC renames happen at the clean stage for the Nortek family,
-        # exactly like the reference (aqd/aqdutils.py:10-58 ds_rename)
-        from stglib_spark.attrs import AQD_EPIC_RENAMES
-
-        mapping = {c: AQD_EPIC_RENAMES[c] for c in df.columns if c in AQD_EPIC_RENAMES}
-        if mapping:
-            df = df.withColumnsRenamed(mapping)
-            history.insert_history("Renamed variables to EPIC codes.")
-
     df = clip_ops.clip_ds(df, config)
     history.insert_history("Clipped to deployment window / good ranges.")
 
-    if config.get("atmpres_path") and "P_1" in df.columns:
+    raw_pcol = next(
+        (c for c in ("P_1", "Pressure", "pressure") if c in df.columns), None
+    )
+    if config.get("atmpres_path") and raw_pcol:
         met = spark.read.parquet(config["atmpres_path"])
-        df = joins.atmos_correct(df, met, config)
+        df = joins.atmos_correct(df, met, config, pressure_col=raw_pcol)
         history.insert_history("Atmospherically corrected pressure (P_1ac).")
 
-    pcol = "P_1ac" if "P_1ac" in df.columns else ("P_1" if "P_1" in df.columns else None)
+    # pressure fallback chain (utils.py:1058-1065): corrected first,
+    # then raw, vendor or EPIC spelling
+    pcol = next(
+        (
+            c
+            for c in ("Pressure_ac", "P_1ac", "Pressure", "pressure", "P_1")
+            if c in df.columns
+        ),
+        None,
+    )
     if pcol:
         df = df.withColumn(
             "depth_m", physics.pres2dep_simple(F.col(pcol))
@@ -137,6 +133,24 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
         )
 
     df = _velocity_stack(df, config, history, pcol)
+
+    from stglib_spark.sources import resolve_instrument
+
+    if resolve_instrument(str(config.get("instrument", ""))) in (
+        "aqd",
+        "vec",
+        "aqd_wad",
+    ):
+        # EPIC renames for the Nortek family come AFTER the velocity
+        # stack and BEFORE QA/QC, the reference's exact order
+        # (aqd/cdf2nc.py:64-105: magvar/trims → ds_rename → qaqc loop;
+        # map at aqd/aqdutils.py:10-58)
+        from stglib_spark.attrs import AQD_EPIC_RENAMES
+
+        mapping = {c: AQD_EPIC_RENAMES[c] for c in df.columns if c in AQD_EPIC_RENAMES}
+        if mapping:
+            df = df.withColumnsRenamed(mapping)
+            history.insert_history("Renamed variables to EPIC codes.")
 
     value_cols = [
         c for c, t in df.dtypes if t in ("double", "float") and not c.startswith("__")

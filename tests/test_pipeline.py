@@ -447,6 +447,11 @@ def test_aqdwvs_chain(spark, fixture_dir):
     # EPIC renames applied at clean, reference ds_rename semantics
     assert "P_1" in clean.columns
     assert "vel1_1277" in clean.columns and "Hdg_1215" in clean.columns
+    # velocity stack ran BEFORE the renames (aqd/cdf2nc.py order): the
+    # beam-average AGC was computed from the vendor AMP1-3 names
+    assert "AGC_1202" in clean.columns
+    r0 = clean.limit(1).collect()[0]
+    assert r0["AGC_1202"] == pytest.approx((140 + 141 + 142) / 3)
     waves = spark.read.parquet(run_waves(spark, cfg)).orderBy("burst_time").collect()
     assert len(waves) == n_bursts
     for w in waves:
