@@ -174,6 +174,102 @@ def burst_wave_stats_kernel(
     return pd.DataFrame(rows, columns=cols)
 
 
+def burst_wave_stats_elev_kernel(
+    pdf: pd.DataFrame,
+    sample_rate: float,
+    nsegs: int = 16,
+    burst_col: str = "burst_time",
+    elev_col: str = "elev",
+    sample_col: str = "sample",
+) -> pd.DataFrame:
+    """Per-burst wave statistics from direct sea-surface elevation
+    (core/waves.py:684-743 ``make_waves_ds_elev``): Welch PSD of the
+    elevation series, band-limited to [1/(burst_duration/32),
+    min(2 Hz, Nyquist)], Pnn = Pxx directly — no Kp transfer, no noise
+    cutoff, no f⁻⁴ tail — then the same m0/m2 → Hs/Tm/Tp stats."""
+    rows = []
+    for bt, grp in pdf.groupby(burst_col, sort=True):
+        grp = grp.sort_values(sample_col)
+        e = grp[elev_col].to_numpy(dtype=float)
+        if len(e) < 8 or np.isnan(e).all():
+            continue
+        if np.isnan(e).any():
+            idx = np.arange(len(e))
+            good = np.isfinite(e)
+            if good.mean() < 0.9:
+                continue
+            e = np.interp(idx, idx[good], e[good])
+        nsamps = len(e)
+        nfft = max(next_power_of_2(int(nsamps / nsegs)), 8)
+        f, pxx = welch_psd(e, fs=sample_rate, nperseg=nfft)
+        # frequency band (waves.py:709-722): ≥32 whole periods per burst,
+        # ≤ lesser of 2 Hz and Nyquist
+        flo = np.round(1.0 / (nsamps / sample_rate / 32.0), 3)
+        fhi = min(2.0, sample_rate / 2.0)
+        ind = (f >= flo) & (f <= fhi)
+        f, pnn = f[ind], pxx[ind]
+        if not len(f):
+            continue
+        m0 = float(np.trapz(pnn, f))
+        m2 = float(np.trapz(pnn * f**2, f))
+        wh = 4.0 * np.sqrt(m0)
+        wp_mean = np.sqrt(m0 / m2) if m2 and np.isfinite(m2) else float("nan")
+        fp = f[int(np.argmax(np.nan_to_num(pnn, nan=0.0)))]
+        rows.append(
+            {
+                burst_col: bt,
+                "frequency": f.tolist(),
+                "pspec": pnn.tolist(),
+                "m0": m0,
+                "m2": m2,
+                "wh_4061": wh,
+                "wp_4060": wp_mean,
+                "wp_peak": 1.0 / fp if fp > 0 else float("nan"),
+                "water_depth": float("nan"),
+            }
+        )
+    cols = [
+        burst_col,
+        "frequency",
+        "pspec",
+        "m0",
+        "m2",
+        "wh_4061",
+        "wp_4060",
+        "wp_peak",
+        "water_depth",
+    ]
+    return pd.DataFrame(rows, columns=cols)
+
+
+def make_waves_ds_elev(
+    df: DataFrame,
+    config: dict,
+    burst_col: str = "burst_time",
+    elev_col: str = "elev",
+    sample_col: str = "sample",
+) -> DataFrame:
+    """Distributed make_waves_ds_elev (core/waves.py:684-743): wave
+    statistics from a direct surface-elevation measurement (Geolux radar
+    ``elev``, Signature ``brangeAST``, ABSS ``brange``). Same shuffle
+    shape as the pressure chain — one Arrow batch per burst."""
+    sample_rate = 1.0 / float(config.get("sample_interval", 1.0))
+    nsegs = int(config.get("spec_nsegs", 16))
+    slim = df.select(burst_col, sample_col, elev_col)
+
+    def apply_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return burst_wave_stats_elev_kernel(
+            pdf,
+            sample_rate=sample_rate,
+            nsegs=nsegs,
+            burst_col=burst_col,
+            elev_col=elev_col,
+            sample_col=sample_col,
+        )
+
+    return slim.groupBy(burst_col).applyInPandas(apply_fn, wave_stats_schema(burst_col))
+
+
 def puv_quick_np(
     p: np.ndarray,
     u: np.ndarray,

@@ -265,6 +265,18 @@ def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
     # clipping may have removed leading rows and shifted count-based
     # burst boundaries (waves.py:2037-2091)
     df = _burst_keyed(spark.read.parquet(_zone_path(config, "clean")), config)
+    # direct surface-elevation branch (waves.py:684-743): forced by
+    # wave_data_type: elev, or taken when no pressure column exists and
+    # an elevation/boundary-range variable does (elev probe chain)
+    ecol = next((c for c in ("elev", "brange", "brangeAST") if c in df.columns), None)
+    has_p = "P_1ac" in df.columns or "P_1" in df.columns
+    if ecol and (config.get("wave_data_type") == "elev" or not has_p):
+        waves = wave_ops.make_waves_ds_elev(df, config, elev_col=ecol)
+        waves = clip_ops.trim_max_wp(waves, config)
+        history.insert_history(
+            f"Computed wave statistics from surface elevation ({ecol})."
+        )
+        return _write_zone(waves, config, "waves", history)
     pcol = "P_1ac" if "P_1ac" in df.columns else "P_1"
     waves = wave_ops.make_waves_ds(df, config, pressure_col=pcol)
     waves = clip_ops.trim_max_wp(waves, config)

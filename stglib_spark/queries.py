@@ -2427,6 +2427,30 @@ def wave_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("wave_stats_elev")  # rows-only oracle (FFT chain)
+def wave_stats_elev(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Direct surface-elevation wave statistics (core/waves.py:684-743):
+    no Kp transfer, band-limited to [32 periods/burst, min(2 Hz, Nyq)]."""
+    ev = load_table(spark, sf_dir, "events")
+    # 72 h bursts: the 32-periods-per-burst band floor (waves.py:714)
+    # needs ≥64 samples per burst before flo ≤ Nyquist, and the sparsest
+    # test stream (sf0.001, ~43 min cadence) only reaches that at 3 days
+    with_burst = timeops.burst_keys(
+        ev.select(F.col("ts").alias("time"), (F.col("value") / 100.0).alias("elev")),
+        time_col="time",
+        interval_seconds=72 * 3600,
+    )
+    cfg = {"sample_interval": 155.0}
+    out = wave_ops.make_waves_ds_elev(with_burst, cfg)
+    return out.select(
+        "burst_time",
+        F.round("m0", 6).alias("m0"),
+        F.round("wh_4061", 6).alias("wh_4061"),
+        F.round("wp_4060", 6).alias("wp_4060"),
+        F.round("wp_peak", 6).alias("wp_peak"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Sonar image regrid (son/nc2xy.py:60-125) and multimodal binary columns
 # (north-star: media as binary + typed metadata, Arrow-batched UDFs)

@@ -210,3 +210,29 @@ def test_puv_variance_preservation():
     f, pxx = welch_psd(x, fs=2.0, nperseg=512)
     var_spec = np.trapz(pxx, f)
     assert abs(var_spec - x.var()) / x.var() < 0.05
+
+
+def test_wave_stats_elev_recovers_known_hs():
+    """Elevation branch (core/waves.py:684-743): no Kp transfer, so a
+    monochromatic surface elevation of amplitude a gives Hs = 4·√(a²/2)
+    directly; Tp exact; frequency band clipped to ≥32 periods per burst
+    and ≤ min(2 Hz, Nyquist)."""
+    from stglib_spark.operators.waves import burst_wave_stats_elev_kernel
+
+    fs, T, a = 4.0, 8.0, 0.5
+    t = np.arange(4096) / fs
+    e = a * np.sin(2 * np.pi / T * t)
+    pdf = pd.DataFrame(
+        {
+            "burst_time": pd.Timestamp("2024-01-01"),
+            "sample": np.arange(len(t)),
+            "elev": e,
+        }
+    )
+    out = burst_wave_stats_elev_kernel(pdf, sample_rate=fs)
+    expected_hs = 4 * np.sqrt(a**2 / 2)
+    assert abs(out.wh_4061[0] - expected_hs) / expected_hs < 1e-2
+    assert out.wp_peak[0] == pytest.approx(T)
+    f = np.array(out.frequency[0])
+    assert f.min() >= 1.0 / (4096 / fs / 32.0) - 1e-9
+    assert f.max() <= 2.0
