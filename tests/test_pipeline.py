@@ -457,3 +457,38 @@ def test_aqdwvs_chain(spark, fixture_dir):
     for w in waves:
         assert w["wp_peak"] == pytest.approx(8.0, rel=1e-6)
         assert w["wh_4061"] > 0
+
+
+def test_sgwvs_chain(spark, fixture_dir):
+    """Reference sgwvs chain (wb2cdf -> cdf2nc -> nc2waves): Seagauge .wb
+    wave bursts stamp every sample with the burst start time, so this
+    exercises the same sample-order tiebreak as the .wad path. Injected
+    a=0.5, T=8 s at fs=4 -> Tp == 8.0 exactly."""
+    fs, spb, n_bursts = 4.0, 1024, 2
+    p = os.path.join(fixture_dir, "dep.wb")
+    tt = np.arange(spb) / fs
+    wave = 10.0 + 0.5 * np.sin(2 * np.pi / 8.0 * tt)
+    with open(p, "w") as f:
+        f.write("SBE 26plus\n")
+        for b in range(n_bursts):
+            f.write(f"* {b} {757382400 + 3600 * b} x {spb} y\n")
+            for i in range(0, spb, 4):
+                f.write(" ".join(f"{v:.5f}" for v in wave[i : i + 4]) + "\n")
+    cfg = {
+        "instrument": "sgwvs",
+        "input_path": p,
+        "output_dir": os.path.join(fixture_dir, "sgwvs_out"),
+        "filename": "SG01",
+        "wave_interval": 3600,
+        "sample_interval": 1 / fs,
+        "initial_instrument_height": 0.5,
+    }
+    from stglib_spark.pipeline import run_clean, run_ingest, run_waves
+
+    run_ingest(spark, cfg)
+    run_clean(spark, cfg)
+    waves = spark.read.parquet(run_waves(spark, cfg)).orderBy("burst_time").collect()
+    assert len(waves) == n_bursts
+    for w in waves:
+        assert w["wp_peak"] == pytest.approx(8.0, rel=1e-6)
+        assert w["wh_4061"] > 0
