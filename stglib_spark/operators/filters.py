@@ -204,6 +204,7 @@ def apply_config_filters(
             )
             df = butter_filter(
                 df, var, sr, cutfreq, ftype,
+                order=int(config.get("filter_order", 4)),
                 group_cols=group_cols, time_col=time_col, keep_unfiltered=True,
             )
             notes.append(f"Applied {ftype} filter to {var} (cutoff {period} s).")

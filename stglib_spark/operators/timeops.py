@@ -67,6 +67,7 @@ def burst_keys(
     burst_col: str = "burst_time",
     sample_col: str = "sample",
     tiebreak_col: str | None = None,
+    start_offset_seconds: int = 0,
 ) -> DataFrame:
     """Derive (burst_time, sample) keys from a continuous series.
 
@@ -75,9 +76,16 @@ def burst_keys(
     within the window. One shuffle on (series, burst window), shared by
     every downstream per-burst operator. ``tiebreak_col`` stabilizes the
     within-window order when timestamps repeat (burst-header formats
-    stamp all samples with the burst start time).
+    stamp all samples with the burst start time);
+    ``start_offset_seconds`` shifts the window grid so bursts tile from a
+    user ``wave_start_time`` instead of the epoch.
     """
-    win = F.window(F.col(time_col), f"{interval_seconds} seconds")
+    win = F.window(
+        F.col(time_col),
+        f"{interval_seconds} seconds",
+        f"{interval_seconds} seconds",
+        f"{start_offset_seconds} seconds",
+    )
     out = df.withColumn(burst_col, win.start)
     order = [F.col(time_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
     w = Window.partitionBy(*[F.col(c) for c in series_cols], F.col(burst_col)).orderBy(

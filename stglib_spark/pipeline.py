@@ -131,6 +131,23 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             "SSC_791",
             physics.turbidity_to_ssc(F.col("Turb"), list(config["Turb_ssc_coeffs"])),
         )
+    # <VAR>_ssc_calibration (doc/config.rst, utils.py:2006-2041): polyval
+    # of the named turbidity variable → new `ssc` variable, any source var
+    for key, coef in config.items():
+        if not (isinstance(key, str) and key.endswith("_ssc_calibration")):
+            continue
+        turbvar = key[: -len("_ssc_calibration")]
+        if turbvar not in df.columns:
+            raise KeyError(
+                f"SSC generation requested for {turbvar} but {turbvar} "
+                "does not exist in the dataset"
+            )
+        df = df.withColumn(
+            "ssc", physics.turbidity_to_ssc(F.col(turbvar), list(coef))
+        )
+        history.insert_history(
+            f"SSC variable created: SSC = {coef[0]} * {turbvar} + {coef[-1]}"
+        )
 
     df = _velocity_stack(df, config, history, pcol)
 
@@ -315,6 +332,22 @@ def _burst_keyed(df: DataFrame, config: dict[str, Any]) -> DataFrame:
     """Shared front half of the analyze stages: derive burst keys and trim
     to wave_duration (SURVEY §3.3 steps 2-3)."""
     if config.get("wave_interval"):
+        # wave_start_time (doc/config.rst; glx.py:158-165): trim the
+        # continuous record to the given start and tile bursts from it
+        start_offset = 0
+        if config.get("wave_start_time"):
+            start = str(config["wave_start_time"])
+            df = df.filter(F.col("time") >= F.lit(start).cast("timestamp"))
+            import datetime as _dt
+
+            # naive timestamps are UTC in the engine's session; anchor the
+            # window grid on the same basis Spark's window() uses
+            epoch = (
+                _dt.datetime.fromisoformat(start)
+                .replace(tzinfo=_dt.timezone.utc)
+                .timestamp()
+            )
+            start_offset = int(epoch) % int(config["wave_interval"])
         # keep any ingest-recorded sample index as the ordering tiebreak:
         # burst-header formats (.wad, .wb) stamp every sample with the
         # burst START time, so ordering by time alone would scramble the
@@ -330,6 +363,7 @@ def _burst_keyed(df: DataFrame, config: dict[str, Any]) -> DataFrame:
             interval_seconds=int(config["wave_interval"]),
             burst_col="burst_time",
             tiebreak_col=tiebreak,
+            start_offset_seconds=start_offset,
         )
         if tiebreak:
             df = df.drop(tiebreak)

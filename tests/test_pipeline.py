@@ -492,3 +492,49 @@ def test_sgwvs_chain(spark, fixture_dir):
     for w in waves:
         assert w["wp_peak"] == pytest.approx(8.0, rel=1e-6)
         assert w["wh_4061"] > 0
+
+
+def test_ssc_calibration_key(spark, fixture_dir):
+    """<VAR>_ssc_calibration (doc/config.rst; utils.py:2006-2041): polyval
+    of any named variable into a new `ssc` variable at the clean stage."""
+    from stglib_spark.pipeline import _zone_path, run_clean
+
+    cfg = {
+        "instrument": "generic_csv",
+        "filename": "ssctest",
+        "output_dir": fixture_dir,
+        "AnalogInput1_ssc_calibration": [0.55, -0.02],
+    }
+    pd.DataFrame(
+        {
+            "time": pd.date_range("2024-01-01", periods=10, freq="1min"),
+            "AnalogInput1": np.linspace(1.0, 2.0, 10),
+        }
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        _zone_path(cfg, "raw")
+    )
+    out = spark.read.parquet(run_clean(spark, cfg)).orderBy("time").collect()
+    assert out[0]["ssc"] == pytest.approx(0.55 * 1.0 - 0.02)
+    assert out[-1]["ssc"] == pytest.approx(0.55 * 2.0 - 0.02)
+
+
+def test_wave_start_time_alignment(spark, fixture_dir):
+    """wave_start_time (doc/config.rst; glx.py:158-165): the continuous
+    record is trimmed to the given start and bursts tile from it, not
+    from the epoch grid."""
+    from stglib_spark.pipeline import _burst_keyed
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "time": pd.date_range("2024-06-01 00:10:00", periods=120, freq="1min"),
+                "P_1": np.arange(120.0),
+            }
+        )
+    )
+    cfg = {"wave_interval": 1800, "wave_start_time": "2024-06-01 00:15:00"}
+    out = _burst_keyed(df, cfg)
+    bts = sorted(r[0] for r in out.select("burst_time").distinct().collect())
+    # rows before the start time are gone; bursts begin exactly at :15/:45
+    assert bts[0].minute == 15 and bts[1].minute == 45
+    assert out.agg(F.min("time")).collect()[0][0].minute == 15
