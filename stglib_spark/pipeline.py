@@ -169,13 +169,69 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             df = df.withColumnsRenamed(mapping)
             history.insert_history("Renamed variables to EPIC codes.")
 
+    from stglib_spark.operators import filters as filter_ops
+
+    if config.get("filtered_wl") and "water_level" in df.columns:
+        # filtered_wl: "true" (doc/config.rst; utils.py:1715-1756):
+        # 4th-order 6-min lowpass water level → water_level_filt
+        df = filter_ops.filtered_water_level(
+            df,
+            "water_level",
+            sample_interval_seconds=float(config.get("sample_interval", 60.0)),
+        )
+        history.insert_history("Created filtered water level (6-min lowpass).")
+
+    vfm = config.get("vel_filter_method")
+    if vfm and config.get("vel_filter_cut"):
+        # vel_filter_method/vel_filter_cut (doc/config.rst;
+        # core/filter.py:232-275 velocity variant)
+        period = config["vel_filter_cut"]
+        cut = (
+            [1.0 / float(period[0]), 1.0 / float(period[1])]
+            if isinstance(period, (list, tuple))
+            else 1.0 / float(period)
+        )
+        sr = 1.0 / float(config.get("sample_interval", 1.0))
+        for vcol in ("u_1205", "v_1206", "w_1204", "VEL1", "VEL2", "VEL3"):
+            if vcol in df.columns:
+                df = filter_ops.butter_filter(
+                    df, vcol, sr, cut, str(vfm),
+                    order=int(config.get("filter_order", 4)),
+                    group_cols=["burst"] if "burst" in df.columns else (),
+                )
+        history.insert_history(f"Applied {vfm} filter to velocity variables.")
+
+    if (
+        config.get("trim_ast")
+        and "brangeAST" in df.columns
+        and "ast_quality" in df.columns
+    ):
+        # trim_ast / ast_qual_sf (sig/cdf2nc.py:1808-1865): threshold =
+        # mean of top-third ast_quality × scale factor; null brangeAST
+        # below it (config-scale two-pass aggregate)
+        from stglib_spark.operators.aggregations import top_third_mean_threshold
+
+        thr = top_third_mean_threshold(
+            df, "ast_quality", float(config.get("ast_qual_sf", 0.85))
+        )
+        df = df.withColumn(
+            "brangeAST",
+            F.when(F.col("ast_quality") >= F.lit(thr), F.col("brangeAST")),
+        )
+        history.insert_history(
+            f"Trimmed brangeAST below ast_quality threshold {thr:.4g}."
+        )
+
+    if "Turb_std_max" in config:
+        # NTU spelling (doc/config.rst) of the generic max-std gate
+        config = {**config, "Turb_max_std": config["Turb_std_max"]}
+
     value_cols = [
         c for c, t in df.dtypes if t in ("double", "float") and not c.startswith("__")
     ]
 
     # config-driven smoothing/filtering runs before the rules, matching
     # the top of the reference's QA/QC loop (core/qaqc.py:19-20)
-    from stglib_spark.operators import filters as filter_ops
 
     fgroups = ["burst"] if "burst" in df.columns else []
     df, filter_notes = filter_ops.apply_config_filters(

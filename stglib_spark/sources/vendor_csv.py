@@ -255,6 +255,27 @@ def _read_eco(
             .select("burst", F.col("time").alias("burst_time"))
         )
         df = df.join(F.broadcast(mid), "burst", "left")
+    if config.get("user_ntucal_coeffs") and "counts" in df.columns:
+        # NTU calibration (eco.py:165-176): Turb = polyval(coeffs, counts)
+        # collapsed to per-burst mean + std (the std feeds Turb_std_max QA)
+        coeffs = [float(c) for c in config["user_ntucal_coeffs"]]
+        turb = F.lit(0.0)
+        for c in coeffs:
+            turb = turb * F.col("counts") + F.lit(c)
+        df = df.withColumn("__turb", turb)
+        if "burst" in df.columns:
+            df = (
+                df.groupBy("burst")
+                .agg(
+                    F.first("burst_time").alias("time"),
+                    F.avg("__turb").alias("Turb"),
+                    # population std: xarray's .std() default ddof=0
+                    F.stddev_pop("__turb").alias("Turb_std"),
+                )
+                .drop("burst")
+            )
+        else:
+            df = df.withColumnRenamed("__turb", "Turb")
     return df
 
 

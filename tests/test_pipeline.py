@@ -538,3 +538,63 @@ def test_wave_start_time_alignment(spark, fixture_dir):
     # rows before the start time are gone; bursts begin exactly at :15/:45
     assert bts[0].minute == 15 and bts[1].minute == 45
     assert out.agg(F.min("time")).collect()[0][0].minute == 15
+
+
+def test_filtered_wl_and_turb_std_max(spark, fixture_dir):
+    """filtered_wl creates water_level_filt; Turb_std_max maps to the
+    generic max-std gate (NTU spelling, doc/config.rst)."""
+    from stglib_spark.pipeline import _zone_path, run_clean
+
+    cfg = {
+        "instrument": "generic_csv",
+        "filename": "wlfilt",
+        "output_dir": fixture_dir,
+        "sample_interval": 60.0,
+        "initial_instrument_height": 0.5,
+        "NAVD88_ref": -1.0,
+        "filtered_wl": True,
+        "Turb_std_max": 5.0,
+    }
+    n = 256
+    pd.DataFrame(
+        {
+            "time": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "P_1": 10.0 + 0.5 * np.sin(np.arange(n) * 2 * np.pi / 12),
+            "Turb": np.linspace(1, 2, n),
+            "Turb_std": [1.0] * (n - 3) + [9.0] * 3,
+        }
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        _zone_path(cfg, "raw")
+    )
+    out = spark.read.parquet(run_clean(spark, cfg))
+    assert "water_level_filt" in out.columns
+    # the 12-min oscillation is attenuated by the 6-min lowpass cutoff...
+    # (it passes: period 12 min > 6 min cutoff), so just check non-null
+    assert out.filter(F.col("water_level_filt").isNotNull()).count() > 0
+    # 3 rows had Turb_std over the gate -> Turb nulled there
+    assert out.filter(F.col("Turb").isNull()).count() == 3
+
+
+def test_trim_ast_threshold(spark, fixture_dir):
+    """trim_ast/ast_qual_sf (sig/cdf2nc.py:1808-1865): brangeAST nulled
+    where ast_quality < 0.85 x mean(top third)."""
+    from stglib_spark.pipeline import _zone_path, run_clean
+
+    cfg = {
+        "instrument": "generic_csv",
+        "filename": "asttest",
+        "output_dir": fixture_dir,
+        "trim_ast": True,
+    }
+    q = np.array([100.0] * 60 + [30.0] * 30)  # top third mean=100, thr=85
+    pd.DataFrame(
+        {
+            "time": pd.date_range("2024-01-01", periods=90, freq="1s"),
+            "brangeAST": np.linspace(9, 11, 90),
+            "ast_quality": q,
+        }
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        _zone_path(cfg, "raw")
+    )
+    out = spark.read.parquet(run_clean(spark, cfg))
+    assert out.filter(F.col("brangeAST").isNull()).count() == 30

@@ -252,3 +252,25 @@ def test_read_argonaut_dat(spark, tmp_path):
     assert rows[1]["time"].minute == 1 and rows[1]["time"].second == 30
     assert rows[2]["Vel1"] == pytest.approx(0.2)
     assert dict(df.dtypes)["SNR1"] == "double"
+
+
+def test_eco_ntu_user_calibration(tmp_path, spark):
+    """user_ntucal_coeffs (eco.py:165-176): Turb = polyval(coeffs, counts)
+    collapsed to per-burst mean + population std."""
+    import numpy as np
+
+    from stglib_spark.sources.vendor_csv import read_eco_ntu
+
+    p = str(tmp_path / "ntu.raw")
+    counts = [100, 110, 120, 130, 200, 210, 220, 230]
+    with open(p, "w") as f:
+        for i, c in enumerate(counts):
+            mins = i // 4
+            f.write(f"01/15/24\t00:{mins:02d}:00\t695\t{c}\t554\n")
+    cfg = {"spb": 4, "user_ntucal_coeffs": [0.01, -1.0]}
+    rows = read_eco_ntu(spark, p, cfg).orderBy("time").collect()
+    assert len(rows) == 2
+    for r, grp in zip(rows, [counts[:4], counts[4:]]):
+        exp = np.polyval([0.01, -1.0], np.array(grp, dtype=float))
+        assert r["Turb"] == pytest.approx(exp.mean())
+        assert r["Turb_std"] == pytest.approx(exp.std())
