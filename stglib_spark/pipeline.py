@@ -253,7 +253,40 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
     clean = result.df.select(*[c for c in result.df.columns if not c.startswith("__")])
     history.insert_history("Applied QA/QC rule engine.")
     split = "profile" if config.get("split_profiles") else None
-    return _write_zone(clean, config, "clean", history, partition_by=split)
+    path = _write_zone(clean, config, "clean", history, partition_by=split)
+
+    if config.get("average_interval"):
+        # the reference's "-a.nc" averaged companion product
+        # (sig/cdf2nc.py:320-379, mar.py:259-331): tumbling-interval means
+        # of every numeric variable, restricted to average_duration, with
+        # the optional min-valid-fraction gate
+        from stglib_spark.operators.aggregations import interval_average
+
+        avg_vals = [
+            c
+            for c, t in clean.dtypes
+            if t in ("double", "float") and c != "time"
+        ]
+        averaged = interval_average(
+            clean,
+            time_col="time",
+            interval_seconds=int(config["average_interval"]),
+            duration_seconds=(
+                int(config["average_duration"])
+                if config.get("average_duration")
+                else None
+            ),
+            value_cols=avg_vals,
+            minf=(
+                float(config["mean_minf"]) if config.get("mean_minf") else None
+            ),
+        )
+        avg_history = History()
+        avg_history.insert_history(
+            f"Averaged over {config['average_interval']} s intervals."
+        )
+        _write_zone(averaged, config, "avg", avg_history)
+    return path
 
 
 def _velocity_stack(

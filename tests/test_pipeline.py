@@ -598,3 +598,33 @@ def test_trim_ast_threshold(spark, fixture_dir):
     )
     out = spark.read.parquet(run_clean(spark, cfg))
     assert out.filter(F.col("brangeAST").isNull()).count() == 30
+
+
+def test_average_interval_companion_product(spark, fixture_dir):
+    """average_interval/average_duration (doc/config.rst; the reference's
+    '-a.nc' companion): clean zone plus a tumbling-interval averaged zone,
+    means restricted to the first average_duration seconds."""
+    from stglib_spark.pipeline import _zone_path, run_clean
+
+    cfg = {
+        "instrument": "generic_csv",
+        "filename": "avgtest",
+        "output_dir": fixture_dir,
+        "average_interval": 600,
+        "average_duration": 300,
+    }
+    n = 40  # 40 minutes at 1/min -> 4 intervals of 10 min
+    pd.DataFrame(
+        {
+            "time": pd.date_range("2024-01-01", periods=n, freq="1min"),
+            "v": np.arange(n, dtype=float),
+        }
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        _zone_path(cfg, "raw")
+    )
+    run_clean(spark, cfg)
+    avg = spark.read.parquet(_zone_path(cfg, "avg")).orderBy("time").collect()
+    assert len(avg) == 4
+    # duration=300 s -> only the first 5 of each 10 samples averaged
+    assert avg[0]["v"] == pytest.approx(np.arange(0, 5).mean())
+    assert avg[1]["v"] == pytest.approx(np.arange(10, 15).mean())
