@@ -65,7 +65,67 @@ def read_rbr_csv(spark: SparkSession, path: str, config: dict[str, Any]) -> Data
             .withColumn("sample", (F.col("__rn") % int(spb)).cast("int"))
             .drop("__rn")
         )
+    if str(config.get("featureType", "")).lower() == "profile":
+        df = assign_profiles(spark, df, config)
     return df
+
+
+def assign_profiles(
+    spark: SparkSession, df: DataFrame, config: dict[str, Any]
+) -> DataFrame:
+    """CTD-cast segmentation from the Ruskin events file
+    (rsk/csv2cdf.py:117-215, ``featureType: 'profile'``): "started" /
+    "paused" event pairs delimit casts; each observation inside a cast
+    window gets its ``profile`` id (rows between casts keep null). The
+    events file is config-scale and parsed at the driver; the window
+    table broadcasts into a range join — no shuffle of the observations.
+    Per-profile latitude/longitude lists from the config ride along."""
+    import pandas as pd
+
+    events_path = config.get(
+        "events_path", str(config.get("basefile", "")) + "_events.txt"
+    )
+    ev = pd.read_csv(events_path)
+    ev = ev.rename(columns={"Time": "time"})
+    ev["time"] = pd.to_datetime(ev["time"])
+    starts = ev[ev["Type"].str.contains("started")]["time"].tolist()
+    ends = ev[ev["Type"].str.contains("paused")]["time"].tolist()
+    # initial setup can emit a leading "paused" before the first start
+    if starts and ends and starts[0] > ends[0]:
+        ends = ends[1:]
+    if len(starts) != len(ends):
+        raise ValueError(
+            f"length of start events does not equal length of pause events "
+            f"in {events_path}"
+        )
+    lats = config.get("latitude")
+    lons = config.get("longitude")
+    if isinstance(lats, (list, tuple)) and len(lats) != len(starts):
+        raise ValueError(
+            f"size of latitude ({len(lats)}) does not match number of "
+            f"profiles ({len(starts)})"
+        )
+    rows = []
+    for i, (s, e) in enumerate(zip(starts, ends)):
+        rows.append(
+            (
+                i,
+                s.to_pydatetime(),
+                e.to_pydatetime(),
+                float(lats[i]) if isinstance(lats, (list, tuple)) else None,
+                float(lons[i]) if isinstance(lons, (list, tuple)) else None,
+            )
+        )
+    windows = spark.createDataFrame(
+        rows,
+        "profile int, __ps timestamp, __pe timestamp, "
+        "latitude double, longitude double",
+    )
+    return df.join(
+        F.broadcast(windows),
+        (F.col("time") >= F.col("__ps")) & (F.col("time") <= F.col("__pe")),
+        "left",
+    ).drop("__ps", "__pe")
 
 
 @register_adapter("exo_csv")

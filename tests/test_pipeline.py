@@ -628,3 +628,67 @@ def test_average_interval_companion_product(spark, fixture_dir):
     # duration=300 s -> only the first 5 of each 10 samples averaged
     assert avg[0]["v"] == pytest.approx(np.arange(0, 5).mean())
     assert avg[1]["v"] == pytest.approx(np.arange(10, 15).mean())
+
+
+def test_rbr_profile_feature_type(spark, fixture_dir):
+    """featureType: 'profile' (rsk/csv2cdf.py:117-215): Ruskin events file
+    segments the record into casts; observations get profile ids and the
+    per-profile latitude/longitude from config; split_profiles partitions
+    the clean zone per cast."""
+    from stglib_spark.pipeline import run_clean, run_ingest, _zone_path
+
+    base = os.path.join(fixture_dir, "ctd")
+    times = pd.date_range("2024-03-01 10:00:00", periods=30, freq="10s")
+    pd.DataFrame(
+        {
+            "Time": times.strftime("%Y-%m-%d %H:%M:%S.%f").str[:-3],
+            "Pressure": np.concatenate(
+                [np.linspace(0, 5, 10), np.linspace(0, 6, 10), np.linspace(0, 4, 10)]
+            ),
+        }
+    ).to_csv(base + ".csv", index=False)
+    pd.DataFrame(
+        {
+            "Time": [
+                # leading pause from instrument setup (dropped)
+                "2024-03-01 09:59:00",
+                "2024-03-01 10:00:00",
+                "2024-03-01 10:01:20",
+                "2024-03-01 10:02:00",
+                "2024-03-01 10:03:20",
+            ],
+            "Type": [
+                "sampling paused",
+                "sampling started",
+                "sampling paused",
+                "sampling started",
+                "sampling paused",
+            ],
+        }
+    ).to_csv(base + "_events.txt", index=False)
+    cfg = {
+        "instrument": "rbr",
+        "input_path": base + ".csv",
+        "basefile": base,
+        "output_dir": fixture_dir,
+        "filename": "ctdtest",
+        "featureType": "profile",
+        "latitude": [36.9, 41.5],
+        "longitude": [-122.0, -70.6],
+        "split_profiles": True,
+    }
+    run_ingest(spark, cfg)
+    raw = spark.read.parquet(_zone_path(cfg, "raw"))
+    got = raw.groupBy("profile").count().orderBy("profile").collect()
+    # profile 0: 10:00:00-10:01:20 -> 9 samples; profile 1: 10:02:00-10:03:20 -> 9
+    assert [(r["profile"], r["count"]) for r in got if r["profile"] is not None] == [
+        (0, 9),
+        (1, 9),
+    ]
+    lat0 = raw.filter("profile = 0").select("latitude").first()[0]
+    assert lat0 == pytest.approx(36.9)
+    run_clean(spark, cfg)
+    import glob as _glob
+
+    parts = _glob.glob(_zone_path(cfg, "clean") + "/profile=*")
+    assert len(parts) >= 2
