@@ -121,11 +121,24 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
                     F.col("depth_m"), float(config["initial_instrument_height"])
                 ),
             )
-        if config.get("NAVD88_ref") is not None:
-            df = df.withColumn(
-                "water_level",
-                physics.water_level(F.col("depth_m"), float(config["NAVD88_ref"])),
-            )
+    if config.get("NAVD88_ref") is not None or config.get(
+        "height_above_geopotential_datum"
+    ) is not None:
+        datum = float(
+            config.get("NAVD88_ref", config.get("height_above_geopotential_datum"))
+        )
+        # water_level_var (doc/config.rst; utils.py:1650-1712): a
+        # non-pressure variable (brangeAST) is used directly as the
+        # sensor-relative height; pressure goes through depth first
+        wlv = config.get("water_level_var", pcol)
+        if wlv in ("P_1ac", "Pressure_ac", "Pressure", "P_1", pcol) and pcol:
+            src = F.col("depth_m")
+        elif wlv and wlv in df.columns:
+            src = F.col(wlv)
+        else:
+            src = None
+        if src is not None:
+            df = df.withColumn("water_level", physics.water_level(src, datum))
     if "Turb" in df.columns and config.get("Turb_ssc_coeffs"):
         df = df.withColumn(
             "SSC_791",

@@ -692,3 +692,28 @@ def test_rbr_profile_feature_type(spark, fixture_dir):
 
     parts = _glob.glob(_zone_path(cfg, "clean") + "/profile=*")
     assert len(parts) >= 2
+
+
+def test_water_level_var_brange_ast(spark, fixture_dir):
+    """water_level_var: 'brangeAST' (doc/config.rst; utils.py:1650-1712):
+    the AST range is used directly (no pressure-to-depth conversion)."""
+    from stglib_spark.pipeline import _zone_path, run_clean
+
+    cfg = {
+        "instrument": "generic_csv",
+        "filename": "wlvtest",
+        "output_dir": fixture_dir,
+        "water_level_var": "brangeAST",
+        "height_above_geopotential_datum": -2.0,
+    }
+    pd.DataFrame(
+        {
+            "time": pd.date_range("2024-01-01", periods=5, freq="1min"),
+            "brangeAST": [10.0, 10.1, 10.2, 10.3, 10.4],
+        }
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        _zone_path(cfg, "raw")
+    )
+    out = spark.read.parquet(run_clean(spark, cfg)).orderBy("time").collect()
+    assert out[0]["water_level"] == pytest.approx(10.0 - 2.0)
+    assert out[-1]["water_level"] == pytest.approx(10.4 - 2.0)
