@@ -111,9 +111,26 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
         None,
     )
     if pcol:
-        df = df.withColumn(
-            "depth_m", physics.pres2dep_simple(F.col(pcol))
-        )
+        # pres2dep (utils.py:1926-1985): full EOS-80 density when salinity
+        # and temperature companions exist (water_level_salinity_var /
+        # water_level_temperature_var select them); scalar-density
+        # fallback otherwise (the average_salinity path)
+        scol = config.get("water_level_salinity_var", "S_41")
+        tcol = config.get("water_level_temperature_var", "T_28")
+        if scol in df.columns and tcol in df.columns:
+            df = physics.pres2dep_full(
+                df,
+                pcol,
+                scol,
+                tcol,
+                latitude=float(config.get("latitude", 30.0))
+                if not isinstance(config.get("latitude"), (list, tuple))
+                else 30.0,
+            )
+        else:
+            df = df.withColumn(
+                "depth_m", physics.pres2dep_simple(F.col(pcol))
+            )
         if config.get("initial_instrument_height") is not None:
             df = df.withColumn(
                 "water_depth",

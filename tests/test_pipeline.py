@@ -717,3 +717,35 @@ def test_water_level_var_brange_ast(spark, fixture_dir):
     out = spark.read.parquet(run_clean(spark, cfg)).orderBy("time").collect()
     assert out[0]["water_level"] == pytest.approx(10.0 - 2.0)
     assert out[-1]["water_level"] == pytest.approx(10.4 - 2.0)
+
+
+def test_pres2dep_full_when_companions_exist(spark, fixture_dir):
+    """With S_41/T_28 companions the clean stage computes depth via the
+    EOS-80 density path (utils.py:1926-1985), which differs measurably
+    from the constant-density fallback for salty warm water."""
+    from stglib_spark.pipeline import _zone_path, run_clean
+    from stglib_spark.operators.physics import pres2dep_simple
+
+    cfg = {
+        "instrument": "generic_csv",
+        "filename": "deptest",
+        "output_dir": fixture_dir,
+        "latitude": 45.0,
+    }
+    pd.DataFrame(
+        {
+            "time": pd.date_range("2024-01-01", periods=3, freq="1min"),
+            "P_1": [10.0, 20.0, 30.0],
+            "S_41": [35.0] * 3,
+            "T_28": [15.0] * 3,
+        }
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        _zone_path(cfg, "raw")
+    )
+    out = spark.read.parquet(run_clean(spark, cfg)).orderBy("time").collect()
+    # EOS-80 at S=35, T=15: rho ~ 1026 kg/m3 -> depth near but NOT equal
+    # to the rho=1025 constant fallback
+    for r, p in zip(out, [10.0, 20.0, 30.0]):
+        const = p * 1.0e4 / (1025.0 * 9.80665)
+        assert r["depth_m"] == pytest.approx(const, rel=0.01)
+        assert abs(r["depth_m"] - const) > 1e-4
