@@ -402,7 +402,55 @@ def read_lisst(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFr
     df = _keep_timed(df)
     df = _cast_doubles(df, vcs + LISST_COLS)
     df = df.withColumn("vc", F.array(*vcs)).drop(*vcs)
-    return df.drop("Year", "Month", "Day", "Hour", "Minute", "Second")
+    df = df.drop("Year", "Month", "Day", "Hour", "Minute", "Second")
+    if str(config.get("operating_mode", "")).lower() == "burst":
+        df = lisst_burst_keys(df)
+    return df
+
+
+def lisst_burst_keys(df: DataFrame) -> DataFrame:
+    """LISST burst inference from timestamps (lisst.py:428-482): the
+    within-burst cadence is the record's first time delta; any other
+    delta starts a new burst. Long-form equivalent of the reference's
+    reshape — burst = running count of cadence breaks, sample = index
+    within burst, burst start time as `time`; the trailing partial burst
+    (fewer samples than the first full burst) is dropped like the
+    reference's truncate-to-last-full-burst."""
+    from pyspark.sql import Window
+
+    w = Window.orderBy("time")
+    diff = F.col("time").cast("double") - F.lag(F.col("time").cast("double")).over(w)
+    df = df.withColumn("__d", diff)
+    dt0 = F.first("__d", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    boundary = F.when(F.col("__d").isNull() | (F.col("__d") != dt0), 1).otherwise(0)
+    df = df.withColumn("burst", F.sum(boundary).over(w) - 1)
+    wb = Window.partitionBy("burst").orderBy("time")
+    df = df.withColumn("sample", F.row_number().over(wb) - 1)
+    df = df.withColumn(
+        "burst_time", F.min("time").over(Window.partitionBy("burst"))
+    )
+    counts = df.groupBy("burst").agg(F.count(F.lit(1)).alias("__n"))
+    spb = counts.orderBy("burst").limit(1).select(F.col("__n").alias("__spb"))
+    return (
+        df.join(F.broadcast(counts), "burst")
+        .crossJoin(F.broadcast(spb))
+        .filter(F.col("__n") == F.col("__spb"))
+        .drop("__d", "__n", "__spb")
+    )
+
+
+def read_lop_meta(path: str) -> dict[str, Any]:
+    """Driver-side .lop metadata parse (lisst.py:487-500): `key: value`
+    lines become LISST<key> config attributes."""
+    meta: dict[str, Any] = {}
+    with open(path, errors="replace") as f:
+        for line in f:
+            parts = line.split(":", 1)
+            if len(parts) > 1:
+                meta[f"LISST{parts[0].replace(' ', '')}"] = parts[1].strip()
+    return meta
 
 
 # ---------------------------------------------------------------- TROLL

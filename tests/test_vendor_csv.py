@@ -274,3 +274,46 @@ def test_eco_ntu_user_calibration(tmp_path, spark):
         exp = np.polyval([0.01, -1.0], np.array(grp, dtype=float))
         assert r["Turb"] == pytest.approx(exp.mean())
         assert r["Turb_std"] == pytest.approx(exp.std())
+
+
+def test_lisst_burst_mode(tmp_path, spark):
+    """operating_mode: burst (lisst.py:428-482): burst cadence inferred
+    from the first time delta; partial trailing burst truncated."""
+    import numpy as np
+    import pandas as pd
+
+    from stglib_spark.sources.vendor_csv import read_lisst
+
+    p = str(tmp_path / "lisst.csv")
+    # 2 full bursts of 4 samples at 1 s cadence, 60 s apart, +2 stragglers
+    times = []
+    for b in range(2):
+        t0 = pd.Timestamp("2024-02-01 00:00:00") + pd.Timedelta(seconds=60 * b)
+        times += [t0 + pd.Timedelta(seconds=s) for s in range(4)]
+    times += [times[-1] + pd.Timedelta(seconds=60), times[-1] + pd.Timedelta(seconds=61)]
+    rows = []
+    for i, t in enumerate(times):
+        vcs = ",".join(str(float(i)) for _ in range(36))
+        rows.append(
+            f"{vcs},{float(i)},2.0,3.0,4.0,5.0,6.0,"
+            f"{t.year},{t.month},{t.day},{t.hour},{t.minute},{t.second}"
+        )
+    with open(p, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    df = read_lisst(spark, p, {"operating_mode": "burst"})
+    got = df.orderBy("burst", "sample").collect()
+    assert len(got) == 8  # stragglers truncated
+    assert {r["burst"] for r in got} == {0, 1}
+    assert [r["sample"] for r in got if r["burst"] == 0] == [0, 1, 2, 3]
+    assert got[4]["burst_time"] == got[4]["time"]
+
+
+def test_lop_meta(tmp_path):
+    from stglib_spark.sources.vendor_csv import read_lop_meta
+
+    p = str(tmp_path / "dep.lop")
+    with open(p, "w") as f:
+        f.write("Serial Number: 2048\nMeasurement Mode: burst\nnot-a-kv-line\n")
+    meta = read_lop_meta(p)
+    assert meta["LISSTSerialNumber"] == "2048"
+    assert meta["LISSTMeasurementMode"] == "burst"
