@@ -141,8 +141,12 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
     if config.get("NAVD88_ref") is not None or config.get(
         "height_above_geopotential_datum"
     ) is not None:
+        # first non-null key wins (a present-but-empty NAVD88_ref in a
+        # YAML template must not shadow the geopotential-datum key)
         datum = float(
-            config.get("NAVD88_ref", config.get("height_above_geopotential_datum"))
+            config["NAVD88_ref"]
+            if config.get("NAVD88_ref") is not None
+            else config["height_above_geopotential_datum"]
         )
         # water_level_var (doc/config.rst; utils.py:1650-1712): a
         # non-pressure variable (brangeAST) is used directly as the
@@ -163,9 +167,18 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
         )
     # <VAR>_ssc_calibration (doc/config.rst, utils.py:2006-2041): polyval
     # of the named turbidity variable → new `ssc` variable, any source var
-    for key, coef in config.items():
-        if not (isinstance(key, str) and key.endswith("_ssc_calibration")):
-            continue
+    ssc_keys = [
+        k
+        for k in config
+        if isinstance(k, str) and k.endswith("_ssc_calibration")
+    ]
+    if len(ssc_keys) > 1:
+        raise ValueError(
+            f"multiple *_ssc_calibration keys {ssc_keys} would overwrite "
+            "one another's `ssc` output; configure one"
+        )
+    for key in ssc_keys:
+        coef = config[key]
         turbvar = key[: -len("_ssc_calibration")]
         if turbvar not in df.columns:
             raise KeyError(
@@ -176,7 +189,7 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             "ssc", physics.turbidity_to_ssc(F.col(turbvar), list(coef))
         )
         history.insert_history(
-            f"SSC variable created: SSC = {coef[0]} * {turbvar} + {coef[-1]}"
+            f"SSC variable created: ssc = polyval({list(coef)}, {turbvar})"
         )
 
     df = _velocity_stack(df, config, history, pcol)
@@ -222,14 +235,27 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             else 1.0 / float(period)
         )
         sr = 1.0 / float(config.get("sample_interval", 1.0))
-        for vcol in ("u_1205", "v_1206", "w_1204", "VEL1", "VEL2", "VEL3"):
+        filtered = []
+        # both pre- and post-rename spellings: the Nortek EPIC rename has
+        # already run by this point (vel1_1277 family), but non-Nortek
+        # sources may carry ENU or vendor beam names
+        for vcol in (
+            "u_1205", "v_1206", "w_1204",
+            "vel1_1277", "vel2_1278", "vel3_1279",
+            "VEL1", "VEL2", "VEL3",
+        ):
             if vcol in df.columns:
                 df = filter_ops.butter_filter(
                     df, vcol, sr, cut, str(vfm),
                     order=int(config.get("filter_order", 4)),
                     group_cols=["burst"] if "burst" in df.columns else (),
                 )
-        history.insert_history(f"Applied {vfm} filter to velocity variables.")
+                filtered.append(vcol)
+        if filtered:
+            history.insert_history(
+                f"Applied {vfm} filter to velocity variables "
+                f"({', '.join(filtered)})."
+            )
 
     if (
         config.get("trim_ast")
@@ -292,13 +318,16 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
         # the optional min-valid-fraction gate
         from stglib_spark.operators.aggregations import interval_average
 
+        # read the zone just written — re-using `clean` would re-execute
+        # the whole raw→QA/QC lineage a second time
+        clean_out = spark.read.parquet(path)
         avg_vals = [
             c
-            for c, t in clean.dtypes
+            for c, t in clean_out.dtypes
             if t in ("double", "float") and c != "time"
         ]
         averaged = interval_average(
-            clean,
+            clean_out,
             time_col="time",
             interval_seconds=int(config["average_interval"]),
             duration_seconds=(
@@ -406,6 +435,11 @@ def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
     # an elevation/boundary-range variable does (elev probe chain)
     ecol = next((c for c in ("elev", "brange", "brangeAST") if c in df.columns), None)
     has_p = "P_1ac" in df.columns or "P_1" in df.columns
+    if config.get("wave_data_type") == "elev" and not ecol:
+        raise ValueError(
+            "wave_data_type: elev requested but no elev/brange/brangeAST "
+            "column exists in the clean zone"
+        )
     if ecol and (config.get("wave_data_type") == "elev" or not has_p):
         waves = wave_ops.make_waves_ds_elev(df, config, elev_col=ecol)
         waves = clip_ops.trim_max_wp(waves, config)

@@ -255,17 +255,17 @@ def read_aquadopp_waves(
     whd = read_aqd_whd(spark, basefile + ".whd")
     wad = read_aqd_wad(spark, basefile + ".wad", nsamps, coord).drop("source_file")
     # whole bursts only (wvswad2cdf.py:167-176): bound = floor(rows/nsamps),
-    # carried as a broadcast single-row aggregate, no driver collect;
-    # num_wave_bursts in the config overrides the bound
+    # carried as a broadcast single-row aggregate, no driver collect.
+    # num_wave_bursts additionally CAPS the burst count — it does not
+    # waive the partial-tail truncation
+    bound = wad.agg(
+        ((F.count(F.lit(1)) / nsamps).cast("long")).alias("__nburst")
+    )
+    wad = wad.crossJoin(F.broadcast(bound)).filter(
+        F.col("burst_idx") < F.col("__nburst")
+    ).drop("__nburst")
     if "num_wave_bursts" in meta:
         whd = whd.filter(F.col("row_idx") < int(meta["num_wave_bursts"]))
-    else:
-        bound = wad.agg(
-            ((F.count(F.lit(1)) / nsamps).cast("long")).alias("__nburst")
-        )
-        wad = wad.crossJoin(F.broadcast(bound)).filter(
-            F.col("burst_idx") < F.col("__nburst")
-        ).drop("__nburst")
     joined = whd.join(wad, whd["row_idx"] == wad["burst_idx"]).drop("burst_idx")
     if "WaveSampleRate" in meta:
         fs = float(str(meta["WaveSampleRate"]).split()[0])

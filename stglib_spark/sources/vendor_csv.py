@@ -413,9 +413,10 @@ def lisst_burst_keys(df: DataFrame) -> DataFrame:
     within-burst cadence is the record's first time delta; any other
     delta starts a new burst. Long-form equivalent of the reference's
     reshape — burst = running count of cadence breaks, sample = index
-    within burst, burst start time as `time`; the trailing partial burst
-    (fewer samples than the first full burst) is dropped like the
-    reference's truncate-to-last-full-burst."""
+    within burst, burst start time as `time`; partial bursts (leading,
+    mid-record dropout, or trailing — any burst shorter than the full
+    burst size) are dropped, a strict superset of the reference's
+    truncate-to-last-full-burst."""
     from pyspark.sql import Window
 
     w = Window.orderBy("time")
@@ -432,7 +433,10 @@ def lisst_burst_keys(df: DataFrame) -> DataFrame:
         "burst_time", F.min("time").over(Window.partitionBy("burst"))
     )
     counts = df.groupBy("burst").agg(F.count(F.lit(1)).alias("__n"))
-    spb = counts.orderBy("burst").limit(1).select(F.col("__n").alias("__spb"))
+    # full burst size = the modal/maximal burst length, NOT the first
+    # burst's (a record that starts mid-burst would otherwise keep only
+    # its leading fragment and drop every complete burst)
+    spb = counts.agg(F.max("__n").alias("__spb"))
     return (
         df.join(F.broadcast(counts), "burst")
         .crossJoin(F.broadcast(spb))

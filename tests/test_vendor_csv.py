@@ -317,3 +317,37 @@ def test_lop_meta(tmp_path):
     meta = read_lop_meta(p)
     assert meta["LISSTSerialNumber"] == "2048"
     assert meta["LISSTMeasurementMode"] == "burst"
+
+
+def test_lisst_burst_mode_leading_partial(tmp_path, spark):
+    """A record that starts mid-burst keeps its complete bursts; the
+    leading fragment is dropped (regression: full-burst size must come
+    from the maximal burst, not the first one)."""
+    import pandas as pd
+
+    from stglib_spark.sources.vendor_csv import read_lisst
+
+    p = str(tmp_path / "lisst2.csv")
+    times = []
+    # leading fragment: 2 samples, then 2 full 4-sample bursts
+    t0 = pd.Timestamp("2024-02-01 00:00:00")
+    times += [t0 + pd.Timedelta(seconds=s) for s in (0, 1)]
+    for b in range(2):
+        tb = t0 + pd.Timedelta(seconds=60 * (b + 1))
+        times += [tb + pd.Timedelta(seconds=s) for s in range(4)]
+    rows = []
+    for i, t in enumerate(times):
+        vcs = ",".join(str(float(i)) for _ in range(36))
+        rows.append(
+            f"{vcs},{float(i)},2.0,3.0,4.0,5.0,6.0,"
+            f"{t.year},{t.month},{t.day},{t.hour},{t.minute},{t.second}"
+        )
+    with open(p, "w") as f:
+        f.write("\n".join(rows) + "\n")
+    df = read_lisst(spark, p, {"operating_mode": "burst"})
+    got = df.orderBy("burst", "sample").collect()
+    assert len(got) == 8  # two full bursts survive, fragment dropped
+    assert all(
+        len([r for r in got if r["burst"] == b]) == 4
+        for b in {r["burst"] for r in got}
+    )
