@@ -192,6 +192,27 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             f"SSC variable created: ssc = polyval({list(coef)}, {turbvar})"
         )
 
+    if "bindist" in df.columns and config.get("initial_instrument_height") is not None:
+        # vertical coordinates for profile data (utils.py:1178-1262,
+        # aqdutils.py:337-369): z relative to the geopotential datum when
+        # a datum exists, bin_depth from pressure; vert_dim stays a
+        # column-name choice in long form
+        if (
+            config.get("NAVD88_ref") is not None
+            or config.get("height_above_geopotential_datum") is not None
+        ):
+            df = df.withColumn("z", physics.create_z(config, F.col("bindist")))
+            history.insert_history("Created z coordinate for profile bins.")
+        if pcol:
+            df = df.withColumn(
+                "bin_depth",
+                physics.make_bin_depth(
+                    F.col(pcol),
+                    F.col("bindist"),
+                    str(config.get("orientation", "UP")),
+                ),
+            )
+
     df = _velocity_stack(df, config, history, pcol)
 
     from stglib_spark.sources import resolve_instrument

@@ -749,3 +749,34 @@ def test_pres2dep_full_when_companions_exist(spark, fixture_dir):
         const = p * 1.0e4 / (1025.0 * 9.80665)
         assert r["depth_m"] == pytest.approx(const, rel=0.01)
         assert abs(r["depth_m"] - const) > 1e-4
+
+
+def test_profile_vertical_coordinates(spark, fixture_dir):
+    """Profile deployments get z (datum-relative, orientation-signed) and
+    bin_depth (pressure ± bindist) columns at clean
+    (utils.py:1178-1262, aqdutils.py:337-369)."""
+    from stglib_spark.pipeline import _zone_path, run_clean
+
+    cfg = {
+        "instrument": "generic_csv",
+        "filename": "ztest",
+        "output_dir": fixture_dir,
+        "initial_instrument_height": 1.0,
+        "height_above_geopotential_datum": -10.0,
+        "orientation": "UP",
+    }
+    pd.DataFrame(
+        {
+            "time": pd.date_range("2024-01-01", periods=4, freq="1min").repeat(2),
+            "bindist": [0.5, 1.5] * 4,
+            "P_1": [8.0] * 8,
+        }
+    ).pipe(spark.createDataFrame).write.mode("overwrite").parquet(
+        _zone_path(cfg, "raw")
+    )
+    out = spark.read.parquet(run_clean(spark, cfg)).orderBy("time", "bindist").collect()
+    # z = datum + iih + bindist (UP)
+    assert out[0]["z"] == pytest.approx(-10.0 + 1.0 + 0.5)
+    assert out[1]["z"] == pytest.approx(-10.0 + 1.0 + 1.5)
+    # bin_depth = P - bindist (UP)
+    assert out[0]["bin_depth"] == pytest.approx(8.0 - 0.5)
