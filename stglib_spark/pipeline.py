@@ -456,6 +456,32 @@ def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
     # an elevation/boundary-range variable does (elev probe chain)
     ecol = next((c for c in ("elev", "brange", "brangeAST") if c in df.columns), None)
     has_p = "P_1ac" in df.columns or "P_1" in df.columns
+    if config.get("wavedat_tolerance") is not None:
+        # nearest-neighbour gap fill within tolerance before the spectra
+        # (waves.py:1992-2034; wavedat_tolerance in seconds, default 2 s)
+        tol_samples = max(
+            1,
+            int(
+                float(config["wavedat_tolerance"])
+                / float(config.get("sample_interval", 1.0))
+            ),
+        )
+        target = (
+            "P_1ac"
+            if "P_1ac" in df.columns
+            else ("P_1" if "P_1" in df.columns else ecol)
+        )
+        if target:
+            df = timeops.burst_nan_fill(
+                df,
+                target,
+                burst_col="burst_time",
+                tolerance_samples=tol_samples,
+            )
+            history.insert_history(
+                f"Filled {target} gaps within {config['wavedat_tolerance']} s "
+                "(nearest sample) before wave analysis."
+            )
     if config.get("wave_data_type") == "elev" and not ecol:
         raise ValueError(
             "wave_data_type: elev requested but no elev/brange/brangeAST "

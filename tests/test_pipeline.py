@@ -780,3 +780,39 @@ def test_profile_vertical_coordinates(spark, fixture_dir):
     assert out[1]["z"] == pytest.approx(-10.0 + 1.0 + 1.5)
     # bin_depth = P - bindist (UP)
     assert out[0]["bin_depth"] == pytest.approx(8.0 - 0.5)
+
+
+def test_wavedat_tolerance_prefill(spark, burst_csv):
+    """wavedat_tolerance (waves.py:1992-2034): null samples within
+    tolerance are nearest-filled before the spectral chain, so a burst
+    with a few nulled samples still yields the injected wave stats."""
+    from stglib_spark.pipeline import _zone_path, run_clean, run_ingest, run_waves
+
+    cfg = dict(
+        CONFIG,
+        input_path=burst_csv,
+        filename="wavetol",
+        wavedat_tolerance=2.0,
+    )
+    run_ingest(spark, cfg)
+    run_clean(spark, cfg)
+    # null a couple of pressure samples inside the first burst
+    clean = spark.read.parquet(_zone_path(cfg, "clean"))
+    poked = clean.withColumn(
+        "P_1",
+        F.when(
+            (F.col("time") >= F.lit("2024-06-01 00:00:10"))
+            & (F.col("time") < F.lit("2024-06-01 00:00:11")),
+            F.lit(None).cast("double"),
+        ).otherwise(F.col("P_1")),
+    )
+    poked.write.mode("overwrite").parquet(_zone_path(cfg, "clean") + "_poked")
+    import shutil as _sh
+
+    _sh.rmtree(_zone_path(cfg, "clean"))
+    _sh.move(_zone_path(cfg, "clean") + "_poked", _zone_path(cfg, "clean"))
+    waves = spark.read.parquet(run_waves(spark, cfg)).orderBy("burst_time").collect()
+    assert len(waves) == 10
+    expected_hs = 4 * np.sqrt(0.4**2 / 2)
+    for r in waves:
+        assert r.wh_4061 == pytest.approx(expected_hs, rel=3e-2)
