@@ -103,3 +103,35 @@ def test_text_quality_is_pure_projection(spark):
     # spread() may add one round-robin repartition; nothing else shuffles
     assert count(plan, r"Exchange hashpartitioning") == 0
     assert count(plan, r"Exchange SinglePartition") == 0
+
+
+def test_profile_assignment_broadcasts_windows(spark):
+    """Cast segmentation (sources.csv.assign_profiles) must join the
+    observation stream against a BROADCAST window table — a shuffle of
+    the observations on a range predicate would serialize the 100 TB
+    scan."""
+    import pandas as pd
+
+    from stglib_spark.sources.csv import assign_profiles
+
+    df = spark.range(1000).selectExpr(
+        "timestamp'2024-01-01' + make_interval(0,0,0,0,0,0,id) as time",
+        "cast(id as double) as P_1",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    ev = os.path.join(d, "x_events.txt")
+    pd.DataFrame(
+        {
+            "Time": ["2024-01-01 00:01:00", "2024-01-01 00:05:00"],
+            "Type": ["sampling started", "sampling paused"],
+        }
+    ).to_csv(ev, index=False)
+    out = assign_profiles(spark, df, {"events_path": ev})
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("simple")
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
+    # the observation side must not be exchanged for the join
+    assert "SortMergeJoin" not in plan, plan
