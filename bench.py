@@ -69,16 +69,17 @@ def main() -> None:
             "overwrite"
         ).save()
 
+    # two interleaved passes, per-query min: back-to-back runs of the
+    # same query share any transient GC/JIT-compile storm, so spreading
+    # the pair across passes decorrelates the minima at identical cost
     times: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        best = None
-        for _ in range(2):
+    for _ in range(2):
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            times[name] = round(min(times.get(name, dt), dt), 3)
 
     total = round(sum(times.values()), 3)
     print(
