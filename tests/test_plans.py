@@ -135,3 +135,20 @@ def test_profile_assignment_broadcasts_windows(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan, plan
     # the observation side must not be exchanged for the join
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m, plan
+    pushed = m.group(1)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, plan
+
+
+def test_q10_broadcasts_dims_and_takes_ordered(spark):
+    plan = plan_of(spark, "q10_returned_items")
+    assert count(plan, r"BroadcastHashJoin") >= 2, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    m = re.search(r"PushedFilters: \[([^\]]*l_returnflag[^\]]*)\]", plan)
+    assert m, plan
