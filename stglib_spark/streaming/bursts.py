@@ -256,3 +256,37 @@ def streaming_diff_gate(
             GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_atmos_correct(
+    events: DataFrame,
+    met: DataFrame,
+    time_col: str = "ts",
+    pressure_col: str = "value",
+    atmpres_col: str = "atmpres",
+    offset: float = 0.0,
+    bucket_seconds: int = 600,
+) -> DataFrame:
+    """Stream-static atmospheric correction (utils.py:1386-1414 on a live
+    feed): the met table is the static side of a stream-static equi-join
+    on a coarse time bucket — Spark broadcasts the static side into every
+    micro-batch, so the correction adds no streaming state at all. The
+    met series is deduplicated to one reading per bucket (latest wins)
+    driver-side of the join; exact-nearest semantics belong to the batch
+    as-of path, this is the bounded-staleness streaming variant (reading
+    within the same ``bucket_seconds`` bucket)."""
+    bucket = (F.col(time_col).cast("long") / bucket_seconds).cast("long")
+    met_b = (
+        met.withColumn("__b", (F.col("time").cast("long") / bucket_seconds).cast("long"))
+        .groupBy("__b")
+        .agg(F.last(atmpres_col).alias(atmpres_col))
+    )
+    return (
+        events.withColumn("__b", bucket)
+        .join(F.broadcast(met_b), "__b", "left")
+        .withColumn(
+            pressure_col + "_ac",
+            F.col(pressure_col) - F.col(atmpres_col) - F.lit(float(offset)),
+        )
+        .drop("__b")
+    )

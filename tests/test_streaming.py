@@ -172,3 +172,48 @@ def test_streaming_gap_fill_matches_batch(spark, sf_dir, checkpoint_dir):
             assert abs(savg - bavg) < 1e-9, k
     # gap ticks (n=0) exist in this dataset and were emitted as nulls
     assert any(n == 0 for n, _ in batch.values())
+
+
+def test_streaming_atmos_correct_matches_batch(spark, sf_dir, checkpoint_dir):
+    """Stream-static met join: draining the stream gives the same
+    corrected pressures as running the same bucket-join in batch."""
+    from stglib_spark.streaming.bursts import (
+        read_events_stream,
+        streaming_atmos_correct,
+    )
+
+    ev_static = load_table(spark, sf_dir, "events")
+    # synthetic met series: one reading per hour over the event span
+    span = ev_static.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).collect()[0]
+    met = spark.sql(
+        f"""
+        SELECT explode(sequence(timestamp'{span["lo"]}', timestamp'{span["hi"]}',
+                       interval 1 hour)) AS time
+        """
+    ).withColumn("atmpres", F.lit(10.13) + F.dayofmonth("time") / 100.0)
+
+    stream = read_events_stream(spark, sf_dir)
+    out = streaming_atmos_correct(stream, met)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("atmos")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "select event_id, round(value_ac, 6) as value_ac from atmos"
+    ).toPandas().set_index("event_id").sort_index()
+    expect = (
+        streaming_atmos_correct(ev_static, met)
+        .select("event_id", F.round("value_ac", 6).alias("value_ac"))
+        .toPandas()
+        .set_index("event_id")
+        .sort_index()
+    )
+    assert len(got) == len(expect) > 0
+    assert (got["value_ac"].fillna(-999) == expect["value_ac"].fillna(-999)).all()
