@@ -125,11 +125,11 @@ def create_z(config: dict, bindist: Column | None = None) -> Column:
     """z coordinate relative to the geopotential datum
     (core/utils.py:1178-1205): z = hagd + initial_instrument_height ±
     bindist (UP adds, DOWN subtracts; scalar when no profile dim)."""
-    hagd = float(
-        config.get("NAVD88_ref")
-        or config.get("height_above_geopotential_datum")
-        or 0.0
-    )
+    # is-not-None chain: a legitimate datum of 0.0 must not fall through
+    hagd = config.get("NAVD88_ref")
+    if hagd is None:
+        hagd = config.get("height_above_geopotential_datum")
+    hagd = float(hagd) if hagd is not None else 0.0
     iih = float(config["initial_instrument_height"])
     base = F.lit(hagd + iih)
     if bindist is None:

@@ -192,12 +192,12 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             f"SSC variable created: ssc = polyval({list(coef)}, {turbvar})"
         )
 
-    if "bindist" in df.columns and config.get("initial_instrument_height") is not None:
+    if "bindist" in df.columns:
         # vertical coordinates for profile data (utils.py:1178-1262,
         # aqdutils.py:337-369): z relative to the geopotential datum when
-        # a datum exists, bin_depth from pressure; vert_dim stays a
-        # column-name choice in long form
-        if (
+        # datum + instrument height exist; bin_depth needs only pressure
+        # (the reference computes it regardless of instrument height)
+        if config.get("initial_instrument_height") is not None and (
             config.get("NAVD88_ref") is not None
             or config.get("height_above_geopotential_datum") is not None
         ):
@@ -456,9 +456,11 @@ def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
     # an elevation/boundary-range variable does (elev probe chain)
     ecol = next((c for c in ("elev", "brange", "brangeAST") if c in df.columns), None)
     has_p = "P_1ac" in df.columns or "P_1" in df.columns
+    use_elev = bool(ecol) and (config.get("wave_data_type") == "elev" or not has_p)
     if config.get("wavedat_tolerance") is not None:
         # nearest-neighbour gap fill within tolerance before the spectra
-        # (waves.py:1992-2034; wavedat_tolerance in seconds, default 2 s)
+        # (waves.py:1992-2034; wavedat_tolerance in seconds, default 2 s);
+        # the fill targets the column the chosen branch will analyze
         tol_samples = max(
             1,
             int(
@@ -466,11 +468,14 @@ def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
                 / float(config.get("sample_interval", 1.0))
             ),
         )
-        target = (
-            "P_1ac"
-            if "P_1ac" in df.columns
-            else ("P_1" if "P_1" in df.columns else ecol)
-        )
+        if use_elev:
+            target = ecol
+        else:
+            target = (
+                "P_1ac"
+                if "P_1ac" in df.columns
+                else ("P_1" if "P_1" in df.columns else None)
+            )
         if target:
             df = timeops.burst_nan_fill(
                 df,
@@ -487,7 +492,7 @@ def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
             "wave_data_type: elev requested but no elev/brange/brangeAST "
             "column exists in the clean zone"
         )
-    if ecol and (config.get("wave_data_type") == "elev" or not has_p):
+    if use_elev:
         waves = wave_ops.make_waves_ds_elev(df, config, elev_col=ecol)
         waves = clip_ops.trim_max_wp(waves, config)
         history.insert_history(

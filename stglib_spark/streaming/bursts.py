@@ -266,6 +266,7 @@ def streaming_atmos_correct(
     atmpres_col: str = "atmpres",
     offset: float = 0.0,
     bucket_seconds: int = 600,
+    met_time_col: str = "time",
 ) -> DataFrame:
     """Stream-static atmospheric correction (utils.py:1386-1414 on a live
     feed): the met table is the static side of a stream-static equi-join
@@ -277,9 +278,13 @@ def streaming_atmos_correct(
     within the same ``bucket_seconds`` bucket)."""
     bucket = (F.col(time_col).cast("long") / bucket_seconds).cast("long")
     met_b = (
-        met.withColumn("__b", (F.col("time").cast("long") / bucket_seconds).cast("long"))
+        met.withColumn(
+            "__b", (F.col(met_time_col).cast("long") / bucket_seconds).cast("long")
+        )
         .groupBy("__b")
-        .agg(F.last(atmpres_col).alias(atmpres_col))
+        # max_by, not last(): last() after a shuffle is arbitrary, which
+        # would break batch/stream parity for multi-reading buckets
+        .agg(F.max_by(atmpres_col, F.col(met_time_col)).alias(atmpres_col))
     )
     return (
         events.withColumn("__b", bucket)

@@ -187,12 +187,17 @@ def test_streaming_atmos_correct_matches_batch(spark, sf_dir, checkpoint_dir):
     span = ev_static.agg(
         F.min("ts").alias("lo"), F.max("ts").alias("hi")
     ).collect()[0]
+    # 5-minute cadence: every 600 s bucket holds TWO readings, so the
+    # latest-wins dedup (max_by) is actually exercised, and nearly every
+    # event gets a non-null correction
     met = spark.sql(
         f"""
         SELECT explode(sequence(timestamp'{span["lo"]}', timestamp'{span["hi"]}',
-                       interval 1 hour)) AS time
+                       interval 5 minutes)) AS time
         """
-    ).withColumn("atmpres", F.lit(10.13) + F.dayofmonth("time") / 100.0)
+    ).withColumn(
+        "atmpres", F.lit(10.13) + F.minute("time") / 100.0 + F.dayofmonth("time") / 10.0
+    )
 
     stream = read_events_stream(spark, sf_dir)
     out = streaming_atmos_correct(stream, met)
@@ -216,4 +221,6 @@ def test_streaming_atmos_correct_matches_batch(spark, sf_dir, checkpoint_dir):
         .sort_index()
     )
     assert len(got) == len(expect) > 0
+    # most rows must be genuinely corrected, not trivially null==null
+    assert got["value_ac"].notna().mean() > 0.9
     assert (got["value_ac"].fillna(-999) == expect["value_ac"].fillna(-999)).all()
