@@ -1,0 +1,40 @@
+import sys; sys.path.insert(0, __import__("os").path.dirname(__import__("os").path.dirname(__import__("os").path.abspath(__file__))))
+import os
+from stglib_spark.session import get_spark, load_table
+from pyspark.sql import functions as F
+spark = get_spark("mksf1"); spark.sparkContext.setLogLevel("ERROR")
+src = "/root/testdata/sf0.1"; dst = "/root/repo/.tmp/sf1"
+os.makedirs(dst, exist_ok=True)
+K = 10
+# small dims: copy as-is
+for t in ("region", "nation", "customer", "supplier", "part", "orders"):
+    load_table(spark, src, t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+# lineitem: replicate with shifted orderkeys so joins stay consistent-ish
+li = load_table(spark, src, "lineitem")
+maxok = li.agg(F.max("l_orderkey")).collect()[0][0]
+li10 = li.withColumn("__k", F.explode(F.array(*[F.lit(i) for i in range(K)])))
+li10 = li10.withColumn("l_orderkey", F.col("l_orderkey") + F.col("__k") * (maxok + 1)).drop("__k")
+li10.write.mode("overwrite").parquet(f"{dst}/lineitem.parquet")
+# events: shift time by k*span so the series stays a valid time series
+ev = load_table(spark, src, "events")
+span = ev.agg((F.max("ts").cast("long") - F.min("ts").cast("long") + 3600).alias("s")).collect()[0]["s"]
+maxid = ev.agg(F.max("event_id")).collect()[0][0]
+ev10 = ev.withColumn("__k", F.explode(F.array(*[F.lit(i) for i in range(K)])))
+ev10 = (ev10
+    .withColumn("ts", (F.col("ts").cast("long") + F.col("__k") * span).cast("timestamp"))
+    .withColumn("event_id", F.col("event_id") + F.col("__k") * (maxid + 1))
+    .drop("__k"))
+ev10.write.mode("overwrite").parquet(f"{dst}/events.parquet")
+# documents / embeddings: new ids, perturbed text survives as-is
+docs = load_table(spark, src, "documents")
+maxd = docs.agg(F.max("doc_id")).collect()[0][0]
+d10 = docs.withColumn("__k", F.explode(F.array(*[F.lit(i) for i in range(K)])))
+d10 = d10.withColumn("doc_id", F.col("doc_id") + F.col("__k") * (maxd + 1)).drop("__k")
+d10.write.mode("overwrite").parquet(f"{dst}/documents.parquet")
+emb = load_table(spark, src, "embeddings")
+maxv = emb.agg(F.max("vec_id")).collect()[0][0]
+e10 = emb.withColumn("__k", F.explode(F.array(*[F.lit(i) for i in range(K)])))
+e10 = e10.withColumn("vec_id", F.col("vec_id") + F.col("__k") * (maxv + 1)).drop("__k")
+e10.write.mode("overwrite").parquet(f"{dst}/embeddings.parquet")
+print("rows:", {t: spark.read.parquet(f"{dst}/{t}.parquet").count() for t in ("lineitem","events","documents","embeddings")})
+spark.stop()
