@@ -209,3 +209,32 @@ def test_epic_time_codec_roundtrip_random(spark):
     )
     back = enc.select("time", decoded.alias("rt")).toPandas()
     assert (back["time"] == back["rt"]).all()
+
+
+def test_hash60_spark_duckdb_parity_random(spark):
+    """The portable hash family underpinning the dedup oracles: hash60 in
+    Spark (conv(substring(md5,1,15),16,10)) must equal DuckDB's
+    ('0x'||substring(md5,1,15))::UBIGINT for arbitrary strings, including
+    unicode, whitespace runs, and empties."""
+    import duckdb
+
+    from stglib_spark.operators.dedup import hash60
+
+    rng = np.random.RandomState(77)
+    alphabet = list("abc XYZ 012 \t\n.,;!?éüñ中文🌊")
+    samples = [""] + [
+        "".join(rng.choice(alphabet, size=rng.randint(1, 60)))
+        for _ in range(300)
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    got = {
+        r["s"]: r["h"]
+        for r in sdf.select("s", hash60(F.col("s")).alias("h")).collect()
+    }
+    con = duckdb.connect()
+    for s in samples:
+        d = con.execute(
+            "select (('0x' || substring(md5(?), 1, 15))::UBIGINT)::BIGINT", [s]
+        ).fetchone()[0]
+        assert got[s] == d, repr(s)
+    con.close()
