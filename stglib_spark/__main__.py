@@ -48,7 +48,12 @@ def main(argv: list[str] | None = None) -> int:
     from stglib_spark.sources import ADAPTERS
 
     if args.list:
+        from stglib_spark.sources import INSTRUMENT_ALIASES
+
         print("\n".join(sorted(ADAPTERS)))
+        print("# reference instrument aliases:")
+        for alias, target in sorted(INSTRUMENT_ALIASES.items()):
+            print(f"{alias} -> {target}")
         return 0
     if not args.instrument or not args.step:
         build_parser().print_usage()
