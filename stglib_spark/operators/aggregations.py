@@ -92,9 +92,10 @@ def interval_average(
     aggs = []
     for v in value_cols:
         c = F.col(v)
-        if minf is not None and duration_seconds is not None:
+        if minf is not None:
             # expected samples unknown a priori in irregular series: gate on
-            # fraction of the interval's own row count
+            # fraction of the interval's own row count (null values count
+            # against the fraction, matching ds_mean_count_minf)
             aggs.append(
                 F.when(
                     F.count(c) >= F.lit(float(minf)) * F.count(F.lit(1)), F.avg(c)

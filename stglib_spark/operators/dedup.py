@@ -23,10 +23,13 @@ from stglib_spark.session import spread
 
 def normalize_text(text: Column) -> Column:
     """Lowercase, strip punctuation, collapse whitespace — shared
-    normalization for every dedup signal."""
+    normalization for every dedup signal. Unicode-aware
+    (``\\p{L}\\p{N}``): a Latin-only class would normalize every
+    non-Latin-script document to the empty string and collapse the whole
+    multilingual corpus into one "duplicate"."""
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(text), r"[^a-z0-9\s]", ""), r"\s+", " "
+            F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", ""), r"\s+", " "
         )
     )
 
@@ -300,6 +303,11 @@ def simhash_near_pairs(
     """Near-duplicate pairs by SimHash: pigeonhole on ``blocks`` 16-bit
     blocks (Hamming ≤ blocks−1 guarantees ≥1 identical block), equi-join
     per block, verify exact Hamming distance with bit_count(xor)."""
+    if max_hamming > blocks - 1:
+        raise ValueError(
+            f"pigeonhole recall guarantee requires max_hamming ≤ blocks-1 "
+            f"({max_hamming} > {blocks - 1}); raise `blocks`"
+        )
     width = 64 // blocks
     stacked = fingerprints.select(
         F.col(id_col),

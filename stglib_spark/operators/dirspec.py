@@ -38,7 +38,10 @@ def make_mwd(freqs: np.ndarray, dirs_deg: np.ndarray, dspec: np.ndarray) -> floa
     dirs = np.radians(dirs_deg)
     sx = np.trapz(np.trapz(dspec * np.sin(dirs)[None, :], dirs, axis=1), freqs)
     cx = np.trapz(np.trapz(dspec * np.cos(dirs)[None, :], dirs, axis=1), freqs)
-    dm = np.degrees(np.arctan(np.abs(sx / cx))) if cx != 0 else 90.0
+    if cx == 0:
+        # due east / due west depending on the sine term's sign
+        return 90.0 if sx >= 0 else 270.0
+    dm = np.degrees(np.arctan(np.abs(sx / cx)))
     if sx > 0 and cx < 0:
         dm = 180 - dm
     elif sx < 0 and cx < 0:
@@ -84,12 +87,13 @@ def make_diwasp_ds(
     ``wave_interval``, sensor heights.
     """
     fs = 1.0 / float(config.get("sample_interval", 1.0))
-    zp = float(
-        config.get("pressure_sensor_height")
-        or config.get("initial_instrument_height")
-        or 0.0
-    )
-    zuv = float(config.get("velocity_sample_volume_height", zp) or zp)
+    # is-not-None chains: a sensor height of 0.0 (at the bed) is valid
+    zp = config.get("pressure_sensor_height")
+    if zp is None:
+        zp = config.get("initial_instrument_height")
+    zp = float(zp) if zp is not None else 0.0
+    zuv = config.get("velocity_sample_volume_height")
+    zuv = float(zuv) if zuv is not None else zp
     method = str(config.get("diwasp_method", "IMLM"))
     nfft = config.get("diwasp_nfft")
     miter = int(config.get("diwasp_iter", 50))
@@ -129,7 +133,9 @@ def make_diwasp_ds(
             u = np.nan_to_num(u)
             v = np.nan_to_num(v)
 
-            depth = float(np.mean(p)) + zp
+            # nanmean: pressure is only gap-filled for the puv/pres data
+            # types; an AST-selected burst may still carry NaN pressure
+            depth = float(np.nanmean(p)) + zp
             if dtype_used == "puv":
                 data = np.column_stack([p, u, v])
                 datatypes = ["pres", "velx", "vely"]

@@ -83,7 +83,13 @@ class QaqcResult:
     def audit_counts(self) -> dict[str, int]:
         """Affected-cell count per rule (newly nulled, i.e. was valid and
         failed) — one aggregation job for all rules, mirroring the
-        reference's per-rule notes (utils.py:1361-1373)."""
+        reference's per-rule notes (utils.py:1361-1373). Requires
+        ``apply_qaqc(..., keep_audit_cols=True)``."""
+        if self.rules and f"__was_valid_0" not in self.df.columns:
+            raise ValueError(
+                "audit columns were stripped; call "
+                "apply_qaqc(..., keep_audit_cols=True) to use audit_counts()"
+            )
         aggs = [
             F.sum(
                 F.when(F.col(f"__was_valid_{i}") & F.col(f"__bad_{i}"), 1).otherwise(0)

@@ -121,10 +121,15 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
         arr = F.array(*[F.lit(m) for m in markers])
         hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
     best = F.greatest(*hits.values())
-    # first language (declaration order) with hit count == best wins ties
+    # a genuine tie between languages is ambiguous → 'und' (marker sets
+    # share words like "la", so ties do happen)
+    n_best = None
+    for lang in LANG_MARKERS:
+        term = (hits[lang] == best).cast("int")
+        n_best = term if n_best is None else n_best + term
     chain = None
     for lang in LANG_MARKERS:
-        cond = (hits[lang] == best) & (best > 0)
+        cond = (hits[lang] == best) & (best > 0) & (n_best == 1)
         chain = F.when(cond, F.lit(lang)) if chain is None else chain.when(cond, F.lit(lang))
     pred = chain.otherwise(F.lit("und"))
     return df.withColumn(out_col, pred)
@@ -136,6 +141,6 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
     dedup key. md5 chosen over xxhash64 so a SQL oracle (DuckDB) computes
     the identical value."""
     norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9\s]", ""), r"\s+", " "
+        F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", ""), r"\s+", " "
     )
     return df.withColumn(out_col, F.md5(F.trim(norm)))

@@ -71,12 +71,22 @@ def trim_vel(
 
     if method == "bin range":
         lo, hi = config["good_bins"]
-        # bin index from bindist: bins form a small regular grid —
-        # (bindist − min)/bin_size is exact and avoids a rank shuffle
+        # positional bin index from bindist: bins form a small regular
+        # grid, so (bindist − first_bindist)/bin_size is exact. The grid
+        # origin comes from the data (min bindist, broadcast single-row
+        # aggregate) unless configured — defaulting to 0 would misalign
+        # every deployment with a blanking distance.
         bin_size = float(config["bin_size"])
-        first = float(config.get("first_bindist", 0.0))
-        idx = F.round((bd - F.lit(first)) / F.lit(bin_size)).cast("int")
-        return df.filter((idx >= F.lit(int(lo))) & (idx < F.lit(int(hi))))
+        if config.get("first_bindist") is not None:
+            first: Column = F.lit(float(config["first_bindist"]))
+        else:
+            first_df = df.agg(F.min(bd).alias("__first_bd"))
+            df = df.crossJoin(F.broadcast(first_df))
+            first = F.col("__first_bd")
+        idx = F.round((bd - first) / F.lit(bin_size)).cast("int")
+        return df.filter(
+            (idx >= F.lit(int(lo))) & (idx < F.lit(int(hi)))
+        ).drop("__first_bd")
 
     if orientation == "UP":
         p = F.col(pressure_col or "P_1ac")

@@ -432,8 +432,13 @@ def make_puv_ds(
     sig/nc2waves.py:550-599): shuffle on burst key, puv_quick per burst in
     Arrow batches. Depth per burst = mean pressure + sensor height."""
     fs = 1.0 / float(config.get("sample_interval", 1.0))
-    zp = float(config.get("pressure_sensor_height", config.get("initial_instrument_height", 0.0)) or 0.0)
-    zuv = float(config.get("velocity_sample_volume_height", zp) or zp)
+    # is-not-None chains: a sensor height of 0.0 (at the bed) is valid
+    zp = config.get("pressure_sensor_height")
+    if zp is None:
+        zp = config.get("initial_instrument_height")
+    zp = float(zp) if zp is not None else 0.0
+    _zuv = config.get("velocity_sample_volume_height")
+    zuv = float(_zuv) if _zuv is not None else zp
     fft_length = int(config.get("puv_fft_length", 512))
 
     slim = df.select(burst_col, sample_col, pressure_col, u_col, v_col)
@@ -494,11 +499,11 @@ def make_waves_ds(
     (burst, sample, pressure) columns cross into Python — project before
     grouping so the Arrow transfer is minimal."""
     sample_rate = 1.0 / float(config.get("sample_interval", 1.0))
-    z = float(
-        config.get("pressure_sensor_height")
-        or config.get("initial_instrument_height")
-        or 0.0
-    )
+    # is-not-None chain: a sensor height of 0.0 (at the bed) is valid
+    z = config.get("pressure_sensor_height")
+    if z is None:
+        z = config.get("initial_instrument_height")
+    z = float(z) if z is not None else 0.0
     nsegs = int(config.get("spec_nsegs", 16))
     noise = float(config.get("wave_fractional_noise", 0.9))
     fcut = config.get("wave_fcut")

@@ -923,14 +923,19 @@ for _lang, _markers in text_ops.LANG_MARKERS.items():
     )
 _LANG_HITS = ", ".join(_LANG_CASES)
 _LANG_BEST = "greatest(" + ", ".join(f"hits_{l}" for l in text_ops.LANG_MARKERS) + ")"
+_LANG_NBEST = " + ".join(
+    f"(hits_{l} = best)::int" for l in text_ops.LANG_MARKERS
+)
 _LANG_WHEN = " ".join(
-    f"WHEN hits_{l} = best AND best > 0 THEN '{l}'" for l in text_ops.LANG_MARKERS
+    f"WHEN hits_{l} = best AND best > 0 AND n_best = 1 THEN '{l}'"
+    for l in text_ops.LANG_MARKERS
 )
 
 _LANG_SQL = f"""
     WITH h AS (SELECT doc_id, {_LANG_HITS} FROM documents),
-    b AS (SELECT *, {_LANG_BEST} AS best FROM h)
-    SELECT doc_id, CASE {_LANG_WHEN} ELSE 'und' END AS lang_pred FROM b
+    b AS (SELECT *, {_LANG_BEST} AS best FROM h),
+    c AS (SELECT *, {_LANG_NBEST} AS n_best FROM b)
+    SELECT doc_id, CASE {_LANG_WHEN} ELSE 'und' END AS lang_pred FROM c
 """
 
 
@@ -941,8 +946,8 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _NORM_SQL = (
-    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
-    " '\\s+', ' ', 'g'))"
+    r"trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
 )
 
 
@@ -1039,10 +1044,10 @@ _MH_BAND_ROWS = "\n      UNION ALL\n".join(
     )
     for b in range(_MH_BANDS)
 )
-_NORM_SQL = r"""
+_DEDUP_NORM_SQL = r"""
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(lower(text),
-                  '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+                  '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS t
       FROM documents
 """
 
@@ -1050,7 +1055,7 @@ _NORM_SQL = r"""
 @register(
     "dedup_minhash_lsh",
     f"""
-    WITH norm AS ({_NORM_SQL}),
+    WITH norm AS ({_DEDUP_NORM_SQL}),
     tok AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm),
     sh AS (
       SELECT doc_id,
@@ -1096,7 +1101,7 @@ _SH_FP = " + ".join(
 @register(
     "dedup_simhash",
     f"""
-    WITH norm AS ({_NORM_SQL}),
+    WITH norm AS ({_DEDUP_NORM_SQL}),
     tok AS (SELECT doc_id, unnest(string_split(t, ' ')) AS tk FROM norm),
     h AS (SELECT doc_id, {_H60.format(s="tk")} AS hh FROM tok),
     v AS (SELECT doc_id, {_SH_VOTES} FROM h GROUP BY doc_id)

@@ -178,3 +178,24 @@ def test_fill_vbper_and_puv_qaqc(spark):
     got = {r["id"]: (r["phir"], r["azr"]) for r in puv_qaqc(puv).collect()}
     assert got[1] == (30.0, 120.0)
     assert got[2] == (None, None)
+
+
+def test_simhash_near_pairs_blocks_and_validation(spark):
+    """Pigeonhole block join finds pairs within Hamming ≤ blocks−1 and
+    rejects parameterizations that would silently lose recall."""
+    import pytest as _pytest
+
+    from stglib_spark.operators.dedup import simhash_near_pairs
+
+    fps = spark.createDataFrame(
+        [
+            (1, 0b1111000011110000),
+            (2, 0b1111000011110001),  # hamming 1 from doc 1
+            (3, 0b0000111100001111),
+        ],
+        "doc_id long, simhash long",
+    )
+    pairs = simhash_near_pairs(fps, max_hamming=3, blocks=4).collect()
+    assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(1, 2, 1)]
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(fps, max_hamming=5, blocks=4)
