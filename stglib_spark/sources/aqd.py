@@ -109,6 +109,13 @@ def read_aquadopp(
     """Full Aquadopp deployment: .sen sensors × (.a1-3 amplitude,
     .v1-3 velocity) joined on (row_idx[, bin]) → canonical profile long
     form with bindist from blanking distance + cell size."""
+    # merge .hdr metadata under the config (config wins) so cell size,
+    # blanking distance, and coordinate system come from the instrument
+    # file when the user didn't spell them out
+    if _exists(basefile + ".hdr"):
+        merged = dict(read_aqd_hdr_meta(basefile + ".hdr"))
+        merged.update(config)
+        config = merged
     coord = str(config.get("AQDCoordinateSystem", "BEAM")).upper()
     names = _COORD_VARS[coord]
     sen = read_aqd_sen(spark, basefile + ".sen")
@@ -130,7 +137,7 @@ def read_aquadopp(
 
 _HDR_KEYS = [
     ("Measurement/Burst interval", "AQDMeasurementBurstInterval", r"([\d.]+)\s*sec"),
-    ("Cell size", "AQDCellSize", r"([\d.]+)\s*(?:mm|cm)"),
+    ("Cell size", "AQDCellSize", r"([\d.]+)\s*(?:mm|cm|m)"),
     ("Number of cells", "AQDNumberOfCells", r"(\d+)"),
     ("Blanking distance", "AQDBlankingDistance", r"([\d.]+)\s*m"),
     ("Coordinate system", "AQDCoordinateSystem", r"(\w+)"),
@@ -150,7 +157,10 @@ _HDR_KEYS = [
 def read_aqd_hdr_meta(path: str) -> dict[str, Any]:
     """Driver-side .hdr metadata scan (aqdutils.py:675-921): label up to
     column ~38, value after — parsed here label-prefix + regex so it
-    tolerates format drift between firmware versions."""
+    tolerates format drift between firmware versions. Cell size is also
+    normalized to metres (``AQDCellSize_m``) from whatever unit the
+    firmware printed — the raw number alone is 10× ambiguous between
+    mm and cm."""
     meta: dict[str, Any] = {}
     with open(path, errors="replace") as f:
         for line in f:
@@ -167,6 +177,11 @@ def read_aqd_hdr_meta(path: str) -> dict[str, Any]:
                                 meta[key] = float(v)
                             except ValueError:
                                 meta[key] = v
+                    if key == "AQDCellSize" and m:
+                        um = re.search(r"[\d.]+\s*(mm|cm|m)\b", line[len(label):])
+                        if um:
+                            scale = {"mm": 1e-3, "cm": 1e-2, "m": 1.0}[um.group(1)]
+                            meta["AQDCellSize_m"] = float(m.group(1)) * scale
     return meta
 
 

@@ -151,14 +151,40 @@ def read_exo_csv(spark: SparkSession, path: str, config: dict[str, Any]) -> Data
     w = Window.orderBy(F.monotonically_increasing_id())
     numbered = raw.withColumn("__ln", F.row_number().over(w) - 1)
     data = numbered.filter(F.col("__ln") >= int(skip or 0)).drop("__ln")
-    header = data.limit(1).collect()[0][0].split(",")
-    body = data.filter(F.col("value") != data.limit(1).collect()[0][0])
+    header_line = data.limit(1).collect()[0][0]
+    header = header_line.split(",")
+    body = data.filter(F.col("value") != header_line)
     parts = F.split(F.col("value"), ",")
     cols = [
         F.trim(parts.getItem(i)).alias(name.strip() or f"col{i}")
         for i, name in enumerate(header)
     ]
-    return apply_epic_renames(body.select(*cols))
+    df = body.select(*cols)
+    # time from the KOR Date + Time columns (exo.py:24-33); numerics cast
+    # via try_cast so sentinel strings drop to null under ANSI mode
+    date_col = next((c for c in df.columns if c.lower().startswith("date")), None)
+    clock_col = next((c for c in df.columns if c.lower().startswith("time")), None)
+    if date_col and clock_col:
+        df = df.withColumn(
+            "time",
+            F.coalesce(
+                F.try_to_timestamp(F.concat_ws(" ", date_col, clock_col)),
+                F.try_to_timestamp(
+                    F.concat_ws(" ", date_col, clock_col),
+                    F.lit("MM/dd/yyyy HH:mm:ss"),
+                ),
+            ),
+        ).drop(date_col, clock_col)
+        df = df.filter(F.col("time").isNotNull())
+    textual = ("site", "name", "sn", "serial", "unit", "fault")
+    for c, t in df.dtypes:
+        if (
+            c != "time"
+            and t == "string"
+            and not any(k in c.lower() for k in textual)
+        ):
+            df = df.withColumn(c, F.expr(f"try_cast(`{c}` as double)"))
+    return apply_epic_renames(df)
 
 
 @register_adapter("generic_csv")
@@ -173,11 +199,26 @@ def read_generic_csv(
         .option("inferSchema", "true")
         .option("sep", str(config.get("csv_sep", ",")))
     )
-    if config.get("csv_skiprows"):
-        reader = reader.option("skipRows", int(config["csv_skiprows"]))
     if config.get("csv_comment"):
         reader = reader.option("comment", str(config["csv_comment"]))
-    df = reader.csv(path)
+    if config.get("csv_skiprows"):
+        # OSS Spark CSV has no skip-rows option (an unknown option is
+        # silently ignored) — strip the preamble per file via binaryFile,
+        # then parse the remaining lines as CSV from an RDD of strings.
+        # One record per file: preamble-bearing CSVs are config-scale.
+        skip = int(config["csv_skiprows"])
+        binary = spark.read.format("binaryFile").load(path)
+
+        def strip_preamble(rows):
+            for r in rows:
+                text = bytes(r.content).decode("utf-8", errors="replace")
+                for line in text.splitlines()[skip:]:
+                    yield line
+
+        lines = binary.select("content").rdd.mapPartitions(strip_preamble)
+        df = reader.csv(lines)
+    else:
+        df = reader.csv(path)
     tcol = config.get("time_col", "time")
     if tcol in df.columns and tcol != "time":
         df = df.withColumnRenamed(tcol, "time")

@@ -55,6 +55,11 @@ def read_qrev_xml(
         if isinstance(negateq, bool)
         else list(negateq)
     )
+    if len(flags) != len(transects):
+        raise ValueError(
+            f"negateq has {len(flags)} entries for {len(transects)} "
+            "transects — zip truncation would silently drop transects"
+        )
 
     rows = []
     for t, neg in zip(transects, flags):

@@ -138,11 +138,14 @@ def read_sg_tid(spark: SparkSession, path: str) -> DataFrame:
     lines = spark.read.text(path)
     tok = F.split(F.trim(F.col("value")), r"\s+")
     c = lambda i: F.element_at(tok, i + 1)  # noqa: E731
-    return lines.filter(F.trim(F.col("value")) != "").select(
-        c(0).cast("int").alias("sample"),
-        F.to_timestamp(
-            F.concat_ws(" ", c(1), c(2)), "MM/dd/yyyy HH:mm:ss"
+    # try_* variants: under ANSI mode a stray header/footer line must
+    # drop through the time filter, not kill the job
+    out = lines.filter(F.trim(F.col("value")) != "").select(
+        F.expr("try_cast(" + "element_at(split(trim(value), '\\\\s+'), 1)" + " as int)").alias("sample"),
+        F.try_to_timestamp(
+            F.concat_ws(" ", c(1), c(2)), F.lit("MM/dd/yyyy HH:mm:ss")
         ).alias("time"),
-        (c(3).cast("double") / 14.503773800722 * 10).alias("P_1"),
-        c(4).cast("double").alias("Temp"),
+        (F.expr("try_cast(element_at(split(trim(value), '\\\\s+'), 4) as double)") / 14.503773800722 * 10).alias("P_1"),
+        F.expr("try_cast(element_at(split(trim(value), '\\\\s+'), 5) as double)").alias("Temp"),
     )
+    return out.filter(F.col("time").isNotNull())

@@ -120,6 +120,9 @@ def parse_return_header(buf: bytes, step_size: float) -> dict[str, Any]:
     profile range, attitude angles scaled 360/16384."""
     head_pos = (63 & buf[6]) * 128 + (127 & buf[5])
     pitch_raw = _u14(buf[14], buf[15])
+    # the vendor scheme uses byte15's LSB both as value bit 7 and as the
+    # pitch sign flag — intentional, mirrored bit-for-bit from the
+    # reference (son/sonutils.py:156-161)
     pitch_sign = buf[15] & 0x01
     return {
         "ReturnDataHeaderType": buf[0:3].decode("ascii", errors="replace"),

@@ -78,7 +78,19 @@ def read_hobo(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFra
     ``AbsPres_dbar→P_1``, ``Temp_C→T_28`` (hobo.py:96-134)."""
     names = list(config.get("names", ["#", "DateTime", "AbsPres_kPa", "Temp_C"]))
     df = _named_csv(spark, path, names)
-    df = df.withColumn("time", F.try_to_timestamp("DateTime"))
+    # HOBOware exports US-style stamps ('06/20/18 01:00:00 PM'); the
+    # reference's pd.to_datetime auto-parses them (hobo.py:40) — try the
+    # common spellings, ISO first
+    df = df.withColumn(
+        "time",
+        F.coalesce(
+            F.try_to_timestamp("DateTime"),
+            F.try_to_timestamp("DateTime", F.lit("MM/dd/yy hh:mm:ss a")),
+            F.try_to_timestamp("DateTime", F.lit("MM/dd/yyyy hh:mm:ss a")),
+            F.try_to_timestamp("DateTime", F.lit("MM/dd/yy HH:mm:ss")),
+            F.try_to_timestamp("DateTime", F.lit("MM/dd/yyyy HH:mm")),
+        ),
+    )
     df = _keep_timed(df)
     df = _cast_doubles(df, [n for n in names if n not in ("#", "DateTime")])
     df = df.drop("#", "DateTime")

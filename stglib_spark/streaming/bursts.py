@@ -87,17 +87,21 @@ def streaming_gap_fill(
     observed ticks carry (n, avg), missing ticks are emitted with n=0 and
     a null average, exactly what the batch grid + left join produces.
 
-    ``applyInPandasWithState`` with an **event-time timeout**: state per
-    series is one open tick (tick start, running sum/counts) — a tick is
-    closed and emitted either when a later tick's data arrives (gap ticks
-    in between are emitted as nulls) or when the watermark passes the
-    tick end (timeout), so a silent series still flushes its final tick.
-    State is O(1) per series; gap emission is bounded by the span of data
-    actually seen, mirroring the batch grid's min..max bounds.
+    ``applyInPandasWithState`` with an **event-time timeout**. State per
+    series: the last emitted tick plus accumulators for every tick the
+    watermark has NOT yet passed — a tick is emitted only once its end is
+    behind the watermark, so late-but-admissible events always land in
+    the correct tick (emitting on the mere arrival of newer data would
+    mis-assign them; the watermark exists to wait for exactly this).
+    ``last_emitted`` persists across dropouts, so when a silent series
+    resumes, the gap ticks in between are emitted like the batch grid.
+    Open state is bounded by the watermark horizon (ticks per horizon ×
+    ~32 B), not by the stream length.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
     from pyspark.sql.types import (
+        ArrayType,
         DoubleType,
         LongType,
         StructField,
@@ -116,10 +120,11 @@ def streaming_gap_fill(
     )
     state_schema = StructType(
         [
-            StructField("open_tick", LongType()),
-            StructField("acc_sum", DoubleType()),
-            StructField("n_vals", LongType()),
-            StructField("n_rows", LongType()),
+            StructField("last_emitted", LongType()),
+            StructField("ticks", ArrayType(LongType())),
+            StructField("sums", ArrayType(DoubleType())),
+            StructField("nvals", ArrayType(LongType())),
+            StructField("nrows", ArrayType(LongType())),
         ]
     )
 
@@ -132,35 +137,56 @@ def streaming_gap_fill(
         }
 
     def fill(key, pdf_iter, state):
-        if state.hasTimedOut:
-            open_tick, acc_sum, n_vals, n_rows = state.get
-            yield pd.DataFrame([row_for(key[0], open_tick, n_rows, acc_sum, n_vals)])
-            state.remove()
-            return
-        open_tick, acc_sum, n_vals, n_rows = (
-            state.get if state.exists else (None, 0.0, 0, 0)
-        )
-        out = []
+        if state.exists:
+            last_emitted, ticks, sums, nvals, nrows = state.get
+            pending = {
+                t: [s, v, r] for t, s, v, r in zip(ticks, sums, nvals, nrows)
+            }
+        else:
+            last_emitted, pending = None, {}
+
         for pdf in pdf_iter:
-            pdf = pdf.sort_values(time_col)
-            ticks = (pdf[time_col].astype("int64") // 1000 // step_us) * step_us
+            tick_series = (pdf[time_col].astype("int64") // 1000 // step_us) * step_us
             vals = pd.to_numeric(pdf[value_col], errors="coerce")
-            for tick_us, grp in vals.groupby(ticks):
-                if open_tick is None:
-                    open_tick = int(tick_us)
-                while open_tick < tick_us:  # close open + emit gap nulls
-                    out.append(row_for(key[0], open_tick, n_rows, acc_sum, n_vals))
-                    open_tick += step_us
-                    acc_sum, n_vals, n_rows = 0.0, 0, 0
-                n_rows += len(grp)
+            for tick_us, grp in vals.groupby(tick_series):
+                acc = pending.setdefault(int(tick_us), [0.0, 0, 0])
                 finite = grp.dropna()
-                n_vals += len(finite)
-                acc_sum += float(finite.sum())
+                acc[0] += float(finite.sum())
+                acc[1] += len(finite)
+                acc[2] += len(grp)
+
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        out = []
+        if pending:
+            start = (
+                last_emitted + step_us if last_emitted is not None else min(pending)
+            )
+            horizon = max(pending)
+            t = start
+            while t <= horizon and t + step_us <= wm_us:
+                acc = pending.pop(t, None)
+                if acc is None:
+                    out.append(row_for(key[0], t, 0, 0.0, 0))  # gap tick
+                else:
+                    out.append(row_for(key[0], t, acc[2], acc[0], acc[1]))
+                last_emitted = t
+                t += step_us
         if out:
             yield pd.DataFrame(out)
-        state.update((open_tick, acc_sum, n_vals, n_rows))
-        # flush the open tick when the watermark passes its end
-        state.setTimeoutTimestamp((open_tick + step_us) // 1000)
+
+        ticks = sorted(pending)
+        state.update(
+            (
+                last_emitted,
+                ticks,
+                [pending[t][0] for t in ticks],
+                [pending[t][1] for t in ticks],
+                [pending[t][2] for t in ticks],
+            )
+        )
+        if ticks:
+            # wake when the watermark passes the earliest unemitted tick
+            state.setTimeoutTimestamp((ticks[0] + step_us) // 1000)
 
     return (
         events.withWatermark(time_col, watermark)
@@ -190,9 +216,12 @@ def streaming_diff_gate(
     gate behaves identically to the batch rule over an unbounded feed.
 
     ``applyInPandasWithState`` per series key: state is one (ts, value)
-    pair per series — constant memory per key regardless of feed volume;
-    keys are evicted by the watermark's state cleanup. Within a micro-batch
-    rows are sorted by event time, matching the batch rule's
+    pair per series — constant memory per key regardless of feed volume.
+    Idle keys are evicted by an event-time timeout (one watermark-delay
+    past their last event): with NoTimeout, state for every key that ever
+    appeared would live forever and the state store would grow without
+    bound on a churning key population. Within a micro-batch rows are
+    sorted by event time, matching the batch rule's
     ``Window.orderBy(time)``.
     """
     import pandas as pd
@@ -218,6 +247,11 @@ def streaming_diff_gate(
     )
 
     def gate(key, pdf_iter, state):
+        if state.hasTimedOut:
+            # idle key: the watermark is a full delay past its last
+            # event, so no admissible row can reference this state
+            state.remove()
+            return
         last_ts, last_value = state.get if state.exists else (None, None)
         for pdf in pdf_iter:
             pdf = pdf.sort_values(time_col)
@@ -244,6 +278,13 @@ def streaming_diff_gate(
                 }
             )
         state.update((last_ts, last_value))
+        if last_ts is not None:
+            # evict once the watermark passes one delay beyond the last
+            # event (must be strictly ahead of the current watermark)
+            evict_ms = max(
+                last_ts // 1_000_000 + 1, state.getCurrentWatermarkMs() + 1
+            )
+            state.setTimeoutTimestamp(evict_ms)
 
     return (
         events.withWatermark(time_col, watermark)
@@ -253,7 +294,7 @@ def streaming_diff_gate(
             out_schema,
             state_schema,
             "append",
-            GroupStateTimeout.NoTimeout,
+            GroupStateTimeout.EventTimeTimeout,
         )
     )
 

@@ -224,3 +224,63 @@ def test_streaming_atmos_correct_matches_batch(spark, sf_dir, checkpoint_dir):
     # most rows must be genuinely corrected, not trivially null==null
     assert got["value_ac"].notna().mean() > 0.9
     assert (got["value_ac"].fillna(-999) == expect["value_ac"].fillna(-999)).all()
+
+
+def test_streaming_gap_fill_late_data_lands_in_correct_tick(
+    spark, checkpoint_dir, tmp_path
+):
+    """A late-but-admissible event (within the watermark) must be counted
+    in ITS tick, not merged into the newest open tick — ticks are only
+    emitted once the watermark passes their end."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from stglib_spark.streaming import streaming_gap_fill
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-05-01 10:05:00")
+    fileA = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": [t0, pd.Timestamp("2024-05-01 11:10:00")],
+            "value": [2.0, 4.0],
+        }
+    )
+    fileB = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            # late event for the 10:00 tick + an advancer for the watermark
+            "ts": [pd.Timestamp("2024-05-01 10:30:00"), pd.Timestamp("2024-05-01 14:20:00")],
+            "value": [6.0, 8.0],
+        }
+    )
+    spark.createDataFrame(fileA).coalesce(1).write.parquet(d + "/a")
+    _time.sleep(1.1)  # file-source orders batches by modification time
+    spark.createDataFrame(fileB).coalesce(1).write.parquet(d + "/b")
+    schema = spark.read.parquet(d + "/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_gap_fill(stream, step_seconds=3600, watermark="2 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latefill")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = {
+        r["tick"]: (r["n"], r["avg_value"])
+        for r in spark.sql("SELECT * FROM latefill WHERE user_id = 1").collect()
+    }
+    t10 = pd.Timestamp("2024-05-01 10:00:00").to_pydatetime()
+    t11 = pd.Timestamp("2024-05-01 11:00:00").to_pydatetime()
+    assert rows[t10] == (2, 4.0), rows  # late 10:30 event counted at 10:00
+    assert rows[t11] == (1, 4.0), rows

@@ -351,3 +351,56 @@ def test_lisst_burst_mode_leading_partial(tmp_path, spark):
         len([r for r in got if r["burst"] == b]) == 4
         for b in {r["burst"] for r in got}
     )
+
+
+def test_hobo_us_timestamps(tmp_path, spark):
+    """Real HOBOware exports use US-style 12-hour stamps; the reader must
+    parse them, not silently drop every row."""
+    from stglib_spark.sources.vendor_csv import read_hobo
+
+    p = str(tmp_path / "hobo_us.csv")
+    with open(p, "w") as f:
+        f.write("1,06/20/18 01:00:00 PM,101.3,21.5\n")
+        f.write("2,06/20/18 02:00:00 PM,101.4,21.6\n")
+    rows = read_hobo(spark, p, {}).orderBy("time").collect()
+    assert len(rows) == 2
+    assert rows[0]["time"].hour == 13
+    assert rows[0]["P_1"] == pytest.approx(10.13)
+
+
+def test_generic_csv_skiprows(tmp_path, spark):
+    """csv_skiprows must actually skip the preamble (OSS Spark CSV has no
+    such option; the reader strips lines per file before parsing)."""
+    from stglib_spark.sources.csv import read_generic_csv
+
+    p = str(tmp_path / "pre.csv")
+    with open(p, "w") as f:
+        f.write("junk preamble line\nmore junk\n")
+        f.write("timestamp,temperature\n")
+        f.write("2024-01-01 00:00:00,10.5\n2024-01-01 00:01:00,10.6\n")
+    df = read_generic_csv(
+        spark, p, {"csv_skiprows": 2, "time_col": "timestamp"}
+    )
+    rows = df.orderBy("time").collect()
+    assert len(rows) == 2
+    assert rows[0]["time"].year == 2024
+    assert rows[0]["T_28"] == pytest.approx(10.5)
+
+
+def test_exo_builds_time_and_casts(tmp_path, spark):
+    """The EXO reader must assemble a real time column from the KOR
+    Date/Time columns and cast sensor columns to numbers."""
+    from stglib_spark.sources.csv import read_exo_csv
+
+    p = str(tmp_path / "exo.csv")
+    with open(p, "w") as f:
+        f.write("sn,12345\nsome preamble\n")
+        f.write("Date (MM/DD/YYYY),Time (HH:mm:ss),Temp C,SpCond uS/cm\n")
+        f.write("01/15/2024,10:30:00,18.2,42000\n")
+        f.write("01/15/2024,10:45:00,18.3,42100\n")
+    df = read_exo_csv(spark, p, {})
+    rows = df.orderBy("time").collect()
+    assert len(rows) == 2
+    assert rows[0]["time"].minute == 30
+    assert rows[0]["Temp C"] == pytest.approx(18.2)
+    assert isinstance(rows[1]["SpCond uS/cm"], float)
