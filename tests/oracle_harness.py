@@ -64,7 +64,10 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
             sv = sv.astype(float)
             dv = dv.astype(float)
             both_nan = np.isnan(sv) & np.isnan(dv)
-            eq = (sv == dv) | both_nan
+            # Bitwise equality (signbit-sensitive): the driver hashes the
+            # formatted values, so -0.0 vs +0.0 is a real mismatch even
+            # though `==` calls them equal.
+            eq = ((sv == dv) & (np.signbit(sv) == np.signbit(dv))) | both_nan
         else:
             eq = np.asarray(
                 pd.Series(sv).fillna("__null__").values
