@@ -154,7 +154,19 @@ def imlm(xps, trm, kx, ss, ddir, miter=50, gamma=0.1, alpha=0.1):
             t = t / (ddir * np.sum(t))
             e = e + gamma * ((eo - t) + alpha * (t - told))
             e = e / (ddir * np.sum(e))
-        S[ff, :] = ss[0, ff] * np.conj(e)
+        # energy conservation: the relaxation can leave negative side
+        # lobes; the downstream clamp (S<0 → 0) would then ADD energy.
+        # Clamp here and renormalize the spreading function to unit
+        # integral so each frequency slice conserves the observed
+        # autospectrum level ss[0,f] by construction (m0-preserving;
+        # the reference clamps without renormalizing, dirspec.py:158,
+        # which is the known IMLM Hs-inflation artifact).
+        er = np.real(np.conj(e))
+        er[~np.isfinite(er) | (er < 0)] = 0.0
+        tot = ddir * er.sum()
+        if tot > 0:
+            er = er / tot
+        S[ff, :] = np.real(ss[0, ff]) * er
     return S
 
 

@@ -205,20 +205,29 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_n: int = 3,
     threshold: float = 0.0,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (verification
     stage after LSH): |A∩B| / (|A|+|B|−|A∩B|). The union size is derived
     from the (distinct) array sizes rather than materializing
     ``array_union`` per pair — one hash-set build per pair instead of two,
     and no per-pair array allocation (measured ~8× on the all-pairs path).
-    When no candidate set is given, all-pairs within the DataFrame are
-    compared (small-input / test path only — the scale path always feeds
-    LSH candidates)."""
+
+    ``candidate_pairs`` is required at scale: the all-pairs fallback is a
+    cross join — quadratic in corpus size — so it must be opted into
+    explicitly with ``allow_all_pairs=True`` (tiny-input/test path only).
+    The production chain is ``minhash_lsh_pairs`` → this verifier."""
     sh = spread(df).select(
         F.col(id_col),
         word_shingles(F.col(text_col), shingle_n).alias("__sh"),
     ).withColumn("__n", F.size("__sh"))
     if candidate_pairs is None:
+        if not allow_all_pairs:
+            raise ValueError(
+                "ngram_jaccard_pairs without candidate_pairs is an all-pairs "
+                "cross join (quadratic). Feed minhash_lsh_pairs(...) output, "
+                "or pass allow_all_pairs=True for tiny inputs."
+            )
         a = sh.select(
             F.col(id_col).alias("doc_a"),
             F.col("__sh").alias("__sha"),

@@ -96,7 +96,11 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
         (c for c in ("P_1", "Pressure", "pressure") if c in df.columns), None
     )
     if config.get("atmpres_path") and raw_pcol:
-        met = spark.read.parquet(config["atmpres_path"])
+        # external parquet ingress: may carry TIMESTAMP_NTZ (driver testdata)
+        from stglib_spark.session import normalize_ntz, pin_utc
+
+        pin_utc(spark)
+        met = normalize_ntz(spark.read.parquet(config["atmpres_path"]))
         df = joins.atmos_correct(df, met, config, pressure_col=raw_pcol)
         history.insert_history("Atmospherically corrected pressure (P_1ac).")
 

@@ -983,48 +983,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_ops.exact_dedup(docs).select("doc_id", "dup_count")
 
 
-@register(
-    "dedup_token_jaccard",
-    f"""
-    WITH toks AS (
-      SELECT doc_id, lang, source,
-             list_distinct(string_split({_NORM_SQL}, ' ')) AS tok
-      FROM documents
-    )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           round(len(list_intersect(a.tok, b.tok))::DOUBLE
-                 / len(list_distinct(list_concat(a.tok, b.tok))), 6) AS jaccard
-    FROM toks a JOIN toks b
-      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
-    """,
-)
-def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spread(load_table(spark, sf_dir, "documents"))
-    toks = docs.select(
-        "doc_id",
-        "lang",
-        "source",
-        F.array_distinct(
-            F.split(dedup_ops.normalize_text(F.col("text")), " ")
-        ).alias("tok"),
-    ).withColumn("n", F.size("tok"))
-    a, b = toks.alias("a"), toks.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.tok"), F.col("b.tok")))
-    # union from distinct sizes (|A|+|B|−inter): one hash-set per pair
-    # instead of array_union's extra build+allocation — ~8× on this query
-    return (
-        a.join(b, ["lang", "source"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.round(
-                inter.cast("double") / (F.col("a.n") + F.col("b.n") - inter), 6
-            ).alias("jaccard"),
-        )
-    )
-
-
 # Portable-hash dedup oracles: hash60(s) = top 15 hex digits of md5 as an
 # int — identical in Spark (conv(substring(md5(s),1,15),16,10)) and DuckDB
 # (('0x'||substring(md5(s),1,15))::UBIGINT). The engine's scale default is
@@ -1056,9 +1014,10 @@ _DEDUP_NORM_SQL = r"""
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
+# Shared LSH-candidate CTE chain (norm → 2-gram shingles → portable
+# minhash signatures → band hashes → distinct co-bucketed pairs); reused
+# by dedup_minhash_lsh and the LSH→verify dedup_token_jaccard oracle.
+_MH_CAND_CTES = f"""
     WITH norm AS ({_DEDUP_NORM_SQL}),
     tok AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm),
     sh AS (
@@ -1078,16 +1037,56 @@ _DEDUP_NORM_SQL = r"""
     sig AS (SELECT doc_id, {_MH_SIG} FROM h GROUP BY doc_id),
     band AS (
 {_MH_BAND_ROWS}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
     )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM band a JOIN band b
-      ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
-    """,
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    _MH_CAND_CTES + "SELECT doc_a, doc_b FROM cand",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.minhash_lsh_pairs(
         docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True
+    )
+
+
+@register(
+    "dedup_token_jaccard",
+    _MH_CAND_CTES
+    + """,
+    tk AS (
+      SELECT doc_id, list_distinct(toks) AS tok, len(list_distinct(toks)) AS n
+      FROM tok
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(len(list_intersect(a.tok, b.tok))::DOUBLE
+                 / (a.n + b.n - len(list_intersect(a.tok, b.tok))), 6)
+             AS jaccard
+    FROM cand c
+    JOIN tk a ON c.doc_a = a.doc_id
+    JOIN tk b ON c.doc_b = b.doc_id
+    """,
+)
+def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH → exact-verify chain (the 100 TB dedup plan): MinHash-LSH
+    proposes co-bucketed candidate pairs (equi-join on band hash, never
+    all-pairs), then token-level Jaccard verifies each candidate exactly.
+    Reference semantics: near-dup detection quality gate; the plan shape
+    is the scale requirement — no theta/cross join ever touches document
+    rows (asserted in tests/test_plans.py)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True
+    )
+    return dedup_ops.ngram_jaccard_pairs(
+        docs, candidate_pairs=cands, shingle_n=1
     )
 
 
@@ -1875,8 +1874,9 @@ def phys_troll_salinity(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM lineitem GROUP BY 1
     )
     SELECT profile, row_size,
-           coalesce(sum(row_size) OVER (ORDER BY profile
+           CAST(coalesce(sum(row_size) OVER (ORDER BY profile
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                AS BIGINT)
              AS row_start
     FROM sizes
     """,

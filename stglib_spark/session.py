@@ -153,6 +153,35 @@ def _warm_python_workers(spark: SparkSession) -> None:
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast every TIMESTAMP_NTZ column to TIMESTAMP.
+
+    Parquet ``timestamp[us]`` without the UTC-adjusted flag is inferred by
+    Spark 4 as TIMESTAMP_NTZ, which ``unix_micros`` / ``withWatermark`` /
+    double-casts all reject. The engine's time semantics are UTC wall-clock
+    (reference keeps everything UTC — core/utils.py epoch handling), so the
+    cast is value-preserving as long as the session timezone is UTC — the
+    caller (load_table / read_events_stream) pins it before casting.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import TimestampNTZType
+
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    if not ntz:
+        return df
+    return df.withColumns({c: F.col(c).cast("timestamp") for c in ntz})
+
+
+def pin_utc(spark: SparkSession) -> None:
+    """Pin the session timezone to UTC so NTZ→TIMESTAMP casts are epoch-
+    preserving even on driver-supplied sessions that didn't go through
+    get_spark."""
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    except Exception:
+        pass
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one synthetic table (see TESTDATA.md) as a DataFrame."""
     from pyspark.sql import functions as F
@@ -160,6 +189,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # sessions built outside get_spark (the driver brings its own) still
     # need the package on executors for the UDF-backed queries
     ensure_package_shipped(spark)
+    pin_utc(spark)
 
     path = os.path.join(sf_dir, f"{name}.parquet")
     ns_cols = _NANOS_TS_COLS.get(name, ())
@@ -169,7 +199,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for c in ns_cols:
         if dict(df.dtypes).get(c) == "bigint":
             df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} DIV 1000")))
-    return df
+    return normalize_ntz(df)
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

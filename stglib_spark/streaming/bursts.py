@@ -22,6 +22,9 @@ def read_events_stream(
     in tests; in production this is a Kafka/file-drop source with the same
     schema). Handles the nanosecond-timestamp parquet the same way
     load_table does."""
+    from ..session import normalize_ntz, pin_utc
+
+    pin_utc(spark)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(f"{sf_dir}/events.parquet")
     # file-stream sources need a directory; glob-filter to the events table
@@ -33,7 +36,8 @@ def read_events_stream(
     )
     if dict(stream.dtypes).get("ts") == "bigint":
         stream = stream.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
-    return stream
+    # NTZ is illegal as a watermark/event-time column; cast (UTC pinned above)
+    return normalize_ntz(stream)
 
 
 def streaming_burst_average(

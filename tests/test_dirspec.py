@@ -49,15 +49,13 @@ def test_dirspec_recovers_direction_and_frequency(method):
     # peak direction within one grid step of the true travel direction
     d_err = min(abs(res["dp_deg"] - theta), 360 - abs(res["dp_deg"] - theta))
     assert d_err <= 20.0
-    # Hs ≈ 4·sqrt(a²/2) = 1.414 for a=0.5. DFTM conserves energy tightly;
-    # IMLM inflates on a pure delta input because negative relaxation
-    # lobes are clamped to zero (the reference clamps identically,
-    # dirspec.py:158) — so only bound it loosely there.
+    # Hs ≈ 4·sqrt(a²/2) = 1.414 for a=0.5. Both estimators conserve
+    # energy: IMLM clamps negative relaxation lobes AND renormalizes each
+    # frequency slice to the observed autospectrum (m0-preserving by
+    # construction — unlike the reference, which clamps without
+    # renormalizing, dirspec.py:158, and inflates Hs on narrow spectra).
     expected_hs = 4 * np.sqrt(0.5**2 / 2)
-    if method == "DFTM":
-        assert res["hs"] == pytest.approx(expected_hs, rel=0.1)
-    else:
-        assert expected_hs * 0.5 < res["hs"] < expected_hs * 2.5
+    assert res["hs"] == pytest.approx(expected_hs, rel=0.1)
     dm = make_mwd(res["freqs"], res["dirs_deg"], res["S"])
     dm_err = min(abs(dm - theta), 360 - abs(dm - theta))
     assert dm_err <= 25.0
@@ -91,12 +89,11 @@ def _spread_sea(seed=5, fs=4.0, n=4096, h=10.0, zp=0.5, zuv=1.0):
 
 
 @pytest.mark.parametrize(
-    "method,hs_rtol,dir_tol", [("DFTM", 0.1, 20.0), ("IMLM", 0.6, 25.0)]
+    "method,hs_rtol,dir_tol", [("DFTM", 0.1, 20.0), ("IMLM", 0.1, 25.0)]
 )
 def test_spread_sea_energy_and_direction(method, hs_rtol, dir_tol):
     """Energy conservation + mean direction on a realistic spread sea.
-    DFTM conserves tightly; IMLM inflates somewhat from negative-lobe
-    clamping (same as the reference) so gets a looser bound."""
+    Both estimators conserve m0 (IMLM renormalizes after the clamp)."""
     data, eta, mean_dir = _spread_sea()
     layout = np.array([[0.0, 0, 0], [0.0, 0, 0], [0.5, 1.0, 1.0]])
     freqs = np.linspace(0.02, 0.5, 25)

@@ -98,6 +98,25 @@ def test_minhash_lsh_band_join_is_equi_join(spark):
     assert count(plan, r"BroadcastNestedLoopJoin") == 0
 
 
+def test_token_jaccard_verify_has_no_cross_join(spark):
+    """The registered dedup_token_jaccard is the LSH→verify chain: every
+    join is an equi-join (band-hash buckets, then doc_id lookups) — no
+    theta/cross join ever touches document rows. The all-pairs fallback
+    requires an explicit opt-in (allow_all_pairs=True)."""
+    plan = plan_of(spark, "dedup_token_jaccard")
+    assert count(plan, r"CartesianProduct") == 0
+    assert count(plan, r"BroadcastNestedLoopJoin") == 0
+
+    import pytest as _pytest
+
+    from stglib_spark.operators import dedup as dedup_ops
+    from stglib_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    with _pytest.raises(ValueError, match="all-pairs"):
+        dedup_ops.ngram_jaccard_pairs(docs)
+
+
 def test_text_quality_is_pure_projection(spark):
     plan = plan_of(spark, "text_quality_score", "simple")
     # spread() may add one round-robin repartition; nothing else shuffles
