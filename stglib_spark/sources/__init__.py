@@ -93,6 +93,23 @@ def _qrev(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     return read_qrev_xml(spark, path, negateq=config.get("negateq", False))
 
 
+@register_adapter("sig")
+def _sig(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    """Signature multi-group .mat ingest (sig/mat2cdf.py:22-710). One
+    group per raw zone in the reference; the adapter returns the group
+    named by config['sig_group'] (ftype spelling: burst/iburst/echo1/
+    avgd/…), default burst. read_signature_mat exposes all groups."""
+    from stglib_spark.sources.sig_mat import read_signature_mat
+
+    groups = read_signature_mat(spark, path, config)
+    want = (config or {}).get("sig_group", "burst")
+    if want not in groups:
+        raise KeyError(
+            f"Signature group {want!r} not present; found {sorted(groups)}"
+        )
+    return groups[want]
+
+
 @register_adapter("aqd")
 def _aqd(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     from stglib_spark.sources.aqd import read_aquadopp
@@ -139,7 +156,6 @@ def _sg_tid(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame
 # the specific adapter names remain available.
 INSTRUMENT_ALIASES: dict[str, str] = {
     "abss": "mat",
-    "sig": "mat",
     "iq": "mat",
     "rdi": "mat",  # reference rdi step is mat2cdf; raw PD0 -> "rdi_pd0"
     "aqdhr": "aqd",

@@ -1,0 +1,184 @@
+"""Signature .mat multi-group ingest: fixture mirrors the structure the
+Signature export software writes (Config/Data/Units/Descriptions structs,
+{Group}_{Var} fields) and the expectations mirror sig/mat2cdf.py:22-710 —
+group splitting gated by Config plan flags, bindist from blanking+cell
+geometry, beam stacking, EPIC renames, sample_mode stamping, SIG attrs."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+
+import numpy as np
+import pytest
+
+from stglib_spark.functions.mat5 import savemat
+from stglib_spark.sources.sig_mat import (
+    matlab2datetime,
+    parse_sig_file,
+    read_signature_mat,
+    sig_group_attrs,
+)
+
+TMP = "/root/repo/.tmp"
+
+
+def _datenum(d: dt.datetime) -> float:
+    frac = (d - dt.datetime(d.year, d.month, d.day)).total_seconds() / 86400.0
+    return d.toordinal() + 366 + frac
+
+
+NT = 6
+
+
+def _fixture(path: str, t0: dt.datetime = dt.datetime(2023, 5, 1, 12, 0, 0)):
+    times = [_datenum(t0 + dt.timedelta(seconds=900 * i)) for i in range(NT)]
+    rng = np.random.RandomState(7)
+    config = {
+        "Plan_BurstEnabled": "True",
+        "Plan_AverageEnabled": "True",
+        "Plan_BurstInterval": 600.0,
+        "Burst_SamplingRate": 4.0,
+        "Burst_NSample": 2048.0,  # 600*4 != 2048 -> BURST mode
+        "Burst_HighResolution": "False",
+        "Burst_HighResolution5": "False",
+        "Burst_NBeams": 5.0,
+        "Burst_NCells": 4.0,
+        "Burst_BlankingDistance": 0.1,
+        "Burst_CellSize": 0.5,
+        "Burst_EchoSounder": "True",
+        "Burst_RawAltimeter": 0.0,
+        "Burst_Altimeter": "False",
+        "Burst_Beam2xyz": np.eye(4),
+        "Average_NCells": 2.0,
+        "Average_BlankingDistance": 0.2,
+        "Average_CellSize": 1.0,
+        "EchoSounder_Frequency1": 500.0,
+        "EchoSounder_NCells": 3.0,
+        "EchoSounder_BlankingDistance": 0.0,
+        "EchoSounder_CellSize": 0.2,
+    }
+    data = {
+        "Burst_Time": np.array(times),
+        "Burst_VelBeam1": rng.randn(NT, 4),
+        "Burst_VelBeam2": rng.randn(NT, 4),
+        "Burst_AmpBeam1": rng.rand(NT, 4) * 100,
+        "Burst_Pressure": 10.0 + rng.rand(NT),
+        "Burst_Heading": rng.rand(NT) * 360,
+        "Burst_NCells": np.full(NT, 4.0),
+        "Burst_AHRSRotationMatrix": rng.randn(NT, 9),
+        "IBurst_Time": np.array(times),
+        "IBurst_VelBeam5": rng.randn(NT, 4),
+        "IBurst_NCells": np.full(NT, 4.0),
+        "Average_Time": np.array(times[:3]),
+        "Average_VelBeam1": rng.randn(3, 2),
+        "Average_NCells": np.full(3, 2.0),
+        "Echo1Bin1_500kHz_Time": np.array(times),
+        "Echo1Bin1_500kHz_Echo": rng.rand(NT, 3) * 80,
+        "Echo1Bin1_500kHz_NCells": np.full(NT, 3.0),
+    }
+    units = {"Burst_Pressure": "dBar", "Burst_VelBeam1": "m/s"}
+    descs = {"Burst_Pressure": "Pressure", "Burst_VelBeam1": "Velocity beam 1"}
+    savemat(
+        path,
+        {"Config": config, "Data": data, "Units": units, "Descriptions": descs},
+        compress=True,
+    )
+    return data
+
+
+def test_matlab2datetime_roundtrip():
+    d = dt.datetime(2023, 5, 1, 12, 34, 56)
+    back = matlab2datetime(_datenum(d))
+    assert abs((back - d).total_seconds()) < 1e-3
+
+
+def test_parse_groups_and_geometry(tmp_path):
+    p = str(tmp_path / "sig_1.mat")
+    data = _fixture(p)
+    groups = parse_sig_file(p)
+    assert set(groups) == {"burst", "iburst", "avgd", "echo1"}
+
+    b = groups["burst"]
+    assert b["data_type"] == "Burst"
+    assert b["attrs"]["sample_mode"] == "BURST"
+    np.testing.assert_allclose(b["bindist"], [0.35, 0.85, 1.35, 1.85])
+    # beam stacking + EPIC renames
+    assert set(b["profiles"]) == {"vel1", "vel2", "amp1"}
+    assert {"P_1", "Hdg_1215", "NCells"} <= set(b["scalars"])
+    assert "AHRSRotationMatrix" in b["extras"]
+    np.testing.assert_allclose(b["profiles"]["vel1"], data["Burst_VelBeam1"])
+    # Beam2xyz captured as matrix + SIG attr
+    np.testing.assert_allclose(b["beam2xyz"], np.eye(4))
+    assert "SIGBurst_Beam2xyz" in b["attrs"]
+    assert b["attrs"]["SIGPlan_BurstEnabled"] == "True"
+    # units/long_names keyed by the RENAMED variable
+    assert b["units"]["P_1"] == "dBar"
+    assert b["long_names"]["vel1"] == "Velocity beam 1"
+
+    a = groups["avgd"]
+    assert a["attrs"]["sample_mode"] == "AVERAGE"
+    np.testing.assert_allclose(a["bindist"], [0.7, 1.7])
+
+    e = groups["echo1"]
+    assert e["data_type"] == "EchoSounder"
+    np.testing.assert_allclose(e["bindist"], [0.1, 0.3, 0.5])
+    assert "Echo" in e["profiles"]
+
+    i = groups["iburst"]
+    assert set(i["profiles"]) == {"vel5"}
+
+
+def test_read_signature_mat_long_form(spark, tmp_path):
+    p = str(tmp_path / "sig_1.mat")
+    data = _fixture(p)
+    dfs = read_signature_mat(spark, p)
+    burst = dfs["burst"]
+    rows = burst.orderBy("time", "bin").collect()
+    assert len(rows) == NT * 4
+    cols = set(burst.columns)
+    assert {"time", "bin", "bindist", "vel1", "vel2", "amp1", "P_1",
+            "Hdg_1215", "AHRSRotationMatrix"} <= cols
+    r0 = rows[0]
+    assert r0["bin"] == 0 and r0["bindist"] == pytest.approx(0.35)
+    assert r0["vel1"] == pytest.approx(data["Burst_VelBeam1"][0, 0])
+    # scalars repeat across bins of the same timestamp
+    assert rows[0]["P_1"] == rows[3]["P_1"] == pytest.approx(
+        data["Burst_Pressure"][0]
+    )
+    assert rows[1]["vel2"] == pytest.approx(data["Burst_VelBeam2"][0, 1])
+    # column metadata carries units
+    meta = {f.name: dict(f.metadata) for f in burst.schema.fields if f.metadata}
+    assert meta["P_1"]["units"] == "dBar"
+
+    avgd = dfs["avgd"].collect()
+    assert len(avgd) == 3 * 2
+
+
+def test_read_signature_multifile_distributed(spark, tmp_path):
+    base = str(tmp_path / "dep")
+    _fixture(base + "_1.mat", dt.datetime(2023, 5, 1))
+    _fixture(base + "_2.mat", dt.datetime(2023, 5, 2))
+    dfs = read_signature_mat(spark, base)
+    burst = dfs["burst"]
+    assert burst.count() == 2 * NT * 4
+    days = sorted(
+        r["d"]
+        for r in burst.selectExpr("date(time) AS d").distinct().collect()
+    )
+    assert [str(d) for d in days] == ["2023-05-01", "2023-05-02"]
+
+    attrs = sig_group_attrs(base)
+    assert attrs["burst"]["sample_mode"] == "BURST"
+    assert attrs["burst"]["beam2xyz"] == np.eye(4).tolist()
+
+
+def test_sig_adapter_registered(spark, tmp_path):
+    from stglib_spark.sources import ingest
+
+    p = str(tmp_path / "sig_1.mat")
+    _fixture(p)
+    df = ingest(spark, "sig", p, {"sig_group": "echo1"})
+    assert df.count() == NT * 3
+    with pytest.raises(KeyError):
+        ingest(spark, "sig", p, {"sig_group": "nope"})
