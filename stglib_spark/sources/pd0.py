@@ -41,6 +41,7 @@ VELOCITY_ID = 0x0100
 CORRELATION_ID = 0x0200
 ECHO_ID = 0x0300
 PCTGOOD_ID = 0x0400
+BOTTOM_TRACK_ID = 0x0600
 BAD_VEL = -32768
 
 PD0_SCHEMA = StructType(
@@ -146,8 +147,95 @@ def _parse_variable(buf: bytes, off: int) -> dict[str, Any]:
     }
 
 
-def parse_ensembles(content: bytes, source: str) -> Iterator[Row]:
-    """Walk a PD0 byte stream, yield one Row per (ensemble, cell)."""
+BT_SCHEMA = StructType(
+    [StructField("source_file", StringType()), StructField("ensemble", LongType()),
+     StructField("time", TimestampType())]
+    + [StructField(f"bt_range{b}", DoubleType()) for b in range(1, 5)]  # m
+    + [StructField(f"bt_vel{b}", DoubleType()) for b in range(1, 5)]  # m/s
+    + [StructField(f"bt_cor{b}", IntegerType()) for b in range(1, 5)]
+    + [StructField(f"bt_amp{b}", IntegerType()) for b in range(1, 5)]
+    + [StructField(f"bt_pg{b}", IntegerType()) for b in range(1, 5)]
+    + [StructField(f"bt_rssi{b}", IntegerType()) for b in range(1, 5)]
+    + [
+        StructField("bt_max_depth", DoubleType()),  # m (stored dm)
+        StructField("bt_gain", IntegerType()),
+        StructField("bt_mode", IntegerType()),
+        StructField("bt_pings_per_ensemble", IntegerType()),
+    ]
+)
+
+
+def _parse_bottom_track(ens: bytes, off: int, nbeams: int) -> dict[str, Any] | None:
+    """Bottom-track block 0x0600 (rdiadcpy.py:1844-1944 field map; public
+    WorkHorse spec layout): per-beam range (LSB@16 + MSB@77, cm), velocity
+    (@24, mm/s), correlation (@32), eval amp (@36), percent good (@40),
+    RSSI (@72), max depth (@70, dm), gain (@76)."""
+    need = 77 + nbeams
+    if off + need > len(ens):
+        return None
+    pings, _delay = struct.unpack_from("<HH", ens, off + 2)
+    mode = ens[off + 9]
+    lsb = struct.unpack_from(f"<{nbeams}h", ens, off + 16)
+    vel = struct.unpack_from(f"<{nbeams}h", ens, off + 24)
+    cor = ens[off + 32 : off + 32 + nbeams]
+    amp = ens[off + 36 : off + 36 + nbeams]
+    pg = ens[off + 40 : off + 40 + nbeams]
+    max_depth = struct.unpack_from("<H", ens, off + 70)[0]
+    rssi = ens[off + 72 : off + 72 + nbeams]
+    gain = ens[off + 76]
+    msb = ens[off + 77 : off + 77 + nbeams]
+
+    def rng(b: int) -> float | None:
+        raw = lsb[b] + (msb[b] << 16)
+        return None if lsb[b] == BAD_VEL else raw / 100.0
+
+    def v(b: int) -> float | None:
+        return None if vel[b] == BAD_VEL else vel[b] / 1000.0
+
+    out: dict[str, Any] = {
+        "bt_max_depth": max_depth / 10.0,
+        "bt_gain": gain,
+        "bt_mode": mode,
+        "bt_pings_per_ensemble": pings,
+    }
+    for b in range(4):
+        inb = b < nbeams
+        out[f"bt_range{b + 1}"] = rng(b) if inb else None
+        out[f"bt_vel{b + 1}"] = v(b) if inb else None
+        out[f"bt_cor{b + 1}"] = cor[b] if inb else None
+        out[f"bt_amp{b + 1}"] = amp[b] if inb else None
+        out[f"bt_pg{b + 1}"] = pg[b] if inb else None
+        out[f"bt_rssi{b + 1}"] = rssi[b] if inb else None
+    return out
+
+
+def parse_bt_ensembles(content: bytes, source: str) -> Iterator[Row]:
+    """Walk a PD0 byte stream, yield one bottom-track Row per ensemble
+    that carries a 0x0600 block (per-ensemble grain, unlike the per-cell
+    profile rows)."""
+    for fixed, var, blocks in _walk_ensembles(content):
+        bt_off = blocks.get(BOTTOM_TRACK_ID)
+        if bt_off is None:
+            continue
+        ens, off = bt_off
+        bt = _parse_bottom_track(ens, off, fixed["nbeams"])
+        if bt is None:
+            continue
+        full = {
+            "source_file": source,
+            "ensemble": var["ensemble"],
+            "time": var["time"],
+            **bt,
+        }
+        # positional tuple in BT_SCHEMA order (toDF maps by position)
+        yield tuple(full[f.name] for f in BT_SCHEMA.fields)
+
+
+def _walk_ensembles(
+    content: bytes,
+) -> Iterator[tuple[dict[str, Any], dict[str, Any], dict[int, tuple[bytes, int]]]]:
+    """Shared ensemble walk: checksum-verified ensembles → (fixed leader,
+    variable leader, {data-type id: (ensemble bytes, offset)})."""
     n = len(content)
     pos = 0
     while pos + 6 <= n:
@@ -168,7 +256,7 @@ def parse_ensembles(content: bytes, source: str) -> Iterator[Row]:
 
         fixed: dict[str, Any] | None = None
         var: dict[str, Any] | None = None
-        vel = cor = echo = pg = None
+        blocks: dict[int, tuple[bytes, int]] = {}
         for o in offsets:
             if o + 2 > len(ens):
                 continue
@@ -177,64 +265,66 @@ def parse_ensembles(content: bytes, source: str) -> Iterator[Row]:
                 fixed = _parse_fixed(ens, o)
             elif dtid == VARIABLE_ID:
                 var = _parse_variable(ens, o)
-            elif fixed is not None and dtid in (
-                VELOCITY_ID,
-                CORRELATION_ID,
-                ECHO_ID,
-                PCTGOOD_ID,
-            ):
-                nc, nb = fixed["ncells"], fixed["nbeams"]
-                if dtid == VELOCITY_ID:
-                    vel = struct.unpack_from(f"<{nc * nb}h", ens, o + 2)
-                elif dtid == CORRELATION_ID:
-                    cor = struct.unpack_from(f"<{nc * nb}B", ens, o + 2)
-                elif dtid == ECHO_ID:
-                    echo = struct.unpack_from(f"<{nc * nb}B", ens, o + 2)
-                else:
-                    pg = struct.unpack_from(f"<{nc * nb}B", ens, o + 2)
-
+            else:
+                blocks[dtid] = (ens, o)
         if fixed is not None and var is not None:
-            nb = fixed["nbeams"]
-
-            def beam(arr, cell: int, b: int):
-                if arr is None or b >= nb:
-                    return None
-                return arr[cell * nb + b]
-
-            for cell in range(fixed["ncells"]):
-                v = [beam(vel, cell, b) for b in range(4)]
-                yield Row(
-                    source_file=source,
-                    ensemble=var["ensemble"],
-                    time=var["time"],
-                    cell=cell,
-                    bindist=fixed["bin1"] + cell * fixed["cell_len"],
-                    heading=var["heading"],
-                    pitch=var["pitch"],
-                    roll=var["roll"],
-                    temperature=var["temperature"],
-                    pressure=var["pressure"],
-                    sound_speed=var["sound_speed"],
-                    salinity=var["salinity"],
-                    xducer_depth=var["xducer_depth"],
-                    vel1=None if v[0] in (None, BAD_VEL) else v[0] / 1000.0,
-                    vel2=None if v[1] in (None, BAD_VEL) else v[1] / 1000.0,
-                    vel3=None if v[2] in (None, BAD_VEL) else v[2] / 1000.0,
-                    vel4=None if v[3] in (None, BAD_VEL) else v[3] / 1000.0,
-                    cor1=beam(cor, cell, 0),
-                    cor2=beam(cor, cell, 1),
-                    cor3=beam(cor, cell, 2),
-                    cor4=beam(cor, cell, 3),
-                    echo1=beam(echo, cell, 0),
-                    echo2=beam(echo, cell, 1),
-                    echo3=beam(echo, cell, 2),
-                    echo4=beam(echo, cell, 3),
-                    pg1=beam(pg, cell, 0),
-                    pg2=beam(pg, cell, 1),
-                    pg3=beam(pg, cell, 2),
-                    pg4=beam(pg, cell, 3),
-                )
+            yield fixed, var, blocks
         pos = end
+
+
+def parse_ensembles(content: bytes, source: str) -> Iterator[Row]:
+    """Walk a PD0 byte stream, yield one Row per (ensemble, cell)."""
+    for fixed, var, blocks in _walk_ensembles(content):
+        nc, nb = fixed["ncells"], fixed["nbeams"]
+        vel = cor = echo = pg = None
+        for dtid, (ens, o) in blocks.items():
+            if dtid == VELOCITY_ID:
+                vel = struct.unpack_from(f"<{nc * nb}h", ens, o + 2)
+            elif dtid == CORRELATION_ID:
+                cor = struct.unpack_from(f"<{nc * nb}B", ens, o + 2)
+            elif dtid == ECHO_ID:
+                echo = struct.unpack_from(f"<{nc * nb}B", ens, o + 2)
+            elif dtid == PCTGOOD_ID:
+                pg = struct.unpack_from(f"<{nc * nb}B", ens, o + 2)
+
+        def beam(arr, cell: int, b: int):
+            if arr is None or b >= nb:
+                return None
+            return arr[cell * nb + b]
+
+        for cell in range(fixed["ncells"]):
+            v = [beam(vel, cell, b) for b in range(4)]
+            yield Row(
+                source_file=source,
+                ensemble=var["ensemble"],
+                time=var["time"],
+                cell=cell,
+                bindist=fixed["bin1"] + cell * fixed["cell_len"],
+                heading=var["heading"],
+                pitch=var["pitch"],
+                roll=var["roll"],
+                temperature=var["temperature"],
+                pressure=var["pressure"],
+                sound_speed=var["sound_speed"],
+                salinity=var["salinity"],
+                xducer_depth=var["xducer_depth"],
+                vel1=None if v[0] in (None, BAD_VEL) else v[0] / 1000.0,
+                vel2=None if v[1] in (None, BAD_VEL) else v[1] / 1000.0,
+                vel3=None if v[2] in (None, BAD_VEL) else v[2] / 1000.0,
+                vel4=None if v[3] in (None, BAD_VEL) else v[3] / 1000.0,
+                cor1=beam(cor, cell, 0),
+                cor2=beam(cor, cell, 1),
+                cor3=beam(cor, cell, 2),
+                cor4=beam(cor, cell, 3),
+                echo1=beam(echo, cell, 0),
+                echo2=beam(echo, cell, 1),
+                echo3=beam(echo, cell, 2),
+                echo4=beam(echo, cell, 3),
+                pg1=beam(pg, cell, 0),
+                pg2=beam(pg, cell, 1),
+                pg3=beam(pg, cell, 2),
+                pg4=beam(pg, cell, 3),
+            )
 
 
 def read_pd0(spark: SparkSession, path: str) -> DataFrame:
@@ -248,6 +338,22 @@ def read_pd0(spark: SparkSession, path: str) -> DataFrame:
     return binary.select("path", "content").rdd.mapPartitions(
         parse_partition
     ).toDF(PD0_SCHEMA)
+
+
+def read_pd0_bt(spark: SparkSession, path: str) -> DataFrame:
+    """PD0 bottom-track records → one row per ensemble carrying a 0x0600
+    block (rdiadcpy.py:502,1844-1944). Separate grain from the per-cell
+    profile rows, so it is its own DataFrame; join to profiles on
+    (source_file, ensemble) when needed."""
+
+    def parse_partition(rows) -> Iterator[Row]:
+        for r in rows:
+            yield from parse_bt_ensembles(bytes(r.content), r.path)
+
+    binary = spark.read.format("binaryFile").load(path)
+    return binary.select("path", "content").rdd.mapPartitions(
+        parse_partition
+    ).toDF(BT_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
@@ -331,6 +437,30 @@ def write_pd0(
             )
 
             blocks = [bytes(fixed), bytes(var), vel, cor, echo, pg]
+
+            if "bt" in e:
+                bt_in = e["bt"]
+                bt = bytearray(77 + nbeams)
+                struct.pack_into(
+                    "<HHH", bt, 0, BOTTOM_TRACK_ID,
+                    int(bt_in.get("pings", 50)), 0,
+                )
+                bt[9] = int(bt_in.get("mode", 5))
+                ranges_cm = bt_in.get("range_cm", [0] * nbeams)
+                vels_mm = bt_in.get("vel_mm", [0] * nbeams)
+                for b in range(nbeams):
+                    struct.pack_into("<H", bt, 16 + 2 * b, ranges_cm[b] & 0xFFFF)
+                    struct.pack_into("<h", bt, 24 + 2 * b, vels_mm[b])
+                    bt[32 + b] = bt_in.get("cor", [120] * nbeams)[b]
+                    bt[36 + b] = bt_in.get("amp", [80] * nbeams)[b]
+                    bt[40 + b] = bt_in.get("pg", [100] * nbeams)[b]
+                    bt[72 + b] = bt_in.get("rssi", [60] * nbeams)[b]
+                    bt[77 + b] = (ranges_cm[b] >> 16) & 0xFF
+                struct.pack_into(
+                    "<H", bt, 70, int(bt_in.get("max_depth_dm", 250))
+                )
+                bt[76] = int(bt_in.get("gain", 1))
+                blocks.append(bytes(bt))
             ndt = len(blocks)
             header_len = 6 + 2 * ndt
             offsets = []
