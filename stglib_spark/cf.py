@@ -106,11 +106,32 @@ def check_netcdf(nc_file: str, conventions: str = "CF-1.11") -> list[str]:
         with open(output, encoding="utf-8") as f:
             return [line.rstrip() for line in f if line.strip()]
 
+    problems: list[str] = []
     try:
         import xarray as xr
     except ImportError:
-        return ["cannot check: neither compliance_checker nor xarray installed"]
-    problems: list[str] = []
+        # classic-netCDF3 fallback lint via the pure-Python codec
+        from stglib_spark.functions.netcdf3 import read_nc3
+
+        nc = read_nc3(str(nc_file))
+        for key in REQUIRED_GLOBALS:
+            if not nc["attrs"].get(key):
+                problems.append(f"missing global attribute '{key}'")
+        dim_like = set(nc["dims"]) | {"time"}
+        for name, var in nc["variables"].items():
+            if name in dim_like or name in _COORD_COLS:
+                continue
+            if "units" not in var["attrs"]:
+                problems.append(f"variable '{name}': missing units attribute")
+            if (
+                "long_name" not in var["attrs"]
+                and "standard_name" not in var["attrs"]
+            ):
+                problems.append(
+                    f"variable '{name}': missing long_name/standard_name"
+                )
+        write_report(problems, f"{nc_file}.cfcheck.txt")
+        return problems
     with xr.open_dataset(nc_file) as ds:
         for key in REQUIRED_GLOBALS:
             if not ds.attrs.get(key):

@@ -3,65 +3,225 @@
 The reference's inter-stage format is netCDF (``-raw.cdf`` / ``b.nc``);
 this engine's inter-stage format is Parquet (SURVEY §7.1 three-zone
 design), with netCDF only at the edges for interop with existing stglib
-consumers. The xarray/netCDF4 libraries are not present in this container,
-so both directions are gated behind an import-try and raise with a clear
-message; the Parquet path is always available.
+consumers. When xarray/netCDF4 are installed they are used directly;
+otherwise the pure-Python classic netCDF-3 codec
+(:mod:`stglib_spark.functions.netcdf3`) keeps both directions working —
+the same CF attribute layer (units/long_name/standard_name per variable,
+global Conventions/title/history, ``core/utils.py:352-749``) rides as
+column metadata either way.
 """
 
 from __future__ import annotations
 
 from typing import Any
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 
 from stglib_spark.sources import register_adapter
 
+_TIME_UNITS = "seconds since 1970-01-01 00:00:00 +00:00"
 
-def _require_xarray():
+
+def _have_xarray():
     try:
-        import xarray  # noqa: F401
+        import xarray
 
         return xarray
-    except ImportError as exc:  # pragma: no cover - env without xarray
-        raise NotImplementedError(
-            "netCDF edge adapter requires xarray+netCDF4, which are not "
-            "installed in this environment; use the Parquet zones instead "
-            "(stglib_spark writes/reads Parquet between stages)"
-        ) from exc
+    except ImportError:
+        return None
 
 
 @register_adapter("netcdf")
 def read_netcdf(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
-    """netCDF → DataFrame via a driver-side xarray load (edge-only; fine
-    for the reference's single-deployment file sizes)."""
-    xr = _require_xarray()
-    ds = xr.open_dataset(path)
-    pdf = ds.to_dataframe().reset_index()
-    return spark.createDataFrame(pdf)
+    """netCDF → DataFrame via a driver-side load (edge-only; fine for the
+    reference's single-deployment file sizes). xarray when available,
+    else the classic-netCDF3 codec."""
+    xr = _have_xarray()
+    if xr is not None:
+        ds = xr.open_dataset(path)
+        pdf = ds.to_dataframe().reset_index()
+        return spark.createDataFrame(pdf)
+
+    from stglib_spark.functions.netcdf3 import read_nc3
+
+    nc = read_nc3(path)
+    variables = nc["variables"]
+    # 1-D time-indexed variables become columns; 2-D (time, second dim)
+    # variables explode to long form with a `bin` index
+    time_var = variables.get("time")
+    if time_var is None:
+        raise ValueError(f"{path}: no 'time' variable")
+    import datetime as dt
+
+    times = [
+        dt.datetime.utcfromtimestamp(float(s)) for s in np.asarray(time_var["data"])
+    ]
+    nt = len(times)
+    one_d = {
+        name: np.asarray(v["data"])
+        for name, v in variables.items()
+        if name != "time" and v["dims"] == ("time",)
+    }
+    two_d = {
+        name: (v["dims"], np.asarray(v["data"]))
+        for name, v in variables.items()
+        if len(v["dims"]) == 2 and v["dims"][0] == "time"
+    }
+    rows = []
+    if two_d:
+        second_dim = next(iter(two_d.values()))[0][1]
+        axis = variables.get(second_dim)
+        nbins = next(iter(two_d.values()))[1].shape[1]
+        axis_vals = (
+            np.asarray(axis["data"]) if axis is not None else np.arange(nbins)
+        )
+        for i in range(nt):
+            for b in range(nbins):
+                rec: dict[str, Any] = {
+                    "time": times[i],
+                    "bin": b,
+                    second_dim: float(axis_vals[b]),
+                }
+                for name, (_d, arr) in two_d.items():
+                    rec[name] = float(arr[i, b])
+                for name, arr in one_d.items():
+                    rec[name] = arr[i].item() if arr.dtype.kind != "U" else str(arr[i])
+                rows.append(rec)
+    else:
+        for i in range(nt):
+            rec = {"time": times[i]}
+            for name, arr in one_d.items():
+                rec[name] = arr[i].item() if arr.dtype.kind != "U" else str(arr[i])
+            rows.append(rec)
+    return spark.createDataFrame(rows)
 
 
 def write_netcdf(df: DataFrame, path: str, attrs: dict[str, Any] | None = None) -> None:
-    """DataFrame → netCDF with attrs (export edge; collect-to-driver is
-    acceptable only for final per-deployment products, mirroring the
-    reference's one-file-per-deployment outputs). Column metadata attached
-    by ``stglib_spark.attrs.apply_var_attrs`` becomes per-variable netCDF
-    attributes, so exports carry the reference's CF-1.11 units/
-    standard_name/epic_code layer (stglib/core/attrs.py)."""
-    xr = _require_xarray()
+    """DataFrame → CF netCDF (export edge; collect-to-driver is acceptable
+    only for final per-deployment products, mirroring the reference's
+    one-file-per-deployment outputs). Column metadata attached by
+    ``stglib_spark.attrs.apply_var_attrs`` becomes per-variable netCDF
+    attributes. Long-form profile frames (a ``bin`` index column +
+    ``bindist`` axis) pivot back to 2-D (time, bindist) variables, the
+    reference's native shape."""
+    xr = _have_xarray()
     from stglib_spark.attrs import collect_var_attrs
 
     var_attrs = collect_var_attrs(df)
     pdf = df.toPandas()
-    ds = xr.Dataset.from_dataframe(pdf.set_index("time"))
-    ds.attrs.update(attrs or {})
-    for var, meta in var_attrs.items():
-        if var in ds:
-            ds[var].attrs.update(meta)
-        elif var in ds.coords:
-            ds[var].attrs.update(meta)
-    ds.to_netcdf(path, unlimited_dims=["time"])
+
+    if xr is not None:
+        ds = xr.Dataset.from_dataframe(pdf.set_index("time"))
+        ds.attrs.update(attrs or {})
+        for var, meta in var_attrs.items():
+            if var in ds:
+                ds[var].attrs.update(meta)
+            elif var in ds.coords:
+                ds[var].attrs.update(meta)
+        ds.to_netcdf(path, unlimited_dims=["time"])
+    else:
+        _write_netcdf3(pdf, path, var_attrs, attrs or {})
+
     # post-write CF check, like the reference's check_compliance call
     # after every nc write (rsk/cdf2nc.py:148); non-fatal by design
     from stglib_spark.cf import check_netcdf
 
     check_netcdf(path)
+
+
+def _write_netcdf3(
+    pdf,
+    path: str,
+    var_attrs: dict[str, dict[str, Any]],
+    global_attrs: dict[str, Any],
+) -> None:
+    from stglib_spark.functions.netcdf3 import write_nc3
+
+    if "time" not in pdf.columns:
+        raise ValueError("netCDF export requires a 'time' column")
+
+    profile = "bin" in pdf.columns and "bindist" in pdf.columns
+    variables: dict[str, dict[str, Any]] = {}
+
+    if profile:
+        piv = pdf.sort_values(["time", "bin"])
+        times = piv["time"].drop_duplicates().to_numpy()
+        bins = np.sort(piv["bin"].unique())
+        nt, nb = len(times), len(bins)
+        dims = {"time": nt, "bindist": nb}
+        bindist_axis = (
+            piv.drop_duplicates("bin").sort_values("bin")["bindist"].to_numpy()
+        )
+        variables["bindist"] = {
+            "dims": ("bindist",),
+            "data": bindist_axis.astype(np.float64),
+            "attrs": {"units": "m", "long_name": "distance from transducer head",
+                      **var_attrs.get("bindist", {})},
+        }
+        skip = {"time", "bin", "bindist"}
+        for col in pdf.columns:
+            if col in skip:
+                continue
+            series = piv[col]
+            if series.dtype == object and not isinstance(series.iloc[0], str):
+                continue  # array columns are not representable in classic nc3
+            per_time_count = piv.groupby("time", sort=True)[col].nunique(dropna=False)
+            if series.dtype != object and (per_time_count > 1).any():
+                mat = (
+                    piv.pivot_table(index="time", columns="bin", values=col,
+                                    sort=True, dropna=False)
+                    .reindex(index=times, columns=bins)
+                    .to_numpy()
+                )
+                variables[col] = {
+                    "dims": ("time", "bindist"),
+                    "data": mat.astype(np.float64),
+                    "attrs": var_attrs.get(col, {}),
+                }
+            else:
+                first = piv.drop_duplicates("time").sort_values("time")[col]
+                data = first.to_numpy()
+                if data.dtype == object:
+                    data = data.astype("U")
+                variables[col] = {
+                    "dims": ("time",),
+                    "data": data,
+                    "attrs": var_attrs.get(col, {}),
+                }
+    else:
+        pdf = pdf.sort_values("time")
+        times = pdf["time"].to_numpy()
+        dims = {"time": len(times)}
+        for col in pdf.columns:
+            if col == "time":
+                continue
+            series = pdf[col]
+            if series.dtype == object and len(series) and not isinstance(
+                series.iloc[0], str
+            ):
+                continue
+            data = series.to_numpy()
+            if data.dtype == object:
+                data = data.astype("U")
+            variables[col] = {
+                "dims": ("time",),
+                "data": data,
+                "attrs": var_attrs.get(col, {}),
+            }
+
+    epoch = np.asarray(times, dtype="datetime64[us]").astype("int64") / 1e6
+    variables = {
+        "time": {
+            "dims": ("time",),
+            "data": epoch.astype(np.float64),
+            "attrs": {
+                "units": _TIME_UNITS,
+                "standard_name": "time",
+                "calendar": "proleptic_gregorian",
+                **var_attrs.get("time", {}),
+            },
+        },
+        **variables,
+    }
+    write_nc3(path, dims, variables, global_attrs)
