@@ -3,12 +3,14 @@ typed metadata, processed via Arrow-batched ``mapInPandas``.
 
 North-star component (BASELINE.json): a 100 TB training-data pipeline
 carries media as ``binary`` columns next to structured metadata. The
-Spark-side plumbing here is real and tested — schemas, batch iteration,
-partition sizing, UDF signatures; the actual codecs (PIL/ffmpeg/soundfile)
-are NOT in this container, so the decode step is a clearly marked STUB:
-``decode_stub=True`` (default) runs a deterministic fake decoder so the
-pipeline shape is exercised end-to-end; ``decode_stub=False`` raises
-``NotImplementedError`` at the exact point a real codec plugs in.
+Spark-side plumbing — schemas, batch iteration, partition sizing, UDF
+signatures — is real and tested. Decoding has two modes:
+``decode_stub=True`` (default) runs a deterministic fake decoder (useful
+for plumbing tests and unsupported formats); ``decode_stub=False`` runs
+REAL pure-Python codecs (:mod:`stglib_spark.functions.media`) for BMP /
+PPM / PGM images and PCM WAV audio, while compressed formats (JPEG/PNG/
+MP4) raise ``UnsupportedMediaError`` at the exact point an external codec
+(PIL/ffmpeg) plugs in.
 
 Scale notes: mapInPandas streams Arrow batches — peak memory is one batch
 of binary payloads per core, so ``spark.sql.files.maxPartitionBytes`` (and
@@ -84,18 +86,20 @@ def decode_features(
             ids, sizes, feats = [], [], []
             for mid, content in zip(pdf[id_col], pdf[content_col]):
                 payload = bytes(content) if content is not None else b""
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real media decode requires PIL/ffmpeg/soundfile, "
-                        "not installed in this container — run with "
-                        "decode_stub=True or plug a codec in here"
-                    )
-                pixels = _fake_decode(payload, feature_dim * 16)
-                # mean-pool 16 pseudo-pixels per feature slot, scaled to [0,1]
-                feat = pixels.reshape(feature_dim, 16).mean(axis=1) / 255.0
+                if decode_stub:
+                    pixels = _fake_decode(payload, feature_dim * 16)
+                    # mean-pool 16 pseudo-pixels per slot, scaled to [0,1]
+                    feat = pixels.reshape(feature_dim, 16).mean(axis=1) / 255.0
+                    feat = feat.astype(np.float32)
+                else:
+                    # real decode: BMP/PPM/PGM/WAV natively; JPEG/PNG/MP4
+                    # raise UnsupportedMediaError at this exact plug point
+                    from stglib_spark.functions.media import decode_features_real
+
+                    feat = decode_features_real(payload, feature_dim)
                 ids.append(mid)
                 sizes.append(len(payload))
-                feats.append(feat.astype(np.float32).tolist())
+                feats.append(feat.tolist())
             yield pd.DataFrame(
                 {id_col: ids, "n_bytes": sizes, "feature": feats}
             )
@@ -119,13 +123,22 @@ def resize_images(
             new_content = []
             for content in pdf["content"]:
                 payload = bytes(content) if content is not None else b""
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real image resize requires PIL — plug in here"
+                if decode_stub:
+                    new_content.append(
+                        _fake_decode(payload, target_w * target_h).tobytes()
                     )
-                new_content.append(
-                    _fake_decode(payload, target_w * target_h).tobytes()
-                )
+                else:
+                    # real path: decode BMP/PPM → nearest resize → BMP
+                    from stglib_spark.functions.media import (
+                        decode_image,
+                        encode_bmp,
+                        resize_nearest,
+                    )
+
+                    img = decode_image(payload)
+                    new_content.append(
+                        encode_bmp(resize_nearest(img, target_w, target_h))
+                    )
             out["content"] = new_content
             out["width"] = target_w
             out["height"] = target_h

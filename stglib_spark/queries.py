@@ -2596,6 +2596,55 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_decode_real_bmp",
+    """
+    SELECT doc_id AS media_id,
+           CAST(246 AS BIGINT) AS n_bytes,
+           round((doc_id % 256) / 255.0, 5) AS f0,
+           round((doc_id % 256) / 255.0, 5) AS f15
+    FROM documents
+    """,
+)
+def mm_decode_real_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal codec path, oracle-checked end-to-end: synthesize a
+    constant-color 8×8 24-bit BMP per document (color = doc_id % 256)
+    inside an Arrow batch, decode with the pure-Python BMP codec
+    (functions/media.py, decode_stub=False), mean-pool to features. A
+    constant image's every feature slot is exactly color/255 and the BMP
+    container is exactly 246 bytes, so DuckDB reproduces the whole chain
+    analytically. (Rounded to 5 decimals: the engine pools in float32,
+    and 80/255, 131/255, 182/255 straddle a 6-decimal rounding boundary
+    within float32 error.)"""
+    from stglib_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_bmp(batches):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.media import encode_bmp
+
+        for pdf in batches:
+            payloads = [
+                encode_bmp(np.full((8, 8, 3), int(i) % 256, dtype=np.uint8))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    media = spread(docs.select("doc_id")).mapInPandas(
+        make_bmp, "media_id long, content binary"
+    )
+    out = mm.decode_features(media, feature_dim=16, decode_stub=False)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+        F.round(F.element_at("feature", 16).cast("double"), 5).alias("f15"),
+    )
+
+
 @register("mm_video_frames")  # rows-only: stub frame sampler
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling shape (north-star): one output row per

@@ -54,7 +54,11 @@ def test_video_frame_sampling(spark, media_df):
     assert all(len(r.feature) == 64 for r in rows)
 
 
-def test_real_decode_seam_raises(spark, media_df):
+def test_real_decode_seam_raises_on_unsupported(spark, media_df):
+    """decode_stub=False now really decodes BMP/PPM/PGM/WAV
+    (tests/test_media_codecs.py); payloads in no recognized container
+    still raise at the plug point, naming the supported set."""
     with pytest.raises(Exception) as exc:
         decode_features(media_df, decode_stub=False).collect()
-    assert "NotImplementedError" in str(exc.value) or "requires" in str(exc.value)
+    msg = str(exc.value)
+    assert "UnsupportedMediaError" in msg or "BMP/PPM/PGM/WAV" in msg
