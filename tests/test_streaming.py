@@ -226,6 +226,104 @@ def test_streaming_atmos_correct_matches_batch(spark, sf_dir, checkpoint_dir):
     assert (got["value_ac"].fillna(-999) == expect["value_ac"].fillna(-999)).all()
 
 
+def test_streaming_too_late_rows_dropped_match_batch(
+    spark, checkpoint_dir, tmp_path
+):
+    """Shuffled/late-arrival replay: a row arriving BEYOND the watermark
+    for an already-closed window is dropped, and the streamed result
+    equals the batch aggregate over the admitted rows (batch-minus-dropped
+    parity) — while the full batch including the too-late row differs,
+    proving the drop really happened."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from stglib_spark.streaming import streaming_burst_average
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    # batch 0: two rows in the 10:00 window + a 13:30 row that will set
+    # the 2 h watermark to 11:30 for the NEXT batch
+    fileA = pd.DataFrame(
+        {
+            "user_id": [1, 1, 1],
+            "ts": [
+                pd.Timestamp("2024-05-01 10:05:00"),
+                pd.Timestamp("2024-05-01 10:40:00"),
+                pd.Timestamp("2024-05-01 13:30:00"),
+            ],
+            "value": [2.0, 4.0, 9.0],
+        }
+    )
+    # batch 1: advancer only — runs with watermark 11:30, which EVICTS
+    # and emits the closed 10:00-11:00 window (n=2)
+    fileB = pd.DataFrame(
+        {"user_id": [1], "ts": [pd.Timestamp("2024-05-01 13:45:00")],
+         "value": [9.0]}
+    )
+    # batch 2: a TOO-late row for the already-evicted 10:00 window (must
+    # be dropped, not re-emitted) + another advancer
+    fileC = pd.DataFrame(
+        {
+            "user_id": [1, 1],
+            "ts": [
+                pd.Timestamp("2024-05-01 10:20:00"),
+                pd.Timestamp("2024-05-01 16:00:00"),
+            ],
+            "value": [100.0, 1.0],
+        }
+    )
+    spark.createDataFrame(fileA).coalesce(1).write.parquet(d + "/a")
+    _time.sleep(1.1)  # file-source orders batches by modification time
+    spark.createDataFrame(fileB).coalesce(1).write.parquet(d + "/b")
+    _time.sleep(1.1)
+    spark.createDataFrame(fileC).coalesce(1).write.parquet(d + "/c")
+    schema = spark.read.parquet(d + "/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_burst_average(
+        stream, interval_seconds=3600, watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("latedrop")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM latedrop").collect()
+    t10 = pd.Timestamp("2024-05-01 10:00:00").to_pydatetime()
+    ten = [r for r in emitted if r["burst_time"] == t10]
+    # emitted exactly once, from the on-time rows only
+    assert len(ten) == 1, emitted
+    assert ten[0]["n"] == 2 and abs(ten[0]["value_avg"] - 3.0) < 1e-9
+
+    # batch parity: admitted rows (all minus the dropped 10:20) reproduce
+    # the streamed window; the full set (with the late row) does NOT
+    all_rows = pd.concat([fileA, fileB, fileC])
+    admitted = all_rows[all_rows["value"] != 100.0]
+    adm = spark.createDataFrame(admitted)
+    batch = {
+        r["burst_time"]: (r["n"], r["value_avg"])
+        for r in adm.groupBy(F.window("ts", "3600 seconds").start.alias("burst_time"))
+        .agg(F.count(F.lit(1)).alias("n"), F.avg("value").alias("value_avg"))
+        .collect()
+    }
+    assert batch[t10] == (2, 3.0)
+    full = spark.createDataFrame(all_rows)
+    full_t10 = (
+        full.filter(F.date_trunc("hour", F.col("ts")) == F.lit("2024-05-01 10:00:00"))
+        .count()
+    )
+    assert full_t10 == 3  # late row exists in the data but not the stream
+
+
 def test_streaming_gap_fill_late_data_lands_in_correct_tick(
     spark, checkpoint_dir, tmp_path
 ):

@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Per-query bench regression diff.
+
+Compares two bench results (driver ``BENCH_r{N}.json`` artifacts, raw
+``bench.py`` one-line JSON output, or a file containing it) and flags
+queries slower than ``--threshold`` (default 1.5x). Exit code 1 when any
+regression is flagged, so it can gate CI.
+
+Usage:
+    python tools/bench_regression.py BENCH_r01.json BENCH_r03.json
+    python tools/bench_regression.py BENCH_r01.json current_bench.json -t 1.3
+    python bench.py | tail -1 > now.json && \
+        python tools/bench_regression.py BENCH_r01.json now.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def load_bench(path: str) -> dict:
+    """Accept either the driver artifact ({"rc":..,"parsed":{...}}) or the
+    raw bench.py JSON line ({"metric":...,"queries":{...}})."""
+    with open(path, encoding="utf-8") as f:
+        text = f.read().strip()
+    doc = json.loads(text)
+    if "parsed" in doc:
+        if doc.get("rc", 0) != 0 or not doc.get("parsed"):
+            raise SystemExit(
+                f"{path}: bench run crashed (rc={doc.get('rc')}); no metrics"
+            )
+        doc = doc["parsed"]
+    if "queries" not in doc:
+        raise SystemExit(f"{path}: no 'queries' map found")
+    return doc
+
+
+def compare(base: dict, new: dict, threshold: float) -> tuple[list[tuple], int]:
+    rows = []
+    flagged = 0
+    bq, nq = base["queries"], new["queries"]
+    for name in nq:
+        t_new = nq[name]
+        t_base = bq.get(name)
+        if t_base is None:
+            rows.append((name, None, t_new, None, "NEW"))
+            continue
+        ratio = t_new / t_base if t_base > 0 else float("inf")
+        mark = ""
+        if ratio > threshold:
+            mark = "REGRESSION"
+            flagged += 1
+        elif ratio < 1 / threshold:
+            mark = "improved"
+        rows.append((name, t_base, t_new, ratio, mark))
+    for name in bq:
+        if name not in nq:
+            rows.append((name, bq[name], None, None, "REMOVED"))
+    return rows, flagged
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("baseline", help="older bench JSON")
+    ap.add_argument("current", help="newer bench JSON")
+    ap.add_argument("-t", "--threshold", type=float, default=1.5,
+                    help="flag ratio above this (default 1.5)")
+    args = ap.parse_args(argv)
+
+    base = load_bench(args.baseline)
+    new = load_bench(args.current)
+    rows, flagged = compare(base, new, args.threshold)
+
+    w = max(len(r[0]) for r in rows) if rows else 10
+    print(f"{'query':<{w}}  {'base':>8}  {'now':>8}  {'ratio':>6}  flag")
+    for name, t_base, t_new, ratio, mark in sorted(rows):
+        tb = f"{t_base:.3f}" if t_base is not None else "-"
+        tn = f"{t_new:.3f}" if t_new is not None else "-"
+        rt = f"{ratio:.2f}x" if ratio is not None else "-"
+        print(f"{name:<{w}}  {tb:>8}  {tn:>8}  {rt:>6}  {mark}")
+    tb, tn = base.get("value"), new.get("value")
+    if tb and tn:
+        print(f"{'TOTAL':<{w}}  {tb:>8.3f}  {tn:>8.3f}  {tn / tb:>5.2f}x")
+    if flagged:
+        print(f"\n{flagged} quer{'y' if flagged == 1 else 'ies'} regressed "
+              f">{args.threshold}x", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
