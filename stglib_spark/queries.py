@@ -1030,9 +1030,11 @@ _MH_CAND_CTES = f"""
     ),
     h AS (
       SELECT doc_id,
-             {_H60.format(s="s")} % {_MH_PRIME} AS h1,
-             {_H60.format(s="'mh2' || s")} % {_MH_PRIME} AS h2
-      FROM sh
+             (('0x' || substring(d, 1, 15))::UBIGINT)::BIGINT
+               % {_MH_PRIME} AS h1,
+             (('0x' || substring(d, 17, 15))::UBIGINT)::BIGINT
+               % {_MH_PRIME} AS h2
+      FROM (SELECT doc_id, md5(s) AS d FROM sh)
     ),
     sig AS (SELECT doc_id, {_MH_SIG} FROM h GROUP BY doc_id),
     band AS (
