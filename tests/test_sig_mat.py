@@ -173,6 +173,37 @@ def test_read_signature_multifile_distributed(spark, tmp_path):
     assert attrs["burst"]["beam2xyz"] == np.eye(4).tolist()
 
 
+def test_sig_through_pipeline(spark, tmp_path):
+    """Signature ingest feeds the three-stage pipeline: sig → raw zone →
+    clean zone with a QA/QC gate applied to the stacked vel1 column
+    (mirrors runots sig mat2cdf → cdf2nc)."""
+    from stglib_spark.pipeline import _zone_path, run_clean, run_ingest
+
+    p = str(tmp_path / "sig_1.mat")
+    _fixture(p)
+    cfg = {
+        "instrument": "sig",
+        "input_path": p,
+        "sig_group": "burst",
+        "output_dir": str(tmp_path / "zones"),
+        "filename": "sigdep",
+        "vel1_max": 0.0,  # gate: positive beam-1 velocities flagged
+    }
+    run_ingest(spark, cfg)
+    raw = spark.read.parquet(_zone_path(cfg, "raw"))
+    assert raw.count() == NT * 4
+    assert {"time", "bin", "bindist", "vel1", "P_1"} <= set(raw.columns)
+
+    run_clean(spark, cfg)
+    clean = spark.read.parquet(_zone_path(cfg, "clean"))
+    rows = clean.collect()
+    assert len(rows) == NT * 4
+    flagged = [r for r in rows if r["vel1"] is None]
+    kept = [r for r in rows if r["vel1"] is not None]
+    assert flagged and kept  # gate really fired, and not on everything
+    assert all(r["vel1"] <= 0.0 for r in kept)
+
+
 def test_sig_adapter_registered(spark, tmp_path):
     from stglib_spark.sources import ingest
 
