@@ -42,6 +42,7 @@ CORRELATION_ID = 0x0200
 ECHO_ID = 0x0300
 PCTGOOD_ID = 0x0400
 BOTTOM_TRACK_ID = 0x0600
+XFORM_ID = 0x3200
 BAD_VEL = -32768
 
 PD0_SCHEMA = StructType(
@@ -75,6 +76,14 @@ PD0_SCHEMA = StructType(
         StructField("pg2", IntegerType()),
         StructField("pg3", IntegerType()),
         StructField("pg4", IntegerType()),
+        # attitude QC + ADC channels (variable leader bytes 31-41,
+        # rdiadcpy.py:1270-1294): std devs of HPR and the sensor counts
+        # the reference carries into cdf2nc QA gates
+        StructField("heading_std", DoubleType()),  # deg
+        StructField("pitch_std", DoubleType()),  # deg (stored 0.1 deg)
+        StructField("roll_std", DoubleType()),  # deg (stored 0.1 deg)
+        StructField("xmit_voltage", IntegerType()),  # ADC ch 1, counts
+        StructField("attitude_temp", IntegerType()),  # ADC ch 5, counts
     ]
 )
 
@@ -144,6 +153,12 @@ def _parse_variable(buf: bytes, off: int) -> dict[str, Any]:
         "salinity": float(sal),
         "temperature": temp / 100.0,
         "pressure": pressure_dapa / 1000.0,  # decapascal → dbar
+        # attitude std devs + ADC channels (rdiadcpy.py:1270-1294)
+        "heading_std": float(buf[off + 31]),
+        "pitch_std": buf[off + 32] / 10.0,
+        "roll_std": buf[off + 33] / 10.0,
+        "xmit_voltage": buf[off + 35],
+        "attitude_temp": buf[off + 39],
     }
 
 
@@ -324,6 +339,11 @@ def parse_ensembles(content: bytes, source: str) -> Iterator[Row]:
                 pg2=beam(pg, cell, 1),
                 pg3=beam(pg, cell, 2),
                 pg4=beam(pg, cell, 3),
+                heading_std=var["heading_std"],
+                pitch_std=var["pitch_std"],
+                roll_std=var["roll_std"],
+                xmit_voltage=var["xmit_voltage"],
+                attitude_temp=var["attitude_temp"],
             )
 
 
@@ -338,6 +358,34 @@ def read_pd0(spark: SparkSession, path: str) -> DataFrame:
     return binary.select("path", "content").rdd.mapPartitions(
         parse_partition
     ).toDF(PD0_SCHEMA)
+
+
+def _parse_xform(ens: bytes, off: int, nbeams: int) -> list[list[float]] | None:
+    """Instrument transformation matrix 0x3200 (rdiadcpy.py:1497-1523):
+    nbeams×3 int16 stored axis-major, counts of 1/10000."""
+    need = 2 + 2 * 3 * nbeams
+    if off + need > len(ens):
+        return None
+    vals = struct.unpack_from(f"<{3 * nbeams}h", ens, off + 2)
+    # stored axis-major: vals[iaxis*nbeams + ibeam]
+    return [
+        [vals[a * nbeams + b] / 10000.0 for a in range(3)] for b in range(nbeams)
+    ]
+
+
+def pd0_transform_matrix(path: str) -> list[list[float]] | None:
+    """Driver-side accessor: the instrument BEAM→XYZ transformation
+    matrix from the first ensemble carrying an 0x3200 block (config-scale
+    metadata — the reference feeds it to the coordinate transform the
+    same way). Returns nbeams rows × 3 (scaled), or None."""
+    with open(path, "rb") as f:
+        content = f.read()
+    for fixed, _var, blocks in _walk_ensembles(content):
+        hit = blocks.get(XFORM_ID)
+        if hit is not None:
+            ens, off = hit
+            return _parse_xform(ens, off, fixed["nbeams"])
+    return None
 
 
 def read_pd0_bt(spark: SparkSession, path: str) -> DataFrame:
@@ -418,6 +466,11 @@ def write_pd0(
                 int(e.get("temperature", 20.0) * 100),
             )
             struct.pack_into("<I", var, 48, int(e.get("pressure", 0.0) * 1000))
+            var[31] = int(e.get("heading_std", 0.0))
+            var[32] = int(e.get("pitch_std", 0.0) * 10)
+            var[33] = int(e.get("roll_std", 0.0) * 10)
+            var[35] = int(e.get("xmit_voltage", 0))
+            var[39] = int(e.get("attitude_temp", 0))
 
             vels = e.get(
                 "vel", [[0] * nbeams for _ in range(ncells)]
@@ -437,6 +490,18 @@ def write_pd0(
             )
 
             blocks = [bytes(fixed), bytes(var), vel, cor, echo, pg]
+
+            if "xform" in e:
+                mat = e["xform"]  # nbeams rows × 3, floats
+                vals = [
+                    int(round(mat[b][a] * 10000))
+                    for a in range(3)
+                    for b in range(nbeams)
+                ]
+                blocks.append(
+                    struct.pack("<H", XFORM_ID)
+                    + struct.pack(f"<{3 * nbeams}h", *vals)
+                )
 
             if "bt" in e:
                 bt_in = e["bt"]

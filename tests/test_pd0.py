@@ -124,6 +124,37 @@ def test_pd0_bt_parse_skips_truncated_block():
         assert len(rows) == 1
 
 
+def test_pd0_attitude_and_xform(tmp_path, spark):
+    """Variable-leader attitude std-devs + ADC channels
+    (rdiadcpy.py:1270-1294) and the 0x3200 instrument transformation
+    matrix (rdiadcpy.py:1497-1523, axis-major int16 / 10000)."""
+    ens = _mk_ensembles(2, ncells=2)
+    mat = [
+        [1.4619, -1.4619, 0.0],
+        [0.0, 0.0, -1.4619],
+        [0.2661, 0.2661, 0.2661],
+        [1.0337, 1.0337, -0.6392],
+    ]
+    for e in ens:
+        e.update(heading_std=2.0, pitch_std=0.3, roll_std=0.5,
+                 xmit_voltage=155, attitude_temp=88, xform=mat)
+    p = str(tmp_path / "att.000")
+    write_pd0(p, ens, ncells=2)
+
+    r = read_pd0(spark, p).orderBy("ensemble", "cell").collect()[0]
+    assert r["heading_std"] == pytest.approx(2.0)
+    assert r["pitch_std"] == pytest.approx(0.3)
+    assert r["roll_std"] == pytest.approx(0.5)
+    assert r["xmit_voltage"] == 155 and r["attitude_temp"] == 88
+
+    from stglib_spark.sources.pd0 import pd0_transform_matrix
+
+    got = pd0_transform_matrix(p)
+    for b in range(4):
+        for a in range(3):
+            assert got[b][a] == pytest.approx(mat[b][a], abs=1e-4)
+
+
 def test_pd0_resync_and_checksum(tmp_path):
     p = str(tmp_path / "noisy.000")
     write_pd0(p, _mk_ensembles(2, ncells=2), ncells=2)
