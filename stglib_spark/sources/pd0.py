@@ -43,6 +43,15 @@ ECHO_ID = 0x0300
 PCTGOOD_ID = 0x0400
 BOTTOM_TRACK_ID = 0x0600
 XFORM_ID = 0x3200
+# Sentinel V vertical-beam family (rdiadcpy.py:533-561)
+VBEAM_LEADER_ID = 0x0F01
+VBEAM_VEL_ID = 0x0A00
+VBEAM_COR_ID = 0x0B00
+VBEAM_AMP_ID = 0x0C00
+VBEAM_PG_ID = 0x0D00
+# Wavesmon 4 wave statistics (rdiadcpy.py:563-571)
+WAVE_PARAMS_ID = 0x000B
+WAVE_SEASWELL_ID = 0x000C
 BAD_VEL = -32768
 
 PD0_SCHEMA = StructType(
@@ -360,6 +369,166 @@ def read_pd0(spark: SparkSession, path: str) -> DataFrame:
     ).toDF(PD0_SCHEMA)
 
 
+VBEAM_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType()),
+        StructField("ensemble", LongType()),
+        StructField("time", TimestampType()),
+        StructField("cell", IntegerType()),
+        StructField("vbindist", DoubleType()),  # m to cell center
+        StructField("vb_vel", DoubleType()),  # m/s, null where vendor-bad
+        StructField("vb_cor", IntegerType()),
+        StructField("vb_amp", IntegerType()),
+        StructField("vb_pg", IntegerType()),
+    ]
+)
+
+
+def parse_vbeam_ensembles(content: bytes, source: str) -> Iterator[tuple]:
+    """Sentinel V vertical-beam profile rows: leader 0x0F01 gives the cell
+    geometry (rdiadcpy.py:1622-1666), then velocity 0x0A00 (i16 mm/s),
+    correlation 0x0B00 / amplitude 0x0C00 / percent-good 0x0D00 (u8 per
+    cell). One row per (ensemble, vertical cell)."""
+    for _fixed, var, blocks in _walk_ensembles(content):
+        lead = blocks.get(VBEAM_LEADER_ID)
+        if lead is None:
+            continue
+        ens, off = lead
+        if off + 12 > len(ens):
+            continue
+        ncells, _pings, cell_cm, first_cm = struct.unpack_from("<HHHH", ens, off + 2)
+
+        def block(did: int, fmt: str, width: int):
+            hit = blocks.get(did)
+            if hit is None:
+                return None
+            e, o = hit
+            if o + 2 + width * ncells > len(e):
+                return None
+            return struct.unpack_from(f"<{ncells}{fmt}", e, o + 2)
+
+        vel = block(VBEAM_VEL_ID, "h", 2)
+        cor = block(VBEAM_COR_ID, "B", 1)
+        amp = block(VBEAM_AMP_ID, "B", 1)
+        pg = block(VBEAM_PG_ID, "B", 1)
+        for c in range(ncells):
+            v = vel[c] if vel is not None else None
+            yield (
+                source,
+                var["ensemble"],
+                var["time"],
+                c,
+                (first_cm + c * cell_cm) / 100.0,
+                None if v in (None, BAD_VEL) else v / 1000.0,
+                cor[c] if cor is not None else None,
+                amp[c] if amp is not None else None,
+                pg[c] if pg is not None else None,
+            )
+
+
+def read_pd0_vbeam(spark: SparkSession, path: str) -> DataFrame:
+    """Sentinel V vertical-beam profiles → DataFrame (own grain: the
+    vertical beam has its own cell count/size; join to the slant-beam
+    profile on (source_file, ensemble) when combining)."""
+
+    def parse_partition(rows) -> Iterator[tuple]:
+        for r in rows:
+            yield from parse_vbeam_ensembles(bytes(r.content), r.path)
+
+    binary = spark.read.format("binaryFile").load(path)
+    return binary.select("path", "content").rdd.mapPartitions(
+        parse_partition
+    ).toDF(VBEAM_SCHEMA)
+
+
+WAVE_SCHEMA = StructType(
+    [
+        StructField("source_file", StringType()),
+        StructField("ensemble", LongType()),
+        StructField("time", TimestampType()),
+        # wave parameters 0x000B (rdiadcpy.py:1788-1817; Hs mm → m,
+        # periods s, directions deg)
+        StructField("hs", DoubleType()),
+        StructField("tp", DoubleType()),
+        StructField("dp", DoubleType()),
+        StructField("dm", DoubleType()),
+        StructField("h_max", DoubleType()),
+        StructField("h_13", DoubleType()),
+        StructField("t_01", DoubleType()),
+        StructField("t_z", DoubleType()),
+        # sea/swell partition 0x000C (rdiadcpy.py:1820-1842)
+        StructField("hs_sea", DoubleType()),
+        StructField("hs_swell", DoubleType()),
+        StructField("tp_sea", DoubleType()),
+        StructField("tp_swell", DoubleType()),
+        StructField("dp_sea", DoubleType()),
+        StructField("dp_swell", DoubleType()),
+    ]
+)
+
+
+def parse_wave_ensembles(content: bytes, source: str) -> Iterator[tuple]:
+    """Wavesmon 4 on-board wave statistics: one row per ensemble carrying
+    an 0x000B wave-parameters block; the 0x000C sea/swell partition fills
+    the trailing columns when present. Hs fields are stored in mm, periods
+    in seconds, directions in degrees (rdiadcpy.py:1788-1842)."""
+    for _fixed, var, blocks in _walk_ensembles(content):
+        wp = blocks.get(WAVE_PARAMS_ID)
+        if wp is None:
+            continue
+        ens, off = wp
+        if off + 53 > len(ens):
+            continue
+        hs, tp, dp = struct.unpack_from("<HHH", ens, off + 2)
+        (dm,) = struct.unpack_from("<H", ens, off + 16)
+        shmax, sh13, _sh10, _stmax, _st13, _st10, t01, tz = struct.unpack_from(
+            "<8H", ens, off + 30
+        )
+        sea = [None] * 6
+        ss = blocks.get(WAVE_SEASWELL_ID)
+        if ss is not None:
+            se, so = ss
+            if so + 14 <= len(se):
+                hssea, hsswell, tpsea, tpswell, dpsea, dpswell = struct.unpack_from(
+                    "<6H", se, so + 2
+                )
+                sea = [
+                    hssea / 1000.0,
+                    hsswell / 1000.0,
+                    float(tpsea),
+                    float(tpswell),
+                    float(dpsea),
+                    float(dpswell),
+                ]
+        yield (
+            source,
+            var["ensemble"],
+            var["time"],
+            hs / 1000.0,
+            float(tp),
+            float(dp),
+            float(dm),
+            shmax / 1000.0,
+            sh13 / 1000.0,
+            float(t01),
+            float(tz),
+            *sea,
+        )
+
+
+def read_pd0_waves(spark: SparkSession, path: str) -> DataFrame:
+    """On-board Wavesmon wave statistics → one row per ensemble."""
+
+    def parse_partition(rows) -> Iterator[tuple]:
+        for r in rows:
+            yield from parse_wave_ensembles(bytes(r.content), r.path)
+
+    binary = spark.read.format("binaryFile").load(path)
+    return binary.select("path", "content").rdd.mapPartitions(
+        parse_partition
+    ).toDF(WAVE_SCHEMA)
+
+
 def _parse_xform(ens: bytes, off: int, nbeams: int) -> list[list[float]] | None:
     """Instrument transformation matrix 0x3200 (rdiadcpy.py:1497-1523):
     nbeams×3 int16 stored axis-major, counts of 1/10000."""
@@ -490,6 +659,56 @@ def write_pd0(
             )
 
             blocks = [bytes(fixed), bytes(var), vel, cor, echo, pg]
+
+            if "waves" in e:
+                wv = e["waves"]
+                wp = bytearray(53)
+                struct.pack_into(
+                    "<HHHH", wp, 0, WAVE_PARAMS_ID,
+                    int(wv.get("hs", 0.0) * 1000),
+                    int(wv.get("tp", 0)), int(wv.get("dp", 0)),
+                )
+                struct.pack_into("<H", wp, 16, int(wv.get("dm", 0)))
+                struct.pack_into(
+                    "<8H", wp, 30,
+                    int(wv.get("h_max", 0.0) * 1000),
+                    int(wv.get("h_13", 0.0) * 1000), 0, 0, 0, 0,
+                    int(wv.get("t_01", 0)), int(wv.get("t_z", 0)),
+                )
+                blocks.append(bytes(wp))
+                if "hs_sea" in wv:
+                    ssb = bytearray(46)
+                    struct.pack_into(
+                        "<H6H", ssb, 0, WAVE_SEASWELL_ID,
+                        int(wv["hs_sea"] * 1000), int(wv["hs_swell"] * 1000),
+                        int(wv["tp_sea"]), int(wv["tp_swell"]),
+                        int(wv["dp_sea"]), int(wv["dp_swell"]),
+                    )
+                    blocks.append(bytes(ssb))
+
+            if "vbeam" in e:
+                vb = e["vbeam"]
+                vnc = len(vb["vel_mm"])
+                lead = bytearray(32)
+                struct.pack_into(
+                    "<HHHHH", lead, 0, VBEAM_LEADER_ID, vnc,
+                    int(vb.get("pings", 1)),
+                    int(vb.get("cell_cm", 100)), int(vb.get("first_cm", 150)),
+                )
+                blocks.append(bytes(lead))
+                blocks.append(
+                    struct.pack("<H", VBEAM_VEL_ID)
+                    + struct.pack(f"<{vnc}h", *vb["vel_mm"])
+                )
+                for did, key, default in (
+                    (VBEAM_COR_ID, "cor", 110),
+                    (VBEAM_AMP_ID, "amp", 75),
+                    (VBEAM_PG_ID, "pg", 100),
+                ):
+                    vals = vb.get(key, [default] * vnc)
+                    blocks.append(
+                        struct.pack("<H", did) + struct.pack(f"<{vnc}B", *vals)
+                    )
 
             if "xform" in e:
                 mat = e["xform"]  # nbeams rows × 3, floats

@@ -155,6 +155,62 @@ def test_pd0_attitude_and_xform(tmp_path, spark):
             assert got[b][a] == pytest.approx(mat[b][a], abs=1e-4)
 
 
+def test_pd0_vertical_beam_roundtrip(tmp_path, spark):
+    """Sentinel V vertical-beam family (leader 0x0F01 + vel/cor/amp/pg
+    0x0A00-0x0D00): own cell geometry, mm/s scaling, bad-value nulls."""
+    from stglib_spark.sources.pd0 import read_pd0_vbeam
+
+    ens = _mk_ensembles(2, ncells=2)
+    ens[0]["vbeam"] = {
+        "vel_mm": [50, -75, -32768],
+        "cor": [100, 101, 102],
+        "amp": [60, 61, 62],
+        "pg": [99, 98, 97],
+        "cell_cm": 200,
+        "first_cm": 100,
+    }
+    # ensemble 2 has no vertical beam
+    p = str(tmp_path / "vb.000")
+    write_pd0(p, ens, ncells=2)
+
+    assert read_pd0(spark, p).count() == 2 * 2  # slant profiles unaffected
+    vb = read_pd0_vbeam(spark, p).orderBy("ensemble", "cell").collect()
+    assert [r["ensemble"] for r in vb] == [1, 1, 1]
+    assert [r["vbindist"] for r in vb] == pytest.approx([1.0, 3.0, 5.0])
+    assert vb[0]["vb_vel"] == pytest.approx(0.050)
+    assert vb[1]["vb_vel"] == pytest.approx(-0.075)
+    assert vb[2]["vb_vel"] is None  # vendor bad value
+    assert vb[0]["vb_cor"] == 100 and vb[2]["vb_amp"] == 62 and vb[1]["vb_pg"] == 98
+
+
+def test_pd0_wavesmon_roundtrip(tmp_path, spark):
+    """Wavesmon 4 on-board wave statistics (0x000B + 0x000C): mm→m
+    heights, seconds periods, degree directions, sea/swell partition."""
+    from stglib_spark.sources.pd0 import read_pd0_waves
+
+    ens = _mk_ensembles(2, ncells=2)
+    ens[0]["waves"] = {
+        "hs": 1.25, "tp": 8, "dp": 270, "dm": 265,
+        "h_max": 2.1, "h_13": 1.3, "t_01": 7, "t_z": 6,
+        "hs_sea": 0.9, "hs_swell": 0.7, "tp_sea": 5, "tp_swell": 11,
+        "dp_sea": 250, "dp_swell": 280,
+    }
+    p = str(tmp_path / "wv.000")
+    write_pd0(p, ens, ncells=2)
+
+    rows = read_pd0_waves(spark, p).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ensemble"] == 1
+    assert r["hs"] == pytest.approx(1.25)
+    assert r["tp"] == 8.0 and r["dp"] == 270.0 and r["dm"] == 265.0
+    assert r["h_max"] == pytest.approx(2.1) and r["h_13"] == pytest.approx(1.3)
+    assert r["t_01"] == 7.0 and r["t_z"] == 6.0
+    assert r["hs_sea"] == pytest.approx(0.9)
+    assert r["hs_swell"] == pytest.approx(0.7)
+    assert r["tp_swell"] == 11.0 and r["dp_sea"] == 250.0
+
+
 def test_pd0_resync_and_checksum(tmp_path):
     p = str(tmp_path / "noisy.000")
     write_pd0(p, _mk_ensembles(2, ncells=2), ncells=2)
