@@ -1,0 +1,57 @@
+"""bench_regression tool: artifact/raw-format loading, ratio math,
+threshold flags, crashed-run rejection."""
+
+from __future__ import annotations
+
+import json
+import sys
+
+import pytest
+
+sys.path.insert(0, "/root/repo/tools")
+from bench_regression import compare, load_bench, main
+
+
+def _write(tmp_path, name, doc):
+    p = str(tmp_path / name)
+    with open(p, "w") as f:
+        json.dump(doc, f)
+    return p
+
+
+RAW_BASE = {"metric": "m", "value": 10.0, "unit": "sec",
+            "queries": {"a": 1.0, "b": 2.0, "c": 3.0}}
+RAW_NOW = {"metric": "m", "value": 12.0, "unit": "sec",
+           "queries": {"a": 1.1, "b": 4.0, "d": 0.5}}
+
+
+def test_load_raw_and_artifact(tmp_path):
+    raw = _write(tmp_path, "raw.json", RAW_BASE)
+    art = _write(tmp_path, "art.json", {"rc": 0, "parsed": RAW_BASE})
+    assert load_bench(raw)["queries"] == RAW_BASE["queries"]
+    assert load_bench(art)["queries"] == RAW_BASE["queries"]
+
+
+def test_crashed_artifact_rejected(tmp_path):
+    art = _write(tmp_path, "crash.json", {"rc": 1, "parsed": None})
+    with pytest.raises(SystemExit, match="crashed"):
+        load_bench(art)
+
+
+def test_compare_flags_and_markers():
+    rows, flagged = compare(RAW_BASE, RAW_NOW, threshold=1.5)
+    by_name = {r[0]: r for r in rows}
+    assert flagged == 1
+    assert by_name["b"][4] == "REGRESSION" and by_name["b"][3] == pytest.approx(2.0)
+    assert by_name["a"][4] == ""  # 1.1x within threshold
+    assert by_name["d"][4] == "NEW"
+    assert by_name["c"][4] == "REMOVED"
+
+
+def test_main_exit_codes(tmp_path, capsys):
+    base = _write(tmp_path, "b.json", RAW_BASE)
+    now = _write(tmp_path, "n.json", RAW_NOW)
+    assert main([base, now]) == 1  # b regressed
+    assert main([base, base]) == 0  # identical = clean
+    out = capsys.readouterr().out
+    assert "TOTAL" in out and "REGRESSION" in out

@@ -129,6 +129,60 @@ def test_parse_groups_and_geometry(tmp_path):
     assert set(i["profiles"]) == {"vel5"}
 
 
+def test_alt_instrument_groups(tmp_path):
+    """Alt_ prefixed second-instrument groups (mat2cdf.py:223-345): the
+    extra underscore in field names, separate plan gates, and their own
+    bindist geometry."""
+    times = [_datenum(dt.datetime(2023, 6, 1) + dt.timedelta(seconds=600 * i))
+             for i in range(4)]
+    rng = np.random.RandomState(3)
+    config = {
+        "Plan_BurstEnabled": "False",
+        "Plan_AverageEnabled": "False",
+        "Alt_Plan_BurstEnabled": "True",
+        "Alt_Plan_AverageEnabled": "True",
+        "Alt_Plan_BurstInterval": 300.0,
+        "Alt_Burst_SamplingRate": 2.0,
+        "Alt_Burst_NSample": 600.0,  # 300*2 == 600 -> CONTINUOUS
+        "Alt_Burst_HighResolution": "False",
+        "Alt_Burst_HighResolution5": "False",
+        "Alt_Burst_NBeams": 4.0,
+        "Alt_Burst_NCells": 3.0,
+        "Alt_Burst_BlankingDistance": 0.4,
+        "Alt_Burst_CellSize": 2.0,
+        "Alt_Burst_EchoSounder": "False",
+        "Alt_Burst_RawAltimeter": 0.0,
+        "Alt_Burst_Altimeter": "False",
+        "Alt_Average_NCells": 2.0,
+        "Alt_Average_BlankingDistance": 0.1,
+        "Alt_Average_CellSize": 0.5,
+    }
+    data = {
+        "Alt_Burst_Time": np.array(times),
+        "Alt_Burst_VelBeam1": rng.randn(4, 3),
+        "Alt_Burst_Pressure": 5.0 + rng.rand(4),
+        "Alt_Burst_NCells": np.full(4, 3.0),
+        "Alt_Average_Time": np.array(times[:2]),
+        "Alt_Average_VelBeam2": rng.randn(2, 2),
+        "Alt_Average_NCells": np.full(2, 2.0),
+    }
+    p = str(tmp_path / "alt_1.mat")
+    savemat(p, {"Config": config, "Data": data}, compress=True)
+
+    groups = parse_sig_file(p)
+    assert set(groups) == {"altburst", "altavgd"}
+    ab = groups["altburst"]
+    assert ab["data_type"] == "Alt_Burst"
+    assert ab["attrs"]["sample_mode"] == "CONTINUOUS"  # interval*rate==nsample
+    np.testing.assert_allclose(ab["bindist"], [1.4, 3.4, 5.4])
+    assert set(ab["profiles"]) == {"vel1"}
+    assert "P_1" in ab["scalars"]
+    np.testing.assert_allclose(ab["profiles"]["vel1"], data["Alt_Burst_VelBeam1"])
+    aa = groups["altavgd"]
+    assert aa["attrs"]["sample_mode"] == "AVERAGE"
+    np.testing.assert_allclose(aa["bindist"], [0.35, 0.85])
+
+
 def test_read_signature_mat_long_form(spark, tmp_path):
     p = str(tmp_path / "sig_1.mat")
     data = _fixture(p)
