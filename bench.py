@@ -69,11 +69,12 @@ def main() -> None:
             "overwrite"
         ).save()
 
-    # two interleaved passes, per-query min: back-to-back runs of the
+    # three interleaved passes, per-query min: back-to-back runs of the
     # same query share any transient GC/JIT-compile storm, so spreading
-    # the pair across passes decorrelates the minima at identical cost
+    # the runs across passes decorrelates the minima; the md5-heavy dedup
+    # chains showed 2x run-to-run swings with only two passes
     times: dict[str, float] = {}
-    for _ in range(2):
+    for _ in range(3):
         for name in HEADLINE:
             fn = registry.QUERIES[name]
             t0 = time.perf_counter()
