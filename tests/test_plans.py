@@ -117,6 +117,16 @@ def test_token_jaccard_verify_has_no_cross_join(spark):
         dedup_ops.ngram_jaccard_pairs(docs)
 
 
+def test_real_bmp_decode_prunes_to_doc_id(spark):
+    """The real-codec multimodal query synthesizes payloads from doc_id —
+    the parquet scan must prune to that single column (never drag `text`
+    or `embedding` through the Arrow boundary)."""
+    plan = plan_of(spark, "mm_decode_real_bmp")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert m.group(1) == "doc_id:bigint", m.group(1)
+
+
 def test_text_quality_is_pure_projection(spark):
     plan = plan_of(spark, "text_quality_score", "simple")
     # spread() may add one round-robin repartition; nothing else shuffles
