@@ -121,6 +121,51 @@ VAR_ATTRS: dict[str, dict[str, object]] = {
         "epic_code": 1202,
     },
     "Bat_106": {"units": "V", "long_name": "Battery voltage", "epic_code": 106},
+    # PD0 bottom-track / vertical-beam / Wavesmon families
+    # (sources/pd0.py; reference rdi/rdiadcpy.py field tables)
+    "bt_range1": {"units": "m", "long_name": "Bottom track range, beam 1"},
+    "bt_range2": {"units": "m", "long_name": "Bottom track range, beam 2"},
+    "bt_range3": {"units": "m", "long_name": "Bottom track range, beam 3"},
+    "bt_range4": {"units": "m", "long_name": "Bottom track range, beam 4"},
+    "bt_vel1": {"units": "m s-1", "long_name": "Bottom track velocity, beam 1"},
+    "bt_vel2": {"units": "m s-1", "long_name": "Bottom track velocity, beam 2"},
+    "bt_vel3": {"units": "m s-1", "long_name": "Bottom track velocity, beam 3"},
+    "bt_vel4": {"units": "m s-1", "long_name": "Bottom track velocity, beam 4"},
+    "bt_max_depth": {"units": "m", "long_name": "Bottom track maximum depth"},
+    "vb_vel": {"units": "m s-1", "long_name": "Vertical beam velocity"},
+    "vb_cor": {"units": "counts", "long_name": "Vertical beam correlation"},
+    "vb_amp": {"units": "counts", "long_name": "Vertical beam amplitude"},
+    "vb_pg": {"units": "percent", "long_name": "Vertical beam percent good"},
+    "vbindist": {
+        "units": "m",
+        "long_name": "Vertical beam distance from transducer",
+    },
+    "heading_std": {
+        "units": "degree",
+        "long_name": "Heading standard deviation",
+    },
+    "pitch_std": {"units": "degree", "long_name": "Pitch standard deviation"},
+    "roll_std": {"units": "degree", "long_name": "Roll standard deviation"},
+    "hs": {
+        "units": "m",
+        "long_name": "Significant wave height",
+        "standard_name": "sea_surface_wave_significant_height",
+    },
+    "tp": {
+        "units": "s",
+        "long_name": "Peak wave period",
+        "standard_name": "sea_surface_wave_period_at_variance_spectral_density_maximum",
+    },
+    "dp": {
+        "units": "degree",
+        "long_name": "Peak wave direction",
+        "standard_name": "sea_surface_wave_from_direction_at_variance_spectral_density_maximum",
+    },
+    "dm": {
+        "units": "degree",
+        "long_name": "Mean wave direction",
+        "standard_name": "sea_surface_wave_from_direction",
+    },
     "Tx_1211": {
         "units": "degree_C",
         "units_metadata": "temperature: on_scale",
