@@ -178,8 +178,10 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
 
 def encode_wav(x: np.ndarray, rate: int) -> bytes:
     """mono float32 [-1, 1] → 16-bit PCM WAV bytes."""
+    # symmetric with decode (x = pcm / 32768): scale by 32768 and clamp
+    # the one unrepresentable code (+32768) so roundtrip error ≤ ½ LSB
     pcm = np.clip(np.asarray(x, np.float64), -1.0, 1.0)
-    pcm = (pcm * 32767.0).astype("<i2").tobytes()
+    pcm = np.clip(np.round(pcm * 32768.0), -32768, 32767).astype("<i2").tobytes()
     fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
     chunks = (
         b"fmt " + struct.pack("<I", len(fmt)) + fmt

@@ -24,6 +24,71 @@ G = 9.81
 
 
 @given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    """BMP encode→decode is the identity for any (h, w, 3) uint8 image,
+    including widths needing row padding."""
+    from stglib_spark.functions.media import decode_bmp, encode_bmp
+
+    img = np.random.RandomState(seed).randint(0, 256, (h, w, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@given(
+    n=st.integers(1, 2000),
+    rate=st.sampled_from([8000, 16000, 44100]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_wav_roundtrip_any_signal(n, rate, seed):
+    """16-bit PCM WAV roundtrip: samples recovered within one quantization
+    step, rate exact."""
+    from stglib_spark.functions.media import decode_wav, encode_wav
+
+    x = (np.random.RandomState(seed).rand(n).astype(np.float32) * 2 - 1) * 0.99
+    back, r = decode_wav(encode_wav(x, rate))
+    assert r == rate and len(back) == n
+    np.testing.assert_allclose(back, x, atol=1.0 / 32767)
+
+
+@given(
+    nt=st.integers(1, 20),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_nc3_roundtrip_any_1d(nt, seed, tmp_path_factory):
+    """Classic-nc3 write→read is the identity for float64/int32/strings
+    on a shared time dim, attrs included."""
+    from stglib_spark.functions.netcdf3 import read_nc3, write_nc3
+
+    rng = np.random.RandomState(seed)
+    d = tmp_path_factory.mktemp("nc3")
+    p = str(d / "r.nc")
+    f64 = rng.randn(nt)
+    i32 = rng.randint(-1000, 1000, nt).astype(np.int32)
+    strs = np.array(["s%d" % v for v in rng.randint(0, 99, nt)])
+    write_nc3(
+        p,
+        dims={"time": nt},
+        variables={
+            "a": {"dims": ("time",), "data": f64, "attrs": {"units": "1"}},
+            "b": {"dims": ("time",), "data": i32, "attrs": {}},
+            "c": {"dims": ("time",), "data": strs, "attrs": {}},
+        },
+        global_attrs={"title": "prop"},
+    )
+    nc = read_nc3(p)
+    np.testing.assert_allclose(nc["variables"]["a"]["data"], f64)
+    np.testing.assert_array_equal(nc["variables"]["b"]["data"], i32)
+    assert list(nc["variables"]["c"]["data"]) == list(strs)
+    assert nc["variables"]["a"]["attrs"]["units"] == "1"
+
+
+@given(
     omega=st.floats(0.15, 3.0),
     h=st.floats(1.0, 200.0),
 )
