@@ -181,6 +181,8 @@ def _matrix_struct(name: str, d: dict[str, Any]) -> bytes:
     for v in d.values():
         if isinstance(v, str):
             body += _matrix_char("", v)
+        elif isinstance(v, dict):
+            body += _matrix_struct("", v)  # nested struct
         else:
             body += _matrix_numeric("", v)
     return _element(miMATRIX, flags + dims + nm + body)

@@ -110,6 +110,15 @@ def _sig(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     return groups[want]
 
 
+@register_adapter("iq")
+def _iq(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    """SonTek-IQ .mat export (iq.py:172-446): epoch-2000 µs time axis,
+    VelXYZ channel split, per-beam SNR/noise spread, Data_Units carry."""
+    from stglib_spark.sources.iq_mat import read_iq_mat
+
+    return read_iq_mat(spark, path, config)
+
+
 @register_adapter("aqd")
 def _aqd(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     from stglib_spark.sources.aqd import read_aquadopp
@@ -156,7 +165,6 @@ def _sg_tid(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame
 # the specific adapter names remain available.
 INSTRUMENT_ALIASES: dict[str, str] = {
     "abss": "mat",
-    "iq": "mat",
     "rdi": "mat",  # reference rdi step is mat2cdf; raw PD0 -> "rdi_pd0"
     "aqdhr": "aqd",
     "aqdwvs": "aqd_wad",
