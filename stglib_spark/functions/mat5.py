@@ -188,8 +188,24 @@ def _matrix_struct(name: str, d: dict[str, Any]) -> bytes:
     return _element(miMATRIX, flags + dims + nm + body)
 
 
+def _matrix_cell(name: str, items: list[Any]) -> bytes:
+    flags = _element(miUINT32, struct.pack("<II", mxCELL, 0))
+    dims = _element(miINT32, struct.pack("<ii", 1, len(items)))
+    nm = _element(miINT8, name.encode())
+    body = b""
+    for v in items:
+        if isinstance(v, str):
+            body += _matrix_char("", v)
+        elif isinstance(v, dict):
+            body += _matrix_struct("", v)
+        else:
+            body += _matrix_numeric("", v)
+    return _element(miMATRIX, flags + dims + nm + body)
+
+
 def savemat(path: str, variables: dict[str, Any], compress: bool = False) -> None:
-    """Write a MAT v5 file (doubles, strings, flat structs)."""
+    """Write a MAT v5 file (doubles, strings, flat/nested structs, cells
+    of those)."""
     header = b"MATLAB 5.0 MAT-file, stglib_spark mat5 writer".ljust(116)
     header += b"\x00" * 8 + struct.pack("<H", 0x0100) + b"IM"
     body = b""
@@ -198,6 +214,8 @@ def savemat(path: str, variables: dict[str, Any], compress: bool = False) -> Non
             el = _matrix_char(name, v)
         elif isinstance(v, dict):
             el = _matrix_struct(name, v)
+        elif isinstance(v, list) and any(isinstance(x, (str, dict)) for x in v):
+            el = _matrix_cell(name, v)
         else:
             el = _matrix_numeric(name, v)
         if compress:

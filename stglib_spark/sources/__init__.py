@@ -110,6 +110,16 @@ def _sig(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     return groups[want]
 
 
+@register_adapter("abss")
+def _abss(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    """AQUAscat1000R burst .mat ingest (abss.py:14-233): long
+    (time, bin, transducer) backscatter frame; read_abss_aux exposes the
+    auxiliary channels at their own grain."""
+    from stglib_spark.sources.abss_mat import read_abss
+
+    return read_abss(spark, path, config)
+
+
 @register_adapter("iq")
 def _iq(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     """SonTek-IQ .mat export (iq.py:172-446): epoch-2000 µs time axis,
@@ -164,7 +174,6 @@ def _sg_tid(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame
 # mat2cdf`` etc.). Ambiguous families default to the most common member;
 # the specific adapter names remain available.
 INSTRUMENT_ALIASES: dict[str, str] = {
-    "abss": "mat",
     "rdi": "mat",  # reference rdi step is mat2cdf; raw PD0 -> "rdi_pd0"
     "aqdhr": "aqd",
     "aqdwvs": "aqd_wad",
