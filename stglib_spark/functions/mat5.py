@@ -157,9 +157,9 @@ def _element(ty: int, data: bytes) -> bytes:
 def _matrix_numeric(name: str, arr: np.ndarray) -> bytes:
     arr = np.atleast_2d(np.asarray(arr, dtype=np.float64))
     flags = _element(miUINT32, struct.pack("<II", mxDOUBLE, 0))
-    dims = _element(miINT32, struct.pack("<ii", *arr.shape))
+    dims = _element(miINT32, struct.pack(f"<{arr.ndim}i", *arr.shape))
     nm = _element(miINT8, name.encode())
-    data = _element(miDOUBLE, arr.T.tobytes())  # column-major
+    data = _element(miDOUBLE, arr.tobytes(order="F"))  # column-major
     return _element(miMATRIX, flags + dims + nm + data)
 
 

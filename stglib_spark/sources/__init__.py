@@ -110,6 +110,16 @@ def _sig(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     return groups[want]
 
 
+@register_adapter("rdi")
+def _rdi(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    """TRDI WinRiver .mat export (rdi/mat2cdf.py:12-227): long (time,bin)
+    frame with E/N/U1/U2 velocity components, per-beam int/corr/pg, EPIC
+    sensor names. Raw PD0 binary stays on 'rdi_pd0'."""
+    from stglib_spark.sources.rdi_mat import read_rdi_mat
+
+    return read_rdi_mat(spark, path, config)
+
+
 @register_adapter("abss")
 def _abss(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     """AQUAscat1000R burst .mat ingest (abss.py:14-233): long
@@ -174,7 +184,6 @@ def _sg_tid(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame
 # mat2cdf`` etc.). Ambiguous families default to the most common member;
 # the specific adapter names remain available.
 INSTRUMENT_ALIASES: dict[str, str] = {
-    "rdi": "mat",  # reference rdi step is mat2cdf; raw PD0 -> "rdi_pd0"
     "aqdhr": "aqd",
     "aqdwvs": "aqd_wad",
     "wvs": "aqd_wad",
