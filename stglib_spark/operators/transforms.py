@@ -102,10 +102,21 @@ def beam2enu_columns(
     aqd/aqdutils.py:156-214: R = H·P·T where H uses (heading − 90°) per
     Nortek convention, P is the pitch/roll matrix, T the per-instrument
     beam-to-XYZ matrix; DOWN orientation negates T rows 2 and 3
-    (aqdutils.py:290-294). Returns [east, north, up] Columns — 9
-    multiply-adds each, fully codegen'd; no UDF.
+    (aqdutils.py:290-294). Returns [east, north, up] Columns — a handful
+    of multiply-adds each, fully codegen'd; no UDF.
+
+    Supports 3-beam (Aquadopp 3×3) AND 4-beam (Signature/RDI) matrices:
+    a 4×4 ``Beam2xyz`` (sig_mat.sig_group_attrs / pd0_transform_matrix)
+    contributes its first three rows — X, Y, Z; the fourth is the error
+    velocity and does not rotate (sig/cdf2nc.py Beam2xyz application).
+    ``beam_cols`` must match the matrix column count.
     """
-    T = [list(row) for row in trans_matrix]
+    T = [list(row) for row in trans_matrix][:3]  # XYZ rows only
+    nb = len(T[0])
+    if len(beam_cols) != nb:
+        raise ValueError(
+            f"{len(beam_cols)} beam columns for a {nb}-beam matrix"
+        )
     if orientation_down:
         T[1] = [-x for x in T[1]]
         T[2] = [-x for x in T[2]]
@@ -127,17 +138,24 @@ def beam2enu_columns(
         [sp, cp * sr, cp * cr],
     ]
 
-    def matmul_cc(A: list[list[Column]], B: list[list[Column]]) -> list[list[Column]]:
+    def matmul_cc(
+        A: list[list[Column]], B: list[list[Column]]
+    ) -> list[list[Column]]:
+        cols = len(B[0])
         return [
-            [sum((A[i][k] * B[k][j] for k in range(3)), F.lit(0.0)) for j in range(3)]
+            [
+                sum((A[i][k] * B[k][j] for k in range(len(B))), F.lit(0.0))
+                for j in range(cols)
+            ]
             for i in range(3)
         ]
 
     T_cols = [[F.lit(float(x)) for x in row] for row in T]
-    R = matmul_cc(matmul_cc(H, P), T_cols)
+    R = matmul_cc(matmul_cc(H, P), T_cols)  # 3 × nb
 
     return [
-        sum((R[i][k] * beam_cols[k] for k in range(3)), F.lit(0.0)) for i in range(3)
+        sum((R[i][k] * beam_cols[k] for k in range(nb)), F.lit(0.0))
+        for i in range(3)
     ]
 
 

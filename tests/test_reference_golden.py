@@ -58,6 +58,60 @@ def test_beam2enu_golden(spark, vel_df):
     np.testing.assert_allclose(got.to_numpy(), expected, rtol=1e-12)
 
 
+def test_beam2enu_4beam_signature(spark):
+    """4-beam (Signature/RDI Janus) BEAM→ENU: the 4×4 Beam2xyz matrix
+    contributes its XYZ rows; results match an independent NumPy
+    H·P·T₃ₓ₄ computation, and with H=P=identity the transform IS T₃ₓ₄."""
+    th = np.radians(25.0)
+    a, b = 1 / (2 * np.sin(th)), 1 / (4 * np.cos(th))
+    T4 = [
+        [a, -a, 0.0, 0.0],
+        [0.0, 0.0, -a, a],
+        [b, b, b, b],
+        [b, b, -b, -b],  # error-velocity row — must be ignored
+    ]
+    T3 = np.array(T4[:3])
+    xyz_true = np.array([0.3, -0.2, 0.1])
+    beams = np.linalg.pinv(T3) @ xyz_true  # consistent 4-beam solution
+
+    rows = [tuple(float(x) for x in beams) + (h, p, r) for h, p, r in
+            [(90.0, 0.0, 0.0), (37.0, -4.0, 2.5)]]
+    df = spark.createDataFrame(
+        rows,
+        "b1 double, b2 double, b3 double, b4 double, "
+        "h double, p double, r double",
+    )
+    enu = transforms.beam2enu_columns(
+        [F.col("b1"), F.col("b2"), F.col("b3"), F.col("b4")],
+        F.col("h"), F.col("p"), F.col("r"), T4,
+    )
+    got = df.select(
+        enu[0].alias("u"), enu[1].alias("v"), enu[2].alias("w")
+    ).toPandas().to_numpy()
+
+    # heading=90 → H = I; pitch=roll=0 → P = I; so ENU == T3·beams == xyz
+    np.testing.assert_allclose(got[0], xyz_true, rtol=1e-12)
+
+    # general attitude vs independent NumPy rotation
+    hh = np.radians(37.0 - 90.0)
+    pp, rr = np.radians(-4.0), np.radians(2.5)
+    H = np.array([[np.cos(hh), np.sin(hh), 0],
+                  [-np.sin(hh), np.cos(hh), 0], [0, 0, 1]])
+    P = np.array([
+        [np.cos(pp), -np.sin(pp) * np.sin(rr), -np.sin(pp) * np.cos(rr)],
+        [0, np.cos(rr), -np.sin(rr)],
+        [np.sin(pp), np.cos(pp) * np.sin(rr), np.cos(pp) * np.cos(rr)],
+    ])
+    expected = H @ P @ T3 @ beams
+    np.testing.assert_allclose(got[1], expected, rtol=1e-12)
+
+    with pytest.raises(ValueError, match="beam columns"):
+        transforms.beam2enu_columns(
+            [F.col("b1"), F.col("b2"), F.col("b3")],
+            F.col("h"), F.col("p"), F.col("r"), T4,
+        )
+
+
 def test_enu2beam_roundtrip(spark, vel_df):
     """ENU→BEAM→ENU is identity (test_stglib.py:239-261)."""
     enu = transforms.beam2enu_columns(
