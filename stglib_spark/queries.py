@@ -748,8 +748,10 @@ def _beam2enu_sql_exprs(
 ) -> tuple[str, str, str]:
     """Generate the ENU SQL expressions with the same operation structure
     as transforms.beam2enu_columns so both engines run identical IEEE
-    arithmetic."""
-    Tm = [list(row) for row in T]
+    arithmetic. Supports 3- and 4-beam matrices (XYZ rows only, like the
+    Column path)."""
+    Tm = [list(row) for row in T][:3]
+    nb = len(Tm[0])
     if down:
         Tm[1] = [-x for x in Tm[1]]
         Tm[2] = [-x for x in Tm[2]]
@@ -761,19 +763,22 @@ def _beam2enu_sql_exprs(
     ]
 
     def mm(A, B):
+        inner, cols = len(B), len(B[0])
         return [
             [
-                "(0.0+" + "+".join(f"({A[i][k]}*{B[k][j]})" for k in range(3)) + ")"
-                for j in range(3)
+                "(0.0+"
+                + "+".join(f"({A[i][k]}*{B[k][j]})" for k in range(inner))
+                + ")"
+                for j in range(cols)
             ]
-            for i in range(3)
+            for i in range(len(A))
         ]
 
     Ts = [[repr(float(x)) for x in row] for row in Tm]
     R = mm(mm(H, P), Ts)
-    vels = ["vel1", "vel2", "vel3"]
+    vels = [f"vel{i + 1}" for i in range(nb)]
     return tuple(
-        "(0.0+" + "+".join(f"({R[i][k]}*{vels[k]})" for k in range(3)) + ")"
+        "(0.0+" + "+".join(f"({R[i][k]}*{vels[k]})" for k in range(nb)) + ")"
         for i in range(3)
     )
 
@@ -834,6 +839,79 @@ def coord_beam2enu(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # +0.0 normalizes IEEE -0.0 from rounded trig output so the driver's
     # value-hash matches DuckDB byte-for-byte (see phys_spd2uv).
+    return df.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.round(enu[0], 6) + F.lit(0.0)).alias("u"),
+        (F.round(enu[1], 6) + F.lit(0.0)).alias("v"),
+        (F.round(enu[2], 6) + F.lit(0.0)).alias("w"),
+    )
+
+
+# 4-beam Janus (Signature/RDI) Beam2xyz: 25° slant, error-velocity row
+# dropped by both engines identically
+_TH25 = math.radians(25.0)
+_TRANS_MATRIX4 = [
+    [1 / (2 * math.sin(_TH25)), -1 / (2 * math.sin(_TH25)), 0.0, 0.0],
+    [0.0, 0.0, -1 / (2 * math.sin(_TH25)), 1 / (2 * math.sin(_TH25))],
+    [1 / (4 * math.cos(_TH25))] * 4,
+]
+
+_U4_SQL, _V4_SQL, _W4_SQL = _beam2enu_sql_exprs(_TRANS_MATRIX4, down=False)
+
+_COORD4_SQL = f"""
+    WITH base AS (
+      SELECT l_orderkey, l_linenumber,
+             l_quantity / 10.0 AS vel1,
+             l_discount * 100.0 - 5.0 AS vel2,
+             l_tax * 100.0 - 4.0 AS vel3,
+             (l_partkey % 13)::DOUBLE / 5.0 - 1.2 AS vel4,
+             radians(((l_orderkey * 7) % 360)::DOUBLE - 90.0) AS hh,
+             radians((l_partkey % 21)::DOUBLE - 10.0) AS pp,
+             radians((l_suppkey % 11)::DOUBLE - 5.0) AS rr
+      FROM lineitem
+    ), trig AS (
+      SELECT l_orderkey, l_linenumber, vel1, vel2, vel3, vel4,
+             cos(hh) AS ch, sin(hh) AS sh,
+             cos(pp) AS cp, sin(pp) AS sp,
+             cos(rr) AS cr, sin(rr) AS sr
+      FROM base
+    )
+    SELECT l_orderkey, l_linenumber,
+           round({_U4_SQL}, 6) + 0.0 AS u,
+           round({_V4_SQL}, 6) + 0.0 AS v,
+           round({_W4_SQL}, 6) + 0.0 AS w
+    FROM trig
+"""
+
+
+@register("coord_beam2enu_4beam", _COORD4_SQL)
+def coord_beam2enu_4beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-beam (Signature/RDI Janus) BEAM→ENU: the 4×4 Beam2xyz matrix
+    contributes its XYZ rows; same 9-term native-trig projection shape as
+    coord_beam2enu but with four beam inputs (sig/cdf2nc.py Beam2xyz
+    application; matrices come from sig_group_attrs/pd0_transform_matrix
+    in real deployments)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    df = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("l_quantity") / 10.0).alias("vel1"),
+        (F.col("l_discount") * 100.0 - 5.0).alias("vel2"),
+        (F.col("l_tax") * 100.0 - 4.0).alias("vel3"),
+        ((F.col("l_partkey") % 13).cast("double") / 5.0 - 1.2).alias("vel4"),
+        (((F.col("l_orderkey") * 7) % 360).cast("double")).alias("Heading"),
+        ((F.col("l_partkey") % 21).cast("double") - 10.0).alias("Pitch"),
+        ((F.col("l_suppkey") % 11).cast("double") - 5.0).alias("Roll"),
+    )
+    enu = transforms.beam2enu_columns(
+        [F.col("vel1"), F.col("vel2"), F.col("vel3"), F.col("vel4")],
+        F.col("Heading"),
+        F.col("Pitch"),
+        F.col("Roll"),
+        _TRANS_MATRIX4,
+        orientation_down=False,
+    )
     return df.select(
         "l_orderkey",
         "l_linenumber",
@@ -2772,6 +2850,7 @@ _FRONT = [
     "dedup_minhash_lsh",
     "dedup_token_jaccard",
     "mm_decode_real_bmp",
+    "coord_beam2enu_4beam",
     "phys_spd2uv",
     "coord_beam2enu",
     # r1-unchecked, oracled (pass-L → want pass-D)
