@@ -110,10 +110,17 @@ def check_netcdf(nc_file: str, conventions: str = "CF-1.11") -> list[str]:
     try:
         import xarray as xr
     except ImportError:
-        # classic-netCDF3 fallback lint via the pure-Python codec
+        # classic-netCDF3 fallback lint via the pure-Python codec; the
+        # check is documented non-fatal, so an unreadable container
+        # (netCDF-4/HDF5) reports rather than raises
         from stglib_spark.functions.netcdf3 import read_nc3
 
-        nc = read_nc3(str(nc_file))
+        try:
+            nc = read_nc3(str(nc_file))
+        except Exception as exc:
+            problems = [f"cannot check: {exc}"]
+            write_report(problems, f"{nc_file}.cfcheck.txt")
+            return problems
         for key in REQUIRED_GLOBALS:
             if not nc["attrs"].get(key):
                 problems.append(f"missing global attribute '{key}'")

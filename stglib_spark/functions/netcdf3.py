@@ -225,6 +225,7 @@ def read_nc3(path: str) -> dict[str, Any]:
     if buf[:3] != b"CDF" or buf[3] not in (1, 2):
         raise ValueError("not a classic netCDF-3 file")
     large = buf[3] == 2
+    (numrecs,) = struct.unpack_from(">I", buf, 4)  # 0xFFFFFFFF = STREAMING
     off = 8  # magic + numrecs
     # dims
     tag, count = struct.unpack_from(">II", buf, off)
@@ -238,10 +239,12 @@ def read_nc3(path: str) -> dict[str, Any]:
             off += 4
             dim_names.append(nm)
             dim_sizes.append(sz)
+    rec_dim = dim_sizes.index(0) if 0 in dim_sizes else None
     gattrs, off = _read_attrs(buf, off)
     tag, count = struct.unpack_from(">II", buf, off)
     off += 8
-    variables: dict[str, Any] = {}
+    # first pass: var headers
+    var_heads: list[dict[str, Any]] = []
     if tag == _TAG_VAR:
         for _ in range(count):
             nm, off = _read_name(buf, off)
@@ -257,22 +260,56 @@ def read_nc3(path: str) -> dict[str, Any]:
             else:
                 ty, vsize, begin = struct.unpack_from(">III", buf, off)
                 off += 12
+            var_heads.append(
+                dict(name=nm, dimids=dimids, attrs=vattrs, ty=ty,
+                     vsize=vsize, begin=begin,
+                     is_rec=bool(dimids) and dimids[0] == rec_dim)
+            )
+
+    # record geometry: each record interleaves one slab per record var
+    # (spec: the single-record-var case is packed without per-record pad)
+    rec_vars = [h for h in var_heads if h["is_rec"]]
+    recsize = sum(h["vsize"] for h in rec_vars)
+    if len(rec_vars) == 1:
+        h = rec_vars[0]
+        n_slice = int(
+            np.prod([dim_sizes[i] for i in h["dimids"][1:]]) if len(h["dimids"]) > 1 else 1
+        )
+        recsize = n_slice * _NC_SIZE[h["ty"]]
+    if rec_vars and numrecs == 0xFFFFFFFF:  # STREAMING: derive from size
+        first = min(h["begin"] for h in rec_vars)
+        numrecs = max(0, (len(buf) - first) // recsize) if recsize else 0
+
+    variables: dict[str, Any] = {}
+    for h in var_heads:
+        ty, begin, dimids = h["ty"], h["begin"], h["dimids"]
+        if h["is_rec"]:
+            slice_shape = tuple(dim_sizes[i] for i in dimids[1:])
+            n_slice = int(np.prod(slice_shape)) if slice_shape else 1
+            nbytes = n_slice * _NC_SIZE[ty]
+            parts = [
+                buf[begin + r * recsize : begin + r * recsize + nbytes]
+                for r in range(numrecs)
+            ]
+            raw = b"".join(parts)
+            shape = (numrecs,) + slice_shape
+        else:
             shape = tuple(dim_sizes[i] for i in dimids)
             n = int(np.prod(shape)) if shape else 1
             raw = buf[begin : begin + n * _NC_SIZE[ty]]
-            data = np.frombuffer(raw, _NC_TO_NP[ty]).reshape(shape)
-            vdims = tuple(dim_names[i] for i in dimids)
-            if ty == NC_CHAR and vdims and vdims[-1].endswith("_strlen"):
-                flat = data.reshape(-1, shape[-1])
-                strs = np.array(
-                    [b"".join(row).decode("utf-8", "replace").rstrip("\x00")
-                     for row in flat]
-                ).reshape(shape[:-1])
-                data = strs
-                vdims = vdims[:-1]
-            variables[nm] = {"dims": vdims, "data": data, "attrs": vattrs}
-    return {
-        "dims": dict(zip(dim_names, dim_sizes)),
-        "attrs": gattrs,
-        "variables": variables,
-    }
+        data = np.frombuffer(raw, _NC_TO_NP[ty]).reshape(shape)
+        vdims = tuple(dim_names[i] for i in dimids)
+        if ty == NC_CHAR and vdims and vdims[-1].endswith("_strlen"):
+            flat = data.reshape(-1, shape[-1])
+            strs = np.array(
+                [b"".join(row).decode("utf-8", "replace").rstrip("\x00")
+                 for row in flat]
+            ).reshape(shape[:-1])
+            data = strs
+            vdims = vdims[:-1]
+        variables[h["name"]] = {"dims": vdims, "data": data, "attrs": h["attrs"]}
+
+    dims_out = dict(zip(dim_names, dim_sizes))
+    if rec_dim is not None:
+        dims_out[dim_names[rec_dim]] = int(numrecs)
+    return {"dims": dims_out, "attrs": gattrs, "variables": variables}

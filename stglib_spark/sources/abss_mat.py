@@ -162,10 +162,18 @@ def read_abss_aux(
         n = max((len(v) for _u, v in g["aux"].values()), default=0)
         out = []
         for i in range(n):
-            vals = [
-                float(g["aux"][name][1][i]) if i < len(g["aux"][name][1]) else None
-                for name in names
-            ]
+            # .get(): a burst file missing a first-file channel (mid-
+            # deployment reconfiguration) null-fills instead of failing
+            # the task; channels absent from file 1 are not representable
+            # in the schema and are dropped (documented limitation)
+            vals = []
+            for name in names:
+                chan = g["aux"].get(name)
+                vals.append(
+                    float(chan[1][i])
+                    if chan is not None and i < len(chan[1])
+                    else None
+                )
             out.append(tuple([g["time"], g["burst_number"], i + 1] + vals))
         return out
 

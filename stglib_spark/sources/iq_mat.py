@@ -83,18 +83,26 @@ def parse_iq(path: str) -> dict[str, Any]:
         if len(flat) == timelen:
             add(k, flat, k)
         elif v.ndim == 2 and v.shape[0] >= timelen:
-            if "FlowData_VelXYZ" in k:
+            # EXACT key matches: the reference's substring tests
+            # (iq.py:235 `"FlowData_Vel" in k`) let a sibling variable
+            # like FlowData_VelStd silently overwrite vel1..4
+            if k == "FlowData_VelXYZ":
                 for i, name in enumerate(_VELXYZ_NAMES):
                     add(name, v[:timelen, i], k)
-            elif "FlowData_SNR" in k:
+            elif k == "FlowData_SNR":
                 for b in range(min(4, v.shape[1])):
                     add(f"snr{b + 1}", v[:timelen, b], k)
-            elif "FlowData_Vel" in k and "OBS" not in k:
+            elif k == "FlowData_Vel":
                 for b in range(min(4, v.shape[1])):
                     add(f"vel{b + 1}", v[:timelen, b], k)
-            elif "FlowData_NoiseLevel" in k:
+            elif k == "FlowData_NoiseLevel":
                 for b in range(min(5, v.shape[1])):
                     add(f"noise{b + 1}", v[:timelen, b], k)
+            else:
+                # any other per-beam matrix: numbered columns from its
+                # own name, never colliding with the canonical sets
+                for b in range(v.shape[1]):
+                    add(f"{k}_{b + 1}", v[:timelen, b], k)
     return {"time": time, "columns": columns, "units": units}
 
 

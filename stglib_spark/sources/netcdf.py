@@ -23,6 +23,43 @@ from stglib_spark.sources import register_adapter
 _TIME_UNITS = "seconds since 1970-01-01 00:00:00 +00:00"
 
 
+_CF_UNIT_SECONDS = {
+    "microseconds": 1e-6,
+    "milliseconds": 1e-3,
+    "seconds": 1.0,
+    "minutes": 60.0,
+    "hours": 3600.0,
+    "days": 86400.0,
+}
+
+
+def _decode_cf_time(values: "np.ndarray", units: str) -> list:
+    """CF '<unit> since <epoch>' → datetimes. The unit word and epoch both
+    come from the variable's units attribute (reference outputs commonly
+    use 'days since 1990-01-01' etc., not epoch-1970 seconds)."""
+    import datetime as dt
+    import re as _re
+
+    m = _re.match(r"\s*(\w+)\s+since\s+(.+)", units)
+    if not m:
+        raise ValueError(f"unparseable CF time units {units!r}")
+    unit, epoch_s = m.group(1).lower(), m.group(2).strip()
+    scale = _CF_UNIT_SECONDS.get(unit)
+    if scale is None:
+        raise ValueError(f"unsupported CF time unit {unit!r}")
+    epoch_s = _re.sub(r"\s*(UTC|Z|\+00:?00?)\s*$", "", epoch_s, flags=_re.I)
+    epoch_s = epoch_s.replace("T", " ").strip()
+    for fmt in ("%Y-%m-%d %H:%M:%S.%f", "%Y-%m-%d %H:%M:%S", "%Y-%m-%d"):
+        try:
+            epoch = dt.datetime.strptime(epoch_s, fmt)
+            break
+        except ValueError:
+            continue
+    else:
+        raise ValueError(f"unparseable CF epoch {units!r}")
+    return [epoch + dt.timedelta(seconds=float(v) * scale) for v in values]
+
+
 def _have_xarray():
     try:
         import xarray
@@ -52,11 +89,10 @@ def read_netcdf(spark: SparkSession, path: str, config: dict[str, Any]) -> DataF
     time_var = variables.get("time")
     if time_var is None:
         raise ValueError(f"{path}: no 'time' variable")
-    import datetime as dt
-
-    times = [
-        dt.datetime.utcfromtimestamp(float(s)) for s in np.asarray(time_var["data"])
-    ]
+    times = _decode_cf_time(
+        np.asarray(time_var["data"]),
+        str(time_var["attrs"].get("units", _TIME_UNITS)),
+    )
     nt = len(times)
     one_d = {
         name: np.asarray(v["data"])
@@ -97,14 +133,23 @@ def read_netcdf(spark: SparkSession, path: str, config: dict[str, Any]) -> DataF
     return spark.createDataFrame(rows)
 
 
-def write_netcdf(df: DataFrame, path: str, attrs: dict[str, Any] | None = None) -> None:
+def write_netcdf(
+    df: DataFrame,
+    path: str,
+    attrs: dict[str, Any] | None = None,
+    profile_cols: set[str] | None = None,
+) -> None:
     """DataFrame → CF netCDF (export edge; collect-to-driver is acceptable
     only for final per-deployment products, mirroring the reference's
     one-file-per-deployment outputs). Column metadata attached by
     ``stglib_spark.attrs.apply_var_attrs`` becomes per-variable netCDF
     attributes. Long-form profile frames (a ``bin`` index column +
     ``bindist`` axis) pivot back to 2-D (time, bindist) variables, the
-    reference's native shape."""
+    reference's native shape. ``profile_cols`` pins which columns are 2-D;
+    without it the writer infers from the data (a column whose values vary
+    across bins for some timestamp), which is deterministic for a given
+    frame but can demote a bin-constant profile — pass the set explicitly
+    when downstream readers require a stable shape."""
     xr = _have_xarray()
     from stglib_spark.attrs import collect_var_attrs
 
@@ -121,7 +166,7 @@ def write_netcdf(df: DataFrame, path: str, attrs: dict[str, Any] | None = None) 
                 ds[var].attrs.update(meta)
         ds.to_netcdf(path, unlimited_dims=["time"])
     else:
-        _write_netcdf3(pdf, path, var_attrs, attrs or {})
+        _write_netcdf3(pdf, path, var_attrs, attrs or {}, profile_cols)
 
     # post-write CF check, like the reference's check_compliance call
     # after every nc write (rsk/cdf2nc.py:148); non-fatal by design
@@ -135,6 +180,7 @@ def _write_netcdf3(
     path: str,
     var_attrs: dict[str, dict[str, Any]],
     global_attrs: dict[str, Any],
+    profile_cols: set[str] | None = None,
 ) -> None:
     from stglib_spark.functions.netcdf3 import write_nc3
 
@@ -166,8 +212,14 @@ def _write_netcdf3(
             series = piv[col]
             if series.dtype == object and not isinstance(series.iloc[0], str):
                 continue  # array columns are not representable in classic nc3
-            per_time_count = piv.groupby("time", sort=True)[col].nunique(dropna=False)
-            if series.dtype != object and (per_time_count > 1).any():
+            if profile_cols is not None:
+                is_2d = col in profile_cols and series.dtype != object
+            else:
+                per_time_count = piv.groupby("time", sort=True)[col].nunique(
+                    dropna=False
+                )
+                is_2d = series.dtype != object and (per_time_count > 1).any()
+            if is_2d:
                 mat = (
                     piv.pivot_table(index="time", columns="bin", values=col,
                                     sort=True, dropna=False)

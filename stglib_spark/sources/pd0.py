@@ -199,7 +199,10 @@ def _parse_bottom_track(ens: bytes, off: int, nbeams: int) -> dict[str, Any] | N
         return None
     pings, _delay = struct.unpack_from("<HH", ens, off + 2)
     mode = ens[off + 9]
-    lsb = struct.unpack_from(f"<{nbeams}h", ens, off + 16)
+    # range LSB is UNSIGNED cm (TRDI spec); the reference reads it signed
+    # (rdiadcpy.py:1871 '<h'), corrupting ranges with LSB >= 0x8000 —
+    # depths of ~327.68-655.35 m (mod 655.36). 0 = no bottom detection.
+    lsb = struct.unpack_from(f"<{nbeams}H", ens, off + 16)
     vel = struct.unpack_from(f"<{nbeams}h", ens, off + 24)
     cor = ens[off + 32 : off + 32 + nbeams]
     amp = ens[off + 36 : off + 36 + nbeams]
@@ -211,7 +214,7 @@ def _parse_bottom_track(ens: bytes, off: int, nbeams: int) -> dict[str, Any] | N
 
     def rng(b: int) -> float | None:
         raw = lsb[b] + (msb[b] << 16)
-        return None if lsb[b] == BAD_VEL else raw / 100.0
+        return None if raw == 0 else raw / 100.0  # 0 = no detection
 
     def v(b: int) -> float | None:
         return None if vel[b] == BAD_VEL else vel[b] / 1000.0
@@ -531,14 +534,16 @@ def read_pd0_waves(spark: SparkSession, path: str) -> DataFrame:
 
 def _parse_xform(ens: bytes, off: int, nbeams: int) -> list[list[float]] | None:
     """Instrument transformation matrix 0x3200 (rdiadcpy.py:1497-1523):
-    nbeams×3 int16 stored axis-major, counts of 1/10000."""
+    int16 stored axis-major, counts of 1/10000. Returned AXIS-major —
+    3 rows (X, Y, Z) × nbeams columns — the exact shape
+    ``transforms.beam2enu_columns`` consumes."""
     need = 2 + 2 * 3 * nbeams
     if off + need > len(ens):
         return None
     vals = struct.unpack_from(f"<{3 * nbeams}h", ens, off + 2)
     # stored axis-major: vals[iaxis*nbeams + ibeam]
     return [
-        [vals[a * nbeams + b] / 10000.0 for a in range(3)] for b in range(nbeams)
+        [vals[a * nbeams + b] / 10000.0 for b in range(nbeams)] for a in range(3)
     ]
 
 
@@ -546,7 +551,8 @@ def pd0_transform_matrix(path: str) -> list[list[float]] | None:
     """Driver-side accessor: the instrument BEAM→XYZ transformation
     matrix from the first ensemble carrying an 0x3200 block (config-scale
     metadata — the reference feeds it to the coordinate transform the
-    same way). Returns nbeams rows × 3 (scaled), or None."""
+    same way). Returns 3 axis rows (X, Y, Z) × nbeams columns (scaled),
+    ready for ``beam2enu_columns``; or None."""
     with open(path, "rb") as f:
         content = f.read()
     for fixed, _var, blocks in _walk_ensembles(content):
@@ -711,9 +717,9 @@ def write_pd0(
                     )
 
             if "xform" in e:
-                mat = e["xform"]  # nbeams rows × 3, floats
+                mat = e["xform"]  # 3 axis rows × nbeams, floats
                 vals = [
-                    int(round(mat[b][a] * 10000))
+                    int(round(mat[a][b] * 10000))
                     for a in range(3)
                     for b in range(nbeams)
                 ]

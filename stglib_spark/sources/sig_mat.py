@@ -278,13 +278,24 @@ def parse_sig_file(path: str) -> dict[str, dict[str, Any]]:
                 continue
             arr = np.asarray(v)
             name = _beam_stack_name(var)
-            if arr.ndim == 1 or (arr.ndim == 2 and 1 in arr.shape):
+            if arr.ndim == 1:
                 scalars[name] = _col1d(arr)
             elif arr.ndim == 2:
+                # order matters: an (nt, ncells) matrix is a profile even
+                # when nt==1 or ncells==1 — squeezing first (the obvious
+                # shortcut) silently demotes single-cell groups and
+                # single-burst files to scalars, breaking the multi-file
+                # schema contract
                 if var in _IMU_WIDE and arr.shape[1] == _IMU_WIDE[var]:
                     extras[name] = arr.astype(np.float64)
-                elif ncells is not None and arr.shape[1] == ncells:
+                elif (
+                    ncells is not None
+                    and arr.shape[1] == ncells
+                    and arr.shape[0] == len(time)
+                ):
                     profiles[name] = arr.astype(np.float64)
+                elif 1 in arr.shape:
+                    scalars[name] = _col1d(arr)  # MATLAB row/col vector
                 # else: cell-count mismatch — dropped, like the reference's
                 # "still need to process" branch
             for src, dst in ((units, "units"), (descs, "long_name")):
@@ -303,7 +314,10 @@ def parse_sig_file(path: str) -> dict[str, dict[str, Any]]:
         for ck, cv in cfg.items():
             if re.search("_Beam2xyz$", ck):
                 attrs[f"SIG{ck}"] = str(cv)
-                if f"{dtype}_Beam2xyz" in ck and isinstance(cv, np.ndarray):
+                # exact match: substring containment (the reference's own
+                # test, sig/mat2cdf.py:695) lets 'Burst' capture
+                # 'Alt_Burst_Beam2xyz' on dual-instrument exports
+                if ck == f"{dtype}_Beam2xyz" and isinstance(cv, np.ndarray):
                     beam2xyz = np.asarray(cv, dtype=np.float64)
             elif isinstance(cv, np.ndarray):
                 sq = np.squeeze(cv)

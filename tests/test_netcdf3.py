@@ -66,6 +66,59 @@ def test_nc3_2d_variable(tmp_path):
     assert nc["variables"]["vel"]["dims"] == ("time", "bindist")
 
 
+def test_nc3_record_variables_read(tmp_path):
+    """Files with an unlimited (record) time dimension — what
+    xarray/netCDF4 write with unlimited_dims=['time'] — interleave one
+    slab per record variable per record; the reader must reassemble
+    them (a fixed-size-only reader silently returns empty data)."""
+    import struct
+
+    def name(s):
+        raw = s.encode()
+        pad = (4 - len(raw) % 4) % 4
+        return struct.pack(">I", len(raw)) + raw + b"\x00" * pad
+
+    numrecs = 3
+    t = np.array([0.0, 3600.0, 7200.0])
+    temp = np.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]])  # (time, bindist)
+    header = b"CDF\x01" + struct.pack(">I", numrecs)
+    # dims: time (record, size 0), bindist (2)
+    header += struct.pack(">II", 0x0A, 2)
+    header += name("time") + struct.pack(">I", 0)
+    header += name("bindist") + struct.pack(">I", 2)
+    header += struct.pack(">II", 0, 0)  # no global attrs
+
+    # two record vars: time (8 B/rec) and temp (16 B/rec) → recsize 24
+    var_hdr = struct.pack(">II", 0x0B, 2)
+
+    def var(nm, dimids, vsize, begin):
+        b = name(nm) + struct.pack(">I", len(dimids))
+        for d in dimids:
+            b += struct.pack(">I", d)
+        b += struct.pack(">II", 0, 0)  # no attrs
+        b += struct.pack(">III", 6, vsize, begin)  # NC_DOUBLE
+        return b
+
+    v_time = var("time", (0,), 8, 0)
+    v_temp = var("temp", (0, 1), 16, 0)
+    base = len(header) + len(var_hdr) + len(v_time) + len(v_temp)
+    v_time = var("time", (0,), 8, base)
+    v_temp = var("temp", (0, 1), 16, base + 8)
+    body = b""
+    for r in range(numrecs):
+        body += np.array([t[r]]).astype(">f8").tobytes()
+        body += temp[r].astype(">f8").tobytes()
+    p = str(tmp_path / "rec.nc")
+    with open(p, "wb") as f:
+        f.write(header + var_hdr + v_time + v_temp + body)
+
+    nc = read_nc3(p)
+    assert nc["dims"] == {"time": 3, "bindist": 2}
+    np.testing.assert_allclose(nc["variables"]["time"]["data"], t)
+    np.testing.assert_allclose(nc["variables"]["temp"]["data"], temp)
+    assert nc["variables"]["temp"]["dims"] == ("time", "bindist")
+
+
 def test_nc3_cdf2_64bit_offset_read(tmp_path):
     """CDF-2 (version byte 2) files carry u64 variable offsets — build one
     by hand and read it back."""

@@ -66,7 +66,9 @@ def test_pd0_bottom_track_roundtrip(tmp_path, spark):
     ens = _mk_ensembles(3, ncells=2)
     # BT on ensembles 1 and 3 only; ensemble 2 has no BT block
     ens[0]["bt"] = {
-        "range_cm": [2510, 2492, 70000, 2500],  # beam 3 exercises the MSB
+        # beam 2 exercises the 0x8000-0xFFFF LSB band (signed-read trap),
+        # beam 3 the MSB path, beam 4 the no-detection sentinel (0)
+        "range_cm": [2510, 40000, 70000, 0],
         "vel_mm": [120, -340, 15, -32768],
         "cor": [110, 120, 130, 140],
         "amp": [70, 71, 72, 73],
@@ -88,7 +90,9 @@ def test_pd0_bottom_track_roundtrip(tmp_path, spark):
     assert [r["ensemble"] for r in bt] == [1, 3]
     r = bt[0]
     assert r["bt_range1"] == pytest.approx(25.10)
+    assert r["bt_range2"] == pytest.approx(400.00)  # LSB >= 0x8000: unsigned
     assert r["bt_range3"] == pytest.approx(700.00)  # MSB path
+    assert r["bt_range4"] is None  # 0 = no bottom detection
     assert r["bt_vel1"] == pytest.approx(0.120)
     assert r["bt_vel2"] == pytest.approx(-0.340)
     assert r["bt_vel4"] is None  # vendor bad value
@@ -129,11 +133,11 @@ def test_pd0_attitude_and_xform(tmp_path, spark):
     (rdiadcpy.py:1270-1294) and the 0x3200 instrument transformation
     matrix (rdiadcpy.py:1497-1523, axis-major int16 / 10000)."""
     ens = _mk_ensembles(2, ncells=2)
+    # axis-major: 3 rows (X, Y, Z) x 4 beam columns
     mat = [
-        [1.4619, -1.4619, 0.0],
-        [0.0, 0.0, -1.4619],
-        [0.2661, 0.2661, 0.2661],
-        [1.0337, 1.0337, -0.6392],
+        [1.4619, -1.4619, 0.0, 0.0],
+        [0.0, 0.0, -1.4619, 1.4619],
+        [0.2661, 0.2661, 0.2661, 0.2661],
     ]
     for e in ens:
         e.update(heading_std=2.0, pitch_std=0.3, roll_std=0.5,
@@ -150,9 +154,10 @@ def test_pd0_attitude_and_xform(tmp_path, spark):
     from stglib_spark.sources.pd0 import pd0_transform_matrix
 
     got = pd0_transform_matrix(p)
-    for b in range(4):
-        for a in range(3):
-            assert got[b][a] == pytest.approx(mat[b][a], abs=1e-4)
+    assert len(got) == 3 and len(got[0]) == 4  # axis rows x beam cols
+    for a in range(3):
+        for b in range(4):
+            assert got[a][b] == pytest.approx(mat[a][b], abs=1e-4)
 
 
 def test_pd0_vertical_beam_roundtrip(tmp_path, spark):
