@@ -88,3 +88,45 @@ def read_qrev_xml(
         "RightDistance DOUBLE, filename STRING"
     )
     return spark.createDataFrame(rows, schema)
+
+
+def read_areacomp(spark: SparkSession, path: str) -> DataFrame:
+    """AreaComp stage–area rating table (indexvel.py:7-16:
+    ``pd.read_csv(filename, skiprows=4)``). The file is a small rating
+    table — a 4-line preamble then a CSV header; parsed driver-side with
+    stdlib csv and returned as a DataFrame (broadcasts into the stage–
+    area–discharge chain alongside the QRev transects)."""
+    import csv as _csv
+
+    with open(path, encoding="utf-8", errors="replace") as f:
+        lines = f.read().splitlines()
+    rows = list(_csv.reader(lines[4:]))
+    if not rows:
+        raise ValueError(f"{path}: no rows after the 4-line AreaComp preamble")
+    header = [h.strip() for h in rows[0]]
+
+    def conv(x: str):
+        x = x.strip()
+        if x == "":
+            return None
+        try:
+            return float(x)
+        except ValueError:
+            return x
+
+    data = [tuple(conv(v) for v in r) for r in rows[1:] if any(c.strip() for c in r)]
+    # uniform column types: a column is DOUBLE when every non-null is float
+    cols = []
+    for i, h in enumerate(header):
+        vals = [r[i] for r in data if i < len(r) and r[i] is not None]
+        ok = vals and all(isinstance(v, float) for v in vals)
+        cols.append(f"`{h}` {'DOUBLE' if ok else 'STRING'}")
+        if not ok:
+            data = [
+                tuple(
+                    (str(v) if j == i and v is not None else v)
+                    for j, v in enumerate(r)
+                )
+                for r in data
+            ]
+    return spark.createDataFrame(data, ", ".join(cols))

@@ -327,3 +327,23 @@ def test_instrument_aliases():
         assert resolve_instrument(name) == name
     for alias, target in INSTRUMENT_ALIASES.items():
         assert target in ADAPTERS
+
+
+def test_read_areacomp(spark, tmp_path):
+    """AreaComp rating table: 4-line preamble skipped (indexvel.py:16),
+    header + numeric columns parsed."""
+    from stglib_spark.sources.qrev import read_areacomp
+
+    p = str(tmp_path / "areacomp.csv")
+    with open(p, "w") as f:
+        f.write("AreaComp v2\nStation: 01234567\nDatum: NAVD88\n#\n")
+        f.write("Stage,Area,Width\n")
+        f.write("0.5,12.3,30.0\n")
+        f.write("1.0,25.1,31.5\n")
+        f.write("1.5,39.4,33.0\n")
+    df = read_areacomp(spark, p)
+    rows = df.orderBy("Stage").collect()
+    assert len(rows) == 3
+    assert rows[0]["Stage"] == 0.5 and rows[0]["Area"] == 12.3
+    assert rows[2]["Width"] == 33.0
+    assert dict(df.dtypes)["Area"] == "double"
