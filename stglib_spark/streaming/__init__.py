@@ -16,6 +16,7 @@ from stglib_spark.streaming.bursts import (
     streaming_dedup,
     streaming_diff_gate,
     streaming_gap_fill,
+    streaming_wave_stats,
 )
 
 __all__ = [
@@ -24,4 +25,5 @@ __all__ = [
     "streaming_dedup",
     "streaming_diff_gate",
     "streaming_gap_fill",
+    "streaming_wave_stats",
 ]

@@ -303,6 +303,136 @@ def streaming_diff_gate(
     )
 
 
+def streaming_wave_stats(
+    events: DataFrame,
+    config: dict | None = None,
+    burst_seconds: int = 3600,
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+    pressure_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of the per-burst spectral wave statistics
+    (``make_waves_ds``, core/waves.py:571-681): samples accumulate in
+    keyed state per burst window; when the watermark passes the burst end
+    the SAME batch kernel (``burst_wave_stats_kernel``) runs over the
+    accumulated samples and one row of wave statistics is emitted —
+    batch/stream parity by construction, not by re-implementation.
+
+    Scale shape: state per open burst = that burst's samples (bounded by
+    burst length × sample rate, the same bound the batch Arrow group
+    has); closed bursts are evicted on event-time timeout, so an
+    unbounded feed holds only the bursts still inside the watermark
+    horizon."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from stglib_spark.operators.waves import burst_wave_stats_kernel
+
+    cfg = dict(config or {})
+    sample_rate = 1.0 / float(cfg.get("sample_interval", 1.0))
+    z = cfg.get("pressure_sensor_height")
+    if z is None:
+        z = cfg.get("initial_instrument_height")
+    z = float(z) if z is not None else 0.0
+    nsegs = int(cfg.get("spec_nsegs", 16))
+    noise = float(cfg.get("wave_fractional_noise", 0.9))
+    fcut = cfg.get("wave_fcut")
+    kpmin = cfg.get("wave_Kpmin")
+
+    out_schema = StructType(
+        [
+            StructField("burst_time", TimestampType()),
+            StructField("wh_4061", DoubleType()),
+            StructField("wp_4060", DoubleType()),
+            StructField("wp_peak", DoubleType()),
+            StructField("m0", DoubleType()),
+            StructField("n", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts_us", ArrayType(LongType())),
+            StructField("vals", ArrayType(DoubleType())),
+        ]
+    )
+    step_us = int(burst_seconds) * 1_000_000
+
+    def stats(key, pdf_iter, state):
+        burst_us = int(key[0])  # numpy int64 breaks the JSON state codec
+        if state.hasTimedOut:
+            ts_us, vals = state.get
+            order = np.argsort(np.asarray(ts_us))
+            pdf = pd.DataFrame(
+                {
+                    "burst_time": pd.to_datetime(burst_us, unit="us"),
+                    "sample": np.arange(len(order)),
+                    "P": np.asarray(vals, dtype=float)[order],
+                }
+            )
+            out = burst_wave_stats_kernel(
+                pdf,
+                sample_rate=sample_rate,
+                sensor_height=z,
+                nsegs=nsegs,
+                noise=noise,
+                fcut=fcut,
+                kpmin=kpmin,
+                burst_col="burst_time",
+                pressure_col="P",
+                sample_col="sample",
+            )
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "burst_time": out["burst_time"],
+                    "wh_4061": out["wh_4061"],
+                    "wp_4060": out["wp_4060"],
+                    "wp_peak": out["wp_peak"],
+                    "m0": out["m0"],
+                    "n": len(order),
+                }
+            )
+            return
+        ts_us, vals = state.get if state.exists else ([], [])
+        ts_us, vals = list(ts_us), list(vals)
+        for pdf in pdf_iter:
+            # plain Python ints/floats: numpy scalars break the JSON
+            # state serializer
+            ts_us.extend(int(x) for x in pdf[time_col].astype("int64") // 1000)
+            vals.extend(float(x) for x in pdf[pressure_col].astype(float))
+        state.update((ts_us, vals))
+        # emit once the watermark passes the burst end
+        burst_end_ms = (burst_us + step_us) // 1000
+        state.setTimeoutTimestamp(
+            max(burst_end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield from ()
+
+    keyed = events.withWatermark(time_col, watermark).withColumn(
+        "__burst_us",
+        (F.unix_micros(F.col(time_col)) / step_us).cast("long") * step_us,
+    )
+    return (
+        keyed.groupBy("__burst_us")
+        .applyInPandasWithState(
+            stats,
+            out_schema,
+            state_schema,
+            "append",
+            GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_atmos_correct(
     events: DataFrame,
     met: DataFrame,

@@ -324,6 +324,91 @@ def test_streaming_too_late_rows_dropped_match_batch(
     assert full_t10 == 3  # late row exists in the data but not the stream
 
 
+def test_streaming_wave_stats_matches_batch(spark, checkpoint_dir, tmp_path):
+    """Streaming per-burst spectral wave statistics: samples accumulate in
+    keyed state across micro-batches and the BATCH kernel runs when the
+    watermark closes the burst — streamed Hs/Tp must equal make_waves_ds
+    on the same rows (parity by construction)."""
+    import os
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from stglib_spark.operators.waves import make_waves_ds
+    from stglib_spark.streaming import streaming_wave_stats
+
+    cfg = {
+        "sample_interval": 0.25,  # 4 Hz
+        "initial_instrument_height": 0.5,
+        "spec_nsegs": 8,
+        "wave_fcut": 0.4,
+    }
+    # one 512-sample monochromatic burst (a=0.5 m, T=8 s) + an advancer
+    # event far enough ahead to close the burst's window
+    t0 = pd.Timestamp("2024-06-01 00:00:00")
+    n = 512
+    ts = [t0 + pd.Timedelta(seconds=0.25 * i) for i in range(n)]
+    p = 10.0 + 0.5 * np.cos(2 * np.pi * np.arange(n) * 0.25 / 8.0)
+    burst = pd.DataFrame({"ts": ts, "value": p})
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    # split the burst across two files → state must carry across batches
+    spark.createDataFrame(burst.iloc[:300]).coalesce(1).write.parquet(d + "/a")
+    _time.sleep(1.1)
+    spark.createDataFrame(burst.iloc[300:]).coalesce(1).write.parquet(d + "/b")
+    _time.sleep(1.1)
+    adv = pd.DataFrame(
+        {"ts": [pd.Timestamp("2024-06-01 06:00:00")], "value": [10.0]}
+    )
+    spark.createDataFrame(adv).coalesce(1).write.parquet(d + "/c")
+
+    schema = spark.read.parquet(d + "/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_wave_stats(
+        stream, cfg, burst_seconds=3600, watermark="1 hour"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("wstats")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM wstats").collect()
+    t_burst = t0.to_pydatetime()
+    got = {r["burst_time"]: r for r in rows}
+    assert t_burst in got, rows
+    s = got[t_burst]
+    assert s["n"] == n
+
+    # batch twin over the identical samples
+    bdf = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "burst_time": [t0] * n,
+                "sample": np.arange(n),
+                "P_1ac": p,
+            }
+        )
+    )
+    b = make_waves_ds(bdf, cfg).collect()[0]
+    assert s["wh_4061"] == pytest.approx(b["wh_4061"], rel=1e-9)
+    assert s["wp_peak"] == pytest.approx(b["wp_peak"], rel=1e-9)
+    assert s["wp_4060"] == pytest.approx(b["wp_4060"], rel=1e-9)
+    assert s["m0"] == pytest.approx(b["m0"], rel=1e-9)
+    # physics sanity: monochromatic a=0.5 → Hs ≈ 4·sqrt(a²/2)/Kp ≥ 1.4
+    assert s["wh_4061"] > 1.0
+    assert s["wp_peak"] == pytest.approx(8.0, rel=0.1)
+
+
 def test_streaming_gap_fill_late_data_lands_in_correct_tick(
     spark, checkpoint_dir, tmp_path
 ):
