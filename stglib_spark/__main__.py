@@ -31,7 +31,11 @@ def build_parser() -> argparse.ArgumentParser:
         description="Three-stage oceanographic pipeline (ingest/clean/analyze) on PySpark.",
     )
     p.add_argument("instrument", nargs="?", help="ingest adapter name (see --list)")
-    p.add_argument("step", nargs="?", help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | all")
+    p.add_argument(
+        "step",
+        nargs="?",
+        help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | exportnc | all",
+    )
     p.add_argument("gatts", nargs="?", help="global attributes file (key; value lines)")
     p.add_argument("config", nargs="?", help="YAML instrument config")
     p.add_argument("--input", dest="input_path", help="vendor input file/dir (else config input_path)")
@@ -85,6 +89,10 @@ def main(argv: list[str] | None = None) -> int:
             path = pipeline.run_diwasp(spark, config)
         elif step == "nc2xy":
             path = pipeline.run_xy(spark, config)
+        elif step in ("exportnc", "export_nc"):
+            path = pipeline.run_export_nc(
+                spark, config, zone=config.get("export_zone", "clean")
+            )
         elif step == "all":
             path = pipeline.run_all(spark, config)
         else:

@@ -612,6 +612,50 @@ def run_diwasp(spark: SparkSession, config: dict[str, Any]) -> str:
     return _write_zone(out, config, "diwasp", history)
 
 
+def run_export_nc(
+    spark: SparkSession, config: dict[str, Any], zone: str = "clean"
+) -> str:
+    """Export a Parquet zone as a CF netCDF file — the reference's final
+    output contract (``<filename>-a.nc`` / ``s-a.nc``, core/utils.py:352-
+    749 attribute layer; write + compliance check rsk/cdf2nc.py:127-148).
+    Works without xarray via the classic-nc3 writer; global attributes
+    come from the merged gatts+YAML config (write_metadata semantics,
+    utils.py:831-853) plus the standard CF trio, and the zone's history
+    sidecar becomes the ``history`` attribute."""
+    from stglib_spark.attrs import apply_var_attrs
+    from stglib_spark.sources.netcdf import write_netcdf
+
+    zone_path = _zone_path(config, zone)
+    df = apply_var_attrs(spark.read.parquet(zone_path))
+
+    history = ""
+    sidecar = zone_path + ".meta.json"
+    if os.path.exists(sidecar):
+        with open(sidecar, encoding="utf-8") as f:
+            history = "; ".join(json.load(f).get("history", []))
+
+    gattrs: dict[str, Any] = {
+        k: v
+        for k, v in config.items()
+        if isinstance(v, (str, int, float, bool))
+        and k not in ("input_path", "output_dir")
+    }
+    gattrs.setdefault("Conventions", "CF-1.11")
+    gattrs.setdefault("title", config.get("title", config.get("filename", "deployment")))
+    gattrs.setdefault("institution", config.get("institution", "unknown"))
+    gattrs["history"] = history or "exported by stglib_spark"
+
+    suffix = {"clean": "-a.nc", "raw": "-raw.cdf.nc", "waves": "s-a.nc"}.get(
+        zone, f"-{zone}.nc"
+    )
+    out = os.path.join(
+        config.get("output_dir", "/root/repo/.tmp/zones"),
+        config.get("filename", "deployment") + suffix,
+    )
+    write_netcdf(df, out, attrs=gattrs)
+    return out
+
+
 def run_all(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     """Full runots chain: ingest → clean → waves."""
     paths = {"raw": run_ingest(spark, config), "clean": run_clean(spark, config)}

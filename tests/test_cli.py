@@ -97,3 +97,35 @@ def test_cli_ingest_then_clean(cli_fixture, spark):
         meta = json.load(f)
     assert any("QA/QC" in h for h in meta["history"])
     assert any("T_28" in var for var in meta["notes"])
+
+
+def test_cli_exportnc_step(cli_fixture, spark):
+    """exportnc emits the reference's final CF netCDF product from the
+    clean zone (classic-nc3 in this container), with gatts globals, the
+    history sidecar, and per-variable attrs carried."""
+    for step in ("csv2cdf", "cdf2nc"):
+        assert main(
+            ["rbr_csv", step, f"{TMP}/gatts.txt", f"{TMP}/config.yaml",
+             "--output-dir", TMP]
+        ) == 0
+    assert main(
+        ["rbr_csv", "exportnc", f"{TMP}/gatts.txt", f"{TMP}/config.yaml",
+         "--output-dir", TMP]
+    ) == 0
+    out = os.path.join(TMP, "clitest-a.nc")
+    assert os.path.exists(out)
+
+    from stglib_spark.functions.netcdf3 import read_nc3
+
+    nc = read_nc3(out)
+    assert nc["attrs"]["MOORING"] == 9999 or nc["attrs"]["MOORING"] == "9999"
+    assert nc["attrs"]["Conventions"] == "CF-1.11"
+    assert "Clipped" in nc["attrs"]["history"]
+    assert nc["dims"]["time"] == 360
+    assert "P_1" in nc["variables"]
+    assert nc["variables"]["P_1"]["attrs"]["units"] == "dbar"
+    # QA/QC null (the T_28 spike) survives the trip as NaN
+    t28 = nc["variables"]["T_28"]["data"]
+    assert int(np.isnan(t28).sum()) == 1
+    # lint report written next to the export
+    assert os.path.exists(out + ".cfcheck.txt")
