@@ -16,6 +16,7 @@ from stglib_spark.streaming.bursts import (
     streaming_dedup,
     streaming_diff_gate,
     streaming_gap_fill,
+    streaming_puv,
     streaming_wave_stats,
 )
 
@@ -25,5 +26,6 @@ __all__ = [
     "streaming_dedup",
     "streaming_diff_gate",
     "streaming_gap_fill",
+    "streaming_puv",
     "streaming_wave_stats",
 ]

@@ -433,6 +433,108 @@ def streaming_wave_stats(
     )
 
 
+def streaming_puv(
+    events: DataFrame,
+    config: dict | None = None,
+    burst_seconds: int = 3600,
+    watermark: str = "2 hours",
+    time_col: str = "ts",
+    pressure_col: str = "p",
+    u_col: str = "u",
+    v_col: str = "v",
+) -> DataFrame:
+    """Streaming twin of the PUV directional wave analysis
+    (``make_puv_ds`` / core/waves.py:1024-1351): p/u/v triplets
+    accumulate in keyed state per burst; the batch ``puv_quick_np``
+    kernel runs when the watermark closes the burst. Same state bound as
+    ``streaming_wave_stats`` (one open burst's samples × 3 channels)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from stglib_spark.operators.waves import _PUV_FIELDS, puv_quick_np
+
+    cfg = dict(config or {})
+    fs = 1.0 / float(cfg.get("sample_interval", 1.0))
+    zp = cfg.get("pressure_sensor_height")
+    if zp is None:
+        zp = cfg.get("initial_instrument_height")
+    zp = float(zp) if zp is not None else 0.0
+    _zuv = cfg.get("velocity_sample_volume_height")
+    zuv = float(_zuv) if _zuv is not None else zp
+    fft_length = int(cfg.get("puv_fft_length", 512))
+
+    out_schema = StructType(
+        [StructField("burst_time", TimestampType()),
+         StructField("n", LongType())]
+        + [StructField(name, DoubleType()) for name in _PUV_FIELDS]
+    )
+    state_schema = StructType(
+        [
+            StructField("ts_us", ArrayType(LongType())),
+            StructField("p", ArrayType(DoubleType())),
+            StructField("u", ArrayType(DoubleType())),
+            StructField("v", ArrayType(DoubleType())),
+        ]
+    )
+    step_us = int(burst_seconds) * 1_000_000
+
+    def stats(key, pdf_iter, state):
+        burst_us = int(key[0])  # numpy int64 breaks the JSON state codec
+        if state.hasTimedOut:
+            ts_us, ps, us, vs = state.get
+            order = np.argsort(np.asarray(ts_us))
+            p = np.asarray(ps, dtype=float)[order]
+            u = np.asarray(us, dtype=float)[order]
+            v = np.asarray(vs, dtype=float)[order]
+            state.remove()
+            if len(p) >= 32 and not np.isnan(p).all():
+                depth = float(np.nanmean(p)) + zp
+                out = puv_quick_np(
+                    np.nan_to_num(p, nan=float(np.nanmean(p))),
+                    np.nan_to_num(u),
+                    np.nan_to_num(v),
+                    depth, zp, zuv, fs, fft_length=fft_length,
+                )
+                rec = {"burst_time": pd.to_datetime(burst_us, unit="us"),
+                       "n": len(p)}
+                rec.update({k: out.get(k) for k in _PUV_FIELDS})
+                yield pd.DataFrame([rec], columns=["burst_time", "n"] + _PUV_FIELDS)
+            return
+        ts_us, ps, us, vs = (
+            state.get if state.exists else ([], [], [], [])
+        )
+        ts_us, ps, us, vs = list(ts_us), list(ps), list(us), list(vs)
+        for pdf in pdf_iter:
+            ts_us.extend(int(x) for x in pdf[time_col].astype("int64") // 1000)
+            ps.extend(float(x) for x in pdf[pressure_col].astype(float))
+            us.extend(float(x) for x in pdf[u_col].astype(float))
+            vs.extend(float(x) for x in pdf[v_col].astype(float))
+        state.update((ts_us, ps, us, vs))
+        burst_end_ms = (burst_us + step_us) // 1000
+        state.setTimeoutTimestamp(
+            max(burst_end_ms, state.getCurrentWatermarkMs() + 1)
+        )
+        yield from ()
+
+    keyed = events.withWatermark(time_col, watermark).withColumn(
+        "__burst_us",
+        (F.unix_micros(F.col(time_col)) / step_us).cast("long") * step_us,
+    )
+    return keyed.groupBy("__burst_us").applyInPandasWithState(
+        stats, out_schema, state_schema, "append",
+        GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def streaming_atmos_correct(
     events: DataFrame,
     met: DataFrame,

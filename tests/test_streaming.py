@@ -409,6 +409,87 @@ def test_streaming_wave_stats_matches_batch(spark, checkpoint_dir, tmp_path):
     assert s["wp_peak"] == pytest.approx(8.0, rel=0.1)
 
 
+def test_streaming_puv_matches_batch(spark, checkpoint_dir, tmp_path):
+    """Streaming PUV directional analysis: p/u/v accumulate in state and
+    the batch puv_quick kernel runs at burst close — streamed Hrms and
+    azimuth equal make_puv_ds on the same rows."""
+    import os
+    import time as _time
+
+    import numpy as np
+    import pandas as pd
+
+    from stglib_spark.functions.diwasp import wavenumber
+    from stglib_spark.operators.waves import make_puv_ds
+    from stglib_spark.streaming import streaming_puv
+
+    cfg = {"sample_interval": 0.25, "initial_instrument_height": 0.5,
+           "puv_fft_length": 256}
+    # linear wave a=0.4, T=8 s travelling at 60°, depth ~10 m
+    t0 = pd.Timestamp("2024-06-02 00:00:00")
+    n = 512
+    fs = 4.0
+    a, T, h, zp = 0.4, 8.0, 10.0, 0.5
+    om = 2 * np.pi / T
+    k = wavenumber(np.array([om]), np.array([h]))[0]
+    th = np.radians(60.0)
+    tt = np.arange(n) / fs
+    eta = a * np.cos(om * tt)
+    p = (h - zp) + eta * np.cosh(k * zp) / np.cosh(k * h)
+    uamp = a * om * np.cosh(k * zp) / np.sinh(k * h)
+    u = uamp * np.cos(om * tt) * np.cos(th)
+    v = uamp * np.cos(om * tt) * np.sin(th)
+    burst = pd.DataFrame(
+        {"ts": [t0 + pd.Timedelta(seconds=x) for x in tt],
+         "p": p, "u": u, "v": v}
+    )
+
+    d = str(tmp_path / "feed")
+    os.makedirs(d)
+    spark.createDataFrame(burst.iloc[:250]).coalesce(1).write.parquet(d + "/a")
+    _time.sleep(1.1)
+    spark.createDataFrame(burst.iloc[250:]).coalesce(1).write.parquet(d + "/b")
+    _time.sleep(1.1)
+    adv = pd.DataFrame(
+        {"ts": [pd.Timestamp("2024-06-02 06:00:00")],
+         "p": [9.5], "u": [0.0], "v": [0.0]}
+    )
+    spark.createDataFrame(adv).coalesce(1).write.parquet(d + "/c")
+
+    schema = spark.read.parquet(d + "/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_puv(stream, cfg, burst_seconds=3600, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("puvstream")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = {r["burst_time"]: r for r in spark.sql("SELECT * FROM puvstream").collect()}
+    s = got[t0.to_pydatetime()]
+    assert s["n"] == n
+
+    bdf = spark.createDataFrame(
+        pd.DataFrame(
+            {"burst_time": [t0] * n, "sample": np.arange(n),
+             "P_1ac": p, "u_1205": u, "v_1206": v}
+        )
+    )
+    b = make_puv_ds(bdf, cfg).collect()[0]
+    for fld in ("Hrmsp", "Hrmsu", "ubr", "omegar", "Tr", "phir", "azr"):
+        assert s[fld] == pytest.approx(b[fld], rel=1e-9, abs=1e-12), fld
+    # physics sanity: azimuth near the travel direction (mod 180 ambiguity
+    # resolved by the u-v correlation sign), Tr ≈ 8 s
+    assert s["Tr"] == pytest.approx(8.0, rel=0.15)
+
+
 def test_streaming_gap_fill_late_data_lands_in_correct_tick(
     spark, checkpoint_dir, tmp_path
 ):
