@@ -200,6 +200,36 @@ def interp_spectrum(
     return out
 
 
+def smoothspec(
+    S: np.ndarray,
+    kernel: tuple = ((1.0, 0.5, 0.25), (1.0, 0.5, 0.25)),
+) -> np.ndarray:
+    """5×5 separable cross smoothing of a (freq, dir) spectrum —
+    private/smoothspec.py semantics: interior cells only (2-cell margin
+    untouched), NaNs treated as zero, kernel rows = (center, ±1, ±2)
+    weights along frequency then direction."""
+    f3, f2, f1 = kernel[0]
+    d3, d2, d1 = kernel[1]
+    tot = 2 * f1 + 2 * f2 + f3 + 2 * d1 + 2 * d2 + d3
+    out = np.array(S, dtype=float, copy=True)
+    sin = np.nan_to_num(out)
+    nf, nd = sin.shape
+    if nf > 4 and nd > 4:
+        out[2 : nf - 2, 2 : nd - 2] = (
+            f1 * sin[: nf - 4, 2 : nd - 2]
+            + f2 * sin[1 : nf - 3, 2 : nd - 2]
+            + f3 * sin[2 : nf - 2, 2 : nd - 2]
+            + f2 * sin[3 : nf - 1, 2 : nd - 2]
+            + f1 * sin[4:nf, 2 : nd - 2]
+            + d1 * sin[2 : nf - 2, : nd - 4]
+            + d2 * sin[2 : nf - 2, 1 : nd - 3]
+            + d3 * sin[2 : nf - 2, 2 : nd - 2]
+            + d2 * sin[2 : nf - 2, 3 : nd - 1]
+            + d1 * sin[2 : nf - 2, 4:nd]
+        ) / tot
+    return out
+
+
 def dirspec(
     data: np.ndarray,
     datatypes: list[str],
@@ -212,6 +242,7 @@ def dirspec(
     nfft: int | None = None,
     dres: int = 180,
     miter: int = 50,
+    smooth: bool = True,
 ) -> dict:
     """Full directional-spectrum estimation for one burst
     (dirspec.py:23-189 flow): detrend → csd matrix → wavenumber →
@@ -265,6 +296,10 @@ def dirspec(
 
     dirs_out_rad = np.radians(dirs_out_deg)
     S = interp_spectrum(S1, F[ffs], pidirs, freqs_out, dirs_out_rad)
+    if smooth:
+        # reference default EP['smooth']='ON' (core/waves.py:28,
+        # dirspec.py:165-168): smooth the REGRIDDED output spectrum
+        S = smoothspec(S)
 
     # info stats (infospec.py:6-57) — computed on the INTERNAL estimation
     # grid, not the regridded one: a narrow (near-delta) IMLM spectrum

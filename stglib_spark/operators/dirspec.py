@@ -101,6 +101,9 @@ def make_diwasp_ds(
     data_type = str(config.get("diwasp", "puv"))
     nfreqs = int(config.get("diwasp_nfreqs", 32))
     ndirs = int(config.get("diwasp_ndirs", 36))
+    # reference default EP['smooth']='ON', overridable via diwasp_smooth
+    # (core/waves.py:28,54-55)
+    smooth = str(config.get("diwasp_smooth", "ON")).upper() == "ON"
 
     cols = [burst_col, sample_col, pressure_col, u_col, v_col]
     if ast_col:
@@ -171,6 +174,7 @@ def make_diwasp_ds(
                     nfft=int(nfft) if nfft else None,
                     dres=dres,
                     miter=miter,
+                    smooth=smooth,
                 )
             except Exception:
                 continue

@@ -125,3 +125,27 @@ def test_wavenumber_satisfies_dispersion():
     h = np.array([10.0, 10.0, 10.0])
     k = wavenumber(om, h)
     np.testing.assert_allclose(9.81 * k * np.tanh(k * h), om**2, rtol=1e-6)
+
+
+def test_smoothspec_kernel_semantics():
+    """private/smoothspec.py semantics: interior 5x5 cross average with
+    (1, .5, .25) weights, 2-cell margins untouched, NaN as zero."""
+    from stglib_spark.functions.diwasp import smoothspec
+
+    S = np.zeros((9, 9))
+    S[4, 4] = 1.0  # delta with a full interior neighborhood
+    out = smoothspec(S)
+    tot = 2 * 0.25 + 2 * 0.5 + 1 + 2 * 0.25 + 2 * 0.5 + 1  # 4.5
+    assert out[4, 4] == pytest.approx(2.0 / tot)  # f3 + d3 at center
+    assert out[3, 4] == pytest.approx(0.5 / tot)  # f2, one freq step
+    assert out[4, 6] == pytest.approx(0.25 / tot)  # d1, two dir steps
+    # margins untouched
+    np.testing.assert_array_equal(out[:2], S[:2])
+    np.testing.assert_array_equal(out[:, :2], S[:, :2])
+    # energy in the interior is conserved by the normalized kernel
+    assert out[2:-2, 2:-2].sum() == pytest.approx(1.0)
+    # NaN treated as zero, not propagated
+    S2 = np.full((9, 9), np.nan)
+    S2[4, 4] = 1.0
+    out2 = smoothspec(S2)
+    assert np.isfinite(out2[2:-2, 2:-2]).all()
