@@ -66,11 +66,14 @@ def _attr_values(value: Any) -> tuple[int, int, bytes]:
         return NC_CHAR, len(value), _pad4(value)
     arr = np.atleast_1d(np.asarray(value))
     if arr.dtype.kind in "ui":
-        if arr.dtype.itemsize <= 2:
-            arr = arr.astype(">i2")
-            return NC_SHORT, arr.size, _pad4(arr.tobytes())
-        arr = arr.astype(">i4")
-        return NC_INT, arr.size, _pad4(arr.tobytes())
+        # pick the narrowest classic type the VALUES fit — blind
+        # astype() narrowing wraps modulo 2^n (e.g. a uint16 attr of
+        # 40000 would export as -25536)
+        if _int_fits(arr, -(2 ** 15), 2 ** 15 - 1):
+            return NC_SHORT, arr.size, _pad4(arr.astype(">i2").tobytes())
+        if _int_fits(arr, -(2 ** 31), 2 ** 31 - 1):
+            return NC_INT, arr.size, _pad4(arr.astype(">i4").tobytes())
+        return NC_DOUBLE, arr.size, _pad4(arr.astype(">f8").tobytes())
     if arr.dtype == np.float32:
         return NC_FLOAT, arr.size, _pad4(arr.astype(">f4").tobytes())
     arr = arr.astype(">f8")
@@ -87,9 +90,20 @@ def _attr_list(attrs: dict[str, Any]) -> bytes:
     return out
 
 
+def _int_fits(arr: np.ndarray, lo: int, hi: int) -> bool:
+    """True when every value of an integer array lies in [lo, hi].
+    Compared in int64/uint64 space so the check itself can't wrap."""
+    if arr.size == 0:
+        return True
+    mn, mx = int(arr.min()), int(arr.max())
+    return lo <= mn and mx <= hi
+
+
 def _coerce(arr: np.ndarray) -> tuple[np.ndarray, int]:
-    """numpy array → (storage array, nc_type); int64 narrows to int32
-    (classic netCDF-3 has no 64-bit integer type)."""
+    """numpy array → (storage array, nc_type); integers store as the
+    narrowest classic type their VALUES fit (classic netCDF-3 has no
+    64-bit integer type), promoting to NC_DOUBLE when they exceed int32
+    — silent modulo-2^n wrapping would corrupt e.g. ensemble counters."""
     if arr.dtype.kind == "U" or arr.dtype.kind == "S":
         # char matrix: strings become a (n, strlen) S1 array
         as_b = np.char.encode(arr.astype("U"), "utf-8") if arr.dtype.kind == "U" else arr
@@ -101,11 +115,13 @@ def _coerce(arr: np.ndarray) -> tuple[np.ndarray, int]:
             flat[i, : len(b)] = np.frombuffer(b, dtype="S1")
         return mat, NC_CHAR
     if arr.dtype.kind in "ui":
-        if arr.dtype.itemsize <= 1:
+        if arr.dtype.itemsize == 1 and _int_fits(arr, -(2 ** 7), 2 ** 7 - 1):
             return arr.astype("int8"), NC_BYTE
-        if arr.dtype.itemsize <= 2:
+        if arr.dtype.itemsize <= 2 and _int_fits(arr, -(2 ** 15), 2 ** 15 - 1):
             return arr.astype("int16"), NC_SHORT
-        return arr.astype("int32"), NC_INT
+        if _int_fits(arr, -(2 ** 31), 2 ** 31 - 1):
+            return arr.astype("int32"), NC_INT
+        return arr.astype("float64"), NC_DOUBLE
     if arr.dtype == np.float32:
         return arr.astype("float32"), NC_FLOAT
     return arr.astype("float64"), NC_DOUBLE

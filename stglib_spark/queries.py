@@ -2837,50 +2837,46 @@ def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # Registry ordering for the driver's correctness run. The driver records
 # rows for the FIRST ~50 registry entries, so ordering decides which
-# queries get driver-side evidence. Front-load everything that changed
-# this round — the three r2 NTZ ERRs, the r2 hash-fail, the re-planned
-# dedup chain, and the new real-codec query — then the entries whose only
-# driver row predates r2.
+# queries get driver-side evidence. Policy (round-4 fix for the r3
+# staleness finding): (a) queries new or re-planned THIS round first,
+# then (b) every query whose last driver row is older than the previous
+# round — rotate, don't re-check only what changed. The 30 entries below
+# had no CORRECTNESS_r03 row (their last driver evidence is r1/r2).
 _FRONT = [
-    # changed in round 3: must get fresh CORRECTNESS_r03 rows
-    "ts_epic_time_codec",
-    "ts_shift_clock_drift",
-    "ts_asof_atmos_correct",
-    "prof_ragged_index",
-    "dedup_minhash_lsh",
-    "dedup_token_jaccard",
-    "mm_decode_real_bmp",
-    "coord_beam2enu_4beam",
-    "phys_spd2uv",
-    "coord_beam2enu",
-    # r1-unchecked, oracled (pass-L → want pass-D)
-    "phys_pres2dep_density",
-    "phys_troll_salinity",
-    "prof_clip_profiles",
-    "phys_z_geometry",
-    "phys_boundary_elevation",
-    "agg_mean_minf",
-    "ts_seagauge_tides",
-    "agg_brange_argmax",
-    "agg_linregress",
-    "agg_top_third_threshold",
-    "agg_min_max_attrs",
-    "ts_burst_keys",
-    "phys_direction_conventions",
-    "phys_wind_dir_correct",
-    "phys_transfer_function",
-    "filt_median_smoother",
-    "ts_burst_nan_fill",
-    "vel_vbper_gate",
-    # r1-unchecked, rows-only by design (FFT/IIR/sonar/multimodal)
-    "filt_butterworth_lowpass",
-    "wave_puv_directional",
-    "wave_diwasp_dirspec",
-    "wave_stats_welch",
-    "wave_stats_elev",
-    "sonar_xy_regrid",
+    # new / changed in round 4: must get fresh CORRECTNESS_r04 rows
     "mm_decode_features",
     "mm_video_frames",
+    # stale since r1/r2 — no CORRECTNESS_r03 row (driver window missed them)
+    "ts_gap_fill_hourly",
+    "ts_burst_average",
+    "ts_interval_average_duration",
+    "ts_circular_mean_daily",
+    "phys_salinity_spcon",
+    "phys_pres2dep_ssc",
+    "phys_dispersion_qkfs",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_embedding_neardup",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "qaqc_diff_pct",
+    "qaqc_std_gates",
+    "qaqc_bad_ens",
+    "qaqc_bad_ens_indiv",
+    "qaqc_mask_trim_by",
+    "qaqc_maxabs_diff_2d",
+    "qaqc_trim_single_bins",
+    "qaqc_burst_min_kill",
+    "qaqc_wave_stats_trims",
+    "vel_trim_sidelobe",
+    "vel_agc_cor_gates",
+    "vel_snr_gate",
+    "qaqc_ast_quality_trim",
 ]
 
 

@@ -50,14 +50,38 @@ ABSS_SCHEMA = StructType(
 
 
 def _burst_time(v: Any) -> dt.datetime:
+    """BurstTime arrives in whatever format the AQUAscat export used:
+    ISO-8601, MATLAB datestr ('07-Mar-2023 14:00:00'), a 6-element
+    datevec, or a scalar datenum — the reference funnels them all through
+    ``pd.to_datetime`` (abss/mat2cdf.py)."""
     if isinstance(v, str):
-        return dt.datetime.fromisoformat(v.strip())
+        s = v.strip()
+        try:
+            return dt.datetime.fromisoformat(s)
+        except ValueError:
+            pass
+        for fmt in ("%d-%b-%Y %H:%M:%S", "%d-%b-%Y %H:%M:%S.%f", "%d-%b-%Y"):
+            try:
+                return dt.datetime.strptime(s, fmt)
+            except ValueError:
+                continue
+        raise ValueError(f"unrecognized BurstTime string {v!r}")
     arr = np.ravel(np.asarray(v, dtype=np.float64))
     if arr.size == 6:  # matlab datevec
         return dt.datetime(
             int(arr[0]), int(arr[1]), int(arr[2]),
             int(arr[3]), int(arr[4]), int(arr[5]),
         )
+    if arr.size == 1 and arr[0] > 365:  # matlab serial datenum (day 1 = 0000-01-01)
+        days = float(arr[0])
+        t = dt.datetime.fromordinal(int(days)) + dt.timedelta(
+            days=days % 1
+        ) - dt.timedelta(days=366)
+        # datenum floats carry ~µs noise at 2020-era magnitudes; snap to ms
+        us = round(t.microsecond / 1000) * 1000
+        if us == 1000000:
+            t, us = t + dt.timedelta(seconds=1), 0
+        return t.replace(microsecond=us)
     raise ValueError(f"unrecognized BurstTime value {v!r}")
 
 

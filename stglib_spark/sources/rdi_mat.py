@@ -119,18 +119,24 @@ def _schema(parsed: dict[str, Any]) -> StructType:
     return StructType(fields)
 
 
-def _rows(parsed: dict[str, Any]) -> list[tuple]:
+def _rows(parsed: dict[str, Any], sens_names: list[str] | None = None) -> list[tuple]:
+    """``sens_names`` is the schema's sensor-column order (derived from the
+    FIRST segment). Later segments missing a channel null-fill it, and
+    channels the schema doesn't know are dropped — per-segment sort order
+    alone would misalign values when segments disagree."""
     time = parsed["time"]
     bindist = parsed["bindist"]
     vel, inten, corr, pg = (
         parsed["vel"], parsed["int"], parsed["corr"], parsed["pg"]
     )
-    sens_names = sorted(parsed["sens"])
+    if sens_names is None:
+        sens_names = sorted(parsed["sens"])
+    sens = parsed["sens"]
     nt, nb = len(time), len(bindist)
     out = []
     for i in range(nt):
         sens_vals = [
-            float(parsed["sens"][n][i]) if i < len(parsed["sens"][n]) else None
+            float(sens[n][i]) if n in sens and i < len(sens[n]) else None
             for n in sens_names
         ]
         for b in range(nb):
@@ -163,12 +169,13 @@ def read_rdi_mat(
         paths = sorted(glob.glob(path)) or [path]
     first = parse_rdi_mat(paths[0])
     schema = _schema(first)
+    sens_names = sorted(first["sens"])
     if len(paths) == 1:
-        df = spark.createDataFrame(_rows(first), schema)
+        df = spark.createDataFrame(_rows(first, sens_names), schema)
     else:
         ensure_package_shipped(spark)
         rdd = spark.sparkContext.parallelize(paths, len(paths)).flatMap(
-            lambda p: _rows(parse_rdi_mat(p))
+            lambda p, _sn=sens_names: _rows(parse_rdi_mat(p), _sn)
         )
         df = spark.createDataFrame(rdd, schema)
     return apply_var_attrs(df)

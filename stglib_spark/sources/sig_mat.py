@@ -356,46 +356,65 @@ def _group_schema(g: dict[str, Any]) -> StructType:
     return StructType(fields)
 
 
-def _group_rows(g: dict[str, Any]) -> list[tuple]:
+def _group_rows(
+    g: dict[str, Any],
+    names: tuple[list[str], list[str], list[str]] | None = None,
+) -> list[tuple]:
     """Long-form rows: (time, bin) grain when profile variables exist
     (scalars repeat per bin — relational twin of xarray broadcasting),
-    else one row per time."""
+    else one row per time.
+
+    ``names`` is the (profile, scalar, extra) column order the SCHEMA was
+    built from — i.e. the first file's variable sets. Later files in a
+    multi-file deployment null-fill variables they lack and drop variables
+    the schema doesn't know; aligning by each file's own sort order would
+    silently shift values into the wrong columns whenever the sets differ."""
     time = g["time"]
     nt = len(time)
-    prof_names = sorted(g["profiles"])
-    scal_names = sorted(g["scalars"])
-    extra_names = sorted(g["extras"])
+    if names is None:
+        prof_names = sorted(g["profiles"])
+        scal_names = sorted(g["scalars"])
+        extra_names = sorted(g["extras"])
+    else:
+        prof_names, scal_names, extra_names = names
+    profiles, scalars, extras = g["profiles"], g["scalars"], g["extras"]
     bindist = g["bindist"]
     rows: list[tuple] = []
+
+    def _scal(i: int) -> list:
+        return [
+            float(scalars[s][i]) if s in scalars and i < len(scalars[s]) else None
+            for s in scal_names
+        ]
+
+    def _extr(i: int) -> list:
+        return [
+            extras[e][i].tolist() if e in extras and i < len(extras[e]) else None
+            for e in extra_names
+        ]
+
     if prof_names:
-        ncells = g["profiles"][prof_names[0]].shape[1]
+        present = [p for p in prof_names if p in profiles]
+        if present:
+            ncells = profiles[present[0]].shape[1]
+        elif bindist is not None:
+            ncells = len(bindist)
+        else:
+            ncells = 0
         for i in range(nt):
-            scal = [
-                float(g["scalars"][s][i]) if i < len(g["scalars"][s]) else None
-                for s in scal_names
-            ]
-            extr = [
-                g["extras"][e][i].tolist() if i < len(g["extras"][e]) else None
-                for e in extra_names
-            ]
+            scal, extr = _scal(i), _extr(i)
             for b in range(ncells):
                 prof = [
-                    float(g["profiles"][p][i, b]) if i < len(g["profiles"][p]) else None
+                    float(profiles[p][i, b])
+                    if p in profiles and i < len(profiles[p]) and b < profiles[p].shape[1]
+                    else None
                     for p in prof_names
                 ]
                 bd = float(bindist[b]) if bindist is not None and b < len(bindist) else None
                 rows.append(tuple([time[i], b, bd] + prof + scal + extr))
     else:
         for i in range(nt):
-            scal = [
-                float(g["scalars"][s][i]) if i < len(g["scalars"][s]) else None
-                for s in scal_names
-            ]
-            extr = [
-                g["extras"][e][i].tolist() if i < len(g["extras"][e]) else None
-                for e in extra_names
-            ]
-            rows.append(tuple([time[i]] + scal + extr))
+            rows.append(tuple([time[i]] + _scal(i) + _extr(i)))
     return rows
 
 
@@ -430,11 +449,20 @@ def read_signature_mat(
     sc = spark.sparkContext
     for ftype, g in first.items():
         schema = _group_schema(g)
+        names = (sorted(g["profiles"]), sorted(g["scalars"]), sorted(g["extras"]))
         if len(paths) == 1:
-            df = spark.createDataFrame(_group_rows(g), schema)
+            df = spark.createDataFrame(_group_rows(g, names), schema)
         else:
+            # schema comes from the FIRST file; thread its variable-name
+            # lists into every task so a later file missing the group (or
+            # carrying a different variable set) null-fills instead of
+            # raising / misaligning (row builder contract, _group_rows).
             rdd = sc.parallelize(paths, len(paths)).flatMap(
-                lambda p, _ft=ftype: _group_rows(parse_sig_file(p)[_ft])
+                lambda p, _ft=ftype, _nm=names: (
+                    _group_rows(grp, _nm)
+                    if (grp := parse_sig_file(p).get(_ft)) is not None
+                    else []
+                )
             )
             df = spark.createDataFrame(rdd, schema)
         extra = {

@@ -88,3 +88,18 @@ def test_parse_abss_rejects_non_abss(tmp_path):
     savemat(p, {"Whatever": np.arange(3.0)})
     with pytest.raises(ValueError, match="BurstTime"):
         parse_abss_file(p)
+
+
+def test_burst_time_formats(tmp_path):
+    """AQUAscat exports carry MATLAB datestr / serial datenum BurstTime
+    values, not just ISO strings (reference: pd.to_datetime funnel)."""
+    from stglib_spark.sources.abss_mat import _burst_time
+
+    want = dt.datetime(2023, 3, 7, 14, 0, 0)
+    datenum = want.toordinal() + 366 + 14 * 3600 / 86400.0
+    assert _burst_time("07-Mar-2023 14:00:00") == want
+    assert _burst_time("2023-03-07T14:00:00") == want
+    assert _burst_time(np.array([datenum])) == want
+    assert _burst_time(np.array([2023, 3, 7, 14, 0, 0])) == want
+    with pytest.raises(ValueError):
+        _burst_time("garbage")

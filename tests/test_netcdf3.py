@@ -291,3 +291,35 @@ def test_check_netcdf_flags_missing_attrs(tmp_path):
     problems = check_netcdf(p)
     assert any("mystery" in p_ and "units" in p_ for p_ in problems)
     assert any("history" in p_ for p_ in problems)
+
+
+def test_nc3_integer_range_promotion(tmp_path):
+    """Out-of-range integers must PROMOTE, never wrap modulo 2^n
+    (a large ensemble counter would otherwise export corrupted)."""
+    import numpy as np
+
+    from stglib_spark.functions.netcdf3 import read_nc3, write_nc3
+
+    p = str(tmp_path / "wide.nc")
+    big = np.array([0, 2**40, 7], dtype=np.int64)  # > int32
+    u16 = np.array([40000, 1], dtype=np.uint16)  # > int16
+    u8 = np.array([200, 3], dtype=np.uint8)  # > int8
+    small = np.array([1, 2, 3], dtype=np.int64)  # fits int32
+    write_nc3(
+        p,
+        {"n3": 3, "n2": 2},
+        {
+            "big": {"dims": ("n3",), "data": big},
+            "u16": {"dims": ("n2",), "data": u16},
+            "u8": {"dims": ("n2",), "data": u8},
+            "small": {"dims": ("n3",), "data": small},
+        },
+        {"counter": np.uint16(40000), "tiny": np.int64(5)},
+    )
+    out = read_nc3(p)
+    np.testing.assert_array_equal(out["variables"]["big"]["data"], big)
+    np.testing.assert_array_equal(out["variables"]["u16"]["data"], u16)
+    np.testing.assert_array_equal(out["variables"]["u8"]["data"], u8)
+    assert out["variables"]["small"]["data"].dtype == np.dtype(">i4")
+    assert int(np.ravel(out["attrs"]["counter"])[0]) == 40000
+    assert int(np.ravel(out["attrs"]["tiny"])[0]) == 5

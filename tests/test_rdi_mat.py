@@ -117,3 +117,25 @@ def test_rdi_adapter_and_multifile(spark, tmp_path):
     _fixture(str(tmp_path / "b.000.mat"), dt.datetime(2023, 9, 2))
     df = ingest(spark, "rdi", str(tmp_path / "*.mat"), {})
     assert df.count() == 2 * NT * NC
+
+
+def test_multifile_sens_schema_from_first_segment(spark, tmp_path):
+    """Sensor columns are ordered by the FIRST segment's channel set; a
+    later segment missing a channel null-fills it and an extra channel is
+    dropped (no misalignment from per-segment sort order)."""
+    pa, pb = str(tmp_path / "a.000.mat"), str(tmp_path / "b.000.mat")
+    _fixture(pa, dt.datetime(2023, 9, 1))
+    vb = _fixture(pb, dt.datetime(2023, 9, 2))
+    del vb["sens"]["h"]  # drop heading from segment 2
+    vb["sens"]["bt"] = np.zeros(NT)  # extra channel the schema won't know
+    savemat(pb, vb, compress=True)
+
+    df = read_rdi_mat(spark, str(tmp_path / "*.mat"))
+    assert df.count() == 2 * NT * NC
+    rows = df.selectExpr("date(time) AS d", "Hdg_1215", "Tx_1211").collect()
+    d1 = [r for r in rows if str(r["d"]) == "2023-09-01"]
+    d2 = [r for r in rows if str(r["d"]) == "2023-09-02"]
+    assert all(r["Hdg_1215"] is not None for r in d1)
+    assert all(r["Hdg_1215"] is None for r in d2)
+    # neighbouring channels stay aligned (temperature still 15..16)
+    assert all(15.0 <= r["Tx_1211"] <= 16.0 for r in d2)

@@ -267,3 +267,46 @@ def test_sig_adapter_registered(spark, tmp_path):
     assert df.count() == NT * 3
     with pytest.raises(KeyError):
         ingest(spark, "sig", p, {"sig_group": "nope"})
+
+
+def test_multifile_schema_from_first_file_null_fills(spark, tmp_path):
+    """Schema comes from the FIRST file; a later file missing a variable
+    (or a whole group) must null-fill / emit nothing — and an extra
+    variable the schema doesn't know must be dropped — instead of
+    misaligning columns by per-file sort order."""
+    base = str(tmp_path / "dep")
+    _fixture(base + "_1.mat", dt.datetime(2023, 5, 1))
+    # file 2: drop Burst_Heading (scalar) + the whole Average group,
+    # add an unknown Burst_Zonk the first-file schema doesn't carry
+    _fixture(base + "_2.mat", dt.datetime(2023, 5, 2))
+    from stglib_spark.functions.mat5 import loadmat
+
+    m2 = loadmat(base + "_2.mat")
+    data2 = {
+        k: v
+        for k, v in m2["Data"].items()
+        if k != "Burst_Heading" and not k.startswith("Average_")
+    }
+    data2["Burst_Zonk"] = np.full(NT, 777.0)
+    savemat(
+        base + "_2.mat",
+        {"Config": m2["Config"], "Data": data2, "Units": m2["Units"],
+         "Descriptions": m2["Descriptions"]},
+        compress=True,
+    )
+
+    dfs = read_signature_mat(spark, base)
+    burst = dfs["burst"]
+    assert "Zonk" not in burst.columns  # unknown var dropped
+    rows = burst.selectExpr(
+        "date(time) AS d", "Hdg_1215", "P_1"
+    ).collect()
+    d1 = [r for r in rows if str(r["d"]) == "2023-05-01"]
+    d2 = [r for r in rows if str(r["d"]) == "2023-05-02"]
+    assert d1 and d2
+    # file-1 rows keep heading; file-2 rows null-fill it, P_1 unshifted
+    assert all(r["Hdg_1215"] is not None for r in d1)
+    assert all(r["Hdg_1215"] is None for r in d2)
+    assert all(r["P_1"] is not None and 10.0 <= r["P_1"] <= 11.0 for r in d2)
+    # group absent from file 2 -> only file-1 rows, no KeyError
+    assert dfs["avgd"].count() == 3 * 2
