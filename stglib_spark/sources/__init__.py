@@ -146,6 +146,13 @@ def _aqd(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     return read_aquadopp(spark, path, config)
 
 
+@register_adapter("aqdhr")
+def _aqdhr(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
+    from stglib_spark.sources.aqd import read_aquadopp_hr
+
+    return read_aquadopp_hr(spark, path, config)
+
+
 @register_adapter("vec")
 def _vec(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
     from stglib_spark.sources.aqd import read_vector
@@ -184,7 +191,6 @@ def _sg_tid(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame
 # mat2cdf`` etc.). Ambiguous families default to the most common member;
 # the specific adapter names remain available.
 INSTRUMENT_ALIASES: dict[str, str] = {
-    "aqdhr": "aqd",
     "aqdwvs": "aqd_wad",
     "wvs": "aqd_wad",
     "rbr": "rbr_csv",

@@ -135,6 +135,132 @@ def read_aquadopp(
     )
 
 
+# ---------------------------------------------------------------------------
+# Aquadopp HR (HIGH RESOLUTION, pulse-coherent) — burst-sampled profiles
+# Reference: stglib/aqd/hrhdr2cdf.py:9-201 (load_sen :67-137,
+# load_amp_vel_cor :140-201 — the .cN correlation files ride alongside
+# .aN/.vN and are optional per-beam)
+# ---------------------------------------------------------------------------
+
+
+def read_aqd_hr_sen(spark: SparkSession, path: str) -> DataFrame:
+    """HR .sen layout differs from continuous mode (hrhdr2cdf.py:72-114):
+    burst@6 ensemble@7, battery@10 soundspeed@11, heading@12 pitch@13
+    roll@14 pressure@15 temperature@16, analog@17-18 (scaled 5/65535)."""
+    t = _read_tokens(spark, path)
+    c = lambda i: F.element_at(F.col("tok"), i + 1)  # noqa: E731
+    return t.select(
+        "source_file",
+        "row_idx",
+        F.make_timestamp(
+            c(2).cast("int"),
+            c(0).cast("int"),
+            c(1).cast("int"),
+            c(3).cast("int"),
+            c(4).cast("int"),
+            c(5).cast("decimal(10,4)"),
+        ).alias("time"),
+        c(6).cast("int").alias("BurstCounter"),
+        c(7).cast("int").alias("Ensemble"),
+        c(10).cast("double").alias("Battery"),
+        c(11).cast("double").alias("Soundspeed"),
+        c(12).cast("double").alias("Heading"),
+        c(13).cast("double").alias("Pitch"),
+        c(14).cast("double").alias("Roll"),
+        c(15).cast("double").alias("Pressure"),
+        c(16).cast("double").alias("Temperature"),
+        (c(17).cast("double") * 5 / 65535).alias("AnalogInput1"),
+        (c(18).cast("double") * 5 / 65535).alias("AnalogInput2"),
+    )
+
+
+def read_aqd_hr_profile_matrix(
+    spark: SparkSession, path: str, value_name: str
+) -> DataFrame:
+    """HR .aN/.vN/.cN matrix (hrhdr2cdf.py:144-156): each line leads with
+    burst + ensemble counters, then one token per bin (the reference's
+    ``values[:, 2:]`` slice) → long form (row_idx, bin, value)."""
+    t = _read_tokens(spark, path)
+    return t.select(
+        "row_idx",
+        F.posexplode(F.slice(F.col("tok"), 3, 2_000_000)).alias("bin", "__s"),
+    ).select("row_idx", "bin", F.col("__s").cast("double").alias(value_name))
+
+
+def read_aquadopp_hr(
+    spark: SparkSession, basefile: str, config: dict[str, Any]
+) -> DataFrame:
+    """Full Aquadopp HR deployment: HR .sen burst samples × per-beam
+    (.aN amplitude, .vN velocity, .cN correlation — correlation optional,
+    hrhdr2cdf.py:178-199) joined on (row_idx[, bin]).
+
+    Burst shape (hrhdr2cdf.py:115-136): rows truncate to whole bursts of
+    AQDHRSamplesPerBurst, burst/sample keys derive from the row index,
+    and ``burst_time`` is the burst's first sample timestamp — carried by
+    an equi-join against the sample-0 projection (one row per burst,
+    broadcast), never a global window over fact rows.
+
+    bindist uses the hdr's vertical cell-center distance table (AQDCCD,
+    aqdutils.py:898-901) when present — for pulse-coherent HR the beam
+    and vertical distances differ — else blank + cell (center_first_bin,
+    aqdutils.py:963-968)."""
+    if _exists(basefile + ".hdr"):
+        merged = dict(read_aqd_hdr_meta(basefile + ".hdr"))
+        merged.update(config)
+        config = merged
+    spb = int(config.get("samples_per_burst", config.get("AQDHRSamplesPerBurst", 1)))
+    coord = str(config.get("AQDHRCoordinateSystem",
+                           config.get("AQDCoordinateSystem", "BEAM"))).upper()
+    names = _COORD_VARS[coord]
+
+    sen = read_aqd_hr_sen(spark, basefile + ".sen")
+    # whole bursts only (hrhdr2cdf.py:115-122): bound via a broadcast
+    # single-row aggregate, no driver collect
+    bound = sen.agg(
+        (F.floor(F.count(F.lit(1)) / spb) * spb).alias("__nrows")
+    )
+    sen = sen.crossJoin(F.broadcast(bound)).filter(
+        F.col("row_idx") < F.col("__nrows")
+    ).drop("__nrows")
+    sen = sen.withColumn(
+        "burst", (F.col("row_idx") / spb).cast("long")
+    ).withColumn("sample", F.pmod(F.col("row_idx"), F.lit(spb)).cast("int"))
+    starts = sen.filter(F.col("sample") == 0).select(
+        "burst", F.col("time").alias("burst_time")
+    )
+    sen = sen.join(F.broadcast(starts), "burst")
+
+    prof: DataFrame | None = None
+    for n in (1, 2, 3):
+        a = read_aqd_hr_profile_matrix(spark, f"{basefile}.a{n}", f"AMP{n}")
+        v = read_aqd_hr_profile_matrix(spark, f"{basefile}.v{n}", names[n])
+        nv = a.join(v, ["row_idx", "bin"])
+        if _exists(f"{basefile}.c{n}"):
+            c = read_aqd_hr_profile_matrix(spark, f"{basefile}.c{n}", f"COR{n}")
+            nv = nv.join(c, ["row_idx", "bin"], "left")
+        else:
+            nv = nv.withColumn(f"COR{n}", F.lit(None).cast("double"))
+        prof = nv if prof is None else prof.join(nv, ["row_idx", "bin"])
+
+    out = sen.join(prof, "row_idx")
+    ccd = config.get("AQDCCD")
+    if isinstance(ccd, (list, tuple)) and ccd:
+        # F.get is 0-based and NULL-safe out of bounds (element_at throws
+        # under the driver's ANSI session)
+        out = out.withColumn(
+            "bindist",
+            F.get(F.array(*[F.lit(float(x)) for x in ccd]), F.col("bin")),
+        )
+    else:
+        blank = float(config.get("AQDHRBlankingDistance", 0.0))
+        cell = float(config.get("AQDHRCellSize_m", config.get("bin_size", 0.03)))
+        # HR center of first bin = blanking + one full cell (aqdutils.py:963)
+        out = out.withColumn(
+            "bindist", F.lit(blank + cell) + F.col("bin") * F.lit(cell)
+        )
+    return out
+
+
 _HDR_KEYS = [
     ("Measurement/Burst interval", "AQDMeasurementBurstInterval", r"([\d.]+)\s*sec"),
     ("Cell size", "AQDCellSize", r"([\d.]+)\s*(?:mm|cm|m)"),
@@ -182,7 +308,81 @@ def read_aqd_hdr_meta(path: str) -> dict[str, Any]:
                         if um:
                             scale = {"mm": 1e-3, "cm": 1e-2, "m": 1.0}[um.group(1)]
                             meta["AQDCellSize_m"] = float(m.group(1)) * scale
+    _hdr_hr_meta(path, meta)
     return meta
+
+
+# HR (HIGH RESOLUTION / pulse-coherent) deployments reuse the same hdr
+# labels with different units/meaning — the reference keys them AQDHR*
+# (aqdutils.py:698-745) and flips on "Extended velocity range" presence
+# (aqdutils.py:683-686).
+_HDR_HR_KEYS = [
+    ("Measurement/Burst interval", "AQDHRMeasurementBurstInterval", r"([\d.]+)\s*sec"),
+    ("Cell size", "AQDHRCellSize", r"([\d.]+)\s*mm"),
+    ("Number of cells", "AQDHRNumberOfCells", r"(\d+)"),
+    ("Blanking distance", "AQDHRBlankingDistance", r"([\d.]+)\s*m"),
+    ("Samples per burst", "AQDHRSamplesPerBurst", r"(\d+)"),
+    ("Sampling rate", "AQDHRSamplingRate", r"([\d.]+)\s*Hz"),
+    ("Coordinate system", "AQDHRCoordinateSystem", r"(\w+)"),
+    ("Extended velocity range", "AQDHRExtendedVelocityRange", r"(\w+)"),
+    ("Pulse distance (Lag1)", "AQDHRPulseLag1", r"([\d.]+)\s*m"),
+    ("Pulse distance (Lag2)", "AQDHRPulseLag2", r"([\d.]+)\s*m"),
+]
+
+
+def _hdr_hr_meta(path: str, meta: dict[str, Any]) -> None:
+    """Add AQDHR* keys + the cell-center distance table when the hdr is a
+    HIGH RESOLUTION one. The distance table (bin → beam-distance,
+    vertical-distance) becomes AQDCCDBEAM/AQDCCD exactly as the reference
+    keeps it (aqdutils.py:880-901); non-HR hdrs get AQDCCD from the
+    single-distance column."""
+    with open(path, errors="replace") as f:
+        content = f.read()
+    hr = "Extended velocity range" in content
+    lines = [ln.rstrip() for ln in content.splitlines()]
+    if hr:
+        meta["AQDHR"] = True
+        for line in lines:
+            for label, key, pat in _HDR_HR_KEYS:
+                if line.startswith(label) and key not in meta:
+                    m = re.search(pat, line[len(label):])
+                    if m:
+                        v = m.group(1)
+                        try:
+                            meta[key] = int(v)
+                        except ValueError:
+                            try:
+                                meta[key] = float(v)
+                            except ValueError:
+                                meta[key] = v
+        if "AQDHRCellSize" in meta:
+            meta["AQDHRCellSize_m"] = float(meta["AQDHRCellSize"]) / 1000.0
+    # cell-center distance table: numeric rows between "Distances" and
+    # "Data file format"
+    bd: list[float] = []
+    bdv: list[float] = []
+    in_table = False
+    for line in lines:
+        if "Distances" in line:
+            in_table = True
+            continue
+        if in_table:
+            if "Data file format" in line:
+                break
+            toks = line.split()
+            if len(toks) >= 2 and toks[0].isdigit():
+                try:
+                    bd.append(float(toks[1]))
+                    if hr and len(toks) >= 3:
+                        bdv.append(float(toks[2]))
+                except ValueError:
+                    continue
+    if bd:
+        if hr and bdv:
+            meta["AQDCCD"] = bdv
+            meta["AQDCCDBEAM"] = bd
+        else:
+            meta["AQDCCD"] = bd
 
 
 # ---------------------------------------------------------------------------

@@ -169,3 +169,100 @@ def test_aqd_wad_num_wave_bursts_override(tmp_path, spark):
     _write_wave_deployment(base, nburst=2, nsamps=4, partial=2)
     df = read_aquadopp_waves(spark, base, {"num_wave_bursts": 1})
     assert df.count() == 4
+
+
+def _write_hr_deployment(base, nburst=2, spb=4, ncells=5, partial=2, cor=True):
+    """HR fixture: .hdr with HR markers + distance table, HR-layout .sen
+    (per-sample rows incl. a trailing partial burst), .a/.v/.c matrices
+    with leading burst+ensemble counters."""
+    with open(base + ".hdr", "w") as f:
+        f.write(
+            "Measurement/Burst interval            600 sec\n"
+            "Cell size                             30 mm\n"
+            f"Number of cells                       {ncells}\n"
+            "Blanking distance                     0.096 m\n"
+            "Extended velocity range               OFF\n"
+            f"Samples per burst                     {spb}\n"
+            "Sampling rate                         8 Hz\n"
+            "Coordinate system                     BEAM\n"
+            "Serial number                         AQD 9999\n"
+        )
+        f.write("Beam    Vertical\nDistances (m)\n---------\n")
+        for b in range(ncells):
+            f.write(f"{b + 1}\t{0.106 + 0.03 * b:.3f}\t{0.100 + 0.028 * b:.3f}\n")
+        f.write("Data file format\n")
+    nrows = nburst * spb + partial
+    with open(base + ".sen", "w") as f:
+        for i in range(nrows):
+            burst, samp = i // spb + 1, i % spb
+            # M D Y H M S burst ens err stat batt sspd hdg pitch roll pres temp a1 a2
+            f.write(
+                f"3 15 2024 10 {burst} {samp}.0000 {burst} {samp + 1} 0 0 "
+                f"12.5 1500.0 {100.0 + i} 1.5 -0.5 {20.0 + i} 18.5 32768 16384\n"
+            )
+    for n in (1, 2, 3):
+        for ext, fmt in (("a", "{v}"), ("v", "{v}"), ("c", "{v}")):
+            if ext == "c" and not cor:
+                continue
+            with open(f"{base}.{ext}{n}", "w") as f:
+                for i in range(nrows):
+                    burst, samp = i // spb + 1, i % spb
+                    vals = " ".join(
+                        str(n * 1000 + i * 10 + b) for b in range(ncells)
+                    )
+                    f.write(f"{burst} {samp + 1} {vals}\n")
+
+
+def test_aqd_hr_hdr_meta(tmp_path):
+    base = str(tmp_path / "HR01")
+    _write_hr_deployment(base)
+    meta = read_aqd_hdr_meta(base + ".hdr")
+    assert meta["AQDHR"] is True
+    assert meta["AQDHRSamplesPerBurst"] == 4
+    assert meta["AQDHRCellSize"] == 30
+    assert meta["AQDHRCellSize_m"] == pytest.approx(0.03)
+    assert meta["AQDHRBlankingDistance"] == pytest.approx(0.096)
+    assert meta["AQDHRCoordinateSystem"] == "BEAM"
+    # vertical column is the operative CCD for HR; beam kept alongside
+    assert meta["AQDCCD"][0] == pytest.approx(0.100)
+    assert meta["AQDCCDBEAM"][0] == pytest.approx(0.106)
+    assert len(meta["AQDCCD"]) == 5
+
+
+def test_aqd_hr_full_with_correlation(tmp_path, spark):
+    from stglib_spark.sources.aqd import read_aquadopp_hr
+
+    base = str(tmp_path / "HR01")
+    _write_hr_deployment(base, nburst=2, spb=4, ncells=5, partial=2)
+    df = read_aquadopp_hr(spark, base, {})
+    rows = df.orderBy("row_idx", "bin").collect()
+    # partial trailing burst truncated: 2 bursts * 4 samples * 5 cells
+    assert len(rows) == 2 * 4 * 5
+    r = rows[0]
+    assert {"VEL1", "VEL2", "VEL3", "AMP1", "COR1", "COR2", "COR3",
+            "burst", "sample", "burst_time", "Soundspeed"} <= set(df.columns)
+    assert r["AMP1"] == 1000.0 and r["COR1"] == 1000.0
+    assert r["VEL2"] == 2000.0
+    # bindist from the hdr's VERTICAL distance column
+    assert r["bindist"] == pytest.approx(0.100)
+    assert rows[1]["bindist"] == pytest.approx(0.128)
+    # burst/sample keys + burst_time = first sample's timestamp
+    assert r["burst"] == 0 and r["sample"] == 0
+    last = rows[-1]
+    assert last["burst"] == 1 and last["sample"] == 3
+    assert last["burst_time"] == dt.datetime(2024, 3, 15, 10, 2, 0)
+    assert r["burst_time"] == dt.datetime(2024, 3, 15, 10, 1, 0)
+
+
+def test_aqd_hr_missing_correlation_null_fills(tmp_path, spark):
+    from stglib_spark.sources import ingest, resolve_instrument
+    from stglib_spark.sources.aqd import read_aquadopp_hr
+
+    assert resolve_instrument("aqdhr") == "aqdhr"
+    base = str(tmp_path / "HR02")
+    _write_hr_deployment(base, cor=False)
+    df = ingest(spark, "aqdhr", base, {})
+    rows = df.orderBy("row_idx", "bin").collect()
+    assert len(rows) == 2 * 4 * 5
+    assert all(r["COR1"] is None and r["COR3"] is None for r in rows)
+    assert rows[0]["VEL1"] == 1000.0
