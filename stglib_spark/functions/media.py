@@ -1,12 +1,12 @@
 """Pure-Python media codecs for the multimodal operators.
 
-Real decoders for the self-describing uncompressed formats that need no
-external library — BMP (24-bit uncompressed, the public BITMAPINFOHEADER
-layout), binary PPM/PGM (netpbm P6/P5), and RIFF WAV (PCM 8/16-bit) —
-plus numpy-vectorized resize and feature pooling. These back the
-``decode_stub=False`` path of :mod:`stglib_spark.operators.multimodal`;
-compressed formats (JPEG/PNG/MP4) still raise ``NotImplementedError`` at
-the same plug point, now with the dispatch actually implemented.
+Real decoders for the formats expressible with the stdlib alone — BMP
+(24-bit uncompressed, the public BITMAPINFOHEADER layout), binary
+PPM/PGM (netpbm P6/P5), PNG (zlib DEFLATE, 8-bit gray/RGB/palette/
+alpha, filters 0-4), and RIFF WAV (PCM 8/16-bit) — plus numpy-vectorized
+resize and feature pooling. These back the ``decode_stub=False`` path of
+:mod:`stglib_spark.operators.multimodal`; JPEG (DCT) and compressed
+video still raise ``NotImplementedError`` at the same plug point.
 
 Everything is bytes→ndarray pure functions, safe inside Arrow-batched
 mapInPandas workers.
@@ -228,18 +228,162 @@ def audio_features(x: np.ndarray, dim: int) -> np.ndarray:
     return np.clip(out, 0.0, 1.0)
 
 
+# ---------------------------------------------------------------------------
+# PNG (stdlib zlib; 8-bit gray / RGB / palette / gray+alpha / RGBA,
+# filters 0-4, non-interlaced)
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# samples per pixel by PNG color type
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _png_chunks(payload: bytes):
+    pos = 8
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        yield ctype, payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln  # len + type + data + crc
+        if ctype == b"IEND":
+            break
+
+
+def _png_unfilter(raw: np.ndarray, h: int, stride: int, bpp: int) -> np.ndarray:
+    """Undo PNG per-scanline filtering. ``raw`` is h*(1+stride) filter-tagged
+    bytes; returns (h, stride) recovered bytes. Up/None rows are vectorized;
+    Sub/Average/Paeth carry a left-pixel dependency so they walk x in steps
+    of bpp (each step vectorized over the pixel's bytes)."""
+    raw = raw.reshape(h, 1 + stride)
+    out = np.zeros((h, stride), dtype=np.uint16)  # u16 so sums don't wrap
+    prev = np.zeros(stride, dtype=np.uint16)
+    for y in range(h):
+        ftype = int(raw[y, 0])
+        line = raw[y, 1:].astype(np.uint16)
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up
+            cur = (line + prev) & 0xFF
+        elif ftype == 1:  # Sub
+            cur = line.copy()
+            for x in range(bpp, stride, bpp):
+                cur[x : x + bpp] = (cur[x : x + bpp] + cur[x - bpp : x]) & 0xFF
+        elif ftype == 3:  # Average
+            cur = line.copy()
+            cur[:bpp] = (cur[:bpp] + prev[:bpp] // 2) & 0xFF
+            for x in range(bpp, stride, bpp):
+                cur[x : x + bpp] = (
+                    cur[x : x + bpp]
+                    + (cur[x - bpp : x] + prev[x : x + bpp]) // 2
+                ) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = line.copy()
+            cur[:bpp] = (cur[:bpp] + prev[:bpp]) & 0xFF  # a=c=0 → pred=b
+            for x in range(bpp, stride, bpp):
+                a = cur[x - bpp : x].astype(np.int32)
+                b = prev[x : x + bpp].astype(np.int32)
+                c = prev[x - bpp : x].astype(np.int32)
+                p = a + b - c
+                pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+                pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+                cur[x : x + bpp] = (cur[x : x + bpp] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG filter type {ftype} invalid")
+        out[y] = cur
+        prev = cur
+    return out.astype(np.uint8)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """PNG bytes → (h, w) gray or (h, w, 3) RGB uint8 via stdlib zlib.
+    Supports bit depth 8, color types 0/2/3/4/6, filters 0-4,
+    non-interlaced (the overwhelmingly common web/export case); alpha is
+    dropped, palette images expand through PLTE."""
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    ihdr = None
+    plte = None
+    idat = []
+    for ctype, body in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype_n, comp, filt, interlace = ihdr
+    if depth != 8:
+        raise UnsupportedMediaError(f"PNG bit depth {depth}: only 8 supported")
+    if interlace:
+        raise UnsupportedMediaError("Adam7-interlaced PNG not supported")
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG nonstandard compression/filter method")
+    if ctype_n not in _PNG_CHANNELS:
+        raise UnsupportedMediaError(f"PNG color type {ctype_n} not supported")
+    ch = _PNG_CHANNELS[ctype_n]
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), np.uint8)
+    if raw.size != h * (1 + stride):
+        raise ValueError("PNG IDAT length does not match dimensions")
+    img = _png_unfilter(raw, h, stride, ch).reshape(h, w, ch)
+    if ctype_n == 0:
+        return np.ascontiguousarray(img[..., 0])
+    if ctype_n == 2:
+        return np.ascontiguousarray(img)
+    if ctype_n == 3:
+        if plte is None:
+            raise ValueError("palette PNG missing PLTE")
+        return np.ascontiguousarray(plte[img[..., 0]])
+    if ctype_n == 4:  # gray + alpha → gray
+        return np.ascontiguousarray(img[..., 0])
+    return np.ascontiguousarray(img[..., :3])  # RGBA → RGB
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """(h, w[, 3]) uint8 → non-interlaced filter-0 PNG bytes."""
+    import zlib
+
+    img = np.asarray(img, dtype=np.uint8)
+    ctype = 0 if img.ndim == 2 else 2
+    h, w = img.shape[:2]
+    body = img.reshape(h, -1)
+    raw = np.concatenate(
+        [np.zeros((h, 1), np.uint8), body], axis=1
+    ).tobytes()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + tag + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def decode_image(payload: bytes) -> np.ndarray:
     """Dispatch image decode by magic bytes; UnsupportedMediaError names
-    the exact codec gap (JPEG/PNG) for compressed formats."""
+    the exact codec gap (JPEG) for formats needing an external codec."""
     kind = sniff(payload)
     if kind == "bmp":
         return decode_bmp(payload)
     if kind in ("ppm", "pgm"):
         return decode_pnm(payload)
-    if kind in ("jpeg", "png"):
+    if kind == "png":
+        return decode_png(payload)
+    if kind == "jpeg":
         raise UnsupportedMediaError(
-            f"{kind} decode requires an external codec (PIL) — "
-            "BMP/PPM/PGM are supported natively"
+            "jpeg decode requires an external codec (PIL) — "
+            "BMP/PPM/PGM/PNG are supported natively"
         )
     raise ValueError("payload is not a recognized image format")
 
@@ -247,15 +391,15 @@ def decode_image(payload: bytes) -> np.ndarray:
 def decode_features_real(payload: bytes, dim: int) -> np.ndarray:
     """Real (non-stub) feature extraction for any supported payload."""
     kind = sniff(payload)
-    if kind in ("bmp", "ppm", "pgm"):
+    if kind in ("bmp", "ppm", "pgm", "png"):
         return image_features(decode_image(payload), dim)
     if kind == "wav":
         x, _rate = decode_wav(payload)
         return audio_features(x, dim)
-    if kind in ("jpeg", "png"):
+    if kind == "jpeg":
         raise UnsupportedMediaError(
-            f"{kind} decode requires an external codec (PIL)"
+            "jpeg decode requires an external codec (PIL)"
         )
     raise UnsupportedMediaError(
-        "unrecognized media payload; real decode supports BMP/PPM/PGM/WAV"
+        "unrecognized media payload; real decode supports BMP/PPM/PGM/PNG/WAV"
     )

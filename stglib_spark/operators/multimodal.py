@@ -92,8 +92,8 @@ def decode_features(
                     feat = pixels.reshape(feature_dim, 16).mean(axis=1) / 255.0
                     feat = feat.astype(np.float32)
                 else:
-                    # real decode: BMP/PPM/PGM/WAV natively; JPEG/PNG/MP4
-                    # raise UnsupportedMediaError at this exact plug point
+                    # real decode: BMP/PPM/PGM/PNG/WAV natively; JPEG and
+                    # compressed video raise UnsupportedMediaError here
                     from stglib_spark.functions.media import decode_features_real
 
                     feat = decode_features_real(payload, feature_dim)

@@ -2725,6 +2725,53 @@ def mm_decode_real_bmp(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_decode_real_png",
+    """
+    SELECT doc_id AS media_id,
+           round((doc_id % 256) / 255.0, 5) AS f0,
+           round((doc_id % 256) / 255.0, 5) AS f15
+    FROM documents
+    """,
+)
+def mm_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-image codec path, oracle-checked end-to-end:
+    synthesize a constant-color 8×8 RGB PNG per document (color =
+    doc_id % 256) inside an Arrow batch, decode with the pure-Python
+    zlib-DEFLATE PNG codec (functions/media.py decode_png,
+    decode_stub=False), mean-pool to features. A constant image's every
+    feature slot is exactly color/255, so DuckDB reproduces the chain
+    analytically. n_bytes is NOT oracled: DEFLATE output length varies
+    with the color byte. (5-decimal rounding: float32 pooling, same
+    boundary cases as the BMP query.)"""
+    from stglib_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_png(batches):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.media import encode_png
+
+        for pdf in batches:
+            payloads = [
+                encode_png(np.full((8, 8, 3), int(i) % 256, dtype=np.uint8))
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    media = spread(docs.select("doc_id")).mapInPandas(
+        make_png, "media_id long, content binary"
+    )
+    out = mm.decode_features(media, feature_dim=16, decode_stub=False)
+    return out.select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+        F.round(F.element_at("feature", 16).cast("double"), 5).alias("f15"),
+    )
+
+
 @register("mm_video_frames")  # rows-only: stub frame sampler
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling shape (north-star): one output row per
@@ -2844,6 +2891,7 @@ def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # had no CORRECTNESS_r03 row (their last driver evidence is r1/r2).
 _FRONT = [
     # new / changed in round 4: must get fresh CORRECTNESS_r04 rows
+    "mm_decode_real_png",
     "mm_decode_features",
     "mm_video_frames",
     # stale since r1/r2 — no CORRECTNESS_r03 row (driver window missed them)

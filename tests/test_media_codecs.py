@@ -155,3 +155,129 @@ def test_resize_images_real_in_spark(spark):
     assert out["width"] == 8 and out["height"] == 8
     back = decode_bmp(bytes(out["content"]))
     np.testing.assert_array_equal(back, resize_nearest(img, 8, 8))
+
+
+# --------------------------------------------------------------------------
+# PNG (zlib DEFLATE) — round trips plus hand-FORWARD-filtered fixtures so
+# every unfilter branch (Sub/Up/Average/Paeth) is inverted against an
+# independent construction, not the encoder's own filter-0 output.
+# --------------------------------------------------------------------------
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(data)) + tag + data
+        + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+    )
+
+
+def _handmade_png(img: np.ndarray, ftypes, ctype=2, plte=None) -> bytes:
+    import struct
+    import zlib
+
+    h, w = img.shape[:2]
+    ch = img.shape[2] if img.ndim == 3 else 1
+    flat = img.reshape(h, w * ch).astype(np.int32)
+    prev = np.zeros(w * ch, np.int32)
+    raw = b""
+    for y, ft in enumerate(ftypes):
+        cur = flat[y]
+        a = np.concatenate([np.zeros(ch, np.int32), cur[:-ch]])
+        b = prev
+        c = np.concatenate([np.zeros(ch, np.int32), prev[:-ch]])
+        if ft == 0:
+            enc = cur
+        elif ft == 1:
+            enc = cur - a
+        elif ft == 2:
+            enc = cur - b
+        elif ft == 3:
+            enc = cur - (a + b) // 2
+        else:
+            p = a + b - c
+            pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+            pred = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+            enc = cur - pred
+        raw += bytes([ft]) + (enc & 0xFF).astype(np.uint8).tobytes()
+        prev = cur
+    import struct
+
+    out = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    )
+    if plte is not None:
+        out += _png_chunk(b"PLTE", plte.tobytes())
+    return out + _png_chunk(b"IDAT", zlib.compress(raw)) + _png_chunk(b"IEND", b"")
+
+
+def test_png_roundtrip_exact():
+    from stglib_spark.functions.media import decode_png, encode_png
+
+    rng = np.random.RandomState(3)
+    for shape in [(13, 17, 3), (9, 5)]:
+        img = rng.randint(0, 256, shape, dtype=np.uint8)
+        out = decode_png(encode_png(img))
+        np.testing.assert_array_equal(out, img)
+    assert sniff(encode_png(np.zeros((2, 2), np.uint8))) == "png"
+
+
+def test_png_unfilters_all_filter_types():
+    from stglib_spark.functions.media import decode_png
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 256, (8, 6, 3), dtype=np.uint8)
+    for ftypes in ([1] * 8, [2] * 8, [3] * 8, [4] * 8, [0, 1, 2, 3, 4, 4, 3, 1]):
+        got = decode_png(_handmade_png(img, ftypes))
+        np.testing.assert_array_equal(got, img)
+
+
+def test_png_palette_and_alpha_variants():
+    from stglib_spark.functions.media import decode_png
+
+    rng = np.random.RandomState(5)
+    pal = rng.randint(0, 256, (4, 3), dtype=np.uint8)
+    idx = rng.randint(0, 4, (5, 7), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_handmade_png(idx, [0] * 5, ctype=3, plte=pal)), pal[idx]
+    )
+    rgba = rng.randint(0, 256, (4, 3, 4), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_handmade_png(rgba, [2] * 4, ctype=6)), rgba[..., :3]
+    )
+    ga = rng.randint(0, 256, (4, 3, 2), dtype=np.uint8)
+    np.testing.assert_array_equal(
+        decode_png(_handmade_png(ga, [1] * 4, ctype=4)), ga[..., 0]
+    )
+
+
+def test_png_decode_through_decode_image_and_features():
+    from stglib_spark.functions.media import decode_png, encode_png
+
+    img = np.full((8, 8, 3), 131, dtype=np.uint8)
+    png = encode_png(img)
+    np.testing.assert_array_equal(decode_image(png), img)
+    feat = decode_features_real(png, 16)
+    np.testing.assert_allclose(feat, np.full(16, 131 / 255.0, np.float32), rtol=1e-6)
+
+
+def test_png_unsupported_variants_raise():
+    import struct
+    import zlib
+
+    from stglib_spark.functions.media import decode_png
+
+    # 16-bit depth
+    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 26)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(UnsupportedMediaError, match="bit depth"):
+        decode_png(bad)
+    # interlaced
+    bad = b"\x89PNG\r\n\x1a\n" + _png_chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + _png_chunk(b"IEND", b"")
+    with pytest.raises(UnsupportedMediaError, match="interlaced"):
+        decode_png(bad)
