@@ -34,6 +34,8 @@ def sniff(payload: bytes) -> str | None:
         return "pgm"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"AVI ":
+        return "avi"
     if payload[:3] == b"\xff\xd8\xff":
         return "jpeg"
     if payload[:8] == b"\x89PNG\r\n\x1a\n":
@@ -368,6 +370,133 @@ def encode_png(img: np.ndarray) -> bytes:
         + chunk(b"IDAT", zlib.compress(raw, 6))
         + chunk(b"IEND", b"")
     )
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF container, uncompressed 24-bit DIB frames — '00db' chunks)
+# ---------------------------------------------------------------------------
+
+
+def _riff_chunks(payload: bytes, start: int, end: int):
+    """Walk (fourcc, body_start, body_size) over a RIFF chunk run."""
+    pos = start
+    while pos + 8 <= end:
+        cid = payload[pos : pos + 4]
+        (sz,) = struct.unpack_from("<I", payload, pos + 4)
+        yield cid, pos + 8, sz
+        pos += 8 + sz + (sz & 1)
+
+
+def decode_avi(payload: bytes) -> tuple[list[np.ndarray], float]:
+    """AVI bytes → (frames as (h, w, 3) uint8 RGB, fps). Supports the
+    uncompressed-DIB stream ('00db' chunks, biCompression=0, 24-bit,
+    bottom-up rows — the layout ffmpeg's ``-c:v rawvideo -pix_fmt bgr24``
+    writes); compressed codecs (MJPG/H.264…) raise UnsupportedMediaError
+    at this plug point."""
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+    width = height = None
+    fps = 0.0
+    compression = 0
+    bpp = 24
+    frames: list[np.ndarray] = []
+
+    def walk(start: int, end: int) -> None:
+        nonlocal width, height, fps, compression, bpp
+        for cid, body, sz in _riff_chunks(payload, start, end):
+            if cid == b"LIST":
+                walk(body + 4, body + sz)  # skip list type fourcc
+            elif cid == b"avih":
+                (us_per_frame,) = struct.unpack_from("<I", payload, body)
+                if us_per_frame:
+                    fps = 1e6 / us_per_frame
+            elif cid == b"strf" and width is None:
+                # BITMAPINFOHEADER for the first (video) stream
+                _sz, w, h = struct.unpack_from("<Iii", payload, body)
+                _planes, bits = struct.unpack_from("<HH", payload, body + 12)
+                (comp,) = struct.unpack_from("<I", payload, body + 16)
+                width, height, bpp, compression = w, h, bits, comp
+            elif cid in (b"00db", b"00dc"):
+                frames.append(payload[body : body + sz])
+
+    walk(12, len(payload))
+    if width is None or not frames:
+        raise ValueError("AVI missing stream format or frame data")
+    if compression != 0 or bpp != 24:
+        raise UnsupportedMediaError(
+            f"AVI biCompression={compression} bpp={bpp}: only uncompressed "
+            "24-bit DIB frames are supported without an external codec"
+        )
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    out = []
+    for raw in frames:
+        rows = np.frombuffer(raw, np.uint8, count=row_bytes * h).reshape(
+            h, row_bytes
+        )
+        img = rows[:, : width * 3].reshape(h, width, 3)[..., ::-1]  # BGR→RGB
+        if height > 0:  # bottom-up
+            img = img[::-1]
+        out.append(np.ascontiguousarray(img))
+    return out, fps
+
+
+def encode_avi(frames: list[np.ndarray], fps: float = 10.0) -> bytes:
+    """(h, w, 3) uint8 RGB frames → minimal uncompressed-DIB AVI bytes."""
+    frames = [np.asarray(f, np.uint8) for f in frames]
+    h, w = frames[0].shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+
+    def dib(img: np.ndarray) -> bytes:
+        body = np.zeros((h, row_bytes), np.uint8)
+        body[:, : w * 3] = img[::-1, :, ::-1].reshape(h, w * 3)  # flip, RGB→BGR
+        return body.tobytes()
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        pad = b"\x00" if len(data) & 1 else b""
+        return tag + struct.pack("<I", len(data)) + data + pad
+
+    def lst(kind: bytes, data: bytes) -> bytes:
+        return chunk(b"LIST", kind + data)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        int(1e6 / fps), row_bytes * h * int(fps), 0, 0x10, len(frames),
+        0, 1, row_bytes * h, w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIIII", 0, 0, 0, 0,
+                                        1, int(fps), 0, len(frames),
+                                        row_bytes * h, 0, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_bytes * h, 2835, 2835, 0, 0
+    )
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + lst(
+        b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)
+    ))
+    movi = lst(b"movi", b"".join(chunk(b"00db", dib(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def sample_avi_frames(
+    payload: bytes, n_frames: int, duration_ms: int | None = None
+) -> list[tuple[int, np.ndarray]]:
+    """Evenly sample ``n_frames`` from an AVI clip → [(t_ms, frame)].
+    Timing comes from the container's own fps unless ``duration_ms``
+    overrides it (t = i·dur/n, source frame = floor(t·fps), clamped)."""
+    frames, fps = decode_avi(payload)
+    n = len(frames)
+    if duration_ms is None:
+        duration_ms = int(n / fps * 1000) if fps else 1000
+    out = []
+    for i in range(n_frames):
+        t_ms = int(i * duration_ms / n_frames)
+        idx = min(int(t_ms / 1000.0 * fps) if fps else i, n - 1)
+        out.append((t_ms, frames[idx]))
+    return out
 
 
 def decode_image(payload: bytes) -> np.ndarray:

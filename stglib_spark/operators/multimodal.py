@@ -154,7 +154,11 @@ def sample_video_frames(
 ) -> DataFrame:
     """video binary → n_frames evenly-spaced frame features, one row per
     (media_id, frame_idx) — the explode-to-frames shape a video training
-    pipeline needs. Stub derives per-frame features; real: ffmpeg seek."""
+    pipeline needs. Real path (decode_stub=False) decodes uncompressed-DIB
+    AVI natively (functions/media.py decode_avi) and mean-pools each
+    sampled frame to a 64-float feature; compressed codecs (MJPG/H.264…)
+    raise UnsupportedMediaError at the same plug point (ffmpeg would slot
+    in there). Stub derives per-frame features from a byte-field fake."""
     out_schema = StructType(
         [
             StructField("media_id", LongType()),
@@ -171,20 +175,37 @@ def sample_video_frames(
                 pdf["media_id"], pdf["content"], pdf["duration_ms"]
             ):
                 payload = bytes(content) if content is not None else b""
-                if not decode_stub:
-                    raise NotImplementedError(
-                        "real frame sampling requires ffmpeg — plug in here"
-                    )
                 dur = int(dur) if dur is not None else 1000
-                for i in range(n_frames):
-                    t_ms = int(i * dur / n_frames)
-                    frame = _fake_decode(payload + t_ms.to_bytes(4, "big"), 64)
+                if decode_stub:
+                    sampled = [
+                        (
+                            int(i * dur / n_frames),
+                            _fake_decode(
+                                payload
+                                + int(i * dur / n_frames).to_bytes(4, "big"),
+                                64,
+                            ).astype(np.float32)
+                            / 255.0,
+                        )
+                        for i in range(n_frames)
+                    ]
+                else:
+                    from stglib_spark.functions.media import (
+                        image_features,
+                        sample_avi_frames,
+                    )
+
+                    sampled = [
+                        (t_ms, image_features(frame, 64))
+                        for t_ms, frame in sample_avi_frames(
+                            payload, n_frames, duration_ms=dur
+                        )
+                    ]
+                for i, (t_ms, feat) in enumerate(sampled):
                     rows["media_id"].append(mid)
                     rows["frame_idx"].append(i)
                     rows["t_ms"].append(t_ms)
-                    rows["feature"].append(
-                        (frame.astype(np.float32) / 255.0).tolist()
-                    )
+                    rows["feature"].append(np.asarray(feat, np.float32).tolist())
             yield pd.DataFrame(rows)
 
     return df.filter(F.col("kind") == "video").select(

@@ -2772,6 +2772,68 @@ def mm_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_video_frames_real",
+    """
+    SELECT doc_id AS media_id,
+           i AS frame_idx,
+           i * 500 AS t_ms,
+           round(((doc_id + 2 * i * 17) % 256) / 255.0, 5) AS f0
+    FROM documents
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    """,
+)
+def mm_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame sampling, oracle-checked end-to-end: synthesize an
+    8-frame uncompressed-DIB AVI per document (frame k is constant color
+    (doc_id + 17k) % 256, 4 fps → 2000 ms), decode with the pure-Python
+    AVI parser (functions/media.py decode_avi, decode_stub=False), sample
+    4 evenly-spaced frames. Sampling timing is analytic: t_ms = i·500,
+    source frame = floor(t·fps) = 2i, so every feature slot of sample i
+    is ((doc_id + 34i) % 256)/255 and DuckDB reproduces the chain."""
+    from stglib_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_avi(batches):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.media import encode_avi
+
+        for pdf in batches:
+            payloads = [
+                encode_avi(
+                    [
+                        np.full((8, 8, 3), (int(i) + 17 * k) % 256, np.uint8)
+                        for k in range(8)
+                    ],
+                    fps=4.0,
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "content": payloads,
+                    "duration_ms": 2000,
+                }
+            )
+
+    media = spread(docs.select("doc_id")).mapInPandas(
+        make_avi,
+        "media_id long, kind string, content binary, duration_ms int",
+    )
+    out = mm.sample_video_frames(media, n_frames=4, decode_stub=False)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "t_ms",
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+    )
+
+
 @register("mm_video_frames")  # rows-only: stub frame sampler
 def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling shape (north-star): one output row per
@@ -2892,6 +2954,7 @@ def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRONT = [
     # new / changed in round 4: must get fresh CORRECTNESS_r04 rows
     "mm_decode_real_png",
+    "mm_video_frames_real",
     "mm_decode_features",
     "mm_video_frames",
     # stale since r1/r2 — no CORRECTNESS_r03 row (driver window missed them)

@@ -281,3 +281,49 @@ def test_png_unsupported_variants_raise():
     ) + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 14)) + _png_chunk(b"IEND", b"")
     with pytest.raises(UnsupportedMediaError, match="interlaced"):
         decode_png(bad)
+
+
+# --------------------------------------------------------------------------
+# AVI (uncompressed-DIB frames)
+# --------------------------------------------------------------------------
+
+
+def test_avi_roundtrip_exact():
+    from stglib_spark.functions.media import decode_avi, encode_avi
+
+    rng = np.random.RandomState(11)
+    frames = [rng.randint(0, 256, (6, 10, 3), dtype=np.uint8) for _ in range(5)]
+    payload = encode_avi(frames, fps=4.0)
+    assert sniff(payload) == "avi"
+    out, fps = decode_avi(payload)
+    assert fps == pytest.approx(4.0) and len(out) == 5
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
+
+
+def test_avi_frame_sampling_timing():
+    from stglib_spark.functions.media import encode_avi, sample_avi_frames
+
+    frames = [np.full((4, 4, 3), 10 * k, np.uint8) for k in range(8)]
+    payload = encode_avi(frames, fps=4.0)
+    # t = i*500ms, source frame = floor(t*fps) = 2i
+    sampled = sample_avi_frames(payload, 4, duration_ms=2000)
+    assert [(t, int(f[0, 0, 0])) for t, f in sampled] == [
+        (0, 0), (500, 20), (1000, 40), (1500, 60)
+    ]
+    # container-fps timing when no duration override (8 frames / 4 fps = 2 s)
+    sampled = sample_avi_frames(payload, 4)
+    assert [t for t, _ in sampled] == [0, 500, 1000, 1500]
+
+
+def test_avi_compressed_codec_raises():
+    import struct
+
+    from stglib_spark.functions.media import decode_avi, encode_avi
+
+    payload = bytearray(encode_avi([np.zeros((2, 2, 3), np.uint8)], fps=2.0))
+    i = payload.find(b"strf")
+    # biCompression field inside BITMAPINFOHEADER ('MJPG')
+    struct.pack_into("<I", payload, i + 8 + 16, 0x47504A4D)
+    with pytest.raises(UnsupportedMediaError, match="biCompression"):
+        decode_avi(bytes(payload))

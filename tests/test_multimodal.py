@@ -62,3 +62,36 @@ def test_real_decode_seam_raises_on_unsupported(spark, media_df):
         decode_features(media_df, decode_stub=False).collect()
     msg = str(exc.value)
     assert "UnsupportedMediaError" in msg or "BMP/PPM/PGM/WAV" in msg
+
+
+def test_video_frame_sampling_real_avi(spark):
+    """decode_stub=False really parses the AVI container: constant-color
+    frames make every feature slot color/255 exactly."""
+    import numpy as np
+
+    from stglib_spark.functions.media import encode_avi
+
+    payload = encode_avi(
+        [np.full((8, 8, 3), 10 * k, np.uint8) for k in range(8)], fps=4.0
+    )
+    df = spark.createDataFrame(
+        [(7, "video", bytearray(payload), "video/avi", 8, 8, 2000)],
+        MEDIA_SCHEMA,
+    )
+    rows = (
+        sample_video_frames(df, n_frames=4, decode_stub=False)
+        .orderBy("frame_idx")
+        .collect()
+    )
+    assert [(r.frame_idx, r.t_ms) for r in rows] == [
+        (0, 0), (1, 500), (2, 1000), (3, 1500)
+    ]
+    for r, color in zip(rows, [0, 20, 40, 60]):
+        assert len(r.feature) == 64
+        assert all(abs(f - color / 255.0) < 1e-6 for f in r.feature)
+
+
+def test_video_real_path_raises_on_non_avi(spark, media_df):
+    with pytest.raises(Exception) as exc:
+        sample_video_frames(media_df, n_frames=2, decode_stub=False).collect()
+    assert "AVI" in str(exc.value) or "ValueError" in str(exc.value)
