@@ -2590,6 +2590,85 @@ def wave_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wave_psd_welch_oracle",
+    """
+    WITH base AS (
+      SELECT date_trunc('day', ts) AS burst,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts, event_id) - 1 AS n,
+             value AS x
+      FROM events
+    ), b AS (
+      SELECT * FROM base WHERE n < 16
+    ), full_b AS (
+      SELECT burst FROM b GROUP BY burst HAVING count(*) = 16
+    ), dm AS (
+      SELECT b.burst, b.n,
+             b.x - avg(b.x) OVER (PARTITION BY b.burst) AS xd
+      FROM b JOIN full_b USING (burst)
+    ), bins AS (SELECT unnest([1, 2, 3]) AS k),
+    d AS (
+      SELECT burst, k,
+             sum(xd * 0.5 * (1 - cos(2 * pi() * n / 16.0))
+                    * cos(2 * pi() * k * n / 16.0)) AS re,
+             sum(xd * 0.5 * (1 - cos(2 * pi() * n / 16.0))
+                    * sin(2 * pi() * k * n / 16.0)) AS im
+      FROM dm CROSS JOIN bins GROUP BY burst, k
+    )
+    SELECT burst, k, round((re * re + im * im) / 3.0, 6) AS psd
+    FROM d
+    """,
+)
+def wave_psd_welch_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYTIC ORACLE for the spectral kernel (upgrades the previously
+    rows-only Welch family): 64-sample single-segment bursts make the
+    Welch PSD a plain windowed DFT — hann(periodic) has Σw² = 3N/8
+    exactly, so psd_k = |Σ (x-x̄)·w·e^{-2πikn/N}|² · 2/(fs·3N/8) and
+    DuckDB reproduces bins k=1..3 by direct summation. The Spark side
+    runs the REAL engine kernel (functions/signal.py welch_psd — the same
+    rfft path every wave-stats query rides) per burst via applyInPandas.
+    N=16 (single segment at every SF; the sparse test stream has only
+    ~33 events/day at sf0.001), fs=1 Hz → scale 2/(1·6) = 1/3."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.date_trunc("day", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    base = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("burst"),
+        (F.row_number().over(w) - 1).alias("n"),
+        F.col("value").alias("x"),
+    ).filter(F.col("n") < 16)
+    full_b = base.groupBy("burst").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") == 16
+    )
+    bursts = base.join(full_b.select("burst"), "burst")
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.signal import welch_psd
+
+        pdf = pdf.sort_values("n")
+        _f, pxx = welch_psd(pdf["x"].to_numpy(float), fs=1.0, nperseg=16)
+        return pd.DataFrame(
+            {
+                "burst": pdf["burst"].iloc[:3],
+                "k": np.array([1, 2, 3], np.int32),
+                "psd": np.round(pxx[1:4], 6),
+            }
+        )
+
+    return (
+        bursts.groupBy("burst")
+        .applyInPandas(kernel, "burst timestamp, k int, psd double")
+        .select("burst", "k", "psd")
+    )
+
+
 @register("wave_stats_elev")  # rows-only oracle (FFT chain)
 def wave_stats_elev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Direct surface-elevation wave statistics (core/waves.py:684-743):
@@ -2955,6 +3034,7 @@ _FRONT = [
     # new / changed in round 4: must get fresh CORRECTNESS_r04 rows
     "mm_decode_real_png",
     "mm_video_frames_real",
+    "wave_psd_welch_oracle",
     "mm_decode_features",
     "mm_video_frames",
     # stale since r1/r2 — no CORRECTNESS_r03 row (driver window missed them)
