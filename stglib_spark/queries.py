@@ -2521,6 +2521,64 @@ def wave_puv_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wave_puv_azimuth_oracle",
+    """
+    WITH b AS (
+      SELECT time_bucket(INTERVAL 48 HOURS, ts, TIMESTAMP '1970-01-01')
+               AS burst_time,
+             count(*) AS n
+      FROM events
+      GROUP BY 1
+      HAVING count(*) >= 32
+    ), c AS (
+      SELECT burst_time,
+             CASE (epoch(burst_time)::BIGINT // 172800) % 4
+               WHEN 0 THEN -2.0 WHEN 1 THEN -0.5
+               WHEN 2 THEN 0.5 ELSE 2.0 END AS cc
+      FROM b
+    )
+    SELECT burst_time,
+           round(90.0 - degrees(atan(sign(cc) * cc * cc)), 6) AS azr
+    FROM c
+    """,
+)
+def wave_puv_azimuth_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYTIC ORACLE for the PUV direction estimator (upgrades part of
+    the rows-only PUV family): feed the REAL kernel (puv_quick_np —
+    detrend → Welch → band integrals → φr) v = c·u with a per-burst
+    constant c. Both spectra and the linear detrend are homogeneous, so
+    Gvv = c²·Guu bin-for-bin, corrcoef(u, cu) = sign(c), and the band
+    sums cancel out of φr = atan2(sign(c)·c²·ΣGuu, ΣGuu) exactly:
+    azimuth = 90° − degrees(atan(sign(c)·c²)) independent of the data —
+    which DuckDB states in closed form while Spark must earn it through
+    the full spectral chain."""
+    ev = load_table(spark, sf_dir, "events")
+    base = timeops.burst_keys(
+        ev.select(F.col("ts").alias("time"), (F.col("value") / 10.0).alias("P_1ac")),
+        time_col="time",
+        interval_seconds=48 * 3600,
+        tiebreak_col=None,
+    )
+    # burst_time sits on 48 h boundaries, so epoch // 172800 is exact
+    bidx = F.pmod(
+        (F.unix_timestamp("burst_time") / F.lit(172800)).cast("long"), F.lit(4)
+    )
+    cc = (
+        F.when(bidx == 0, -2.0)
+        .when(bidx == 1, -0.5)
+        .when(bidx == 2, 0.5)
+        .otherwise(2.0)
+    )
+    synth = base.withColumn("u_1205", F.col("P_1ac") * 3.0).withColumn(
+        "v_1206", cc * F.col("u_1205")
+    )
+    cfg = {"sample_interval": 155.0, "pressure_sensor_height": 0.5,
+           "puv_fft_length": 64}
+    out = wave_ops.make_puv_ds(synth, cfg)
+    return out.select("burst_time", F.round("azr", 6).alias("azr"))
+
+
 @register("wave_diwasp_dirspec")  # rows-only: complex cross-spectra + IMLM
 def wave_diwasp_dirspec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Directional wave spectra per burst (DIWASP semantics:
@@ -3035,6 +3093,7 @@ _FRONT = [
     "mm_decode_real_png",
     "mm_video_frames_real",
     "wave_psd_welch_oracle",
+    "wave_puv_azimuth_oracle",
     "mm_decode_features",
     "mm_video_frames",
     # stale since r1/r2 — no CORRECTNESS_r03 row (driver window missed them)
