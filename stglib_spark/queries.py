@@ -2411,6 +2411,73 @@ def phys_transfer_function(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+@register(
+    "filt_iir_recursion_oracle",
+    """
+    WITH RECURSIVE base AS (
+      SELECT date_trunc('day', ts) AS burst,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts, event_id) - 1 AS n,
+             value AS x
+      FROM events
+    ), clipped AS (
+      SELECT * FROM base WHERE n < 64
+    ), rec AS (
+      SELECT burst, 0 AS n, x::DOUBLE AS x, CAST(0.0 AS DOUBLE) AS xp,
+             0.06745527388907192 * x AS y, CAST(0.0 AS DOUBLE) AS yp
+      FROM clipped WHERE n = 0
+      UNION ALL
+      SELECT r.burst, r.n + 1, b.x, r.x,
+             0.06745527388907192 * b.x + 0.13491054777814385 * r.x
+               + 0.06745527388907192 * r.xp
+               - (-1.1429805025399011) * r.y - 0.41280159809618877 * r.yp,
+             r.y
+      FROM rec r JOIN clipped b ON b.burst = r.burst AND b.n = r.n + 1
+    )
+    SELECT burst, n, round(y, 5) AS y FROM rec
+    """,
+)
+def filt_iir_recursion_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYTIC ORACLE for the IIR kernel (upgrades the rows-only filter
+    family): the engine's lfilter (functions/signal.py:130, direct-form
+    II transposed — the primitive under every Butterworth/filtfilt
+    operator) runs per burst over 64-sample day bursts, while DuckDB
+    replays the same order-2 Butterworth (wn=0.2, coefficients inlined
+    from butter_ba) as the textbook direct-form-I recurrence in a
+    recursive CTE. The two forms are algebraically identical; 5-decimal
+    rounding absorbs last-bit ordering drift."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.date_trunc("day", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    base = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("burst"),
+        (F.row_number().over(w) - 1).alias("n"),
+        F.col("value").alias("x"),
+    ).filter(F.col("n") < 64)
+
+    def kernel(pdf):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.signal import butter_ba, lfilter
+
+        b, a = butter_ba(2, 0.2, "lowpass")
+        pdf = pdf.sort_values("n")
+        y = lfilter(b, a, pdf["x"].to_numpy(float))
+        return pd.DataFrame(
+            {"burst": pdf["burst"], "n": pdf["n"], "y": np.round(y, 5)}
+        )
+
+    return (
+        base.groupBy("burst")
+        .applyInPandas(kernel, "burst timestamp, n int, y double")
+        .select("burst", "n", "y")
+    )
+
+
 @register("filt_butterworth_lowpass")  # rows-only: zero-phase IIR
 def filt_butterworth_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stglib_spark.operators import filters
@@ -3094,6 +3161,7 @@ _FRONT = [
     "mm_video_frames_real",
     "wave_psd_welch_oracle",
     "wave_puv_azimuth_oracle",
+    "filt_iir_recursion_oracle",
     "mm_decode_features",
     "mm_video_frames",
     # stale since r1/r2 — no CORRECTNESS_r03 row (driver window missed them)
