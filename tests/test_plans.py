@@ -181,3 +181,28 @@ def test_q10_broadcasts_dims_and_takes_ordered(spark):
     assert "TakeOrderedAndProject" in plan, plan
     m = re.search(r"PushedFilters: \[([^\]]*l_returnflag[^\]]*)\]", plan)
     assert m, plan
+
+
+def test_real_png_and_avi_queries_prune_to_doc_id(spark):
+    """The round-4 real-codec queries synthesize payloads from doc_id —
+    the parquet scan must prune to that single column."""
+    for name in ("mm_decode_real_png", "mm_video_frames_real"):
+        plan = plan_of(spark, name)
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, plan
+        assert m.group(1) == "doc_id:bigint", (name, m.group(1))
+
+
+def test_spectral_oracles_never_single_partition(spark):
+    """The analytic spectral/IIR oracle queries window and aggregate per
+    burst — partitioned exchanges only, never a global window over fact
+    rows, never a cartesian."""
+    for name in (
+        "wave_psd_welch_oracle",
+        "wave_puv_azimuth_oracle",
+        "filt_iir_recursion_oracle",
+    ):
+        plan = plan_of(spark, name, "simple")
+        assert "Exchange SinglePartition" not in plan, name
+        assert count(plan, r"CartesianProduct") == 0, name
+        assert count(plan, r"BroadcastNestedLoopJoin") == 0, name
