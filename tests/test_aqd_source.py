@@ -266,3 +266,39 @@ def test_aqd_hr_missing_correlation_null_fills(tmp_path, spark):
     assert len(rows) == 2 * 4 * 5
     assert all(r["COR1"] is None and r["COR3"] is None for r in rows)
     assert rows[0]["VEL1"] == 1000.0
+
+
+def test_aqd_hr_correlation_feeds_cor_gate(spark):
+    """The reason HR loads .cN files: the average-correlation QA gate
+    (aqdutils.py:1668-1714). HR ingest → cor_avg → fill_cor nulls
+    velocities where the burst's mean correlation fails the threshold."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from stglib_spark.operators.velocity import fill_cor
+    from stglib_spark.sources.aqd import read_aquadopp_hr
+
+    d = tempfile.mkdtemp()
+    base = os.path.join(d, "HR03")
+    _write_hr_deployment(base, nburst=2, spb=4, ncells=5, partial=0)
+    df = read_aquadopp_hr(spark, base, {})
+    # per-row average beam correlation, then EPIC velocity naming
+    enu = df.select(
+        "row_idx", "bin",
+        F.col("VEL1").alias("u_1205"),
+        F.col("VEL2").alias("v_1206"),
+        F.col("VEL3").alias("w_1204"),
+        ((F.col("COR1") + F.col("COR2") + F.col("COR3")) / 3).alias("cor_avg"),
+    )
+    thr = float(
+        enu.agg(F.expr("percentile_approx(cor_avg, 0.5)")).collect()[0][0]
+    )
+    gated = fill_cor(enu, {"velocity_cor_min": thr})
+    rows = gated.collect()
+    kept = [r for r in rows if r["u_1205"] is not None]
+    dropped = [r for r in rows if r["u_1205"] is None]
+    assert kept and dropped  # threshold actually bites
+    assert all(r["cor_avg"] > thr for r in kept)
+    assert all(r["cor_avg"] <= thr for r in dropped)
