@@ -303,3 +303,43 @@ def test_hash60_spark_duckdb_parity_random(spark):
         ).fetchone()[0]
         assert got[s] == d, repr(s)
     con.close()
+
+
+@given(
+    h=st.integers(1, 12),
+    w=st.integers(1, 12),
+    gray=st.booleans(),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_any_shape(h, w, gray, seed):
+    """PNG encode→decode is the identity for any uint8 image, gray or RGB."""
+    from stglib_spark.functions.media import decode_png, encode_png
+
+    shape = (h, w) if gray else (h, w, 3)
+    img = np.random.RandomState(seed).randint(0, 256, shape, dtype=np.uint8)
+    np.testing.assert_array_equal(decode_png(encode_png(img)), img)
+
+
+@given(
+    h=st.integers(1, 8),
+    w=st.integers(1, 8),
+    nframes=st.integers(1, 6),
+    fps=st.sampled_from([2.0, 4.0, 24.0]),
+    seed=st.integers(0, 2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_avi_roundtrip_any_shape(h, w, nframes, fps, seed):
+    """AVI encode→decode is the identity for any frame stack, including
+    widths needing DIB row padding, and preserves fps."""
+    from stglib_spark.functions.media import decode_avi, encode_avi
+
+    rng = np.random.RandomState(seed)
+    frames = [
+        rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(nframes)
+    ]
+    out, got_fps = decode_avi(encode_avi(frames, fps=fps))
+    assert got_fps == pytest.approx(fps, rel=1e-4)
+    assert len(out) == nframes
+    for a, b in zip(frames, out):
+        np.testing.assert_array_equal(a, b)
