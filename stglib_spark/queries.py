@@ -2478,6 +2478,118 @@ def filt_iir_recursion_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "filt_filtfilt_oracle",
+    """
+    WITH RECURSIVE base AS (
+      SELECT date_trunc('day', ts) AS burst,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts, event_id) - 1 AS n,
+             value::DOUBLE AS x
+      FROM events
+    ), clip AS (
+      SELECT * FROM base WHERE n < 64
+    ), sz AS (
+      SELECT burst, count(*)::INT AS nn FROM clip GROUP BY burst
+      HAVING count(*) >= 10
+    ), ends AS (
+      SELECT c.burst, s.nn,
+             max(CASE WHEN c.n = 0 THEN c.x END) AS x0,
+             max(CASE WHEN c.n = s.nn - 1 THEN c.x END) AS xl
+      FROM clip c JOIN sz s USING (burst) GROUP BY c.burst, s.nn
+    ), idx AS (
+      SELECT e.burst, e.nn, e.x0, e.xl,
+             unnest(generate_series(0, e.nn + 17)) AS m
+      FROM ends e
+    ), ext AS (
+      -- odd-reflection padding, padlen 3*max(len(a),len(b)) = 9
+      SELECT i.burst, i.nn, i.m,
+             CASE WHEN i.m < 9 THEN 2 * i.x0 - c.x
+                  WHEN i.m < 9 + i.nn THEN c.x
+                  ELSE 2 * i.xl - c.x END AS v
+      FROM idx i JOIN clip c
+        ON c.burst = i.burst
+       AND c.n = CASE WHEN i.m < 9 THEN 9 - i.m
+                      WHEN i.m < 9 + i.nn THEN i.m - 9
+                      ELSE i.nn - 2 - (i.m - 9 - i.nn) END
+    ), fwd AS (
+      -- forward pass: DF-I recurrence primed with steady-state history
+      -- (x[-1]=x[-2]=e0, y[-1]=y[-2]=g*e0 == scipy lfilter_zi semantics)
+      SELECT e.burst, e.nn, -1 AS m, e.v AS ec, e.v AS ep,
+             1.0000000000000002 * e.v AS y, 1.0000000000000002 * e.v AS yp
+      FROM ext e WHERE e.m = 0
+      UNION ALL
+      SELECT f.burst, f.nn, f.m + 1, e.v, f.ec,
+             0.06745527388907192 * e.v + 0.13491054777814385 * f.ec
+               + 0.06745527388907192 * f.ep
+               - (-1.1429805025399011) * f.y - 0.41280159809618877 * f.yp,
+             f.y
+      FROM fwd f JOIN ext e ON e.burst = f.burst AND e.m = f.m + 1
+    ), fwd_m AS MATERIALIZED (
+      -- materialize: the reverse recursion would otherwise re-derive the
+      -- whole forward recursion once per iteration
+      SELECT * FROM fwd
+    ), rev AS (
+      -- backward pass over the reversed forward output, same priming
+      SELECT f.burst, f.nn, -1 AS j, f.y AS ec, f.y AS ep,
+             1.0000000000000002 * f.y AS y, 1.0000000000000002 * f.y AS yp
+      FROM fwd_m f WHERE f.m = f.nn + 17
+      UNION ALL
+      SELECT r.burst, r.nn, r.j + 1, f.y, r.ec,
+             0.06745527388907192 * f.y + 0.13491054777814385 * r.ec
+               + 0.06745527388907192 * r.ep
+               - (-1.1429805025399011) * r.y - 0.41280159809618877 * r.yp,
+             r.y
+      FROM rev r JOIN fwd_m f
+        ON f.burst = r.burst AND f.m = r.nn + 17 - (r.j + 1)
+    )
+    SELECT burst, nn + 8 - j AS n, round(y, 5) AS y
+    FROM rev WHERE j BETWEEN 9 AND nn + 8
+    """,
+)
+def filt_filtfilt_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYTIC ORACLE for the FULL zero-phase filtfilt chain — the
+    previously rows-only filt_butterworth_lowpass semantics end-to-end:
+    odd-reflection padding, zi-primed forward pass, reversed zi-primed
+    backward pass, padding drop. The Spark side runs the production
+    operator (operators/filters.py butter_filter → functions/signal.py
+    filtfilt, order 2, fc=0.1 Hz at fs=1 Hz) per day burst; DuckDB
+    replays both IIR passes as steady-state-primed direct-form-I
+    recurrences in recursive CTEs (the DF2T-with-zi and DF-I-with-
+    steady-history forms start from the same state, so outputs agree to
+    ~1e-13; 5-decimal rounding absorbs it)."""
+    from pyspark.sql import Window
+
+    from stglib_spark.operators import filters as filt_ops
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.date_trunc("day", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    base = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("burst"),
+        (F.row_number().over(w) - 1).alias("n"),
+        F.col("value").alias("x"),
+    ).filter(F.col("n") < 64)
+    big = base.groupBy("burst").agg(F.count(F.lit(1)).alias("c")).filter(
+        F.col("c") >= 10
+    )
+    clipped = base.join(big.select("burst"), "burst")
+    out = filt_ops.butter_filter(
+        clipped,
+        "x",
+        sample_rate=1.0,
+        cutfreq=0.1,
+        ftype="lowpass",
+        order=2,
+        group_cols=["burst"],
+        time_col="n",
+    )
+    return out.select(
+        "burst", "n", F.round("x", 5).alias("y")
+    )
+
+
 @register("filt_butterworth_lowpass")  # rows-only: zero-phase IIR
 def filt_butterworth_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stglib_spark.operators import filters
@@ -3162,6 +3274,7 @@ _FRONT = [
     "wave_psd_welch_oracle",
     "wave_puv_azimuth_oracle",
     "filt_iir_recursion_oracle",
+    "filt_filtfilt_oracle",
     "mm_decode_features",
     "mm_video_frames",
     # stale since r1/r2 — no CORRECTNESS_r03 row (driver window missed them)
