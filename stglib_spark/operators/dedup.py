@@ -120,12 +120,30 @@ def minhash_signatures(
     single md5 so a DuckDB oracle reproduces signatures exactly (one md5
     per shingle, down from two); the 100 TB default is one xxhash64 pass
     per hash (~3× cheaper per byte than md5)."""
+    sh = spread(df).select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_n).alias("__shingles")
+    )
+    return minhash_from_shingles(sh, id_col, "__shingles", num_hashes, portable)
+
+
+def minhash_from_shingles(
+    sh_df: DataFrame,
+    id_col: str = "doc_id",
+    shingle_col: str = "shingles",
+    num_hashes: int = 64,
+    portable: bool = False,
+) -> DataFrame:
+    """MinHash signatures from an already-shingled corpus (one array column
+    per document). This is the plug point for pipeline stage sharing
+    (``pipeline.run_dedup``): shingle the corpus ONCE, materialize it, and
+    feed both the LSH banding chain and the Jaccard verifier from the same
+    zone instead of re-walking every document's text."""
     # arithmetic in the prime field M (largest 32-bit prime) so
     # h1 + i·h2 can never overflow a long under ANSI mode
     m = F.lit(4294967291)
-    exploded = spread(df).select(
+    exploded = sh_df.select(
         F.col(id_col),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        F.explode(F.col(shingle_col)).alias("__sh"),
     )
     if portable:
         # one md5 per shingle, split into independent 60-bit halves; the
@@ -172,8 +190,22 @@ def minhash_lsh_pairs(
     Scale shape: self-join happens per bucket only — the band hash is the
     join key, so skew is bounded by bucket size, and AQE's skew-join
     splitting handles pathological buckets."""
-    r = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, portable)
+    return lsh_pairs_from_signatures(sigs, id_col, num_hashes, bands, portable)
+
+
+def lsh_pairs_from_signatures(
+    sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH banding + per-bucket self-join over precomputed MinHash
+    signatures (columns ``mh_0..mh_{n-1}``) — the back half of
+    ``minhash_lsh_pairs``, split out so a pipeline can materialize
+    signatures/shingles once and reuse them (VERDICT r3 item 5)."""
+    r = num_hashes // bands
     if portable:
         band_cols = [
             hash60(
@@ -223,6 +255,8 @@ def ngram_jaccard_pairs(
     shingle_n: int = 3,
     threshold: float = 0.0,
     allow_all_pairs: bool = False,
+    shingles_df: DataFrame | None = None,
+    shingle_col: str = "shingles",
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs (verification
     stage after LSH): |A∩B| / (|A|+|B|−|A∩B|). The union size is derived
@@ -233,11 +267,21 @@ def ngram_jaccard_pairs(
     ``candidate_pairs`` is required at scale: the all-pairs fallback is a
     cross join — quadratic in corpus size — so it must be opted into
     explicitly with ``allow_all_pairs=True`` (tiny-input/test path only).
-    The production chain is ``minhash_lsh_pairs`` → this verifier."""
-    sh = spread(df).select(
-        F.col(id_col),
-        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
-    ).withColumn("__n", F.size("__sh"))
+    The production chain is ``minhash_lsh_pairs`` → this verifier.
+
+    ``shingles_df`` (columns ``id_col``, ``shingle_col``: array<string>)
+    skips re-shingling entirely — ``pipeline.run_dedup`` materializes the
+    shingle zone once and feeds it to both the LSH chain and this
+    verifier, so the corpus text is walked a single time."""
+    if shingles_df is not None:
+        sh = shingles_df.select(
+            F.col(id_col), F.col(shingle_col).alias("__sh")
+        ).withColumn("__n", F.size("__sh"))
+    else:
+        sh = spread(df).select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+        ).withColumn("__n", F.size("__sh"))
     if candidate_pairs is None:
         if not allow_all_pairs:
             raise ValueError(

@@ -656,6 +656,96 @@ def run_export_nc(
     return out
 
 
+def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
+    """Corpus dedup stage with shared intermediates (VERDICT r3 item 5).
+
+    The naive chain runs the shingle→MinHash→LSH computation twice — once
+    to report candidate pairs and again inside the Jaccard verifier. This
+    stage walks the corpus text ONCE:
+
+        documents → shingles zone            (one shingle pass, parquet)
+        shingles  → MinHash → LSH → candidates zone
+        candidates + shingles → verified-pairs zone (exact Jaccard)
+
+    Both downstream consumers — the candidate-pair report and the
+    verifier — read the materialized zones instead of recomputing. Scale
+    note (SCALE.md §dedup): the shingle zone is ~n_gram× the text bytes
+    before parquet dictionary/zstd compression; when storage is tighter
+    than compute, set ``dedup_materialize_shingles: false`` to keep the
+    candidates zone but re-shingle only the docs that appear in a
+    candidate pair (semi-join pushdown) during verification.
+    """
+    from stglib_spark.operators import dedup as dedup_ops
+
+    id_col = config.get("doc_id_col", "doc_id")
+    text_col = config.get("text_col", "text")
+    shingle_n = int(config.get("shingle_n", 3))
+    num_hashes = int(config.get("num_hashes", 64))
+    bands = int(config.get("bands", 16))
+    threshold = float(config.get("jaccard_threshold", 0.0))
+    portable = bool(config.get("dedup_portable", False))
+    materialize = config.get("dedup_materialize_shingles", True)
+
+    history = History()
+    docs = spark.read.parquet(config["documents_path"]).select(id_col, text_col)
+    paths: dict[str, str] = {}
+
+    from stglib_spark.session import spread
+
+    sh = spread(docs).select(
+        F.col(id_col),
+        dedup_ops.word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+    )
+    if materialize:
+        history.insert_history(
+            f"Shingled corpus once ({shingle_n}-gram) into shingle zone."
+        )
+        paths["shingles"] = _write_zone(sh, config, "shingles", history)
+        sh = spark.read.parquet(paths["shingles"])
+
+    sigs = dedup_ops.minhash_from_shingles(
+        sh, id_col, "shingles", num_hashes, portable
+    )
+    pairs = dedup_ops.lsh_pairs_from_signatures(
+        sigs, id_col, num_hashes, bands, portable
+    )
+    history.insert_history(
+        f"MinHash({num_hashes})+LSH({bands} bands) candidate pairs."
+    )
+    paths["candidates"] = _write_zone(pairs, config, "candidates", history)
+    cand = spark.read.parquet(paths["candidates"])
+
+    if materialize:
+        verify_shingles = sh
+    else:
+        # storage-lean path: re-shingle only docs that appear in a pair
+        cand_ids = (
+            cand.select(F.col("doc_a").alias(id_col))
+            .union(cand.select(F.col("doc_b").alias(id_col)))
+            .distinct()
+        )
+        verify_shingles = spread(
+            docs.join(cand_ids, id_col, "left_semi")
+        ).select(
+            F.col(id_col),
+            dedup_ops.word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+
+    verified = dedup_ops.ngram_jaccard_pairs(
+        docs,
+        candidate_pairs=cand,
+        id_col=id_col,
+        threshold=threshold,
+        shingles_df=verify_shingles,
+    )
+    history.insert_history(
+        f"Verified candidates with exact {shingle_n}-gram Jaccard "
+        f"(threshold {threshold})."
+    )
+    paths["dedup"] = _write_zone(verified, config, "dedup", history)
+    return paths
+
+
 def run_all(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     """Full runots chain: ingest → clean → waves."""
     paths = {"raw": run_ingest(spark, config), "clean": run_clean(spark, config)}

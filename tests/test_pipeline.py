@@ -816,3 +816,93 @@ def test_wavedat_tolerance_prefill(spark, burst_csv):
     expected_hs = 4 * np.sqrt(0.4**2 / 2)
     for r in waves:
         assert r.wh_4061 == pytest.approx(expected_hs, rel=3e-2)
+
+
+def test_run_dedup_shares_one_shingle_pass(spark, fixture_dir, monkeypatch):
+    """VERDICT r3 item 5: the dedup pipeline stage materializes a shingle
+    zone and an LSH candidates zone once; BOTH the pair report and the
+    Jaccard verifier consume those zones — the corpus text is shingled
+    exactly one time, and the result matches the single-shot
+    minhash_lsh_pairs → ngram_jaccard_pairs chain."""
+    from stglib_spark.operators import dedup as dedup_ops
+    from stglib_spark.pipeline import run_dedup
+
+    docs_path = os.path.join(fixture_dir, "dedup_docs.parquet")
+    (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+        .write.mode("overwrite")
+        .parquet(docs_path)
+    )
+
+    calls = {"n": 0}
+    real_shingles = dedup_ops.word_shingles
+
+    def counting_shingles(text, n=3):
+        calls["n"] += 1
+        return real_shingles(text, n)
+
+    monkeypatch.setattr(dedup_ops, "word_shingles", counting_shingles)
+
+    cfg = {
+        "documents_path": docs_path,
+        "output_dir": fixture_dir,
+        "filename": "deduptest",
+        "jaccard_threshold": 0.5,
+    }
+    paths = run_dedup(spark, cfg)
+    # one shingle pass: word_shingles was planned exactly once (for the
+    # shingle zone); MinHash, LSH, and the verifier all read the zone
+    assert calls["n"] == 1
+    assert set(paths) == {"shingles", "candidates", "dedup"}
+
+    monkeypatch.setattr(dedup_ops, "word_shingles", real_shingles)
+    docs = spark.read.parquet(docs_path)
+    direct_pairs = dedup_ops.minhash_lsh_pairs(docs)
+    direct = dedup_ops.ngram_jaccard_pairs(
+        docs, candidate_pairs=direct_pairs, threshold=0.5
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(paths["dedup"]).collect()
+    }
+    want = {(r.doc_a, r.doc_b, r.jaccard) for r in direct.collect()}
+    assert got == want and len(want) > 0
+
+    # candidates zone == the pair report the sibling query produces
+    cand = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(paths["candidates"]).collect()
+    }
+    assert cand == {(r.doc_a, r.doc_b) for r in direct_pairs.collect()}
+
+
+def test_run_dedup_storage_lean_path(spark, fixture_dir):
+    """dedup_materialize_shingles=false: no shingle zone is written; the
+    verifier re-shingles only candidate docs (semi-join pushdown) and the
+    verified pairs still match the materialized path."""
+    from stglib_spark.operators import dedup as dedup_ops
+    from stglib_spark.pipeline import run_dedup
+
+    docs_path = os.path.join(fixture_dir, "dedup_docs.parquet")
+    cfg = {
+        "documents_path": docs_path,
+        "output_dir": fixture_dir,
+        "filename": "deduplean",
+        "jaccard_threshold": 0.5,
+        "dedup_materialize_shingles": False,
+    }
+    paths = run_dedup(spark, cfg)
+    assert "shingles" not in paths
+
+    docs = spark.read.parquet(docs_path)
+    direct = dedup_ops.ngram_jaccard_pairs(
+        docs,
+        candidate_pairs=dedup_ops.minhash_lsh_pairs(docs),
+        threshold=0.5,
+    )
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in spark.read.parquet(paths["dedup"]).collect()
+    }
+    assert got == {(r.doc_a, r.doc_b, r.jaccard) for r in direct.collect()}
