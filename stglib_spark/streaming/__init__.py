@@ -11,6 +11,7 @@ dedup / gap semantics on an unbounded stream so the same engine serves the
 """
 
 from stglib_spark.streaming.bursts import (
+    export_nc_batch_writer,
     read_events_stream,
     streaming_burst_average,
     streaming_dedup,
@@ -21,6 +22,7 @@ from stglib_spark.streaming.bursts import (
 )
 
 __all__ = [
+    "export_nc_batch_writer",
     "read_events_stream",
     "streaming_burst_average",
     "streaming_dedup",

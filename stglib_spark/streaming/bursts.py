@@ -572,3 +572,57 @@ def streaming_atmos_correct(
         )
         .drop("__b")
     )
+
+
+def export_nc_batch_writer(
+    output_dir: str,
+    attrs: dict | None = None,
+    time_col: str = "burst_time",
+    prefix: str = "burst",
+):
+    """foreachBatch sink closing the streaming→product edge: one classic
+    netCDF file per watermark-closed burst window (reference contract: one
+    product file per deployment window, ``runots … exportnc``;
+    core/utils.py:352-749 attribute layer).
+
+    Exactly-once by idempotence: an append-mode windowed aggregate emits a
+    window only once its watermark closes it, and the filename here is a
+    pure function of the window start — so when Structured Streaming
+    replays a micro-batch after a failure, the replay rewrites
+    byte-identical files instead of duplicating bursts. This is the
+    documented exactly-once recipe for non-transactional sinks
+    (deterministic batch content + idempotent writes).
+
+    Usage::
+
+        (bursts.writeStream.outputMode("append")
+            .foreachBatch(export_nc_batch_writer(out_dir))
+            .option("checkpointLocation", ckpt).start())
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stglib_spark.sources.netcdf import write_netcdf
+
+    os.makedirs(output_dir, exist_ok=True)
+
+    def _write(batch_df, batch_id: int) -> None:
+        # the batch holds only windows the watermark just closed — a
+        # handful of rows; per-window filtering is driver-cheap
+        wins = [
+            r[0]
+            for r in batch_df.select(time_col).distinct().collect()
+            if r[0] is not None
+        ]
+        for w in sorted(wins):
+            name = f"{prefix}_{w.strftime('%Y%m%d%H%M%S')}.nc"
+            one = batch_df.filter(F.col(time_col) == F.lit(w)).withColumnRenamed(
+                time_col, "time"
+            )
+            gattrs = dict(attrs or {})
+            gattrs.setdefault("Conventions", "CF-1.11")
+            gattrs["burst_window_start"] = w.isoformat()
+            write_netcdf(one, os.path.join(output_dir, name), attrs=gattrs)
+
+    return _write
