@@ -692,23 +692,30 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
 
     from stglib_spark.session import spread
 
-    sh = spread(docs).select(
-        F.col(id_col),
-        dedup_ops.word_shingles(F.col(text_col), shingle_n).alias("shingles"),
-    )
     if materialize:
+        sh = spread(docs).select(
+            F.col(id_col),
+            dedup_ops.word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
         history.insert_history(
             f"Shingled corpus once ({shingle_n}-gram) into shingle zone."
         )
         paths["shingles"] = _write_zone(sh, config, "shingles", history)
         sh = spark.read.parquet(paths["shingles"])
-
-    sigs = dedup_ops.minhash_from_shingles(
-        sh, id_col, "shingles", num_hashes, portable
-    )
-    pairs = dedup_ops.lsh_pairs_from_signatures(
-        sigs, id_col, num_hashes, bands, portable
-    )
+        sigs = dedup_ops.minhash_from_shingles(
+            sh, id_col, "shingles", num_hashes, portable
+        )
+        pairs = dedup_ops.lsh_pairs_from_signatures(
+            sigs, id_col, num_hashes, bands, portable
+        )
+    else:
+        # no zone to read from: use the fused explode(word_shingles(...))
+        # chain — running minhash_from_shingles over an unmaterialized
+        # shingle projection double-computes the shingling (see
+        # minhash_signatures)
+        pairs = dedup_ops.minhash_lsh_pairs(
+            docs, text_col, id_col, num_hashes, bands, shingle_n, portable
+        )
     history.insert_history(
         f"MinHash({num_hashes})+LSH({bands} bands) candidate pairs."
     )

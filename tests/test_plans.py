@@ -206,3 +206,14 @@ def test_spectral_oracles_never_single_partition(spark):
         assert "Exchange SinglePartition" not in plan, name
         assert count(plan, r"CartesianProduct") == 0, name
         assert count(plan, r"BroadcastNestedLoopJoin") == 0, name
+
+
+def test_minhash_shingle_expression_not_double_computed(spark):
+    """The shingle expression must stay fused inside the Generate: if it
+    is aliased in a Project first, InferFiltersFromGenerate adds a
+    size()>0 filter on the alias and pushdown substitutes the full O(n·L)
+    shingle expression into the Filter — computing it twice per row
+    (measured 1.6× on the LSH bench query). One zip_with chain per join
+    side of the self-join is the fused shape."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert count(plan, r"zip_with\(zip_with") == 2
