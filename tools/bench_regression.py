@@ -67,11 +67,20 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("current", help="newer bench JSON")
     ap.add_argument("-t", "--threshold", type=float, default=1.5,
                     help="flag ratio above this (default 1.5)")
+    ap.add_argument("--expect-scale", type=float, default=None,
+                    help="scale-gate mode: `current` ran on N x the data of "
+                         "`baseline` (e.g. 10 for sf1 vs sf0.1); a query is "
+                         "flagged when its time grew more than N x threshold, "
+                         "i.e. worse than linear-in-data by the threshold "
+                         "margin — the per-query superlinear-scaling gate")
     args = ap.parse_args(argv)
 
     base = load_bench(args.baseline)
     new = load_bench(args.current)
-    rows, flagged = compare(base, new, args.threshold)
+    threshold = args.threshold
+    if args.expect_scale:
+        threshold = args.expect_scale * args.threshold
+    rows, flagged = compare(base, new, threshold)
 
     w = max(len(r[0]) for r in rows) if rows else 10
     print(f"{'query':<{w}}  {'base':>8}  {'now':>8}  {'ratio':>6}  flag")
@@ -84,8 +93,9 @@ def main(argv: list[str] | None = None) -> int:
     if tb and tn:
         print(f"{'TOTAL':<{w}}  {tb:>8.3f}  {tn:>8.3f}  {tn / tb:>5.2f}x")
     if flagged:
-        print(f"\n{flagged} quer{'y' if flagged == 1 else 'ies'} regressed "
-              f">{args.threshold}x", file=sys.stderr)
+        kind = "scaled superlinearly" if args.expect_scale else "regressed"
+        print(f"\n{flagged} quer{'y' if flagged == 1 else 'ies'} {kind} "
+              f">{threshold}x", file=sys.stderr)
         return 1
     return 0
 
