@@ -430,3 +430,73 @@ def simhash_near_pairs(
         .filter(F.col("hamming") <= F.lit(max_hamming))
     )
     return pairs
+
+
+def duplicate_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Resolve verified duplicate pairs into clusters: every document that
+    appears in a pair gets the MINIMUM doc id reachable through the
+    duplicate graph as its ``canonical_id`` (connected components). The
+    training-pipeline contract downstream of LSH→verify: keep one doc per
+    cluster (``doc_id == canonical_id``), drop the rest.
+
+    Algorithm: hash-to-min label propagation — each round every node takes
+    the min of its own label and its neighbours' labels (one equi-join +
+    map-side-combinable min aggregate per round), stopping when a round
+    changes nothing. Rounds needed = graph diameter; duplicate clusters
+    are near-cliques (LSH buckets propose most intra-cluster edges), so
+    2-3 rounds is typical. Each round materializes the label table with
+    ``persist`` and counts changes, so lineage stays one round deep. At
+    1000-executor scale the same loop holds: the label table is (node,
+    lbl) — two longs per distinct doc in any pair — and the join is an
+    equi-join on node id; for pathological chain-shaped graphs switch to
+    the two-phase large-star/small-star variant (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", which converges in
+    O(log² n)) — same primitive operations, different edge rewrite.
+    """
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = sym.persist()
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("lbl", F.col("node"))
+        .persist()
+    )
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("lbl").alias("nbr_lbl"))
+        )
+        updated = (
+            labels.join(nbr_min, labels.node == nbr_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                ).alias("lbl"),
+            )
+            .persist()
+        )
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("p"), "node")
+            .filter(F.col("u.lbl") != F.col("p.lbl"))
+            .count()
+        )
+        labels.unpersist()
+        labels = updated
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds"
+        )
+    edges.unpersist()
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id")
+    )

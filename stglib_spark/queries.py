@@ -1170,6 +1170,51 @@ def dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_clusters",
+    _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    tk AS (
+      SELECT doc_id, list_distinct(toks) AS tok, len(list_distinct(toks)) AS n
+      FROM tok
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN tk a ON c.doc_a = a.doc_id
+      JOIN tk b ON c.doc_b = b.doc_id
+      WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+            / (a.n + b.n - len(list_intersect(a.tok, b.tok))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION SELECT doc_b, doc_a FROM ver
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(lbl) AS canonical_id FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster resolution, the last stage of the corpus dedup
+    chain: LSH candidates → exact-Jaccard verify (≥ 0.5) → connected
+    components over the verified-pair graph → (doc_id, canonical_id).
+    Keep ``doc_id == canonical_id``, drop the rest. The Spark side is
+    iterative min-label propagation (dedup.duplicate_clusters); the
+    oracle walks the same graph with a recursive CTE."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True
+    )
+    verified = dedup_ops.ngram_jaccard_pairs(
+        docs, candidate_pairs=cands, shingle_n=1, threshold=0.5
+    )
+    return dedup_ops.duplicate_clusters(verified.select("doc_a", "doc_b"))
+
+
 _SH_BITS = 60
 _SH_VOTES = ", ".join(
     f"sum(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
@@ -3269,6 +3314,7 @@ def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # had no CORRECTNESS_r03 row (their last driver evidence is r1/r2).
 _FRONT = [
     # new / changed in round 4: must get fresh CORRECTNESS_r04 rows
+    "dedup_clusters",
     "mm_decode_real_png",
     "mm_video_frames_real",
     "wave_psd_welch_oracle",

@@ -199,3 +199,55 @@ def test_simhash_near_pairs_blocks_and_validation(spark):
     assert [(r["doc_a"], r["doc_b"], r["hamming"]) for r in pairs] == [(1, 2, 1)]
     with _pytest.raises(ValueError, match="pigeonhole"):
         simhash_near_pairs(fps, max_hamming=5, blocks=4)
+
+
+def test_duplicate_clusters_chain_triangle_singleton(spark):
+    """Connected components over the duplicate-pair graph: a 4-node chain
+    (diameter 3, needs >1 propagation round), a triangle, and an isolated
+    pair each collapse to the minimum member id; non-members never
+    appear."""
+    from stglib_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            # chain 10-11-12-13
+            (10, 11), (11, 12), (12, 13),
+            # triangle 20-21-22
+            (20, 21), (21, 22), (20, 22),
+            # isolated pair
+            (30, 31),
+        ],
+        "doc_a long, doc_b long",
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    assert got == {
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+    }
+
+
+def test_duplicate_clusters_empty_and_nonconvergence_guard(spark):
+    """Empty pair set returns an empty frame; a graph whose diameter
+    exceeds max_iterations raises instead of returning a wrong partial
+    labelling."""
+    import pytest as _pytest
+
+    from stglib_spark.operators.dedup import duplicate_clusters
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert duplicate_clusters(empty).count() == 0
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        duplicate_clusters(chain, max_iterations=2)
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_clusters(chain).collect()
+    }
+    assert got == {i: 0 for i in range(7)}
