@@ -1,0 +1,168 @@
+"""Training-corpus construction operators: deterministic sampling,
+benchmark decontamination, within-document repetition metrics.
+
+These extend the engine beyond the reference's own surface (BASELINE.json
+north star) with the operations a 100 TB pretraining-data pipeline runs
+after dedup/quality scoring:
+
+- sampling must be DETERMINISTIC (hash of the id, not rand()) so a mix is
+  reproducible across runs and resumable after failure — and so an
+  auditor can re-derive membership for any row;
+- decontamination is an n-gram semi-join against the (small) benchmark
+  set — broadcast the benchmark grams, never shuffle the corpus;
+- repetition metrics are pure array expressions per document (no
+  shuffle), the Gopher-style "repetitious document" gates.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from stglib_spark.operators.dedup import hash60, word_shingles
+
+
+def sample_key(col: Column, seed: str = "") -> Column:
+    """Deterministic sampling key in [0, 1): the portable 60-bit md5 hash
+    of (seed || id) scaled to the unit interval. Identical arithmetic in
+    DuckDB, so sampled membership is oracle-checkable bit-for-bit. For
+    pure throughput (no oracle) xxhash64 of the id is ~3× cheaper —
+    same two-line shape."""
+    return hash60(col.cast("string"), seed=seed or None) / F.lit(
+        float(1 << 60)
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata: Column,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    seed: str = "mix1",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic stratified sampling for training-mix construction:
+    keep a row iff its sampling key falls under its stratum's fraction.
+    One codegen'd projection + filter — no shuffle, no rand(), rerunning
+    yields the identical sample (the property training-mix reproducibility
+    and failure-resumption depend on).
+
+    ``strata`` is any Column expression labelling the row's stratum (e.g.
+    a quality bucket); ``fractions`` maps stratum label → keep fraction.
+    Unlisted strata get ``default_fraction``."""
+    frac = F.lit(float(default_fraction))
+    for label, f in fractions.items():
+        frac = F.when(strata == F.lit(label), F.lit(float(f))).otherwise(frac)
+    return df.withColumn("__stratum", strata).filter(
+        sample_key(F.col(id_col), seed) < frac
+    ).drop("__stratum")
+
+
+def contaminated_ids(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination, detection half: ids of corpus documents
+    sharing at least one word ``ngram``-gram with any benchmark document
+    (the GPT-3/PaLM-style exact-overlap rule; 13-grams standard for real
+    corpora). Returns (id, n_hit_grams).
+
+    Scale shape: benchmark gram sets are tiny next to the corpus (a few
+    thousand eval documents vs billions of training docs), so the
+    distinct benchmark grams are BROADCAST and the corpus side never
+    shuffles — the join cost is one scan of the corpus at gram-hash
+    probe speed."""
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), ngram)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), ngram)).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hit_grams"))
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+) -> DataFrame:
+    """Benchmark decontamination, removal half: the corpus minus every
+    document flagged by ``contaminated_ids`` (left-anti join on id —
+    equi-join, AQE-broadcastable since the contaminated set is small)."""
+    bad = contaminated_ids(docs, benchmark, text_col, id_col, ngram)
+    return docs.join(bad.select(id_col), id_col, "left_anti")
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Within-document repetition metrics (Gopher-style repetitious-text
+    gates), all as per-row array expressions — no shuffle, scan speed:
+
+    - ``n_lines`` / ``dup_line_frac``: fraction of non-empty lines that
+      are duplicates of an earlier line;
+    - ``dup_line_char_frac``: fraction of line characters inside
+      duplicated lines (a doc with one huge repeated line is worse than
+      one with two short ones);
+    - ``top_token_frac``: fraction of tokens that are the single most
+      frequent token (degenerate-repetition signal).
+
+    The char-fraction and top-token metrics use ``aggregate`` over the
+    distinct values — O(distinct × total) per document, fine for the
+    line/token counts real documents have; they are per-row expressions,
+    so cost scales with the document, not the corpus.
+    """
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, r"\n"), lambda x: F.trim(x) != "")
+    n_lines = F.size(lines)
+    n_dist = F.size(F.array_distinct(lines))
+    total_chars = F.aggregate(
+        lines, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    # characters in lines occurring more than once: for each DISTINCT
+    # line, count occurrences; if > 1 its chars are duplicated mass
+    dup_chars = F.aggregate(
+        F.array_distinct(lines),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc
+        + F.when(
+            F.size(F.filter(lines, lambda x: x == d)) > 1,
+            F.size(F.filter(lines, lambda x: x == d)).cast("long")
+            * F.length(d),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+    toks = F.split(
+        F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " "
+    )
+    n_toks = F.size(toks)
+    top_tok = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda d: F.size(F.filter(toks, lambda x: x == d)),
+        )
+    )
+    return df.select(
+        F.col(id_col),
+        n_lines.alias("n_lines"),
+        F.round(
+            F.when(n_lines > 0, (n_lines - n_dist) / n_lines).otherwise(0.0), 6
+        ).alias("dup_line_frac"),
+        F.round(
+            F.when(total_chars > 0, dup_chars / total_chars).otherwise(0.0), 6
+        ).alias("dup_line_char_frac"),
+        F.round(
+            F.when(n_toks > 0, top_tok / n_toks).otherwise(0.0), 6
+        ).alias("top_token_frac"),
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from stglib_spark.session import load_table, spread
 from stglib_spark.operators import clip as clip_ops
+from stglib_spark.operators import corpus as corpus_ops
 from stglib_spark.operators import dedup as dedup_ops
 from stglib_spark.operators import joins as join_ops
 from stglib_spark.operators import physics
@@ -1213,6 +1214,132 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, candidate_pairs=cands, shingle_n=1, threshold=0.5
     )
     return dedup_ops.duplicate_clusters(verified.select("doc_a", "doc_b"))
+
+
+# --------------------------------------------------------------------------
+# Training-corpus construction (north-star): deterministic stratified
+# sampling, benchmark decontamination, repetition metrics
+# --------------------------------------------------------------------------
+
+
+@register(
+    "corpus_stratified_sample",
+    """
+    WITH s AS (
+      SELECT doc_id,
+             CASE WHEN length(text) < 200 THEN 'short'
+                  WHEN length(text) < 1000 THEN 'medium'
+                  ELSE 'long' END AS stratum,
+             (('0x' || substring(md5('mix1' || doc_id::VARCHAR), 1, 15))
+               ::UBIGINT)::BIGINT / 1152921504606846976.0 AS k
+      FROM documents)
+    SELECT doc_id, stratum FROM s
+    WHERE k < CASE stratum WHEN 'short' THEN 0.2
+              WHEN 'medium' THEN 0.5 ELSE 0.8 END
+    """,
+)
+def corpus_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix sampling: hash-of-id keys (no rand()) so
+    the mix is reproducible and resumable; per-stratum keep fractions over
+    length buckets. Membership is oracle-checked bit-for-bit via the
+    portable md5 sampling key."""
+    docs = load_table(spark, sf_dir, "documents")
+    strata = (
+        F.when(F.length("text") < 200, "short")
+        .when(F.length("text") < 1000, "medium")
+        .otherwise("long")
+    )
+    out = corpus_ops.stratified_sample(
+        docs, strata, {"short": 0.2, "medium": 0.5, "long": 0.8}, seed="mix1"
+    )
+    return out.select("doc_id", strata.alias("stratum"))
+
+
+_CORPUS_SHINGLE5 = r"""
+    WITH norm AS (
+      SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+      FROM documents),
+    tok AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) <= 4 THEN [t]
+                    ELSE list_distinct([array_to_string(toks[i:i+4], ' ')
+                         FOR i IN generate_series(1, len(toks) - 4)])
+                    END) AS gram
+      FROM tok)
+"""
+
+
+@register(
+    "corpus_decontaminate",
+    _CORPUS_SHINGLE5
+    + """,
+    bench AS (SELECT DISTINCT gram FROM sh WHERE doc_id % 97 = 0),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_hit_grams
+      FROM sh s JOIN bench b USING (gram)
+      WHERE s.doc_id % 97 <> 0
+      GROUP BY s.doc_id)
+    SELECT doc_id, n_hit_grams FROM hits
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3-style exact n-gram overlap): docs
+    sharing any 5-gram with the held-out 'benchmark' subset (doc_id % 97
+    == 0 stands in for an eval set) are flagged with their hit count. The
+    benchmark gram set is broadcast — the corpus side never shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0)
+    rest = docs.filter(F.col("doc_id") % 97 != 0)
+    return corpus_ops.contaminated_ids(rest, bench, ngram=5)
+
+
+@register(
+    "corpus_repetition_stats",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(string_split(text, chr(10)),
+                         x -> trim(x) <> '') AS ls,
+             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                          ' ') AS toks
+      FROM documents),
+    lf AS (SELECT doc_id, unnest(ls) AS line FROM base),
+    per AS (SELECT doc_id, line, count(*) AS c, length(line) AS ln
+            FROM lf GROUP BY doc_id, line),
+    la AS (SELECT doc_id, sum(c) AS n_lines, count(*) AS n_dist,
+                  sum(c * ln) AS total_chars,
+                  sum(CASE WHEN c > 1 THEN c * ln ELSE 0 END) AS dup_chars
+           FROM per GROUP BY doc_id),
+    tf AS (SELECT doc_id, unnest(toks) AS tok FROM base),
+    tp AS (SELECT doc_id, tok, count(*) AS c FROM tf GROUP BY doc_id, tok),
+    ta AS (SELECT doc_id, sum(c) AS n_toks, max(c) AS top
+           FROM tp GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(la.n_lines, 0)::BIGINT AS n_lines,
+           round(CASE WHEN COALESCE(la.n_lines, 0) > 0
+                 THEN (la.n_lines - la.n_dist)::DOUBLE / la.n_lines
+                 ELSE 0 END, 6) AS dup_line_frac,
+           round(CASE WHEN COALESCE(la.total_chars, 0) > 0
+                 THEN la.dup_chars::DOUBLE / la.total_chars
+                 ELSE 0 END, 6) AS dup_line_char_frac,
+           round(CASE WHEN COALESCE(ta.n_toks, 0) > 0
+                 THEN ta.top::DOUBLE / ta.n_toks
+                 ELSE 0 END, 6) AS top_token_frac
+    FROM documents d
+    LEFT JOIN la USING (doc_id)
+    LEFT JOIN ta USING (doc_id)
+    """,
+)
+def corpus_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetitious-document metrics as per-row array
+    expressions (no shuffle): duplicate-line fraction, duplicated-line
+    character mass, most-frequent-token fraction."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    out = corpus_ops.repetition_stats(docs)
+    return out.withColumn("n_lines", F.col("n_lines").cast("long"))
 
 
 _SH_BITS = 60
@@ -3315,6 +3442,9 @@ def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRONT = [
     # new / changed in round 4: must get fresh CORRECTNESS_r04 rows
     "dedup_clusters",
+    "corpus_stratified_sample",
+    "corpus_decontaminate",
+    "corpus_repetition_stats",
     "mm_decode_real_png",
     "mm_video_frames_real",
     "wave_psd_welch_oracle",

@@ -251,3 +251,93 @@ def test_duplicate_clusters_empty_and_nonconvergence_guard(spark):
         for r in duplicate_clusters(chain).collect()
     }
     assert got == {i: 0 for i in range(7)}
+
+
+def test_repetition_stats_multiline_and_empty(spark):
+    """dup-line metrics on a synthetic repetitious doc (the parquet corpus
+    is single-line, so these paths need their own fixture): a doc with a
+    repeated long line, a clean doc, and an empty doc."""
+    from stglib_spark.operators.corpus import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # 3 lines, "spam spam spam" twice (14 chars each), "ok" once
+            (1, "spam spam spam\nspam spam spam\nok"),
+            (2, "alpha beta\ngamma delta"),
+            (3, ""),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in repetition_stats(docs).collect()}
+    r1 = got[1]
+    assert r1["n_lines"] == 3
+    assert r1["dup_line_frac"] == pytest.approx(1 / 3, abs=1e-6)
+    # duplicated mass: 2 lines x 14 chars out of 30 total line chars
+    assert r1["dup_line_char_frac"] == pytest.approx(28 / 30, abs=1e-6)
+    # 7 tokens, 'spam' x6
+    assert r1["top_token_frac"] == pytest.approx(6 / 7, abs=1e-6)
+    assert got[2]["dup_line_frac"] == 0.0
+    assert got[3]["n_lines"] == 0 and got[3]["dup_line_char_frac"] == 0.0
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    """Re-running yields the identical sample (hash keys, no rand) and
+    per-stratum keep rates track the requested fractions."""
+    from stglib_spark.operators.corpus import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "x " * (10 if i % 2 else 600)) for i in range(1000)],
+        "doc_id long, text string",
+    )
+    strata = F.when(F.length("text") < 200, "short").otherwise("long")
+    a = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, strata, {"short": 0.1, "long": 0.9}
+        ).collect()
+    )
+    b = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, strata, {"short": 0.1, "long": 0.9}
+        ).collect()
+    )
+    assert a == b
+    short = sum(1 for i in a if i % 2 == 1)
+    long_ = sum(1 for i in a if i % 2 == 0)
+    assert 20 <= short <= 80  # 10% of 500 +/- noise
+    assert 420 <= long_ <= 480  # 90% of 500 +/- noise
+    # different seed -> different membership
+    c = sorted(
+        r["doc_id"]
+        for r in stratified_sample(
+            docs, strata, {"short": 0.1, "long": 0.9}, seed="other"
+        ).collect()
+    )
+    assert a != c
+
+
+def test_decontaminate_removes_flagged_docs(spark):
+    """The removal half: docs sharing a 3-gram with the benchmark vanish,
+    clean docs survive."""
+    from stglib_spark.operators.corpus import contaminated_ids, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "totally unrelated text about oceanography instruments"),
+            (2, "he said the quick brown fox appeared"),  # shares 3-grams
+            (3, "quick brown foxes are unrelated plural"),
+        ],
+        "doc_id long, text string",
+    )
+    bad = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in contaminated_ids(docs, bench, ngram=3).collect()
+    }
+    assert set(bad) == {2} and bad[2] >= 2
+    clean = sorted(r["doc_id"] for r in decontaminate(docs, bench, ngram=3).collect())
+    assert clean == [1, 3]

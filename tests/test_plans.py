@@ -217,3 +217,12 @@ def test_minhash_shingle_expression_not_double_computed(spark):
     side of the self-join is the fused shape."""
     plan = plan_of(spark, "dedup_minhash_lsh")
     assert count(plan, r"zip_with\(zip_with") == 2
+
+
+def test_decontaminate_broadcasts_benchmark_grams(spark):
+    """The benchmark gram set is broadcast: the corpus-side gram stream
+    joins it without a shuffle (no SortMergeJoin anywhere in the plan)."""
+    plan = plan_of(spark, "corpus_decontaminate")
+    assert count(plan, r"BroadcastHashJoin") >= 1
+    assert count(plan, r"SortMergeJoin") == 0
+    assert count(plan, r"CartesianProduct") == 0
