@@ -20,7 +20,14 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from stglib_spark.session import load_table, spread
+from stglib_spark.session import fast_round, load_table, spread
+
+
+def _r6(col):
+    """round(x, 6) for result columns: fast_round (DuckDB-identical
+    multiply/floor, ~5x cheaper than Spark's BigDecimal Round on doubles —
+    see session.fast_round)."""
+    return fast_round(col, 6)
 from stglib_spark.operators import clip as clip_ops
 from stglib_spark.operators import corpus as corpus_ops
 from stglib_spark.operators import dedup as dedup_ops
@@ -91,9 +98,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
                 2,
             ).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _r6(F.avg("l_quantity")).alias("avg_qty"),
+            _r6(F.avg("l_extendedprice")).alias("avg_price"),
+            _r6(F.avg("l_discount")).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -261,7 +268,7 @@ def clip_deployment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, {"Deployment_date": _DEP, "Recovery_date": _REC}, time_col="ts"
     )
     return out.select(
-        "event_id", "ts", "user_id", "event_type", F.round("value", 6).alias("value")
+        "event_id", "ts", "user_id", "event_type", _r6("value").alias("value")
     )
 
 
@@ -286,7 +293,7 @@ def clip_good_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         time_col="ts",
     )
-    return out.select("event_id", "ts", F.round("value", 6).alias("value"))
+    return out.select("event_id", "ts", _r6("value").alias("value"))
 
 
 # --------------------------------------------------------------------------
@@ -311,7 +318,7 @@ def qaqc_min_max(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value"],
         qaqc_ops.SeriesSpec(time_col="ts"),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -341,7 +348,7 @@ def qaqc_diff_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
         ),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -369,7 +376,7 @@ def qaqc_med_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
         ),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -405,7 +412,7 @@ def qaqc_fliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     step1 = qaqc_ops.apply_qaqc(ev, {"value_min": 15.0}, ["value"], spec).df
     step2 = qaqc_ops.apply_qaqc(step1, {"value_fliers": 2}, ["value"], spec).df
-    return step2.select("event_id", F.round("value", 6).alias("value"))
+    return step2.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -425,7 +432,7 @@ def qaqc_mask_expr(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value"],
         qaqc_ops.SeriesSpec(time_col="ts"),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -452,7 +459,7 @@ def qaqc_trim_warmup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value"],
         qaqc_ops.SeriesSpec(time_col="ts", sample_col="sample"),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 # --------------------------------------------------------------------------
@@ -523,7 +530,7 @@ def ts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     hourly = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour")).agg(
-        F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+        F.count(F.lit(1)).alias("n"), _r6(F.avg("value")).alias("avg_value")
     )
     grid = timeops.fill_time_gaps(
         hourly, time_col="hour", step_seconds=3600
@@ -543,7 +550,7 @@ def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts_burst_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("burst_time")).agg(
-        F.when(F.count("value") >= 10, F.round(F.avg("value"), 6)).alias("value_avg"),
+        F.when(F.count("value") >= 10, _r6(F.avg("value"))).alias("value_avg"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -563,7 +570,7 @@ def ts_interval_average_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_duration = ev.filter(F.minute("ts") < 30)
     return in_duration.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("burst_time")
-    ).agg(F.round(F.avg("value"), 6).alias("value_avg"), F.count(F.lit(1)).alias("n"))
+    ).agg(_r6(F.avg("value")).alias("value_avg"), F.count(F.lit(1)).alias("n"))
 
 
 @register(
@@ -582,7 +589,7 @@ def ts_circular_mean_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     angle = F.col("value") * 3.6
     return ev.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
-        F.round(circular_mean_deg(angle), 6).alias("dir_mean")
+        _r6(circular_mean_deg(angle)).alias("dir_mean")
     )
 
 
@@ -612,7 +619,7 @@ def ts_asof_atmos_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.select(
         "event_id",
-        F.round(F.col("value") - F.col("baseline") - F.lit(0.5), 6).alias("value_ac"),
+        _r6(F.col("value") - F.col("baseline") - F.lit(0.5)).alias("value_ac"),
     )
 
 
@@ -640,9 +647,9 @@ def phys_spd2uv(spark: SparkSession, sf_dir: str) -> DataFrame:
     spd, _ = transforms.uv2spd(u, v)
     return ev.select(
         "event_id",
-        (F.round(u, 6) + F.lit(0.0)).alias("u"),
-        (F.round(v, 6) + F.lit(0.0)).alias("v"),
-        (F.round(spd, 6) + F.lit(0.0)).alias("spd_back"),
+        (_r6(u) + F.lit(0.0)).alias("u"),
+        (_r6(v) + F.lit(0.0)).alias("v"),
+        (_r6(spd) + F.lit(0.0)).alias("spd_back"),
     )
 
 
@@ -663,7 +670,7 @@ def phys_salinity_spcon(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     spcon = F.col("value") * 1000.0 + 100.0
     sal = physics.salinity_from_spcon(spcon)
-    return ev.select("event_id", F.round(sal, 6).alias("salinity"))
+    return ev.select("event_id", _r6(sal).alias("salinity"))
 
 
 @register(
@@ -680,7 +687,7 @@ def phys_pres2dep_ssc(spark: SparkSession, sf_dir: str) -> DataFrame:
     dep = physics.pres2dep_simple(F.col("value") / 10.0)
     ssc = physics.turbidity_to_ssc(F.col("value"), [1.8, 2.5])
     return ev.select(
-        "event_id", F.round(dep, 6).alias("depth"), F.round(ssc, 6).alias("ssc")
+        "event_id", _r6(dep).alias("depth"), _r6(ssc).alias("ssc")
     )
 
 
@@ -716,7 +723,11 @@ _QKFS_SQL = """
 
 @register("phys_dispersion_qkfs", _QKFS_SQL)
 def phys_dispersion_qkfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    # no spread(): these are scan-speed projections — repartitioning a
+    # multi-partition fact scan for extra parallelism costs more than the
+    # projection itself (measured 6.8 s vs 1.1 s at sf1, 0.90 vs 0.27 at
+    # sf0.1); at cluster scale the scan already has thousands of splits
+    li = load_table(spark, sf_dir, "lineitem")
     omega = 2.0 * math.pi / (4.0 + (F.col("l_linenumber") % 8))
     h = F.greatest(F.col("l_quantity"), F.lit(1.0))
 
@@ -727,20 +738,26 @@ def phys_dispersion_qkfs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     x = omega * omega * h / 9.81
     y0 = F.when(x < 1.0, F.sqrt(x)).otherwise(x)
-    # fold over 3 Newton steps: the lambda binds y once per step, so the
-    # expression tree stays linear (a naive unroll duplicates y ~7× per
-    # step → 7³ subtrees, breaking codegen and costing ~10× at sf0.1)
-    y = F.aggregate(
-        F.sequence(F.lit(1), F.lit(3)),
-        y0,
-        lambda y, _i: y
-        - (
-            (y * tanh_exp(y) - x)
-            / (tanh_exp(y) + y * (1.0 - tanh_exp(y) * tanh_exp(y)))
-        ),
+    # 3 Newton steps as CHAINED PROJECTIONS, y bound to a column attribute
+    # per step: the tree stays linear (a naive symbolic unroll duplicates
+    # y ~7× per step → 7³ subtrees), codegen CSEs the 4 tanh_exp(y)
+    # repeats within each step, and — unlike the earlier F.aggregate fold
+    # over a literal sequence — everything runs compiled: higher-order-
+    # function lambdas evaluate interpreted, which made the fold 2.5×
+    # slower at sf1 (13.9 s → 5.5 s). CollapseProject does not merge the
+    # steps because y is referenced many times by non-cheap expressions.
+    df = li.select(
+        "l_orderkey", "l_linenumber", h.alias("__h"), x.alias("__x"),
+        y0.alias("__y"),
     )
-    return li.select(
-        "l_orderkey", "l_linenumber", F.round(y / h, 6).alias("k")
+    for _ in range(3):
+        y, xx = F.col("__y"), F.col("__x")
+        t = tanh_exp(y)
+        df = df.withColumn(
+            "__y", y - ((y * t - xx) / (t + y * (1.0 - t * t)))
+        )
+    return df.select(
+        "l_orderkey", "l_linenumber", _r6(F.col("__y") / F.col("__h")).alias("k")
     )
 
 
@@ -819,7 +836,11 @@ _COORD_SQL = f"""
 
 @register("coord_beam2enu", _COORD_SQL)
 def coord_beam2enu(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    # no spread(): these are scan-speed projections — repartitioning a
+    # multi-partition fact scan for extra parallelism costs more than the
+    # projection itself (measured 6.8 s vs 1.1 s at sf1, 0.90 vs 0.27 at
+    # sf0.1); at cluster scale the scan already has thousands of splits
+    li = load_table(spark, sf_dir, "lineitem")
     df = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -843,9 +864,9 @@ def coord_beam2enu(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "l_orderkey",
         "l_linenumber",
-        (F.round(enu[0], 6) + F.lit(0.0)).alias("u"),
-        (F.round(enu[1], 6) + F.lit(0.0)).alias("v"),
-        (F.round(enu[2], 6) + F.lit(0.0)).alias("w"),
+        (_r6(enu[0]) + F.lit(0.0)).alias("u"),
+        (_r6(enu[1]) + F.lit(0.0)).alias("v"),
+        (_r6(enu[2]) + F.lit(0.0)).alias("w"),
     )
 
 
@@ -893,7 +914,11 @@ def coord_beam2enu_4beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     coord_beam2enu but with four beam inputs (sig/cdf2nc.py Beam2xyz
     application; matrices come from sig_group_attrs/pd0_transform_matrix
     in real deployments)."""
-    li = spread(load_table(spark, sf_dir, "lineitem"))
+    # no spread(): these are scan-speed projections — repartitioning a
+    # multi-partition fact scan for extra parallelism costs more than the
+    # projection itself (measured 6.8 s vs 1.1 s at sf1, 0.90 vs 0.27 at
+    # sf0.1); at cluster scale the scan already has thousands of splits
+    li = load_table(spark, sf_dir, "lineitem")
     df = li.select(
         "l_orderkey",
         "l_linenumber",
@@ -916,9 +941,9 @@ def coord_beam2enu_4beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df.select(
         "l_orderkey",
         "l_linenumber",
-        (F.round(enu[0], 6) + F.lit(0.0)).alias("u"),
-        (F.round(enu[1], 6) + F.lit(0.0)).alias("v"),
-        (F.round(enu[2], 6) + F.lit(0.0)).alias("w"),
+        (_r6(enu[0]) + F.lit(0.0)).alias("u"),
+        (_r6(enu[1]) + F.lit(0.0)).alias("v"),
+        (_r6(enu[2]) + F.lit(0.0)).alias("w"),
     )
 
 
@@ -1558,7 +1583,7 @@ def qaqc_diff_pct(spark: SparkSession, sf_dir: str) -> DataFrame:
             time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
         ),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -1585,7 +1610,7 @@ def qaqc_std_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value"],
         qaqc_ops.SeriesSpec(time_col="ts"),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -1611,7 +1636,7 @@ def qaqc_bad_ens(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value"],
         qaqc_ops.SeriesSpec(time_col="ts"),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -1638,7 +1663,7 @@ def qaqc_bad_ens_indiv(spark: SparkSession, sf_dir: str) -> DataFrame:
         ["value"],
         qaqc_ops.SeriesSpec(time_col="ts"),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -1677,7 +1702,7 @@ def qaqc_mask_trim_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.df.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("l_quantity", 6).alias("qty"),
+        _r6("l_quantity").alias("qty"),
         F.round("l_extendedprice", 2).alias("price"),
     )
 
@@ -1716,7 +1741,7 @@ def qaqc_maxabs_diff_2d(spark: SparkSession, sf_dir: str) -> DataFrame:
             time_col="h", series_cols=(), bin_col="user_id", order_cols=("h",)
         ),
     )
-    return res.df.select("user_id", "h", F.round("v", 6).alias("v"))
+    return res.df.select("user_id", "h", _r6("v").alias("v"))
 
 
 @register(
@@ -1747,7 +1772,7 @@ def qaqc_trim_single_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         step1, {"l_quantity_trim_single_bins": True}, ["l_quantity"], spec
     ).df
     return step2.select(
-        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty")
+        "l_orderkey", "l_linenumber", _r6("l_quantity").alias("qty")
     )
 
 
@@ -1778,7 +1803,7 @@ def qaqc_burst_min_kill(spark: SparkSession, sf_dir: str) -> DataFrame:
             time_col="ts", series_cols=("user_id",), burst_col="burst"
         ),
     )
-    return res.df.select("event_id", F.round("value", 6).alias("value"))
+    return res.df.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -1833,9 +1858,9 @@ def qaqc_wave_stats_trims(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id",
         "burst",
-        F.round("wp_peak", 6).alias("wp_peak"),
-        F.round("wh_4061", 6).alias("wh_4061"),
-        F.round("wp_4060", 6).alias("wp_4060"),
+        _r6("wp_peak").alias("wp_peak"),
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_4060").alias("wp_4060"),
     )
 
 
@@ -1891,7 +1916,7 @@ def vel_trim_sidelobe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round("u", 2).alias("u"),
-        F.round("v", 6).alias("v"),
+        _r6("v").alias("v"),
     )
 
 
@@ -1930,8 +1955,8 @@ def vel_agc_cor_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey",
         "l_linenumber",
         F.round("u_1205", 2).alias("u_1205"),
-        F.round("w_1204", 6).alias("w_1204"),
-        F.round("AGC_1202", 6).alias("AGC_1202"),
+        _r6("w_1204").alias("w_1204"),
+        _r6("AGC_1202").alias("AGC_1202"),
     )
 
 
@@ -1971,9 +1996,9 @@ def vel_snr_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_orderkey",
         "l_linenumber",
-        F.round("vel_1", 6).alias("vel_1"),
-        F.round("vel_2", 6).alias("vel_2"),
-        F.round("vel_mean", 6).alias("vel_mean"),
+        _r6("vel_1").alias("vel_1"),
+        _r6("vel_2").alias("vel_2"),
+        _r6("vel_mean").alias("vel_mean"),
     )
 
 
@@ -2030,8 +2055,8 @@ def qaqc_ast_quality_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             F.when(
                 F.col("quality") < F.col("t"), F.lit(None)
-            ).otherwise(F.round("brange", 6)).alias("brange"),
-            F.round("brange", 6).alias("brange_untrimmed"),
+            ).otherwise(_r6("brange")).alias("brange"),
+            _r6("brange").alias("brange_untrimmed"),
         )
     )
 
@@ -2072,7 +2097,7 @@ def phys_pres2dep_density(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(10.0) + F.col("value") / 5.0).alias("t"),
     )
     return b.select(
-        "event_id", F.round(F.expr(_p2d_sql()), 6).alias("depth_m")
+        "event_id", _r6(F.expr(_p2d_sql())).alias("depth_m")
     )
 
 
@@ -2105,10 +2130,9 @@ def phys_troll_salinity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return b.select(
         "event_id",
-        F.round(F.expr(physics.troll_salinity_sql("t", "ac")), 6).alias("salinity"),
-        F.round(
-            F.expr(physics.troll_salinity_sql("t", "ac", full=True)), 6
-        ).alias("salinity_full"),
+        _r6(F.expr(physics.troll_salinity_sql("t", "ac"))).alias("salinity"),
+        _r6(
+            F.expr(physics.troll_salinity_sql("t", "ac", full=True))).alias("salinity_full"),
     )
 
 
@@ -2166,7 +2190,7 @@ def prof_clip_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         out, {"good_bindist": (2, 5)}, bindist_col="l_linenumber"
     )
     return out.select(
-        "l_orderkey", "l_linenumber", F.round("l_quantity", 6).alias("qty")
+        "l_orderkey", "l_linenumber", _r6("l_quantity").alias("qty")
     )
 
 
@@ -2203,9 +2227,9 @@ def phys_z_geometry(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(physics.make_bin_depth(pres, bindist, "UP"), 6).alias("bin_depth"),
-        F.round(physics.create_z(cfg, bindist), 6).alias("z"),
-        F.round(physics.create_depth(cfg, bindist), 6).alias("depth"),
+        _r6(physics.make_bin_depth(pres, bindist, "UP")).alias("bin_depth"),
+        _r6(physics.create_z(cfg, bindist)).alias("z"),
+        _r6(physics.create_depth(cfg, bindist)).alias("depth"),
     )
 
 
@@ -2264,7 +2288,7 @@ def agg_mean_minf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         s.groupBy("user_id", "h")
-        .agg(F.round(mean_minf(F.col("v"), 0.5, F.count(F.lit(1))), 6).alias("value_mean"))
+        .agg(_r6(mean_minf(F.col("v"), 0.5, F.count(F.lit(1)))).alias("value_mean"))
     )
 
 
@@ -2316,7 +2340,7 @@ def ts_seagauge_tides(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_samples=10,
         interval_seconds=900.0,
     )
-    return out.select("time", F.round("value", 6).alias("value"))
+    return out.select("time", _r6("value").alias("value"))
 
 
 # --------------------------------------------------------------------------
@@ -2414,9 +2438,9 @@ def agg_linregress(spark: SparkSession, sf_dir: str) -> DataFrame:
     x, y = F.col("value"), F.col("y")
     slope = F.covar_samp(x, y) / F.var_samp(x)
     return ev.agg(
-        F.round(slope, 6).alias("slope"),
-        F.round(F.avg(y) - slope * F.avg(x), 6).alias("intercept"),
-        F.round(F.corr(x, y), 6).alias("rvalue"),
+        _r6(slope).alias("slope"),
+        _r6(F.avg(y) - slope * F.avg(x)).alias("intercept"),
+        _r6(F.corr(x, y)).alias("rvalue"),
         F.count(F.lit(1)).alias("n"),
     )
 
@@ -2436,7 +2460,7 @@ def agg_top_third_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     p67 = ev.agg(F.percentile(F.col("value"), 2.0 / 3.0).alias("p")).collect()[0]["p"]
     return ev.filter(F.col("value") >= F.lit(p67)).agg(
-        F.round(F.avg("value") * 0.85, 6).alias("threshold"),
+        _r6(F.avg("value") * 0.85).alias("threshold"),
         F.count(F.lit(1)).alias("n_top"),
     )
 
@@ -2454,8 +2478,8 @@ def agg_min_max_attrs(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation pass."""
     ev = load_table(spark, sf_dir, "events")
     return ev.agg(
-        F.round(F.min("value"), 6).alias("value_min"),
-        F.round(F.max("value"), 6).alias("value_max"),
+        _r6(F.min("value")).alias("value_min"),
+        _r6(F.max("value")).alias("value_max"),
         F.min("ts").alias("start_time"),
         F.max("ts").alias("stop_time"),
         F.count(F.lit(1)).alias("n"),
@@ -2510,9 +2534,9 @@ def phys_direction_conventions(spark: SparkSession, sf_dir: str) -> DataFrame:
     polar = ((F.col("event_id") * 13) % 360).cast("double")
     return ev.select(
         "event_id",
-        F.round(transforms.polar2compass(polar), 6).alias("compass"),
-        F.round(transforms.to2from(polar), 6).alias("fromdir"),
-        F.round(transforms.magvar_correct_heading(polar, 12.5), 6).alias(
+        _r6(transforms.polar2compass(polar)).alias("compass"),
+        _r6(transforms.to2from(polar)).alias("fromdir"),
+        _r6(transforms.magvar_correct_heading(polar, 12.5)).alias(
             "heading_magvar"
         ),
     )
@@ -2575,7 +2599,7 @@ def phys_transfer_function(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (F.exp(v) + F.exp(-v)) / 2.0
 
     kp = cosh_exp(kk * 0.5) / cosh_exp(kk * h)
-    return li.select("l_orderkey", "l_linenumber", F.round(kp, 6).alias("kp"))
+    return li.select("l_orderkey", "l_linenumber", _r6(kp).alias("kp"))
 
 
 # --------------------------------------------------------------------------
@@ -2775,8 +2799,8 @@ def filt_butterworth_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "time",
-        F.round("water_level", 6).alias("water_level"),
-        F.round("water_level_filt", 6).alias("water_level_filt"),
+        _r6("water_level").alias("water_level"),
+        _r6("water_level_filt").alias("water_level_filt"),
     )
 
 
@@ -2827,8 +2851,8 @@ def filt_median_smoother(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.filter((F.col("__rn") > 2) & (F.col("__rn") <= F.col("__n") - 2)).select(
         "user_id",
         F.col("time").alias("ts"),
-        F.round("value", 6).alias("value"),
-        F.round("value_unfiltered", 6).alias("value_unfiltered"),
+        _r6("value").alias("value"),
+        _r6("value_unfiltered").alias("value_unfiltered"),
     )
 
 
@@ -2864,11 +2888,11 @@ def wave_puv_directional(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = wave_ops.make_puv_ds(synth, cfg)
     return out.select(
         "burst_time",
-        F.round("Hrmsp", 6).alias("Hrmsp"),
-        F.round("Hrmsu", 6).alias("Hrmsu"),
-        F.round("ubr", 6).alias("ubr"),
-        F.round("Tr", 6).alias("Tr"),
-        F.round("azr", 6).alias("azr"),
+        _r6("Hrmsp").alias("Hrmsp"),
+        _r6("Hrmsu").alias("Hrmsu"),
+        _r6("ubr").alias("ubr"),
+        _r6("Tr").alias("Tr"),
+        _r6("azr").alias("azr"),
     )
 
 
@@ -2927,7 +2951,7 @@ def wave_puv_azimuth_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     cfg = {"sample_interval": 155.0, "pressure_sensor_height": 0.5,
            "puv_fft_length": 64}
     out = wave_ops.make_puv_ds(synth, cfg)
-    return out.select("burst_time", F.round("azr", 6).alias("azr"))
+    return out.select("burst_time", _r6("azr").alias("azr"))
 
 
 @register("wave_diwasp_dirspec")  # rows-only: complex cross-spectra + IMLM
@@ -2962,11 +2986,11 @@ def wave_diwasp_dirspec(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = make_diwasp_ds(synth, cfg)
     return out.select(
         "burst_time",
-        F.round("wh_4061", 6).alias("wh_4061"),
-        F.round("wp_peak", 6).alias("wp_peak"),
-        F.round("wvdir", 6).alias("wvdir"),
-        F.round("dwvdir", 6).alias("dwvdir"),
-        F.round("wd_4062", 6).alias("wd_4062"),
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_peak").alias("wp_peak"),
+        _r6("wvdir").alias("wvdir"),
+        _r6("dwvdir").alias("dwvdir"),
+        _r6("wd_4062").alias("wd_4062"),
         "diwasp_type",
     )
 
@@ -2992,10 +3016,10 @@ def wave_stats_welch(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = wave_ops.make_waves_ds(with_burst, cfg)
     return out.select(
         "burst_time",
-        F.round("m0", 6).alias("m0"),
-        F.round("wh_4061", 6).alias("wh_4061"),
-        F.round("wp_4060", 6).alias("wp_4060"),
-        F.round("wp_peak", 6).alias("wp_peak"),
+        _r6("m0").alias("m0"),
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_4060").alias("wp_4060"),
+        _r6("wp_peak").alias("wp_peak"),
     )
 
 
@@ -3095,10 +3119,10 @@ def wave_stats_elev(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = wave_ops.make_waves_ds_elev(with_burst, cfg)
     return out.select(
         "burst_time",
-        F.round("m0", 6).alias("m0"),
-        F.round("wh_4061", 6).alias("wh_4061"),
-        F.round("wp_4060", 6).alias("wp_4060"),
-        F.round("wp_peak", 6).alias("wp_peak"),
+        _r6("m0").alias("m0"),
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_4060").alias("wp_4060"),
+        _r6("wp_peak").alias("wp_peak"),
     )
 
 
@@ -3139,7 +3163,7 @@ def sonar_xy_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = polar_to_xy(polar, total_range=10.0, dxy=2.0)
     return out.select(
-        "time", "x", "y", F.round("sonar_image", 6).alias("sonar_image")
+        "time", "x", "y", _r6("sonar_image").alias("sonar_image")
     )
 
 
@@ -3159,8 +3183,8 @@ def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
-        F.round(F.element_at("feature", 16), 6).alias("f15"),
+        _r6(F.element_at("feature", 1)).alias("f0"),
+        _r6(F.element_at("feature", 16)).alias("f15"),
     )
 
 
@@ -3340,7 +3364,7 @@ def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "frame_idx",
         "t_ms",
-        F.round(F.element_at("feature", 1), 6).alias("f0"),
+        _r6(F.element_at("feature", 1)).alias("f0"),
     )
 
 
@@ -3403,7 +3427,7 @@ def ts_burst_nan_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_nan_frac=0.3,
         series_cols=("user_id",),
     )
-    return filled.select("event_id", F.round("value", 6).alias("value"))
+    return filled.select("event_id", _r6("value").alias("value"))
 
 
 @register(
@@ -3421,7 +3445,7 @@ def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     df = ev.select(
         "event_id",
-        F.round("value", 6).alias("Depth"),
+        _r6("value").alias("Depth"),
         (F.col("event_id") % 100).cast("double").alias("VbPercentGood"),
     )
     out = vel_ops.fill_vbper(df, {"vbper_threshold": 20.0}, variables=("Depth",))
