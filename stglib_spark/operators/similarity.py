@@ -300,3 +300,33 @@ def ann_topk_lsh(
         .orderBy(F.col("cosine").desc(), F.col(id_col))
         .limit(k)
     )
+
+
+def bucket_centroids(
+    df: DataFrame,
+    bucket: Column,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Element-wise mean vector per bucket — the codebook-build primitive
+    behind IVF indexing and per-stratum embedding statistics. Long-form
+    output (bucket, dim, centroid, n_vectors): posexplode → one hash
+    aggregate keyed on (bucket, dim). Map-side partial aggregation means
+    the shuffle carries buckets × dims partial sums, independent of
+    corpus size — the same shape at 100 TB. (Long form deliberately: a
+    collect_list reassembly adds a second shuffle and an
+    ordering-sensitive array compare for zero analytical gain.)"""
+    from stglib_spark.session import fast_round
+
+    exploded = df.select(
+        bucket.alias("bucket"),
+        F.col(id_col),
+        F.posexplode(F.col(vec_col)).alias("dim", "val"),
+    )
+    return (
+        exploded.groupBy("bucket", "dim")
+        .agg(
+            fast_round(F.avg(F.col("val").cast("double")), 6).alias("centroid"),
+            F.count_distinct(F.col(id_col)).alias("n_vectors"),
+        )
+    )

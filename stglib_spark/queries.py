@@ -1248,6 +1248,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sim_bucket_centroids",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+    x AS (
+      SELECT label AS bucket, vec_id,
+             generate_subscripts(v, 1) - 1 AS dim, unnest(v) AS val
+      FROM e)
+    SELECT bucket, dim, round(avg(val), 6) AS centroid,
+           count(DISTINCT vec_id) AS n_vectors
+    FROM x GROUP BY bucket, dim
+    """,
+)
+def sim_bucket_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid vectors in long form — the IVF codebook /
+    per-stratum embedding-statistics primitive (similarity.bucket_centroids:
+    posexplode → single hash aggregate with map-side combine; shuffle
+    volume is buckets × dims, independent of corpus size)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.bucket_centroids(emb, F.col("label"))
+
+
+@register(
     "corpus_stratified_sample",
     """
     WITH s AS (
@@ -3466,6 +3488,7 @@ def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _FRONT = [
     # new / changed in round 4: must get fresh CORRECTNESS_r04 rows
     "dedup_clusters",
+    "sim_bucket_centroids",
     "corpus_stratified_sample",
     "corpus_decontaminate",
     "corpus_repetition_stats",

@@ -14,6 +14,7 @@ from stglib_spark.streaming.bursts import (
     export_nc_batch_writer,
     read_events_stream,
     streaming_burst_average,
+    streaming_content_dedup,
     streaming_dedup,
     streaming_diff_gate,
     streaming_gap_fill,
@@ -25,6 +26,7 @@ __all__ = [
     "export_nc_batch_writer",
     "read_events_stream",
     "streaming_burst_average",
+    "streaming_content_dedup",
     "streaming_dedup",
     "streaming_diff_gate",
     "streaming_gap_fill",

@@ -626,3 +626,27 @@ def export_nc_batch_writer(
             write_netcdf(one, os.path.join(output_dir, name), attrs=gattrs)
 
     return _write
+
+
+def streaming_content_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    time_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact corpus dedup: documents arriving with the same
+    normalized-content digest within the watermark horizon are suppressed
+    after the first (the live-ingest twin of ``dedup.exact_dedup`` — a
+    crawler front-end dropping refetched pages before they reach the
+    corpus). State is the digest → seen map, bounded by the watermark
+    (old digests evicted), so memory is proportional to the arrival rate
+    × horizon, not the corpus."""
+    from stglib_spark.operators.dedup import normalize_text
+    from pyspark.sql import functions as F
+
+    return (
+        docs.withColumn("__digest", F.md5(normalize_text(F.col(text_col))))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark(["__digest"])
+        .drop("__digest")
+    )

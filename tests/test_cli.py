@@ -129,3 +129,31 @@ def test_cli_exportnc_step(cli_fixture, spark):
     assert int(np.isnan(t28).sum()) == 1
     # lint report written next to the export
     assert os.path.exists(out + ".cfcheck.txt")
+
+
+def test_cli_dedup_step(spark):
+    """`python -m stglib_spark corpus dedup --input <documents.parquet>`
+    runs the shared-intermediate dedup stage end-to-end."""
+    import os
+
+    from stglib_spark.__main__ import main
+
+    os.makedirs(TMP, exist_ok=True)
+    docs = f"{TMP}/cli_docs.parquet"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(docs)
+    open(f"{TMP}/dedup.yaml", "w").write(
+        "filename: clidedup\njaccard_threshold: 0.5\n"
+    )
+    assert main(
+        ["corpus", "dedup", None, f"{TMP}/dedup.yaml",
+         "--input", docs, "--output-dir", TMP]
+    ) == 0
+    import pyarrow.parquet as pq
+
+    pairs = pq.read_table(f"{TMP}/clidedup_dedup").to_pandas()
+    assert {"doc_a", "doc_b", "jaccard"} <= set(pairs.columns)
+    assert (pairs["jaccard"] >= 0.5).all()
+    assert os.path.isdir(f"{TMP}/clidedup_candidates")
+    assert os.path.isdir(f"{TMP}/clidedup_shingles")

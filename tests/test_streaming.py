@@ -675,3 +675,55 @@ def test_streaming_export_nc_exactly_once(spark, checkpoint_dir, tmp_path):
     # 13:00 window = 13:30 + 13:45 rows (avg 9.0), never the late 100.0
     assert float(nc13["variables"]["value_avg"]["data"][0]) == 9.0
     assert int(nc13["variables"]["n"]["data"][0]) == 2
+
+
+def test_streaming_content_dedup(spark, checkpoint_dir, tmp_path):
+    """Exact content dedup on a live document stream: a re-arriving text
+    (same normalized content, different id/punctuation) within the
+    watermark is suppressed; distinct content passes."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from stglib_spark.streaming import streaming_content_dedup
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-05-01 10:00:00")
+    fileA = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "ts": [t0, t0 + pd.Timedelta(minutes=1)],
+            "text": ["Hello, World!", "something else"],
+        }
+    )
+    # same normalized content as doc 1 (case/punctuation differ) + new doc
+    fileB = pd.DataFrame(
+        {
+            "doc_id": [3, 4],
+            "ts": [t0 + pd.Timedelta(minutes=2), t0 + pd.Timedelta(minutes=3)],
+            "text": ["hello world", "genuinely new content"],
+        }
+    )
+    spark.createDataFrame(fileA).coalesce(1).write.parquet(d + "/a")
+    _time.sleep(1.1)
+    spark.createDataFrame(fileB).coalesce(1).write.parquet(d + "/b")
+    schema = spark.read.parquet(d + "/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_content_dedup(stream, watermark="1 hour")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("contentdedup")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT doc_id FROM contentdedup").collect()
+    assert sorted(r["doc_id"] for r in rows) == [1, 2, 4]
