@@ -3124,6 +3124,53 @@ def wave_psd_welch_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sonar_xy_linear_oracle",
+    """
+    WITH ax AS (SELECT -10.0 + 2.5 * i AS v FROM generate_series(0, 8) t(i)),
+    g AS (SELECT x.v AS x, y.v AS y FROM ax x CROSS JOIN ax y),
+    p AS (
+      SELECT x, y,
+             fmod(-degrees(atan2(y, x)) + 90.0 + 360.0, 360.0) AS tg,
+             sqrt(x * x + y * y) AS rho
+      FROM g)
+    SELECT TIMESTAMP '2024-01-01 00:00:00' AS time, x, y,
+           CASE WHEN tg >= 0 AND tg <= 350 AND rho >= 1 AND rho <= 10
+                THEN round(2.0 + 0.1 * tg + 3.0 * rho, 6) END AS sonar_image
+    FROM p
+    """,
+)
+def sonar_xy_linear_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYTIC ORACLE for the polar→cartesian sonar regrid (upgrades the
+    previously rows-only sonar family): bilinear interpolation reproduces
+    a field linear in (theta, range) EXACTLY, so with amp = 2 + 0.1·θ +
+    3·r the resampled image has the closed form 2 + 0.1·θ(x,y) + 3·ρ(x,y)
+    inside the sweep hull and NaN outside — which DuckDB evaluates
+    directly. The Spark side runs the REAL engine kernel
+    (sonar.polar_to_xy → _interp_regular_2d, the same searchsorted +
+    bilinear-weights path the son nc2xy pipeline rides)."""
+    from stglib_spark.operators import sonar as sonar_ops
+
+    thetas = spark.range(36).select((F.col("id") * 10.0).alias("theta_deg"))
+    rngs = spark.range(10).select((F.col("id") + 1.0).alias("horz_rng"))
+    frame = (
+        thetas.crossJoin(rngs)
+        .withColumn(
+            "amp",
+            F.lit(2.0) + 0.1 * F.col("theta_deg") + 3.0 * F.col("horz_rng"),
+        )
+        .withColumn("time", F.lit("2024-01-01 00:00:00").cast("timestamp"))
+    )
+    out = sonar_ops.polar_to_xy(frame, total_range=10.0, dxy=2.5)
+    img = F.col("sonar_image")
+    return out.select(
+        "time",
+        "x",
+        "y",
+        F.when(~F.isnan(img), _r6(img)).alias("sonar_image"),
+    )
+
+
 @register("wave_stats_elev")  # rows-only oracle (FFT chain)
 def wave_stats_elev(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Direct surface-elevation wave statistics (core/waves.py:684-743):
@@ -3496,6 +3543,7 @@ _FRONT = [
     "mm_video_frames_real",
     "wave_psd_welch_oracle",
     "wave_puv_azimuth_oracle",
+    "sonar_xy_linear_oracle",
     "filt_iir_recursion_oracle",
     "filt_filtfilt_oracle",
     "mm_decode_features",
