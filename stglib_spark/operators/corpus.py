@@ -166,3 +166,66 @@ def repetition_stats(
             F.when(n_toks > 0, top_tok / n_toks).otherwise(0.0), 6
         ).alias("top_token_frac"),
     )
+
+
+# Redaction patterns chosen to parse identically under Java regex (Spark)
+# and DuckDB's RE2-style engine: no backreferences, no lookaround.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b",
+    "SSN": r"\b\d{3}-\d{2}-\d{4}\b",
+}
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Training-data hygiene: replace emails / IPs / phone numbers / SSNs
+    with ``[CATEGORY]`` placeholders and count replacements per category.
+    One chained regexp_replace projection (codegen, scan speed). Each
+    category is counted on the text state AFTER the previous categories
+    were redacted, so the counts are exactly what this pass replaced:
+    the digit run inside an address never double-counts as a phone, a
+    dotted quad never counts as phone-ish digit groups. Order is fixed:
+    EMAIL, IP, PHONE, SSN."""
+    out = F.col(text_col)
+    counts = {}
+    for cat in ("EMAIL", "IP", "PHONE", "SSN"):
+        pat = PII_PATTERNS[cat]
+        counts[f"n_{cat.lower()}"] = F.size(
+            F.regexp_extract_all(out, F.lit(pat), 0)
+        )
+        out = F.regexp_replace(out, pat, f"[{cat}]")
+    return df.select(
+        F.col(id_col),
+        out.alias("text_redacted"),
+        *[v.alias(k) for k, v in counts.items()],
+    )
+
+
+def url_domain_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus-level URL/domain census: extract http(s) URLs, reduce to the
+    registrable host, count docs and mentions per domain — the source-mix
+    report a corpus curator reads before sampling. explode → one hash
+    aggregate with map-side combine; shuffle carries (domain, partials),
+    bounded by the domain vocabulary, not the corpus."""
+    urls = F.regexp_extract_all(
+        F.col(text_col), F.lit(r"https?://[^\s/]+"), 0
+    )
+    # lower FIRST, then strip: a case-sensitive prefix strip would leave
+    # "WWW." intact
+    host = F.regexp_replace(
+        F.lower(F.col("__url")), r"^https?://(www\.)?", ""
+    )
+    return (
+        df.select(F.col(id_col), F.explode(urls).alias("__url"))
+        .select(F.col(id_col), host.alias("domain"))
+        .groupBy("domain")
+        .agg(
+            F.count_distinct(F.col(id_col)).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_mentions"),
+        )
+    )

@@ -1247,6 +1247,103 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+_PII_PHONE = r"(\+?\d{1,2}[-. ]?)?\(?\d{3}\)?[-. ]?\d{3}[-. ]?\d{4}\b"
+_PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+
+
+@register(
+    "corpus_redact_pii",
+    f"""
+    WITH aug AS (
+      SELECT doc_id,
+             'contact user' || doc_id::VARCHAR || '@example.com or 10.0.0.'
+               || (doc_id % 256)::VARCHAR || ' ' || text AS t
+      FROM documents),
+    r1 AS (SELECT doc_id, t,
+                  regexp_replace(t, '{_PII_EMAIL}', '[EMAIL]', 'g') AS t1
+           FROM aug),
+    r2 AS (SELECT *, regexp_replace(t1, '{_PII_IP}', '[IP]', 'g') AS t2
+           FROM r1),
+    r3 AS (SELECT *, regexp_replace(t2, '{_PII_PHONE}', '[PHONE]', 'g') AS t3
+           FROM r2)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_PII_EMAIL}')) AS n_email,
+           len(regexp_extract_all(t1, '{_PII_IP}')) AS n_ip,
+           len(regexp_extract_all(t2, '{_PII_PHONE}')) AS n_phone,
+           len(regexp_extract_all(t3, '{_PII_SSN}')) AS n_ssn,
+           md5(regexp_replace(t3, '{_PII_SSN}', '[SSN]', 'g')) AS redacted_md5
+    FROM r3
+    """,
+)
+def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (corpus.redact_pii) over the corpus with
+    deterministic injected PII (an email + dotted-quad IP derived from
+    doc_id) so the check is non-trivial: per-category match counts plus
+    the md5 of the redacted text, both reproduced by DuckDB's RE2 engine
+    (patterns restricted to the common Java/RE2 regex subset)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    out = corpus_ops.redact_pii(aug)
+    return out.select(
+        "doc_id",
+        "n_email",
+        "n_ip",
+        "n_phone",
+        "n_ssn",
+        F.md5(F.col("text_redacted")).alias("redacted_md5"),
+    )
+
+
+@register(
+    "corpus_url_domains",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             'see https://site' || (doc_id % 7)::VARCHAR
+               || '.example.org/page plus http://www.mirror'
+               || (doc_id % 3)::VARCHAR || '.net/x ' || text AS t
+      FROM documents),
+    u AS (
+      SELECT doc_id,
+             unnest(regexp_extract_all(t, 'https?://[^\s/]+')) AS url
+      FROM aug)
+    SELECT regexp_replace(lower(url), '^https?://(www\.)?', '') AS domain,
+           count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_mentions
+    FROM u GROUP BY domain
+    """,
+)
+def corpus_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus URL/domain census (corpus.url_domain_stats) with
+    deterministic injected URLs: explode extracted hosts → one hash
+    aggregate; shuffle bounded by the domain vocabulary."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("see https://site"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(".example.org/page plus http://www.mirror"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(".net/x "),
+            F.col("text"),
+        ).alias("text"),
+    )
+    return corpus_ops.url_domain_stats(aug)
+
+
 @register(
     "sim_bucket_centroids",
     """
@@ -3539,6 +3636,8 @@ _FRONT = [
     "corpus_stratified_sample",
     "corpus_decontaminate",
     "corpus_repetition_stats",
+    "corpus_redact_pii",
+    "corpus_url_domains",
     "mm_decode_real_png",
     "mm_video_frames_real",
     "wave_psd_welch_oracle",

@@ -341,3 +341,48 @@ def test_decontaminate_removes_flagged_docs(spark):
     assert set(bad) == {2} and bad[2] >= 2
     clean = sorted(r["doc_id"] for r in decontaminate(docs, bench, ngram=3).collect())
     assert clean == [1, 3]
+
+
+def test_redact_pii_placeholders_and_order(spark):
+    """Emails, IPs, phones, SSNs become [CATEGORY] placeholders; counts
+    come from the original text; an email's digits are not re-matched as
+    a phone after redaction."""
+    from stglib_spark.operators.corpus import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            (1, "write to jane5551234567@corp.io today"),
+            (2, "call +1 (555) 123-4567 or 555-123-4567"),
+            (3, "host 192.168.0.1 ssn 123-45-6789"),
+            (4, "clean document"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["n_phone"] == 0
+    assert got[1]["text_redacted"] == "write to [EMAIL] today"
+    assert got[2]["n_phone"] == 2
+    assert got[2]["text_redacted"] == "call [PHONE] or [PHONE]"
+    assert got[3]["n_ip"] == 1 and got[3]["n_ssn"] == 1
+    assert got[3]["text_redacted"] == "host [IP] ssn [SSN]"
+    assert got[4]["text_redacted"] == "clean document"
+    assert all(got[4][c] == 0 for c in ("n_email", "n_ip", "n_phone", "n_ssn"))
+
+
+def test_url_domain_stats(spark):
+    """Hosts are lowercased, www-stripped, counted by doc and mention."""
+    from stglib_spark.operators.corpus import url_domain_stats
+
+    docs = spark.createDataFrame(
+        [
+            (1, "see https://WWW.Example.COM/a and https://example.com/b"),
+            (2, "also http://example.com/c plus https://other.org/x"),
+            (3, "no links"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["domain"]: (r["n_docs"], r["n_mentions"])
+        for r in url_domain_stats(docs).collect()
+    }
+    assert got == {"example.com": (2, 3), "other.org": (1, 1)}
