@@ -108,7 +108,15 @@ def _asof_join_unbounded(
         0.0,
     )
     parallelism = left.sparkSession.sparkContext.defaultParallelism
-    width = max(span / max(parallelism * 8, 1), 1e-6)
+    # bucket count scales with BOTH parallelism and right-side density:
+    # candidate selection is an interpreted array filter per left row, so
+    # the per-bucket array must stay small — targeting ~8 right rows per
+    # bucket cut the sf1 as-of query 2× (the parallelism-only width left
+    # ~340-element arrays → hundreds of millions of interpreted struct
+    # compares). The bucket summary stays O(#buckets), far below fact
+    # cardinality, so the carry window is still cheap.
+    n_buckets = max(parallelism * 8, int(stats["n"] / 8) or 1)
+    width = max(span / n_buckets, 1e-6)
 
     def bucket(t: Column) -> Column:
         return F.floor(t.cast("double") / F.lit(width)).cast("long")
