@@ -3292,6 +3292,168 @@ def wave_stats_elev(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "wave_elev_stats_oracle",
+    """
+    WITH base AS (
+      SELECT date_trunc('day', ts) AS burst,
+             row_number() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts, event_id) - 1 AS n,
+             value / 10.0 AS x
+      FROM events
+    ), b AS (SELECT * FROM base WHERE n < 128),
+    fb AS (SELECT burst FROM b GROUP BY burst HAVING count(*) = 128),
+    sp AS (
+      SELECT b.burst, s.s, p.j, b.x
+      FROM b JOIN fb USING (burst)
+      JOIN generate_series(0, 30) s(s) ON TRUE
+      JOIN generate_series(0, 7) p(j) ON b.n = 4 * s.s + p.j
+    ), dm AS (
+      SELECT burst, s, j, x - avg(x) OVER (PARTITION BY burst, s) AS xd
+      FROM sp
+    ), dft AS (
+      SELECT burst, s, k.k,
+             sum(xd * 0.5 * (1 - cos(2 * pi() * j / 8.0))
+                    * cos(2 * pi() * k.k * j / 8.0)) AS re,
+             sum(xd * 0.5 * (1 - cos(2 * pi() * j / 8.0))
+                    * sin(2 * pi() * k.k * j / 8.0)) AS im
+      FROM dm CROSS JOIN (SELECT unnest([2, 3, 4]) AS k) k
+      GROUP BY burst, s, k.k
+    ), psd AS (
+      SELECT burst, k,
+             avg(re * re + im * im)
+               * (CASE WHEN k = 4 THEN 1.0 ELSE 2.0 END) / 6.0 AS p
+      FROM dft GROUP BY burst, k
+    ), wide AS (
+      SELECT burst,
+             max(CASE WHEN k = 2 THEN p END) AS p2,
+             max(CASE WHEN k = 3 THEN p END) AS p3,
+             max(CASE WHEN k = 4 THEN p END) AS p4
+      FROM psd GROUP BY burst
+    ), stats AS (
+      SELECT burst,
+             0.125 * (p2 + 2 * p3 + p4) AS m0,
+             0.125 * (0.25 * p2 + 1.125 * p3 + p4) AS m2,
+             CASE WHEN p2 >= p3 AND p2 >= p4 THEN 0.5
+                  WHEN p3 >= p4 THEN 0.75 ELSE 1.0 END AS fp
+      FROM wide
+    )
+    SELECT burst, round(m0, 6) AS m0, round(m2, 6) AS m2,
+           round(4 * sqrt(m0), 6) AS wh_4061,
+           round(sqrt(m0 / m2), 6) AS wp_4060,
+           round(1.0 / fp, 6) AS wp_peak
+    FROM stats
+    """,
+)
+def wave_elev_stats_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYTIC ORACLE for the FULL elevation-spectra chain (upgrades the
+    previously rows-only `wave_stats_elev` family): 128-sample 2 Hz bursts
+    make the chain fully SQL-expressible — nfft = next_pow2(128/16) = 8,
+    so the Welch PSD is 31 overlapping hann-windowed 8-point DFTs (Σw² =
+    3N/8 = 3 exactly, scale 1/(fs·3) = 1/6, one-sided doubling except
+    Nyquist), the [32 periods/burst, Nyquist] band keeps exactly bins
+    k = 2..4, and the trapezoid moments m0/m2 → Hs/Tm/Tp collapse to
+    3-term closed forms DuckDB evaluates by direct summation. The Spark
+    side runs the REAL engine chain (make_waves_ds_elev →
+    burst_wave_stats_elev_kernel — the same rfft path the Geolux radar /
+    Signature brangeAST products ride, reference core/waves.py:684-743)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy(F.date_trunc("day", F.col("ts"))).orderBy(
+        "ts", "event_id"
+    )
+    base = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("burst_time"),
+        (F.row_number().over(w) - 1).alias("sample"),
+        (F.col("value") / 10.0).alias("elev"),
+    ).filter(F.col("sample") < 128)
+    full_b = (
+        base.groupBy("burst_time")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") == 128)
+    )
+    bursts = base.join(full_b.select("burst_time"), "burst_time")
+    out = wave_ops.make_waves_ds_elev(bursts, {"sample_interval": 0.5})
+    return out.select(
+        F.col("burst_time").alias("burst"),
+        _r6("m0").alias("m0"),
+        _r6("m2").alias("m2"),
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_4060").alias("wp_4060"),
+        _r6("wp_peak").alias("wp_peak"),
+    )
+
+
+@register(
+    "wave_dftm_plane_oracle",
+    """
+    WITH seeds AS (
+      SELECT date_trunc('day', ts) AS burst,
+             radians(fmod(avg(value), 360.0)) AS th0,
+             avg(value * value) AS ss0
+      FROM events GROUP BY 1
+    ), grid AS (
+      SELECT burst, th0, ss0, 30.0 * d AS dir_deg,
+             pow(1 + cos(radians(30.0 * d) - th0), 2) AS e
+      FROM seeds CROSS JOIN generate_series(0, 11) t(d)
+    ), norm AS (
+      SELECT burst, (pi() / 6.0) * sum(e) AS z FROM grid GROUP BY burst
+    )
+    SELECT g.burst, g.dir_deg, round(g.ss0 * g.e / n.z, 6) AS s
+    FROM grid g JOIN norm n USING (burst)
+    """,
+)
+def wave_dftm_plane_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYTIC ORACLE for the DIWASP DFTM estimator (upgrades the
+    previously rows-only `wave_diwasp_dirspec` family): for CO-LOCATED
+    p/u/v sensors (kx = 0, the actual PUV geometry) with unit-magnitude
+    transfer vectors h(θ) = [1, cosθ, sinθ] and a plane-wave
+    cross-spectral matrix X = ss0·h(θ0)h(θ0)ᵀ, the DFTM quadratic form
+    collapses to S(θ) = ss0·(1+cos(θ−θ0))² / (Δθ·Σ(1+cos(θ'−θ0))²) —
+    a closed form DuckDB evaluates directly. The Spark side runs the REAL
+    estimator (functions.diwasp.dftm — the same einsum chain
+    make_diwasp_ds rides, reference lib/pyDIWASP/private/DFTM.py), with
+    θ0/ss0 seeded per burst from the events stream."""
+    ev = load_table(spark, sf_dir, "events")
+    seeds = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("burst")).agg(
+        F.avg("value").alias("seed"),
+        F.avg(F.col("value") * F.col("value")).alias("ss0"),
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.diwasp import dftm
+
+        dirs = np.radians(np.arange(12) * 30.0)
+        rows = []
+        for _, row in pdf.iterrows():
+            th0 = float(np.radians(np.fmod(row["seed"], 360.0)))
+            ss0 = float(row["ss0"])
+            h0 = np.array([1.0, np.cos(th0), np.sin(th0)])
+            xps = (ss0 * np.outer(h0, h0))[:, :, None].astype(complex)
+            trm = np.stack([np.ones(12), np.cos(dirs), np.sin(dirs)])[
+                :, None, :
+            ]
+            kx = np.zeros((3, 3, 1, 12))
+            ss = np.array([[ss0]])
+            S = dftm(xps, trm, kx, ss, np.pi / 6.0)
+            for d in range(12):
+                rows.append(
+                    {
+                        "burst": row["burst"],
+                        "dir_deg": 30.0 * d,
+                        "s": float(np.real(S[0, d])),
+                    }
+                )
+        return pd.DataFrame(rows, columns=["burst", "dir_deg", "s"])
+
+    res = seeds.groupBy("burst").applyInPandas(
+        kernel, "burst timestamp, dir_deg double, s double"
+    )
+    return res.select("burst", "dir_deg", _r6("s").alias("s"))
+
+
 # --------------------------------------------------------------------------
 # Sonar image regrid (son/nc2xy.py:60-125) and multimodal binary columns
 # (north-star: media as binary + typed metadata, Arrow-batched UDFs)
@@ -3642,6 +3804,8 @@ _FRONT = [
     "mm_video_frames_real",
     "wave_psd_welch_oracle",
     "wave_puv_azimuth_oracle",
+    "wave_elev_stats_oracle",
+    "wave_dftm_plane_oracle",
     "sonar_xy_linear_oracle",
     "filt_iir_recursion_oracle",
     "filt_filtfilt_oracle",
