@@ -16,7 +16,7 @@ after dedup/quality scoring:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from stglib_spark.operators.dedup import hash60, word_shingles
 
@@ -201,6 +201,90 @@ def redact_pii(
         F.col(id_col),
         out.alias("text_redacted"),
         *[v.alias(k) for k, v in counts.items()],
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    n_shards: int = 8,
+    seed: str = "pack1",
+) -> DataFrame:
+    """Training-sequence packing (GPT-style concat-and-cut): map every
+    document to its token-offset span in fixed-length training sequences,
+    so a writer can emit ``seq_len``-token rows with documents straddling
+    pack boundaries (the standard pretraining layout — no padding waste,
+    no per-document truncation).
+
+    Scale shape: a single global concatenation order would serialize the
+    corpus through one task, so documents are first sharded by a
+    DETERMINISTIC portable hash of the id (``n_shards`` independent
+    streams — at 100 TB set it near the executor-core count) and packed
+    independently within each shard: one shuffle on ``shard``, one
+    per-shard window cumsum, no global state. Membership is reproducible
+    across runs and resumable after failure (hash order, not rand()/
+    monotonically_increasing_id()).
+
+    Returns (id, shard, n_tokens, start_offset, start_pack, end_pack):
+    the document's tokens occupy offsets [start_offset, start_offset +
+    n_tokens) of its shard's token stream and therefore packs
+    ``start_pack``..``end_pack`` (inclusive) of ``seq_len`` tokens each.
+    Zero-token documents are dropped (they occupy no span)."""
+    from stglib_spark.operators.text import token_count
+
+    shard = (hash60(F.col(id_col).cast("string"), seed=seed) % n_shards).cast(
+        "long"
+    )
+    base = (
+        df.select(
+            F.col(id_col),
+            token_count(F.col(text_col)).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn("shard", shard)
+    )
+    w = Window.partitionBy("shard").orderBy(id_col)
+    cum = F.sum("n_tokens").over(w)
+    start = cum - F.col("n_tokens")
+    return base.select(
+        id_col,
+        "shard",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        start.alias("start_offset"),
+        F.floor(start / seq_len).cast("long").alias("start_pack"),
+        F.floor((cum - 1) / seq_len).cast("long").alias("end_pack"),
+    )
+
+
+def token_census(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Corpus data-card report: documents, tokens, and token share per
+    predicted language — the table a curator reads before fixing the
+    training mix (and the denominator stratified_sample fractions are
+    chosen against). One scan + one tiny aggregate: lang-id and token
+    count are codegen'd projections, the per-language rollup shuffles a
+    handful of partials, and the grand total joins back as a broadcast
+    1-row table (never a second corpus scan)."""
+    from stglib_spark.operators.text import lang_id, token_count
+
+    per = (
+        lang_id(df, text_col)
+        .select(F.col("lang_pred"), token_count(F.col(text_col)).alias("__t"))
+        .groupBy("lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("n_tokens"),
+        )
+    )
+    total = per.agg(F.sum("n_tokens").alias("__total"))
+    return per.crossJoin(F.broadcast(total)).select(
+        "lang_pred",
+        "n_docs",
+        "n_tokens",
+        F.round(F.col("n_tokens") / F.col("__total"), 6).alias("token_share"),
     )
 
 

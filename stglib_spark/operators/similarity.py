@@ -330,3 +330,43 @@ def bucket_centroids(
             F.count_distinct(F.col(id_col)).alias("n_vectors"),
         )
     )
+
+
+def embedding_grid_groups(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    cell: float = 0.5,
+    dims: int = 6,
+) -> DataFrame:
+    """Semantic near-dup grouping by embedding-space grid quantization:
+    vectors whose first ``dims`` coordinates fall in the same
+    ``cell``-sized lattice cell are grouped, and each group keeps its
+    minimum id as the representative — the cheap exact-groupable tier of
+    semantic dedup (SemDeDup-style), sitting below the bucketed-GEMM
+    cosine verifier the way LSH banding sits below the Jaccard verifier.
+
+    Scale shape: the grid code is a codegen'd projection (fixed-length
+    concat of per-dimension floor indices — no Python, no higher-order
+    lambda), and the rollup is one hash aggregate keyed on the code with
+    map-side combine: the shuffle carries one short string + counters per
+    DISTINCT cell, never embeddings. Boundary-straddling near-dups are
+    deliberately out of scope for this tier (same tradeoff as any
+    single-probe LSH); feed the groups to embedding_neardup for the
+    cosine-verified pairs."""
+    code = F.concat_ws(
+        ",",
+        *[
+            F.floor(F.element_at(F.col(vec_col), i + 1) / cell).cast("long")
+            for i in range(dims)
+        ],
+    )
+    return (
+        df.select(code.alias("grid_code"), F.col(id_col))
+        .groupBy("grid_code")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(id_col).alias("rep_id"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

@@ -1344,6 +1344,91 @@ def corpus_url_domains(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.url_domain_stats(aug)
 
 
+_PACK_H60 = _H60.format(s="'pack1' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "corpus_pack_sequences",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             {_PACK_H60} % 8 AS shard
+      FROM documents
+    ), nz AS (SELECT * FROM base WHERE n_tokens > 0),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+      FROM nz
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum - n_tokens AS BIGINT) AS start_offset,
+           CAST((cum - n_tokens) // 512 AS BIGINT) AS start_pack,
+           CAST((cum - 1) // 512 AS BIGINT) AS end_pack
+    FROM c
+    """,
+)
+def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (corpus.pack_sequences): GPT-style
+    concat-and-cut token-offset spans, sharded by portable id hash so
+    packing is embarrassingly parallel — one shuffle on shard, one
+    per-shard window cumsum, no global sequential state."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return corpus_ops.pack_sequences(docs, seq_len=512, n_shards=8)
+
+
+@register(
+    "corpus_token_census",
+    rf"""
+    WITH h AS (SELECT doc_id, {_LANG_HITS},
+                      CASE WHEN trim(text) = '' THEN 0
+                           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+               FROM documents),
+    b AS (SELECT *, {_LANG_BEST} AS best FROM h),
+    c AS (SELECT *, {_LANG_NBEST} AS n_best FROM b),
+    l AS (SELECT CASE {_LANG_WHEN} ELSE 'und' END AS lang_pred, n_tok FROM c),
+    per AS (SELECT lang_pred, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS n_tokens
+            FROM l GROUP BY lang_pred)
+    SELECT lang_pred, n_docs, n_tokens,
+           round(n_tokens / (SELECT CAST(sum(n_tokens) AS DOUBLE) FROM per), 6)
+             AS token_share
+    FROM per
+    """,
+)
+def corpus_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus data-card report (corpus.token_census): docs/tokens/token
+    share per predicted language — scan-speed projections, one tiny
+    rollup, grand total joined back as a broadcast 1-row table."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return corpus_ops.token_census(docs)
+
+
+_GRID_CODE_SQL = ", ".join(
+    f"CAST(floor(embedding[{i + 1}] / 0.2) AS BIGINT)" for i in range(8)
+)
+
+
+@register(
+    "dedup_embedding_grid",
+    f"""
+    SELECT concat_ws(',', {_GRID_CODE_SQL}) AS grid_code,
+           count(*) AS n_members, min(vec_id) AS rep_id
+    FROM embeddings
+    GROUP BY grid_code HAVING count(*) >= 2
+    """,
+)
+def dedup_embedding_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-quantized semantic near-dup groups
+    (similarity.embedding_grid_groups): SemDeDup-style cheap tier —
+    codegen'd lattice code projection, one hash aggregate with map-side
+    combine; the shuffle carries one short code + counters per distinct
+    cell, never embeddings."""
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    return sim_ops.embedding_grid_groups(emb, cell=0.2, dims=8)
+
+
 @register(
     "sim_bucket_centroids",
     """
@@ -3800,6 +3885,9 @@ _FRONT = [
     "corpus_repetition_stats",
     "corpus_redact_pii",
     "corpus_url_domains",
+    "corpus_pack_sequences",
+    "corpus_token_census",
+    "dedup_embedding_grid",
     "mm_decode_real_png",
     "mm_video_frames_real",
     "wave_psd_welch_oracle",

@@ -1,0 +1,77 @@
+"""Semantic tests for the training-corpus packing / census / grid-dedup
+operators (corpus.pack_sequences, corpus.token_census,
+similarity.embedding_grid_groups)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stglib_spark.operators import corpus, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "a b c d e"),          # 5 tokens
+        (2, "one two three"),      # 3 tokens
+        (3, ""),                   # 0 tokens -> dropped
+        (4, "w " * 600),           # 600 tokens -> straddles packs
+        (5, "x y"),                # 2 tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_pack_spans_are_contiguous_and_disjoint(spark, docs):
+    out = corpus.pack_sequences(docs, seq_len=512, n_shards=2).collect()
+    assert all(r.doc_id != 3 for r in out)  # zero-token doc dropped
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rows in by_shard.items():
+        rows.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rows:
+            # spans tile the shard's token stream exactly
+            assert r.start_offset == offset
+            offset += r.n_tokens
+            # pack ids match the offsets
+            assert r.start_pack == r.start_offset // 512
+            assert r.end_pack == (r.start_offset + r.n_tokens - 1) // 512
+
+
+def test_pack_straddles_boundary(spark, docs):
+    out = {
+        r.doc_id: r
+        for r in corpus.pack_sequences(docs, seq_len=512, n_shards=1).collect()
+    }
+    # 600-token doc 4 must span at least two packs somewhere in the stream
+    r = out[4]
+    assert r.n_tokens == 600
+    assert r.end_pack > r.start_pack
+
+
+def test_pack_deterministic_across_runs(spark, docs):
+    a = sorted(map(tuple, corpus.pack_sequences(docs).collect()))
+    b = sorted(map(tuple, corpus.pack_sequences(docs).collect()))
+    assert a == b
+
+
+def test_token_census_shares_sum_to_one(spark, docs):
+    out = corpus.token_census(docs).collect()
+    total_share = sum(r.token_share for r in out)
+    assert abs(total_share - 1.0) < 1e-4
+    assert sum(r.n_docs for r in out) == 5
+    assert sum(r.n_tokens for r in out) == 610
+
+
+def test_embedding_grid_groups_cell_membership(spark):
+    rows = [
+        (1, [0.05, 0.05]),   # cell (0,0)
+        (2, [0.09, 0.01]),   # cell (0,0) -> groups with 1
+        (3, [0.15, 0.05]),   # cell (1,0) -> alone
+        (4, [-0.01, 0.0]),   # cell (-1,0) -> alone
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = similarity.embedding_grid_groups(df, cell=0.1, dims=2).collect()
+    assert len(out) == 1
+    assert out[0].n_members == 2 and out[0].rep_id == 1
+    assert out[0].grid_code == "0,0"

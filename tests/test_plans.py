@@ -226,3 +226,35 @@ def test_decontaminate_broadcasts_benchmark_grams(spark):
     assert count(plan, r"BroadcastHashJoin") >= 1
     assert count(plan, r"SortMergeJoin") == 0
     assert count(plan, r"CartesianProduct") == 0
+
+
+def test_pack_sequences_windows_per_shard(spark):
+    """Sequence packing must never serialize the corpus through a global
+    window: the cumsum window partitions by shard (hashpartitioning
+    exchange), and the new elev/DFTM oracles likewise stay per-burst."""
+    for name in (
+        "corpus_pack_sequences",
+        "wave_elev_stats_oracle",
+        "wave_dftm_plane_oracle",
+    ):
+        plan = plan_of(spark, name, "simple")
+        assert "Exchange SinglePartition" not in plan, name
+        assert count(plan, r"CartesianProduct") == 0, name
+
+
+def test_embedding_grid_is_single_hash_aggregate(spark):
+    """The grid-dedup shuffle carries (code, partials), never embeddings:
+    exactly one exchange, keyed on the grid code, with a partial
+    aggregate below it."""
+    plan = plan_of(spark, "dedup_embedding_grid", "simple")
+    assert count(plan, r"Exchange hashpartitioning\(grid_code") == 1
+    assert count(plan, r"partial_count") == 1  # map-side combine below it
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_token_census_broadcasts_grand_total(spark):
+    """The 1-row grand-total side of the census joins back as a broadcast
+    nested-loop (1-row cross), never a shuffled join."""
+    plan = plan_of(spark, "corpus_token_census", "simple")
+    assert count(plan, r"SortMergeJoin") == 0
+    assert count(plan, r"Exchange SinglePartition") <= 1  # 1-row total agg only
