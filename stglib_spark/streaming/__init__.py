@@ -18,6 +18,7 @@ from stglib_spark.streaming.bursts import (
     streaming_dedup,
     streaming_diff_gate,
     streaming_gap_fill,
+    streaming_pack_sequences,
     streaming_puv,
     streaming_wave_stats,
 )
@@ -30,6 +31,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_diff_gate",
     "streaming_gap_fill",
+    "streaming_pack_sequences",
     "streaming_puv",
     "streaming_wave_stats",
 ]

@@ -650,3 +650,87 @@ def streaming_content_dedup(
         .dropDuplicatesWithinWatermark(["__digest"])
         .drop("__digest")
     )
+
+
+def streaming_pack_sequences(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    seq_len: int = 512,
+    n_shards: int = 8,
+    seed: str = "pack1",
+) -> DataFrame:
+    """Streaming twin of ``corpus.pack_sequences``: documents are mapped
+    to fixed-length training-sequence spans AS THEY ARRIVE, so a live
+    ingest can emit ready-to-train packs without re-scanning the corpus.
+
+    Each shard's running token offset is the ONLY state — one long per
+    shard key, and the key domain is the fixed ``n_shards``, so the state
+    store is O(n_shards) forever regardless of feed volume. No timeout
+    eviction on purpose: an evicted offset would restart packing at 0 and
+    overwrite earlier spans; persistence is the semantics here, and
+    boundedness comes from the finite key domain instead (the opposite
+    trade from streaming_diff_gate's churning per-series keys).
+
+    Arrival order replaces the batch operator's id order: within a
+    micro-batch rows are sorted by (event time, id); across micro-batches
+    the offset carries. Output schema matches the batch operator, so the
+    two are interchangeable downstream."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from stglib_spark.operators.dedup import hash60
+    from stglib_spark.operators.text import token_count
+
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("shard", LongType()),
+            StructField("n_tokens", LongType()),
+            StructField("start_offset", LongType()),
+            StructField("start_pack", LongType()),
+            StructField("end_pack", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("offset", LongType())])
+
+    def pack(key, pdf_iter, state):
+        offset = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([time_col, id_col])
+            n = pdf["__n_tokens"].to_numpy()
+            pdf = pdf[n > 0]
+            n = n[n > 0]
+            starts = offset + n.cumsum() - n
+            ends = starts + n - 1
+            if len(n):
+                offset = int(ends[-1] + 1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "shard": key[0],
+                    "n_tokens": n.astype("int64"),
+                    "start_offset": starts.astype("int64"),
+                    "start_pack": (starts // seq_len).astype("int64"),
+                    "end_pack": (ends // seq_len).astype("int64"),
+                }
+            )
+        state.update((int(offset),))
+
+    keyed = docs.select(
+        F.col(id_col),
+        F.col(time_col),
+        token_count(F.col(text_col)).alias("__n_tokens"),
+        (hash60(F.col(id_col).cast("string"), seed=seed) % n_shards)
+        .cast("long")
+        .alias("shard"),
+    )
+    return keyed.groupBy("shard").applyInPandasWithState(
+        pack,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -727,3 +727,80 @@ def test_streaming_content_dedup(spark, checkpoint_dir, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT doc_id FROM contentdedup").collect()
     assert sorted(r["doc_id"] for r in rows) == [1, 2, 4]
+
+
+def test_streaming_pack_sequences_matches_batch(spark, checkpoint_dir, tmp_path):
+    """Offsets must tile each shard's token stream across micro-batch
+    boundaries (state carries the running offset), and when arrival order
+    equals id order the stream reproduces the batch packer exactly."""
+    import os
+    import time as _time
+
+    import pandas as pd
+
+    from stglib_spark.operators import corpus
+    from stglib_spark.streaming import streaming_pack_sequences
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-05-01 10:00:00")
+    texts = [f"{'tok ' * (20 + 7 * i)}end" for i in range(8)]
+    fileA = pd.DataFrame(
+        {
+            "doc_id": list(range(1, 5)),
+            "ts": [t0 + pd.Timedelta(minutes=i) for i in range(4)],
+            "text": texts[:4],
+        }
+    )
+    fileB = pd.DataFrame(
+        {
+            "doc_id": list(range(5, 9)),
+            "ts": [t0 + pd.Timedelta(minutes=4 + i) for i in range(4)],
+            "text": texts[4:],
+        }
+    )
+    spark.createDataFrame(fileA).coalesce(1).write.parquet(d + "/a")
+    _time.sleep(1.1)
+    spark.createDataFrame(fileB).coalesce(1).write.parquet(d + "/b")
+    schema = spark.read.parquet(d + "/a").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_pack_sequences(stream, seq_len=64, n_shards=2)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("packstream")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (
+            r["shard"],
+            r["n_tokens"],
+            r["start_offset"],
+            r["start_pack"],
+            r["end_pack"],
+        )
+        for r in spark.sql("SELECT * FROM packstream").collect()
+    }
+    # ids ascend with arrival time, so the batch packer (id order within
+    # shard) must agree with the stream, including across the two
+    # micro-batches (doc 5-8 continue doc 1-4's shard offsets)
+    batch_df = spark.createDataFrame(pd.concat([fileA, fileB]))
+    batch = {
+        r["doc_id"]: (
+            r["shard"],
+            r["n_tokens"],
+            r["start_offset"],
+            r["start_pack"],
+            r["end_pack"],
+        )
+        for r in corpus.pack_sequences(batch_df, seq_len=64, n_shards=2).collect()
+    }
+    assert streamed == batch
+    assert len(streamed) == 8
