@@ -3580,25 +3580,13 @@ def sonar_xy_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_decode_features")  # rows-only: stub decoder is engine-defined
-def mm_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode→feature-extract plumbing (north-star): documents'
-    text re-encoded as opaque binary payloads, mapInPandas feature
-    extraction with a deterministic stub decoder."""
-    from stglib_spark.operators import multimodal as mm
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-    )
-    out = mm.decode_features(media, feature_dim=16)
-    return out.select(
-        "media_id",
-        "n_bytes",
-        _r6(F.element_at("feature", 1)).alias("f0"),
-        _r6(F.element_at("feature", 16)).alias("f15"),
-    )
+# NOTE: the former stub-decoder registry entries (`mm_decode_features`,
+# `mm_video_frames`) are retired: the real-codec chains below
+# (`mm_decode_real_bmp/png`, `mm_video_frames_real`) exercise the same
+# mapInPandas plumbing end-to-end with oracle-checked kernels, and the
+# stub plug point (operators/multimodal.py decode_stub) stays covered by
+# tests/test_multimodal.py. Registering both real and stub variants of
+# the identical plan shape would only pad the registry.
 
 
 @register(
@@ -3759,28 +3747,6 @@ def mm_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_video_frames")  # rows-only: stub frame sampler
-def mm_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Video frame-sampling shape (north-star): one output row per
-    (media, frame), evenly spaced over the clip duration."""
-    from stglib_spark.operators import multimodal as mm
-
-    docs = load_table(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.lit("video").alias("kind"),
-        F.encode(F.col("text"), "UTF-8").alias("content"),
-        (F.length("text") * 10).cast("int").alias("duration_ms"),
-    )
-    out = mm.sample_video_frames(media, n_frames=4)
-    return out.select(
-        "media_id",
-        "frame_idx",
-        "t_ms",
-        _r6(F.element_at("feature", 1)).alias("f0"),
-    )
-
-
 @register(
     "ts_burst_nan_fill",
     """
@@ -3897,8 +3863,6 @@ _FRONT = [
     "sonar_xy_linear_oracle",
     "filt_iir_recursion_oracle",
     "filt_filtfilt_oracle",
-    "mm_decode_features",
-    "mm_video_frames",
     # stale since r1/r2 — no CORRECTNESS_r03 row (driver window missed them)
     "ts_gap_fill_hourly",
     "ts_burst_average",
