@@ -34,7 +34,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "step",
         nargs="?",
-        help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | exportnc | dedup | all",
+        help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | exportnc | dedup | corpus | all",
     )
     p.add_argument("gatts", nargs="?", help="global attributes file (key; value lines)")
     p.add_argument("config", nargs="?", help="YAML instrument config")
@@ -98,6 +98,11 @@ def main(argv: list[str] | None = None) -> int:
             # shingles/candidates/verified-pairs zones, one shingle pass
             config.setdefault("documents_path", config.get("input_path"))
             path = pipeline.run_dedup(spark, config)
+        elif step == "corpus":
+            # corpus curation stage (north-star): documents parquet →
+            # quality/census/mix/packs zones, metrics derived once
+            config.setdefault("documents_path", config.get("input_path"))
+            path = pipeline.run_corpus(spark, config)
         elif step == "all":
             path = pipeline.run_all(spark, config)
         else:

@@ -211,6 +211,7 @@ def pack_sequences(
     seq_len: int = 512,
     n_shards: int = 8,
     seed: str = "pack1",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Training-sequence packing (GPT-style concat-and-cut): map every
     document to its token-offset span in fixed-length training sequences,
@@ -231,16 +232,18 @@ def pack_sequences(
     the document's tokens occupy offsets [start_offset, start_offset +
     n_tokens) of its shard's token stream and therefore packs
     ``start_pack``..``end_pack`` (inclusive) of ``seq_len`` tokens each.
-    Zero-token documents are dropped (they occupy no span)."""
+    Zero-token documents are dropped (they occupy no span). Pass
+    ``tokens_col`` when a prior zone already counted tokens per doc."""
     from stglib_spark.operators.text import token_count
 
     shard = (hash60(F.col(id_col).cast("string"), seed=seed) % n_shards).cast(
         "long"
     )
+    toks = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
     base = (
         df.select(
             F.col(id_col),
-            token_count(F.col(text_col)).alias("n_tokens"),
+            toks.alias("n_tokens"),
         )
         .filter(F.col("n_tokens") > 0)
         .withColumn("shard", shard)
@@ -259,7 +262,11 @@ def pack_sequences(
 
 
 def token_census(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    lang_col: str | None = None,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Corpus data-card report: documents, tokens, and token share per
     predicted language — the table a curator reads before fixing the
@@ -267,12 +274,22 @@ def token_census(
     chosen against). One scan + one tiny aggregate: lang-id and token
     count are codegen'd projections, the per-language rollup shuffles a
     handful of partials, and the grand total joins back as a broadcast
-    1-row table (never a second corpus scan)."""
+    1-row table (never a second corpus scan).
+
+    Pass ``lang_col``/``tokens_col`` when a quality zone already carries
+    the per-document language / token count, so a pipeline stage reading
+    that zone aggregates directly instead of re-deriving them from
+    text."""
     from stglib_spark.operators.text import lang_id, token_count
 
+    if lang_col is None:
+        df = lang_id(df, text_col)
+        lang_col = "lang_pred"
+    toks = (
+        F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    )
     per = (
-        lang_id(df, text_col)
-        .select(F.col("lang_pred"), token_count(F.col(text_col)).alias("__t"))
+        df.select(F.col(lang_col).alias("lang_pred"), toks.alias("__t"))
         .groupBy("lang_pred")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),

@@ -753,6 +753,86 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     return paths
 
 
+def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
+    """Training-corpus curation stage (north-star): the post-dedup half of
+    a pretraining-data pipeline, each step reading the previous step's
+    zone so per-document language / token counts are derived ONCE:
+
+        documents → quality zone   (lang-id + token/quality metrics/bucket)
+        quality   → census zone    (per-language docs/tokens data card)
+        quality   → mix zone       (deterministic stratified sample by
+                                    quality bucket — hash membership,
+                                    reproducible and resumable)
+        mix       → packs zone     (token-offset training-sequence spans,
+                                    sharded, no global sequential state)
+
+    Config knobs: ``mix_fractions`` {bucket: keep-fraction} over buckets
+    high (quality ≥ 0.75) / mid (≥ 0.5) / low, ``pack_seq_len``,
+    ``pack_shards``, ``mix_seed``.
+    """
+    from stglib_spark.operators import corpus as corpus_ops
+    from stglib_spark.operators import text as text_ops
+    from stglib_spark.session import spread
+
+    id_col = config.get("doc_id_col", "doc_id")
+    text_col = config.get("text_col", "text")
+    seq_len = int(config.get("pack_seq_len", 2048))
+    n_shards = int(config.get("pack_shards", 32))
+    seed = str(config.get("mix_seed", "mix1"))
+    fractions = config.get(
+        "mix_fractions", {"high": 1.0, "mid": 0.5, "low": 0.1}
+    )
+
+    history = History()
+    docs = spread(
+        spark.read.parquet(config["documents_path"]).select(id_col, text_col)
+    )
+    paths: dict[str, str] = {}
+
+    quality = text_ops.quality_score(text_ops.lang_id(docs)).withColumn(
+        "quality_bucket",
+        F.when(F.col("quality_score") >= 0.75, "high")
+        .when(F.col("quality_score") >= 0.5, "mid")
+        .otherwise("low"),
+    )
+    history.insert_history(
+        "Scored language, tokens, and quality per document (one scan)."
+    )
+    paths["quality"] = _write_zone(quality, config, "quality", history)
+    qz = spark.read.parquet(paths["quality"])
+
+    census = corpus_ops.token_census(
+        qz, lang_col="lang_pred", tokens_col="n_tokens"
+    )
+    history.insert_history("Per-language token census from the quality zone.")
+    paths["census"] = _write_zone(census, config, "census", history)
+
+    mix = corpus_ops.stratified_sample(
+        qz,
+        strata=F.col("quality_bucket"),
+        fractions=fractions,
+        id_col=id_col,
+        seed=seed,
+    )
+    history.insert_history(
+        f"Stratified training mix {fractions} (deterministic hash membership)."
+    )
+    paths["mix"] = _write_zone(mix, config, "mix", history)
+
+    packs = corpus_ops.pack_sequences(
+        spark.read.parquet(paths["mix"]),
+        id_col=id_col,
+        seq_len=seq_len,
+        n_shards=n_shards,
+        tokens_col="n_tokens",
+    )
+    history.insert_history(
+        f"Packed mix into {seq_len}-token sequence spans over {n_shards} shards."
+    )
+    paths["packs"] = _write_zone(packs, config, "packs", history)
+    return paths
+
+
 def run_all(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     """Full runots chain: ingest → clean → waves."""
     paths = {"raw": run_ingest(spark, config), "clean": run_clean(spark, config)}

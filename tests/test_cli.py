@@ -157,3 +157,46 @@ def test_cli_dedup_step(spark):
     assert (pairs["jaccard"] >= 0.5).all()
     assert os.path.isdir(f"{TMP}/clidedup_candidates")
     assert os.path.isdir(f"{TMP}/clidedup_shingles")
+
+
+def test_cli_corpus_step(spark):
+    """`python -m stglib_spark corpus corpus --input <documents.parquet>`
+    runs the curation stage: quality/census/mix/packs zones, with the
+    pack spans tiling each shard and the mix a subset of the corpus."""
+    import os
+
+    from stglib_spark.__main__ import main
+
+    os.makedirs(TMP, exist_ok=True)
+    docs = f"{TMP}/cli_docs2.parquet"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(docs)
+    open(f"{TMP}/corpus.yaml", "w").write(
+        "filename: clicorpus\npack_seq_len: 256\npack_shards: 4\n"
+    )
+    assert main(
+        ["corpus", "corpus", None, f"{TMP}/corpus.yaml",
+         "--input", docs, "--output-dir", TMP]
+    ) == 0
+    import pyarrow.parquet as pq
+
+    quality = pq.read_table(f"{TMP}/clicorpus_quality").to_pandas()
+    assert {"doc_id", "lang_pred", "n_tokens", "quality_bucket"} <= set(
+        quality.columns
+    )
+    census = pq.read_table(f"{TMP}/clicorpus_census").to_pandas()
+    assert abs(census["token_share"].sum() - 1.0) < 1e-4
+    mix = pq.read_table(f"{TMP}/clicorpus_mix").to_pandas()
+    assert 0 < len(mix) <= len(quality)
+    packs = pq.read_table(f"{TMP}/clicorpus_packs").to_pandas()
+    # spans tile each shard's token stream
+    for shard, grp in packs.groupby("shard"):
+        grp = grp.sort_values("start_offset")
+        expect = 0
+        for _, r in grp.iterrows():
+            assert r["start_offset"] == expect
+            expect += r["n_tokens"]
+            assert r["start_pack"] == r["start_offset"] // 256
+    # packs only cover mix members
+    assert set(packs["doc_id"]) <= set(mix["doc_id"])
