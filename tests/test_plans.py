@@ -258,3 +258,26 @@ def test_token_census_broadcasts_grand_total(spark):
     plan = plan_of(spark, "corpus_token_census", "simple")
     assert count(plan, r"SortMergeJoin") == 0
     assert count(plan, r"Exchange SinglePartition") <= 1  # 1-row total agg only
+
+
+def test_new_tpch_shapes(spark):
+    """Round-4 relational additions keep their scale shapes: semi/anti
+    joins never degrade to cartesian, top-N compiles to TakeOrdered, the
+    Q15 max is a 1-row broadcast (no global sort of the aggregate)."""
+    plan = plan_of(spark, "q4_order_priority")
+    assert "LeftSemi" in plan and count(plan, r"CartesianProduct") == 0
+
+    plan = plan_of(spark, "q18_large_volume_customers")
+    assert "TakeOrderedAndProject" in plan
+    assert "LeftSemi" in plan
+
+    plan = plan_of(spark, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert count(plan, r"CartesianProduct") == 0
+
+    plan = plan_of(spark, "q15_top_supplier")
+    assert count(plan, r"Sort \[total_rev") == 0  # max via broadcast, not sort
+
+    plan = plan_of(spark, "q7_nation_volume")
+    assert count(plan, r"BroadcastHashJoin") >= 4
+    assert count(plan, r"SortMergeJoin") == 0
