@@ -4205,8 +4205,10 @@ def vel_vbper_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # queries get driver-side evidence. Policy (round-4 fix for the r3
 # staleness finding): (a) queries new or re-planned THIS round first,
 # then (b) every query whose last driver row is older than the previous
-# round — rotate, don't re-check only what changed. The 30 entries below
-# had no CORRECTNESS_r03 row (their last driver evidence is r1/r2).
+# round — rotate, don't re-check only what changed. With 107 registered
+# queries and a 50-row window full coverage takes ~2 rounds of rotation;
+# next round, lead with whatever lacked a CORRECTNESS_r04 row (the tail
+# of this list plus the r3-green block).
 _FRONT = [
     # new / changed in round 4: must get fresh CORRECTNESS_r04 rows
     "dedup_clusters",
