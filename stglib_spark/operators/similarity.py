@@ -15,7 +15,6 @@ from __future__ import annotations
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
-from stglib_spark.session import spread
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -84,11 +83,20 @@ def pairwise_topk_within(
         StructType,
     )
 
-    slim = spread(df).select(
+    slim = df.select(
         F.col(group_col),
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
+    # Pin the GEMM stage's partition count: the stage is COMPUTE-bound
+    # (n² flops per group) while its shuffle bytes are tiny, so AQE's
+    # byte-size coalescing collapses it to a handful of tasks (measured
+    # 4 tasks / 2.1× slowdown at sf1). An explicit numPartitions
+    # repartition is user-specified (REPARTITION_BY_NUM), which AQE
+    # never coalesces, and it satisfies applyInPandas's clustered
+    # distribution on the same key — no second exchange in the plan.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    slim = slim.repartition(n_parts, group_col)
     id_field = df.schema[id_col].dataType
     schema = StructType(
         [

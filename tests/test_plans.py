@@ -281,3 +281,15 @@ def test_new_tpch_shapes(spark):
     plan = plan_of(spark, "q7_nation_volume")
     assert count(plan, r"BroadcastHashJoin") >= 4
     assert count(plan, r"SortMergeJoin") == 0
+
+
+def test_gemm_neardup_pins_partition_count(spark):
+    """The bucketed-GEMM stage is compute-bound with tiny shuffle bytes,
+    so its exchange must be user-specified (REPARTITION_BY_NUM) — AQE's
+    byte-size coalescing would collapse it to a handful of tasks
+    (measured 4 tasks / 2-10x slowdown at sf1)."""
+    plan = plan_of(spark, "sim_embedding_neardup", "simple")
+    assert "REPARTITION_BY_NUM" in plan
+    # exactly one exchange: the pinned hash repartition doubles as the
+    # applyInPandas clustering (no second groupBy exchange, no round-robin)
+    assert count(plan, r"Exchange") == 1
