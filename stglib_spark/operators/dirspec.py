@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from stglib_spark.session import pin_grouping
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -211,4 +213,4 @@ def make_diwasp_ds(
             ],
         )
 
-    return slim.groupBy(burst_col).applyInPandas(apply_fn, schema)
+    return pin_grouping(slim, burst_col).groupBy(burst_col).applyInPandas(apply_fn, schema)

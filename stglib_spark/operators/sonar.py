@@ -19,6 +19,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+
+from stglib_spark.session import pin_grouping
 from pyspark.sql.types import (
     DoubleType,
     StructField,
@@ -107,8 +109,9 @@ def polar_to_xy(
             }
         )
 
+    slim = df.select(time_col, theta_col, range_col, value_col)
     return (
-        df.select(time_col, theta_col, range_col, value_col)
+        pin_grouping(slim, time_col)
         .groupBy(time_col)
         .applyInPandas(apply_fn, schema)
     )

@@ -34,6 +34,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
+from stglib_spark.session import pin_grouping
 from stglib_spark.functions.signal import next_power_of_2, welch_psd
 
 G = 9.81
@@ -267,7 +268,7 @@ def make_waves_ds_elev(
             sample_col=sample_col,
         )
 
-    return slim.groupBy(burst_col).applyInPandas(apply_fn, wave_stats_schema(burst_col))
+    return pin_grouping(slim, burst_col).groupBy(burst_col).applyInPandas(apply_fn, wave_stats_schema(burst_col))
 
 
 def puv_quick_np(
@@ -468,7 +469,7 @@ def make_puv_ds(
             rows.append(out)
         return pd.DataFrame(rows, columns=[burst_col] + _PUV_FIELDS)
 
-    return slim.groupBy(burst_col).applyInPandas(apply_fn, schema)
+    return pin_grouping(slim, burst_col).groupBy(burst_col).applyInPandas(apply_fn, schema)
 
 
 def wave_stats_schema(burst_col: str = "burst_time") -> StructType:
@@ -525,4 +526,4 @@ def make_waves_ds(
             sample_col=sample_col,
         )
 
-    return slim.groupBy(burst_col).applyInPandas(apply_fn, wave_stats_schema(burst_col))
+    return pin_grouping(slim, burst_col).groupBy(burst_col).applyInPandas(apply_fn, wave_stats_schema(burst_col))

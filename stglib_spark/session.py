@@ -220,6 +220,20 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     return df
 
 
+def pin_grouping(df: DataFrame, *keys: str, multiplier: int = 1) -> DataFrame:
+    """Repartition on grouping keys with an EXPLICIT partition count
+    before a compute-bound ``groupBy().applyInPandas`` stage. AQE's
+    byte-size coalescing shrinks shuffles whose bytes are small even when
+    each row carries heavy Python/BLAS work behind it (measured: the
+    sf1 GEMM stage collapsed to 4 tasks, 2-10x slower; the Welch stage to
+    12, 1.2-1.6x). A user-specified numPartitions (REPARTITION_BY_NUM) is
+    never coalesced, and hash partitioning on the group keys satisfies
+    applyInPandas's clustered distribution, so the plan keeps a single
+    exchange either way."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism * multiplier, *keys)
+
+
 def fast_round(col: "Column", scale: int = 6) -> "Column":
     """Decimal rounding, half away from zero — drop-in for ``F.round`` on
     doubles at a fraction of the cost. Spark's ``Round`` expression routes
