@@ -12,6 +12,9 @@ Steps (reference registry names; any ``*2cdf`` spelling maps to ingest):
     nc2waves                                                         waves (+PUV when ``puv: true``)
     nc2diwasp                                                        diwasp
     nc2xy                                                            sonar xy images
+    exportnc                                                         final netCDF product
+    dedup                                                            corpus dedup zones
+    corpus                                                           corpus curation zones
     all                                                              ingest+clean[+waves]
 
 Instrument = an ingest adapter name (``stglib_spark.sources.ADAPTERS``);
