@@ -343,3 +343,37 @@ def test_avi_roundtrip_any_shape(h, w, nframes, fps, seed):
     assert len(out) == nframes
     for a, b in zip(frames, out):
         np.testing.assert_array_equal(a, b)
+
+
+def test_pack_sequences_tiling_random(spark):
+    """Property: for ANY document set, the pack spans exactly tile each
+    shard's token stream (no gaps, no overlap, pack ids consistent with
+    offsets), zero-token docs never appear, and totals are conserved.
+    Batched seeded-random input through one Spark evaluation."""
+    from stglib_spark.operators import corpus
+
+    rng = np.random.RandomState(7)
+    rows = [
+        (int(i), " ".join("w" * 1 for _ in range(int(n))) if n else "")
+        for i, n in enumerate(rng.randint(0, 40, size=400))
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    seq_len = 37
+    out = corpus.pack_sequences(df, seq_len=seq_len, n_shards=5).collect()
+    n_nonzero = sum(1 for _, t in rows if t)
+    assert len(out) == n_nonzero
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.doc_id)
+        offset = 0
+        for r in rs:
+            assert r.start_offset == offset
+            assert r.start_pack == r.start_offset // seq_len
+            assert r.end_pack == (r.start_offset + r.n_tokens - 1) // seq_len
+            assert r.start_pack <= r.end_pack
+            offset += r.n_tokens
+    total_tokens = sum(r.n_tokens for r in out)
+    expected = sum(len(t.split()) for _, t in rows if t.strip())
+    assert total_tokens == expected
