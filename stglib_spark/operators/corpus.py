@@ -248,7 +248,15 @@ def pack_sequences(
         .filter(F.col("n_tokens") > 0)
         .withColumn("shard", shard)
     )
-    w = Window.partitionBy("shard").orderBy(id_col)
+    # ROWS frame, not the default RANGE: with RANGE, duplicate ids within
+    # a shard become frame peers and both rows get a cum that includes
+    # BOTH token counts — overlapping spans with no error. ROWS keeps the
+    # prefix sum strictly row-by-row even on a dirty (non-deduped) input.
+    w = (
+        Window.partitionBy("shard")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     cum = F.sum("n_tokens").over(w)
     start = cum - F.col("n_tokens")
     return base.select(
@@ -264,7 +272,6 @@ def pack_sequences(
 def token_census(
     df: DataFrame,
     text_col: str = "text",
-    id_col: str = "doc_id",
     lang_col: str | None = None,
     tokens_col: str | None = None,
 ) -> DataFrame:

@@ -88,15 +88,12 @@ def pairwise_topk_within(
         F.col(id_col),
         F.col(vec_col).cast("array<double>").alias("__v"),
     )
-    # Pin the GEMM stage's partition count: the stage is COMPUTE-bound
-    # (n² flops per group) while its shuffle bytes are tiny, so AQE's
-    # byte-size coalescing collapses it to a handful of tasks (measured
-    # 4 tasks / 2.1× slowdown at sf1). An explicit numPartitions
-    # repartition is user-specified (REPARTITION_BY_NUM), which AQE
-    # never coalesces, and it satisfies applyInPandas's clustered
-    # distribution on the same key — no second exchange in the plan.
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    slim = slim.repartition(n_parts, group_col)
+    # Compute-bound stage with tiny shuffle bytes: pin the partition
+    # count so AQE's byte-size coalescing can't collapse it (measured 4
+    # tasks / 2-10× slowdown at sf1) — see session.pin_grouping.
+    from stglib_spark.session import pin_grouping
+
+    slim = pin_grouping(slim, group_col)
     id_field = df.schema[id_col].dataType
     schema = StructType(
         [

@@ -789,7 +789,9 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     )
     paths: dict[str, str] = {}
 
-    quality = text_ops.quality_score(text_ops.lang_id(docs)).withColumn(
+    quality = text_ops.quality_score(
+        text_ops.lang_id(docs, text_col), text_col
+    ).withColumn(
         "quality_bucket",
         F.when(F.col("quality_score") >= 0.75, "high")
         .when(F.col("quality_score") >= 0.5, "mid")

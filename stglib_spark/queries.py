@@ -1724,7 +1724,9 @@ _PACK_H60 = _H60.format(s="'pack1' || CAST(doc_id AS VARCHAR)")
     ), nz AS (SELECT * FROM base WHERE n_tokens > 0),
     c AS (
       SELECT doc_id, shard, n_tokens,
-             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
       FROM nz
     )
     SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,

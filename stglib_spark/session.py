@@ -229,9 +229,23 @@ def pin_grouping(df: DataFrame, *keys: str, multiplier: int = 1) -> DataFrame:
     12, 1.2-1.6x). A user-specified numPartitions (REPARTITION_BY_NUM) is
     never coalesced, and hash partitioning on the group keys satisfies
     applyInPandas's clustered distribution, so the plan keeps a single
-    exchange either way."""
-    sc = df.sparkSession.sparkContext
-    return df.repartition(sc.defaultParallelism * multiplier, *keys)
+    exchange either way.
+
+    The count is max(defaultParallelism, spark.sql.shuffle.partitions):
+    defaultParallelism is sampled at PLAN time, so under dynamic
+    allocation a job planned on 2 warm-up executors would otherwise pin
+    the stage far below the eventual cluster width — shuffle.partitions
+    is operator-sized for the cluster and provides the floor. Raise
+    ``multiplier`` for skewed group populations where minutes-long tasks
+    need work-stealing headroom (2× is the usual guidance once groups ≫
+    cores; with groups ≈ cores extra partitions are mostly empty, which
+    is why the default stays 1)."""
+    spark = df.sparkSession
+    base = max(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions", "200")),
+    )
+    return df.repartition(base * multiplier, *keys)
 
 
 def fast_round(col: "Column", scale: int = 6) -> "Column":

@@ -698,25 +698,38 @@ def streaming_pack_sequences(
 
     def pack(key, pdf_iter, state):
         offset = state.get[0] if state.exists else 0
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values([time_col, id_col])
-            n = pdf["__n_tokens"].to_numpy()
-            pdf = pdf[n > 0]
-            n = n[n > 0]
-            starts = offset + n.cumsum() - n
-            ends = starts + n - 1
-            if len(n):
-                offset = int(ends[-1] + 1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "shard": key[0],
-                    "n_tokens": n.astype("int64"),
-                    "start_offset": starts.astype("int64"),
-                    "start_pack": (starts // seq_len).astype("int64"),
-                    "end_pack": (ends // seq_len).astype("int64"),
-                }
-            )
+        # Materialize the whole micro-batch group before sorting: the
+        # iterator yields Arrow chunks (split at arrow.maxRecordsPerBatch)
+        # in arbitrary physical order, and a per-chunk sort would assign
+        # offsets by chunk accident instead of (event time, id) — breaking
+        # batch parity and replay determinism for shards larger than one
+        # chunk. Only (id, ts, n_tokens) rows are held, never text.
+        chunks = [c for c in pdf_iter]
+        if not chunks:
+            state.update((int(offset),))
+            return
+        pdf = (
+            pd.concat(chunks, ignore_index=True)
+            if len(chunks) > 1
+            else chunks[0]
+        ).sort_values([time_col, id_col])
+        n = pdf["__n_tokens"].to_numpy()
+        pdf = pdf[n > 0]
+        n = n[n > 0]
+        starts = offset + n.cumsum() - n
+        ends = starts + n - 1
+        if len(n):
+            offset = int(ends[-1] + 1)
+        yield pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "shard": key[0],
+                "n_tokens": n.astype("int64"),
+                "start_offset": starts.astype("int64"),
+                "start_pack": (starts // seq_len).astype("int64"),
+                "end_pack": (ends // seq_len).astype("int64"),
+            }
+        )
         state.update((int(offset),))
 
     keyed = docs.select(

@@ -804,3 +804,61 @@ def test_streaming_pack_sequences_matches_batch(spark, checkpoint_dir, tmp_path)
     }
     assert streamed == batch
     assert len(streamed) == 8
+
+
+def test_streaming_pack_sequences_multichunk_group(spark, checkpoint_dir, tmp_path):
+    """A shard larger than one Arrow chunk must still assign offsets in
+    (event time, id) order: with maxRecordsPerBatch=3 the group arrives
+    as several chunks whose physical order need not match event time, and
+    a per-chunk sort would misassign spans (the round-4 review finding)."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators import corpus
+    from stglib_spark.streaming import streaming_pack_sequences
+
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    t0 = pd.Timestamp("2024-05-01 10:00:00")
+    # 20 docs, ts DESCENDING with doc_id ascending → physical order (by
+    # id) disagrees with event-time order everywhere
+    n = 20
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(1, n + 1)),
+            "ts": [t0 + pd.Timedelta(minutes=n - i) for i in range(n)],
+            "text": [f"{'w ' * (3 + i)}end" for i in range(n)],
+        }
+    )
+    spark.createDataFrame(pdf).coalesce(1).write.parquet(d + "/a")
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "3")
+    try:
+        schema = spark.read.parquet(d + "/a").schema
+        stream = spark.readStream.schema(schema).parquet(d + "/*")
+        out = streaming_pack_sequences(stream, seq_len=16, n_shards=1)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("packchunks")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        streamed = {
+            r["doc_id"]: (r["start_offset"], r["n_tokens"])
+            for r in spark.sql("SELECT * FROM packchunks").collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    # expected: offsets assigned by (ts, id) — ts descending in id, so
+    # doc n packs first
+    order = sorted(range(n), key=lambda i: (pdf["ts"][i], pdf["doc_id"][i]))
+    offset = 0
+    for i in order:
+        did = int(pdf["doc_id"][i])
+        ntok = len(pdf["text"][i].split())
+        assert streamed[did] == (offset, ntok), did
+        offset += ntok
