@@ -337,3 +337,60 @@ def url_domain_stats(
             F.count(F.lit(1)).alias("n_mentions"),
         )
     )
+
+
+def budget_sample(
+    df: DataFrame,
+    token_budget: int,
+    n_shards: int = 32,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: str = "budget1",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Token-budget sampling: keep documents, in deterministic hash-key
+    order, until the training-token budget is met — the "give me N
+    billion tokens of this source" primitive a mix builder runs after
+    quality gates. Fraction-based sampling (stratified_sample) can't hit
+    a token target when document lengths vary; this walks docs in
+    portable-hash priority order and cuts off at the budget.
+
+    Scale shape: a single global priority order would serialize the
+    corpus through one window, so the budget is split evenly across
+    ``n_shards`` hash shards and each shard fills ``token_budget /
+    n_shards`` independently — one shuffle on shard, per-shard ROWS
+    cumsum, no global state, reproducible across runs and resumable
+    (hash order, not rand()). Shard granularity means the realized total
+    can undershoot by at most one document per shard.
+
+    Returns (id, shard, n_tokens, cum_tokens) for the selected docs;
+    join back on the id for the full rows."""
+    from stglib_spark.operators.text import token_count
+
+    shard_budget = int(token_budget) // int(n_shards)
+    toks = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    base = (
+        df.select(
+            F.col(id_col),
+            toks.cast("long").alias("n_tokens"),
+            sample_key(F.col(id_col), seed).alias("__key"),
+        )
+        .filter(F.col("n_tokens") > 0)
+        .withColumn(
+            "shard",
+            (hash60(F.col(id_col).cast("string"), seed=seed) % n_shards).cast(
+                "long"
+            ),
+        )
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("__key", id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum("n_tokens").over(w)
+    return (
+        base.withColumn("cum_tokens", cum)
+        .filter(F.col("cum_tokens") <= shard_budget)
+        .select(id_col, "shard", "n_tokens", "cum_tokens")
+    )

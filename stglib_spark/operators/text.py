@@ -9,6 +9,8 @@ so they stream over 100 TB of documents at scan speed.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, functions as F
 
 # Minimal per-language stopword marker sets for the n-gram/stopword
@@ -144,3 +146,65 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
         F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", ""), r"\s+", " "
     )
     return df.withColumn(out_col, F.md5(F.trim(norm)))
+
+
+def unigram_vocab(
+    df: DataFrame, text_col: str = "text", top_k: int = 1000
+) -> list[tuple[str, int]]:
+    """Corpus-level unigram vocabulary: the ``top_k`` most frequent
+    (lowercased, whitespace) tokens with their counts, deterministic
+    tie-break by token. Like an IVF codebook, the vocabulary is a
+    bounded-size model artifact (top_k rows) collected once at train
+    time — the corpus-wide explode/count is one shuffle whose width is
+    the token vocabulary, not the corpus, thanks to map-side partial
+    aggregation."""
+    rows = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(top_k)
+        .collect()
+    )
+    return [(r["tok"], r["c"]) for r in rows]
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    vocab: list[tuple[str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Per-document mean token log-probability under a corpus unigram LM —
+    the cheap stand-in for the CCNet/KenLM perplexity quality filter
+    (low mean logprob = unusual token distribution = likely boilerplate,
+    gibberish, or wrong-language text).
+
+    Scale shape: the vocabulary enters the plan as a literal map
+    (top_k entries, same pattern as the LSH plane literals), so scoring
+    is a pure projection — element_at(map, token) inside an aggregate
+    fold, no explode, no join, no shuffle. Documents stream through at
+    scan speed regardless of corpus size; only vocabulary construction
+    (one bounded aggregate) ever shuffles."""
+    total = float(sum(c for _, c in vocab))
+    entries: list[Column] = []
+    for tok, c in vocab:
+        entries.append(F.lit(tok))
+        entries.append(F.lit(math.log(c / total)))
+    lp_map = F.create_map(*entries)
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    total_lp = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(lp_map, t), F.lit(float(oov_logprob))),
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n > 0, total_lp / n).otherwise(F.lit(0.0)), 6
+        ).alias("mean_logprob"),
+    )

@@ -1772,6 +1772,82 @@ def corpus_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.token_census(docs)
 
 
+_BUDGET_H60 = _H60.format(s="'budget1' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "corpus_budget_sample",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+             {_BUDGET_H60} % 8 AS shard,
+             ({_BUDGET_H60})::DOUBLE / 1152921504606846976.0 AS k
+      FROM documents
+    ), nz AS (SELECT * FROM base WHERE n_tokens > 0),
+    c AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY k, doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum
+      FROM nz
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(cum AS BIGINT) AS cum_tokens
+    FROM c WHERE cum <= 2000
+    """,
+)
+def corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget sampling (corpus.budget_sample): fill a 16k-token
+    training budget in deterministic hash-priority order, split across 8
+    hash shards so no global window ever orders the corpus."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return corpus_ops.budget_sample(docs, token_budget=16000, n_shards=8)
+
+
+_UNIGRAM_TOPK = 200
+
+
+@register(
+    "text_unigram_logprob",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS tks
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(tks) AS tok FROM base)
+      GROUP BY tok ORDER BY c DESC, tok LIMIT {_UNIGRAM_TOPK}
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    dt AS (SELECT doc_id, unnest(tks) AS tok FROM base),
+    sc AS (
+      SELECT dt.doc_id,
+             coalesce(ln(v.c / (SELECT t FROM tot)), -20.0) AS lp
+      FROM dt LEFT JOIN vocab v USING (tok)
+    ),
+    agg AS (SELECT doc_id, count(*) AS n, sum(lp) AS s FROM sc GROUP BY doc_id)
+    SELECT b.doc_id, CAST(coalesce(a.n, 0) AS INTEGER) AS n_tokens,
+           round(coalesce(a.s / a.n, 0.0), 6) AS mean_logprob
+    FROM (SELECT doc_id FROM base) b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality proxy (text.unigram_logprob_score): corpus
+    vocabulary built once (bounded top-K aggregate, the only shuffle),
+    then per-document mean token log-probability as a PURE PROJECTION —
+    the vocabulary rides the plan as a literal map, so scoring never
+    explodes, joins, or shuffles (the CCNet-perplexity-filter shape at
+    scan speed)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = text_ops.unigram_vocab(docs, top_k=_UNIGRAM_TOPK)
+    return text_ops.unigram_logprob_score(docs, vocab)
+
+
 _GRID_CODE_SQL = ", ".join(
     f"CAST(floor(embedding[{i + 1}] / 0.2) AS BIGINT)" for i in range(8)
 )
@@ -4222,6 +4298,8 @@ _FRONT = [
     "corpus_url_domains",
     "corpus_pack_sequences",
     "corpus_token_census",
+    "corpus_budget_sample",
+    "text_unigram_logprob",
     "dedup_embedding_grid",
     "q4_order_priority",
     "q7_nation_volume",

@@ -75,3 +75,32 @@ def test_embedding_grid_groups_cell_membership(spark):
     assert len(out) == 1
     assert out[0].n_members == 2 and out[0].rep_id == 1
     assert out[0].grid_code == "0,0"
+
+
+def test_budget_sample_respects_budget_and_determinism(spark, docs):
+    out = corpus.budget_sample(docs, token_budget=8, n_shards=2).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        assert sum(r.n_tokens for r in rs) <= 4  # 8 // 2 per shard
+        # cum_tokens is the running total in priority order
+        assert max(r.cum_tokens for r in rs) <= 4
+    again = corpus.budget_sample(docs, token_budget=8, n_shards=2).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_unigram_logprob_orders_common_above_rare(spark):
+    from stglib_spark.operators import text as text_ops
+
+    rows = [
+        (1, "the the the the"),        # all top-vocab tokens
+        (2, "zzqx wvut zzqx qqq"),     # all OOV -> -20 each
+        (3, ""),                       # empty -> 0.0, n_tokens 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab = text_ops.unigram_vocab(df, top_k=1)  # just "the"; doc 2 all OOV
+    out = {r.doc_id: r for r in text_ops.unigram_logprob_score(df, vocab).collect()}
+    assert out[1].mean_logprob > out[2].mean_logprob
+    assert out[2].mean_logprob == -20.0
+    assert out[3].n_tokens == 0 and out[3].mean_logprob == 0.0
