@@ -572,6 +572,124 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    """
+    SELECT l_year, round(sum(CASE WHEN nation = 'NATION_1' THEN volume
+                                  ELSE 0 END) / sum(volume), 6) AS mkt_share
+    FROM (
+      SELECT year(l.l_shipdate) AS l_year,
+             l.l_extendedprice * (1 - l.l_discount) AS volume,
+             ns.n_name AS nation
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+      JOIN region r ON nc.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'AFRICA'
+    )
+    GROUP BY l_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's yearly trade
+    volume — the same dimension aliased for supplier vs customer nation,
+    region filter on the customer side only, conditional-ratio rollup.
+    Six broadcast joins, one fact-side aggregate shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AFRICA")
+    ns = n.select(
+        F.col("n_nationkey").alias("ns_key"), F.col("n_name").alias("nation")
+    )
+    nc = n.select(
+        F.col("n_nationkey").alias("nc_key"),
+        F.col("n_regionkey").alias("nc_regionkey"),
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
+        .join(F.broadcast(r), F.col("nc_regionkey") == r.r_regionkey)
+        .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
+        .agg(
+            _r6(
+                F.sum(F.when(F.col("nation") == "NATION_1", vol).otherwise(0.0))
+                / F.sum(vol)
+            ).alias("mkt_share")
+        )
+    )
+
+
+@register(
+    "q21_waiting_supplier",
+    """
+    SELECT s.s_name AS sname, count(DISTINCT l1.l_orderkey) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name ORDER BY numwait DESC, sname LIMIT 10
+    """,
+)
+def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted lateness = shipped >60 days after order
+    date): suppliers who were the SOLE late shipper on multi-supplier
+    orders. The correlated EXISTS/NOT EXISTS pair decorrelates to ONE
+    per-order aggregate — distinct suppliers and distinct LATE suppliers
+    per order — joined back to the late rows; the whole correlation
+    collapses into `n_supp > 1 AND n_late_supp = 1`. One extra aggregate
+    instead of two correlated per-row subscans of lineitem."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr(
+        "INTERVAL 60 DAYS"
+    )
+    flagged = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select("l_orderkey", "l_suppkey", late.alias("__late"))
+    )
+    order_stats = flagged.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("__n_supp"),
+        F.count_distinct(
+            F.when(F.col("__late"), F.col("l_suppkey"))
+        ).alias("__n_late_supp"),
+    )
+    # order_stats is ORDER-cardinality — never broadcast it; both sides
+    # are already hash-partitioned on l_orderkey from their aggregates,
+    # so this equi-join reuses the partitioning (AQE picks the strategy)
+    sole_late = (
+        flagged.filter(F.col("__late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(order_stats, "l_orderkey")
+        .filter((F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1))
+    )
+    return (
+        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy(F.col("s_name").alias("sname"))
+        .agg(F.count_distinct("l_orderkey").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("sname"))
+        .limit(10)
+    )
+
+
+@register(
     "q22_dormant_customers",
     """
     SELECT c.c_nationkey AS nationkey, count(*) AS numcust,
@@ -4310,6 +4428,8 @@ _FRONT = [
     "q17_small_quantity_revenue",
     "q18_large_volume_customers",
     "q19_disjunctive_revenue",
+    "q8_market_share",
+    "q21_waiting_supplier",
     "q22_dormant_customers",
     "mm_decode_real_png",
     "mm_video_frames_real",

@@ -293,3 +293,18 @@ def test_gemm_neardup_pins_partition_count(spark):
     # exactly one exchange: the pinned hash repartition doubles as the
     # applyInPandas clustering (no second groupBy exchange, no round-robin)
     assert count(plan, r"Exchange") == 1
+
+
+def test_q8_q21_shapes(spark):
+    """Q8: all six dimension joins broadcast. Q21: the decorrelated
+    EXISTS/NOT EXISTS pair is equi-joins only — no cartesian, and the
+    order-cardinality stats table is NOT broadcast (it scales with the
+    fact table)."""
+    plan = plan_of(spark, "q8_market_share")
+    assert count(plan, r"BroadcastHashJoin") >= 5
+    assert count(plan, r"SortMergeJoin") == 0
+
+    plan = plan_of(spark, "q21_waiting_supplier")
+    assert count(plan, r"CartesianProduct") == 0
+    assert count(plan, r"BroadcastNestedLoopJoin") == 0
+    assert "TakeOrderedAndProject" in plan
