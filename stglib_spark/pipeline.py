@@ -819,6 +819,23 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     history.insert_history(
         f"Stratified training mix {fractions} (deterministic hash membership)."
     )
+    budget = config.get("mix_token_budget")
+    if budget:
+        # cap the mix at a token budget in deterministic hash-priority
+        # order (the "N-billion-token source" knob); re-uses the quality
+        # zone's token counts, joins the winners back for full rows
+        picked = corpus_ops.budget_sample(
+            mix,
+            token_budget=int(budget),
+            n_shards=n_shards,
+            id_col=id_col,
+            seed=seed,
+            tokens_col="n_tokens",
+        )
+        mix = mix.join(picked.select(id_col), id_col, "left_semi")
+        history.insert_history(
+            f"Capped mix at {budget} tokens across {n_shards} shards."
+        )
     paths["mix"] = _write_zone(mix, config, "mix", history)
 
     packs = corpus_ops.pack_sequences(

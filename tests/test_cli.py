@@ -200,3 +200,31 @@ def test_cli_corpus_step(spark):
             assert r["start_pack"] == r["start_offset"] // 256
     # packs only cover mix members
     assert set(packs["doc_id"]) <= set(mix["doc_id"])
+
+
+def test_cli_corpus_step_with_token_budget(spark):
+    """mix_token_budget caps the mix zone's total tokens (per-shard
+    budget split) while keeping packs consistent with the capped mix."""
+    import os
+
+    from stglib_spark.__main__ import main
+
+    os.makedirs(TMP, exist_ok=True)
+    docs = f"{TMP}/cli_docs3.parquet"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(docs)
+    open(f"{TMP}/corpus_budget.yaml", "w").write(
+        "filename: clibudget\npack_seq_len: 256\npack_shards: 4\n"
+        "mix_token_budget: 4000\n"
+    )
+    assert main(
+        ["corpus", "corpus", None, f"{TMP}/corpus_budget.yaml",
+         "--input", docs, "--output-dir", TMP]
+    ) == 0
+    import pyarrow.parquet as pq
+
+    mix = pq.read_table(f"{TMP}/clibudget_mix").to_pandas()
+    assert 0 < mix["n_tokens"].sum() <= 4000
+    packs = pq.read_table(f"{TMP}/clibudget_packs").to_pandas()
+    assert set(packs["doc_id"]) <= set(mix["doc_id"])
