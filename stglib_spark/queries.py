@@ -285,8 +285,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN customer c ON o.o_custkey = c.c_custkey
     JOIN nation ns ON s.s_nationkey = ns.n_nationkey
     JOIN nation nc ON c.c_nationkey = nc.n_nationkey
-    WHERE (ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
-       OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1')
+    WHERE (ns.n_name = 'NATION_12' AND nc.n_name = 'NATION_13')
+       OR (ns.n_name = 'NATION_13' AND nc.n_name = 'NATION_12')
     GROUP BY 1, 2, 3
     """,
 )
@@ -307,8 +307,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").alias("nc_key"), F.col("n_name").alias("cust_nation")
     )
     pair = (
-        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
-    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_13")
+    ) | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_12"))
     return (
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
