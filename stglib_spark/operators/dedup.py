@@ -500,3 +500,35 @@ def duplicate_clusters(
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id")
     )
+
+
+def prioritized_exact_dedup(
+    df: DataFrame,
+    priority: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact content dedup keeping the BEST copy per duplicate set rather
+    than the smallest id: among rows sharing a normalized-text digest,
+    keep the one minimizing (priority, id) — e.g. priority = source rank,
+    so a curated-source copy beats a crawl copy of the same text. One
+    shuffle on the digest; min_by carries (priority, id) pairs, never
+    text, through the aggregate."""
+    digest = F.md5(normalize_text(F.col(text_col)))
+    keyed = df.select(
+        digest.alias("__digest"),
+        F.col(id_col),
+        priority.cast("long").alias("__prio"),
+    )
+    best = F.min_by(
+        F.col(id_col), F.struct(F.col("__prio"), F.col(id_col))
+    )
+    return (
+        keyed.groupBy("__digest")
+        .agg(
+            best.alias(id_col),
+            F.min("__prio").alias("kept_priority"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .drop("__digest")
+    )

@@ -208,3 +208,45 @@ def unigram_logprob_score(
             F.when(n > 0, total_lp / n).otherwise(F.lit(0.0)), 6
         ).alias("mean_logprob"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap — the
+    standard pre-embedding / RAG-indexing step (chunk size in tokens,
+    stride = chunk_tokens − overlap). Output one row per chunk:
+    (id, chunk_idx, chunk_text, n_chunk_tokens).
+
+    Scale shape: pure array expressions — tokenize once, explode a
+    per-document index sequence, slice the token array per index. No
+    shuffle, no UDF; the explode fan-out is ceil(n/stride) rows per doc,
+    each carrying only its own slice of text. The last window is kept
+    whenever it contains at least one NEW token (start < n)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
+    ).filter(F.col("__n") > 0)
+    # number of windows: 1 + floor((n - 1) / stride) for n > 0
+    n_chunks = (1 + F.floor((F.col("__n") - 1) / stride)).cast("int")
+    idx = F.explode(F.sequence(F.lit(0), n_chunks - 1))
+    start = F.col("chunk_idx") * stride  # 0-based token offset
+    piece = F.slice(F.col("__t"), start + 1, chunk_tokens)
+    return (
+        base.withColumn("chunk_idx", idx)
+        .select(
+            F.col(id_col),
+            F.col("chunk_idx"),
+            F.concat_ws(" ", piece).alias("chunk_text"),
+            F.least(F.col("__n") - start, F.lit(chunk_tokens))
+            .cast("int")
+            .alias("n_chunk_tokens"),
+        )
+    )

@@ -1966,6 +1966,89 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob_score(docs, vocab)
 
 
+@register(
+    "text_chunk_documents",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS t
+      FROM documents
+    ), nz AS (SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0),
+    g AS (
+      SELECT doc_id, t, n,
+             unnest(generate_series(0, (n - 1) // 112)) AS ci
+      FROM nz
+    )
+    SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
+           array_to_string(list_slice(t, ci * 112 + 1, ci * 112 + 128), ' ')
+             AS chunk_text,
+           CAST(least(n - ci * 112, 128) AS INTEGER) AS n_chunk_tokens
+    FROM g
+    """,
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (text.chunk_documents): 128-token windows,
+    16-token overlap — the pre-embedding/RAG split as pure array
+    expressions (tokenize once, explode an index sequence, slice per
+    index; no shuffle, no UDF)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return text_ops.chunk_documents(docs, chunk_tokens=128, overlap=16)
+
+
+_PRIO_NORM = (
+    r"trim(regexp_replace(regexp_replace(lower(t), '[^\p{L}\p{N}\s]', '', 'g'),"
+    r" '\s+', ' ', 'g'))"
+)
+
+
+@register(
+    "dedup_priority_source",
+    rf"""
+    WITH aug AS (
+      SELECT doc_id, text AS t, source FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, upper(text) || ' !!',
+             CASE WHEN doc_id % 3 = 0 THEN 'src0' ELSE 'src19' END
+      FROM documents
+    ), k AS (
+      SELECT md5({_PRIO_NORM}) AS dg, doc_id,
+             CAST(substring(source, 4) AS BIGINT) AS prio
+      FROM aug
+    ), g AS (
+      -- arg-min of (prio, id) encoded as one key: ids are < 1e6 at every
+      -- test SF, so min(prio*1e6 + id) picks the lexicographic minimum
+      SELECT dg, min(prio * 1000000 + doc_id) AS comb,
+             min(prio) AS kept_priority, count(*) AS dup_count
+      FROM k GROUP BY dg
+    )
+    SELECT CAST(comb % 1000000 AS BIGINT) AS doc_id, kept_priority, dup_count
+    FROM g
+    """,
+)
+def dedup_priority_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority-aware exact dedup (dedup.prioritized_exact_dedup): among
+    copies of the same normalized content, keep the copy from the
+    best-ranked source rather than the smallest id — injected duplicates
+    (case/punctuation mutations with shifted ids and remapped sources)
+    make a curated-source copy beat the original where its rank is
+    better. One digest shuffle; min_by carries (priority, id), never
+    text."""
+    docs = load_table(spark, sf_dir, "documents")
+    copies = docs.select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.concat(F.upper(F.col("text")), F.lit(" !!")).alias("text"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit("src0"))
+        .otherwise(F.lit("src19"))
+        .alias("source"),
+    )
+    aug = docs.select("doc_id", "text", "source").unionByName(copies)
+    out = dedup_ops.prioritized_exact_dedup(
+        aug, priority=F.expr("CAST(substring(source, 4) AS BIGINT)")
+    )
+    return out.select("doc_id", "kept_priority", "dup_count")
+
+
 _GRID_CODE_SQL = ", ".join(
     f"CAST(floor(embedding[{i + 1}] / 0.2) AS BIGINT)" for i in range(8)
 )
@@ -4418,6 +4501,8 @@ _FRONT = [
     "corpus_token_census",
     "corpus_budget_sample",
     "text_unigram_logprob",
+    "text_chunk_documents",
+    "dedup_priority_source",
     "dedup_embedding_grid",
     "q4_order_priority",
     "q7_nation_volume",

@@ -104,3 +104,44 @@ def test_unigram_logprob_orders_common_above_rare(spark):
     assert out[1].mean_logprob > out[2].mean_logprob
     assert out[2].mean_logprob == -20.0
     assert out[3].n_tokens == 0 and out[3].mean_logprob == 0.0
+
+
+def test_chunk_documents_windows(spark):
+    from stglib_spark.operators import text as text_ops
+
+    rows = [(1, " ".join(f"t{i}" for i in range(10))), (2, "a b"), (3, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert 3 not in by_doc  # empty doc: no chunks
+    # doc 1: 10 tokens, stride 3 -> chunks at 0,3,6,9
+    c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    assert c1[0].chunk_text == "t0 t1 t2 t3"
+    assert c1[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
+    assert c1[3].chunk_text == "t9" and c1[3].n_chunk_tokens == 1
+    # doc 2: fits one window
+    assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
+    with __import__("pytest").raises(ValueError):
+        text_ops.chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_prioritized_dedup_keeps_best_source(spark):
+    from pyspark.sql import functions as F
+
+    from stglib_spark.operators import dedup as dedup_ops
+
+    rows = [
+        (1, "Same Content!", 5),
+        (2, "same content", 1),   # better priority, higher id than 1? no: id 2 > 1, prio 1 < 5 -> wins
+        (3, "same content.", 1),  # ties prio with 2 -> lower id 2 wins
+        (4, "unique", 9),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, prio long")
+    out = {r.doc_id: r for r in dedup_ops.prioritized_exact_dedup(
+        df, priority=F.col("prio")).collect()}
+    assert set(out) == {2, 4}
+    assert out[2].dup_count == 3 and out[2].kept_priority == 1
+    assert out[4].dup_count == 1 and out[4].kept_priority == 9
