@@ -40,6 +40,15 @@ def get_spark(app_name: str = "stglib_spark", cpus: int | None = None) -> SparkS
         .master(f"local[{cpus}]")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # keep AQE's parallelism-first coalescing honest for compute-bound
+        # Arrow stages: the default 1 MB minPartitionSize floors the
+        # per-partition target ABOVE totalBytes/defaultParallelism for
+        # small-byte/heavy-CPU shuffles (Welch at sf1: 12 tasks instead of
+        # 32 — the window below groups on the same key, so the explicit
+        # pin_grouping shuffle is elided as redundant and the surviving
+        # ENSURE_REQUIREMENTS exchange is coalescible). 64k keeps tiny
+        # shuffles cheap while letting CPU-heavy ones use every core.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
