@@ -224,9 +224,13 @@ def chunk_documents(
 
     Scale shape: pure array expressions — tokenize once, explode a
     per-document index sequence, slice the token array per index. No
-    shuffle, no UDF; the explode fan-out is ceil(n/stride) rows per doc,
-    each carrying only its own slice of text. The last window is kept
-    whenever it contains at least one NEW token (start < n)."""
+    shuffle, no UDF; the explode fan-out is ~n/stride rows per doc, each
+    carrying only its own slice of text. Window count is
+    max(1, ceil((n − overlap) / stride)) — a trailing window is emitted
+    only when it contains at least one token NOT already covered by the
+    previous window (a count of 1 + floor((n−1)/stride) would re-emit a
+    pure duplicate of the previous window's tail whenever
+    n mod stride ∈ [1, overlap])."""
     if overlap >= chunk_tokens:
         raise ValueError("overlap must be smaller than chunk_tokens")
     stride = chunk_tokens - overlap
@@ -234,8 +238,10 @@ def chunk_documents(
     base = df.select(
         F.col(id_col), toks.alias("__t"), F.size(toks).alias("__n")
     ).filter(F.col("__n") > 0)
-    # number of windows: 1 + floor((n - 1) / stride) for n > 0
-    n_chunks = (1 + F.floor((F.col("__n") - 1) / stride)).cast("int")
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.floor((F.col("__n") - overlap + stride - 1) / stride),
+    ).cast("int")
     idx = F.explode(F.sequence(F.lit(0), n_chunks - 1))
     start = F.col("chunk_idx") * stride  # 0-based token offset
     piece = F.slice(F.col("__t"), start + 1, chunk_tokens)

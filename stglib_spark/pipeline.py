@@ -824,12 +824,16 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
         # cap the mix at a token budget in deterministic hash-priority
         # order (the "N-billion-token source" knob); re-uses the quality
         # zone's token counts, joins the winners back for full rows
+        # INDEPENDENT seed: ordering the budget cut by the same key that
+        # decided mix membership would over-retain low-fraction strata
+        # (their keys all sit below the stratum fraction, sorting ahead
+        # of most high-fraction docs) and silently undo mix_fractions
         picked = corpus_ops.budget_sample(
             mix,
             token_budget=int(budget),
             n_shards=n_shards,
             id_col=id_col,
-            seed=seed,
+            seed=f"{seed}-budget",
             tokens_col="n_tokens",
         )
         mix = mix.join(picked.select(id_col), id_col, "left_semi")

@@ -1536,10 +1536,17 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.lang_id(docs).select("doc_id", "lang_pred")
 
 
-_NORM_SQL = (
-    r"trim(regexp_replace(regexp_replace(lower(text), '[^\p{L}\p{N}\s]', '', 'g'),"
-    r" '\s+', ' ', 'g'))"
-)
+def _norm_sql(col: str = "text") -> str:
+    """DuckDB normalization matching dedup.normalize_text — ONE source of
+    truth for every oracle that hashes normalized content (fingerprint,
+    exact/LSH dedup, priority dedup)."""
+    return (
+        rf"trim(regexp_replace(regexp_replace(lower({col}),"
+        rf" '[^\p{{L}}\p{{N}}\s]', '', 'g'), '\s+', ' ', 'g'))"
+    )
+
+
+_NORM_SQL = _norm_sql()
 
 
 @register(
@@ -1593,10 +1600,8 @@ _MH_BAND_ROWS = "\n      UNION ALL\n".join(
     )
     for b in range(_MH_BANDS)
 )
-_DEDUP_NORM_SQL = r"""
-      SELECT doc_id,
-             trim(regexp_replace(regexp_replace(lower(text),
-                  '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+_DEDUP_NORM_SQL = f"""
+      SELECT doc_id, {_NORM_SQL} AS t
       FROM documents
 """
 
@@ -1977,7 +1982,8 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nz AS (SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0),
     g AS (
       SELECT doc_id, t, n,
-             unnest(generate_series(0, (n - 1) // 112)) AS ci
+             unnest(generate_series(0,
+                    greatest(1, (n - 16 + 111) // 112) - 1)) AS ci
       FROM nz
     )
     SELECT doc_id, CAST(ci AS INTEGER) AS chunk_idx,
@@ -1996,10 +2002,7 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.chunk_documents(docs, chunk_tokens=128, overlap=16)
 
 
-_PRIO_NORM = (
-    r"trim(regexp_replace(regexp_replace(lower(t), '[^\p{L}\p{N}\s]', '', 'g'),"
-    r" '\s+', ' ', 'g'))"
-)
+_PRIO_NORM = _norm_sql("t")
 
 
 @register(

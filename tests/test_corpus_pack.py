@@ -116,12 +116,16 @@ def test_chunk_documents_windows(spark):
     for r in out:
         by_doc.setdefault(r.doc_id, []).append(r)
     assert 3 not in by_doc  # empty doc: no chunks
-    # doc 1: 10 tokens, stride 3 -> chunks at 0,3,6,9
+    # doc 1: 10 tokens, stride 3 -> windows at 0,3,6 (a 4th window at 9
+    # would be a pure duplicate of window 2's tail — not emitted)
     c1 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
-    assert [r.chunk_idx for r in c1] == [0, 1, 2, 3]
+    assert [r.chunk_idx for r in c1] == [0, 1, 2]
     assert c1[0].chunk_text == "t0 t1 t2 t3"
     assert c1[1].chunk_text == "t3 t4 t5 t6"  # 1-token overlap
-    assert c1[3].chunk_text == "t9" and c1[3].n_chunk_tokens == 1
+    assert c1[2].chunk_text == "t6 t7 t8 t9" and c1[2].n_chunk_tokens == 4
+    # every token is covered despite dropping the redundant window
+    covered = {t for r in c1 for t in r.chunk_text.split()}
+    assert covered == {f"t{i}" for i in range(10)}
     # doc 2: fits one window
     assert len(by_doc[2]) == 1 and by_doc[2][0].chunk_text == "a b"
     with __import__("pytest").raises(ValueError):

@@ -304,7 +304,12 @@ def test_q8_q21_shapes(spark):
     assert count(plan, r"BroadcastHashJoin") >= 5
     assert count(plan, r"SortMergeJoin") == 0
 
-    plan = plan_of(spark, "q21_waiting_supplier")
+    plan = plan_of(spark, "q21_waiting_supplier", "simple")
     assert count(plan, r"CartesianProduct") == 0
     assert count(plan, r"BroadcastNestedLoopJoin") == 0
     assert "TakeOrderedAndProject" in plan
+    # the order-cardinality stats table joins back on the order key as a
+    # co-partitioned SortMergeJoin — a BroadcastHashJoin on that key pair
+    # would mean someone re-broadcast a fact-sized side
+    assert count(plan, r"SortMergeJoin \[l_orderkey[^\]]*\], \[l_orderkey") == 1
+    assert count(plan, r"BroadcastHashJoin \[l_orderkey[^\]]*\], \[l_orderkey[^\]]*\], Inner, BuildRight, false") == 0
