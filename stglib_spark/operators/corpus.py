@@ -394,3 +394,72 @@ def budget_sample(
         .filter(F.col("cum_tokens") <= shard_budget)
         .select(id_col, "shard", "n_tokens", "cum_tokens")
     )
+
+
+def frequent_lines(
+    df: DataFrame,
+    min_docs: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Corpus-level boilerplate census: non-empty lines (trimmed) that
+    occur in at least ``min_docs`` DISTINCT documents — cookie banners,
+    nav menus, license footers. One explode + one count-distinct
+    aggregate; the shuffle carries (line, doc partials) with map-side
+    combine, and the OUTPUT is tiny (only lines crossing the threshold
+    survive), which is what makes the removal pass broadcastable."""
+    lines = F.explode(
+        F.filter(
+            F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+            lambda x: x != "",
+        )
+    )
+    return (
+        df.select(F.col(id_col), lines.alias("line"))
+        .groupBy("line")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def remove_boilerplate_lines(
+    df: DataFrame,
+    boilerplate: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """C4-style boilerplate removal: drop every line that appears in the
+    ``boilerplate`` set (built by ``frequent_lines``), reassemble the
+    remaining lines in original order. Documents whose every line was
+    boilerplate are dropped entirely (nothing left to train on).
+
+    Scale shape: the boilerplate set is BROADCAST (it is by construction
+    the tiny high-frequency tail), so the line-level anti-join never
+    shuffles corpus lines; the only corpus shuffle is the per-document
+    reassembly aggregate, whose payload is the surviving text itself."""
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+        lambda x: x != "",
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode(lines).alias("pos", "line")
+    )
+    kept = exploded.join(
+        F.broadcast(boilerplate.select("line")), "line", "left_anti"
+    )
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("pos"), F.col("line")))
+            ).alias("__parts")
+        )
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                "\n", F.transform(F.col("__parts"), lambda s: s["line"])
+            ).alias("text_clean"),
+            F.size("__parts").alias("n_lines_kept"),
+        )
+    )
+    return reassembled

@@ -2052,6 +2052,55 @@ def dedup_priority_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "kept_priority", "dup_count")
 
 
+@register(
+    "corpus_remove_boilerplate",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             'COOKIE BANNER' || chr(10) || text || chr(10)
+               || 'footer ' || (doc_id % 4)::VARCHAR AS t
+      FROM documents
+    ), ls AS (
+      SELECT doc_id, string_split(t, chr(10)) AS l FROM aug
+    ), ex AS (
+      -- DuckDB lacks WITH ORDINALITY: index the split list explicitly
+      SELECT doc_id, i - 1 AS pos, trim(l[i]) AS line
+      FROM ls, unnest(generate_series(1, len(l))) AS u(i)
+      WHERE trim(l[i]) <> ''
+    ), freq AS (
+      SELECT line FROM ex GROUP BY line
+      HAVING count(DISTINCT doc_id) >= 10
+    ), kept AS (
+      SELECT doc_id, pos, line FROM ex
+      WHERE line NOT IN (SELECT line FROM freq)
+    )
+    SELECT doc_id,
+           string_agg(line, chr(10) ORDER BY pos) AS text_clean,
+           CAST(count(*) AS INTEGER) AS n_lines_kept
+    FROM kept GROUP BY doc_id
+    """,
+)
+def corpus_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate-line removal (corpus.frequent_lines →
+    remove_boilerplate_lines): a shared banner line plus a small set of
+    rotating footers are injected into every document, the frequency
+    census finds them (they cross the 10-doc threshold; genuine content
+    lines do not), and the removal pass strips them via a broadcast
+    anti-join before per-document reassembly in original line order."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE BANNER\n"),
+            F.col("text"),
+            F.lit("\nfooter "),
+            (F.col("doc_id") % 4).cast("string"),
+        ).alias("text"),
+    )
+    bp = corpus_ops.frequent_lines(aug, min_docs=10)
+    return corpus_ops.remove_boilerplate_lines(aug, bp)
+
+
 _GRID_CODE_SQL = ", ".join(
     f"CAST(floor(embedding[{i + 1}] / 0.2) AS BIGINT)" for i in range(8)
 )
@@ -4506,6 +4555,7 @@ _FRONT = [
     "text_unigram_logprob",
     "text_chunk_documents",
     "dedup_priority_source",
+    "corpus_remove_boilerplate",
     "dedup_embedding_grid",
     "q4_order_priority",
     "q7_nation_volume",

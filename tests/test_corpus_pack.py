@@ -149,3 +149,19 @@ def test_prioritized_dedup_keeps_best_source(spark):
     assert set(out) == {2, 4}
     assert out[2].dup_count == 3 and out[2].kept_priority == 1
     assert out[4].dup_count == 1 and out[4].kept_priority == 9
+
+
+def test_boilerplate_removal_strips_frequent_lines(spark):
+    from stglib_spark.operators import corpus
+
+    rows = [
+        (i, f"BANNER\nunique content {i}\nfooter") for i in range(1, 12)
+    ] + [(99, "BANNER\nfooter")]  # all-boilerplate doc -> dropped
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = corpus.frequent_lines(df, min_docs=10)
+    assert {r.line for r in bp.collect()} == {"BANNER", "footer"}
+    out = {r.doc_id: r for r in corpus.remove_boilerplate_lines(df, bp).collect()}
+    assert 99 not in out          # nothing left to keep
+    assert len(out) == 11
+    assert out[3].text_clean == "unique content 3"
+    assert out[3].n_lines_kept == 1
