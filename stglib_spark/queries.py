@@ -4578,7 +4578,20 @@ _FRONT = [
     "sonar_xy_linear_oracle",
     "filt_iir_recursion_oracle",
     "filt_filtfilt_oracle",
-    # stale since r1/r2 — no CORRECTNESS_r03 row (driver window missed them)
+    # stale since r1/r2 — no CORRECTNESS_r03 row. Ordered so the ones
+    # whose code paths changed THIS round (GEMM repartition pinning, the
+    # _norm_sql refactor) take the remaining window slots; the untouched
+    # qaqc/vel tail stays covered by the local 3-SF parity suite until r5.
+    "sim_embedding_neardup",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_simhash",
+    "sim_cosine_topk",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "text_token_stats",
+    "text_quality_score",
+    "text_lang_id",
     "ts_gap_fill_hourly",
     "ts_burst_average",
     "ts_interval_average_duration",
@@ -4586,16 +4599,6 @@ _FRONT = [
     "phys_salinity_spcon",
     "phys_pres2dep_ssc",
     "phys_dispersion_qkfs",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    "text_fingerprint",
-    "dedup_exact",
-    "dedup_simhash",
-    "sim_cosine_topk",
-    "sim_embedding_neardup",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
     "qaqc_diff_pct",
     "qaqc_std_gates",
     "qaqc_bad_ens",
