@@ -4003,6 +4003,123 @@ def wave_psd_welch_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wave_cutoff_tail_oracle",
+    """
+    WITH seeds AS (
+      SELECT date_trunc('day', ts) AS burst, avg(value) AS seed
+      FROM events GROUP BY 1
+    ), params AS (
+      SELECT burst,
+             4 + CAST(floor(fmod(seed, 5)) AS INT) AS p,
+             0.05 + 0.04 * floor(fmod(seed, 4)) AS c
+      FROM seeds
+    ), grid AS (
+      SELECT burst, p, c, k.k, 0.05 * (k.k + 1) AS f,
+             CASE WHEN k.k <= p
+                  THEN 30.0 * pow((0.05 * (k.k + 1)) / (0.05 * (p + 1)), 2)
+                  ELSE 30.0 * pow((0.05 * (p + 1)) / (0.05 * (k.k + 1)), 12)
+             END + 0.1 AS pxx,
+             1.0 - c * k.k AS kp
+      FROM params CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) k
+    ), cuts AS (
+      SELECT burst,
+             12.0 * avg(pxx) FILTER (WHERE f >= 0.9 * 0.8) AS noisecut,
+             max(p) AS p, max(c) AS c
+      FROM grid GROUP BY burst
+    ), inds AS (
+      SELECT g.burst,
+             coalesce(max(g.k) FILTER (WHERE g.pxx > cu.noisecut), 0)
+               AS noisecutind,
+             count(*) FILTER (WHERE g.f < 1.1 * 0.05 * (cu.p + 1))
+               AS fpeakcutind,
+             coalesce(max(g.k + 1) FILTER (WHERE g.kp > 0.1), 0) AS kpcutind
+      FROM grid g JOIN cuts cu USING (burst)
+      GROUP BY g.burst, cu.noisecut, cu.p
+    ), ti AS (
+      SELECT burst,
+             CASE WHEN noisecutind > fpeakcutind AND noisecutind <= kpcutind
+                  THEN noisecutind
+                  WHEN noisecutind > fpeakcutind AND noisecutind > kpcutind
+                  THEN kpcutind
+             END AS tailind
+      FROM inds
+    ), at_ti AS (
+      SELECT g.burst, g.pxx / (g.kp * g.kp) AS pnn_ti, g.f AS f_ti
+      FROM grid g JOIN ti USING (burst) WHERE g.k = ti.tailind
+    )
+    SELECT g.burst, CAST(g.k AS INTEGER) AS k,
+           CAST(ti.tailind AS DOUBLE) AS tailind,
+           round(CASE WHEN ti.tailind IS NULL THEN NULL
+                      WHEN g.k < ti.tailind THEN g.pxx / (g.kp * g.kp)
+                      ELSE a.pnn_ti * pow(g.f / a.f_ti, -4.0)
+                 END, 6) AS pspec
+    FROM grid g
+    LEFT JOIN ti USING (burst)
+    LEFT JOIN at_ti a USING (burst)
+    """,
+)
+def wave_cutoff_tail_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYTIC ORACLE for the Jones & Monismith auto-cutoff + f^-4 tail
+    splice (upgrades the last golden-only pieces of the wave chain):
+    synthetic 16-bin spectra — an (f/fp)^2 rise to a 30-unit peak, an
+    (fp/f)^4 rolloff, a 0.05 noise floor, and a linear Kp ramp whose
+    slope varies per burst — make every branch of define_cutoff
+    (noise-crossing index vs 1.1·fpeak searchsorted index vs Kp>0.1
+    cutoff, including the no-valid-cutoff NaN case) and the spliced tail
+    closed-form computable in SQL. The Spark side runs the REAL kernels
+    (waves.define_cutoff_np + make_tail_np — the same code every
+    pressure-derived wave product rides, reference core/waves.py:806-897)
+    per burst via applyInPandas."""
+    ev = load_table(spark, sf_dir, "events")
+    seeds = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("burst")).agg(
+        F.avg("value").alias("seed")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.operators.waves import define_cutoff_np, make_tail_np
+
+        rows = []
+        k = np.arange(16)
+        f = 0.05 * (k + 1)
+        for _, row in pdf.iterrows():
+            seed = float(row["seed"])
+            p = 4 + int(np.floor(np.fmod(seed, 5)))
+            c = 0.05 + 0.04 * np.floor(np.fmod(seed, 4))
+            fp = 0.05 * (p + 1)
+            pxx = np.where(
+                k <= p, 30.0 * (f / fp) ** 2, 30.0 * (fp / f) ** 12
+            ) + 0.1
+            kp = 1.0 - c * k
+            tailind = define_cutoff_np(f, pxx, kp)
+            pnn = pxx / kp**2
+            pspec = make_tail_np(f, pnn, tailind)
+            for i in range(16):
+                rows.append(
+                    {
+                        "burst": row["burst"],
+                        "k": int(i),
+                        "tailind": float(tailind),
+                        "pspec": float(pspec[i]),
+                    }
+                )
+        return pd.DataFrame(rows, columns=["burst", "k", "tailind", "pspec"])
+
+    res = seeds.groupBy("burst").applyInPandas(
+        kernel, "burst timestamp, k int, tailind double, pspec double"
+    )
+    sp = F.col("pspec")
+    return res.select(
+        "burst",
+        "k",
+        F.when(~F.isnan(F.col("tailind")), F.col("tailind")).alias("tailind"),
+        F.when(~F.isnan(sp), _r6(sp)).alias("pspec"),
+    )
+
+
+@register(
     "sonar_xy_linear_oracle",
     """
     WITH ax AS (SELECT -10.0 + 2.5 * i AS v FROM generate_series(0, 8) t(i)),
@@ -4575,6 +4692,7 @@ _FRONT = [
     "wave_puv_azimuth_oracle",
     "wave_elev_stats_oracle",
     "wave_dftm_plane_oracle",
+    "wave_cutoff_tail_oracle",
     "sonar_xy_linear_oracle",
     "filt_iir_recursion_oracle",
     "filt_filtfilt_oracle",
