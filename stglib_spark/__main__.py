@@ -15,6 +15,7 @@ Steps (reference registry names; any ``*2cdf`` spelling maps to ingest):
     exportnc                                                         final netCDF product
     dedup                                                            corpus dedup zones
     corpus                                                           corpus curation zones
+    corpusall                                                        dedup + curation chain
     all                                                              ingest+clean[+waves]
 
 Instrument = an ingest adapter name (``stglib_spark.sources.ADAPTERS``);
@@ -37,7 +38,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "step",
         nargs="?",
-        help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | exportnc | dedup | corpus | all",
+        help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | exportnc | dedup | corpus | corpusall | all",
     )
     p.add_argument("gatts", nargs="?", help="global attributes file (key; value lines)")
     p.add_argument("config", nargs="?", help="YAML instrument config")
@@ -106,6 +107,10 @@ def main(argv: list[str] | None = None) -> int:
             # quality/census/mix/packs zones, metrics derived once
             config.setdefault("documents_path", config.get("input_path"))
             path = pipeline.run_corpus(spark, config)
+        elif step == "corpusall":
+            # full corpus chain: dedup → one-doc-per-cluster → curation
+            config.setdefault("documents_path", config.get("input_path"))
+            path = pipeline.run_corpus_all(spark, config)
         elif step == "all":
             path = pipeline.run_all(spark, config)
         else:

@@ -856,6 +856,40 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     return paths
 
 
+def run_corpus_all(
+    spark: SparkSession, config: dict[str, Any]
+) -> dict[str, str]:
+    """Raw documents → training packs in ONE command: the dedup stage
+    (shingles/candidates/verified-pairs zones, one shingle pass), then
+    duplicate-cluster resolution keeping one document per connected
+    component (the minimum id), then the curation stage (quality/census/
+    mix/packs) over the deduped corpus. The deduped zone is materialized
+    between the halves so curation reads survivors, not raw docs, and a
+    re-run resumes from any zone."""
+    from stglib_spark.operators import dedup as dedup_ops
+
+    id_col = config.get("doc_id_col", "doc_id")
+    paths = run_dedup(spark, config)
+
+    history = History()
+    pairs = spark.read.parquet(paths["dedup"])
+    clusters = dedup_ops.duplicate_clusters(pairs)
+    losers = clusters.filter(
+        F.col("doc_id") != F.col("canonical_id")
+    ).select(F.col("doc_id").alias(id_col))
+    docs = spark.read.parquet(config["documents_path"])
+    survivors = docs.join(losers, id_col, "left_anti")
+    history.insert_history(
+        "Removed non-canonical duplicates (one doc per verified cluster)."
+    )
+    paths["deduped"] = _write_zone(survivors, config, "deduped", history)
+
+    curation = dict(config)
+    curation["documents_path"] = paths["deduped"]
+    paths.update(run_corpus(spark, curation))
+    return paths
+
+
 def run_all(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     """Full runots chain: ingest → clean → waves."""
     paths = {"raw": run_ingest(spark, config), "clean": run_clean(spark, config)}

@@ -228,3 +228,40 @@ def test_cli_corpus_step_with_token_budget(spark):
     assert 0 < mix["n_tokens"].sum() <= 4000
     packs = pq.read_table(f"{TMP}/clibudget_packs").to_pandas()
     assert set(packs["doc_id"]) <= set(mix["doc_id"])
+
+
+def test_cli_corpusall_chains_dedup_into_curation(spark):
+    """corpusall: raw docs (with an injected near-duplicate) -> dedup
+    zones -> deduped zone without the non-canonical copy -> packs built
+    from survivors only."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from stglib_spark.__main__ import main
+
+    os.makedirs(TMP, exist_ok=True)
+    base = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    # duplicate doc 1 verbatim under a high id -> must be dropped
+    dup = base.filter(F.col("doc_id") == 1).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    docs = f"{TMP}/cli_docs4.parquet"
+    base.unionByName(dup).write.mode("overwrite").parquet(docs)
+    open(f"{TMP}/corpusall.yaml", "w").write(
+        "filename: cliall\njaccard_threshold: 0.8\npack_seq_len: 256\n"
+        "pack_shards: 4\n"
+    )
+    assert main(
+        ["corpus", "corpusall", None, f"{TMP}/corpusall.yaml",
+         "--input", docs, "--output-dir", TMP]
+    ) == 0
+    deduped = pq.read_table(f"{TMP}/cliall_deduped").to_pandas()
+    assert 500001 not in set(deduped["doc_id"])  # non-canonical copy dropped
+    assert 1 in set(deduped["doc_id"])           # canonical copy kept
+    packs = pq.read_table(f"{TMP}/cliall_packs").to_pandas()
+    assert set(packs["doc_id"]) <= set(deduped["doc_id"])
+    assert os.path.isdir(f"{TMP}/cliall_quality")
