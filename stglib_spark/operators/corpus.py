@@ -399,18 +399,31 @@ def budget_sample(
 def frequent_lines(
     df: DataFrame,
     min_docs: int = 10,
+    min_doc_frac: float | None = None,
     text_col: str = "text",
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Corpus-level boilerplate census: non-empty lines (trimmed) that
-    occur in at least ``min_docs`` DISTINCT documents — cookie banners,
+    """Corpus-level boilerplate census: non-empty lines (matched on their
+    TRIMMED form, split on ``\\r?\\n`` so CRLF and LF variants count as
+    one line) occurring in enough DISTINCT documents — cookie banners,
     nav menus, license footers. One explode + one count-distinct
     aggregate; the shuffle carries (line, doc partials) with map-side
-    combine, and the OUTPUT is tiny (only lines crossing the threshold
-    survive), which is what makes the removal pass broadcastable."""
+    combine.
+
+    The threshold must SCALE with the corpus: an absolute ``min_docs`` on
+    a 100M-doc crawl would flag every sentence repeated 10 times. Pass
+    ``min_doc_frac`` (e.g. 0.001 = present in 0.1% of documents) to use
+    ``max(min_docs, frac × corpus size)`` — the extra ``count()`` is one
+    cheap scan, and the resulting set is the genuinely tiny
+    high-frequency tail the removal pass can broadcast."""
+    threshold = int(min_docs)
+    if min_doc_frac is not None:
+        threshold = max(threshold, int(float(min_doc_frac) * df.count()))
     lines = F.explode(
         F.filter(
-            F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
+            F.transform(
+                F.split(F.col(text_col), r"\r?\n"), lambda x: F.trim(x)
+            ),
             lambda x: x != "",
         )
     )
@@ -418,7 +431,7 @@ def frequent_lines(
         df.select(F.col(id_col), lines.alias("line"))
         .groupBy("line")
         .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
-        .filter(F.col("n_docs") >= min_docs)
+        .filter(F.col("n_docs") >= threshold)
     )
 
 
@@ -427,39 +440,45 @@ def remove_boilerplate_lines(
     boilerplate: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
+    broadcast: bool = True,
 ) -> DataFrame:
-    """C4-style boilerplate removal: drop every line that appears in the
-    ``boilerplate`` set (built by ``frequent_lines``), reassemble the
-    remaining lines in original order. Documents whose every line was
-    boilerplate are dropped entirely (nothing left to train on).
+    """C4-style boilerplate removal: drop every line whose TRIMMED form
+    appears in the ``boilerplate`` set (built by ``frequent_lines``),
+    reassembling the surviving lines VERBATIM in original order —
+    indentation, interior blank lines, and CRLF-vs-LF content of kept
+    lines are untouched (matching is on the normalized form only).
+    Documents left with no non-blank line are dropped entirely (nothing
+    to train on); ``n_lines_kept`` counts surviving non-blank lines.
 
-    Scale shape: the boilerplate set is BROADCAST (it is by construction
-    the tiny high-frequency tail), so the line-level anti-join never
-    shuffles corpus lines; the only corpus shuffle is the per-document
-    reassembly aggregate, whose payload is the surviving text itself."""
-    lines = F.filter(
-        F.transform(F.split(F.col(text_col), r"\n"), lambda x: F.trim(x)),
-        lambda x: x != "",
-    )
+    Scale shape: with a ``min_doc_frac``-thresholded census the
+    boilerplate set is the tiny high-frequency tail and is BROADCAST, so
+    the line-level anti-join never shuffles corpus lines; pass
+    ``broadcast=False`` when the set may be large (absolute low
+    thresholds on huge corpora) to fall back to a shuffled equi-join.
+    The only corpus shuffle either way is the per-document reassembly
+    aggregate, whose payload is the surviving text itself."""
     exploded = df.select(
-        F.col(id_col), F.posexplode(lines).alias("pos", "line")
-    )
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n")).alias("pos", "line"),
+    ).withColumn("__key", F.trim(F.col("line")))
+    bp = boilerplate.select(F.col("line").alias("__key"))
     kept = exploded.join(
-        F.broadcast(boilerplate.select("line")), "line", "left_anti"
+        F.broadcast(bp) if broadcast else bp, "__key", "left_anti"
     )
-    reassembled = (
+    return (
         kept.groupBy(id_col)
         .agg(
             F.array_sort(
                 F.collect_list(F.struct(F.col("pos"), F.col("line")))
-            ).alias("__parts")
+            ).alias("__parts"),
+            F.count(F.when(F.col("__key") != "", 1)).alias("n_lines_kept"),
         )
+        .filter(F.col("n_lines_kept") > 0)
         .select(
             F.col(id_col),
             F.concat_ws(
                 "\n", F.transform(F.col("__parts"), lambda s: s["line"])
             ).alias("text_clean"),
-            F.size("__parts").alias("n_lines_kept"),
+            F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
         )
     )
-    return reassembled

@@ -863,16 +863,28 @@ def run_corpus_all(
     (shingles/candidates/verified-pairs zones, one shingle pass), then
     duplicate-cluster resolution keeping one document per connected
     component (the minimum id), then the curation stage (quality/census/
-    mix/packs) over the deduped corpus. The deduped zone is materialized
-    between the halves so curation reads survivors, not raw docs, and a
-    re-run resumes from any zone."""
+    mix/packs) over the deduped corpus. Each zone is materialized
+    parquet, so later stages read data, not lineage.
+
+    ``jaccard_threshold`` defaults to 0.8 HERE (unlike the standalone
+    dedup stage, whose 0.0 default reports every LSH candidate): this
+    stage DELETES the non-canonical side of each pair, and clustering
+    unfiltered candidates would remove documents that merely collided in
+    one MinHash band."""
     from stglib_spark.operators import dedup as dedup_ops
 
     id_col = config.get("doc_id_col", "doc_id")
-    paths = run_dedup(spark, config)
+    cfg = dict(config)
+    cfg.setdefault("jaccard_threshold", 0.8)
+    threshold = float(cfg["jaccard_threshold"])
+    paths = run_dedup(spark, cfg)
 
     history = History()
-    pairs = spark.read.parquet(paths["dedup"])
+    # belt-and-braces: never cluster below the deletion bar even if a
+    # caller passed an explicit lower reporting threshold
+    pairs = spark.read.parquet(paths["dedup"]).filter(
+        F.col("jaccard") >= threshold
+    )
     clusters = dedup_ops.duplicate_clusters(pairs)
     losers = clusters.filter(
         F.col("doc_id") != F.col("canonical_id")
@@ -882,9 +894,9 @@ def run_corpus_all(
     history.insert_history(
         "Removed non-canonical duplicates (one doc per verified cluster)."
     )
-    paths["deduped"] = _write_zone(survivors, config, "deduped", history)
+    paths["deduped"] = _write_zone(survivors, cfg, "deduped", history)
 
-    curation = dict(config)
+    curation = dict(cfg)
     curation["documents_path"] = paths["deduped"]
     paths.update(run_corpus(spark, curation))
     return paths

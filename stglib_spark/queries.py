@@ -2061,23 +2061,25 @@ def dedup_priority_source(spark: SparkSession, sf_dir: str) -> DataFrame:
                || 'footer ' || (doc_id % 4)::VARCHAR AS t
       FROM documents
     ), ls AS (
-      SELECT doc_id, string_split(t, chr(10)) AS l FROM aug
+      SELECT doc_id, string_split_regex(t, '\r?\n') AS l FROM aug
     ), ex AS (
-      -- DuckDB lacks WITH ORDINALITY: index the split list explicitly
-      SELECT doc_id, i - 1 AS pos, trim(l[i]) AS line
+      -- DuckDB lacks WITH ORDINALITY: index the split list explicitly.
+      -- Lines kept VERBATIM; matching is on the trimmed key only.
+      SELECT doc_id, i - 1 AS pos, l[i] AS line, trim(l[i]) AS key
       FROM ls, unnest(generate_series(1, len(l))) AS u(i)
-      WHERE trim(l[i]) <> ''
     ), freq AS (
-      SELECT line FROM ex GROUP BY line
+      SELECT key FROM ex WHERE key <> '' GROUP BY key
       HAVING count(DISTINCT doc_id) >= 10
     ), kept AS (
-      SELECT doc_id, pos, line FROM ex
-      WHERE line NOT IN (SELECT line FROM freq)
+      SELECT doc_id, pos, line, key FROM ex
+      WHERE key NOT IN (SELECT key FROM freq)
     )
     SELECT doc_id,
            string_agg(line, chr(10) ORDER BY pos) AS text_clean,
-           CAST(count(*) AS INTEGER) AS n_lines_kept
+           CAST(count(*) FILTER (WHERE key <> '') AS INTEGER)
+             AS n_lines_kept
     FROM kept GROUP BY doc_id
+    HAVING count(*) FILTER (WHERE key <> '') > 0
     """,
 )
 def corpus_remove_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -165,3 +165,22 @@ def test_boilerplate_removal_strips_frequent_lines(spark):
     assert len(out) == 11
     assert out[3].text_clean == "unique content 3"
     assert out[3].n_lines_kept == 1
+
+
+def test_boilerplate_removal_preserves_verbatim_content(spark):
+    """Kept lines are untouched: indentation, interior blank lines, and
+    the trimmed-form-only matching (an indented copy of a boilerplate
+    line is still removed; content is reassembled verbatim)."""
+    from stglib_spark.operators import corpus
+
+    rows = [
+        (i, f"BANNER\ncontent {i}") for i in range(1, 11)
+    ] + [(50, "  BANNER  \ndef f():\n    return 1\n\nnext paragraph")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    bp = corpus.frequent_lines(df, min_docs=10)
+    assert {r.line for r in bp.collect()} == {"BANNER"}
+    out = {r.doc_id: r for r in corpus.remove_boilerplate_lines(df, bp).collect()}
+    # the indented BANNER copy matched via its trimmed key; everything
+    # else — indentation and the blank line — survives byte-for-byte
+    assert out[50].text_clean == "def f():\n    return 1\n\nnext paragraph"
+    assert out[50].n_lines_kept == 3  # blank line kept but not counted
