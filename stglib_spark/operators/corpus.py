@@ -482,3 +482,76 @@ def remove_boilerplate_lines(
             F.col("n_lines_kept").cast("int").alias("n_lines_kept"),
         )
     )
+
+
+def build_packed_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seq_len: int = 512,
+    n_shards: int = 8,
+    seed: str = "pack1",
+) -> DataFrame:
+    """Materialize the actual training sequences from ``pack_sequences``'
+    span table: every document's tokens are sliced across the packs its
+    span covers, and each (shard, pack) concatenates its slices in
+    stream order — the trainer-ready rows (``n_tokens == seq_len``
+    everywhere except each shard's final partial pack).
+
+    Scale shape: the span computation is pack_sequences (per-shard window
+    cumsum); the slicing is pure array expressions per (doc, pack) —
+    explode over the span's pack range, ``slice`` per pack; the only
+    additional shuffle is the (shard, pack) reassembly aggregate, whose
+    payload is the packed text itself (unavoidable: it IS the output).
+    Documents never shuffle twice: the spans join back to the text by id
+    as an equi-join co-partitioned with the reassembly."""
+    from stglib_spark.operators.text import tokens
+
+    spans = pack_sequences(
+        df, text_col, id_col, seq_len=seq_len, n_shards=n_shards, seed=seed
+    )
+    toks = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    j = spans.join(toks, id_col)
+    p = F.explode(
+        F.sequence(F.col("start_pack"), F.col("end_pack"))
+    ).alias("pack_id")
+    with_pack = j.select(
+        id_col, "shard", "n_tokens", "start_offset", "__t", p
+    )
+    lo = F.greatest(
+        F.lit(0), F.col("pack_id") * seq_len - F.col("start_offset")
+    )
+    hi = F.least(
+        F.col("n_tokens"),
+        (F.col("pack_id") + 1) * seq_len - F.col("start_offset"),
+    )
+    piece = F.slice(F.col("__t"), lo + 1, hi - lo)
+    sliced = with_pack.select(
+        "shard",
+        "pack_id",
+        F.col("start_offset"),
+        piece.alias("__piece"),
+    )
+    return (
+        sliced.groupBy("shard", "pack_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("start_offset"), F.col("__piece")))
+            ).alias("__parts")
+        )
+        .select(
+            "shard",
+            "pack_id",
+            F.concat_ws(
+                " ",
+                F.flatten(
+                    F.transform(F.col("__parts"), lambda s: s["__piece"])
+                ),
+            ).alias("pack_text"),
+            F.aggregate(
+                F.col("__parts"),
+                F.lit(0).cast("long"),
+                lambda acc, s: acc + F.size(s["__piece"]),
+            ).alias("n_tokens"),
+        )
+    )

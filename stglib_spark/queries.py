@@ -1929,6 +1929,55 @@ def corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.budget_sample(docs, token_budget=16000, n_shards=8)
 
 
+@register(
+    "corpus_build_packs",
+    rf"""
+    WITH b0 AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(trim(text), '\s+') END AS tks,
+             {_PACK_H60} % 8 AS shard
+      FROM documents
+    ), nz AS (
+      SELECT doc_id, tks, len(tks) AS n, shard FROM b0 WHERE len(tks) > 0
+    ), c AS (
+      SELECT doc_id, tks, n, shard,
+             sum(n) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS cum
+      FROM nz
+    ), sp AS (
+      SELECT doc_id, tks, n, shard, CAST(cum - n AS BIGINT) AS so,
+             CAST((cum - n) // 512 AS BIGINT) AS sp0,
+             CAST((cum - 1) // 512 AS BIGINT) AS ep
+      FROM c
+    ), pk AS (
+      SELECT shard, u.p AS pack_id, so,
+             list_slice(tks,
+                        greatest(0, u.p * 512 - so) + 1,
+                        least(n, (u.p + 1) * 512 - so)) AS piece
+      FROM sp, unnest(generate_series(sp0, ep)) AS u(p)
+    )
+    SELECT shard, CAST(pack_id AS BIGINT) AS pack_id,
+           string_agg(array_to_string(piece, ' '), ' ' ORDER BY so)
+             AS pack_text,
+           CAST(sum(len(piece)) AS BIGINT) AS n_tokens
+    FROM pk GROUP BY shard, pack_id
+    """,
+)
+def corpus_build_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trainer-ready packed sequences (corpus.build_packed_sequences):
+    every pack row concatenates the token slices of the documents whose
+    spans cover it, in stream order — n_tokens == 512 everywhere but
+    each shard's final partial pack. Slicing is pure array expressions;
+    the only added shuffle is the (shard, pack) reassembly whose payload
+    IS the output."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return corpus_ops.build_packed_sequences(
+        docs, seq_len=512, n_shards=8
+    )
+
+
 _UNIGRAM_TOPK = 200
 
 
@@ -4669,6 +4718,7 @@ _FRONT = [
     "corpus_redact_pii",
     "corpus_url_domains",
     "corpus_pack_sequences",
+    "corpus_build_packs",
     "corpus_token_census",
     "corpus_budget_sample",
     "text_unigram_logprob",

@@ -184,3 +184,22 @@ def test_boilerplate_removal_preserves_verbatim_content(spark):
     # else — indentation and the blank line — survives byte-for-byte
     assert out[50].text_clean == "def f():\n    return 1\n\nnext paragraph"
     assert out[50].n_lines_kept == 3  # blank line kept but not counted
+
+
+def test_build_packed_sequences_exact_tiling(spark, docs):
+    out = corpus.build_packed_sequences(docs, seq_len=7, n_shards=2).collect()
+    by_shard = {}
+    for r in out:
+        by_shard.setdefault(r.shard, []).append(r)
+    total = 0
+    for shard, rs in by_shard.items():
+        rs.sort(key=lambda r: r.pack_id)
+        # consecutive pack ids from 0; every pack full except the last
+        assert [r.pack_id for r in rs] == list(range(len(rs)))
+        for r in rs[:-1]:
+            assert r.n_tokens == 7
+        assert 1 <= rs[-1].n_tokens <= 7
+        for r in rs:
+            assert len(r.pack_text.split()) == r.n_tokens
+        total += sum(r.n_tokens for r in rs)
+    assert total == 610  # every non-empty doc token lands in exactly one pack
