@@ -853,6 +853,20 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
         f"Packed mix into {seq_len}-token sequence spans over {n_shards} shards."
     )
     paths["packs"] = _write_zone(packs, config, "packs", history)
+
+    if config.get("pack_materialize"):
+        # trainer-ready rows: concatenated token streams per (shard, pack)
+        seqs = corpus_ops.build_packed_sequences(
+            spark.read.parquet(paths["mix"]),
+            text_col=text_col,
+            id_col=id_col,
+            seq_len=seq_len,
+            n_shards=n_shards,
+        )
+        history.insert_history(
+            f"Materialized {seq_len}-token training sequences."
+        )
+        paths["sequences"] = _write_zone(seqs, config, "sequences", history)
     return paths
 
 

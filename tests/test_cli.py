@@ -265,3 +265,35 @@ def test_cli_corpusall_chains_dedup_into_curation(spark):
     packs = pq.read_table(f"{TMP}/cliall_packs").to_pandas()
     assert set(packs["doc_id"]) <= set(deduped["doc_id"])
     assert os.path.isdir(f"{TMP}/cliall_quality")
+
+
+def test_cli_corpus_materializes_sequences(spark):
+    """pack_materialize: true adds a sequences zone of trainer-ready
+    rows whose full packs are exactly pack_seq_len tokens."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from stglib_spark.__main__ import main
+
+    os.makedirs(TMP, exist_ok=True)
+    docs = f"{TMP}/cli_docs5.parquet"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(docs)
+    open(f"{TMP}/corpus_seq.yaml", "w").write(
+        "filename: cliseq\npack_seq_len: 128\npack_shards: 4\n"
+        "pack_materialize: true\n"
+    )
+    assert main(
+        ["corpus", "corpus", None, f"{TMP}/corpus_seq.yaml",
+         "--input", docs, "--output-dir", TMP]
+    ) == 0
+    seqs = pq.read_table(f"{TMP}/cliseq_sequences").to_pandas()
+    assert len(seqs) > 0
+    last = seqs.groupby("shard")["pack_id"].transform("max")
+    full = seqs[seqs["pack_id"] != last]
+    assert (full["n_tokens"] == 128).all()
+    assert (
+        seqs["pack_text"].str.split().str.len() == seqs["n_tokens"]
+    ).all()
