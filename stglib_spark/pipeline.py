@@ -789,6 +789,27 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     )
     paths: dict[str, str] = {}
 
+    bp_frac = config.get("boilerplate_min_doc_frac")
+    if bp_frac:
+        # C4-style cleaning BEFORE scoring: frequent lines (threshold a
+        # fraction of the corpus, so it scales) are stripped and the
+        # cleaned zone feeds everything downstream
+        bp = corpus_ops.frequent_lines(
+            docs,
+            min_docs=int(config.get("boilerplate_min_docs", 10)),
+            min_doc_frac=float(bp_frac),
+            text_col=text_col,
+            id_col=id_col,
+        )
+        cleaned = corpus_ops.remove_boilerplate_lines(
+            docs, bp, text_col=text_col, id_col=id_col
+        ).select(F.col(id_col), F.col("text_clean").alias(text_col))
+        history.insert_history(
+            f"Stripped boilerplate lines (>= {bp_frac} of docs)."
+        )
+        paths["cleaned"] = _write_zone(cleaned, config, "cleaned", history)
+        docs = spark.read.parquet(paths["cleaned"])
+
     quality = text_ops.quality_score(
         text_ops.lang_id(docs, text_col), text_col
     ).withColumn(

@@ -297,3 +297,31 @@ def test_cli_corpus_materializes_sequences(spark):
     assert (
         seqs["pack_text"].str.split().str.len() == seqs["n_tokens"]
     ).all()
+
+
+def test_cli_corpus_with_boilerplate_cleaning(spark):
+    """boilerplate_min_doc_frac adds a cleaned zone: a line injected in
+    every document is stripped before quality scoring."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from stglib_spark.__main__ import main
+
+    os.makedirs(TMP, exist_ok=True)
+    docs = f"{TMP}/cli_docs6.parquet"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.concat(F.lit("SHARED BANNER\n"), F.col("text")).alias("text"),
+    ).write.mode("overwrite").parquet(docs)
+    open(f"{TMP}/corpus_bp.yaml", "w").write(
+        "filename: clibp\nboilerplate_min_doc_frac: 0.5\n"
+    )
+    assert main(
+        ["corpus", "corpus", None, f"{TMP}/corpus_bp.yaml",
+         "--input", docs, "--output-dir", TMP]
+    ) == 0
+    cleaned = pq.read_table(f"{TMP}/clibp_cleaned").to_pandas()
+    assert not cleaned["text"].str.contains("SHARED BANNER").any()
+    assert os.path.isdir(f"{TMP}/clibp_quality")
