@@ -728,6 +728,304 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q2_min_cost_supplier",
+    """
+    WITH eligible AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             round(l.l_extendedprice / l.l_quantity, 6) AS unit_price
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      JOIN region r ON n.n_regionkey = r.r_regionkey
+      WHERE r.r_name = 'EUROPE'
+    ), best AS (
+      SELECT partkey, min(unit_price) AS min_price FROM eligible GROUP BY partkey
+    )
+    SELECT s.s_acctbal AS sacctbal, s.s_name AS sname, n.n_name AS nation,
+           p.p_partkey AS partkey, e.unit_price AS unit_price
+    FROM eligible e
+    JOIN best b ON e.partkey = b.partkey AND e.unit_price = b.min_price
+    JOIN part p ON p.p_partkey = e.partkey
+    JOIN supplier s ON s.s_suppkey = e.suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE p.p_size = 5 AND p.p_type = 'STANDARD'
+    ORDER BY sacctbal DESC, sname, partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp table in the testdata, so the offer
+    list is the distinct observed unit price per lineitem): the
+    correlated MIN subquery decorrelates to a per-part min aggregate
+    joined back on (partkey, price). Unit price is rounded to 6 dp on
+    BOTH engines BEFORE the min so the equality join compares identical
+    doubles. The min table is part-cardinality; both sides of the
+    back-join hash-partition on partkey, and the part/supplier/nation
+    dims broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
+    )
+    eligible = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+            _r6(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_price"),
+        )
+    )
+    best = eligible.groupBy("partkey").agg(F.min("unit_price").alias("min_price"))
+    sn = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).select(
+        "s_suppkey", "s_acctbal", "s_name", F.col("n_name").alias("nation")
+    )
+    return (
+        eligible.join(best, ["partkey"])
+        .filter(F.col("unit_price") == F.col("min_price"))
+        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
+        .join(F.broadcast(sn), F.col("suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_acctbal").alias("sacctbal"),
+            F.col("s_name").alias("sname"),
+            "nation",
+            "partkey",
+            "unit_price",
+        )
+        .orderBy(F.col("sacctbal").desc(), "sname", "partkey")
+        .limit(100)
+    )
+
+
+@register(
+    "q9_product_profit",
+    """
+    SELECT nation, o_year,
+           sum(CAST(sign(amount) * floor(abs(amount) * 100 + 0.5)
+                    AS BIGINT)) / 100.0 AS sum_profit
+    FROM (
+      SELECT n.n_name AS nation, year(o.o_orderdate) AS o_year,
+             l.l_extendedprice * (1 - l.l_discount)
+               - 0.8 * p.p_retailprice * l.l_quantity AS amount
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE p.p_name LIKE '%gear%'
+    )
+    GROUP BY nation, o_year
+    """,
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (no ps_supplycost column exists, so cost is the
+    deterministic proxy 0.8 * p_retailprice per unit): profit by
+    supplier nation and order year for one product family. The p_name
+    filter prunes the fact early through the broadcast part join; orders
+    is the only shuffle-side join (orderkey), the rest broadcast.
+    Profit is summed in integer cents (signum/floor half-up, the
+    fast_round formulation, then a BIGINT sum) so the aggregate is
+    order-independent — a double sum here lands exactly on a .005
+    rounding boundary at sf0.01 and flips the last digit between
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    o = load_table(spark, sf_dir, "orders")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - 0.8 * F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity")
+    cents = (
+        F.signum(amount) * F.floor(F.abs(amount) * F.lit(100.0) + F.lit(0.5))
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(cents) / F.lit(100.0)).alias("sum_profit"))
+    )
+
+
+@register(
+    "q11_important_stock",
+    """
+    WITH partval AS (
+      SELECT l.l_partkey AS partkey,
+             sum(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 100
+                            + 0.5) AS BIGINT)) AS cents
+      FROM lineitem l
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation n ON s.s_nationkey = n.n_nationkey
+      WHERE n.n_name IN ('NATION_2','NATION_7','NATION_12',
+                         'NATION_17','NATION_22')
+      GROUP BY l.l_partkey
+    )
+    SELECT partkey, cents / 100.0 AS value
+    FROM partval, (SELECT avg(cents) AS avg_cents FROM partval)
+    WHERE cents > 1.2 * avg_cents
+    """,
+)
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (value = traded volume per part for one nation
+    group, threshold = 1.2x the mean part value rather than a fixed
+    fraction of the grand total, so the selectivity is SF-invariant —
+    parts and lineitems scale together, keeping the per-part
+    distribution fixed): the scalar HAVING subquery is a 1-row broadcast
+    cross join against the per-part aggregate, exactly the Q22 avg-bal
+    pattern. Values are summed in integer cents (revenue is positive,
+    so plain floor(x*100+0.5)) to make both the per-part sums and the
+    mean threshold order-independent across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin(
+            "NATION_2", "NATION_7", "NATION_12", "NATION_17", "NATION_22"
+        )
+    )
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * F.lit(100.0)
+        + F.lit(0.5)
+    ).cast("bigint")
+    partval = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(cents).alias("__cents"))
+    )
+    avg_val = partval.agg(F.avg("__cents").alias("__avg_cents"))
+    return (
+        partval.crossJoin(F.broadcast(avg_val))
+        .filter(F.col("__cents") > 1.2 * F.col("__avg_cents"))
+        .select("partkey", (F.col("__cents") / F.lit(100.0)).alias("value"))
+    )
+
+
+@register(
+    "q16_supplier_part_count",
+    """
+    SELECT p.p_brand AS brand, p.p_type AS ptype, p.p_size AS psize,
+           count(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    ORDER BY supplier_cnt DESC, brand, ptype, psize LIMIT 20
+    """,
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (the observed (l_partkey, l_suppkey) pairs stand
+    in for partsupp; negative account balance stands in for the
+    customer-complaints exclusion): NOT IN over a filtered supplier list
+    is a LEFT ANTI broadcast join, the brand/size predicates prune
+    through the broadcast part join, then a count-distinct rollup and
+    TakeOrderedAndProject top-N."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+    )
+    bad = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select(F.col("s_suppkey").alias("bad_suppkey"))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(
+            F.broadcast(bad),
+            F.col("l_suppkey") == F.col("bad_suppkey"),
+            "left_anti",
+        )
+        .groupBy(
+            F.col("p_brand").alias("brand"),
+            F.col("p_type").alias("ptype"),
+            F.col("p_size").alias("psize"),
+        )
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "brand", "ptype", "psize")
+        .limit(20)
+    )
+
+
+@register(
+    "q20_dominant_shipper",
+    """
+    WITH shipped AS (
+      SELECT l.l_partkey AS partkey, l.l_suppkey AS suppkey,
+             sum(l.l_quantity) AS pair_qty
+      FROM lineitem l
+      JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_name LIKE 'red%'
+        AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l.l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY 1, 2
+    ), dominant AS (
+      SELECT sh.suppkey
+      FROM shipped sh
+      JOIN (SELECT partkey, sum(pair_qty) AS part_qty
+            FROM shipped GROUP BY 1) t
+        ON sh.partkey = t.partkey
+      WHERE sh.pair_qty > 0.5 * t.part_qty
+    )
+    SELECT s.s_name AS sname, n.n_name AS nation
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE s.s_suppkey IN (SELECT suppkey FROM dominant)
+      AND n.n_regionkey = 2
+    ORDER BY sname
+    """,
+)
+def q20_dominant_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (availqty has no source column, so 'excess stock'
+    becomes 'shipped more than half the year's volume of a part'): the
+    correlated half-of-total subquery is the two-level aggregate — pair
+    sums re-aggregated to part totals and joined back on partkey (both
+    sides already partitioned by the partkey-prefixed group keys) — and
+    the IN list is a LEFT SEMI join into the supplier dim. Quantities
+    are integral-valued doubles and 0.5*total is exact in binary, so
+    the dominance compare is engine-identical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").like("red%"))
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_regionkey") == 2)
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1998-01-01")
+        )
+        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    part_tot = shipped.groupBy("partkey").agg(F.sum("pair_qty").alias("part_qty"))
+    dominant = (
+        shipped.join(part_tot, ["partkey"])
+        .filter(F.col("pair_qty") > 0.5 * F.col("part_qty"))
+        .select("suppkey")
+    )
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(dominant, s.s_suppkey == dominant.suppkey, "left_semi")
+        .select(F.col("s_name").alias("sname"), F.col("n_name").alias("nation"))
+        .orderBy("sname")
+    )
+
+
 # --------------------------------------------------------------------------
 # Clip / row-selection family (SURVEY §2.3; deletes rows — the only family
 # that does)
@@ -4738,6 +5036,11 @@ _FRONT = [
     "q8_market_share",
     "q21_waiting_supplier",
     "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q9_product_profit",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    "q20_dominant_shipper",
     "mm_decode_real_png",
     "mm_video_frames_real",
     "wave_psd_welch_oracle",

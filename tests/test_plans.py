@@ -313,3 +313,43 @@ def test_q8_q21_shapes(spark):
     # would mean someone re-broadcast a fact-sized side
     assert count(plan, r"SortMergeJoin \[l_orderkey[^\]]*\], \[l_orderkey") == 1
     assert count(plan, r"BroadcastHashJoin \[l_orderkey[^\]]*\], \[l_orderkey[^\]]*\], Inner, BuildRight, false") == 0
+
+
+def test_partsupp_free_tpch_shapes(spark):
+    """The five partsupp-adapted TPC-H shapes (Q2/Q9/Q11/Q16/Q20) keep
+    their scale-safe plans: no cartesian or nested-loop joins outside
+    the deliberate 1-row scalar broadcast, anti/semi joins stay
+    key-equi, and top-N compiles to TakeOrderedAndProject."""
+    # Q2: decorrelated min back-join on (partkey, price) — equi only
+    plan = plan_of(spark, "q2_min_cost_supplier")
+    assert count(plan, r"CartesianProduct") == 0
+    assert count(plan, r"BroadcastNestedLoopJoin") == 0
+    assert "TakeOrderedAndProject" in plan
+
+    # Q9: every dim (part/supplier/nation) broadcasts; the profit
+    # aggregate is a single hash exchange
+    plan = plan_of(spark, "q9_product_profit", "simple")
+    assert count(plan, r"BroadcastHashJoin") >= 3
+    assert count(plan, r"CartesianProduct") == 0
+    assert count(plan, r"Exchange SinglePartition") == 0
+
+    # Q11: the only nested-loop join is the deliberate 1-row avg
+    # broadcast (the Q22 scalar pattern); the only single-partition
+    # exchange feeds that 1-row aggregate, never part rows
+    plan = plan_of(spark, "q11_important_stock", "simple")
+    assert count(plan, r"BroadcastNestedLoopJoin") == 1
+    assert count(plan, r"Exchange SinglePartition") == 1
+    assert count(plan, r"CartesianProduct") == 0
+
+    # Q16: NOT IN compiles to a broadcast LeftAnti, top-N to TakeOrdered
+    plan = plan_of(spark, "q16_supplier_part_count")
+    assert "LeftAnti" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert count(plan, r"CartesianProduct") == 0
+
+    # Q20: the IN list is a LeftSemi; the two-level aggregate joins
+    # back on partkey as equi joins only
+    plan = plan_of(spark, "q20_dominant_shipper")
+    assert "LeftSemi" in plan
+    assert count(plan, r"CartesianProduct") == 0
+    assert count(plan, r"BroadcastNestedLoopJoin") == 0
