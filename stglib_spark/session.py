@@ -48,7 +48,10 @@ def get_spark(app_name: str = "stglib_spark", cpus: int | None = None) -> SparkS
         # pin_grouping shuffle is elided as redundant and the surviving
         # ENSURE_REQUIREMENTS exchange is coalescible). 64k keeps tiny
         # shuffles cheap while letting CPU-heavy ones use every core.
-        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PART", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
