@@ -8,19 +8,27 @@ companion (``reindex_like nearest``, ``utils.py:1947-1954``), brange height
 file (nearest within tolerance, ``aqdutils.py:551-557``), per-profile met
 lookup (``rsk/cdf2nc.py:188-193``).
 
-Spark-first design, two physical strategies:
+Spark-first design, one physical shape for both strategies: the right
+side is pre-aggregated into per-bucket sorted candidate arrays, the
+bucket table is completed with neighbour/carry information by windowing
+over the TINY bucket-summary table (never over fact rows), and the fact
+side then makes exactly ONE equi-join against that bucket table.
+Candidate selection is a single-pass ``F.aggregate`` over the (already
+sorted) candidate array — one comparison per element, no intermediate
+array allocation, no per-element timestamp casts (``__rt`` is stored as
+epoch-seconds double inside the struct).
 
-- **tolerance given (the engine default)** — time-bucketed equi-join:
-  the right side is pre-aggregated into per-bucket sorted arrays
-  (bucket = floor(time/tolerance)), the left joins buckets b−1/b/b+1 and
-  picks the nearest candidate with array expressions. Shuffle is
-  equi-join shaped (broadcastable when the companion is small), left
-  rows are never windowed globally — this is the 100 TB path.
-- **no tolerance** — UNION + ordered window ("last right row at or
-  before t"): exact unbounded-lookback semantics, but the window is
-  global when ``by`` is empty, so one partition sees the whole series.
-  Kept only for unbounded lookups on bounded data; scale callers must
-  pass ``by`` series keys or a tolerance.
+- **tolerance given (the engine default)** — bucket = floor(time/tol);
+  any candidate within ±tol lives in the row's bucket or an adjacent
+  one, so the bucket table concatenates each bucket's array with its
+  immediate neighbours (lag/lead over the bucket summary) and the ±tol
+  predicate inside the scan discards everything else. Shuffle is
+  equi-join shaped (broadcastable when the companion is small) — this
+  is the 100 TB path.
+- **no tolerance** — same bucketed join with an adaptive width plus a
+  bucket-level carry (last-preceding / first-following right struct per
+  bucket, computed over the summary table) seeding the scan, giving
+  exact unbounded-lookback semantics without ever windowing fact rows.
 """
 
 from __future__ import annotations
@@ -67,6 +75,60 @@ def asof_join(
     )
 
 
+def _rstruct(on: str, value_cols: list[str]) -> Column:
+    """Candidate struct: epoch-seconds double first (sort key + compare
+    key — storing the double once avoids a per-element cast inside every
+    scan lambda), then the carried values."""
+    return F.struct(
+        F.col(on).cast("double").alias("__rt"),
+        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
+    )
+
+
+def _scan_back(cand: Column, init: Column, t: Column, tol: float | None) -> Column:
+    """Last candidate with __rt <= t (and within tol if given): one
+    forward pass over the ascending array, keeping the newest match."""
+    if tol is None:
+        pred = lambda x: x["__rt"] <= t  # noqa: E731
+    else:
+        pred = lambda x: (x["__rt"] <= t) & (t - x["__rt"] <= F.lit(tol))  # noqa: E731
+    return F.aggregate(cand, init, lambda acc, x: F.when(pred(x), x).otherwise(acc))
+
+
+def _scan_fwd(
+    cand: Column, fallback: Column, t: Column, tol: float | None, null_init: Column
+) -> Column:
+    """First candidate with __rt >= t (and within tol if given): one
+    forward pass keeping the first match, falling through to
+    ``fallback`` (the carried struct or null) when the bucket has
+    none. ``null_init`` is a null literal typed as the candidate
+    struct (F.aggregate requires a typed accumulator)."""
+    if tol is None:
+        pred = lambda x: x["__rt"] >= t  # noqa: E731
+    else:
+        pred = lambda x: (x["__rt"] >= t) & (x["__rt"] - t <= F.lit(tol))  # noqa: E731
+    first = F.aggregate(
+        cand,
+        null_init,
+        lambda acc, x: F.when(acc.isNotNull(), acc).when(pred(x), x),
+    )
+    return F.coalesce(first, fallback)
+
+
+def _pick(direction: str, back: Column, fwd: Column, t: Column) -> Column:
+    if direction == "backward":
+        return back
+    if direction == "forward":
+        return fwd
+    if direction == "nearest":
+        bdist = t - back["__rt"]
+        fdist = fwd["__rt"] - t
+        return F.when(
+            back.isNotNull() & (fwd.isNull() | (bdist <= fdist)), back
+        ).otherwise(fwd)
+    raise ValueError(f"unknown direction {direction!r}")
+
+
 def _asof_join_unbounded(
     left: DataFrame,
     right: DataFrame,
@@ -87,9 +149,10 @@ def _asof_join_unbounded(
        each bucket's last-preceding / first-following right struct. The
        only unbounded window in the plan runs over this summary table —
        thousands of rows — never over the fact rows.
-    4. Left rows equi-join their bucket's array + carry; in-bucket
-       candidates win by construction (they're strictly nearer than any
-       carried struct on that side).
+    4. Fact rows equi-join the merged bucket table ONCE (array + carry
+       travel together); the in-array scan is seeded with the carried
+       struct, so in-bucket candidates win by construction (they are
+       strictly nearer than any carried struct on that side).
     """
     stats = right.select(
         F.min(on).alias("t0"), F.max(on).alias("t1"), F.count(F.lit(1)).alias("n")
@@ -109,8 +172,8 @@ def _asof_join_unbounded(
     )
     parallelism = left.sparkSession.sparkContext.defaultParallelism
     # bucket count scales with BOTH parallelism and right-side density:
-    # candidate selection is an interpreted array filter per left row, so
-    # the per-bucket array must stay small — targeting ~8 right rows per
+    # candidate selection is an interpreted scan per left row, so the
+    # per-bucket array must stay small — targeting ~8 right rows per
     # bucket cut the sf1 as-of query 2× (the parallelism-only width left
     # ~340-element arrays → hundreds of millions of interpreted struct
     # compares). The bucket summary stays O(#buckets), far below fact
@@ -121,12 +184,10 @@ def _asof_join_unbounded(
     def bucket(t: Column) -> Column:
         return F.floor(t.cast("double") / F.lit(width)).cast("long")
 
-    rstruct = F.struct(
-        F.col(on).alias("__rt"),
-        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
-    )
     rb = (
-        right.select(*[F.col(c) for c in by], F.col(on), rstruct.alias("__s"))
+        right.select(
+            *[F.col(c) for c in by], F.col(on), _rstruct(on, value_cols).alias("__s")
+        )
         .withColumn("__bk", bucket(F.col(on)))
         .groupBy(*[F.col(c) for c in by], F.col("__bk"))
         .agg(
@@ -146,51 +207,48 @@ def _asof_join_unbounded(
         rb.select(*[F.col(c) for c in by], F.col("__bk"))
     ).distinct()
     summaries = keys.join(
-        rb.select(*[F.col(c) for c in by], "__bk", "__first", "__last"),
+        rb.select(*[F.col(c) for c in by], "__bk", "__arr", "__first", "__last"),
         [*by, "__bk"],
         "left",
     )
-    w_prev = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy("__bk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    w_next = (
-        Window.partitionBy(*[F.col(c) for c in by])
-        .orderBy("__bk")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    carry = summaries.select(
-        *[F.col(c) for c in by],
-        "__bk",
-        F.last("__last", ignorenulls=True).over(w_prev).alias("__carry_back"),
-        F.first("__first", ignorenulls=True).over(w_next).alias("__carry_fwd"),
-    )
+    carry_cols = [*[F.col(c) for c in by], F.col("__bk"), F.col("__arr")]
+    if direction in ("backward", "nearest"):
+        w_prev = (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy("__bk")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        carry_cols.append(
+            F.last("__last", ignorenulls=True).over(w_prev).alias("__carry_back")
+        )
+    if direction in ("forward", "nearest"):
+        w_next = (
+            Window.partitionBy(*[F.col(c) for c in by])
+            .orderBy("__bk")
+            .rowsBetween(1, Window.unboundedFollowing)
+        )
+        carry_cols.append(
+            F.first("__first", ignorenulls=True).over(w_next).alias("__carry_fwd")
+        )
+    buckets_tbl = summaries.select(*carry_cols)
 
-    out = (
-        left.withColumn("__bk", bucket(F.col(on)))
-        .join(rb.select(*[F.col(c) for c in by], "__bk", "__arr"), [*by, "__bk"], "left")
-        .join(carry, [*by, "__bk"], "left")
+    out = left.withColumn("__bk", bucket(F.col(on))).join(
+        buckets_tbl, [*by, "__bk"], "left"
     )
     cand = F.coalesce(F.col("__arr"), F.array().cast(arr_type))
     t = F.col(on).cast("double")
-    in_back = F.array_max(F.filter(cand, lambda x: x["__rt"].cast("double") <= t))
-    in_fwd = F.array_min(F.filter(cand, lambda x: x["__rt"].cast("double") >= t))
-    back = F.coalesce(in_back, F.col("__carry_back"))
-    fwd = F.coalesce(in_fwd, F.col("__carry_fwd"))
-
-    if direction == "backward":
-        picked = back
-    elif direction == "forward":
-        picked = fwd
-    elif direction == "nearest":
-        bdist = t - back["__rt"].cast("double")
-        fdist = fwd["__rt"].cast("double") - t
-        picked = F.when(
-            back.isNotNull() & (fwd.isNull() | (bdist <= fdist)), back
-        ).otherwise(fwd)
-    else:
-        raise ValueError(f"unknown direction {direction!r}")
+    null_init = F.lit(None).cast(arr_type.elementType)
+    back = (
+        _scan_back(cand, F.col("__carry_back"), t, None)
+        if direction in ("backward", "nearest")
+        else None
+    )
+    fwd = (
+        _scan_fwd(cand, F.col("__carry_fwd"), t, None, null_init)
+        if direction in ("forward", "nearest")
+        else None
+    )
+    picked = _pick(direction, back, fwd, t)
 
     return out.select(
         *result_left,
@@ -212,64 +270,76 @@ def _asof_join_bucketed(
 
     Right rows are collected into one sorted array per (by, bucket) with
     bucket = floor(t/tol); any candidate within ±tol of a left row lives
-    in the left row's bucket or an adjacent one, so three equi-joins
-    (b−1, b, b+1) cover the search window. Candidate selection is pure
-    array expressions. Per-bucket arrays are bounded by tol × the right
-    side's sample rate — the companion series by construction (SURVEY
-    §2.6: met/salinity/brange lookups).
+    in the left row's bucket or an adjacent one. The bucket table is
+    completed by a lag/lead window over the bucket-summary universe
+    (left ∪ right bucket keys — O(#buckets) rows, never fact rows), so
+    the fact side makes a SINGLE equi-join instead of three. A
+    neighbour array further than one bucket away is nulled out by the
+    lag/lead bucket-adjacency guard (its candidates would all fail the
+    ±tol predicate anyway — bucket width == tol). Per-bucket arrays are
+    bounded by tol × the right side's sample rate — the companion series
+    by construction (SURVEY §2.6: met/salinity/brange lookups).
     """
 
     def bucket(t: Column) -> Column:
         return F.floor(t.cast("double") / F.lit(tol)).cast("long")
 
-    rstruct = F.struct(
-        F.col(on).alias("__rt"),
-        *[F.col(c).alias(f"__rv_{c}") for c in value_cols],
-    )
     rb = (
-        right.select(*[F.col(c) for c in by], F.col(on), rstruct.alias("__s"))
+        right.select(
+            *[F.col(c) for c in by], F.col(on), _rstruct(on, value_cols).alias("__s")
+        )
         .withColumn("__bk", bucket(F.col(on)))
         .groupBy(*[F.col(c) for c in by], F.col("__bk"))
         .agg(F.sort_array(F.collect_list("__s")).alias("__arr"))
     )
     arr_type = rb.schema["__arr"].dataType
-
-    out = left.withColumn("__bk", bucket(F.col(on)))
-    for i, d in enumerate((-1, 0, 1)):
-        shifted = rb.select(
-            *[F.col(c) for c in by],
-            (F.col("__bk") + F.lit(d)).alias("__bk"),
-            F.col("__arr").alias(f"__arr_{i}"),
-        )
-        out = out.join(shifted, [*by, "__bk"], "left")
-
     empty = F.array().cast(arr_type)
-    cand = F.concat(
-        *[F.coalesce(F.col(f"__arr_{i}"), empty) for i in range(3)]
+
+    # bucket-key universe (tiny): left's distinct buckets (map-side
+    # combined before the shuffle) ∪ right's buckets, so a left bucket
+    # with no right rows still sees its neighbours' arrays.
+    lkeys = (
+        left.select(*[F.col(c) for c in by], bucket(F.col(on)).alias("__bk"))
+        .distinct()
     )
+    keys = lkeys.unionByName(
+        rb.select(*[F.col(c) for c in by], F.col("__bk"))
+    ).distinct()
+    summaries = keys.join(rb, [*by, "__bk"], "left")
+    w = Window.partitionBy(*[F.col(c) for c in by]).orderBy("__bk")
+    adj_prev = F.when(
+        F.lag("__bk").over(w) == F.col("__bk") - 1, F.lag("__arr").over(w)
+    )
+    adj_next = F.when(
+        F.lead("__bk").over(w) == F.col("__bk") + 1, F.lead("__arr").over(w)
+    )
+    buckets_tbl = summaries.select(
+        *[F.col(c) for c in by],
+        "__bk",
+        F.concat(
+            F.coalesce(adj_prev, empty),
+            F.coalesce(F.col("__arr"), empty),
+            F.coalesce(adj_next, empty),
+        ).alias("__cand"),
+    )
+
+    out = left.withColumn("__bk", bucket(F.col(on))).join(
+        buckets_tbl, [*by, "__bk"], "left"
+    )
+    cand = F.coalesce(F.col("__cand"), empty)
     t = F.col(on).cast("double")
-
-    def rt(x: Column) -> Column:
-        return x["__rt"].cast("double")
-
-    back = F.array_max(
-        F.filter(cand, lambda x: (rt(x) <= t) & (t - rt(x) <= F.lit(tol)))
+    null_init = F.lit(None).cast(arr_type.elementType)
+    back = (
+        _scan_back(cand, null_init, t, tol)
+        if direction in ("backward", "nearest")
+        else None
     )
-    fwd = F.array_min(
-        F.filter(cand, lambda x: (rt(x) >= t) & (rt(x) - t <= F.lit(tol)))
+    fwd = (
+        _scan_fwd(cand, null_init, t, tol, null_init)
+        if direction in ("forward", "nearest")
+        else None
     )
-    if direction == "backward":
-        picked = back
-    elif direction == "forward":
-        picked = fwd
-    elif direction == "nearest":
-        bdist = t - back["__rt"].cast("double")
-        fdist = fwd["__rt"].cast("double") - t
-        picked = F.when(
-            back.isNotNull() & (fwd.isNull() | (bdist <= fdist)), back
-        ).otherwise(fwd)
-    else:
-        raise ValueError(f"unknown direction {direction!r}")
+    picked = _pick(direction, back, fwd, t)
 
     result_cols = [F.col(c) for c in left.columns] + [
         picked[f"__rv_{c}"].alias(f"{c}{suffix}") for c in value_cols
