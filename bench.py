@@ -46,8 +46,15 @@ HEADLINE = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_token_jaccard",
+    "dedup_clusters",
     "sim_cosine_topk",
     "sim_embedding_neardup",
+    # LLM-corpus hot path: at 100 TB packing / budget sampling /
+    # boilerplate removal dominate wall-clock, so regressions here must
+    # be visible in the per-round artifact
+    "corpus_pack_sequences",
+    "corpus_budget_sample",
+    "corpus_remove_boilerplate",
 ]
 
 

@@ -435,6 +435,7 @@ def simhash_near_pairs(
 def duplicate_clusters(
     pairs: DataFrame,
     max_iterations: int = 25,
+    method: str = "hash_to_min",
 ) -> DataFrame:
     """Resolve verified duplicate pairs into clusters: every document that
     appears in a pair gets the MINIMUM doc id reachable through the
@@ -442,29 +443,49 @@ def duplicate_clusters(
     training-pipeline contract downstream of LSH→verify: keep one doc per
     cluster (``doc_id == canonical_id``), drop the rest.
 
-    Algorithm: hash-to-min label propagation — each round every node takes
-    the min of its own label and its neighbours' labels (one equi-join +
-    map-side-combinable min aggregate per round), stopping when a round
-    changes nothing. Rounds needed = graph diameter; duplicate clusters
-    are near-cliques (LSH buckets propose most intra-cluster edges), so
-    2-3 rounds is typical. Each round materializes the label table with
-    ``persist`` and counts changes, so lineage stays one round deep. At
-    1000-executor scale the same loop holds: the label table is (node,
-    lbl) — two longs per distinct doc in any pair — and the join is an
-    equi-join on node id; for pathological chain-shaped graphs switch to
-    the two-phase large-star/small-star variant (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", which converges in
-    O(log² n)) — same primitive operations, different edge rewrite.
+    ``method="hash_to_min"`` (default): label propagation — each round
+    every node takes the min of its own label and its neighbours' labels
+    (one equi-join + map-side-combinable min aggregate per round),
+    stopping when a round changes nothing. Rounds needed = graph
+    diameter; duplicate clusters are near-cliques (LSH buckets propose
+    most intra-cluster edges), so a handful of rounds is typical. The
+    change count is folded into the update row (a flag column on the
+    checkpointed table), so each round is exactly one aggregate + one
+    join + one cache-scan count. At 1000-executor scale the same loop
+    holds: the label table is (node, lbl) — two longs per distinct doc
+    in any pair — and the join is an equi-join on node id.
+
+    ``method="star"``: the two-phase large-star/small-star edge rewrite
+    (Kiveris et al., "Connected Components in MapReduce and Beyond"),
+    which converges in O(log² n) rounds regardless of diameter — the
+    escape hatch for pathological chain-shaped duplicate graphs (e.g. a
+    near-dup CHAIN a~b~c~… where no pair (a,z) was ever proposed) that
+    would exhaust a diameter-bound loop.
+
+    Both methods ``localCheckpoint`` every round: each iteration's
+    logical plan references the previous one more than once, so with
+    cache-only lineage the analyzed plan grows 2^i copies of the
+    upstream pair pipeline (LSH → verify) and plan analysis/
+    stringification OOMs the driver after ~6 rounds — caching shortcuts
+    execution, never the logical plan. Checkpointing truncates lineage
+    to the materialized blocks (the GraphFrames pattern for iterative
+    algorithms); on a cluster where executor loss must be survivable,
+    point ``spark.sparkContext.setCheckpointDir`` at durable storage
+    and swap ``localCheckpoint`` for ``checkpoint``.
     """
+    if method == "star":
+        return _duplicate_clusters_star(pairs, max_iterations)
+    if method != "hash_to_min":
+        raise ValueError(f"unknown method {method!r}")
     sym = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-    edges = sym.persist()
+    edges = sym.localCheckpoint()
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .withColumn("lbl", F.col("node"))
-        .persist()
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         nbr_min = (
@@ -472,33 +493,121 @@ def duplicate_clusters(
             .groupBy("src")
             .agg(F.min("lbl").alias("nbr_lbl"))
         )
+        new_lbl = F.least(F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl")))
         updated = (
             labels.join(nbr_min, labels.node == nbr_min.src, "left")
             .select(
                 "node",
-                F.least(
-                    F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                ).alias("lbl"),
+                new_lbl.alias("lbl"),
+                (new_lbl < F.col("lbl")).alias("__chg"),
             )
-            .persist()
+            .localCheckpoint()
         )
-        changed = (
-            updated.alias("u")
-            .join(labels.alias("p"), "node")
-            .filter(F.col("u.lbl") != F.col("p.lbl"))
-            .count()
-        )
-        labels.unpersist()
-        labels = updated
+        # change detection is a scan of the just-checkpointed blocks —
+        # no extra join against the previous label table
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.select("node", "lbl")
         if changed == 0:
             break
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iterations} rounds"
         )
-    edges.unpersist()
     return labels.select(
         F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id")
+    )
+
+
+def _duplicate_clusters_star(pairs: DataFrame, max_iterations: int) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al. 2014, §3).
+
+    Each round rewrites the edge set:
+
+    - large-star: symmetrize; per node u with neighbours Γ(u), let
+      m = min(Γ(u) ∪ {u}); emit (v, m) for every v ∈ Γ(u) with v > u.
+      (Strictly-larger neighbours re-point at u's local minimum.)
+    - small-star: orient every edge toward the smaller id (u > v);
+      per node u, m = min(Γ(u) ∪ {u}) = min(Γ(u)); emit (v, m) for
+      v ∈ Γ(u) ∪ {u}, v ≠ m.
+
+    The fixpoint is a star per component centred on its minimum id.
+    Convergence is detected by an order-independent edge-set signature
+    (count + sum of xxhash64(src,dst)) over the checkpointed edges —
+    one cheap aggregate per round, no set-difference join. O(log² n)
+    rounds on any graph shape; each phase is one aggregate + one join
+    on edge tables, shuffle-partitioned by node id.
+    """
+    nodes = (
+        pairs.select(F.col("doc_a").alias("node"))
+        .union(pairs.select(F.col("doc_b").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def signature(e: DataFrame):
+        row = e.select(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: a bigint sum of 64-bit hashes overflows under
+            # ANSI mode
+            F.sum(
+                F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        sym = e.union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        mins = sym.groupBy("src").agg(
+            F.min("dst").alias("__mn")
+        ).select("src", F.least(F.col("__mn"), F.col("src")).alias("m"))
+        return (
+            sym.join(mins, "src")
+            .filter(F.col("dst") > F.col("src"))
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        oriented = e.select(
+            F.greatest("src", "dst").alias("src"),
+            F.least("src", "dst").alias("dst"),
+        ).distinct()
+        mins = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+        nbr_edges = (
+            oriented.join(mins, "src")
+            .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        )
+        self_edges = mins.select("src", F.col("m").alias("dst"))
+        return (
+            nbr_edges.union(self_edges)
+            .filter(F.col("src") != F.col("dst"))
+            .distinct()
+        )
+
+    sig = signature(edges)
+    for _ in range(max_iterations):
+        edges = small_star(large_star(edges)).localCheckpoint()
+        new_sig = signature(edges)
+        if new_sig == sig:
+            break
+        sig = new_sig
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters(star) did not converge in {max_iterations} rounds"
+        )
+    # fixpoint edges are (node, component-min) stars; the roots map to
+    # themselves
+    roots = nodes.join(edges, nodes.node == edges.src, "left_anti")
+    return (
+        edges.select(F.col("src").alias("doc_id"), F.col("dst").alias("canonical_id"))
+        .union(roots.select(F.col("node").alias("doc_id"), F.col("node")))
     )
 
 

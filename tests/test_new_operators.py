@@ -253,6 +253,58 @@ def test_duplicate_clusters_empty_and_nonconvergence_guard(spark):
     assert got == {i: 0 for i in range(7)}
 
 
+def test_duplicate_clusters_star_matches_hash_to_min(spark):
+    """The large-star/small-star variant labels the mixed fixture (chain +
+    triangle + isolated pair) identically to the default method."""
+    from stglib_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22), (30, 31)],
+        "doc_a long, doc_b long",
+    )
+    want = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_clusters(pairs).collect()
+    }
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_clusters(pairs, method="star").collect()
+    }
+    assert got == want
+
+
+def test_duplicate_clusters_star_deep_path(spark):
+    """A 200-edge path graph (diameter 200) is the pathological case for
+    diameter-bound propagation: hash-to-min cannot converge in 25 rounds,
+    while the O(log² n) star alternation labels every node with the path
+    minimum well inside the same round budget."""
+    import pytest as _pytest
+
+    from stglib_spark.operators.dedup import duplicate_clusters
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(RuntimeError, match="converge"):
+        duplicate_clusters(path, max_iterations=25)
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_clusters(path, max_iterations=25, method="star").collect()
+    }
+    assert got == {i: 0 for i in range(201)}
+
+
+def test_duplicate_clusters_star_empty_and_unknown_method(spark):
+    import pytest as _pytest
+
+    from stglib_spark.operators.dedup import duplicate_clusters
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert duplicate_clusters(empty, method="star").count() == 0
+    with _pytest.raises(ValueError, match="method"):
+        duplicate_clusters(empty, method="bogus")
+
+
 def test_repetition_stats_multiline_and_empty(spark):
     """dup-line metrics on a synthetic repetitious doc (the parquet corpus
     is single-line, so these paths need their own fixture): a doc with a

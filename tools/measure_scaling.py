@@ -3,7 +3,9 @@ import time
 from stglib_spark import queries as registry
 from stglib_spark.session import get_spark
 QS = ["qaqc_diff_rules","ts_asof_atmos_correct","ts_burst_average","dedup_minhash_lsh",
-      "dedup_token_jaccard","wave_stats_welch","coord_beam2enu","q1_pricing_summary"]
+      "dedup_token_jaccard","wave_stats_welch","coord_beam2enu","q1_pricing_summary",
+      "dedup_clusters","corpus_pack_sequences","corpus_budget_sample",
+      "corpus_remove_boilerplate"]
 sf = "/root/repo/.tmp/sf1"
 spark=get_spark("scale1"); spark.sparkContext.setLogLevel("ERROR")
 registry.QUERIES["q1_pricing_summary"](spark, "/root/testdata/sf0.01").count()
