@@ -5038,6 +5038,63 @@ def mm_decode_real_png(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_decode_real_jpeg",
+    """
+    SELECT doc_id AS media_id,
+           round((128 + 2 * ((doc_id % 100) - 50)) / 255.0, 5) AS f0,
+           round((128 + 2 * ((doc_id % 100) - 50)) / 255.0, 5) AS f15
+    FROM documents
+    """,
+)
+def mm_decode_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG codec path, oracle-checked end-to-end (closes
+    the last media-format gap: functions/media.py previously raised for
+    JPEG): synthesize a constant-gray 8×8 baseline JFIF per document
+    inside an Arrow batch — full Annex-K huffman tables, quality-50
+    quantizers — decode with the pure-Python JPEG decoder (marker parse →
+    huffman → dequant → iDCT → YCbCr, decode_stub=False), mean-pool to
+    features. The gray level is 128 + 2·((doc_id % 100) − 50): an EVEN
+    offset from 128 makes the quantized DC exactly (c−128)/2 with ~0.5
+    float margin on every rounding (odd offsets sit ON the half-way
+    boundary, where the float DCT's 1-ulp error flips the quantizer), so
+    the decode is exactly the input color and every feature slot is
+    c/255. Chroma stays exactly 128 (gray ⇒ Cb=Cr=0 before quantization).
+    """
+    from stglib_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_jpeg(batches):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.media import encode_jpeg_baseline
+
+        for pdf in batches:
+            payloads = [
+                encode_jpeg_baseline(
+                    np.full(
+                        (8, 8, 3),
+                        128 + 2 * ((int(i) % 100) - 50),
+                        dtype=np.uint8,
+                    )
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    media = spread(docs.select("doc_id")).mapInPandas(
+        make_jpeg, "media_id long, content binary"
+    )
+    out = mm.decode_features(media, feature_dim=16, decode_stub=False)
+    return out.select(
+        "media_id",
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+        F.round(F.element_at("feature", 16).cast("double"), 5).alias("f15"),
+    )
+
+
+@register(
     "mm_video_frames_real",
     """
     SELECT doc_id AS media_id,
@@ -5207,6 +5264,7 @@ _FRONT = [
     # integer micro-price join, q11 exact mean, q16 null-guard), and
     # the ts_asof re-plan.
     "wave_imlm_relax_oracle",
+    "mm_decode_real_jpeg",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",

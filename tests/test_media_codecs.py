@@ -86,7 +86,8 @@ def test_sniff_and_unsupported():
     assert sniff(encode_bmp(_gradient())) == "bmp"
     assert sniff(encode_wav(np.zeros(4), 8000)) == "wav"
     assert sniff(b"\xff\xd8\xff\xe0rest") == "jpeg"
-    with pytest.raises(UnsupportedMediaError, match="jpeg"):
+    # JPEG decodes natively now, but a truncated stream is still an error
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0rest")
     with pytest.raises(UnsupportedMediaError):
         decode_features_real(b"random garbage bytes", 8)
@@ -323,7 +324,148 @@ def test_avi_compressed_codec_raises():
 
     payload = bytearray(encode_avi([np.zeros((2, 2, 3), np.uint8)], fps=2.0))
     i = payload.find(b"strf")
-    # biCompression field inside BITMAPINFOHEADER ('MJPG')
-    struct.pack_into("<I", payload, i + 8 + 16, 0x47504A4D)
+    # biCompression field inside BITMAPINFOHEADER ('H264' — MJPG is
+    # supported natively now)
+    struct.pack_into("<I", payload, i + 8 + 16, 0x34363248)
     with pytest.raises(UnsupportedMediaError, match="biCompression"):
         decode_avi(bytes(payload))
+
+
+# --------------------------------------------------------------------------
+# Baseline JFIF JPEG (huffman + dequant + iDCT + YCbCr)
+# --------------------------------------------------------------------------
+
+
+def test_jpeg_constant_gray_even_offset_exact():
+    """Even offsets from 128 survive the quality-50 round trip exactly:
+    quantized DC = (c-128)/2 with ~0.5 float margin at every rounding —
+    the invariant the mm_decode_real_jpeg oracle rides."""
+    from stglib_spark.functions.media import decode_jpeg, encode_jpeg_baseline
+
+    for c in range(28, 229, 2):
+        img = np.full((8, 8, 3), c, np.uint8)
+        out = decode_jpeg(encode_jpeg_baseline(img))
+        assert out.shape == (8, 8, 3)
+        assert (out == c).all(), c
+
+
+def test_jpeg_roundtrip_error_bounded():
+    """Lossy but sane: random noise at q90 within DCT-quantization error,
+    smooth gradients at q50 nearly exact, non-multiple-of-8 sizes pad and
+    crop correctly."""
+    from stglib_spark.functions.media import decode_jpeg, encode_jpeg_baseline
+
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 256, (24, 17, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(img, quality=90))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 64 and err.mean() < 12
+
+    x = np.linspace(0, 255, 32)
+    grad = np.stack([np.tile(x, (32, 1))] * 3, -1).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg_baseline(grad, quality=50))
+    assert np.abs(out.astype(int) - grad.astype(int)).max() <= 4
+
+
+def test_jpeg_dispatch_and_features():
+    from stglib_spark.functions.media import (
+        decode_features_real,
+        decode_image,
+        encode_jpeg_baseline,
+    )
+
+    payload = encode_jpeg_baseline(np.full((8, 8, 3), 130, np.uint8))
+    assert sniff(payload) == "jpeg"
+    img = decode_image(payload)
+    assert (img == 130).all()
+    feats = decode_features_real(payload, 16)
+    np.testing.assert_allclose(feats, 130.0 / 255.0, rtol=1e-6)
+
+
+def test_jpeg_420_subsampled_stream():
+    """Hand-built single-MCU 4:2:0 stream (four Y blocks + one Cb + one
+    Cr per MCU) exercises the sampling-factor/upsample path the 4:4:4
+    encoder never produces."""
+    import struct as _struct
+
+    from stglib_spark.functions.media import (
+        _HUFF_AC_CHROM,
+        _HUFF_AC_LUM,
+        _HUFF_DC_CHROM,
+        _HUFF_DC_LUM,
+        _BitWriter,
+        _huff_codes,
+        _Q_CHROM,
+        _Q_LUM,
+        _ZIGZAG,
+        decode_jpeg,
+    )
+
+    def seg(marker, body):
+        return bytes([0xFF, marker]) + _struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tid, t):
+        return seg(0xDB, bytes([tid]) + bytes(t.reshape(-1)[_ZIGZAG].tolist()))
+
+    def dht(tc, th, spec):
+        bits, vals = spec
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    # 16x16 image, Y sampling 2x2, chroma 1x1
+    sof = seg(
+        0xC0,
+        bytes([8]) + _struct.pack(">HH", 16, 16) + bytes([3])
+        + bytes([1, 0x22, 0]) + bytes([2, 0x11, 1]) + bytes([3, 0x11, 1]),
+    )
+    sos = seg(0xDA, bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]))
+    dc_lum = _huff_codes(*_HUFF_DC_LUM)
+    ac_lum = _huff_codes(*_HUFF_AC_LUM)
+    dc_chr = _huff_codes(*_HUFF_DC_CHROM)
+    ac_chr = _huff_codes(*_HUFF_AC_CHROM)
+    bw = _BitWriter()
+    # constant gray c = 128 + 2*10: Y DC diff = +10 for the first block,
+    # 0 after; chroma DC 0. Category-coded per T.81.
+    first = 10
+    bw.write(*dc_lum[first.bit_length()])
+    bw.write(first, first.bit_length())
+    bw.write(*ac_lum[0x00])  # EOB
+    for _ in range(3):
+        bw.write(*dc_lum[0])
+        bw.write(*ac_lum[0x00])
+    for t in (dc_chr, dc_chr):
+        bw.write(*t[0])
+        bw.write(*ac_chr[0x00])
+    scan = bw.flush()
+    payload = (
+        b"\xff\xd8" + dqt(0, np.clip(_Q_LUM, 1, 255)) + dqt(1, np.clip(_Q_CHROM, 1, 255))
+        + dht(0, 0, _HUFF_DC_LUM) + dht(1, 0, _HUFF_AC_LUM)
+        + dht(0, 1, _HUFF_DC_CHROM) + dht(1, 1, _HUFF_AC_CHROM)
+        + sof + sos + scan + b"\xff\xd9"
+    )
+    out = decode_jpeg(payload)
+    assert out.shape == (16, 16, 3)
+    # DC 10 dequantized by q=16 -> 160/8 = +20 around 128
+    assert (out == 148).all()
+
+
+def test_jpeg_progressive_raises():
+    from stglib_spark.functions.media import decode_jpeg, encode_jpeg_baseline
+
+    payload = bytearray(encode_jpeg_baseline(np.zeros((8, 8, 3), np.uint8)))
+    i = payload.find(b"\xff\xc0")
+    payload[i + 1] = 0xC2  # SOF0 -> SOF2 (progressive)
+    with pytest.raises(UnsupportedMediaError, match="SOF2"):
+        decode_jpeg(bytes(payload))
+
+
+def test_avi_mjpg_roundtrip():
+    """MJPG AVI: each frame is a baseline JPEG; constant even-offset
+    frames decode exactly, and frame sampling timing is unchanged."""
+    from stglib_spark.functions.media import decode_avi, encode_avi
+
+    frames = [np.full((8, 8, 3), v, np.uint8) for v in (10, 100, 200)]
+    payload = encode_avi(frames, fps=4.0, codec="MJPG")
+    out, fps = decode_avi(payload)
+    assert fps == pytest.approx(4.0)
+    assert [int(np.unique(f)[0]) for f in out] == [10, 100, 200]
