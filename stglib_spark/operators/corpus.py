@@ -105,6 +105,52 @@ def decontaminate(
     return docs.join(bad.select(id_col), id_col, "left_anti")
 
 
+def duplicate_ngram_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document CROSS-document repetition signal (the Lee et al. 2022
+    "Deduplicating Training Data Makes Language Models Better" /
+    C4-style gate that near-dup pair detection misses): the share of a
+    document's distinct word ``ngram``-grams that occur in at least
+    ``min_docs`` documents. Boilerplate-heavy docs score high even when
+    no single other document is a near-duplicate of them.
+
+    Scale shape: grams leave the document as 64-bit hashes — the text
+    itself never shuffles. Two shuffles total: the doc-frequency
+    aggregate on gram hash (map-side combinable; each (doc, gram) pair
+    is already distinct via word_shingles' array_distinct, so count(*)
+    IS the doc frequency), and the per-doc rollup; the freq→grams join
+    reuses the aggregate's own hash partitioning. 64-bit collisions
+    merge two grams' doc counts — at 10^12 corpus grams that is a few
+    10^4 collisions, noise for a quality fraction (the oracle runs at
+    test SFs where the collision probability is ~1e-10)."""
+    grams = df.select(
+        F.col(id_col),
+        F.explode(word_shingles(F.col(text_col), ngram)).alias("__gram"),
+    ).select(F.col(id_col), F.xxhash64("__gram").alias("__g"))
+    freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("__df"))
+    return (
+        grams.join(freq, "__g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum((F.col("__df") >= min_docs).cast("long")).alias(
+                "n_dup_grams"
+            ),
+        )
+        .select(
+            id_col,
+            "n_grams",
+            "n_dup_grams",
+            (F.col("n_dup_grams") / F.col("n_grams")).alias("dup_gram_frac"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

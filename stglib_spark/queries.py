@@ -2646,6 +2646,42 @@ def corpus_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("n_lines", F.col("n_lines").cast("long"))
 
 
+@register(
+    "corpus_dup_ngram_frac",
+    f"""
+    WITH norm AS ({_DEDUP_NORM_SQL}),
+    tok AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) <= 2 THEN [t]
+                    ELSE list_distinct([array_to_string(toks[i:i+2], ' ')
+                                        FOR i IN generate_series(1, len(toks) - 2)])
+                    END) AS g
+      FROM tok
+    ),
+    freq AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+    SELECT s.doc_id,
+           count(*)::BIGINT AS n_grams,
+           sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::BIGINT AS n_dup_grams,
+           round(sum(CASE WHEN f.df >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS dup_gram_frac
+    FROM sh s JOIN freq f USING (g)
+    GROUP BY s.doc_id
+    """,
+)
+def corpus_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicate-3-gram fraction per document (Lee et al.
+    2022 / C4 repetition gate — the signal pairwise near-dup detection
+    misses on boilerplate-heavy corpora). Engine side hashes grams to
+    64 bits so document text never shuffles; the oracle counts the gram
+    strings directly."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_ops.duplicate_ngram_fraction(docs, ngram=3, min_docs=2)
+    return out.select(
+        "doc_id", "n_grams", "n_dup_grams", _r6("dup_gram_frac").alias("dup_gram_frac")
+    )
+
+
 _SH_BITS = 60
 _SH_VOTES = ", ".join(
     f"sum(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
@@ -5157,6 +5193,76 @@ def mm_video_frames_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_frames_mjpg",
+    """
+    SELECT doc_id AS media_id,
+           i AS frame_idx,
+           i * 500 AS t_ms,
+           round((128 + 2 * (((doc_id + 34 * i) % 100) - 50)) / 255.0, 5)
+             AS f0
+    FROM documents
+    CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS i)
+    """,
+)
+def mm_video_frames_mjpg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-video frame sampling, oracle-checked end-to-end:
+    synthesize an 8-frame MJPG AVI per document (frame k is constant
+    gray 128 + 2·(((doc_id + 17k) % 100) − 50) — the even-offset trick
+    from mm_decode_real_jpeg makes every frame's baseline-JPEG round
+    trip exactly identity), walk the RIFF container, huffman-decode each
+    sampled frame with the pure-Python JPEG codec, mean-pool. Sampling
+    timing is analytic (t_ms = 500i, source frame 2i), so every feature
+    slot of sample i is (128 + 2·(((doc_id + 34i) % 100) − 50))/255 and
+    DuckDB reproduces the chain."""
+    from stglib_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_avi(batches):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.media import encode_avi
+
+        for pdf in batches:
+            payloads = [
+                encode_avi(
+                    [
+                        np.full(
+                            (8, 8, 3),
+                            128 + 2 * (((int(i) + 17 * k) % 100) - 50),
+                            np.uint8,
+                        )
+                        for k in range(8)
+                    ],
+                    fps=4.0,
+                    codec="MJPG",
+                )
+                for i in pdf["doc_id"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["doc_id"],
+                    "kind": "video",
+                    "content": payloads,
+                    "duration_ms": 2000,
+                }
+            )
+
+    media = spread(docs.select("doc_id")).mapInPandas(
+        make_avi,
+        "media_id long, kind string, content binary, duration_ms int",
+    )
+    out = mm.sample_video_frames(media, n_frames=4, decode_stub=False)
+    return out.select(
+        "media_id",
+        "frame_idx",
+        "t_ms",
+        F.round(F.element_at("feature", 1).cast("double"), 5).alias("f0"),
+    )
+
+
+@register(
     "ts_burst_nan_fill",
     """
     WITH base AS (
@@ -5265,6 +5371,8 @@ _FRONT = [
     # the ts_asof re-plan.
     "wave_imlm_relax_oracle",
     "mm_decode_real_jpeg",
+    "mm_video_frames_mjpg",
+    "corpus_dup_ngram_frac",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",

@@ -305,6 +305,33 @@ def test_duplicate_clusters_star_empty_and_unknown_method(spark):
         duplicate_clusters(empty, method="bogus")
 
 
+def test_duplicate_ngram_fraction_known_overlap(spark):
+    """Two docs sharing one 3-gram score 1/2; an unrelated doc scores 0;
+    a short (<3 token) doc degenerates to its whole text as the single
+    gram."""
+    from stglib_spark.operators.corpus import duplicate_ngram_fraction
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d"),
+            (2, "b c d e"),
+            (3, "x y z w"),
+            (4, "hi there"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_gram_frac"])
+        for r in duplicate_ngram_fraction(docs).collect()
+    }
+    assert got == {
+        1: (2, 1, 0.5),
+        2: (2, 1, 0.5),
+        3: (2, 0, 0.0),
+        4: (1, 0, 0.0),
+    }
+
+
 def test_repetition_stats_multiline_and_empty(spark):
     """dup-line metrics on a synthetic repetitious doc (the parquet corpus
     is single-line, so these paths need their own fixture): a doc with a
