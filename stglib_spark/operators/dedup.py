@@ -435,7 +435,7 @@ def simhash_near_pairs(
 def duplicate_clusters(
     pairs: DataFrame,
     max_iterations: int = 25,
-    method: str = "hash_to_min",
+    method: str = "fastsv",
 ) -> DataFrame:
     """Resolve verified duplicate pairs into clusters: every document that
     appears in a pair gets the MINIMUM doc id reachable through the
@@ -443,26 +443,35 @@ def duplicate_clusters(
     training-pipeline contract downstream of LSH→verify: keep one doc per
     cluster (``doc_id == canonical_id``), drop the rest.
 
-    ``method="hash_to_min"`` (default): label propagation — each round
-    every node takes the min of its own label and its neighbours' labels
-    (one equi-join + map-side-combinable min aggregate per round),
-    stopping when a round changes nothing. Rounds needed = graph
-    diameter; duplicate clusters are near-cliques (LSH buckets propose
-    most intra-cluster edges), so a handful of rounds is typical. The
-    change count is folded into the update row (a flag column on the
-    checkpointed table), so each round is exactly one aggregate + one
-    join + one cache-scan count. At 1000-executor scale the same loop
-    holds: the label table is (node, lbl) — two longs per distinct doc
-    in any pair — and the join is an equi-join on node id.
+    ``method="fastsv"`` (default): Shiloach–Vishkin-style min-label
+    propagation with pointer jumping (the FastSV family, Zhang/Azad/
+    Buluç 2020). Labels are seeded with ``min(node, min(Γ(node)))`` —
+    one hooking step folded into the same shuffle that deduplicates the
+    node set — then each round does (a) *hooking*: take the min of the
+    neighbours' labels (equi-join + map-side-combinable min aggregate),
+    and (b) *shortcutting*: ``lbl ← lbl(lbl)``, a self-equi-join of the
+    label table that jumps each pointer one level toward its root.
+    Shortcutting makes label trees halve in height every round, so
+    convergence is O(log n) rounds on ANY graph shape — a diameter-200
+    near-dup chain resolves in ~8 rounds where plain propagation needs
+    200. Per round this is three equi-joins over a (node, lbl) table of
+    two longs per doc; at 1000-executor scale each is a plain shuffle
+    hash join keyed by node/label id (AQE handles the convergent-label
+    skew on the jump join's probe side).
+
+    ``method="hash_to_min"``: the plain one-hop propagation (min of own
+    + neighbours' labels per round, no shortcut). One join cheaper per
+    round but rounds = graph diameter; kept for comparison and as the
+    minimal-shuffle variant for graphs known to be near-cliques.
 
     ``method="star"``: the two-phase large-star/small-star edge rewrite
     (Kiveris et al., "Connected Components in MapReduce and Beyond"),
-    which converges in O(log² n) rounds regardless of diameter — the
-    escape hatch for pathological chain-shaped duplicate graphs (e.g. a
-    near-dup CHAIN a~b~c~… where no pair (a,z) was ever proposed) that
-    would exhaust a diameter-bound loop.
+    which converges in O(log² n) rounds by rewriting the EDGE set —
+    useful when the edge table itself must shrink monotonically (it
+    contracts toward stars), at the cost of rewriting edges rather than
+    the smaller label table.
 
-    Both methods ``localCheckpoint`` every round: each iteration's
+    All methods ``localCheckpoint`` every round: each iteration's
     logical plan references the previous one more than once, so with
     cache-only lineage the analyzed plan grows 2^i copies of the
     upstream pair pipeline (LSH → verify) and plan analysis/
@@ -475,6 +484,8 @@ def duplicate_clusters(
     """
     if method == "star":
         return _duplicate_clusters_star(pairs, max_iterations)
+    if method == "fastsv":
+        return _duplicate_clusters_fastsv(pairs, max_iterations)
     if method != "hash_to_min":
         raise ValueError(f"unknown method {method!r}")
     sym = pairs.select(
@@ -505,6 +516,68 @@ def duplicate_clusters(
         )
         # change detection is a scan of the just-checkpointed blocks —
         # no extra join against the previous label table
+        changed = updated.filter(F.col("__chg")).count()
+        labels = updated.select("node", "lbl")
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"duplicate_clusters did not converge in {max_iterations} rounds"
+        )
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("lbl").alias("canonical_id")
+    )
+
+
+def _duplicate_clusters_fastsv(pairs: DataFrame, max_iterations: int) -> DataFrame:
+    """Min-label propagation with pointer jumping (see duplicate_clusters
+    docstring). Labels only ever decrease and always hold the id of a
+    node in the same component, so the fixpoint — where every node's
+    label equals all its neighbours' labels and its label's label — is
+    the component minimum; a round with zero strict decreases certifies
+    it."""
+    sym = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+    edges = sym.localCheckpoint()
+    # seed = one hooking step for free: the distinct-node shuffle is a
+    # groupBy anyway, so fold min(node, min(neighbours)) into it
+    labels = (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.least(F.min("src"), F.min("dst")).alias("lbl"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iterations):
+        l1 = labels.select(F.col("node").alias("n1"), F.col("lbl").alias("f1"))
+        # hooking: min over neighbours' current labels
+        nbr = (
+            edges.join(l1, edges.dst == F.col("n1"))
+            .groupBy("src")
+            .agg(F.min("f1").alias("nbr_lbl"))
+        )
+        hooked = labels.join(nbr, labels.node == nbr.src, "left").select(
+            "node",
+            F.least(
+                F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+            ).alias("lbl"),
+        )
+        # shortcut: lbl <- lbl(lbl), jumping one level toward the root
+        h2 = hooked.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl"))
+        jumped = hooked.join(h2, hooked.lbl == h2.p_node, "left").select(
+            "node",
+            F.least(F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))).alias(
+                "new_lbl"
+            ),
+        )
+        updated = (
+            labels.join(jumped, "node")
+            .select(
+                "node",
+                F.col("new_lbl").alias("lbl"),
+                (F.col("new_lbl") < F.col("lbl")).alias("__chg"),
+            )
+            .localCheckpoint()
+        )
         changed = updated.filter(F.col("__chg")).count()
         labels = updated.select("node", "lbl")
         if changed == 0:

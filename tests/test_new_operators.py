@@ -275,9 +275,10 @@ def test_duplicate_clusters_star_matches_hash_to_min(spark):
 
 def test_duplicate_clusters_star_deep_path(spark):
     """A 200-edge path graph (diameter 200) is the pathological case for
-    diameter-bound propagation: hash-to-min cannot converge in 25 rounds,
-    while the O(log² n) star alternation labels every node with the path
-    minimum well inside the same round budget."""
+    diameter-bound propagation: plain hash-to-min cannot converge in 25
+    rounds, while both logarithmic methods — the default FastSV pointer
+    jumping (O(log n)) and the star alternation (O(log² n)) — label
+    every node with the path minimum well inside the same round budget."""
     import pytest as _pytest
 
     from stglib_spark.operators.dedup import duplicate_clusters
@@ -286,12 +287,18 @@ def test_duplicate_clusters_star_deep_path(spark):
         [(i, i + 1) for i in range(200)], "doc_a long, doc_b long"
     )
     with _pytest.raises(RuntimeError, match="converge"):
-        duplicate_clusters(path, max_iterations=25)
-    got = {
+        duplicate_clusters(path, max_iterations=25, method="hash_to_min")
+    want = {i: 0 for i in range(201)}
+    got_default = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_clusters(path, max_iterations=25).collect()
+    }
+    assert got_default == want
+    got_star = {
         r["doc_id"]: r["canonical_id"]
         for r in duplicate_clusters(path, max_iterations=25, method="star").collect()
     }
-    assert got == {i: 0 for i in range(201)}
+    assert got_star == want
 
 
 def test_duplicate_clusters_star_empty_and_unknown_method(spark):
