@@ -1024,6 +1024,36 @@ def decode_image(payload: bytes) -> np.ndarray:
     raise ValueError("payload is not a recognized image format")
 
 
+def audio_stats_real(payload: bytes) -> tuple[int, int, float, int, int]:
+    """WAV payload → (n_samples, sample_rate, rms, zero_crossings,
+    dominant_freq_hz): the scalar signal statistics an audio-corpus
+    curation pass filters on (silence/clipping via RMS, noisiness via
+    zero-crossing count, tonal content via the spectral peak).
+
+    - ``rms`` is computed in float64 over the decoded [-1, 1] samples.
+    - ``zero_crossings`` counts sign transitions between consecutive
+      samples with the x > 0 predicate (a 0 sample counts as
+      non-positive), i.e. ``sum((x[n] > 0) != (x[n+1] > 0))``.
+    - ``dominant_freq_hz`` is the argmax of ``|rfft(x)|`` excluding the
+      DC bin, converted to Hz and rounded to the nearest integer bin.
+    """
+    x, rate = decode_wav(payload)
+    n = len(x)
+    if n == 0:
+        return 0, rate, 0.0, 0, 0
+    x64 = x.astype(np.float64)
+    rms = float(np.sqrt(np.mean(x64 * x64)))
+    pos = x64 > 0.0
+    zc = int(np.count_nonzero(pos[1:] != pos[:-1]))
+    if n >= 2:
+        spec = np.abs(np.fft.rfft(x64))
+        k = int(np.argmax(spec[1:])) + 1
+        dom = int(round(k * rate / n))
+    else:
+        dom = 0
+    return n, rate, rms, zc, dom
+
+
 def decode_features_real(payload: bytes, dim: int) -> np.ndarray:
     """Real (non-stub) feature extraction for any supported payload."""
     kind = sniff(payload)

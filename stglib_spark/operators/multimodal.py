@@ -107,6 +107,57 @@ def decode_features(
     return df.select(id_col, content_col).mapInPandas(fn, out_schema)
 
 
+def audio_stats(
+    df: DataFrame,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """WAV binary column → per-clip signal statistics via mapInPandas:
+    (media_id, n_samples, sample_rate, rms, zero_crossings,
+    dominant_freq_hz). The audio-corpus curation filter set — silence /
+    clipping gates on RMS, noisiness on zero-crossing count, tonal
+    content on the spectral peak (rfft argmax, DC excluded). Kernel:
+    functions/media.audio_stats_real (pure-Python RIFF/PCM decode).
+
+    Scale shape: payloads stay inside the Arrow batch — the output is
+    six scalars per clip, so downstream shuffles never carry audio
+    bytes; peak executor memory is one batch of payloads per core.
+    """
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_samples", LongType()),
+            StructField("sample_rate", IntegerType()),
+            StructField("rms", FloatType()),
+            StructField("zero_crossings", IntegerType()),
+            StructField("dominant_freq_hz", IntegerType()),
+        ]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stglib_spark.functions.media import audio_stats_real
+
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                payload = bytes(content) if content is not None else b""
+                n, rate, rms, zc, dom = audio_stats_real(payload)
+                rows.append((mid, n, rate, rms, zc, dom))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col,
+                    "n_samples",
+                    "sample_rate",
+                    "rms",
+                    "zero_crossings",
+                    "dominant_freq_hz",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(fn, out_schema)
+
+
 def resize_images(
     df: DataFrame,
     target_w: int = 224,

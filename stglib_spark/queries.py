@@ -5263,6 +5263,73 @@ def mm_video_frames_mjpg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_stats_real",
+    """
+    WITH f AS (
+      SELECT doc_id, CAST(doc_id % 50 + 1 AS BIGINT) AS f FROM documents
+    ), z AS (
+      SELECT doc_id, min(f) AS f,
+             CAST(sum(CASE WHEN ((f * n) % 1000 < 500)
+                             != ((f * (n - 1)) % 1000 < 500)
+                      THEN 1 ELSE 0 END) AS INTEGER) AS zero_crossings
+      FROM f CROSS JOIN (SELECT unnest(generate_series(1, 999)) AS n)
+      GROUP BY doc_id
+    )
+    SELECT doc_id AS media_id,
+           CAST(1000 AS BIGINT) AS n_samples,
+           CAST(1000 AS INTEGER) AS sample_rate,
+           0.5 AS rms,
+           zero_crossings,
+           CAST(f AS INTEGER) AS dominant_freq_hz
+    FROM z
+    """,
+)
+def mm_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio codec path, oracle-checked end-to-end (the audio
+    sibling of mm_decode_real_*): synthesize a 1-second 1 kHz square
+    wave WAV per document at f = doc_id % 50 + 1 Hz, amplitude 0.5
+    (sample n is +0.5 when (f·n) mod 1000 < 500, else −0.5 — ±16384 in
+    int16, an EXACT 16-bit round trip), decode with the pure-Python
+    RIFF/PCM codec, compute RMS / zero-crossing count / spectral-peak
+    frequency (operators/multimodal.audio_stats). Every output is
+    integer-exact: RMS of a ±0.5 square is exactly 0.5, the crossing
+    count is replayed in DuckDB by the same modular predicate on
+    consecutive samples, and the rfft argmax is the fundamental f (the
+    square's harmonics decay as 1/k, so no other bin competes)."""
+    from stglib_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.media import encode_wav
+
+        n = np.arange(1000)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["doc_id"]:
+                f = int(i) % 50 + 1
+                x = np.where((f * n) % 1000 < 500, 0.5, -0.5)
+                payloads.append(encode_wav(x, 1000))
+            yield pd.DataFrame({"media_id": pdf["doc_id"], "content": payloads})
+
+    media = spread(docs.select("doc_id")).mapInPandas(
+        make_wav, "media_id long, content binary"
+    )
+    out = mm.audio_stats(media)
+    return out.select(
+        "media_id",
+        "n_samples",
+        "sample_rate",
+        F.col("rms").cast("double").alias("rms"),
+        "zero_crossings",
+        "dominant_freq_hz",
+    )
+
+
+@register(
     "ts_burst_nan_fill",
     """
     WITH base AS (
@@ -5372,6 +5439,7 @@ _FRONT = [
     "wave_imlm_relax_oracle",
     "mm_decode_real_jpeg",
     "mm_video_frames_mjpg",
+    "mm_audio_stats_real",
     "corpus_dup_ngram_frac",
     "q2_min_cost_supplier",
     "q11_important_stock",

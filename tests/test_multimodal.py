@@ -95,3 +95,36 @@ def test_video_real_path_raises_on_non_avi(spark, media_df):
     with pytest.raises(Exception) as exc:
         sample_video_frames(media_df, n_frames=2, decode_stub=False).collect()
     assert "AVI" in str(exc.value) or "ValueError" in str(exc.value)
+
+
+def test_audio_stats_sine_golden(spark):
+    """audio_stats on a synthesized 5 Hz sine (a=0.25, fs=1000, phase
+    pi/7 so no sample lands on a zero): RMS = a/sqrt(2) within 16-bit
+    quantization, exactly 10 zero crossings, spectral peak at 5 Hz."""
+    import numpy as np
+
+    from stglib_spark.functions.media import encode_wav
+    from stglib_spark.operators.multimodal import audio_stats
+
+    n = np.arange(1000)
+    wav = encode_wav(0.25 * np.sin(2 * np.pi * 5 * n / 1000 + np.pi / 7), 1000)
+    df = spark.createDataFrame([(3, bytearray(wav))], "media_id long, content binary")
+    r = audio_stats(df).collect()[0]
+    assert (r.media_id, r.n_samples, r.sample_rate) == (3, 1000, 1000)
+    assert abs(r.rms - 0.25 / np.sqrt(2)) < 1e-4
+    assert r.zero_crossings == 10
+    assert r.dominant_freq_hz == 5
+
+
+def test_audio_stats_empty_payload_raises(spark):
+    """A non-WAV payload fails loudly (decode seam), never silently."""
+    import pytest as _pytest
+
+    from stglib_spark.operators.multimodal import audio_stats
+
+    df = spark.createDataFrame(
+        [(1, bytearray(b"not a wav"))], "media_id long, content binary"
+    )
+    with _pytest.raises(Exception) as exc:
+        audio_stats(df).collect()
+    assert "RIFF" in str(exc.value) or "WAVE" in str(exc.value)
