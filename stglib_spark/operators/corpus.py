@@ -151,6 +151,113 @@ def duplicate_ngram_fraction(
     )
 
 
+def positional_word_ngrams(text: Column, n: int) -> Column:
+    """Array of contiguous word ``n``-grams of the RAW text, index i =
+    the gram starting at token i (length = n_tokens − n + 1; empty for
+    shorter docs). Same O(n·L) shifted-copy ``zip_with`` construction as
+    dedup.word_shingles, but positional: no normalization, no distinct —
+    the index is the payload. (``transform(sequence, i -> slice(...))``
+    is O(L²): non-literal slice re-walks the array per position.)"""
+    toks = F.split(text, " ")
+    length = F.size(toks)
+    if n == 1:
+        return toks
+    combined = toks
+    for i in range(1, n):
+        shifted = F.slice(toks, i + 1, length)
+        combined = F.zip_with(
+            combined, shifted, lambda a, b: F.concat_ws(" ", a, b)
+        )
+    # cut the ragged tail: gram i is complete iff token i+n-1 exists
+    return F.filter(
+        F.zip_with(
+            combined,
+            F.slice(toks, n, length),
+            lambda a, b: F.when(b.isNotNull(), a),
+        ),
+        lambda x: x.isNotNull(),
+    )
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 5,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact duplicate-SPAN removal (the Lee et al. 2022 ExactSubstr
+    contract at word granularity, reference-free extension): any
+    contiguous ``ngram``-token span that occurs in ≥ ``min_docs``
+    documents is excised from every document EXCEPT the one with the
+    minimum doc_id containing it (the canonical occurrence survives, so
+    no content is lost corpus-wide). A token is removed when any
+    duplicated span covers it. Returns (doc_id, n_tokens, n_removed,
+    cleaned_text) for every input document — cleaned_text is the
+    surviving tokens joined by single spaces, possibly empty for exact
+    full-document duplicates.
+
+    Scale shape: spans leave the document as 64-bit hashes with integer
+    start positions — three shuffles on hashed/int columns (span
+    doc-frequency aggregate, masked-position dedup, per-doc mask
+    rollup), none carrying text. The text moves exactly once: the final
+    doc_id equi-join that delivers each doc its (sorted-int-array) mask;
+    pre-bucketing the corpus by doc_id at ingest makes that join
+    shuffle-free on the text side. The rebuild is a map-side
+    filter/transform over the token array. 64-bit span-hash collisions
+    can merge two spans' doc sets (~1e-5 at 1e7 spans) — acceptable for
+    a removal gate; use a 128-bit hash pair where not."""
+    base = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("__toks")
+    )
+    grams = (
+        df.select(
+            F.col(id_col),
+            F.posexplode(
+                positional_word_ngrams(F.col(text_col), ngram)
+            ).alias("pos", "__gram"),
+        )
+        .select(F.col(id_col), "pos", F.xxhash64("__gram").alias("__g"))
+    )
+    freq = grams.groupBy("__g").agg(
+        F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__md")
+    )
+    masked = (
+        grams.join(freq, "__g")
+        .where((F.col("__nd") >= min_docs) & (F.col(id_col) != F.col("__md")))
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (ngram - 1))
+            ).alias("__mp"),
+        )
+        .distinct()
+    )
+    maskarr = masked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("__mp")).alias("__mask")
+    )
+    kept = F.filter(
+        F.transform(
+            F.col("__toks"), lambda t, i: F.struct(t.alias("t"), i.alias("i"))
+        ),
+        lambda s: F.col("__mask").isNull()
+        | ~F.array_contains(F.col("__mask"), s["i"]),
+    )
+    return (
+        base.join(maskarr, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size("__toks").alias("n_tokens"),
+            F.when(F.col("__mask").isNull(), F.lit(0))
+            .otherwise(F.size("__mask"))
+            .alias("n_removed"),
+            F.concat_ws(
+                " ", F.transform(kept, lambda s: s["t"])
+            ).alias("cleaned_text"),
+        )
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

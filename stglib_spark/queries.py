@@ -2682,6 +2682,61 @@ def corpus_dup_ngram_frac(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_remove_dup_spans",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), g AS (
+      SELECT t.doc_id, u.n AS pos,
+             array_to_string(t.toks[u.n + 1:u.n + 5], ' ') AS gram
+      FROM t, unnest(generate_series(0, len(t.toks) - 5)) AS u(n)
+      WHERE len(t.toks) >= 5
+    ), f AS (
+      SELECT gram, count(DISTINCT doc_id) AS nd, min(doc_id) AS md
+      FROM g GROUP BY gram
+    ), m AS (
+      SELECT DISTINCT g.doc_id, u.p
+      FROM g JOIN f USING (gram),
+           unnest(generate_series(g.pos, g.pos + 4)) AS u(p)
+      WHERE f.nd >= 2 AND g.doc_id <> f.md
+    ), km AS (
+      SELECT doc_id, list(p) AS mask FROM m GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(len(t.toks) AS INTEGER) AS n_tokens,
+           CAST(coalesce(len(km.mask), 0) AS INTEGER) AS n_removed,
+           -- array_to_string([]) is NULL in DuckDB, '' in Spark concat_ws
+           md5(coalesce(array_to_string(
+             list_transform(
+               list_filter(range(len(t.toks)),
+                           i -> km.mask IS NULL
+                                OR NOT list_contains(km.mask, i)),
+               i -> t.toks[i + 1]), ' '), '')) AS cleaned_md5
+    FROM t LEFT JOIN km USING (doc_id)
+    """,
+)
+def corpus_remove_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate-span REMOVAL (Lee et al. 2022 ExactSubstr at word
+    granularity): every 5-token span occurring in ≥ 2 documents is
+    excised everywhere except its minimum-doc_id canonical occurrence,
+    and the cleaned text is rebuilt from the surviving tokens
+    (corpus.remove_duplicate_spans). The oracle replays tokenization,
+    positional 5-grams, the min-doc canonical rule, position-mask
+    expansion, and the token-level rebuild — md5 of the cleaned text
+    proves byte-identical reconstruction. Engine side shuffles only
+    span hashes and integer positions; the text moves once, in the
+    final per-doc mask join."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus_ops.remove_duplicate_spans(docs, ngram=5, min_docs=2)
+    return out.select(
+        "doc_id",
+        "n_tokens",
+        "n_removed",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
 _SH_BITS = 60
 _SH_VOTES = ", ".join(
     f"sum(CASE WHEN (hh >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{i}"
@@ -5441,6 +5496,7 @@ _FRONT = [
     "mm_video_frames_mjpg",
     "mm_audio_stats_real",
     "corpus_dup_ngram_frac",
+    "corpus_remove_dup_spans",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",

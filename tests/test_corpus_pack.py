@@ -203,3 +203,47 @@ def test_build_packed_sequences_exact_tiling(spark, docs):
             assert len(r.pack_text.split()) == r.n_tokens
         total += sum(r.n_tokens for r in rs)
     assert total == 610  # every non-empty doc token lands in exactly one pack
+
+
+def test_remove_duplicate_spans_canonical_survives(spark):
+    """Duplicate-span removal keeps the minimum-doc occurrence intact,
+    excises the covered tokens elsewhere (partial overlap leaves the
+    unshared tokens), removes an exact-duplicate doc entirely, and
+    leaves unique docs untouched."""
+    from stglib_spark.operators.corpus import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),
+            (2, "x a b c d e y"),   # shares span "a b c d e" with doc 1
+            (3, "p q r s t"),       # unique
+            (4, "a b c d e f"),     # exact duplicate of doc 1
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_duplicate_spans(df, ngram=5, min_docs=2).collect()
+    }
+    assert got == {
+        1: (6, 0, "a b c d e f"),
+        2: (7, 5, "x y"),
+        3: (5, 0, "p q r s t"),
+        4: (6, 6, ""),
+    }
+
+
+def test_remove_duplicate_spans_short_docs_passthrough(spark):
+    """Docs shorter than the span length have no n-grams and pass
+    through verbatim, including the single-token edge case."""
+    from stglib_spark.operators.corpus import remove_duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "z")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_duplicate_spans(df, ngram=5, min_docs=2).collect()
+    }
+    assert got == {1: (2, 0, "one two"), 2: (2, 0, "one two"), 3: (1, 0, "z")}

@@ -353,3 +353,16 @@ def test_partsupp_free_tpch_shapes(spark):
     assert "LeftSemi" in plan
     assert count(plan, r"CartesianProduct") == 0
     assert count(plan, r"BroadcastNestedLoopJoin") == 0
+
+
+def test_remove_dup_spans_no_cartesian_no_text_shuffle_before_mask(spark):
+    """Duplicate-span removal: every join is an equi-join (no cartesian /
+    nested-loop), and the only exchanges before the final mask join
+    carry hashed grams or integer positions — the text column appears in
+    exactly the scan side of the last doc_id join, never under the
+    gram-frequency or mask aggregates."""
+    plan = plan_of(spark, "corpus_remove_dup_spans")
+    assert count(plan, r"CartesianProduct") == 0
+    assert count(plan, r"BroadcastNestedLoopJoin") == 0
+    # the gram-frequency aggregate groups on the 64-bit hash, not text
+    assert "xxhash64" in plan
