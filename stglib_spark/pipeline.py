@@ -759,6 +759,8 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     zone so per-document language / token counts are derived ONCE:
 
         documents → quality zone   (lang-id + token/quality metrics/bucket)
+        [opt-in: cleaned zone (boilerplate lines) and despanned zone
+         (cross-document duplicate spans) feed quality instead]
         quality   → census zone    (per-language docs/tokens data card)
         quality   → mix zone       (deterministic stratified sample by
                                     quality bucket — hash membership,
@@ -809,6 +811,25 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
         )
         paths["cleaned"] = _write_zone(cleaned, config, "cleaned", history)
         docs = spark.read.parquet(paths["cleaned"])
+
+    span_n = config.get("dup_span_ngram")
+    if span_n:
+        # ExactSubstr-style cross-document span excision (opt-in): any
+        # span_n-token span occurring in >= dup_span_min_docs documents
+        # survives only in its minimum-doc_id canonical occurrence; the
+        # despanned zone feeds everything downstream
+        despanned = corpus_ops.remove_duplicate_spans(
+            docs,
+            text_col=text_col,
+            id_col=id_col,
+            ngram=int(span_n),
+            min_docs=int(config.get("dup_span_min_docs", 2)),
+        ).select(F.col(id_col), F.col("cleaned_text").alias(text_col))
+        history.insert_history(
+            f"Excised duplicate {span_n}-token spans (canonical kept)."
+        )
+        paths["despanned"] = _write_zone(despanned, config, "despanned", history)
+        docs = spark.read.parquet(paths["despanned"])
 
     quality = text_ops.quality_score(
         text_ops.lang_id(docs, text_col), text_col

@@ -325,3 +325,35 @@ def test_cli_corpus_with_boilerplate_cleaning(spark):
     cleaned = pq.read_table(f"{TMP}/clibp_cleaned").to_pandas()
     assert not cleaned["text"].str.contains("SHARED BANNER").any()
     assert os.path.isdir(f"{TMP}/clibp_quality")
+
+
+def test_cli_corpus_with_dup_span_excision(spark):
+    """dup_span_ngram adds a despanned zone: a 6-token span injected into
+    every document survives only in the minimum-doc_id document."""
+    import os
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from stglib_spark.__main__ import main
+
+    os.makedirs(TMP, exist_ok=True)
+    docs = f"{TMP}/cli_docs7.parquet"
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id",
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon zeta "), F.col("text")
+        ).alias("text"),
+    ).write.mode("overwrite").parquet(docs)
+    open(f"{TMP}/corpus_span.yaml", "w").write(
+        "filename: clispan\ndup_span_ngram: 6\n"
+    )
+    assert main(
+        ["corpus", "corpus", None, f"{TMP}/corpus_span.yaml",
+         "--input", docs, "--output-dir", TMP]
+    ) == 0
+    out = pq.read_table(f"{TMP}/clispan_despanned").to_pandas()
+    hits = out[out["text"].str.contains("alpha beta gamma")]
+    src = pq.read_table(docs).to_pandas()
+    assert list(hits["doc_id"]) == [src["doc_id"].min()]
+    assert os.path.isdir(f"{TMP}/clispan_quality")
