@@ -55,6 +55,7 @@ HEADLINE = [
     "corpus_pack_sequences",
     "corpus_budget_sample",
     "corpus_remove_boilerplate",
+    "corpus_remove_dup_spans",
 ]
 
 

@@ -219,6 +219,14 @@ def remove_duplicate_spans(
         )
         .select(F.col(id_col), "pos", F.xxhash64("__gram").alias("__g"))
     )
+    # the gram table feeds BOTH the frequency aggregate and the probe side
+    # of the mask join; without a persist the zip_with construction (an
+    # interpreted higher-order-function chain, the most expensive
+    # expression here) runs twice. (id, pos, hash) is 20 B/gram —
+    # MEMORY_AND_DISK spills cleanly at corpus scale.
+    from pyspark import StorageLevel
+
+    grams = grams.persist(StorageLevel.MEMORY_AND_DISK)
     freq = grams.groupBy("__g").agg(
         F.countDistinct(id_col).alias("__nd"), F.min(id_col).alias("__md")
     )
