@@ -2920,6 +2920,69 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_K, _PQ_D = 8, 16, 8
+
+@register(
+    "sim_pq_adc_topk",
+    f"""
+    WITH q AS (SELECT {_QV_SQL} AS qv),
+    c AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cidx,
+             embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_PQ_K}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS j),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    dist AS (
+      SELECT e.vec_id, sub.j, c.cidx,
+             list_sum(list_transform(
+               list_zip(e.v[sub.j * {_PQ_D} + 1:sub.j * {_PQ_D} + {_PQ_D}],
+                        c.cv[sub.j * {_PQ_D} + 1:sub.j * {_PQ_D} + {_PQ_D}]),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+      FROM e, sub, c
+    ),
+    code AS (
+      SELECT vec_id, j, cidx FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                                     ORDER BY d, cidx) AS rn
+        FROM dist
+      ) WHERE rn = 1
+    ),
+    qd AS (
+      SELECT sub.j, c.cidx,
+             list_sum(list_transform(
+               list_zip(qv[sub.j * {_PQ_D} + 1:sub.j * {_PQ_D} + {_PQ_D}],
+                        c.cv[sub.j * {_PQ_D} + 1:sub.j * {_PQ_D} + {_PQ_D}]),
+               x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+      FROM q, sub, c
+    ),
+    s AS (
+      -- list() ORDER BY j then list_sum: sequential j=0..m-1 addition,
+      -- bit-identical to the engine's left-to-right LUT sum
+      SELECT code.vec_id,
+             list_sum(list(qd.d ORDER BY code.j)) AS adc
+      FROM code JOIN qd ON qd.j = code.j AND qd.cidx = code.cidx
+      GROUP BY code.vec_id
+    )
+    SELECT vec_id, round(adc, 6) AS adc_dist
+    FROM s ORDER BY adc_dist, vec_id LIMIT 10
+    """,
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (completes the ANN trio next to LSH and
+    IVF — PQ is the 100 TB memory-compression path: dim floats → m
+    byte codes, 32× here). Deterministic id-seeded codebooks keep the
+    whole index SQL-replayable: the oracle reproduces subspace
+    assignment (argmin with the same (distance, code) tie-break), the
+    query-side lookup table, and the sequential ADC sum. Spark side is
+    operators/similarity.pq_adc_topk: encode is one scan-speed native
+    projection; top-k compiles to TakeOrderedAndProject."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim_ops.pq_adc_topk(
+        emb, _QUERY_VEC, k=10, m=_PQ_M, n_codes=_PQ_K
+    )
+
+
 # --------------------------------------------------------------------------
 # More QA/QC rules (diff-pct, std gates, bad_ens ranges)
 # --------------------------------------------------------------------------
@@ -5497,6 +5560,7 @@ _FRONT = [
     "mm_audio_stats_real",
     "corpus_dup_ngram_frac",
     "corpus_remove_dup_spans",
+    "sim_pq_adc_topk",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",

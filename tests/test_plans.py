@@ -366,3 +366,15 @@ def test_remove_dup_spans_no_cartesian_no_text_shuffle_before_mask(spark):
     assert count(plan, r"BroadcastNestedLoopJoin") == 0
     # the gram-frequency aggregate groups on the 64-bit hash, not text
     assert "xxhash64" in plan
+
+
+def test_pq_adc_topk_scan_speed_and_partial_topk(spark):
+    """PQ ADC search: encoding + LUT lookups are one shuffle-free
+    projection over the scan, and the top-k compiles to
+    TakeOrderedAndProject (partial top-k per partition) — the full plan
+    has no exchange other than the top-k's own singlePartition gather."""
+    plan = plan_of(spark, "sim_pq_adc_topk")
+    # formatted mode prints the node in the tree and the detail section
+    assert count(plan, r"TakeOrderedAndProject") >= 1
+    assert count(plan, r"Exchange") == 0
+    assert count(plan, r"CartesianProduct|SortMergeJoin|BroadcastHashJoin") == 0

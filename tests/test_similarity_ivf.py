@@ -75,3 +75,40 @@ def test_ivf_full_probe_equals_brute_force(emb):
         ).collect()
     ]
     assert full == exact
+
+
+def test_pq_seed_vectors_encode_to_themselves(spark):
+    """Each codebook-seed vector's subvectors are at distance 0 from
+    their own codebook entry, so the m code indices equal the vector's
+    codebook row (no duplicate embeddings among the 16 seeds here)."""
+    from stglib_spark.operators.similarity import pq_encode, pq_seed_codebooks
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb = pq_seed_codebooks(emb, m=8, n_codes=16)
+    assert len(cb) == 8 and len(cb[0]) == 16 and len(cb[0][0]) == 8
+    seeds = emb.orderBy("vec_id").limit(16)
+    rows = pq_encode(seeds, cb).orderBy("vec_id").collect()
+    for c, r in enumerate(rows):
+        assert list(r["pq_codes"]) == [c] * 8, (c, list(r["pq_codes"]))
+
+
+def test_pq_adc_exact_on_codebook_vector(spark):
+    """For a query equal to a stored seed vector, the ADC distance of
+    that vector is exactly 0 (every LUT term hits the vector's own
+    code), and it ranks first."""
+    from stglib_spark.operators.similarity import pq_adc_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    first = emb.orderBy("vec_id").limit(1).collect()[0]
+    qv = [float(x) for x in first["embedding"]]
+    rows = pq_adc_topk(emb, qv, k=3, m=8, n_codes=16).collect()
+    assert rows[0]["vec_id"] == first["vec_id"]
+    assert rows[0]["adc_dist"] == 0.0
+
+
+def test_pq_dim_not_divisible_raises(spark):
+    from stglib_spark.operators.similarity import pq_seed_codebooks
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    with pytest.raises(ValueError, match="divisible"):
+        pq_seed_codebooks(emb, m=7, n_codes=4)
