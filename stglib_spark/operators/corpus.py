@@ -190,9 +190,11 @@ def remove_duplicate_spans(
     contract at word granularity, reference-free extension): any
     contiguous ``ngram``-token span that occurs in ≥ ``min_docs``
     documents is excised from every document EXCEPT the one with the
-    minimum doc_id containing it (the canonical occurrence survives, so
-    no content is lost corpus-wide). A token is removed when any
-    duplicated span covers it. Returns (doc_id, n_tokens, n_removed,
+    minimum doc_id containing it. A token is removed when any duplicated
+    non-canonical span covers it — so a span's canonical occurrence
+    normally survives, but an OVERLAPPING span whose canonical is an
+    earlier document can still excise tokens inside it (the gold-model
+    test pins this interaction). Returns (doc_id, n_tokens, n_removed,
     cleaned_text) for every input document — cleaned_text is the
     surviving tokens joined by single spaces, possibly empty for exact
     full-document duplicates.

@@ -313,6 +313,43 @@ def pq_encode(
     return df.withColumn(out_col, codes)
 
 
+def pq_refine(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    iters: int = 2,
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Per-subspace Lloyd refinement of the PQ codebooks (the production
+    train path, like ``ivf_refine``; not used by the oracled query
+    because k-means isn't SQL-replayable). Each iteration: one native
+    encode pass, then per subspace a groupBy(code) computing element-wise
+    subvector means, collected back (m × n_codes × d floats — a
+    driver-side codebook, not a data loop). Empty codes keep their
+    previous entry."""
+    m = len(codebooks)
+    d = len(codebooks[0][0])
+    for _ in range(iters):
+        enc = pq_encode(df, codebooks, vec_col)
+        v = F.col(vec_col).cast("array<double>")
+        new_books = []
+        for j in range(m):
+            means = (
+                enc.select(
+                    F.col("pq_codes")[j].alias("c"),
+                    *[v[j * d + i].alias(f"_e{i}") for i in range(d)],
+                )
+                .groupBy("c")
+                .agg(*[F.avg(f"_e{i}").alias(f"_e{i}") for i in range(d)])
+                .collect()
+            )
+            upd = {r["c"]: [r[f"_e{i}"] for i in range(d)] for r in means}
+            new_books.append(
+                [upd.get(c, cv) for c, cv in enumerate(codebooks[j])]
+            )
+        codebooks = new_books
+    return codebooks
+
+
 def pq_adc_topk(
     df: DataFrame,
     query_vec: list[float],

@@ -247,3 +247,47 @@ def test_remove_duplicate_spans_short_docs_passthrough(spark):
         for r in remove_duplicate_spans(df, ngram=5, min_docs=2).collect()
     }
     assert got == {1: (2, 0, "one two"), 2: (2, 0, "one two"), 3: (1, 0, "z")}
+
+
+def test_remove_duplicate_spans_matches_python_gold_model(spark):
+    """Randomized (seeded) small-vocabulary corpus — high collision rate
+    by construction — compared against an exact Python replay of the
+    semantics: a token is removed iff some ngram-window covering it
+    occurs in >= min_docs distinct documents and this document is not
+    that window's minimum-doc_id canonical. (Note: an overlapping span
+    with an EARLIER canonical can excise tokens inside another span's
+    canonical occurrence — the gold model captures that interaction.)"""
+    import random
+    from collections import defaultdict
+
+    from stglib_spark.operators.corpus import remove_duplicate_spans
+
+    rng = random.Random(77)
+    vocab = [f"w{i}" for i in range(12)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(1, 40))))
+        for i in range(60)
+    ]
+    N = 3
+    where = defaultdict(set)
+    for did, t in docs:
+        toks = t.split(" ")
+        for i in range(len(toks) - N + 1):
+            where[" ".join(toks[i : i + N])].add(did)
+    gold = {}
+    for did, t in docs:
+        toks = t.split(" ")
+        masked = set()
+        for i in range(len(toks) - N + 1):
+            g = " ".join(toks[i : i + N])
+            if len(where[g]) >= 2 and min(where[g]) != did:
+                masked.update(range(i, i + N))
+        kept = [tok for i, tok in enumerate(toks) if i not in masked]
+        gold[did] = (len(toks), len(masked), " ".join(kept))
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["cleaned_text"])
+        for r in remove_duplicate_spans(df, ngram=N, min_docs=2).collect()
+    }
+    assert got == gold

@@ -112,3 +112,36 @@ def test_pq_dim_not_divisible_raises(spark):
     emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
     with pytest.raises(ValueError, match="divisible"):
         pq_seed_codebooks(emb, m=7, n_codes=4)
+
+
+def test_pq_refine_reduces_quantization_error(spark):
+    """One Lloyd pass per subspace cannot increase total squared
+    reconstruction error (k-means monotonicity), and typically reduces
+    it on real embeddings."""
+    import numpy as np
+
+    from stglib_spark.operators.similarity import (
+        pq_encode,
+        pq_refine,
+        pq_seed_codebooks,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cb0 = pq_seed_codebooks(emb, m=8, n_codes=8)
+    cb1 = pq_refine(emb, cb0, iters=1)
+
+    vecs = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=float
+    )
+
+    def total_err(cb):
+        err = 0.0
+        for j in range(8):
+            sub = vecs[:, j * 8 : (j + 1) * 8]
+            cents = np.array(cb[j])
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            err += d2.min(axis=1).sum()
+        return err
+
+    assert total_err(cb1) <= total_err(cb0) + 1e-9
+    assert total_err(cb1) < total_err(cb0)
