@@ -91,12 +91,27 @@ def main() -> None:
             times[name] = round(min(times.get(name, dt), dt), 3)
 
     total = round(sum(times.values()), 3)
+    # the headline set has grown since BENCH_r01 (corpus/cluster queries
+    # added in r4/r5); value_baseline_set is the subtotal over the
+    # original 20-query set so round-over-round and vs-baseline
+    # comparisons stay apples-to-apples
+    later_additions = {
+        "dedup_clusters",
+        "corpus_pack_sequences",
+        "corpus_budget_sample",
+        "corpus_remove_boilerplate",
+        "corpus_remove_dup_spans",
+    }
+    baseline_set = round(
+        sum(v for k, v in times.items() if k not in later_additions), 3
+    )
     print(
         json.dumps(
             {
                 "metric": "total_headline_query_seconds",
                 "value": total,
                 "unit": "sec",
+                "value_baseline_set": baseline_set,
                 "queries": times,
                 "sf": sf,
             }
