@@ -256,3 +256,117 @@ def chunk_documents(
             .alias("n_chunk_tokens"),
         )
     )
+
+
+def bigram_model(
+    df: DataFrame,
+    text_col: str = "text",
+    top_k_vocab: int = 1000,
+    top_k_bigrams: int = 4000,
+) -> tuple[list[tuple[str, int]], list[tuple[str, str, int]]]:
+    """Corpus bigram language model, train half: the ``top_k_vocab`` most
+    frequent unigrams with counts, and the ``top_k_bigrams`` most
+    frequent adjacent-token bigrams with counts (deterministic
+    tie-breaks by token). Two bounded map-side-combinable aggregates —
+    shuffle width is the vocabulary, never the corpus — collected once
+    as model artifacts (the IVF-codebook pattern)."""
+    uni = (
+        df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), F.col("tok"))
+        .limit(top_k_vocab)
+        .collect()
+    )
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, n),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    bi = (
+        df.select(F.explode(pairs).alias("p"))
+        .select(F.col("p")["w1"].alias("w1"), F.col("p")["w2"].alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.col("c").desc(), "w1", "w2")
+        .limit(top_k_bigrams)
+        .collect()
+    )
+    return (
+        [(r["tok"], r["c"]) for r in uni],
+        [(r["w1"], r["w2"], r["c"]) for r in bi],
+    )
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    vocab: list[tuple[str, int]],
+    bigrams: list[tuple[str, str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """Per-document mean adjacent-pair log-probability under a
+    Laplace-smoothed corpus bigram LM — one step closer to the
+    CCNet/KenLM perplexity filter than the unigram proxy (it punishes
+    improbable token TRANSITIONS, the signature of shuffled boilerplate
+    and template glue that unigram frequencies can't see):
+
+        logP(w2 | w1) = ln((c(w1,w2) + 1) / (c(w1) + V))
+
+    for in-vocab w1 (V = vocabulary size; pairs absent from the bigram
+    table fall back to the same formula with c(w1,w2)=0), and a fixed
+    ``oov_logprob`` when w1 is out of vocabulary.
+
+    Scale shape: both the smoothed bigram log-probabilities and the
+    per-w1 backoff enter the plan as literal maps (model-as-literal,
+    like the unigram scorer and LSH planes), so scoring is a pure
+    projection over the token array — no explode, no join, no shuffle,
+    scan speed at any corpus size."""
+    V = len(vocab)
+    bi_entries: list[Column] = []
+    c1 = dict(vocab)
+    for w1, w2, c in bigrams:
+        if w1 not in c1:
+            continue
+        bi_entries.append(F.lit(w1 + " " + w2))
+        bi_entries.append(F.lit(math.log((c + 1.0) / (c1[w1] + V))))
+    bo_entries: list[Column] = []
+    for w1, c in vocab:
+        bo_entries.append(F.lit(w1))
+        bo_entries.append(F.lit(math.log(1.0 / (c + V))))
+    bi_map = F.create_map(*bi_entries) if bi_entries else F.create_map()
+    bo_map = F.create_map(*bo_entries) if bo_entries else F.create_map()
+
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    pairs = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, n),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    term = lambda s: F.when(  # noqa: E731
+        F.element_at(bo_map, s["w1"]).isNull(), F.lit(float(oov_logprob))
+    ).otherwise(
+        F.coalesce(
+            F.element_at(bi_map, F.concat_ws(" ", s["w1"], s["w2"])),
+            F.element_at(bo_map, s["w1"]),
+        )
+    )
+    total_lp = F.aggregate(pairs, F.lit(0.0), lambda acc, s: acc + term(s))
+    n_pairs = F.greatest(n - 1, F.lit(0))
+    return df.select(
+        F.col(id_col),
+        n_pairs.cast("int").alias("n_pairs"),
+        F.round(
+            F.when(n_pairs > 0, total_lp / n_pairs).otherwise(F.lit(0.0)), 6
+        ).alias("mean_logprob"),
+    )

@@ -2348,6 +2348,63 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob_score(docs, vocab)
 
 
+_BIGRAM_TOPK = 2000
+
+@register(
+    "text_bigram_logprob",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS tks
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(tks) AS tok FROM base)
+      GROUP BY tok ORDER BY c DESC, tok LIMIT {_UNIGRAM_TOPK}
+    ),
+    vv AS (SELECT CAST(count(*) AS DOUBLE) AS V FROM vocab),
+    dp AS (
+      SELECT doc_id, tks[u.i] AS w1, tks[u.i + 1] AS w2
+      FROM base, unnest(generate_series(1, len(tks) - 1)) AS u(i)
+      WHERE len(tks) >= 2
+    ),
+    big AS (
+      SELECT w1, w2, count(*) AS c FROM dp GROUP BY w1, w2
+      ORDER BY c DESC, w1, w2 LIMIT {_BIGRAM_TOPK}
+    ),
+    sc AS (
+      SELECT dp.doc_id,
+             CASE WHEN v1.c IS NULL THEN -20.0
+                  ELSE coalesce(ln((b.c + 1.0) / (v1.c + vv.V)),
+                                ln(1.0 / (v1.c + vv.V)))
+             END AS lp
+      FROM dp
+      LEFT JOIN vocab v1 ON dp.w1 = v1.tok
+      LEFT JOIN big b ON dp.w1 = b.w1 AND dp.w2 = b.w2, vv
+    ),
+    agg AS (SELECT doc_id, count(*) AS np, sum(lp) AS s FROM sc GROUP BY doc_id)
+    SELECT b0.doc_id, CAST(coalesce(a.np, 0) AS INTEGER) AS n_pairs,
+           round(coalesce(a.s / a.np, 0.0), 6) AS mean_logprob
+    FROM (SELECT doc_id FROM base) b0 LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality proxy (text.bigram_model +
+    bigram_logprob_score): Laplace-smoothed transition log-probability
+    with per-w1 backoff — the CCNet/KenLM perplexity-filter shape one
+    order up from the unigram proxy. Train = two bounded top-K
+    aggregates (the only shuffles); scoring is a pure projection with
+    the bigram and backoff tables as literal maps. The oracle rebuilds
+    the same model and tie-breaks in SQL."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab, bigrams = text_ops.bigram_model(
+        docs, top_k_vocab=_UNIGRAM_TOPK, top_k_bigrams=_BIGRAM_TOPK
+    )
+    return text_ops.bigram_logprob_score(docs, vocab, bigrams)
+
+
 @register(
     "text_chunk_documents",
     r"""
@@ -5561,6 +5618,7 @@ _FRONT = [
     "corpus_dup_ngram_frac",
     "corpus_remove_dup_spans",
     "sim_pq_adc_topk",
+    "text_bigram_logprob",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",

@@ -291,3 +291,33 @@ def test_remove_duplicate_spans_matches_python_gold_model(spark):
         for r in remove_duplicate_spans(df, ngram=N, min_docs=2).collect()
     }
     assert got == gold
+
+
+def test_bigram_logprob_hand_computed(spark):
+    """Bigram LM on a controlled corpus, all three scoring branches
+    hand-checked: seen bigram (smoothed count), unseen bigram with
+    in-vocab w1 (backoff), and OOV w1 (fixed penalty via vocab cap)."""
+    import math
+
+    from stglib_spark.operators.text import bigram_logprob_score, bigram_model
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "c a")],
+        "doc_id long, text string",
+    )
+    # top-2 vocab: a(4), b(3) — c(2) is cut => OOV
+    vocab, bigrams = bigram_model(df, top_k_vocab=2, top_k_bigrams=10)
+    assert vocab == [("a", 4), ("b", 3)]
+    got = {
+        r["doc_id"]: (r["n_pairs"], r["mean_logprob"])
+        for r in bigram_logprob_score(df, vocab, bigrams).collect()
+    }
+    V = 2.0
+    # pair counts: (a,b)=3, (b,a)=1, (b,c)=1, (c,a)=1
+    ab = math.log((3 + 1) / (4 + V))
+    ba = math.log((1 + 1) / (3 + V))
+    bc = math.log((1 + 1) / (3 + V))
+    d1 = round((ab + ba + ab) / 3, 6)
+    d2 = round((ab + bc) / 2, 6)
+    d3 = round(-20.0 / 1, 6)  # w1 = c is OOV
+    assert got == {1: (3, d1), 2: (2, d2), 3: (1, d3)}
