@@ -1323,6 +1323,91 @@ def ts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_sessionize",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, ts, epoch_us(ts) AS us, value,
+             lag(epoch_us(ts)) OVER w AS prev_us
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), marked AS (
+      SELECT *,
+             CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+    ), sess AS (
+      SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM marked
+    )
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           CAST(count(*) AS INTEGER) AS n_events,
+           min(us) AS start_us,
+           max(us) - min(us) AS duration_us,
+           sum(CAST(sign(value) * floor(abs(value) * 100 + 0.5)
+                    AS BIGINT)) AS value_cents
+    FROM sess
+    GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (the standard event-analytics reshape a
+    deployment-log pipeline runs before per-visit rollups): a >30 min
+    silence starts a new per-user session; sessions aggregate count,
+    start, duration, and value. One window over (user, time) — the
+    same single series-exchange the QA/QC diff rules share — then a
+    hash aggregate; timestamps compared in exact microseconds and the
+    value sum in integer cents (order-independent across engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > 1800 * 1000 * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    sess = ev.withColumn("__us", us).withColumn(
+        "session_id",
+        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.min("__us").alias("start_us"),
+        (F.max("__us") - F.min("__us")).alias("duration_us"),
+        F.sum(cents).alias("value_cents"),
+    ).withColumn("session_id", F.col("session_id").cast("int"))
+
+
+@register(
+    "ts_value_percentiles",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.5), 6) AS p50,
+           round(quantile_cont(value, 0.9), 6) AS p90,
+           round(quantile_cont(value, 0.99), 6) AS p99,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def ts_value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per event type — Spark's
+    `percentile` and DuckDB's `quantile_cont` share the continuous
+    interpolation definition, so the values hash-match at 6 decimals.
+    (The 100 TB path is `percentile_approx` / t-digest, whose sketch is
+    engine-specific by nature — the exact variant is the auditable
+    twin; both are one map-side-combinable aggregate by key.)"""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
     "ts_gap_fill_hourly",
     """
     WITH b AS (
@@ -5619,6 +5704,8 @@ _FRONT = [
     "corpus_remove_dup_spans",
     "sim_pq_adc_topk",
     "text_bigram_logprob",
+    "ts_sessionize",
+    "ts_value_percentiles",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",
