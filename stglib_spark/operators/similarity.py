@@ -181,12 +181,18 @@ def ivf_refine(
     centroids: list[tuple[object, list[float]]],
     iters: int = 2,
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> list[tuple[object, list[float]]]:
-    """Lloyd refinement of the codebook (the production IVF train path;
-    not used by the oracled query because k-means isn't SQL-replayable).
+    """Lloyd refinement of the codebook (the production IVF train path).
     Each iteration: native assignment + one groupBy computing per-cell
     element-wise means over the vector column, codebook collected back
-    (K×dim floats). Empty cells keep their previous centroid."""
+    (K×dim floats). Empty cells keep their previous centroid.
+
+    ``round_to`` rounds each refined mean to that many decimals: float
+    summation order differs between engines (and between Spark runs at
+    different parallelism), so a replaying oracle — or a reproducibility
+    requirement — needs the centroids snapped to a fixed grid before the
+    next assignment (see sim_kmeans_assign)."""
     dim = len(centroids[0][1])
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, vec_col)
@@ -199,6 +205,11 @@ def ivf_refine(
         )
         updated = {r["ivf_cell"]: [r[f"_e{i}"] for i in range(dim)] for r in means}
         centroids = [(cid, updated.get(cid, cv)) for cid, cv in centroids]
+        if round_to is not None:
+            centroids = [
+                (cid, [round(float(x), round_to) for x in cv])
+                for cid, cv in centroids
+            ]
     return centroids
 
 

@@ -3062,6 +3062,81 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KM_K, _KM_ITERS, _KM_DIM = 8, 2, 64
+
+
+def _km_d(v: str, c: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({v}, {c}),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+
+
+def _kmeans_oracle_sql() -> str:
+    """Generated fixed-iteration Lloyd replay (the IMLM-relaxation
+    playbook applied to k-means): each iteration is an assignment CTE
+    (row_number over per-centroid distances, ties to the lowest
+    centroid id) and a means CTE (per-dimension avg rounded to 9
+    decimals — the same grid ivf_refine(round_to=9) snaps to, which is
+    what makes float summation order across engines irrelevant)."""
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    c0 AS (
+      SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+      FROM embeddings ORDER BY vec_id LIMIT {_KM_K}
+    )"""
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        sql += f""",
+    a{it} AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.v, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_km_d('e.v', 'c.cv')}, c.cid) AS rn
+        FROM e, {prev} c
+      ) WHERE rn = 1
+    ),
+    m{it} AS (
+      SELECT cid, u.i AS i, round(avg(v[u.i]), 9) AS x
+      FROM a{it}, unnest(generate_series(1, {_KM_DIM})) AS u(i)
+      GROUP BY cid, u.i
+    ),
+    c{it} AS (
+      SELECT p.cid, coalesce(mm.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT cid, list(x ORDER BY i) AS cv FROM m{it} GROUP BY cid
+      ) mm USING (cid)
+    )"""
+        prev = f"c{it}"
+    sql += f"""
+    SELECT vec_id, cid AS cluster_id FROM (
+      SELECT e.vec_id, c.cid,
+             row_number() OVER (PARTITION BY e.vec_id
+               ORDER BY {_km_d('e.v', 'c.cv')}, c.cid) AS rn
+      FROM e, {prev} c
+    ) WHERE rn = 1
+    """
+    return sql
+
+
+@register("sim_kmeans_assign", _kmeans_oracle_sql())
+def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding k-means (corpus topic clustering / IVF training made a
+    first-class, driver-checked operator): id-seeded codebook, two full
+    Lloyd iterations with centroids snapped to a 9-decimal grid after
+    each means step (ivf_refine(round_to=9) — the snapping is what
+    makes the iteration engine-replayable despite float summation
+    order), then the final nearest-centroid assignment as one
+    scan-speed native projection. The oracle replays every iteration
+    in generated SQL, the filtfilt/IMLM fixed-iteration playbook."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = sim_ops.ivf_seed_centroids(emb, _KM_K)
+    refined = sim_ops.ivf_refine(emb, seeds, iters=_KM_ITERS, round_to=9)
+    return sim_ops.ivf_assign(emb, refined).select(
+        "vec_id", F.col("ivf_cell").cast("long").alias("cluster_id")
+    )
+
+
 _PQ_M, _PQ_K, _PQ_D = 8, 16, 8
 
 @register(
@@ -5706,6 +5781,7 @@ _FRONT = [
     "text_bigram_logprob",
     "ts_sessionize",
     "ts_value_percentiles",
+    "sim_kmeans_assign",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",
