@@ -20,6 +20,7 @@ from stglib_spark.streaming.bursts import (
     streaming_gap_fill,
     streaming_pack_sequences,
     streaming_puv,
+    streaming_sessionize,
     streaming_wave_stats,
 )
 
@@ -33,5 +34,6 @@ __all__ = [
     "streaming_gap_fill",
     "streaming_pack_sequences",
     "streaming_puv",
+    "streaming_sessionize",
     "streaming_wave_stats",
 ]

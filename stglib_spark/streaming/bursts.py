@@ -68,6 +68,39 @@ def streaming_burst_average(
     return agg.select(F.col("w.start").alias("burst_time"), "value_avg", "n")
 
 
+def streaming_sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ts_sessionize via Spark's NATIVE session window:
+    ``session_window(ts, gap)`` merges a user's events separated by less
+    than ``gap`` into one growing window, closing it (and emitting the
+    row) once the watermark passes the gap — the engine keeps one open
+    session per active user in state, not the events. Same output
+    contract as the batch query: per (user, session) count, start, and
+    duration in exact microseconds.
+
+    Batch/stream parity note: the batch query derives an ordinal
+    session_id per user from the same gap rule; the streaming emission
+    keys sessions by start time instead (ordinals need total per-user
+    history, which a stream by definition doesn't hold)."""
+    sw = F.session_window(F.col("ts"), gap)
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), sw.alias("w"))
+        .agg(F.count(F.lit(1)).cast("int").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            (
+                F.unix_micros(F.col("w.end")) - F.unix_micros(F.col("w.start"))
+            ).alias("window_us"),
+            "n_events",
+        )
+    )
+
+
 def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Duplicate-timestamp suppression within the watermark horizon —
     streaming twin of drop_duplicates(dim='time') (sig/cdf2nc.py:1582).

@@ -862,3 +862,42 @@ def test_streaming_pack_sequences_multichunk_group(spark, checkpoint_dir, tmp_pa
         ntok = len(pdf["text"][i].split())
         assert streamed[did] == (offset, ntok), did
         offset += ntok
+
+
+def test_streaming_sessionize_matches_batch(spark, sf_dir, checkpoint_dir):
+    """Native session_window twin of ts_sessionize: draining the stream
+    with availableNow must produce the same (user, session-start) →
+    (n_events, duration) map the batch gap rule derives — with the
+    session_window end = last event + gap accounted for."""
+    from stglib_spark.streaming import streaming_sessionize
+
+    gap_us = 30 * 60 * 1_000_000
+    stream = read_events_stream(spark, sf_dir)
+    out = streaming_sessionize(stream, gap="30 minutes", watermark="10 hours")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["window_us"] - gap_us)
+        for r in spark.sql("SELECT * FROM sessions").collect()
+    }
+
+    from stglib_spark.queries import QUERIES
+
+    batch = {
+        (r["user_id"], r["start_us"]): (r["n_events"], r["duration_us"])
+        for r in QUERIES["ts_sessionize"](spark, sf_dir).collect()
+    }
+    # the stream only emits sessions the watermark has CLOSED; every
+    # emitted session must match the batch result exactly, and the
+    # stream must have closed most of them
+    assert streamed
+    for k, v in streamed.items():
+        assert batch[k] == v, (k, v, batch[k])
+    assert len(streamed) >= len(batch) * 0.5
