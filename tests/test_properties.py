@@ -377,3 +377,28 @@ def test_pack_sequences_tiling_random(spark):
     total_tokens = sum(r.n_tokens for r in out)
     expected = sum(len(t.split()) for _, t in rows if t.strip())
     assert total_tokens == expected
+
+
+@given(
+    st.lists(
+        st.floats(min_value=-1.0, max_value=1.0, allow_nan=False),
+        min_size=2,
+        max_size=300,
+    ),
+    st.sampled_from([1000, 8000, 44100]),
+)
+@settings(max_examples=40, deadline=None)
+def test_audio_stats_real_bounds(samples, rate):
+    """audio_stats_real on arbitrary PCM: exact sample/rate accounting,
+    RMS within [0, 1], crossing count < n, and the spectral peak below
+    Nyquist (rfft argmax excludes DC, bins cap at n//2)."""
+    import numpy as np
+
+    from stglib_spark.functions.media import audio_stats_real, encode_wav
+
+    x = np.asarray(samples, dtype=np.float64)
+    n, r, rms, zc, dom = audio_stats_real(encode_wav(x, rate))
+    assert (n, r) == (len(x), rate)
+    assert 0.0 <= rms <= 1.0
+    assert 0 <= zc < len(x)
+    assert 0 <= dom <= rate // 2 + 1

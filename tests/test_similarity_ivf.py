@@ -145,3 +145,19 @@ def test_pq_refine_reduces_quantization_error(spark):
 
     assert total_err(cb1) <= total_err(cb0) + 1e-9
     assert total_err(cb1) < total_err(cb0)
+
+
+def test_pq_adc_recall_floor_vs_brute_force(spark):
+    """Lossy-but-useful contract: PQ-ADC top-10 (squared-L2 over 8 byte
+    codes) must keep a recall floor against exact brute-force cosine
+    top-10 — the two metrics differ on unnormalized vectors, so this is
+    a conservative floor, not a tight bound (0.4 measured)."""
+    from stglib_spark.operators.similarity import brute_force_topk, pq_adc_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    bf = {r["vec_id"] for r in brute_force_topk(emb, _QUERY_VEC, k=10).collect()}
+    pq = {
+        r["vec_id"]
+        for r in pq_adc_topk(emb, _QUERY_VEC, k=10, m=8, n_codes=16).collect()
+    }
+    assert len(bf & pq) / 10 >= 0.2
