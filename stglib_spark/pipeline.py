@@ -786,9 +786,19 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     )
 
     history = History()
-    docs = spread(
-        spark.read.parquet(config["documents_path"]).select(id_col, text_col)
-    )
+    if config.get("documents_format", "parquet") == "jsonl":
+        from stglib_spark.sources.jsonl import read_jsonl_corpus
+
+        base = read_jsonl_corpus(
+            spark,
+            config["documents_path"],
+            text_field=config.get("jsonl_text_field", "text"),
+            id_field=config.get("jsonl_id_field"),
+        )
+        history.insert_history("Ingested jsonl corpus (content-addressed ids).")
+    else:
+        base = spark.read.parquet(config["documents_path"])
+    docs = spread(base.select(id_col, text_col))
     paths: dict[str, str] = {}
 
     bp_frac = config.get("boilerplate_min_doc_frac")
