@@ -370,3 +370,41 @@ def bigram_logprob_score(
             F.when(n_pairs > 0, total_lp / n_pairs).otherwise(F.lit(0.0)), 6
         ).alias("mean_logprob"),
     )
+
+
+# HTML → text extraction (CommonCrawl-style). Pattern set restricted to
+# the Java-regex ∩ RE2 subset ((?is) flags, lazy quantifiers, no
+# backrefs) so a DuckDB oracle replays it byte-for-byte.
+_HTML_KILL = (
+    r"(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>"
+    r"|<noscript\b[^>]*>.*?</noscript\s*>"
+)
+_HTML_COMMENT = r"(?s)<!--.*?-->"
+_HTML_TAG = r"(?s)<[^>]+>"
+_HTML_ENTITIES: list[tuple[str, str]] = [
+    # &amp; decoded LAST so "&amp;lt;" yields "&lt;", not "<"
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(html: Column) -> Column:
+    """Crude-but-deterministic HTML → text: drop script/style/noscript
+    subtrees and comments, strip remaining tags to spaces, decode the
+    six entities that dominate real pages (&amp; last, so double-encoded
+    entities decode one level, not two), collapse whitespace. One
+    regexp_replace chain — scan-speed, no UDF; patterns stay in the
+    Java-regex ∩ RE2 subset with no backreferences, so the DuckDB
+    oracle runs the byte-identical pattern. A production
+    pipeline swaps in a DOM extractor (trafilatura-class) behind the
+    same column contract."""
+    out = F.regexp_replace(html, _HTML_KILL, " ")  # RE2-safe alternation
+    out = F.regexp_replace(out, _HTML_COMMENT, " ")
+    out = F.regexp_replace(out, _HTML_TAG, " ")
+    for ent, rep in _HTML_ENTITIES:
+        out = F.replace(out, F.lit(ent), F.lit(rep))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))

@@ -2433,6 +2433,64 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob_score(docs, vocab)
 
 
+_HTML_PRE = (
+    '<html><head><style>body { color: red; }</style>'
+    '<script type="text/javascript">var x = 1 < 2;</script></head>'
+    '<body><!-- nav\nboilerplate --><p class="main">'
+)
+_HTML_POST = (
+    '</p><div id="f">&quot;quoted&quot; &amp;lt;escaped&amp;gt;'
+    " Q&#39;s&nbsp;end</div></body></html>"
+)
+
+
+@register(
+    "text_html_extract",
+    rf"""
+    WITH h AS (
+      SELECT doc_id,
+             '{_HTML_PRE.replace("'", "''")}' || text
+               || '{_HTML_POST.replace("'", "''")}' AS html
+      FROM documents
+    ),
+    r1 AS (SELECT doc_id, regexp_replace(html,
+             '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<noscript\b[^>]*>.*?</noscript\s*>',
+             ' ', 'g') AS t FROM h),
+    r2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
+           FROM r1),
+    r3 AS (SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t
+           FROM r2),
+    e AS (SELECT doc_id,
+            replace(replace(replace(replace(replace(replace(t,
+              '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+              '&#39;', ''''), '&amp;', '&') AS t
+          FROM r3),
+    fin AS (SELECT doc_id,
+              trim(regexp_replace(t, '\s+', ' ', 'g')) AS txt FROM e)
+    SELECT doc_id, CAST(length(txt) AS INTEGER) AS n_chars,
+           md5(txt) AS text_md5
+    FROM fin
+    """,
+)
+def text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → text extraction (the CommonCrawl processing step a 100 TB
+    web corpus runs before every text operator): each document is
+    wrapped in a deterministic page template — style + script subtrees,
+    a comment, attributes, and double-encoded entities — and
+    text.html_to_text must recover the payload byte-for-byte (md5 +
+    length checked). Patterns live in the Java-regex ∩ RE2 subset with
+    no backreferences, so the oracle runs the byte-identical chain;
+    &amp; decodes last so &amp;lt; yields &lt;, not <."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    html = F.concat(F.lit(_HTML_PRE), F.col("text"), F.lit(_HTML_POST))
+    txt = text_ops.html_to_text(html)
+    return docs.select(
+        "doc_id",
+        F.length(txt).alias("n_chars"),
+        F.md5(txt).alias("text_md5"),
+    )
+
+
 _BIGRAM_TOPK = 2000
 
 @register(
@@ -5782,6 +5840,7 @@ _FRONT = [
     "ts_sessionize",
     "ts_value_percentiles",
     "sim_kmeans_assign",
+    "text_html_extract",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",

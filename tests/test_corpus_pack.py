@@ -321,3 +321,21 @@ def test_bigram_logprob_hand_computed(spark):
     d2 = round((ab + bc) / 2, 6)
     d3 = round(-20.0 / 1, 6)  # w1 = c is OOV
     assert got == {1: (3, d1), 2: (2, d2), 3: (1, d3)}
+
+
+def test_html_to_text_known_page(spark):
+    """Script subtree (including a '<' inside code), comment, tags, and
+    double-encoded entities: &amp;lt; decodes one level to &lt;, never
+    two; &nbsp; becomes a plain space; whitespace collapses."""
+    from pyspark.sql import functions as F
+
+    from stglib_spark.operators.text import html_to_text
+
+    page = (
+        "<html><head><script>if (a<b) {}</script></head><body>"
+        '<p>Hello &amp;lt;world&amp;gt; &quot;x&quot;&nbsp;y</p>'
+        "<!-- c --></body></html>"
+    )
+    df = spark.createDataFrame([(1, page)], "id long, h string")
+    got = df.select(html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
+    assert got == 'Hello &lt;world&gt; "x" y'
