@@ -549,7 +549,9 @@ def _duplicate_clusters_fastsv(pairs: DataFrame, max_iterations: int) -> DataFra
     )
     for _ in range(max_iterations):
         l1 = labels.select(F.col("node").alias("n1"), F.col("lbl").alias("f1"))
-        # hooking: min over neighbours' current labels
+        # hooking: min over neighbours' current labels; the pre-round
+        # label rides along as __old so change detection needs no third
+        # join back against the label table
         nbr = (
             edges.join(l1, edges.dst == F.col("n1"))
             .groupBy("src")
@@ -559,22 +561,18 @@ def _duplicate_clusters_fastsv(pairs: DataFrame, max_iterations: int) -> DataFra
             "node",
             F.least(
                 F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-            ).alias("lbl"),
+            ).alias("hl"),
+            F.col("lbl").alias("__old"),
         )
         # shortcut: lbl <- lbl(lbl), jumping one level toward the root
-        h2 = hooked.select(F.col("node").alias("p_node"), F.col("lbl").alias("p_lbl"))
-        jumped = hooked.join(h2, hooked.lbl == h2.p_node, "left").select(
-            "node",
-            F.least(F.col("lbl"), F.coalesce(F.col("p_lbl"), F.col("lbl"))).alias(
-                "new_lbl"
-            ),
-        )
+        h2 = hooked.select(F.col("node").alias("p_node"), F.col("hl").alias("p_lbl"))
+        new_lbl = F.least(F.col("hl"), F.coalesce(F.col("p_lbl"), F.col("hl")))
         updated = (
-            labels.join(jumped, "node")
+            hooked.join(h2, hooked.hl == h2.p_node, "left")
             .select(
                 "node",
-                F.col("new_lbl").alias("lbl"),
-                (F.col("new_lbl") < F.col("lbl")).alias("__chg"),
+                new_lbl.alias("lbl"),
+                (new_lbl < F.col("__old")).alias("__chg"),
             )
             .localCheckpoint()
         )
