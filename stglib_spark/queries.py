@@ -2433,6 +2433,86 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob_score(docs, vocab)
 
 
+@register(
+    "corpus_datacard",
+    r"""
+    WITH t AS (
+      SELECT doc_id, source, lang, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                           x -> x IN ('the','and','of','is','to'))) END AS n_stop
+      FROM documents
+    ), q AS (
+      SELECT doc_id, source, lang, text, n_tok,
+             round(
+               (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN (CASE WHEN n_tok > 0 THEN n_nospace / n_tok ELSE 0.0 END)
+                        BETWEEN 2.0 AND 12.0 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+                        <= 0.2 THEN 0.25 ELSE 0.0 END)
+               + least((CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END) * 2.5,
+                       0.25), 6) AS qs
+      FROM t
+    )
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
+           sum(CAST(floor(qs * 1000000 + 0.5) AS BIGINT)) AS quality_micro_sum,
+           -- quantiles over the micro-INTEGER quality: interpolation on
+           -- ints is exact in both engines, where a 1-ulp difference in
+           -- the computed double occasionally flips the 6th decimal
+           round(quantile_cont(CAST(floor(qs * 1000000 + 0.5) AS BIGINT), 0.5)
+                 / 1000000, 6) AS quality_p50,
+           round(quantile_cont(CAST(floor(qs * 1000000 + 0.5) AS BIGINT), 0.9)
+                 / 1000000, 6) AS quality_p90
+    FROM q GROUP BY source, lang
+    """,
+)
+def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-governance artifact every corpus release ships: per
+    (source, language) document/token counts, exact-duplicate count
+    (docs minus distinct text digests), and the quality-score
+    distribution (micro-unit integer sum — order-independent across
+    engines — plus exact p50/p90 via the percentile/quantile_cont
+    equivalence). Pure composition of already-verified pieces: one
+    scan-speed quality projection, one doc_id equi-join for the
+    metadata, one hash aggregate by (source, lang)."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    q = text_ops.quality_score(docs).select(
+        "doc_id", "n_tokens", "quality_score"
+    )
+    base = docs.select("doc_id", "source", "lang", F.md5("text").alias("__d"))
+    joined = base.join(q, "doc_id")
+    micro = F.floor(F.col("quality_score") * 1000000 + F.lit(0.5)).cast("long")
+    return joined.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        (F.count(F.lit(1)) - F.countDistinct("__d")).alias("n_exact_dups"),
+        F.sum(micro).alias("quality_micro_sum"),
+        F.round(
+            F.expr(
+                "percentile(cast(floor(quality_score * 1000000 + 0.5) as bigint), 0.5)"
+            )
+            / 1000000,
+            6,
+        ).alias("quality_p50"),
+        F.round(
+            F.expr(
+                "percentile(cast(floor(quality_score * 1000000 + 0.5) as bigint), 0.9)"
+            )
+            / 1000000,
+            6,
+        ).alias("quality_p90"),
+    )
+
+
 _HTML_PRE = (
     '<html><head><style>body { color: red; }</style>'
     '<script type="text/javascript">var x = 1 < 2;</script></head>'
@@ -5841,6 +5921,7 @@ _FRONT = [
     "ts_value_percentiles",
     "sim_kmeans_assign",
     "text_html_extract",
+    "corpus_datacard",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",
