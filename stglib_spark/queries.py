@@ -2434,6 +2434,95 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_pd0_roundtrip",
+    """
+    SELECT doc_id,
+           CAST((doc_id % 1000) * 2 + g.k + 1 AS BIGINT) AS ensemble,
+           CAST(g.c AS INTEGER) AS cell,
+           1.5 + g.c * 1.0 AS bindist,
+           (doc_id % 360) + 0.25 AS heading,
+           (doc_id % 100) + 0.125 AS pressure,
+           20 + (doc_id % 10) * 0.25 AS temperature,
+           round((((doc_id + 16 * g.k + g.c * 4 + 0) % 400) - 200) / 1000.0, 6) AS vel1,
+           round((((doc_id + 16 * g.k + g.c * 4 + 1) % 400) - 200) / 1000.0, 6) AS vel2,
+           round((((doc_id + 16 * g.k + g.c * 4 + 2) % 400) - 200) / 1000.0, 6) AS vel3,
+           round((((doc_id + 16 * g.k + g.c * 4 + 3) % 400) - 200) / 1000.0, 6) AS vel4,
+           CAST(101 AS INTEGER) AS cor1,
+           CAST(100 AS INTEGER) AS pg1
+    FROM documents
+    CROSS JOIN (SELECT k, c FROM unnest([0, 1]) t1(k), unnest([0, 1]) t2(c)) g
+    """,
+)
+def src_pd0_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the media
+    playbook applied to §2.1 ingest): per document, synthesize a
+    spec-conformant two-ensemble TRDI PD0 stream with the repo's own
+    encoder — doc_id-parameterized heading/pressure/temperature and
+    per-(ensemble, cell, beam) velocities, every field chosen to be
+    exact in the format's fixed-point encodings (x100 / x1000 / cm) —
+    then parse it back with the production binary parser
+    (sources/pd0.py parse_ensembles: header walk, data-type offsets,
+    fixed/variable leader scalings, mm/s -> m/s). DuckDB replays the
+    closed form; a hash match proves the encoder and parser agree on
+    the wire format end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import datetime
+
+        import pandas as pd
+
+        from stglib_spark.sources.pd0 import encode_pd0, parse_ensembles
+
+        t0 = datetime.datetime(2021, 3, 4, 5, 6, 7)
+        cols = [
+            "doc_id", "ensemble", "cell", "bindist", "heading",
+            "pressure", "temperature", "vel1", "vel2", "vel3", "vel4",
+            "cor1", "pg1",
+        ]
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                ens = []
+                for k in range(2):
+                    vel = [
+                        [((d + 16 * k + c * 4 + b) % 400) - 200 for b in range(4)]
+                        for c in range(2)
+                    ]
+                    ens.append(
+                        {
+                            "time": t0,
+                            "ensemble": (d % 1000) * 2 + k + 1,
+                            "heading": (d % 360) + 0.25,
+                            "pressure": (d % 100) + 0.125,
+                            "temperature": 20 + (d % 10) * 0.25,
+                            "vel": vel,
+                        }
+                    )
+                payload = encode_pd0(ens, ncells=2)
+                for r in parse_ensembles(payload, "synth"):
+                    out.append(
+                        (
+                            d, r["ensemble"], r["cell"], r["bindist"],
+                            r["heading"], r["pressure"], r["temperature"],
+                            round(r["vel1"], 6), round(r["vel2"], 6),
+                            round(r["vel3"], 6), round(r["vel4"], 6),
+                            r["cor1"], r["pg1"],
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return spread(docs.select("doc_id")).mapInPandas(
+        gen,
+        "doc_id long, ensemble long, cell int, bindist double,"
+        " heading double, pressure double, temperature double,"
+        " vel1 double, vel2 double, vel3 double, vel4 double,"
+        " cor1 int, pg1 int",
+    )
+
+
+@register(
     "corpus_datacard",
     r"""
     WITH t AS (
@@ -5922,6 +6011,7 @@ _FRONT = [
     "sim_kmeans_assign",
     "text_html_extract",
     "corpus_datacard",
+    "src_pd0_roundtrip",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",

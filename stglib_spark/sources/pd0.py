@@ -584,6 +584,191 @@ def read_pd0_bt(spark: SparkSession, path: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def encode_pd0(
+    ensembles: list[dict[str, Any]],
+    ncells: int = 4,
+    nbeams: int = 4,
+    cell_len_cm: int = 100,
+    bin1_cm: int = 150,
+) -> bytes:
+    """Minimal spec-conformant PD0 byte stream: fixed + variable leader,
+    velocity, correlation, echo, percent-good per ensemble (checksummed).
+    The in-memory core of write_pd0, reusable for synthesized payloads
+    (src_pd0_roundtrip drives the real parser over it)."""
+    out = bytearray()
+    for e in ensembles:
+        fixed = bytearray(59)
+        struct.pack_into(
+            "<HBBHBBBBHHH",
+            fixed,
+            0,
+            FIXED_ID,
+            51,
+            41,
+            0x0080 if e.get("up", True) else 0,
+            0,
+            0,
+            nbeams,
+            ncells,
+            1,
+            cell_len_cm,
+            88,
+        )
+        struct.pack_into("<H", fixed, 32, bin1_cm)
+
+        var = bytearray(65)
+        t = e["time"]
+        struct.pack_into(
+            "<HHBBBBBBBBHHHHhhHh",
+            var,
+            0,
+            VARIABLE_ID,
+            e["ensemble"] & 0xFFFF,
+            t.year - 2000,
+            t.month,
+            t.day,
+            t.hour,
+            t.minute,
+            t.second,
+            t.microsecond // 10000,
+            e["ensemble"] >> 16,
+            0,
+            int(e.get("sound_speed", 1500)),
+            int(e.get("xducer_depth", 10.0) * 10),
+            int(e.get("heading", 0.0) * 100),
+            int(e.get("pitch", 0.0) * 100),
+            int(e.get("roll", 0.0) * 100),
+            int(e.get("salinity", 35)),
+            int(e.get("temperature", 20.0) * 100),
+        )
+        struct.pack_into("<I", var, 48, int(e.get("pressure", 0.0) * 1000))
+        var[31] = int(e.get("heading_std", 0.0))
+        var[32] = int(e.get("pitch_std", 0.0) * 10)
+        var[33] = int(e.get("roll_std", 0.0) * 10)
+        var[35] = int(e.get("xmit_voltage", 0))
+        var[39] = int(e.get("attitude_temp", 0))
+
+        vels = e.get(
+            "vel", [[0] * nbeams for _ in range(ncells)]
+        )
+        vel = struct.pack("<H", VELOCITY_ID) + struct.pack(
+            f"<{ncells * nbeams}h", *[v for c in vels for v in c]
+        )
+        ones = [1] * (ncells * nbeams)
+        cor = struct.pack("<H", CORRELATION_ID) + struct.pack(
+            f"<{ncells * nbeams}B", *[min(127, x + 100) for x in ones]
+        )
+        echo = struct.pack("<H", ECHO_ID) + struct.pack(
+            f"<{ncells * nbeams}B", *[min(255, x + 60) for x in ones]
+        )
+        pg = struct.pack("<H", PCTGOOD_ID) + struct.pack(
+            f"<{ncells * nbeams}B", *[100] * (ncells * nbeams)
+        )
+
+        blocks = [bytes(fixed), bytes(var), vel, cor, echo, pg]
+
+        if "waves" in e:
+            wv = e["waves"]
+            wp = bytearray(53)
+            struct.pack_into(
+                "<HHHH", wp, 0, WAVE_PARAMS_ID,
+                int(wv.get("hs", 0.0) * 1000),
+                int(wv.get("tp", 0)), int(wv.get("dp", 0)),
+            )
+            struct.pack_into("<H", wp, 16, int(wv.get("dm", 0)))
+            struct.pack_into(
+                "<8H", wp, 30,
+                int(wv.get("h_max", 0.0) * 1000),
+                int(wv.get("h_13", 0.0) * 1000), 0, 0, 0, 0,
+                int(wv.get("t_01", 0)), int(wv.get("t_z", 0)),
+            )
+            blocks.append(bytes(wp))
+            if "hs_sea" in wv:
+                ssb = bytearray(46)
+                struct.pack_into(
+                    "<H6H", ssb, 0, WAVE_SEASWELL_ID,
+                    int(wv["hs_sea"] * 1000), int(wv["hs_swell"] * 1000),
+                    int(wv["tp_sea"]), int(wv["tp_swell"]),
+                    int(wv["dp_sea"]), int(wv["dp_swell"]),
+                )
+                blocks.append(bytes(ssb))
+
+        if "vbeam" in e:
+            vb = e["vbeam"]
+            vnc = len(vb["vel_mm"])
+            lead = bytearray(32)
+            struct.pack_into(
+                "<HHHHH", lead, 0, VBEAM_LEADER_ID, vnc,
+                int(vb.get("pings", 1)),
+                int(vb.get("cell_cm", 100)), int(vb.get("first_cm", 150)),
+            )
+            blocks.append(bytes(lead))
+            blocks.append(
+                struct.pack("<H", VBEAM_VEL_ID)
+                + struct.pack(f"<{vnc}h", *vb["vel_mm"])
+            )
+            for did, key, default in (
+                (VBEAM_COR_ID, "cor", 110),
+                (VBEAM_AMP_ID, "amp", 75),
+                (VBEAM_PG_ID, "pg", 100),
+            ):
+                vals = vb.get(key, [default] * vnc)
+                blocks.append(
+                    struct.pack("<H", did) + struct.pack(f"<{vnc}B", *vals)
+                )
+
+        if "xform" in e:
+            mat = e["xform"]  # 3 axis rows × nbeams, floats
+            vals = [
+                int(round(mat[a][b] * 10000))
+                for a in range(3)
+                for b in range(nbeams)
+            ]
+            blocks.append(
+                struct.pack("<H", XFORM_ID)
+                + struct.pack(f"<{3 * nbeams}h", *vals)
+            )
+
+        if "bt" in e:
+            bt_in = e["bt"]
+            bt = bytearray(77 + nbeams)
+            struct.pack_into(
+                "<HHH", bt, 0, BOTTOM_TRACK_ID,
+                int(bt_in.get("pings", 50)), 0,
+            )
+            bt[9] = int(bt_in.get("mode", 5))
+            ranges_cm = bt_in.get("range_cm", [0] * nbeams)
+            vels_mm = bt_in.get("vel_mm", [0] * nbeams)
+            for b in range(nbeams):
+                struct.pack_into("<H", bt, 16 + 2 * b, ranges_cm[b] & 0xFFFF)
+                struct.pack_into("<h", bt, 24 + 2 * b, vels_mm[b])
+                bt[32 + b] = bt_in.get("cor", [120] * nbeams)[b]
+                bt[36 + b] = bt_in.get("amp", [80] * nbeams)[b]
+                bt[40 + b] = bt_in.get("pg", [100] * nbeams)[b]
+                bt[72 + b] = bt_in.get("rssi", [60] * nbeams)[b]
+                bt[77 + b] = (ranges_cm[b] >> 16) & 0xFF
+            struct.pack_into(
+                "<H", bt, 70, int(bt_in.get("max_depth_dm", 250))
+            )
+            bt[76] = int(bt_in.get("gain", 1))
+            blocks.append(bytes(bt))
+        ndt = len(blocks)
+        header_len = 6 + 2 * ndt
+        offsets = []
+        o = header_len
+        for b in blocks:
+            offsets.append(o)
+            o += len(b)
+        nbytes = o
+        header = struct.pack(
+            f"<HHBB{ndt}H", HEADER_ID, nbytes, 0, ndt, *offsets
+        )
+        body = header + b"".join(blocks)
+        checksum = sum(body) & 0xFFFF
+        out += body + struct.pack("<H", checksum)
+    return bytes(out)
+
+
 def write_pd0(
     path: str,
     ensembles: list[dict[str, Any]],
@@ -592,176 +777,6 @@ def write_pd0(
     cell_len_cm: int = 100,
     bin1_cm: int = 150,
 ) -> None:
-    """Write a minimal spec-conformant PD0 file: fixed + variable leader,
-    velocity, correlation, echo, percent-good per ensemble."""
+    """Write a minimal spec-conformant PD0 file (see encode_pd0)."""
     with open(path, "wb") as f:
-        for e in ensembles:
-            fixed = bytearray(59)
-            struct.pack_into(
-                "<HBBHBBBBHHH",
-                fixed,
-                0,
-                FIXED_ID,
-                51,
-                41,
-                0x0080 if e.get("up", True) else 0,
-                0,
-                0,
-                nbeams,
-                ncells,
-                1,
-                cell_len_cm,
-                88,
-            )
-            struct.pack_into("<H", fixed, 32, bin1_cm)
-
-            var = bytearray(65)
-            t = e["time"]
-            struct.pack_into(
-                "<HHBBBBBBBBHHHHhhHh",
-                var,
-                0,
-                VARIABLE_ID,
-                e["ensemble"] & 0xFFFF,
-                t.year - 2000,
-                t.month,
-                t.day,
-                t.hour,
-                t.minute,
-                t.second,
-                t.microsecond // 10000,
-                e["ensemble"] >> 16,
-                0,
-                int(e.get("sound_speed", 1500)),
-                int(e.get("xducer_depth", 10.0) * 10),
-                int(e.get("heading", 0.0) * 100),
-                int(e.get("pitch", 0.0) * 100),
-                int(e.get("roll", 0.0) * 100),
-                int(e.get("salinity", 35)),
-                int(e.get("temperature", 20.0) * 100),
-            )
-            struct.pack_into("<I", var, 48, int(e.get("pressure", 0.0) * 1000))
-            var[31] = int(e.get("heading_std", 0.0))
-            var[32] = int(e.get("pitch_std", 0.0) * 10)
-            var[33] = int(e.get("roll_std", 0.0) * 10)
-            var[35] = int(e.get("xmit_voltage", 0))
-            var[39] = int(e.get("attitude_temp", 0))
-
-            vels = e.get(
-                "vel", [[0] * nbeams for _ in range(ncells)]
-            )
-            vel = struct.pack("<H", VELOCITY_ID) + struct.pack(
-                f"<{ncells * nbeams}h", *[v for c in vels for v in c]
-            )
-            ones = [1] * (ncells * nbeams)
-            cor = struct.pack("<H", CORRELATION_ID) + struct.pack(
-                f"<{ncells * nbeams}B", *[min(127, x + 100) for x in ones]
-            )
-            echo = struct.pack("<H", ECHO_ID) + struct.pack(
-                f"<{ncells * nbeams}B", *[min(255, x + 60) for x in ones]
-            )
-            pg = struct.pack("<H", PCTGOOD_ID) + struct.pack(
-                f"<{ncells * nbeams}B", *[100] * (ncells * nbeams)
-            )
-
-            blocks = [bytes(fixed), bytes(var), vel, cor, echo, pg]
-
-            if "waves" in e:
-                wv = e["waves"]
-                wp = bytearray(53)
-                struct.pack_into(
-                    "<HHHH", wp, 0, WAVE_PARAMS_ID,
-                    int(wv.get("hs", 0.0) * 1000),
-                    int(wv.get("tp", 0)), int(wv.get("dp", 0)),
-                )
-                struct.pack_into("<H", wp, 16, int(wv.get("dm", 0)))
-                struct.pack_into(
-                    "<8H", wp, 30,
-                    int(wv.get("h_max", 0.0) * 1000),
-                    int(wv.get("h_13", 0.0) * 1000), 0, 0, 0, 0,
-                    int(wv.get("t_01", 0)), int(wv.get("t_z", 0)),
-                )
-                blocks.append(bytes(wp))
-                if "hs_sea" in wv:
-                    ssb = bytearray(46)
-                    struct.pack_into(
-                        "<H6H", ssb, 0, WAVE_SEASWELL_ID,
-                        int(wv["hs_sea"] * 1000), int(wv["hs_swell"] * 1000),
-                        int(wv["tp_sea"]), int(wv["tp_swell"]),
-                        int(wv["dp_sea"]), int(wv["dp_swell"]),
-                    )
-                    blocks.append(bytes(ssb))
-
-            if "vbeam" in e:
-                vb = e["vbeam"]
-                vnc = len(vb["vel_mm"])
-                lead = bytearray(32)
-                struct.pack_into(
-                    "<HHHHH", lead, 0, VBEAM_LEADER_ID, vnc,
-                    int(vb.get("pings", 1)),
-                    int(vb.get("cell_cm", 100)), int(vb.get("first_cm", 150)),
-                )
-                blocks.append(bytes(lead))
-                blocks.append(
-                    struct.pack("<H", VBEAM_VEL_ID)
-                    + struct.pack(f"<{vnc}h", *vb["vel_mm"])
-                )
-                for did, key, default in (
-                    (VBEAM_COR_ID, "cor", 110),
-                    (VBEAM_AMP_ID, "amp", 75),
-                    (VBEAM_PG_ID, "pg", 100),
-                ):
-                    vals = vb.get(key, [default] * vnc)
-                    blocks.append(
-                        struct.pack("<H", did) + struct.pack(f"<{vnc}B", *vals)
-                    )
-
-            if "xform" in e:
-                mat = e["xform"]  # 3 axis rows × nbeams, floats
-                vals = [
-                    int(round(mat[a][b] * 10000))
-                    for a in range(3)
-                    for b in range(nbeams)
-                ]
-                blocks.append(
-                    struct.pack("<H", XFORM_ID)
-                    + struct.pack(f"<{3 * nbeams}h", *vals)
-                )
-
-            if "bt" in e:
-                bt_in = e["bt"]
-                bt = bytearray(77 + nbeams)
-                struct.pack_into(
-                    "<HHH", bt, 0, BOTTOM_TRACK_ID,
-                    int(bt_in.get("pings", 50)), 0,
-                )
-                bt[9] = int(bt_in.get("mode", 5))
-                ranges_cm = bt_in.get("range_cm", [0] * nbeams)
-                vels_mm = bt_in.get("vel_mm", [0] * nbeams)
-                for b in range(nbeams):
-                    struct.pack_into("<H", bt, 16 + 2 * b, ranges_cm[b] & 0xFFFF)
-                    struct.pack_into("<h", bt, 24 + 2 * b, vels_mm[b])
-                    bt[32 + b] = bt_in.get("cor", [120] * nbeams)[b]
-                    bt[36 + b] = bt_in.get("amp", [80] * nbeams)[b]
-                    bt[40 + b] = bt_in.get("pg", [100] * nbeams)[b]
-                    bt[72 + b] = bt_in.get("rssi", [60] * nbeams)[b]
-                    bt[77 + b] = (ranges_cm[b] >> 16) & 0xFF
-                struct.pack_into(
-                    "<H", bt, 70, int(bt_in.get("max_depth_dm", 250))
-                )
-                bt[76] = int(bt_in.get("gain", 1))
-                blocks.append(bytes(bt))
-            ndt = len(blocks)
-            header_len = 6 + 2 * ndt
-            offsets = []
-            o = header_len
-            for b in blocks:
-                offsets.append(o)
-                o += len(b)
-            nbytes = o
-            header = struct.pack(
-                f"<HHBB{ndt}H", HEADER_ID, nbytes, 0, ndt, *offsets
-            )
-            body = header + b"".join(blocks)
-            checksum = sum(body) & 0xFFFF
-            f.write(body + struct.pack("<H", checksum))
+        f.write(encode_pd0(ensembles, ncells, nbeams, cell_len_cm, bin1_cm))
