@@ -2523,6 +2523,90 @@ def src_pd0_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snk_netcdf3_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(g.j AS INTEGER) AS t_idx,
+           doc_id + (g.j + 1) * 0.25 AS pressure,
+           CAST(doc_id % 100 + g.j AS INTEGER) AS temperature,
+           's' || CAST(doc_id % 10 AS VARCHAR) AS station,
+           CAST(doc_id % 7777 AS BIGINT) AS serial
+    FROM documents
+    CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) g
+    """,
+)
+def snk_netcdf3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sink path with driver-facing evidence (§2.2's exemplar, the
+    src_pd0_roundtrip twin): per document, write a classic netCDF-3
+    dataset with the repo's own CDF-1 encoder (functions/netcdf3.py
+    write_nc3 — header layout, dim/attr/var lists, big-endian coercion
+    with range-checked int narrowing), read it back with read_nc3, and
+    emit the decoded values. Fields are exact in the format (quarter
+    doubles, small ints, char variables with the implicit strlen dim,
+    a global attribute), so DuckDB replays the closed form; a hash
+    match proves writer and reader agree on the full container."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import os
+        import tempfile
+
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.netcdf3 import read_nc3, write_nc3
+
+        cols = ["doc_id", "t_idx", "pressure", "temperature", "station", "serial"]
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                fd, path = tempfile.mkstemp(suffix=".nc")
+                os.close(fd)
+                try:
+                    write_nc3(
+                        path,
+                        dims={"time": 4},
+                        variables={
+                            "P_1": {
+                                "dims": ("time",),
+                                "data": np.array(
+                                    [d + (j + 1) * 0.25 for j in range(4)]
+                                ),
+                                "attrs": {"units": "dbar"},
+                            },
+                            "T_28": {
+                                "dims": ("time",),
+                                "data": np.array(
+                                    [d % 100 + j for j in range(4)]
+                                ),
+                            },
+                            "station": {
+                                "dims": (),
+                                "data": np.array(f"s{d % 10}"),
+                            },
+                        },
+                        global_attrs={"serial": d % 7777},
+                    )
+                    back = read_nc3(path)
+                finally:
+                    os.unlink(path)
+                p = back["variables"]["P_1"]["data"]
+                t = back["variables"]["T_28"]["data"]
+                st = str(back["variables"]["station"]["data"])
+                serial = int(back["attrs"]["serial"])
+                for j in range(4):
+                    out.append((d, j, float(p[j]), int(t[j]), st, serial))
+            yield pd.DataFrame(out, columns=cols)
+
+    return spread(docs.select("doc_id")).mapInPandas(
+        gen,
+        "doc_id long, t_idx int, pressure double, temperature int,"
+        " station string, serial long",
+    )
+
+
+@register(
     "corpus_datacard",
     r"""
     WITH t AS (
@@ -6012,6 +6096,7 @@ _FRONT = [
     "text_html_extract",
     "corpus_datacard",
     "src_pd0_roundtrip",
+    "snk_netcdf3_roundtrip",
     "q2_min_cost_supplier",
     "q11_important_stock",
     "q16_supplier_part_count",
