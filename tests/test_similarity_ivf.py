@@ -161,3 +161,40 @@ def test_pq_adc_recall_floor_vs_brute_force(spark):
         for r in pq_adc_topk(emb, _QUERY_VEC, k=10, m=8, n_codes=16).collect()
     }
     assert len(bf & pq) / 10 >= 0.2
+
+
+def test_kmeans_refine_monotone_and_grid_snapped(spark):
+    """ivf_refine(round_to=9): total within-cluster squared error is
+    non-increasing per Lloyd pass, every refined centroid coordinate
+    sits exactly on the 1e-9 grid (the engine-replayability contract of
+    sim_kmeans_assign), and every vector's assignment is a valid
+    centroid id."""
+    import numpy as np
+
+    from stglib_spark.operators.similarity import (
+        ivf_assign,
+        ivf_refine,
+        ivf_seed_centroids,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    seeds = ivf_seed_centroids(emb, 8)
+    refined = ivf_refine(emb, seeds, iters=2, round_to=9)
+    for _, cv in refined:
+        for x in cv:
+            assert x == round(float(x), 9)
+
+    vecs = np.array(
+        [r["embedding"] for r in emb.orderBy("vec_id").collect()], dtype=float
+    )
+
+    def err(cents):
+        c = np.array([cv for _, cv in cents])
+        d2 = ((vecs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+        return d2.min(axis=1).sum()
+
+    assert err(refined) < err(seeds)
+
+    cids = {cid for cid, _ in refined}
+    got = {r["ivf_cell"] for r in ivf_assign(emb, refined).collect()}
+    assert got <= cids
