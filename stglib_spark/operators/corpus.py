@@ -718,3 +718,65 @@ def build_packed_sequences(
             ).alias("n_tokens"),
         )
     )
+
+
+def pps_sample(
+    df: DataFrame,
+    rate: float,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "pps1",
+    cap: float = 1.0,
+) -> DataFrame:
+    """Probability-proportional-to-size Bernoulli sampling: keep a row
+    iff its deterministic unit key < min(cap, size × rate). Where
+    stratified_sample keeps a FIXED fraction of documents per stratum,
+    PPS keeps a fixed fraction of *content* — a 10 kB document is 10×
+    likelier to survive than a 1 kB one, so the expected kept-token
+    volume per source tracks the corpus mix (the estimator behind
+    size-weighted corpus audits and token-uniform eval draws).
+
+    One codegen'd projection + filter, no shuffle, no rand(). The
+    membership test uses only IEEE-exact arithmetic (*, /, least) on the
+    portable hash — never ln/pow, whose last ulp differs across libms —
+    so a DuckDB oracle reproduces the sample bit-for-bit."""
+    key = sample_key(F.col(id_col), seed)
+    thr = F.least(
+        F.lit(float(cap)), F.col(size_col).cast("double") * F.lit(float(rate))
+    )
+    return df.filter(key < thr)
+
+
+def shard_manifest(
+    df: DataFrame,
+    n_shards: int = 64,
+    size_col: str = "n_chars",
+    id_col: str = "doc_id",
+    seed: str = "shard1",
+) -> DataFrame:
+    """Content-addressed output sharding + manifest: assign each document
+    to ``hash(id) % n_shards`` and report per-shard document count, byte
+    volume, and id range — the writer-side plan for "emit N balanced
+    files" plus the audit table a downstream loader reads to size its
+    splits. Hash sharding (not range) keeps shards balanced regardless of
+    id clustering; the manifest makes the balance VERIFIABLE before a
+    100 TB write commits.
+
+    One hash aggregate with map-side combine; the shuffle carries
+    n_shards partial rows per task, nothing scales with the corpus. The
+    same shard expression passed to ``DataFrameWriter.partitionBy`` (or
+    ``repartition(n_shards, shard)``) co-locates the actual write with
+    this manifest."""
+    shard = (
+        hash60(F.col(id_col).cast("string"), seed=seed) % F.lit(int(n_shards))
+    ).alias("shard")
+    return (
+        df.select(shard, F.col(size_col), F.col(id_col))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col(size_col).cast("long")).alias("total_chars"),
+            F.min(id_col).alias("min_doc_id"),
+            F.max(id_col).alias("max_doc_id"),
+        )
+    )

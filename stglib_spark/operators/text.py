@@ -408,3 +408,48 @@ def html_to_text(html: Column) -> Column:
     for ent, rep in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
     return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
+# URL canonicalization for dedup keys. Same portability discipline as the
+# HTML chain: patterns stay in the Java-regex ∩ RE2 subset; the only
+# non-regex step (lowercasing scheme+authority but NOT the path) is
+# extract → lower → substring → concat, each engine-exact.
+_URL_TRACKING = r"(utm_[a-z0-9]+|fbclid|gclid|ref)=[^&#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Normalize a URL into a duplicate-detection key, the way crawl
+    pipelines collapse the dozens of spellings one page accumulates:
+
+    - drop the ``#fragment`` (client-side only),
+    - lowercase the scheme and authority (host names are
+      case-insensitive; the PATH is case-sensitive and left alone),
+    - drop a leading ``www.``,
+    - drop explicit default ports (``http://…:80``, ``https://…:443``),
+    - strip tracking query parameters (``utm_*``, ``fbclid``, ``gclid``,
+      ``ref``) and any separator debris they leave,
+    - collapse a bare root path ``…/`` to the naked authority.
+
+    Pure string/regex projection — no UDF, no shuffle; runs at scan
+    speed inside whole-stage codegen. Deterministic, so the same page
+    maps to the same key on every run of a 100 TB crawl dedup."""
+    out = F.regexp_replace(url, r"#.*$", "")
+    # lowercase scheme+authority only: split at the first /, ? (or end)
+    # after the //, lower the head, keep the tail byte-identical
+    head = F.regexp_extract(out, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*", 0)
+    tail = F.substring(out, F.length(head) + 1, 1 << 30)
+    out = F.concat(F.lower(head), tail)
+    out = F.regexp_replace(out, r"^(https?://)www\.", r"$1")
+    # default ports — no lookahead (RE2 has none): capture the rest and
+    # put it back ($2 is empty when the port ends the string)
+    out = F.regexp_replace(out, r"^(http://[^/?#:]*):80([/?#].*)?$", r"$1$2")
+    out = F.regexp_replace(
+        out, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2"
+    )
+    # tracking params: mid-query (param + its trailing &) then last-param
+    # (the preceding ? or & goes with it)
+    out = F.regexp_replace(out, _URL_TRACKING + r"&", "")
+    out = F.regexp_replace(out, r"[?&]" + _URL_TRACKING + r"$", "")
+    out = F.regexp_replace(out, r"[?&]$", "")
+    out = F.regexp_replace(out, r"^(https?://[^/?#]*)/$", r"$1")
+    return out

@@ -1,0 +1,93 @@
+"""Semantic tests for the late-r5 corpus additions: PPS sampling
+(corpus.pps_sample), writer-shard manifests (corpus.shard_manifest), and
+URL canonicalization (text.canonicalize_url)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from stglib_spark.operators import corpus
+from stglib_spark.operators.text import canonicalize_url
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, "w " * (10 * (i % 40) + 1), 20 * (i % 40) + 2) for i in range(400)]
+    return spark.createDataFrame(rows, "doc_id long, text string, n_chars long")
+
+
+def test_pps_sample_deterministic_and_size_monotone(spark, docs):
+    a = {r.doc_id for r in corpus.pps_sample(docs, rate=2e-3).collect()}
+    b = {r.doc_id for r in corpus.pps_sample(docs, rate=2e-3).collect()}
+    assert a == b  # hash-keyed, not rand(): rerun reproduces membership
+    # a higher rate only ADDS members (same key, larger threshold)
+    c = {r.doc_id for r in corpus.pps_sample(docs, rate=4e-3).collect()}
+    assert a <= c
+    # docs at the cap (n_chars * rate >= 1) are always kept
+    capped = {
+        r.doc_id
+        for r in docs.filter(F.col("n_chars") >= int(1 / 2e-3)).collect()
+    }
+    assert capped <= a
+    # keep rate per size bucket grows with size (PPS, not uniform):
+    # compare the smallest and largest thirds
+    small = {r.doc_id for r in docs.filter("n_chars < 250").collect()}
+    large = {r.doc_id for r in docs.filter("n_chars >= 500").collect()}
+    assert len(a & large) / len(large) > len(a & small) / len(small)
+
+
+def test_shard_manifest_partitions_everything_once(spark, docs):
+    out = corpus.shard_manifest(docs, n_shards=16).collect()
+    assert sum(r.n_docs for r in out) == 400
+    assert sum(r.total_chars for r in out) == sum(
+        r.n_chars for r in docs.collect()
+    )
+    assert all(0 <= r.shard < 16 for r in out)
+    # hash sharding balances: no shard holds more than 3x the mean
+    assert max(r.n_docs for r in out) <= 3 * (400 / 16)
+
+
+CANON_CASES = [
+    # (input, expected)
+    (
+        "HTTPS://WWW.Example.COM:443/Path/To?utm_source=f&a=1#frag",
+        "https://example.com/Path/To?a=1",
+    ),
+    ("http://Example.com:80/", "http://example.com"),
+    ("https://example.com/?utm_campaign=x", "https://example.com"),
+    (
+        "http://www.example.com/Path?a=1&utm_medium=m&b=2",
+        "http://example.com/Path?a=1&b=2",
+    ),
+    ("https://EXAMPLE.com/p?ref=hn", "https://example.com/p"),
+    ("http://example.com/p?a=1&", "http://example.com/p?a=1"),
+    # non-http schemes: lowered authority, no www/port/root-slash logic
+    ("ftp://Weird.Host/Path", "ftp://weird.host/Path"),
+    # non-default port survives
+    ("https://example.com:8443/p", "https://example.com:8443/p"),
+    # PATH case is significant and preserved
+    ("http://example.com/CaseSensitive", "http://example.com/CaseSensitive"),
+    # fbclid/gclid stripped; fragment-only query debris cleaned
+    ("https://example.com/p?fbclid=abc#x", "https://example.com/p"),
+    ("https://example.com/p?gclid=1&q=2", "https://example.com/p?q=2"),
+]
+
+
+def test_canonicalize_url_cases(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], ["url"])
+    got = [
+        r.c
+        for r in df.select(canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in CANON_CASES]
+
+
+def test_canonicalize_url_idempotent(spark):
+    """Canonical output is a fixpoint: canonicalizing twice changes
+    nothing (required for incremental crawls that re-ingest their own
+    canonical keys)."""
+    df = spark.createDataFrame([(u,) for u, _ in CANON_CASES], ["url"])
+    once = df.select(canonicalize_url(F.col("url")).alias("c"))
+    twice = once.select(
+        F.col("c"), canonicalize_url(F.col("c")).alias("c2")
+    ).collect()
+    assert all(r.c == r.c2 for r in twice)
