@@ -6089,7 +6089,7 @@ def corpus_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-uniform draw behind corpus audits and eval sampling. One
     codegen'd filter; membership is IEEE-exact arithmetic on the
     portable hash (no ln/pow), so DuckDB reproduces it bit-for-bit."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return corpus_ops.pps_sample(docs, rate=1.5e-3).select(
         "doc_id", "lang", "source", "n_chars"
     )
@@ -6115,7 +6115,7 @@ def corpus_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     to one of 64 output shards and report per-shard doc count, byte
     volume, and id range — the audit that proves a 100 TB write will be
     balanced BEFORE it commits. One hash aggregate, map-side combine."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     return corpus_ops.shard_manifest(docs, n_shards=64)
 
 
@@ -6197,7 +6197,7 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl-side dedup that runs BEFORE any content hashing touches 100 TB
     of bodies. Canonicalization is a scan-speed regex projection; the
     keep-best is one window over the canonical key."""
-    docs = spread(load_table(spark, sf_dir, "documents"))
+    docs = load_table(spark, sf_dir, "documents")
     d = F.col("doc_id")
     scheme = F.when(
         d % 2 == 0,

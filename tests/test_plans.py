@@ -378,3 +378,38 @@ def test_pq_adc_topk_scan_speed_and_partial_topk(spark):
     assert count(plan, r"TakeOrderedAndProject") >= 1
     assert count(plan, r"Exchange") == 0
     assert count(plan, r"CartesianProduct|SortMergeJoin|BroadcastHashJoin") == 0
+
+
+def test_pps_sample_is_one_shuffle_free_pruned_scan(spark):
+    """PPS sampling is a codegen'd filter over the scan: zero exchanges,
+    and the text body is pruned out of the parquet read (the membership
+    test needs only id + size)."""
+    plan = plan_of(spark, "corpus_pps_sample")
+    assert count(plan, r"Exchange") == 0
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m and "text" not in m.group(1), plan
+    assert "n_chars" in m.group(1)
+
+
+def test_shard_manifest_single_aggregate_exchange(spark):
+    """The shard manifest is one hash aggregate with map-side combine:
+    the shuffle carries n_shards partial rows per task, never documents,
+    and the text column never leaves the parquet footer."""
+    plan = plan_of(spark, "corpus_shard_manifest", "simple")
+    assert count(plan, r"Exchange hashpartitioning") == 1
+    assert count(plan, r"HashAggregate") == 2  # partial + final
+    plan_f = plan_of(spark, "corpus_shard_manifest")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan_f)
+    assert m and "text" not in m.group(1), plan_f
+
+
+def test_url_canonical_dedup_one_key_exchange_no_text_read(spark):
+    """URL-canonical dedup shuffles once on the canonical key for the
+    keep-best window; the document body is never read (the key derives
+    from id + source metadata)."""
+    plan = plan_of(spark, "dedup_url_canonical", "simple")
+    assert count(plan, r"Exchange hashpartitioning") == 1
+    assert count(plan, r"Exchange SinglePartition") == 0
+    plan_f = plan_of(spark, "dedup_url_canonical")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan_f)
+    assert m and "text" not in m.group(1), plan_f
