@@ -712,3 +712,44 @@ def prioritized_exact_dedup(
         )
         .drop("__digest")
     )
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    index_digest_col: str = "digest",
+    broadcast_index: bool = False,
+) -> DataFrame:
+    """Incremental ingest dedup: admit only batch documents whose
+    normalized-text digest is NEW — absent from the already-ingested
+    corpus ``index`` AND unique within the batch (minimum id wins, with
+    the within-batch duplicate count kept for the ingest report). The
+    crawl-pipeline primitive: each arriving batch dedups against the
+    running index, and the returned (id, digest) rows are exactly what
+    gets appended to both the corpus and the index — so the index stays
+    a digest-only table (16 B a row, not bodies) no matter how many
+    petabytes the corpus grows.
+
+    Plan shape: one digest groupBy over the batch, then a LEFT ANTI join
+    against the index on the digest. The anti join shuffles digests
+    only; pass ``broadcast_index=True`` when the index is a bounded
+    recent window that fits an executor. At full scale, bucket BOTH
+    sides by digest so repeated ingests co-locate without reshuffling
+    the ever-growing index."""
+    digest = F.md5(normalize_text(F.col(text_col)))
+    kept = (
+        batch.withColumn("__digest", digest)
+        .groupBy("__digest")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count(F.lit(1)).alias("batch_dups"),
+        )
+    )
+    idx = index.select(F.col(index_digest_col).alias("__digest")).distinct()
+    if broadcast_index:
+        idx = F.broadcast(idx)
+    return kept.join(idx, "__digest", "left_anti").select(
+        F.col(id_col), F.col("__digest").alias("digest"), "batch_dups"
+    )

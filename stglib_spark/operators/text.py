@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Minimal per-language stopword marker sets for the n-gram/stopword
 # heuristic language ID. Chosen to be high-frequency and disjoint.
@@ -453,3 +453,61 @@ def canonicalize_url(url: Column) -> Column:
     out = F.regexp_replace(out, r"[?&]$", "")
     out = F.regexp_replace(out, r"^(https?://[^/?#]*)/$", r"$1")
     return out
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    top_k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction by TF×IDF over the corpus, with a
+    LINEAR idf — score = tf × (N+1)/(df+1) as one exact rational —
+    instead of the textbook log-idf. Rationale: the ranking feeds
+    dedup/curation decisions that must be reproducible run-to-run and
+    engine-to-engine, and ln's last ulp differs across libms while
+    integer multiply + one IEEE division is bit-exact everywhere.
+    (Linear idf promotes rare terms more aggressively than log-idf; for
+    a top-k cut that only reorders terms whose df differ, which is the
+    signal being ranked anyway.)
+
+    Plan shape: tokenize once, explode, two aggregates — (doc, term) tf
+    and per-term df — joined on the term, with the corpus size N
+    re-entering as a broadcast 1-row table (token-census pattern, never
+    a driver collect). The final top-k is one window over the doc key.
+    Shuffles carry (term, partials) and (doc, term, counts); the text
+    body never moves after the explode."""
+    from stglib_spark.operators.dedup import normalize_text
+
+    words = df.select(
+        F.col(id_col),
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("term"),
+    )
+    tf = words.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    # df falls out of tf for free: tf has exactly one row per (doc, term),
+    # so count-per-term == count distinct docs — one explode pass total.
+    # tf feeds BOTH the df aggregate and the join probe; without a persist
+    # the explode+aggregate runs twice (column pruning strips the count
+    # from the df branch's partial aggregate, so exchange reuse can't
+    # kick in). (id, term, tf) is ~30 B/row — MEMORY_AND_DISK spills
+    # cleanly at corpus scale.
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            (F.col("tf") * (F.col("__n") + 1)).cast("double")
+            / (F.col("df") + 1),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= int(top_k))
+        .select(id_col, "rank", "term", "tf", "df", "score")
+    )

@@ -6249,6 +6249,73 @@ def dedup_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_incremental_batch",
+    f"""
+    WITH d AS (SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents),
+    idx AS (SELECT DISTINCT digest FROM d WHERE doc_id % 3 = 0),
+    b AS (SELECT min(doc_id) AS doc_id, digest, count(*) AS batch_dups
+          FROM d WHERE doc_id % 3 <> 0 GROUP BY digest)
+    SELECT doc_id, digest, batch_dups
+    FROM b
+    WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.digest = b.digest)
+    """,
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (dedup.incremental_dedup): an arriving
+    batch (docs with id % 3 ≠ 0) dedups against the running corpus index
+    (digests of docs with id % 3 = 0) — within-batch collapse by min id,
+    then a digest-only LEFT ANTI join against the index. The admitted
+    rows are exactly what a crawl pipeline appends to the corpus AND the
+    index, so the index stays 16 B a row at any corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    index_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    index = index_docs.select(
+        F.md5(dedup_ops.normalize_text(F.col("text"))).alias("digest")
+    )
+    return dedup_ops.incremental_dedup(batch, index)
+
+
+@register(
+    "text_tfidf_keywords",
+    rf"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    t AS (SELECT doc_id,
+                 unnest(string_split_regex(nt, '\s+')) AS term
+          FROM norm WHERE nt <> ''),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
+    dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    s AS (SELECT doc_id, term, tf, df,
+                 (tf * (n + 1))::DOUBLE / (df + 1) AS score
+          FROM tf JOIN dfq USING (term) CROSS JOIN n),
+    r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                       ORDER BY score DESC, term) AS rank
+          FROM s)
+    SELECT doc_id, rank, term, CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS df, round(score, 6) AS score
+    FROM r WHERE rank <= 3
+    """,
+)
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF×IDF keywords (text.tfidf_keywords): linear-idf
+    rational score (engine-exact: integer multiply + one IEEE division,
+    no ln), top-3 per doc. Tokenize-once explode, two aggregates, term
+    join, corpus size as a broadcast 1-row table, one window on the doc
+    key."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text_ops.tfidf_keywords(docs, top_k=3)
+    return out.select(
+        "doc_id",
+        F.col("rank").cast("long").alias("rank"),
+        "term",
+        "tf",
+        "df",
+        _r6("score").alias("score"),
+    )
+
+
 # Registry ordering for the driver's correctness run. The driver records
 # rows for the FIRST ~50 registry entries, so ordering decides which
 # queries get driver-side evidence. Policy (round-4 fix for the r3
@@ -6342,6 +6409,8 @@ _FRONT = [
     "corpus_pps_sample",
     "corpus_shard_manifest",
     "dedup_url_canonical",
+    "dedup_incremental_batch",
+    "text_tfidf_keywords",
 ]
 
 

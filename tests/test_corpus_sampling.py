@@ -91,3 +91,68 @@ def test_canonicalize_url_idempotent(spark):
         F.col("c"), canonicalize_url(F.col("c")).alias("c2")
     ).collect()
     assert all(r.c == r.c2 for r in twice)
+
+
+def test_incremental_dedup_semantics(spark):
+    from stglib_spark.operators.dedup import incremental_dedup
+
+    index_rows = [("already ingested page",), ("another known page",)]
+    idx = spark.createDataFrame(index_rows, "text string").select(
+        F.md5(
+            F.trim(
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.lower(F.col("text")), r"[^\p{L}\p{N}\s]", ""
+                    ),
+                    r"\s+",
+                    " ",
+                )
+            )
+        ).alias("digest")
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "Already INGESTED page!"),  # dup of index (normalized)
+            (11, "fresh content one"),
+            (12, "fresh content two"),
+            (13, "fresh content one"),  # within-batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in incremental_dedup(batch, idx).collect()}
+    assert set(out) == {11, 12}  # 10 hit the index; 13 collapsed into 11
+    assert out[11].batch_dups == 2
+    assert out[12].batch_dups == 1
+    # broadcast path is semantically identical
+    out_b = {
+        r.doc_id
+        for r in incremental_dedup(batch, idx, broadcast_index=True).collect()
+    }
+    assert out_b == {11, 12}
+
+
+def test_tfidf_keywords_ranking(spark):
+    from stglib_spark.operators.text import tfidf_keywords
+
+    docs = spark.createDataFrame(
+        [
+            (1, "apple banana banana"),
+            (2, "apple cherry"),
+            (3, "durian"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = tfidf_keywords(docs, top_k=3).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for v in by_doc.values():
+        v.sort(key=lambda r: r.rank)
+    # doc1: banana tf=2 df=1 -> 2*(3+1)/2 = 4.0 beats apple 1*4/3
+    assert by_doc[1][0].term == "banana" and by_doc[1][0].score == 4.0
+    assert by_doc[1][1].term == "apple"
+    # doc3: single term, df=1 -> 1*4/2 = 2.0
+    assert by_doc[3][0].term == "durian" and by_doc[3][0].score == 2.0
+    # every doc emits at most top_k rows, ranks are 1..k contiguous
+    for v in by_doc.values():
+        assert [r.rank for r in v] == list(range(1, len(v) + 1))

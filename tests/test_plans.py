@@ -413,3 +413,33 @@ def test_url_canonical_dedup_one_key_exchange_no_text_read(spark):
     plan_f = plan_of(spark, "dedup_url_canonical")
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan_f)
     assert m and "text" not in m.group(1), plan_f
+
+
+def test_incremental_dedup_is_digest_anti_join(spark):
+    """Incremental ingest dedup: the index probe is a LEFT ANTI join on
+    the digest — no cartesian/nested-loop over corpus rows, and the
+    batch body is digested before any exchange (shuffles carry digests,
+    not text)."""
+    plan = plan_of(spark, "dedup_incremental_batch")
+    assert "LeftAnti" in plan
+    assert count(plan, r"CartesianProduct") == 0
+    # text never appears as a shuffle output attribute
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "text" not in line, line
+
+
+def test_tfidf_keywords_broadcasts_corpus_size(spark):
+    """TF-IDF: the corpus-size scalar enters as a broadcast 1-row table
+    (never a driver collect), the term join is an equi join, and no
+    cartesian product over corpus rows exists."""
+    plan = plan_of(spark, "text_tfidf_keywords", "simple")
+    assert count(plan, r"CartesianProduct") == 0
+    # the only nested-loop is the broadcast of the 1-row count
+    assert count(plan, r"BroadcastNestedLoopJoin") <= 1
+    assert "Window" in plan
+    # the tf table is cached: both the df aggregate and the join probe
+    # read it, so the corpus is exploded ONCE (InMemoryRelation in plan)
+    assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
+    # partial top-k before the window shuffle (WindowGroupLimit)
+    assert count(plan, r"WindowGroupLimit") >= 1
