@@ -780,3 +780,49 @@ def shard_manifest(
             F.max(id_col).alias("max_doc_id"),
         )
     )
+
+
+def gate_documents(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style hard quality gates with a per-document audit trail:
+    every document gets a ``keep`` flag plus the list of gates it FAILED
+    — the corpus twin of the QA/QC rule compiler (a gate never silently
+    deletes; the funnel report derives from the recorded reasons, so a
+    curator can see exactly why each megabyte died). One codegen'd
+    projection — no shuffle, no UDF, scan speed at 100 TB.
+
+    Gates (mirroring quality_score's signals as hard cuts): too_short
+    (<50 chars), too_long (>100 k chars), token_shape (mean token length
+    outside [2, 12]), low_alpha (alphabetic ratio < 0.5), high_punct
+    (punctuation ratio > 0.2)."""
+    from stglib_spark.operators.text import mean_token_length
+
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    alpha_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    punct_ratio = F.when(
+        n_chars > 0,
+        F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / n_chars,
+    ).otherwise(F.lit(0.0))
+    mean_tok = mean_token_length(t)
+    gates = [
+        ("too_short", n_chars < 50),
+        ("too_long", n_chars > 100000),
+        ("token_shape", ~((mean_tok >= 2.0) & (mean_tok <= 12.0))),
+        ("low_alpha", alpha_ratio < 0.5),
+        ("high_punct", punct_ratio > 0.2),
+    ]
+    empty = F.array().cast("array<string>")
+    reasons = F.concat(
+        *[
+            F.when(cond, F.array(F.lit(name))).otherwise(empty)
+            for name, cond in gates
+        ]
+    )
+    return df.withColumn("fail_reasons", reasons).withColumn(
+        "keep", F.size("fail_reasons") == 0
+    )

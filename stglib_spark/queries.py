@@ -6316,6 +6316,63 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_quality_funnel",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+      FROM documents
+    ), r AS (
+      SELECT doc_id,
+             n_chars < 50 AS f_short,
+             n_chars > 100000 AS f_long,
+             NOT ((CASE WHEN n_tok > 0 THEN n_nospace / n_tok ELSE 0.0 END)
+                    >= 2.0
+                  AND (CASE WHEN n_tok > 0 THEN n_nospace / n_tok
+                            ELSE 0.0 END) <= 12.0) AS f_tok,
+             (CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END)
+               < 0.5 AS f_alpha,
+             (CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END)
+               > 0.2 AS f_punct
+      FROM t
+    ), u AS (
+      SELECT 'too_short' AS gate, count(*) FILTER (WHERE f_short) AS n_docs
+      FROM r
+      UNION ALL SELECT 'too_long', count(*) FILTER (WHERE f_long) FROM r
+      UNION ALL SELECT 'token_shape', count(*) FILTER (WHERE f_tok) FROM r
+      UNION ALL SELECT 'low_alpha', count(*) FILTER (WHERE f_alpha) FROM r
+      UNION ALL SELECT 'high_punct', count(*) FILTER (WHERE f_punct) FROM r
+      UNION ALL SELECT 'kept', count(*) FILTER (
+        WHERE NOT (f_short OR f_long OR f_tok OR f_alpha OR f_punct)) FROM r
+    )
+    SELECT gate, n_docs FROM u WHERE n_docs > 0
+    """,
+)
+def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate funnel (corpus.gate_documents): hard Gopher-style
+    cuts with per-gate drop counts plus the surviving-document count —
+    the filter report a curator signs off before a 100 TB training run.
+    The gate pass is one codegen'd projection; the funnel is one explode
+    of the (≤5-element) reasons array + a tiny aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    gated = corpus_ops.gate_documents(docs)
+    per_gate = (
+        gated.select(F.explode("fail_reasons").alias("gate"))
+        .groupBy("gate")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    kept = gated.filter(F.col("keep")).agg(
+        F.lit("kept").alias("gate"), F.count(F.lit(1)).alias("n_docs")
+    )
+    return per_gate.unionByName(kept).filter(F.col("n_docs") > 0)
+
+
 # Registry ordering for the driver's correctness run. The driver records
 # rows for the FIRST ~50 registry entries, so ordering decides which
 # queries get driver-side evidence. Policy (round-4 fix for the r3
@@ -6411,6 +6468,7 @@ _FRONT = [
     "dedup_url_canonical",
     "dedup_incremental_batch",
     "text_tfidf_keywords",
+    "corpus_quality_funnel",
 ]
 
 

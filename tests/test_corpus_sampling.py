@@ -156,3 +156,25 @@ def test_tfidf_keywords_ranking(spark):
     # every doc emits at most top_k rows, ranks are 1..k contiguous
     for v in by_doc.values():
         assert [r.rank for r in v] == list(range(1, len(v) + 1))
+
+
+def test_gate_documents_reasons_and_keep(spark):
+    from stglib_spark.operators.corpus import gate_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "short"),  # too_short (+low_alpha? 'short'=5 alpha/5 -> 1.0 ok)
+            (2, "a decent length document body with plain readable words here"),
+            (3, "!!!! .... ;;;; " * 10),  # punct + low alpha + short tokens
+            (4, "x" * 200),  # one 200-char token -> token_shape
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in gate_documents(docs).collect()}
+    assert out[1].keep is False and "too_short" in out[1].fail_reasons
+    assert out[2].keep is True and out[2].fail_reasons == []
+    assert "high_punct" in out[3].fail_reasons
+    assert "low_alpha" in out[3].fail_reasons
+    assert "token_shape" in out[4].fail_reasons
+    # keep <=> empty reasons, for every row
+    assert all((r.keep) == (len(r.fail_reasons) == 0) for r in out.values())
