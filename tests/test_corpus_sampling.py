@@ -178,3 +178,43 @@ def test_gate_documents_reasons_and_keep(spark):
     assert "token_shape" in out[4].fail_reasons
     # keep <=> empty reasons, for every row
     assert all((r.keep) == (len(r.fail_reasons) == 0) for r in out.values())
+
+
+def test_canonicalize_url_grammar_batch(spark):
+    """Batched randomized grammar test (one Spark pass, not
+    per-example): every canonical output has a lowercase authority, no
+    fragment, no tracking params, no default port, no dangling ?/& —
+    and canonicalization is idempotent on all of them."""
+    import itertools
+    import re as _re
+
+    schemes = ["http", "HTTP", "https", "HTTPS", "Http"]
+    hosts = ["Example.COM", "sub.Host.org", "WWW.Mixed.Net", "xn--caf-dma.fr"]
+    ports = ["", ":80", ":443", ":8080"]
+    paths = ["", "/", "/A/b", "/x%20y", "/trail/"]
+    queries = ["", "?a=1", "?utm_source=x", "?a=1&utm_a=2&b=3", "?ref=r&z=9"]
+    frags = ["", "#f", "#Frag?x=1"]
+    urls = [
+        f"{s}://{h}{po}{pa}{q}{fr}"
+        for s, h, po, pa, q, fr in itertools.product(
+            schemes, hosts, ports, paths, queries, frags
+        )
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"])
+    rows = df.select(
+        canonicalize_url(F.col("url")).alias("c"),
+        canonicalize_url(canonicalize_url(F.col("url"))).alias("cc"),
+    ).collect()
+    for r in rows:
+        assert r.c == r.cc, (r.c, r.cc)
+        auth = _re.match(r"^[a-z][a-z0-9+.-]*://[^/?#]*", r.c)
+        assert auth and auth.group(0) == auth.group(0).lower(), r.c
+        assert "#" not in r.c, r.c
+        assert "utm_" not in r.c and "ref=" not in r.c, r.c
+        # default ports only: :80 is default for http, :443 for https —
+        # the cross pairings are real ports and must survive
+        if r.c.startswith("http://"):
+            assert ":80/" not in r.c and not r.c.endswith(":80"), r.c
+        if r.c.startswith("https://"):
+            assert ":443/" not in r.c and not r.c.endswith(":443"), r.c
+        assert not r.c.endswith("?") and not r.c.endswith("&"), r.c
