@@ -855,6 +855,28 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     paths["quality"] = _write_zone(quality, config, "quality", history)
     qz = spark.read.parquet(paths["quality"])
 
+    if config.get("hard_gates"):
+        # opt-in Gopher-style hard cuts between scoring and sampling:
+        # the funnel zone records per-gate drop counts (nothing deleted
+        # silently — QA/QC philosophy), and census/mix/packs see only
+        # survivors
+        gated = corpus_ops.gate_documents(qz, text_col=text_col, id_col=id_col)
+        per_gate = (
+            gated.select(F.explode("fail_reasons").alias("gate"))
+            .groupBy("gate")
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+        )
+        kept_row = gated.filter(F.col("keep")).agg(
+            F.lit("kept").alias("gate"), F.count(F.lit(1)).alias("n_docs")
+        )
+        paths["funnel"] = _write_zone(
+            per_gate.unionByName(kept_row), config, "funnel", history
+        )
+        qz = gated.filter(F.col("keep")).drop("fail_reasons", "keep")
+        history.insert_history(
+            "Applied hard quality gates (per-gate funnel written)."
+        )
+
     census = corpus_ops.token_census(
         qz, lang_col="lang_pred", tokens_col="n_tokens"
     )

@@ -218,3 +218,33 @@ def test_canonicalize_url_grammar_batch(spark):
         if r.c.startswith("https://"):
             assert ":443/" not in r.c and not r.c.endswith(":443"), r.c
         assert not r.c.endswith("?") and not r.c.endswith("&"), r.c
+
+
+def test_run_corpus_hard_gates_funnel_zone(spark, tmp_path):
+    """run_corpus with hard_gates: the funnel zone's counts reconcile
+    with the mix input (census/mix see only survivors)."""
+    import pyarrow.parquet as pq
+
+    from stglib_spark.pipeline import run_corpus
+
+    docs = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    ).write.mode("overwrite").parquet(docs)
+    cfg = {
+        "filename": "gatedrun",
+        "documents_path": docs,
+        "output_dir": str(tmp_path),
+        "hard_gates": True,
+        "pack_seq_len": 256,
+        "pack_shards": 4,
+        "mix_fractions": {"high": 1.0, "mid": 1.0, "low": 1.0},
+    }
+    paths = run_corpus(spark, cfg)
+    assert "funnel" in paths
+    funnel = pq.read_table(paths["funnel"]).to_pandas()
+    kept = int(funnel.loc[funnel["gate"] == "kept", "n_docs"].iloc[0])
+    quality = pq.read_table(paths["quality"]).to_pandas()
+    mix = pq.read_table(paths["mix"]).to_pandas()
+    assert kept < len(quality)  # some gate fired on the synthetic corpus
+    assert len(mix) == kept  # fractions 1.0 -> mix = exactly the survivors
