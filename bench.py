@@ -56,6 +56,10 @@ HEADLINE = [
     "corpus_budget_sample",
     "corpus_remove_boilerplate",
     "corpus_remove_dup_spans",
+    # crawl-ingest front door: quality gating and batch-vs-index dedup
+    # run on every arriving batch before anything above touches it
+    "corpus_quality_funnel",
+    "dedup_incremental_batch",
 ]
 
 
@@ -101,6 +105,8 @@ def main() -> None:
         "corpus_budget_sample",
         "corpus_remove_boilerplate",
         "corpus_remove_dup_spans",
+        "corpus_quality_funnel",
+        "dedup_incremental_batch",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3
