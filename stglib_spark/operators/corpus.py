@@ -826,3 +826,71 @@ def gate_documents(
     return df.withColumn("fail_reasons", reasons).withColumn(
         "keep", F.size("fail_reasons") == 0
     )
+
+
+def mixture_allocate(
+    df: DataFrame,
+    total_budget: int,
+    source_col: str = "source",
+    text_col: str = "text",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Temperature-weighted domain mixture allocation: split a global
+    training-token budget across sources with square-root temperature
+    scaling (alpha = 0.5, the standard multilingual/multi-domain
+    up-weighting that keeps small sources from vanishing — weight_d
+    proportional to sqrt(tokens_d), cf. the sampling exponent in
+    multilingual pretraining recipes). The output is the allocation
+    table a mix builder feeds into ``budget_sample`` per source.
+
+    Engine-exact by construction, so the allocation — not just the
+    counts — is driver-oracle-checkable:
+
+    - sqrt is IEEE-754 correctly rounded in every engine (unlike
+      pow/ln, whose last ulp differs across libms), so sqrt(tokens_d)
+      is bit-identical in Spark and DuckDB;
+    - the weight denominator sums MICRO-INTEGER sqrt values
+      (floor(sqrt * 1e6 + 0.5) as BIGINT), making the sum
+      order-independent across partitions and engines;
+    - each source's budget is floor(total_budget * micro_d /
+      total_micro) evaluated in 38-digit integer arithmetic
+      (decimal(38,0) / HUGEINT) — no float anywhere in the allocation,
+      so a source on a rounding boundary cannot flip between engines,
+      and the same guarantee holds past 2^53 tokens at 100 TB.
+
+    Scale shape: one hash aggregate over sources (map-side partial
+    sums; the shuffle carries one row per source per task) + a 1-row
+    broadcast total. Floor allocation undershoots the global budget by
+    at most one token per source; callers that must hit the budget
+    exactly hand the remainder to the largest source.
+    """
+    from stglib_spark.operators.text import token_count
+
+    toks = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    per_source = (
+        df.select(F.col(source_col).alias("source"), toks.cast("long").alias("__t"))
+        .groupBy("source")
+        .agg(F.sum("__t").alias("n_tokens"))
+        .withColumn(
+            "__micro",
+            F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6 + F.lit(0.5))
+            .cast("bigint"),
+        )
+    )
+    totals = per_source.agg(F.sum("__micro").alias("__total_micro"))
+    wide = "decimal(38,0)"
+    # Exact floor division: subtract the remainder first so the decimal
+    # divide is exact (a bare decimal '/' rounds HALF_UP at result
+    # scale, which could flip a budget sitting on a floor boundary).
+    num = F.lit(int(total_budget)).cast(wide) * F.col("__micro").cast(wide)
+    tot = F.col("__total_micro").cast(wide)
+    budget = ((num - F.pmod(num, tot)) / tot).cast("long")
+    return (
+        per_source.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tokens",
+            (F.col("__micro").cast("double") / 1e6).alias("sqrt_weight"),
+            budget.alias("budget_tokens"),
+        )
+    )
