@@ -307,7 +307,7 @@ def repetition_stats(
         ).otherwise(F.lit(0).cast("long")),
     )
     toks = F.split(
-        F.trim(F.regexp_replace(F.lower(t), r"\s+", " ")), " "
+        F.trim(F.regexp_replace(F.lower(t), r"[ \t\n\x0B\f\r]+", " ")), " "
     )
     n_toks = F.size(toks)
     top_tok = F.array_max(
@@ -484,7 +484,7 @@ def url_domain_stats(
     aggregate with map-side combine; shuffle carries (domain, partials),
     bounded by the domain vocabulary, not the corpus."""
     urls = F.regexp_extract_all(
-        F.col(text_col), F.lit(r"https?://[^\s/]+"), 0
+        F.col(text_col), F.lit(r"https?://[^ \t\n\x0B\f\r/]+"), 0
     )
     # lower FIRST, then strip: a case-sensitive prefix strip would leave
     # "WWW." intact

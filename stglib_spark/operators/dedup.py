@@ -27,9 +27,15 @@ def normalize_text(text: Column) -> Column:
     (``\\p{L}\\p{N}``): a Latin-only class would normalize every
     non-Latin-script document to the empty string and collapse the whole
     multilingual corpus into one "duplicate"."""
+    # whitespace spelled out as Java-\s ([ \t\n\x0B\f\r]) so the RE2-based
+    # DuckDB oracles (whose \s omits \x0B) replay it byte-identically
     return F.trim(
         F.regexp_replace(
-            F.regexp_replace(F.lower(text), r"[^\p{L}\p{N}\s]", ""), r"\s+", " "
+            F.regexp_replace(
+                F.lower(text), r"[^\p{L}\p{N} \t\n\x0B\f\r]", ""
+            ),
+            r"[ \t\n\x0B\f\r]+",
+            " ",
         )
     )
 

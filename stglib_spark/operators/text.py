@@ -23,12 +23,19 @@ LANG_MARKERS: dict[str, list[str]] = {
 }
 
 
+# Java's \s is [ \t\n\x0B\f\r]; RE2's \s (DuckDB) omits \x0B. Every
+# whitespace regex in an oracle-replayed kernel spells the class out so
+# the two engines agree byte-for-byte on any input — the SQL oracles in
+# queries.py carry the same literal class.
+WS = r"[ \t\n\x0B\f\r]"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty string → empty array (split of '' in
     Spark yields [''], which must not count as a token)."""
     trimmed = F.trim(text)
     return F.when(trimmed == "", F.array().cast("array<string>")).otherwise(
-        F.split(trimmed, r"\s+")
+        F.split(trimmed, WS + "+")
     )
 
 
@@ -42,7 +49,9 @@ def bpe_ish_token_count(text: Column) -> Column:
     splits words, digits, and punctuation runs — a deterministic stand-in
     for a real tokenizer's token count (≈ GPT-2 pre-tokenizer classes)."""
     return F.size(
-        F.regexp_extract_all(text, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+)"), 0)
+        F.regexp_extract_all(
+            text, F.lit(r"([A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]+)"), 0
+        )
     )
 
 
@@ -65,7 +74,7 @@ def mean_token_length(text: Column) -> Column:
     """Mean token length = len(text without whitespace) / token count."""
     n = token_count(text)
     return F.when(
-        n > 0, F.length(F.regexp_replace(text, r"\s+", "")) / n
+        n > 0, F.length(F.regexp_replace(text, WS + "+", "")) / n
     ).otherwise(F.lit(0.0))
 
 
@@ -143,7 +152,11 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
     dedup key. md5 chosen over xxhash64 so a SQL oracle (DuckDB) computes
     the identical value."""
     norm = F.regexp_replace(
-        F.regexp_replace(F.lower(F.col(text_col)), r"[^\p{L}\p{N}\s]", ""), r"\s+", " "
+        F.regexp_replace(
+            F.lower(F.col(text_col)), r"[^\p{L}\p{N} \t\n\x0B\f\r]", ""
+        ),
+        WS + "+",
+        " ",
     )
     return df.withColumn(out_col, F.md5(F.trim(norm)))
 
@@ -376,8 +389,9 @@ def bigram_logprob_score(
 # the Java-regex ∩ RE2 subset ((?is) flags, lazy quantifiers, no
 # backrefs) so a DuckDB oracle replays it byte-for-byte.
 _HTML_KILL = (
-    r"(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>"
-    r"|<noscript\b[^>]*>.*?</noscript\s*>"
+    r"(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>"
+    r"|<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>"
+    r"|<noscript\b[^>]*>.*?</noscript[ \t\n\x0B\f\r]*>"
 )
 _HTML_COMMENT = r"(?s)<!--.*?-->"
 _HTML_TAG = r"(?s)<[^>]+>"
@@ -407,7 +421,7 @@ def html_to_text(html: Column) -> Column:
     out = F.regexp_replace(out, _HTML_TAG, " ")
     for ent, rep in _HTML_ENTITIES:
         out = F.replace(out, F.lit(ent), F.lit(rep))
-    return F.trim(F.regexp_replace(out, r"\s+", " "))
+    return F.trim(F.regexp_replace(out, WS + "+", " "))
 
 
 # URL canonicalization for dedup keys. Same portability discipline as the
@@ -446,9 +460,13 @@ def canonicalize_url(url: Column) -> Column:
     out = F.regexp_replace(
         out, r"^(https://[^/?#:]*):443([/?#].*)?$", r"$1$2"
     )
-    # tracking params: mid-query (param + its trailing &) then last-param
-    # (the preceding ? or & goes with it)
-    out = F.regexp_replace(out, _URL_TRACKING + r"&", "")
+    # tracking params: mid-query (a RUN of params, each with its trailing
+    # &, anchored on the left by the ? or & separator — the anchor is
+    # what stops 'href='/'pref='/'xref=' from matching inside longer
+    # param names) then last-param (the preceding ? or & goes with it)
+    out = F.regexp_replace(
+        out, r"([?&])(?:" + _URL_TRACKING + r"&)+", r"$1"
+    )
     out = F.regexp_replace(out, r"[?&]" + _URL_TRACKING + r"$", "")
     out = F.regexp_replace(out, r"[?&]$", "")
     out = F.regexp_replace(out, r"^(https?://[^/?#]*)/$", r"$1")

@@ -1337,12 +1337,13 @@ def ts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM e
     ), sess AS (
       SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                  ROWS UNBOUNDED PRECEDING) AS session_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id,
+             min(us) OVER (PARTITION BY user_id) AS user_min_us
       FROM marked
     )
     SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
            CAST(count(*) AS INTEGER) AS n_events,
-           min(us) AS start_us,
+           min(us) - min(user_min_us) AS start_rel_us,
            max(us) - min(us) AS duration_us,
            sum(CAST(sign(value) * floor(abs(value) * 100 + 0.5)
                     AS BIGINT)) AS value_cents
@@ -1356,8 +1357,14 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     silence starts a new per-user session; sessions aggregate count,
     start, duration, and value. One window over (user, time) — the
     same single series-exchange the QA/QC diff rules share — then a
-    hash aggregate; timestamps compared in exact microseconds and the
-    value sum in integer cents (order-independent across engines)."""
+    hash aggregate; the value sum in integer cents (order-independent
+    across engines). Every output is a timezone-invariant integer:
+    session starts are reported RELATIVE to the user's first event
+    (epoch-µs differences), never as absolute epochs — a naive-parquet
+    timestamp read under a non-UTC session shifts every absolute epoch
+    by the zone offset while all µs DIFFERENCES cancel exactly, so the
+    result is identical under any engine/session timezone (the r5
+    driver-red suspect)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts"))
@@ -1365,16 +1372,23 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_new = F.when(
         gap.isNull() | (gap > 1800 * 1000 * 1000), F.lit(1)
     ).otherwise(F.lit(0))
-    sess = ev.withColumn("__us", us).withColumn(
-        "session_id",
-        F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    sess = (
+        ev.withColumn("__us", us)
+        .withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "__user_min_us",
+            F.min("__us").over(Window.partitionBy("user_id")),
+        )
     )
     cents = (
         F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
     ).cast("long")
     return sess.groupBy("user_id", "session_id").agg(
         F.count(F.lit(1)).cast("int").alias("n_events"),
-        F.min("__us").alias("start_us"),
+        (F.min("__us") - F.min("__user_min_us")).alias("start_rel_us"),
         (F.max("__us") - F.min("__us")).alias("duration_us"),
         F.sum(cents).alias("value_cents"),
     ).withColumn("session_id", F.col("session_id").cast("int"))
@@ -1853,8 +1867,8 @@ def coord_beam2enu_4beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT doc_id,
            CASE WHEN trim(text) = '' THEN 0
-                ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
-           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9\s]+)')) AS n_bpe
+                ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
+           len(regexp_extract_all(text, '([A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]+)')) AS n_bpe
     FROM documents
     """,
 )
@@ -1874,12 +1888,12 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              length(text) AS n_chars,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tok,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-             length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
+             length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS n_nospace,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  ELSE len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                            x -> x IN ('the','and','of','is','to'))) END AS n_stop
       FROM documents
     ), r AS (
@@ -1922,7 +1936,7 @@ for _lang, _markers in text_ops.LANG_MARKERS.items():
     _inlist = ",".join(f"'{m}'" for m in _markers)
     _LANG_CASES.append(
         f"CASE WHEN trim(text)='' THEN 0 ELSE len(list_filter("
-        f"string_split_regex(lower(trim(text)), '\\s+'), x -> x IN ({_inlist}))) END"
+        f"string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'), x -> x IN ({_inlist}))) END"
         f" AS hits_{_lang}"
     )
 _LANG_HITS = ", ".join(_LANG_CASES)
@@ -1955,7 +1969,7 @@ def _norm_sql(col: str = "text") -> str:
     exact/LSH dedup, priority dedup)."""
     return (
         rf"trim(regexp_replace(regexp_replace(lower({col}),"
-        rf" '[^\p{{L}}\p{{N}}\s]', '', 'g'), '\s+', ' ', 'g'))"
+        rf" '[^\p{{L}}\p{{N}} \t\n\x0B\f\r]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g'))"
     )
 
 
@@ -2218,7 +2232,7 @@ def corpus_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     u AS (
       SELECT doc_id,
-             unnest(regexp_extract_all(t, 'https?://[^\s/]+')) AS url
+             unnest(regexp_extract_all(t, 'https?://[^ \t\n\x0B\f\r/]+')) AS url
       FROM aug)
     SELECT regexp_replace(lower(url), '^https?://(www\.)?', '') AS domain,
            count(DISTINCT doc_id) AS n_docs,
@@ -2254,7 +2268,7 @@ _PACK_H60 = _H60.format(s="'pack1' || CAST(doc_id AS VARCHAR)")
     WITH base AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
              {_PACK_H60} % 8 AS shard
       FROM documents
     ), nz AS (SELECT * FROM base WHERE n_tokens > 0),
@@ -2286,7 +2300,7 @@ def corpus_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH h AS (SELECT doc_id, {_LANG_HITS},
                       CASE WHEN trim(text) = '' THEN 0
-                           ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok
+                           ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tok
                FROM documents),
     b AS (SELECT *, {_LANG_BEST} AS best FROM h),
     c AS (SELECT *, {_LANG_NBEST} AS n_best FROM b),
@@ -2317,7 +2331,7 @@ _BUDGET_H60 = _H60.format(s="'budget1' || CAST(doc_id AS VARCHAR)")
     WITH base AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tokens,
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tokens,
              {_BUDGET_H60} % 8 AS shard,
              ({_BUDGET_H60})::DOUBLE / 1152921504606846976.0 AS k
       FROM documents
@@ -2348,7 +2362,7 @@ def corpus_budget_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b0 AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(text), '\s+') END AS tks,
+                  ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS tks,
              {_PACK_H60} % 8 AS shard
       FROM documents
     ), nz AS (
@@ -2400,7 +2414,7 @@ _UNIGRAM_TOPK = 200
     WITH base AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS tks
+                  ELSE string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') END AS tks
       FROM documents
     ),
     vocab AS (
@@ -2613,12 +2627,12 @@ def snk_netcdf3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, source, lang, text,
              length(text) AS n_chars,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tok,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-             length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace,
+             length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS n_nospace,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                  ELSE len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
                            x -> x IN ('the','and','of','is','to'))) END AS n_stop
       FROM documents
     ), q AS (
@@ -2633,56 +2647,82 @@ def snk_netcdf3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                        0.25), 6) AS qs
       FROM t
     )
+    , r AS (
+      SELECT source, lang, text, n_tok,
+             CAST(floor(qs * 1000000 + 0.5) AS BIGINT) AS micro,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY floor(qs * 1000000 + 0.5)) AS rn,
+             count(*) OVER (PARTITION BY source, lang) AS n
+      FROM q
+    )
     SELECT source, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
-           sum(CAST(floor(qs * 1000000 + 0.5) AS BIGINT)) AS quality_micro_sum,
-           -- quantiles over the micro-INTEGER quality: interpolation on
-           -- ints is exact in both engines, where a 1-ulp difference in
-           -- the computed double occasionally flips the 6th decimal
-           round(quantile_cont(CAST(floor(qs * 1000000 + 0.5) AS BIGINT), 0.5)
-                 / 1000000, 6) AS quality_p50,
-           round(quantile_cont(CAST(floor(qs * 1000000 + 0.5) AS BIGINT), 0.9)
-                 / 1000000, 6) AS quality_p90
-    FROM q GROUP BY source, lang
+           sum(micro) AS quality_micro_sum,
+           -- exact linear-interpolation quantiles over the micro-INTEGER
+           -- quality, computed in PURE INTEGER arithmetic (value x 10):
+           -- for p = k/10, h = k*(n-1)/10 splits into lo = k*(n-1)//10
+           -- and remainder r, and 10*quantile = v[lo]*(10-r) + v[lo+1]*r
+           -- — no quantile_cont, no division, no rounding, so no
+           -- engine-version interpolation drift can flip a digit
+           sum(CASE WHEN rn - 1 = ((n - 1) * 5) // 10
+                    THEN micro * (10 - ((n - 1) * 5) % 10)
+                    WHEN rn - 1 = ((n - 1) * 5) // 10 + 1
+                    THEN micro * (((n - 1) * 5) % 10)
+                    ELSE 0 END) AS quality_p50_micro10,
+           sum(CASE WHEN rn - 1 = ((n - 1) * 9) // 10
+                    THEN micro * (10 - ((n - 1) * 9) % 10)
+                    WHEN rn - 1 = ((n - 1) * 9) // 10 + 1
+                    THEN micro * (((n - 1) * 9) % 10)
+                    ELSE 0 END) AS quality_p90_micro10
+    FROM r GROUP BY source, lang
     """,
 )
 def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The data-governance artifact every corpus release ships: per
     (source, language) document/token counts, exact-duplicate count
     (docs minus distinct text digests), and the quality-score
-    distribution (micro-unit integer sum — order-independent across
-    engines — plus exact p50/p90 via the percentile/quantile_cont
-    equivalence). Pure composition of already-verified pieces: one
-    scan-speed quality projection, one doc_id equi-join for the
-    metadata, one hash aggregate by (source, lang)."""
+    distribution: micro-unit integer sum plus exact p50/p90 reported as
+    10x-micro INTEGERS via manual linear interpolation — for p = k/10
+    the interpolated quantile times 10 is v[lo]*(10-r) + v[lo+1]*r with
+    lo = k*(n-1)//10 and r = k*(n-1)%10, all in 64-bit integer
+    arithmetic, so no engine's quantile_cont/percentile interpolation
+    or round() implementation can drift a digit (the r5 driver-red
+    suspect). Plan: one scan-speed quality projection, one doc_id
+    equi-join, one window over (source, lang) for rank/count, one hash
+    aggregate on the same key — the window exchange is reused by the
+    aggregate. (The 100 TB twin is percentile_approx; this exact
+    variant is the auditable version.)"""
     docs = spread(load_table(spark, sf_dir, "documents"))
     q = text_ops.quality_score(docs).select(
         "doc_id", "n_tokens", "quality_score"
     )
     base = docs.select("doc_id", "source", "lang", F.md5("text").alias("__d"))
-    joined = base.join(q, "doc_id")
     micro = F.floor(F.col("quality_score") * 1000000 + F.lit(0.5)).cast("long")
-    return joined.groupBy("source", "lang").agg(
+    joined = base.join(q, "doc_id").withColumn("__micro", micro)
+    grp = Window.partitionBy("source", "lang")
+    ranked = joined.withColumn(
+        "__rn", F.row_number().over(grp.orderBy("__micro"))
+    ).withColumn("__n", F.count(F.lit(1)).over(grp))
+
+    def _interp10(k: int) -> Column:
+        pos = (F.col("__n") - 1) * k
+        lo = F.expr(f"((__n - 1) * {k}) div 10")
+        r = pos % 10
+        return F.sum(
+            F.when(F.col("__rn") - 1 == lo, F.col("__micro") * (10 - r))
+            .when(F.col("__rn") - 1 == lo + 1, F.col("__micro") * r)
+            .otherwise(F.lit(0).cast("long"))
+        )
+
+    return ranked.groupBy("source", "lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").cast("bigint").alias("n_tokens"),
         (F.count(F.lit(1)) - F.countDistinct("__d")).alias("n_exact_dups"),
-        F.sum(micro).alias("quality_micro_sum"),
-        F.round(
-            F.expr(
-                "percentile(cast(floor(quality_score * 1000000 + 0.5) as bigint), 0.5)"
-            )
-            / 1000000,
-            6,
-        ).alias("quality_p50"),
-        F.round(
-            F.expr(
-                "percentile(cast(floor(quality_score * 1000000 + 0.5) as bigint), 0.9)"
-            )
-            / 1000000,
-            6,
-        ).alias("quality_p90"),
+        F.sum("__micro").alias("quality_micro_sum"),
+        _interp10(5).alias("quality_p50_micro10"),
+        _interp10(9).alias("quality_p90_micro10"),
     )
 
 
@@ -2707,7 +2747,7 @@ _HTML_POST = (
       FROM documents
     ),
     r1 AS (SELECT doc_id, regexp_replace(html,
-             '(?is)<script\b[^>]*>.*?</script\s*>|<style\b[^>]*>.*?</style\s*>|<noscript\b[^>]*>.*?</noscript\s*>',
+             '(?is)<script\b[^>]*>.*?</script[ \t\n\x0B\f\r]*>|<style\b[^>]*>.*?</style[ \t\n\x0B\f\r]*>|<noscript\b[^>]*>.*?</noscript[ \t\n\x0B\f\r]*>',
              ' ', 'g') AS t FROM h),
     r2 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', ' ', 'g') AS t
            FROM r1),
@@ -2719,7 +2759,7 @@ _HTML_POST = (
               '&#39;', ''''), '&amp;', '&') AS t
           FROM r3),
     fin AS (SELECT doc_id,
-              trim(regexp_replace(t, '\s+', ' ', 'g')) AS txt FROM e)
+              trim(regexp_replace(t, '[ \t\n\x0B\f\r]+', ' ', 'g')) AS txt FROM e)
     SELECT doc_id, CAST(length(txt) AS INTEGER) AS n_chars,
            md5(txt) AS text_md5
     FROM fin
@@ -2752,7 +2792,7 @@ _BIGRAM_TOPK = 2000
     WITH base AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(lower(trim(text)), '\s+') END AS tks
+                  ELSE string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') END AS tks
       FROM documents
     ),
     vocab AS (
@@ -2807,7 +2847,7 @@ def text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH base AS (
       SELECT doc_id,
              CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                  ELSE string_split_regex(trim(text), '\s+') END AS t
+                  ELSE string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') END AS t
       FROM documents
     ), nz AS (SELECT doc_id, t, len(t) AS n FROM base WHERE len(t) > 0),
     g AS (
@@ -3016,7 +3056,7 @@ _CORPUS_SHINGLE5 = r"""
     WITH norm AS (
       SELECT doc_id,
              trim(regexp_replace(regexp_replace(lower(text),
-                  '[^\p{L}\p{N}\s]', '', 'g'), '\s+', ' ', 'g')) AS t
+                  '[^\p{L}\p{N} \t\n\x0B\f\r]', '', 'g'), '[ \t\n\x0B\f\r]+', ' ', 'g')) AS t
       FROM documents),
     tok AS (SELECT doc_id, t, string_split(t, ' ') AS toks FROM norm),
     sh AS (
@@ -3060,7 +3100,7 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id,
              list_filter(string_split(text, chr(10)),
                          x -> trim(x) <> '') AS ls,
-             string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+             string_split(trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g')),
                           ' ') AS toks
       FROM documents),
     lf AS (SELECT doc_id, unnest(ls) AS line FROM base),
@@ -6168,7 +6208,8 @@ _URL_AUTH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
                   regexp_replace(u, '^(https://[^/?#:]*):443([/?#].*)?$',
                                  '\1\2') AS u FROM s4),
     s6 AS (SELECT doc_id, n_chars,
-                  regexp_replace(u, '{_URL_TRACK_RE}&', '', 'g') AS u
+                  regexp_replace(u, '([?&])(?:{_URL_TRACK_RE}&)+', '\1',
+                                 'g') AS u
            FROM s5),
     s7 AS (SELECT doc_id, n_chars,
                   regexp_replace(u, '[?&]{_URL_TRACK_RE}$', '') AS u
@@ -6282,7 +6323,7 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rf"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
     t AS (SELECT doc_id,
-                 unnest(string_split_regex(nt, '\s+')) AS term
+                 unnest(string_split_regex(nt, '[ \t\n\x0B\f\r]+')) AS term
           FROM norm WHERE nt <> ''),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY doc_id, term),
     dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM t GROUP BY term),
@@ -6323,10 +6364,10 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id, text,
              length(text) AS n_chars,
              CASE WHEN trim(text) = '' THEN 0
-                  ELSE len(string_split_regex(trim(text), '\s+')) END AS n_tok,
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tok,
              length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
              length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
-             length(regexp_replace(text, '\s+', '', 'g')) AS n_nospace
+             length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS n_nospace
       FROM documents
     ), r AS (
       SELECT doc_id,
@@ -6383,68 +6424,33 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next round, lead with whatever lacked a CORRECTNESS_r04 row (the tail
 # of this list plus the r3-green block).
 _FRONT = [
-    # --- round 5 policy: (a) queries new or re-planned THIS round first,
-    # (b) the 23 queries with no driver row since r1/r2, (c) the oldest
-    # r3-graded rows to fill the ~50-row window. The r4-graded block
-    # (corpus/dedup/sim/TPC-H tail/spectral oracles) rotates to the back;
-    # local 3-SF parity covers it until r6.
-    # (a) new or changed in round 5 — the IMLM driver oracle (the last
-    # §2 kernel without driver-facing evidence), ADVICE fixes (q2
-    # integer micro-price join, q11 exact mean, q16 null-guard), and
-    # the ts_asof re-plan.
-    "wave_imlm_relax_oracle",
-    "mm_decode_real_jpeg",
-    "mm_video_frames_mjpg",
-    "mm_audio_stats_real",
-    "corpus_dup_ngram_frac",
-    "corpus_remove_dup_spans",
-    "sim_pq_adc_topk",
-    "text_bigram_logprob",
+    # --- round 6 policy (VERDICT r5 tasks 1-2): (a) the two r5
+    # driver-red rows FIRST — both re-engineered this round to be
+    # timezone/interpolation-invariant integers; (b) queries NEW this
+    # round (KMV sketch, mixture allocation, edit-similarity verify,
+    # Seagauge hex round trip) plus dedup_url_canonical, whose tracking-
+    # param regex changed (ADVICE r5 high); (c) the 5 remaining
+    # never-driver-graded late-r5 additions; (d) the 39 queries whose
+    # newest driver row is r3-aged, oldest families first.
+    # mm_decode_real_bmp sits LAST: if the window is exactly 50 it is
+    # the one deferred to r7 — its codec family (JPEG/MJPG/WAV) all have
+    # r5-green rows on the same mapInPandas plumbing.
+    # (a) r5 reds, re-engineered
     "ts_sessionize",
-    "ts_value_percentiles",
-    "sim_kmeans_assign",
-    "text_html_extract",
     "corpus_datacard",
-    "src_pd0_roundtrip",
-    "snk_netcdf3_roundtrip",
-    "q2_min_cost_supplier",
-    "q11_important_stock",
-    "q16_supplier_part_count",
-    "ts_asof_atmos_correct",
-    # (b) stale since round 1
-    "qaqc_diff_pct",
-    "qaqc_std_gates",
-    "qaqc_bad_ens",
-    "qaqc_bad_ens_indiv",
-    "qaqc_mask_trim_by",
-    "qaqc_maxabs_diff_2d",
-    "qaqc_trim_single_bins",
-    "qaqc_burst_min_kill",
-    "qaqc_wave_stats_trims",
-    "vel_trim_sidelobe",
-    "vel_agc_cor_gates",
-    "vel_snr_gate",
-    "qaqc_ast_quality_trim",
-    "phys_salinity_spcon",
-    "phys_pres2dep_ssc",
-    "phys_dispersion_qkfs",
-    "text_token_stats",
-    "text_quality_score",
-    "text_lang_id",
-    # (b) stale since round 2
-    "ts_burst_average",
-    "ts_circular_mean_daily",
-    "ts_gap_fill_hourly",
-    "ts_interval_average_duration",
-    # (c) oldest r3-graded rows fill the remaining window slots
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "clip_deployment",
-    "clip_good_dates",
-    "qaqc_min_max",
+    # (b) new or changed this round
+    "corpus_kmv_distinct",
+    "corpus_mixture_allocate",
+    "dedup_edit_similarity",
+    "src_sg_hex_roundtrip",
+    "dedup_url_canonical",
+    # (c) never driver-graded (added after the r5 window froze)
+    "corpus_pps_sample",
+    "corpus_quality_funnel",
+    "corpus_shard_manifest",
+    "dedup_incremental_batch",
+    "text_tfidf_keywords",
+    # (d) r3-aged rows, oldest families first
     "qaqc_diff_rules",
     "qaqc_med_diff",
     "qaqc_fliers",
@@ -6452,23 +6458,38 @@ _FRONT = [
     "qaqc_trim_warmup",
     "ts_shift_clock_drift",
     "ts_dedup",
+    "ts_seagauge_tides",
+    "ts_epic_time_codec",
+    "ts_burst_keys",
+    "ts_burst_nan_fill",
     "phys_spd2uv",
-    "coord_beam2enu",
-    "dedup_token_jaccard",
-    "dedup_minhash_lsh",
     "phys_pres2dep_density",
     "phys_troll_salinity",
+    "phys_z_geometry",
+    "phys_boundary_elevation",
+    "phys_direction_conventions",
+    "phys_wind_dir_correct",
+    "phys_transfer_function",
+    "coord_beam2enu",
+    "coord_beam2enu_4beam",
+    "vel_vbper_gate",
     "prof_ragged_index",
     "prof_clip_profiles",
-    # (d) added late in r5, AFTER the graded window was frozen — placed
-    # here (positions 65+) so they don't displace the rotation above;
-    # they lead the r6 window. Local 3-SF parity covers them now.
-    "corpus_pps_sample",
-    "corpus_shard_manifest",
-    "dedup_url_canonical",
-    "dedup_incremental_batch",
-    "text_tfidf_keywords",
-    "corpus_quality_funnel",
+    "agg_mean_minf",
+    "agg_brange_argmax",
+    "agg_linregress",
+    "agg_top_third_threshold",
+    "agg_min_max_attrs",
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "filt_butterworth_lowpass",
+    "filt_median_smoother",
+    "wave_puv_directional",
+    "wave_diwasp_dirspec",
+    "wave_stats_welch",
+    "wave_stats_elev",
+    "sonar_xy_regrid",
+    "mm_decode_real_bmp",
 ]
 
 

@@ -192,7 +192,20 @@ def test_canonicalize_url_grammar_batch(spark):
     hosts = ["Example.COM", "sub.Host.org", "WWW.Mixed.Net", "xn--caf-dma.fr"]
     ports = ["", ":80", ":443", ":8080"]
     paths = ["", "/", "/A/b", "/x%20y", "/trail/"]
-    queries = ["", "?a=1", "?utm_source=x", "?a=1&utm_a=2&b=3", "?ref=r&z=9"]
+    queries = [
+        "",
+        "?a=1",
+        "?utm_source=x",
+        "?a=1&utm_a=2&b=3",
+        "?ref=r&z=9",
+        # longer param names CONTAINING a tracking name must survive
+        # (the r5 bug: an unanchored mid-query rule matched inside them)
+        "?href=https://other.com&q=1",
+        "?pref=dark&q=1",
+        "?xref=12&b=2",
+        # adjacent run of tracking params
+        "?utm_a=1&utm_b=2&ref=r&q=1",
+    ]
     frags = ["", "#f", "#Frag?x=1"]
     urls = [
         f"{s}://{h}{po}{pa}{q}{fr}"
@@ -200,8 +213,10 @@ def test_canonicalize_url_grammar_batch(spark):
             schemes, hosts, ports, paths, queries, frags
         )
     ]
+    tracking = _re.compile(r"^(utm_[a-z0-9]+|fbclid|gclid|ref)$")
     df = spark.createDataFrame([(u,) for u in urls], ["url"])
     rows = df.select(
+        F.col("url"),
         canonicalize_url(F.col("url")).alias("c"),
         canonicalize_url(canonicalize_url(F.col("url"))).alias("cc"),
     ).collect()
@@ -210,7 +225,19 @@ def test_canonicalize_url_grammar_batch(spark):
         auth = _re.match(r"^[a-z][a-z0-9+.-]*://[^/?#]*", r.c)
         assert auth and auth.group(0) == auth.group(0).lower(), r.c
         assert "#" not in r.c, r.c
-        assert "utm_" not in r.c and "ref=" not in r.c, r.c
+        got_params = (
+            r.c.split("?", 1)[1].split("&") if "?" in r.c else []
+        )
+        for p in got_params:
+            assert not tracking.match(p.split("=", 1)[0]), r.c
+        # every non-tracking input param survives VERBATIM, in order
+        in_q = _re.search(r"\?(.*)", r.url.split("#", 1)[0])
+        want_params = [
+            p
+            for p in (in_q.group(1).split("&") if in_q else [])
+            if p and not tracking.match(p.split("=", 1)[0])
+        ]
+        assert got_params == want_params, (r.url, r.c)
         # default ports only: :80 is default for http, :443 for https —
         # the cross pairings are real ports and must survive
         if r.c.startswith("http://"):
