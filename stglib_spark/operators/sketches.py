@@ -75,15 +75,22 @@ def kmv_distinct(
         cut = int(_HASH_SPACE * float(prefilter_fraction))
         hashed = hashed.filter(F.col("__h") < cut)
     # Distinct first: map-side partial dedup, shuffle carries distinct
-    # hashes only. The k-smallest window then runs on the deduped set.
+    # hashes only. The k-smallest selection then runs on the deduped set.
     distinct = hashed.distinct()
-    w = Window.partitionBy(*groups).orderBy("__h") if groups else (
-        Window.partitionBy(F.lit(1)).orderBy("__h")
-    )
-    ranked = distinct.withColumn("__rn", F.row_number().over(w)).filter(
-        F.col("__rn") <= int(k)
-    )
-    kth = F.max(F.when(F.col("__rn") == int(k), F.col("__h")))
+    if groups:
+        w = Window.partitionBy(*groups).orderBy("__h")
+        ranked = distinct.withColumn("__rn", F.row_number().over(w)).filter(
+            F.col("__rn") <= int(k)
+        )
+        kth = F.max(F.when(F.col("__rn") == int(k), F.col("__h")))
+    else:
+        # Ungrouped: sort().limit(k) compiles to TakeOrderedAndProject —
+        # each task keeps its local k smallest and only those k·tasks
+        # rows reach the driver-side merge. (A window over
+        # partitionBy(lit(1)) would shuffle EVERY distinct hash into one
+        # task — the ADVICE r6 scale bug this replaces.)
+        ranked = distinct.sort("__h").limit(int(k))
+        kth = F.when(F.count(F.lit(1)) == int(k), F.max("__h"))
     est = F.when(
         kth.isNotNull(),
         F.lit(float(k - 1)) * F.lit(_HASH_SPACE) / kth.cast("double"),

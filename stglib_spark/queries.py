@@ -1323,8 +1323,27 @@ def ts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ts_sessionize",
+    "ts_dedup_ctrl",
     """
+    SELECT user_id, ts, min(event_id) AS event_id, count(*) AS n
+    FROM events GROUP BY user_id, ts
+    """,
+)
+def ts_dedup_ctrl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTROL for the r7 driver bisection (VERDICT r6 task #1): a
+    verbatim re-registration of the r6-GREEN ts_dedup under a new name.
+    If this row comes back red, the grading harness itself is flaky and
+    the ts_sessionize/corpus_datacard reds are adjudicated as such; if
+    green, the probe/variant pattern is trustworthy."""
+    return ts_dedup(spark, sf_dir)
+
+
+# Shared CTE for ts_sessionize and its r7 driver-bisection variants
+# (VERDICT r6 task #1): the gap rule, ordinal session ids, and per-user
+# minima are identical across the family; each variant projects a
+# different column subset so CORRECTNESS_r07's green/red pattern
+# localizes any residual divergence to a single output column.
+_SESSIONIZE_CTE = """
     WITH e AS (
       SELECT user_id, event_id, ts, epoch_us(ts) AS us, value,
              lag(epoch_us(ts)) OVER w AS prev_us
@@ -1341,12 +1360,68 @@ def ts_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(us) OVER (PARTITION BY user_id) AS user_min_us
       FROM marked
     )
+"""
+
+
+def _sessionize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-aggregation session frame: events tagged with ordinal
+    session_id, epoch-µs, and per-user min µs. One window over
+    (user, time) — the same single series-exchange the QA/QC diff
+    rules share."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > 1800 * 1000 * 1000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        ev.withColumn("__us", us)
+        .withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "__user_min_us",
+            F.min("__us").over(Window.partitionBy("user_id")),
+        )
+    )
+
+
+def _sessionize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full per-session aggregate with every candidate output column;
+    ts_sessionize and its _v* variants select subsets."""
+    sess = _sessionize_sessions(spark, sf_dir)
+    cents = (
+        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
+    ).cast("long")
+    return (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_events"),
+            F.min("__us").alias("start_us"),
+            (F.min("__us") - F.min("__user_min_us")).alias("start_rel_us"),
+            (F.max("__us") - F.min("__us")).alias("duration_us"),
+            F.sum(cents).alias("value_cents"),
+        )
+        .withColumn("session_id", F.col("session_id").cast("int"))
+    )
+
+
+@register(
+    "ts_sessionize",
+    _SESSIONIZE_CTE
+    + """
     SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
            CAST(count(*) AS INTEGER) AS n_events,
            min(us) - min(user_min_us) AS start_rel_us,
            max(us) - min(us) AS duration_us,
-           sum(CAST(sign(value) * floor(abs(value) * 100 + 0.5)
-                    AS BIGINT)) AS value_cents
+           -- outer CAST is load-bearing: DuckDB sum(BIGINT) returns
+           -- HUGEINT, which pandas/arrow export degrades to float64 —
+           -- the formatted value then reads "123.0" vs Spark's "123"
+           -- and every row hash-mismatches (the r5/r6 driver-red cause)
+           CAST(sum(CAST(sign(value) * floor(abs(value) * 100 + 0.5)
+                    AS BIGINT)) AS BIGINT) AS value_cents
     FROM sess
     GROUP BY user_id, session_id
     """,
@@ -1365,33 +1440,116 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     by the zone offset while all µs DIFFERENCES cancel exactly, so the
     result is identical under any engine/session timezone (the r5
     driver-red suspect)."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    is_new = F.when(
-        gap.isNull() | (gap > 1800 * 1000 * 1000), F.lit(1)
-    ).otherwise(F.lit(0))
-    sess = (
-        ev.withColumn("__us", us)
-        .withColumn(
-            "session_id",
-            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn(
-            "__user_min_us",
-            F.min("__us").over(Window.partitionBy("user_id")),
-        )
+    return _sessionize_agg(spark, sf_dir).select(
+        "user_id",
+        "session_id",
+        "n_events",
+        "start_rel_us",
+        "duration_us",
+        "value_cents",
     )
-    cents = (
-        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
-    ).cast("long")
-    return sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).cast("int").alias("n_events"),
-        (F.min("__us") - F.min("__user_min_us")).alias("start_rel_us"),
-        (F.max("__us") - F.min("__us")).alias("duration_us"),
-        F.sum(cents).alias("value_cents"),
-    ).withColumn("session_id", F.col("session_id").cast("int"))
+
+
+# --- r7 driver-bisection family (VERDICT r6 task #1). ts_sessionize was
+# driver hash-red in r5 AND r6 while passing bit-exact locally; the
+# diagnosed cause is DuckDB's sum(BIGINT)→HUGEINT→float64 pandas export
+# ("123.0" vs "123" under a formatted-value hash). The fixed main query
+# CASTs the sum; these variants prove the diagnosis THROUGH the driver:
+# v1-v3 add one column at a time (all expected green), v4 adds the
+# ABSOLUTE session-start epoch (the r5 timezone suspect — if green, the
+# public start_us column returns in r8), and the probe re-registers the
+# r6 uncast form (expected red IF the HUGEINT diagnosis is right).
+
+
+@register(
+    "ts_sessionize_v1",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           CAST(count(*) AS INTEGER) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection v1: ids and counts only — no sums, no epochs."""
+    return _sessionize_agg(spark, sf_dir).select(
+        "user_id", "session_id", "n_events"
+    )
+
+
+@register(
+    "ts_sessionize_v2",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           CAST(count(*) AS INTEGER) AS n_events,
+           max(us) - min(us) AS duration_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection v2: + duration_us (µs difference of window aggregates)."""
+    return _sessionize_agg(spark, sf_dir).select(
+        "user_id", "session_id", "n_events", "duration_us"
+    )
+
+
+@register(
+    "ts_sessionize_v3",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           CAST(count(*) AS INTEGER) AS n_events,
+           min(us) - min(user_min_us) AS start_rel_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection v3: + start_rel_us (relative to the user's first event)."""
+    return _sessionize_agg(spark, sf_dir).select(
+        "user_id", "session_id", "n_events", "start_rel_us"
+    )
+
+
+@register(
+    "ts_sessionize_v4",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           CAST(count(*) AS INTEGER) AS n_events,
+           min(us) AS start_us
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection v4: + ABSOLUTE session-start epoch-µs — the r5 timezone
+    suspect. Green here means absolute epochs are driver-safe and the
+    public `start_us` column returns to the main query in r8."""
+    return _sessionize_agg(spark, sf_dir).select(
+        "user_id", "session_id", "n_events", "start_us"
+    )
+
+
+@register(
+    "ts_sessionize_probe_hugeint",
+    _SESSIONIZE_CTE
+    + """
+    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
+           sum(CAST(sign(value) * floor(abs(value) * 100 + 0.5)
+                    AS BIGINT)) AS value_cents
+    FROM sess GROUP BY user_id, session_id
+    """,
+)
+def ts_sessionize_probe_hugeint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DELIBERATE NEGATIVE PROBE — expected driver-RED. The oracle's
+    value_cents sum is intentionally left UNCAST so DuckDB returns
+    HUGEINT, which pandas export degrades to float64 ("123.0" vs
+    Spark's int "123" under a formatted-value hash). A red row here
+    alongside a green ts_sessionize confirms the r5/r6 red diagnosis
+    from inside the driver; a green row falsifies it."""
+    return _sessionize_agg(spark, sf_dir).select(
+        "user_id", "session_id", "value_cents"
+    )
 
 
 @register(
@@ -2537,6 +2695,170 @@ def src_pd0_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_sg_hex_roundtrip",
+    """
+    SELECT doc_id,
+           'synth://' || CAST(doc_id AS VARCHAR) || '.wb' AS source_file,
+           TIMESTAMP '2000-01-01'
+             + to_seconds((doc_id % 100000) * 60 + g.k * 1800) AS time,
+           CAST((doc_id % 1000) * 2 + g.k + 1 AS BIGINT) AS burst_number,
+           CAST(g.s AS INTEGER) AS sample,
+           (doc_id % 50) + (4 * g.k + g.s) * 0.25 AS p_1
+    FROM documents
+    CROSS JOIN (SELECT k, s FROM unnest([0, 1]) t1(k),
+                unnest([1, 2, 3, 4, 5]) t2(s)) g
+    """,
+)
+def src_sg_hex_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Seagauge reader; reference sg/sgutils.py:103-176):
+    per document, synthesize a spec-conformant SBE 26plus .wb wave-burst
+    TEXT body — an 'SBE' banner line, a '*' header per burst carrying
+    burst number / epoch-2000 seconds / sample count, then rows of four
+    pressure values (exact quarter-dbar) — and walk it back with the
+    production parser (sources/sg.py parse_wb: banner skip, header
+    field positions, 1-based sample numbering, epoch-2000 time base).
+    DuckDB replays the closed form; a hash match proves the burst
+    walker end to end."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        from stglib_spark.sources.sg import parse_wb
+
+        cols = [
+            "doc_id", "source_file", "time", "burst_number", "sample", "p_1",
+        ]
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                lines = ["SBE 26plus synthetic deployment"]
+                p0 = d % 50
+                for k in range(2):
+                    burst = (d % 1000) * 2 + k + 1
+                    secs = (d % 100000) * 60 + k * 1800
+                    lines.append(f"* {burst} {secs} 99 5")
+                    vals = [p0 + (4 * k + s) * 0.25 for s in range(1, 6)]
+                    lines.append(" ".join(f"{v:.2f}" for v in vals[:4]))
+                    lines.append(f"{vals[4]:.2f}")
+                body = "\n".join(lines) + "\n"
+                src = f"synth://{d}.wb"
+                for r in parse_wb(body, src):
+                    out.append(
+                        (
+                            d, r.source_file, r.time, r.burst_number,
+                            r.sample, r.P_1,
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return spread(docs.select("doc_id")).mapInPandas(
+        gen,
+        "doc_id long, source_file string, time timestamp,"
+        " burst_number long, sample int, p_1 double",
+    )
+
+
+@register(
+    "src_son_roundtrip",
+    """
+    SELECT doc_id,
+           CAST(g.k + 1 AS BIGINT) AS scan,
+           CAST(doc_id * 2 + g.k AS BIGINT) AS ping_number,
+           CAST(600 + doc_id % 400 + g.k AS INTEGER) AS head_position,
+           (doc_id % 400 + g.k) * 3.0 AS head_angle,
+           CAST(g.k AS INTEGER) AS step_direction,
+           CAST(doc_id % 8192 AS INTEGER) AS profile_range,
+           -- 0.3 must be DOUBLE: DuckDB parses the bare literal as
+           -- DECIMAL(1,1) and 0.3*3 would be exactly 0.9, while the
+           -- parser computes IEEE 0.3*3 = 0.8999999999999999
+           CAST(0.3 AS DOUBLE) * (doc_id % 500) AS sonar_angle,
+           ((doc_id % 128) * 360) / 16384.0 AS pitch,
+           ((doc_id % 16384) * 360) / 16384.0 AS roll,
+           (((doc_id * 3) % 16384) * 360) / 16384.0 AS heading,
+           (((doc_id * 7) % 16384) * 360) / 16384.0 AS gyro_heading,
+           CAST(252 AS INTEGER) AS echo_len,
+           CAST(list_sum([(doc_id + j) % 256
+                          FOR j IN generate_series(0, 251)]) AS BIGINT)
+             AS echo_sum,
+           CAST(doc_id % 256 AS INTEGER) AS echo_first,
+           CAST((doc_id + 251) % 256 AS INTEGER) AS echo_last
+    FROM documents
+    CROSS JOIN (SELECT unnest([0, 1]) AS k) g
+    """,
+)
+def src_son_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Imagenex .81R walker; reference
+    son/raw2cdf.py:13-139 + son/sonutils.py): per document, synthesize a
+    two-ping spec-conformant 881A-GS byte stream with the repo's own
+    encoder (sources/son.py encode_81r — 1024 B ping header + 1024 B
+    device list + 40 B switch command + 32 B INA return header + 252 B
+    echo + terminator; 14-bit packed angle fields), then parse it back
+    with the production record walker (parse_81r: offset arithmetic,
+    _u14 unpacking, 360/16384 attitude scaling — every value exact in
+    binary floating point since the divisor is a power of two). DuckDB
+    replays the closed form; a hash match proves encoder and parser
+    agree on the wire format."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def gen(batches):
+        import pandas as pd
+
+        from stglib_spark.sources.son import encode_81r, parse_81r
+
+        cols = [
+            "doc_id", "scan", "ping_number", "head_position", "head_angle",
+            "step_direction", "profile_range", "sonar_angle", "pitch",
+            "roll", "heading", "gyro_heading", "echo_len", "echo_sum",
+            "echo_first", "echo_last",
+        ]
+        for pdf in batches:
+            out = []
+            for i in pdf["doc_id"]:
+                d = int(i)
+                scans = [
+                    {
+                        "ping_number": d * 2 + k,
+                        "head_position": 600 + d % 400 + k,
+                        "step_dir": k,
+                        "profile_range": d % 8192,
+                        "sonar_position": 600 + d % 500,
+                        "pitch_raw": d % 128,
+                        "roll_raw": d % 16384,
+                        "heading_raw": (d * 3) % 16384,
+                        "gyro_raw": (d * 7) % 16384,
+                        "echo": [(d + j) % 256 for j in range(252)],
+                    }
+                    for k in range(2)
+                ]
+                payload = encode_81r(scans, data_bits=8)
+                for r in parse_81r(payload, f"synth://{d}.81r"):
+                    img = r.sonar_image
+                    out.append(
+                        (
+                            d, r.scan, r.ping_number, r.HeadPosition,
+                            r.HeadAngle, r.StepDirection, r.ProfileRange,
+                            r.SonarAngle, r.Pitch, r.Roll, r.Heading,
+                            r.GyroHeading, len(img), int(sum(img)),
+                            img[0], img[-1],
+                        )
+                    )
+            yield pd.DataFrame(out, columns=cols)
+
+    return spread(docs.select("doc_id")).mapInPandas(
+        gen,
+        "doc_id long, scan long, ping_number long, head_position int,"
+        " head_angle double, step_direction int, profile_range int,"
+        " sonar_angle double, pitch double, roll double, heading double,"
+        " gyro_heading double, echo_len int, echo_sum long,"
+        " echo_first int, echo_last int",
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -2620,9 +2942,12 @@ def snk_netcdf3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_datacard",
-    r"""
+# Shared CTE for corpus_datacard and its r7 driver-bisection variants
+# (VERDICT r6 task #1) — see the ts_sessionize family note: the r5/r6
+# driver reds are diagnosed as DuckDB sum(BIGINT)→HUGEINT→float64
+# pandas export; the fixed queries CAST every integer-sum output, the
+# variants bisect by column, and the probe keeps one sum uncast.
+_DATACARD_CTE = r"""
     WITH t AS (
       SELECT doc_id, source, lang, text,
              length(text) AS n_chars,
@@ -2655,27 +2980,37 @@ def snk_netcdf3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
              count(*) OVER (PARTITION BY source, lang) AS n
       FROM q
     )
+"""
+
+
+@register(
+    "corpus_datacard",
+    _DATACARD_CTE
+    + """
     SELECT source, lang,
            CAST(count(*) AS BIGINT) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS n_tokens,
            CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups,
-           sum(micro) AS quality_micro_sum,
+           -- outer CASTs are load-bearing: DuckDB sum(BIGINT) returns
+           -- HUGEINT → float64 under pandas export → "123.0" vs "123"
+           -- formatted-hash mismatch (the r5/r6 driver-red cause)
+           CAST(sum(micro) AS BIGINT) AS quality_micro_sum,
            -- exact linear-interpolation quantiles over the micro-INTEGER
            -- quality, computed in PURE INTEGER arithmetic (value x 10):
            -- for p = k/10, h = k*(n-1)/10 splits into lo = k*(n-1)//10
            -- and remainder r, and 10*quantile = v[lo]*(10-r) + v[lo+1]*r
            -- — no quantile_cont, no division, no rounding, so no
            -- engine-version interpolation drift can flip a digit
-           sum(CASE WHEN rn - 1 = ((n - 1) * 5) // 10
+           CAST(sum(CASE WHEN rn - 1 = ((n - 1) * 5) // 10
                     THEN micro * (10 - ((n - 1) * 5) % 10)
                     WHEN rn - 1 = ((n - 1) * 5) // 10 + 1
                     THEN micro * (((n - 1) * 5) % 10)
-                    ELSE 0 END) AS quality_p50_micro10,
-           sum(CASE WHEN rn - 1 = ((n - 1) * 9) // 10
+                    ELSE 0 END) AS BIGINT) AS quality_p50_micro10,
+           CAST(sum(CASE WHEN rn - 1 = ((n - 1) * 9) // 10
                     THEN micro * (10 - ((n - 1) * 9) % 10)
                     WHEN rn - 1 = ((n - 1) * 9) // 10 + 1
                     THEN micro * (((n - 1) * 9) % 10)
-                    ELSE 0 END) AS quality_p90_micro10
+                    ELSE 0 END) AS BIGINT) AS quality_p90_micro10
     FROM r GROUP BY source, lang
     """,
 )
@@ -2694,6 +3029,12 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate on the same key — the window exchange is reused by the
     aggregate. (The 100 TB twin is percentile_approx; this exact
     variant is the auditable version.)"""
+    return _datacard_agg(spark, sf_dir)
+
+
+def _datacard_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full datacard aggregate; corpus_datacard and its _v* bisection
+    variants select column subsets from this one plan."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     q = text_ops.quality_score(docs).select(
         "doc_id", "n_tokens", "quality_score"
@@ -2723,6 +3064,80 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__micro").alias("quality_micro_sum"),
         _interp10(5).alias("quality_p50_micro10"),
         _interp10(9).alias("quality_p90_micro10"),
+    )
+
+
+@register(
+    "corpus_datacard_v1",
+    _DATACARD_CTE
+    + """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS n_tokens
+    FROM r GROUP BY source, lang
+    """,
+)
+def corpus_datacard_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection v1: doc/token counts only — no digests, no sums of
+    derived integers."""
+    return _datacard_agg(spark, sf_dir).select(
+        "source", "lang", "n_docs", "n_tokens"
+    )
+
+
+@register(
+    "corpus_datacard_v2",
+    _DATACARD_CTE
+    + """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
+    FROM r GROUP BY source, lang
+    """,
+)
+def corpus_datacard_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection v2: + exact-duplicate count (md5 digest distinct)."""
+    return _datacard_agg(spark, sf_dir).select(
+        "source", "lang", "n_docs", "n_exact_dups"
+    )
+
+
+@register(
+    "corpus_datacard_v3",
+    _DATACARD_CTE
+    + """
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(micro) AS BIGINT) AS quality_micro_sum
+    FROM r GROUP BY source, lang
+    """,
+)
+def corpus_datacard_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bisection v3: + micro-integer quality sum, CAST back to BIGINT
+    (DuckDB sum(BIGINT) is HUGEINT otherwise)."""
+    return _datacard_agg(spark, sf_dir).select(
+        "source", "lang", "n_docs", "quality_micro_sum"
+    )
+
+
+@register(
+    "corpus_datacard_probe_hugeint",
+    _DATACARD_CTE
+    + """
+    SELECT source, lang,
+           sum(micro) AS quality_micro_sum
+    FROM r GROUP BY source, lang
+    """,
+)
+def corpus_datacard_probe_hugeint(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """DELIBERATE NEGATIVE PROBE — expected driver-RED: the oracle sum
+    is intentionally UNCAST (HUGEINT→float64 pandas export), mirroring
+    the exact form that was red in r5/r6. See
+    ts_sessionize_probe_hugeint."""
+    return _datacard_agg(spark, sf_dir).select(
+        "source", "lang", "quality_micro_sum"
     )
 
 
@@ -6358,6 +6773,131 @@ def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_kmv_distinct",
+    rf"""
+    WITH norm AS (SELECT source, {_NORM_SQL} AS nt FROM documents),
+    t AS (SELECT source, unnest(string_split(nt, ' ')) AS tok
+          FROM norm WHERE nt <> ''),
+    h AS (SELECT DISTINCT source,
+                 (('0x' || substring(md5('kmv1' || tok), 1, 15))
+                  ::UBIGINT)::BIGINT AS hh
+          FROM t),
+    r AS (SELECT source, hh,
+                 row_number() OVER (PARTITION BY source ORDER BY hh) AS rn
+          FROM h),
+    kk AS (SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+                  max(CASE WHEN rn = 64 THEN hh END) AS kth_hash
+           FROM r WHERE rn <= 64 GROUP BY source)
+    SELECT source, n_kept, kth_hash,
+           CASE WHEN kth_hash IS NOT NULL
+                THEN 63.0 * 1152921504606846976.0 / CAST(kth_hash AS DOUBLE)
+                ELSE CAST(n_kept AS DOUBLE) END AS distinct_est
+    FROM kk
+    """,
+)
+def corpus_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KMV distinct-token estimate (operators/sketches.py
+    kmv_distinct, k=64): hash every normalized token with the portable
+    60-bit md5 hash, keep each source's 64 smallest distinct hashes, and
+    estimate D-hat = (k-1)·2^60 / h_(k) — one IEEE multiply + divide, so
+    the ESTIMATE ITSELF (not just the plumbing) is oracle-checked.
+    Scale shape: distinct pre-aggregation first (the shuffle carries
+    distinct hashes only), then a bounded per-group top-k; the
+    ungrouped path is sort().limit(k) = TakeOrderedAndProject, never a
+    single-task window (the ADVICE r6 fix)."""
+    from stglib_spark.operators import sketches
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = dedup_ops.normalize_text(F.col("text"))
+    toks = docs.select(
+        "source", F.explode(text_ops.tokens(norm)).alias("tok")
+    )
+    return sketches.kmv_distinct(toks, "tok", ["source"], k=64, seed="kmv1")
+
+
+@register(
+    "corpus_mixture_allocate",
+    r"""
+    WITH per AS (
+      SELECT source,
+             CAST(sum(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text),
+                           '[ \t\n\x0B\f\r]+')) END) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    ), m AS (
+      SELECT source, n_tokens,
+             CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000 + 0.5)
+                  AS BIGINT) AS micro
+      FROM per
+    ), tot AS (SELECT CAST(sum(micro) AS HUGEINT) AS t FROM m)
+    SELECT source, n_tokens,
+           CAST(micro AS DOUBLE) / 1000000.0 AS sqrt_weight,
+           CAST((1000000::HUGEINT * CAST(micro AS HUGEINT)) // t AS BIGINT)
+             AS budget_tokens
+    FROM m CROSS JOIN tot
+    """,
+)
+def corpus_mixture_allocate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted domain mixture (operators/corpus.py
+    mixture_allocate): split a 1M-token training budget across sources
+    with sqrt up-weighting. Engine-exact by construction — sqrt is IEEE
+    correctly rounded everywhere, weights are micro-integers, and the
+    floor allocation runs in 38-digit integer arithmetic
+    (decimal(38,0) in Spark, HUGEINT in DuckDB) — so the ALLOCATION,
+    not just the token counts, is oracle-checked, and stays exact past
+    2^53 tokens at 100 TB. One hash aggregate + a 1-row broadcast."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return corpus_ops.mixture_allocate(docs, total_budget=1_000_000)
+
+
+@register(
+    "dedup_edit_similarity",
+    _MH_CAND_CTES
+    + r""",
+    a64 AS (
+      SELECT doc_id,
+             substring(trim(regexp_replace(regexp_replace(
+                 t, '[^\x00-\x7f]', '', 'g'), ' +', ' ', 'g')), 1, 64) AS p
+      FROM norm
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(levenshtein(a.p, b.p) AS INTEGER) AS edit_distance,
+           round(CASE WHEN greatest(length(a.p), length(b.p)) > 0
+                 THEN 1.0 - levenshtein(a.p, b.p)::DOUBLE
+                       / greatest(length(a.p), length(b.p))
+                 ELSE 1.0 END, 6) AS edit_sim
+    FROM cand c
+    JOIN a64 a ON c.doc_a = a.doc_id
+    JOIN a64 b ON c.doc_b = b.doc_id
+    """,
+)
+def dedup_edit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH → character-level verify chain (operators/dedup.py
+    edit_similarity_pairs): MinHash-LSH proposes co-bucketed candidate
+    pairs, then normalized Levenshtein similarity over a 64-char prefix
+    verifies each candidate — the complementary verifier to token
+    Jaccard (bag-of-shingles misses one-character template edits).
+    Levenshtein is O(len²) PER PAIR, so it only ever runs on LSH
+    candidates with a constant prefix cap, JVM-side (F.levenshtein,
+    codegen). Oracle note: DuckDB's levenshtein counts bytes, Spark's
+    codepoints — the checked query strips text to ASCII (where the two
+    agree) on both sides; the operator itself is codepoint-correct."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True
+    )
+    ascii_docs = docs.withColumn(
+        "text",
+        F.regexp_replace(
+            dedup_ops.normalize_text(F.col("text")), r"[^\x00-\x7F]", ""
+        ),
+    )
+    return dedup_ops.edit_similarity_pairs(
+        ascii_docs, cands, prefix_chars=64
+    )
+
+
+@register(
     "corpus_quality_funnel",
     r"""
     WITH t AS (
@@ -6424,72 +6964,80 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next round, lead with whatever lacked a CORRECTNESS_r04 row (the tail
 # of this list plus the r3-green block).
 _FRONT = [
-    # --- round 6 policy (VERDICT r5 tasks 1-2): (a) the two r5
-    # driver-red rows FIRST — both re-engineered this round to be
-    # timezone/interpolation-invariant integers; (b) queries NEW this
-    # round (KMV sketch, mixture allocation, edit-similarity verify,
-    # Seagauge hex round trip) plus dedup_url_canonical, whose tracking-
-    # param regex changed (ADVICE r5 high); (c) the 5 remaining
-    # never-driver-graded late-r5 additions; (d) the 39 queries whose
-    # newest driver row is r3-aged, oldest families first.
-    # mm_decode_real_bmp sits LAST: if the window is exactly 50 it is
-    # the one deferred to r7 — its codec family (JPEG/MJPG/WAV) all have
-    # r5-green rows on the same mapInPandas plumbing.
-    # (a) r5 reds, re-engineered
+    # --- round 7 policy (VERDICT r6 tasks 1, 3, 5):
+    # (a) the two 2-round-red queries, now FIXED (outer CAST on every
+    #     integer-sum oracle column — DuckDB sum(BIGINT) returns
+    #     HUGEINT, whose pandas export is float64, so the driver's
+    #     formatted-value hash read "123.0" vs Spark's "123"), plus the
+    #     bisection family that proves the diagnosis through the
+    #     driver: a green control (verbatim r6-green re-registration),
+    #     column-at-a-time variants (expected green), and two
+    #     DELIBERATE NEGATIVE PROBES that keep the uncast sum
+    #     (expected red iff the diagnosis is right);
+    # (b) queries NEW this round: the four r6 phantoms now actually
+    #     implemented (KMV sketch, mixture allocation, edit-similarity
+    #     verify, Seagauge hex round trip) + the Imagenex .81R round
+    #     trip;
+    # (c) the eight analytic-oracle siblings, 2 rounds stale — they ARE
+    #     the §2 evidence for the spectral/filter family (their
+    #     rows-only twins are permanently OUT of _FRONT: a no-oracle
+    #     row can never produce evidence);
+    # (d) r4-aged rows, oldest families first (the ~21 that don't fit
+    #     rotate to r8).
+    # (a) fixed reds + bisection family
     "ts_sessionize",
     "corpus_datacard",
-    # (b) new or changed this round
+    "ts_dedup_ctrl",
+    "ts_sessionize_v1",
+    "ts_sessionize_v2",
+    "ts_sessionize_v3",
+    "ts_sessionize_v4",
+    "ts_sessionize_probe_hugeint",
+    "corpus_datacard_v1",
+    "corpus_datacard_v2",
+    "corpus_datacard_v3",
+    "corpus_datacard_probe_hugeint",
+    # (b) new this round
     "corpus_kmv_distinct",
     "corpus_mixture_allocate",
     "dedup_edit_similarity",
     "src_sg_hex_roundtrip",
-    "dedup_url_canonical",
-    # (c) never driver-graded (added after the r5 window froze)
-    "corpus_pps_sample",
-    "corpus_quality_funnel",
-    "corpus_shard_manifest",
-    "dedup_incremental_batch",
-    "text_tfidf_keywords",
-    # (d) r3-aged rows, oldest families first
-    "qaqc_diff_rules",
-    "qaqc_med_diff",
-    "qaqc_fliers",
-    "qaqc_mask_expr",
-    "qaqc_trim_warmup",
-    "ts_shift_clock_drift",
-    "ts_dedup",
-    "ts_seagauge_tides",
-    "ts_epic_time_codec",
-    "ts_burst_keys",
-    "ts_burst_nan_fill",
-    "phys_spd2uv",
-    "phys_pres2dep_density",
-    "phys_troll_salinity",
-    "phys_z_geometry",
-    "phys_boundary_elevation",
-    "phys_direction_conventions",
-    "phys_wind_dir_correct",
-    "phys_transfer_function",
-    "coord_beam2enu",
-    "coord_beam2enu_4beam",
-    "vel_vbper_gate",
-    "prof_ragged_index",
-    "prof_clip_profiles",
-    "agg_mean_minf",
-    "agg_brange_argmax",
-    "agg_linregress",
-    "agg_top_third_threshold",
-    "agg_min_max_attrs",
-    "dedup_minhash_lsh",
-    "dedup_token_jaccard",
-    "filt_butterworth_lowpass",
-    "filt_median_smoother",
-    "wave_puv_directional",
-    "wave_diwasp_dirspec",
-    "wave_stats_welch",
-    "wave_stats_elev",
-    "sonar_xy_regrid",
-    "mm_decode_real_bmp",
+    "src_son_roundtrip",
+    # (c) stale oracle siblings (the §2 spectral/filter evidence)
+    "wave_psd_welch_oracle",
+    "wave_cutoff_tail_oracle",
+    "wave_elev_stats_oracle",
+    "wave_puv_azimuth_oracle",
+    "wave_dftm_plane_oracle",
+    "filt_iir_recursion_oracle",
+    "filt_filtfilt_oracle",
+    "sonar_xy_linear_oracle",
+    # (d) r4-aged rows, oldest families first
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_dominant_shipper",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "text_fingerprint",
+    "dedup_exact",
+    "dedup_clusters",
+    "corpus_redact_pii",
+    "corpus_url_domains",
+    "corpus_pack_sequences",
+    "corpus_token_census",
+    "corpus_budget_sample",
+    "corpus_build_packs",
+    "text_unigram_logprob",
+    "text_chunk_documents",
 ]
 
 
@@ -6500,6 +7048,10 @@ def _ordered(mapping: dict) -> dict:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # A _FRONT name with no registered query silently shrinks the graded
+    # window (r6 lost 4 slots to phantom entries) — fail loudly instead.
+    missing = [k for k in _FRONT if k not in QUERIES]
+    assert not missing, f"_FRONT names unregistered queries: {missing}"
     return _ordered(QUERIES)
 
 

@@ -207,42 +207,52 @@ def _enc14(v: int) -> tuple[int, int]:
     return lb & 0x7F, ((lb >> 7) & 0x01) | (hb << 1)
 
 
-def write_81r(path: str, scans: list[dict[str, Any]], data_bits: int = 8) -> None:
-    """Minimal layout-conformant .81R (881A-GS, INA) fixture writer."""
+def encode_81r(scans: list[dict[str, Any]], data_bits: int = 8) -> bytes:
+    """Minimal layout-conformant .81R (881A-GS, INA) byte stream — the
+    in-memory twin of ``write_81r`` used by the src_son_roundtrip
+    driver oracle (synthesize → parse_81r → closed form, the PD0
+    playbook)."""
     nret = _RETURN_SIZE[("INA", data_bits)]
     sw_bytes, rh_bytes = SWITCH_BYTES[1], RETURN_BYTES[1]
     total = PING_HEADER_BYTES + DEVICE_LIST_BYTES + sw_bytes + rh_bytes + nret + 1
+    out = bytearray()
+    for s in scans:
+        ph = bytearray(PING_HEADER_BYTES)
+        ph[0:3] = b"81R"
+        ph[3] = 1  # 881A-GS
+        struct.pack_into("<I", ph, 4, total)
+        ph[319] = 0x01 if s.get("up", True) else 0x00
+        ph[324] = 1  # polar
+        struct.pack_into("<f", ph, 338, s.get("sound_velocity", 1500.0))
+        struct.pack_into("<f", ph, 373, s.get("range_resolution", 0.02))
+        struct.pack_into("<L", ph, 377, s.get("ping_number", 0))
+
+        sw = bytearray(sw_bytes)
+        sw[13] = s.get("step_counts", 10)  # step = 3.0°
+        sw[20] = data_bits
+        sw[25] = 141  # 880 kHz
+
+        rh = bytearray(rh_bytes)
+        rh[0:3] = b"INA"
+        hp = s["head_position"]
+        rh[5] = hp & 0x7F
+        rh[6] = ((hp >> 7) & 0x3F) | (s.get("step_dir", 0) << 6)
+        rh[8], rh[9] = _enc14(s.get("profile_range", 0))
+        rh[12], rh[13] = _enc14(s.get("sonar_position", 600))
+        rh[14], rh[15] = _enc14(s.get("pitch_raw", 0))
+        rh[16], rh[17] = _enc14(s.get("roll_raw", 0))
+        rh[18], rh[19] = _enc14(s.get("heading_raw", 0))
+        rh[21], rh[22] = _enc14(s.get("gyro_raw", 0))
+
+        echo = bytes(s.get("echo", [0] * nret))[:nret].ljust(nret, b"\x00")
+        out += (
+            bytes(ph) + bytes(DEVICE_LIST_BYTES) + bytes(sw) + bytes(rh)
+            + echo + b"\xfc"
+        )
+    return bytes(out)
+
+
+def write_81r(path: str, scans: list[dict[str, Any]], data_bits: int = 8) -> None:
+    """File-based .81R fixture writer (round-trip tests)."""
     with open(path, "wb") as f:
-        for s in scans:
-            ph = bytearray(PING_HEADER_BYTES)
-            ph[0:3] = b"81R"
-            ph[3] = 1  # 881A-GS
-            struct.pack_into("<I", ph, 4, total)
-            ph[319] = 0x01 if s.get("up", True) else 0x00
-            ph[324] = 1  # polar
-            struct.pack_into("<f", ph, 338, s.get("sound_velocity", 1500.0))
-            struct.pack_into("<f", ph, 373, s.get("range_resolution", 0.02))
-            struct.pack_into("<L", ph, 377, s.get("ping_number", 0))
-
-            sw = bytearray(sw_bytes)
-            sw[13] = s.get("step_counts", 10)  # step = 3.0°
-            sw[20] = data_bits
-            sw[25] = 141  # 880 kHz
-
-            rh = bytearray(rh_bytes)
-            rh[0:3] = b"INA"
-            hp = s["head_position"]
-            rh[5] = hp & 0x7F
-            rh[6] = ((hp >> 7) & 0x3F) | (s.get("step_dir", 0) << 6)
-            rh[8], rh[9] = _enc14(s.get("profile_range", 0))
-            rh[12], rh[13] = _enc14(s.get("sonar_position", 600))
-            rh[14], rh[15] = _enc14(s.get("pitch_raw", 0))
-            rh[16], rh[17] = _enc14(s.get("roll_raw", 0))
-            rh[18], rh[19] = _enc14(s.get("heading_raw", 0))
-            rh[21], rh[22] = _enc14(s.get("gyro_raw", 0))
-
-            echo = bytes(s.get("echo", [0] * nret))[:nret].ljust(nret, b"\x00")
-            f.write(
-                bytes(ph) + bytes(DEVICE_LIST_BYTES) + bytes(sw) + bytes(rh)
-                + echo + b"\xfc"
-            )
+        f.write(encode_81r(scans, data_bits=data_bits))

@@ -61,6 +61,31 @@ def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
     for c in s.columns:
         sv, dv = s[c].to_numpy(), d[c].to_numpy()
         if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            # Dtype divergence is a REAL driver mismatch even when the
+            # numeric values agree: the driver hashes FORMATTED values,
+            # so int 123 vs float 123.0 reads "123" vs "123.0" and every
+            # row differs. DuckDB's sum(BIGINT)→HUGEINT degrades to
+            # float64 under pandas export — exactly this trap kept
+            # ts_sessionize/corpus_datacard driver-red for two rounds
+            # while this harness (which used to promote both sides to
+            # float) called them bit-exact. Only NaN-forced promotion of
+            # a nullable int column is exempt (both sides promote alike).
+            s_f = np.issubdtype(sv.dtype, np.floating)
+            d_f = np.issubdtype(dv.dtype, np.floating)
+            if s_f != d_f:
+                intlike = sv if not s_f else dv
+                fl = dv if not s_f else sv
+                if np.issubdtype(intlike.dtype, np.integer) and not np.isnan(
+                    fl.astype(float)
+                ).any():
+                    problems.append(
+                        f"{name}: column {c} dtype mismatch "
+                        f"({sv.dtype} spark vs {dv.dtype} oracle) — the "
+                        f"driver's formatted-value hash would differ "
+                        f"(int '123' vs float '123.0'); CAST the oracle "
+                        f"column (DuckDB HUGEINT exports as float64)"
+                    )
+                    continue
             sv = sv.astype(float)
             dv = dv.astype(float)
             both_nan = np.isnan(sv) & np.isnan(dv)

@@ -883,15 +883,29 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, checkpoint_dir):
         .start()
     )
     q.awaitTermination(120)
+    # The batch query reports session starts RELATIVE to each user's
+    # first event; the stream emits absolute session_window starts.
+    # Recompute relative starts on the streamed side: sessions close in
+    # time order under a global watermark, so if ANY session for a user
+    # was emitted, the user's FIRST session was — per-user min(start_us)
+    # over emitted rows equals the true first-event micros.
+    streamed_rows = spark.sql("SELECT * FROM sessions").collect()
+    user_min: dict = {}
+    for r in streamed_rows:
+        u = r["user_id"]
+        user_min[u] = min(user_min.get(u, r["start_us"]), r["start_us"])
     streamed = {
-        (r["user_id"], r["start_us"]): (r["n_events"], r["window_us"] - gap_us)
-        for r in spark.sql("SELECT * FROM sessions").collect()
+        (r["user_id"], r["start_us"] - user_min[r["user_id"]]): (
+            r["n_events"],
+            r["window_us"] - gap_us,
+        )
+        for r in streamed_rows
     }
 
     from stglib_spark.queries import QUERIES
 
     batch = {
-        (r["user_id"], r["start_us"]): (r["n_events"], r["duration_us"])
+        (r["user_id"], r["start_rel_us"]): (r["n_events"], r["duration_us"])
         for r in QUERIES["ts_sessionize"](spark, sf_dir).collect()
     }
     # the stream only emits sessions the watermark has CLOSED; every
