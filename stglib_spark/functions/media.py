@@ -834,6 +834,15 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
         pos = end
     if data_start < 0 or not comps:
         raise ValueError("JPEG missing SOF/SOS")
+    if len(scan_comps) != len(comps):
+        # The decoder assumes ONE interleaved scan covering every frame
+        # component; a multi-scan baseline JPEG (each component in its
+        # own SOS) would otherwise decode the first scan as if it were
+        # all three and emit garbage pixels.
+        raise UnsupportedMediaError(
+            f"multi-scan baseline JPEG not supported: first SOS covers "
+            f"{len(scan_comps)} of {len(comps)} frame components"
+        )
 
     hmax = max(c["h"] for c in scan_comps)
     vmax = max(c["v"] for c in scan_comps)

@@ -12,6 +12,8 @@ Scale design (BASELINE.json north star):
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -207,10 +209,23 @@ def ivf_refine(
         centroids = [(cid, updated.get(cid, cv)) for cid, cv in centroids]
         if round_to is not None:
             centroids = [
-                (cid, [round(float(x), round_to) for x in cv])
+                (cid, [_snap_away(float(x), round_to) for x in cv])
                 for cid, cv in centroids
             ]
     return centroids
+
+
+def _snap_away(x: float, nd: int) -> float:
+    """Half-AWAY-FROM-ZERO decimal snap: floor(|x|·10^nd + 0.5) with the
+    sign reapplied by branch (not copysign, which would manufacture a
+    -0.0 from x = -0.0 that a signbit-sensitive hash rejects). Python's
+    round() is half-to-even, so a mean landing exactly on a 0.5·10^-nd
+    boundary would diverge from the SQL replay's floor idiom — this is
+    the exact expression the sim_kmeans_assign oracle now uses."""
+    scale = 10.0 ** nd
+    if x < 0:
+        return -math.floor(-x * scale + 0.5) / scale
+    return math.floor(x * scale + 0.5) / scale
 
 
 def ann_topk_ivf(

@@ -3863,7 +3863,13 @@ def _kmeans_oracle_sql() -> str:
       ) WHERE rn = 1
     ),
     m{it} AS (
-      SELECT cid, u.i AS i, round(avg(v[u.i]), 9) AS x
+      -- half-away-from-zero snap, the exact _snap_away idiom (NOT
+      -- round(): engines disagree on half-to-even vs away at the
+      -- 0.5e-9 boundary)
+      SELECT cid, u.i AS i,
+             CASE WHEN avg(v[u.i]) < 0
+                  THEN -floor(-avg(v[u.i]) * 1e9 + 0.5) / 1e9
+                  ELSE floor(avg(v[u.i]) * 1e9 + 0.5) / 1e9 END AS x
       FROM a{it}, unnest(generate_series(1, {_KM_DIM})) AS u(i)
       GROUP BY cid, u.i
     ),

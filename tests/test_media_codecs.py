@@ -469,3 +469,33 @@ def test_avi_mjpg_roundtrip():
     out, fps = decode_avi(payload)
     assert fps == pytest.approx(4.0)
     assert [int(np.unique(f)[0]) for f in out] == [10, 100, 200]
+
+
+def test_jpeg_multi_scan_rejected():
+    """A baseline JPEG whose first SOS covers fewer components than the
+    frame declares (a multi-scan file) must raise UnsupportedMediaError
+    instead of silently decoding the first scan as if it were all three
+    (ADVICE r6)."""
+    from stglib_spark.functions.media import (
+        UnsupportedMediaError,
+        decode_jpeg,
+        encode_jpeg_baseline,
+    )
+
+    payload = bytearray(
+        encode_jpeg_baseline(np.full((8, 8, 3), 130, np.uint8))
+    )
+    i = bytes(payload).index(b"\xff\xda")
+    # 3-component SOS: FFDA Ls=000C Ns=03 (Cs,Tt)x3 Ss Se AhAl -> keep
+    # only component 1, shrinking Ls to 8 (the first scan of a
+    # non-interleaved multi-scan stream)
+    assert payload[i + 2 : i + 5] == b"\x00\x0c\x03"
+    comp1 = bytes(payload[i + 5 : i + 7])
+    tail = bytes(payload[i + 11 : i + 14])
+    patched = (
+        bytes(payload[:i])
+        + b"\xff\xda\x00\x08\x01" + comp1 + tail
+        + bytes(payload[i + 14 :])
+    )
+    with pytest.raises(UnsupportedMediaError, match="multi-scan"):
+        decode_jpeg(patched)

@@ -198,3 +198,31 @@ def test_kmeans_refine_monotone_and_grid_snapped(spark):
     cids = {cid for cid, _ in refined}
     got = {r["ivf_cell"] for r in ivf_assign(emb, refined).collect()}
     assert got <= cids
+
+
+def test_snap_away_matches_duckdb_idiom():
+    """ivf_refine's centroid snap must be half-AWAY-FROM-ZERO and
+    bit-identical to the SQL idiom the sim_kmeans_assign oracle uses
+    (ADVICE r6: Python round() is half-to-even, so a mean on a 0.5e-9
+    boundary diverged). Signbit-sensitive: -0.0 input must not produce
+    a -0.0 the formatted hash rejects."""
+    import duckdb
+
+    from stglib_spark.operators.similarity import _snap_away
+
+    vals = [
+        2.5e-9, -2.5e-9, 1.5e-9, -1.5e-9, 3.5e-9, -3.5e-9,
+        0.0, -0.0, 0.123456789499, -0.987654321501, 1.0, -1.0,
+        0.7777777775, -0.7777777775,
+    ]
+    con = duckdb.connect()
+    sql = (
+        "SELECT CASE WHEN ?::DOUBLE < 0"
+        " THEN -floor(-(?::DOUBLE) * 1e9 + 0.5) / 1e9"
+        " ELSE floor(?::DOUBLE * 1e9 + 0.5) / 1e9 END"
+    )
+    for v in vals:
+        got = _snap_away(v, 9)
+        exp = con.execute(sql, [v, v, v]).fetchone()[0]
+        assert got == exp, (v, got, exp)
+        assert math.copysign(1.0, got) == math.copysign(1.0, exp), v
