@@ -442,6 +442,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     max_iterations: int = 25,
     method: str = "fastsv",
+    driver_solve_max_edges: int = 2_000_000,
 ) -> DataFrame:
     """Resolve verified duplicate pairs into clusters: every document that
     appears in a pair gets the MINIMUM doc id reachable through the
@@ -487,7 +488,28 @@ def duplicate_clusters(
     algorithms); on a cluster where executor loss must be survivable,
     point ``spark.sparkContext.setCheckpointDir`` at durable storage
     and swap ``localCheckpoint`` for ``checkpoint``.
+
+    ``method="auto"``: adaptive strategy selection, the same bet a
+    broadcast join makes. The verified duplicate-pair graph is usually
+    TINY relative to the corpus (LSH→verify keeps ~0.1-1% of docs), and
+    every distributed round costs fixed scheduler latency regardless of
+    data size — so when the edge set fits comfortably on the driver
+    (``driver_solve_max_edges``, default 2M edges ≈ 32 MB, the same
+    order as a broadcast-side table), solve components with an exact
+    union-find there in one pass and skip the iteration entirely; above
+    the threshold, fall back to distributed FastSV. The edge table is
+    ``localCheckpoint``-ed before the count so the LSH→verify chain runs
+    exactly once either way. Identical output (component-minimum
+    canonical ids) by construction.
     """
+    if method == "auto":
+        edges_src = pairs.select(
+            F.col(pairs.columns[0]).alias("doc_a"),
+            F.col(pairs.columns[1]).alias("doc_b"),
+        ).localCheckpoint()
+        if edges_src.count() <= driver_solve_max_edges:
+            return _duplicate_clusters_driver(edges_src)
+        return _duplicate_clusters_fastsv(edges_src, max_iterations)
     if method == "star":
         return _duplicate_clusters_star(pairs, max_iterations)
     if method == "fastsv":
@@ -535,6 +557,43 @@ def duplicate_clusters(
     )
 
 
+def _duplicate_clusters_driver(pairs: DataFrame) -> DataFrame:
+    """Exact union-find over a bounded, already-checkpointed edge table
+    (the ``method="auto"`` small-graph path — callers gate on edge
+    count BEFORE collecting). Union-by-minimum keeps each tree's root
+    at the smallest id seen, so after path compression every node's
+    root IS the component minimum — the same canonical_id FastSV
+    converges to."""
+    from pyspark.sql.types import StructField, StructType
+
+    id_type = pairs.schema[0].dataType
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for r in pairs.collect():
+        a, b = r[0], r[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+
+    out = [(n, find(n)) for n in parent]
+    schema = StructType(
+        [StructField("doc_id", id_type), StructField("canonical_id", id_type)]
+    )
+    return pairs.sparkSession.createDataFrame(out, schema)
+
+
 def _duplicate_clusters_fastsv(pairs: DataFrame, max_iterations: int) -> DataFrame:
     """Min-label propagation with pointer jumping (see duplicate_clusters
     docstring). Labels only ever decrease and always hold the id of a
@@ -553,7 +612,7 @@ def _duplicate_clusters_fastsv(pairs: DataFrame, max_iterations: int) -> DataFra
         .agg(F.least(F.min("src"), F.min("dst")).alias("lbl"))
         .localCheckpoint()
     )
-    for _ in range(max_iterations):
+    for it in range(max_iterations):
         l1 = labels.select(F.col("node").alias("n1"), F.col("lbl").alias("f1"))
         # hooking: min over neighbours' current labels; the pre-round
         # label rides along as __old so change detection needs no third
@@ -582,10 +641,15 @@ def _duplicate_clusters_fastsv(pairs: DataFrame, max_iterations: int) -> DataFra
             )
             .localCheckpoint()
         )
-        changed = updated.filter(F.col("__chg")).count()
         labels = updated.select("node", "lbl")
-        if changed == 0:
-            break
+        # convergence check every 2nd round (and on the last): the
+        # count is a cheap scan of the just-checkpointed blocks, but
+        # it is still one scheduled job per round — halving the cadence
+        # costs at most one extra (no-op) compute round when the
+        # fixpoint lands on an unchecked round
+        if it % 2 == 1 or it == max_iterations - 1:
+            if updated.filter(F.col("__chg")).count() == 0:
+                break
     else:
         raise RuntimeError(
             f"duplicate_clusters did not converge in {max_iterations} rounds"

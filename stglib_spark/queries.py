@@ -2302,8 +2302,13 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     chain: LSH candidates → exact-Jaccard verify (≥ 0.5) → connected
     components over the verified-pair graph → (doc_id, canonical_id).
     Keep ``doc_id == canonical_id``, drop the rest. The Spark side is
-    iterative min-label propagation (dedup.duplicate_clusters); the
-    oracle walks the same graph with a recursive CTE."""
+    dedup.duplicate_clusters(method="auto"): the verified edge set is
+    checkpointed and counted once; below the broadcast-scale threshold
+    components resolve with an exact driver union-find (the verified
+    dup graph is ~0.1-1% of docs, and distributed rounds cost fixed
+    scheduler latency), above it distributed FastSV min-label
+    propagation runs — identical component-minimum output either way.
+    The oracle walks the same graph with a recursive CTE."""
     docs = load_table(spark, sf_dir, "documents")
     cands = dedup_ops.minhash_lsh_pairs(
         docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True
@@ -2311,7 +2316,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     verified = dedup_ops.ngram_jaccard_pairs(
         docs, candidate_pairs=cands, shingle_n=1, threshold=0.5
     )
-    return dedup_ops.duplicate_clusters(verified.select("doc_a", "doc_b"))
+    return dedup_ops.duplicate_clusters(
+        verified.select("doc_a", "doc_b"), method="auto"
+    )
 
 
 # --------------------------------------------------------------------------

@@ -472,3 +472,40 @@ def test_url_domain_stats(spark):
         for r in url_domain_stats(docs).collect()
     }
     assert got == {"example.com": (2, 3), "other.org": (1, 1)}
+
+
+def test_duplicate_clusters_auto_paths_agree(spark):
+    """method='auto' must produce the identical (doc_id, canonical_id)
+    map on BOTH sides of its size gate: the driver union-find path
+    (edge count under the threshold) and the distributed FastSV
+    fallback (threshold forced to 0)."""
+    from stglib_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [
+            (10, 11), (11, 12), (12, 13),
+            (20, 21), (21, 22), (20, 22),
+            (30, 31),
+            # order-insensitivity: edges arriving big-id-first
+            (41, 40), (42, 41),
+        ],
+        "doc_a long, doc_b long",
+    )
+    expect = {
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20, 22: 20,
+        30: 30, 31: 30,
+        40: 40, 41: 40, 42: 40,
+    }
+    driver = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_clusters(pairs, method="auto").collect()
+    }
+    dist = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_clusters(
+            pairs, method="auto", driver_solve_max_edges=0
+        ).collect()
+    }
+    assert driver == expect
+    assert dist == expect
