@@ -60,6 +60,15 @@ HEADLINE = [
     # run on every arriving batch before anything above touches it
     "corpus_quality_funnel",
     "dedup_incremental_batch",
+    # analytics tier (VERDICT r5 task #7): iterative k-means, PQ-ADC
+    # top-k, bigram LM scoring, HTML extraction, and sessionization —
+    # the per-query artifact must expose regressions in the Python-side
+    # iteration drivers and the regex/window hot paths too
+    "sim_kmeans_assign",
+    "sim_pq_adc_topk",
+    "text_bigram_logprob",
+    "text_html_extract",
+    "ts_sessionize",
 ]
 
 
@@ -107,6 +116,11 @@ def main() -> None:
         "corpus_remove_dup_spans",
         "corpus_quality_funnel",
         "dedup_incremental_batch",
+        "sim_kmeans_assign",
+        "sim_pq_adc_topk",
+        "text_bigram_logprob",
+        "text_html_extract",
+        "ts_sessionize",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3
