@@ -309,3 +309,70 @@ def burst_nan_fill(
         .otherwise(v)
     )
     return df.withColumn(value_col, filled)
+
+
+def sessionize(
+    df: DataFrame,
+    gap_seconds: int = 1800,
+    user_col: str = "user_id",
+    time_col: str = "ts",
+    order_cols: Sequence[str] = ("event_id",),
+) -> DataFrame:
+    """Gap-based sessionization (the event-analytics reshape run before
+    per-visit rollups): a silence longer than ``gap_seconds`` starts a
+    new per-user session. Emits one row per event with an ordinal
+    ``session_id`` per user plus epoch-µs helper columns — callers
+    aggregate to per-session stats (see queries.ts_sessionize for the
+    oracle-checked rollup and streaming.streaming_sessionize for the
+    session_window twin).
+
+    One window over (user, time[, tiebreakers]) — a single series
+    exchange, the same shape the QA/QC diff rules share — so at 100 TB
+    this is one shuffle keyed by user, with AQE handling hot users.
+    """
+    w = Window.partitionBy(user_col).orderBy(time_col, *order_cols)
+    us = F.unix_micros(F.col(time_col))
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(
+        gap.isNull() | (gap > int(gap_seconds) * 1_000_000), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        df.withColumn("__us", us)
+        .withColumn(
+            "session_id",
+            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .withColumn(
+            "__user_min_us",
+            F.min("__us").over(Window.partitionBy(user_col)),
+        )
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    user_col: str = "user_id",
+    value_col: str | None = "value",
+) -> DataFrame:
+    """Per-session rollup over a ``sessionize`` frame: event count,
+    ABSOLUTE session start (``start_us``, epoch-µs — the column users
+    key dashboards on), start relative to the user's first event
+    (``start_rel_us``, the timezone-invariant twin), duration, and the
+    value sum in integer cents (order-independent across engines)."""
+    aggs = [
+        F.count(F.lit(1)).cast("int").alias("n_events"),
+        F.min("__us").alias("start_us"),
+        (F.min("__us") - F.min("__user_min_us")).alias("start_rel_us"),
+        (F.max("__us") - F.min("__us")).alias("duration_us"),
+    ]
+    if value_col is not None:
+        cents = (
+            F.signum(value_col)
+            * F.floor(F.abs(F.col(value_col)) * 100 + F.lit(0.5))
+        ).cast("long")
+        aggs.append(F.sum(cents).alias("value_cents"))
+    return (
+        df.groupBy(user_col, "session_id")
+        .agg(*aggs)
+        .withColumn("session_id", F.col("session_id").cast("int"))
+    )

@@ -1363,48 +1363,13 @@ _SESSIONIZE_CTE = """
 """
 
 
-def _sessionize_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Pre-aggregation session frame: events tagged with ordinal
-    session_id, epoch-µs, and per-user min µs. One window over
-    (user, time) — the same single series-exchange the QA/QC diff
-    rules share."""
-    ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros(F.col("ts"))
-    gap = us - F.lag(us).over(w)
-    is_new = F.when(
-        gap.isNull() | (gap > 1800 * 1000 * 1000), F.lit(1)
-    ).otherwise(F.lit(0))
-    return (
-        ev.withColumn("__us", us)
-        .withColumn(
-            "session_id",
-            F.sum(is_new).over(w.rowsBetween(Window.unboundedPreceding, 0)),
-        )
-        .withColumn(
-            "__user_min_us",
-            F.min("__us").over(Window.partitionBy("user_id")),
-        )
-    )
-
-
 def _sessionize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full per-session aggregate with every candidate output column;
-    ts_sessionize and its _v* variants select subsets."""
-    sess = _sessionize_sessions(spark, sf_dir)
-    cents = (
-        F.signum("value") * F.floor(F.abs(F.col("value")) * 100 + F.lit(0.5))
-    ).cast("long")
-    return (
-        sess.groupBy("user_id", "session_id")
-        .agg(
-            F.count(F.lit(1)).cast("int").alias("n_events"),
-            F.min("__us").alias("start_us"),
-            (F.min("__us") - F.min("__user_min_us")).alias("start_rel_us"),
-            (F.max("__us") - F.min("__us")).alias("duration_us"),
-            F.sum(cents).alias("value_cents"),
-        )
-        .withColumn("session_id", F.col("session_id").cast("int"))
+    """Full per-session aggregate (production kernel:
+    timeops.sessionize → timeops.session_stats) with every candidate
+    output column; ts_sessionize and its _v* variants select subsets."""
+    ev = load_table(spark, sf_dir, "events")
+    return timeops.session_stats(
+        timeops.sessionize(ev, gap_seconds=1800), value_col="value"
     )
 
 
