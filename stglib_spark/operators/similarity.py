@@ -132,6 +132,29 @@ def _sq_l2(v: Column, c: Column) -> Column:
     )
 
 
+def _dlit(x: float) -> str:
+    """Shortest round-trip DOUBLE literal for SQL-text expression
+    building (repr is exact; the D suffix pins DoubleType)."""
+    return f"{float(x)!r}D"
+
+
+def _sq_l2_sql(v_sql: str, vals: list[float]) -> str:
+    """SQL text for ``_sq_l2(v, array(<vals>))`` — identical fold order.
+
+    Why text: codebook/centroid expressions embed K×dim float literals,
+    and building them with F.lit/F.array/F.struct costs thousands of
+    driver py4j round-trips PER QUERY CONSTRUCTION — measured 4-6 s of
+    the old 7 s sim_pq_adc_topk wall at sf0.1, dwarfing the 1.1 s of
+    actual execution. One F.expr(...) string is a single round-trip and
+    parses JVM-side; the resulting Catalyst tree (and therefore the
+    result bits) is the same."""
+    arr = "array(" + ",".join(_dlit(x) for x in vals) + ")"
+    return (
+        f"aggregate(zip_with({v_sql}, {arr},"
+        f" (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
+    )
+
+
 def ivf_seed_centroids(
     df: DataFrame,
     n_centroids: int,
@@ -165,17 +188,16 @@ def ivf_assign(
     At 100 TB the assigned table is written partitioned by ``out_col`` so
     a probe is partition pruning; assignment itself is one scan-speed
     projection (no shuffle, no UDF)."""
-    v = F.col(vec_col).cast("array<double>")
-    cells = F.array(
-        *[
-            F.struct(
-                _sq_l2(v, F.array(*[F.lit(float(x)) for x in cv])).alias("d"),
-                F.lit(cid).alias("c"),
-            )
-            for cid, cv in centroids
-        ]
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    structs = ",".join(
+        f"named_struct('d', {_sq_l2_sql(v_sql, [float(x) for x in cv])},"
+        f" 'c', CAST({int(cid)} AS BIGINT))"
+        for cid, cv in centroids
     )
-    return df.withColumn(out_col, F.array_min(cells)["c"])
+    # single F.expr: K×dim float literals as one SQL string, not K×dim
+    # py4j calls (see _sq_l2_sql)
+    cells = F.expr(f"array_min(array({structs}))")
+    return df.withColumn(out_col, cells["c"])
 
 
 def ivf_refine(
@@ -314,28 +336,21 @@ def pq_encode(
     per-subspace per-centroid L2 folds into array<struct<d,c>>,
     array_min picks the lexicographic (distance, code) minimum; one
     scan-speed projection, no shuffle, no UDF."""
-    v = F.col(vec_col).cast("array<double>")
     m = len(codebooks)
     d = len(codebooks[0][0])
-    codes = F.array(
-        *[
-            F.array_min(
-                F.array(
-                    *[
-                        F.struct(
-                            _sq_l2(
-                                F.slice(v, j * d + 1, d),
-                                F.array(*[F.lit(float(x)) for x in cv]),
-                            ).alias("d"),
-                            F.lit(c).alias("c"),
-                        )
-                        for c, cv in enumerate(codebooks[j])
-                    ]
-                )
-            )["c"]
-            for j in range(m)
-        ]
-    )
+    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
+    parts = []
+    for j in range(m):
+        sub = f"slice({v_sql}, {j * d + 1}, {d})"
+        structs = ",".join(
+            f"named_struct('d', {_sq_l2_sql(sub, [float(x) for x in cv])},"
+            f" 'c', CAST({c} AS BIGINT))"
+            for c, cv in enumerate(codebooks[j])
+        )
+        parts.append(f"array_min(array({structs})).c")
+    # single F.expr: m×n_codes×d float literals in one SQL string, not
+    # thousands of py4j calls (see _sq_l2_sql)
+    codes = F.expr("array(" + ",".join(parts) + ")")
     return df.withColumn(out_col, codes)
 
 
@@ -410,13 +425,21 @@ def pq_adc_topk(
         ]
         for j in range(m)
     ]
-    score = None
-    for j in range(m):
-        term = F.element_at(
-            F.array(*[F.lit(float(x)) for x in lut[j]]),
-            F.col("pq_codes")[j] + 1,
-        )
-        score = term if score is None else score + term
+    # Reference pq_codes exactly ONCE: zip the codes array with the LUT
+    # (an m × n_codes literal) and fold left-to-right. The obvious
+    # per-subspace form `sum(lut_j[pq_codes[j]])` references pq_codes m
+    # times, and CollapseProject inlines the expensive encode expression
+    # into EVERY reference — the interpreted-HOF encode then runs m×
+    # per row (measured 5.0 s → 1.07 s at sf0.1 for m=8). The fold sums
+    # in the same j=0..m-1 order the oracle's sequential list_sum uses.
+    lut_sql = "array(" + ",".join(
+        "array(" + ",".join(_dlit(x) for x in row) + ")" for row in lut
+    ) + ")"
+    score = F.expr(
+        f"aggregate(zip_with(pq_codes, {lut_sql},"
+        f" (c, row) -> element_at(row, CAST(c + 1 AS INT))),"
+        f" 0.0D, (acc, x) -> acc + x)"
+    )
     return (
         encoded.select(
             F.col(id_col), F.round(score, 6).alias("adc_dist")
