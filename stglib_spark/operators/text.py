@@ -182,6 +182,28 @@ def unigram_vocab(
     return [(r["tok"], r["c"]) for r in rows]
 
 
+def _sql_str(s: str) -> str:
+    """Single-quoted Spark SQL string literal (backslash escaping)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+def _sql_map(entries: list[tuple[str, float]]) -> str:
+    """SQL text for a string→double literal map. Model-as-literal maps
+    (vocab/bigram tables) carry thousands of entries; building them via
+    F.lit/F.create_map costs 2 driver py4j round-trips PER ENTRY at
+    query construction (the dominant cost of text_bigram_logprob —
+    seconds before the job even starts). One SQL string parses JVM-side
+    in a single call; repr'd D-suffixed doubles round-trip exactly, so
+    the literal map (and the scores) are bit-identical."""
+    if not entries:
+        return "map()"
+    return (
+        "map("
+        + ",".join(f"{_sql_str(k)},{float(v)!r}D" for k, v in entries)
+        + ")"
+    )
+
+
 def unigram_logprob_score(
     df: DataFrame,
     vocab: list[tuple[str, int]],
@@ -201,11 +223,9 @@ def unigram_logprob_score(
     scan speed regardless of corpus size; only vocabulary construction
     (one bounded aggregate) ever shuffles."""
     total = float(sum(c for _, c in vocab))
-    entries: list[Column] = []
-    for tok, c in vocab:
-        entries.append(F.lit(tok))
-        entries.append(F.lit(math.log(c / total)))
-    lp_map = F.create_map(*entries)
+    lp_map = F.expr(
+        _sql_map([(tok, math.log(c / total)) for tok, c in vocab])
+    )
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
     total_lp = F.aggregate(
@@ -342,19 +362,19 @@ def bigram_logprob_score(
     projection over the token array — no explode, no join, no shuffle,
     scan speed at any corpus size."""
     V = len(vocab)
-    bi_entries: list[Column] = []
     c1 = dict(vocab)
-    for w1, w2, c in bigrams:
-        if w1 not in c1:
-            continue
-        bi_entries.append(F.lit(w1 + " " + w2))
-        bi_entries.append(F.lit(math.log((c + 1.0) / (c1[w1] + V))))
-    bo_entries: list[Column] = []
-    for w1, c in vocab:
-        bo_entries.append(F.lit(w1))
-        bo_entries.append(F.lit(math.log(1.0 / (c + V))))
-    bi_map = F.create_map(*bi_entries) if bi_entries else F.create_map()
-    bo_map = F.create_map(*bo_entries) if bo_entries else F.create_map()
+    bi_map = F.expr(
+        _sql_map(
+            [
+                (w1 + " " + w2, math.log((c + 1.0) / (c1[w1] + V)))
+                for w1, w2, c in bigrams
+                if w1 in c1
+            ]
+        )
+    )
+    bo_map = F.expr(
+        _sql_map([(w1, math.log(1.0 / (c + V))) for w1, c in vocab])
+    )
 
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
