@@ -50,7 +50,7 @@ def brute_force_topk(
     plan as an array literal (constant-folded, broadcast implicitly);
     orderBy+limit compiles to TakeOrderedAndProject — per-partition heap
     then driver merge of k rows, not a global sort."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = F.expr(_darr_sql(query_vec))
     sim = cosine(F.col(vec_col).cast("array<double>"), q)
     return (
         df.select(F.col(id_col), F.round(sim, 6).alias("cosine"))
@@ -136,6 +136,12 @@ def _dlit(x: float) -> str:
     """Shortest round-trip DOUBLE literal for SQL-text expression
     building (repr is exact; the D suffix pins DoubleType)."""
     return f"{float(x)!r}D"
+
+
+def _darr_sql(vals) -> str:
+    """SQL text for a DOUBLE array literal — one F.expr round-trip
+    instead of len(vals) F.lit calls (see _sq_l2_sql)."""
+    return "array(" + ",".join(_dlit(float(x)) for x in vals) + ")"
 
 
 def _sq_l2_sql(v_sql: str, vals: list[float]) -> str:
@@ -284,7 +290,7 @@ def ann_topk_ivf(
         )[:nprobe]
     ]
     assigned = ivf_assign(df, centroids, vec_col)
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = F.expr(_darr_sql(query_vec))
     sim = cosine(F.col(vec_col).cast("array<double>"), q)
     return (
         assigned.filter(F.col("ivf_cell").isin(probed))
@@ -470,7 +476,7 @@ def lsh_bucket(
     v = F.col(vec_col).cast("array<double>")
     bucket: Column = F.lit(0).cast("long")
     for i, plane in enumerate(planes):
-        p = F.array(*[F.lit(float(x)) for x in plane])
+        p = F.expr(_darr_sql(plane))
         bit = F.when(dot(v, p) >= 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         bucket = bucket.bitwiseXOR(F.shiftleft(bit, i))
     return df.withColumn("lsh_bucket", bucket)
@@ -500,7 +506,7 @@ def ann_topk_lsh(
         if float(qv @ plane) >= 0:
             qsig |= 1 << i
     probe = F.bit_count(F.col("lsh_bucket").bitwiseXOR(F.lit(qsig))) <= probe_hamming
-    q = F.array(*[F.lit(float(x)) for x in query_vec]).cast("array<double>")
+    q = F.expr(_darr_sql(query_vec))
     sim = cosine(F.col(vec_col).cast("array<double>"), q)
     return (
         bucketed.filter(probe)
