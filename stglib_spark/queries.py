@@ -1398,13 +1398,16 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     start, duration, and value. One window over (user, time) — the
     same single series-exchange the QA/QC diff rules share — then a
     hash aggregate; the value sum in integer cents (order-independent
-    across engines). Every output is a timezone-invariant integer:
-    session starts are reported RELATIVE to the user's first event
-    (epoch-µs differences), never as absolute epochs — a naive-parquet
-    timestamp read under a non-UTC session shifts every absolute epoch
-    by the zone offset while all µs DIFFERENCES cancel exactly, so the
-    result is identical under any engine/session timezone (the r5
-    driver-red suspect)."""
+    across engines). Session starts are reported RELATIVE to the user's
+    first event (epoch-µs differences, plus absolute start_us via
+    timeops.session_stats for users): a naive-parquet timestamp read
+    under a FIXED-OFFSET session timezone shifts every absolute epoch
+    uniformly so µs differences cancel exactly (under a DST-observing
+    zone, events straddling a transition shift by different offsets —
+    pin the session to UTC for unconditional invariance; the driver
+    data's January range has no transitions). The r5/r6 driver red was
+    neither of these — it was the oracle's uncast HUGEINT sum (see the
+    value_cents CAST comment)."""
     return _sessionize_agg(spark, sf_dir).select(
         "user_id",
         "session_id",
