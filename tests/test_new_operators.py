@@ -509,3 +509,49 @@ def test_duplicate_clusters_auto_paths_agree(spark):
     }
     assert driver == expect
     assert dist == expect
+
+
+def test_sql_map_literal_escaping(spark):
+    """The SQL-text model maps must survive hostile token content:
+    single quotes, backslashes, and non-ASCII all round-trip through
+    the F.expr parse (a vocab token like don't or a\\b must not break
+    or silently re-key the literal map)."""
+    from pyspark.sql import functions as F
+
+    from stglib_spark.operators.text import _sql_map
+
+    entries = [
+        ("don't", -1.5),
+        ("a\\b", -2.25),
+        ("naïve", -3.0),
+        ("it's\\'ok", -4.5),
+        ("plain", -0.125),
+    ]
+    m = F.expr(_sql_map(entries))
+    row = spark.range(1).select(
+        *[F.element_at(m, F.lit(k)).alias(f"v{i}") for i, (k, _) in enumerate(entries)]
+    ).collect()[0]
+    assert [row[f"v{i}"] for i in range(len(entries))] == [v for _, v in entries]
+
+
+def test_unigram_scorer_hostile_vocab(spark):
+    """End-to-end: a vocabulary containing quote/backslash tokens scores
+    documents identically to the hand-computed expectation."""
+    import math
+
+    from stglib_spark.operators.text import unigram_logprob_score
+
+    docs = spark.createDataFrame(
+        [(1, "don't panic"), (2, "a\\b don't")],
+        "doc_id long, text string",
+    )
+    vocab = [("don't", 3), ("panic", 1), ("a\\b", 4)]
+    total = 8.0
+    lp = {t: math.log(c / total) for t, c in vocab}
+    got = {
+        r["doc_id"]: r["mean_logprob"]
+        for r in unigram_logprob_score(docs, vocab).collect()
+    }
+    exp1 = round((lp["don't"] + lp["panic"]) / 2, 6)
+    exp2 = round((lp["a\\b"] + lp["don't"]) / 2, 6)
+    assert got == {1: exp1, 2: exp2}, got
