@@ -875,3 +875,126 @@ def edit_similarity_pairs(
     if threshold > 0:
         out = out.filter(F.col("edit_sim") >= F.lit(threshold))
     return out
+
+
+def lsh_pairs_between(
+    batch_sigs: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    portable: bool = False,
+) -> DataFrame:
+    """LSH candidates BETWEEN two corpora (the incremental twin of
+    ``lsh_pairs_from_signatures``): band both signature tables, then an
+    equi-join of the batch's band rows against the index's — never a
+    self-join, so only cross-corpus buckets materialize. Returns
+    distinct (doc_id = batch id, match_id = index id).
+
+    Scale shape: the index side persists as the banded (id, band, bh)
+    table — ``bands`` rows of three longs per indexed doc, bucketable
+    by (band, bh) so each arriving batch co-locates against it without
+    reshuffling the ever-growing index (the near-dup analogue of
+    incremental_dedup's digest index)."""
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        r = num_hashes // bands
+        if portable:
+            band_cols = [
+                hash60(
+                    F.concat_ws(
+                        "|", *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                    )
+                ).alias(f"band_{b}")
+                for b in range(bands)
+            ]
+        else:
+            band_cols = [
+                F.xxhash64(
+                    *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                ).alias(f"band_{b}")
+                for b in range(bands)
+            ]
+        banded = sigs.select(F.col(id_col), *band_cols)
+        return banded.select(
+            F.col(id_col),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.col(f"band_{b}").alias("bh"),
+                        )
+                        for b in range(bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+
+    left = _banded(batch_sigs).alias("l")
+    right = _banded(index_sigs).alias("r")
+    return (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bh") == F.col("r.bh")),
+        )
+        .select(
+            F.col(f"l.{id_col}").alias("doc_id"),
+            F.col(f"r.{id_col}").alias("match_id"),
+        )
+        .distinct()
+    )
+
+
+def incremental_near_dedup(
+    batch: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    portable: bool = False,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental NEAR-duplicate rejection — the fuzzy companion to
+    ``incremental_dedup``'s exact-digest gate, completing the crawl
+    front door: an arriving batch is LSH-matched against the already-
+    ingested corpus and every batch doc whose token Jaccard with an
+    index doc reaches ``threshold`` is reported as a reject (one row
+    per (doc_id, match_id, jaccard)); callers LEFT ANTI join the batch
+    against the returned doc_ids to admit the rest, and append the
+    admitted docs' band rows to the index.
+
+    Plan shape: signatures for the batch only are computed fresh (the
+    index side would be the persisted banded table in production — it
+    is recomputed here so the operator is self-contained); candidates
+    come from the cross-corpus band join (lsh_pairs_between), and only
+    candidates are verified exactly — no all-pairs path exists."""
+    bs = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n, portable)
+    isig = minhash_signatures(
+        index_docs, text_col, id_col, num_hashes, shingle_n, portable
+    )
+    cands = lsh_pairs_between(bs, isig, id_col, num_hashes, bands, portable)
+    both = batch.select(id_col, text_col).unionByName(
+        index_docs.select(id_col, text_col)
+    )
+    verified = ngram_jaccard_pairs(
+        both,
+        candidate_pairs=cands.select(
+            F.col("match_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+        ),
+        text_col=text_col,
+        id_col=id_col,
+        # verify at token level (the dedup_token_jaccard convention) —
+        # candidate RECALL comes from the shingled signatures, exact
+        # PRECISION from the token-set measure
+        shingle_n=1,
+        threshold=threshold,
+    )
+    return verified.select(
+        F.col("doc_b").alias(id_col),
+        F.col("doc_a").alias("match_id"),
+        "jaccard",
+    )

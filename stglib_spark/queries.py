@@ -3803,6 +3803,39 @@ def sim_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _compose_ivf_recall_oracle() -> str:
+    return f"""
+    WITH ivf AS ({ORACLES["sim_ann_ivf_topk"]}),
+    ex AS ({ORACLES["sim_cosine_topk"]})
+    SELECT CAST(count(*) AS BIGINT) AS n_hits,
+           CAST(count(*) AS DOUBLE) / 10.0 AS recall_at_10
+    FROM ivf JOIN ex USING (vec_id)
+    """
+
+
+@register("sim_ivf_recall", _compose_ivf_recall_oracle())
+def sim_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN index QUALITY evaluation — the metric every index deployment
+    gates on: recall@10 of the IVF probe against the exact brute-force
+    cosine top-10 (|approx ∩ exact| / k). Both sides and the metric
+    itself are SQL-replayable, so the driver checks the measured recall,
+    not just the plumbing. Scale shape: two TakeOrderedAndProject top-k
+    plans joined on 10-row sets — evaluation costs two scans regardless
+    of corpus size; at 100 TB the same query runs over a sampled query
+    panel with the exact side computed once per panel refresh."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    approx = sim_ops.ann_topk_ivf(
+        emb, _QUERY_VEC, k=10, n_centroids=_IVF_K, nprobe=_IVF_NPROBE
+    ).select("vec_id")
+    exact = sim_ops.brute_force_topk(emb, _QUERY_VEC, k=10).select("vec_id")
+    return approx.join(exact, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits"),
+        (F.count(F.lit(1)).cast("double") / F.lit(10.0)).alias(
+            "recall_at_10"
+        ),
+    )
+
+
 _KM_K, _KM_ITERS, _KM_DIM = 8, 2, 64
 
 
@@ -6715,6 +6748,55 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_incremental_near",
+    _MH_CAND_CTES
+    + """,
+    tk AS (
+      SELECT doc_id, list_distinct(toks) AS tok, len(list_distinct(toks)) AS n
+      FROM tok
+    ),
+    xcand AS (
+      SELECT DISTINCT a.doc_id AS match_id, b.doc_id AS doc_id
+      FROM band a JOIN band b
+        ON a.band = b.band AND a.bh = b.bh
+      WHERE a.doc_id % 3 = 0 AND b.doc_id % 3 <> 0
+    )
+    SELECT c.doc_id, c.match_id,
+           round(len(list_intersect(a.tok, b.tok))::DOUBLE
+                 / (a.n + b.n - len(list_intersect(a.tok, b.tok))), 6)
+             AS jaccard
+    FROM xcand c
+    JOIN tk a ON c.match_id = a.doc_id
+    JOIN tk b ON c.doc_id = b.doc_id
+    WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+          / (a.n + b.n - len(list_intersect(a.tok, b.tok))) >= 0.5
+    """,
+)
+def dedup_incremental_near(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup rejection (dedup.incremental_near_dedup) —
+    the fuzzy companion to dedup_incremental_batch's exact-digest gate:
+    the arriving batch (doc_id % 3 ≠ 0) is LSH-matched against the
+    ingested corpus (doc_id % 3 = 0) through a CROSS-corpus band join
+    (never a self-join), candidates verified by token Jaccard ≥ 0.5;
+    the emitted rows are the ingest rejects. In production the index
+    side persists as the banded (id, band, bh) table, bucketable by
+    (band, bh) so each batch co-locates without reshuffling the
+    ever-growing index."""
+    docs = load_table(spark, sf_dir, "documents")
+    index_docs = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    return dedup_ops.incremental_near_dedup(
+        batch,
+        index_docs,
+        num_hashes=_MH_N,
+        bands=_MH_BANDS,
+        shingle_n=2,
+        portable=True,
+        threshold=0.5,
+    )
+
+
+@register(
     "text_tfidf_keywords",
     rf"""
     WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
@@ -6794,6 +6876,91 @@ def corpus_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", F.explode(text_ops.tokens(norm)).alias("tok")
     )
     return sketches.kmv_distinct(toks, "tok", ["source"], k=64, seed="kmv1")
+
+
+@register(
+    "corpus_hist_percentiles",
+    _DATACARD_CTE
+    + """
+    , bb AS (
+      SELECT source,
+             LEAST(GREATEST(CAST(floor((qs - CAST(0.0 AS DOUBLE)) / CAST(0.00390625 AS DOUBLE))
+                                 AS BIGINT), 0), 255) AS bin
+      FROM q
+    ), cc AS (
+      SELECT source, bin, count(*) AS cnt FROM bb GROUP BY source, bin
+    ), cum AS (
+      SELECT source, bin, cnt,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin) AS cum,
+             sum(cnt) OVER (PARTITION BY source ORDER BY bin) - cnt AS prev
+      FROM cc
+    ), nn AS (
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n FROM cc GROUP BY source
+    ), ranks AS (
+      SELECT source, n,
+             ((n - 1) * 500000) // 1000000 AS h50,
+             ((n - 1) * 500000) % 1000000 AS r50,
+             ((n - 1) * 900000) // 1000000 AS h90,
+             ((n - 1) * 900000) % 1000000 AS r90,
+             ((n - 1) * 990000) // 1000000 AS h99,
+             ((n - 1) * 990000) % 1000000 AS r99
+      FROM nn
+    ), picks AS (
+      SELECT r.source, r.n, r.r50, r.r90, r.r99,
+        min(CASE WHEN c.prev <= r.h50 AND r.h50 < c.cum THEN c.bin END) AS b50a,
+        min(CASE WHEN c.prev <= r.h50 + 1 AND r.h50 + 1 < c.cum THEN c.bin END) AS b50b,
+        min(CASE WHEN c.prev <= r.h90 AND r.h90 < c.cum THEN c.bin END) AS b90a,
+        min(CASE WHEN c.prev <= r.h90 + 1 AND r.h90 + 1 < c.cum THEN c.bin END) AS b90b,
+        min(CASE WHEN c.prev <= r.h99 AND r.h99 < c.cum THEN c.bin END) AS b99a,
+        min(CASE WHEN c.prev <= r.h99 + 1 AND r.h99 + 1 < c.cum THEN c.bin END) AS b99b
+      FROM ranks r JOIN cum c USING (source)
+      GROUP BY r.source, r.n, r.r50, r.r90, r.r99
+    )
+    SELECT source, n,
+      CASE WHEN n > 1 THEN
+        ((CAST(0.0 AS DOUBLE) + (CAST(b50a AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.00390625 AS DOUBLE))
+           * CAST(1000000 - r50 AS DOUBLE)
+         + (CAST(0.0 AS DOUBLE) + (CAST(b50b AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.00390625 AS DOUBLE))
+           * CAST(r50 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) + (CAST(b50a AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.00390625 AS DOUBLE) END AS p0_5,
+      CASE WHEN n > 1 THEN
+        ((CAST(0.0 AS DOUBLE) + (CAST(b90a AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.00390625 AS DOUBLE))
+           * CAST(1000000 - r90 AS DOUBLE)
+         + (CAST(0.0 AS DOUBLE) + (CAST(b90b AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.00390625 AS DOUBLE))
+           * CAST(r90 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) + (CAST(b90a AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.00390625 AS DOUBLE) END AS p0_9,
+      CASE WHEN n > 1 THEN
+        ((CAST(0.0 AS DOUBLE) + (CAST(b99a AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.00390625 AS DOUBLE))
+           * CAST(1000000 - r99 AS DOUBLE)
+         + (CAST(0.0 AS DOUBLE) + (CAST(b99b AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.00390625 AS DOUBLE))
+           * CAST(r99 AS DOUBLE)) / CAST(1000000.0 AS DOUBLE)
+      ELSE CAST(0.0 AS DOUBLE) + (CAST(b99a AS DOUBLE) + CAST(0.5 AS DOUBLE)) * CAST(0.00390625 AS DOUBLE) END AS p0_99
+    FROM picks
+    """,
+)
+def corpus_hist_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile sketch (operators/sketches.py
+    hist_percentiles): per-source p50/p90/p99 of the quality score via a
+    256-bin fixed-grid histogram with micro-integer rank interpolation
+    between bin midpoints — the auditable, engine-exact twin of
+    percentile_approx (whose t-digest is merge-order-dependent and so
+    can never be oracle-checked). Bin width 2^-8 makes every midpoint
+    an exact double. Scale shape: one map-side-combinable
+    (source, bin) count — shuffle width is 256×sources, never the
+    corpus — then a fold over ≤256 rows per source."""
+    from stglib_spark.operators import sketches
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    scored = text_ops.quality_score(docs).select("source", "quality_score")
+    return sketches.hist_percentiles(
+        scored,
+        "quality_score",
+        ["source"],
+        lo=0.0,
+        hi=1.0,
+        n_bins=256,
+        percentiles=(0.5, 0.9, 0.99),
+    )
 
 
 @register(
@@ -6984,6 +7151,9 @@ _FRONT = [
     "dedup_edit_similarity",
     "src_sg_hex_roundtrip",
     "src_son_roundtrip",
+    "corpus_hist_percentiles",
+    "sim_ivf_recall",
+    "dedup_incremental_near",
     # (c) stale oracle siblings (the §2 spectral/filter evidence)
     "wave_psd_welch_oracle",
     "wave_cutoff_tail_oracle",
@@ -7024,9 +7194,6 @@ _FRONT = [
     "corpus_build_packs",
     "text_chunk_documents",
     "dedup_priority_source",
-    "corpus_remove_boilerplate",
-    "corpus_stratified_sample",
-    "corpus_decontaminate",
 ]
 
 

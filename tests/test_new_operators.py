@@ -555,3 +555,67 @@ def test_unigram_scorer_hostile_vocab(spark):
     exp1 = round((lp["don't"] + lp["panic"]) / 2, 6)
     exp2 = round((lp["a\\b"] + lp["don't"]) / 2, 6)
     assert got == {1: exp1, 2: exp2}, got
+
+
+def test_hist_percentiles_accuracy_and_merge(spark):
+    """The fixed-grid histogram percentile must sit within one bin width
+    of the exact percentile, and be PARTITION-INVARIANT (the mergeable
+    property t-digest lacks): the same data in 1 vs 13 partitions gives
+    the bit-identical sketch result."""
+    from pyspark.sql import functions as F
+
+    from stglib_spark.operators.sketches import hist_percentiles
+
+    vals = [(i, (i * 37 % 1000) / 1000.0) for i in range(1000)]
+    df = spark.createDataFrame(vals, "id long, v double")
+    out = hist_percentiles(
+        df, "v", None, lo=0.0, hi=1.0, n_bins=256,
+        percentiles=(0.5, 0.9, 0.99),
+    ).collect()[0]
+    import numpy as np
+
+    arr = np.sort([v for _, v in vals])
+    width = 1.0 / 256
+    for col, p in (("p0_5", 0.5), ("p0_9", 0.9), ("p0_99", 0.99)):
+        exact = float(np.quantile(arr, p))
+        assert abs(out[col] - exact) <= width, (col, out[col], exact)
+    assert out["n"] == 1000
+
+    re13 = hist_percentiles(
+        df.repartition(13), "v", None, lo=0.0, hi=1.0, n_bins=256,
+        percentiles=(0.5, 0.9, 0.99),
+    ).collect()[0]
+    assert (re13["p0_5"], re13["p0_9"], re13["p0_99"]) == (
+        out["p0_5"], out["p0_9"], out["p0_99"],
+    )
+
+
+def test_incremental_near_dedup_rejects_near_copy(spark):
+    """A batch doc that is a near-copy (one token changed) of an indexed
+    doc must be rejected with high Jaccard; an unrelated doc must pass."""
+    from pyspark.sql import functions as F
+
+    from stglib_spark.operators.dedup import incremental_near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    index_docs = spark.createDataFrame(
+        [(3, base)], "doc_id long, text string"
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base.replace("tonight", "today")),  # near-dup
+            (11, "completely different content about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    out = incremental_near_dedup(
+        batch, index_docs, num_hashes=32, bands=8, shingle_n=2,
+        portable=True, threshold=0.5,
+    ).collect()
+    rejected = {r["doc_id"]: (r["match_id"], r["jaccard"]) for r in out}
+    assert 10 in rejected and rejected[10][0] == 3
+    assert rejected[10][1] > 0.8
+    assert 11 not in rejected
