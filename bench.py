@@ -69,6 +69,10 @@ HEADLINE = [
     "text_bigram_logprob",
     "text_html_extract",
     "ts_sessionize",
+    # corpus-audit sketches + the near-dup ingest gate (new in r7)
+    "corpus_kmv_distinct",
+    "corpus_hist_percentiles",
+    "dedup_incremental_near",
 ]
 
 
@@ -121,6 +125,9 @@ def main() -> None:
         "text_bigram_logprob",
         "text_html_extract",
         "ts_sessionize",
+        "corpus_kmv_distinct",
+        "corpus_hist_percentiles",
+        "dedup_incremental_near",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3
