@@ -443,3 +443,57 @@ def test_tfidf_keywords_broadcasts_corpus_size(spark):
     assert "InMemoryRelation" in plan or "InMemoryTableScan" in plan
     # partial top-k before the window shuffle (WindowGroupLimit)
     assert count(plan, r"WindowGroupLimit") >= 1
+
+
+def test_kmv_ungrouped_is_take_ordered(spark):
+    """The ungrouped KMV path must compile to TakeOrderedAndProject
+    (per-task local top-k), never a single-partition window exchange
+    over every distinct hash (the ADVICE r6 scale bug)."""
+    from pyspark.sql import functions as F
+
+    from stglib_spark.operators.dedup import normalize_text
+    from stglib_spark.operators.sketches import kmv_distinct
+    from stglib_spark.operators.text import tokens
+    from stglib_spark.session import load_table
+
+    docs = load_table(spark, SF, "documents")
+    toks = docs.select(
+        F.explode(tokens(normalize_text(F.col("text")))).alias("tok")
+    )
+    df = kmv_distinct(toks, "tok", None, k=64)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    assert "TakeOrderedAndProject" in plan, plan
+    assert count(plan, r"Exchange SinglePartition") == 0, plan
+
+
+def test_hist_percentiles_shuffle_carries_bins_not_rows(spark):
+    """The histogram sketch's exchanges hash-partition on the grouping
+    (and bin) keys with map-side partial aggregation — the shuffle
+    width is bins x groups, never corpus rows. No single-partition
+    exchange, no window over the data."""
+    plan = plan_of(spark, "corpus_hist_percentiles")
+    assert count(plan, r"Exchange SinglePartition") == 0, plan
+    assert "partial_count" in plan or "partial count" in plan.lower(), plan
+    assert "Window" not in plan, plan
+
+
+def test_incremental_near_has_no_self_or_cross_join(spark):
+    """The cross-corpus band join must be an equi-join (hash-partitioned
+    or broadcast) — never a CartesianProduct / BroadcastNestedLoopJoin,
+    and document TEXT must not pass through the band-join shuffle."""
+    plan = plan_of(spark, "dedup_incremental_near")
+    assert count(plan, r"CartesianProduct") == 0, plan
+    assert count(plan, r"BroadcastNestedLoopJoin") == 0, plan
+
+
+def test_ivf_recall_is_two_topk_plans(spark):
+    """Index-quality evaluation = two TakeOrderedAndProject scans joined
+    on k-row sets; no global sort of the corpus."""
+    plan = plan_of(spark, "sim_ivf_recall")
+    assert count(plan, r"\(\d+\) TakeOrderedAndProject") == 2, plan
+    assert count(plan, r"\(\d+\) Sort\b") == 0, plan
+    assert "BroadcastHashJoin" in plan, plan
