@@ -18,6 +18,7 @@ from stglib_spark.streaming.bursts import (
     streaming_dedup,
     streaming_diff_gate,
     streaming_gap_fill,
+    streaming_near_dedup,
     streaming_pack_sequences,
     streaming_puv,
     streaming_sessionize,
@@ -32,6 +33,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_diff_gate",
     "streaming_gap_fill",
+    "streaming_near_dedup",
     "streaming_pack_sequences",
     "streaming_puv",
     "streaming_sessionize",

@@ -780,3 +780,129 @@ def streaming_pack_sequences(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_near_dedup(
+    docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 2,
+    threshold: float = 0.5,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``dedup.incremental_near_dedup`` — the live
+    crawl front door: every arriving document is LSH-matched against
+    the STATIC banded corpus index and rejected rows (doc_id, match_id,
+    jaccard ≥ threshold) are emitted as they happen.
+
+    Stream-side signatures are computed STATELESSLY with array
+    higher-order functions (min over the same h1 + i·h2 hash family the
+    batch explode+groupBy path uses, so the signatures — and therefore
+    the candidates — are value-identical to the batch operator): the
+    batch shape would be a streaming aggregate with per-doc state,
+    while a projection needs none. The band rows then stream-static
+    equi-join the index (broadcast when it fits), token Jaccard is
+    verified inline with array set ops (stateless again), and the only
+    streaming state is the watermark-bounded (doc, match) dedup that
+    collapses multi-band hits."""
+    from stglib_spark.operators.dedup import word_shingles
+
+    m = F.lit(4294967291)
+    sh = word_shingles(F.col(text_col), shingle_n)
+    hs = F.transform(
+        sh,
+        lambda s: F.struct(
+            F.pmod(F.xxhash64(s), m).alias("h1"),
+            F.pmod(F.xxhash64(F.lit("mh2"), s), m).alias("h2"),
+        ),
+    )
+    # Per-i min-hash transforms are SQL text with UNIQUE lambda variable
+    # names: nesting Python-lambda transforms inside a lambda-produced
+    # array mis-binds the shared `x` NamedLambdaVariable across the
+    # sibling expressions (all num_hashes minima silently collapse to
+    # one hash — caught by the batch-parity test), while explicit
+    # x0..x{n-1} variables analyze correctly.
+    sigs = [
+        F.expr(
+            f"array_min(transform(__hs, x{i} -> "
+            f"pmod(x{i}.h1 + {i} * x{i}.h2, 4294967291)))"
+        ).alias(f"mh_{i}")
+        for i in range(num_hashes)
+    ]
+    r = num_hashes // bands
+    stream_sig = docs.withColumn("__hs", hs).select(
+        F.col(id_col), F.col(time_col), F.col(text_col), *sigs
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                ).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    tok = word_shingles(F.col(text_col), 1)
+    stream_banded = stream_sig.select(
+        F.col(id_col),
+        F.col(time_col),
+        tok.alias("__tok"),
+        F.explode(band_structs).alias("bb"),
+    ).select(
+        id_col, time_col, "__tok",
+        F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"),
+    )
+
+    # static side: the persisted banded index + per-doc token sets (in
+    # production both are parquet zones maintained by the batch ingest)
+    from stglib_spark.operators.dedup import minhash_signatures
+
+    isig = minhash_signatures(
+        index_docs, text_col, id_col, num_hashes, shingle_n, portable=False
+    )
+    index_banded = isig.select(
+        F.col(id_col).alias("match_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"mh_{b * r + i}") for i in range(r)]
+                        ).alias("bh"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "match_id", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh")
+    ).distinct()
+    index_tok = index_docs.select(
+        F.col(id_col).alias("match_id"),
+        word_shingles(F.col(text_col), 1).alias("__itok"),
+    )
+
+    cand = stream_banded.join(
+        F.broadcast(index_banded), ["band", "bh"]
+    ).join(F.broadcast(index_tok), "match_id")
+    inter = F.size(F.array_intersect(F.col("__tok"), F.col("__itok")))
+    union = F.size("__tok") + F.size("__itok") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col(time_col),
+            F.col("match_id"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= F.lit(float(threshold)))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col, "match_id"])
+    )

@@ -915,3 +915,74 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, checkpoint_dir):
     for k, v in streamed.items():
         assert batch[k] == v, (k, v, batch[k])
     assert len(streamed) >= len(batch) * 0.5
+
+
+def test_streaming_near_dedup_matches_batch(spark, checkpoint_dir, tmp_path):
+    """The streaming near-dup gate must reject exactly the (doc, match)
+    pairs the batch incremental_near_dedup operator finds on the same
+    batch/index split — the HOF stream-side signatures use the same
+    hash family as the batch explode+groupBy path, so candidates and
+    Jaccard values agree pair for pair."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators.dedup import incremental_near_dedup
+    from stglib_spark.streaming import streaming_near_dedup
+
+    base = (
+        "the quick brown fox jumps over the lazy dog and runs far away "
+        "into the deep green forest tonight"
+    )
+    other = (
+        "completely unrelated prose about catalyst optimizer internals "
+        "and adaptive query execution stages in a distributed engine"
+    )
+    index_docs = spark.createDataFrame(
+        [(3, base), (6, other)], "doc_id long, text string"
+    )
+    t0 = pd.Timestamp("2024-05-01 10:00:00")
+    arriving = pd.DataFrame(
+        {
+            "doc_id": [10, 11, 12],
+            "ts": [t0, t0 + pd.Timedelta(minutes=1), t0 + pd.Timedelta(minutes=2)],
+            "text": [
+                base.replace("tonight", "today"),  # near-dup of 3
+                "fresh content that matches nothing in the corpus",
+                other + " with one extra clause",  # near-dup of 6
+            ],
+        }
+    )
+    d = str(tmp_path / "arrv")
+    os.makedirs(d)
+    spark.createDataFrame(arriving).coalesce(1).write.parquet(d + "/a")
+    schema = spark.read.parquet(d + "/a").schema
+    stream = spark.readStream.schema(schema).parquet(d + "/*")
+    out = streaming_near_dedup(
+        stream, index_docs, num_hashes=32, bands=8, shingle_n=2,
+        threshold=0.5, watermark="1 hour",
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("neardedup")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["doc_id"], r["match_id"]): r["jaccard"]
+        for r in spark.sql("SELECT * FROM neardedup").collect()
+    }
+    batch_df = spark.createDataFrame(arriving).drop("ts")
+    batch = {
+        (r["doc_id"], r["match_id"]): r["jaccard"]
+        for r in incremental_near_dedup(
+            batch_df, index_docs, num_hashes=32, bands=8, shingle_n=2,
+            portable=False, threshold=0.5,
+        ).collect()
+    }
+    assert streamed == batch
+    assert (10, 3) in streamed and (12, 6) in streamed
+    assert all(did != 11 for did, _ in streamed)
