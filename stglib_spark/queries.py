@@ -5216,8 +5216,99 @@ def filt_filtfilt_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("filt_butterworth_lowpass")  # rows-only: zero-phase IIR
+def _butterworth_lowpass_oracle_sql() -> str:
+    """Generated recursive-CTE replay of the REAL filtered-water-level
+    chain (the filt_filtfilt_oracle playbook promoted from its synthetic
+    sibling to the production query): order-4 Butterworth coefficients
+    are computed AT IMPORT by the same design code the operator runs
+    (functions/signal.butter_ba — tan/poly/solve in the same numpy the
+    driver executes both sides with, so the literals match the UDF's
+    doubles exactly), then both zi-primed IIR passes replay as
+    steady-state-primed direct-form-I recurrences. DF-I-with-history vs
+    the operator's DF2T-with-zi agree to ~1e-12 on this series;
+    4-decimal rounding absorbs it with ~1e8× margin."""
+    import numpy as np
+
+    from stglib_spark.functions.signal import butter_ba
+
+    b, a = butter_ba(4, (1.0 / 21600.0) / ((1.0 / 3600.0) / 2.0), "lowpass")
+    b0, b1, b2, b3, b4 = (repr(float(x)) for x in b)
+    a1, a2, a3, a4 = (repr(float(x)) for x in a[1:])
+    g = repr(float(np.sum(b) / np.sum(a)))
+    step = (
+        f"{b0}*e.v + {b1}*f.e0 + {b2}*f.e1 + {b3}*f.e2 + {b4}*f.e3"
+        f" - ({a1})*f.y0 - ({a2})*f.y1 - ({a3})*f.y2 - ({a4})*f.y3"
+    )
+    rstep = (
+        f"{b0}*f.y + {b1}*r.e0 + {b2}*r.e1 + {b3}*r.e2 + {b4}*r.e3"
+        f" - ({a1})*r.y0 - ({a2})*r.y1 - ({a3})*r.y2 - ({a4})*r.y3"
+    )
+    return f"""
+    WITH RECURSIVE hourly AS (
+      SELECT date_trunc('hour', ts) AS t, avg(value::DOUBLE) AS x
+      FROM events GROUP BY 1
+    ), base AS (
+      SELECT t, row_number() OVER (ORDER BY t) - 1 AS n, x FROM hourly
+    ), sz AS (SELECT count(*)::INT AS nn FROM base),
+    ends AS (
+      SELECT s.nn,
+             max(CASE WHEN b.n = 0 THEN b.x END) AS x0,
+             max(CASE WHEN b.n = s.nn - 1 THEN b.x END) AS xl
+      FROM base b, sz s GROUP BY s.nn
+    ), idx AS (
+      SELECT e.nn, e.x0, e.xl,
+             unnest(generate_series(0, e.nn + 29)) AS m
+      FROM ends e
+    ), ext AS (
+      -- odd-reflection padding, padlen 3*max(len(a),len(b)) = 15
+      SELECT i.nn, i.m,
+             CASE WHEN i.m < 15 THEN 2 * i.x0 - b.x
+                  WHEN i.m < 15 + i.nn THEN b.x
+                  ELSE 2 * i.xl - b.x END AS v
+      FROM idx i JOIN base b
+        ON b.n = CASE WHEN i.m < 15 THEN 15 - i.m
+                      WHEN i.m < 15 + i.nn THEN i.m - 15
+                      ELSE i.nn - 2 - (i.m - 15 - i.nn) END
+    ), fwd AS (
+      -- forward pass: DF-I primed with steady-state history
+      -- (x[-1..-4]=e0, y[-1..-4]=g*e0 == scipy lfilter_zi semantics)
+      SELECT e.nn, -1 AS m, e.v AS e0, e.v AS e1, e.v AS e2, e.v AS e3,
+             {g} * e.v AS y0, {g} * e.v AS y1,
+             {g} * e.v AS y2, {g} * e.v AS y3
+      FROM ext e WHERE e.m = 0
+      UNION ALL
+      SELECT f.nn, f.m + 1, e.v, f.e0, f.e1, f.e2,
+             {step}, f.y0, f.y1, f.y2
+      FROM fwd f JOIN ext e ON e.m = f.m + 1
+    ), fwd_m AS MATERIALIZED (
+      SELECT nn, m, y0 AS y FROM fwd WHERE m >= 0
+    ), rev AS (
+      -- backward pass over the reversed forward output, same priming
+      SELECT f.nn, -1 AS j, f.y AS e0, f.y AS e1, f.y AS e2, f.y AS e3,
+             {g} * f.y AS y0, {g} * f.y AS y1,
+             {g} * f.y AS y2, {g} * f.y AS y3
+      FROM fwd_m f WHERE f.m = f.nn + 29
+      UNION ALL
+      SELECT r.nn, r.j + 1, f.y, r.e0, r.e1, r.e2,
+             {rstep}, r.y0, r.y1, r.y2
+      FROM rev r JOIN fwd_m f ON f.m = r.nn + 29 - (r.j + 1)
+    )
+    SELECT b.t AS time, round(b.x, 4) AS water_level,
+           round(r.y0, 4) AS water_level_filt
+    FROM rev r
+    JOIN base b ON b.n = r.nn + 14 - r.j
+    WHERE r.j BETWEEN 15 AND r.nn + 14
+    """
+
+
+@register("filt_butterworth_lowpass", _butterworth_lowpass_oracle_sql())
 def filt_butterworth_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zero-phase order-4 Butterworth water-level filter on the REAL
+    hourly series (utils.py:1715-1756 semantics) — previously rows-only,
+    now driver-oracle-checked end to end: the DuckDB replay runs the
+    generated recursive-CTE filtfilt above against the production
+    applyInPandas kernel (operators/filters.py filtered_water_level →
+    functions/signal.py filtfilt)."""
     from stglib_spark.operators import filters
 
     ev = load_table(spark, sf_dir, "events")
@@ -5229,8 +5320,8 @@ def filt_butterworth_lowpass(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "time",
-        _r6("water_level").alias("water_level"),
-        _r6("water_level_filt").alias("water_level_filt"),
+        F.round("water_level", 4).alias("water_level"),
+        F.round("water_level_filt", 4).alias("water_level_filt"),
     )
 
 
@@ -7193,7 +7284,10 @@ _FRONT = [
     "corpus_budget_sample",
     "corpus_build_packs",
     "text_chunk_documents",
-    "dedup_priority_source",
+    # (f) rows-only → ORACLED this round: the generated recursive-CTE
+    #     filtfilt replay promoted from the synthetic sibling to the
+    #     REAL production query
+    "filt_butterworth_lowpass",
 ]
 
 
