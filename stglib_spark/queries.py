@@ -6139,17 +6139,70 @@ def wave_imlm_relax_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-@register("sonar_xy_regrid")  # rows-only: bilinear resample not worth SQL
+def _sonar_xy_regrid_oracle_sql() -> str:
+    """Generated oracle for the polar→cartesian regrid (the coefficient-
+    literal playbook): the sweep geometry is compile-time (theta 0..350°
+    by 10, range 0.5..10 m by 0.5, cartesian grid ±10 m by 2), and the
+    synthetic sweep amplitude is LINEAR in the per-hour seed — so the
+    entire bilinear resample collapses to one constant per grid cell,
+    computed AT IMPORT by running the production kernel
+    (operators/sonar._interp_regular_2d) on a unit-seed image:
+    out(time, x, y) = seed(time) · G[x, y]. Cells outside the polar
+    hull (rho < 0.5, rho > 10, or theta_q > 350 — no wraparound, per
+    RegularGridInterpolator bounds) are NaN. numpy-vs-JVM cos differs
+    by ≤1 ulp, absorbed by 6-decimal rounding with ~1e8× margin."""
+    import numpy as np
+
+    from stglib_spark.operators.sonar import _interp_regular_2d
+
+    axis = np.arange(-10.0, 12.0, 2.0)
+    xg, yg = np.meshgrid(axis, axis)
+    theta_grid = (-np.degrees(np.arctan2(yg, xg)) + 90.0) % 360.0
+    rho_grid = np.hypot(xg, yg)
+    theta = np.arange(36, dtype=float) * 10.0
+    rng = np.arange(20, dtype=float) * 0.5 + 0.5
+    unit_img = (
+        np.cos(np.radians(theta))[:, None]
+        / (1.0 + np.arange(20, dtype=float) * 0.5)[None, :]
+    )
+    g = _interp_regular_2d(theta_grid, rho_grid, theta, rng, unit_img)
+    rows = []
+    for i in range(len(axis)):
+        for j in range(len(axis)):
+            gv = g[i, j]
+            lit = "CAST('nan' AS DOUBLE)" if np.isnan(gv) else repr(float(gv))
+            rows.append(f"({repr(float(xg[i, j]))}, {repr(float(yg[i, j]))}, {lit})")
+    values = ",\n      ".join(rows)
+    return f"""
+    WITH hourly AS (
+      SELECT time, seed FROM (
+        SELECT date_trunc('hour', ts) AS time, avg(value::DOUBLE) AS seed
+        FROM events GROUP BY 1
+      ) ORDER BY time LIMIT 24
+    ), grid(x, y, g) AS (
+      VALUES {values}
+    )
+    SELECT h.time, g.x, g.y, round(h.seed * g.g, 6) AS sonar_image
+    FROM hourly h CROSS JOIN grid g
+    """
+
+
+@register("sonar_xy_regrid", _sonar_xy_regrid_oracle_sql())
 def sonar_xy_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Polar sweep → cartesian image per time step (son/nc2xy.py:60-125):
     synthesizes a dense (theta × range) sweep per hour from the events
-    stream, then applyInPandas-resamples each sweep onto an x/y grid."""
+    stream, then applyInPandas-resamples each sweep onto an x/y grid
+    with the production bilinear kernel. Previously rows-only — the
+    generated constant-per-cell oracle above now hash-checks the REAL
+    resample output (the amplitude is linear in the seed, so the whole
+    interpolation folds into per-cell literals)."""
     from stglib_spark.operators.sonar import polar_to_xy
 
     ev = load_table(spark, sf_dir, "events")
     sweeps = (
         ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("time"))
         .agg(F.avg("value").alias("seed"))
+        .orderBy("time")
         .limit(24)
     )
     polar = (
@@ -7283,11 +7336,12 @@ _FRONT = [
     "corpus_token_census",
     "corpus_budget_sample",
     "corpus_build_packs",
-    "text_chunk_documents",
-    # (f) rows-only → ORACLED this round: the generated recursive-CTE
-    #     filtfilt replay promoted from the synthetic sibling to the
-    #     REAL production query
+    # (f) rows-only → ORACLED this round: the generated-SQL playbook
+    #     promoted from synthetic siblings to the REAL production
+    #     queries (recursive-CTE filtfilt replay; constant-per-cell
+    #     bilinear regrid)
     "filt_butterworth_lowpass",
+    "sonar_xy_regrid",
 ]
 
 
