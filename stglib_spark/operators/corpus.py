@@ -894,3 +894,120 @@ def mixture_allocate(
             budget.alias("budget_tokens"),
         )
     )
+
+
+# Deterministic split thresholds: hash60(seed || id) is uniform on
+# [0, 2^60); a document joins a split by comparing that INTEGER against
+# floor(frac * 2^60) — no float anywhere, so membership is engine- and
+# oracle-exact, and (unlike rand()) rerunning a 100 TB pipeline after a
+# failure reassigns every document identically.
+def split_thresholds(val_frac: float, test_frac: float) -> tuple[int, int]:
+    return (
+        int(val_frac * (1 << 60)),
+        int((val_frac + test_frac) * (1 << 60)),
+    )
+
+
+def assign_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: str = "split1",
+) -> DataFrame:
+    """Deterministic train/val/test assignment for a training corpus.
+
+    The split is a pure projection on the portable 60-bit id hash
+    (hash60(seed || id) < floor(frac·2^60)) — scan-speed, shuffle-free,
+    reproducible across runs/engines, and leak-proof at the EXACT-id
+    level by construction (an id maps to exactly one split). Near-dup
+    leakage across splits is a separate audit: ``dedup.split_leakage``.
+
+    Scale shape: one codegen'd projection; composes with any downstream
+    filter/write without repartitioning. The same expression passed to
+    ``DataFrameWriter.partitionBy`` co-locates the split zones."""
+    thr_val, thr_eval = split_thresholds(val_frac, test_frac)
+    h = hash60(F.col(id_col).cast("string"), seed=seed)
+    split = (
+        F.when(h < F.lit(thr_val), F.lit("val"))
+        .when(h < F.lit(thr_eval), F.lit("test"))
+        .otherwise(F.lit("train"))
+    )
+    return df.withColumn("split", split)
+
+
+def split_audit(
+    df: DataFrame,
+    source_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: str = "split1",
+    tokens_col: str | None = None,
+) -> DataFrame:
+    """Stratification audit of the deterministic split: per (split,
+    source) document and token counts — the table a curator checks to
+    confirm every source is represented in val/test before training
+    (hash-uniformity makes the split source-stratified in expectation;
+    this measures the realized allocation). One scan + one tiny hash
+    aggregate (shuffle width = 3 × sources)."""
+    from stglib_spark.operators.text import token_count
+
+    toks = F.col(tokens_col) if tokens_col else token_count(F.col(text_col))
+    return (
+        assign_split(df, id_col, val_frac, test_frac, seed)
+        .select("split", F.col(source_col).alias("source"), toks.alias("__t"))
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("__t").alias("n_tokens"),
+        )
+    )
+
+
+def diversity_stats(
+    df: DataFrame,
+    group_col: str = "source",
+    label_col: str = "lang",
+) -> DataFrame:
+    """Per-group label-diversity data card: document count, distinct
+    label count, and the Simpson concentration index Σ(n_l/N)² — the
+    probability two random documents from the group share a label (1/
+    Simpson = "effective number of languages"). A curator reads this to
+    spot sources collapsing to one language before fixing the mix.
+
+    Engine-exact: Simpson is reported in parts-per-million computed
+    entirely in integer arithmetic — floor(Σn_l²·10⁶ / N²) via
+    decimal(38,0) (HUGEINT in the oracle), the ``mixture_allocate``
+    idiom — so no float rounding can flip a value between engines, and
+    the same guarantee holds past 2^63 at 100 TB scale.
+
+    Scale shape: two map-side-combinable hash aggregates; the first
+    shuffle carries (group, label) partial counts — bounded by the
+    label vocabulary, never the corpus."""
+    per = (
+        df.select(
+            F.col(group_col).alias("grp"), F.col(label_col).alias("lbl")
+        )
+        .groupBy("grp", "lbl")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wide = "decimal(38,0)"
+    num = (F.col("__sq").cast(wide) * F.lit(1000000).cast(wide))
+    den = (F.col("n_docs").cast(wide) * F.col("n_docs").cast(wide))
+    simpson = ((num - F.pmod(num, den)) / den).cast("long")
+    return (
+        per.groupBy(F.col("grp").alias(group_col))
+        .agg(
+            F.sum("n").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_labels"),
+            F.sum(F.col("n") * F.col("n")).alias("__sq"),
+        )
+        .select(
+            group_col,
+            "n_docs",
+            "n_labels",
+            simpson.alias("simpson_ppm"),
+        )
+    )

@@ -998,3 +998,57 @@ def incremental_near_dedup(
         F.col("doc_a").alias("match_id"),
         "jaccard",
     )
+
+
+def split_leakage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    val_frac: float = 0.1,
+    test_frac: float = 0.1,
+    seed: str = "split1",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    portable: bool = False,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Cross-split NEAR-duplicate leakage audit — the eval-hygiene check
+    a deterministic train/val/test split (corpus.assign_split) cannot
+    give by construction: an eval document whose near-duplicate sits in
+    train silently inflates every benchmark score. Reports one row per
+    leaked (eval doc, train doc) pair with its verified token Jaccard
+    and the eval doc's split label; a clean corpus returns zero rows.
+
+    Plan shape is ``incremental_near_dedup`` with the split predicate as
+    the corpus partition: signatures once over the whole corpus, a
+    CROSS-side band equi-join (train bands vs eval bands — never a
+    self-join), exact Jaccard on candidates only. At 100 TB the train
+    side persists as the banded (id, band, bh) table bucketed by
+    (band, bh); each eval refresh co-locates against it."""
+    from stglib_spark.operators.corpus import assign_split, split_thresholds
+
+    labelled = assign_split(df, id_col, val_frac, test_frac, seed)
+    eval_docs = labelled.filter(F.col("split") != "train")
+    train_docs = labelled.filter(F.col("split") == "train")
+    leaks = incremental_near_dedup(
+        eval_docs,
+        train_docs,
+        text_col=text_col,
+        id_col=id_col,
+        num_hashes=num_hashes,
+        bands=bands,
+        shingle_n=shingle_n,
+        portable=portable,
+        threshold=threshold,
+    )
+    thr_val, _ = split_thresholds(val_frac, test_frac)
+    h = hash60(F.col(id_col).cast("string"), seed=seed)
+    return leaks.select(
+        id_col,
+        F.when(h < F.lit(thr_val), F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+        F.col("match_id").alias("train_doc_id"),
+        "jaccard",
+    )

@@ -275,3 +275,93 @@ def test_run_corpus_hard_gates_funnel_zone(spark, tmp_path):
     mix = pq.read_table(paths["mix"]).to_pandas()
     assert kept < len(quality)  # some gate fired on the synthetic corpus
     assert len(mix) == kept  # fractions 1.0 -> mix = exactly the survivors
+
+
+def test_assign_split_disjoint_exhaustive_deterministic(spark):
+    from stglib_spark.operators.corpus import assign_split
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = assign_split(docs).select("doc_id", "split").toPandas()
+    b = assign_split(docs).select("doc_id", "split").toPandas()
+    # every doc gets exactly one label, identically on re-run
+    assert set(a["split"]) <= {"train", "val", "test"}
+    assert len(a) == docs.count()
+    assert a.sort_values("doc_id").reset_index(drop=True).equals(
+        b.sort_values("doc_id").reset_index(drop=True)
+    )
+    # hash uniformity: eval share lands near 20% (loose bound, n=500)
+    frac_eval = (a["split"] != "train").mean()
+    assert 0.08 < frac_eval < 0.35
+
+
+def test_split_audit_reconciles_totals(spark):
+    from stglib_spark.operators.corpus import split_audit
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    audit = split_audit(docs).toPandas()
+    assert int(audit["n_docs"].sum()) == docs.count()
+    # every source present in train (uniform hash, sources are large)
+    train_sources = set(audit.loc[audit["split"] == "train", "source"])
+    all_sources = {r["source"] for r in docs.select("source").distinct().collect()}
+    assert train_sources == all_sources
+
+
+def test_diversity_stats_exact_boundaries(spark):
+    import pandas as pd
+
+    from stglib_spark.operators.corpus import diversity_stats
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": ["mono"] * 3 + ["half"] * 4 + ["skew"] * 4,
+                "lang": ["en", "en", "en", "en", "en", "fr", "fr",
+                         "en", "en", "en", "fr"],
+            }
+        )
+    )
+    out = {r["source"]: r for r in diversity_stats(df).collect()}
+    # single label: Simpson = 1 exactly
+    assert out["mono"]["n_labels"] == 1
+    assert out["mono"]["simpson_ppm"] == 1_000_000
+    # 2+2 uniform: Simpson = 0.5 exactly
+    assert out["half"]["simpson_ppm"] == 500_000
+    # 3+1 of 4: (9+1)/16 = 0.625 exactly
+    assert out["skew"]["simpson_ppm"] == 625_000
+
+
+def test_split_leakage_reports_straddling_neardups(spark):
+    import pandas as pd
+
+    from stglib_spark.operators.corpus import assign_split
+    from stglib_spark.operators.dedup import split_leakage
+
+    # 40 docs in 20 identical-text pairs: any pair straddling the
+    # train/eval boundary MUST surface (identical text -> same bands,
+    # jaccard 1.0); same-split pairs must NOT.
+    texts = [f"alpha beta gamma delta epsilon zeta {i} common tail" for i in range(20)]
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": list(range(40)), "text": texts + texts}
+        )
+    )
+    splits = {
+        r["doc_id"]: r["split"]
+        for r in assign_split(df).select("doc_id", "split").collect()
+    }
+    expected = set()
+    for i in range(20):
+        a, b = i, i + 20
+        sa, sb = splits[a], splits[b]
+        if sa == "train" and sb != "train":
+            expected.add((b, a))
+        elif sb == "train" and sa != "train":
+            expected.add((a, b))
+    got = split_leakage(df, portable=True, shingle_n=2).collect()
+    got_pairs = {(r["doc_id"], r["train_doc_id"]) for r in got}
+    assert expected <= got_pairs
+    for r in got:
+        assert splits[r["doc_id"]] != "train"
+        assert splits[r["train_doc_id"]] == "train"
+        assert r["split"] == splits[r["doc_id"]]
+        assert r["jaccard"] >= 0.5
