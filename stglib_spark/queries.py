@@ -2834,6 +2834,215 @@ def src_son_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_aqd_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(480) t(i)),
+         g AS (SELECT i, CAST(b AS INTEGER) AS b
+               FROM e CROSS JOIN range(5) u(b))
+    SELECT i AS row_idx,
+           TIMESTAMP '2021-03-01 00:00:00' + to_seconds(i) AS time,
+           b AS bin,
+           CAST(0.5 AS DOUBLE) + b * CAST(0.5 AS DOUBLE) AS bindist,
+           (i * 3) % 360 + CAST(0.25 AS DOUBLE) AS heading,
+           (i % 21) - 10 + CAST(0.5 AS DOUBLE) AS pitch,
+           (i % 17) - 8 + CAST(0.25 AS DOUBLE) AS roll,
+           10 + (i % 400) * CAST(0.25 AS DOUBLE) AS pressure,
+           15 + (i % 80) * CAST(0.125 AS DOUBLE) AS temperature,
+           11 + (i % 40) * CAST(0.25 AS DOUBLE) AS battery,
+           (CAST(i % 65536 AS DOUBLE) * 5) / 65535 AS analog1,
+           ((i + 3 * b + 11) % 200 - 100) * CAST(0.25 AS DOUBLE) AS u,
+           ((i + 3 * b + 22) % 200 - 100) * CAST(0.25 AS DOUBLE) AS v,
+           ((i + 3 * b + 33) % 200 - 100) * CAST(0.25 AS DOUBLE) AS w,
+           CAST(80 + (i + 7 * b + 13) % 100 AS DOUBLE) AS amp1,
+           CAST(80 + (i + 7 * b + 26) % 100 AS DOUBLE) AS amp2,
+           CAST(80 + (i + 7 * b + 39) % 100 AS DOUBLE) AS amp3
+    FROM g
+    """,
+)
+def src_aqd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's continuous-mode Aquadopp reader; reference
+    aqd/hdr2cdf.py:68-145): synthesize a spec-conformant deployment on
+    the driver — a 17-column .sen system file plus the six .a1-3/.v1-3
+    profile matrices, every value an exact binary fraction — and walk
+    it through the PRODUCTION file path end to end: binaryFile load,
+    whitespace tokenization with per-file row numbering, positional
+    .sen column extraction (make_timestamp from date parts), posexplode
+    of the bin matrices, the three per-beam amplitude×velocity joins on
+    (row_idx, bin), ENU component naming, and bindist from blanking
+    distance + cell size. DuckDB replays the closed form; a hash match
+    proves the whole multi-file join pipeline."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import aqd as aqd_src
+
+    n, nb = 480, 5
+    d = tempfile.mkdtemp(prefix="aqdrt_")
+    base = os.path.join(d, "dep")
+    sen_lines = []
+    for i in range(n):
+        hh, mm, ss = i // 3600, (i // 60) % 60, i % 60
+        sen_lines.append(
+            f"3 1 2021 {hh} {mm} {ss}.0000 0 0"
+            f" {11 + (i % 40) * 0.25:.2f} 1500"
+            f" {(i * 3) % 360 + 0.25:.2f} {(i % 21) - 10 + 0.5:.1f}"
+            f" {(i % 17) - 8 + 0.25:.2f} {10 + (i % 400) * 0.25:.2f}"
+            f" {15 + (i % 80) * 0.125:.3f} {i % 65536} {(i * 3) % 65536}"
+        )
+    with open(base + ".sen", "w") as fh:
+        fh.write("\n".join(sen_lines) + "\n")
+    for bn in (1, 2, 3):
+        amp = [
+            " ".join(str(80 + (i + 7 * b + 13 * bn) % 100) for b in range(nb))
+            for i in range(n)
+        ]
+        vel = [
+            " ".join(
+                f"{((i + 3 * b + 11 * bn) % 200 - 100) * 0.25:.2f}"
+                for b in range(nb)
+            )
+            for i in range(n)
+        ]
+        with open(f"{base}.a{bn}", "w") as fh:
+            fh.write("\n".join(amp) + "\n")
+        with open(f"{base}.v{bn}", "w") as fh:
+            fh.write("\n".join(vel) + "\n")
+    cfg = {
+        "AQDCoordinateSystem": "ENU",
+        "AQDBlankingDistance": 0.25,
+        "AQDCellSize_m": 0.5,
+    }
+    out = aqd_src.read_aquadopp(spark, base, cfg)
+    return out.select(
+        "row_idx",
+        "time",
+        "bin",
+        "bindist",
+        F.col("Heading").alias("heading"),
+        F.col("Pitch").alias("pitch"),
+        F.col("Roll").alias("roll"),
+        F.col("Pressure").alias("pressure"),
+        F.col("Temperature").alias("temperature"),
+        F.col("Battery").alias("battery"),
+        F.col("AnalogInput1").alias("analog1"),
+        F.col("U").alias("u"),
+        F.col("V").alias("v"),
+        F.col("W").alias("w"),
+        F.col("AMP1").alias("amp1"),
+        F.col("AMP2").alias("amp2"),
+        F.col("AMP3").alias("amp3"),
+    )
+
+
+@register(
+    "src_vec_roundtrip",
+    """
+    WITH s AS (
+      SELECT CAST(b AS BIGINT) + 1 AS burst,
+             CAST(e AS BIGINT) + 1 AS sample,
+             CAST(b AS BIGINT) * 24 + e AS j
+      FROM range(20) t(b) CROSS JOIN range(24) u(e)
+    )
+    SELECT burst, sample,
+           TIMESTAMP '2021-04-01 00:00:00'
+             + to_seconds((burst - 1) * 1800)
+             + to_microseconds((sample - 1) * 31250) AS time,
+           ((j + 11) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel1,
+           ((j + 22) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel2,
+           ((j + 33) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel3,
+           CAST(70 + (j + 5) % 120 AS DOUBLE) AS amp1,
+           CAST(70 + (j + 10) % 120 AS DOUBLE) AS amp2,
+           CAST(70 + (j + 15) % 120 AS DOUBLE) AS amp3,
+           10 + ((j + 3) % 60) * CAST(0.5 AS DOUBLE) AS snr1,
+           10 + ((j + 6) % 60) * CAST(0.5 AS DOUBLE) AS snr2,
+           10 + ((j + 9) % 60) * CAST(0.5 AS DOUBLE) AS snr3,
+           CAST(50 + (j + 7) % 50 AS DOUBLE) AS cor1,
+           CAST(50 + (j + 14) % 50 AS DOUBLE) AS cor2,
+           CAST(50 + (j + 21) % 50 AS DOUBLE) AS cor3,
+           5 + (j % 300) * CAST(0.25 AS DOUBLE) AS pressure,
+           (j % 128) * CAST(0.125 AS DOUBLE) AS analog1,
+           CAST(j % 65536 AS BIGINT) AS checksum
+    FROM s
+    """,
+)
+def src_vec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Vector .dat/.vhd reader; reference
+    vec/dat2cdf.py:103-228): synthesize a 20-burst × 24-sample Vector
+    deployment on the driver — .vhd burst headers with date parts and
+    an 18-column .dat sample table, every value an exact binary
+    fraction — and walk it through the PRODUCTION path: tokenized
+    reads, positional casts, the broadcast .dat×.vhd join on Burst,
+    and per-sample timing burst_start + (Ensemble−1)/rate in integer
+    microseconds (32 Hz → 31250 µs). DuckDB replays the closed form;
+    a hash match proves header join and sample-clock arithmetic."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import aqd as aqd_src
+
+    nb, ns = 20, 24
+    d = tempfile.mkdtemp(prefix="vecrt_")
+    base = os.path.join(d, "dep")
+    vhd_lines = []
+    for b in range(1, nb + 1):
+        secs = (b - 1) * 1800
+        hh, mm = secs // 3600, (secs // 60) % 60
+        vhd_lines.append(f"4 1 2021 {hh} {mm} 0.0000 {b} {ns}")
+    with open(base + ".vhd", "w") as fh:
+        fh.write("\n".join(vhd_lines) + "\n")
+    dat_lines = []
+    for b in range(1, nb + 1):
+        for e in range(1, ns + 1):
+            j = (b - 1) * ns + (e - 1)
+            vals = [
+                str(b),
+                str(e),
+                f"{((j + 11) % 200 - 100) * 0.25:.2f}",
+                f"{((j + 22) % 200 - 100) * 0.25:.2f}",
+                f"{((j + 33) % 200 - 100) * 0.25:.2f}",
+                str(70 + (j + 5) % 120),
+                str(70 + (j + 10) % 120),
+                str(70 + (j + 15) % 120),
+                f"{10 + ((j + 3) % 60) * 0.5:.1f}",
+                f"{10 + ((j + 6) % 60) * 0.5:.1f}",
+                f"{10 + ((j + 9) % 60) * 0.5:.1f}",
+                str(50 + (j + 7) % 50),
+                str(50 + (j + 14) % 50),
+                str(50 + (j + 21) % 50),
+                f"{5 + (j % 300) * 0.25:.2f}",
+                f"{(j % 128) * 0.125:.3f}",
+                "0.00",
+                str(j % 65536),
+            ]
+            dat_lines.append(" ".join(vals))
+    with open(base + ".dat", "w") as fh:
+        fh.write("\n".join(dat_lines) + "\n")
+    out = aqd_src.read_vector(spark, base, {"VECSamplingRate": 32})
+    return out.select(
+        F.col("Burst").alias("burst"),
+        F.col("sample"),
+        "time",
+        F.col("VEL1").alias("vel1"),
+        F.col("VEL2").alias("vel2"),
+        F.col("VEL3").alias("vel3"),
+        F.col("AMP1").alias("amp1"),
+        F.col("AMP2").alias("amp2"),
+        F.col("AMP3").alias("amp3"),
+        F.col("SNR1").alias("snr1"),
+        F.col("SNR2").alias("snr2"),
+        F.col("SNR3").alias("snr3"),
+        F.col("COR1").alias("cor1"),
+        F.col("COR2").alias("cor2"),
+        F.col("COR3").alias("cor3"),
+        F.col("Pressure").alias("pressure"),
+        F.col("AnalogInput1").alias("analog1"),
+        F.col("Checksum").alias("checksum"),
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -7465,6 +7674,8 @@ _FRONT = [
     "corpus_train_split",
     "corpus_simpson_diversity",
     "dedup_split_leakage",
+    "src_aqd_roundtrip",
+    "src_vec_roundtrip",
 ]
 
 
