@@ -3043,6 +3043,238 @@ def src_vec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_aqdhr_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(160) t(i)),
+         g AS (SELECT i, CAST(b AS INTEGER) AS b
+               FROM e CROSS JOIN range(3) u(b))
+    SELECT i AS row_idx,
+           i // 16 AS burst,
+           CAST(i % 16 AS INTEGER) AS sample,
+           TIMESTAMP '2021-05-01 00:00:00' + to_seconds(i * 2) AS time,
+           TIMESTAMP '2021-05-01 00:00:00'
+             + to_seconds((i // 16) * 32) AS burst_time,
+           CAST(i // 16 + 1 AS INTEGER) AS burst_counter,
+           CAST(i % 16 + 1 AS INTEGER) AS ensemble,
+           (i * 5) % 360 + CAST(0.5 AS DOUBLE) AS heading,
+           8 + (i % 300) * CAST(0.25 AS DOUBLE) AS pressure,
+           12 + (i % 64) * CAST(0.125 AS DOUBLE) AS temperature,
+           (CAST(i % 65536 AS DOUBLE) * 5) / 65535 AS analog1,
+           b,
+           CASE b WHEN 0 THEN CAST(0.25 AS DOUBLE)
+                  WHEN 1 THEN CAST(0.5 AS DOUBLE)
+                  ELSE CAST(0.75 AS DOUBLE) END AS bindist,
+           ((i + 2 * b + 7) % 160 - 80) * CAST(0.25 AS DOUBLE) AS x,
+           ((i + 2 * b + 14) % 160 - 80) * CAST(0.25 AS DOUBLE) AS y,
+           ((i + 2 * b + 21) % 160 - 80) * CAST(0.25 AS DOUBLE) AS z,
+           CAST(60 + (i + 5 * b + 9) % 110 AS DOUBLE) AS amp1,
+           CAST(60 + (i + 5 * b + 18) % 110 AS DOUBLE) AS amp2,
+           CAST(60 + (i + 5 * b + 27) % 110 AS DOUBLE) AS amp3,
+           CAST(40 + (i + 3 * b + 4) % 60 AS DOUBLE) AS cor1,
+           CAST(40 + (i + 3 * b + 8) % 60 AS DOUBLE) AS cor2,
+           CAST(NULL AS DOUBLE) AS cor3
+    FROM g
+    """,
+)
+def src_aqdhr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's pulse-coherent Aquadopp HR reader; reference
+    aqd/hrhdr2cdf.py:9-201): synthesize a 167-row HR deployment on the
+    driver — the 19-column HR .sen layout (burst/ensemble counters at
+    positions 6-7), per-beam .aN/.vN matrices whose lines lead with the
+    two counters, and correlation files for beams 1-2 ONLY — and walk
+    it through the PRODUCTION path end to end: whole-burst truncation
+    (167 → 160 rows of 16-sample bursts, bound carried as a broadcast
+    1-row aggregate), burst/sample keys from the row index, burst_time
+    by broadcast equi-join against the sample-0 projection, XYZ
+    component naming, the optional-correlation left join (cor3 NULL),
+    and bindist from the hdr's vertical cell-center distance table
+    (AQDCCD). DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import aqd as aqd_src
+
+    n, nb = 167, 3
+    d = tempfile.mkdtemp(prefix="aqdhrrt_")
+    base = os.path.join(d, "dep")
+    sen_lines = []
+    for i in range(n):
+        secs = i * 2
+        hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+        sen_lines.append(
+            f"5 1 2021 {hh} {mm} {ss}.0000 {i // 16 + 1} {i % 16 + 1} 0 0"
+            f" {11 + (i % 30) * 0.25:.2f} 1500"
+            f" {(i * 5) % 360 + 0.5:.1f} {(i % 19) - 9 + 0.25:.2f}"
+            f" {(i % 15) - 7 + 0.5:.1f} {8 + (i % 300) * 0.25:.2f}"
+            f" {12 + (i % 64) * 0.125:.3f} {i % 65536} {(i * 7) % 65536}"
+        )
+    with open(base + ".sen", "w") as fh:
+        fh.write("\n".join(sen_lines) + "\n")
+    for bn in (1, 2, 3):
+        amp = [
+            f"{i // 16 + 1} {i % 16 + 1} "
+            + " ".join(
+                str(60 + (i + 5 * b + 9 * bn) % 110) for b in range(nb)
+            )
+            for i in range(n)
+        ]
+        vel = [
+            f"{i // 16 + 1} {i % 16 + 1} "
+            + " ".join(
+                f"{((i + 2 * b + 7 * bn) % 160 - 80) * 0.25:.2f}"
+                for b in range(nb)
+            )
+            for i in range(n)
+        ]
+        with open(f"{base}.a{bn}", "w") as fh:
+            fh.write("\n".join(amp) + "\n")
+        with open(f"{base}.v{bn}", "w") as fh:
+            fh.write("\n".join(vel) + "\n")
+        if bn < 3:  # correlation files for beams 1-2 only
+            cor = [
+                f"{i // 16 + 1} {i % 16 + 1} "
+                + " ".join(
+                    str(40 + (i + 3 * b + 4 * bn) % 60) for b in range(nb)
+                )
+                for i in range(n)
+            ]
+            with open(f"{base}.c{bn}", "w") as fh:
+                fh.write("\n".join(cor) + "\n")
+    cfg = {
+        "AQDHRCoordinateSystem": "XYZ",
+        "samples_per_burst": 16,
+        "AQDCCD": [0.25, 0.5, 0.75],
+    }
+    out = aqd_src.read_aquadopp_hr(spark, base, cfg)
+    return out.select(
+        "row_idx",
+        "burst",
+        "sample",
+        "time",
+        "burst_time",
+        F.col("BurstCounter").alias("burst_counter"),
+        F.col("Ensemble").alias("ensemble"),
+        F.col("Heading").alias("heading"),
+        F.col("Pressure").alias("pressure"),
+        F.col("Temperature").alias("temperature"),
+        F.col("AnalogInput1").alias("analog1"),
+        F.col("bin").alias("b"),
+        "bindist",
+        F.col("X").alias("x"),
+        F.col("Y").alias("y"),
+        F.col("Z").alias("z"),
+        F.col("AMP1").alias("amp1"),
+        F.col("AMP2").alias("amp2"),
+        F.col("AMP3").alias("amp3"),
+        F.col("COR1").alias("cor1"),
+        F.col("COR2").alias("cor2"),
+        F.col("COR3").alias("cor3"),
+    )
+
+
+@register(
+    "src_aqdwv_roundtrip",
+    """
+    WITH r AS (SELECT CAST(x AS BIGINT) AS r FROM range(224) t(x))
+    SELECT r // 32 AS whd_row,
+           TIMESTAMP '2021-06-01 00:00:00'
+             + to_seconds((r // 32) * 3600) AS time,
+           CAST(r // 32 + 1 AS INTEGER) AS burst,
+           CAST(r % 32 AS INTEGER) AS sample,
+           1 + (r // 32) * CAST(0.25 AS DOUBLE) AS cellpos,
+           (r // 32) * 40 % 360 + CAST(0.5 AS DOUBLE) AS heading,
+           (r // 32) - 4 + CAST(0.25 AS DOUBLE) AS pitch,
+           (r // 32) - 3 + CAST(0.5 AS DOUBLE) AS roll,
+           14 + (r // 32) * CAST(0.125 AS DOUBLE) AS temperature,
+           CAST(91 + (r // 32) * 2 AS DOUBLE) AS avgamp1,
+           CAST(92 + (r // 32) * 2 AS DOUBLE) AS avgamp2,
+           CAST(93 + (r // 32) * 2 AS DOUBLE) AS avgamp3,
+           6 + (r % 200) * CAST(0.25 AS DOUBLE) AS pressure,
+           ((r + 7) % 120 - 60) * CAST(0.25 AS DOUBLE) AS vel1,
+           ((r + 14) % 120 - 60) * CAST(0.25 AS DOUBLE) AS vel2,
+           ((r + 21) % 120 - 60) * CAST(0.25 AS DOUBLE) AS vel3,
+           CAST(75 + (r + 4) % 100 AS DOUBLE) AS amp1,
+           CAST(75 + (r + 8) % 100 AS DOUBLE) AS amp2,
+           CAST(75 + (r + 12) % 100 AS DOUBLE) AS amp3,
+           CAST(0.25 AS DOUBLE) AS sample_interval
+    FROM r
+    """,
+)
+def src_aqdwv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Aquadopp wave-burst reader; reference
+    aqd/wvswad2cdf.py:9-206): synthesize an 8-burst wave deployment on
+    the driver — 21-column .whd burst headers and a .wad sample table
+    with a 13-row partial tail — and walk it through the PRODUCTION
+    path: positional extraction, burst/sample keys from the .wad row
+    index, partial-tail truncation via the broadcast 1-row bound,
+    the num_wave_bursts cap (8 → 7 bursts), the .whd×.wad burst join,
+    and sample_interval from WaveSampleRate (4 Hz → 0.25 s). DuckDB
+    replays the closed form; a hash match proves cap + truncation +
+    join agree with the reference's reshape."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import aqd as aqd_src
+
+    nsamp = 32
+    d = tempfile.mkdtemp(prefix="aqdwvrt_")
+    base = os.path.join(d, "dep")
+    whd_lines = []
+    for k in range(8):
+        hh = k
+        whd_lines.append(
+            f"6 1 2021 {hh} 0 0.0000 {k + 1} {nsamp}"
+            f" {1 + k * 0.25:.2f} {10 + k * 0.25:.2f} 1500"
+            f" {k * 40 % 360 + 0.5:.1f} {k - 4 + 0.25:.2f} {k - 3 + 0.5:.1f}"
+            f" 0 0 {14 + k * 0.125:.3f} 0"
+            f" {91 + k * 2} {92 + k * 2} {93 + k * 2}"
+        )
+    with open(base + ".whd", "w") as fh:
+        fh.write("\n".join(whd_lines) + "\n")
+    wad_lines = []
+    for r in range(8 * nsamp + 13):  # 13-row partial tail must drop
+        wad_lines.append(
+            f"0 0 {6 + (r % 200) * 0.25:.2f} 0 0"
+            f" {((r + 7) % 120 - 60) * 0.25:.2f}"
+            f" {((r + 14) % 120 - 60) * 0.25:.2f}"
+            f" {((r + 21) % 120 - 60) * 0.25:.2f} 0"
+            f" {75 + (r + 4) % 100} {75 + (r + 8) % 100} {75 + (r + 12) % 100}"
+        )
+    with open(base + ".wad", "w") as fh:
+        fh.write("\n".join(wad_lines) + "\n")
+    cfg = {
+        "WaveNumberOfSamples": nsamp,
+        "num_wave_bursts": 7,
+        "WaveSampleRate": 4.0,
+    }
+    out = aqd_src.read_aquadopp_waves(spark, base, cfg)
+    return out.select(
+        F.col("row_idx").alias("whd_row"),
+        "time",
+        "burst",
+        "sample",
+        "cellpos",
+        F.col("Heading").alias("heading"),
+        F.col("Pitch").alias("pitch"),
+        F.col("Roll").alias("roll"),
+        F.col("Temperature").alias("temperature"),
+        "avgamp1",
+        "avgamp2",
+        "avgamp3",
+        F.col("Pressure").alias("pressure"),
+        F.col("VEL1").alias("vel1"),
+        F.col("VEL2").alias("vel2"),
+        F.col("VEL3").alias("vel3"),
+        F.col("AMP1").alias("amp1"),
+        F.col("AMP2").alias("amp2"),
+        F.col("AMP3").alias("amp3"),
+        "sample_interval",
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -7676,6 +7908,8 @@ _FRONT = [
     "dedup_split_leakage",
     "src_aqd_roundtrip",
     "src_vec_roundtrip",
+    "src_aqdhr_roundtrip",
+    "src_aqdwv_roundtrip",
 ]
 
 
