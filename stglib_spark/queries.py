@@ -3275,6 +3275,205 @@ def src_aqdwv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_exo_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(480) t(i))
+    SELECT TIMESTAMP '2021-06-01 00:00:00' + to_seconds(i * 5) AS time,
+           15 + (i % 80) * CAST(0.125 AS DOUBLE) AS temp,
+           100 + (i % 500) * CAST(0.5 AS DOUBLE) AS spcond,
+           20 + (i % 160) * CAST(0.0625 AS DOUBLE) AS sal,
+           CASE WHEN i % 97 = 13 THEN NULL
+                ELSE (i % 300) * CAST(0.25 AS DOUBLE) END AS turb,
+           10 + (i % 24) * CAST(0.25 AS DOUBLE) AS battery,
+           'SITE_' || CAST(i % 3 AS VARCHAR) AS site
+    FROM e
+    """,
+)
+def src_exo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's YSI EXO KOR export reader; reference
+    exo.py:9-137): synthesize a KOR-format CSV on the driver — a
+    3-line metadata preamble, the `Date (MM/DD/YYYY)` header the
+    production skiprows sniff hunts for, a `####` sensor-fault
+    sentinel in one numeric cell, a textual `Site Name` column, and a
+    footer line with an unparseable date — and walk it through the
+    PRODUCTION path end to end: driver-side header sniff, line-number
+    window, header split, `try_to_timestamp` coalesce over the
+    ISO-then-US date formats (footer drops via the null-time filter),
+    `try_cast` double promotion that sends the fault sentinel to NULL
+    without tripping ANSI mode, the textual-column keyword guard, and
+    vendor→EPIC renames (Temperature→T_28, Salinity→S_41,
+    Turbidity→Turb). DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import csv as csv_src
+
+    n = 480
+    d = tempfile.mkdtemp(prefix="exort_")
+    p = os.path.join(d, "kor_export.csv")
+    lines = [
+        "sep=,",
+        "KOR Export File,,,,,,",
+        "Created: 06/05/2021 12:00:00,,,,,,",
+        "Date (MM/DD/YYYY),Time (HH:MM:SS),Temperature,SpCond,"
+        "Salinity,Turbidity,Battery V,Site Name",
+    ]
+    for i in range(n):
+        secs = i * 5
+        hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+        turb = "####" if i % 97 == 13 else f"{(i % 300) * 0.25:.2f}"
+        lines.append(
+            f"06/01/2021,{hh:02d}:{mm:02d}:{ss:02d},"
+            f"{15 + (i % 80) * 0.125:.3f},{100 + (i % 500) * 0.5:.1f},"
+            f"{20 + (i % 160) * 0.0625:.4f},{turb},"
+            f"{10 + (i % 24) * 0.25:.2f},SITE_{i % 3}"
+        )
+    lines.append("-- end of export,,,,,,,")
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = csv_src.read_exo_csv(spark, p, {})
+    return out.select(
+        "time",
+        F.col("T_28").alias("temp"),
+        F.col("SpCond").alias("spcond"),
+        F.col("S_41").alias("sal"),
+        F.col("Turb").alias("turb"),
+        F.col("Battery V").alias("battery"),
+        F.col("Site Name").alias("site"),
+    )
+
+
+@register(
+    "src_rbr_profile_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(600) t(i)),
+         p AS (SELECT i,
+                      CASE WHEN i BETWEEN 50 AND 129 THEN 0
+                           WHEN i BETWEEN 200 AND 279 THEN 1
+                           WHEN i BETWEEN 350 AND 429 THEN 2
+                           WHEN i BETWEEN 500 AND 579 THEN 3 END AS prof
+               FROM e)
+    SELECT TIMESTAMP '2021-07-01 00:00:00' + to_seconds(i) AS time,
+           10 + (i % 97) * CAST(0.25 AS DOUBLE) AS pressure,
+           18 + (i % 41) * CAST(0.125 AS DOUBLE) AS temperature,
+           40 + (i % 53) * CAST(0.5 AS DOUBLE) AS conductivity,
+           CAST(prof AS INTEGER) AS profile,
+           CAST(30.25 AS DOUBLE) + prof * CAST(0.25 AS DOUBLE) AS latitude,
+           CAST(-88.25 AS DOUBLE) - prof * CAST(0.25 AS DOUBLE) AS longitude
+    FROM p
+    """,
+)
+def src_rbr_profile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's RBR Ruskin CTD-cast reader; reference
+    rsk/csv2cdf.py:117-215, ``featureType: 'profile'``): synthesize a
+    600-row Ruskin CSV export plus its events file on the driver —
+    four started/paused cast pairs AND the leading setup "paused"
+    event the production parser must discard — and walk it through
+    the PRODUCTION path end to end: header CSV load, Time→time
+    rename, vendor→EPIC renames (Pressure→P_1, Temperature→T_28,
+    Conductivity→C_51), driver-side event parsing, per-cast lat/lon
+    list alignment, and the broadcast range join that stamps each
+    observation's ``profile`` id (rows between casts keep NULL).
+    DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import csv as csv_src
+
+    n = 600
+    d = tempfile.mkdtemp(prefix="rbrprofrt_")
+    p = os.path.join(d, "cast_data.csv")
+    t0 = "2021-07-01 00:"
+    data = ["Time,Pressure,Temperature,Conductivity"]
+    for i in range(n):
+        mm, ss = i // 60, i % 60
+        data.append(
+            f"{t0}{mm:02d}:{ss:02d},{10 + (i % 97) * 0.25:.2f},"
+            f"{18 + (i % 41) * 0.125:.3f},{40 + (i % 53) * 0.5:.1f}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(data) + "\n")
+    ev_path = os.path.join(d, "cast_events.txt")
+    ev = ["Time,Type", f"{t0}00:10,instrument paused"]  # leading setup pause
+    for s in (50, 200, 350, 500):
+        e = s + 79
+        ev.append(f"{t0}{s // 60:02d}:{s % 60:02d},logging started")
+        ev.append(f"{t0}{e // 60:02d}:{e % 60:02d},instrument paused")
+    with open(ev_path, "w") as fh:
+        fh.write("\n".join(ev) + "\n")
+    cfg = {
+        "featureType": "profile",
+        "events_path": ev_path,
+        "latitude": [30.25, 30.5, 30.75, 31.0],
+        "longitude": [-88.25, -88.5, -88.75, -89.0],
+    }
+    out = csv_src.read_rbr_csv(spark, p, cfg)
+    return out.select(
+        "time",
+        F.col("P_1").alias("pressure"),
+        F.col("T_28").alias("temperature"),
+        F.col("C_51").alias("conductivity"),
+        "profile",
+        "latitude",
+        "longitude",
+    )
+
+
+@register(
+    "src_sgtid_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(500) t(i))
+    SELECT CAST(i + 1 AS INTEGER) AS sample,
+           TIMESTAMP '2021-08-01 00:00:00' + to_seconds(i * 30) AS time,
+           (14 + (i % 200) * CAST(0.25 AS DOUBLE))
+             / CAST(14.503773800722 AS DOUBLE) * 10 AS p_1,
+           12 + (i % 64) * CAST(0.125 AS DOUBLE) AS temp
+    FROM e
+    """,
+)
+def src_sgtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's SBE 26plus Seagauge .tid tide file; reference
+    sg/tid2cdf.py:7-45): synthesize a 500-row .tid on the driver —
+    whitespace `sample MM/DD/YYYY HH:MM:SS psia temp` rows plus a
+    `* SBE 26plus` header line and a trailing blank the production
+    try_cast/null-time filters must drop — and walk it through the
+    PRODUCTION path end to end: text load, whitespace tokenization,
+    positional extraction, US-format timestamp parse, and the
+    psia→dbar conversion (÷14.503773800722×10, the reference's first
+    transform after load). DuckDB replays the closed form with the
+    identical IEEE-754 double division."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import sg as sg_src
+
+    n = 500
+    d = tempfile.mkdtemp(prefix="sgtidrt_")
+    p = os.path.join(d, "dep.tid")
+    lines = ["* SBE 26plus tide measurements"]
+    for i in range(n):
+        secs = i * 30
+        hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+        lines.append(
+            f"{i + 1:6d} 08/01/2021 {hh:02d}:{mm:02d}:{ss:02d} "
+            f"{14 + (i % 200) * 0.25:9.2f} {12 + (i % 64) * 0.125:7.3f}"
+        )
+    lines.append("")
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = sg_src.read_sg_tid(spark, p)
+    return out.select(
+        "sample",
+        "time",
+        F.col("P_1").alias("p_1"),
+        F.col("Temp").alias("temp"),
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -7910,6 +8109,9 @@ _FRONT = [
     "src_vec_roundtrip",
     "src_aqdhr_roundtrip",
     "src_aqdwv_roundtrip",
+    "src_exo_roundtrip",
+    "src_rbr_profile_roundtrip",
+    "src_sgtid_roundtrip",
 ]
 
 
