@@ -3474,6 +3474,182 @@ def src_sgtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_rsk_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(400) t(i))
+    SELECT TIMESTAMP '2021-09-01 00:00:00'
+             + to_microseconds(i * 500000) AS time,
+           10 + (i % 300) * CAST(0.25 AS DOUBLE) AS p_1,
+           18 + (i % 80) * CAST(0.125 AS DOUBLE) AS t_28,
+           CAST(i % 16 AS INTEGER) AS sample,
+           i // 16 AS burst
+    FROM e
+    """,
+)
+def src_rsk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's RBR .rsk SQLite reader; reference
+    rsk/rsk2cdf.py:11-307, core/utils.py:1417-1491): synthesize a
+    Ruskin logger database on the driver — a 400-row `burstData` table
+    (the newer-Ruskin capitalization, so the production
+    burstdata→burstData fallback is exercised), epoch-millisecond
+    tstamps, a `schedules` table carrying samplingcount /
+    samplingperiod / repetitionperiod, and an `instruments` serial —
+    and walk it through the PRODUCTION path end to end: sqlite3
+    channel SELECT, Arrow createDataFrame, epoch-ms → timestamp_micros
+    conversion, EPIC channel naming, and the burst/sample key
+    derivation from the sampling-attrs probe. DuckDB replays the
+    closed form."""
+    import os
+    import sqlite3
+    import tempfile
+
+    from stglib_spark.sources import rsk as rsk_src
+
+    n = 400
+    d = tempfile.mkdtemp(prefix="rskrt_")
+    p = os.path.join(d, "dep.rsk")
+    base_ms = 1630454400000  # 2021-09-01 00:00:00 UTC
+    con = sqlite3.connect(p)
+    con.execute(
+        "CREATE TABLE burstData (tstamp INTEGER, channel01 REAL, channel02 REAL)"
+    )
+    con.executemany(
+        "INSERT INTO burstData VALUES (?, ?, ?)",
+        [
+            (base_ms + i * 500, 10 + (i % 300) * 0.25, 18 + (i % 80) * 0.125)
+            for i in range(n)
+        ],
+    )
+    con.execute(
+        "CREATE TABLE schedules (samplingcount INTEGER, samplingperiod INTEGER,"
+        " repetitionperiod INTEGER)"
+    )
+    con.execute("INSERT INTO schedules VALUES (16, 500, 8000)")
+    con.execute("CREATE TABLE instruments (serialID INTEGER)")
+    con.execute("INSERT INTO instruments VALUES (207756)")
+    con.commit()
+    con.close()
+    out = rsk_src.read_rsk(
+        spark, p, {"channel01": "P_1", "channel02": "T_28"}, table="burstdata"
+    )
+    return out.select(
+        "time",
+        F.col("P_1").alias("p_1"),
+        F.col("T_28").alias("t_28"),
+        "sample",
+        "burst",
+    )
+
+
+@register(
+    "src_qrev_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(6) t(i))
+    SELECT TIMESTAMP '2021-10-01 10:00:00'
+             + to_seconds(i * 600 + 240 + i) AS time,
+           TIMESTAMP '2021-10-01 10:00:00' + to_seconds(i * 600) AS starttime,
+           TIMESTAMP '2021-10-01 10:00:00'
+             + to_seconds(i * 600 + 480 + 2 * i) AS endtime,
+           (i % 2 = 1) AS qnegated,
+           CASE WHEN i % 2 = 1 THEN -1 ELSE 1 END
+             * (100 + i * CAST(12.25 AS DOUBLE)) AS q,
+           20 + i * CAST(0.5 AS DOUBLE) AS qtop,
+           60 + i * CAST(0.25 AS DOUBLE) AS qmiddle,
+           10 + i * CAST(0.125 AS DOUBLE) AS qbottom,
+           2 + i * CAST(0.0625 AS DOUBLE) AS qleft,
+           CASE WHEN i = 4 THEN NULL
+                ELSE 3 + i * CAST(0.0625 AS DOUBLE) END AS qright,
+           50 + i * CAST(0.5 AS DOUBLE) AS area,
+           30 + i * CAST(0.25 AS DOUBLE) AS width,
+           CASE WHEN i % 2 = 1 THEN -1 ELSE 1 END
+             * (2 + i * CAST(0.125 AS DOUBLE)) AS qovera,
+           1 + i * CAST(0.25 AS DOUBLE) AS leftdistance,
+           2 + i * CAST(0.25 AS DOUBLE) AS rightdistance,
+           'transect_' || CAST(i AS VARCHAR) || '.mmt' AS filename
+    FROM e
+    """,
+)
+def src_qrev_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's QRev discharge-measurement XML reader; reference
+    indexvel.py:19-117): synthesize a 6-transect QRev XML on the
+    driver — US-format StartDateTime/EndDateTime strings, one transect
+    with a missing Edge/RightDistance sibling (NULL passthrough), and
+    a per-transect `negateq` list flipping the sign of q and QoverA on
+    the upstream transects — and walk it through the PRODUCTION path
+    end to end: ElementTree Channel/Transect walk, the multi-format
+    datetime parse, midpoint transect time, field casts, and the
+    negation convention. DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import qrev as qrev_src
+
+    d = tempfile.mkdtemp(prefix="qrevrt_")
+    p = os.path.join(d, "meas.xml")
+    base_min = 10 * 60  # 10:00:00
+    parts = ["<Channel>"]
+    for i in range(6):
+        s = base_min * 60 + i * 600
+        e = s + 480 + 2 * i
+        fmt = lambda sec: (  # noqa: E731
+            f"10/01/2021 {sec // 3600:02d}:{(sec // 60) % 60:02d}:{sec % 60:02d}"
+        )
+        qright = (
+            "" if i == 4 else f"<Right>{3 + i * 0.0625:.4f}</Right>"
+        )
+        parts.append(
+            f"""  <Transect>
+    <StartDateTime>{fmt(s)}</StartDateTime>
+    <EndDateTime>{fmt(e)}</EndDateTime>
+    <Filename>transect_{i}.mmt</Filename>
+    <Discharge>
+      <Total>{100 + i * 12.25:.2f}</Total>
+      <Top>{20 + i * 0.5:.1f}</Top>
+      <Middle>{60 + i * 0.25:.2f}</Middle>
+      <Bottom>{10 + i * 0.125:.3f}</Bottom>
+      <Left>{2 + i * 0.0625:.4f}</Left>
+      {qright}
+    </Discharge>
+    <Other>
+      <Area>{50 + i * 0.5:.1f}</Area>
+      <Width>{30 + i * 0.25:.2f}</Width>
+      <QoverA>{2 + i * 0.125:.3f}</QoverA>
+    </Other>
+    <Edge>
+      <LeftDistance>{1 + i * 0.25:.2f}</LeftDistance>
+      <RightDistance>{2 + i * 0.25:.2f}</RightDistance>
+    </Edge>
+  </Transect>"""
+        )
+    parts.append("</Channel>")
+    with open(p, "w") as fh:
+        fh.write("\n".join(parts) + "\n")
+    out = qrev_src.read_qrev_xml(
+        spark, p, negateq=[False, True, False, True, False, True]
+    )
+    return out.select(
+        "time",
+        "starttime",
+        "endtime",
+        "qnegated",
+        "q",
+        F.col("qTop").alias("qtop"),
+        F.col("qMiddle").alias("qmiddle"),
+        F.col("qBottom").alias("qbottom"),
+        F.col("qLeft").alias("qleft"),
+        F.col("qRight").alias("qright"),
+        F.col("AreaQrev").alias("area"),
+        F.col("Width").alias("width"),
+        F.col("QoverA").alias("qovera"),
+        F.col("LeftDistance").alias("leftdistance"),
+        F.col("RightDistance").alias("rightdistance"),
+        "filename",
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -8112,6 +8288,8 @@ _FRONT = [
     "src_exo_roundtrip",
     "src_rbr_profile_roundtrip",
     "src_sgtid_roundtrip",
+    "src_rsk_roundtrip",
+    "src_qrev_roundtrip",
 ]
 
 
