@@ -3650,6 +3650,112 @@ def src_qrev_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_eco_ntu_roundtrip",
+    """
+    WITH r AS (SELECT CAST(b AS BIGINT) AS b, CAST(s AS BIGINT) AS s
+               FROM range(20) t(b) CROSS JOIN range(10) u(s)),
+         v AS (SELECT b, s, CAST(40 + (b * 10 + s) % 37 AS DOUBLE) AS x
+               FROM r),
+         tb AS (SELECT b,
+                       avg(CAST(0.25 AS DOUBLE) * x * x + 2 * x + 10) AS turb
+                FROM v GROUP BY b)
+    SELECT TIMESTAMP '2021-09-15 00:00:00'
+             + to_seconds((b * 10 + 5) * 60) AS time,
+           turb
+    FROM tb
+    """,
+)
+def src_eco_ntu_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's WET Labs ECO NTU reader; reference
+    eco.py:36-176): synthesize a 200-row tab-separated NTU log on the
+    driver — `date\\tclock\\ta\\tcounts\\tb` rows plus a vendor banner
+    line the null-time filter must drop — and walk it through the
+    PRODUCTION path end to end: headerless explicit-schema CSV scan,
+    MM/dd/yy timestamp parse, burst/sample key derivation (spb=10),
+    the middle-sample burst_time broadcast join, the Horner-form NTU
+    calibration polynomial (user_ntucal_coeffs), and the per-burst
+    mean collapse. Every count is an integer so the polynomial and the
+    10-sample mean are exact binary fractions — any summation order
+    gives the same double, making the cross-engine hash
+    deterministic. DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="econturt_")
+    p = os.path.join(d, "ntu.raw")
+    lines = ["ECO NTU-1234\tRecords=200"]
+    for j in range(200):
+        secs = j * 60
+        hh, mm = secs // 3600, (secs // 60) % 60
+        x = 40 + j % 37
+        lines.append(f"09/15/21\t{hh:02d}:{mm:02d}:00\t0.50\t{x}\t700")
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = vc.read_eco_ntu(
+        spark, p, {"spb": 10, "user_ntucal_coeffs": [0.25, 2.0, 10.0]}
+    )
+    return out.select("time", F.col("Turb").alias("turb"))
+
+
+@register(
+    "src_hobo_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(120) t(i))
+    SELECT TIMESTAMP '2021-06-20 11:30:00' + to_seconds(i * 300) AS time,
+           (100 + (i % 400) * CAST(0.25 AS DOUBLE)) / 10 AS p_1,
+           15 + (i % 60) * CAST(0.125 AS DOUBLE) AS t_28
+    FROM e
+    """,
+)
+def src_hobo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Onset HOBO reader; reference hobo.py:11-134):
+    synthesize a 300-row HOBOware export on the driver — the plot-title
+    preamble with the `LGR S/N:` token, a quoted header row, and
+    12-hour US timestamps that cross an AM→PM boundary — and walk it
+    through the PRODUCTION path end to end: headerless explicit-schema
+    scan, the try_to_timestamp format cascade landing on
+    `MM/dd/yy hh:mm:ss a`, preamble/header drop via the null-time
+    filter, try_cast double promotion, and the kPa→dbar conversion
+    (AbsPres_kPa/10 → P_1, Temp_C → T_28). DuckDB replays the closed
+    form with the identical IEEE-754 division."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="hobort_")
+    p = os.path.join(d, "hobo.csv")
+    lines = [
+        "Plot Title: dep1 (LGR S/N: 1234567)",
+        '"#","Date Time, GMT-05:00","Abs Pres, kPa","Temp, C"',
+    ]
+    base = 11 * 3600 + 30 * 60  # 11:30:00
+    for i in range(120):
+        secs = base + i * 300
+        hh24, mm, ss = (secs // 3600) % 24, (secs // 60) % 60, secs % 60
+        ampm = "AM" if hh24 < 12 else "PM"
+        hh12 = hh24 % 12 or 12
+        lines.append(
+            f"{i + 1},06/20/21 {hh12:02d}:{mm:02d}:{ss:02d} {ampm},"
+            f"{100 + (i % 400) * 0.25:.2f},{15 + (i % 60) * 0.125:.3f}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    serial = vc.read_hobo_serial(p)
+    assert serial == "1234567", serial  # the driver-side sniff contract
+    out = vc.read_hobo(spark, p, {})
+    return out.select(
+        "time",
+        F.col("P_1").alias("p_1"),
+        F.col("T_28").alias("t_28"),
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -8290,6 +8396,8 @@ _FRONT = [
     "src_sgtid_roundtrip",
     "src_rsk_roundtrip",
     "src_qrev_roundtrip",
+    "src_eco_ntu_roundtrip",
+    "src_hobo_roundtrip",
 ]
 
 
