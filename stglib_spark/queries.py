@@ -3756,6 +3756,100 @@ def src_hobo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_sig_roundtrip",
+    """
+    WITH r AS (SELECT CAST(j AS BIGINT) AS j, CAST(b AS BIGINT) AS b
+               FROM range(80) t(j) CROSS JOIN range(4) u(b))
+    SELECT TIMESTAMP '2021-06-01 00:00:00'
+             + to_microseconds(j * 84375000) AS time,
+           CAST(b AS INTEGER) AS bin,
+           CAST(0.5 AS DOUBLE) + b * CAST(0.5 AS DOUBLE) AS bindist,
+           ((j + 3 * b + 11) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel1,
+           ((j + 3 * b + 22) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel2,
+           ((j + 3 * b + 33) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel3,
+           ((j + 3 * b + 44) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel4,
+           CAST(60 + (j + 5 * b) % 110 AS DOUBLE) AS amp1,
+           CAST(40 + (j + 3 * b) % 60 AS DOUBLE) AS cor1,
+           10 + (j % 300) * CAST(0.25 AS DOUBLE) AS p_1,
+           15 + (j % 64) * CAST(0.125 AS DOUBLE) AS tx
+    FROM r
+    """,
+)
+def src_sig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Nortek Signature .mat multi-group reader;
+    reference sig/mat2cdf.py:22-710): encode a TWO-file Signature
+    deployment with our own MAT v5 writer (functions/mat5.savemat) —
+    Config plan gates (Plan_BurstEnabled, 4 beams so the IBurst branch
+    stays closed, HR off), per-beam (nt×ncells) velocity/amp/cor
+    matrices, scalar Pressure/Temperature vectors, Matlab serial
+    datenums in exact 1/1024-day steps (= 84 375 000 µs, so the
+    datenum→datetime conversion is bit-exact), and a Beam2xyz Config
+    matrix — and walk it through the PRODUCTION path end to end:
+    numbered-file glob with the length-then-name sort, driver-side
+    first-file schema, the parallel per-file executor parse (2 tasks),
+    group detection from Config gates, beam stacking
+    (VelBeam1→vel1 …), EPIC renames (Pressure→P_1,
+    Temperature→Tx_1211), bindist from blanking+cell geometry, and the
+    long-form (time, bin) explosion. DuckDB replays the closed form."""
+    import datetime as _dt
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from stglib_spark.functions.mat5 import savemat
+    from stglib_spark.sources import sig_mat
+
+    d = tempfile.mkdtemp(prefix="sigrt_")
+    base = os.path.join(d, "dep")
+    dn0 = _dt.datetime(2021, 6, 1).toordinal() + 366
+    nt, nc = 40, 4
+    cfg = {
+        "Plan_BurstEnabled": "True",
+        "Plan_BurstInterval": 600.0,
+        "Burst_SamplingRate": 4.0,
+        "Burst_NSample": 1200.0,  # != interval*rate -> BURST mode
+        "Burst_NBeams": 4.0,
+        "Burst_HighResolution": "False",
+        "Burst_BlankingDistance": 0.25,
+        "Burst_CellSize": 0.5,
+        "Burst_NCells": 4.0,
+        "Burst_Beam2xyz": np.eye(4),
+    }
+    for f in (0, 1):
+        j0 = f * nt
+        j = np.arange(j0, j0 + nt, dtype=np.float64)
+        data = {
+            "Burst_Time": dn0 + j / 1024.0,
+            "Burst_Pressure": 10 + (j % 300) * 0.25,
+            "Burst_Temperature": 15 + (j % 64) * 0.125,
+        }
+        jj = j[:, None]
+        bb = np.arange(nc, dtype=np.float64)[None, :]
+        for bn, name in ((11, "VelBeam1"), (22, "VelBeam2"),
+                         (33, "VelBeam3"), (44, "VelBeam4")):
+            data[f"Burst_{name}"] = ((jj + 3 * bb + bn) % 200 - 100) * 0.25
+        data["Burst_AmpBeam1"] = 60 + (jj + 5 * bb) % 110
+        data["Burst_CorBeam1"] = 40 + (jj + 3 * bb) % 60
+        savemat(f"{base}_{f + 1}.mat", {"Config": cfg, "Data": data})
+    out = sig_mat.read_signature_mat(spark, base)["burst"]
+    return out.select(
+        "time",
+        "bin",
+        "bindist",
+        "vel1",
+        "vel2",
+        "vel3",
+        "vel4",
+        "amp1",
+        "cor1",
+        F.col("P_1").alias("p_1"),
+        F.col("Tx_1211").alias("tx"),
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -8398,6 +8492,7 @@ _FRONT = [
     "src_qrev_roundtrip",
     "src_eco_ntu_roundtrip",
     "src_hobo_roundtrip",
+    "src_sig_roundtrip",
 ]
 
 
