@@ -3850,6 +3850,216 @@ def src_sig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_lisst_roundtrip",
+    """
+    WITH r AS (SELECT CAST(g AS BIGINT) AS g, CAST(s AS BIGINT) AS s
+               FROM range(12) t(g) CROSS JOIN range(8) u(s)),
+         x AS (SELECT g, s, 3 + g * 8 + s AS i FROM r)
+    SELECT TIMESTAMP '2021-11-01 00:00:00'
+             + to_seconds((g + 1) * 600 + s * 5) AS time,
+           g + 1 AS burst,
+           CAST(s AS INTEGER) AS sample,
+           TIMESTAMP '2021-11-01 00:00:00' + to_seconds((g + 1) * 600)
+             AS burst_time,
+           ((i * 36 + 1) % 97) * CAST(0.25 AS DOUBLE) AS vc_first,
+           ((i * 36 + 36) % 97) * CAST(0.25 AS DOUBLE) AS vc_last,
+           5 + (i % 40) * CAST(0.25 AS DOUBLE) AS depth,
+           18 + (i % 32) * CAST(0.125 AS DOUBLE) AS temperature
+    FROM x
+    """,
+)
+def src_lisst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Sequoia LISST reader; reference
+    lisst.py:92-165, 428-482): synthesize a burst-mode LISST export on
+    the driver — 36 volume-concentration ring columns, Y/M/D/H/M/S
+    integer time parts, a 3-sample LEADING partial burst, 12 full
+    8-sample bursts, and a 4-sample TRAILING partial — and walk it
+    through the PRODUCTION path end to end: 61-column explicit-schema
+    scan, time assembly from the integer parts, the vc01..vc36 →
+    array<double> collapse, and the cadence-break burst inference
+    (first time-delta = within-burst cadence; both partial bursts must
+    be dropped by the max-length filter while keeping their burst ids
+    consumed). DuckDB replays the closed form; the array column is
+    probed at both ends via element_at."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="lisstrt_")
+    p = os.path.join(d, "lisst.csv")
+    rows = []
+    i = 0
+
+    def emit(t_sec: int) -> None:
+        nonlocal i
+        vcs = [f"{((i * 36 + r) % 97) * 0.25:.2f}" for r in range(1, 37)]
+        mm_, ss_ = (t_sec // 60) % 60, t_sec % 60
+        hh_ = t_sec // 3600
+        inst = [
+            f"{90 + i % 10}",  # LaserTransmissionSensor
+            "12.5",  # SupplyVoltage
+            "0.25",  # AnalogInput1
+            f"{1000 + i % 7}",  # LaserReferenceSensor
+            f"{5 + (i % 40) * 0.25:.2f}",  # Depth
+            f"{18 + (i % 32) * 0.125:.3f}",  # Temperature
+            "2021",
+            "11",
+            "1",
+            str(hh_),
+            str(mm_),
+            str(ss_),
+            "0.5",  # AnalogInput2
+            f"{40 + i % 9}",  # MeanDiameter
+            f"{100 + i % 13}",  # TotalVolumeConcentration
+            "45.25",  # RelativeHumidity
+            "0.0",
+            "0.0",
+            "1.0",  # accelerometers
+            "3",
+            "12345",  # raw pressure words
+            "7",  # AmbientLight
+            "0.75",  # AnalogInput3
+            "0.9",  # transmission
+            "1.25",  # BeamAttenuation
+        ]
+        rows.append(",".join(vcs + inst))
+        i += 1
+
+    for s in range(3):  # leading partial burst
+        emit(s * 5)
+    for g in range(12):  # full bursts
+        for s in range(8):
+            emit((g + 1) * 600 + s * 5)
+    for s in range(4):  # trailing partial burst
+        emit(13 * 600 + s * 5)
+    with open(p, "w") as fh:
+        fh.write("\n".join(rows) + "\n")
+    out = vc.read_lisst(spark, p, {"operating_mode": "burst"})
+    return out.select(
+        "time",
+        "burst",
+        "sample",
+        "burst_time",
+        F.element_at("vc", 1).alias("vc_first"),
+        F.element_at("vc", 36).alias("vc_last"),
+        F.col("Depth").alias("depth"),
+        F.col("Temperature").alias("temperature"),
+    )
+
+
+@register(
+    "src_microcat_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(300) t(i))
+    SELECT TIMESTAMP '2021-09-10 00:00:00' + to_seconds(i * 60) AS time,
+           20 + (i % 50) * CAST(0.125 AS DOUBLE) AS temp,
+           4 + (i % 30) * CAST(0.0625 AS DOUBLE) AS cond,
+           30 + (i % 40) * CAST(0.25 AS DOUBLE) AS sal
+    FROM e
+    """,
+)
+def src_microcat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's SBE 37 MicroCAT reader; reference mc.py:7-56):
+    synthesize a 300-row .asc on the driver — `Temp, Cond, Sal,
+    dd MMM yyyy, HH:mm:ss` rows under the SBE `*`-prefixed header block
+    — and walk it through the PRODUCTION path end to end: headerless
+    explicit-schema scan, the English month-abbreviation timestamp
+    parse, header drop via the null-time filter, and double casts. The
+    driver-side header sniff contract (serial number, sample interval)
+    is asserted in-line. DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="mcrt_")
+    p = os.path.join(d, "mc.asc")
+    lines = [
+        "* SBE37-SM V 3.0  SERIAL NO. 12345   10 Sep 2021 00:00:00",
+        "* sample interval = 60 seconds",
+        "*END*",
+    ]
+    for j in range(300):
+        secs = j * 60
+        hh, mm = secs // 3600, (secs // 60) % 60
+        lines.append(
+            f" {20 + (j % 50) * 0.125:.4f}, {4 + (j % 30) * 0.0625:.4f},"
+            f" {30 + (j % 40) * 0.25:.4f}, 10 Sep 2021, {hh:02d}:{mm:02d}:00"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    hdr = vc.read_microcat_header(p)
+    assert hdr.get("serial_number") == "12345", hdr
+    assert hdr.get("sample_interval") == "60", hdr
+    out = vc.read_microcat(spark, p, {})
+    return out.select(
+        "time",
+        F.col("Temp").alias("temp"),
+        F.col("Cond").alias("cond"),
+        F.col("Sal").alias("sal"),
+    )
+
+
+@register(
+    "src_trublue_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(240) t(i))
+    SELECT TIMESTAMP '2021-10-05 00:00:00' + to_seconds(i * 120) AS time,
+           i * CAST(0.5 AS DOUBLE) AS elapsed,
+           10 + (i % 200) * CAST(0.25 AS DOUBLE) AS p_1,
+           15 + (i % 64) * CAST(0.125 AS DOUBLE) AS t_28
+    FROM e
+    """,
+)
+def src_trublue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's TruBlue 255 reader; reference tb.py:9-66):
+    synthesize a 240-row TruBlue export on the driver — the key/value
+    transducer preamble, the `ID,Name,Address` header row, and
+    apostrophe-quoted timestamps (`'2021-10-05 00:02:00`) — and walk
+    it through the PRODUCTION path end to end: headerless
+    explicit-schema scan, apostrophe strip + ISO timestamp parse,
+    preamble/header drop via the null-time filter, and double casts.
+    The driver-side header sniff contract (model, serial) is asserted
+    in-line. DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="tbrt_")
+    p = os.path.join(d, "tb.csv")
+    lines = [
+        "Transducer Model : TB255",
+        "Transducer Serial : 500123",
+        "ID,Name,Address,Time,Elapsed,Pressure,Temperature",
+    ]
+    for j in range(240):
+        secs = j * 120
+        hh, mm = secs // 3600, (secs // 60) % 60
+        lines.append(
+            f"{j + 1},dep1,7,'2021-10-05 {hh:02d}:{mm:02d}:00,"
+            f"{j * 0.5:.1f},{10 + (j % 200) * 0.25:.2f},"
+            f"{15 + (j % 64) * 0.125:.3f}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    hdr = vc.read_trublue_header(p)
+    assert hdr.get("TransducerModel") == "TB255", hdr
+    assert hdr.get("serial_number") == "500123", hdr
+    out = vc.read_trublue(spark, p, {})
+    return out.select(
+        "time",
+        F.col("Elapsed").alias("elapsed"),
+        F.col("P_1").alias("p_1"),
+        F.col("T_28").alias("t_28"),
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -8493,6 +8703,9 @@ _FRONT = [
     "src_eco_ntu_roundtrip",
     "src_hobo_roundtrip",
     "src_sig_roundtrip",
+    "src_lisst_roundtrip",
+    "src_microcat_roundtrip",
+    "src_trublue_roundtrip",
 ]
 
 
