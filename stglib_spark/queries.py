@@ -4060,6 +4060,168 @@ def src_trublue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_troll_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(400) t(i))
+    SELECT TIMESTAMP '2021-12-01 00:00:00' + to_seconds(i * 60)
+             + to_microseconds(250000) AS time,
+           90 + (i % 300) * CAST(0.25 AS DOUBLE) AS pressure,
+           8 + (i % 56) * CAST(0.125 AS DOUBLE) AS temperature
+    FROM e
+    """,
+)
+def src_troll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's In-Situ Aqua TROLL reader; reference
+    troll.py:118-243): synthesize a 400-row TROLL export on the driver
+    — the key/value preamble declaring `Linear Average` sampling
+    (30 samples / 60 s interval → +0.25 s centre-of-window shift), the
+    `Date and Time (UTC)` header, and CLOCK JITTER on a subset of rows
+    (seconds landing on the known bad value 5, which the production
+    de-jitter must pull back to the minute) — and walk it through the
+    PRODUCTION path end to end: header sniff, vendor renames, ISO
+    parse, jitter correction, metadata sniff, and the fractional-second
+    average shift. DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="trollrt_")
+    p = os.path.join(d, "troll.csv")
+    lines = [
+        "Device,Aqua TROLL 200",
+        "Serial Number,654321",
+        "Sampling Type,,Linear Average",
+        "Sample Interval,,60,secs",
+        "Samples Averaged,,30",
+        "Date and Time (UTC),Pressure (kPa),Temperature (C)",
+    ]
+    for j in range(400):
+        secs = j * 60 + (5 if j % 50 == 7 else 0)  # jittered seconds
+        hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+        lines.append(
+            f"2021-12-01 {hh:02d}:{mm:02d}:{ss:02d},"
+            f"{90 + (j % 300) * 0.25:.2f},{8 + (j % 56) * 0.125:.3f}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    md = vc.read_troll_metadata(p)
+    assert md["ss"] == "Linear Average" and md["si"] == 60.0, md
+    out = vc.read_troll(spark, p, {})
+    return out.select("time", "pressure", "temperature")
+
+
+@register(
+    "src_mayfly_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(300) t(i))
+    SELECT TIMESTAMP '2022-01-01 00:00:00' + to_seconds(i * 900) AS time,
+           CASE WHEN i % 83 = 11 THEN NULL
+                ELSE 1200 + (i % 500) * CAST(0.5 AS DOUBLE) END AS gage,
+           5 + (i % 60) * CAST(0.25 AS DOUBLE) AS temp,
+           3 + (i % 16) * CAST(0.0625 AS DOUBLE) AS batt
+    FROM e
+    """,
+)
+def src_mayfly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's EnviroDIY Mayfly logger reader; reference
+    met.py:9-28): synthesize a 300-row Mayfly export on the driver —
+    a site-metadata preamble, the sniffed `Date and Time in UTC`
+    header line, and `-9999` missing-data sentinels in the gage
+    column — and walk it through the PRODUCTION path end to end:
+    driver header sniff, headerless explicit-schema scan, ISO parse,
+    double casts, and the sentinel→NULL rewrite. DuckDB replays the
+    closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="mayflyrt_")
+    p = os.path.join(d, "mayfly.csv")
+    lines = [
+        "Sampling Feature UUID: 0a1b2c3d",
+        "Sensor metadata follows,,,",
+        "Date and Time in UTC,Gage_Height_mm,Temp_C,Batt_V",
+    ]
+    for j in range(300):
+        secs = j * 900
+        dd = 1 + secs // 86400
+        rem = secs % 86400
+        hh, mm = rem // 3600, (rem // 60) % 60
+        gage = "-9999" if j % 83 == 11 else f"{1200 + (j % 500) * 0.5:.1f}"
+        lines.append(
+            f"2022-01-{dd:02d} {hh:02d}:{mm:02d}:00,{gage},"
+            f"{5 + (j % 60) * 0.25:.2f},{3 + (j % 16) * 0.0625:.4f}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = vc.read_mayfly(spark, p, {})
+    return out.select(
+        "time",
+        F.col("Gage_Height_mm").alias("gage"),
+        F.col("Temp_C").alias("temp"),
+        F.col("Batt_V").alias("batt"),
+    )
+
+
+@register(
+    "src_glx_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(200) t(i))
+    SELECT TIMESTAMP '2021-12-10 00:00:00' + to_seconds(i * 30) AS time,
+           i AS record,
+           1 + (i % 40) * CAST(0.0625 AS DOUBLE) AS hs,
+           4 + (i % 24) * CAST(0.25 AS DOUBLE) AS tp
+    FROM e
+    """,
+)
+def src_glx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Geolux wave-radar TOA5 reader; reference
+    glx.py:12-60): synthesize a TWO-file TOA5 deployment on the driver
+    — station banner line, quoted `TIMESTAMP` header on line 2, units
+    and aggregation rows below it (both must drop via the null-time
+    filter), quoted data timestamps, and an integer RECORD counter —
+    and walk it through the PRODUCTION path end to end: first-file
+    header sniff, native multi-file glob scan (files scale out instead
+    of a driver concat), quote strip + ISO parse, the RECORD→long vs
+    everything-else→double cast split, and the time sort. DuckDB
+    replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="glxrt_")
+    for f in (0, 1):
+        lines = [
+            '"TOA5","wave_radar","CR1000X","12345","glx"',
+            '"TIMESTAMP","RECORD","Hs","Tp"',
+            '"TS","RN","m","s"',
+            '"","","Avg","Avg"',
+        ]
+        for j in range(f * 100, f * 100 + 100):
+            secs = j * 30
+            hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+            lines.append(
+                f'"2021-12-10 {hh:02d}:{mm:02d}:{ss:02d}",{j},'
+                f"{1 + (j % 40) * 0.0625:.4f},{4 + (j % 24) * 0.25:.2f}"
+            )
+        with open(os.path.join(d, f"glx_{f + 1}.dat"), "w") as fh:
+            fh.write("\n".join(lines) + "\n")
+    out = vc.read_glx(spark, os.path.join(d, "glx_*.dat"), {})
+    return out.select(
+        "time",
+        F.col("RECORD").alias("record"),
+        F.col("Hs").alias("hs"),
+        F.col("Tp").alias("tp"),
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -8706,6 +8868,9 @@ _FRONT = [
     "src_lisst_roundtrip",
     "src_microcat_roundtrip",
     "src_trublue_roundtrip",
+    "src_troll_roundtrip",
+    "src_mayfly_roundtrip",
+    "src_glx_roundtrip",
 ]
 
 
