@@ -4222,6 +4222,177 @@ def src_glx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_rdi_mat_roundtrip",
+    """
+    WITH r AS (SELECT CAST(g AS BIGINT) AS g, CAST(b AS BIGINT) AS b
+               FROM range(120) t(g) CROSS JOIN range(3) u(b))
+    SELECT TIMESTAMP '2021-11-15 00:00:00' + to_seconds(g * 2) AS time,
+           CAST(b AS INTEGER) AS bin,
+           CAST(1.0 AS DOUBLE) + b * CAST(0.5 AS DOUBLE) AS bindist,
+           CASE WHEN g % 37 = 5 THEN NULL
+                ELSE ((g + 5 * b + 11) % 200 - 100) * CAST(0.25 AS DOUBLE)
+           END AS vel_e,
+           ((g + 5 * b + 18) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel_n,
+           ((g + 5 * b + 25) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel_u1,
+           ((g + 5 * b + 32) % 200 - 100) * CAST(0.25 AS DOUBLE) AS vel_u2,
+           CAST(60 + (g + 5 * b) % 120 AS DOUBLE) AS int1,
+           CAST(40 + (g + 3 * b + 2) % 80 AS DOUBLE) AS corr2,
+           CAST((g + b + 3) % 101 AS DOUBLE) AS pg4,
+           (g * 3) % 360 + CAST(0.25 AS DOUBLE) AS hdg,
+           (g % 21) - 10 + CAST(0.5 AS DOUBLE) AS ptch,
+           (g % 17) - 8 + CAST(0.25 AS DOUBLE) AS roll,
+           15 + (g % 80) * CAST(0.125 AS DOUBLE) AS tx,
+           10 + (g % 400) * CAST(0.25 AS DOUBLE) AS p_1
+    FROM r
+    """,
+)
+def src_rdi_mat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's TRDI WinRiver .mat reader; reference
+    rdi/mat2cdf.py:12-227): encode a TWO-segment WinRiver export with
+    our own MAT v5 writer — `info` cell geometry, `sens` epoch-second
+    clock + heading/pitch/roll/temperature/pressure-depth channels,
+    and 3-D `wt` cubes (time × cell × [E,N,U1,U2] velocity plus
+    intensity/correlation/%good per beam) with NaN velocity samples
+    the production path must null out — and walk it through the
+    PRODUCTION path end to end: segment glob, first-segment schema,
+    one executor task per segment, the 3-D Fortran-order cube decode,
+    bindist from cell1+cell geometry, the (time, bin) long-form
+    explosion, and sens EPIC renames. DuckDB replays the closed
+    form."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from stglib_spark.functions.mat5 import savemat
+    from stglib_spark.sources import rdi_mat
+
+    import datetime as _dt
+
+    d = tempfile.mkdtemp(prefix="rdirt_")
+    nt, nc = 60, 3
+    epoch0 = (_dt.datetime(2021, 11, 15) - _dt.datetime(1970, 1, 1)).total_seconds()
+    for f, seg in enumerate(("seg_a", "seg_b")):
+        g = np.arange(f * nt, f * nt + nt, dtype=np.float64)
+        gg = g[:, None, None]
+        bb = np.arange(nc, dtype=np.float64)[None, :, None]
+        cc = np.arange(4, dtype=np.float64)[None, None, :]
+        vel = ((gg + 5 * bb + 7 * cc + 11) % 200 - 100) * 0.25
+        vel[(g % 37 == 5), :, 0] = np.nan
+        savemat(
+            os.path.join(d, f"{seg}.mat"),
+            {
+                "info": {
+                    "cell": 0.5,
+                    "cell1": 1.0,
+                    "ncells": 3.0,
+                    "blank": 0.25,
+                    "angle": 20.0,
+                },
+                "sens": {
+                    "time": epoch0 + g * 2,
+                    "h": (g * 3) % 360 + 0.25,
+                    "p": (g % 21) - 10 + 0.5,
+                    "r": (g % 17) - 8 + 0.25,
+                    "t": 15 + (g % 80) * 0.125,
+                    "pd": 10 + (g % 400) * 0.25,
+                },
+                "wt": {
+                    "vel": vel,
+                    "int": 60 + (gg + 5 * bb + 3 * cc) % 120,
+                    "corr": 40 + (gg + 3 * bb + 2 * cc) % 80,
+                    "pg": (gg + bb + cc) % 101,
+                },
+            },
+        )
+    out = rdi_mat.read_rdi_mat(spark, os.path.join(d, "seg_*.mat"))
+    return out.select(
+        "time",
+        "bin",
+        "bindist",
+        "vel_e",
+        "vel_n",
+        "vel_u1",
+        "vel_u2",
+        "int1",
+        "corr2",
+        "pg4",
+        F.col("Hdg_1215").alias("hdg"),
+        F.col("Ptch_1216").alias("ptch"),
+        F.col("Roll_1217").alias("roll"),
+        F.col("Tx_1211").alias("tx"),
+        F.col("P_1").alias("p_1"),
+    )
+
+
+@register(
+    "src_abss_roundtrip",
+    """
+    WITH f AS (SELECT CAST(i AS BIGINT) AS f FROM range(3) t(i)),
+         r AS (SELECT f, CAST(b AS BIGINT) AS b, CAST(x AS BIGINT) AS x
+               FROM f CROSS JOIN range(16) u(b) CROSS JOIN range(2) v(x))
+    SELECT TIMESTAMP '2023-03-07 14:00:00' + to_seconds(f * 60) AS time,
+           f + 1 AS burst_number,
+           CAST(b + 1 AS INTEGER) AS bin_number,
+           CAST(x + 1 AS INTEGER) AS transducer_number,
+           (b + 1) * CAST(0.25 AS DOUBLE) + x * CAST(0.125 AS DOUBLE)
+             AS bindist,
+           ((f * 100 + b * 2 + x) % 89) * CAST(0.25 AS DOUBLE) AS mean_abs
+    FROM r
+    """,
+)
+def src_abss_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Aquatec AQUAscat ABSS reader; reference
+    abss/mat2cdf.py): encode a THREE-file burst directory with our own
+    MAT v5 writer, each file carrying its BurstTime in a DIFFERENT
+    vendor spelling — a 6-element Matlab datevec, a Matlab datestr
+    ('07-Mar-2023 14:01:00'), and ISO-8601 — plus (bin × transducer)
+    AbsBinRange/AbsMean matrices, and walk it through the PRODUCTION
+    path end to end: burst-file glob, one executor task per burst,
+    the multi-format BurstTime funnel, and the (bin, transducer)
+    long-form explosion with 1-based reference dims. DuckDB replays
+    the closed form."""
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from stglib_spark.functions.mat5 import savemat
+    from stglib_spark.sources import abss_mat
+
+    d = tempfile.mkdtemp(prefix="abssrt_")
+    nbin, ntx = 16, 2
+    bb = np.arange(nbin, dtype=np.float64)[:, None]
+    xx = np.arange(ntx, dtype=np.float64)[None, :]
+    times = [
+        np.array([2023.0, 3.0, 7.0, 14.0, 0.0, 0.0]),  # datevec
+        "07-Mar-2023 14:01:00",  # matlab datestr
+        "2023-03-07 14:02:00",  # ISO-8601
+    ]
+    for f in range(3):
+        savemat(
+            os.path.join(d, f"burst{f + 1:04d}.mat"),
+            {
+                "BurstTime": times[f],
+                "BurstNumber": float(f + 1),
+                "AbsBinRange": (bb + 1) * 0.25 + xx * 0.125,
+                "AbsMean": ((f * 100 + bb * ntx + xx) % 89) * 0.25,
+            },
+        )
+    out = abss_mat.read_abss(spark, d)
+    return out.select(
+        "time",
+        "burst_number",
+        "bin_number",
+        "transducer_number",
+        "bindist",
+        F.col("mean_abs_data").alias("mean_abs"),
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -8871,6 +9042,8 @@ _FRONT = [
     "src_troll_roundtrip",
     "src_mayfly_roundtrip",
     "src_glx_roundtrip",
+    "src_rdi_mat_roundtrip",
+    "src_abss_roundtrip",
 ]
 
 
