@@ -4392,6 +4392,119 @@ def src_abss_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _eofe_fixture() -> tuple[str, dict]:
+    """Shared EofE EA400 .log fixture: 10 series × 4 pings × 8 bins,
+    per-ping attribute blocks each followed by a ##DataStart/##DataEnd
+    echo-count body (the interleaved layout the single-pass parser
+    handles), instrument header on top."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import eofe
+
+    d = tempfile.mkdtemp(prefix="eofert_")
+    p = os.path.join(d, "ea400.log")
+    lines = [
+        "#DeviceID 123456 EA400",
+        "#NSamples 8",
+        "#Resolution,m 0.25",
+        "#SoundSpeed,mps 1500",
+        "#Pulse period,sec 1.0",
+        "#Pulses in series,num 4",
+        "#Interval between series,sec 60.0",
+    ]
+    for i in range(40):
+        s, smp = i // 4, i % 4
+        secs = s * 60 + smp
+        mm, ss = (secs // 60) % 60, secs % 60
+        lines += [
+            f"#TimeUTC 07.06.2022 10:{mm:02d}:{ss:02d}.000",
+            f"#Ping  {i + 1}",
+            f"#Altitude,m {1 + (i % 16) * 0.0625:.4f}",
+            f"#Temperature,C {12 + (i % 32) * 0.125:.3f}",
+            f"#Pitch,deg {(i % 9) - 4 + 0.25:.2f}",
+            f"#Roll,deg {(i % 7) - 3 + 0.5:.1f}",
+            "##DataStart",
+        ]
+        lines += [str(((i * 8 + b) * 7) % 256) for b in range(8)]
+        lines.append("##DataEnd")
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    meta = eofe.read_ea_instmeta(p)
+    assert meta["EAPulses_in_series_num"] == 4, meta
+    assert meta["EABin_count"] == 8, meta
+    assert meta["serial_number"] == "123456", meta
+    return p, meta
+
+
+@register(
+    "src_eofe_point_roundtrip",
+    """
+    WITH r AS (SELECT CAST(i AS BIGINT) AS i FROM range(40) t(i))
+    SELECT TIMESTAMP '2022-06-07 10:00:00'
+             + to_seconds((i // 4) * 60) AS time,
+           CAST(i % 4 AS INTEGER) AS sample,
+           i + 1 AS ping,
+           1 + (i % 16) * CAST(0.0625 AS DOUBLE) AS altitude,
+           12 + (i % 32) * CAST(0.125 AS DOUBLE) AS temperature,
+           (i % 9) - 4 + CAST(0.25 AS DOUBLE) AS pitch,
+           (i % 7) - 3 + CAST(0.5 AS DOUBLE) AS roll
+    FROM r
+    """,
+)
+def src_eofe_point_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's EofE ECHOLOGGER EA400 point reader; reference
+    eofe.py:157-262): synthesize an interleaved-.log deployment (see
+    `_eofe_fixture`) and walk it through the PRODUCTION path end to
+    end: binaryFile mapPartitions parse, the `#Key value` header scan
+    (meta contract asserted in-line), dd.mm.yyyy UTC ping-time parse,
+    and the series/sample grouping where each series' time is its
+    FIRST ping's. DuckDB replays the closed form."""
+    from stglib_spark.sources import eofe
+
+    p, meta = _eofe_fixture()
+    out = eofe.read_ea_point(spark, p, meta)
+    return out.select(
+        "time",
+        "sample",
+        "ping",
+        F.col("Altitude_m").alias("altitude"),
+        F.col("Temperature_C").alias("temperature"),
+        F.col("Pitch_deg").alias("pitch"),
+        F.col("Roll_deg").alias("roll"),
+    )
+
+
+@register(
+    "src_eofe_profile_roundtrip",
+    """
+    WITH r AS (SELECT CAST(k AS BIGINT) AS k FROM range(320) t(k))
+    SELECT TIMESTAMP '2022-06-07 10:00:00'
+             + to_seconds((k // 32) * 60) AS time,
+           CAST((k // 8) % 4 AS INTEGER) AS sample,
+           CAST(k % 8 AS INTEGER) AS bins,
+           CAST((k * 7) % 256 AS DOUBLE) AS counts
+    FROM r
+    """,
+)
+def src_eofe_profile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's EofE ECHOLOGGER EA400 echo-profile reader;
+    reference eofe.py:264-285): same fixture as the point roundtrip,
+    exercising the flat count-stream → (series, sample, bin) index
+    arithmetic (k // (samples·nbins), (k // nbins) % samples,
+    k % nbins) and the series-time lookup. DuckDB replays the closed
+    form."""
+    from stglib_spark.sources import eofe
+
+    p, meta = _eofe_fixture()
+    out = eofe.read_ea_profile(spark, p, meta)
+    return out.select(
+        "time", "sample", "bins", F.col("Counts").alias("counts")
+    )
+
+
 @register(
     "snk_netcdf3_roundtrip",
     """
@@ -9044,6 +9157,8 @@ _FRONT = [
     "src_glx_roundtrip",
     "src_rdi_mat_roundtrip",
     "src_abss_roundtrip",
+    "src_eofe_point_roundtrip",
+    "src_eofe_profile_roundtrip",
 ]
 
 
