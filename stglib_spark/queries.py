@@ -4506,6 +4506,257 @@ def src_eofe_profile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_sgwb_roundtrip",
+    """
+    WITH r AS (SELECT CAST(b AS BIGINT) AS b, CAST(s AS BIGINT) + 1 AS s
+               FROM range(8) t(b) CROSS JOIN range(14) u(s))
+    SELECT TIMESTAMP '2000-01-01 00:00:00' + to_seconds(b * 3600) AS time,
+           b + 1 AS burst_number,
+           CAST(s AS INTEGER) AS sample,
+           14 + (((b * 16 + s - 1) * 3) % 200) * CAST(0.25 AS DOUBLE) AS p_1
+    FROM r
+    """,
+)
+def src_sgwb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's SBE 26plus Seagauge .wb wave-burst reader;
+    reference sg/wvs2cdf.py + sgutils.py): synthesize an 8-burst .wb
+    on the driver — `*` burst headers carrying burst number,
+    epoch-2000 seconds, and a 14-sample expected count, data rows of
+    FOUR pressure tokens each (so the final row overflows the expected
+    count and the two surplus tokens must be discarded), and an SBE
+    banner line — and walk it through the PRODUCTION path end to end:
+    binaryFile mapPartitions text walk, burst-header state machine,
+    1-based sample numbering, and the expected-count truncation.
+    DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import sg as sg_src
+
+    d = tempfile.mkdtemp(prefix="sgwbrt_")
+    p = os.path.join(d, "dep.wb")
+    lines = ["SBE 26plus wave burst data"]
+    for b in range(8):
+        lines.append(f"* {b + 1} {b * 3600} 4.0 14")
+        toks = [
+            f"{14 + (((b * 16 + j) * 3) % 200) * 0.25:.2f}" for j in range(16)
+        ]
+        for row in range(4):
+            lines.append("  " + " ".join(toks[row * 4 : row * 4 + 4]))
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = sg_src.read_sg_wb(spark, p)
+    return out.select(
+        "time",
+        "burst_number",
+        "sample",
+        F.col("P_1").alias("p_1"),
+    )
+
+
+@register(
+    "src_tcm_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(250) t(i))
+    SELECT TIMESTAMP '2022-02-01 00:00:00' + to_seconds(i * 60) AS time,
+           (i % 80) * CAST(0.0625 AS DOUBLE) AS speed,
+           (i * 7) % 360 + CAST(0.5 AS DOUBLE) AS bearing,
+           ((i + 13) % 100 - 50) * CAST(0.25 AS DOUBLE) AS vel_n,
+           ((i + 31) % 100 - 50) * CAST(0.25 AS DOUBLE) AS vel_e
+    FROM e
+    """,
+)
+def src_tcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Lowell TCM tilt-current-meter reader; reference
+    tcm.py:13-49): synthesize a 250-row `_CR.txt` export on the driver
+    — ISO timestamps under a units header row the null-time filter
+    must drop — and walk it through the PRODUCTION path end to end:
+    headerless explicit-schema scan, ISO parse, and double casts.
+    DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="tcmrt_")
+    p = os.path.join(d, "tcm_CR.txt")
+    lines = ["ISO 8601 Time,Speed (cm/s),Bearing (degrees),Velocity-N (cm/s),Velocity-E (cm/s)"]
+    for j in range(250):
+        secs = j * 60
+        hh, mm = secs // 3600, (secs // 60) % 60
+        lines.append(
+            f"2022-02-01 {hh:02d}:{mm:02d}:00,{(j % 80) * 0.0625:.4f},"
+            f"{(j * 7) % 360 + 0.5:.1f},{((j + 13) % 100 - 50) * 0.25:.2f},"
+            f"{((j + 31) % 100 - 50) * 0.25:.2f}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = vc.read_tcm(spark, p, {})
+    return out.select(
+        "time",
+        F.col("Speed").alias("speed"),
+        F.col("Bearing").alias("bearing"),
+        F.col("Velocity-N").alias("vel_n"),
+        F.col("Velocity-E").alias("vel_e"),
+    )
+
+
+@register(
+    "src_marotte_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(300) t(i))
+    SELECT TIMESTAMP '2022-03-01 00:00:00' + to_seconds(i * 30) AS time,
+           (i % 90) * CAST(0.0625 AS DOUBLE) AS speed,
+           (i * 11) % 360 + CAST(0.25 AS DOUBLE) AS heading,
+           (i % 25) * CAST(0.5 AS DOUBLE) AS tilt,
+           3 + (i % 16) * CAST(0.0625 AS DOUBLE) AS batt,
+           20 + (i % 48) * CAST(0.125 AS DOUBLE) AS temp
+    FROM e
+    """,
+)
+def src_marotte_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Marotte HS tilt current meter reader; reference
+    mar.py:12-40): synthesize a 300-row Marotte export on the driver —
+    the 9-column layout under a names header row — and walk it through
+    the PRODUCTION path end to end: headerless explicit-schema scan,
+    ISO parse, header drop, and double casts. DuckDB replays the
+    closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="marrt_")
+    p = os.path.join(d, "mar.csv")
+    lines = ["datetime,speed (m/s),heading (degrees CW from North),speed upper (m/s),speed lower (m/s),tilt (radians),direction (radians CCW from East),batt (volts),temp (Celsius)"]
+    for j in range(300):
+        secs = j * 30
+        hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+        sp = (j % 90) * 0.0625
+        lines.append(
+            f"2022-03-01 {hh:02d}:{mm:02d}:{ss:02d},{sp:.4f},"
+            f"{(j * 11) % 360 + 0.25:.2f},{sp + 0.25:.4f},{sp - 0.25:.4f},"
+            f"{(j % 25) * 0.5:.1f},{(j % 13) * 0.25:.2f},"
+            f"{3 + (j % 16) * 0.0625:.4f},{20 + (j % 48) * 0.125:.3f}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = vc.read_marotte(spark, p, {})
+    return out.select(
+        "time",
+        "speed",
+        "heading",
+        "tilt",
+        F.col("batt").alias("batt"),
+        F.col("temp").alias("temp"),
+    )
+
+
+@register(
+    "src_campbell_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(288) t(i))
+    SELECT TIMESTAMP '2022-04-01 00:00:00' + to_seconds(i * 300) AS time,
+           CAST(i AS DOUBLE) AS record,
+           1000 + (i % 120) * CAST(0.25 AS DOUBLE) AS bp,
+           CASE WHEN i % 71 = 9 THEN NULL
+                ELSE 10 + (i % 80) * CAST(0.125 AS DOUBLE) END AS airt
+    FROM e
+    """,
+)
+def src_campbell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Campbell Scientific met logger reader;
+    reference met.py:31-46): synthesize a 288-row TOA5 .dat on the
+    driver — banner line, quoted TIMESTAMP header on line 2, units and
+    aggregation rows below it, quoted data timestamps, and `NAN`
+    sentinels in the air-temperature column — and walk it through the
+    PRODUCTION path end to end: driver header sniff, quote strip + ISO
+    parse, units-row drop, and the NAN→NULL try_cast chain. DuckDB
+    replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="cmpbrt_")
+    p = os.path.join(d, "met.dat")
+    lines = [
+        '"TOA5","met_station","CR1000","54321","met"',
+        '"TIMESTAMP","RECORD","BP_mbar","AirT_C"',
+        '"TS","RN","mbar","degC"',
+        '"","","Avg","Avg"',
+    ]
+    for j in range(288):
+        secs = j * 300
+        hh, mm = secs // 3600, (secs // 60) % 60
+        airt = "NAN" if j % 71 == 9 else f"{10 + (j % 80) * 0.125:.3f}"
+        lines.append(
+            f'"2022-04-01 {hh:02d}:{mm:02d}:00",{j},'
+            f"{1000 + (j % 120) * 0.25:.2f},{airt}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = vc.read_campbell(spark, p, {})
+    return out.select(
+        "time",
+        F.col("RECORD").alias("record"),
+        F.col("BP_mbar").alias("bp"),
+        F.col("AirT_C").alias("airt"),
+    )
+
+
+@register(
+    "src_argonaut_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(200) t(i))
+    SELECT TIMESTAMP '2022-05-01 00:00:00' + to_seconds(i * 120) AS time,
+           ((i + 17) % 120 - 60) * CAST(0.25 AS DOUBLE) AS vel1,
+           ((i + 43) % 120 - 60) * CAST(0.25 AS DOUBLE) AS vel2,
+           20 + (i % 70) * CAST(0.5 AS DOUBLE) AS snr1
+    FROM e
+    """,
+)
+def src_argonaut_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's SonTek Argonaut whitespace .dat reader;
+    reference argonaut.py:15-28): synthesize a 200-row Argonaut export
+    on the driver — a whitespace header naming the Y/M/D/H/Min/Sec
+    date parts plus velocity/SNR columns — and walk it through the
+    PRODUCTION path end to end: driver header read, distributed regex
+    tokenization over spark.read.text, try_make_timestamp assembly
+    from the six integer parts, header drop via the null-time filter,
+    double casts, and the time sort. DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import vendor_csv as vc
+
+    d = tempfile.mkdtemp(prefix="argrt_")
+    p = os.path.join(d, "arg.dat")
+    lines = ["Year Month Day Hour Minute Second Vel1 Vel2 SNR1"]
+    for j in range(200):
+        secs = j * 120
+        hh, mm = secs // 3600, (secs // 60) % 60
+        lines.append(
+            f"2022 5 1 {hh} {mm} 0 {((j + 17) % 120 - 60) * 0.25:.2f}"
+            f" {((j + 43) % 120 - 60) * 0.25:.2f} {20 + (j % 70) * 0.5:.1f}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = vc.read_argonaut_dat(spark, p, {})
+    return out.select(
+        "time",
+        F.col("Vel1").alias("vel1"),
+        F.col("Vel2").alias("vel2"),
+        F.col("SNR1").alias("snr1"),
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -9159,6 +9410,11 @@ _FRONT = [
     "src_abss_roundtrip",
     "src_eofe_point_roundtrip",
     "src_eofe_profile_roundtrip",
+    "src_sgwb_roundtrip",
+    "src_tcm_roundtrip",
+    "src_marotte_roundtrip",
+    "src_campbell_roundtrip",
+    "src_argonaut_roundtrip",
 ]
 
 
