@@ -4757,6 +4757,103 @@ def src_argonaut_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "snk_profile_split_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(400) t(i))
+    SELECT TIMESTAMP '2022-07-01 00:00:00' + to_seconds(i * 10) AS time,
+           CAST(i % 4 AS INTEGER) AS profile,
+           5 + (i % 120) * CAST(0.25 AS DOUBLE) AS pressure,
+           18 + (i % 48) * CAST(0.125 AS DOUBLE) AS temperature
+    FROM e
+    """,
+)
+def snk_profile_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sink path with driver-facing evidence (§2.2's
+    split-per-profile file convention; reference writes one netCDF per
+    CTD cast — core/utils.py split handling — which the Spark design
+    maps to `partitionBy("profile")`, pipeline.py:41-64): build a
+    400-row cast table, WRITE it through the production partitioned
+    parquet sink (one directory per profile, the layout a 1000-executor
+    job would produce in parallel), then RE-READ the split files and
+    verify every value — timestamps, doubles, and the
+    partition-inferred profile key — survives the round trip
+    bit-exactly. DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="profsplit_")
+    out_dir = os.path.join(d, "clean")
+    src = spark.range(400).select(
+        F.timestamp_micros(
+            F.lit(1656633600000000) + F.col("id") * 10_000_000
+        ).alias("time"),
+        (F.col("id") % 4).cast("int").alias("profile"),
+        (5 + (F.col("id") % 120) * 0.25).alias("pressure"),
+        (18 + (F.col("id") % 48) * 0.125).alias("temperature"),
+    )
+    src.write.mode("overwrite").partitionBy("profile").parquet(out_dir)
+    back = spark.read.parquet(out_dir)
+    return back.select(
+        "time",
+        F.col("profile").cast("int").alias("profile"),
+        "pressure",
+        "temperature",
+    )
+
+
+@register(
+    "snk_cf_lint",
+    """
+    SELECT * FROM (VALUES
+      ('missing ''time'' column'),
+      ('variable ''pressure'': missing units attribute'),
+      ('variable ''velocity'': missing long_name/standard_name'),
+      ('missing global attribute ''institution'''),
+      ('Conventions ''ACDD-1.3'' does not name a CF version')
+    ) v(violation)
+    ORDER BY violation
+    """,
+)
+def snk_cf_lint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sink path with driver-facing evidence (§2.2's CF compliance
+    check; reference core/utils.py:44-70 shells to the IOOS checker —
+    our first-party pre-export lint, stglib_spark/cf.py): build a
+    DataFrame with five KNOWN violations — no time column, a data
+    variable missing `units`, another missing
+    `long_name`/`standard_name`, a missing required global, and a
+    non-CF Conventions string — run the production `check_dataframe`
+    lint, and return the violation list. The oracle is the exact
+    expected report."""
+    from stglib_spark.attrs import apply_var_attrs
+    from stglib_spark.cf import check_dataframe
+
+    df = spark.range(4).select(
+        F.col("id").cast("double").alias("pressure"),
+        (F.col("id") * 2).cast("double").alias("velocity"),
+    )
+    df = apply_var_attrs(
+        df,
+        {
+            "pressure": {"long_name": "Sea pressure"},  # no units
+            "velocity": {"units": "m s-1"},  # no long/standard name
+        },
+    )
+    problems = check_dataframe(
+        df,
+        {
+            "Conventions": "ACDD-1.3",  # not a CF version
+            "title": "synthetic cast",
+            "history": "generated",
+            # institution missing
+        },
+    )
+    return (
+        spark.createDataFrame([(p,) for p in problems], "violation string")
+        .orderBy("violation")
+    )
+
+
+@register(
     "snk_netcdf3_roundtrip",
     """
     SELECT doc_id,
@@ -9415,6 +9512,8 @@ _FRONT = [
     "src_marotte_roundtrip",
     "src_campbell_roundtrip",
     "src_argonaut_roundtrip",
+    "snk_profile_split_roundtrip",
+    "snk_cf_lint",
 ]
 
 
