@@ -4757,6 +4757,100 @@ def src_argonaut_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_rdi_sens_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(180) t(i))
+    SELECT TIMESTAMP '2021-11-15 00:00:00' + to_seconds(i * 20) AS time,
+           10 + (i % 250) * CAST(0.25 AS DOUBLE) AS pressure
+    FROM e
+    """,
+)
+def src_rdi_sens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's WinRiver sidecar files; reference
+    rdi/mat2cdf.py:180-227): synthesize the `.txt` pressure companion
+    (Y/M/D/H/Min/Sec CSV columns) and the tab-separated `.log`
+    metadata sidecar, walk the `.txt` through the PRODUCTION path
+    (native csv scan, Min/Sec renames, make_timestamp assembly), and
+    assert the `.log` → RDI-prefixed attrs sniff contract in-line.
+    DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import rdi_mat
+
+    d = tempfile.mkdtemp(prefix="rdisensrt_")
+    p = os.path.join(d, "seg_a.txt")
+    lines = ["Year,Month,Day,Hour,Min,Sec,Pressure"]
+    for j in range(180):
+        secs = j * 20
+        hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+        lines.append(
+            f"2021,11,15,{hh},{mm},{ss},{10 + (j % 250) * 0.25:.2f}"
+        )
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    lp = os.path.join(d, "seg_a.log")
+    with open(lp, "w") as fh:
+        fh.write(
+            "Serial number\t4321\n"
+            "Number of cells\t30\n"
+            "Cell size\t50 cm\n"
+            "Total records\t180\n"
+        )
+    attrs = rdi_mat.read_rdi_log(lp)
+    assert attrs["RDISerialNumber"] == "4321", attrs
+    assert attrs["RDINumberOfCells"] == "30", attrs
+    out = rdi_mat.read_rdi_sens(spark, p)
+    return out.select("time", F.col("Pressure").alias("pressure"))
+
+
+@register(
+    "src_areacomp_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(25) t(i))
+    SELECT 1 + i * CAST(0.25 AS DOUBLE) AS stage,
+           50 + i * i * CAST(0.5 AS DOUBLE) AS area,
+           CASE WHEN i = 12 THEN 'interpolated' ELSE 'measured' END AS flag
+    FROM e
+    """,
+)
+def src_areacomp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's AreaComp stage–area rating reader; reference
+    indexvel.py:7-16): synthesize a rating export — the 4-line
+    AreaComp preamble, a header row, numeric stage/area columns, and a
+    MIXED string/float flag column that must force the whole column to
+    STRING under the uniform-type rule — and walk it through the
+    PRODUCTION driver-side parse. DuckDB replays the closed form."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources import qrev as qrev_src
+
+    d = tempfile.mkdtemp(prefix="areacomprt_")
+    p = os.path.join(d, "rating.csv")
+    lines = [
+        "AreaComp 3.1 export",
+        "Station: 01234567",
+        "Datum: NAVD88",
+        "",
+        "Stage,Area,Flag",
+    ]
+    for j in range(25):
+        flag = "interpolated" if j == 12 else "measured"
+        lines.append(f"{1 + j * 0.25:.2f},{50 + j * j * 0.5:.1f},{flag}")
+    with open(p, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    out = qrev_src.read_areacomp(spark, p)
+    return out.select(
+        F.col("Stage").alias("stage"),
+        F.col("Area").alias("area"),
+        F.col("Flag").alias("flag"),
+    )
+
+
+@register(
     "snk_profile_split_roundtrip",
     """
     WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(400) t(i))
@@ -9514,6 +9608,8 @@ _FRONT = [
     "src_argonaut_roundtrip",
     "snk_profile_split_roundtrip",
     "snk_cf_lint",
+    "src_rdi_sens_roundtrip",
+    "src_areacomp_roundtrip",
 ]
 
 
