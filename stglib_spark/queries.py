@@ -6031,6 +6031,72 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_T = 0.35
+
+
+def _semdedup_oracle_sql() -> str:
+    """SemDeDup replay: the Lloyd fixed-iteration assignment (reused
+    verbatim from the k-means oracle generator) wrapped as a CTE, then
+    the within-cluster pairwise cosine prune — drop every vector whose
+    rounded cosine to a LOWER-id vector in the same cluster clears the
+    threshold. round(cs, 6) on BOTH engines is the established
+    boundary-safe idiom (sim_embedding_neardup)."""
+    return f"""
+    WITH asg AS ({_kmeans_oracle_sql()}),
+    ev AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    j AS (
+      SELECT asg.vec_id, asg.cluster_id, ev.v
+      FROM asg JOIN ev USING (vec_id)
+    ),
+    p AS (
+      SELECT b.vec_id AS id_b,
+             round(list_sum(list_transform(list_zip(a.v, b.v),
+                                           x -> x[1] * x[2]))
+               / nullif(sqrt(list_sum(list_transform(a.v, x -> x*x)))
+                        * sqrt(list_sum(list_transform(b.v, x -> x*x))),
+                        0.0), 6) AS cs6
+      FROM j a JOIN j b
+        ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    )
+    SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
+    FROM j
+    WHERE vec_id NOT IN (SELECT id_b FROM p WHERE cs6 >= {_SEMDEDUP_T})
+    """
+
+
+@register("dedup_semantic", _semdedup_oracle_sql())
+def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — the training-data curation step between exact
+    dedup and quality filtering): cluster the embedding space with the
+    driver-checked k-means (id-seeded, 2 snapped Lloyd iterations —
+    the sim_kmeans_assign kernel), then inside each cluster drop every
+    vector whose cosine to a lower-id clustermate clears the
+    threshold, keeping one representative per semantic neighborhood.
+
+    Scale shape: the cluster key bounds the pair blow-up exactly like
+    an LSH bucket — pairs are GEMM'd per Arrow batch
+    (pairwise_topk_within), never a global self-join; the drop set
+    applies as one broadcast anti-join. At 100 TB the same plan runs
+    with √N centroids so clusters stay batch-sized; no stage scales
+    quadratically in the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = sim_ops.ivf_seed_centroids(emb, _KM_K)
+    refined = sim_ops.ivf_refine(emb, seeds, iters=_KM_ITERS, round_to=9)
+    asg = sim_ops.ivf_assign(emb, refined).select(
+        "vec_id",
+        F.col("ivf_cell").cast("long").alias("cluster_id"),
+        "embedding",
+    )
+    pairs = sim_ops.pairwise_topk_within(
+        asg, group_col="cluster_id", threshold=_SEMDEDUP_T
+    )
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    return asg.join(F.broadcast(drops), "vec_id", "left_anti").select(
+        "vec_id", "cluster_id"
+    )
+
+
 _PQ_M, _PQ_K, _PQ_D = 8, 16, 8
 
 @register(
@@ -9610,6 +9676,7 @@ _FRONT = [
     "snk_cf_lint",
     "src_rdi_sens_roundtrip",
     "src_areacomp_roundtrip",
+    "dedup_semantic",
 ]
 
 
