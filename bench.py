@@ -73,6 +73,9 @@ HEADLINE = [
     "corpus_kmv_distinct",
     "corpus_hist_percentiles",
     "dedup_incremental_near",
+    # semantic dedup (SemDeDup): cluster + GEMM prune — the most
+    # compute-dense curation stage, must stay visible per round
+    "dedup_semantic",
 ]
 
 
