@@ -497,3 +497,15 @@ def test_ivf_recall_is_two_topk_plans(spark):
     assert count(plan, r"\(\d+\) TakeOrderedAndProject") == 2, plan
     assert count(plan, r"\(\d+\) Sort\b") == 0, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_semantic_dedup_broadcast_drop_set_no_global_pairs(spark):
+    """SemDeDup: the within-cluster pair stage is an applyInPandas over
+    the cluster key (FlatMapGroupsInPandas, never a self-join over all
+    embeddings — no CartesianProduct), and the drop set applies as a
+    broadcast LEFT ANTI join so the kept-side embeddings shuffle only
+    for the grouping, not for the prune."""
+    plan = plan_of(spark, "dedup_semantic")
+    assert count(plan, r"CartesianProduct") == 0, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert re.search(r"BroadcastHashJoin.*LeftAnti|LeftAnti.*Broadcast", plan, re.S), plan
