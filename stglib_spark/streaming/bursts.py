@@ -906,3 +906,102 @@ def streaming_near_dedup(
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark([id_col, "match_id"])
     )
+
+
+def streaming_kmv_distinct(
+    docs: DataFrame,
+    value_col: str = "text",
+    group_col: str = "source",
+    time_col: str = "ts",
+    k: int = 64,
+    seed: str = "kmv1",
+) -> DataFrame:
+    """Streaming twin of ``sketches.kmv_distinct`` — live per-source
+    distinct-count monitoring over an ingest feed (crawl dashboards,
+    dedup-rate alerting) without re-scanning the corpus.
+
+    KMV sketches merge associatively: the union of two sketches'
+    hash sets, truncated to the k smallest, IS the sketch of the union.
+    So per-group state is just the k smallest distinct 60-bit hashes
+    seen so far (bounded: k longs per group, independent of stream
+    length), each micro-batch folds its arrivals in, and the emitted
+    estimate after the final batch is bit-identical to the batch
+    operator on the same rows — the parity test's contract. Hashing
+    runs JVM-side (the same ``hash60`` chain as the batch sketch and
+    its DuckDB oracle) BEFORE the stateful stage; Python only maintains
+    the sorted slot array. Estimator arithmetic mirrors the batch
+    operator exactly: (k-1) · 2^60 / kth as one multiply + divide, the
+    exact count while the sketch is unsaturated."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stglib_spark.operators.dedup import hash60
+    from stglib_spark.operators.sketches import _HASH_SPACE
+
+    out_schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("n_kept", IntegerType()),
+            StructField("kth_hash", LongType()),
+            StructField("distinct_est", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("hashes", ArrayType(LongType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            slots, seen = state.get
+            cur = set(int(x) for x in slots)
+            seen = int(seen)
+        else:
+            cur, seen = set(), 0
+        for pdf in pdf_iter:
+            seen += len(pdf)
+            cur.update(int(x) for x in pdf["__h"])
+            if len(cur) > k:
+                cur = set(sorted(cur)[:k])
+        arr = sorted(cur)[:k]
+        state.update((list(arr), seen))
+        n = len(arr)
+        kth = int(arr[k - 1]) if n == k else None
+        est = (
+            float(k - 1) * _HASH_SPACE / float(kth)
+            if kth is not None
+            else float(n)
+        )
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_seen": [seen],
+                "n_kept": [n],
+                "kth_hash": pd.array([kth], dtype="Int64"),
+                "distinct_est": [est],
+            }
+        )
+
+    hashed = docs.select(
+        F.col(group_col),
+        hash60(F.col(value_col).cast("string"), seed=seed).alias("__h"),
+    )
+    return hashed.groupBy(group_col).applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -986,3 +986,74 @@ def test_streaming_near_dedup_matches_batch(spark, checkpoint_dir, tmp_path):
     assert streamed == batch
     assert (10, 3) in streamed and (12, 6) in streamed
     assert all(did != 11 for did, _ in streamed)
+
+
+def test_streaming_kmv_distinct_matches_batch(spark, checkpoint_dir, tmp_path):
+    """KMV sketches merge associatively, so after the stream drains the
+    per-group (n_kept, kth_hash, distinct_est) must equal the batch
+    sketch on the same rows bit-for-bit — one group saturated past k
+    (estimator path), one below k (exact path) — across a forced
+    multi-micro-batch replay (maxFilesPerTrigger=1)."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators.sketches import kmv_distinct
+    from stglib_spark.streaming import streaming_kmv_distinct
+
+    k = 16
+    t0 = pd.Timestamp("2024-06-01 08:00:00")
+    rows = []
+    for i in range(180):
+        # group A: 30 distinct values (> k, saturates the sketch);
+        # group B: 9 distinct (< k, exact path); heavy duplication both
+        src = "A" if i % 3 else "B"
+        val = f"doc {i % 45}" if src == "A" else f"page {(i // 3) % 9}"
+        rows.append((src, val, t0 + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["source", "text", "ts"])
+    d = str(tmp_path / "kmvstream")
+    os.makedirs(d)
+    for j in range(3):  # three files -> three micro-batches
+        spark.createDataFrame(pdf.iloc[j * 60 : (j + 1) * 60]).coalesce(
+            1
+        ).write.parquet(f"{d}/part{j}")
+    schema = spark.read.parquet(f"{d}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_kmv_distinct(stream, value_col="text", k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("kmvstream")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM kmvstream").collect()
+    # multiple micro-batches really happened: group A emitted >1 update
+    assert sum(1 for r in emitted if r["source"] == "A") > 1
+    final = {}
+    for r in emitted:  # last update per group = max n_seen
+        cur = final.get(r["source"])
+        if cur is None or r["n_seen"] > cur["n_seen"]:
+            final[r["source"]] = r
+    batch = {
+        r["source"]: r
+        for r in kmv_distinct(
+            spark.createDataFrame(pdf).drop("ts"),
+            "text",
+            ["source"],
+            k=k,
+        ).collect()
+    }
+    assert set(final) == set(batch) == {"A", "B"}
+    for src in ("A", "B"):
+        assert final[src]["n_kept"] == batch[src]["n_kept"], src
+        assert final[src]["kth_hash"] == batch[src]["kth_hash"], src
+        assert final[src]["distinct_est"] == batch[src]["distinct_est"], src
+    assert final["A"]["n_kept"] == k  # saturated -> estimator path
+    assert final["B"]["n_kept"] == 9 and final["B"]["distinct_est"] == 9.0
