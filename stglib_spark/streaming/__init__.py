@@ -18,6 +18,7 @@ from stglib_spark.streaming.bursts import (
     streaming_dedup,
     streaming_diff_gate,
     streaming_gap_fill,
+    streaming_hist_percentiles,
     streaming_kmv_distinct,
     streaming_near_dedup,
     streaming_pack_sequences,
@@ -34,6 +35,7 @@ __all__ = [
     "streaming_dedup",
     "streaming_diff_gate",
     "streaming_gap_fill",
+    "streaming_hist_percentiles",
     "streaming_kmv_distinct",
     "streaming_near_dedup",
     "streaming_pack_sequences",

@@ -1005,3 +1005,91 @@ def streaming_kmv_distinct(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_hist_percentiles(
+    docs: DataFrame,
+    value_col: str,
+    group_col: str = "source",
+    lo: float = 0.0,
+    hi: float = 1.0,
+    n_bins: int = 256,
+    percentiles: tuple[float, ...] = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Streaming twin of ``sketches.hist_percentiles`` — live per-source
+    latency/quality percentile monitoring. A fixed-grid histogram is a
+    count vector, and count vectors merge associatively, so per-group
+    state is ``n_bins`` longs (bounded, stream-length independent);
+    each micro-batch adds its bin counts and re-emits the closed-form
+    interpolated percentiles. The bin assignment and the estimator
+    reproduce the batch operator's IEEE double ops EXACTLY —
+    floor((v-lo)/width) clamped, h = p·(n-1) in micro-integer rank
+    units, bin-midpoint convention, micro-weight interpolation — so the
+    final streamed row per group is bit-identical to the batch sketch
+    (the parity test's contract)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    width = (float(hi) - float(lo)) / int(n_bins)
+    pcols = [f"p{str(p).replace('.', '_')}" for p in percentiles]
+    out_schema = StructType(
+        [StructField(group_col, StringType()), StructField("n", LongType())]
+        + [StructField(c, DoubleType()) for c in pcols]
+    )
+    state_schema = StructType([StructField("counts", ArrayType(LongType()))])
+
+    def fold(key, pdf_iter, state):
+        counts = (
+            np.array(state.get[0], dtype=np.int64)
+            if state.exists
+            else np.zeros(n_bins, dtype=np.int64)
+        )
+        for pdf in pdf_iter:
+            v = pdf["__v"].to_numpy(dtype=np.float64)
+            b = np.floor((v - lo) / width)  # same IEEE ops as the batch bin
+            b = np.clip(b, 0, n_bins - 1).astype(np.int64)
+            counts += np.bincount(b, minlength=n_bins)
+        state.update((counts.tolist(),))
+        n = int(counts.sum())
+        cum = np.cumsum(counts)
+
+        def rank_value_bin(rank: int) -> int:
+            return int(np.searchsorted(cum, rank + 1))
+
+        def mid(b: int) -> float:
+            return float(lo) + (float(b) + 0.5) * width
+
+        row = {group_col: [key[0]], "n": [n]}
+        for p, c in zip(percentiles, pcols):
+            pm = int(round(p * 1_000_000))
+            h_lo, h_rem = divmod((n - 1) * pm, 1_000_000)
+            if n > 1:
+                a = mid(rank_value_bin(h_lo))
+                b2 = mid(rank_value_bin(h_lo + 1))
+                est = (
+                    a * float(1_000_000 - h_rem) + b2 * float(h_rem)
+                ) / 1_000_000.0
+            else:
+                est = mid(rank_value_bin(0)) if n else None
+            row[c] = [est]
+        yield pd.DataFrame(row)
+
+    keyed = docs.select(
+        F.col(group_col), F.col(value_col).cast("double").alias("__v")
+    )
+    return keyed.groupBy(group_col).applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1057,3 +1057,64 @@ def test_streaming_kmv_distinct_matches_batch(spark, checkpoint_dir, tmp_path):
         assert final[src]["distinct_est"] == batch[src]["distinct_est"], src
     assert final["A"]["n_kept"] == k  # saturated -> estimator path
     assert final["B"]["n_kept"] == 9 and final["B"]["distinct_est"] == 9.0
+
+
+def test_streaming_hist_percentiles_matches_batch(spark, checkpoint_dir, tmp_path):
+    """Histogram count vectors merge associatively and the streamed
+    estimator reproduces the batch operator's exact IEEE ops, so after
+    the stream drains each group's (n, p50, p90, p99) must equal the
+    batch sketch bit-for-bit across a forced multi-micro-batch replay."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators.sketches import hist_percentiles
+    from stglib_spark.streaming import streaming_hist_percentiles
+
+    rows = []
+    for i in range(240):
+        src = "A" if i % 3 else "B"
+        # values spread over [0, 1) with duplication and clustering
+        val = ((i * 37) % 199) / 199.0 if src == "A" else ((i * 11) % 53) / 60.0
+        rows.append((src, val))
+    pdf = pd.DataFrame(rows, columns=["source", "score"])
+    d = str(tmp_path / "histstream")
+    os.makedirs(d)
+    for j in range(3):
+        spark.createDataFrame(pdf.iloc[j * 80 : (j + 1) * 80]).coalesce(
+            1
+        ).write.parquet(f"{d}/part{j}")
+    schema = spark.read.parquet(f"{d}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_hist_percentiles(stream, "score", n_bins=64)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("histstream")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM histstream").collect()
+    assert sum(1 for r in emitted if r["source"] == "A") > 1  # real multi-batch
+    final = {}
+    for r in emitted:
+        cur = final.get(r["source"])
+        if cur is None or r["n"] > cur["n"]:
+            final[r["source"]] = r
+    batch = {
+        r["source"]: r
+        for r in hist_percentiles(
+            spark.createDataFrame(pdf), "score", ["source"], n_bins=64
+        ).collect()
+    }
+    assert set(final) == set(batch) == {"A", "B"}
+    for src in ("A", "B"):
+        assert final[src]["n"] == batch[src]["n"], src
+        for c in ("p0_5", "p0_9", "p0_99"):
+            assert final[src][c] == batch[src][c], (src, c)
