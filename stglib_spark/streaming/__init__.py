@@ -24,6 +24,7 @@ from stglib_spark.streaming.bursts import (
     streaming_pack_sequences,
     streaming_puv,
     streaming_sessionize,
+    streaming_topk_cosine,
     streaming_wave_stats,
 )
 
@@ -41,5 +42,6 @@ __all__ = [
     "streaming_pack_sequences",
     "streaming_puv",
     "streaming_sessionize",
+    "streaming_topk_cosine",
     "streaming_wave_stats",
 ]

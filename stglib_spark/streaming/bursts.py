@@ -1093,3 +1093,94 @@ def streaming_hist_percentiles(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_topk_cosine(
+    vecs: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Incremental exact top-k similarity search over an arriving vector
+    stream (the EDBT 2020 incremental-top-k pattern from PAPERS.md): the
+    result set of "top-k most query-similar vectors seen so far" is an
+    associative merge — union the candidate sets, keep the k best — so
+    state is k (cosine, id) pairs TOTAL and each micro-batch re-emits
+    the refreshed ranking without ever re-scanning history.
+
+    The cosine (including the round-to-6 output convention) is computed
+    JVM-side with the SAME column expression as the batch
+    ``similarity.brute_force_topk``, so merged scores are bit-identical
+    to a batch run over the union of all arrivals — the parity test's
+    contract. Python only maintains the k-element heap. Scale: the
+    per-batch work is one codegen'd projection; the stateful stage sees
+    k' ≤ batch-local candidates per trigger (a `limit` inside the
+    foreach would break update semantics, so all scored rows reach the
+    single state key — for wide streams, pre-reduce per partition with
+    a batch-side orderBy().limit() in a foreachBatch variant)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from stglib_spark.operators.similarity import _darr_sql, cosine
+
+    q = F.expr(_darr_sql(query_vec))
+    sim = cosine(F.col(vec_col).cast("array<double>"), q)
+    scored = vecs.select(
+        F.lit(0).alias("__g"),
+        F.col(id_col),
+        F.round(sim, 6).alias("__cos"),
+    )
+    out_schema = StructType(
+        [
+            StructField("rank", IntegerType()),
+            StructField(id_col, LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("ids", ArrayType(LongType())),
+            StructField("cosines", ArrayType(DoubleType())),
+        ]
+    )
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            ids, cs = state.get
+            best = list(zip(list(cs), list(ids)))
+        else:
+            best = []
+        for pdf in pdf_iter:
+            best.extend(
+                (float(c), int(i))
+                for c, i in zip(pdf["__cos"], pdf[id_col])
+                if c == c  # NaN cosine (zero vector) never ranks
+            )
+        # ORDER BY cosine DESC, id ASC — the batch tie-break
+        best.sort(key=lambda t: (-t[0], t[1]))
+        best = best[:k]
+        state.update(([i for _, i in best], [c for c, _ in best]))
+        yield pd.DataFrame(
+            {
+                "rank": range(1, len(best) + 1),
+                id_col: [i for _, i in best],
+                "cosine": [c for c, _ in best],
+            }
+        )
+
+    return scored.groupBy("__g").applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -1118,3 +1118,67 @@ def test_streaming_hist_percentiles_matches_batch(spark, checkpoint_dir, tmp_pat
         assert final[src]["n"] == batch[src]["n"], src
         for c in ("p0_5", "p0_9", "p0_99"):
             assert final[src][c] == batch[src][c], (src, c)
+
+
+def test_streaming_topk_cosine_matches_batch(spark, checkpoint_dir, tmp_path):
+    """Top-k result sets merge associatively (union, keep k best), and
+    the streamed cosine uses the batch operator's exact column
+    expression, so after the stream drains the final ranking must equal
+    brute_force_topk over the union of all arrivals — same scores, same
+    DESC-cosine/ASC-id tie-break — across forced multi-batch replay."""
+    import math
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators.similarity import brute_force_topk
+    from stglib_spark.streaming import streaming_topk_cosine
+
+    dim, k = 8, 5
+    query = [round(math.cos(0.3 * i), 6) for i in range(dim)]
+    rows = []
+    for i in range(90):
+        vec = [round(math.cos(0.3 * j + i * 0.17), 6) for j in range(dim)]
+        if i == 40:
+            vec = [0.0] * dim  # zero vector: NaN cosine, must never rank
+        rows.append((i, vec))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    d = str(tmp_path / "topkstream")
+    os.makedirs(d)
+    for j in range(3):
+        spark.createDataFrame(pdf.iloc[j * 30 : (j + 1) * 30]).coalesce(
+            1
+        ).write.parquet(f"{d}/part{j}")
+    schema = spark.read.parquet(f"{d}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_topk_cosine(stream, query, k=k)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("topkstream")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM topkstream").collect()
+    assert len(emitted) > k  # >1 micro-batch really emitted
+    # the final ranking = the k rows from the LAST emission; reconstruct
+    # it as the lexicographically-best (cosine DESC, id ASC) k seen —
+    # merges only improve, so the last emission IS the best k overall
+    best = sorted(
+        {(r["vec_id"], r["cosine"]) for r in emitted},
+        key=lambda t: (-t[1], t[0]),
+    )[:k]
+    batch = [
+        (r["vec_id"], r["cosine"])
+        for r in brute_force_topk(
+            spark.createDataFrame(pdf), query, k=k, vec_col="embedding"
+        ).collect()
+    ]
+    assert best == batch
+    assert all(vid != 40 for vid, _ in best)
