@@ -2455,6 +2455,67 @@ def corpus_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_ops.token_census(docs)
 
 
+@register(
+    "corpus_overlap_matrix",
+    f"""
+    WITH norm AS (SELECT source, {_NORM_SQL} AS t FROM documents),
+    tok AS (SELECT source, t, string_split(t, ' ') AS toks FROM norm),
+    sh AS (
+      SELECT source,
+             unnest(CASE WHEN len(toks) <= 4 THEN [t]
+                    ELSE list_distinct([array_to_string(toks[i:i+4], ' ')
+                                        FOR i IN generate_series(1, len(toks) - 4)])
+                    END) AS g
+      FROM tok
+    ),
+    h AS (
+      SELECT DISTINCT source,
+             (('0x' || substring(md5(g), 1, 15))::UBIGINT)::BIGINT AS h
+      FROM sh
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_shared_grams
+    FROM h a JOIN h b ON a.h = b.h AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+)
+def corpus_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix — the corpus-audit query behind
+    source-mixing decisions (and the pairwise generalization of the
+    GPT-3-style benchmark decontamination rule, corpus.contaminated_ids):
+    for every source pair, how many distinct word 5-grams they share.
+
+    Scale shape: documents collapse to DISTINCT (source, gram-hash)
+    rows BEFORE the join — the self-join key is a 60-bit portable hash
+    (8-byte shuffle entries, text never moves), the equi-join shuffles
+    hash-partitioned (never all-pairs), and the output is one row per
+    source pair regardless of corpus size. At 100 TB the gram table
+    prunes further with a min-hash fraction cut (the KMV prefilter
+    idiom) without changing the plan."""
+    from stglib_spark.operators.dedup import hash60, word_shingles
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    grams = docs.select(
+        "source", F.explode(word_shingles(F.col("text"), 5)).alias("g")
+    )
+    hashed = grams.select(
+        "source", hash60(F.col("g")).alias("h")
+    ).distinct()
+    a, b = hashed.alias("a"), hashed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_grams"))
+    )
+
+
 _BUDGET_H60 = _H60.format(s="'budget1' || CAST(doc_id AS VARCHAR)")
 
 
@@ -9677,6 +9738,7 @@ _FRONT = [
     "src_rdi_sens_roundtrip",
     "src_areacomp_roundtrip",
     "dedup_semantic",
+    "corpus_overlap_matrix",
 ]
 
 
