@@ -15,6 +15,7 @@ from __future__ import annotations
 import math
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, functions as F
 
 
@@ -122,14 +123,18 @@ def pairwise_topk_within(
     return slim.groupBy(group_col).applyInPandas(gemm, schema)
 
 
-def _sq_l2(v: Column, c: Column) -> Column:
-    """Squared L2 distance as a sequential fold (same op order as the
-    DuckDB oracle's list_sum, so distances match bit-for-bit)."""
-    return F.aggregate(
-        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+def _seq_sq_dists(mat, cb):
+    """(n, d) rows vs (K, d) codebook → (n, K) squared L2, accumulated
+    in EXPLICIT i = 0..d-1 order so every distance is bit-identical to
+    the sequential fold the DuckDB oracles replay via list_sum
+    ((0.0 + t0) + t1 + …; numpy's np.sum/einsum use pairwise summation
+    and would differ in the last ulp — enough to flip an argmin on a
+    near-tie)."""
+    dist = np.zeros((mat.shape[0], cb.shape[0]), dtype=np.float64)
+    for i in range(cb.shape[1]):
+        diff = mat[:, i, None] - cb[None, :, i]
+        dist += diff * diff
+    return dist
 
 
 def _dlit(x: float) -> str:
@@ -140,25 +145,12 @@ def _dlit(x: float) -> str:
 
 def _darr_sql(vals) -> str:
     """SQL text for a DOUBLE array literal — one F.expr round-trip
-    instead of len(vals) F.lit calls (see _sq_l2_sql)."""
+    instead of len(vals) F.lit py4j calls (construction cost: K×dim
+    literals built call-by-call measured 4-6 s of the old 7 s
+    sim_pq_adc_topk wall at sf0.1)."""
     return "array(" + ",".join(_dlit(float(x)) for x in vals) + ")"
 
 
-def _sq_l2_sql(v_sql: str, vals: list[float]) -> str:
-    """SQL text for ``_sq_l2(v, array(<vals>))`` — identical fold order.
-
-    Why text: codebook/centroid expressions embed K×dim float literals,
-    and building them with F.lit/F.array/F.struct costs thousands of
-    driver py4j round-trips PER QUERY CONSTRUCTION — measured 4-6 s of
-    the old 7 s sim_pq_adc_topk wall at sf0.1, dwarfing the 1.1 s of
-    actual execution. One F.expr(...) string is a single round-trip and
-    parses JVM-side; the resulting Catalyst tree (and therefore the
-    result bits) is the same."""
-    arr = "array(" + ",".join(_dlit(x) for x in vals) + ")"
-    return (
-        f"aggregate(zip_with({v_sql}, {arr},"
-        f" (x, y) -> (x - y) * (x - y)), 0.0D, (acc, x) -> acc + x)"
-    )
 
 
 def ivf_seed_centroids(
@@ -188,22 +180,42 @@ def ivf_assign(
     vec_col: str = "embedding",
     out_col: str = "ivf_cell",
 ) -> DataFrame:
-    """Nearest-centroid cell id per vector, fully native: per-centroid
-    squared-L2 folds into an array<struct<d,c>>, array_min picks the
-    (distance, cid) lexicographic minimum — ties break to the lowest cid.
-    At 100 TB the assigned table is written partitioned by ``out_col`` so
-    a probe is partition pruning; assignment itself is one scan-speed
-    projection (no shuffle, no UDF)."""
-    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
-    structs = ",".join(
-        f"named_struct('d', {_sq_l2_sql(v_sql, [float(x) for x in cv])},"
-        f" 'c', CAST({int(cid)} AS BIGINT))"
-        for cid, cv in centroids
+    """Nearest-centroid cell id per vector — an Arrow-batched kernel:
+    the K×dim codebook broadcasts inside the UDF closure, distances are
+    BLAS-width numpy column ops accumulated in the oracle's sequential
+    element order (`_seq_sq_dists`, bit-identical to the SQL fold), and
+    ties break to the LOWEST cid (centroids sorted by cid; argmin takes
+    the first minimum). At 100 TB the assigned table is written
+    partitioned by ``out_col`` so a probe is partition pruning;
+    assignment itself is one scan-speed projection, no shuffle.
+
+    Why a pandas UDF and not native expressions: the K×dim per-centroid
+    distance tree is a higher-order-function fold, and HOFs never enter
+    WholeStageCodegen — each lambda evaluates interpreted PER ELEMENT
+    (512 lambda evaluations/row at K=8, dim=64; ~2 s of
+    sim_kmeans_assign's sf1 time), while UNROLLED scalar terms at this
+    width OOM janino's whole-stage compile. The Arrow batch does the
+    same flops at numpy speed with the same result bits."""
+    from pyspark.sql.functions import pandas_udf
+
+    order = sorted(range(len(centroids)), key=lambda i: int(centroids[i][0]))
+    cids = np.array([int(centroids[i][0]) for i in order], dtype=np.int64)
+    cb = np.array(
+        [[float(x) for x in centroids[i][1]] for i in order],
+        dtype=np.float64,
     )
-    # single F.expr: K×dim float literals as one SQL string, not K×dim
-    # py4j calls (see _sq_l2_sql)
-    cells = F.expr(f"array_min(array({structs}))")
-    return df.withColumn(out_col, cells["c"])
+
+    @pandas_udf("long")
+    def nearest(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype="int64")
+        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
+        dist = _seq_sq_dists(mat, cb)
+        return pd.Series(cids[np.argmin(dist, axis=1)])
+
+    return df.withColumn(
+        out_col, nearest(F.col(vec_col).cast("array<double>"))
+    )
 
 
 def ivf_refine(
@@ -338,26 +350,42 @@ def pq_encode(
     """Vector → ``m`` uint8-range code indices (nearest codebook entry
     per subspace, squared-L2, ties to the lowest index): dim floats
     compress to m small ints — 32× for dim=64/m=8 — which is what makes
-    a 100 TB embedding corpus ADC-searchable from memory. Fully native:
-    per-subspace per-centroid L2 folds into array<struct<d,c>>,
-    array_min picks the lexicographic (distance, code) minimum; one
-    scan-speed projection, no shuffle, no UDF."""
+    a 100 TB embedding corpus ADC-searchable from memory.
+
+    Arrow-batched kernel for the same reason as ``ivf_assign``: the
+    native form is m × n_codes × d higher-order-function folds
+    (1024 interpreted lambda evaluations per row at the defaults —
+    measured ~8 s for 20k rows at sf1, vs ~1 s batched), HOFs never
+    codegen, and the unrolled-scalar alternative OOMs janino. Distances
+    accumulate in the oracle's sequential element order
+    (`_seq_sq_dists`) and np.argmin's first-minimum IS the
+    (distance, code) lexicographic tie-break, so codes — and every
+    downstream ADC distance — keep the same bits the DuckDB replay
+    produces."""
+    from pyspark.sql.functions import pandas_udf
+
     m = len(codebooks)
     d = len(codebooks[0][0])
-    v_sql = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
-    parts = []
-    for j in range(m):
-        sub = f"slice({v_sql}, {j * d + 1}, {d})"
-        structs = ",".join(
-            f"named_struct('d', {_sq_l2_sql(sub, [float(x) for x in cv])},"
-            f" 'c', CAST({c} AS BIGINT))"
-            for c, cv in enumerate(codebooks[j])
-        )
-        parts.append(f"array_min(array({structs})).c")
-    # single F.expr: m×n_codes×d float literals in one SQL string, not
-    # thousands of py4j calls (see _sq_l2_sql)
-    codes = F.expr("array(" + ",".join(parts) + ")")
-    return df.withColumn(out_col, codes)
+    cbs = [
+        np.array([[float(x) for x in cv] for cv in codebooks[j]],
+                 dtype=np.float64)
+        for j in range(m)
+    ]
+
+    @pandas_udf("array<bigint>")
+    def enc(v: pd.Series) -> pd.Series:
+        if not len(v):
+            return pd.Series([], dtype=object)
+        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
+        codes = np.empty((mat.shape[0], m), dtype=np.int64)
+        for j in range(m):
+            dist = _seq_sq_dists(mat[:, j * d : (j + 1) * d], cbs[j])
+            codes[:, j] = np.argmin(dist, axis=1)
+        return pd.Series(list(codes))
+
+    return df.withColumn(
+        out_col, enc(F.col(vec_col).cast("array<double>"))
+    )
 
 
 def pq_refine(
