@@ -393,35 +393,56 @@ def pq_refine(
     codebooks: list[list[list[float]]],
     iters: int = 2,
     vec_col: str = "embedding",
+    round_to: int | None = None,
 ) -> list[list[list[float]]]:
     """Per-subspace Lloyd refinement of the PQ codebooks (the production
-    train path, like ``ivf_refine``; not used by the oracled query
-    because k-means isn't SQL-replayable). Each iteration: one native
-    encode pass, then per subspace a groupBy(code) computing element-wise
-    subvector means, collected back (m × n_codes × d floats — a
-    driver-side codebook, not a data loop). Empty codes keep their
-    previous entry."""
+    train path, like ``ivf_refine``). Each iteration: one batched
+    encode pass, then ONE aggregation computing per-(subspace, code)
+    element-wise subvector means (grouped by the exploded subspace
+    index, so a single scan and a single m×n_codes-wide shuffle per
+    iteration instead of m separate jobs), collected back
+    (m × n_codes × d floats — a driver-side codebook, not a data
+    loop). Empty codes keep their previous entry.
+
+    ``round_to`` snaps each refined mean to a fixed decimal grid with
+    half-away-from-zero (``_snap_away``) — same contract as
+    ``ivf_refine``: float summation order differs between engines, so
+    an oracle replay (sim_pq_train) needs grid-snapped centroids before
+    the next assignment."""
     m = len(codebooks)
     d = len(codebooks[0][0])
     for _ in range(iters):
         enc = pq_encode(df, codebooks, vec_col)
         v = F.col(vec_col).cast("array<double>")
-        new_books = []
-        for j in range(m):
-            means = (
-                enc.select(
-                    F.col("pq_codes")[j].alias("c"),
-                    *[v[j * d + i].alias(f"_e{i}") for i in range(d)],
-                )
-                .groupBy("c")
-                .agg(*[F.avg(f"_e{i}").alias(f"_e{i}") for i in range(d)])
-                .collect()
+        pairs = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        F.col("pq_codes")[j].alias("c"),
+                        *[v[j * d + i].alias(f"_e{i}") for i in range(d)],
+                    )
+                    for j in range(m)
+                ]
             )
-            upd = {r["c"]: [r[f"_e{i}"] for i in range(d)] for r in means}
-            new_books.append(
-                [upd.get(c, cv) for c, cv in enumerate(codebooks[j])]
-            )
-        codebooks = new_books
+        )
+        means = (
+            enc.select(pairs.alias("p"))
+            .select("p.*")
+            .groupBy("j", "c")
+            .agg(*[F.avg(f"_e{i}").alias(f"_e{i}") for i in range(d)])
+            .collect()
+        )
+        upd: dict = {}
+        for r in means:
+            vals = [r[f"_e{i}"] for i in range(d)]
+            if round_to is not None:
+                vals = [_snap_away(float(x), round_to) for x in vals]
+            upd[(r["j"], r["c"])] = vals
+        codebooks = [
+            [upd.get((j, c), cv) for c, cv in enumerate(codebooks[j])]
+            for j in range(m)
+        ]
     return codebooks
 
 

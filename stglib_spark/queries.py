@@ -6158,6 +6158,102 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQT_M, _PQT_K, _PQT_ITERS = 4, 8, 2
+_PQT_D = 16  # 64-dim embeddings / 4 subspaces
+
+
+def _pq_train_oracle_sql() -> str:
+    """Generated fixed-iteration replay of the per-subspace PQ train
+    (pq_refine with 9-decimal snapped means — the sim_kmeans_assign
+    playbook extended over a subspace dimension): each iteration is an
+    assignment CTE (row_number over per-code subvector distances,
+    PARTITIONed by (vector, subspace), ties to the lowest code) and a
+    means CTE (per-(subspace, code, element) snapped avg), empty codes
+    inheriting the previous entry."""
+    d, m, k = _PQT_D, _PQT_M, _PQT_K
+    dist = (
+        "list_sum(list_transform("
+        f"list_zip(e.v[b.j * {d} + 1 : b.j * {d} + {d}], b.cv),"
+        " x -> (x[1] - x[2]) * (x[1] - x[2])))"
+    )
+    sql = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    seed AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c,
+             embedding::DOUBLE[] AS v
+      FROM embeddings ORDER BY vec_id LIMIT {k}
+    ),
+    sub AS (SELECT unnest(generate_series(0, {m - 1})) AS j),
+    cb0 AS (
+      SELECT sub.j, seed.c,
+             seed.v[sub.j * {d} + 1 : sub.j * {d} + {d}] AS cv
+      FROM seed, sub
+    )"""
+    prev = "cb0"
+    for t in range(1, _PQT_ITERS + 1):
+        sql += f""",
+    a{t} AS (
+      SELECT vec_id, j, c FROM (
+        SELECT e.vec_id, b.j, b.c,
+               row_number() OVER (PARTITION BY e.vec_id, b.j
+                 ORDER BY {dist}, b.c) AS rn
+        FROM e, {prev} b
+      ) WHERE rn = 1
+    ),
+    m{t} AS (
+      SELECT a.j, a.c, u.i,
+             CASE WHEN avg(e.v[a.j * {d} + u.i]) < 0
+                  THEN -floor(-avg(e.v[a.j * {d} + u.i]) * 1e9 + 0.5) / 1e9
+                  ELSE floor(avg(e.v[a.j * {d} + u.i]) * 1e9 + 0.5) / 1e9
+             END AS x
+      FROM a{t} a JOIN e USING (vec_id),
+           unnest(generate_series(1, {d})) AS u(i)
+      GROUP BY a.j, a.c, u.i
+    ),
+    cb{t} AS (
+      SELECT p.j, p.c, coalesce(mm.cv, p.cv) AS cv
+      FROM {prev} p LEFT JOIN (
+        SELECT j, c, list(x ORDER BY i) AS cv FROM m{t} GROUP BY j, c
+      ) mm USING (j, c)
+    )"""
+        prev = f"cb{t}"
+    sql += f"""
+    SELECT CAST(j AS INTEGER) AS j, CAST(c AS INTEGER) AS c,
+           CAST(u.i AS INTEGER) AS i, cv[u.i] AS x
+    FROM {prev}, unnest(generate_series(1, {d})) AS u(i)
+    """
+    return sql
+
+
+@register("sim_pq_train", _pq_train_oracle_sql())
+def sim_pq_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook TRAINING as a first-class, driver-checked operator
+    (the production path behind sim_pq_adc_topk's id-seeded stand-in):
+    per-subspace Lloyd with two full iterations, refined means snapped
+    to the 9-decimal grid after each step (the snapping is what makes
+    float summation order across engines irrelevant —
+    ivf_refine/sim_kmeans_assign contract), empty codes inheriting the
+    previous entry. Distributed shape: each iteration is one batched
+    encode scan + ONE m×n_codes-wide mean aggregation; the collected
+    codebook is m×K×d floats (driver-scale). Output: the trained
+    codebook in long (subspace, code, element, value) form. The oracle
+    replays every iteration in generated SQL — the
+    filtfilt/IMLM/k-means fixed-iteration playbook over an extra
+    subspace dimension."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = sim_ops.pq_seed_codebooks(emb, m=_PQT_M, n_codes=_PQT_K)
+    books = sim_ops.pq_refine(
+        emb, books, iters=_PQT_ITERS, round_to=9
+    )
+    rows = [
+        (j, c, i + 1, float(books[j][c][i]))
+        for j in range(_PQT_M)
+        for c in range(_PQT_K)
+        for i in range(_PQT_D)
+    ]
+    return spark.createDataFrame(rows, "j int, c int, i int, x double")
+
+
 _PQ_M, _PQ_K, _PQ_D = 8, 16, 8
 
 @register(
@@ -9739,6 +9835,7 @@ _FRONT = [
     "src_areacomp_roundtrip",
     "dedup_semantic",
     "corpus_overlap_matrix",
+    "sim_pq_train",
 ]
 
 
