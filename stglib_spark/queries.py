@@ -4912,6 +4912,98 @@ def src_areacomp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "src_iq_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(150) t(i))
+    SELECT TIMESTAMP '2021-05-20 00:00:00' + to_seconds(i * 600) AS time,
+           2 + (i % 60) * CAST(0.0625 AS DOUBLE) AS depth,
+           100 + (i % 90) * CAST(0.5 AS DOUBLE) AS flow,
+           ((i) % 160 - 80) * CAST(0.25 AS DOUBLE) AS vel1,
+           ((i + 7) % 160 - 80) * CAST(0.25 AS DOUBLE) AS vel2,
+           ((i + 14) % 160 - 80) * CAST(0.25 AS DOUBLE) AS vel3,
+           ((i + 21) % 160 - 80) * CAST(0.25 AS DOUBLE) AS vel4,
+           10 + ((i) % 40) * CAST(0.5 AS DOUBLE) AS snr1,
+           20 + ((i + 8) % 30) * CAST(0.25 AS DOUBLE) AS noise5,
+           ((i) % 120 - 60) * CAST(0.125 AS DOUBLE) AS vxc,
+           ((i + 11) % 120 - 60) * CAST(0.125 AS DOUBLE) AS vzc,
+           ((i + 22) % 120 - 60) * CAST(0.125 AS DOUBLE) AS vxl,
+           ((i + 33) % 120 - 60) * CAST(0.125 AS DOUBLE) AS vxr
+    FROM e
+    """,
+)
+def src_iq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's SonTek-IQ .mat reader; reference iq.py:172-446):
+    encode a flat IQ export with our own MAT v5 writer —
+    FlowData_SampleTime in MICROSECONDS SINCE 2000-01-01 (exact float64
+    integers), 1-D flow/depth channels, the (time × 4) Vel and SNR
+    matrices, the (time × 5) NoiseLevel matrix, the VelXYZ
+    channel-name split, and a Data_Units struct with the `/s` → ` s-1`
+    normalization — and walk it through the PRODUCTION path end to
+    end: name-pattern variable mapping, epoch-2000 µs time decode,
+    per-beam column spread, and units-as-metadata (asserted in-line).
+    DuckDB replays the closed form."""
+    import datetime as _dt
+    import os
+    import tempfile
+
+    import numpy as np
+
+    from stglib_spark.attrs import collect_var_attrs
+    from stglib_spark.functions.mat5 import savemat
+    from stglib_spark.sources import iq_mat
+
+    nt = 150
+    d = tempfile.mkdtemp(prefix="iqrt_")
+    p = os.path.join(d, "iq_export.mat")
+    off_us = (
+        _dt.datetime(2021, 5, 20) - _dt.datetime(2000, 1, 1)
+    ).total_seconds() * 1e6
+    i = np.arange(nt, dtype=np.float64)
+    ii = i[:, None]
+    savemat(
+        p,
+        {
+            "FlowData_SampleTime": off_us + i * 600e6,
+            "FlowData_Depth": 2 + (i % 60) * 0.0625,
+            "FlowData_Flow": 100 + (i % 90) * 0.5,
+            "FlowData_Vel": ((ii + 7 * np.arange(4)[None, :]) % 160 - 80)
+            * 0.25,
+            "FlowData_SNR": 10 + ((ii + 3 * np.arange(4)[None, :]) % 40)
+            * 0.5,
+            "FlowData_NoiseLevel": 20
+            + ((ii + 2 * np.arange(5)[None, :]) % 30) * 0.25,
+            "FlowData_VelXYZ": ((ii + 11 * np.arange(4)[None, :]) % 120 - 60)
+            * 0.125,
+            "Data_Units": {
+                "FlowData_Depth": "m",
+                "FlowData_Vel": "m/s",
+                "FlowData_Flow": "m^3/s",
+            },
+        },
+    )
+    out = iq_mat.read_iq_mat(spark, p)
+    attrs = collect_var_attrs(out)
+    assert attrs.get("vel1", {}).get("units") == "m s-1", attrs  # /s rule
+    assert attrs.get("FlowData_Depth", {}).get("units") == "m", attrs
+    return out.select(
+        "time",
+        F.col("FlowData_Depth").alias("depth"),
+        F.col("FlowData_Flow").alias("flow"),
+        "vel1",
+        "vel2",
+        "vel3",
+        "vel4",
+        "snr1",
+        "noise5",
+        F.col("Vel_X_Center").alias("vxc"),
+        F.col("Vel_Z_Center").alias("vzc"),
+        F.col("Vel_X_Left").alias("vxl"),
+        F.col("Vel_X_Right").alias("vxr"),
+    )
+
+
+@register(
     "snk_profile_split_roundtrip",
     """
     WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(400) t(i))
@@ -9836,6 +9928,7 @@ _FRONT = [
     "dedup_semantic",
     "corpus_overlap_matrix",
     "sim_pq_train",
+    "src_iq_roundtrip",
 ]
 
 
