@@ -4911,6 +4911,237 @@ def src_areacomp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _pd0_rt_ensembles() -> list:
+    """Shared 60-ensemble PD0 fixture for the bottom-track / vertical-
+    beam / Wavesmon roundtrips: ensemble numbers crossing the 16-bit
+    boundary (65530+i exercises the hi-word reassembly), a no-detection
+    zero range, BAD_VEL sentinels, a >65535 cm range exercising the MSB
+    byte, and the 0x000C sea/swell block present on even ensembles
+    only."""
+    import datetime as _dt
+
+    out = []
+    for i in range(60):
+        t = _dt.datetime(2021, 8, 10) + _dt.timedelta(seconds=i * 1200)
+        e = {
+            "time": t,
+            "ensemble": 65530 + i,
+            "bt": {
+                "pings": 50,
+                "mode": 5,
+                "range_cm": [
+                    30000 + i * 40,
+                    70000 + i * 10,  # > 65535 -> MSB byte path
+                    0 if i % 13 == 4 else 30100 + i * 40,
+                    30200 + i * 40,
+                ],
+                "vel_mm": [
+                    -32768 if i % 17 == 3 else (i * 9) % 4000 - 2000,
+                    (i * 9 + 5) % 4000 - 2000,
+                    (i * 9 + 10) % 4000 - 2000,
+                    (i * 9 + 15) % 4000 - 2000,
+                ],
+                "cor": [100 + (i + b) % 28 for b in range(4)],
+                "amp": [60 + (i + 2 * b) % 40 for b in range(4)],
+                "pg": [(i + b) % 101 for b in range(4)],
+                "rssi": [40 + (i + 3 * b) % 60 for b in range(4)],
+                "max_depth_dm": 2500 + i,
+                "gain": i % 2,
+            },
+            "vbeam": {
+                "pings": 1,
+                "cell_cm": 50,
+                "first_cm": 80,
+                "vel_mm": [
+                    -32768
+                    if (i % 19 == 2 and c == 0)
+                    else (i * 7 + 3 * c) % 3000 - 1500
+                    for c in range(5)
+                ],
+                "cor": [90 + (i + c) % 30 for c in range(5)],
+                "amp": [70 + (i + 2 * c) % 50 for c in range(5)],
+                "pg": [(i + c) % 101 for c in range(5)],
+            },
+            "waves": {
+                "hs": (8 + i % 16) / 8.0,  # exact eighths -> exact mm
+                "tp": 5 + i % 12,
+                "dp": (i * 11) % 360,
+                "dm": (i * 13) % 360,
+                "h_max": (12 + i % 16) / 8.0,
+                "h_13": (10 + i % 16) / 8.0,
+                "t_01": 4 + i % 10,
+                "t_z": 3 + i % 9,
+            },
+        }
+        if i % 2 == 0:
+            e["waves"].update(
+                hs_sea=(6 + i % 8) / 8.0,
+                hs_swell=(4 + i % 8) / 8.0,
+                tp_sea=4 + i % 7,
+                tp_swell=9 + i % 7,
+                dp_sea=(i * 17) % 360,
+                dp_swell=(i * 19) % 360,
+            )
+        out.append(e)
+    return out
+
+
+def _pd0_rt_path() -> str:
+    import os
+    import tempfile
+
+    from stglib_spark.sources import pd0 as pd0_src
+
+    d = tempfile.mkdtemp(prefix="pd0rt_")
+    p = os.path.join(d, "dep.000")
+    pd0_src.write_pd0(p, _pd0_rt_ensembles())
+    return p
+
+
+_PD0_RT_TIME = (
+    "TIMESTAMP '2021-08-10 00:00:00' + to_seconds(i * 1200) AS time"
+)
+
+
+@register(
+    "src_pd0_bt_roundtrip",
+    f"""
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(60) t(i))
+    SELECT 65530 + i AS ensemble, {_PD0_RT_TIME},
+           CAST(30000 + i * 40 AS DOUBLE) / 100 AS bt_range1,
+           CAST(70000 + i * 10 AS DOUBLE) / 100 AS bt_range2,
+           CASE WHEN i % 13 = 4 THEN NULL
+                ELSE CAST(30100 + i * 40 AS DOUBLE) / 100 END AS bt_range3,
+           CAST(30200 + i * 40 AS DOUBLE) / 100 AS bt_range4,
+           CASE WHEN i % 17 = 3 THEN NULL
+                ELSE CAST((i * 9) % 4000 - 2000 AS DOUBLE) / 1000
+           END AS bt_vel1,
+           CAST((i * 9 + 5) % 4000 - 2000 AS DOUBLE) / 1000 AS bt_vel2,
+           CAST(100 + i % 28 AS INTEGER) AS bt_cor1,
+           CAST(60 + (i + 2) % 40 AS INTEGER) AS bt_amp2,
+           CAST((i + 2) % 101 AS INTEGER) AS bt_pg3,
+           CAST(40 + (i + 9) % 60 AS INTEGER) AS bt_rssi4,
+           CAST(2500 + i AS DOUBLE) / 10 AS bt_max_depth,
+           CAST(i % 2 AS INTEGER) AS bt_gain,
+           5 AS bt_mode,
+           50 AS bt_pings
+    FROM e
+    """,
+)
+def src_pd0_bt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's TRDI bottom-track block 0x0600; reference
+    rdiadcpy.py:1844-1944): encode a 60-ensemble PD0 stream with our
+    own writer — per-beam ranges including one ABOVE 65535 cm (the
+    LSB+MSB split the reference's signed read corrupts), a
+    zero-range no-detection beam, and a BAD_VEL sentinel — and walk it
+    through the PRODUCTION binaryFile parse: checksum walk, 16-bit
+    ensemble-counter hi-word reassembly, unsigned-LSB range decode,
+    cm→m / mm→m/s / dm→m scaling, and the null conventions. DuckDB
+    replays the closed form."""
+    from stglib_spark.sources import pd0 as pd0_src
+
+    out = pd0_src.read_pd0_bt(spark, _pd0_rt_path())
+    return out.select(
+        "ensemble",
+        "time",
+        "bt_range1",
+        "bt_range2",
+        "bt_range3",
+        "bt_range4",
+        "bt_vel1",
+        "bt_vel2",
+        "bt_cor1",
+        "bt_amp2",
+        "bt_pg3",
+        "bt_rssi4",
+        "bt_max_depth",
+        "bt_gain",
+        "bt_mode",
+        F.col("bt_pings_per_ensemble").alias("bt_pings"),
+    )
+
+
+@register(
+    "src_pd0_vbeam_roundtrip",
+    f"""
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(60) t(i)),
+         r AS (SELECT i, CAST(c AS BIGINT) AS c
+               FROM e CROSS JOIN range(5) u(c))
+    SELECT 65530 + i AS ensemble, {_PD0_RT_TIME},
+           CAST(c AS INTEGER) AS cell,
+           CAST(80 + c * 50 AS DOUBLE) / 100 AS vbindist,
+           CASE WHEN i % 19 = 2 AND c = 0 THEN NULL
+                ELSE CAST((i * 7 + 3 * c) % 3000 - 1500 AS DOUBLE) / 1000
+           END AS vb_vel,
+           CAST(90 + (i + c) % 30 AS INTEGER) AS vb_cor,
+           CAST(70 + (i + 2 * c) % 50 AS INTEGER) AS vb_amp,
+           CAST((i + c) % 101 AS INTEGER) AS vb_pg
+    FROM r
+    """,
+)
+def src_pd0_vbeam_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Sentinel V vertical beam 0x0F01/0x0A00-0x0D00;
+    reference rdiadcpy.py:1622-1766): same encoded fixture, walked
+    through the PRODUCTION vertical-beam parse — its OWN cell geometry
+    from the 0x0F01 leader (bindist = first + c·cell), i16 mm/s
+    velocity with the BAD_VEL null, and the u8 cor/amp/%good blocks.
+    DuckDB replays the closed form."""
+    from stglib_spark.sources import pd0 as pd0_src
+
+    out = pd0_src.read_pd0_vbeam(spark, _pd0_rt_path())
+    return out.select(
+        "ensemble", "time", "cell", "vbindist",
+        "vb_vel", "vb_cor", "vb_amp", "vb_pg",
+    )
+
+
+@register(
+    "src_pd0_waves_roundtrip",
+    f"""
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(60) t(i))
+    SELECT 65530 + i AS ensemble, {_PD0_RT_TIME},
+           CAST(1000 + (i % 16) * 125 AS DOUBLE) / 1000 AS hs,
+           CAST(5 + i % 12 AS DOUBLE) AS tp,
+           CAST((i * 11) % 360 AS DOUBLE) AS dp,
+           CAST((i * 13) % 360 AS DOUBLE) AS dm,
+           CAST(1500 + (i % 16) * 125 AS DOUBLE) / 1000 AS h_max,
+           CAST(1250 + (i % 16) * 125 AS DOUBLE) / 1000 AS h_13,
+           CAST(4 + i % 10 AS DOUBLE) AS t_01,
+           CAST(3 + i % 9 AS DOUBLE) AS t_z,
+           CASE WHEN i % 2 = 0
+                THEN CAST(750 + (i % 8) * 125 AS DOUBLE) / 1000 END AS hs_sea,
+           CASE WHEN i % 2 = 0
+                THEN CAST(500 + (i % 8) * 125 AS DOUBLE) / 1000
+           END AS hs_swell,
+           CASE WHEN i % 2 = 0 THEN CAST(4 + i % 7 AS DOUBLE) END AS tp_sea,
+           CASE WHEN i % 2 = 0 THEN CAST(9 + i % 7 AS DOUBLE) END AS tp_swell,
+           CASE WHEN i % 2 = 0 THEN CAST((i * 17) % 360 AS DOUBLE) END
+             AS dp_sea,
+           CASE WHEN i % 2 = 0 THEN CAST((i * 19) % 360 AS DOUBLE) END
+             AS dp_swell
+    FROM e
+    """,
+)
+def src_pd0_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL instrument-source path with driver-facing evidence (the PD0
+    playbook on §2.1's Wavesmon wave statistics 0x000B/0x000C;
+    reference rdiadcpy.py:1788-1842): same encoded fixture — Hs fields
+    as exact-eighth metres so the mm round trip is lossless, the
+    sea/swell partition block present on EVEN ensembles only (odd rows
+    must read NULL) — walked through the PRODUCTION Wavesmon parse.
+    DuckDB replays the closed form."""
+    from stglib_spark.sources import pd0 as pd0_src
+
+    out = pd0_src.read_pd0_waves(spark, _pd0_rt_path())
+    return out.select(
+        "ensemble", "time", "hs", "tp", "dp", "dm", "h_max", "h_13",
+        "t_01", "t_z", "hs_sea", "hs_swell", "tp_sea", "tp_swell",
+        "dp_sea", "dp_swell",
+    )
+
+
 @register(
     "src_iq_roundtrip",
     """
@@ -9929,6 +10160,9 @@ _FRONT = [
     "corpus_overlap_matrix",
     "sim_pq_train",
     "src_iq_roundtrip",
+    "src_pd0_bt_roundtrip",
+    "src_pd0_vbeam_roundtrip",
+    "src_pd0_waves_roundtrip",
 ]
 
 
