@@ -4962,6 +4962,11 @@ def _pd0_rt_ensembles() -> list:
                 "amp": [70 + (i + 2 * c) % 50 for c in range(5)],
                 "pg": [(i + c) % 101 for c in range(5)],
             },
+            "xform": [
+                [1.4619, -1.4619, 0.0, 0.0],
+                [0.0, 0.0, -1.4619, 1.4619],
+                [0.2661, 0.2661, 0.2661, 0.2661],
+            ],
             "waves": {
                 "hs": (8 + i % 16) / 8.0,  # exact eighths -> exact mm
                 "tp": 5 + i % 12,
@@ -5041,7 +5046,17 @@ def src_pd0_bt_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the closed form."""
     from stglib_spark.sources import pd0 as pd0_src
 
-    out = pd0_src.read_pd0_bt(spark, _pd0_rt_path())
+    p = _pd0_rt_path()
+    # 0x3200 instrument transform sidecar contract (rdiadcpy.py:1497-1523):
+    # axis-major int16 counts of 1/10000 — the fixture's Workhorse matrix
+    # must come back exactly through the driver-side accessor
+    xf = pd0_src.pd0_transform_matrix(p)
+    assert xf == [
+        [1.4619, -1.4619, 0.0, 0.0],
+        [0.0, 0.0, -1.4619, 1.4619],
+        [0.2661, 0.2661, 0.2661, 0.2661],
+    ], xf
+    out = pd0_src.read_pd0_bt(spark, p)
     return out.select(
         "ensemble",
         "time",
