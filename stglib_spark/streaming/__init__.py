@@ -15,6 +15,7 @@ from stglib_spark.streaming.bursts import (
     read_events_stream,
     streaming_burst_average,
     streaming_content_dedup,
+    streaming_decontaminate,
     streaming_dedup,
     streaming_diff_gate,
     streaming_gap_fill,
@@ -33,6 +34,7 @@ __all__ = [
     "read_events_stream",
     "streaming_burst_average",
     "streaming_content_dedup",
+    "streaming_decontaminate",
     "streaming_dedup",
     "streaming_diff_gate",
     "streaming_gap_fill",

@@ -1184,3 +1184,45 @@ def streaming_topk_cosine(
         "update",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    ngram: int = 13,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of ``corpus.contaminated_ids`` — the live-ingest
+    benchmark-decontamination gate: every arriving document's word
+    n-grams probe the STATIC benchmark gram set (broadcast — eval sets
+    are tiny next to a crawl) and contaminated documents are emitted
+    the moment they arrive, one row each.
+
+    Stateless except the watermark-bounded per-doc dedup that collapses
+    multi-gram hits (a doc sharing 40 benchmark grams must alert once):
+    explode → broadcast equi-join → dropDuplicatesWithinWatermark.
+    Same gram definition as the batch operator (word_shingles over the
+    shared normalizer), so the streamed contaminated-id set equals the
+    batch detection on the same rows — the parity test's contract."""
+    from stglib_spark.operators.dedup import word_shingles
+
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_shingles(F.col(text_col), ngram)).alias("gram")
+        )
+        .distinct()
+    )
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.col(time_col),
+        F.explode(word_shingles(F.col(text_col), ngram)).alias("gram"),
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .select(id_col, time_col)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+    )

@@ -1182,3 +1182,64 @@ def test_streaming_topk_cosine_matches_batch(spark, checkpoint_dir, tmp_path):
     ]
     assert best == batch
     assert all(vid != 40 for vid, _ in best)
+
+
+def test_streaming_decontaminate_matches_batch(spark, checkpoint_dir, tmp_path):
+    """The streamed contaminated-id set must equal the batch
+    contaminated_ids detection on the same rows — same normalizer, same
+    word n-grams — and a doc sharing many benchmark grams must alert
+    exactly once."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators.corpus import contaminated_ids
+    from stglib_spark.streaming import streaming_decontaminate
+
+    bench_text = (
+        "what is the boiling point of water at sea level in degrees "
+        "celsius under standard atmospheric pressure conditions today"
+    )
+    benchmark = spark.createDataFrame(
+        [(1, bench_text)], "doc_id long, text string"
+    )
+    t0 = pd.Timestamp("2024-07-01 09:00:00")
+    arriving = pd.DataFrame(
+        {
+            "doc_id": [20, 21, 22],
+            "ts": [t0, t0 + pd.Timedelta(minutes=1), t0 + pd.Timedelta(minutes=2)],
+            "text": [
+                "intro paragraph then " + bench_text + " then more prose "
+                "continuing the contaminated passage with extra words",
+                "entirely novel training document with no benchmark overlap "
+                "whatsoever in any thirteen gram window of its text body "
+                "because every window here is fresh original material",
+                bench_text,  # verbatim benchmark copy
+            ],
+        }
+    )
+    d = str(tmp_path / "decon")
+    os.makedirs(d)
+    spark.createDataFrame(arriving).coalesce(1).write.parquet(d + "/a")
+    schema = spark.read.parquet(d + "/a").schema
+    stream = spark.readStream.schema(schema).parquet(d + "/*")
+    out = streaming_decontaminate(stream, benchmark, ngram=13)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deconstream")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM deconstream").collect()
+    streamed = sorted(r["doc_id"] for r in rows)
+    assert streamed == sorted(set(streamed))  # one alert per doc
+    batch = sorted(
+        r["doc_id"]
+        for r in contaminated_ids(
+            spark.createDataFrame(arriving).drop("ts"), benchmark, ngram=13
+        ).collect()
+    )
+    assert streamed == batch == [20, 22]
