@@ -549,3 +549,77 @@ def tfidf_keywords(
         .filter(F.col("rank") <= int(top_k))
         .select(id_col, "rank", "term", "tf", "df", "score")
     )
+
+
+def quality_logreg_train(
+    df: DataFrame,
+    text_col: str = "text",
+    iters: int = 3,
+    lr: float = 0.5,
+    snap_nd: int = 9,
+    label_threshold: float = 0.75,
+) -> tuple[list[float], DataFrame]:
+    """Train a logistic-regression quality classifier IN the engine
+    (the fastText-style quality-filter step of a pretraining pipeline,
+    reference-free): features are the micro-rounded corpus quality
+    ratios (alpha / punct / stopword — the same driver-oracled
+    expressions as ``quality_score``), the label is the heuristic
+    composite score clearing ``label_threshold``, and training is
+    full-batch gradient descent with the weight vector SNAPPED to a
+    fixed decimal grid after every step (``ivf_refine`` contract: the
+    snap is what makes the iteration engine-replayable — per-row
+    sigmoid ulps and float summation order both vanish under the
+    grid).
+
+    Distributed shape: each iteration is ONE aggregate over the
+    feature scan (4 avg's — map-side combinable); only the 4-float
+    weight vector ever reaches the driver. Returns (weights
+    [w0..w3], features DataFrame with columns x1,x2,x3,y)."""
+    import math as _math
+
+    from stglib_spark.operators.similarity import _snap_away
+
+    scored = quality_score(df, text_col)
+    feats = scored.select(
+        F.col("alpha_ratio").alias("x1"),
+        F.col("punct_ratio").alias("x2"),
+        F.col("stopword_ratio").alias("x3"),
+        (F.col("quality_score") >= float(label_threshold))
+        .cast("double")
+        .alias("y"),
+    )
+    # Gradients accumulate as MICRO-INTEGER sums (floor(term·1e6 + 0.5)
+    # per row, summed as BIGINT): integer addition is order-free, so
+    # Spark's partition-order sum and a SQL replay's sequential sum are
+    # EQUAL BY CONSTRUCTION — the only residual cross-engine hazard is a
+    # per-row sigmoid ulp sitting within 1e-16 of a 0.5e-6 floor
+    # boundary (~1e-11/row), versus the avg-of-doubles form whose
+    # last-bit drift measurably flipped a 9-decimal snap at sf0.001.
+    def micro(col: Column) -> Column:
+        return F.floor(col * F.lit(1e6) + F.lit(0.5)).cast("long")
+
+    w = [0.0, 0.0, 0.0, 0.0]
+    for _ in range(iters):
+        z = (
+            F.lit(w[0])
+            + F.lit(w[1]) * F.col("x1")
+            + F.lit(w[2]) * F.col("x2")
+            + F.lit(w[3]) * F.col("x3")
+        )
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        r = p - F.col("y")
+        g = feats.select(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(micro(r)).alias("g0"),
+            F.sum(micro(r * F.col("x1"))).alias("g1"),
+            F.sum(micro(r * F.col("x2"))).alias("g2"),
+            F.sum(micro(r * F.col("x3"))).alias("g3"),
+        ).collect()[0]
+        n = int(g["n"])
+        w = [
+            _snap_away(
+                w[j] - float(lr) * (int(g[f"g{j}"]) / 1e6 / n), snap_nd
+            )
+            for j in range(4)
+        ]
+    return w, feats

@@ -5157,6 +5157,130 @@ def src_pd0_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _logreg_oracle_sql() -> str:
+    """Generated fixed-iteration replay of the quality-classifier train
+    (full-batch logistic GD, 9-decimal snapped weights — the
+    k-means/IMLM playbook with a sigmoid in the loop; cross-engine
+    exp() ulps and summation order both vanish under the snap). The
+    feature CTEs are the text_quality_score oracle's own expressions."""
+
+    def snap(e: str) -> str:
+        return (
+            f"CASE WHEN ({e}) < 0"
+            f" THEN -floor(-({e}) * 1e9 + 0.5) / 1e9"
+            f" ELSE floor(({e}) * 1e9 + 0.5) / 1e9 END"
+        )
+
+    sql = r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) END AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g')) AS n_nospace,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter(string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+'),
+                           x -> x IN ('the','and','of','is','to'))) END AS n_stop
+      FROM documents
+    ), r AS (
+      SELECT CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tok > 0 THEN n_nospace / n_tok ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio,
+             n_chars
+      FROM t
+    ), f AS (
+      SELECT round(alpha_ratio, 6) AS x1,
+             round(punct_ratio, 6) AS x2,
+             round(stop_ratio, 6) AS x3,
+             CASE WHEN round(
+               (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+               + least(stop_ratio * 2.5, 0.25), 6) >= 0.75
+             THEN 1.0 ELSE 0.0 END AS y
+      FROM r
+    ),
+    w0 AS (SELECT CAST(0 AS DOUBLE) AS w0, CAST(0 AS DOUBLE) AS w1,
+                  CAST(0 AS DOUBLE) AS w2, CAST(0 AS DOUBLE) AS w3)"""
+    prev = "w0"
+    for it in range(1, 4):
+        z = "(w.w0 + w.w1 * x1 + w.w2 * x2 + w.w3 * x3)"
+        # micro-integer gradient sums: CAST(floor(term*1e6 + 0.5) AS
+        # BIGINT) per row -> order-free integer addition, identical to
+        # the engine's long sum by construction (sum cast back to
+        # BIGINT so DuckDB's HUGEINT never reaches the arithmetic)
+        sql += f""",
+    g{it} AS (
+      SELECT count(*) AS n,
+             CAST(sum(CAST(floor(r * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g0,
+             CAST(sum(CAST(floor(r * x1 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g1,
+             CAST(sum(CAST(floor(r * x2 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g2,
+             CAST(sum(CAST(floor(r * x3 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS g3
+      FROM (
+        SELECT (1.0 / (1.0 + exp(-{z})) - y) AS r, x1, x2, x3
+        FROM f CROSS JOIN {prev} w
+      )
+    ),
+    w{it} AS (
+      SELECT {snap("w.w0 - 0.5 * (g.g0 / 1e6 / g.n)")} AS w0,
+             {snap("w.w1 - 0.5 * (g.g1 / 1e6 / g.n)")} AS w1,
+             {snap("w.w2 - 0.5 * (g.g2 / 1e6 / g.n)")} AS w2,
+             {snap("w.w3 - 0.5 * (g.g3 / 1e6 / g.n)")} AS w3
+      FROM {prev} w CROSS JOIN g{it} g
+    )"""
+        prev = f"w{it}"
+    sql += f"""
+    , acc AS (
+      SELECT avg(CASE WHEN (CASE WHEN w.w0 + w.w1 * x1 + w.w2 * x2
+                                      + w.w3 * x3 >= 0
+                            THEN 1.0 ELSE 0.0 END) = y
+                 THEN 1.0 ELSE 0.0 END) AS a
+      FROM f CROSS JOIN {prev} w
+    )
+    SELECT CAST(-1 AS INTEGER) AS j, a AS w FROM acc
+    UNION ALL SELECT 0, w0 FROM {prev}
+    UNION ALL SELECT 1, w1 FROM {prev}
+    UNION ALL SELECT 2, w2 FROM {prev}
+    UNION ALL SELECT 3, w3 FROM {prev}
+    """
+    return sql
+
+
+@register("text_quality_logreg", _logreg_oracle_sql())
+def text_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-classifier TRAINING as a first-class, driver-checked
+    operator (the fastText-style learned quality filter a pretraining
+    pipeline distills from heuristic labels): logistic regression on
+    the micro-rounded corpus quality ratios, labels from the composite
+    heuristic score, three full-batch GD steps with the weight vector
+    snapped to the 9-decimal grid after each (the snap absorbs both
+    cross-engine sigmoid ulps and float summation order — the
+    k-means/IMLM fixed-iteration contract, now with exp() in the
+    loop). Each iteration is ONE map-side-combinable aggregate over
+    the feature scan; only 4 floats reach the driver. Output: the
+    trained weights plus the training accuracy computed from the SIGN
+    of the exact snapped-weight logit (no sigmoid → bit-exact). The
+    oracle replays every iteration in generated SQL."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w, feats = text_ops.quality_logreg_train(docs, iters=3, lr=0.5)
+    z = (
+        F.lit(w[0])
+        + F.lit(w[1]) * F.col("x1")
+        + F.lit(w[2]) * F.col("x2")
+        + F.lit(w[3]) * F.col("x3")
+    )
+    acc = feats.select(
+        F.avg(
+            ((z >= 0).cast("double") == F.col("y")).cast("double")
+        ).alias("a")
+    ).collect()[0]["a"]
+    rows = [(-1, float(acc))] + [(j, float(w[j])) for j in range(4)]
+    return spark.createDataFrame(rows, "j int, w double")
+
+
 @register(
     "src_iq_roundtrip",
     """
@@ -10178,6 +10302,7 @@ _FRONT = [
     "src_pd0_bt_roundtrip",
     "src_pd0_vbeam_roundtrip",
     "src_pd0_waves_roundtrip",
+    "text_quality_logreg",
 ]
 
 
