@@ -402,3 +402,59 @@ def test_audio_stats_real_bounds(samples, rate):
     assert 0.0 <= rms <= 1.0
     assert 0 <= zc < len(x)
     assert 0 <= dom <= rate // 2 + 1
+
+
+@given(
+    st.integers(min_value=1, max_value=20),
+    st.integers(min_value=1, max_value=6),
+    st.integers(min_value=1, max_value=12),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_seq_sq_dists_bit_identical_to_sequential_fold(n, k, d, seed):
+    """The Arrow-batch distance kernel must reproduce the HOF fold's
+    EXACT accumulation order ((0 + t0) + t1 + ...) per (row, centroid) —
+    the property the pq_encode/ivf_assign oracles rest on. A pairwise
+    np.sum would fail this on the last ulp."""
+    import numpy as np
+
+    from stglib_spark.operators.similarity import _seq_sq_dists
+
+    rng = np.random.default_rng(seed)
+    mat = rng.uniform(-10, 10, size=(n, d))
+    cb = rng.uniform(-10, 10, size=(k, d))
+    got = _seq_sq_dists(mat, cb)
+    for r in range(n):
+        for c in range(k):
+            acc = 0.0
+            for i in range(d):
+                t = mat[r, i] - cb[c, i]
+                acc = acc + t * t
+            assert got[r, c] == acc, (r, c)
+
+
+@given(
+    st.integers(min_value=1, max_value=40),
+    st.integers(min_value=2, max_value=5),
+    st.integers(min_value=0, max_value=2**32 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_seq_sq_dists_argmin_matches_lexicographic_tiebreak(n, k, seed):
+    """First-minimum argmin over the kernel's distances == the
+    (distance, code) lexicographic min of the old native array_min form,
+    including on exact ties (duplicated centroids)."""
+    import numpy as np
+
+    from stglib_spark.operators.similarity import _seq_sq_dists
+
+    rng = np.random.default_rng(seed)
+    d = 4
+    cb = rng.uniform(-2, 2, size=(k, d))
+    cb[k - 1] = cb[0]  # exact duplicate -> guaranteed distance tie
+    mat = rng.uniform(-2, 2, size=(n, d))
+    dist = _seq_sq_dists(mat, cb)
+    got = np.argmin(dist, axis=1)
+    for r in range(n):
+        best = min(range(k), key=lambda c: (dist[r, c], c))
+        assert got[r] == best
+        assert got[r] != k - 1 or dist[r, 0] != dist[r, k - 1]
