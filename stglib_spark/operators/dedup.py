@@ -442,7 +442,7 @@ def duplicate_clusters(
     pairs: DataFrame,
     max_iterations: int = 25,
     method: str = "fastsv",
-    driver_solve_max_edges: int = 2_000_000,
+    driver_solve_max_edges: int = 1_000_000,
 ) -> DataFrame:
     """Resolve verified duplicate pairs into clusters: every document that
     appears in a pair gets the MINIMUM doc id reachable through the
@@ -494,13 +494,15 @@ def duplicate_clusters(
     TINY relative to the corpus (LSH→verify keeps ~0.1-1% of docs), and
     every distributed round costs fixed scheduler latency regardless of
     data size — so when the edge set fits comfortably on the driver
-    (``driver_solve_max_edges``, default 2M edges ≈ 32 MB, the same
-    order as a broadcast-side table), solve components with an exact
-    union-find there in one pass and skip the iteration entirely; above
-    the threshold, fall back to distributed FastSV. The edge table is
-    ``localCheckpoint``-ed before the count so the LSH→verify chain runs
-    exactly once either way. Identical output (component-minimum
-    canonical ids) by construction.
+    (``driver_solve_max_edges``, default 1M edges — honestly costed:
+    the Arrow transfer is 16 MB, but the unpacked Python int lists and
+    the union-find parent dict peak at a few hundred MB, which is what
+    the threshold must actually budget for), solve components with an
+    exact union-find there in one pass and skip the iteration entirely;
+    above the threshold, fall back to distributed FastSV. The edge
+    table is ``localCheckpoint``-ed before the count so the LSH→verify
+    chain runs exactly once either way. Identical output
+    (component-minimum canonical ids) by construction.
     """
     if method == "auto":
         edges_src = pairs.select(
@@ -563,7 +565,12 @@ def _duplicate_clusters_driver(pairs: DataFrame) -> DataFrame:
     count BEFORE collecting). Union-by-minimum keeps each tree's root
     at the smallest id seen, so after path compression every node's
     root IS the component minimum — the same canonical_id FastSV
-    converges to."""
+    converges to.
+
+    Edges land via Arrow (``toPandas`` + one C-level ``tolist`` pass
+    per column → plain Python ints), not ``collect()``: PySpark Row
+    objects cost ~10× the memory of the bare values, which is what made
+    the old 2M-edge default unsafe on small drivers (ADVICE r7)."""
     from pyspark.sql.types import StructField, StructType
 
     id_type = pairs.schema[0].dataType
@@ -577,8 +584,8 @@ def _duplicate_clusters_driver(pairs: DataFrame) -> DataFrame:
             parent[x], x = root, parent[x]
         return root
 
-    for r in pairs.collect():
-        a, b = r[0], r[1]
+    pdf = pairs.toPandas()
+    for a, b in zip(pdf.iloc[:, 0].tolist(), pdf.iloc[:, 1].tolist()):
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -971,19 +978,39 @@ def incremental_near_dedup(
     index side would be the persisted banded table in production — it
     is recomputed here so the operator is self-contained); candidates
     come from the cross-corpus band join (lsh_pairs_between), and only
-    candidates are verified exactly — no all-pairs path exists."""
+    candidates are verified exactly — no all-pairs path exists.
+
+    The verify lookup table is the batch ∪ index texts keyed by
+    SIDE-TAGGED ids ("b:"/"i:" prefixes, stripped on output): batch and
+    index id spaces need not be disjoint (a re-crawl legitimately
+    presents an id the index already holds, with different text), and
+    an untagged union would fan the verify join out across the
+    colliding id's rows and emit mixed-text jaccard values (ADVICE
+    r7)."""
     bs = minhash_signatures(batch, text_col, id_col, num_hashes, shingle_n, portable)
     isig = minhash_signatures(
         index_docs, text_col, id_col, num_hashes, shingle_n, portable
     )
     cands = lsh_pairs_between(bs, isig, id_col, num_hashes, bands, portable)
-    both = batch.select(id_col, text_col).unionByName(
-        index_docs.select(id_col, text_col)
+    id_type = batch.schema[id_col].dataType
+    both = batch.select(
+        F.concat(F.lit("b:"), F.col(id_col).cast("string")).alias(id_col),
+        text_col,
+    ).unionByName(
+        index_docs.select(
+            F.concat(F.lit("i:"), F.col(id_col).cast("string")).alias(id_col),
+            text_col,
+        )
     )
     verified = ngram_jaccard_pairs(
         both,
         candidate_pairs=cands.select(
-            F.col("match_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            F.concat(F.lit("i:"), F.col("match_id").cast("string")).alias(
+                "doc_a"
+            ),
+            F.concat(F.lit("b:"), F.col("doc_id").cast("string")).alias(
+                "doc_b"
+            ),
         ),
         text_col=text_col,
         id_col=id_col,
@@ -994,8 +1021,8 @@ def incremental_near_dedup(
         threshold=threshold,
     )
     return verified.select(
-        F.col("doc_b").alias(id_col),
-        F.col("doc_a").alias("match_id"),
+        F.expr("substring(doc_b, 3)").cast(id_type).alias(id_col),
+        F.expr("substring(doc_a, 3)").cast(id_type).alias("match_id"),
         "jaccard",
     )
 

@@ -13,6 +13,7 @@ Scale design (BASELINE.json north star):
 from __future__ import annotations
 
 import math
+from collections import Counter
 
 import numpy as np
 import pandas as pd
@@ -108,7 +109,13 @@ def pairwise_topk_within(
 
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
-        m = np.vstack(pdf["__v"].to_numpy()).astype(np.float64)
+        arrs = pdf["__v"].to_numpy()
+        dims = [len(a) for a in arrs if a is not None]
+        if not dims:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        dim = Counter(dims).most_common(1)[0][0]  # modal length = true dim
+        idx, m = _mask_vstack(arrs, dim)
+        ids = ids[idx]  # null/ragged vectors form no pairs
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0.0] = np.nan  # zero vectors → no pair (cos undefined)
         sims = (m @ m.T) / np.outer(norms, norms)
@@ -135,6 +142,32 @@ def _seq_sq_dists(mat, cb):
         diff = mat[:, i, None] - cb[None, :, i]
         dist += diff * diff
     return dist
+
+
+def _mask_vstack(arrs, dim):
+    """(valid-row indices, stacked matrix) for an Arrow batch of
+    ``array<double>`` values that may contain NULL or wrong-length
+    vectors (a raw ``np.vstack`` would raise inside the executor on the
+    first ragged row — ADVICE r7). A row is valid when present, exactly
+    ``dim`` long, and all-finite (a NULL element arrives as NaN and
+    would otherwise poison the distance argmin silently). The all-valid
+    fast path pays one length scan + one isfinite pass — negligible
+    next to the GEMM it guards."""
+    ok = np.fromiter(
+        (a is not None and len(a) == dim for a in arrs),
+        dtype=bool,
+        count=len(arrs),
+    )
+    idx = np.flatnonzero(ok)
+    if not len(idx):
+        return idx, np.empty((0, dim), dtype=np.float64)
+    mat = np.vstack(arrs if ok.all() else arrs[idx]).astype(
+        np.float64, copy=False
+    )
+    finite = np.isfinite(mat).all(axis=1)
+    if not finite.all():
+        idx, mat = idx[finite], mat[finite]
+    return idx, mat
 
 
 def _dlit(x: float) -> str:
@@ -209,9 +242,16 @@ def ivf_assign(
     def nearest(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype="int64")
-        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
-        dist = _seq_sq_dists(mat, cb)
-        return pd.Series(cids[np.argmin(dist, axis=1)])
+        arrs = v.to_numpy()
+        idx, mat = _mask_vstack(arrs, cb.shape[1])
+        if len(idx) == len(arrs):  # all valid — no object boxing
+            dist = _seq_sq_dists(mat, cb)
+            return pd.Series(cids[np.argmin(dist, axis=1)])
+        out = np.full(len(arrs), None, dtype=object)
+        if len(idx):
+            dist = _seq_sq_dists(mat, cb)
+            out[idx] = cids[np.argmin(dist, axis=1)]
+        return pd.Series(out)
 
     return df.withColumn(
         out_col, nearest(F.col(vec_col).cast("array<double>"))
@@ -376,12 +416,18 @@ def pq_encode(
     def enc(v: pd.Series) -> pd.Series:
         if not len(v):
             return pd.Series([], dtype=object)
-        mat = np.vstack(v.to_numpy()).astype(np.float64, copy=False)
+        arrs = v.to_numpy()
+        idx, mat = _mask_vstack(arrs, m * d)
         codes = np.empty((mat.shape[0], m), dtype=np.int64)
         for j in range(m):
             dist = _seq_sq_dists(mat[:, j * d : (j + 1) * d], cbs[j])
             codes[:, j] = np.argmin(dist, axis=1)
-        return pd.Series(list(codes))
+        if len(idx) == len(arrs):  # all valid
+            return pd.Series(list(codes))
+        out = np.full(len(arrs), None, dtype=object)
+        for pos, row in zip(idx, codes):
+            out[pos] = row
+        return pd.Series(out)
 
     return df.withColumn(
         out_col, enc(F.col(vec_col).cast("array<double>"))

