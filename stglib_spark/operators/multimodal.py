@@ -262,3 +262,110 @@ def sample_video_frames(
     return df.filter(F.col("kind") == "video").select(
         "media_id", "content", "duration_ms"
     ).mapInPandas(fn, out_schema)
+
+
+def perceptual_hash(
+    df: DataFrame,
+    grid_w: int = 11,
+    grid_h: int = 6,
+    content_col: str = "content",
+    id_col: str = "media_id",
+    out_col: str = "phash",
+) -> DataFrame:
+    """Pixel-level dHash per image — the perceptual fingerprint that
+    dedupes RE-ENCODED images (same picture, different container /
+    byte stream) without an embedding model, which byte-digest exact
+    dedup cannot do by construction.
+
+    Kernel (Arrow-batched ``mapInPandas``, payloads never shuffled):
+    real codec decode (BMP/PNM/PNG, :mod:`stglib_spark.functions.media`),
+    integer grayscale (``(r+g+b)//3``), box-filter downsample to a
+    ``grid_h × grid_w`` luminance grid (exact integer block means,
+    ``sum // (bw·bh)`` — deterministic across engines, unlike float
+    area resampling), then the dHash gradient: bit ``gr·(grid_w−1)+gc``
+    is 1 iff the cell right of ``(gr, gc)`` is strictly brighter. The
+    default 6×11 grid yields 60 bits — the engine's portable-hash
+    convention (simhash/hash60), always non-negative in a BIGINT.
+
+    Undecodable / null payloads and images whose dimensions are not
+    integer multiples of the grid yield a NULL hash (a production
+    deployment would area-resample first; the exact-integer contract
+    here is what makes the operator oracle-checkable). Output:
+    (id, phash) — 16 bytes/row; at 100 TB every downstream join
+    shuffles hashes, never pixels."""
+    out_schema = StructType(
+        [StructField(id_col, LongType()), StructField(out_col, LongType())]
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stglib_spark.functions.media import (
+            decode_bmp,
+            decode_png,
+            decode_pnm,
+            sniff,
+        )
+
+        def one(payload: bytes):
+            kind = sniff(payload)
+            try:
+                if kind == "bmp":
+                    img = decode_bmp(payload)
+                elif kind == "png":
+                    img = decode_png(payload)
+                elif kind in ("ppm", "pgm", "pnm"):
+                    img = decode_pnm(payload)
+                else:
+                    return None
+            except Exception:
+                return None
+            px = np.asarray(img, dtype=np.int64)
+            if px.ndim == 3:  # integer luminance, replayable exactly
+                px = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+            h, w = px.shape
+            if h % grid_h or w % grid_w:
+                return None
+            bh, bw = h // grid_h, w // grid_w
+            g = (
+                px.reshape(grid_h, bh, grid_w, bw).sum(axis=(1, 3))
+                // (bh * bw)
+            )
+            bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+            ks = np.arange(grid_h * (grid_w - 1), dtype=np.int64)
+            return int((bits.reshape(-1) << ks).sum())
+
+        for pdf in batches:
+            hashes = [
+                one(bytes(c)) if c is not None else None
+                for c in pdf[content_col]
+            ]
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: hashes})
+
+    return df.select(id_col, content_col).mapInPandas(fn, out_schema)
+
+
+def phash_near_pairs(
+    hashed: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    hash_col: str = "phash",
+) -> DataFrame:
+    """Near-duplicate image pairs from perceptual hashes: the SimHash
+    pigeonhole machinery verbatim (``dedup.simhash_near_pairs``) on the
+    60-bit dHash — block equi-join candidates (identical 16-bit block
+    guaranteed for Hamming ≤ blocks−1), ``bit_count(xor)`` verify,
+    NEVER an all-pairs comparison. NULL hashes (undecodable images)
+    are dropped before pairing."""
+    from stglib_spark.operators.dedup import simhash_near_pairs
+
+    fps = hashed.filter(F.col(hash_col).isNotNull()).select(
+        F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
+    )
+    pairs = simhash_near_pairs(
+        fps, id_col="doc_id", max_hamming=max_hamming, blocks=blocks
+    )
+    return pairs.select(
+        F.col("doc_a").alias("id_a"),
+        F.col("doc_b").alias("id_b"),
+        "hamming",
+    )

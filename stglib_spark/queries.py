@@ -9414,6 +9414,98 @@ def mm_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_phash_neardup",
+    """
+    WITH imgs AS (
+      SELECT CAST(i AS BIGINT) AS img_id, CAST(i // 2 AS BIGINT) AS base,
+             i % 2 = 1 AS odd
+      FROM range(60) t(i)),
+    px AS (
+      SELECT img_id,
+             CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+             CASE WHEN odd AND (r * 22 + c) = (base * 7) % 264
+                  THEN least((base * 37 + r * 13 + c * 7
+                              + (base % 11) * r * c) % 256 + 60, 255)
+                  ELSE (base * 37 + r * 13 + c * 7
+                        + (base % 11) * r * c) % 256 END AS v
+      FROM imgs, range(12) rr(r), range(22) cc(c)),
+    g AS (
+      SELECT img_id, r // 2 AS gr, c // 2 AS gc,
+             CAST(sum(v) // 4 AS BIGINT) AS gv
+      FROM px GROUP BY img_id, r // 2, c // 2),
+    bits AS (
+      SELECT a.img_id, a.gr * 10 + a.gc AS k,
+             CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g b
+        ON a.img_id = b.img_id AND a.gr = b.gr AND b.gc = a.gc + 1
+      WHERE a.gc < 10),
+    h AS (
+      SELECT img_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)))
+                  AS BIGINT) AS ph
+      FROM bits GROUP BY img_id),
+    bnd AS (
+      SELECT img_id, ph,
+             (ph >> CAST(16 * j AS INTEGER)) & 65535 AS bh, j
+      FROM h, range(4) t(j)),
+    cand AS (
+      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+             a.ph AS pa, b.ph AS pb
+      FROM bnd a JOIN bnd b
+        ON a.j = b.j AND a.bh = b.bh AND a.img_id < b.img_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+    """,
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash near-dedup, oracle-checked end-to-end (the
+    pixel-level sibling of dedup_simhash / sim_embedding_neardup —
+    VERDICT r7 gap #5): synthesize 60 PGM images in pairs (even ids are
+    a deterministic 22×12 gradient pattern per base, odd ids the same
+    picture with ONE pixel brightened — a stand-in for re-encode
+    noise), decode with the REAL netpbm codec, box-downsample to the
+    6×11 luminance grid with exact integer block means, take the 60-bit
+    dHash (operators/multimodal.perceptual_hash), and pair via the
+    SimHash pigeonhole machinery (16-bit block equi-join + bit_count
+    verify, never all-pairs). Every (2j, 2j+1) pair differs in at most
+    2 gradient bits, so all 30 planted near-dups survive the Hamming ≤3
+    gate with the pigeonhole recall GUARANTEE. DuckDB replays pixels →
+    grid → bits → hash → bands → pairs relationally."""
+    from stglib_spark.operators import multimodal as mm
+
+    def make_pgm(batches):
+        import numpy as np
+        import pandas as pd
+
+        r = np.arange(12).reshape(12, 1)
+        c = np.arange(22).reshape(1, 22)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                base = i // 2
+                px = (base * 37 + r * 13 + c * 7 + (base % 11) * r * c) % 256
+                if i % 2 == 1:
+                    cell = (base * 7) % 264
+                    rr, cc = cell // 22, cell % 22
+                    px = px.copy()
+                    px[rr, cc] = min(int(px[rr, cc]) + 60, 255)
+                payloads.append(
+                    b"P5\n22 12\n255\n" + px.astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame({"media_id": pdf["id"], "content": payloads})
+
+    media = spread(spark.range(60)).mapInPandas(
+        make_pgm, "media_id long, content binary"
+    )
+    hashed = mm.perceptual_hash(media)
+    pairs = mm.phash_near_pairs(hashed, max_hamming=3, blocks=4)
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
     "ts_burst_nan_fill",
     """
     WITH base AS (

@@ -128,3 +128,34 @@ def test_audio_stats_empty_payload_raises(spark):
     with _pytest.raises(Exception) as exc:
         audio_stats(df).collect()
     assert "RIFF" in str(exc.value) or "WAVE" in str(exc.value)
+
+
+def test_perceptual_hash_invariant_across_containers(spark):
+    """The whole point of a pixel-level hash: the SAME picture re-encoded
+    into different containers (PGM vs BMP vs PNG) must produce the SAME
+    60-bit dHash, while undecodable payloads and off-grid dimensions
+    yield NULL."""
+    import numpy as np
+
+    from stglib_spark.functions.media import encode_bmp, encode_png
+    from stglib_spark.operators.multimodal import perceptual_hash
+
+    r = np.arange(12).reshape(12, 1)
+    c = np.arange(22).reshape(1, 22)
+    gray = ((r * 13 + c * 7) % 256).astype(np.uint8)
+    rgb = np.repeat(gray[..., None], 3, axis=2)
+    pgm = b"P5\n22 12\n255\n" + gray.tobytes()
+    rows = [
+        (0, bytearray(pgm)),
+        (1, bytearray(encode_bmp(rgb))),
+        (2, bytearray(encode_png(rgb))),
+        (3, bytearray(b"not an image")),
+        (4, None),
+        # 10x10: not an integer multiple of the 6x11 grid
+        (5, bytearray(b"P5\n10 10\n255\n" + bytes(100))),
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    got = {r["media_id"]: r["phash"] for r in perceptual_hash(df).collect()}
+    assert got[0] is not None
+    assert got[0] == got[1] == got[2], got
+    assert got[3] is None and got[4] is None and got[5] is None

@@ -540,3 +540,16 @@ def test_semantic_dedup_gated_drop_set_no_global_pairs(spark):
         q.dedup_semantic, "__wrapped__") else q.dedup_semantic)
     assert "_SEMDEDUP_BCAST_MAX" in src, "drop-set broadcast must be size-gated"
     assert "join(F.broadcast(" not in src, "broadcast must not be forced"
+
+
+def test_phash_neardup_bucketed_pairing_no_all_pairs(spark):
+    """Image perceptual-hash near-dup: decode+hash is one MapInPandas
+    projection (payloads never shuffle), pairing is the pigeonhole
+    block EQUI-join on 16-bit hash blocks — never a cartesian /
+    nested-loop all-pairs comparison."""
+    plan = plan_of(spark, "mm_phash_neardup")
+    assert count(plan, r"CartesianProduct") == 0, plan
+    assert count(plan, r"BroadcastNestedLoopJoin") == 0, plan
+    assert "MapInPandas" in plan, plan
+    # the block equi-join (any hash-join family node qualifies)
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
