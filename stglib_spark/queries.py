@@ -5418,6 +5418,114 @@ def snk_profile_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_rbr_clean_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(720) t(i)
+               WHERE i BETWEEN 30 AND 630),
+    b AS (
+      SELECT i,
+             TIMESTAMP '2021-09-01 00:00:00' + to_seconds(i * 60) AS time,
+             14 + (i % 97) * CAST(0.25 AS DOUBLE) AS p_1,
+             18 + (i % 41) * CAST(0.125 AS DOUBLE) AS t_raw,
+             (i % 80) * CAST(0.5 AS DOUBLE) AS tb_raw,
+             10 + (((i * 60 + 287) // 600) % 16)
+                 * CAST(0.0625 AS DOUBLE) AS atmpres
+      FROM e),
+    c AS (SELECT *, p_1 - atmpres - CAST(0.0 AS DOUBLE) AS p_1ac FROM b),
+    d AS (
+      SELECT *,
+             (p_1ac * CAST(10000.0 AS DOUBLE))
+               / (CAST(1025.0 AS DOUBLE) * CAST(9.81 AS DOUBLE)) AS depth_m
+      FROM c)
+    SELECT time, p_1,
+           CASE WHEN t_raw < 19.0 THEN NULL ELSE t_raw END AS t_28,
+           CASE WHEN tb_raw > 30.0 THEN NULL ELSE tb_raw END AS turb,
+           atmpres,
+           round(p_1ac, 6) AS p_1ac,
+           round(depth_m, 6) AS depth_m,
+           round(depth_m + CAST(0.5 AS DOUBLE), 6) AS water_depth,
+           round(CAST(2.0 AS DOUBLE) * tb_raw + CAST(5.0 AS DOUBLE), 6)
+             AS ssc
+    FROM d
+    """,
+)
+def e2e_rbr_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END pipeline-composition oracle (VERDICT r7 task #5 — the
+    reference's canonical demo path, tests/test_scripts.py:258-263 +
+    rsk/cdf2nc.py:8-162): synthesize a 720-row RBR Ruskin deployment
+    CSV and a 10-minute met parquet series on the driver, then run the
+    PRODUCTION pipeline stages — ``run_ingest`` (rbr_csv adapter,
+    vendor→EPIC renames, raw-zone parquet + history sidecar) and
+    ``run_clean`` (good_dates deployment clip → nearest-time atmospheric
+    as-of correction P_1ac = P_1 − atmpres → constant-density
+    pressure-to-depth → water_depth from instrument height → turbidity
+    SSC polyval → min/max QA/QC gates → clean-zone parquet) — and
+    RE-READ the clean zone. Every stage's arithmetic is replayed in
+    closed form: the met grid is offset 13 s so nearest-neighbor picks
+    are tie-free (((i·60 + 287) // 600) is exactly the as-of join's
+    choice), gates land on exact binary fractions, and QA/QC nulls
+    values without dropping rows. This converts the biggest COVERAGE
+    'test-only' rows — stage orchestration, zone write/read, config
+    plumbing — into driver-graded evidence."""
+    import os
+    import tempfile
+
+    from stglib_spark import pipeline
+    from stglib_spark.session import pin_utc
+
+    pin_utc(spark)
+    n = 720
+    d = tempfile.mkdtemp(prefix="e2erbr_")
+    csv_path = os.path.join(d, "deployment.csv")
+    lines = ["Time,Pressure,Temperature,Turbidity"]
+    for i in range(n):
+        secs = i * 60
+        hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+        lines.append(
+            f"2021-09-01 {hh:02d}:{mm:02d}:{ss:02d},"
+            f"{14 + (i % 97) * 0.25:.2f},"
+            f"{18 + (i % 41) * 0.125:.3f},"
+            f"{(i % 80) * 0.5:.1f}"
+        )
+    with open(csv_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    met_path = os.path.join(d, "met")
+    spark.range(73).select(
+        F.timestamp_micros(
+            F.lit(1630454400000000)
+            + (F.col("id") * 600 + 13) * F.lit(1000000)
+        ).alias("time"),
+        (10 + (F.col("id") % 16) * 0.0625).alias("atmpres"),
+    ).write.mode("overwrite").parquet(met_path)
+    config = {
+        "instrument": "rbr_csv",
+        "input_path": csv_path,
+        "output_dir": d,
+        "filename": "e2e_rbr",
+        "good_dates": [("2021-09-01 00:30:00", "2021-09-01 10:30:00")],
+        "atmpres_path": met_path,
+        "initial_instrument_height": 0.5,
+        "Turb_ssc_coeffs": [2.0, 5.0],
+        "T_28_min": 19.0,
+        "Turb_max": 30.0,
+    }
+    pipeline.run_ingest(spark, config)
+    clean_path = pipeline.run_clean(spark, config)
+    clean = spark.read.parquet(clean_path)
+    return clean.select(
+        "time",
+        F.col("P_1").alias("p_1"),
+        F.col("T_28").alias("t_28"),
+        F.col("Turb").alias("turb"),
+        "atmpres",
+        _r6("P_1ac").alias("p_1ac"),
+        _r6("depth_m").alias("depth_m"),
+        _r6("water_depth").alias("water_depth"),
+        _r6("SSC_791").alias("ssc"),
+    )
+
+
+@register(
     "snk_cf_lint",
     """
     SELECT * FROM (VALUES
@@ -10291,97 +10399,43 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next round, lead with whatever lacked a CORRECTNESS_r04 row (the tail
 # of this list plus the r3-green block).
 _FRONT = [
-    # --- round 7 policy (VERDICT r6 tasks 1, 3, 5):
-    # (a) the two 2-round-red queries, now FIXED (outer CAST on every
-    #     integer-sum oracle column — DuckDB sum(BIGINT) returns
-    #     HUGEINT, whose pandas export is float64, so the driver's
-    #     formatted-value hash read "123.0" vs Spark's "123"), plus the
-    #     bisection family that proves the diagnosis through the
-    #     driver: a green control (verbatim r6-green re-registration),
-    #     column-at-a-time variants (expected green), and two
-    #     DELIBERATE NEGATIVE PROBES that keep the uncast sum
-    #     (expected red iff the diagnosis is right);
-    # (b) queries NEW this round: the four r6 phantoms now actually
-    #     implemented (KMV sketch, mixture allocation, edit-similarity
-    #     verify, Seagauge hex round trip) + the Imagenex .81R round
-    #     trip;
-    # (c) the eight analytic-oracle siblings, 2 rounds stale — they ARE
-    #     the §2 evidence for the spectral/filter family (their
-    #     rows-only twins are permanently OUT of _FRONT: a no-oracle
-    #     row can never produce evidence);
-    # (d) r4-aged rows, oldest families first (the ~21 that don't fit
-    #     rotate to r8).
-    # (a) fixed reds + bisection family
+    # --- round 8 policy (VERDICT r7 tasks 1-4):
+    # (a) NEW this round: the end-to-end pipeline-composition oracle
+    #     (ingest→clean through the production stages) and the image
+    #     perceptual-hash near-dedup;
+    # (b) CHANGED this round, re-grade first: ts_sessionize (public
+    #     start_us restored — the r7 bisection proved absolute epochs
+    #     driver-safe), corpus_datacard (kept per the verdict),
+    #     qaqc_bad_ens_indiv (bounded plan-build collect);
+    # (c) the 42 queries registered late in r7 past the graded window —
+    #     the whole src_*/snk_* ingest-roundtrip family plus
+    #     SemDeDup (drop-set broadcast now size-gated), PQ training,
+    #     logreg quality classifier, overlap matrix, split leakage;
+    # (d) the stalest r4-aged rows that fit; the rest (TPC-H block,
+    #     remaining corpus/text r4 rows) lead r9's refresh.
+    # The r7 bisection family (2 red-by-design probes, 7 diagnostic
+    #     variants, 1 control) is RETIRED from the window: the HUGEINT
+    #     diagnosis is driver-confirmed in CORRECTNESS_r07, so they
+    #     would only re-prove a closed question and inject designed
+    #     reds into every future round. They stay registered (tests
+    #     pin the probes' by-design mismatch).
+    # (a) new
+    "e2e_rbr_clean_roundtrip",
+    "mm_phash_neardup",
+    # (b) changed / kept
     "ts_sessionize",
     "corpus_datacard",
-    "ts_dedup_ctrl",
-    "ts_sessionize_v1",
-    "ts_sessionize_v2",
-    "ts_sessionize_v3",
-    "ts_sessionize_v4",
-    "ts_sessionize_probe_hugeint",
-    "corpus_datacard_v1",
-    "corpus_datacard_v2",
-    "corpus_datacard_v3",
-    "corpus_datacard_probe_hugeint",
-    # (b) new this round
-    "corpus_kmv_distinct",
-    "corpus_mixture_allocate",
-    "dedup_edit_similarity",
-    "src_sg_hex_roundtrip",
-    "src_son_roundtrip",
-    "corpus_hist_percentiles",
-    "sim_ivf_recall",
-    "dedup_incremental_near",
-    # (c) stale oracle siblings (the §2 spectral/filter evidence)
-    "wave_psd_welch_oracle",
-    "wave_cutoff_tail_oracle",
-    "wave_elev_stats_oracle",
-    "wave_puv_azimuth_oracle",
-    "wave_dftm_plane_oracle",
-    "filt_iir_recursion_oracle",
-    "filt_filtfilt_oracle",
-    "sonar_xy_linear_oracle",
-    # (d) re-planned THIS round — the SQL-text literal rewrite rebuilt
-    #     the whole similarity/LM-scorer family's construction path
-    #     (intended-identical Catalyst trees, locally parity-green, but
-    #     changed code re-grades before untouched code), plus
-    #     dedup_clusters' new adaptive strategy and the kmeans oracle's
-    #     snap-idiom change
-    "dedup_clusters",
-    "sim_kmeans_assign",
-    "sim_pq_adc_topk",
-    "sim_cosine_topk",
-    "sim_ann_lsh_topk",
-    "sim_ann_ivf_topk",
-    "sim_embedding_neardup",
-    "sim_bucket_centroids",
-    "dedup_simhash",
-    "dedup_embedding_grid",
-    "text_bigram_logprob",
-    "text_unigram_logprob",
-    # (e) r4-aged untouched rows, operator families before the TPC-H
-    #     block (whose standard-SQL evidence ages most gracefully; the
-    #     q* block + mm_* + corpus_repetition_stats rotate in r8)
-    "text_fingerprint",
-    "dedup_exact",
-    "corpus_redact_pii",
-    "corpus_url_domains",
-    "corpus_pack_sequences",
-    "corpus_token_census",
-    "corpus_budget_sample",
-    "corpus_build_packs",
-    # (f) rows-only → ORACLED this round: the generated-SQL playbook
-    #     promoted from synthetic siblings to the REAL production
-    #     queries (recursive-CTE filtfilt replay; constant-per-cell
-    #     bilinear regrid)
-    "filt_butterworth_lowpass",
-    "sonar_xy_regrid",
-    # (g) past the ~50-row grading window: registered late in r7 after
-    #     the window filled — lead r8's "new this round" block
+    "qaqc_bad_ens_indiv",
+    # (c) the r7-pending block
+    "dedup_semantic",
+    "sim_pq_train",
+    "text_quality_logreg",
+    "corpus_overlap_matrix",
     "corpus_train_split",
     "corpus_simpson_diversity",
     "dedup_split_leakage",
+    "snk_profile_split_roundtrip",
+    "snk_cf_lint",
     "src_aqd_roundtrip",
     "src_vec_roundtrip",
     "src_aqdhr_roundtrip",
@@ -10401,6 +10455,7 @@ _FRONT = [
     "src_mayfly_roundtrip",
     "src_glx_roundtrip",
     "src_rdi_mat_roundtrip",
+    "src_rdi_sens_roundtrip",
     "src_abss_roundtrip",
     "src_eofe_point_roundtrip",
     "src_eofe_profile_roundtrip",
@@ -10409,18 +10464,21 @@ _FRONT = [
     "src_marotte_roundtrip",
     "src_campbell_roundtrip",
     "src_argonaut_roundtrip",
-    "snk_profile_split_roundtrip",
-    "snk_cf_lint",
-    "src_rdi_sens_roundtrip",
     "src_areacomp_roundtrip",
-    "dedup_semantic",
-    "corpus_overlap_matrix",
-    "sim_pq_train",
     "src_iq_roundtrip",
     "src_pd0_bt_roundtrip",
     "src_pd0_vbeam_roundtrip",
     "src_pd0_waves_roundtrip",
-    "text_quality_logreg",
+    # (d) r4-aged refresh (stalest non-TPC-H first; window ends ~here)
+    "mm_decode_real_png",
+    "mm_video_frames_real",
+    "corpus_decontaminate",
+    # --- past the ~50-row graded window: r9 refresh queue, oldest first
+    "corpus_remove_boilerplate",
+    "text_chunk_documents",
+    "corpus_repetition_stats",
+    "corpus_stratified_sample",
+    "dedup_priority_source",
 ]
 
 
