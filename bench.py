@@ -76,6 +76,11 @@ HEADLINE = [
     # semantic dedup (SemDeDup): cluster + GEMM prune — the most
     # compute-dense curation stage, must stay visible per round
     "dedup_semantic",
+    # new in r8: pixel-level perceptual-hash near-dedup (decode + dHash
+    # + pigeonhole pairing) and the end-to-end ingest→clean pipeline
+    # composition (two zone writes + the full clean operator chain)
+    "mm_phash_neardup",
+    "e2e_rbr_clean_roundtrip",
 ]
 
 

@@ -23,6 +23,7 @@ from stglib_spark.streaming.bursts import (
     streaming_kmv_distinct,
     streaming_near_dedup,
     streaming_pack_sequences,
+    streaming_phash_gate,
     streaming_puv,
     streaming_sessionize,
     streaming_topk_cosine,
@@ -42,6 +43,7 @@ __all__ = [
     "streaming_kmv_distinct",
     "streaming_near_dedup",
     "streaming_pack_sequences",
+    "streaming_phash_gate",
     "streaming_puv",
     "streaming_sessionize",
     "streaming_topk_cosine",

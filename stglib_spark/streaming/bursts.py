@@ -1242,3 +1242,101 @@ def streaming_decontaminate(
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark([id_col])
     )
+
+
+def streaming_phash_gate(
+    media: DataFrame,
+    index_media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    time_col: str = "ts",
+    max_hamming: int = 3,
+    blocks: int = 4,
+    watermark: str = "1 hour",
+    broadcast_index: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
+) -> DataFrame:
+    """Streaming twin of ``multimodal.phash_near_pairs`` between a live
+    media feed and a static corpus — the image front door next to
+    ``streaming_near_dedup``'s text gate: every arriving image is
+    perceptual-hashed (``multimodal.perceptual_hash``'s exact-integer
+    dHash — a STATELESS mapInPandas projection, payloads never enter
+    state or shuffle), its hash blocks probe the static index's banded
+    table, and re-encoded duplicates (Hamming ≤ ``max_hamming``) are
+    emitted as (media_id, match_id, hamming) the moment they arrive.
+
+    The pigeonhole guarantee carries over unchanged: Hamming ≤
+    blocks−1 implies an identical 16-bit block, so the block equi-join
+    loses no true pair. The index broadcast is size-gated exactly like
+    ``streaming_near_dedup`` (counted once at plan build; shuffled
+    stream-static join past ``broadcast_max_rows``). Only streaming
+    state: the watermark-bounded (doc, match) dedup collapsing
+    multi-block hits. Batch parity: the emitted pair set equals
+    ``phash_near_pairs`` restricted to (stream × index) pairs on the
+    same rows — the parity test's contract."""
+    from stglib_spark.operators.multimodal import perceptual_hash
+
+    width = 64 // blocks
+
+    def banded(hashed: DataFrame, out_id: str) -> DataFrame:
+        return hashed.filter(F.col("phash").isNotNull()).select(
+            *[F.col(c) for c in hashed.columns if c != "phash"],
+            F.col("phash").alias(f"__ph_{out_id}"),
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("blk"),
+                            F.shiftrightunsigned(F.col("phash"), b * width)
+                            .bitwiseAND(F.lit((1 << width) - 1))
+                            .alias("bh"),
+                        )
+                        for b in range(blocks)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            *[c for c in hashed.columns if c != "phash"],
+            f"__ph_{out_id}",
+            F.col("bb.blk").alias("blk"),
+            F.col("bb.bh").alias("bh"),
+        )
+
+    # stream side: hash rides along with the event time through the
+    # stateless projection; the time column re-joins via the id-keyed
+    # original (perceptual_hash projects id+content only)
+    stream_hashed = perceptual_hash(
+        media.select(id_col, content_col), id_col=id_col
+    )
+    stream_times = media.select(id_col, time_col)
+    sb = banded(
+        stream_hashed.join(stream_times, id_col), "s"
+    )
+
+    idx_hashed = perceptual_hash(
+        index_media.select(
+            F.col(id_col).alias("match_id"), content_col
+        ),
+        id_col="match_id",
+    )
+    ib = banded(idx_hashed, "i")
+    if broadcast_index is None:
+        broadcast_index = index_media.count() <= broadcast_max_rows
+    if broadcast_index:
+        ib = F.broadcast(ib)
+
+    hamming = F.bit_count(
+        F.col("__ph_s").bitwiseXOR(F.col("__ph_i"))
+    )
+    return (
+        sb.join(ib, ["blk", "bh"])
+        .select(
+            F.col(id_col),
+            F.col(time_col),
+            F.col("match_id"),
+            hamming.cast("int").alias("hamming"),
+        )
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col, "match_id"])
+    )

@@ -1251,3 +1251,97 @@ def test_streaming_decontaminate_matches_batch(spark, checkpoint_dir, tmp_path):
         ).collect()
     )
     assert streamed == batch == [20, 22]
+
+
+def test_streaming_phash_gate_matches_batch(spark, checkpoint_dir, tmp_path):
+    """The streaming image gate must emit exactly the (media, match)
+    pairs the batch phash machinery finds between the same stream rows
+    and static index — identical dHash bits (same exact-integer kernel)
+    and the pigeonhole block join on both sides."""
+    import os
+
+    import numpy as np
+    import pandas as pd
+
+    from stglib_spark.functions.media import encode_bmp
+    from stglib_spark.operators.multimodal import (
+        perceptual_hash,
+        phash_near_pairs,
+    )
+    from stglib_spark.streaming import streaming_phash_gate
+
+    r = np.arange(12).reshape(12, 1)
+    c = np.arange(22).reshape(1, 22)
+
+    def img(base, flip=False):
+        px = ((base * 37 + r * 13 + c * 7 + (base % 11) * r * c) % 256).astype(
+            np.uint8
+        )
+        if flip:
+            px = px.copy()
+            px[3, 4] = min(int(px[3, 4]) + 60, 255)
+        return b"P5\n22 12\n255\n" + px.tobytes()
+
+    index_rows = [(100, bytearray(img(0))), (200, bytearray(img(5)))]
+    index_media = spark.createDataFrame(
+        index_rows, "media_id long, content binary"
+    )
+    t0 = pd.Timestamp("2024-06-01 09:00:00")
+    # 10 = re-encode of index 100 (BMP container, one pixel brightened),
+    # 11 = unrelated, 12 = exact container re-encode of index 200
+    rgb5 = np.repeat(
+        (((5 * 37 + r * 13 + c * 7 + (5 % 11) * r * c) % 256).astype(np.uint8))[
+            ..., None
+        ],
+        3,
+        axis=2,
+    )
+    arriving = pd.DataFrame(
+        {
+            "media_id": [10, 11, 12],
+            "ts": [t0, t0 + pd.Timedelta(minutes=1), t0 + pd.Timedelta(minutes=2)],
+            "content": [
+                img(0, flip=True),
+                img(9),
+                encode_bmp(rgb5),
+            ],
+        }
+    )
+    d = str(tmp_path / "imgs")
+    os.makedirs(d)
+    spark.createDataFrame(arriving).coalesce(1).write.parquet(d + "/a")
+    schema = spark.read.parquet(d + "/a").schema
+    stream = spark.readStream.schema(schema).parquet(d + "/*")
+    out = streaming_phash_gate(stream, index_media, max_hamming=3, blocks=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("phashgate")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r["media_id"], r["match_id"]): r["hamming"]
+        for r in spark.sql("SELECT * FROM phashgate").collect()
+    }
+
+    # batch reference: hash both sides, pair across the union, restrict
+    # to (stream id, index id) pairs
+    both = spark.createDataFrame(
+        [(int(m), bytearray(p)) for m, p in zip(arriving["media_id"], arriving["content"])]
+        + index_rows,
+        "media_id long, content binary",
+    )
+    pairs = phash_near_pairs(perceptual_hash(both), max_hamming=3, blocks=4)
+    batch = {}
+    for row in pairs.collect():
+        a, b = row["id_a"], row["id_b"]
+        lo, hi = (a, b) if a < 100 else (b, a)
+        if lo < 100 <= hi:  # stream × index only
+            batch[(lo, hi)] = row["hamming"]
+    assert streamed == batch, (streamed, batch)
+    assert (10, 100) in streamed and (12, 200) in streamed
+    assert streamed[(12, 200)] == 0
+    assert all(mid != 11 for mid, _ in streamed)
