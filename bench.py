@@ -80,6 +80,7 @@ HEADLINE = [
     # + pigeonhole pairing) and the end-to-end ingest→clean pipeline
     # composition (two zone writes + the full clean operator chain)
     "mm_phash_neardup",
+    "mm_video_phash_neardup",
     "e2e_rbr_clean_roundtrip",
 ]
 

@@ -369,3 +369,134 @@ def phash_near_pairs(
         F.col("doc_b").alias("id_b"),
         "hamming",
     )
+
+
+def video_phash(
+    df: DataFrame,
+    grid_w: int = 11,
+    grid_h: int = 6,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Per-frame perceptual hashes for a video binary column — the
+    frame-level extension of :func:`perceptual_hash` that video
+    near-dedup builds on (a re-encoded / re-containered clip shares
+    its frames' dHashes even when its byte stream is new).
+
+    Kernel (Arrow-batched ``mapInPandas``): real uncompressed-DIB AVI
+    decode (:func:`stglib_spark.functions.media.decode_avi` — MJPG and
+    external codecs plug in at the same point), then the EXACT
+    integer dHash pipeline per frame (grayscale ``//3``, block-mean
+    downsample, row gradients, 60-bit pack). Output one row per
+    (media_id, frame_idx, phash); undecodable clips or off-grid frames
+    emit no rows. Video payloads never shuffle — downstream pairing
+    carries 20-byte rows."""
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("phash", LongType()),
+        ]
+    )
+    ks = np.arange(grid_h * (grid_w - 1), dtype=np.int64)
+
+    def hash_frame(frame: np.ndarray):
+        px = np.asarray(frame, dtype=np.int64)
+        if px.ndim == 3:
+            px = (px[:, :, 0] + px[:, :, 1] + px[:, :, 2]) // 3
+        h, w = px.shape
+        if h % grid_h or w % grid_w:
+            return None
+        bh, bw = h // grid_h, w // grid_w
+        g = px.reshape(grid_h, bh, grid_w, bw).sum(axis=(1, 3)) // (bh * bw)
+        bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+        return int((bits.reshape(-1) << ks).sum())
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from stglib_spark.functions.media import decode_avi
+
+        for pdf in batches:
+            ids, idxs, hashes = [], [], []
+            for mid, content in zip(pdf[id_col], pdf[content_col]):
+                if content is None:
+                    continue
+                try:
+                    frames, _fps = decode_avi(bytes(content))
+                except Exception:
+                    continue
+                for fi, frame in enumerate(frames):
+                    ph = hash_frame(frame)
+                    if ph is None:
+                        continue
+                    ids.append(mid)
+                    idxs.append(fi)
+                    hashes.append(ph)
+            yield pd.DataFrame(
+                {id_col: ids, "frame_idx": idxs, "phash": hashes}
+            )
+
+    return df.select(id_col, content_col).mapInPandas(fn, out_schema)
+
+
+def video_phash_near_pairs(
+    frame_hashes: DataFrame,
+    id_col: str = "media_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Cross-video near-duplicate pairs from per-frame dHashes: frame
+    hashes band into 16-bit pigeonhole blocks, candidate FRAME pairs
+    come from the block equi-join restricted to ``vid_a < vid_b``
+    (never within one video, never all-pairs), exact Hamming verifies
+    each frame pair once (distinct before aggregation — a pair sharing
+    k blocks must count once), and videos aggregate to
+    (vid_a, vid_b, min_hamming, n_close) over their frame pairs within
+    ``max_hamming``. The pigeonhole guarantee makes min_hamming exact:
+    any frame pair at Hamming ≤ blocks−1 shares a block, so no
+    qualifying pair can be missed."""
+    width = 64 // blocks
+    stacked = frame_hashes.select(
+        F.col(id_col).alias("vid"),
+        F.col("frame_idx").alias("f"),
+        F.col("phash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned(F.col("phash"), b * width)
+                        .bitwiseAND(F.lit((1 << width) - 1))
+                        .alias("bh"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select(
+        "vid", "f", "phash",
+        F.col("bb.blk").alias("blk"), F.col("bb.bh").alias("bh"),
+    )
+    l, r = stacked.alias("l"), stacked.alias("r")
+    frame_pairs = (
+        l.join(
+            r,
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.bh") == F.col("r.bh"))
+            & (F.col("l.vid") < F.col("r.vid")),
+        )
+        .select(
+            F.col("l.vid").alias("vid_a"),
+            F.col("l.f").alias("fa"),
+            F.col("r.vid").alias("vid_b"),
+            F.col("r.f").alias("fb"),
+            F.bit_count(
+                F.col("l.phash").bitwiseXOR(F.col("r.phash"))
+            ).cast("long").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= F.lit(max_hamming))
+    )
+    return frame_pairs.groupBy("vid_a", "vid_b").agg(
+        F.min("hamming").alias("min_hamming"),
+        F.count(F.lit(1)).alias("n_close"),
+    )

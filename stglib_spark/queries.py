@@ -9614,6 +9614,111 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_video_phash_neardup",
+    """
+    WITH vids AS (
+      SELECT CAST(i AS BIGINT) AS vid, CAST(i // 2 AS BIGINT) AS base,
+             i % 2 = 1 AS odd
+      FROM range(20) t(i)),
+    px AS (
+      SELECT vid, CAST(f AS BIGINT) AS f,
+             CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+             CASE WHEN odd AND f = base % 4
+                       AND (r * 22 + c) = (base * 7) % 264
+                  THEN least((base * 37 + f * 29 + r * 13 + c * 7
+                              + (base % 11) * r * c) % 256 + 60, 255)
+                  ELSE (base * 37 + f * 29 + r * 13 + c * 7
+                        + (base % 11) * r * c) % 256 END AS v
+      FROM vids, range(4) ff(f), range(12) rr(r), range(22) cc(c)),
+    g AS (
+      SELECT vid, f, r // 2 AS gr, c // 2 AS gc,
+             CAST(sum(v) // 4 AS BIGINT) AS gv
+      FROM px GROUP BY vid, f, r // 2, c // 2),
+    bits AS (
+      SELECT a.vid, a.f, a.gr * 10 + a.gc AS k,
+             CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g b
+        ON a.vid = b.vid AND a.f = b.f AND a.gr = b.gr
+           AND b.gc = a.gc + 1
+      WHERE a.gc < 10),
+    h AS (
+      SELECT vid, f,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)))
+                  AS BIGINT) AS ph
+      FROM bits GROUP BY vid, f),
+    bnd AS (
+      SELECT vid, f, ph,
+             (ph >> CAST(16 * j AS INTEGER)) & 65535 AS bh, j
+      FROM h, range(4) t(j)),
+    fp AS (
+      SELECT DISTINCT a.vid AS vid_a, a.f AS fa, b.vid AS vid_b,
+             b.f AS fb,
+             CAST(bit_count(xor(a.ph, b.ph)) AS BIGINT) AS hamming
+      FROM bnd a JOIN bnd b
+        ON a.j = b.j AND a.bh = b.bh AND a.vid < b.vid)
+    SELECT vid_a, vid_b, min(hamming) AS min_hamming,
+           CAST(count(*) AS BIGINT) AS n_close
+    FROM fp WHERE hamming <= 3 GROUP BY vid_a, vid_b
+    """,
+)
+def mm_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VIDEO near-dedup by per-frame perceptual hashes, oracle-checked
+    end-to-end (the clip-level extension of mm_phash_neardup — a
+    re-containered or lightly re-encoded clip shares its frames'
+    dHashes even when its byte stream is new): synthesize 20
+    uncompressed-DIB AVIs in pairs (4 deterministic 22×12 frames each;
+    odd ids brighten ONE pixel in ONE frame), decode with the REAL
+    RIFF/AVI codec, hash every frame with the exact-integer dHash
+    (operators/multimodal.video_phash), pair FRAMES across videos via
+    the pigeonhole block join (vid_a < vid_b, never within a clip,
+    never all-pairs), and aggregate qualifying frame pairs to
+    (vid_a, vid_b, min_hamming, n_close). Every planted pair has 3
+    bit-identical frames (min_hamming 0); DuckDB replays pixels →
+    grids → bits → hashes → bands → frame pairs → clip aggregate
+    relationally."""
+    from stglib_spark.operators import multimodal as mm
+
+    def make_avi(batches):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.media import encode_avi
+
+        r = np.arange(12).reshape(12, 1)
+        c = np.arange(22).reshape(1, 22)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                base = i // 2
+                frames = []
+                for f in range(4):
+                    px = (
+                        base * 37 + f * 29 + r * 13 + c * 7
+                        + (base % 11) * r * c
+                    ) % 256
+                    if i % 2 == 1 and f == base % 4:
+                        cell = (base * 7) % 264
+                        px = px.copy()
+                        px[cell // 22, cell % 22] = min(
+                            int(px[cell // 22, cell % 22]) + 60, 255
+                        )
+                    frames.append(
+                        np.repeat(
+                            px.astype(np.uint8)[..., None], 3, axis=2
+                        )
+                    )
+                payloads.append(encode_avi(frames, fps=4.0))
+            yield pd.DataFrame({"media_id": pdf["id"], "content": payloads})
+
+    media = spread(spark.range(20)).mapInPandas(
+        make_avi, "media_id long, content binary"
+    )
+    fh = mm.video_phash(media)
+    return mm.video_phash_near_pairs(fh, max_hamming=3, blocks=4)
+
+
+@register(
     "ts_burst_nan_fill",
     """
     WITH base AS (
@@ -10422,6 +10527,7 @@ _FRONT = [
     # (a) new
     "e2e_rbr_clean_roundtrip",
     "mm_phash_neardup",
+    "mm_video_phash_neardup",
     # (b) changed / kept
     "ts_sessionize",
     "corpus_datacard",
@@ -10472,8 +10578,8 @@ _FRONT = [
     # (d) r4-aged refresh (stalest non-TPC-H first; window ends ~here)
     "mm_decode_real_png",
     "mm_video_frames_real",
-    "corpus_decontaminate",
     # --- past the ~50-row graded window: r9 refresh queue, oldest first
+    "corpus_decontaminate",
     "corpus_remove_boilerplate",
     "text_chunk_documents",
     "corpus_repetition_stats",
