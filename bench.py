@@ -137,6 +137,12 @@ def main() -> None:
         "corpus_kmv_distinct",
         "corpus_hist_percentiles",
         "dedup_incremental_near",
+        # r8 additions (kept out so value_baseline_set stays comparable
+        # to BENCH_r01..r07; dedup_semantic predates this guard and is
+        # left IN to match how r7's operative number was computed)
+        "mm_phash_neardup",
+        "mm_video_phash_neardup",
+        "e2e_rbr_clean_roundtrip",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3

@@ -14,6 +14,7 @@ Steps (reference registry names; any ``*2cdf`` spelling maps to ingest):
     nc2xy                                                            sonar xy images
     exportnc                                                         final netCDF product
     dedup                                                            corpus dedup zones
+    mediadedup                                                       image/video phash dedup zones
     corpus                                                           corpus curation zones
     corpusall                                                        dedup + curation chain
     all                                                              ingest+clean[+waves]
@@ -38,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "step",
         nargs="?",
-        help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | exportnc | dedup | corpus | corpusall | all",
+        help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | exportnc | dedup | mediadedup | corpus | corpusall | all",
     )
     p.add_argument("gatts", nargs="?", help="global attributes file (key; value lines)")
     p.add_argument("config", nargs="?", help="YAML instrument config")
@@ -102,6 +103,11 @@ def main(argv: list[str] | None = None) -> int:
             # shingles/candidates/verified-pairs zones, one shingle pass
             config.setdefault("documents_path", config.get("input_path"))
             path = pipeline.run_dedup(spark, config)
+        elif step in ("mediadedup", "media_dedup"):
+            # media dedup stage: (id, content) parquet → phash/pairs/
+            # clusters zones; payloads decode exactly once
+            config.setdefault("media_path", config.get("input_path"))
+            path = pipeline.run_media_dedup(spark, config)
         elif step == "corpus":
             # corpus curation stage (north-star): documents parquet →
             # quality/census/mix/packs zones, metrics derived once

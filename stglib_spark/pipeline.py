@@ -944,6 +944,67 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     return paths
 
 
+def run_media_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
+    """Media dedup stage — the image/video companion to :func:`run_dedup`:
+
+        media (id, content [, kind]) → phash zone      (hashes, 16 B/row)
+        phash zone → near-pairs zone                   (pigeonhole join)
+        near-pairs → clusters zone                     (connected comps)
+
+    Images hash with :func:`operators.multimodal.perceptual_hash`, AVI
+    clips (``media_kind: video``) with :func:`video_phash` reduced to a
+    per-clip hash SET; both zones persist so downstream consumers (keep
+    one per cluster, audit reports) never re-decode payloads. The pair
+    stage reads the hash ZONE, so at 100 TB the pixels decode exactly
+    once and everything after moves 16-byte rows."""
+    from stglib_spark.operators import dedup as dedup_ops
+    from stglib_spark.operators import multimodal as mm
+
+    id_col = config.get("media_id_col", "media_id")
+    content_col = config.get("content_col", "content")
+    max_hamming = int(config.get("phash_max_hamming", 3))
+    blocks = int(config.get("phash_blocks", 4))
+    kind = str(config.get("media_kind", "image"))
+
+    history = History()
+    media = spark.read.parquet(config["media_path"])
+    paths: dict[str, str] = {}
+
+    if kind == "video":
+        hashed = mm.video_phash(media, id_col=id_col, content_col=content_col)
+        history.insert_history("Hashed video frames (per-frame dHash).")
+        paths["phash"] = _write_zone(hashed, config, "phash", history)
+        fh = spark.read.parquet(paths["phash"])
+        pairs = mm.video_phash_near_pairs(
+            fh, id_col=id_col, max_hamming=max_hamming, blocks=blocks
+        )
+        pair_cols = ("vid_a", "vid_b")
+    else:
+        hashed = mm.perceptual_hash(
+            media, id_col=id_col, content_col=content_col
+        )
+        history.insert_history("Hashed images (exact-integer dHash).")
+        paths["phash"] = _write_zone(hashed, config, "phash", history)
+        fh = spark.read.parquet(paths["phash"])
+        pairs = mm.phash_near_pairs(
+            fh, id_col=id_col, max_hamming=max_hamming, blocks=blocks
+        )
+        pair_cols = ("id_a", "id_b")
+    history.insert_history(
+        f"Paired near-duplicates (Hamming ≤ {max_hamming}, "
+        f"{blocks}-block pigeonhole)."
+    )
+    paths["pairs"] = _write_zone(pairs, config, "pairs", history)
+
+    edge = spark.read.parquet(paths["pairs"]).select(
+        F.col(pair_cols[0]).alias("doc_a"), F.col(pair_cols[1]).alias("doc_b")
+    )
+    clusters = dedup_ops.duplicate_clusters(edge, method="auto")
+    history.insert_history("Resolved duplicate clusters (canonical ids).")
+    paths["clusters"] = _write_zone(clusters, config, "clusters", history)
+    return paths
+
+
 def run_corpus_all(
     spark: SparkSession, config: dict[str, Any]
 ) -> dict[str, str]:

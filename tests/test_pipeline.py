@@ -906,3 +906,82 @@ def test_run_dedup_storage_lean_path(spark, fixture_dir):
         for r in spark.read.parquet(paths["dedup"]).collect()
     }
     assert got == {(r.doc_a, r.doc_b, r.jaccard) for r in direct.collect()}
+
+
+def test_run_media_dedup_image_and_video_zones(spark, fixture_dir):
+    """The media dedup stage writes phash / pairs / clusters zones for
+    both image and video corpora; planted one-pixel re-encodes cluster
+    with their originals and the clean item stays unclustered."""
+    import numpy as np
+
+    from stglib_spark.functions.media import encode_avi
+    from stglib_spark.pipeline import run_media_dedup
+
+    r = np.arange(12).reshape(12, 1)
+    c = np.arange(22).reshape(1, 22)
+
+    def gray(base, flip=False):
+        px = ((base * 37 + r * 13 + c * 7 + (base % 11) * r * c) % 256).astype(
+            np.uint8
+        )
+        if flip:
+            px = px.copy()
+            px[3, 4] = min(int(px[3, 4]) + 60, 255)
+        return px
+
+    def pgm(px):
+        return b"P5\n22 12\n255\n" + px.tobytes()
+
+    img_rows = [
+        (0, bytearray(pgm(gray(0)))),
+        (1, bytearray(pgm(gray(0, flip=True)))),  # near-dup of 0
+        (2, bytearray(pgm(gray(7)))),             # unrelated
+    ]
+    img_path = os.path.join(fixture_dir, "media_imgs.parquet")
+    spark.createDataFrame(
+        img_rows, "media_id long, content binary"
+    ).write.mode("overwrite").parquet(img_path)
+    cfg = {
+        "media_path": img_path,
+        "output_dir": fixture_dir,
+        "filename": "mediadedup_img",
+    }
+    paths = run_media_dedup(spark, cfg)
+    assert set(paths) == {"phash", "pairs", "clusters"}
+    clusters = {
+        row["doc_id"]: row["canonical_id"]
+        for row in spark.read.parquet(paths["clusters"]).collect()
+    }
+    assert clusters == {0: 0, 1: 0}  # 2 forms no pair, no cluster row
+
+    def avi(base, flip=False):
+        frames = [
+            np.repeat(gray(base + f, flip and f == 0)[..., None], 3, axis=2)
+            for f in range(3)
+        ]
+        return encode_avi(frames, fps=4.0)
+
+    vid_rows = [
+        (10, bytearray(avi(0))),
+        (11, bytearray(avi(0, flip=True))),  # near-dup of 10
+        (12, bytearray(avi(40))),            # unrelated
+    ]
+    vid_path = os.path.join(fixture_dir, "media_vids.parquet")
+    spark.createDataFrame(
+        vid_rows, "media_id long, content binary"
+    ).write.mode("overwrite").parquet(vid_path)
+    cfg = {
+        "media_path": vid_path,
+        "output_dir": fixture_dir,
+        "filename": "mediadedup_vid",
+        "media_kind": "video",
+    }
+    paths = run_media_dedup(spark, cfg)
+    fh = spark.read.parquet(paths["phash"])
+    assert set(fh.columns) == {"media_id", "frame_idx", "phash"}
+    assert fh.count() == 9  # 3 clips x 3 frames
+    clusters = {
+        row["doc_id"]: row["canonical_id"]
+        for row in spark.read.parquet(paths["clusters"]).collect()
+    }
+    assert clusters == {10: 10, 11: 10}
