@@ -5526,6 +5526,147 @@ def e2e_rbr_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_glx_waves_roundtrip",
+    """
+    WITH s AS (
+      SELECT g.g, i.i
+      FROM generate_series(1, 4) g(g) CROSS JOIN generate_series(0, 127) i(i)
+    ), b AS (
+      SELECT g, i,
+             TIMESTAMP '2021-09-01 00:00:00' + to_seconds(g * 3600)
+               AS burst_time,
+             1 + ((CASE WHEN g = 1 THEN [32,0,-32,0,32,0,-32,0]
+                        WHEN g = 2 THEN [32,-22,0,22,-32,22,0,-22]
+                        WHEN g = 3 THEN [32,-32,32,-32,32,-32,32,-32]
+                        ELSE [0,0,0,0,0,0,0,0] END)[(i % 8) + 1]
+                  + (g * 37 + i * 11) % 16 - 8)
+               * CAST(0.015625 AS DOUBLE) AS x
+      FROM s
+    ), sp AS (
+      SELECT burst_time, seg.s, p.j, b.x
+      FROM b
+      JOIN generate_series(0, 30) seg(s) ON TRUE
+      JOIN generate_series(0, 7) p(j) ON b.i = 4 * seg.s + p.j
+    ), dm AS (
+      SELECT burst_time, s, j,
+             x - avg(x) OVER (PARTITION BY burst_time, s) AS xd
+      FROM sp
+    ), dft AS (
+      SELECT burst_time, s, k.k,
+             sum(xd * 0.5 * (1 - cos(2 * pi() * j / 8.0))
+                    * cos(2 * pi() * k.k * j / 8.0)) AS re,
+             sum(xd * 0.5 * (1 - cos(2 * pi() * j / 8.0))
+                    * sin(2 * pi() * k.k * j / 8.0)) AS im
+      FROM dm CROSS JOIN (SELECT unnest([2, 3, 4]) AS k) k
+      GROUP BY burst_time, s, k.k
+    ), psd AS (
+      SELECT burst_time, k,
+             avg(re * re + im * im)
+               * (CASE WHEN k = 4 THEN 1.0 ELSE 2.0 END) / 6.0 AS p
+      FROM dft GROUP BY burst_time, k
+    ), wide AS (
+      SELECT burst_time,
+             max(CASE WHEN k = 2 THEN p END) AS p2,
+             max(CASE WHEN k = 3 THEN p END) AS p3,
+             max(CASE WHEN k = 4 THEN p END) AS p4
+      FROM psd GROUP BY burst_time
+    ), stats AS (
+      SELECT burst_time,
+             0.125 * (p2 + 2 * p3 + p4) AS m0,
+             0.125 * (0.25 * p2 + 1.125 * p3 + p4) AS m2,
+             CASE WHEN p2 >= p3 AND p2 >= p4 THEN 0.5
+                  WHEN p3 >= p4 THEN 0.75 ELSE 1.0 END AS fp
+      FROM wide
+    ), fin AS (
+      SELECT burst_time, m0, m2,
+             4 * sqrt(m0) AS wh, sqrt(m0 / m2) AS wp, 1.0 / fp AS wpp
+      FROM stats
+    )
+    SELECT burst_time, round(m0, 6) AS m0, round(m2, 6) AS m2,
+           round(wh, 6) AS wh_4061,
+           CASE WHEN wpp < 1.6 AND wp < 1.6 THEN round(wp, 6) END AS wp_4060,
+           CASE WHEN wpp < 1.6 AND wp < 1.6 THEN round(wpp, 6) END AS wp_peak
+    FROM fin
+    """,
+)
+def e2e_glx_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END waves-stage composition oracle (the nc2waves demo path,
+    the spectral sibling of `e2e_rbr_clean_roundtrip`; reference
+    glx/nc2waves.py + core/waves.py:684-743): synthesize a 6-burst
+    Geolux wave-radar TOA5 deployment on the driver — 2 Hz surface
+    elevation, every sample on the exact 1/64 m grid so the %.6f file
+    print is lossless, burst 1 a pure 0.5 Hz line (k=2), burst 2 a
+    quantized 0.75 Hz cosine (k=3), burst 3 the Nyquist alternation
+    (k=4), burst 4 pseudo-random noise — then run the PRODUCTION
+    pipeline stages: ``run_ingest`` (glx TOA5 adapter, fractional-second
+    timestamps), ``run_clean`` (good_dates clip keeps bursts 1-4 whole),
+    and ``run_waves`` (clock-derived hourly burst keys → wave_duration
+    trim → the elevation branch's Welch chain: 128-sample bursts make
+    nfft = 8, 31 hann-windowed segments, band bins k = 2..4 → trapezoid
+    m0/m2 → Hs/Tm/Tp → the `wp_max` trim rule nulls burst 1's periods
+    without deleting the row) — and RE-READ the waves zone. DuckDB
+    replays every stage in closed form; the threshold comparisons sit
+    ≥0.18 from every computed value so the rule is ulp-safe."""
+    import os
+    import tempfile
+
+    from stglib_spark import pipeline
+    from stglib_spark.session import pin_utc
+
+    pin_utc(spark)
+    tabs = {
+        1: [32, 0, -32, 0, 32, 0, -32, 0],
+        2: [32, -22, 0, 22, -32, 22, 0, -22],
+        3: [32, -32, 32, -32, 32, -32, 32, -32],
+    }
+    zeros = [0] * 8
+    d = tempfile.mkdtemp(prefix="e2eglxwv_")
+    path = os.path.join(d, "glx_waves.dat")
+    lines = [
+        '"TOA5","wave_radar","CR1000X","12345","glx"',
+        '"TIMESTAMP","RECORD","elev"',
+        '"TS","RN","m"',
+        '"","","Smp"',
+    ]
+    for g in range(6):
+        tab = tabs.get(g, zeros)
+        for i in range(128):
+            secs = g * 3600 + (i // 2)
+            frac = ".5" if i % 2 else ".0"
+            hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+            val = 1 + (tab[i % 8] + (g * 37 + i * 11) % 16 - 8) * 0.015625
+            lines.append(
+                f'"2021-09-01 {hh:02d}:{mm:02d}:{ss:02d}{frac}",'
+                f"{g * 128 + i},{val:.6f}"
+            )
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    config = {
+        "instrument": "glx",
+        "input_path": path,
+        "output_dir": d,
+        "filename": "e2e_glx_waves",
+        "good_dates": [("2021-09-01 01:00:00", "2021-09-01 04:02:00")],
+        "wave_interval": 3600,
+        "sample_interval": 0.5,
+        "wave_duration": 64,
+        "wp_max": 1.6,
+    }
+    pipeline.run_ingest(spark, config)
+    pipeline.run_clean(spark, config)
+    waves_path = pipeline.run_waves(spark, config)
+    w = spark.read.parquet(waves_path)
+    return w.select(
+        "burst_time",
+        _r6("m0").alias("m0"),
+        _r6("m2").alias("m2"),
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_4060").alias("wp_4060"),
+        _r6("wp_peak").alias("wp_peak"),
+    )
+
+
+@register(
     "snk_cf_lint",
     """
     SELECT * FROM (VALUES
@@ -10585,6 +10726,8 @@ _FRONT = [
     "corpus_repetition_stats",
     "corpus_stratified_sample",
     "dedup_priority_source",
+    # new late-r8: leads r9's graded window (section-g convention)
+    "e2e_glx_waves_roundtrip",
 ]
 
 
