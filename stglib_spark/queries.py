@@ -5667,6 +5667,132 @@ def e2e_glx_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_cli_export_nc_roundtrip",
+    """
+    WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(240) t(i)
+               WHERE i BETWEEN 20 AND 219),
+    b AS (
+      SELECT TIMESTAMP '2021-10-01 00:00:00' + to_seconds(i * 60) AS time,
+             12 + (i % 33) * CAST(0.25 AS DOUBLE) AS p_1,
+             15 + (i % 21) * CAST(0.125 AS DOUBLE) AS t_raw,
+             (i % 50) * CAST(0.5 AS DOUBLE) AS turb,
+             (12 + (i % 33) * CAST(0.25 AS DOUBLE)) * CAST(10000.0 AS DOUBLE)
+               / (CAST(1025.0 AS DOUBLE) * CAST(9.81 AS DOUBLE)) AS depth
+      FROM e)
+    SELECT time, p_1,
+           CASE WHEN t_raw < 15.5 THEN NULL ELSE t_raw END AS t_28,
+           turb,
+           round(depth, 6) AS depth_m,
+           round(depth + CAST(0.75 AS DOUBLE), 6) AS water_depth,
+           round(CAST(2.0 AS DOUBLE) * turb + CAST(1.0 AS DOUBLE), 6) AS ssc,
+           'CLI export deployment' AS title,
+           'USGS Coastal and Marine Geology Program' AS institution,
+           'CF-1.6' AS conventions,
+           CAST(0.75 AS DOUBLE) AS iih,
+           'cli_export' AS filename_attr,
+           'Clipped to deployment window / good ranges.; Applied QA/QC '
+             || 'rule engine.' AS history
+    FROM b
+    """,
+)
+def e2e_cli_export_nc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END CLI + final-product oracle (the reference's ``runots``
+    entry point and its ``<filename>-a.nc`` output contract,
+    core/cmd.py:80-214 + core/runcmd.py:527-613 + rsk/cdf2nc.py:127-148):
+    synthesize an RBR CSV deployment, a ``key; value`` GLOBAL-ATTRIBUTES
+    file (numeric coercion: ``initial_instrument_height; 0.75`` must
+    reach the water-depth stage as a float), and a YAML config whose
+    ``filename`` COLLIDES with gatts (YAML wins, runcmd.py:8-27), then
+    drive the PRODUCTION CLI in-process for all three steps —
+    ``csv2cdf`` → ``cdf2nc`` → ``exportnc`` — exactly as a user types
+    them (positional gatts/config plus --input/--output-dir flags).
+    The export writes a classic netCDF-3 product whose name proves the
+    merge winner; the query re-reads it with the PRODUCTION nc reader
+    and emits every data value (times, doubles, the QA/QC-nulled T_28
+    cells) plus the surviving global attributes — title/institution
+    passthrough, the gatts Conventions string, the coerced float, and
+    the history sidecar aggregated across stages. DuckDB replays the
+    closed form. CF NaN fill values map back to SQL NULL on re-read
+    (parquet NULL → toPandas NaN → nc double NaN is the documented
+    export edge)."""
+    import os
+    import tempfile
+
+    from stglib_spark.__main__ import main
+    from stglib_spark.functions.netcdf3 import read_nc3
+    from stglib_spark.session import pin_utc
+    from stglib_spark.sources.netcdf import read_netcdf
+
+    pin_utc(spark)
+    d = tempfile.mkdtemp(prefix="e2ecli_")
+    csv_path = os.path.join(d, "deployment.csv")
+    lines = ["Time,Pressure,Temperature,Turbidity"]
+    for i in range(240):
+        secs = i * 60
+        hh, mm = secs // 3600, (secs // 60) % 60
+        lines.append(
+            f"2021-10-01 {hh:02d}:{mm:02d}:00,"
+            f"{12 + (i % 33) * 0.25:.2f},"
+            f"{15 + (i % 21) * 0.125:.3f},"
+            f"{(i % 50) * 0.5:.1f}"
+        )
+    with open(csv_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    gatts_path = os.path.join(d, "gatts.txt")
+    with open(gatts_path, "w") as fh:
+        fh.write(
+            "title; CLI export deployment\n"
+            "institution; USGS Coastal and Marine Geology Program\n"
+            "Conventions; CF-1.6\n"
+            "initial_instrument_height; 0.75\n"
+            "filename; wrongname\n"
+        )
+    yaml_path = os.path.join(d, "config.yaml")
+    with open(yaml_path, "w") as fh:
+        fh.write(
+            "filename: cli_export\n"
+            "good_dates:\n"
+            "  - ['2021-10-01 00:20:00', '2021-10-01 03:39:00']\n"
+            "Turb_ssc_coeffs: [2.0, 1.0]\n"
+            "T_28_min: 15.5\n"
+        )
+    args_common = [gatts_path, yaml_path, "--input", csv_path,
+                   "--output-dir", d]
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        # the filename collision warning is the asserted behavior here
+        _warnings.simplefilter("ignore", UserWarning)
+        for step in ("csv2cdf", "cdf2nc", "exportnc"):
+            rc = main(["rbr_csv", step, *args_common])
+            if rc != 0:
+                raise RuntimeError(f"CLI step {step} failed with rc={rc}")
+    nc_path = os.path.join(d, "cli_export-a.nc")
+    gattrs = read_nc3(nc_path)["attrs"]
+    back = read_netcdf(spark, nc_path, {})
+
+    def denan(c):
+        col = F.col(c)
+        return F.when(~F.isnan(col), col)
+
+    return back.select(
+        "time",
+        denan("P_1").alias("p_1"),
+        denan("T_28").alias("t_28"),
+        denan("Turb").alias("turb"),
+        _r6(denan("depth_m")).alias("depth_m"),
+        _r6(denan("water_depth")).alias("water_depth"),
+        _r6(denan("SSC_791")).alias("ssc"),
+        F.lit(str(gattrs["title"])).alias("title"),
+        F.lit(str(gattrs["institution"])).alias("institution"),
+        F.lit(str(gattrs["Conventions"])).alias("conventions"),
+        F.lit(float(gattrs["initial_instrument_height"])).alias("iih"),
+        F.lit(str(gattrs["filename"])).alias("filename_attr"),
+        F.lit(str(gattrs["history"])).alias("history"),
+    )
+
+
+@register(
     "snk_cf_lint",
     """
     SELECT * FROM (VALUES
@@ -10728,6 +10854,7 @@ _FRONT = [
     "dedup_priority_source",
     # new late-r8: leads r9's graded window (section-g convention)
     "e2e_glx_waves_roundtrip",
+    "e2e_cli_export_nc_roundtrip",
 ]
 
 
