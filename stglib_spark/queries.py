@@ -5793,6 +5793,139 @@ def e2e_cli_export_nc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_corpus_all_packs",
+    _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + r""",
+    sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN sh a ON a.doc_id = c.doc_a
+      JOIN sh b ON b.doc_id = c.doc_b AND b.s = a.s
+      GROUP BY 1, 2
+    ),
+    ver AS (
+      SELECT i.doc_a, i.doc_b
+      FROM inter i JOIN sz a ON i.doc_a = a.doc_id
+                   JOIN sz b ON i.doc_b = b.doc_id
+      WHERE round(i.i::DOUBLE / (a.n + b.n - i.i), 6) >= 0.8
+    ),
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM ver
+              UNION SELECT doc_b, doc_a FROM ver),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    losers AS (
+      SELECT node AS doc_id FROM reach GROUP BY node HAVING node != min(lbl)
+    ),
+    surv AS (SELECT d.doc_id, d.text FROM documents d
+             LEFT JOIN losers l USING (doc_id) WHERE l.doc_id IS NULL),
+    qt AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text),
+                           '[ \t\n\x0B\f\r]+')) END AS n_tok,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[ \t\n\x0B\f\r]+', '', 'g'))
+               AS n_nospace,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter(string_split_regex(lower(trim(text)),
+                           '[ \t\n\x0B\f\r]+'),
+                           x -> x IN ('the','and','of','is','to'))) END
+               AS n_stop
+      FROM surv
+    ), qr AS (
+      SELECT doc_id, n_tok, n_chars,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END
+               AS punct_ratio,
+             CASE WHEN n_tok > 0 THEN n_nospace / n_tok ELSE 0.0 END
+               AS mean_token_len,
+             CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END
+               AS stop_ratio
+      FROM qt
+    ), q AS (
+      SELECT doc_id, n_tok,
+             round(
+               (CASE WHEN n_chars >= 50 AND n_chars <= 100000
+                     THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0
+                       THEN 0.25 ELSE 0.0 END)
+               + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+               + least(stop_ratio * 2.5, 0.25), 6) AS qs
+      FROM qr
+    ), bkt AS (
+      SELECT doc_id, n_tok,
+             CASE WHEN qs >= 0.75 THEN 1.0
+                  WHEN qs >= 0.5 THEN 0.5 ELSE 0.1 END AS frac,
+             (('0x' || substring(md5('mix1' || doc_id::VARCHAR), 1, 15))
+               ::UBIGINT)::BIGINT / 1152921504606846976.0 AS k
+      FROM q
+    ), mix AS (SELECT doc_id, n_tok FROM bkt WHERE k < frac),
+    nz AS (
+      SELECT doc_id, n_tok AS n_tokens,
+             (('0x' || substring(md5('pack1' || CAST(doc_id AS VARCHAR)),
+                                 1, 15))::UBIGINT)::BIGINT % 8 AS shard
+      FROM mix WHERE n_tok > 0
+    ), cum AS (
+      SELECT doc_id, shard, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS c
+      FROM nz
+    )
+    SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(c - n_tokens AS BIGINT) AS start_offset,
+           CAST((c - n_tokens) // 512 AS BIGINT) AS start_pack,
+           CAST((c - 1) // 512 AS BIGINT) AS end_pack
+    FROM cum
+    """,
+)
+def e2e_corpus_all_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-data pipeline oracle — raw documents →
+    training packs in ONE command (`pipeline.run_corpus_all`, the
+    north-star LLM-data path): the dedup stage walks the corpus text
+    once into materialized shingle/candidate/verified-pair zones
+    (portable 32-hash MinHash, 8 LSH bands — banded equi-joins, never
+    all-pairs), duplicate clusters resolve by connected components and
+    keep the minimum-id document per cluster, then the curation stage
+    scores the survivors (lang-id + quality in one scan), draws the
+    deterministic hash-membership training mix, and packs it into
+    512-token sequence spans across 8 hash shards (per-shard prefix
+    sums, no global sequential state). Every zone is materialized
+    parquet, so later stages read data, not lineage — the exact layout
+    a 1000-executor run would produce. The query returns the final
+    packs zone; DuckDB replays ALL five stages in closed form
+    (recursive-CTE connected components stand in for FastSV)."""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="e2ecorpusall_")
+    from stglib_spark import pipeline
+
+    config = {
+        "documents_path": os.path.join(sf_dir, "documents.parquet"),
+        "output_dir": d,
+        "filename": "corpusall",
+        "shingle_n": 2,
+        "num_hashes": _MH_N,
+        "bands": _MH_BANDS,
+        "dedup_portable": True,
+        "pack_seq_len": 512,
+        "pack_shards": 8,
+        "mix_seed": "mix1",
+        "mix_fractions": {"high": 1.0, "mid": 0.5, "low": 0.1},
+    }
+    paths = pipeline.run_corpus_all(spark, config)
+    return spark.read.parquet(paths["packs"]).select(
+        "doc_id", "shard", "n_tokens", "start_offset", "start_pack",
+        "end_pack",
+    )
+
+
+@register(
     "snk_cf_lint",
     """
     SELECT * FROM (VALUES
@@ -10855,6 +10988,7 @@ _FRONT = [
     # new late-r8: leads r9's graded window (section-g convention)
     "e2e_glx_waves_roundtrip",
     "e2e_cli_export_nc_roundtrip",
+    "e2e_corpus_all_packs",
 ]
 
 
