@@ -9921,6 +9921,39 @@ def mm_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _planted_pgm_media(spark: SparkSession) -> DataFrame:
+    """60 synthetic PGM images in planted near-dup pairs: even ids a
+    deterministic 22×12 gradient per base, odd ids the same picture with
+    ONE pixel brightened (re-encode-noise stand-in). Shared by
+    mm_phash_neardup and the media-dedup stage oracle."""
+
+    def make_pgm(batches):
+        import numpy as np
+        import pandas as pd
+
+        r = np.arange(12).reshape(12, 1)
+        c = np.arange(22).reshape(1, 22)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                base = i // 2
+                px = (base * 37 + r * 13 + c * 7 + (base % 11) * r * c) % 256
+                if i % 2 == 1:
+                    cell = (base * 7) % 264
+                    rr, cc = cell // 22, cell % 22
+                    px = px.copy()
+                    px[rr, cc] = min(int(px[rr, cc]) + 60, 255)
+                payloads.append(
+                    b"P5\n22 12\n255\n" + px.astype(np.uint8).tobytes()
+                )
+            yield pd.DataFrame({"media_id": pdf["id"], "content": payloads})
+
+    return spread(spark.range(60)).mapInPandas(
+        make_pgm, "media_id long, content binary"
+    )
+
+
 @register(
     "mm_phash_neardup",
     """
@@ -9981,35 +10014,96 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     grid → bits → hash → bands → pairs relationally."""
     from stglib_spark.operators import multimodal as mm
 
-    def make_pgm(batches):
-        import numpy as np
-        import pandas as pd
-
-        r = np.arange(12).reshape(12, 1)
-        c = np.arange(22).reshape(1, 22)
-        for pdf in batches:
-            payloads = []
-            for i in pdf["id"]:
-                i = int(i)
-                base = i // 2
-                px = (base * 37 + r * 13 + c * 7 + (base % 11) * r * c) % 256
-                if i % 2 == 1:
-                    cell = (base * 7) % 264
-                    rr, cc = cell // 22, cell % 22
-                    px = px.copy()
-                    px[rr, cc] = min(int(px[rr, cc]) + 60, 255)
-                payloads.append(
-                    b"P5\n22 12\n255\n" + px.astype(np.uint8).tobytes()
-                )
-            yield pd.DataFrame({"media_id": pdf["id"], "content": payloads})
-
-    media = spread(spark.range(60)).mapInPandas(
-        make_pgm, "media_id long, content binary"
-    )
+    media = _planted_pgm_media(spark)
     hashed = mm.perceptual_hash(media)
     pairs = mm.phash_near_pairs(hashed, max_hamming=3, blocks=4)
     return pairs.select(
         "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
+    "e2e_media_dedup_clusters",
+    """
+    WITH RECURSIVE imgs AS (
+      SELECT CAST(i AS BIGINT) AS img_id, CAST(i // 2 AS BIGINT) AS base,
+             i % 2 = 1 AS odd
+      FROM range(60) t(i)),
+    px AS (
+      SELECT img_id,
+             CAST(r AS BIGINT) AS r, CAST(c AS BIGINT) AS c,
+             CASE WHEN odd AND (r * 22 + c) = (base * 7) % 264
+                  THEN least((base * 37 + r * 13 + c * 7
+                              + (base % 11) * r * c) % 256 + 60, 255)
+                  ELSE (base * 37 + r * 13 + c * 7
+                        + (base % 11) * r * c) % 256 END AS v
+      FROM imgs, range(12) rr(r), range(22) cc(c)),
+    g AS (
+      SELECT img_id, r // 2 AS gr, c // 2 AS gc,
+             CAST(sum(v) // 4 AS BIGINT) AS gv
+      FROM px GROUP BY img_id, r // 2, c // 2),
+    bits AS (
+      SELECT a.img_id, a.gr * 10 + a.gc AS k,
+             CASE WHEN b.gv > a.gv THEN 1 ELSE 0 END AS bit
+      FROM g a JOIN g b
+        ON a.img_id = b.img_id AND a.gr = b.gr AND b.gc = a.gc + 1
+      WHERE a.gc < 10),
+    h AS (
+      SELECT img_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)))
+                  AS BIGINT) AS ph
+      FROM bits GROUP BY img_id),
+    bnd AS (
+      SELECT img_id, ph,
+             (ph >> CAST(16 * j AS INTEGER)) & 65535 AS bh, j
+      FROM h, range(4) t(j)),
+    cand AS (
+      SELECT DISTINCT a.img_id AS id_a, b.img_id AS id_b,
+             a.ph AS pa, b.ph AS pb
+      FROM bnd a JOIN bnd b
+        ON a.j = b.j AND a.bh = b.bh AND a.img_id < b.img_id),
+    near AS (
+      SELECT id_a, id_b FROM cand WHERE bit_count(xor(pa, pb)) <= 3),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM near
+              UNION SELECT id_b, id_a FROM near),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    )
+    SELECT node AS doc_id, min(lbl) AS canonical_id
+    FROM reach GROUP BY node
+    """,
+)
+def e2e_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END media-dedup STAGE oracle (`pipeline.run_media_dedup`,
+    the image companion of e2e_corpus_all_packs): write the planted
+    60-image PGM corpus to parquet, run the PRODUCTION stage — decode
+    once into the phash zone (exact-integer dHash), pigeonhole-pair the
+    HASH zone (16-bit block equi-join, payloads never shuffled), resolve
+    near-pairs into duplicate clusters (connected components, minimum id
+    canonical) — and RE-READ the clusters zone. DuckDB replays pixels →
+    grid → dHash → bands → pairs → recursive-CTE components. The zone
+    layout is what a 100 TB image corpus needs: pixels decode exactly
+    once, everything downstream moves 16-byte hash rows."""
+    import os
+    import tempfile
+
+    from stglib_spark import pipeline
+
+    d = tempfile.mkdtemp(prefix="e2emedia_")
+    media_path = os.path.join(d, "media")
+    _planted_pgm_media(spark).write.mode("overwrite").parquet(media_path)
+    config = {
+        "media_path": media_path,
+        "output_dir": d,
+        "filename": "media",
+        "phash_max_hamming": 3,
+        "phash_blocks": 4,
+    }
+    paths = pipeline.run_media_dedup(spark, config)
+    return spark.read.parquet(paths["clusters"]).select(
+        "doc_id", "canonical_id"
     )
 
 
@@ -10989,6 +11083,7 @@ _FRONT = [
     "e2e_glx_waves_roundtrip",
     "e2e_cli_export_nc_roundtrip",
     "e2e_corpus_all_packs",
+    "e2e_media_dedup_clusters",
 ]
 
 
