@@ -5691,7 +5691,11 @@ def e2e_glx_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(0.75 AS DOUBLE) AS iih,
            'cli_export' AS filename_attr,
            'Clipped to deployment window / good ranges.; Applied QA/QC '
-             || 'rule engine.' AS history
+             || 'rule engine.' AS history,
+           'dbar' AS p1_units,
+           'Uncorrected pressure' AS p1_long_name,
+           'sea_water_pressure' AS p1_standard_name,
+           CAST(1 AS BIGINT) AS p1_epic_code
     FROM b
     """,
 )
@@ -5710,9 +5714,13 @@ def e2e_cli_export_nc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     merge winner; the query re-reads it with the PRODUCTION nc reader
     and emits every data value (times, doubles, the QA/QC-nulled T_28
     cells) plus the surviving global attributes — title/institution
-    passthrough, the gatts Conventions string, the coerced float, and
-    the history sidecar aggregated across stages. DuckDB replays the
-    closed form. CF NaN fill values map back to SQL NULL on re-read
+    passthrough, the gatts Conventions string, the coerced float, the
+    history sidecar aggregated across stages — and P_1's CF variable
+    attributes (units/long_name/standard_name/epic_code from
+    attrs.VAR_ATTRS, column metadata → parquet → netCDF). The
+    instrument is given as the REFERENCE spelling 'rbr' and resolves
+    through INSTRUMENT_ALIASES (registry + alias rows). DuckDB replays
+    the closed form. CF NaN fill values map back to SQL NULL on re-read
     (parquet NULL → toPandas NaN → nc double NaN is the documented
     export edge)."""
     import os
@@ -5763,12 +5771,16 @@ def e2e_cli_export_nc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _warnings.catch_warnings():
         # the filename collision warning is the asserted behavior here
         _warnings.simplefilter("ignore", UserWarning)
+        # 'rbr' is the REFERENCE spelling — resolved through
+        # INSTRUMENT_ALIASES to the rbr_csv adapter (registry row)
         for step in ("csv2cdf", "cdf2nc", "exportnc"):
-            rc = main(["rbr_csv", step, *args_common])
+            rc = main(["rbr", step, *args_common])
             if rc != 0:
                 raise RuntimeError(f"CLI step {step} failed with rc={rc}")
     nc_path = os.path.join(d, "cli_export-a.nc")
-    gattrs = read_nc3(nc_path)["attrs"]
+    nc = read_nc3(nc_path)
+    gattrs = nc["attrs"]
+    p1_attrs = nc["variables"]["P_1"]["attrs"]
     back = read_netcdf(spark, nc_path, {})
 
     def denan(c):
@@ -5789,6 +5801,10 @@ def e2e_cli_export_nc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(float(gattrs["initial_instrument_height"])).alias("iih"),
         F.lit(str(gattrs["filename"])).alias("filename_attr"),
         F.lit(str(gattrs["history"])).alias("history"),
+        F.lit(str(p1_attrs["units"])).alias("p1_units"),
+        F.lit(str(p1_attrs["long_name"])).alias("p1_long_name"),
+        F.lit(str(p1_attrs["standard_name"])).alias("p1_standard_name"),
+        F.lit(int(p1_attrs["epic_code"])).alias("p1_epic_code"),
     )
 
 
