@@ -5597,20 +5597,23 @@ def e2e_glx_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     elevation, every sample on the exact 1/64 m grid so the %.6f file
     print is lossless, burst 1 a pure 0.5 Hz line (k=2), burst 2 a
     quantized 0.75 Hz cosine (k=3), burst 3 the Nyquist alternation
-    (k=4), burst 4 pseudo-random noise — then run the PRODUCTION
-    pipeline stages: ``run_ingest`` (glx TOA5 adapter, fractional-second
-    timestamps), ``run_clean`` (good_dates clip keeps bursts 1-4 whole),
-    and ``run_waves`` (clock-derived hourly burst keys → wave_duration
-    trim → the elevation branch's Welch chain: 128-sample bursts make
-    nfft = 8, 31 hann-windowed segments, band bins k = 2..4 → trapezoid
-    m0/m2 → Hs/Tm/Tp → the `wp_max` trim rule nulls burst 1's periods
-    without deleting the row) — and RE-READ the waves zone. DuckDB
+    (k=4), burst 4 pseudo-random noise — then drive the PRODUCTION CLI
+    ``all`` step (runots' ingest→clean→waves dispatch) with the wave
+    knobs in a ``key; value`` gatts file (str2num coercion:
+    wave_interval→int, sample_interval/wp_max→float) and good_dates in
+    YAML: glx TOA5 ingest (fractional-second timestamps), good_dates
+    clip keeps bursts 1-4 whole, then clock-derived hourly burst keys →
+    wave_duration trim → the elevation branch's Welch chain (128-sample
+    bursts make nfft = 8, 31 hann-windowed segments, band bins
+    k = 2..4) → trapezoid m0/m2 → Hs/Tm/Tp → the `wp_max` trim rule
+    nulls burst 1's periods without deleting the row — and RE-READ the
+    waves zone. DuckDB
     replays every stage in closed form; the threshold comparisons sit
     ≥0.18 from every computed value so the rule is ulp-safe."""
     import os
     import tempfile
 
-    from stglib_spark import pipeline
+    from stglib_spark.__main__ import main
     from stglib_spark.session import pin_utc
 
     pin_utc(spark)
@@ -5641,21 +5644,30 @@ def e2e_glx_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
     with open(path, "w") as fh:
         fh.write("\n".join(lines) + "\n")
-    config = {
-        "instrument": "glx",
-        "input_path": path,
-        "output_dir": d,
-        "filename": "e2e_glx_waves",
-        "good_dates": [("2021-09-01 01:00:00", "2021-09-01 04:02:00")],
-        "wave_interval": 3600,
-        "sample_interval": 0.5,
-        "wave_duration": 64,
-        "wp_max": 1.6,
-    }
-    pipeline.run_ingest(spark, config)
-    pipeline.run_clean(spark, config)
-    waves_path = pipeline.run_waves(spark, config)
-    w = spark.read.parquet(waves_path)
+    # scalar knobs ride the ``key; value`` gatts file (str2num coercion:
+    # wave_interval → int, sample_interval/wp_max → float); the
+    # good_dates list needs YAML. The CLI 'all' step dispatches
+    # ingest → clean → waves exactly like the reference's runots.
+    gatts_path = os.path.join(d, "gatts.txt")
+    with open(gatts_path, "w") as fh:
+        fh.write(
+            "filename; e2e_glx_waves\n"
+            "wave_interval; 3600\n"
+            "sample_interval; 0.5\n"
+            "wave_duration; 64\n"
+            "wp_max; 1.6\n"
+        )
+    yaml_path = os.path.join(d, "config.yaml")
+    with open(yaml_path, "w") as fh:
+        fh.write(
+            "good_dates:\n"
+            "  - ['2021-09-01 01:00:00', '2021-09-01 04:02:00']\n"
+        )
+    rc = main(["glx", "all", gatts_path, yaml_path,
+               "--input", path, "--output-dir", d])
+    if rc != 0:
+        raise RuntimeError(f"CLI step all failed with rc={rc}")
+    w = spark.read.parquet(os.path.join(d, "e2e_glx_waves_waves"))
     return w.select(
         "burst_time",
         _r6("m0").alias("m0"),
