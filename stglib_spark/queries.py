@@ -5679,6 +5679,178 @@ def e2e_glx_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_pressure_waves_roundtrip",
+    r"""
+    WITH s AS (
+      SELECT g.g, i.i
+      FROM generate_series(1, 4) g(g) CROSS JOIN generate_series(0, 127) i(i)
+    ), b AS (
+      SELECT g, i,
+             TIMESTAMP '2021-09-01 00:00:00' + to_seconds(g * 3600)
+               AS burst_time,
+             1 + ((CASE WHEN g = 1 THEN [32,23,0,-23,-32,-23,0,23]
+                        WHEN g = 2 THEN [32,0,-32,0,32,0,-32,0]
+                        WHEN g = 3 THEN [32,-23,0,23,-32,23,0,-23]
+                        ELSE [0,0,0,0,0,0,0,0] END)[(i % 8) + 1]
+                  + (g * 37 + i * 11) % 16 - 8)
+               * CAST(0.015625 AS DOUBLE) AS x
+      FROM s
+    ), hm AS (
+      SELECT burst_time, avg(x) + CAST(0.5 AS DOUBLE) AS h FROM b GROUP BY 1
+    ), sp AS (
+      SELECT burst_time, seg.s, p.j, b.x
+      FROM b
+      JOIN generate_series(0, 30) seg(s) ON TRUE
+      JOIN generate_series(0, 7) p(j) ON b.i = 4 * seg.s + p.j
+    ), dm AS (
+      SELECT burst_time, s, j,
+             x - avg(x) OVER (PARTITION BY burst_time, s) AS xd
+      FROM sp
+    ), dft AS (
+      SELECT burst_time, s, k.k,
+             sum(xd * 0.5 * (1 - cos(2 * pi() * j / 8.0))
+                    * cos(2 * pi() * k.k * j / 8.0)) AS re,
+             sum(xd * 0.5 * (1 - cos(2 * pi() * j / 8.0))
+                    * sin(2 * pi() * k.k * j / 8.0)) AS im
+      FROM dm CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS k) k
+      GROUP BY burst_time, s, k.k
+    ), psd AS (
+      SELECT burst_time, k,
+             avg(re * re + im * im)
+               * (CASE WHEN k IN (0, 4) THEN 1.0 ELSE 2.0 END) / 3.0 AS p
+      FROM dft GROUP BY burst_time, k
+    ), d0 AS (
+      SELECT h.burst_time, h.h, k.k,
+             pow(2 * pi() * k.k / 8.0, 2) * h.h / 9.81 AS xx
+      FROM hm h CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+    ), n0 AS (
+      SELECT *, CASE WHEN xx < 1 THEN sqrt(xx) ELSE xx END AS y FROM d0
+    ), n1 AS (
+      SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - xx)
+        / ((1 - 2/(exp(2*y)+1))
+           + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y)
+      FROM n0
+    ), n2 AS (
+      SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - xx)
+        / ((1 - 2/(exp(2*y)+1))
+           + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y)
+      FROM n1
+    ), n3 AS (
+      SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - xx)
+        / ((1 - 2/(exp(2*y)+1))
+           + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y)
+      FROM n2
+    ), kp AS (
+      SELECT burst_time, k,
+             (exp((y/h) * 0.5) + exp(-(y/h) * 0.5))
+               / (exp((y/h) * h) + exp(-(y/h) * h)) AS kp
+      FROM n3
+    ), pnn AS (
+      SELECT p.burst_time, p.k,
+             p.p / (CASE WHEN p.k = 0 THEN 1.0 ELSE kp.kp * kp.kp END) AS pn
+      FROM psd p LEFT JOIN kp ON p.burst_time = kp.burst_time AND p.k = kp.k
+    ), wide AS (
+      SELECT burst_time,
+             max(CASE WHEN k = 0 THEN pn END) AS p0,
+             max(CASE WHEN k = 1 THEN pn END) AS p1,
+             max(CASE WHEN k = 2 THEN pn END) AS p2,
+             max(CASE WHEN k = 3 THEN pn END) AS p3,
+             max(CASE WHEN k = 4 THEN pn END) AS p4
+      FROM pnn GROUP BY burst_time
+    ), stats AS (
+      SELECT w.burst_time, h.h,
+             0.125 * (p0 / 2 + p1 + p2 + p3 + p4 / 2) AS m0,
+             0.125 * (p1 / 64.0 + p2 / 16.0 + p3 * 9 / 64.0 + p4 / 8.0)
+               AS m2,
+             CASE WHEN p0 >= p1 AND p0 >= p2 AND p0 >= p3 AND p0 >= p4
+                  THEN 0.0
+                  WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 THEN 0.125
+                  WHEN p2 >= p3 AND p2 >= p4 THEN 0.25
+                  WHEN p3 >= p4 THEN 0.375 ELSE 0.5 END AS fp
+      FROM wide w JOIN hm h USING (burst_time)
+    )
+    SELECT burst_time, round(m0, 6) AS m0, round(m2, 6) AS m2,
+           round(4 * sqrt(m0), 6) AS wh_4061,
+           round(sqrt(m0 / m2), 6) AS wp_4060,
+           CASE WHEN fp > 0 THEN round(1.0 / fp, 6) END AS wp_peak,
+           round(h, 6) AS water_depth
+    FROM stats
+    """,
+)
+def e2e_pressure_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END PRESSURE-branch waves oracle — the FULL make_waves_ds
+    chain including the dispersion/attenuation physics the elevation
+    branch skips (reference rsk/nc2waves.py + core/waves.py:571-681,
+    988-1007): synthesize a 1 Hz RBR pressure deployment in SHALLOW
+    water (p ≈ 1 dbar on the exact 1/64 grid — deep water would
+    amplify the Nyquist bin astronomically through Kp²), run
+    run_ingest → run_clean → run_waves, and replay in SQL: the Welch
+    PSD (nfft = 8, bins k = 0..4, one-sided factors, scale 1/(fs·Σw²)
+    = 1/3), per-burst depth h = mean(p) + sensor height (exact — grid
+    doubles sum without rounding), the Wiberg & Sherwood dispersion
+    solve (3 Newton iterations from √x, tanh written 1−2/(e^{2y}+1)),
+    the pressure-attenuation transfer Kp = cosh(kz)/cosh(kh) as exp
+    ratios, Pnn = Pxx/Kp² with Kp(0) = 1, the user wave_fcut cutoff
+    placed between the last two bins so the f⁻⁴ tail splice is an
+    exact no-op, trapezoid m0/m2, and first-max peak pick. Per-burst
+    dominant bins (k=1/2/Nyquist-tipped/3) vary every output. The
+    np.tanh / exp-form ulp divergence is empirically below the 1e-6
+    snap on this fixed data."""
+    import os
+    import tempfile
+
+    from stglib_spark import pipeline
+    from stglib_spark.session import pin_utc
+
+    pin_utc(spark)
+    tabs = {
+        1: [32, 23, 0, -23, -32, -23, 0, 23],
+        2: [32, 0, -32, 0, 32, 0, -32, 0],
+        3: [32, -23, 0, 23, -32, 23, 0, -23],
+    }
+    zeros = [0] * 8
+    d = tempfile.mkdtemp(prefix="e2epw_")
+    path = os.path.join(d, "deployment.csv")
+    lines = ["Time,Pressure"]
+    for g in range(6):
+        tab = tabs.get(g, zeros)
+        for i in range(128):
+            secs = g * 3600 + i
+            hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+            val = 1 + (tab[i % 8] + (g * 37 + i * 11) % 16 - 8) * 0.015625
+            lines.append(
+                f"2021-09-01 {hh:02d}:{mm:02d}:{ss:02d},{val:.6f}"
+            )
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    config = {
+        "instrument": "rbr_csv",
+        "input_path": path,
+        "output_dir": d,
+        "filename": "e2e_pwaves",
+        "good_dates": [("2021-09-01 01:00:00", "2021-09-01 04:03:00")],
+        "wave_interval": 3600,
+        "sample_interval": 1.0,
+        "wave_duration": 128,
+        "wave_fcut": 0.45,
+        "initial_instrument_height": 0.5,
+    }
+    pipeline.run_ingest(spark, config)
+    pipeline.run_clean(spark, config)
+    waves_path = pipeline.run_waves(spark, config)
+    w = spark.read.parquet(waves_path)
+    return w.select(
+        "burst_time",
+        _r6("m0").alias("m0"),
+        _r6("m2").alias("m2"),
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_4060").alias("wp_4060"),
+        _r6("wp_peak").alias("wp_peak"),
+        _r6("water_depth").alias("water_depth"),
+    )
+
+
+@register(
     "e2e_cli_export_nc_roundtrip",
     """
     WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(240) t(i)
@@ -11109,6 +11281,7 @@ _FRONT = [
     "dedup_priority_source",
     # new late-r8: leads r9's graded window (section-g convention)
     "e2e_glx_waves_roundtrip",
+    "e2e_pressure_waves_roundtrip",
     "e2e_cli_export_nc_roundtrip",
     "e2e_corpus_all_packs",
     "e2e_media_dedup_clusters",
