@@ -5851,6 +5851,298 @@ def e2e_pressure_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_puv_waves_roundtrip",
+    r"""
+WITH s AS (
+  SELECT g.g, i.i
+  FROM generate_series(1, 4) g(g) CROSS JOIN generate_series(0, 127) i(i)
+), tab AS (
+  SELECT g, i,
+         (CASE WHEN g = 1 THEN [32,30,23,12,0,-12,-23,-30,-32,-30,-23,-12,0,12,23,30]
+               WHEN g = 2 THEN [32,23,0,-23,-32,-23,0,23,32,23,0,-23,-32,-23,0,23]
+               WHEN g = 3 THEN [32,12,-23,-30,0,30,23,-12,-32,-12,23,30,0,-30,-23,12]
+               ELSE [0,0,0,0,0,0,0,0,0,0,0,0,0,0,0,0] END)[(i % 16) + 1] AS tv
+  FROM s
+), b AS (
+  SELECT g, i,
+         TIMESTAMP '2021-09-01 00:00:00' + to_seconds(g * 3600) AS burst_time,
+         1 + (tv + (g * 37 + i * 11) % 16 - 8) * CAST(0.015625 AS DOUBLE) AS p,
+         (tv + (g * 53 + i * 7) % 16 - 8) * CAST(0.015625 AS DOUBLE) AS u,
+         (CASE WHEN g % 2 = 1 THEN 1 ELSE -1 END) * CAST(0.5 AS DOUBLE) * tv
+           * CAST(0.015625 AS DOUBLE)
+           + ((g * 29 + i * 13) % 16 - 8) * CAST(0.015625 AS DOUBLE) AS v
+  FROM tab
+),
+-- ======== WAVE pressure chain at nfft 8 (same as e2e_pressure oracle) ====
+hm AS (SELECT burst_time, avg(p) + CAST(0.5 AS DOUBLE) AS h FROM b GROUP BY 1),
+sp8 AS (
+  SELECT burst_time, seg.s, pj.j, b.p AS x
+  FROM b
+  JOIN generate_series(0, 30) seg(s) ON TRUE
+  JOIN generate_series(0, 7) pj(j) ON b.i = 4 * seg.s + pj.j
+), dm8 AS (
+  SELECT burst_time, s, j, x - avg(x) OVER (PARTITION BY burst_time, s) AS xd
+  FROM sp8
+), dft8 AS (
+  SELECT burst_time, s, k.k,
+         sum(xd * 0.5 * (1 - cos(2 * pi() * j / 8.0))
+                * cos(2 * pi() * k.k * j / 8.0)) AS re,
+         sum(xd * 0.5 * (1 - cos(2 * pi() * j / 8.0))
+                * sin(2 * pi() * k.k * j / 8.0)) AS im
+  FROM dm8 CROSS JOIN (SELECT unnest([0, 1, 2, 3, 4]) AS k) k
+  GROUP BY burst_time, s, k.k
+), psd8 AS (
+  SELECT burst_time, k,
+         avg(re * re + im * im)
+           * (CASE WHEN k IN (0, 4) THEN 1.0 ELSE 2.0 END) / 3.0 AS pxx
+  FROM dft8 GROUP BY burst_time, k
+), d08 AS (
+  SELECT h.burst_time, h.h, k.k, pow(2 * pi() * k.k / 8.0, 2) * h.h / 9.81 AS xx
+  FROM hm h CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) k
+), n08 AS (SELECT *, CASE WHEN xx < 1 THEN sqrt(xx) ELSE xx END AS y FROM d08),
+n18 AS (SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - xx)
+  / ((1 - 2/(exp(2*y)+1)) + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y) FROM n08),
+n28 AS (SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - xx)
+  / ((1 - 2/(exp(2*y)+1)) + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y) FROM n18),
+n38 AS (SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - xx)
+  / ((1 - 2/(exp(2*y)+1)) + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y) FROM n28),
+kp8 AS (
+  SELECT burst_time, k,
+         (exp((y/h) * 0.5) + exp(-(y/h) * 0.5))
+           / (exp((y/h) * h) + exp(-(y/h) * h)) AS kp
+  FROM n38
+), pnn8 AS (
+  SELECT p.burst_time, p.k,
+         p.pxx / (CASE WHEN p.k = 0 THEN 1.0 ELSE kp.kp * kp.kp END) AS pn
+  FROM psd8 p LEFT JOIN kp8 kp ON p.burst_time = kp.burst_time AND p.k = kp.k
+), wide8 AS (
+  SELECT burst_time,
+         max(CASE WHEN k = 0 THEN pn END) AS p0,
+         max(CASE WHEN k = 1 THEN pn END) AS p1,
+         max(CASE WHEN k = 2 THEN pn END) AS p2,
+         max(CASE WHEN k = 3 THEN pn END) AS p3,
+         max(CASE WHEN k = 4 THEN pn END) AS p4
+  FROM pnn8 GROUP BY burst_time
+), wstats AS (
+  SELECT w.burst_time, h.h,
+         0.125 * (p0 / 2 + p1 + p2 + p3 + p4 / 2) AS m0,
+         0.125 * (p1 / 64.0 + p2 / 16.0 + p3 * 9 / 64.0 + p4 / 8.0) AS m2,
+         CASE WHEN p0 >= p1 AND p0 >= p2 AND p0 >= p3 AND p0 >= p4 THEN 0.0
+              WHEN p1 >= p2 AND p1 >= p3 AND p1 >= p4 THEN 0.125
+              WHEN p2 >= p3 AND p2 >= p4 THEN 0.25
+              WHEN p3 >= p4 THEN 0.375 ELSE 0.5 END AS fp
+  FROM wide8 w JOIN hm h USING (burst_time)
+),
+-- ======== PUV chain at nfft 16 ====
+tr AS (  -- linear detrend coefficients per channel (i-bar = 63.5, denom = 174752)
+  SELECT burst_time,
+         avg(p) AS pm, sum((i - 63.5) * p) / 174752.0 AS pb,
+         avg(u) AS um, sum((i - 63.5) * u) / 174752.0 AS ub,
+         avg(v) AS vm, sum((i - 63.5) * v) / 174752.0 AS vb
+  FROM b GROUP BY burst_time
+), det AS (
+  SELECT b.burst_time, b.i,
+         10055.25 * (b.p - (t.pm + t.pb * (b.i - 63.5))) AS xp,
+         b.u - (t.um + t.ub * (b.i - 63.5)) AS xu,
+         b.v - (t.vm + t.vb * (b.i - 63.5)) AS xv
+  FROM b JOIN tr t USING (burst_time)
+), sgn AS (
+  SELECT burst_time,
+         CASE WHEN covar_pop(xu, xv) > 0 THEN 1.0
+              WHEN covar_pop(xu, xv) < 0 THEN -1.0 ELSE 1.0 END AS ortest
+  FROM det GROUP BY burst_time
+), sp16 AS (
+  SELECT burst_time, seg.s, pj.j, d.xp, d.xu, d.xv
+  FROM det d
+  JOIN generate_series(0, 14) seg(s) ON TRUE
+  JOIN generate_series(0, 15) pj(j) ON d.i = 8 * seg.s + pj.j
+), dm16 AS (
+  SELECT burst_time, s, j,
+         xp - avg(xp) OVER (PARTITION BY burst_time, s) AS xpd,
+         xu - avg(xu) OVER (PARTITION BY burst_time, s) AS xud,
+         xv - avg(xv) OVER (PARTITION BY burst_time, s) AS xvd
+  FROM sp16
+), dft16 AS (
+  SELECT burst_time, s, k.k,
+         sum(xpd * 0.5 * (1 - cos(2 * pi() * j / 16.0))
+                * cos(2 * pi() * k.k * j / 16.0)) AS rep,
+         sum(xpd * 0.5 * (1 - cos(2 * pi() * j / 16.0))
+                * sin(2 * pi() * k.k * j / 16.0)) AS imp,
+         sum(xud * 0.5 * (1 - cos(2 * pi() * j / 16.0))
+                * cos(2 * pi() * k.k * j / 16.0)) AS reu,
+         sum(xud * 0.5 * (1 - cos(2 * pi() * j / 16.0))
+                * sin(2 * pi() * k.k * j / 16.0)) AS imu,
+         sum(xvd * 0.5 * (1 - cos(2 * pi() * j / 16.0))
+                * cos(2 * pi() * k.k * j / 16.0)) AS rev,
+         sum(xvd * 0.5 * (1 - cos(2 * pi() * j / 16.0))
+                * sin(2 * pi() * k.k * j / 16.0)) AS imv
+  FROM dm16 CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS k) k
+  GROUP BY burst_time, s, k.k
+), psd16 AS (
+  SELECT burst_time, k,
+         avg(rep * rep + imp * imp)
+           * (CASE WHEN k IN (0, 8) THEN 1.0 ELSE 2.0 END) / 6.0 AS gpp,
+         avg(reu * reu + imu * imu)
+           * (CASE WHEN k IN (0, 8) THEN 1.0 ELSE 2.0 END) / 6.0 AS guu,
+         avg(rev * rev + imv * imv)
+           * (CASE WHEN k IN (0, 8) THEN 1.0 ELSE 2.0 END) / 6.0 AS gvv
+  FROM dft16 GROUP BY burst_time, k
+), d016 AS (
+  SELECT h.burst_time, h.h, k.k,
+         pow(2 * pi() * k.k / 16.0, 2) * h.h / 9.81 AS xx
+  FROM hm h CROSS JOIN (SELECT unnest([1, 2, 3]) AS k) k
+), n016 AS (SELECT *, CASE WHEN xx < 1 THEN sqrt(xx) ELSE xx END AS y FROM d016),
+n116 AS (SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - xx)
+  / ((1 - 2/(exp(2*y)+1)) + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y) FROM n016),
+n216 AS (SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - xx)
+  / ((1 - 2/(exp(2*y)+1)) + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y) FROM n116),
+n316 AS (SELECT * REPLACE (y - ((y * (1 - 2/(exp(2*y)+1)) - xx)
+  / ((1 - 2/(exp(2*y)+1)) + y * (1 - (1 - 2/(exp(2*y)+1)) * (1 - 2/(exp(2*y)+1))))) AS y) FROM n216),
+xfer AS (
+  SELECT burst_time, k,
+         10055.25 * ((exp((y/h) * 0.5) + exp(-(y/h) * 0.5))
+                     / (exp((y/h) * h) + exp(-(y/h) * h))) AS hp,
+         (2 * pi() * k / 16.0) * ((exp((y/h) * 0.5) + exp(-(y/h) * 0.5))
+                     / (exp((y/h) * h) - exp(-(y/h) * h))) AS huv
+  FROM n316
+), band AS (
+  SELECT p.burst_time, p.k, p.gpp, p.guu, p.gvv, p.guu + p.gvv AS guv,
+         x.hp, x.huv, p.k / 16.0 AS f
+  FROM psd16 p JOIN xfer x ON p.burst_time = x.burst_time AND p.k = x.k
+), snb AS (
+  SELECT burst_time, k, f,
+         gpp / (hp * hp) AS snp, guv / (huv * huv) AS snu,
+         guu, gvv, guv
+  FROM band
+), agg AS (
+  SELECT burst_time,
+         sum(snp) / 16.0 AS ssnp, sum(snu) / 16.0 AS ssnu,
+         sum(guv) / 16.0 AS sguv,
+         sum(2 * pi() * f * guv) / 16.0 AS somg,
+         sum(guu) / 16.0 AS sguu, sum(gvv) / 16.0 AS sgvv,
+         max(snp) AS msnp, max(snu) AS msnu
+  FROM snb GROUP BY burst_time
+), peaks AS (
+  SELECT burst_time,
+         (list(k ORDER BY snp DESC, k ASC))[1] AS kpp,
+         (list(k ORDER BY snu DESC, k ASC))[1] AS kpu
+  FROM snb GROUP BY burst_time
+), hi AS (
+  SELECT burst_time, sum(CASE WHEN k >= 4 THEN gvv + guu ELSE 0 END) / 16.0 AS shi
+  FROM (SELECT p.burst_time, p.k, p.guu, p.gvv FROM psd16 p WHERE p.k >= 4) q
+  GROUP BY burst_time
+)
+SELECT w.burst_time,
+       round(w.m0, 6) AS m0, round(w.m2, 6) AS m2,
+       round(4 * sqrt(w.m0), 6) AS wh_4061,
+       round(sqrt(w.m0 / w.m2), 6) AS wp_4060,
+       CASE WHEN w.fp > 0 THEN round(1.0 / w.fp, 6) END AS wp_peak,
+       round(w.h, 6) AS water_depth,
+       round(2 * sqrt(2 * a.ssnp), 6) AS hrmsp,
+       round(2 * sqrt(2 * a.ssnu), 6) AS hrmsu,
+       round(sqrt(2 * a.sguv), 6) AS ubr,
+       round(a.somg / a.sguv, 6) AS omegar,
+       round(2 * pi() / (a.somg / a.sguv), 6) AS tr,
+       round(16.0 / p.kpp, 6) AS tpp,
+       round(16.0 / p.kpu, 6) AS tpu,
+       round(atan2(g.ortest * a.sgvv, a.sguu), 6) AS phir,
+       round(90.0 - degrees(atan2(g.ortest * a.sgvv, a.sguu)), 6) AS azr,
+       CAST(0.0 AS DOUBLE) AS ublo,
+       CAST(0.0 AS DOUBLE) AS ubig,
+       round(sqrt(2 * h2.shi), 6) AS ubhi
+FROM wstats w
+JOIN agg a USING (burst_time)
+JOIN peaks p USING (burst_time)
+JOIN sgn g USING (burst_time)
+JOIN hi h2 USING (burst_time)
+""",
+)
+def e2e_puv_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END PUV-branch waves oracle — the last ``run_waves``
+    branch (``puv: true``, reference sig/nc2waves.py:550-599 +
+    core/waves.py:1024-1351 puv_quick): build a 4-burst clean zone
+    (time, P_1, u_1205, v_1206 on the exact 1/64 grid, per-burst
+    dominant 1/16-Hz-grid lines, v correlated +/− with u so the
+    Madsen orientation sign flips by burst), run the PRODUCTION stage
+    — the pressure Welch chain at nfft 8 JOINED with puv_quick at
+    puv_fft_length 16 — and replay BOTH kernels in SQL: linear
+    detrend (closed-form slope; np.polyfit's SVD agrees below the
+    1e-6 snap), three per-channel 15-segment hann-16 PSDs, the
+    dispersion solve and Hp = ρg·cosh/cosh, Huv = ω·cosh/sinh
+    transfers on the [1/50, 1/5] Hz band (bins 1-3), Hrms/ubr/ωr/Tr
+    band integrals, first-max peak periods, and the orientation-signed
+    atan2 azimuth. ublo/ubig are structurally zero at this band
+    geometry (ff = 1, ig = 0) — the oracle pins that too. Non-tail
+    fields only: the J&M tail variants stay covered by
+    wave_cutoff_tail_oracle."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    from stglib_spark import pipeline
+    from stglib_spark.session import pin_utc
+
+    pin_utc(spark)
+    t16_1 = [32, 30, 23, 12, 0, -12, -23, -30,
+             -32, -30, -23, -12, 0, 12, 23, 30]
+    t16_2 = [32, 23, 0, -23, -32, -23, 0, 23] * 2
+    t16_3 = [32, 12, -23, -30, 0, 30, 23, -12,
+             -32, -12, 23, 30, 0, -30, -23, 12]
+    tabs = {1: t16_1, 2: t16_2, 3: t16_3}
+    zeros = [0] * 16
+    rows = []
+    epoch = dt.datetime(2021, 9, 1)
+    for g in range(1, 5):
+        tab = tabs.get(g, zeros)
+        sgn = 1 if g % 2 else -1
+        for i in range(128):
+            t = epoch + dt.timedelta(seconds=g * 3600 + i)
+            p = 1 + (tab[i % 16] + (g * 37 + i * 11) % 16 - 8) * 0.015625
+            u = (tab[i % 16] + (g * 53 + i * 7) % 16 - 8) * 0.015625
+            v = (sgn * 0.5 * tab[i % 16] * 0.015625
+                 + ((g * 29 + i * 13) % 16 - 8) * 0.015625)
+            rows.append((t, p, u, v))
+    d = tempfile.mkdtemp(prefix="e2epuv_")
+    config = {
+        "output_dir": d,
+        "filename": "e2e_puv",
+        "wave_interval": 3600,
+        "sample_interval": 1.0,
+        "wave_duration": 128,
+        "wave_fcut": 0.45,
+        "initial_instrument_height": 0.5,
+        "puv": True,
+        "puv_fft_length": 16,
+    }
+    spark.createDataFrame(
+        rows, "time timestamp, P_1 double, u_1205 double, v_1206 double"
+    ).write.mode("overwrite").parquet(os.path.join(d, "e2e_puv_clean"))
+    waves_path = pipeline.run_waves(spark, config)
+    w = spark.read.parquet(waves_path)
+    return w.select(
+        "burst_time",
+        _r6("m0").alias("m0"),
+        _r6("m2").alias("m2"),
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_4060").alias("wp_4060"),
+        _r6("wp_peak").alias("wp_peak"),
+        _r6("water_depth").alias("water_depth"),
+        _r6("Hrmsp").alias("hrmsp"),
+        _r6("Hrmsu").alias("hrmsu"),
+        _r6("ubr").alias("ubr"),
+        _r6("omegar").alias("omegar"),
+        _r6("Tr").alias("tr"),
+        _r6("Tpp").alias("tpp"),
+        _r6("Tpu").alias("tpu"),
+        _r6("phir").alias("phir"),
+        _r6("azr").alias("azr"),
+        _r6("ublo").alias("ublo"),
+        _r6("ubig").alias("ubig"),
+        _r6("ubhi").alias("ubhi"),
+    )
+
+
+@register(
     "e2e_cli_export_nc_roundtrip",
     """
     WITH e AS (SELECT CAST(i AS BIGINT) AS i FROM range(240) t(i)
@@ -11282,6 +11574,7 @@ _FRONT = [
     # new late-r8: leads r9's graded window (section-g convention)
     "e2e_glx_waves_roundtrip",
     "e2e_pressure_waves_roundtrip",
+    "e2e_puv_waves_roundtrip",
     "e2e_cli_export_nc_roundtrip",
     "e2e_corpus_all_packs",
     "e2e_media_dedup_clusters",
