@@ -11564,14 +11564,21 @@ _FRONT = [
     # (d) r4-aged refresh (stalest non-TPC-H first; window ends ~here)
     "mm_decode_real_png",
     "mm_video_frames_real",
-    # --- past the ~50-row graded window: r9 refresh queue, oldest first
+    # --- past the ~50-row graded window.
+    # r9 rotation plan: (a) the 7 late-r8 stage-composition oracles
+    # below lead the window (never driver-graded); (b) then these 6
+    # r4-aged refreshers; (c) then the r8-graded block ages gracefully —
+    # backfill remaining slots with the oldest r4-aged TPC-H shapes
+    # (q1/q3/q5/q6/q10/... — see CORRECTNESS history) per VERDICT r7
+    # task #4's "no green row older than r6 after r9".
     "corpus_decontaminate",
     "corpus_remove_boilerplate",
     "text_chunk_documents",
     "corpus_repetition_stats",
     "corpus_stratified_sample",
     "dedup_priority_source",
-    # new late-r8: leads r9's graded window (section-g convention)
+    # new late-r8 (section-g convention): the full stage-composition
+    # oracle family — every pipeline stage and run_waves branch
     "e2e_glx_waves_roundtrip",
     "e2e_pressure_waves_roundtrip",
     "e2e_puv_waves_roundtrip",
