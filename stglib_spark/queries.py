@@ -11490,101 +11490,84 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next round, lead with whatever lacked a CORRECTNESS_r04 row (the tail
 # of this list plus the r3-green block).
 _FRONT = [
-    # --- round 8 policy (VERDICT r7 tasks 1-4):
-    # (a) NEW this round: the end-to-end pipeline-composition oracle
-    #     (ingest→clean through the production stages) and the image
-    #     perceptual-hash near-dedup;
-    # (b) CHANGED this round, re-grade first: ts_sessionize (public
-    #     start_us restored — the r7 bisection proved absolute epochs
-    #     driver-safe), corpus_datacard (kept per the verdict),
-    #     qaqc_bad_ens_indiv (bounded plan-build collect);
-    # (c) the 42 queries registered late in r7 past the graded window —
-    #     the whole src_*/snk_* ingest-roundtrip family plus
-    #     SemDeDup (drop-set broadcast now size-gated), PQ training,
-    #     logreg quality classifier, overlap matrix, split leakage;
-    # (d) the stalest r4-aged rows that fit; the rest (TPC-H block,
-    #     remaining corpus/text r4 rows) lead r9's refresh.
-    # The r7 bisection family (2 red-by-design probes, 7 diagnostic
-    #     variants, 1 control) is RETIRED from the window: the HUGEINT
-    #     diagnosis is driver-confirmed in CORRECTNESS_r07, so they
-    #     would only re-prove a closed question and inject designed
-    #     reds into every future round. They stay registered (tests
-    #     pin the probes' by-design mismatch).
-    # (a) new
-    "e2e_rbr_clean_roundtrip",
-    "mm_phash_neardup",
-    "mm_video_phash_neardup",
-    # (b) changed / kept
-    "ts_sessionize",
-    "corpus_datacard",
-    "qaqc_bad_ens_indiv",
-    # (c) the r7-pending block
-    "dedup_semantic",
-    "sim_pq_train",
-    "text_quality_logreg",
-    "corpus_overlap_matrix",
-    "corpus_train_split",
-    "corpus_simpson_diversity",
-    "dedup_split_leakage",
-    "snk_profile_split_roundtrip",
-    "snk_cf_lint",
-    "src_aqd_roundtrip",
-    "src_vec_roundtrip",
-    "src_aqdhr_roundtrip",
-    "src_aqdwv_roundtrip",
-    "src_exo_roundtrip",
-    "src_rbr_profile_roundtrip",
-    "src_sgtid_roundtrip",
-    "src_rsk_roundtrip",
-    "src_qrev_roundtrip",
-    "src_eco_ntu_roundtrip",
-    "src_hobo_roundtrip",
-    "src_sig_roundtrip",
-    "src_lisst_roundtrip",
-    "src_microcat_roundtrip",
-    "src_trublue_roundtrip",
-    "src_troll_roundtrip",
-    "src_mayfly_roundtrip",
-    "src_glx_roundtrip",
-    "src_rdi_mat_roundtrip",
-    "src_rdi_sens_roundtrip",
-    "src_abss_roundtrip",
-    "src_eofe_point_roundtrip",
-    "src_eofe_profile_roundtrip",
-    "src_sgwb_roundtrip",
-    "src_tcm_roundtrip",
-    "src_marotte_roundtrip",
-    "src_campbell_roundtrip",
-    "src_argonaut_roundtrip",
-    "src_areacomp_roundtrip",
-    "src_iq_roundtrip",
-    "src_pd0_bt_roundtrip",
-    "src_pd0_vbeam_roundtrip",
-    "src_pd0_waves_roundtrip",
-    # (d) r4-aged refresh (stalest non-TPC-H first; window ends ~here)
-    "mm_decode_real_png",
-    "mm_video_frames_real",
-    # --- past the ~50-row graded window.
-    # r9 rotation plan: (a) the 7 late-r8 stage-composition oracles
-    # below lead the window (never driver-graded); (b) then these 6
-    # r4-aged refreshers; (c) then the r8-graded block ages gracefully —
-    # backfill remaining slots with the oldest r4-aged TPC-H shapes
-    # (q1/q3/q5/q6/q10/... — see CORRECTNESS history) per VERDICT r7
-    # task #4's "no green row older than r6 after r9".
-    "corpus_decontaminate",
-    "corpus_remove_boilerplate",
-    "text_chunk_documents",
-    "corpus_repetition_stats",
-    "corpus_stratified_sample",
-    "dedup_priority_source",
-    # new late-r8 (section-g convention): the full stage-composition
-    # oracle family — every pipeline stage and run_waves branch
+    # --- round 9 policy (VERDICT r8 tasks 1 & 6): execute the documented
+    # rotation. Window = first ~50 entries, graded by the driver.
+    # (a) NEW this round first (none yet — e2e_diwasp_roundtrip lands
+    #     here when implemented; one slot is reserved for it: the list
+    #     below holds 49 names);
+    # (b) the 7 stage-composition oracles (6 never driver-graded; the
+    #     pipeline/CLI/export/corpus/media chain surface becomes
+    #     driver-confirmed evidence);
+    # (c) the 6 r4-aged refreshers named in VERDICT r8 task #1;
+    # (d) the stale TPC-H block: 14 rows last green r4 + 5 last green
+    #     r5 (q2/q6/q10/q11/q16);
+    # (e) 17 more r5-aged rows (clip/corpus-span/mm-real/phys/qaqc).
+    # Refresh SLA (VERDICT r8 task #6): 211 queries / 50 slots => full
+    # evidence refresh every ~4.5 rounds; no green row should age past
+    # 4 rounds. r10 backfill block (the 18 remaining r5-aged rows, then
+    # the oldest r6 rows as slots allow):
+    #   qaqc_std_gates qaqc_trim_single_bins qaqc_wave_stats_trims
+    #   snk_netcdf3_roundtrip src_pd0_roundtrip text_html_extract
+    #   text_lang_id text_quality_score text_token_stats
+    #   ts_asof_atmos_correct ts_burst_average ts_circular_mean_daily
+    #   ts_gap_fill_hourly ts_interval_average_duration
+    #   ts_value_percentiles vel_agc_cor_gates vel_snr_gate
+    #   vel_trim_sidelobe wave_imlm_relax_oracle
+    # then r11 takes the r6 block (42 rows: agg_*/coord_*/phys_*/
+    # ts_*/qaqc_* last green r6).
+    # (b) stage-composition oracles
     "e2e_glx_waves_roundtrip",
     "e2e_pressure_waves_roundtrip",
     "e2e_puv_waves_roundtrip",
     "e2e_cli_export_nc_roundtrip",
     "e2e_corpus_all_packs",
     "e2e_media_dedup_clusters",
+    "e2e_rbr_clean_roundtrip",
+    # (c) r4-aged refreshers
+    "corpus_decontaminate",
+    "corpus_remove_boilerplate",
+    "text_chunk_documents",
+    "corpus_repetition_stats",
+    "corpus_stratified_sample",
+    "dedup_priority_source",
+    # (d) stale TPC-H block (r4 then r5)
+    "q4_order_priority",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_dominant_shipper",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "q2_min_cost_supplier",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q16_supplier_part_count",
+    # (e) r5-aged refresh
+    "clip_deployment",
+    "clip_good_dates",
+    "corpus_dup_ngram_frac",
+    "corpus_remove_dup_spans",
+    "mm_audio_stats_real",
+    "mm_decode_real_jpeg",
+    "mm_video_frames_mjpg",
+    "phys_dispersion_qkfs",
+    "phys_pres2dep_ssc",
+    "phys_salinity_spcon",
+    "qaqc_ast_quality_trim",
+    "qaqc_bad_ens",
+    "qaqc_burst_min_kill",
+    "qaqc_diff_pct",
+    "qaqc_mask_trim_by",
+    "qaqc_maxabs_diff_2d",
+    "qaqc_min_max",
 ]
 
 
