@@ -193,6 +193,19 @@ def _minhash_from_exploded(
     return exploded.groupBy(id_col).agg(*aggs)
 
 
+#: Default per-bucket member cap for the LSH / pigeonhole candidate
+#: self-joins. A bucket with m members emits m·(m−1)/2 pairs, so one
+#: mega-duplicate bucket (every boilerplate page hashing identically)
+#: turns the join quadratic no matter what AQE does to the *input* skew
+#: — the blowup is in the OUTPUT. Buckets above the cap are min-star
+#: reduced (each member pairs with the bucket's minimum id only):
+#: connectivity-equivalent for `duplicate_clusters` consumers, linear in
+#: bucket size. 4096 is far above any honest near-dup bucket (4096
+#: byte-identical band signatures means the docs are exact dups — the
+#: star edges still cluster them) and far above test scale.
+DEFAULT_MAX_BUCKET_SIZE = 4096
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -201,6 +214,9 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     portable: bool = False,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    oversize: str = "star",
+    observation=None,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     r = num_hashes/bands rows; documents sharing any (band, band-hash)
@@ -209,10 +225,114 @@ def minhash_lsh_pairs(
     ``hash60`` family end-to-end (signatures and band hashes).
 
     Scale shape: self-join happens per bucket only — the band hash is the
-    join key, so skew is bounded by bucket size, and AQE's skew-join
-    splitting handles pathological buckets."""
+    join key, so input skew is AQE-splittable, and the OUTPUT blowup of a
+    mega-duplicate bucket (m²/2 pairs) is bounded by ``max_bucket_size``
+    min-star reduction (see ``lsh_pairs_from_signatures``)."""
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, portable)
-    return lsh_pairs_from_signatures(sigs, id_col, num_hashes, bands, portable)
+    return lsh_pairs_from_signatures(
+        sigs, id_col, num_hashes, bands, portable,
+        max_bucket_size, oversize, observation,
+    )
+
+
+
+
+def _annotate_bucket_sizes(
+    stacked: DataFrame,
+    bucket_keys: list[str],
+    rep_cols: list[str],
+    max_bucket_size: int,
+    observation=None,
+) -> tuple[DataFrame, DataFrame]:
+    """Front half of the bucket-size guard on the LSH / pigeonhole
+    candidate self-joins. Returns ``(pinned, annotated)``:
+
+    - ``pinned`` — the member table, notnull-pre-filtered and pinned
+      behind an explicit ``repartition(bucket_keys)`` exchange. The
+      capped pair join uses it DIRECTLY as its right side.
+    - ``annotated`` — ``pinned`` joined with its per-bucket member count
+      (``__bsz``) and minimum representative (``__mn``; a flat column
+      for a single ``rep_cols`` entry, a struct otherwise). The pair
+      join's LEFT side filters this to small-bucket members plus each
+      oversize bucket's minimum.
+
+    Plan shape, tuned against the r8 bench (every alternative measured):
+    every consumer — the per-bucket aggregate, the annotate-join probe,
+    and the pair join's right side — hangs off the ONE pinned exchange,
+    so the expensive upstream (shingling / hashing / banding) chain
+    executes exactly once. Counts come from a map-side-combinable hash
+    aggregate (a window count here costs a per-consumer sort of the
+    full banded table, measured +70% on the LSH bench query; a
+    single-column ``__mn`` keeps it a codegen hash aggregate — a
+    struct min downgrades to SortAggregate). The annotate-join is
+    hinted ``shuffle_hash`` (co-partitioned with the pinned exchange →
+    no sort; AQE upgrades it to broadcast when the per-bucket table is
+    small).
+
+    ``observation`` (a ``pyspark.sql.Observation``) reports the exact
+    oversize member/bucket counts during the job — no silent caps, no
+    extra action, in star AND drop mode. It hangs on the per-bucket
+    aggregate, which executes exactly once as the annotate-join's build
+    side (the pair join's left branch is the only consumer)."""
+    for c in [*bucket_keys, *rep_cols]:
+        stacked = stacked.filter(F.col(c).isNotNull())
+    pinned = stacked.repartition(*[F.col(c) for c in bucket_keys])
+    mn = (
+        F.min(F.col(rep_cols[0]))
+        if len(rep_cols) == 1
+        else F.min(F.struct(*[F.col(c) for c in rep_cols]))
+    )
+    per_bucket = pinned.groupBy(*bucket_keys).agg(
+        F.count(F.lit(1)).alias("__bsz"), mn.alias("__mn")
+    )
+    if observation is not None:
+        over = F.col("__bsz") > max_bucket_size
+        per_bucket = per_bucket.observe(
+            observation,
+            F.coalesce(
+                F.sum(F.when(over, F.col("__bsz"))), F.lit(0).cast("long")
+            ).alias("oversize_members"),
+            F.coalesce(F.sum(over.cast("long")), F.lit(0).cast("long")).alias(
+                "oversize_buckets"
+            ),
+        )
+    annotated = pinned.join(per_bucket.hint("shuffle_hash"), bucket_keys)
+    return pinned, annotated
+
+
+# Capped candidate self-join recipe over an `_annotate_bucket_sizes`
+# table (used by lsh_pairs_from_signatures / simhash_near_pairs /
+# multimodal.video_phash_near_pairs):
+#
+#   left  = annotated WHERE __bsz <= cap OR member == __mn   ("star")
+#           annotated WHERE __bsz <= cap                     ("drop")
+#   right = annotated
+#   cond  = keys equal AND ( (l.__bsz <= cap AND l.order < r.order)
+#                            OR (l.__bsz > cap AND l.order != r.order) )
+#
+# Small buckets emit every ordered pair; an oversize bucket contributes
+# exactly ONE left row (its minimum member), so its output AND its join
+# enumeration are LINEAR in bucket size — min-star edges, connectivity-
+# equivalent for clustering consumers. One self-join, no union: both
+# sides reuse the same pinned exchange, giving the identical two-branch
+# plan shape as an unguarded pair join. The star side's payload
+# (simhash/phash for the Hamming verify) comes straight off the left
+# row — no struct-valued aggregate, so the per-bucket agg stays a
+# codegen hash aggregate.
+
+
+def bucket_size_stats(
+    stacked: DataFrame, bucket_keys: list[str], max_bucket_size: int
+) -> DataFrame:
+    """Audit companion for ``oversize='drop'``: per-bucket member counts
+    restricted to buckets above the cap — one groupBy over the banded
+    member table (no pair join), cheap to run as a separate job when a
+    pipeline needs the exact dropped-bucket census."""
+    return (
+        stacked.groupBy(*bucket_keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > max_bucket_size)
+    )
 
 
 def lsh_pairs_from_signatures(
@@ -221,11 +341,23 @@ def lsh_pairs_from_signatures(
     num_hashes: int = 64,
     bands: int = 16,
     portable: bool = False,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    oversize: str = "star",
+    observation=None,
 ) -> DataFrame:
     """LSH banding + per-bucket self-join over precomputed MinHash
     signatures (columns ``mh_0..mh_{n-1}``) — the back half of
     ``minhash_lsh_pairs``, split out so a pipeline can materialize
-    signatures/shingles once and reuse them (VERDICT r3 item 5)."""
+    signatures/shingles once and reuse them (VERDICT r3 item 5).
+
+    Buckets larger than ``max_bucket_size`` are min-star reduced (or
+    dropped with ``oversize="drop"``): each oversize-bucket member pairs
+    only with the bucket's minimum id instead of with every other member.
+    Star edges are genuine co-bucketed candidates, so downstream exact
+    verification and `duplicate_clusters` connectivity are unaffected;
+    what is lost is *pair-level* recall inside oversize buckets (a
+    member pair both ≠ min is only connected transitively). Pass a
+    ``pyspark.sql.Observation`` to read how many members hit the cap."""
     r = num_hashes // bands
     if portable:
         band_cols = [
@@ -251,21 +383,42 @@ def lsh_pairs_from_signatures(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
-    left = stacked.alias("l")
-    right = stacked.alias("r")
-    pairs = (
-        left.join(
-            right,
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if max_bucket_size is None:
+        left = stacked.alias("l")
+        right = stacked.alias("r")
+        cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    else:
+        pinned, annotated = _annotate_bucket_sizes(
+            stacked, ["band", "bh"], [id_col], max_bucket_size, observation
         )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
+        if oversize == "drop":
+            keep_left = F.col("__bsz") <= max_bucket_size
+        elif oversize == "star":
+            keep_left = (F.col("__bsz") <= max_bucket_size) | (
+                F.col(id_col) == F.col("__mn")
+            )
+        else:
+            raise ValueError(
+                f"oversize must be 'star' or 'drop', got {oversize!r}"
+            )
+        left = annotated.filter(keep_left).drop("__mn").alias("l")
+        right = pinned.alias("r")
+        cond = (
+            (F.col("l.__bsz") <= max_bucket_size)
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        ) | (
+            (F.col("l.__bsz") > max_bucket_size)
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
         )
-        .distinct()
+    pairs = left.join(
+        right,
+        (F.col("l.band") == F.col("r.band"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & cond,
+    ).select(
+        F.col(f"l.{id_col}").alias("doc_a"), F.col(f"r.{id_col}").alias("doc_b")
     )
-    return pairs
+    return pairs.distinct()
 
 
 def ngram_jaccard_pairs(
@@ -390,10 +543,18 @@ def simhash_near_pairs(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    oversize: str = "star",
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: pigeonhole on ``blocks`` 16-bit
     blocks (Hamming ≤ blocks−1 guarantees ≥1 identical block), equi-join
-    per block, verify exact Hamming distance with bit_count(xor)."""
+    per block, verify exact Hamming distance with bit_count(xor).
+    The Hamming filter sits BELOW the pair distinct, so non-qualifying
+    candidates never enter the dedup exchange; blocks whose bucket
+    exceeds ``max_bucket_size`` are min-star reduced (each member pairs
+    with the bucket-min member only — connectivity-equivalent for
+    clustering, linear output; see ``lsh_pairs_from_signatures``)."""
     if max_hamming > blocks - 1:
         raise ValueError(
             f"pigeonhole recall guarantee requires max_hamming ≤ blocks-1 "
@@ -417,25 +578,48 @@ def simhash_near_pairs(
             )
         ).alias("bb"),
     ).select(id_col, "simhash", F.col("bb.blk").alias("blk"), F.col("bb.bh").alias("bh"))
-    l, r = stacked.alias("l"), stacked.alias("r")
-    pairs = (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
+    if max_bucket_size is None:
+        left = stacked.alias("l")
+        right = stacked.alias("r")
+        cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    else:
+        pinned, annotated = _annotate_bucket_sizes(
+            stacked, ["blk", "bh"], [id_col], max_bucket_size, observation
         )
-        .select(
-            F.col(f"l.{id_col}").alias("doc_a"),
-            F.col(f"r.{id_col}").alias("doc_b"),
-            F.bit_count(
-                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
-            ).alias("hamming"),
+        if oversize == "drop":
+            keep_left = F.col("__bsz") <= max_bucket_size
+        elif oversize == "star":
+            keep_left = (F.col("__bsz") <= max_bucket_size) | (
+                F.col(id_col) == F.col("__mn")
+            )
+        else:
+            raise ValueError(
+                f"oversize must be 'star' or 'drop', got {oversize!r}"
+            )
+        left = annotated.filter(keep_left).drop("__mn").alias("l")
+        right = pinned.alias("r")
+        cond = (
+            (F.col("l.__bsz") <= max_bucket_size)
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        ) | (
+            (F.col("l.__bsz") > max_bucket_size)
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
         )
-        .distinct()
-        .filter(F.col("hamming") <= F.lit(max_hamming))
+    pairs = left.join(
+        right,
+        (F.col("l.blk") == F.col("r.blk"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & cond,
+    ).select(
+        F.col(f"l.{id_col}").alias("doc_a"),
+        F.col(f"r.{id_col}").alias("doc_b"),
+        F.bit_count(
+            F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+        ).alias("hamming"),
     )
-    return pairs
+    # filter BEFORE distinct: a pair's hamming is a pure function of its
+    # two fingerprints, so dedup sees only qualifying rows (VERDICT r8 #1)
+    return pairs.filter(F.col("hamming") <= F.lit(max_hamming)).distinct()
 
 
 def duplicate_clusters(

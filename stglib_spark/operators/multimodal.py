@@ -27,6 +27,8 @@ from collections.abc import Iterator
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
+
+from stglib_spark.operators.dedup import DEFAULT_MAX_BUCKET_SIZE
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -349,6 +351,9 @@ def phash_near_pairs(
     max_hamming: int = 3,
     blocks: int = 4,
     hash_col: str = "phash",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    oversize: str = "star",
+    observation=None,
 ) -> DataFrame:
     """Near-duplicate image pairs from perceptual hashes: the SimHash
     pigeonhole machinery verbatim (``dedup.simhash_near_pairs``) on the
@@ -362,7 +367,9 @@ def phash_near_pairs(
         F.col(id_col).alias("doc_id"), F.col(hash_col).alias("simhash")
     )
     pairs = simhash_near_pairs(
-        fps, id_col="doc_id", max_hamming=max_hamming, blocks=blocks
+        fps, id_col="doc_id", max_hamming=max_hamming, blocks=blocks,
+        max_bucket_size=max_bucket_size, oversize=oversize,
+        observation=observation,
     )
     return pairs.select(
         F.col("doc_a").alias("id_a"),
@@ -443,6 +450,9 @@ def video_phash_near_pairs(
     id_col: str = "media_id",
     max_hamming: int = 3,
     blocks: int = 4,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    oversize: str = "star",
+    observation=None,
 ) -> DataFrame:
     """Cross-video near-duplicate pairs from per-frame dHashes: frame
     hashes band into 16-bit pigeonhole blocks, candidate FRAME pairs
@@ -476,26 +486,57 @@ def video_phash_near_pairs(
         "vid", "f", "phash",
         F.col("bb.blk").alias("blk"), F.col("bb.bh").alias("bh"),
     )
-    l, r = stacked.alias("l"), stacked.alias("r")
-    frame_pairs = (
-        l.join(
-            r,
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.bh") == F.col("r.bh"))
-            & (F.col("l.vid") < F.col("r.vid")),
+    from stglib_spark.operators.dedup import _annotate_bucket_sizes
+
+    if max_bucket_size is None:
+        left = stacked.alias("l")
+        right = stacked.alias("r")
+        cond = F.col("l.vid") < F.col("r.vid")
+    else:
+        # min-star reduction for oversize blocks: the bucket's minimum
+        # (vid, frame) member pairs with every cross-video member —
+        # LINEAR enumeration and output, orientation preserved because
+        # the bucket min has the smallest vid
+        pinned, annotated = _annotate_bucket_sizes(
+            stacked, ["blk", "bh"], ["vid", "f"], max_bucket_size, observation
         )
-        .select(
-            F.col("l.vid").alias("vid_a"),
-            F.col("l.f").alias("fa"),
-            F.col("r.vid").alias("vid_b"),
-            F.col("r.f").alias("fb"),
-            F.bit_count(
-                F.col("l.phash").bitwiseXOR(F.col("r.phash"))
-            ).cast("long").alias("hamming"),
+        if oversize == "drop":
+            keep_left = F.col("__bsz") <= max_bucket_size
+        elif oversize == "star":
+            keep_left = (F.col("__bsz") <= max_bucket_size) | (
+                (F.col("vid") == F.col("__mn.vid"))
+                & (F.col("f") == F.col("__mn.f"))
+            )
+        else:
+            raise ValueError(
+                f"oversize must be 'star' or 'drop', got {oversize!r}"
+            )
+        left = annotated.filter(keep_left).drop("__mn").alias("l")
+        right = pinned.alias("r")
+        cond = (
+            (F.col("l.__bsz") <= max_bucket_size)
+            & (F.col("l.vid") < F.col("r.vid"))
+        ) | (
+            (F.col("l.__bsz") > max_bucket_size)
+            & (F.col("l.vid") != F.col("r.vid"))
         )
-        .distinct()
-        .filter(F.col("hamming") <= F.lit(max_hamming))
+    frame_pairs = left.join(
+        right,
+        (F.col("l.blk") == F.col("r.blk"))
+        & (F.col("l.bh") == F.col("r.bh"))
+        & cond,
+    ).select(
+        F.col("l.vid").alias("vid_a"),
+        F.col("l.f").alias("fa"),
+        F.col("r.vid").alias("vid_b"),
+        F.col("r.f").alias("fb"),
+        F.bit_count(
+            F.col("l.phash").bitwiseXOR(F.col("r.phash"))
+        ).cast("long").alias("hamming"),
     )
+    # filter BEFORE distinct (VERDICT r8 #1): hamming is a pure function
+    # of the frame pair, so the dedup exchange carries qualifying rows only
+    frame_pairs = frame_pairs.filter(F.col("hamming") <= F.lit(max_hamming)).distinct()
     return frame_pairs.groupBy("vid_a", "vid_b").agg(
         F.min("hamming").alias("min_hamming"),
         F.count(F.lit(1)).alias("n_close"),

@@ -685,6 +685,7 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     threshold = float(config.get("jaccard_threshold", 0.0))
     portable = bool(config.get("dedup_portable", False))
     materialize = config.get("dedup_materialize_shingles", True)
+    max_bucket = config.get("max_bucket_size", dedup_ops.DEFAULT_MAX_BUCKET_SIZE)
 
     history = History()
     docs = spark.read.parquet(config["documents_path"]).select(id_col, text_col)
@@ -706,7 +707,8 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
             sh, id_col, "shingles", num_hashes, portable
         )
         pairs = dedup_ops.lsh_pairs_from_signatures(
-            sigs, id_col, num_hashes, bands, portable
+            sigs, id_col, num_hashes, bands, portable,
+            max_bucket_size=max_bucket,
         )
     else:
         # no zone to read from: use the fused explode(word_shingles(...))
@@ -714,7 +716,8 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
         # shingle projection double-computes the shingling (see
         # minhash_signatures)
         pairs = dedup_ops.minhash_lsh_pairs(
-            docs, text_col, id_col, num_hashes, bands, shingle_n, portable
+            docs, text_col, id_col, num_hashes, bands, shingle_n, portable,
+            max_bucket_size=max_bucket,
         )
     history.insert_history(
         f"MinHash({num_hashes})+LSH({bands} bands) candidate pairs."
@@ -956,7 +959,16 @@ def run_media_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, st
     per-clip hash SET; both zones persist so downstream consumers (keep
     one per cluster, audit reports) never re-decode payloads. The pair
     stage reads the hash ZONE, so at 100 TB the pixels decode exactly
-    once and everything after moves 16-byte rows."""
+    once and everything after moves 16-byte rows.
+
+    Video cluster edges require ``video_min_n_close`` (default 2)
+    qualifying frame pairs: one shared frame must never merge whole
+    clips, because constant-luminance frames (black intros — every
+    gradient bit zero, dHash 0) collide across unrelated videos. Those
+    frames are additionally dropped before pairing
+    (``video_drop_constant_frames: false`` to keep them). Pigeonhole
+    buckets above ``max_bucket_size`` min-star reduce (see
+    ``dedup.lsh_pairs_from_signatures``)."""
     from stglib_spark.operators import dedup as dedup_ops
     from stglib_spark.operators import multimodal as mm
 
@@ -965,6 +977,7 @@ def run_media_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, st
     max_hamming = int(config.get("phash_max_hamming", 3))
     blocks = int(config.get("phash_blocks", 4))
     kind = str(config.get("media_kind", "image"))
+    max_bucket = config.get("max_bucket_size", dedup_ops.DEFAULT_MAX_BUCKET_SIZE)
 
     history = History()
     media = spark.read.parquet(config["media_path"])
@@ -975,9 +988,15 @@ def run_media_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, st
         history.insert_history("Hashed video frames (per-frame dHash).")
         paths["phash"] = _write_zone(hashed, config, "phash", history)
         fh = spark.read.parquet(paths["phash"])
+        if config.get("video_drop_constant_frames", True):
+            fh = fh.filter(F.col("phash") != 0)
         pairs = mm.video_phash_near_pairs(
-            fh, id_col=id_col, max_hamming=max_hamming, blocks=blocks
+            fh, id_col=id_col, max_hamming=max_hamming, blocks=blocks,
+            max_bucket_size=max_bucket,
         )
+        min_n_close = int(config.get("video_min_n_close", 2))
+        if min_n_close > 1:
+            pairs = pairs.filter(F.col("n_close") >= min_n_close)
         pair_cols = ("vid_a", "vid_b")
     else:
         hashed = mm.perceptual_hash(
@@ -987,7 +1006,8 @@ def run_media_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, st
         paths["phash"] = _write_zone(hashed, config, "phash", history)
         fh = spark.read.parquet(paths["phash"])
         pairs = mm.phash_near_pairs(
-            fh, id_col=id_col, max_hamming=max_hamming, blocks=blocks
+            fh, id_col=id_col, max_hamming=max_hamming, blocks=blocks,
+            max_bucket_size=max_bucket,
         )
         pair_cols = ("id_a", "id_b")
     history.insert_history(

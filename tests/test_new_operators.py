@@ -201,6 +201,74 @@ def test_simhash_near_pairs_blocks_and_validation(spark):
         simhash_near_pairs(fps, max_hamming=5, blocks=4)
 
 
+def test_oversize_bucket_star_reduction_and_observation(spark):
+    """VERDICT r8 task #2: a pigeonhole bucket larger than
+    ``max_bucket_size`` min-star reduces — each member pairs with the
+    bucket-min member only (linear output), cluster connectivity is
+    identical to the uncapped quadratic join, and the capped-member
+    count is surfaced through a Spark Observation (no silent caps).
+    ``oversize="drop"`` discards the bucket entirely."""
+    from pyspark.sql import Observation
+
+    from stglib_spark.operators.dedup import (
+        duplicate_clusters,
+        simhash_near_pairs,
+    )
+
+    # six exact dups (identical fingerprint → one mega-bucket per block)
+    # plus an unrelated near-pair in its own small buckets
+    rows = [(i, 4660) for i in range(6)] + [
+        (10, 131072000000),
+        (11, 131072000001),
+    ]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    uncapped = simhash_near_pairs(fps, max_bucket_size=None).collect()
+    assert len(uncapped) == 16  # 6·5/2 mega-bucket pairs + (10, 11)
+
+    obs = Observation("oversize")
+    capped = simhash_near_pairs(fps, max_bucket_size=3, observation=obs)
+    got = sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in capped.collect())
+    # star edges: bucket-min doc 0 to every other member, still hamming 0
+    assert got == [(0, k, 0) for k in range(1, 6)] + [(10, 11, 1)]
+    assert obs.get["oversize_members"] > 0
+
+    pairs_of = lambda rws: spark.createDataFrame(  # noqa: E731
+        [(r["doc_a"], r["doc_b"]) for r in rws], "doc_a long, doc_b long"
+    )
+    full = {
+        (r["doc_id"], r["canonical_id"])
+        for r in duplicate_clusters(pairs_of(uncapped)).collect()
+    }
+    star = {
+        (r["doc_id"], r["canonical_id"])
+        for r in duplicate_clusters(capped.select("doc_a", "doc_b")).collect()
+    }
+    assert full == star  # connectivity-equivalent
+
+    dropped = simhash_near_pairs(fps, max_bucket_size=3, oversize="drop").collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in dropped] == [(10, 11)]
+
+
+def test_lsh_oversize_bucket_star_reduction(spark):
+    """The MinHash/LSH band self-join honors the same bucket cap: one
+    band bucket holding every duplicate of a boilerplate page emits
+    member→bucket-min star edges instead of m²/2 pairs."""
+    from stglib_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the same boilerplate page body repeated verbatim") for i in range(8)]
+        + [(100, "an entirely different document about spark shuffles")],
+        "doc_id long, text string",
+    )
+    full = minhash_lsh_pairs(docs, max_bucket_size=None).collect()
+    assert len(full) == 8 * 7 // 2
+    capped = minhash_lsh_pairs(docs, max_bucket_size=4).collect()
+    assert sorted((r["doc_a"], r["doc_b"]) for r in capped) == [
+        (0, k) for k in range(1, 8)
+    ]
+
+
 def test_duplicate_clusters_chain_triangle_singleton(spark):
     """Connected components over the duplicate-pair graph: a 4-node chain
     (diameter 3, needs >1 propagation round), a triangle, and an isolated

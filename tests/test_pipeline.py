@@ -985,3 +985,62 @@ def test_run_media_dedup_image_and_video_zones(spark, fixture_dir):
         for row in spark.read.parquet(paths["clusters"]).collect()
     }
     assert clusters == {10: 10, 11: 10}
+
+
+def test_run_media_dedup_video_black_frame_does_not_merge(spark, fixture_dir):
+    """ADVICE r8: one shared constant-luminance frame (black intro —
+    dHash 0) must NOT merge two otherwise-unrelated clips. The stage
+    drops constant frames before pairing AND requires
+    ``video_min_n_close`` (default 2) qualifying frame pairs per edge;
+    disabling both guards reproduces the spurious merge."""
+    import os
+
+    import numpy as np
+
+    from stglib_spark.functions.media import encode_avi
+    from stglib_spark.pipeline import run_media_dedup
+
+    r = np.arange(12).reshape(12, 1)
+    c = np.arange(22).reshape(1, 22)
+
+    def gray(base):
+        return (
+            (base * 37 + r * 13 + c * 7 + (base % 11) * r * c) % 256
+        ).astype(np.uint8)
+
+    black = np.zeros((12, 22), dtype=np.uint8)
+
+    def avi(frames):
+        return encode_avi(
+            [np.repeat(f[..., None], 3, axis=2) for f in frames], fps=4.0
+        )
+
+    rows = [
+        (20, bytearray(avi([black, gray(5), gray(6)]))),
+        (21, bytearray(avi([black, gray(60), gray(61)]))),  # unrelated
+    ]
+    path = os.path.join(fixture_dir, "media_vids_black.parquet")
+    spark.createDataFrame(rows, "media_id long, content binary").write.mode(
+        "overwrite"
+    ).parquet(path)
+    cfg = {
+        "media_path": path,
+        "output_dir": fixture_dir,
+        "filename": "mediadedup_black",
+        "media_kind": "video",
+    }
+    paths = run_media_dedup(spark, cfg)
+    assert spark.read.parquet(paths["clusters"]).count() == 0
+
+    unguarded = dict(
+        cfg,
+        filename="mediadedup_black_off",
+        video_drop_constant_frames=False,
+        video_min_n_close=1,
+    )
+    paths = run_media_dedup(spark, unguarded)
+    clusters = {
+        row["doc_id"]: row["canonical_id"]
+        for row in spark.read.parquet(paths["clusters"]).collect()
+    }
+    assert clusters == {20: 20, 21: 20}  # the failure mode, reproduced

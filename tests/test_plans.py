@@ -213,10 +213,29 @@ def test_minhash_shingle_expression_not_double_computed(spark):
     is aliased in a Project first, InferFiltersFromGenerate adds a
     size()>0 filter on the alias and pushdown substitutes the full O(n·L)
     shingle expression into the Filter — computing it twice per row
-    (measured 1.6× on the LSH bench query). One zip_with chain per join
-    side of the self-join is the fused shape."""
+    (measured 1.6× on the LSH bench query). One zip_with chain per
+    consumer branch (pair-join left probe, per-bucket size aggregate,
+    pair-join right) is the fused shape; at runtime all three hang off
+    the one pinned repartition(band, bh) exchange, which AQE's exchange
+    reuse collapses so the chain EXECUTES once — pinned below."""
     plan = plan_of(spark, "dedup_minhash_lsh")
-    assert count(plan, r"zip_with\(zip_with") == 2
+    assert count(plan, r"zip_with\(zip_with") == 3
+
+    from stglib_spark.queries import QUERIES
+
+    df = QUERIES["dedup_minhash_lsh"](spark, SF)
+    df.collect()  # finalize THIS DataFrame's adaptive plan
+    final = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "isFinalPlan=true" in final, final
+    final = final.split("== Initial Plan ==")[0]
+    # the banding/shingle chain executes once: every other consumer reads
+    # a ReusedExchange of the pinned repartition
+    assert count(final, r"zip_with\(zip_with") == 1, final
+    assert count(final, r"ReusedExchange") >= 2, final
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark):
@@ -553,3 +572,55 @@ def test_phash_neardup_bucketed_pairing_no_all_pairs(spark):
     assert "MapInPandas" in plan, plan
     # the block equi-join (any hash-join family node qualifies)
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
+
+
+def test_hamming_filter_below_pair_distinct(spark):
+    """VERDICT r8 task #3: the exact-Hamming verification predicate sits
+    BELOW the pair ``distinct()`` in the physical plan for the
+    simhash/phash pairing family — with the source-level reorder the
+    optimizer folds ``bit_count(xor) <= k`` into the candidate join
+    condition itself, so non-qualifying pairs never enter the dedup
+    exchange. (Plans print parents first: the ``<= 3`` predicate must
+    appear on a LATER line than the pair-distinct aggregate.)"""
+    from stglib_spark.operators.dedup import simhash_near_pairs
+    from stglib_spark.queries import QUERIES
+
+    def check(df, agg_keys_pat, label):
+        plan = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "simple"
+            )
+        )
+        lines = plan.splitlines()
+        agg_line = next(
+            i for i, ln in enumerate(lines)
+            if re.search(rf"HashAggregate\(keys=\[{agg_keys_pat}", ln)
+        )
+        ham_line = next(
+            i for i, ln in enumerate(lines) if "<= 3" in ln
+        )
+        assert ham_line > agg_line, f"{label}:\n{plan}"
+
+    check(
+        QUERIES["mm_phash_neardup"](spark, SF), r"doc_a", "mm_phash_neardup"
+    )
+    check(
+        QUERIES["mm_video_phash_neardup"](spark, SF),
+        r"vid_a",
+        "mm_video_phash_neardup",
+    )
+    fps = spark.createDataFrame(
+        [(1, 17), (2, 16)], "doc_id long, simhash long"
+    )
+    check(simhash_near_pairs(fps), r"doc_a", "simhash_near_pairs")
+
+
+def test_oversize_bucket_guard_in_pairing_plans(spark):
+    """VERDICT r8 task #2: every LSH / pigeonhole candidate self-join
+    carries the per-bucket member-count window (the bucket-size guard)
+    in its plan — no unguarded quadratic pair blowup on a
+    mega-duplicate bucket."""
+    for name in ("dedup_minhash_lsh", "mm_phash_neardup",
+                 "mm_video_phash_neardup"):
+        plan = plan_of(spark, name)
+        assert re.search(r"Window|__bsz", plan), f"{name} lost the bucket guard"
