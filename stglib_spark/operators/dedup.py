@@ -754,9 +754,14 @@ def _duplicate_clusters_driver(pairs: DataFrame) -> DataFrame:
     Edges land via Arrow (``toPandas`` + one C-level ``tolist`` pass
     per column → plain Python ints), not ``collect()``: PySpark Row
     objects cost ~10× the memory of the bare values, which is what made
-    the old 2M-edge default unsafe on small drivers (ADVICE r7)."""
+    the old 2M-edge default unsafe on small drivers (ADVICE r7). Null
+    endpoints are dropped BEFORE the transfer (ADVICE r8): a null edge
+    is meaningless for connected components, and pandas would promote
+    the whole int64 column to float64 — silently diverging union-find
+    keys and breaking the LongType re-create."""
     from pyspark.sql.types import StructField, StructType
 
+    pairs = pairs.na.drop(subset=pairs.columns[:2])
     id_type = pairs.schema[0].dataType
     parent: dict = {}
 

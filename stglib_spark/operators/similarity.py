@@ -67,10 +67,18 @@ def pairwise_topk_within(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.9,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs within a partition key (e.g. LSH
     bucket or label): one Arrow batch per group, cosine matrix by BLAS
     GEMM, upper triangle above threshold emitted as pair rows.
+
+    ``dim`` pins the embedding dimensionality explicitly (callers with a
+    codebook know it — `dedup_semantic` passes the trained dim). Without
+    it, the per-group modal vector length is used with a deterministic
+    tie-break toward (count, then larger dim), so corrupt/ragged vectors
+    tying the modal count can never silently displace the true dim
+    (ADVICE r8).
 
     Why not a self-join with per-pair array math: a group of n rows costs
     n²/2 higher-order-function traversals (~5× slower measured at n≈200);
@@ -110,11 +118,16 @@ def pairwise_topk_within(
     def gemm(pdf: pd.DataFrame) -> pd.DataFrame:
         ids = pdf[id_col].to_numpy()
         arrs = pdf["__v"].to_numpy()
-        dims = [len(a) for a in arrs if a is not None]
-        if not dims:
-            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
-        dim = Counter(dims).most_common(1)[0][0]  # modal length = true dim
-        idx, m = _mask_vstack(arrs, dim)
+        if dim is not None:
+            d = dim
+        else:
+            dims = [len(a) for a in arrs if a is not None]
+            if not dims:
+                return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+            # modal length = true dim; tie-break deterministically toward
+            # the larger dim (Counter insertion order is batch-dependent)
+            d = max(Counter(dims).items(), key=lambda kv: (kv[1], kv[0]))[0]
+        idx, m = _mask_vstack(arrs, d)
         ids = ids[idx]  # null/ragged vectors form no pairs
         norms = np.linalg.norm(m, axis=1)
         norms[norms == 0.0] = np.nan  # zero vectors → no pair (cos undefined)

@@ -1302,16 +1302,16 @@ def streaming_phash_gate(
             F.col("bb.bh").alias("bh"),
         )
 
-    # stream side: hash rides along with the event time through the
-    # stateless projection; the time column re-joins via the id-keyed
-    # original (perceptual_hash projects id+content only)
+    # stream side: the event-time column rides THROUGH the stateless
+    # hash projection (perceptual_hash keep_cols) — never a
+    # stream-stream self-join, which without watermarks on both inputs
+    # would buffer every row in state forever (ADVICE r8)
     stream_hashed = perceptual_hash(
-        media.select(id_col, content_col), id_col=id_col
+        media.select(id_col, time_col, content_col),
+        id_col=id_col,
+        keep_cols=[time_col],
     )
-    stream_times = media.select(id_col, time_col)
-    sb = banded(
-        stream_hashed.join(stream_times, id_col), "s"
-    )
+    sb = banded(stream_hashed, "s")
 
     idx_hashed = perceptual_hash(
         index_media.select(

@@ -159,3 +159,29 @@ def test_perceptual_hash_invariant_across_containers(spark):
     assert got[0] is not None
     assert got[0] == got[1] == got[2], got
     assert got[3] is None and got[4] is None and got[5] is None
+
+
+def test_perceptual_hash_string_ids_and_keep_cols(spark):
+    """ADVICE r8: the output id dtype follows the input schema (string
+    media ids work), and ``keep_cols`` ride through the stateless hash
+    projection — the plumbing `streaming_phash_gate` uses instead of an
+    unwatermarked stream-stream self-join."""
+    import numpy as np
+
+    from stglib_spark.operators.multimodal import perceptual_hash
+
+    r = np.arange(12).reshape(12, 1)
+    c = np.arange(22).reshape(1, 22)
+    gray = ((r * 13 + c * 7) % 256).astype(np.uint8)
+    pgm = b"P5\n22 12\n255\n" + gray.tobytes()
+    df = spark.createDataFrame(
+        [("img-a", 1000, bytearray(pgm)), ("img-b", 2000, None)],
+        "media_id string, ts long, content binary",
+    )
+    out = perceptual_hash(df, keep_cols=["ts"])
+    assert [f.dataType.simpleString() for f in out.schema.fields] == [
+        "string", "bigint", "bigint"
+    ]
+    rows = {r["media_id"]: (r["ts"], r["phash"]) for r in out.collect()}
+    assert rows["img-a"][0] == 1000 and rows["img-a"][1] is not None
+    assert rows["img-b"] == (2000, None)
