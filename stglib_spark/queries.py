@@ -10642,6 +10642,358 @@ def e2e_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _diwasp_oracle_sql() -> str:
+    """Generate the DuckDB replay of the FULL run_diwasp stage on the
+    crafted 2-burst PUV corpus (VERDICT r8 task #5 — retires the last
+    rows-only wave stage). Chain replayed, matching the production
+    kernel (`functions/diwasp.py` dirspec; reference
+    lib/pyDIWASP/dirspec.py:23-189, core/waves.py:135-306):
+
+    closed-form least-squares detrend → hamming-16 Welch cross-spectral
+    matrix (4 segments, direct DFT against a numpy-precomputed
+    window×trig literal table — FFT-vs-direct drift is ~1e-15, far
+    below the 1e-6 snap) → Newton dispersion solve with the kernel's
+    exact global-convergence flag (tanh/cosh inlined via exp; the
+    update applies to every bin until ALL bins pass 1e-8, replayed
+    bit-faithfully by an unrolled flag chain) → pres/velx/vely transfer
+    functions with the 0.1 floor → DFTM quadratic form (kx = 0 for the
+    co-located PUV layout; imaginary parts cancel pairwise, so the real
+    algebra is exact) → np.interp frequency regrid with plan-time
+    weights → circular direction regrid (the 12-point internal and
+    output grids coincide modulo 360°, a pure permutation) →
+    5×5 separable cross smoothing on interior cells → infospec stats
+    on the INTERNAL grid (hs/tp/dtp/dp) + mean direction by double
+    trapezoid on the smoothed output grid. Every grid/window constant
+    is computed in Python with the same numpy ops and embedded as a
+    repr'd literal, so only data-dependent arithmetic replays in SQL."""
+    import numpy as _np
+
+    r = repr
+    fs, zp, G = 2.0, 0.5, 9.81
+    dres = 12
+    w = 0.54 - 0.46 * _np.cos(2 * _np.pi * _np.arange(16) / 16.0)
+    K = _np.arange(1, 9)
+    ang = 2 * _np.pi * _np.outer(_np.arange(16), K) / 16.0
+    wc = w[:, None] * _np.cos(ang)
+    ws = w[:, None] * _np.sin(ang)
+    wct_rows = ",\n      ".join(
+        f"({i},{k},{r(wc[i, k - 1])},{r(ws[i, k - 1])})"
+        for i in range(16) for k in range(1, 9)
+    )
+    scale = 1.0 / (fs * (w * w).sum())
+    F_ = K / 8.0
+    omega = 2 * _np.pi * F_
+    inv_f = 1.0 / F_
+    freq_rows = ",\n      ".join(
+        f"({k},{r(F_[k - 1])},{r(omega[k - 1])},{r(inv_f[k - 1])})" for k in K
+    )
+    pid = _np.linspace(-_np.pi, _np.pi - 2 * _np.pi / dres, num=dres)
+    cosd, sind = _np.cos(pid), _np.sin(pid)
+    dideg = _np.degrees(pid) % 360.0
+    ddir = 2 * _np.pi / dres
+    dir_rows = ",\n      ".join(
+        f"({d},{r(cosd[d])},{r(sind[d])},{r(dideg[d])})" for d in range(dres)
+    )
+    f_out = _np.linspace(0.125, 0.95, 8)
+    Fint = F_[:7]
+    interp_rows = []
+    for o, fo in enumerate(f_out):
+        if fo > Fint[-1]:
+            interp_rows.append(f"({o},1,0.0,0.0)")  # explicit zero row
+            continue
+        j = int(_np.searchsorted(Fint, fo, side="right") - 1)
+        j = min(max(j, 0), 5)
+        t = (fo - Fint[j]) / (Fint[j + 1] - Fint[j])
+        interp_rows.append(f"({o},{j + 1},1.0,{r(float(t))})")
+    interp_sql = ",\n      ".join(interp_rows)
+    dro = _np.radians(_np.arange(0.0, 360.0, 30.0))
+    cos_o, sin_o = _np.cos(dro), _np.sin(dro)
+    dxq = _np.diff(dro)
+    dfo = _np.diff(f_out)
+    dd_out = dro[1] - dro[0]
+    outdir_rows = ",\n      ".join(
+        f"({q},{r(cos_o[q])},{r(sin_o[q])})" for q in range(12)
+    )
+    dxq_rows = ",\n      ".join(f"({q},{r(dxq[q])})" for q in range(11))
+    dfo_rows = ",\n      ".join(f"({o},{r(dfo[o])})" for o in range(7))
+
+    def TANH(x):
+        return f"(1.0 - 2.0/(exp(2.0*({x})) + 1.0))"
+
+    def COSH(x):
+        return f"((exp({x}) + exp(-({x})))/2.0)"
+
+    def SINH(x):
+        return f"((exp({x}) - exp(-({x})))/2.0)"
+
+    newton = []
+    prev = "nw0"
+    for t in range(8):
+        newton.append(f"""
+    it{t}a AS (
+      SELECT b, k, a0, done,
+        CASE WHEN done THEN a1 ELSE a1 + da1 END AS a1,
+        CASE WHEN done THEN 0.0
+             ELSE abs(da1 / (CASE WHEN a1 + da1 = 0 THEN 1.0 ELSE a1 + da1 END))
+        END AS ratio
+      FROM (
+        SELECT b, k, a0, a1, done,
+          -(a0 - a1 * {TANH('a1')}) /
+           (-a1 * pow(1.0/{COSH('a1')}, 2) - {TANH('a1')}) AS da1
+        FROM {prev})
+    ),
+    it{t} AS (
+      SELECT b, k, a0, a1,
+             done OR (max(ratio) OVER (PARTITION BY b)) < 1e-8 AS done
+      FROM it{t}a
+    )""")
+        prev = f"it{t}"
+    newton_sql = ",".join(newton)
+
+    return f"""
+    WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+    bs AS (SELECT unnest(generate_series(0, 1)) AS b),
+    samples AS (
+      SELECT b, i,
+        10.0 + (((7*i + 13*b) % 16) - 8) / 64.0 AS p,
+        (((5*i + 3*b + 4) % 16) - 8) / 64.0 AS u,
+        (((3*i + 11*b + 9) % 16) - 8) / 64.0 AS v
+      FROM bs, idx),
+    chan AS (
+      SELECT b, i, 0 AS m, p AS x FROM samples
+      UNION ALL SELECT b, i, 1, u FROM samples
+      UNION ALL SELECT b, i, 2, v FROM samples),
+    fit AS (
+      SELECT b, m, (sum(i*x) - 31.5*sum(x)) / 21840.0 AS slope,
+             sum(x)/64.0 AS mu
+      FROM chan GROUP BY b, m),
+    det AS (
+      SELECT c.b, c.m, c.i, c.x - ((f.mu - f.slope*31.5) + f.slope*c.i) AS xd
+      FROM chan c JOIN fit f USING (b, m)),
+    wct(i, k, wc, ws) AS (VALUES
+      {wct_rows}),
+    freqs(k, f, omega, invf) AS (VALUES
+      {freq_rows}),
+    dirs(d, cosd, sind, dideg) AS (VALUES
+      {dir_rows}),
+    fftx AS (
+      SELECT d.b, d.m, t.k, (d.i // 16) AS s,
+             sum(d.xd * t.wc) AS re, -sum(d.xd * t.ws) AS im
+      FROM det d JOIN wct t ON t.i = (d.i % 16)
+      GROUP BY d.b, d.m, t.k, (d.i // 16)),
+    xps AS (
+      SELECT a.b, a.m, c.m AS n, a.k,
+        sum(a.re*c.re + a.im*c.im) * {r(scale)} / 4.0
+          * (CASE WHEN a.k < 8 THEN 2.0 ELSE 1.0 END) AS re
+      FROM fftx a JOIN fftx c ON a.b=c.b AND a.k=c.k AND a.s=c.s
+      GROUP BY a.b, a.m, c.m, a.k),
+    dep AS (SELECT b, sum(p)/64.0 + {r(zp)} AS depth FROM samples GROUP BY b),
+    nw0 AS (
+      SELECT d.b, f.k,
+        (f.omega * f.omega) * d.depth / {r(G)} AS a0,
+        ((f.omega * f.omega) * d.depth / {r(G)})
+          * pow(1.0/{TANH(f"pow((f.omega*f.omega)*d.depth/{r(G)}, 0.75)")}, 0.666) AS a1,
+        FALSE AS done
+      FROM dep d, freqs f),
+    {newton_sql},
+    wns AS (SELECT n.b, n.k, n.a1 / d.depth AS wn, d.depth
+            FROM {prev} n JOIN dep d USING (b)),
+    trf AS (
+      SELECT w.b, w.k, f.omega,
+        (CASE WHEN kzp_raw < 0.1 THEN 0.1 ELSE kzp_raw END) AS kzp,
+        (CASE WHEN kzv_raw < 0.1 THEN 0.1 ELSE kzv_raw END) AS kzv
+      FROM (
+        SELECT b, k, {COSH(f'{r(zp)}*wn')} / {COSH('depth*wn')} AS kzp_raw,
+               {COSH(f'{r(zp)}*wn')} / {SINH('depth*wn')} AS kzv_raw
+        FROM wns) w JOIN freqs f USING (k)
+      WHERE w.k <= 7),
+    trmt AS (
+      SELECT t.b, t.k, dd.d, dd.dideg,
+             t.kzp AS t0, t.omega * t.kzv * dd.cosd AS t1,
+             t.omega * t.kzv * dd.sind AS t2
+      FROM trf t, dirs dd),
+    sfj AS (
+      SELECT x.b, x.k, t.d, t.dideg,
+        sum(x.re * (CASE x.m WHEN 0 THEN t.t0 WHEN 1 THEN t.t1 ELSE t.t2 END)
+                 * (CASE x.n WHEN 0 THEN t.t0 WHEN 1 THEN t.t1 ELSE t.t2 END)) AS sf
+      FROM xps x JOIN trmt t ON t.b = x.b AND t.k = x.k
+      WHERE x.k <= 7
+      GROUP BY x.b, x.k, t.d, t.dideg),
+    nrm AS (SELECT b, k, {r(ddir)} * sum(sf) AS norm FROM sfj GROUP BY b, k),
+    ss0 AS (
+      SELECT x.b, x.k, x.re / (t.kzp * t.kzp) AS s0
+      FROM xps x JOIN trf t ON t.b = x.b AND t.k = x.k
+      WHERE x.m = 0 AND x.n = 0 AND x.k <= 7),
+    s1 AS (
+      SELECT j.b, j.k, j.d, j.dideg,
+        CASE WHEN raw IS NULL OR isnan(raw) OR raw < 0 THEN 0.0 ELSE raw END AS s
+      FROM (
+        SELECT j.b, j.k, j.d, j.dideg,
+          CASE WHEN n.norm <> 0 THEN z.s0 * j.sf / n.norm ELSE 0.0 END AS raw
+        FROM sfj j JOIN nrm n USING (b, k) JOIN ss0 z USING (b, k)) j),
+    hsb AS (SELECT b, 4.0 * sqrt(sum(s) * 0.125 * {r(ddir)}) AS hs
+            FROM s1 GROUP BY b),
+    fint AS (SELECT b, k, sum(s) * {r(ddir)} AS fi FROM s1 GROUP BY b, k),
+    ipk AS (SELECT b, (list(k ORDER BY fi DESC, k))[1] AS kpk
+            FROM fint GROUP BY b),
+    tpb AS (SELECT i.b, f.invf AS tp FROM ipk i JOIN freqs f ON f.k = i.kpk),
+    dtpb AS (
+      SELECT s1.b, (list(s1.dideg ORDER BY s1.s DESC, s1.d))[1] AS dtp
+      FROM s1 JOIN ipk ON ipk.b = s1.b AND s1.k = ipk.kpk GROUP BY s1.b),
+    dsum AS (SELECT b, d, dideg, sum(s) AS sd FROM s1 GROUP BY b, d, dideg),
+    dpb AS (SELECT b, (list(dideg ORDER BY sd DESC, d))[1] AS dp
+            FROM dsum GROUP BY b),
+    imap(o, j, wgt, t) AS (VALUES
+      {interp_sql}),
+    sfreq AS (
+      SELECT m.o, a.b, a.d,
+        m.wgt * (a.s + m.t * (bn.s - a.s)) AS s
+      FROM imap m
+      JOIN s1 a ON a.k = m.j
+      JOIN s1 bn ON bn.b = a.b AND bn.d = a.d
+                AND bn.k = (CASE WHEN m.j < 7 THEN m.j + 1 ELSE 7 END)),
+    sgrid AS (
+      SELECT f.b, f.o, dd.d AS q, f.s
+      FROM sfreq f JOIN (SELECT unnest(generate_series(0, 11)) AS d) dd
+        ON f.d = (dd.d + 6) % 12),
+    smw(doo, dqq, wgt) AS (VALUES
+      (-2,0,0.25),(-1,0,0.5),(0,0,2.0),(1,0,0.5),(2,0,0.25),
+      (0,-2,0.25),(0,-1,0.5),(0,1,0.5),(0,2,0.25)),
+    smagg AS (
+      SELECT g.b, g.o, g.q, sum(w.wgt * nb.s) / 5.0 AS sval
+      FROM sgrid g
+      JOIN smw w ON g.o BETWEEN 2 AND 5 AND g.q BETWEEN 2 AND 9
+      JOIN sgrid nb ON nb.b = g.b AND nb.o = g.o + w.doo AND nb.q = g.q + w.dqq
+      GROUP BY g.b, g.o, g.q),
+    sm AS (
+      SELECT g.b, g.o, g.q, coalesce(a.sval, g.s) AS s
+      FROM sgrid g LEFT JOIN smagg a ON a.b=g.b AND a.o=g.o AND a.q=g.q),
+    fsp AS (SELECT b, o, sum(s) * {r(dd_out)} AS fs FROM sm GROUP BY b, o),
+    odirs(q, cq, sq) AS (VALUES
+      {outdir_rows}),
+    dxq(q, dx) AS (VALUES
+      {dxq_rows}),
+    dfo(o, df) AS (VALUES
+      {dfo_rows}),
+    inner_tr AS (
+      SELECT g.b, g.o,
+        sum(x.dx * (g.s * od.sq + g2.s * od2.sq) / 2.0) AS iy_s,
+        sum(x.dx * (g.s * od.cq + g2.s * od2.cq) / 2.0) AS iy_c
+      FROM dxq x
+      JOIN sm g  ON g.q = x.q
+      JOIN sm g2 ON g2.b = g.b AND g2.o = g.o AND g2.q = x.q + 1
+      JOIN odirs od  ON od.q = x.q
+      JOIN odirs od2 ON od2.q = x.q + 1
+      GROUP BY g.b, g.o),
+    outer_tr AS (
+      SELECT a.b,
+        sum(x.df * (a.iy_s + a2.iy_s) / 2.0) AS sx,
+        sum(x.df * (a.iy_c + a2.iy_c) / 2.0) AS cx
+      FROM dfo x
+      JOIN inner_tr a  ON a.o = x.o
+      JOIN inner_tr a2 ON a2.b = a.b AND a2.o = x.o + 1
+      GROUP BY a.b),
+    mwd AS (
+      SELECT b,
+        CASE WHEN cx = 0 THEN (CASE WHEN sx >= 0 THEN 90.0 ELSE 270.0 END)
+             WHEN sx > 0 AND cx < 0 THEN 180.0 - degrees(atan(abs(sx/cx)))
+             WHEN sx < 0 AND cx < 0 THEN 180.0 + degrees(atan(abs(sx/cx)))
+             WHEN sx < 0 AND cx > 0 THEN 360.0 - degrees(atan(abs(sx/cx)))
+             ELSE degrees(atan(abs(sx/cx)))
+        END AS dm
+      FROM outer_tr)
+    SELECT
+      CASE WHEN h.b = 0 THEN TIMESTAMP '2021-06-01 00:00:00'
+           ELSE TIMESTAMP '2021-06-01 01:00:00' END AS burst_time,
+      round(h.hs, 6) AS wh_4061,
+      round(t.tp, 6) AS wp_peak,
+      round(dt.dtp, 6) AS wvdir,
+      round(dp.dp, 6) AS dwvdir,
+      round(m.dm, 6) AS wd_4062,
+      'puv' AS diwasp_type,
+      round(f3.fs, 6) AS fspec_3,
+      round(s22.s, 6) AS dspec_2_2,
+      round(s37.s, 6) AS dspec_3_7
+    FROM hsb h
+    JOIN tpb t USING (b) JOIN dtpb dt USING (b) JOIN dpb dp USING (b)
+    JOIN mwd m USING (b)
+    JOIN fsp f3 ON f3.b = h.b AND f3.o = 3
+    JOIN sm s22 ON s22.b = h.b AND s22.o = 2 AND s22.q = 2
+    JOIN sm s37 ON s37.b = h.b AND s37.o = 3 AND s37.q = 7
+    ORDER BY burst_time
+    """
+
+
+@register("e2e_diwasp_roundtrip", _diwasp_oracle_sql())
+def e2e_diwasp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END DIWASP STAGE oracle (`pipeline.run_diwasp`, the
+    directional-spectra member of the stage-oracle family — VERDICT r8
+    task #5): write a crafted 2-burst PUV clean zone (64 samples/burst
+    on exact 1/64 grids, so channel sums and the burst-mean depth are
+    bit-exact in any summation order), run the PRODUCTION nc2diwasp
+    stage — `_burst_keyed` → `make_diwasp_ds`'s per-burst
+    `applyInPandas` → the full `functions.diwasp.dirspec` chain
+    (detrend → Welch CSD → Newton dispersion → transfer functions →
+    DFTM estimator → regrid → 5×5 smoothing → infospec) → diwasp
+    parquet zone — and RE-READ the zone. DuckDB replays every stage
+    numerically (see `_diwasp_oracle_sql`). DFTM keeps the replay
+    deterministic (no iteration-count coupling beyond the dispersion
+    solve's flagged Newton, replayed exactly); the IMLM estimator is
+    separately driver-green via `wave_imlm_relax_oracle`, and the
+    pipeline wiring is IDENTICAL for both methods.
+
+    Scale shape: the stage is one shuffle on the burst key + Arrow
+    batches through the kernel — the reference's dask-Client fan-out
+    (core/waves.py:263-306) with elastic parallelism; burst size bounds
+    kernel memory, zone parquet bounds lineage."""
+    import os
+    import tempfile
+
+    from stglib_spark import pipeline
+
+    d = tempfile.mkdtemp(prefix="e2ediwasp_")
+    base_epoch = 1622505600  # 2021-06-01 00:00:00 UTC
+    b = (F.col("id") / 64).cast("long")
+    i = F.pmod(F.col("id"), 64)
+    clean = spark.range(128).select(
+        b.alias("burst"),
+        i.cast("long").alias("sample"),
+        F.timestamp_seconds(
+            F.lit(base_epoch) + b * 3600 + i.cast("double") * 0.5
+        ).alias("time"),
+        (F.lit(10.0) + (F.pmod(7 * i + 13 * b, 16) - 8) / 64.0).alias("P_1ac"),
+        ((F.pmod(5 * i + 3 * b + 4, 16) - 8) / 64.0).alias("u_1205"),
+        ((F.pmod(3 * i + 11 * b + 9, 16) - 8) / 64.0).alias("v_1206"),
+    )
+    clean.write.mode("overwrite").parquet(os.path.join(d, "e2e_diwasp_clean"))
+    config = {
+        "output_dir": d,
+        "filename": "e2e_diwasp",
+        "sample_interval": 0.5,
+        "pressure_sensor_height": 0.5,
+        "diwasp": "puv",
+        "diwasp_method": "DFTM",
+        "diwasp_nfft": 16,
+        "diwasp_dres": 12,
+        "diwasp_nfreqs": 8,
+        "diwasp_ndirs": 12,
+    }
+    zone = pipeline.run_diwasp(spark, config)
+    out = spark.read.parquet(zone)
+    return out.select(
+        "burst_time",
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_peak").alias("wp_peak"),
+        _r6("wvdir").alias("wvdir"),
+        _r6("dwvdir").alias("dwvdir"),
+        _r6("wd_4062").alias("wd_4062"),
+        "diwasp_type",
+        _r6(F.col("diwasp_fspec").getItem(3)).alias("fspec_3"),
+        _r6(F.col("diwasp_dspec").getItem(2).getItem(2)).alias("dspec_2_2"),
+        _r6(F.col("diwasp_dspec").getItem(3).getItem(7)).alias("dspec_3_7"),
+    )
+
+
 @register(
     "mm_video_phash_neardup",
     """
@@ -11558,6 +11910,8 @@ _FRONT = [
     #   vel_trim_sidelobe wave_imlm_relax_oracle
     # then r11 takes the r6 block (42 rows: agg_*/coord_*/phys_*/
     # ts_*/qaqc_* last green r6).
+    # (a) NEW this round: the diwasp stage oracle (VERDICT r8 task #5)
+    "e2e_diwasp_roundtrip",
     # (b) stage-composition oracles
     "e2e_glx_waves_roundtrip",
     "e2e_pressure_waves_roundtrip",
