@@ -402,7 +402,7 @@ def lsh_pairs_from_signatures(
                 f"oversize must be 'star' or 'drop', got {oversize!r}"
             )
         left = annotated.filter(keep_left).drop("__mn").alias("l")
-        right = pinned.alias("r")
+        right = pinned.hint("shuffle_hash").alias("r")
         cond = (
             (F.col("l.__bsz") <= max_bucket_size)
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
@@ -597,7 +597,7 @@ def simhash_near_pairs(
                 f"oversize must be 'star' or 'drop', got {oversize!r}"
             )
         left = annotated.filter(keep_left).drop("__mn").alias("l")
-        right = pinned.alias("r")
+        right = pinned.hint("shuffle_hash").alias("r")
         cond = (
             (F.col("l.__bsz") <= max_bucket_size)
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))

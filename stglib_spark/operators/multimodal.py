@@ -529,7 +529,7 @@ def video_phash_near_pairs(
                 f"oversize must be 'star' or 'drop', got {oversize!r}"
             )
         left = annotated.filter(keep_left).drop("__mn").alias("l")
-        right = pinned.alias("r")
+        right = pinned.hint("shuffle_hash").alias("r")
         cond = (
             (F.col("l.__bsz") <= max_bucket_size)
             & (F.col("l.vid") < F.col("r.vid"))
