@@ -84,6 +84,23 @@ HEADLINE = [
     "e2e_rbr_clean_roundtrip",
 ]
 
+# Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and
+# reported as a SEPARATE column — their wall time is dominated by fixed
+# zone write/read cycles (the restartable-layout contract) plus
+# synthesized fixed-size corpora, so it is near-constant across scale
+# factors. Keeping them out of `value`/`value_baseline_set` keeps the
+# round-over-round totals apples-to-apples while making data-cost drift
+# in the stage plumbing visible per round.
+E2E_STAGE = [
+    "e2e_diwasp_roundtrip",
+    "e2e_glx_waves_roundtrip",
+    "e2e_pressure_waves_roundtrip",
+    "e2e_puv_waves_roundtrip",
+    "e2e_cli_export_nc_roundtrip",
+    "e2e_corpus_all_packs",
+    "e2e_media_dedup_clusters",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -147,6 +164,17 @@ def main() -> None:
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3
     )
+
+    # single-pass stage-oracle column (fixed zone-write overhead; see
+    # E2E_STAGE comment). e2e_rbr_clean_roundtrip stays in the headline
+    # loop for continuity with BENCH_r08.
+    e2e_times: dict[str, float] = {}
+    for name in E2E_STAGE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        e2e_times[name] = round(time.perf_counter() - t0, 3)
+
     print(
         json.dumps(
             {
@@ -155,6 +183,8 @@ def main() -> None:
                 "unit": "sec",
                 "value_baseline_set": baseline_set,
                 "queries": times,
+                "e2e_stage_queries": e2e_times,
+                "e2e_stage_total": round(sum(e2e_times.values()), 3),
                 "sf": sf,
             }
         )
