@@ -147,6 +147,14 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# TPC-H broadcast policy (r9): explicit F.broadcast hints stay ONLY on
+# tables whose size is a CONSTANT of the schema (nation: 25 rows,
+# region: 5) and on single-row aggregates (global max/avg/threshold
+# scalars). customer/supplier/part and any table-derived key set scale
+# WITH the data — at 100 TB a forced broadcast of customer is an OOM,
+# so those joins are left to the optimizer: CBO/AQE broadcasts them at
+# bench scale from parquet size stats (same local plan as before) and
+# falls back to a shuffled join when the side outgrows the threshold.
 @register(
     "q3_top_revenue_orders",
     """
@@ -167,7 +175,7 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy(
             F.col("l_orderkey").alias("o_orderkey"), "o_orderdate", "o_orderpriority"
         )
@@ -203,7 +211,7 @@ def q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = load_table(spark, sf_dir, "region")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("n_name").alias("nation"))
@@ -269,7 +277,7 @@ def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.filter(F.col("l_returnflag") == "R")
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy(
             F.col("c_custkey").alias("custkey"),
@@ -351,9 +359,9 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_13")
     ) | ((F.col("supp_nation") == "NATION_13") & (F.col("cust_nation") == "NATION_12"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .filter(pair)
@@ -451,7 +459,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1996-02-01")
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .agg(
             _r6(
                 100.0
@@ -489,7 +497,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(mx))
         .filter(F.col("total_rev") == F.col("__mx"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select("s_suppkey", "s_name", "total_rev")
     )
 
@@ -516,8 +524,8 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (0.2 * F.avg("l_quantity")).alias("qlim")
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(qlim), F.col("l_partkey") == F.col("q_partkey"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(qlim, F.col("l_partkey") == F.col("q_partkey"))
         .filter(F.col("l_quantity") < F.col("qlim"))
         .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
     )
@@ -552,9 +560,9 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         o.join(
-            F.broadcast(big), o.o_orderkey == F.col("big_orderkey"), "left_semi"
+            big, o.o_orderkey == F.col("big_orderkey"), "left_semi"
         )
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(li, o.o_orderkey == li.l_orderkey)
         .groupBy(
             F.col("c_name").alias("cname"),
@@ -602,7 +610,7 @@ def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("l_quantity").between(20, 30)
     )
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(cond)
         .agg(
             F.round(
@@ -653,10 +661,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("ns_key"))
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("nc_key"))
         .join(F.broadcast(r), F.col("nc_regionkey") == r.r_regionkey)
         .groupBy(F.year("l_shipdate").cast("long").alias("l_year"))
@@ -722,7 +730,7 @@ def q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("__n_supp") > 1) & (F.col("__n_late_supp") == 1))
     )
     return (
-        sole_late.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        sole_late.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy(F.col("s_name").alias("sname"))
         .agg(F.count_distinct("l_orderkey").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("sname"))
@@ -816,7 +824,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("p_size") == 5) & (F.col("p_type") == "STANDARD")
     )
     eligible = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -839,8 +847,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         eligible.join(best, ["partkey"])
         .filter(F.col("micro_price") == F.col("min_micro"))
-        .join(F.broadcast(p), F.col("partkey") == p.p_partkey)
-        .join(F.broadcast(sn), F.col("suppkey") == F.col("s_suppkey"))
+        .join(p, F.col("partkey") == p.p_partkey)
+        .join(sn, F.col("suppkey") == F.col("s_suppkey"))
         .select(
             F.col("s_acctbal").alias("sacctbal"),
             F.col("s_name").alias("sname"),
@@ -896,8 +904,8 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.signum(amount) * F.floor(F.abs(amount) * F.lit(100.0) + F.lit(0.5))
     ).cast("bigint")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
@@ -955,7 +963,7 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         + F.lit(0.5)
     ).cast("bigint")
     partval = (
-        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        li.join(s, li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy(F.col("l_partkey").alias("partkey"))
         .agg(F.sum(cents).alias("__cents"))
@@ -1013,9 +1021,9 @@ def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.filter(F.col("l_suppkey").isNotNull())
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .join(
-            F.broadcast(bad),
+            bad,
             F.col("l_suppkey") == F.col("bad_suppkey"),
             "left_anti",
         )
@@ -1076,7 +1084,7 @@ def q20_dominant_shipper(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_shipdate") >= "1997-01-01")
             & (F.col("l_shipdate") < "1998-01-01")
         )
-        .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(p, li.l_partkey == p.p_partkey)
         .groupBy(
             F.col("l_partkey").alias("partkey"),
             F.col("l_suppkey").alias("suppkey"),
