@@ -1074,3 +1074,4 @@ def test_e2e_queries_leave_session_confs_untouched(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", "8")
         spark.conf.set("spark.sql.session.timeZone", "UTC")
+

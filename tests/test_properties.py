@@ -458,3 +458,50 @@ def test_seq_sq_dists_argmin_matches_lexicographic_tiebreak(n, k, seed):
         best = min(range(k), key=lambda c: (dist[r, c], c))
         assert got[r] == best
         assert got[r] != k - 1 or dist[r, 0] != dist[r, k - 1]
+
+
+def test_bucket_cap_star_reduction_properties(spark):
+    """Property check for the LSH/pigeonhole bucket-size guard on random
+    fingerprint corpora: for ANY cap, (a) capped pairs are a SUBSET of
+    the uncapped candidate pairs (star edges are genuine co-bucketed
+    candidates), (b) duplicate-cluster connectivity is IDENTICAL, and
+    (c) drop mode is a subset of star mode."""
+    import random
+
+    from stglib_spark.operators.dedup import (
+        duplicate_clusters,
+        simhash_near_pairs,
+    )
+
+    rng = random.Random(1789)
+    # a few mega-duplicate groups + noise so buckets of many sizes occur
+    rows = []
+    doc = 0
+    for g in range(4):
+        base = rng.getrandbits(60)
+        for _ in range(rng.randint(2, 12)):
+            fp = base ^ (1 << rng.randrange(60) if rng.random() < 0.5 else 0)
+            rows.append((doc, fp))
+            doc += 1
+    for _ in range(20):
+        rows.append((doc, rng.getrandbits(60)))
+        doc += 1
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+
+    full = simhash_near_pairs(fps, max_bucket_size=None)
+    full_pairs = {(r["doc_a"], r["doc_b"]) for r in full.collect()}
+    clusters_of = lambda pairs_df: {  # noqa: E731
+        (r["doc_id"], r["canonical_id"])
+        for r in duplicate_clusters(pairs_df.select("doc_a", "doc_b")).collect()
+    }
+    full_clusters = clusters_of(full)
+
+    for cap in (1, 2, 5, 4096):
+        capped = simhash_near_pairs(fps, max_bucket_size=cap)
+        capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
+        assert capped_pairs <= full_pairs, cap
+        assert clusters_of(capped) == full_clusters, cap
+        dropped = simhash_near_pairs(fps, max_bucket_size=cap, oversize="drop")
+        assert {
+            (r["doc_a"], r["doc_b"]) for r in dropped.collect()
+        } <= capped_pairs, cap
