@@ -2252,6 +2252,44 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# the bucket-size guard (VERDICT r8 task #2) as DRIVER-HASHED evidence:
+# cap 3 is BELOW the corpus's real duplicate-group sizes (the documents
+# table holds boilerplate dup groups up to 41 members at sf0.1), so the
+# oracle replays genuine min-star reductions, not a no-op
+_LSH_CAP = 3
+
+
+@register(
+    "dedup_lsh_bucket_cap",
+    _MH_CAND_CTES
+    + f""",
+    bsz AS (
+      SELECT band, bh, count(*) AS n, min(doc_id) AS mn
+      FROM band GROUP BY band, bh
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM band a
+    JOIN band b ON a.band = b.band AND a.bh = b.bh
+    JOIN bsz z ON z.band = a.band AND z.bh = a.bh
+    WHERE (z.n <= {_LSH_CAP} AND a.doc_id < b.doc_id)
+       OR (z.n > {_LSH_CAP} AND a.doc_id = z.mn AND b.doc_id <> z.mn)
+    """,
+)
+def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs under the oversize-bucket guard
+    (`dedup.lsh_pairs_from_signatures` max_bucket_size): buckets above
+    the cap emit member→bucket-min star edges instead of m²/2 pairs —
+    linear join enumeration AND output, connectivity-equivalent for the
+    clustering consumer (pinned by test_properties). The oracle replays
+    the exact rule: per-(band, hash) member counts and minimum ids,
+    all ordered pairs below the cap, star edges above it."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True,
+        max_bucket_size=_LSH_CAP,
+    )
+
+
 @register(
     "dedup_token_jaccard",
     _MH_CAND_CTES
@@ -11919,7 +11957,10 @@ _FRONT = [
     # then r11 takes the r6 block (42 rows: agg_*/coord_*/phys_*/
     # ts_*/qaqc_* last green r6).
     # (a) NEW this round: the diwasp stage oracle (VERDICT r8 task #5)
+    # and the bucket-size guard evidence (task #2; real 41-member
+    # mega-bucket star-reduced at sf0.1)
     "e2e_diwasp_roundtrip",
+    "dedup_lsh_bucket_cap",
     # (b) stage-composition oracles
     "e2e_glx_waves_roundtrip",
     "e2e_pressure_waves_roundtrip",
