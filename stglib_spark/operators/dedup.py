@@ -235,8 +235,6 @@ def minhash_lsh_pairs(
     )
 
 
-
-
 def _annotate_bucket_sizes(
     stacked: DataFrame,
     bucket_keys: list[str],
@@ -306,7 +304,7 @@ def _annotate_bucket_sizes(
 #
 #   left  = annotated WHERE __bsz <= cap OR member == __mn   ("star")
 #           annotated WHERE __bsz <= cap                     ("drop")
-#   right = annotated
+#   right = pinned   (the raw member table — needs no annotation)
 #   cond  = keys equal AND ( (l.__bsz <= cap AND l.order < r.order)
 #                            OR (l.__bsz > cap AND l.order != r.order) )
 #
