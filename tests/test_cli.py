@@ -357,3 +357,51 @@ def test_cli_corpus_with_dup_span_excision(spark):
     src = pq.read_table(docs).to_pandas()
     assert list(hits["doc_id"]) == [src["doc_id"].min()]
     assert os.path.isdir(f"{TMP}/clispan_quality")
+
+
+def test_cli_nc2diwasp_step(spark):
+    """`python -m stglib_spark <inst> nc2diwasp gatts config` runs the
+    directional-spectra stage against an existing clean zone and writes
+    the diwasp zone (closing the one CLI step without a direct test)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stglib_spark.__main__ import main
+
+    os.makedirs(TMP, exist_ok=True)
+    base_epoch = 1622505600
+    b = (F.col("id") / 64).cast("long")
+    i = F.pmod(F.col("id"), 64)
+    clean = spark.range(128).select(
+        b.alias("burst"),
+        i.cast("long").alias("sample"),
+        F.timestamp_seconds(
+            F.lit(base_epoch) + b * 3600 + i.cast("double") * 0.5
+        ).alias("time"),
+        (F.lit(10.0) + (F.pmod(7 * i + 13 * b, 16) - 8) / 64.0).alias("P_1ac"),
+        ((F.pmod(5 * i + 3 * b + 4, 16) - 8) / 64.0).alias("u_1205"),
+        ((F.pmod(3 * i + 11 * b + 9, 16) - 8) / 64.0).alias("v_1206"),
+    )
+    clean.write.mode("overwrite").parquet(f"{TMP}/clidiwasp_clean")
+    open(f"{TMP}/diwasp.yaml", "w").write(
+        "filename: clidiwasp\n"
+        "sample_interval: 0.5\n"
+        "pressure_sensor_height: 0.5\n"
+        "diwasp: puv\n"
+        "diwasp_method: DFTM\n"
+        "diwasp_nfft: 16\n"
+        "diwasp_dres: 12\n"
+        "diwasp_nfreqs: 8\n"
+        "diwasp_ndirs: 12\n"
+    )
+    assert main(
+        ["rbr_csv", "nc2diwasp", None, f"{TMP}/diwasp.yaml",
+         "--output-dir", TMP]
+    ) == 0
+    import pyarrow.parquet as pq
+
+    out = pq.read_table(f"{TMP}/clidiwasp_diwasp").to_pandas()
+    assert len(out) == 2
+    assert set(out["diwasp_type"]) == {"puv"}
+    assert (out["wh_4061"] > 0).all()
