@@ -246,8 +246,16 @@ def test_oversize_bucket_star_reduction_and_observation(spark):
     }
     assert full == star  # connectivity-equivalent
 
-    dropped = simhash_near_pairs(fps, max_bucket_size=3, oversize="drop").collect()
+    # drop mode discards oversize buckets entirely — and the Observation
+    # STILL fires (the per-bucket aggregate stays in the plan as the
+    # annotate-join build side): dropping is never silent
+    obs2 = Observation("oversize_drop")
+    dropped = simhash_near_pairs(
+        fps, max_bucket_size=3, oversize="drop", observation=obs2
+    ).collect()
     assert [(r["doc_a"], r["doc_b"]) for r in dropped] == [(10, 11)]
+    assert obs2.get["oversize_members"] > 0
+    assert obs2.get["oversize_buckets"] > 0
 
 
 def test_lsh_oversize_bucket_star_reduction(spark):

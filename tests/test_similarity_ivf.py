@@ -291,3 +291,41 @@ def test_incremental_near_dedup_colliding_ids_no_mixed_text(spark):
     matches = {(r["doc_id"], r["match_id"]): r["jaccard"] for r in out}
     assert (7, 8) in matches and matches[(7, 8)] == 1.0
     assert (7, 7) not in matches, matches
+
+
+def test_pairwise_topk_dim_pinning_and_tiebreak(spark):
+    """ADVICE r8: an explicit ``dim`` (from the caller's codebook) wins
+    over the modal-length guess, so ragged/corrupt vectors that happen
+    to OUTNUMBER the valid ones in a group cannot hijack the GEMM dim;
+    without it, a modal-count TIE breaks deterministically toward the
+    larger dim."""
+    from stglib_spark.operators.similarity import pairwise_topk_within
+
+    valid = [1.0] * 8
+    ragged = [1.0] * 3
+    rows = (
+        [(i, "g", ragged) for i in range(3)]        # 3 corrupt vectors
+        + [(10, "g", valid), (11, "g", valid)]       # 2 valid duplicates
+    )
+    df = spark.createDataFrame(rows, "vec_id long, g string, embedding array<double>")
+
+    # explicit dim: only the two valid vectors pair (cosine 1.0)
+    got = pairwise_topk_within(
+        df, group_col="g", threshold=0.9, dim=8
+    ).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(10, 11)]
+
+    # modal fallback with MORE ragged than valid: the corrupt dim wins
+    # the count (documented limitation — callers with a codebook pass dim)
+    got = pairwise_topk_within(df, group_col="g", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["cosine"]) for r in got] == [
+        (0, 1, 1.0), (0, 2, 1.0), (1, 2, 1.0)
+    ]
+
+    # exact tie (2 vs 2): deterministic break toward the LARGER dim
+    tie = spark.createDataFrame(
+        [(0, "g", ragged), (1, "g", ragged), (10, "g", valid), (11, "g", valid)],
+        "vec_id long, g string, embedding array<double>",
+    )
+    got = pairwise_topk_within(tie, group_col="g", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"]) for r in got] == [(10, 11)]
