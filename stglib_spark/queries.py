@@ -11932,10 +11932,11 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # of this list plus the r3-green block).
 _FRONT = [
     # --- round 9 policy (VERDICT r8 tasks 1 & 6): execute the documented
-    # rotation. Window = first ~50 entries, graded by the driver.
-    # (a) NEW this round first (none yet — e2e_diwasp_roundtrip lands
-    #     here when implemented; one slot is reserved for it: the list
-    #     below holds 49 names);
+    # rotation. Window = first ~50 entries, graded by the driver; the
+    # list below holds 51 names (the final backfill row, qaqc_min_max,
+    # may slide past the cut — it re-enters with r10's refresh block).
+    # (a) NEW this round first: the diwasp stage oracle and the
+    #     bucket-cap guard evidence;
     # (b) the 7 stage-composition oracles (6 never driver-graded; the
     #     pipeline/CLI/export/corpus/media chain surface becomes
     #     driver-confirmed evidence);
@@ -11943,10 +11944,10 @@ _FRONT = [
     # (d) the stale TPC-H block: 14 rows last green r4 + 5 last green
     #     r5 (q2/q6/q10/q11/q16);
     # (e) 17 more r5-aged rows (clip/corpus-span/mm-real/phys/qaqc).
-    # Refresh SLA (VERDICT r8 task #6): 211 queries / 50 slots => full
+    # Refresh SLA (VERDICT r8 task #6): 213 queries / 50 slots => full
     # evidence refresh every ~4.5 rounds; no green row should age past
-    # 4 rounds. r10 backfill block (the 18 remaining r5-aged rows, then
-    # the oldest r6 rows as slots allow):
+    # 4 rounds. r10 backfill block (the 18 remaining r5-aged rows plus
+    # any r9 window spill, then the oldest r6 rows as slots allow):
     #   qaqc_std_gates qaqc_trim_single_bins qaqc_wave_stats_trims
     #   snk_netcdf3_roundtrip src_pd0_roundtrip text_html_extract
     #   text_lang_id text_quality_score text_token_stats
