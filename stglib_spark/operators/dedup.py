@@ -16,7 +16,7 @@ Design for 100 TB (BASELINE.json north star):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from stglib_spark.session import spread
 
