@@ -199,10 +199,14 @@ def _minhash_from_exploded(
 #: turns the join quadratic no matter what AQE does to the *input* skew
 #: — the blowup is in the OUTPUT. Buckets above the cap are min-star
 #: reduced (each member pairs with the bucket's minimum id only):
-#: connectivity-equivalent for `duplicate_clusters` consumers, linear in
-#: bucket size. 4096 is far above any honest near-dup bucket (4096
-#: byte-identical band signatures means the docs are exact dups — the
-#: star edges still cluster them) and far above test scale.
+#: connectivity-equivalent for raw-candidate clustering consumers,
+#: linear in bucket size. Bucket members share ONE band hash (r =
+#: num_hashes/bands minhashes — collision probability ~ s^r for true
+#: Jaccard s), NOT the full signature, so a mega-bucket can mix true
+#: dups with moderately-similar chance colliders; see the star-center
+#: caveat in ``lsh_pairs_from_signatures`` for what that means under a
+#: downstream exact-verify threshold. 4096 is far above any honest
+#: near-dup bucket and far above test scale.
 DEFAULT_MAX_BUCKET_SIZE = 4096
 
 
@@ -248,29 +252,33 @@ def _annotate_bucket_sizes(
     - ``pinned`` — the member table, notnull-pre-filtered and pinned
       behind an explicit ``repartition(bucket_keys)`` exchange. The
       capped pair join uses it DIRECTLY as its right side.
-    - ``annotated`` — ``pinned`` joined with its per-bucket member count
-      (``__bsz``) and minimum representative (``__mn``; a flat column
-      for a single ``rep_cols`` entry, a struct otherwise). The pair
-      join's LEFT side filters this to small-bucket members plus each
-      oversize bucket's minimum.
+    - ``annotated`` — ``pinned`` LEFT-joined with the **broadcast set of
+      oversize buckets only** (``per_bucket WHERE __bsz > cap``), so
+      members of small buckets carry ``__bsz = NULL`` and oversize
+      members carry their count and the bucket's minimum representative
+      (``__mn``; a flat column for a single ``rep_cols`` entry, a
+      struct otherwise). The pair join's LEFT side filters this to
+      ``__bsz IS NULL`` rows plus each oversize bucket's minimum.
 
-    Plan shape, tuned against the r8 bench (every alternative measured):
-    every consumer — the per-bucket aggregate, the annotate-join probe,
-    and the pair join's right side — hangs off the ONE pinned exchange,
-    so the expensive upstream (shingling / hashing / banding) chain
-    executes exactly once. Counts come from a map-side-combinable hash
-    aggregate (a window count here costs a per-consumer sort of the
-    full banded table, measured +70% on the LSH bench query; a
-    single-column ``__mn`` keeps it a codegen hash aggregate — a
-    struct min downgrades to SortAggregate). The annotate-join is
-    hinted ``shuffle_hash`` (co-partitioned with the pinned exchange →
-    no sort; AQE upgrades it to broadcast when the per-bucket table is
-    small).
+    Plan shape (r10 — the r9 every-row annotate join adjudicated at
+    +40-55% on the LSH bench pair and replaced): the only information
+    the pair join needs from the census is MEMBERSHIP in the oversize
+    set — an almost-always-tiny (usually empty) key list — so it is
+    broadcast instead of shuffle-joined against every banded row. The
+    common no-oversize case is the pre-guard plan plus one cheap
+    map-side-combinable hash aggregate on the broadcast build side; the
+    probe stays inside the pinned exchange's stage (no extra shuffle,
+    no sort). Both pair-join sides and the census aggregate still hang
+    off the ONE pinned exchange, so the expensive upstream (shingling /
+    hashing / banding) chain executes exactly once. A single-column
+    ``__mn`` keeps the census a codegen hash aggregate (a struct min
+    downgrades to SortAggregate); a window count instead costs a
+    per-consumer sort of the full banded table (measured +70% in r8).
 
     ``observation`` (a ``pyspark.sql.Observation``) reports the exact
     oversize member/bucket counts during the job — no silent caps, no
     extra action, in star AND drop mode. It hangs on the per-bucket
-    aggregate, which executes exactly once as the annotate-join's build
+    aggregate, which executes exactly once as the broadcast build
     side (the pair join's left branch is the only consumer)."""
     for c in [*bucket_keys, *rep_cols]:
         stacked = stacked.filter(F.col(c).isNotNull())
@@ -294,19 +302,23 @@ def _annotate_bucket_sizes(
                 "oversize_buckets"
             ),
         )
-    annotated = pinned.join(per_bucket.hint("shuffle_hash"), bucket_keys)
+    over = per_bucket.filter(F.col("__bsz") > max_bucket_size)
+    annotated = pinned.join(F.broadcast(over), bucket_keys, "left")
     return pinned, annotated
 
 
 # Capped candidate self-join recipe over an `_annotate_bucket_sizes`
 # table (used by lsh_pairs_from_signatures / simhash_near_pairs /
-# multimodal.video_phash_near_pairs):
+# multimodal.video_phash_near_pairs). `annotated` carries __bsz/__mn
+# ONLY for members of oversize buckets (NULL otherwise — the broadcast
+# left join against the oversize key set):
 #
-#   left  = annotated WHERE __bsz <= cap OR member == __mn   ("star")
-#           annotated WHERE __bsz <= cap                     ("drop")
+#   left  = annotated WHERE __bsz IS NULL OR member == __mn   ("star")
+#           annotated WHERE __bsz IS NULL                     ("drop")
 #   right = pinned   (the raw member table — needs no annotation)
-#   cond  = keys equal AND ( (l.__bsz <= cap AND l.order < r.order)
-#                            OR (l.__bsz > cap AND l.order != r.order) )
+#   cond  = keys equal AND ( (l.__bsz IS NULL AND l.order < r.order)
+#                            OR (l.__bsz IS NOT NULL
+#                                AND l.order != r.order) )
 #
 # Small buckets emit every ordered pair; an oversize bucket contributes
 # exactly ONE left row (its minimum member), so its output AND its join
@@ -351,11 +363,25 @@ def lsh_pairs_from_signatures(
     Buckets larger than ``max_bucket_size`` are min-star reduced (or
     dropped with ``oversize="drop"``): each oversize-bucket member pairs
     only with the bucket's minimum id instead of with every other member.
-    Star edges are genuine co-bucketed candidates, so downstream exact
-    verification and `duplicate_clusters` connectivity are unaffected;
-    what is lost is *pair-level* recall inside oversize buckets (a
-    member pair both ≠ min is only connected transitively). Pass a
-    ``pyspark.sql.Observation`` to read how many members hit the cap."""
+    Star edges are genuine co-bucketed candidates; for a consumer that
+    clusters the RAW candidate graph the reduction is
+    connectivity-equivalent. What is lost is *pair-level* recall inside
+    oversize buckets (a member pair both ≠ min is only connected
+    transitively), and — the sharper caveat — a pipeline that EXACT-
+    VERIFIES candidates before clustering (``jaccard_threshold > 0``,
+    e.g. ``pipeline.run_dedup``) routes every oversize-bucket pair
+    through the bucket-min member: bucket members share one band hash
+    (collision probability ~ s^r), not the full signature, so if the
+    min happens to be a chance band-collider the verify stage can fail
+    ALL of the bucket's star edges and silently sever a cluster that
+    member-member pairs would have kept. At the default cap (4096) this
+    needs a pathological corpus — a >4096-member bucket whose minimum
+    id is a non-duplicate — but it is a real recall trade the cap makes
+    and the default is ON; size the cap above the corpus's honest
+    dup-group sizes, or drop to ``max_bucket_size=None`` when exactness
+    inside mega-buckets matters more than output bounds (SCALE.md
+    records the trade). Pass a ``pyspark.sql.Observation`` to read how
+    many members hit the cap."""
     r = num_hashes // bands
     if portable:
         band_cols = [
@@ -390,9 +416,9 @@ def lsh_pairs_from_signatures(
             stacked, ["band", "bh"], [id_col], max_bucket_size, observation
         )
         if oversize == "drop":
-            keep_left = F.col("__bsz") <= max_bucket_size
+            keep_left = F.col("__bsz").isNull()
         elif oversize == "star":
-            keep_left = (F.col("__bsz") <= max_bucket_size) | (
+            keep_left = F.col("__bsz").isNull() | (
                 F.col(id_col) == F.col("__mn")
             )
         else:
@@ -402,10 +428,10 @@ def lsh_pairs_from_signatures(
         left = annotated.filter(keep_left).drop("__mn").alias("l")
         right = pinned.hint("shuffle_hash").alias("r")
         cond = (
-            (F.col("l.__bsz") <= max_bucket_size)
+            F.col("l.__bsz").isNull()
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         ) | (
-            (F.col("l.__bsz") > max_bucket_size)
+            F.col("l.__bsz").isNotNull()
             & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
         )
     pairs = left.join(
@@ -585,9 +611,9 @@ def simhash_near_pairs(
             stacked, ["blk", "bh"], [id_col], max_bucket_size, observation
         )
         if oversize == "drop":
-            keep_left = F.col("__bsz") <= max_bucket_size
+            keep_left = F.col("__bsz").isNull()
         elif oversize == "star":
-            keep_left = (F.col("__bsz") <= max_bucket_size) | (
+            keep_left = F.col("__bsz").isNull() | (
                 F.col(id_col) == F.col("__mn")
             )
         else:
@@ -597,10 +623,10 @@ def simhash_near_pairs(
         left = annotated.filter(keep_left).drop("__mn").alias("l")
         right = pinned.hint("shuffle_hash").alias("r")
         cond = (
-            (F.col("l.__bsz") <= max_bucket_size)
+            F.col("l.__bsz").isNull()
             & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
         ) | (
-            (F.col("l.__bsz") > max_bucket_size)
+            F.col("l.__bsz").isNotNull()
             & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
         )
     pairs = left.join(

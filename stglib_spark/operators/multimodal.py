@@ -518,9 +518,9 @@ def video_phash_near_pairs(
             stacked, ["blk", "bh"], ["vid", "f"], max_bucket_size, observation
         )
         if oversize == "drop":
-            keep_left = F.col("__bsz") <= max_bucket_size
+            keep_left = F.col("__bsz").isNull()
         elif oversize == "star":
-            keep_left = (F.col("__bsz") <= max_bucket_size) | (
+            keep_left = F.col("__bsz").isNull() | (
                 (F.col("vid") == F.col("__mn.vid"))
                 & (F.col("f") == F.col("__mn.f"))
             )
@@ -531,10 +531,10 @@ def video_phash_near_pairs(
         left = annotated.filter(keep_left).drop("__mn").alias("l")
         right = pinned.hint("shuffle_hash").alias("r")
         cond = (
-            (F.col("l.__bsz") <= max_bucket_size)
+            F.col("l.__bsz").isNull()
             & (F.col("l.vid") < F.col("r.vid"))
         ) | (
-            (F.col("l.__bsz") > max_bucket_size)
+            F.col("l.__bsz").isNotNull()
             & (F.col("l.vid") != F.col("r.vid"))
         )
     frame_pairs = left.join(

@@ -214,7 +214,7 @@ def test_minhash_shingle_expression_not_double_computed(spark):
     size()>0 filter on the alias and pushdown substitutes the full O(n·L)
     shingle expression into the Filter — computing it twice per row
     (measured 1.6× on the LSH bench query). One zip_with chain per
-    consumer branch (pair-join left probe, per-bucket size aggregate,
+    consumer branch (pair-join left probe, per-bucket size census,
     pair-join right) is the fused shape; at runtime all three hang off
     the one pinned repartition(band, bh) exchange, which AQE's exchange
     reuse collapses so the chain EXECUTES once — pinned below."""
@@ -232,10 +232,15 @@ def test_minhash_shingle_expression_not_double_computed(spark):
     )
     assert "isFinalPlan=true" in final, final
     final = final.split("== Initial Plan ==")[0]
-    # the banding/shingle chain executes once: every other consumer reads
-    # a ReusedExchange of the pinned repartition
+    # the banding/shingle chain executes once: the pair join's right side
+    # reads a ReusedExchange of the pinned repartition, and with no
+    # oversize buckets at this SF, AQE's PropagateEmptyRelation collapses
+    # the broadcast-oversize annotate join into a null-column Project on
+    # the probe (the census stage ran once as the empty build side and
+    # vanished from the final plan) — the r10 degenerate-case contract
     assert count(final, r"zip_with\(zip_with") == 1, final
-    assert count(final, r"ReusedExchange") >= 2, final
+    assert count(final, r"ReusedExchange") >= 1, final
+    assert count(final, r"BroadcastHashJoin|cast\(null as bigint\) AS") >= 1, final
 
 
 def test_decontaminate_broadcasts_benchmark_grams(spark):
