@@ -962,13 +962,22 @@ def run_media_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, st
     once and everything after moves 16-byte rows.
 
     Video cluster edges require ``video_min_n_close`` (default 2)
-    qualifying frame pairs: one shared frame must never merge whole
-    clips, because constant-luminance frames (black intros — every
-    gradient bit zero, dHash 0) collide across unrelated videos. Those
-    frames are additionally dropped before pairing
+    qualifying frame pairs — floored per pair at
+    ``least(video_min_n_close, frames_a, frames_b)`` so a 1-frame clip
+    is gated at its own frame count: one shared frame must never merge
+    whole MULTI-frame clips, because constant-luminance frames (black
+    intros — every gradient bit zero, dHash 0) collide across unrelated
+    videos. Those frames are additionally dropped before pairing
     (``video_drop_constant_frames: false`` to keep them). Pigeonhole
     buckets above ``max_bucket_size`` min-star reduce (see
-    ``dedup.lsh_pairs_from_signatures``)."""
+    ``dedup.lsh_pairs_from_signatures``). Note the star × gate recall
+    interaction: in an oversize bucket only the bucket-min (vid, frame)
+    member emits edges, so a duplicate pair whose shared frames ALL sit
+    in oversize buckets has no direct edge and merges only transitively
+    through the bucket-min video — and each transitive leg must itself
+    clear the n_close floor (pinned by
+    ``test_properties.test_video_star_mode_min_n_close_interaction``;
+    recall trade recorded in SCALE.md)."""
     from stglib_spark.operators import dedup as dedup_ops
     from stglib_spark.operators import multimodal as mm
 
@@ -996,7 +1005,39 @@ def run_media_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, st
         )
         min_n_close = int(config.get("video_min_n_close", 2))
         if min_n_close > 1:
-            pairs = pairs.filter(F.col("n_close") >= min_n_close)
+            # effective per-pair floor least(min_n_close, frames_a,
+            # frames_b): a clip cannot contribute more qualifying frame
+            # pairs than it has (non-constant) frames, so very short
+            # clips are gated at their own frame count instead of being
+            # unclusterable under the global floor (ADVICE r9). The
+            # per-video frame-count table is one tiny aggregate over
+            # the hash zone; AQE broadcasts it when small.
+            nf = fh.groupBy(F.col(id_col).alias("__vid")).agg(
+                F.count_distinct("frame_idx").alias("__nf")
+            )
+            pairs = (
+                pairs.join(
+                    nf.select(
+                        F.col("__vid").alias("vid_a"),
+                        F.col("__nf").alias("__nfa"),
+                    ),
+                    "vid_a",
+                )
+                .join(
+                    nf.select(
+                        F.col("__vid").alias("vid_b"),
+                        F.col("__nf").alias("__nfb"),
+                    ),
+                    "vid_b",
+                )
+                .filter(
+                    F.col("n_close")
+                    >= F.least(
+                        F.lit(min_n_close), F.col("__nfa"), F.col("__nfb")
+                    )
+                )
+                .drop("__nfa", "__nfb")
+            )
         pair_cols = ("vid_a", "vid_b")
     else:
         hashed = mm.perceptual_hash(

@@ -15,6 +15,8 @@ operator families on the ``events`` stream table, ``wave_*`` spectral,
 
 from __future__ import annotations
 
+import contextlib
+import logging
 import math
 from collections.abc import Callable
 
@@ -22,15 +24,14 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from stglib_spark.session import fast_round, load_table, spread
 
+_log = logging.getLogger(__name__)
+
 
 def _r6(col):
     """round(x, 6) for result columns: fast_round (DuckDB-identical
     multiply/floor, ~5x cheaper than Spark's BigDecimal Round on doubles —
     see session.fast_round)."""
     return fast_round(col, 6)
-
-
-import contextlib
 
 
 @contextlib.contextmanager
@@ -50,23 +51,30 @@ def _session_conf_guard(spark: SparkSession):
         "spark.sql.adaptive.skewJoin.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
     )
+    from pyspark.errors import PySparkException
+
     saved: dict[str, str | None] = {}
     for k in keys:
         try:
             saved[k] = spark.conf.get(k)
-        except Exception:
+        except PySparkException:  # unset conf with no default
             saved[k] = None
     try:
         yield
     finally:
         for k, v in saved.items():
+            # a failed restore leaves the session mutated — the exact
+            # condition this guard exists to prevent, so it must be
+            # loud, not swallowed (ADVICE r9)
             try:
                 if v is None:
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
-            except Exception:
-                pass
+            except PySparkException:
+                _log.warning(
+                    "_session_conf_guard: failed to restore %s=%r", k, v
+                )
 
 
 from stglib_spark.operators import clip as clip_ops

@@ -1059,6 +1059,10 @@ def test_e2e_queries_leave_session_confs_untouched(spark):
         "spark.sql.adaptive.enabled",
         "spark.sql.execution.arrow.pyspark.enabled",
     )
+    # capture the suite's value BEFORE mutating, and restore THAT — a
+    # hardcoded restore couples this test to an assumed suite default
+    # and leaks state if the default changes (ADVICE r9)
+    pre_test = spark.conf.get("spark.sql.shuffle.partitions")
     # a deliberately NON-default value so a get_spark() overwrite is visible
     spark.conf.set("spark.sql.shuffle.partitions", "7")
     try:
@@ -1072,6 +1076,6 @@ def test_e2e_queries_leave_session_confs_untouched(spark):
         # absolute and order-independent, never a relative mutation
         assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", "8")
+        spark.conf.set("spark.sql.shuffle.partitions", pre_test)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
