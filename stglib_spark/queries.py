@@ -12133,90 +12133,80 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 # next round, lead with whatever lacked a CORRECTNESS_r04 row (the tail
 # of this list plus the r3-green block).
 _FRONT = [
-    # --- round 9 policy (VERDICT r8 tasks 1 & 6): execute the documented
-    # rotation. Window = first ~50 entries, graded by the driver; the
-    # list below holds 51 names (the final backfill row, qaqc_min_max,
-    # may slide past the cut — it re-enters with r10's refresh block).
-    # (a) NEW this round first: the diwasp stage oracle and the
-    #     bucket-cap guard evidence;
-    # (b) the 7 stage-composition oracles (6 never driver-graded; the
-    #     pipeline/CLI/export/corpus/media chain surface becomes
-    #     driver-confirmed evidence);
-    # (c) the 6 r4-aged refreshers named in VERDICT r8 task #1;
-    # (d) the stale TPC-H block: 14 rows last green r4 + 5 last green
-    #     r5 (q2/q6/q10/q11/q16);
-    # (e) 17 more r5-aged rows (clip/corpus-span/mm-real/phys/qaqc).
-    # Refresh SLA (VERDICT r8 task #6): 213 queries / 50 slots => full
-    # evidence refresh every ~4.5 rounds; no green row should age past
-    # 4 rounds. r10 backfill block (the 18 remaining r5-aged rows plus
-    # any r9 window spill, then the oldest r6 rows as slots allow):
-    #   qaqc_std_gates qaqc_trim_single_bins qaqc_wave_stats_trims
-    #   snk_netcdf3_roundtrip src_pd0_roundtrip text_html_extract
-    #   text_lang_id text_quality_score text_token_stats
-    #   ts_asof_atmos_correct ts_burst_average ts_circular_mean_daily
-    #   ts_gap_fill_hourly ts_interval_average_duration
-    #   ts_value_percentiles vel_agc_cor_gates vel_snr_gate
-    #   vel_trim_sidelobe wave_imlm_relax_oracle
-    # then r11 takes the r6 block (42 rows: agg_*/coord_*/phys_*/
-    # ts_*/qaqc_* last green r6).
-    # (a) NEW this round: the diwasp stage oracle (VERDICT r8 task #5)
-    # and the bucket-size guard evidence (task #2; real 41-member
-    # mega-bucket star-reduced at sf0.1)
-    "e2e_diwasp_roundtrip",
+    # --- round 10 policy (VERDICT r9 tasks #1/#8): window = first ~50
+    # entries, graded by the driver; exactly 50 names below.
+    # (a) NEW or RE-PLANNED this round first: the IMLM stage oracle
+    #     (VERDICT r9 task #3) and every guard/gate-touched query — the
+    #     bucket guard moved to the broadcast-oversize plan (dedup.py,
+    #     multimodal.py) and run_media_dedup's n_close floor gained the
+    #     least(min_n_close, frames) refinement, so all consumers
+    #     re-grade this round even where results are provably identical;
+    # (b) the 20 r5-aged rows declared in the r9 registry comment
+    #     (incl. qaqc_min_max, which slid past the r9 cut);
+    # (c) 19 oldest r6-aged rows (agg_*/coord_* first per VERDICT #8).
+    # Refresh SLA: 214 queries / 50 slots => full refresh every ~4.5
+    # rounds; no green row should age past 4 rounds. r11 block = the 21
+    # remaining r6-aged rows (phys_troll_salinity phys_wind_dir_correct
+    # phys_z_geometry prof_clip_profiles prof_ragged_index
+    # q1_pricing_summary q3_top_revenue_orders q5_nation_revenue
+    # qaqc_diff_rules qaqc_fliers qaqc_mask_expr qaqc_med_diff
+    # qaqc_trim_warmup text_tfidf_keywords ts_burst_keys
+    # ts_burst_nan_fill ts_dedup ts_epic_time_codec ts_seagauge_tides
+    # ts_shift_clock_drift vel_vbper_gate) plus the oldest r7 rows
+    # (dedup_exact and the sketch/stream family) as slots allow.
+    # (a) new/re-planned
+    "e2e_diwasp_imlm_roundtrip",
     "dedup_lsh_bucket_cap",
-    # (b) stage-composition oracles
-    "e2e_glx_waves_roundtrip",
-    "e2e_pressure_waves_roundtrip",
-    "e2e_puv_waves_roundtrip",
-    "e2e_cli_export_nc_roundtrip",
-    "e2e_corpus_all_packs",
+    "dedup_minhash_lsh",
+    "dedup_token_jaccard",
+    "dedup_clusters",
+    "dedup_simhash",
+    "dedup_edit_similarity",
+    "mm_phash_neardup",
+    "mm_video_phash_neardup",
     "e2e_media_dedup_clusters",
-    "e2e_rbr_clean_roundtrip",
-    # (c) r4-aged refreshers
-    "corpus_decontaminate",
-    "corpus_remove_boilerplate",
-    "text_chunk_documents",
-    "corpus_repetition_stats",
-    "corpus_stratified_sample",
-    "dedup_priority_source",
-    # (d) stale TPC-H block (r4 then r5)
-    "q4_order_priority",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_dominant_shipper",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "q2_min_cost_supplier",
-    "q6_forecast_revenue",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q16_supplier_part_count",
-    # (e) r5-aged refresh
-    "clip_deployment",
-    "clip_good_dates",
-    "corpus_dup_ngram_frac",
-    "corpus_remove_dup_spans",
-    "mm_audio_stats_real",
-    "mm_decode_real_jpeg",
-    "mm_video_frames_mjpg",
-    "phys_dispersion_qkfs",
-    "phys_pres2dep_ssc",
-    "phys_salinity_spcon",
-    "qaqc_ast_quality_trim",
-    "qaqc_bad_ens",
-    "qaqc_burst_min_kill",
-    "qaqc_diff_pct",
-    "qaqc_mask_trim_by",
-    "qaqc_maxabs_diff_2d",
+    "e2e_corpus_all_packs",
+    # (b) r5-aged refresh block
     "qaqc_min_max",
+    "qaqc_std_gates",
+    "qaqc_trim_single_bins",
+    "qaqc_wave_stats_trims",
+    "snk_netcdf3_roundtrip",
+    "src_pd0_roundtrip",
+    "text_html_extract",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "ts_asof_atmos_correct",
+    "ts_burst_average",
+    "ts_circular_mean_daily",
+    "ts_gap_fill_hourly",
+    "ts_interval_average_duration",
+    "ts_value_percentiles",
+    "vel_agc_cor_gates",
+    "vel_snr_gate",
+    "vel_trim_sidelobe",
+    "wave_imlm_relax_oracle",
+    # (c) oldest r6-aged backfill
+    "agg_brange_argmax",
+    "agg_linregress",
+    "agg_mean_minf",
+    "agg_min_max_attrs",
+    "agg_top_third_threshold",
+    "coord_beam2enu",
+    "coord_beam2enu_4beam",
+    "corpus_pps_sample",
+    "corpus_quality_funnel",
+    "corpus_shard_manifest",
+    "dedup_incremental_batch",
+    "dedup_url_canonical",
+    "filt_median_smoother",
+    "mm_decode_real_bmp",
+    "phys_boundary_elevation",
+    "phys_direction_conventions",
+    "phys_pres2dep_density",
+    "phys_spd2uv",
+    "phys_transfer_function",
 ]
 
 
