@@ -93,6 +93,7 @@ HEADLINE = [
 # in the stage plumbing visible per round.
 E2E_STAGE = [
     "e2e_diwasp_roundtrip",
+    "e2e_diwasp_imlm_roundtrip",
     "e2e_glx_waves_roundtrip",
     "e2e_pressure_waves_roundtrip",
     "e2e_puv_waves_roundtrip",
