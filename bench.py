@@ -94,6 +94,7 @@ HEADLINE = [
 E2E_STAGE = [
     "e2e_diwasp_roundtrip",
     "e2e_diwasp_imlm_roundtrip",
+    "e2e_sonar_xy_roundtrip",
     "e2e_glx_waves_roundtrip",
     "e2e_pressure_waves_roundtrip",
     "e2e_puv_waves_roundtrip",

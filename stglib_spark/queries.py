@@ -10061,18 +10061,17 @@ def wave_imlm_relax_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 
-def _sonar_xy_regrid_oracle_sql() -> str:
-    """Generated oracle for the polar→cartesian regrid (the coefficient-
-    literal playbook): the sweep geometry is compile-time (theta 0..350°
-    by 10, range 0.5..10 m by 0.5, cartesian grid ±10 m by 2), and the
-    synthetic sweep amplitude is LINEAR in the per-hour seed — so the
-    entire bilinear resample collapses to one constant per grid cell,
-    computed AT IMPORT by running the production kernel
+def _sonar_xy_grid_values() -> str:
+    """Constant-per-cell literal table for the polar→cartesian oracles:
+    the sweep geometry is compile-time (theta 0..350° by 10, range
+    0.5..10 m by 0.5, cartesian grid ±10 m by 2), and the synthetic
+    sweep amplitude is LINEAR in the per-sweep seed — so the entire
+    bilinear resample collapses to one constant per grid cell, computed
+    AT IMPORT by running the production kernel
     (operators/sonar._interp_regular_2d) on a unit-seed image:
     out(time, x, y) = seed(time) · G[x, y]. Cells outside the polar
     hull (rho < 0.5, rho > 10, or theta_q > 350 — no wraparound, per
-    RegularGridInterpolator bounds) are NaN. numpy-vs-JVM cos differs
-    by ≤1 ulp, absorbed by 6-decimal rounding with ~1e8× margin."""
+    RegularGridInterpolator bounds) are NaN."""
     import numpy as np
 
     from stglib_spark.operators.sonar import _interp_regular_2d
@@ -10094,7 +10093,15 @@ def _sonar_xy_regrid_oracle_sql() -> str:
             gv = g[i, j]
             lit = "CAST('nan' AS DOUBLE)" if np.isnan(gv) else repr(float(gv))
             rows.append(f"({repr(float(xg[i, j]))}, {repr(float(yg[i, j]))}, {lit})")
-    values = ",\n      ".join(rows)
+    return ",\n      ".join(rows)
+
+
+def _sonar_xy_regrid_oracle_sql() -> str:
+    """Generated oracle for the polar→cartesian regrid (the coefficient-
+    literal playbook — see `_sonar_xy_grid_values`). numpy-vs-JVM cos
+    differs by ≤1 ulp, absorbed by 6-decimal rounding with ~1e8×
+    margin."""
+    values = _sonar_xy_grid_values()
     return f"""
     WITH hourly AS (
       SELECT time, seed FROM (
@@ -10144,6 +10151,86 @@ def sonar_xy_regrid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     out = polar_to_xy(polar, total_range=10.0, dxy=2.0)
+    return out.select(
+        "time", "x", "y", _r6("sonar_image").alias("sonar_image")
+    )
+
+
+def _sonar_xy_stage_oracle_sql() -> str:
+    """Oracle for the FULL run_xy stage on a crafted 2-sweep clean zone:
+    same constant-per-cell grid as `sonar_xy_regrid`, seeds are exact
+    n/64 doubles embedded as repr'd literals."""
+    values = _sonar_xy_grid_values()
+    seeds = ",\n      ".join(
+        f"(TIMESTAMP '2021-06-01 0{b}:00:00', {repr((3 + 2 * b) / 64.0)})"
+        for b in (0, 1)
+    )
+    return f"""
+    WITH seeds(time, seed) AS (VALUES
+      {seeds}
+    ), grid(x, y, g) AS (
+      VALUES {values}
+    )
+    SELECT s.time, g.x, g.y, round(s.seed * g.g, 6) AS sonar_image
+    FROM seeds s CROSS JOIN grid g
+    """
+
+
+@register("e2e_sonar_xy_roundtrip", _sonar_xy_stage_oracle_sql())
+def e2e_sonar_xy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END SONAR XY STAGE oracle (`pipeline.run_xy`, the nc2xy
+    member of the stage-oracle family — the last stage variant without
+    driver-confirmed composition evidence): write a crafted 2-sweep
+    polar clean zone (36×20 theta/range grid, amplitude LINEAR in an
+    exact n/64 per-sweep seed), run the PRODUCTION nc2xy stage —
+    `polar_to_xy`'s per-sweep `applyInPandas` bilinear resample with
+    `sonar_range`/`sonar_dxy` from config (reference son/nc2xy.py:
+    67-123) → xy parquet zone — and RE-READ the zone. Linearity folds
+    the entire interpolation into one constant per cartesian cell
+    (`_sonar_xy_grid_values`), so DuckDB replays the stage as
+    seed × grid-literal; out-of-hull cells are NaN on both sides.
+
+    Scale shape: one shuffle on the sweep key, bounded per-sweep Arrow
+    batches, zone parquet bounds lineage — same contract as the wave
+    and diwasp stages."""
+    import os
+    import tempfile
+
+    from stglib_spark import pipeline
+
+    d = tempfile.mkdtemp(prefix="e2esonarxy_")
+    base_epoch = 1622505600  # 2021-06-01 00:00:00 UTC
+    sweeps = spark.range(2).select(
+        F.timestamp_seconds(F.lit(base_epoch) + F.col("id") * 3600).alias(
+            "time"
+        ),
+        ((F.lit(3.0) + 2.0 * F.col("id")) / 64.0).alias("seed"),
+    )
+    clean = (
+        sweeps.withColumn(
+            "theta_i", F.explode(F.sequence(F.lit(0), F.lit(35)))
+        )
+        .withColumn("rng_i", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .select(
+            "time",
+            (F.col("theta_i") * 10.0).cast("double").alias("theta_deg"),
+            (F.col("rng_i") * 0.5 + 0.5).alias("horz_rng"),
+            (
+                F.col("seed")
+                * F.cos(F.radians(F.col("theta_i") * 10.0))
+                / (F.lit(1.0) + F.col("rng_i") * 0.5)
+            ).alias("amp"),
+        )
+    )
+    clean.write.mode("overwrite").parquet(os.path.join(d, "e2e_xy_clean"))
+    config = {
+        "output_dir": d,
+        "filename": "e2e_xy",
+        "sonar_range": 10.0,
+        "sonar_dxy": 2.0,
+    }
+    zone = pipeline.run_xy(spark, config)
+    out = spark.read.parquet(zone)
     return out.select(
         "time", "x", "y", _r6("sonar_image").alias("sonar_image")
     )
@@ -12144,9 +12231,10 @@ _FRONT = [
     # (b) the 20 r5-aged rows declared in the r9 registry comment
     #     (incl. qaqc_min_max, which slid past the r9 cut);
     # (c) 19 oldest r6-aged rows (agg_*/coord_* first per VERDICT #8).
-    # Refresh SLA: 214 queries / 50 slots => full refresh every ~4.5
-    # rounds; no green row should age past 4 rounds. r11 block = the 21
-    # remaining r6-aged rows (phys_troll_salinity phys_wind_dir_correct
+    # Refresh SLA: 215 queries / 50 slots => full refresh every ~4.5
+    # rounds; no green row should age past 4 rounds. r11 block = the 22
+    # remaining r6-aged rows (phys_transfer_function phys_troll_salinity
+    # phys_wind_dir_correct
     # phys_z_geometry prof_clip_profiles prof_ragged_index
     # q1_pricing_summary q3_top_revenue_orders q5_nation_revenue
     # qaqc_diff_rules qaqc_fliers qaqc_mask_expr qaqc_med_diff
@@ -12156,6 +12244,7 @@ _FRONT = [
     # (dedup_exact and the sketch/stream family) as slots allow.
     # (a) new/re-planned
     "e2e_diwasp_imlm_roundtrip",
+    "e2e_sonar_xy_roundtrip",
     "dedup_lsh_bucket_cap",
     "dedup_minhash_lsh",
     "dedup_token_jaccard",
@@ -12206,7 +12295,6 @@ _FRONT = [
     "phys_direction_conventions",
     "phys_pres2dep_density",
     "phys_spd2uv",
-    "phys_transfer_function",
 ]
 
 
