@@ -864,17 +864,31 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
         # silently — QA/QC philosophy), and census/mix/packs see only
         # survivors
         gated = corpus_ops.gate_documents(qz, text_col=text_col, id_col=id_col)
-        per_gate = (
-            gated.select(F.explode("fail_reasons").alias("gate"))
+        # ONE corpus scan (r10): appending the 'kept' label to surviving
+        # rows folds the old per-gate/kept union — which ran the full
+        # gate projection once per branch, i.e. two corpus scans — into
+        # a single explode + aggregate. The literal zero row keeps the
+        # 'kept' count present even when every document fails (the old
+        # global-agg branch always emitted it); the re-aggregate runs on
+        # ≤ 7 rows.
+        labels = F.when(
+            F.col("keep"),
+            F.concat(F.col("fail_reasons"), F.array(F.lit("kept"))),
+        ).otherwise(F.col("fail_reasons"))
+        per_label = (
+            gated.select(F.explode(labels).alias("gate"))
             .groupBy("gate")
             .agg(F.count(F.lit(1)).alias("n_docs"))
         )
-        kept_row = gated.filter(F.col("keep")).agg(
-            F.lit("kept").alias("gate"), F.count(F.lit(1)).alias("n_docs")
+        kept_zero = spark.createDataFrame(
+            [("kept", 0)], "gate string, n_docs long"
         )
-        paths["funnel"] = _write_zone(
-            per_gate.unionByName(kept_row), config, "funnel", history
+        funnel = (
+            per_label.unionByName(kept_zero)
+            .groupBy("gate")
+            .agg(F.sum("n_docs").alias("n_docs"))
         )
+        paths["funnel"] = _write_zone(funnel, config, "funnel", history)
         qz = gated.filter(F.col("keep")).drop("fail_reasons", "keep")
         history.insert_history(
             "Applied hard quality gates (per-gate funnel written)."
