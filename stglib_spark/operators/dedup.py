@@ -303,7 +303,13 @@ def _annotate_bucket_sizes(
             ),
         )
     over = per_bucket.filter(F.col("__bsz") > max_bucket_size)
-    annotated = pinned.join(F.broadcast(over), bucket_keys, "left")
+    # no forced broadcast: the oversize key set is almost always tiny or
+    # empty, and AQE upgrades the join to broadcast at runtime from the
+    # MEASURED build size — but a pathological mega-duplicate corpus at
+    # 1e10-doc scale can push the oversize set past driver memory, where
+    # a forced F.broadcast() would OOM the driver while a shuffle join
+    # degrades gracefully (r10 review finding)
+    annotated = pinned.join(over, bucket_keys, "left")
     return pinned, annotated
 
 

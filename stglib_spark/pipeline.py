@@ -1020,12 +1020,16 @@ def run_media_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, st
         min_n_close = int(config.get("video_min_n_close", 2))
         if min_n_close > 1:
             # effective per-pair floor least(min_n_close, frames_a,
-            # frames_b): a clip cannot contribute more qualifying frame
-            # pairs than it has (non-constant) frames, so very short
-            # clips are gated at their own frame count instead of being
-            # unclusterable under the global floor (ADVICE r9). The
-            # per-video frame-count table is one tiny aggregate over
-            # the hash zone; AQE broadcasts it when small.
+            # frames_b): n_close counts DISTINCT qualifying frame pairs
+            # (which can exceed either clip's frame count — two 2-frame
+            # clips can reach n_close 4), but a 1-frame clip facing the
+            # default floor of 2 could never exceed 1 against another
+            # 1-frame clip, so short clips are floored at their own
+            # (non-constant) frame count instead of being unclusterable
+            # (ADVICE r9). Only permissive: pairs passing the old global
+            # floor still pass. The per-video frame-count table is one
+            # tiny aggregate over the hash zone; AQE broadcasts it when
+            # small.
             nf = fh.groupBy(F.col(id_col).alias("__vid")).agg(
                 F.count_distinct("frame_idx").alias("__nf")
             )

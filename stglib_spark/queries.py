@@ -11181,6 +11181,73 @@ def _diwasp_oracle_sql(
     """
 
 
+def _diwasp_e2e_run(
+    spark: SparkSession,
+    prefix: str,
+    mods: tuple,
+    method: str,
+    miter: int | None = None,
+) -> DataFrame:
+    """Shared fixture builder + stage driver for the diwasp e2e oracles:
+    write the crafted 2-burst PUV clean zone (64 samples/burst on exact
+    1/64 grids; ``mods`` = per-channel (modulus, offset) pattern, the
+    Spark twin of `_diwasp_oracle_sql`'s samples CTE), run the
+    PRODUCTION `pipeline.run_diwasp` stage with the given estimator,
+    and re-read/select the hashed columns. One copy of the fixture —
+    the DFTM and IMLM rows differ only in mods/method/iterations."""
+    import os
+    import tempfile
+
+    from stglib_spark import pipeline
+
+    d = tempfile.mkdtemp(prefix=f"e2e{prefix}_")
+    base_epoch = 1622505600  # 2021-06-01 00:00:00 UTC
+    b = (F.col("id") / 64).cast("long")
+    i = F.pmod(F.col("id"), 64)
+    clean = spark.range(128).select(
+        b.alias("burst"),
+        i.cast("long").alias("sample"),
+        F.timestamp_seconds(
+            F.lit(base_epoch) + b * 3600 + i.cast("double") * 0.5
+        ).alias("time"),
+        (F.lit(10.0) + (F.pmod(7 * i + 13 * b, mods[0][0]) - mods[0][1]) / 64.0)
+        .alias("P_1ac"),
+        ((F.pmod(5 * i + 3 * b + 4, mods[1][0]) - mods[1][1]) / 64.0)
+        .alias("u_1205"),
+        ((F.pmod(3 * i + 11 * b + 9, mods[2][0]) - mods[2][1]) / 64.0)
+        .alias("v_1206"),
+    )
+    clean.write.mode("overwrite").parquet(os.path.join(d, f"{prefix}_clean"))
+    config = {
+        "output_dir": d,
+        "filename": prefix,
+        "sample_interval": 0.5,
+        "pressure_sensor_height": 0.5,
+        "diwasp": "puv",
+        "diwasp_method": method,
+        "diwasp_nfft": 16,
+        "diwasp_dres": 12,
+        "diwasp_nfreqs": 8,
+        "diwasp_ndirs": 12,
+    }
+    if miter is not None:
+        config["diwasp_iter"] = miter
+    zone = pipeline.run_diwasp(spark, config)
+    out = spark.read.parquet(zone)
+    return out.select(
+        "burst_time",
+        _r6("wh_4061").alias("wh_4061"),
+        _r6("wp_peak").alias("wp_peak"),
+        _r6("wvdir").alias("wvdir"),
+        _r6("dwvdir").alias("dwvdir"),
+        _r6("wd_4062").alias("wd_4062"),
+        "diwasp_type",
+        _r6(F.col("diwasp_fspec").getItem(3)).alias("fspec_3"),
+        _r6(F.col("diwasp_dspec").getItem(2).getItem(2)).alias("dspec_2_2"),
+        _r6(F.col("diwasp_dspec").getItem(3).getItem(7)).alias("dspec_3_7"),
+    )
+
+
 @register("e2e_diwasp_roundtrip", _diwasp_oracle_sql())
 def e2e_diwasp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END DIWASP STAGE oracle (`pipeline.run_diwasp`, the
@@ -11203,51 +11270,8 @@ def e2e_diwasp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches through the kernel — the reference's dask-Client fan-out
     (core/waves.py:263-306) with elastic parallelism; burst size bounds
     kernel memory, zone parquet bounds lineage."""
-    import os
-    import tempfile
-
-    from stglib_spark import pipeline
-
-    d = tempfile.mkdtemp(prefix="e2ediwasp_")
-    base_epoch = 1622505600  # 2021-06-01 00:00:00 UTC
-    b = (F.col("id") / 64).cast("long")
-    i = F.pmod(F.col("id"), 64)
-    clean = spark.range(128).select(
-        b.alias("burst"),
-        i.cast("long").alias("sample"),
-        F.timestamp_seconds(
-            F.lit(base_epoch) + b * 3600 + i.cast("double") * 0.5
-        ).alias("time"),
-        (F.lit(10.0) + (F.pmod(7 * i + 13 * b, 16) - 8) / 64.0).alias("P_1ac"),
-        ((F.pmod(5 * i + 3 * b + 4, 16) - 8) / 64.0).alias("u_1205"),
-        ((F.pmod(3 * i + 11 * b + 9, 16) - 8) / 64.0).alias("v_1206"),
-    )
-    clean.write.mode("overwrite").parquet(os.path.join(d, "e2e_diwasp_clean"))
-    config = {
-        "output_dir": d,
-        "filename": "e2e_diwasp",
-        "sample_interval": 0.5,
-        "pressure_sensor_height": 0.5,
-        "diwasp": "puv",
-        "diwasp_method": "DFTM",
-        "diwasp_nfft": 16,
-        "diwasp_dres": 12,
-        "diwasp_nfreqs": 8,
-        "diwasp_ndirs": 12,
-    }
-    zone = pipeline.run_diwasp(spark, config)
-    out = spark.read.parquet(zone)
-    return out.select(
-        "burst_time",
-        _r6("wh_4061").alias("wh_4061"),
-        _r6("wp_peak").alias("wp_peak"),
-        _r6("wvdir").alias("wvdir"),
-        _r6("dwvdir").alias("dwvdir"),
-        _r6("wd_4062").alias("wd_4062"),
-        "diwasp_type",
-        _r6(F.col("diwasp_fspec").getItem(3)).alias("fspec_3"),
-        _r6(F.col("diwasp_dspec").getItem(2).getItem(2)).alias("dspec_2_2"),
-        _r6(F.col("diwasp_dspec").getItem(3).getItem(7)).alias("dspec_3_7"),
+    return _diwasp_e2e_run(
+        spark, "e2e_diwasp", ((16, 8), (16, 8), (16, 8)), "DFTM"
     )
 
 
@@ -11278,54 +11302,9 @@ def e2e_diwasp_imlm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: identical to the DFTM row — one shuffle on the burst
     key, Arrow batches through the kernel, zone parquet bounds
     lineage."""
-    import os
-    import tempfile
-
-    from stglib_spark import pipeline
-
-    d = tempfile.mkdtemp(prefix="e2ediwaspimlm_")
-    base_epoch = 1622505600  # 2021-06-01 00:00:00 UTC
-    b = (F.col("id") / 64).cast("long")
-    i = F.pmod(F.col("id"), 64)
-    clean = spark.range(128).select(
-        b.alias("burst"),
-        i.cast("long").alias("sample"),
-        F.timestamp_seconds(
-            F.lit(base_epoch) + b * 3600 + i.cast("double") * 0.5
-        ).alias("time"),
-        (F.lit(10.0) + (F.pmod(7 * i + 13 * b, 23) - 11) / 64.0).alias("P_1ac"),
-        ((F.pmod(5 * i + 3 * b + 4, 19) - 9) / 64.0).alias("u_1205"),
-        ((F.pmod(3 * i + 11 * b + 9, 17) - 8) / 64.0).alias("v_1206"),
-    )
-    clean.write.mode("overwrite").parquet(
-        os.path.join(d, "e2e_diwaspimlm_clean")
-    )
-    config = {
-        "output_dir": d,
-        "filename": "e2e_diwaspimlm",
-        "sample_interval": 0.5,
-        "pressure_sensor_height": 0.5,
-        "diwasp": "puv",
-        "diwasp_method": "IMLM",
-        "diwasp_iter": 5,
-        "diwasp_nfft": 16,
-        "diwasp_dres": 12,
-        "diwasp_nfreqs": 8,
-        "diwasp_ndirs": 12,
-    }
-    zone = pipeline.run_diwasp(spark, config)
-    out = spark.read.parquet(zone)
-    return out.select(
-        "burst_time",
-        _r6("wh_4061").alias("wh_4061"),
-        _r6("wp_peak").alias("wp_peak"),
-        _r6("wvdir").alias("wvdir"),
-        _r6("dwvdir").alias("dwvdir"),
-        _r6("wd_4062").alias("wd_4062"),
-        "diwasp_type",
-        _r6(F.col("diwasp_fspec").getItem(3)).alias("fspec_3"),
-        _r6(F.col("diwasp_dspec").getItem(2).getItem(2)).alias("dspec_2_2"),
-        _r6(F.col("diwasp_dspec").getItem(3).getItem(7)).alias("dspec_3_7"),
+    return _diwasp_e2e_run(
+        spark, "e2e_diwaspimlm", ((23, 11), (19, 9), (17, 8)), "IMLM",
+        miter=5,
     )
 
 
@@ -12237,7 +12216,7 @@ _FRONT = [
     #     re-grade this round even where results are provably identical;
     # (b) the 20 r5-aged rows declared in the r9 registry comment
     #     (incl. qaqc_min_max, which slid past the r9 cut);
-    # (c) 19 oldest r6-aged rows (agg_*/coord_* first per VERDICT #8).
+    # (c) 18 oldest r6-aged rows (agg_*/coord_* first per VERDICT #8).
     # Refresh SLA: 215 queries / 50 slots => full refresh every ~4.5
     # rounds; no green row should age past 4 rounds. r11 block = the 22
     # remaining r6-aged rows (phys_transfer_function phys_troll_salinity
