@@ -2,15 +2,20 @@
 tokenization stats, language ID, quality scoring, fingerprinting.
 
 These extend the engine beyond the reference's own surface (BASELINE.json
-north star): every operator is pure native Column work — regex + string
-functions that stay in whole-stage codegen, no Python in the hot path —
-so they stream over 100 TB of documents at scan speed.
+north star): every operator is native Column work — regex + string
+functions that stay in whole-stage codegen — so they stream over 100 TB
+of documents at scan speed. One deliberate exception: winnowing
+fingerprints run as an Arrow-batched pandas UDF, because the rolling
+recurrence is sequential per document and the array-expression form
+re-evaluates the codepoint array per element (see the function's
+docstring).
 """
 
 from __future__ import annotations
 
 import math
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # Minimal per-language stopword marker sets for the n-gram/stopword
@@ -159,6 +164,97 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
         " ",
     )
     return df.withColumn(out_col, F.md5(F.trim(norm)))
+
+
+#: Karp–Rabin base/modulus for winnowing fingerprints. M = 2^31 − 1
+#: (Mersenne prime) keeps the per-step fold `acc*B + c` below 5.6e11 —
+#: safely inside int64 — while the direct per-position polynomial
+#: Σ c_j·B^(k−1−j) (≤ 2.9e14 for k = 5) also fits, so a SQL oracle can
+#: replay either formulation and land on the identical residue.
+WINNOW_B = 257
+WINNOW_M = 2147483647
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer,
+    Wilkerson & Aiken 2003 — the MOSS local fingerprinting scheme):
+    Karp–Rabin hash every character ``k``-gram, slide a window of ``w``
+    adjacent hashes, keep each window's MINIMUM, and return the
+    distinct selected values per document. Guarantees: any shared
+    substring of length ≥ w + k − 1 contributes at least one shared
+    fingerprint (the winnowing coverage theorem), so the fingerprint
+    sets support substring-level near-dup detection at a fraction of
+    full shingling's footprint.
+
+    Engine shape: an Arrow-batched pandas UDF — shuffle-free, one text
+    pass per document. A pure array-expression formulation was measured
+    and rejected: a lambda that references the codepoint array
+    RE-EVALUATES it per element (Catalyst inlines the alias — the same
+    CollapseProject behavior as the PQ-encode dead end in SCALE.md), so
+    the nested transform/aggregate went O(n²·k) per document. Inside
+    the UDF the rolling hash truly rolls (O(n) per doc) and the window
+    minima use a monotonic deque (O(n)); the selected VALUES are
+    deterministic integers, independent of batch boundaries.
+
+    Ties inside a window select by VALUE, which is sufficient because
+    the fingerprint is the value set (positions are not retained).
+    Documents shorter than k characters yield an empty set; documents
+    with fewer than w k-grams yield the single global minimum.
+
+    The hash is exact integer arithmetic (base 257, mod 2^31−1 — the
+    per-step fold, the direct polynomial, and the rolling update are
+    congruent), so a DuckDB oracle replays fingerprints bit-for-bit; no
+    engine-private hash enters the result."""
+    from pyspark.sql.functions import pandas_udf
+
+    B, M = WINNOW_B, WINNOW_M
+    # B^(k-1) mod M, for rolling the leading char back out
+    bk1 = pow(B, k - 1, M)
+
+    @pandas_udf("array<long>")
+    def _winnow(texts: pd.Series) -> pd.Series:
+        out = []
+        for text in texts:
+            if text is None or len(text) < k:
+                out.append([])
+                continue
+            cps = [ord(c) for c in text]
+            n = len(cps)
+            acc = 0
+            for c in cps[:k]:
+                acc = (acc * B + c) % M
+            hs = [acc]
+            for i in range(1, n - k + 1):
+                acc = ((acc - cps[i - 1] * bk1) * B + cps[i + k - 1]) % M
+                hs.append(acc)
+            nh = len(hs)
+            if nh < w:
+                out.append([min(hs)])
+                continue
+            # sliding-window minima via monotonic deque
+            from collections import deque
+
+            dq: deque = deque()
+            sel = set()
+            for j, h in enumerate(hs):
+                while dq and hs[dq[-1]] >= h:
+                    dq.pop()
+                dq.append(j)
+                if dq[0] <= j - w:
+                    dq.popleft()
+                if j >= w - 1:
+                    sel.add(hs[dq[0]])
+            out.append(sorted(sel))
+        return pd.Series(out)
+
+    return df.select(F.col(id_col), _winnow(F.col(text_col)).alias(out_col))
 
 
 def unigram_vocab(

@@ -12196,6 +12196,70 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "text_winnow_fingerprints",
+    """
+    WITH hs AS (
+      SELECT d.doc_id, u.i,
+        (unicode(substr(d.text, u.i, 1)) * 4362470401
+         + unicode(substr(d.text, u.i + 1, 1)) * 16974593
+         + unicode(substr(d.text, u.i + 2, 1)) * 66049
+         + unicode(substr(d.text, u.i + 3, 1)) * 257
+         + unicode(substr(d.text, u.i + 4, 1))) % 2147483647 AS h
+      FROM documents d,
+           unnest(generate_series(1, length(d.text) - 4)) AS u(i)
+      WHERE length(d.text) >= 5
+    ),
+    win AS (
+      SELECT doc_id, i,
+        min(h) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+        count(*) OVER (PARTITION BY doc_id) AS n
+      FROM hs
+    ),
+    -- full windows only; when a doc has < w hashes the first row's
+    -- truncated window is already the global minimum
+    sel AS (
+      SELECT DISTINCT doc_id, m AS fp
+      FROM win WHERE i <= greatest(n - 3, 1)
+    ),
+    agg AS (
+      SELECT doc_id, count(*) AS n_fps,
+             md5(array_to_string(list_sort(list(fp)), ',')) AS fps_md5,
+             min(fp) AS fp_min
+      FROM sel GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(coalesce(a.n_fps, 0) AS BIGINT) AS n_fps,
+           coalesce(a.fps_md5, md5('')) AS fps_md5,
+           CAST(coalesce(a.fp_min, -1) AS BIGINT) AS fp_min
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints by winnowing (Schleimer et al.
+    2003, the MOSS scheme — `text.winnow_fingerprints`): Karp–Rabin hash
+    of every 5-char gram, window-of-4 minima, distinct selected values.
+    Exact integer arithmetic (base 257 mod 2^31−1), so the oracle
+    replays the per-position polynomial directly — congruent to the
+    engine's per-step fold — and the md5 of each document's sorted
+    fingerprint set proves SET-level identity, not just counts. The
+    fingerprint set supports substring-level near-dup candidate
+    generation (any shared run ≥ w+k−1 chars shares a fingerprint) via
+    the same guarded bucket-join machinery as MinHash-LSH."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text_ops.winnow_fingerprints(docs)
+    srt = F.array_sort("fingerprints")
+    return fps.select(
+        "doc_id",
+        F.size("fingerprints").cast("long").alias("n_fps"),
+        F.md5(
+            F.concat_ws(",", F.transform(srt, lambda x: x.cast("string")))
+        ).alias("fps_md5"),
+        F.coalesce(F.element_at(srt, 1), F.lit(-1)).cast("long").alias("fp_min"),
+    )
+
+
 # Registry ordering for the driver's correctness run. The driver records
 # rows for the FIRST ~50 registry entries, so ordering decides which
 # queries get driver-side evidence. Policy (round-4 fix for the r3
@@ -12217,7 +12281,7 @@ _FRONT = [
     # (b) the 20 r5-aged rows declared in the r9 registry comment
     #     (incl. qaqc_min_max, which slid past the r9 cut);
     # (c) 18 oldest r6-aged rows (agg_*/coord_* first per VERDICT #8).
-    # Refresh SLA: 215 queries / 50 slots => full refresh every ~4.5
+    # Refresh SLA: 216 queries / 50 slots => full refresh every ~4.5
     # rounds; no green row should age past 4 rounds. r11 block = the 22
     # remaining r6-aged rows (phys_transfer_function phys_troll_salinity
     # phys_wind_dir_correct
