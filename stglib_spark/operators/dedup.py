@@ -568,6 +568,75 @@ def simhash(
     return agg.select(F.col(id_col), fp.alias("simhash"))
 
 
+def winnow_candidate_pairs(
+    fps_df: DataFrame,
+    id_col: str = "doc_id",
+    fp_col: str = "fingerprints",
+    min_shared: int = 2,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
+    oversize: str = "star",
+    observation=None,
+) -> DataFrame:
+    """Near-duplicate candidate pairs from winnowing fingerprints
+    (`text.winnow_fingerprints` output): explode each document's
+    fingerprint SET, equi-join on the fingerprint value (each
+    fingerprint is a bucket — never all-pairs), and keep pairs sharing
+    ≥ ``min_shared`` fingerprints. By the winnowing coverage theorem a
+    shared substring of length ≥ w + k − 1 shares at least one
+    fingerprint, so this is the substring-level analogue of the
+    MinHash-LSH candidate stage.
+
+    Same scale machinery as the LSH chain: the fingerprint buckets run
+    under the `_annotate_bucket_sizes` guard (a boilerplate fingerprint
+    shared by millions of documents min-star reduces instead of
+    emitting m²/2 pairs), with the same star × ``min_shared``
+    multiplicative recall interaction documented in SCALE.md for the
+    video n_close gate — an oversize bucket contributes only
+    min-member edges, each of which must clear ``min_shared`` on its
+    own."""
+    stacked = fps_df.select(
+        F.col(id_col), F.explode(F.col(fp_col)).alias("fp")
+    )
+    if max_bucket_size is None:
+        left = stacked.alias("l")
+        right = stacked.alias("r")
+        cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    else:
+        pinned, annotated = _annotate_bucket_sizes(
+            stacked, ["fp"], [id_col], max_bucket_size, observation
+        )
+        if oversize == "drop":
+            keep_left = F.col("__bsz").isNull()
+        elif oversize == "star":
+            keep_left = F.col("__bsz").isNull() | (
+                F.col(id_col) == F.col("__mn")
+            )
+        else:
+            raise ValueError(
+                f"oversize must be 'star' or 'drop', got {oversize!r}"
+            )
+        left = annotated.filter(keep_left).drop("__mn").alias("l")
+        right = pinned.hint("shuffle_hash").alias("r")
+        cond = (
+            F.col("l.__bsz").isNull()
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        ) | (
+            F.col("l.__bsz").isNotNull()
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        )
+    pairs = left.join(right, (F.col("l.fp") == F.col("r.fp")) & cond).select(
+        F.col(f"l.{id_col}").alias("doc_a"),
+        F.col(f"r.{id_col}").alias("doc_b"),
+    )
+    # fingerprint sets are distinct per doc, so count(*) per pair ==
+    # the shared-fingerprint count
+    return (
+        pairs.groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 def simhash_near_pairs(
     fingerprints: DataFrame,
     id_col: str = "doc_id",

@@ -179,8 +179,8 @@ def winnow_fingerprints(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    k: int = 5,
-    w: int = 4,
+    k: int = 15,
+    w: int = 8,
     out_col: str = "fingerprints",
 ) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (Schleimer,
@@ -188,10 +188,14 @@ def winnow_fingerprints(
     Karp–Rabin hash every character ``k``-gram, slide a window of ``w``
     adjacent hashes, keep each window's MINIMUM, and return the
     distinct selected values per document. Guarantees: any shared
-    substring of length ≥ w + k − 1 contributes at least one shared
-    fingerprint (the winnowing coverage theorem), so the fingerprint
-    sets support substring-level near-dup detection at a fraction of
-    full shingling's footprint.
+    substring of length ≥ w + k − 1 (22 chars at the defaults)
+    contributes at least one shared fingerprint (the winnowing coverage
+    theorem), so the fingerprint sets support substring-level near-dup
+    detection at a fraction of full shingling's footprint. k must be
+    long enough that ordinary same-language text does not collide —
+    k = 5 was measured degenerate on English (every document shares
+    5-grams like " the ", giving an all-pairs candidate set); 15 chars
+    ~ 2-3 words is the MOSS-style noise threshold.
 
     Engine shape: an Arrow-batched pandas UDF — shuffle-free, one text
     pass per document. A pure array-expression formulation was measured

@@ -12196,33 +12196,49 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "text_winnow_fingerprints",
-    """
+def _winnow_ctes(k: int = 15, w: int = 8) -> str:
+    """Winnowing replay shared by the fingerprint and candidate-pair
+    oracles: Karp–Rabin per-position polynomial (congruent to the
+    engine's per-step/rolling fold mod 2^31−1; max term sum ≈ k·1.4e14,
+    inside int64), window-of-``w`` minima via ROWS BETWEEN, distinct
+    selected values. Full windows only — when a doc has < w hashes the
+    first row's truncated window is already the global minimum."""
+    B, M = 257, 2147483647
+    terms = "\n         + ".join(
+        f"CAST(unicode(substr(d.text, u.i + {j}, 1)) AS BIGINT)"
+        f" * {pow(B, k - 1 - j, M)}"
+        if k - 1 - j > 0
+        else f"CAST(unicode(substr(d.text, u.i + {j}, 1)) AS BIGINT)"
+        for j in range(k)
+    )
+    return f"""
     WITH hs AS (
       SELECT d.doc_id, u.i,
-        (unicode(substr(d.text, u.i, 1)) * 4362470401
-         + unicode(substr(d.text, u.i + 1, 1)) * 16974593
-         + unicode(substr(d.text, u.i + 2, 1)) * 66049
-         + unicode(substr(d.text, u.i + 3, 1)) * 257
-         + unicode(substr(d.text, u.i + 4, 1))) % 2147483647 AS h
+        ({terms}) % {M} AS h
       FROM documents d,
-           unnest(generate_series(1, length(d.text) - 4)) AS u(i)
-      WHERE length(d.text) >= 5
+           unnest(generate_series(1, length(d.text) - {k - 1})) AS u(i)
+      WHERE length(d.text) >= {k}
     ),
     win AS (
       SELECT doc_id, i,
         min(h) OVER (PARTITION BY doc_id ORDER BY i
-                     ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m,
+                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS m,
         count(*) OVER (PARTITION BY doc_id) AS n
       FROM hs
     ),
-    -- full windows only; when a doc has < w hashes the first row's
-    -- truncated window is already the global minimum
     sel AS (
       SELECT DISTINCT doc_id, m AS fp
-      FROM win WHERE i <= greatest(n - 3, 1)
-    ),
+      FROM win WHERE i <= greatest(n - {w - 1}, 1)
+    )"""
+
+
+_WINNOW_CTES = _winnow_ctes()
+
+
+@register(
+    "text_winnow_fingerprints",
+    _WINNOW_CTES
+    + """,
     agg AS (
       SELECT doc_id, count(*) AS n_fps,
              md5(array_to_string(list_sort(list(fp)), ',')) AS fps_md5,
@@ -12260,6 +12276,33 @@ def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_winnow_candidates",
+    _WINNOW_CTES
+    + """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level near-dup candidates from winnowing fingerprints
+    (`dedup.winnow_candidate_pairs`): documents sharing ≥ 2 selected
+    rolling-hash fingerprints — the MOSS pairing rule, the substring
+    analogue of the MinHash-LSH candidate stage (any shared run of
+    ≥ w+k−1 = 22 chars shares a fingerprint). The fingerprint buckets
+    run under the same `_annotate_bucket_sizes` oversize guard as every
+    other candidate self-join; at test scale no bucket approaches the
+    default cap, so the oracle replays the plain all-pairs-per-bucket
+    rule (the tight-cap behavior is driver-pinned separately by
+    `dedup_lsh_bucket_cap`)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text_ops.winnow_fingerprints(docs)
+    return dedup_ops.winnow_candidate_pairs(fps, min_shared=2)
+
+
 # Registry ordering for the driver's correctness run. The driver records
 # rows for the FIRST ~50 registry entries, so ordering decides which
 # queries get driver-side evidence. Policy (round-4 fix for the r3
@@ -12281,7 +12324,7 @@ _FRONT = [
     # (b) the 20 r5-aged rows declared in the r9 registry comment
     #     (incl. qaqc_min_max, which slid past the r9 cut);
     # (c) 18 oldest r6-aged rows (agg_*/coord_* first per VERDICT #8).
-    # Refresh SLA: 216 queries / 50 slots => full refresh every ~4.5
+    # Refresh SLA: 217 queries / 50 slots => full refresh every ~4.5
     # rounds; no green row should age past 4 rounds. r11 block = the 22
     # remaining r6-aged rows (phys_transfer_function phys_troll_salinity
     # phys_wind_dir_correct
