@@ -12323,11 +12323,11 @@ _FRONT = [
     #     re-grade this round even where results are provably identical;
     # (b) the 20 r5-aged rows declared in the r9 registry comment
     #     (incl. qaqc_min_max, which slid past the r9 cut);
-    # (c) 18 oldest r6-aged rows (agg_*/coord_* first per VERDICT #8).
+    # (c) 16 oldest r6-aged rows (agg_*/coord_* first per VERDICT #8).
     # Refresh SLA: 217 queries / 50 slots => full refresh every ~4.5
-    # rounds; no green row should age past 4 rounds. r11 block = the 22
-    # remaining r6-aged rows (phys_transfer_function phys_troll_salinity
-    # phys_wind_dir_correct
+    # rounds; no green row should age past 4 rounds. r11 block = the 24
+    # remaining r6-aged rows (phys_pres2dep_density phys_spd2uv
+    # phys_transfer_function phys_troll_salinity phys_wind_dir_correct
     # phys_z_geometry prof_clip_profiles prof_ragged_index
     # q1_pricing_summary q3_top_revenue_orders q5_nation_revenue
     # qaqc_diff_rules qaqc_fliers qaqc_mask_expr qaqc_med_diff
@@ -12338,6 +12338,8 @@ _FRONT = [
     # (a) new/re-planned
     "e2e_diwasp_imlm_roundtrip",
     "e2e_sonar_xy_roundtrip",
+    "text_winnow_fingerprints",
+    "dedup_winnow_candidates",
     "dedup_lsh_bucket_cap",
     "dedup_minhash_lsh",
     "dedup_token_jaccard",
@@ -12386,8 +12388,6 @@ _FRONT = [
     "mm_decode_real_bmp",
     "phys_boundary_elevation",
     "phys_direction_conventions",
-    "phys_pres2dep_density",
-    "phys_spd2uv",
 ]
 
 
