@@ -82,6 +82,9 @@ HEADLINE = [
     "mm_phash_neardup",
     "mm_video_phash_neardup",
     "e2e_rbr_clean_roundtrip",
+    # new in r10: substring-level near-dup candidates from winnowing
+    # fingerprints (rolling-hash pandas-UDF kernel + guarded bucket join)
+    "dedup_winnow_candidates",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and
@@ -162,6 +165,7 @@ def main() -> None:
         "mm_phash_neardup",
         "mm_video_phash_neardup",
         "e2e_rbr_clean_roundtrip",
+        "dedup_winnow_candidates",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3

@@ -197,30 +197,34 @@ def winnow_fingerprints(
     5-grams like " the ", giving an all-pairs candidate set); 15 chars
     ~ 2-3 words is the MOSS-style noise threshold.
 
-    Engine shape: an Arrow-batched pandas UDF — shuffle-free, one text
-    pass per document. A pure array-expression formulation was measured
-    and rejected: a lambda that references the codepoint array
-    RE-EVALUATES it per element (Catalyst inlines the alias — the same
-    CollapseProject behavior as the PQ-encode dead end in SCALE.md), so
-    the nested transform/aggregate went O(n²·k) per document. Inside
-    the UDF the rolling hash truly rolls (O(n) per doc) and the window
-    minima use a monotonic deque (O(n)); the selected VALUES are
-    deterministic integers, independent of batch boundaries.
+    Engine shape: an Arrow-batched pandas UDF with a numpy-vectorized
+    kernel — shuffle-free, k vectorized passes per document. A pure
+    array-expression formulation was measured and rejected: a lambda
+    that references the codepoint array RE-EVALUATES it per element
+    (Catalyst inlines the alias — the same CollapseProject behavior as
+    the PQ-encode dead end in SCALE.md), so the nested
+    transform/aggregate went O(n²·k) per document; a per-char Python
+    loop was then measured at 4.2 s for sf0.1 vs ~1 s vectorized. The
+    k-gram hashes come from the direct polynomial Σ cps[j:j+m]·B^(k−1−j)
+    accumulated in int64 (max ≈ k·1.4e14, no overflow) with one final
+    mod; window minima via a strided sliding-window view. Identical
+    values to the rolling fold — congruent mod M.
 
     Ties inside a window select by VALUE, which is sufficient because
     the fingerprint is the value set (positions are not retained).
     Documents shorter than k characters yield an empty set; documents
     with fewer than w k-grams yield the single global minimum.
 
-    The hash is exact integer arithmetic (base 257, mod 2^31−1 — the
-    per-step fold, the direct polynomial, and the rolling update are
-    congruent), so a DuckDB oracle replays fingerprints bit-for-bit; no
-    engine-private hash enters the result."""
+    The hash is exact integer arithmetic (base 257, mod 2^31−1), so a
+    DuckDB oracle replays fingerprints bit-for-bit; no engine-private
+    hash enters the result."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
     from pyspark.sql.functions import pandas_udf
 
     B, M = WINNOW_B, WINNOW_M
-    # B^(k-1) mod M, for rolling the leading char back out
-    bk1 = pow(B, k - 1, M)
+    coeffs = np.array([pow(B, k - 1 - j, M) for j in range(k)], dtype=np.int64)
 
     @pandas_udf("array<long>")
     def _winnow(texts: pd.Series) -> pd.Series:
@@ -229,33 +233,20 @@ def winnow_fingerprints(
             if text is None or len(text) < k:
                 out.append([])
                 continue
-            cps = [ord(c) for c in text]
-            n = len(cps)
-            acc = 0
-            for c in cps[:k]:
-                acc = (acc * B + c) % M
-            hs = [acc]
-            for i in range(1, n - k + 1):
-                acc = ((acc - cps[i - 1] * bk1) * B + cps[i + k - 1]) % M
-                hs.append(acc)
-            nh = len(hs)
-            if nh < w:
-                out.append([min(hs)])
+            # utf-32-le decode == per-char ord(), vectorized
+            cps = np.frombuffer(
+                text.encode("utf-32-le"), dtype=np.uint32
+            ).astype(np.int64)
+            m = len(cps) - k + 1
+            hs = np.zeros(m, dtype=np.int64)
+            for j in range(k):
+                hs += cps[j : j + m] * coeffs[j]
+            hs %= M
+            if m < w:
+                out.append([int(hs.min())])
                 continue
-            # sliding-window minima via monotonic deque
-            from collections import deque
-
-            dq: deque = deque()
-            sel = set()
-            for j, h in enumerate(hs):
-                while dq and hs[dq[-1]] >= h:
-                    dq.pop()
-                dq.append(j)
-                if dq[0] <= j - w:
-                    dq.popleft()
-                if j >= w - 1:
-                    sel.add(hs[dq[0]])
-            out.append(sorted(sel))
+            sel = np.unique(sliding_window_view(hs, w).min(axis=1))
+            out.append(sel.tolist())
         return pd.Series(out)
 
     return df.select(F.col(id_col), _winnow(F.col(text_col)).alias(out_col))
