@@ -695,3 +695,63 @@ def test_incremental_near_dedup_rejects_near_copy(spark):
     assert 10 in rejected and rejected[10][0] == 3
     assert rejected[10][1] > 0.8
     assert 11 not in rejected
+
+
+def test_winnow_fingerprints_reference_and_edges(spark):
+    """Winnowing fingerprints (Schleimer et al. 2003) against a
+    straightforward per-char reference implementation, including the
+    documented edge cases: empty text, text shorter than k, exactly one
+    k-gram, fewer k-grams than the window, and byte-identical documents
+    producing identical fingerprint sets."""
+    from stglib_spark.operators.dedup import winnow_candidate_pairs
+    from stglib_spark.operators.text import (
+        WINNOW_B,
+        WINNOW_M,
+        winnow_fingerprints,
+    )
+
+    k, w = 15, 8
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog " * 3),
+        (2, "abc"),                       # shorter than k
+        (3, "exactly-15-char"),           # one k-gram
+        (4, "just a few k-grams here"),   # fewer k-grams than w
+        (5, ""),
+        (6, "the quick brown fox jumps over the lazy dog " * 3),  # dup of 1
+        (7, "completely different content with no shared runs at all x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r.doc_id: sorted(r.fingerprints)
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+
+    def ref(text):
+        cps = [ord(c) for c in text]
+        n = len(cps)
+        if n < k:
+            return []
+        hs = []
+        for i in range(n - k + 1):
+            acc = 0
+            for c in cps[i : i + k]:
+                acc = (acc * WINNOW_B + c) % WINNOW_M
+            hs.append(acc)
+        if len(hs) < w:
+            return [min(hs)]
+        return sorted({min(hs[i : i + w]) for i in range(len(hs) - w + 1)})
+
+    for doc_id, text in rows:
+        assert got[doc_id] == ref(text), doc_id
+    assert got[1] == got[6] and got[1]  # identical docs -> identical sets
+    assert got[2] == [] and got[5] == []
+    assert len(got[3]) == 1 and len(got[4]) == 1
+
+    # pairing: the duplicate pair shares every fingerprint; doc 7 pairs
+    # with nothing
+    pairs = winnow_candidate_pairs(
+        winnow_fingerprints(df, k=k, w=w), min_shared=2
+    ).collect()
+    bym = {(r.doc_a, r.doc_b): r.n_shared for r in pairs}
+    assert bym.get((1, 6)) == len(got[1])
+    assert not any(7 in p for p in bym)
