@@ -593,7 +593,12 @@ def winnow_candidate_pairs(
     multiplicative recall interaction documented in SCALE.md for the
     video n_close gate — an oversize bucket contributes only
     min-member edges, each of which must clear ``min_shared`` on its
-    own."""
+    own. For this operator ``oversize="drop"`` with a LOW cap is
+    usually the right production setting — it is MOSS's common-match
+    exclusion: a fingerprint shared by more than ~dozens of documents
+    is boilerplate (its bucket is also where the quadratic pair
+    enumeration lives), so document-frequency-cutting it is both the
+    quality filter and the scale guard in one knob."""
     stacked = fps_df.select(
         F.col(id_col), F.explode(F.col(fp_col)).alias("fp")
     )
