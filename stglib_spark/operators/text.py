@@ -182,6 +182,7 @@ def winnow_fingerprints(
     k: int = 15,
     w: int = 8,
     out_col: str = "fingerprints",
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (Schleimer,
     Wilkerson & Aiken 2003 — the MOSS local fingerprinting scheme):
@@ -249,7 +250,11 @@ def winnow_fingerprints(
             out.append(sel.tolist())
         return pd.Series(out)
 
-    return df.select(F.col(id_col), _winnow(F.col(text_col)).alias(out_col))
+    return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep_cols],
+        _winnow(F.col(text_col)).alias(out_col),
+    )
 
 
 def unigram_vocab(

@@ -24,6 +24,7 @@ from stglib_spark.streaming.bursts import (
     streaming_near_dedup,
     streaming_pack_sequences,
     streaming_phash_gate,
+    streaming_winnow_gate,
     streaming_puv,
     streaming_sessionize,
     streaming_topk_cosine,
@@ -44,6 +45,7 @@ __all__ = [
     "streaming_near_dedup",
     "streaming_pack_sequences",
     "streaming_phash_gate",
+    "streaming_winnow_gate",
     "streaming_puv",
     "streaming_sessionize",
     "streaming_topk_cosine",

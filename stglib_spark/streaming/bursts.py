@@ -1244,6 +1244,58 @@ def streaming_decontaminate(
     )
 
 
+def streaming_winnow_gate(
+    docs: DataFrame,
+    index_docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    time_col: str = "ts",
+    k: int = 15,
+    w: int = 8,
+    max_df: int = 64,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming twin of the winnow candidate stage
+    (``dedup.winnow_candidate_pairs`` vs a STATIC corpus index): every
+    arriving document's winnowing fingerprints (Karp–Rabin k-grams +
+    window minima, `text.winnow_fingerprints` — the same exact-integer
+    kernel) probe the index's fingerprint set, and a document sharing
+    ANY kept fingerprint — i.e. a ≥ w+k−1-char run also present in the
+    index — is emitted the moment it arrives, one row each.
+
+    The index set applies MOSS's common-match exclusion before
+    broadcasting: fingerprints held by more than ``max_df`` index
+    documents are boilerplate stop-fingerprints, which both kills the
+    false-alert firehose AND bounds the broadcast (the same df-cut the
+    batch query uses). Stateless except the watermark-bounded per-doc
+    dedup that collapses multi-fingerprint hits — the identical shape
+    to ``streaming_decontaminate``; the parity test pins streamed ids
+    == the batch detection on the same rows."""
+    from stglib_spark.operators.text import winnow_fingerprints
+
+    idx = winnow_fingerprints(index_docs, text_col, id_col, k, w).select(
+        F.explode("fingerprints").alias("fp")
+    )
+    kept = (
+        idx.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("__nd"))
+        .filter(F.col("__nd") <= max_df)
+        .select("fp")
+    )
+    hits = (
+        winnow_fingerprints(
+            docs, text_col, id_col, k, w, keep_cols=(time_col,)
+        )
+        .select(id_col, time_col, F.explode("fingerprints").alias("fp"))
+        .join(F.broadcast(kept), "fp")
+    )
+    return (
+        hits.select(id_col, time_col)
+        .withWatermark(time_col, watermark)
+        .dropDuplicatesWithinWatermark([id_col])
+    )
+
+
 def streaming_phash_gate(
     media: DataFrame,
     index_media: DataFrame,

@@ -1345,3 +1345,85 @@ def test_streaming_phash_gate_matches_batch(spark, checkpoint_dir, tmp_path):
     assert (10, 100) in streamed and (12, 200) in streamed
     assert streamed[(12, 200)] == 0
     assert all(mid != 11 for mid, _ in streamed)
+
+
+def test_streaming_winnow_gate_matches_batch(spark, checkpoint_dir, tmp_path):
+    """The streamed winnow-gate id set must equal the batch detection
+    (docs sharing >= 1 kept fingerprint with the index, after the
+    stop-fingerprint df-cut) on the same rows — same exact-integer
+    Karp-Rabin/winnowing kernel on both sides — and a doc sharing many
+    fingerprints must alert exactly once."""
+    import os
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from stglib_spark.operators.text import winnow_fingerprints
+    from stglib_spark.streaming import streaming_winnow_gate
+
+    shared_run = (
+        "this exact boilerplate sentence appears verbatim in the index "
+        "corpus and in some arriving documents word for word"
+    )
+    index = spark.createDataFrame(
+        [
+            (1, "index document one containing " + shared_run + " plus tail"),
+            (2, "second index doc, entirely unrelated content throughout"),
+        ],
+        "doc_id long, text string",
+    )
+    t0 = pd.Timestamp("2024-07-01 09:00:00")
+    arriving = pd.DataFrame(
+        {
+            "doc_id": [30, 31, 32],
+            "ts": [t0, t0 + pd.Timedelta(minutes=1), t0 + pd.Timedelta(minutes=2)],
+            "text": [
+                "prefix words then " + shared_run + " then suffix words",
+                "completely fresh original material with no overlapping "
+                "twenty-two character runs against either index document",
+                shared_run,
+            ],
+        }
+    )
+    d = str(tmp_path / "winnowgate")
+    os.makedirs(d)
+    spark.createDataFrame(arriving).coalesce(1).write.parquet(d + "/a")
+    schema = spark.read.parquet(d + "/a").schema
+    stream = spark.readStream.schema(schema).parquet(d + "/*")
+    q = (
+        streaming_winnow_gate(stream, index)
+        .writeStream.format("memory")
+        .queryName("winnowgate")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM winnowgate").collect()
+    )
+    assert streamed == sorted(set(streamed))  # one alert per doc
+
+    # batch detection: same kernel, same df-cut, >= 1 shared fingerprint
+    idx_fp = winnow_fingerprints(index).select(
+        F.explode("fingerprints").alias("fp")
+    )
+    kept = (
+        idx_fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .filter(F.col("nd") <= 64)
+        .select("fp")
+    )
+    batch = sorted(
+        r["doc_id"]
+        for r in winnow_fingerprints(
+            spark.createDataFrame(arriving).drop("ts")
+        )
+        .select("doc_id", F.explode("fingerprints").alias("fp"))
+        .join(kept, "fp")
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert streamed == batch == [30, 32]
