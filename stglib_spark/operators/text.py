@@ -169,8 +169,10 @@ def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "finge
 #: Karp–Rabin base/modulus for winnowing fingerprints. M = 2^31 − 1
 #: (Mersenne prime) keeps the per-step fold `acc*B + c` below 5.6e11 —
 #: safely inside int64 — while the direct per-position polynomial
-#: Σ c_j·B^(k−1−j) (≤ 2.9e14 for k = 5) also fits, so a SQL oracle can
-#: replay either formulation and land on the identical residue.
+#: Σ c_j·B^(k−1−j) (each term ≤ 0x10FFFF·(M−1) ≈ 2.4e15 for a max
+#: codepoint, ≈ 3.6e16 summed at the default k = 15) also fits, so a
+#: SQL oracle can replay either formulation and land on the identical
+#: residue. int64 overflow only becomes possible near k ≈ 3800.
 WINNOW_B = 257
 WINNOW_M = 2147483647
 
@@ -207,7 +209,9 @@ def winnow_fingerprints(
     transform/aggregate went O(n²·k) per document; a per-char Python
     loop was then measured at 4.2 s for sf0.1 vs ~1 s vectorized. The
     k-gram hashes come from the direct polynomial Σ cps[j:j+m]·B^(k−1−j)
-    accumulated in int64 (max ≈ k·1.4e14, no overflow) with one final
+    accumulated in int64 (≤ 0x10FFFF·(M−1) ≈ 2.4e15 per term for a
+    supplementary-plane codepoint, ≈ 3.6e16 summed at k = 15 — inside
+    int64; overflow only becomes possible near k ≈ 3800) with one final
     mod; window minima via a strided sliding-window view. Identical
     values to the rolling fold — congruent mod M.
 

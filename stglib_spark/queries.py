@@ -53,11 +53,21 @@ def _session_conf_guard(spark: SparkSession):
     )
     from pyspark.errors import PySparkException
 
+    # Py4JJavaError is NOT a PySparkException subclass: on older Spark
+    # versions (or a JVM-side IllegalArgumentException during restore)
+    # conf.get/set surface it directly, and the guard must still log
+    # loudly rather than mask the query's own result (ADVICE r10).
+    try:
+        from py4j.protocol import Py4JJavaError
+    except ImportError:  # Spark Connect sessions carry no py4j
+        Py4JJavaError = PySparkException
+    _conf_errors = (PySparkException, Py4JJavaError)
+
     saved: dict[str, str | None] = {}
     for k in keys:
         try:
             saved[k] = spark.conf.get(k)
-        except PySparkException:  # unset conf with no default
+        except _conf_errors:  # unset conf with no default
             saved[k] = None
     try:
         yield
@@ -71,7 +81,7 @@ def _session_conf_guard(spark: SparkSession):
                     spark.conf.unset(k)
                 else:
                     spark.conf.set(k, v)
-            except PySparkException:
+            except _conf_errors:
                 _log.warning(
                     "_session_conf_guard: failed to restore %s=%r", k, v
                 )
@@ -12255,7 +12265,9 @@ _WINNOW_CTES = _winnow_ctes()
 def text_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (Schleimer et al.
     2003, the MOSS scheme — `text.winnow_fingerprints`): Karp–Rabin hash
-    of every 5-char gram, window-of-4 minima, distinct selected values.
+    of every 15-char gram, window-of-8 minima, distinct selected values
+    (k = 15 / w = 8, the defaults — k = 5 was measured degenerate on
+    English, see the operator docstring).
     Exact integer arithmetic (base 257 mod 2^31−1), so the oracle
     replays the per-position polynomial directly — congruent to the
     engine's per-step fold — and the md5 of each document's sorted

@@ -1210,16 +1210,24 @@ def streaming_decontaminate(
     time_col: str = "ts",
     ngram: int = 13,
     watermark: str = "1 hour",
+    broadcast_index: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Streaming twin of ``corpus.contaminated_ids`` — the live-ingest
     benchmark-decontamination gate: every arriving document's word
-    n-grams probe the STATIC benchmark gram set (broadcast — eval sets
-    are tiny next to a crawl) and contaminated documents are emitted
-    the moment they arrive, one row each.
+    n-grams probe the STATIC benchmark gram set and contaminated
+    documents are emitted the moment they arrive, one row each.
+
+    Eval sets are tiny next to a crawl, so the gram set almost always
+    broadcasts — but "almost always" is a measurement, not a plan
+    invariant, so the broadcast is size-gated exactly like
+    ``streaming_near_dedup``: counted ONCE at plan build, shuffled
+    stream-static join past ``broadcast_max_rows`` (or pass
+    ``broadcast_index`` explicitly to skip the count).
 
     Stateless except the watermark-bounded per-doc dedup that collapses
     multi-gram hits (a doc sharing 40 benchmark grams must alert once):
-    explode → broadcast equi-join → dropDuplicatesWithinWatermark.
+    explode → gated equi-join → dropDuplicatesWithinWatermark.
     Same gram definition as the batch operator (word_shingles over the
     shared normalizer), so the streamed contaminated-id set equals the
     batch detection on the same rows — the parity test's contract."""
@@ -1231,13 +1239,17 @@ def streaming_decontaminate(
         )
         .distinct()
     )
+    if broadcast_index is None:
+        broadcast_index = bench_grams.count() <= broadcast_max_rows
+    if broadcast_index:
+        bench_grams = F.broadcast(bench_grams)
     doc_grams = docs.select(
         F.col(id_col),
         F.col(time_col),
         F.explode(word_shingles(F.col(text_col), ngram)).alias("gram"),
     )
     return (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+        doc_grams.join(bench_grams, "gram")
         .select(id_col, time_col)
         .withWatermark(time_col, watermark)
         .dropDuplicatesWithinWatermark([id_col])
@@ -1254,6 +1266,8 @@ def streaming_winnow_gate(
     w: int = 8,
     max_df: int = 64,
     watermark: str = "1 hour",
+    broadcast_index: bool | None = None,
+    broadcast_max_rows: int = 2_000_000,
 ) -> DataFrame:
     """Streaming twin of the winnow candidate stage
     (``dedup.winnow_candidate_pairs`` vs a STATIC corpus index): every
@@ -1263,13 +1277,20 @@ def streaming_winnow_gate(
     ANY kept fingerprint — i.e. a ≥ w+k−1-char run also present in the
     index — is emitted the moment it arrives, one row each.
 
-    The index set applies MOSS's common-match exclusion before
-    broadcasting: fingerprints held by more than ``max_df`` index
-    documents are boilerplate stop-fingerprints, which both kills the
-    false-alert firehose AND bounds the broadcast (the same df-cut the
-    batch query uses). Stateless except the watermark-bounded per-doc
-    dedup that collapses multi-fingerprint hits — the identical shape
-    to ``streaming_decontaminate``; the parity test pins streamed ids
+    The index set applies MOSS's common-match exclusion first:
+    fingerprints held by more than ``max_df`` index documents are
+    boilerplate stop-fingerprints, which kills the false-alert
+    firehose. Note the df-cut bounds each fingerprint's document
+    FREQUENCY, not the set's cardinality — the kept set is the
+    rare-fingerprint majority and grows linearly with index volume
+    (~2/(w+1) fingerprints per char), so it must NOT be broadcast
+    unconditionally. The broadcast is size-gated exactly like
+    ``streaming_near_dedup``: ``kept`` is counted ONCE at plan build
+    and past ``broadcast_max_rows`` the probe falls back to a shuffled
+    stream-static join (or pass ``broadcast_index`` explicitly to skip
+    the count). Stateless except the watermark-bounded per-doc dedup
+    that collapses multi-fingerprint hits — the identical shape to
+    ``streaming_decontaminate``; the parity test pins streamed ids
     == the batch detection on the same rows."""
     from stglib_spark.operators.text import winnow_fingerprints
 
@@ -1282,12 +1303,16 @@ def streaming_winnow_gate(
         .filter(F.col("__nd") <= max_df)
         .select("fp")
     )
+    if broadcast_index is None:
+        broadcast_index = kept.count() <= broadcast_max_rows
+    if broadcast_index:
+        kept = F.broadcast(kept)
     hits = (
         winnow_fingerprints(
             docs, text_col, id_col, k, w, keep_cols=(time_col,)
         )
         .select(id_col, time_col, F.explode("fingerprints").alias("fp"))
-        .join(F.broadcast(kept), "fp")
+        .join(kept, "fp")
     )
     return (
         hits.select(id_col, time_col)

@@ -1427,3 +1427,77 @@ def test_streaming_winnow_gate_matches_batch(spark, checkpoint_dir, tmp_path):
         .collect()
     )
     assert streamed == batch == [30, 32]
+
+
+def test_streaming_winnow_gate_shuffled_past_broadcast_gate(
+    spark, checkpoint_dir, tmp_path
+):
+    """Past ``broadcast_max_rows`` the kept-fingerprint probe must fall
+    back to a shuffled stream-static join (the kept set grows linearly
+    with index volume — a 100 TB index cannot broadcast), and the
+    detection must be identical to the broadcast path. Pins the
+    shuffled plan: with the gate tripped and auto-broadcast disabled
+    (mimicking an index whose stats exceed the threshold), the executed
+    micro-batch plan contains NO BroadcastHashJoin."""
+    import contextlib
+    import io
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.streaming import streaming_winnow_gate
+
+    shared_run = (
+        "this exact boilerplate sentence appears verbatim in the index "
+        "corpus and in some arriving documents word for word"
+    )
+    index = spark.createDataFrame(
+        [
+            (1, "index document one containing " + shared_run + " plus tail"),
+            (2, "second index doc, entirely unrelated content throughout"),
+        ],
+        "doc_id long, text string",
+    )
+    t0 = pd.Timestamp("2024-07-01 09:00:00")
+    arriving = pd.DataFrame(
+        {
+            "doc_id": [30, 31, 32],
+            "ts": [t0, t0 + pd.Timedelta(minutes=1), t0 + pd.Timedelta(minutes=2)],
+            "text": [
+                "prefix words then " + shared_run + " then suffix words",
+                "completely fresh original material with no overlapping "
+                "twenty-two character runs against either index document",
+                shared_run,
+            ],
+        }
+    )
+    d = str(tmp_path / "winnowshuf")
+    os.makedirs(d)
+    spark.createDataFrame(arriving).coalesce(1).write.parquet(d + "/a")
+    schema = spark.read.parquet(d + "/a").schema
+    stream = spark.readStream.schema(schema).parquet(d + "/*")
+    abt = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        q = (
+            streaming_winnow_gate(stream, index, broadcast_max_rows=0)
+            .writeStream.format("memory")
+            .queryName("winnowshuf")
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            q.explain()
+        plan = buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", abt)
+    assert "BroadcastHashJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan), plan
+    streamed = sorted(
+        r["doc_id"] for r in spark.sql("SELECT * FROM winnowshuf").collect()
+    )
+    assert streamed == [30, 32]
