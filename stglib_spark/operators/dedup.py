@@ -221,6 +221,7 @@ def minhash_lsh_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     oversize: str = "star",
     observation=None,
+    star_centers: int = 2,
 ) -> DataFrame:
     """LSH candidate pairs: split the signature into ``bands`` bands of
     r = num_hashes/bands rows; documents sharing any (band, band-hash)
@@ -235,7 +236,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n, portable)
     return lsh_pairs_from_signatures(
         sigs, id_col, num_hashes, bands, portable,
-        max_bucket_size, oversize, observation,
+        max_bucket_size, oversize, observation, star_centers,
     )
 
 
@@ -245,6 +246,7 @@ def _annotate_bucket_sizes(
     rep_cols: list[str],
     max_bucket_size: int,
     observation=None,
+    star_centers: int = 1,
 ) -> tuple[DataFrame, DataFrame]:
     """Front half of the bucket-size guard on the LSH / pigeonhole
     candidate self-joins. Returns ``(pinned, annotated)``:
@@ -257,8 +259,13 @@ def _annotate_bucket_sizes(
       members of small buckets carry ``__bsz = NULL`` and oversize
       members carry their count and the bucket's minimum representative
       (``__mn``; a flat column for a single ``rep_cols`` entry, a
-      struct otherwise). The pair join's LEFT side filters this to
-      ``__bsz IS NULL`` rows plus each oversize bucket's minimum.
+      struct otherwise). With ``star_centers=2`` oversize members also
+      carry the bucket's SECOND-smallest representative (``__mn2``) so
+      star mode can emit two stars per oversize bucket — severing a
+      verified cluster then needs BOTH centers to be chance
+      band-colliders instead of one (ADVICE r9/r10). The pair join's
+      LEFT side filters this to ``__bsz IS NULL`` rows plus each
+      oversize bucket's center(s).
 
     Plan shape (r10 — the r9 every-row annotate join adjudicated at
     +40-55% on the LSH bench pair and replaced): the only information
@@ -310,31 +317,122 @@ def _annotate_bucket_sizes(
     # a forced F.broadcast() would OOM the driver while a shuffle join
     # degrades gracefully (r10 review finding)
     annotated = pinned.join(over, bucket_keys, "left")
+    if star_centers >= 2:
+        # second-smallest representative, computed from `annotated`
+        # rather than a second census pass: the agg input is map-side
+        # filtered to oversize members only, so in the common
+        # no-oversize case AQE's null-column Project makes the
+        # isNotNull filter constant-false and the whole subtree folds
+        # to an empty relation — the census still executes exactly once
+        # (as the annotate join's broadcast build). Oversize buckets
+        # have ≥ 2 distinct representatives by construction (one member
+        # row per (representative, bucket)), so __mn2 is non-null for
+        # every oversize bucket; the join stays null-safe regardless.
+        rep = (
+            F.col(rep_cols[0])
+            if len(rep_cols) == 1
+            else F.struct(*[F.col(c) for c in rep_cols])
+        )
+        mn2 = (
+            annotated.filter(
+                F.col("__bsz").isNotNull() & (rep != F.col("__mn"))
+            )
+            .groupBy(*bucket_keys)
+            .agg(F.min(rep).alias("__mn2"))
+        )
+        annotated = annotated.join(mn2, bucket_keys, "left")
     return pinned, annotated
 
 
 # Capped candidate self-join recipe over an `_annotate_bucket_sizes`
 # table (used by lsh_pairs_from_signatures / simhash_near_pairs /
-# multimodal.video_phash_near_pairs). `annotated` carries __bsz/__mn
-# ONLY for members of oversize buckets (NULL otherwise — the broadcast
-# left join against the oversize key set):
+# winnow_candidate_pairs / multimodal.video_phash_near_pairs).
+# `annotated` carries __bsz/__mn/__mn2 ONLY for members of oversize
+# buckets (NULL otherwise — the broadcast left join against the
+# oversize key set):
 #
-#   left  = annotated WHERE __bsz IS NULL OR member == __mn   ("star")
-#           annotated WHERE __bsz IS NULL                     ("drop")
+#   left  = annotated WHERE __bsz IS NULL
+#                        OR member IN (__mn, __mn2)            ("star")
+#           annotated WHERE __bsz IS NULL                      ("drop")
 #   right = pinned   (the raw member table — needs no annotation)
-#   cond  = keys equal AND ( (l.__bsz IS NULL AND l.order < r.order)
-#                            OR (l.__bsz IS NOT NULL
-#                                AND l.order != r.order) )
+#   cond  = keys equal AND (
+#             (l.__bsz IS NULL      AND l.order <  r.order)    -- small
+#          OR (l member == l.__mn   AND l.order != r.order)    -- star 1
+#          OR (l member == l.__mn2  AND r.order >  l.order) )  -- star 2
 #
 # Small buckets emit every ordered pair; an oversize bucket contributes
-# exactly ONE left row (its minimum member), so its output AND its join
-# enumeration are LINEAR in bucket size — min-star edges, connectivity-
-# equivalent for clustering consumers. One self-join, no union: both
-# sides reuse the same pinned exchange, giving the identical two-branch
-# plan shape as an unguarded pair join. The star side's payload
-# (simhash/phash for the Hamming verify) comes straight off the left
-# row — no struct-valued aggregate, so the per-bucket agg stays a
-# codegen hash aggregate.
+# exactly TWO left rows (its two smallest members — the default
+# ``star_centers=2``), so its output AND its join enumeration stay
+# LINEAR in bucket size. The star-2 branch uses a strict > so the
+# mn–mn2 edge is emitted once (by the mn row) and every emitted pair
+# stays canonically ordered (mn is the bucket minimum; any r > mn2
+# exceeds both centers). Two centers mean a downstream exact-verify
+# (``jaccard_threshold > 0``) severs an oversize bucket's cluster only
+# if BOTH centers are chance band-colliders — quadratically less
+# likely than the single-center caveat documented below. One
+# self-join, no union: both sides reuse the same pinned exchange,
+# giving the identical two-branch plan shape as an unguarded pair
+# join. The star side's payload (simhash/phash for the Hamming verify)
+# comes straight off the left row — no struct-valued aggregate, so the
+# per-bucket agg stays a codegen hash aggregate.
+
+
+def _capped_join_sides(
+    pinned: DataFrame,
+    annotated: DataFrame,
+    id_col: str,
+    oversize: str,
+    star_centers: int = 2,
+):
+    """Back half of the bucket-size guard for the single-id-column
+    consumers (LSH / SimHash / winnow buckets): build the pair join's
+    (left, right, extra-condition) per the recipe comment above.
+    ``multimodal.video_phash_near_pairs`` inlines its own variant — its
+    ordering key (vid) differs from its representative (vid, frame)."""
+    if oversize == "drop":
+        left = annotated.filter(F.col("__bsz").isNull())
+        for c in ("__mn", "__mn2"):
+            if c in left.columns:
+                left = left.drop(c)
+        left = left.alias("l")
+        right = pinned.hint("shuffle_hash").alias("r")
+        return left, right, F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
+    if oversize != "star":
+        raise ValueError(
+            f"oversize must be 'star' or 'drop', got {oversize!r}"
+        )
+    keep_left = F.col("__bsz").isNull() | (F.col(id_col) == F.col("__mn"))
+    if star_centers >= 2:
+        keep_left = keep_left | F.col(id_col).eqNullSafe(F.col("__mn2"))
+        left = (
+            annotated.filter(keep_left)
+            .withColumn("__is2", F.col(id_col).eqNullSafe(F.col("__mn2")))
+            .drop("__mn", "__mn2")
+            .alias("l")
+        )
+        cond = (
+            F.col("l.__bsz").isNull()
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        ) | (
+            F.col("l.__bsz").isNotNull()
+            & ~F.col("l.__is2")
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        ) | (
+            F.col("l.__bsz").isNotNull()
+            & F.col("l.__is2")
+            & (F.col(f"r.{id_col}") > F.col(f"l.{id_col}"))
+        )
+    else:
+        left = annotated.filter(keep_left).drop("__mn").alias("l")
+        cond = (
+            F.col("l.__bsz").isNull()
+            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
+        ) | (
+            F.col("l.__bsz").isNotNull()
+            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        )
+    right = pinned.hint("shuffle_hash").alias("r")
+    return left, right, cond
 
 
 def bucket_size_stats(
@@ -360,6 +458,7 @@ def lsh_pairs_from_signatures(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     oversize: str = "star",
     observation=None,
+    star_centers: int = 2,
 ) -> DataFrame:
     """LSH banding + per-bucket self-join over precomputed MinHash
     signatures (columns ``mh_0..mh_{n-1}``) — the back half of
@@ -368,26 +467,31 @@ def lsh_pairs_from_signatures(
 
     Buckets larger than ``max_bucket_size`` are min-star reduced (or
     dropped with ``oversize="drop"``): each oversize-bucket member pairs
-    only with the bucket's minimum id instead of with every other member.
-    Star edges are genuine co-bucketed candidates; for a consumer that
-    clusters the RAW candidate graph the reduction is
-    connectivity-equivalent. What is lost is *pair-level* recall inside
-    oversize buckets (a member pair both ≠ min is only connected
-    transitively), and — the sharper caveat — a pipeline that EXACT-
-    VERIFIES candidates before clustering (``jaccard_threshold > 0``,
-    e.g. ``pipeline.run_dedup``) routes every oversize-bucket pair
-    through the bucket-min member: bucket members share one band hash
-    (collision probability ~ s^r), not the full signature, so if the
-    min happens to be a chance band-collider the verify stage can fail
-    ALL of the bucket's star edges and silently sever a cluster that
-    member-member pairs would have kept. At the default cap (4096) this
-    needs a pathological corpus — a >4096-member bucket whose minimum
-    id is a non-duplicate — but it is a real recall trade the cap makes
-    and the default is ON; size the cap above the corpus's honest
-    dup-group sizes, or drop to ``max_bucket_size=None`` when exactness
-    inside mega-buckets matters more than output bounds (SCALE.md
-    records the trade). Pass a ``pyspark.sql.Observation`` to read how
-    many members hit the cap."""
+    only with the bucket's ``star_centers`` smallest ids (default 2)
+    instead of with every other member. Star edges are genuine
+    co-bucketed candidates; for a consumer that clusters the RAW
+    candidate graph the reduction is connectivity-equivalent. What is
+    lost is *pair-level* recall inside oversize buckets (a member pair
+    off the centers is only connected transitively), and — the sharper
+    caveat — a pipeline that EXACT-VERIFIES candidates before
+    clustering (``jaccard_threshold > 0``, e.g. ``pipeline.run_dedup``)
+    routes every oversize-bucket pair through the center members:
+    bucket members share one band hash (collision probability ~ s^r),
+    not the full signature, so if a center happens to be a chance
+    band-collider the verify stage fails that star's edges. With the
+    default TWO centers (ADVICE r9/r10 remedy — the second-smallest id
+    from the same census) severing a real cluster needs BOTH centers
+    to be chance colliders, quadratically less likely than the k=1
+    caveat; ``star_centers=1`` restores the single-star behavior (the
+    severing property test pins both). At the default cap (4096) even
+    the k=1 case needs a pathological corpus — a >4096-member bucket
+    whose minimum id is a non-duplicate — but it is a real recall
+    trade the cap makes and the default is ON; size the cap above the
+    corpus's honest dup-group sizes, or drop to
+    ``max_bucket_size=None`` when exactness inside mega-buckets
+    matters more than output bounds (SCALE.md records the trade). Pass
+    a ``pyspark.sql.Observation`` to read how many members hit the
+    cap."""
     r = num_hashes // bands
     if portable:
         band_cols = [
@@ -419,26 +523,11 @@ def lsh_pairs_from_signatures(
         cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     else:
         pinned, annotated = _annotate_bucket_sizes(
-            stacked, ["band", "bh"], [id_col], max_bucket_size, observation
+            stacked, ["band", "bh"], [id_col], max_bucket_size, observation,
+            star_centers=star_centers if oversize == "star" else 1,
         )
-        if oversize == "drop":
-            keep_left = F.col("__bsz").isNull()
-        elif oversize == "star":
-            keep_left = F.col("__bsz").isNull() | (
-                F.col(id_col) == F.col("__mn")
-            )
-        else:
-            raise ValueError(
-                f"oversize must be 'star' or 'drop', got {oversize!r}"
-            )
-        left = annotated.filter(keep_left).drop("__mn").alias("l")
-        right = pinned.hint("shuffle_hash").alias("r")
-        cond = (
-            F.col("l.__bsz").isNull()
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        ) | (
-            F.col("l.__bsz").isNotNull()
-            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        left, right, cond = _capped_join_sides(
+            pinned, annotated, id_col, oversize, star_centers
         )
     pairs = left.join(
         right,
@@ -576,6 +665,7 @@ def winnow_candidate_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     oversize: str = "star",
     observation=None,
+    star_centers: int = 2,
 ) -> DataFrame:
     """Near-duplicate candidate pairs from winnowing fingerprints
     (`text.winnow_fingerprints` output): explode each document's
@@ -608,26 +698,11 @@ def winnow_candidate_pairs(
         cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     else:
         pinned, annotated = _annotate_bucket_sizes(
-            stacked, ["fp"], [id_col], max_bucket_size, observation
+            stacked, ["fp"], [id_col], max_bucket_size, observation,
+            star_centers=star_centers if oversize == "star" else 1,
         )
-        if oversize == "drop":
-            keep_left = F.col("__bsz").isNull()
-        elif oversize == "star":
-            keep_left = F.col("__bsz").isNull() | (
-                F.col(id_col) == F.col("__mn")
-            )
-        else:
-            raise ValueError(
-                f"oversize must be 'star' or 'drop', got {oversize!r}"
-            )
-        left = annotated.filter(keep_left).drop("__mn").alias("l")
-        right = pinned.hint("shuffle_hash").alias("r")
-        cond = (
-            F.col("l.__bsz").isNull()
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        ) | (
-            F.col("l.__bsz").isNotNull()
-            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        left, right, cond = _capped_join_sides(
+            pinned, annotated, id_col, oversize, star_centers
         )
     pairs = left.join(right, (F.col("l.fp") == F.col("r.fp")) & cond).select(
         F.col(f"l.{id_col}").alias("doc_a"),
@@ -650,6 +725,7 @@ def simhash_near_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     oversize: str = "star",
     observation=None,
+    star_centers: int = 2,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: pigeonhole on ``blocks`` 16-bit
     blocks (Hamming ≤ blocks−1 guarantees ≥1 identical block), equi-join
@@ -688,26 +764,11 @@ def simhash_near_pairs(
         cond = F.col(f"l.{id_col}") < F.col(f"r.{id_col}")
     else:
         pinned, annotated = _annotate_bucket_sizes(
-            stacked, ["blk", "bh"], [id_col], max_bucket_size, observation
+            stacked, ["blk", "bh"], [id_col], max_bucket_size, observation,
+            star_centers=star_centers if oversize == "star" else 1,
         )
-        if oversize == "drop":
-            keep_left = F.col("__bsz").isNull()
-        elif oversize == "star":
-            keep_left = F.col("__bsz").isNull() | (
-                F.col(id_col) == F.col("__mn")
-            )
-        else:
-            raise ValueError(
-                f"oversize must be 'star' or 'drop', got {oversize!r}"
-            )
-        left = annotated.filter(keep_left).drop("__mn").alias("l")
-        right = pinned.hint("shuffle_hash").alias("r")
-        cond = (
-            F.col("l.__bsz").isNull()
-            & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        ) | (
-            F.col("l.__bsz").isNotNull()
-            & (F.col(f"l.{id_col}") != F.col(f"r.{id_col}"))
+        left, right, cond = _capped_join_sides(
+            pinned, annotated, id_col, oversize, star_centers
         )
     pairs = left.join(
         right,

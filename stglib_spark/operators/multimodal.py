@@ -470,6 +470,7 @@ def video_phash_near_pairs(
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET_SIZE,
     oversize: str = "star",
     observation=None,
+    star_centers: int = 2,
 ) -> DataFrame:
     """Cross-video near-duplicate pairs from per-frame dHashes: frame
     hashes band into 16-bit pigeonhole blocks, candidate FRAME pairs
@@ -510,33 +511,68 @@ def video_phash_near_pairs(
         right = stacked.alias("r")
         cond = F.col("l.vid") < F.col("r.vid")
     else:
-        # min-star reduction for oversize blocks: the bucket's minimum
-        # (vid, frame) member pairs with every cross-video member —
-        # LINEAR enumeration and output, orientation preserved because
-        # the bucket min has the smallest vid
+        # min-star reduction for oversize blocks: the bucket's TWO
+        # smallest (vid, frame) members (default star_centers=2; see
+        # dedup._capped_join_sides' recipe comment) each pair with
+        # every cross-video member — LINEAR enumeration and output.
+        # Orientation: the bucket min has the smallest vid; the second
+        # center's star-2 branch pairs only with struct-greater members
+        # whose vid differs, and lexicographic struct order makes any
+        # such member's vid strictly larger, so vid_a < vid_b holds on
+        # every emitted frame pair.
         pinned, annotated = _annotate_bucket_sizes(
-            stacked, ["blk", "bh"], ["vid", "f"], max_bucket_size, observation
+            stacked, ["blk", "bh"], ["vid", "f"], max_bucket_size,
+            observation,
+            star_centers=star_centers if oversize == "star" else 1,
         )
+        member = F.struct(F.col("vid"), F.col("f"))
         if oversize == "drop":
-            keep_left = F.col("__bsz").isNull()
+            left = annotated.filter(F.col("__bsz").isNull())
+            for c in ("__mn", "__mn2"):
+                if c in left.columns:
+                    left = left.drop(c)
+            left = left.alias("l")
+            cond = F.col("l.vid") < F.col("r.vid")
         elif oversize == "star":
-            keep_left = F.col("__bsz").isNull() | (
-                (F.col("vid") == F.col("__mn.vid"))
-                & (F.col("f") == F.col("__mn.f"))
-            )
+            is_mn = member == F.col("__mn")
+            keep_left = F.col("__bsz").isNull() | is_mn
+            if star_centers >= 2:
+                is_mn2 = member.eqNullSafe(F.col("__mn2"))
+                left = (
+                    annotated.filter(keep_left | is_mn2)
+                    .withColumn("__is2", is_mn2)
+                    .drop("__mn", "__mn2")
+                    .alias("l")
+                )
+                lmem = F.struct(F.col("l.vid"), F.col("l.f"))
+                rmem = F.struct(F.col("r.vid"), F.col("r.f"))
+                cond = (
+                    F.col("l.__bsz").isNull()
+                    & (F.col("l.vid") < F.col("r.vid"))
+                ) | (
+                    F.col("l.__bsz").isNotNull()
+                    & ~F.col("l.__is2")
+                    & (F.col("l.vid") != F.col("r.vid"))
+                ) | (
+                    F.col("l.__bsz").isNotNull()
+                    & F.col("l.__is2")
+                    & (rmem > lmem)
+                    & (F.col("l.vid") != F.col("r.vid"))
+                )
+            else:
+                left = annotated.filter(keep_left).drop("__mn").alias("l")
+                cond = (
+                    F.col("l.__bsz").isNull()
+                    & (F.col("l.vid") < F.col("r.vid"))
+                ) | (
+                    F.col("l.__bsz").isNotNull()
+                    & (F.col("l.vid") != F.col("r.vid"))
+                )
         else:
             raise ValueError(
                 f"oversize must be 'star' or 'drop', got {oversize!r}"
             )
-        left = annotated.filter(keep_left).drop("__mn").alias("l")
         right = pinned.hint("shuffle_hash").alias("r")
-        cond = (
-            F.col("l.__bsz").isNull()
-            & (F.col("l.vid") < F.col("r.vid"))
-        ) | (
-            F.col("l.__bsz").isNotNull()
-            & (F.col("l.vid") != F.col("r.vid"))
-        )
     frame_pairs = left.join(
         right,
         (F.col("l.blk") == F.col("r.blk"))

@@ -2282,7 +2282,9 @@ _LSH_CAP = 3
     _MH_CAND_CTES
     + f""",
     bsz AS (
-      SELECT band, bh, count(*) AS n, min(doc_id) AS mn
+      SELECT band, bh, count(*) AS n,
+             (list(doc_id ORDER BY doc_id))[1] AS mn,
+             (list(doc_id ORDER BY doc_id))[2] AS mn2
       FROM band GROUP BY band, bh
     )
     SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -2291,16 +2293,22 @@ _LSH_CAP = 3
     JOIN bsz z ON z.band = a.band AND z.bh = a.bh
     WHERE (z.n <= {_LSH_CAP} AND a.doc_id < b.doc_id)
        OR (z.n > {_LSH_CAP} AND a.doc_id = z.mn AND b.doc_id <> z.mn)
+       OR (z.n > {_LSH_CAP} AND a.doc_id = z.mn2 AND b.doc_id > z.mn2)
     """,
 )
 def dedup_lsh_bucket_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH candidate pairs under the oversize-bucket guard
     (`dedup.lsh_pairs_from_signatures` max_bucket_size): buckets above
-    the cap emit member→bucket-min star edges instead of m²/2 pairs —
-    linear join enumeration AND output, connectivity-equivalent for the
-    clustering consumer (pinned by test_properties). The oracle replays
-    the exact rule: per-(band, hash) member counts and minimum ids,
-    all ordered pairs below the cap, star edges above it."""
+    the cap emit member→center star edges from the bucket's TWO
+    smallest ids (star_centers=2 default, the ADVICE r9/r10 remedy —
+    a downstream exact-verify severs the cluster only if BOTH centers
+    are chance band-colliders) instead of m²/2 pairs — linear join
+    enumeration AND output, connectivity-equivalent for the clustering
+    consumer (pinned by test_properties). The oracle replays the exact
+    rule: per-(band, hash) member counts and the two smallest ids, all
+    ordered pairs below the cap, two stars above it (the second star
+    pairs strictly upward so the mn–mn2 edge lands once, canonically
+    ordered)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup_ops.minhash_lsh_pairs(
         docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True,

@@ -204,10 +204,11 @@ def test_simhash_near_pairs_blocks_and_validation(spark):
 def test_oversize_bucket_star_reduction_and_observation(spark):
     """VERDICT r8 task #2: a pigeonhole bucket larger than
     ``max_bucket_size`` min-star reduces — each member pairs with the
-    bucket-min member only (linear output), cluster connectivity is
-    identical to the uncapped quadratic join, and the capped-member
-    count is surfaced through a Spark Observation (no silent caps).
-    ``oversize="drop"`` discards the bucket entirely."""
+    bucket's two smallest members only (star_centers=2 default; still
+    linear output), cluster connectivity is identical to the uncapped
+    quadratic join, and the capped-member count is surfaced through a
+    Spark Observation (no silent caps). ``oversize="drop"`` discards
+    the bucket entirely."""
     from pyspark.sql import Observation
 
     from stglib_spark.operators.dedup import (
@@ -229,8 +230,12 @@ def test_oversize_bucket_star_reduction_and_observation(spark):
     obs = Observation("oversize")
     capped = simhash_near_pairs(fps, max_bucket_size=3, observation=obs)
     got = sorted((r["doc_a"], r["doc_b"], r["hamming"]) for r in capped.collect())
-    # star edges: bucket-min doc 0 to every other member, still hamming 0
-    assert got == [(0, k, 0) for k in range(1, 6)] + [(10, 11, 1)]
+    # star edges: centers 0 and 1 to every greater member, still hamming 0
+    assert got == (
+        [(0, k, 0) for k in range(1, 6)]
+        + [(1, k, 0) for k in range(2, 6)]
+        + [(10, 11, 1)]
+    )
     assert obs.get["oversize_members"] > 0
 
     pairs_of = lambda rws: spark.createDataFrame(  # noqa: E731
@@ -261,7 +266,8 @@ def test_oversize_bucket_star_reduction_and_observation(spark):
 def test_lsh_oversize_bucket_star_reduction(spark):
     """The MinHash/LSH band self-join honors the same bucket cap: one
     band bucket holding every duplicate of a boilerplate page emits
-    member→bucket-min star edges instead of m²/2 pairs."""
+    member→center star edges (the bucket's two smallest ids) instead
+    of m²/2 pairs."""
     from stglib_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.createDataFrame(
@@ -272,9 +278,9 @@ def test_lsh_oversize_bucket_star_reduction(spark):
     full = minhash_lsh_pairs(docs, max_bucket_size=None).collect()
     assert len(full) == 8 * 7 // 2
     capped = minhash_lsh_pairs(docs, max_bucket_size=4).collect()
-    assert sorted((r["doc_a"], r["doc_b"]) for r in capped) == [
-        (0, k) for k in range(1, 8)
-    ]
+    assert sorted((r["doc_a"], r["doc_b"]) for r in capped) == (
+        [(0, k) for k in range(1, 8)] + [(1, k) for k in range(2, 8)]
+    )
 
 
 def test_duplicate_clusters_chain_triangle_singleton(spark):

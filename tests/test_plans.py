@@ -214,12 +214,16 @@ def test_minhash_shingle_expression_not_double_computed(spark):
     size()>0 filter on the alias and pushdown substitutes the full O(n·L)
     shingle expression into the Filter — computing it twice per row
     (measured 1.6× on the LSH bench query). One zip_with chain per
-    consumer branch (pair-join left probe, per-bucket size census,
-    pair-join right) is the fused shape; at runtime all three hang off
-    the one pinned repartition(band, bh) exchange, which AQE's exchange
-    reuse collapses so the chain EXECUTES once — pinned below."""
+    consumer branch of the pinned repartition(band, bh) exchange —
+    with the default two-center star: pair-join left probe, its census
+    build, the second-center (__mn2) probe, that branch's own census
+    build, and the pair-join right = five static branches; at runtime
+    they all hang off the one pinned exchange, which AQE's exchange
+    reuse (plus empty-relation folding of the no-oversize census and
+    __mn2 subtrees) collapses so the chain EXECUTES once — pinned
+    below."""
     plan = plan_of(spark, "dedup_minhash_lsh")
-    assert count(plan, r"zip_with\(zip_with") == 3
+    assert count(plan, r"zip_with\(zip_with") == 5
 
     from stglib_spark.queries import QUERIES
 

@@ -501,10 +501,82 @@ def test_bucket_cap_star_reduction_properties(spark):
         capped_pairs = {(r["doc_a"], r["doc_b"]) for r in capped.collect()}
         assert capped_pairs <= full_pairs, cap
         assert clusters_of(capped) == full_clusters, cap
+        # canonical orientation must survive the second star center
+        assert all(a < b for a, b in capped_pairs), cap
+        # single-center stars are a subset of the 2-center default
+        single = simhash_near_pairs(fps, max_bucket_size=cap, star_centers=1)
+        single_pairs = {(r["doc_a"], r["doc_b"]) for r in single.collect()}
+        assert single_pairs <= capped_pairs, cap
+        assert clusters_of(single) == full_clusters, cap
         dropped = simhash_near_pairs(fps, max_bucket_size=cap, oversize="drop")
         assert {
             (r["doc_a"], r["doc_b"]) for r in dropped.collect()
         } <= capped_pairs, cap
+
+
+def test_star_center_verify_severing_and_second_center_rescue(spark):
+    """The documented star-center verify-severing case, constructed
+    (VERDICT r10 task #3): an oversize pigeonhole bucket whose MINIMUM
+    member is a chance block-collider — it shares a 16-bit block with
+    the genuine duplicates (so it co-buckets) but fails the exact
+    Hamming verify. With a single star center every verified edge of
+    the bucket dies and the real duplicate pair is silently severed;
+    with the default TWO centers the second-smallest member is one of
+    the genuine duplicates, its star edge verifies, and the cluster
+    survives. Severing then requires BOTH centers to be chance
+    colliders — pinned by the three-collider control at the end."""
+    from stglib_spark.operators.dedup import simhash_near_pairs
+
+    h = 0x0123456789ABCDEF
+
+    def collider(block: int, salt: int) -> int:
+        # identical 16-bit `block`, >=4 flipped bits in every other
+        # block (Hamming > 3 vs h, so the exact verify rejects it)
+        mask = 0
+        for b in range(4):
+            if b != block:
+                mask |= (0xF0F0 ^ (salt << 1)) << (16 * b)
+        v = h ^ mask
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    # docs 0..3 = one chance collider per block (each becomes its
+    # bucket's minimum), docs 10/11 = real dups. EVERY bucket holding
+    # the dup pair also holds a collider, so under cap 2 every such
+    # bucket is oversize with a collider as its min.
+    rows = [(b, collider(b, b)) for b in range(4)] + [(10, h), (11, h)]
+    fps = spark.createDataFrame(rows, "doc_id long, simhash long")
+    k1 = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(
+            fps, max_hamming=3, blocks=4, max_bucket_size=2, star_centers=1
+        ).collect()
+    }
+    assert k1 == set(), k1  # severed: every star edge failed the verify
+    k2 = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(
+            fps, max_hamming=3, blocks=4, max_bucket_size=2
+        ).collect()
+    }
+    assert k2 == {(10, 11)}, k2  # second center rescues the real pair
+    # uncapped control: the pair was genuine
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(fps, max_bucket_size=None).collect()
+    }
+    assert (10, 11) in full
+    # residual caveat: BOTH centers chance colliders -> still severed
+    rows2 = [(2 * b, collider(b, b)) for b in range(4)]
+    rows2 += [(2 * b + 1, collider(b, b + 7)) for b in range(4)]
+    rows2 += [(10, h), (11, h)]
+    fps2 = spark.createDataFrame(rows2, "doc_id long, simhash long")
+    k2b = {
+        (r.doc_a, r.doc_b)
+        for r in simhash_near_pairs(
+            fps2, max_hamming=3, blocks=4, max_bucket_size=3
+        ).collect()
+    }
+    assert not any({a, b} & {10, 11} for a, b in k2b), k2b
 
 
 def test_video_star_mode_min_n_close_interaction(spark):
@@ -521,10 +593,13 @@ def test_video_star_mode_min_n_close_interaction(spark):
 
     Case 2 — documented sever: when every bucket containing A and B is
     oversize and every bucket-MIN member is a chance block-collider
-    (shares a 16-bit block, fails exact Hamming), the star edges all
-    fail verification and the genuine A↔B duplicate surfaces NOWHERE —
-    the uncapped run proves the pair was real. This is the knowing
-    recall trade of the cap (SCALE.md), not a bug."""
+    (shares a 16-bit block, fails exact Hamming), the single-center
+    (star_centers=1) star edges all fail verification and the genuine
+    A↔B duplicate surfaces NOWHERE — the uncapped run proves the pair
+    was real. This is the knowing recall trade of the single-center
+    cap (SCALE.md); the DEFAULT two-center star rescues exactly this
+    case (the second-smallest member is the genuine duplicate A, whose
+    edge to B verifies at Hamming 0)."""
     from stglib_spark.operators.dedup import duplicate_clusters
     from stglib_spark.operators.multimodal import video_phash_near_pairs
 
@@ -541,12 +616,24 @@ def test_video_star_mode_min_n_close_interaction(spark):
     pairs = video_phash_near_pairs(
         fh.withColumnRenamed("vid", "media_id"),
         id_col="media_id", max_hamming=3, blocks=4, max_bucket_size=2,
+        star_centers=1,
     ).collect()
     got = {(r.vid_a, r.vid_b): r.n_close for r in pairs}
     assert (0, 1) in got and (0, 2) in got, got
-    assert (1, 2) not in got, "star mode must not emit non-min pairs"
+    assert (1, 2) not in got, "1-center star must not emit non-min pairs"
     # both legs clear the default floor least(2, frames)=2 -> one cluster
     assert all(n >= 2 for n in got.values()), got
+    # default 2-center star: the second center (clip 1's frames) adds
+    # the direct 1<->2 edge — same cluster, better pair-level recall
+    got2 = {
+        (r.vid_a, r.vid_b): r.n_close
+        for r in video_phash_near_pairs(
+            fh.withColumnRenamed("vid", "media_id"),
+            id_col="media_id", max_hamming=3, blocks=4, max_bucket_size=2,
+        ).collect()
+    }
+    assert set(got2) == {(0, 1), (0, 2), (1, 2)}, got2
+    assert all(n >= 2 for n in got2.values()), got2
     edges = spark.createDataFrame(
         [(a, b) for (a, b) in got], "doc_a long, doc_b long"
     )
@@ -576,11 +663,21 @@ def test_video_star_mode_min_n_close_interaction(spark):
     severed = video_phash_near_pairs(
         fh2.withColumnRenamed("vid", "media_id"),
         id_col="media_id", max_hamming=3, blocks=4, max_bucket_size=2,
+        star_centers=1,
     ).collect()
     touching_dups = [
         r for r in severed if {r.vid_a, r.vid_b} & {4, 5}
     ]
     assert touching_dups == [], touching_dups
+    # default 2-center star rescues the pair: the second-smallest
+    # member of every oversize bucket is genuine duplicate A(4)
+    rescued = video_phash_near_pairs(
+        fh2.withColumnRenamed("vid", "media_id"),
+        id_col="media_id", max_hamming=3, blocks=4, max_bucket_size=2,
+    ).collect()
+    assert any(
+        (r.vid_a, r.vid_b) == (4, 5) and r.min_hamming == 0 for r in rescued
+    ), rescued
     # uncapped control: the duplicate was real
     uncapped = video_phash_near_pairs(
         fh2.withColumnRenamed("vid", "media_id"),
