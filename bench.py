@@ -85,6 +85,10 @@ HEADLINE = [
     # new in r10: substring-level near-dup candidates from winnowing
     # fingerprints (rolling-hash pandas-UDF kernel + guarded bucket join)
     "dedup_winnow_candidates",
+    # new in r11: the match-reporting half (position-carrying
+    # fingerprints + diagonal span coalescing — two extra window
+    # exchanges over the candidates chain, must stay visible per round)
+    "dedup_winnow_spans",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and

@@ -666,6 +666,7 @@ def winnow_candidate_pairs(
     oversize: str = "star",
     observation=None,
     star_centers: int = 2,
+    pre_exploded: bool = False,
 ) -> DataFrame:
     """Near-duplicate candidate pairs from winnowing fingerprints
     (`text.winnow_fingerprints` output): explode each document's
@@ -675,6 +676,14 @@ def winnow_candidate_pairs(
     shared substring of length ≥ w + k − 1 shares at least one
     fingerprint, so this is the substring-level analogue of the
     MinHash-LSH candidate stage.
+
+    ``pre_exploded=True`` takes (id, fp) rows directly
+    (`winnow_fingerprints(exploded=True)`) instead of the array column
+    — that producer runs the Arrow kernel once instead of twice (the
+    array form's explode re-evaluates the UDF through an inferred
+    Generate filter; see the producer's docstring). Per-doc fingerprint
+    uniqueness — which the shared-count aggregation relies on — is the
+    producer's contract in both forms.
 
     Same scale machinery as the LSH chain: the fingerprint buckets run
     under the `_annotate_bucket_sizes` guard (a boilerplate fingerprint
@@ -689,9 +698,12 @@ def winnow_candidate_pairs(
     is boilerplate (its bucket is also where the quadratic pair
     enumeration lives), so document-frequency-cutting it is both the
     quality filter and the scale guard in one knob."""
-    stacked = fps_df.select(
-        F.col(id_col), F.explode(F.col(fp_col)).alias("fp")
-    )
+    if pre_exploded:
+        stacked = fps_df.select(F.col(id_col), F.col("fp"))
+    else:
+        stacked = fps_df.select(
+            F.col(id_col), F.explode(F.col(fp_col)).alias("fp")
+        )
     if max_bucket_size is None:
         left = stacked.alias("l")
         right = stacked.alias("r")
@@ -714,6 +726,130 @@ def winnow_candidate_pairs(
         pairs.groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= min_shared)
+    )
+
+
+def winnow_match_spans(
+    pos_df: DataFrame,
+    id_col: str = "doc_id",
+    k: int = 15,
+    w: int = 8,
+    min_shared: int = 2,
+    max_doc_freq: int = 64,
+    max_positions: int = 16,
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Localize winnowing candidate pairs to shared character SPANS —
+    the match-reporting half of MOSS (Schleimer et al. 2003 §4) that
+    `winnow_candidate_pairs` omits: from position-carrying fingerprints
+    (`text.winnow_fingerprint_positions` rows ``(doc_id, fp, pos)``),
+    matched fingerprints at the same offset DIAGONAL (``pos_a − pos_b``
+    constant) are coalesced into maximal runs, yielding one row per
+    shared span: ``(doc_a, doc_b, start_a, end_a, start_b, end_b,
+    n_fps)`` with 1-based inclusive char offsets (a matched k-gram at
+    ``pos`` covers chars ``[pos, pos+k−1]``).
+
+    Semantics: by the winnowing coverage theorem any shared run of
+    ≥ w+k−1 chars shares ≥ 1 selected fingerprint, and INTERIOR windows
+    of a shared run select identical (hash, offset-relative) positions
+    in both documents, so real duplication lands on one diagonal with
+    selected positions ≤ w apart. Runs break when consecutive matched
+    positions on a diagonal are > ``max_gap`` apart (default w+k−1 —
+    wide enough that winnowing's selection density can never split a
+    genuine run, tight enough that separate occurrences stay separate).
+    Spans with < ``min_shared`` matched fingerprints are dropped — the
+    same noise rule as the candidate stage. These char spans are the
+    pairwise localization that `corpus.remove_duplicate_spans` (global,
+    token-level) can't provide without re-scanning: a curator excises
+    ``[start_b, end_b]`` from the higher-id document directly.
+
+    Scale guards (both oracle-replayable): fingerprints appearing in
+    > ``max_doc_freq`` documents are DROPPED before pairing (MOSS's
+    common-match exclusion, same knob as the candidate stage), and each
+    document contributes at most ``max_positions`` positions per
+    fingerprint (lowest offsets win) — without this a periodic document
+    ("ab"×1e6) puts ONE fingerprint at ~every offset and the fp
+    equi-join squares it. With both caps a fingerprint's join output is
+    ≤ (max_doc_freq·max_positions)², independent of corpus size.
+    ``max_positions=None`` skips the cap's row_number window (one whole
+    exchange) — pass it when the producer already capped kernel-side
+    (``winnow_fingerprint_positions(max_positions_per_fp=...)``, the
+    identical rule for free).
+
+    Plan shape (the LSH chain's one-pinned-exchange recipe,
+    `_annotate_bucket_sizes`): the position table — whose upstream is
+    the expensive Arrow winnow kernel — is pinned behind ONE explicit
+    ``repartition(fp)``; the df-census aggregate, the stop-list join,
+    and BOTH sides of the pair self-join hang off that same exchange
+    (ReusedExchange), so the kernel executes exactly once and the pair
+    join adds no shuffle. The diagonal islands and the span aggregate
+    share one further exchange on (pair, diag) — bounded groups, no
+    driver collect. Two wide shuffles total."""
+    from pyspark.sql import Window
+
+    if max_gap is None:
+        max_gap = w + k - 1
+    pinned = pos_df.repartition(F.col("fp"))
+    # MOSS common-match exclusion: document-frequency stop list. No
+    # forced broadcast — distinct low-df fingerprints grow with corpus
+    # size (the streaming_winnow_gate r10 finding); co-partitioned on
+    # fp, the join costs no exchange, and AQE may still upgrade it to
+    # broadcast from the MEASURED size.
+    fp_ok = (
+        pinned.groupBy("fp")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") <= max_doc_freq)
+        .select("fp")
+    )
+    capped = pinned.join(fp_ok, "fp")
+    if max_positions is not None:
+        # per-(doc, fp) position cap — self-periodic text guard
+        rk = Window.partitionBy(id_col, "fp").orderBy("pos")
+        capped = (
+            capped.withColumn("__rk", F.row_number().over(rk))
+            .filter(F.col("__rk") <= max_positions)
+            .drop("__rk")
+        )
+    a, b = capped.alias("a"), capped.alias("b")
+    m = a.join(
+        b,
+        (F.col("a.fp") == F.col("b.fp"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(
+        F.col(f"a.{id_col}").alias("doc_a"),
+        F.col(f"b.{id_col}").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    # gaps-and-islands per diagonal: (pos_a is unique within a
+    # (doc_a, doc_b, diag) group — pos determines the k-gram hash and
+    # diag pins pos_b — so the ordering is total and deterministic)
+    isl = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    brk = (
+        F.when(F.col("pos_a") - F.lag("pos_a").over(isl) > max_gap, 1)
+        .otherwise(0)
+        .alias("__brk")
+    )
+    grouped = m.select("*", brk).select(
+        "*", F.sum("__brk").over(isl).alias("__grp")
+    )
+    return (
+        grouped.groupBy("doc_a", "doc_b", "diag", "__grp")
+        .agg(
+            F.min("pos_a").alias("start_a"),
+            (F.max("pos_a") + F.lit(k - 1)).alias("end_a"),
+            F.count(F.lit(1)).alias("n_fps"),
+        )
+        .filter(F.col("n_fps") >= min_shared)
+        .select(
+            "doc_a",
+            "doc_b",
+            "start_a",
+            "end_a",
+            (F.col("start_a") - F.col("diag")).alias("start_b"),
+            (F.col("end_a") - F.col("diag")).alias("end_b"),
+            "n_fps",
+        )
     )
 
 

@@ -185,6 +185,7 @@ def winnow_fingerprints(
     w: int = 8,
     out_col: str = "fingerprints",
     keep_cols: tuple = (),
+    exploded: bool = False,
 ) -> DataFrame:
     """Rolling-hash document fingerprints by winnowing (Schleimer,
     Wilkerson & Aiken 2003 — the MOSS local fingerprinting scheme):
@@ -222,7 +223,17 @@ def winnow_fingerprints(
 
     The hash is exact integer arithmetic (base 257, mod 2^31−1), so a
     DuckDB oracle replays fingerprints bit-for-bit; no engine-private
-    hash enters the result."""
+    hash enters the result.
+
+    ``exploded=True`` emits one (id, fp) row per selected value via
+    ``mapInPandas`` instead of the array column — same values, same
+    per-doc uniqueness, but the kernel runs exactly ONCE: a consumer
+    that explodes the array form pays the kernel TWICE per row, because
+    InferFiltersFromGenerate puts a ``size(...) > 0`` filter on the UDF
+    column and ExtractPythonUDFs plans separate ArrowEvalPython nodes
+    for the filter and the projection (measured with an accumulator).
+    Candidate-pair producers should prefer it; ``keep_cols`` is not
+    supported in this mode."""
     import numpy as np
     from numpy.lib.stride_tricks import sliding_window_view
 
@@ -231,27 +242,55 @@ def winnow_fingerprints(
     B, M = WINNOW_B, WINNOW_M
     coeffs = np.array([pow(B, k - 1 - j, M) for j in range(k)], dtype=np.int64)
 
+    def _kernel(text):
+        """Selected fingerprint values (sorted unique) for one doc."""
+        if text is None or len(text) < k:
+            return None
+        # utf-32-le decode == per-char ord(), vectorized
+        cps = np.frombuffer(
+            text.encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        m = len(cps) - k + 1
+        hs = np.zeros(m, dtype=np.int64)
+        for j in range(k):
+            hs += cps[j : j + m] * coeffs[j]
+        hs %= M
+        if m < w:
+            return hs.min(keepdims=True)
+        return np.unique(sliding_window_view(hs, w).min(axis=1))
+
+    if exploded:
+        assert not keep_cols, "keep_cols unsupported with exploded=True"
+        id_type = df.schema[id_col].dataType.simpleString()
+
+        def _gen(batches):
+            for pdf in batches:
+                ids, vals = [], []
+                for doc_id, text in zip(pdf[id_col], pdf["__text"]):
+                    sel = _kernel(text)
+                    if sel is None or not len(sel):
+                        continue
+                    ids.extend([doc_id] * len(sel))
+                    vals.append(sel)
+                yield pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "fp": np.concatenate(vals)
+                        if vals
+                        else np.array([], dtype=np.int64),
+                    }
+                )
+
+        return df.select(
+            F.col(id_col), F.col(text_col).alias("__text")
+        ).mapInPandas(_gen, f"{id_col} {id_type}, fp long")
+
     @pandas_udf("array<long>")
     def _winnow(texts: pd.Series) -> pd.Series:
         out = []
         for text in texts:
-            if text is None or len(text) < k:
-                out.append([])
-                continue
-            # utf-32-le decode == per-char ord(), vectorized
-            cps = np.frombuffer(
-                text.encode("utf-32-le"), dtype=np.uint32
-            ).astype(np.int64)
-            m = len(cps) - k + 1
-            hs = np.zeros(m, dtype=np.int64)
-            for j in range(k):
-                hs += cps[j : j + m] * coeffs[j]
-            hs %= M
-            if m < w:
-                out.append([int(hs.min())])
-                continue
-            sel = np.unique(sliding_window_view(hs, w).min(axis=1))
-            out.append(sel.tolist())
+            sel = _kernel(text)
+            out.append([] if sel is None else sel.tolist())
         return pd.Series(out)
 
     return df.select(
@@ -259,6 +298,118 @@ def winnow_fingerprints(
         *[F.col(c) for c in keep_cols],
         _winnow(F.col(text_col)).alias(out_col),
     )
+
+
+def winnow_fingerprint_positions(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 15,
+    w: int = 8,
+    max_positions_per_fp: int | None = None,
+) -> DataFrame:
+    """Position-carrying winnowing fingerprints: one row per selected
+    (fingerprint, position) — ``pos`` is the 1-based char offset of the
+    k-gram whose hash each window selected. Where `winnow_fingerprints`
+    keeps only the VALUE set (enough for candidate detection, not for
+    localization), this variant retains where each selected gram sits,
+    so downstream `dedup.winnow_match_spans` can localize candidate
+    pairs to shared character spans without re-scanning the text — the
+    match-REPORTING half of the MOSS scheme (Schleimer et al. 2003 §4;
+    the reference corpus has no analogue — this extends the winnowing
+    coverage contract already stated on `winnow_fingerprints`).
+
+    Selection is by lexicographic (hash, position) window minimum —
+    the leftmost occurrence of the minimal hash — encoded as ONE int64
+    key ``h·2^32 + pos`` so the same strided sliding-window kernel
+    applies unchanged and a SQL oracle replays the tie-break exactly
+    (``min`` over the key ≡ leftmost-min). Key bound: (M−1)·2^32 + pos
+    < 2^63 for any pos < 2^33, safely inside int64. Value-set equality
+    with `winnow_fingerprints` holds by construction: a window's key
+    minimum carries the window's hash minimum in its high bits.
+
+    ``max_positions_per_fp`` keeps only each fingerprint's FIRST n
+    positions within a document (lowest offsets — identical to a
+    ``row_number() OVER (PARTITION BY doc, fp ORDER BY pos) <= n``
+    downstream, but free: the kernel's selected keys are already sorted
+    by (fp, pos), so the cap is a vectorized run-rank filter with no
+    exchange). Without it a periodic document ("ab"×10⁶) selects ONE
+    hash at ~every offset and any fingerprint equi-join downstream
+    squares that row count.
+
+    Engine shape: ``mapInPandas`` emitting the exploded (id, fp, pos)
+    rows directly, NOT a pandas_udf returning an array + ``inline``.
+    The array form costs the kernel TWICE per row: the downstream
+    Generate gets an inferred ``size(...) > 0`` filter on the UDF
+    column (InferFiltersFromGenerate), and ExtractPythonUDFs then
+    plans separate ArrowEvalPython nodes for the filter and the
+    projection — measured with an accumulator: 2× row-evals in the
+    single materialized stage. Filters cannot push into mapInPandas,
+    so the kernel runs exactly once.
+
+    Edge cases mirror the value variant: text shorter than ``k`` yields
+    no rows; fewer than ``w`` k-grams yields the single global
+    (hash, pos) minimum."""
+    import numpy as np
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    B, M = WINNOW_B, WINNOW_M
+    coeffs = np.array([pow(B, k - 1 - j, M) for j in range(k)], dtype=np.int64)
+    S = np.int64(1) << np.int64(32)
+    id_type = df.schema[id_col].dataType.simpleString()
+
+    def _winnow_pos(batches):
+        for pdf in batches:
+            ids, fps_out, pos_out = [], [], []
+            for doc_id, text in zip(pdf[id_col], pdf["__text"]):
+                if text is None or len(text) < k:
+                    continue
+                cps = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                m = len(cps) - k + 1
+                hs = np.zeros(m, dtype=np.int64)
+                for j in range(k):
+                    hs += cps[j : j + m] * coeffs[j]
+                hs %= M
+                # lexicographic (hash, 1-based pos) packed into one key
+                keys = hs * S + np.arange(1, m + 1, dtype=np.int64)
+                if m < w:
+                    sel = keys.min(keepdims=True)
+                else:
+                    sel = np.unique(
+                        sliding_window_view(keys, w).min(axis=1)
+                    )
+                if max_positions_per_fp is not None and len(sel) > 1:
+                    # np.unique output is sorted by key = (fp, pos), so
+                    # a run-rank over consecutive equal fps ==
+                    # row_number by ascending pos within (doc, fp)
+                    f = sel >> 32
+                    new = np.ones(len(f), dtype=bool)
+                    new[1:] = f[1:] != f[:-1]
+                    idx = np.arange(len(f))
+                    run_start = idx[new][np.cumsum(new) - 1]
+                    sel = sel[idx - run_start < max_positions_per_fp]
+                ids.extend([doc_id] * len(sel))
+                fps_out.append(sel >> 32)
+                pos_out.append(sel & 0xFFFFFFFF)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "fp": np.concatenate(fps_out)
+                    if fps_out
+                    else np.array([], dtype=np.int64),
+                    "pos": (
+                        np.concatenate(pos_out)
+                        if pos_out
+                        else np.array([], dtype=np.int64)
+                    ).astype(np.int32),
+                }
+            )
+
+    return df.select(
+        F.col(id_col), F.col(text_col).alias("__text")
+    ).mapInPandas(_winnow_pos, f"{id_col} {id_type}, fp long, pos int")
 
 
 def unigram_vocab(

@@ -12214,21 +12214,30 @@ def corpus_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _winnow_ctes(k: int = 15, w: int = 8) -> str:
-    """Winnowing replay shared by the fingerprint and candidate-pair
-    oracles: Karp–Rabin per-position polynomial (congruent to the
-    engine's per-step/rolling fold mod 2^31−1; max term sum ≈ k·1.4e14,
-    inside int64), window-of-``w`` minima via ROWS BETWEEN, distinct
-    selected values. Full windows only — when a doc has < w hashes the
-    first row's truncated window is already the global minimum."""
+def _winnow_hs_terms(k: int = 15) -> str:
+    """SQL text of the Karp–Rabin per-position polynomial
+    Σ unicode(text[i+j])·B^(k−1−j) — shared by the value-set and
+    position-carrying winnowing oracles."""
     B, M = 257, 2147483647
-    terms = "\n         + ".join(
+    return "\n         + ".join(
         f"CAST(unicode(substr(d.text, u.i + {j}, 1)) AS BIGINT)"
         f" * {pow(B, k - 1 - j, M)}"
         if k - 1 - j > 0
         else f"CAST(unicode(substr(d.text, u.i + {j}, 1)) AS BIGINT)"
         for j in range(k)
     )
+
+
+def _winnow_ctes(k: int = 15, w: int = 8) -> str:
+    """Winnowing replay shared by the fingerprint and candidate-pair
+    oracles: Karp–Rabin per-position polynomial (congruent to the
+    engine's per-step/rolling fold mod 2^31−1; max term ≈
+    0x10FFFF·(M−1) ≈ 2.4e15, summed ≈ 3.6e16 at k = 15 — inside int64),
+    window-of-``w`` minima via ROWS BETWEEN, distinct selected values.
+    Full windows only — when a doc has < w hashes the first row's
+    truncated window is already the global minimum."""
+    M = 2147483647
+    terms = _winnow_hs_terms(k)
     return f"""
     WITH hs AS (
       SELECT d.doc_id, u.i,
@@ -12330,9 +12339,122 @@ def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     what remains is the corpus's genuine duplication structure). The
     oracle replays the document-frequency cut exactly."""
     docs = load_table(spark, sf_dir, "documents")
-    fps = text_ops.winnow_fingerprints(docs)
+    # exploded producer: the Arrow kernel runs ONCE (the array form's
+    # explode re-evaluates it through an inferred Generate filter)
+    fps = text_ops.winnow_fingerprints(docs, exploded=True)
     return dedup_ops.winnow_candidate_pairs(
-        fps, min_shared=2, max_bucket_size=64, oversize="drop"
+        fps, min_shared=2, max_bucket_size=64, oversize="drop",
+        pre_exploded=True,
+    )
+
+
+def _winnow_pos_ctes(k: int = 15, w: int = 8) -> str:
+    """Position-carrying winnowing replay (`text.
+    winnow_fingerprint_positions`): same per-position Karp–Rabin
+    polynomial, but the window minimum is taken over the packed key
+    ``h·2^32 + i`` — lexicographic (hash, position), i.e. the LEFTMOST
+    occurrence of the minimal hash — so the selected (fp, pos) pairs
+    replay the engine's tie-break bit-for-bit. Key < (M−1)·2^32 + i,
+    inside int64 for any document under 2^33 chars."""
+    M = 2147483647
+    terms = _winnow_hs_terms(k)
+    return f"""
+    WITH hs AS (
+      SELECT d.doc_id, u.i,
+        ({terms}) % {M} AS h
+      FROM documents d,
+           unnest(generate_series(1, length(d.text) - {k - 1})) AS u(i)
+      WHERE length(d.text) >= {k}
+    ),
+    win AS (
+      SELECT doc_id, i,
+        min(h * 4294967296 + i) OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING) AS km,
+        count(*) OVER (PARTITION BY doc_id) AS n
+      FROM hs
+    ),
+    sel AS (
+      SELECT DISTINCT doc_id, km // 4294967296 AS fp,
+             CAST(km % 4294967296 AS INTEGER) AS pos
+      FROM win WHERE i <= greatest(n - {w - 1}, 1)
+    )"""
+
+
+_WINNOW_SPAN_GAP = 15 + 8 - 1  # max_gap default = w + k − 1
+
+
+@register(
+    "dedup_winnow_spans",
+    _winnow_pos_ctes()
+    + f""",
+    freq AS (
+      SELECT fp, count(DISTINCT doc_id) AS nd FROM sel GROUP BY fp
+    ),
+    capped AS (
+      SELECT s.doc_id, s.fp, s.pos
+      FROM sel s JOIN freq f USING (fp)
+      WHERE f.nd <= 64
+      QUALIFY row_number() OVER (PARTITION BY s.doc_id, s.fp
+                                 ORDER BY s.pos) <= 16
+    ),
+    m AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+             a.pos - b.pos AS diag
+      FROM capped a JOIN capped b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    ),
+    isl AS (
+      SELECT *, CASE WHEN pos_a - lag(pos_a) OVER
+          (PARTITION BY doc_a, doc_b, diag ORDER BY pos_a)
+          > {_WINNOW_SPAN_GAP} THEN 1 ELSE 0 END AS brk
+      FROM m
+    ),
+    g AS (
+      SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag
+          ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS grp
+      FROM isl
+    )
+    SELECT doc_a, doc_b,
+           CAST(min(pos_a) AS INTEGER) AS start_a,
+           CAST(max(pos_a) + 14 AS INTEGER) AS end_a,
+           CAST(min(pos_a) - diag AS INTEGER) AS start_b,
+           CAST(max(pos_a) + 14 - diag AS INTEGER) AS end_b,
+           CAST(count(*) AS BIGINT) AS n_fps
+    FROM g GROUP BY doc_a, doc_b, diag, grp
+    HAVING count(*) >= 2
+    """,
+)
+def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing match SPANS (`dedup.winnow_match_spans` over
+    `text.winnow_fingerprint_positions`) — the match-reporting half of
+    MOSS that `dedup_winnow_candidates` omits: matched fingerprints on
+    the same offset diagonal coalesce (gaps-and-islands, gap >
+    w+k−1 = 22 breaks a run) into shared character spans
+    ``(doc_a, doc_b, start_a, end_a, start_b, end_b, n_fps)``, 1-based
+    inclusive offsets. This localizes each candidate pair to WHERE the
+    duplication lives — the pairwise complement of the global
+    token-level `corpus_remove_dup_spans` — without re-scanning text.
+    Both scale guards replay in the oracle: the df ≤ 64 stop-fingerprint
+    cut (MOSS common-match exclusion) and the ≤ 16 positions-per-
+    (doc, fp) cap that stops a periodic document from squaring the
+    fingerprint equi-join. Exact integer arithmetic end-to-end (packed
+    key h·2^32+pos), so DuckDB replays selection, tie-break, caps, and
+    island grouping bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    # positions-per-fp cap applied IN the kernel (sorted-run rank — same
+    # rule as a row_number window, zero exchanges), so the span op skips
+    # its cap window; see winnow_match_spans' plan-shape docstring
+    pos = text_ops.winnow_fingerprint_positions(docs, max_positions_per_fp=16)
+    out = dedup_ops.winnow_match_spans(
+        pos, min_shared=2, max_doc_freq=64, max_positions=None
+    )
+    return out.select(
+        "doc_a",
+        "doc_b",
+        F.col("start_a").cast("int").alias("start_a"),
+        F.col("end_a").cast("int").alias("end_a"),
+        F.col("start_b").cast("int").alias("start_b"),
+        F.col("end_b").cast("int").alias("end_b"),
+        F.col("n_fps").cast("long").alias("n_fps"),
     )
 
 
@@ -12340,87 +12462,85 @@ def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows for the FIRST ~50 registry entries, so ordering decides which
 # queries get driver-side evidence. Policy (round-4 fix for the r3
 # staleness finding): (a) queries new or re-planned THIS round first,
-# then (b) every query whose last driver row is older than the previous
-# round — rotate, don't re-check only what changed. With 107 registered
-# queries and a 50-row window full coverage takes ~2 rounds of rotation;
-# next round, lead with whatever lacked a CORRECTNESS_r04 row (the tail
-# of this list plus the r3-green block).
+# then (b) every query whose last driver row is oldest — rotate, don't
+# re-check only what changed.
 _FRONT = [
-    # --- round 10 policy (VERDICT r9 tasks #1/#8): window = first ~50
-    # entries, graded by the driver; exactly 50 names below.
-    # (a) NEW or RE-PLANNED this round first: the IMLM stage oracle
-    #     (VERDICT r9 task #3) and every guard/gate-touched query — the
-    #     bucket guard moved to the broadcast-oversize plan (dedup.py,
-    #     multimodal.py) and run_media_dedup's n_close floor gained the
-    #     least(min_n_close, frames) refinement, so all consumers
-    #     re-grade this round even where results are provably identical;
-    # (b) the 20 r5-aged rows declared in the r9 registry comment
-    #     (incl. qaqc_min_max, which slid past the r9 cut);
-    # (c) 16 oldest r6-aged rows (agg_*/coord_* first per VERDICT #8).
-    # Refresh SLA: 217 queries / 50 slots => full refresh every ~4.5
-    # rounds; no green row should age past 4 rounds. r11 block = the 24
-    # remaining r6-aged rows (phys_pres2dep_density phys_spd2uv
-    # phys_transfer_function phys_troll_salinity phys_wind_dir_correct
-    # phys_z_geometry prof_clip_profiles prof_ragged_index
-    # q1_pricing_summary q3_top_revenue_orders q5_nation_revenue
-    # qaqc_diff_rules qaqc_fliers qaqc_mask_expr qaqc_med_diff
-    # qaqc_trim_warmup text_tfidf_keywords ts_burst_keys
-    # ts_burst_nan_fill ts_dedup ts_epic_time_codec ts_seagauge_tides
-    # ts_shift_clock_drift vel_vbper_gate) plus the oldest r7 rows
-    # (dedup_exact and the sketch/stream family) as slots allow.
+    # --- round 11 policy: window = first 50 entries, driver-graded.
+    # (a) NEW or RE-PLANNED this round first: dedup_winnow_spans (the
+    #     MOSS match-reporting half, VERDICT r10 task #6) plus every
+    #     consumer of the two-center star reduction (commit 23daf0e
+    #     landed AFTER the r10 driver run, so the whole guarded
+    #     candidate-pair family re-grades: dedup LSH/simhash/edit/
+    #     winnow, incremental-near, split-leakage, embedding-neardup,
+    #     and the multimodal phash/media-dedup chain);
+    # (b) the 24 r6-aged rows declared in the r10 registry comment;
+    # (c) 12 oldest r7-aged rows (the similarity/ANN family + filters).
+    # Refresh SLA: 218 queries / 50 slots => no green row older than 4
+    # rounds. r12 block = the 29 remaining r7-aged rows
+    # (corpus_budget_sample corpus_build_packs corpus_datacard_v1/v2/v3
+    # corpus_hist_percentiles corpus_kmv_distinct corpus_mixture_allocate
+    # corpus_pack_sequences corpus_redact_pii corpus_token_census
+    # corpus_url_domains sonar_xy_linear_oracle sonar_xy_regrid
+    # src_sg_hex_roundtrip src_son_roundtrip text_bigram_logprob
+    # text_fingerprint text_unigram_logprob ts_dedup_ctrl
+    # ts_sessionize_v1 ts_sessionize_v2 ts_sessionize_v3 ts_sessionize_v4
+    # wave_cutoff_tail_oracle wave_dftm_plane_oracle
+    # wave_elev_stats_oracle wave_psd_welch_oracle
+    # wave_puv_azimuth_oracle) plus the oldest r8 rows (the src_*
+    # vendor roundtrips block) as slots allow.
     # (a) new/re-planned
-    "e2e_diwasp_imlm_roundtrip",
-    "e2e_sonar_xy_roundtrip",
-    "text_winnow_fingerprints",
-    "dedup_winnow_candidates",
+    "dedup_winnow_spans",
     "dedup_lsh_bucket_cap",
     "dedup_minhash_lsh",
     "dedup_token_jaccard",
     "dedup_clusters",
     "dedup_simhash",
     "dedup_edit_similarity",
+    "dedup_winnow_candidates",
+    "dedup_incremental_near",
+    "dedup_split_leakage",
+    "sim_embedding_neardup",
     "mm_phash_neardup",
     "mm_video_phash_neardup",
     "e2e_media_dedup_clusters",
-    "e2e_corpus_all_packs",
-    # (b) r5-aged refresh block
-    "qaqc_min_max",
-    "qaqc_std_gates",
-    "qaqc_trim_single_bins",
-    "qaqc_wave_stats_trims",
-    "snk_netcdf3_roundtrip",
-    "src_pd0_roundtrip",
-    "text_html_extract",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "ts_asof_atmos_correct",
-    "ts_burst_average",
-    "ts_circular_mean_daily",
-    "ts_gap_fill_hourly",
-    "ts_interval_average_duration",
-    "ts_value_percentiles",
-    "vel_agc_cor_gates",
-    "vel_snr_gate",
-    "vel_trim_sidelobe",
-    "wave_imlm_relax_oracle",
-    # (c) oldest r6-aged backfill
-    "agg_brange_argmax",
-    "agg_linregress",
-    "agg_mean_minf",
-    "agg_min_max_attrs",
-    "agg_top_third_threshold",
-    "coord_beam2enu",
-    "coord_beam2enu_4beam",
-    "corpus_pps_sample",
-    "corpus_quality_funnel",
-    "corpus_shard_manifest",
-    "dedup_incremental_batch",
-    "dedup_url_canonical",
-    "filt_median_smoother",
-    "mm_decode_real_bmp",
-    "phys_boundary_elevation",
-    "phys_direction_conventions",
+    # (b) r6-aged refresh block
+    "phys_pres2dep_density",
+    "phys_spd2uv",
+    "phys_transfer_function",
+    "phys_troll_salinity",
+    "phys_wind_dir_correct",
+    "phys_z_geometry",
+    "prof_clip_profiles",
+    "prof_ragged_index",
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "q5_nation_revenue",
+    "qaqc_diff_rules",
+    "qaqc_fliers",
+    "qaqc_mask_expr",
+    "qaqc_med_diff",
+    "qaqc_trim_warmup",
+    "text_tfidf_keywords",
+    "ts_burst_keys",
+    "ts_burst_nan_fill",
+    "ts_dedup",
+    "ts_epic_time_codec",
+    "ts_seagauge_tides",
+    "ts_shift_clock_drift",
+    "vel_vbper_gate",
+    # (c) oldest r7-aged backfill
+    "dedup_exact",
+    "dedup_embedding_grid",
+    "sim_ann_lsh_topk",
+    "sim_ann_ivf_topk",
+    "sim_cosine_topk",
+    "sim_bucket_centroids",
+    "sim_ivf_recall",
+    "sim_kmeans_assign",
+    "sim_pq_adc_topk",
+    "filt_butterworth_lowpass",
+    "filt_filtfilt_oracle",
+    "filt_iir_recursion_oracle",
 ]
 
 

@@ -761,3 +761,65 @@ def test_winnow_fingerprints_reference_and_edges(spark):
     bym = {(r.doc_a, r.doc_b): r.n_shared for r in pairs}
     assert bym.get((1, 6)) == len(got[1])
     assert not any(7 in p for p in bym)
+
+
+def test_winnow_match_spans_localize_shared_run(spark):
+    """Position-carrying winnowing + span coalescing: a shared
+    substring planted at DIFFERENT offsets in two documents must come
+    back as one span whose [start, end] covers the planted run in each
+    document (up to winnowing's boundary slack: the first/last selected
+    gram may sit up to w+k−2 inside the run), value-set parity with the
+    set-only variant must hold, and the positions-per-fingerprint cap
+    must keep a periodic document from exploding the join."""
+    from stglib_spark.operators.dedup import winnow_match_spans
+    from stglib_spark.operators.text import (
+        winnow_fingerprint_positions,
+        winnow_fingerprints,
+    )
+
+    k, w = 15, 8
+    shared = "an unmistakably duplicated passage of respectable length, " \
+             "long enough to select several fingerprints in a row"
+    a_pre, b_pre = "alpha " * 10, "omega filler text " * 7
+    rows = [
+        (1, a_pre + shared + " trailing tail one"),
+        (2, b_pre + shared + " other ending entirely"),
+        (3, "nothing in common with the others at all, none whatsoever"),
+        (4, "ab" * 400),  # periodic: one hash at ~every offset
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pos = winnow_fingerprint_positions(df, k=k, w=w)
+
+    # value-set parity with the set-only variant (coverage contract)
+    vals = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    got_vals = {}
+    for r in pos.collect():
+        got_vals.setdefault(r.doc_id, set()).add(r.fp)
+        # pos is a real 1-based offset: the k-gram hash replays there
+        text = rows[r.doc_id - 1][1]
+        assert 1 <= r.pos <= len(text) - k + 1
+    assert got_vals == {d: v for d, v in vals.items() if v}
+
+    spans = winnow_match_spans(pos, k=k, w=w, min_shared=2).collect()
+    by_pair = {}
+    for s in spans:
+        by_pair.setdefault((s.doc_a, s.doc_b), []).append(s)
+    assert (1, 2) in by_pair
+    assert not any(3 in p for p in by_pair)
+    # the (1,2) span localizes the planted run in BOTH documents
+    sa, sb = len(a_pre) + 1, len(b_pre) + 1  # 1-based run starts
+    run_len = len(shared)
+    slack = w + k - 2
+    best = max(by_pair[(1, 2)], key=lambda s: s.n_fps)
+    assert sa <= best.start_a <= sa + slack
+    assert sa + run_len - slack <= best.end_a + 1 <= sa + run_len + k
+    # same span, same diagonal: offsets differ by the prefix delta
+    assert best.start_b - best.start_a == sb - sa
+    assert best.end_b - best.end_a == sb - sa
+    # periodic doc: ≤ 16 positions survive per (doc, fp) → no self-pair
+    n_pos_doc4 = sum(1 for r in pos.collect() if r.doc_id == 4)
+    assert n_pos_doc4 > 16  # the cap is actually being exercised
+    assert not any(4 in p for p in by_pair)
