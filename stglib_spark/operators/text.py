@@ -225,15 +225,16 @@ def winnow_fingerprints(
     DuckDB oracle replays fingerprints bit-for-bit; no engine-private
     hash enters the result.
 
-    ``exploded=True`` emits one (id, fp) row per selected value via
-    ``mapInPandas`` instead of the array column — same values, same
-    per-doc uniqueness, but the kernel runs exactly ONCE: a consumer
-    that explodes the array form pays the kernel TWICE per row, because
-    InferFiltersFromGenerate puts a ``size(...) > 0`` filter on the UDF
-    column and ExtractPythonUDFs plans separate ArrowEvalPython nodes
-    for the filter and the projection (measured with an accumulator).
-    Candidate-pair producers should prefer it; ``keep_cols`` is not
-    supported in this mode."""
+    ``exploded=True`` emits one (id, *keep_cols, fp) row per selected
+    value via ``mapInPandas`` instead of the array column — same
+    values, same per-doc uniqueness, but the kernel runs exactly ONCE:
+    a consumer that explodes the array form pays the kernel TWICE per
+    row, because InferFiltersFromGenerate puts a ``size(...) > 0``
+    filter on the UDF column and ExtractPythonUDFs plans separate
+    ArrowEvalPython nodes for the filter and the projection (measured
+    with an accumulator; same-load sf1 A/B on the candidate chain:
+    12.14 s → 8.69 s). Candidate-pair producers and the streaming
+    winnow gate should prefer it."""
     import numpy as np
     from numpy.lib.stride_tricks import sliding_window_view
 
@@ -260,30 +261,36 @@ def winnow_fingerprints(
         return np.unique(sliding_window_view(hs, w).min(axis=1))
 
     if exploded:
-        assert not keep_cols, "keep_cols unsupported with exploded=True"
-        id_type = df.schema[id_col].dataType.simpleString()
+        carry = [id_col, *keep_cols]
+        schema = ", ".join(
+            f"{c} {df.schema[c].dataType.simpleString()}" for c in carry
+        )
 
         def _gen(batches):
             for pdf in batches:
-                ids, vals = [], []
-                for doc_id, text in zip(pdf[id_col], pdf["__text"]):
+                reps, vals = [], []
+                for i, text in enumerate(pdf["__text"]):
                     sel = _kernel(text)
                     if sel is None or not len(sel):
                         continue
-                    ids.extend([doc_id] * len(sel))
+                    reps.append((i, len(sel)))
                     vals.append(sel)
-                yield pd.DataFrame(
-                    {
-                        id_col: ids,
-                        "fp": np.concatenate(vals)
-                        if vals
-                        else np.array([], dtype=np.int64),
-                    }
+                idx = np.repeat(
+                    [i for i, _ in reps], [n for _, n in reps]
+                ).astype(np.int64)
+                out = pdf.iloc[idx][carry].reset_index(drop=True)
+                out["fp"] = (
+                    np.concatenate(vals)
+                    if vals
+                    else np.array([], dtype=np.int64)
                 )
+                yield out
 
         return df.select(
-            F.col(id_col), F.col(text_col).alias("__text")
-        ).mapInPandas(_gen, f"{id_col} {id_type}, fp long")
+            F.col(id_col),
+            *[F.col(c) for c in keep_cols],
+            F.col(text_col).alias("__text"),
+        ).mapInPandas(_gen, f"{schema}, fp long")
 
     @pandas_udf("array<long>")
     def _winnow(texts: pd.Series) -> pd.Series:

@@ -1294,9 +1294,12 @@ def streaming_winnow_gate(
     == the batch detection on the same rows."""
     from stglib_spark.operators.text import winnow_fingerprints
 
-    idx = winnow_fingerprints(index_docs, text_col, id_col, k, w).select(
-        F.explode("fingerprints").alias("fp")
-    )
+    # exploded producers: the Arrow winnow kernel runs ONCE per side —
+    # exploding the array form re-evaluates it through an inferred
+    # Generate filter (see winnow_fingerprints' docstring)
+    idx = winnow_fingerprints(
+        index_docs, text_col, id_col, k, w, exploded=True
+    ).select("fp")
     kept = (
         idx.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("__nd"))
@@ -1307,13 +1310,9 @@ def streaming_winnow_gate(
         broadcast_index = kept.count() <= broadcast_max_rows
     if broadcast_index:
         kept = F.broadcast(kept)
-    hits = (
-        winnow_fingerprints(
-            docs, text_col, id_col, k, w, keep_cols=(time_col,)
-        )
-        .select(id_col, time_col, F.explode("fingerprints").alias("fp"))
-        .join(kept, "fp")
-    )
+    hits = winnow_fingerprints(
+        docs, text_col, id_col, k, w, keep_cols=(time_col,), exploded=True
+    ).join(kept, "fp")
     return (
         hits.select(id_col, time_col)
         .withWatermark(time_col, watermark)
