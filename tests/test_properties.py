@@ -691,3 +691,77 @@ def test_video_star_mode_min_n_close_interaction(spark):
     # effective floor arithmetic on the uncapped pair
     one_frame = [r for r in uncapped if (r.vid_a, r.vid_b) == (4, 5)][0]
     assert one_frame.n_close >= min(2, 1, 1)
+
+
+def test_winnow_span_coverage_random_plants(spark):
+    """Winnowing coverage theorem, span-level, over random plants: a
+    shared run of length L ≥ k + 2w − 1 has ≥ w+1 interior windows, so
+    BOTH documents select ≥ 2 identical (hash, run-relative position)
+    fingerprints inside it (each selected key is the minimum of ≤ w
+    windows), consecutive interior selections sit ≤ w apart, and
+    `winnow_match_spans` (gap = w+k−1 > w) must therefore report, for
+    every planted pair, a span with n_fps ≥ 2 on the correct diagonal
+    overlapping the run in both docs. Also pins value-set parity
+    between the positions producer and the set-only variant on every
+    random document."""
+    from stglib_spark.operators.dedup import winnow_match_spans
+    from stglib_spark.operators.text import (
+        winnow_fingerprint_positions,
+        winnow_fingerprints,
+    )
+
+    k, w = 15, 8
+    rng = np.random.RandomState(11)
+    alphabet = np.array(list("abcdefghijklmnopqrstuvwxyz .,"))
+
+    def rand_text(n):
+        return "".join(rng.choice(alphabet, n))
+
+    rows, plants = [], {}
+    doc_id = 0
+    for case in range(12):
+        run_len = int(rng.randint(k + 2 * w - 1, 120))
+        shared = rand_text(run_len)
+        pre_a, pre_b = rand_text(int(rng.randint(0, 80))), rand_text(
+            int(rng.randint(0, 80))
+        )
+        a, b = doc_id, doc_id + 1
+        rows.append((a, pre_a + shared + rand_text(int(rng.randint(0, 60)))))
+        rows.append((b, pre_b + shared + rand_text(int(rng.randint(0, 60)))))
+        # 1-based run starts and the diagonal the span must sit on
+        plants[(a, b)] = (len(pre_a) + 1, len(pre_b) + 1, run_len)
+        doc_id += 2
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    pos = winnow_fingerprint_positions(df, k=k, w=w)
+    # value-set parity with the set-only variant
+    vals = {
+        r.doc_id: set(r.fingerprints)
+        for r in winnow_fingerprints(df, k=k, w=w).collect()
+    }
+    got_vals: dict = {}
+    for r in pos.collect():
+        got_vals.setdefault(r.doc_id, set()).add(r.fp)
+    assert got_vals == {d: v for d, v in vals.items() if v}
+
+    spans = winnow_match_spans(
+        pos, k=k, w=w, min_shared=2, max_doc_freq=64
+    ).collect()
+    by_pair: dict = {}
+    for s in spans:
+        by_pair.setdefault((s.doc_a, s.doc_b), []).append(s)
+    for (a, b), (sa, sb, run_len) in plants.items():
+        diag = sa - sb
+        cands = [
+            s
+            for s in by_pair.get((a, b), [])
+            if s.start_a - s.start_b == diag
+            # overlaps the planted run in doc a (1-based inclusive)
+            and s.start_a <= sa + run_len - 1
+            and s.end_a >= sa
+        ]
+        assert cands, (
+            f"pair {(a, b)}: no span on diag {diag} overlapping the "
+            f"planted run (run_len={run_len}); got {by_pair.get((a, b))}"
+        )
+        assert max(s.n_fps for s in cands) >= 2
