@@ -268,6 +268,95 @@ def remove_duplicate_spans(
     )
 
 
+def excise_char_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Remove CHARACTER ranges from documents: ``spans`` carries
+    (id_col, start, end) rows — 1-based inclusive char offsets, e.g.
+    the (doc_b, start_b, end_b) side of `dedup.winnow_match_spans`,
+    which localizes pairwise duplication to the higher-id document so
+    the lower-id occurrence stays canonical (the char-level targeted
+    complement of `remove_duplicate_spans`' global token-level rule).
+    Returns (id, n_chars, n_removed, cleaned_text) for EVERY input
+    document; untouched docs pass through with n_removed = 0.
+
+    Shape: overlapping/adjacent ranges merge by gaps-and-islands over a
+    running interval max (one window exchange on the SPANS table —
+    int-only rows), then each doc's kept text rebuilds from the
+    segments BETWEEN merged ranges (lag(end) window + substring), NOT
+    from a per-char position mask: segment count = ranges + 1,
+    independent of document length, where a char-level range-explode
+    mask would shuffle one row per excised character. The text moves
+    exactly once, in the final per-doc left join of (sorted segment
+    array → concat). Everything is deterministic integer/window
+    arithmetic, so a SQL oracle replays the rebuild byte-for-byte
+    (md5-provable)."""
+    # 1) merge overlapping/adjacent [start, end] ranges per doc
+    sp = spans.select(
+        F.col(id_col), F.col("start").cast("int"), F.col("end").cast("int")
+    ).distinct()
+    ord_w = Window.partitionBy(id_col).orderBy("start", "end")
+    prev_max = F.max("end").over(
+        ord_w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    brk = (
+        F.when(F.col("start") > F.coalesce(prev_max, F.lit(0)) + 1, 1)
+        .otherwise(0)
+        .alias("__brk")
+    )
+    merged = (
+        sp.select("*", brk)
+        .select("*", F.sum("__brk").over(ord_w).alias("__grp"))
+        .groupBy(id_col, "__grp")
+        .agg(F.min("start").alias("s"), F.max("end").alias("e"))
+    )
+    # 2) kept segment BEFORE each merged range: [prev_e + 1, s - 1]
+    seg_w = Window.partitionBy(id_col).orderBy("s")
+    seg_start = (F.coalesce(F.lag("e").over(seg_w), F.lit(0)) + 1).alias(
+        "__ss"
+    )
+    per_doc = (
+        merged.select(F.col(id_col), "s", "e", seg_start)
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("__ss"), F.col("s")))
+            ).alias("__segs"),
+            F.max("e").alias("__tail_from"),
+            F.sum(F.col("e") - F.col("s") + F.lit(1)).alias("n_removed"),
+        )
+    )
+    joined = df.select(F.col(id_col), F.col(text_col)).join(
+        per_doc, id_col, "left"
+    )
+    head = F.concat_ws(
+        "",
+        F.transform(
+            F.col("__segs"),
+            lambda x: F.col(text_col).substr(
+                x["__ss"], x["s"] - x["__ss"]
+            ),
+        ),
+    )
+    tail = F.col(text_col).substr(
+        F.col("__tail_from") + 1, F.length(text_col)
+    )
+    cleaned = F.when(
+        F.col("__segs").isNull(), F.col(text_col)
+    ).otherwise(F.concat(head, tail))
+    return joined.select(
+        F.col(id_col),
+        F.length(text_col).alias("n_chars"),
+        F.coalesce(F.col("n_removed"), F.lit(0))
+        .cast("long")
+        .alias("n_removed"),
+        cleaned.alias("cleaned_text"),
+    )
+
+
 def repetition_stats(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

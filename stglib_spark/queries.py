@@ -12382,9 +12382,9 @@ def _winnow_pos_ctes(k: int = 15, w: int = 8) -> str:
 
 _WINNOW_SPAN_GAP = 15 + 8 - 1  # max_gap default = w + k − 1
 
-
-@register(
-    "dedup_winnow_spans",
+# Shared by the span and span-excision oracles: positions → df-cut →
+# position cap → diagonal islands → spans (1-based inclusive offsets).
+_WINNOW_SPAN_CTES = (
     _winnow_pos_ctes()
     + f""",
     freq AS (
@@ -12408,19 +12408,33 @@ _WINNOW_SPAN_GAP = 15 + 8 - 1  # max_gap default = w + k − 1
           > {_WINNOW_SPAN_GAP} THEN 1 ELSE 0 END AS brk
       FROM m
     ),
-    g AS (
+    gsp AS (
       SELECT *, sum(brk) OVER (PARTITION BY doc_a, doc_b, diag
           ORDER BY pos_a ROWS UNBOUNDED PRECEDING) AS grp
       FROM isl
-    )
+    ),
+    spans AS (
+      SELECT doc_a, doc_b,
+             min(pos_a) AS start_a, max(pos_a) + 14 AS end_a,
+             min(pos_a) - diag AS start_b, max(pos_a) + 14 - diag AS end_b,
+             count(*) AS n_fps
+      FROM gsp GROUP BY doc_a, doc_b, diag, grp
+      HAVING count(*) >= 2
+    )"""
+)
+
+
+@register(
+    "dedup_winnow_spans",
+    _WINNOW_SPAN_CTES
+    + """
     SELECT doc_a, doc_b,
-           CAST(min(pos_a) AS INTEGER) AS start_a,
-           CAST(max(pos_a) + 14 AS INTEGER) AS end_a,
-           CAST(min(pos_a) - diag AS INTEGER) AS start_b,
-           CAST(max(pos_a) + 14 - diag AS INTEGER) AS end_b,
-           CAST(count(*) AS BIGINT) AS n_fps
-    FROM g GROUP BY doc_a, doc_b, diag, grp
-    HAVING count(*) >= 2
+           CAST(start_a AS INTEGER) AS start_a,
+           CAST(end_a AS INTEGER) AS end_a,
+           CAST(start_b AS INTEGER) AS start_b,
+           CAST(end_b AS INTEGER) AS end_b,
+           CAST(n_fps AS BIGINT) AS n_fps
+    FROM spans
     """,
 )
 def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12458,6 +12472,89 @@ def dedup_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "corpus_excise_winnow_spans",
+    _WINNOW_SPAN_CTES
+    + """,
+    dsp AS (
+      SELECT DISTINCT doc_b AS doc_id,
+             CAST(start_b AS INTEGER) AS s0, CAST(end_b AS INTEGER) AS e0
+      FROM spans
+    ),
+    mrk AS (
+      SELECT *, CASE WHEN s0 > coalesce(max(e0) OVER
+          (PARTITION BY doc_id ORDER BY s0, e0
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + 1
+          THEN 1 ELSE 0 END AS brk
+      FROM dsp
+    ),
+    grpd AS (
+      SELECT *, sum(brk) OVER (PARTITION BY doc_id ORDER BY s0, e0
+          ROWS UNBOUNDED PRECEDING) AS grp
+      FROM mrk
+    ),
+    mg AS (
+      SELECT doc_id, grp, min(s0) AS s, max(e0) AS e
+      FROM grpd GROUP BY doc_id, grp
+    ),
+    segs AS (
+      SELECT doc_id, s, e,
+             coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1
+               AS ss
+      FROM mg
+    ),
+    reb AS (
+      SELECT g.doc_id,
+             string_agg(substr(d.text, g.ss, g.s - g.ss), '' ORDER BY g.ss)
+               AS head,
+             max(g.e) AS tail_from,
+             sum(g.e - g.s + 1) AS n_removed
+      FROM segs g JOIN documents d USING (doc_id)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(length(d.text) AS INTEGER) AS n_chars,
+           CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+           md5(CASE WHEN r.doc_id IS NULL THEN d.text
+                    ELSE coalesce(r.head, '')
+                         || substr(d.text, r.tail_from + 1) END)
+             AS cleaned_md5
+    FROM documents d LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Targeted duplicate-span EXCISION driven by winnowing match spans
+    (`corpus.excise_char_spans` over `dedup.winnow_match_spans`): each
+    localized shared span is removed from the HIGHER-id document of its
+    pair (the lower-id occurrence stays canonical — the same
+    minimum-doc rule as `corpus_remove_dup_spans`, but char-level and
+    PAIRWISE-targeted: only text a specific other document duplicates
+    is cut, no global n-gram census). Overlapping/adjacent ranges merge
+    by gaps-and-islands over a running interval max; the cleaned text
+    rebuilds from the segments BETWEEN merged ranges (segment count =
+    ranges + 1, independent of document length — never a per-char
+    mask). md5 of the rebuilt text proves byte-identical
+    reconstruction against the oracle's string_agg replay; every
+    document returns a row (untouched docs pass through)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pos = text_ops.winnow_fingerprint_positions(docs, max_positions_per_fp=16)
+    spans = dedup_ops.winnow_match_spans(
+        pos, min_shared=2, max_doc_freq=64, max_positions=None
+    )
+    sp = spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.col("start_b").alias("start"),
+        F.col("end_b").alias("end"),
+    )
+    out = corpus_ops.excise_char_spans(docs, sp)
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "n_removed",
+        F.md5("cleaned_text").alias("cleaned_md5"),
+    )
+
+
 # Registry ordering for the driver's correctness run. The driver records
 # rows for the FIRST ~50 registry entries, so ordering decides which
 # queries get driver-side evidence. Policy (round-4 fix for the r3
@@ -12490,6 +12587,7 @@ _FRONT = [
     # vendor roundtrips block) as slots allow.
     # (a) new/re-planned
     "dedup_winnow_spans",
+    "corpus_excise_winnow_spans",
     "dedup_lsh_bucket_cap",
     "dedup_minhash_lsh",
     "dedup_token_jaccard",
@@ -12540,7 +12638,6 @@ _FRONT = [
     "sim_pq_adc_topk",
     "filt_butterworth_lowpass",
     "filt_filtfilt_oracle",
-    "filt_iir_recursion_oracle",
 ]
 
 

@@ -339,3 +339,50 @@ def test_html_to_text_known_page(spark):
     df = spark.createDataFrame([(1, page)], "id long, h string")
     got = df.select(html_to_text(F.col("h")).alias("t")).collect()[0]["t"]
     assert got == 'Hello &lt;world&gt; "x" y'
+
+
+def test_excise_char_spans_edges(spark):
+    """Char-range excision edge cases: overlapping ranges merge,
+    adjacent ranges merge, a range covering the whole document empties
+    it, docs with no ranges pass through byte-identical, and the
+    rebuild is exact (compare against a straightforward per-char
+    reference)."""
+    from stglib_spark.operators.corpus import excise_char_spans
+
+    docs = [
+        (1, "abcdefghij"),          # two overlapping ranges
+        (2, "0123456789"),          # adjacent ranges -> one cut
+        (3, "wipe me out"),         # full-doc range
+        (4, "untouched text"),      # no spans at all
+        (5, "edge at the very end"),
+    ]
+    spans = [
+        (1, 2, 5), (1, 4, 7),       # merge to [2,7] -> keep "a" + "hij"
+        (2, 3, 4), (2, 5, 6),       # adjacent -> [3,6] -> "01" + "789" + "2"? no: keep 1-2 and 7-10
+        (3, 1, 11),                 # whole doc
+        (5, 17, 20),                # tail cut
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    sp = spark.createDataFrame(spans, "doc_id long, start int, end int")
+    got = {
+        r.doc_id: (r.n_chars, r.n_removed, r.cleaned_text)
+        for r in excise_char_spans(df, sp).collect()
+    }
+
+    def ref(text, ranges):
+        drop = set()
+        for s, e in ranges:
+            drop.update(range(s, e + 1))
+        return "".join(c for i, c in enumerate(text, 1) if i not in drop)
+
+    by_doc: dict = {}
+    for d, s, e in spans:
+        by_doc.setdefault(d, []).append((s, e))
+    for d, text in docs:
+        want = ref(text, by_doc.get(d, []))
+        n_chars, n_removed, cleaned = got[d]
+        assert n_chars == len(text), d
+        assert cleaned == want, (d, cleaned, want)
+        assert n_removed == len(text) - len(want), d
+    assert got[3][2] == ""              # emptied
+    assert got[4] == (14, 0, "untouched text")
