@@ -501,6 +501,60 @@ def unigram_logprob_score(
     )
 
 
+def dsir_logratio_score(
+    df: DataFrame,
+    target_vocab: list[tuple[str, int]],
+    raw_vocab: list[tuple[str, int]],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_logprob: float = -20.0,
+) -> DataFrame:
+    """DSIR-style importance weight (Xie et al. 2023, Data Selection
+    via Importance Resampling, arXiv:2302.03169 — the hashed-ngram
+    variant at unigram granularity): per document, the mean over
+    tokens of ``log p_target(tok) − log p_raw(tok)`` under two unigram
+    LMs (`unigram_vocab` over the target-domain slice and the raw
+    pool). High scores mark raw documents that LOOK like the target
+    domain — the standard recipe for carving a domain-matched training
+    subset out of a web crawl; feed the weights to a threshold filter
+    or `corpus.pps_sample` for the resampling step.
+
+    Scale shape: the TWO vocabularies fuse into ONE literal
+    log-ratio map over their key union (a token absent from a side
+    contributes ``oov_logprob`` for that side; absent from both → 0,
+    the map's coalesce default), so scoring is a single projection —
+    one corpus scan, an aggregate fold per row, no explode, no join,
+    no shuffle. Only the two bounded top-K vocabulary aggregates ever
+    shuffle. The map values are Python ``math.log`` literals that
+    DuckDB's ``ln`` reproduces bit-for-bit (the text_unigram_logprob
+    contract), so the oracle replays scores to the rounded digit."""
+    t_total = float(sum(c for _, c in target_vocab))
+    r_total = float(sum(c for _, c in raw_vocab))
+    t_lp = {tok: math.log(c / t_total) for tok, c in target_vocab}
+    r_lp = {tok: math.log(c / r_total) for tok, c in raw_vocab}
+    floor = float(oov_logprob)
+    entries = sorted(
+        (tok, t_lp.get(tok, floor) - r_lp.get(tok, floor))
+        for tok in set(t_lp) | set(r_lp)
+    )
+    ratio_map = F.expr(_sql_map(entries))
+    toks = tokens(F.lower(F.col(text_col)))
+    n = F.size(toks)
+    total = F.aggregate(
+        toks,
+        F.lit(0.0),
+        lambda acc, t: acc
+        + F.coalesce(F.element_at(ratio_map, t), F.lit(0.0)),
+    )
+    return df.select(
+        F.col(id_col),
+        n.alias("n_tokens"),
+        F.round(
+            F.when(n > 0, total / n).otherwise(F.lit(0.0)), 6
+        ).alias("log_ratio"),
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     chunk_tokens: int = 128,

@@ -2754,6 +2754,62 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_dsir_weights",
+    rf"""
+    WITH base AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') END AS tks
+      FROM documents
+    ),
+    tv AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(tks) AS tok FROM base WHERE source = 'src0')
+      GROUP BY tok ORDER BY c DESC, tok LIMIT {_UNIGRAM_TOPK}
+    ),
+    rv AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(tks) AS tok FROM base WHERE source <> 'src0')
+      GROUP BY tok ORDER BY c DESC, tok LIMIT {_UNIGRAM_TOPK}
+    ),
+    tt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM tv),
+    rt AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM rv),
+    dt AS (SELECT doc_id, unnest(tks) AS tok FROM base),
+    sc AS (
+      SELECT dt.doc_id,
+             coalesce(ln(tv.c / (SELECT t FROM tt)), -20.0)
+             - coalesce(ln(rv.c / (SELECT t FROM rt)), -20.0) AS lr
+      FROM dt LEFT JOIN tv USING (tok) LEFT JOIN rv USING (tok)
+    ),
+    agg AS (SELECT doc_id, count(*) AS n, sum(lr) AS s FROM sc GROUP BY doc_id)
+    SELECT b.doc_id, CAST(coalesce(a.n, 0) AS INTEGER) AS n_tokens,
+           round(coalesce(a.s / a.n, 0.0), 6) AS log_ratio
+    FROM (SELECT doc_id FROM base) b LEFT JOIN agg a USING (doc_id)
+    """,
+)
+def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (text.dsir_logratio_score — Xie et al.
+    2023 Data Selection via Importance Resampling at unigram
+    granularity): target LM = the ``src0`` domain slice, raw LM =
+    everything else; per-document mean token log-ratio marks raw
+    documents that look like the target domain. The two bounded top-K
+    vocabularies fuse into ONE literal log-ratio map (a token absent
+    from a side contributes the −20 OOV floor; absent from both sides
+    cancels to 0 — which is also why the oracle's plain difference of
+    coalesces replays the merged map exactly), so scoring is one
+    corpus scan at projection speed. Feed the weights to a threshold
+    or `corpus_pps_sample` for the resampling step."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    tv = text_ops.unigram_vocab(
+        docs.filter(F.col("source") == "src0"), top_k=_UNIGRAM_TOPK
+    )
+    rv = text_ops.unigram_vocab(
+        docs.filter(F.col("source") != "src0"), top_k=_UNIGRAM_TOPK
+    )
+    return text_ops.dsir_logratio_score(docs, tv, rv)
+
+
+@register(
     "src_pd0_roundtrip",
     """
     SELECT doc_id,
@@ -12572,12 +12628,13 @@ _FRONT = [
     #     and the multimodal phash/media-dedup chain);
     # (b) the 24 r6-aged rows declared in the r10 registry comment;
     # (c) 12 oldest r7-aged rows (the similarity/ANN family + filters).
-    # Refresh SLA: 218 queries / 50 slots => no green row older than 4
-    # rounds. r12 block = the 29 remaining r7-aged rows
+    # Refresh SLA: 220 queries / 50 slots => no green row older than 4
+    # rounds. r12 block = the 31 remaining r7-aged rows
     # (corpus_budget_sample corpus_build_packs corpus_datacard_v1/v2/v3
     # corpus_hist_percentiles corpus_kmv_distinct corpus_mixture_allocate
     # corpus_pack_sequences corpus_redact_pii corpus_token_census
-    # corpus_url_domains sonar_xy_linear_oracle sonar_xy_regrid
+    # corpus_url_domains filt_filtfilt_oracle filt_iir_recursion_oracle
+    # sonar_xy_linear_oracle sonar_xy_regrid
     # src_sg_hex_roundtrip src_son_roundtrip text_bigram_logprob
     # text_fingerprint text_unigram_logprob ts_dedup_ctrl
     # ts_sessionize_v1 ts_sessionize_v2 ts_sessionize_v3 ts_sessionize_v4
@@ -12588,6 +12645,7 @@ _FRONT = [
     # (a) new/re-planned
     "dedup_winnow_spans",
     "corpus_excise_winnow_spans",
+    "corpus_dsir_weights",
     "dedup_lsh_bucket_cap",
     "dedup_minhash_lsh",
     "dedup_token_jaccard",
@@ -12637,7 +12695,6 @@ _FRONT = [
     "sim_kmeans_assign",
     "sim_pq_adc_topk",
     "filt_butterworth_lowpass",
-    "filt_filtfilt_oracle",
 ]
 
 

@@ -386,3 +386,36 @@ def test_excise_char_spans_edges(spark):
         assert n_removed == len(text) - len(want), d
     assert got[3][2] == ""              # emptied
     assert got[4] == (14, 0, "untouched text")
+
+
+def test_dsir_logratio_ranks_target_like_docs(spark):
+    """DSIR importance weights must rank a raw document written in the
+    target domain's vocabulary above raw documents that are not — the
+    Xie et al. 2023 selection property — and both-OOV tokens must
+    contribute exactly zero (a doc of tokens unknown to both LMs
+    scores 0)."""
+    from stglib_spark.operators.text import (
+        dsir_logratio_score,
+        unigram_vocab,
+    )
+
+    target = "waves tide buoy swell pressure sensor ocean current salinity"
+    market = "stock bond yield equity dividend portfolio hedge margin call"
+    rows = [
+        # target-domain slice (builds the target LM)
+        *[(i, target) for i in range(4)],
+        # raw pool: one target-like doc, several market docs
+        (10, "ocean swell pressure waves tide"),
+        (11, market),
+        (12, market),
+        (13, "zzz qqq xxx"),  # OOV of both LMs (excluded from rv below)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    tv = unigram_vocab(df.filter("doc_id < 10"), top_k=50)
+    rv = unigram_vocab(df.filter("doc_id BETWEEN 10 AND 12"), top_k=50)
+    got = {
+        r.doc_id: r.log_ratio
+        for r in dsir_logratio_score(df, tv, rv).collect()
+    }
+    assert got[10] > got[11] == got[12], got
+    assert got[13] == 0.0, got  # both-OOV tokens cancel to zero
