@@ -211,3 +211,104 @@ def hist_percentiles(
         ).otherwise(mid(v_lo))
         outs.append(est.alias(f"p{str(p).replace('.', '_')}"))
     return per_group.select(*groups, *outs)
+
+
+def cms_sketch(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Count–Min sketch (Cormode & Muthukrishnan 2005) as a mergeable
+    counter table: one row per (group, d, col) with the counter value —
+    ``depth`` independent 60-bit hash rows, each folded onto ``width``
+    columns. Two sketches over disjoint data merge by ADDING counters
+    (a groupBy sum), which is what makes the sketch the right
+    frequency-audit structure at 100 TB: per group it is a bounded
+    depth×width table no matter how many values stream through, and
+    shard-local sketches roll up without touching raw data again.
+
+    Point-query estimates (`cms_point_estimates`) take the MIN over
+    the depth rows — an overestimate with error ≤ εN (ε = e/width) at
+    probability 1−δ (δ = e^−depth); never an underestimate.
+
+    Built on the portable md5 ``hash60`` chain (independent rows via
+    per-row seed suffixes), so the sketch — counters AND estimates —
+    is bit-for-bit reproducible in DuckDB. At scale xxhash64 is the
+    drop-in cheaper hash (same shape, no oracle).
+
+    Scale shape: the d hash columns compute in ONE projection, the
+    depth fan-out is an explode of a d-element literal-struct array
+    (JVM, no UDF), and the only shuffle is the (group, d, col)
+    counter aggregate — map-side combinable, width·depth keys per
+    group regardless of input size."""
+    groups = list(group_cols or [])
+    val = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("string")
+    rows = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (hash60(val, seed=f"{seed}{d}") % width).alias("col"),
+                )
+                for d in range(depth)
+            ]
+        )
+    ).alias("dc")
+    return (
+        df.select(*groups, rows)
+        .select(*groups, F.col("dc.d").alias("d"), F.col("dc.col").alias("col"))
+        .groupBy(*groups, "d", "col")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def cms_point_estimates(
+    sketch: DataFrame,
+    probes: list[str],
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Point-query frequency estimates from an UNGROUPED `cms_sketch`
+    table: for each probe value, the minimum counter over the sketch's
+    ``depth`` rows — the CMS estimate, ≥ the true count always. The
+    probe list enters the plan as a literal array (bounded — heavy-
+    hitter candidates, vocabulary slices), its d hash columns compute
+    with the SAME engine expressions as the sketch build, and the tiny
+    probe side broadcasts into the join against the bounded counter
+    table; a missing (d, col) counter means nothing hashed there —
+    the left join's NULL reads as count 0. (Per-group estimates need a
+    probe×group scaffold so absent counters still read 0 — build the
+    sketch per group slice instead.)"""
+    spark = sketch.sparkSession
+    pr = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(p) for p in probes])
+        ).alias("probe")
+    )
+    pr = pr.select(
+        "probe",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            hash60(F.col("probe"), seed=f"{seed}{d}")
+                            % width
+                        ).alias("col"),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc"),
+    ).select("probe", F.col("dc.d").alias("d"), F.col("dc.col").alias("col"))
+    joined = F.broadcast(pr).join(sketch, ["d", "col"], "left")
+    return joined.groupBy("probe").agg(
+        F.min(F.coalesce(F.col("count"), F.lit(0))).alias("cms_est")
+    )

@@ -95,6 +95,7 @@ from stglib_spark.operators import physics
 from stglib_spark.operators import profiles as prof_ops
 from stglib_spark.operators import qaqc as qaqc_ops
 from stglib_spark.operators import similarity as sim_ops
+from stglib_spark.operators import sketches as sketch_ops
 from stglib_spark.operators import text as text_ops
 from stglib_spark.operators import timeops
 from stglib_spark.operators import transforms
@@ -2751,6 +2752,87 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
     vocab = text_ops.unigram_vocab(docs, top_k=_UNIGRAM_TOPK)
     return text_ops.unigram_logprob_score(docs, vocab)
+
+
+_CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
+_CMS_H = _H60.format(s="'cms' || CAST(ds.d AS VARCHAR) || {v}")
+
+
+@register(
+    "corpus_cms_heavy_hitters",
+    rf"""
+    WITH base AS (
+      SELECT CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') END AS tks
+      FROM documents
+    ),
+    tk AS (SELECT unnest(tks) AS tok FROM base),
+    top AS (
+      SELECT tok, count(*) AS true_count
+      FROM tk GROUP BY tok ORDER BY true_count DESC, tok LIMIT {_CMS_TOP}
+    ),
+    ds AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
+    counters AS (
+      SELECT ds.d, {_CMS_H.format(v="tk.tok")} % {_CMS_W} AS col,
+             count(*) AS c
+      FROM tk CROSS JOIN ds GROUP BY 1, 2
+    ),
+    ph AS (
+      SELECT t.tok, ds.d, {_CMS_H.format(v="t.tok")} % {_CMS_W} AS col
+      FROM top t CROSS JOIN ds
+    ),
+    est AS (
+      SELECT p.tok, min(coalesce(c.c, 0)) AS cms_est
+      FROM ph p LEFT JOIN counters c USING (d, col)
+      GROUP BY p.tok
+    )
+    SELECT t.tok AS token,
+           CAST(t.true_count AS BIGINT) AS true_count,
+           CAST(e.cms_est AS BIGINT) AS cms_est
+    FROM top t JOIN est e USING (tok)
+    """,
+)
+def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count–Min sketch frequency audit (`sketches.cms_sketch` +
+    `cms_point_estimates`, Cormode & Muthukrishnan 2005): sketch the
+    corpus token stream into a mergeable 4×1024 counter table (the
+    bounded structure a 100 TB shard rolls up by ADDING counters —
+    never re-scanning), then point-query the 20 most frequent tokens.
+    CMS never underestimates (est ≥ true, error ≤ εN); the output
+    carries the exact count next to the estimate so the bound is
+    visible row by row. Built on the portable md5 hash60 chain with
+    per-row seed suffixes, so counters AND estimates replay
+    bit-for-bit in DuckDB."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = docs.select(
+        F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    top = (
+        toks.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("true_count"))
+        .orderBy(F.col("true_count").desc(), F.col("tok"))
+        .limit(_CMS_TOP)
+        .collect()
+    )
+    sk = sketch_ops.cms_sketch(
+        toks, "tok", depth=_CMS_D, width=_CMS_W, seed="cms"
+    )
+    est = sketch_ops.cms_point_estimates(
+        sk, [r["tok"] for r in top], depth=_CMS_D, width=_CMS_W, seed="cms"
+    )
+    truth = spark.createDataFrame(
+        [(r["tok"], r["true_count"]) for r in top],
+        "probe string, true_count long",
+    )
+    return (
+        F.broadcast(truth)
+        .join(est, "probe")
+        .select(
+            F.col("probe").alias("token"),
+            F.col("true_count").cast("long").alias("true_count"),
+            F.col("cms_est").cast("long").alias("cms_est"),
+        )
+    )
 
 
 @register(
@@ -12628,13 +12710,13 @@ _FRONT = [
     #     and the multimodal phash/media-dedup chain);
     # (b) the 24 r6-aged rows declared in the r10 registry comment;
     # (c) 12 oldest r7-aged rows (the similarity/ANN family + filters).
-    # Refresh SLA: 220 queries / 50 slots => no green row older than 4
-    # rounds. r12 block = the 31 remaining r7-aged rows
+    # Refresh SLA: 221 queries / 50 slots => no green row older than 4
+    # rounds. r12 block = the 32 remaining r7-aged rows
     # (corpus_budget_sample corpus_build_packs corpus_datacard_v1/v2/v3
     # corpus_hist_percentiles corpus_kmv_distinct corpus_mixture_allocate
     # corpus_pack_sequences corpus_redact_pii corpus_token_census
     # corpus_url_domains filt_filtfilt_oracle filt_iir_recursion_oracle
-    # sonar_xy_linear_oracle sonar_xy_regrid
+    # sim_bucket_centroids sonar_xy_linear_oracle sonar_xy_regrid
     # src_sg_hex_roundtrip src_son_roundtrip text_bigram_logprob
     # text_fingerprint text_unigram_logprob ts_dedup_ctrl
     # ts_sessionize_v1 ts_sessionize_v2 ts_sessionize_v3 ts_sessionize_v4
@@ -12646,6 +12728,7 @@ _FRONT = [
     "dedup_winnow_spans",
     "corpus_excise_winnow_spans",
     "corpus_dsir_weights",
+    "corpus_cms_heavy_hitters",
     "dedup_lsh_bucket_cap",
     "dedup_minhash_lsh",
     "dedup_token_jaccard",
@@ -12690,7 +12773,6 @@ _FRONT = [
     "sim_ann_lsh_topk",
     "sim_ann_ivf_topk",
     "sim_cosine_topk",
-    "sim_bucket_centroids",
     "sim_ivf_recall",
     "sim_kmeans_assign",
     "sim_pq_adc_topk",

@@ -823,3 +823,51 @@ def test_winnow_match_spans_localize_shared_run(spark):
     n_pos_doc4 = sum(1 for r in pos.collect() if r.doc_id == 4)
     assert n_pos_doc4 > 16  # the cap is actually being exercised
     assert not any(4 in p for p in by_pair)
+
+
+def test_cms_sketch_overestimates_and_merges(spark):
+    """Count-Min invariants: (a) point estimates are NEVER below the
+    true count, and with a deliberately tiny width collisions make
+    some estimates strictly larger; (b) sketches are mergeable -- the
+    sketch of A union B equals summing A's and B's counter tables."""
+    from pyspark.sql import functions as F
+    from stglib_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_sketch,
+    )
+
+    vals = (
+        ["alpha"] * 30 + ["beta"] * 20 + ["gamma"] * 10
+        + [f"noise{i}" for i in range(40)]
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    truth = {"alpha": 30, "beta": 20, "gamma": 10, "noise7": 1}
+    d, w = 3, 8  # tiny width -> guaranteed collisions
+    sk = cms_sketch(df, "tok", depth=d, width=w, seed="t")
+    est = {
+        r.probe: r.cms_est
+        for r in cms_point_estimates(
+            sk, list(truth), depth=d, width=w, seed="t"
+        ).collect()
+    }
+    assert all(est[k] >= v for k, v in truth.items()), (est, truth)
+    assert any(est[k] > v for k, v in truth.items())  # collisions real
+    # total counter mass per depth row == n values
+    per_d = {
+        r.d: r.s
+        for r in sk.groupBy("d").agg(F.sum("count").alias("s")).collect()
+    }
+    assert all(v == len(vals) for v in per_d.values()), per_d
+
+    # mergeability: sum of half-sketches == whole sketch
+    a = spark.createDataFrame([(v,) for v in vals[:50]], "tok string")
+    b = spark.createDataFrame([(v,) for v in vals[50:]], "tok string")
+    merged = (
+        cms_sketch(a, "tok", depth=d, width=w, seed="t")
+        .unionByName(cms_sketch(b, "tok", depth=d, width=w, seed="t"))
+        .groupBy("d", "col")
+        .agg(F.sum("count").alias("count"))
+    )
+    whole = {(r.d, r.col): r["count"] for r in sk.collect()}
+    got = {(r.d, r.col): r["count"] for r in merged.collect()}
+    assert got == whole
