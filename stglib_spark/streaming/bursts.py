@@ -1111,6 +1111,99 @@ def streaming_hist_percentiles(
     )
 
 
+def streaming_cms_counts(
+    docs: DataFrame,
+    value_col: str = "text",
+    depth: int = 4,
+    width: int = 1024,
+    seed: str = "cms",
+) -> DataFrame:
+    """Streaming twin of ``sketches.cms_sketch`` — live frequency-audit
+    counters over an ingest feed. A Count–Min sketch is a grid of
+    counters and counters merge by ADDITION, so per-depth-row state is
+    ``width`` longs (bounded, stream-length independent); each
+    micro-batch adds its hash-column counts and re-emits the row's
+    nonzero counters. After the stream drains the (d, col, count) set
+    is bit-identical to the batch sketch on the same rows — the parity
+    test's contract; ``n_seen`` is the monotone update counter the
+    consumer uses to keep each row's LAST emission. Hashing runs
+    JVM-side (the same portable ``hash60`` chain as the batch sketch
+    and its DuckDB oracle) BEFORE the stateful stage; Python only adds
+    into the count vector."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from stglib_spark.operators.dedup import hash60
+
+    out_schema = StructType(
+        [
+            StructField("d", IntegerType()),
+            StructField("col", IntegerType()),
+            StructField("count", LongType()),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("counts", ArrayType(LongType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            stored, seen = state.get
+            counts = np.asarray(stored, dtype=np.int64)
+            seen = int(seen)
+        else:
+            counts, seen = np.zeros(width, dtype=np.int64), 0
+        for pdf in pdf_iter:
+            seen += len(pdf)
+            np.add.at(counts, pdf["col"].to_numpy(dtype=np.int64), 1)
+        state.update((counts.tolist(), seen))
+        nz = np.nonzero(counts)[0]
+        yield pd.DataFrame(
+            {
+                "d": np.full(len(nz), key[0], dtype=np.int32),
+                "col": nz.astype(np.int32),
+                "count": counts[nz],
+                "n_seen": np.full(len(nz), seen, dtype=np.int64),
+            }
+        )
+
+    val = F.col(value_col).cast("string")
+    hashed = docs.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (hash60(val, seed=f"{seed}{d}") % width).alias(
+                            "col"
+                        ),
+                    )
+                    for d in range(depth)
+                ]
+            )
+        ).alias("dc")
+    ).select(F.col("dc.d").alias("d"), F.col("dc.col").alias("col"))
+    return hashed.groupBy("d").applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_topk_cosine(
     vecs: DataFrame,
     query_vec: list[float],

@@ -1501,3 +1501,64 @@ def test_streaming_winnow_gate_shuffled_past_broadcast_gate(
         r["doc_id"] for r in spark.sql("SELECT * FROM winnowshuf").collect()
     )
     assert streamed == [30, 32]
+
+
+def test_streaming_cms_counts_matches_batch(spark, checkpoint_dir, tmp_path):
+    """Count-Min counters merge by addition, so after the stream drains
+    the nonzero (d, col, count) set must equal the batch cms_sketch on
+    the same rows bit-for-bit, across a forced multi-micro-batch replay
+    (maxFilesPerTrigger=1)."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators.sketches import cms_sketch
+    from stglib_spark.streaming import streaming_cms_counts
+
+    d_, w_ = 3, 64
+    t0 = pd.Timestamp("2024-06-01 08:00:00")
+    rows = [
+        (f"tok{i % 23}", t0 + pd.Timedelta(seconds=i)) for i in range(180)
+    ]
+    pdf = pd.DataFrame(rows, columns=["text", "ts"])
+    d = str(tmp_path / "cmsstream")
+    os.makedirs(d)
+    for j in range(3):
+        spark.createDataFrame(pdf.iloc[j * 60 : (j + 1) * 60]).coalesce(
+            1
+        ).write.parquet(f"{d}/part{j}")
+    schema = spark.read.parquet(f"{d}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_cms_counts(stream, value_col="text", depth=d_, width=w_)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("cmsstream")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM cmsstream").collect()
+    # multi-batch replay really happened: some (d, col) emitted >1 update
+    from collections import Counter
+
+    assert Counter((r["d"], r["col"]) for r in emitted).most_common(1)[0][1] > 1
+    final = {}
+    for r in emitted:  # last update per (d, col) = max n_seen
+        k = (r["d"], r["col"])
+        if k not in final or r["n_seen"] > final[k]["n_seen"]:
+            final[k] = r
+    streamed = {k: r["count"] for k, r in final.items()}
+    batch_df = spark.createDataFrame(pdf)
+    batch = {
+        (r["d"], r["col"]): r["count"]
+        for r in cms_sketch(
+            batch_df, "text", depth=d_, width=w_, seed="cms"
+        ).collect()
+    }
+    assert streamed == batch
