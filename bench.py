@@ -89,6 +89,10 @@ HEADLINE = [
     # fingerprints + diagonal span coalescing — two extra window
     # exchanges over the candidates chain, must stay visible per round)
     "dedup_winnow_spans",
+    # new in r11: DSIR literal-map scoring (one corpus scan) and the
+    # Count-Min frequency audit (two token passes + bounded counter agg)
+    "corpus_dsir_weights",
+    "corpus_cms_heavy_hitters",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and
