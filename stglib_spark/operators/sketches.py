@@ -312,3 +312,134 @@ def cms_point_estimates(
     return joined.groupBy("probe").agg(
         F.min(F.coalesce(F.col("count"), F.lit(0))).alias("cms_est")
     )
+
+
+def _hll_alpha(m: int) -> tuple[int, int]:
+    """HyperLogLog bias-correction constant as an EXACT rational
+    (numerator, denominator) for m ≥ 128: alpha_m = 0.7213 / (1 +
+    1.079/m) = 7213·m / (10·(1000·m + 1079)) (Flajolet et al. 2007,
+    §4). Exact integers so the estimate arithmetic never touches a
+    float until the final cast."""
+    return 7213 * m, 10 * (1000 * m + 1079)
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str | Column,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+    seed: str = "hll",
+) -> DataFrame:
+    """HyperLogLog register table (Flajolet, Fusy, Gandouet, Meunier
+    2007): one row per (group, bucket) with the max rank observed —
+    bucket = top ``p`` bits of the portable 60-bit md5 hash, rank =
+    leading zeros of the remaining w = 60−p bits, plus one (an all-zero
+    remainder ranks w+1). Two register tables over disjoint data merge
+    by a groupBy MAX — the property that makes HLL the 100 TB
+    distinct-count structure: per group the sketch is ≤ 2^p rows no
+    matter how many values stream through, and shard-local sketches
+    roll up without re-reading raw data.
+
+    Every step is exact integer arithmetic on engine-shared primitives
+    (md5 chain, shiftright, bitwiseAND, length(bin(x)) — both engines
+    print minimal binary), so the registers AND the estimate derived
+    from them are bit-for-bit reproducible in DuckDB. Spark's built-in
+    ``approx_count_distinct`` is also HLL++ but its hash is not
+    replayable cross-engine — this variant exists so the ESTIMATE
+    ITSELF is driver-oracle-checkable. At scale xxhash64 is the
+    drop-in cheaper hash (same shape, no oracle).
+
+    Scale shape: the (bucket, rank) pair is one projection over the
+    scan; the only shuffle is the (group, bucket) MAX aggregate —
+    map-side combinable, ≤ 2^p keys per group regardless of input."""
+    if not 4 <= p <= 16:
+        raise ValueError(f"p must be in [4, 16], got {p}")
+    groups = list(group_cols or [])
+    w = 60 - p
+    val = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("string")
+    h = hash60(val, seed=seed)
+    bucket = F.shiftright(h, w).alias("bucket")
+    rem = h.bitwiseAND(F.lit((1 << w) - 1))
+    # rank = leading zeros of the w-bit remainder + 1. For rem > 0 the
+    # minimal binary string length IS floor(log2)+1, exactly, in both
+    # engines; rem = 0 means all w bits are zero -> rank w+1.
+    rank = (
+        F.when(rem == 0, F.lit(w + 1))
+        .otherwise(F.lit(w + 1) - F.length(F.bin(rem)))
+        .cast("int")
+        .alias("__rank")
+    )
+    return (
+        df.select(*groups, bucket, rank)
+        .groupBy(*groups, "bucket")
+        .agg(F.max("__rank").alias("max_rank"))
+    )
+
+
+def hll_estimate(
+    registers: DataFrame,
+    group_cols: list[str] | None = None,
+    p: int = 8,
+) -> DataFrame:
+    """Distinct-count estimate from a `hll_registers` table, one row
+    per group: ``n_zero`` (empty buckets), ``raw_est`` (the floor of
+    the raw HLL estimate alpha_m·m²/Σ2^−M[j]) and ``distinct_est``
+    (linear counting below the 5m/2 small-range threshold when empty
+    buckets remain — the standard HLL regime switch).
+
+    Engine-exact by construction, mirroring `corpus.mixture_allocate`:
+
+    - the harmonic denominator Σ 2^−M[j] is scaled by 2^(w+1) into an
+      exact BIGINT (each bucket contributes 2^(w+1−M), an empty bucket
+      2^(w+1); ≤ m·2^(w+1) = 2^61 at p = 8 — no overflow);
+    - alpha_m enters as the exact rational 7213·m/(10·(1000·m+1079)),
+      and the raw estimate is one decimal(38,0) floor division
+      (remainder subtracted first so the decimal '/' cannot round);
+    - linear counting m·ln(m/V) is a LITERAL array over the bounded
+      domain V ∈ 1..m (the DSIR literal-map trick: ln never runs in
+      either engine — both look up the same 6-dp double literal).
+
+    Large-range correction is unnecessary: the 2^32-hash collision
+    regime it patches does not exist for 60-bit hashes below ~10^17
+    distinct values."""
+    if not 7 <= p <= 16:
+        raise ValueError(
+            f"p must be in [7, 16] (alpha rational assumes m >= 128), got {p}"
+        )
+    import math
+
+    groups = list(group_cols or [])
+    m = 1 << p
+    w = 60 - p
+    a_num, a_den = _hll_alpha(m)
+    agg = registers.groupBy(*groups).agg(
+        F.count(F.lit(1)).alias("__n_present"),
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - max_rank)")
+        ).alias("__s_present"),
+    )
+    n_zero = (F.lit(m) - F.col("__n_present")).cast("int")
+    s_int = (
+        F.col("__s_present")
+        + n_zero.cast("long") * F.lit(1 << (w + 1)).cast("long")
+    )
+    wide = "decimal(38,0)"
+    # alpha_num * m^2 * 2^(w+1) exceeds int64 (~1.09e26 at p = 8) — it
+    # must enter the plan as a decimal literal, not a long.
+    num = F.expr(f"CAST('{a_num * m * m * (1 << (w + 1))}' AS {wide})")
+    den = s_int.cast(wide) * F.lit(a_den).cast(wide)
+    raw = ((num - F.pmod(num, den)) / den).cast("long")
+    lc = [round(m * math.log(m / v), 6) for v in range(1, m + 1)]
+    lc_arr = F.array(*[F.lit(x) for x in lc])
+    est = F.when(
+        (n_zero > 0) & (raw <= F.lit(5 * m // 2)),
+        F.element_at(lc_arr, n_zero),
+    ).otherwise(raw.cast("double"))
+    return agg.select(
+        *groups,
+        n_zero.alias("n_zero"),
+        raw.alias("raw_est"),
+        F.round(est, 6).alias("distinct_est"),
+    )

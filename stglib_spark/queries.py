@@ -12121,6 +12121,95 @@ def corpus_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sketches.kmv_distinct(toks, "tok", ["source"], k=64, seed="kmv1")
 
 
+def _hll_oracle_sql(p: int = 8, seed: str = "hll") -> str:
+    """DuckDB replay of hll_registers + hll_estimate at precision ``p``:
+    the same md5 hash60 chain, top-p-bit bucket, length(bin(rem))
+    leading-zero rank (both engines print minimal binary), the exact
+    decimal(38,0) floor division for the raw estimate, and the SAME
+    6-dp linear-counting literals Spark looks up — ln never runs in
+    either engine."""
+    import math
+
+    m, w = 1 << p, 60 - p
+    a_num, a_den = 7213 * m, 10 * (1000 * m + 1079)
+    num = a_num * m * m * (1 << (w + 1))
+    mask = (1 << w) - 1
+    lc = ",".join(
+        repr(round(m * math.log(m / v), 6)) for v in range(1, m + 1)
+    )
+    return rf"""
+    WITH norm AS (SELECT source, {_NORM_SQL} AS nt FROM documents),
+    t AS (SELECT source, unnest(string_split(nt, ' ')) AS tok
+          FROM norm WHERE nt <> ''),
+    h AS (SELECT source,
+                 (('0x' || substring(md5('{seed}' || tok), 1, 15))
+                  ::UBIGINT)::BIGINT AS hh,
+                 tok
+          FROM t),
+    br AS (SELECT source, hh >> {w} AS bucket,
+                  CASE WHEN (hh & {mask}) = 0 THEN {w + 1}
+                       ELSE {w + 1} - length(bin(hh & {mask})) END AS rk
+           FROM h),
+    regs AS (SELECT source, bucket, max(rk) AS M
+             FROM br GROUP BY source, bucket),
+    s AS (SELECT source, count(*) AS n_present,
+                 sum((1::BIGINT << ({w + 1} - M))) AS s_present
+          FROM regs GROUP BY source),
+    e AS (SELECT source, CAST({m} - n_present AS INTEGER) AS n_zero,
+                 CAST(({num}::DECIMAL(38,0)
+                       - ({num}::DECIMAL(38,0) %
+                          ((s_present + ({m} - n_present)*{1 << (w + 1)})
+                             ::DECIMAL(38,0) * {a_den}::DECIMAL(38,0))))
+                      // ((s_present + ({m} - n_present)*{1 << (w + 1)})
+                             ::DECIMAL(38,0) * {a_den}::DECIMAL(38,0))
+                      AS BIGINT) AS raw_est
+          FROM s),
+    tr AS (SELECT source, count(DISTINCT tok) AS true_distinct
+           FROM h GROUP BY source)
+    SELECT e.source, n_zero, raw_est,
+           round(CASE WHEN n_zero > 0 AND raw_est <= {5 * m // 2}
+                 THEN [{lc}][n_zero]
+                 ELSE CAST(raw_est AS DOUBLE) END, 6) AS distinct_est,
+           true_distinct
+    FROM e JOIN tr USING (source)
+    """
+
+
+@register("corpus_hll_distinct", _hll_oracle_sql())
+def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-token estimate
+    (operators/sketches.py hll_registers/hll_estimate, p=8 → 256
+    registers), ESTIMATE oracle-checked bit-for-bit — the mergeable
+    sibling of corpus_kmv_distinct: KMV keeps the k smallest hashes
+    (merge = re-sort), HLL keeps a fixed 2^p-register table (merge =
+    elementwise MAX), which is why HLL is the shape shard-local
+    100 TB audits roll up. Registers ride the portable 60-bit md5
+    hash; bucket/rank/harmonic-sum/floor-division arithmetic is exact
+    integer end to end, and the linear-counting branch looks up a
+    shared 6-dp literal (the DSIR literal-map trick) so Spark and
+    DuckDB agree on every byte. `true_distinct` (exact count) sits
+    beside the estimate so the row itself audits the sketch's error.
+    Scale shape: one projection over the token stream, one ≤ 2^p-key
+    map-side-combinable MAX aggregate per source, one 2^p-row rollup —
+    the exact count is the demo's yardstick, not part of the sketch
+    (drop it at 100 TB)."""
+    from stglib_spark.operators import sketches
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = dedup_ops.normalize_text(F.col("text"))
+    toks = docs.select(
+        "source", F.explode(text_ops.tokens(norm)).alias("tok")
+    )
+    regs = sketches.hll_registers(toks, "tok", ["source"], p=8, seed="hll")
+    est = sketches.hll_estimate(regs, ["source"], p=8)
+    truth = toks.groupBy("source").agg(
+        F.count_distinct("tok").alias("true_distinct")
+    )
+    return est.join(truth, "source").select(
+        "source", "n_zero", "raw_est", "distinct_est", "true_distinct"
+    )
+
+
 @register(
     "corpus_hist_percentiles",
     _DATACARD_CTE

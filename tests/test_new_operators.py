@@ -871,3 +871,59 @@ def test_cms_sketch_overestimates_and_merges(spark):
     whole = {(r.d, r.col): r["count"] for r in sk.collect()}
     got = {(r.d, r.col): r["count"] for r in merged.collect()}
     assert got == whole
+
+
+def test_hll_estimate_accuracy_merge_and_lc(spark):
+    """HyperLogLog invariants: (a) at p=8 the raw estimate of 1000
+    distincts lands within the ~6.5% relative-error regime (generous
+    3-sigma bound); (b) registers merge by MAX -- the estimate from two
+    half-sketches merged equals the one-shot estimate exactly; (c) a
+    small set takes the linear-counting branch (n_zero > 0, raw below
+    the 5m/2 threshold) and lands within +-2 of the true count;
+    (d) duplicate values never move the registers."""
+    from pyspark.sql import functions as F
+    from stglib_spark.operators.sketches import hll_estimate, hll_registers
+
+    vals = [f"v{i}" for i in range(1000)] + [f"v{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "tok string")
+    one = hll_estimate(hll_registers(df, "tok", p=8), p=8).collect()[0]
+    assert abs(one.raw_est - 1000) / 1000 < 0.20, one
+    assert one.distinct_est == float(one.raw_est)  # past the LC regime
+
+    # duplicates are invisible: distinct input -> identical registers
+    dd = spark.createDataFrame(
+        [(f"v{i}",) for i in range(1000)], "tok string"
+    )
+    same = hll_estimate(hll_registers(dd, "tok", p=8), p=8).collect()[0]
+    assert (same.n_zero, same.raw_est) == (one.n_zero, one.raw_est)
+
+    # merge = groupBy MAX over the union of register tables
+    a = spark.createDataFrame([(v,) for v in vals[:700]], "tok string")
+    b = spark.createDataFrame([(v,) for v in vals[700:]], "tok string")
+    merged_regs = (
+        hll_registers(a, "tok", p=8)
+        .unionByName(hll_registers(b, "tok", p=8))
+        .groupBy("bucket")
+        .agg(F.max("max_rank").alias("max_rank"))
+    )
+    merged = hll_estimate(merged_regs, p=8).collect()[0]
+    assert (merged.n_zero, merged.raw_est, merged.distinct_est) == (
+        one.n_zero,
+        one.raw_est,
+        one.distinct_est,
+    )
+
+    # linear-counting branch for a small set
+    small = spark.createDataFrame(
+        [(f"x{i}",) for i in range(30)], "tok string"
+    )
+    lc = hll_estimate(hll_registers(small, "tok", p=8), p=8).collect()[0]
+    assert lc.n_zero > 0 and lc.raw_est <= 640
+    assert abs(lc.distinct_est - 30) <= 2, lc
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hll_registers(df, "tok", p=3)
+    with _pytest.raises(ValueError):
+        hll_estimate(hll_registers(df, "tok", p=6, seed="x"), p=6)
