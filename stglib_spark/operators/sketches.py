@@ -443,3 +443,96 @@ def hll_estimate(
         raw.alias("raw_est"),
         F.round(est, 6).alias("distinct_est"),
     )
+
+
+def bloom_bits(
+    df: DataFrame,
+    value_col: str | Column,
+    k: int = 3,
+    m_bits: int = 1 << 14,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Bloom-filter bit table (Bloom 1970) as a DataFrame: the DISTINCT
+    set of bit positions ``hash60(seed_i || value) % m_bits`` over
+    ``k`` independent hash rows — one long per set bit, ≤ ``m_bits``
+    rows no matter how many values stream through. Two filters over
+    disjoint data merge by union + distinct (bitwise OR). The classic
+    no-false-negative contract holds: a value that was indexed ALWAYS
+    probes positive; only false positives occur (rate ≈ (1−e^(−kn/m))^k).
+
+    The membership gate a 100 TB incremental-dedup ingest wants: probe
+    the filter first (scan-speed, no shuffle against the corpus), and
+    only bloom-HITS pay the exact digest anti-join against the full
+    index — misses are guaranteed new. Built on the portable md5
+    ``hash60`` chain so the bit positions — and therefore every
+    hit/miss decision — replay bit-for-bit in DuckDB; xxhash64 is the
+    drop-in cheaper hash at scale.
+
+    Scale shape: k positions compute in ONE projection (explode of a
+    k-element literal array), the only shuffle is the distinct on
+    positions — bounded by m_bits keys. The bit table naturally
+    shards by position range; at filter sizes past broadcast comfort
+    (~10^9 bits) probes co-partition on position instead
+    (`bloom_probe(broadcast_bits=False)`)."""
+    val = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("string")
+    pos = F.explode(
+        F.array(
+            *[(hash60(val, seed=f"{seed}{i}") % m_bits) for i in range(k)]
+        )
+    ).alias("position")
+    return df.select(pos).distinct()
+
+
+def bloom_probe(
+    probes: DataFrame,
+    bits: DataFrame,
+    value_col: str | Column,
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 1 << 14,
+    seed: str = "bloom",
+    broadcast_bits: bool = True,
+) -> DataFrame:
+    """Probe a `bloom_bits` table: one row per probe with ``n_hit_bits``
+    (how many of its k positions are set) and ``bloom_hit`` (all k set
+    — the filter's membership verdict). Position arithmetic is the
+    SAME engine expression as the build, so hit/miss replays exactly.
+
+    Each of the k hash rows joins independently (a probe whose two
+    hash functions collide onto one set bit still counts two hits), so
+    ``n_hit_bits == k`` is exactly the textbook all-bits-set test.
+
+    ``broadcast_bits``: the bit table is bounded by m_bits rows BY
+    CONSTRUCTION (not by data volume), so broadcasting is the default
+    and is safe whenever m_bits is broadcast-sized; for giant filters
+    pass False and the probe side shuffles on position instead —
+    never a corpus-proportional broadcast either way."""
+    val = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("string")
+    pp = probes.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    (hash60(val, seed=f"{seed}{i}") % m_bits)
+                    for i in range(k)
+                ]
+            )
+        ).alias("position"),
+    )
+    bt = bits.withColumn("__set", F.lit(1))
+    if broadcast_bits:
+        bt = F.broadcast(bt)
+    return (
+        pp.join(bt, "position", "left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("n_hit_bits"))
+        .select(
+            id_col,
+            F.col("n_hit_bits").cast("int").alias("n_hit_bits"),
+            (F.col("n_hit_bits") == k).alias("bloom_hit"),
+        )
+    )

@@ -11873,6 +11873,72 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_bloom_gate",
+    f"""
+    WITH d AS (SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents),
+    idx AS (SELECT DISTINCT digest FROM d WHERE doc_id % 3 = 0),
+    sd AS (SELECT unnest(['bg0', 'bg1', 'bg2']) AS s),
+    bits AS (
+      SELECT DISTINCT
+             (('0x' || substring(md5(s || digest), 1, 15))
+              ::UBIGINT)::BIGINT % 16384 AS position
+      FROM idx, sd
+    ),
+    pp AS (
+      SELECT doc_id,
+             (('0x' || substring(md5(s || digest), 1, 15))
+              ::UBIGINT)::BIGINT % 16384 AS position
+      FROM d, sd WHERE doc_id % 3 <> 0
+    ),
+    hits AS (
+      SELECT pp.doc_id,
+             CAST(count(b.position) AS INTEGER) AS n_hit_bits
+      FROM pp LEFT JOIN bits b USING (position)
+      GROUP BY pp.doc_id
+    )
+    SELECT h.doc_id, n_hit_bits, n_hit_bits = 3 AS bloom_hit,
+           d.digest IN (SELECT digest FROM idx) AS true_member
+    FROM hits h JOIN d USING (doc_id)
+    """,
+)
+def dedup_bloom_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership gate for incremental ingest
+    (operators/sketches.py bloom_bits/bloom_probe, k=3, m=2^14): the
+    running corpus index's digests build a bounded bit table, and the
+    arriving batch (doc_id % 3 ≠ 0) probes it BEFORE paying the exact
+    digest anti-join — the standard 100 TB crawl-dedup shape, where
+    the filter is O(m bits) no matter how big the corpus and misses
+    are guaranteed-new (no false negatives, the Bloom contract).
+    `true_member` (the exact digest verdict) sits beside `bloom_hit`
+    so the row itself audits the gate: every member is a hit, and any
+    hit∧¬member row is a measured false positive. Bit positions ride
+    the portable 60-bit md5 chain, so every hit/miss decision replays
+    bit-for-bit in DuckDB. Scale shape: k positions in one projection,
+    a ≤ m-key distinct for the build, a broadcast probe join against
+    the bounded bit table (or position-partitioned past broadcast
+    size), one per-doc count aggregate."""
+    from stglib_spark.operators import sketches
+
+    docs = load_table(spark, sf_dir, "documents")
+    dig = docs.select(
+        "doc_id",
+        F.md5(dedup_ops.normalize_text(F.col("text"))).alias("digest"),
+    )
+    idx = dig.filter(F.col("doc_id") % 3 == 0).select("digest").distinct()
+    batch = dig.filter(F.col("doc_id") % 3 != 0)
+    bits = sketches.bloom_bits(idx, "digest", k=3, m_bits=1 << 14, seed="bg")
+    probed = sketches.bloom_probe(
+        batch, bits, "digest", "doc_id", k=3, m_bits=1 << 14, seed="bg"
+    )
+    member = batch.join(
+        F.broadcast(idx.withColumn("__m", F.lit(1))), "digest", "left"
+    ).select("doc_id", F.col("__m").isNotNull().alias("true_member"))
+    return probed.join(member, "doc_id").select(
+        "doc_id", "n_hit_bits", "bloom_hit", "true_member"
+    )
+
+
+@register(
     "dedup_incremental_near",
     _MH_CAND_CTES
     + """,

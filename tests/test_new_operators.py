@@ -927,3 +927,51 @@ def test_hll_estimate_accuracy_merge_and_lc(spark):
         hll_registers(df, "tok", p=3)
     with _pytest.raises(ValueError):
         hll_estimate(hll_registers(df, "tok", p=6, seed="x"), p=6)
+
+
+def test_bloom_filter_no_fn_fp_and_merge(spark):
+    """Bloom-filter invariants: (a) NO false negatives ever -- every
+    indexed value probes positive; (b) a deliberately tiny bit space
+    forces measurable false positives (the gate's documented trade);
+    (c) filters over disjoint halves merge by union+distinct into
+    exactly the whole filter's bit set; (d) the bit table never
+    exceeds m_bits rows."""
+    from pyspark.sql import functions as F
+    from stglib_spark.operators.sketches import bloom_bits, bloom_probe
+
+    m = 1 << 8  # 256 bits, 100 indexed values * 3 hashes -> dense
+    idx = spark.createDataFrame(
+        [(i, f"val{i}") for i in range(0, 200, 2)], "doc_id long, v string"
+    )
+    allr = spark.createDataFrame(
+        [(i, f"val{i}") for i in range(200)], "doc_id long, v string"
+    )
+    bits = bloom_bits(idx, "v", k=3, m_bits=m, seed="t")
+    n_bits = bits.count()
+    assert 0 < n_bits <= m
+    hit = {
+        r.doc_id: r.bloom_hit
+        for r in bloom_probe(
+            allr, bits, "v", "doc_id", k=3, m_bits=m, seed="t"
+        ).collect()
+    }
+    assert all(hit[i] for i in range(0, 200, 2))  # no false negatives
+    fps = sum(1 for i in range(1, 200, 2) if hit[i])
+    assert fps > 0  # dense filter -> real false positives
+
+    # shuffled-probe path agrees with the broadcast path bit for bit
+    hit2 = {
+        r.doc_id: r.bloom_hit
+        for r in bloom_probe(
+            allr, bits, "v", "doc_id", k=3, m_bits=m, seed="t",
+            broadcast_bits=False,
+        ).collect()
+    }
+    assert hit2 == hit
+
+    a = bloom_bits(idx.filter("doc_id < 100"), "v", k=3, m_bits=m, seed="t")
+    b = bloom_bits(idx.filter("doc_id >= 100"), "v", k=3, m_bits=m, seed="t")
+    merged = sorted(
+        r.position for r in a.unionByName(b).distinct().collect()
+    )
+    assert merged == sorted(r.position for r in bits.collect())
