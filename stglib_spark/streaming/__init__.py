@@ -14,6 +14,7 @@ from stglib_spark.streaming.bursts import (
     export_nc_batch_writer,
     read_events_stream,
     streaming_burst_average,
+    streaming_bloom_gate,
     streaming_cms_counts,
     streaming_content_dedup,
     streaming_decontaminate,
@@ -36,6 +37,7 @@ __all__ = [
     "export_nc_batch_writer",
     "read_events_stream",
     "streaming_burst_average",
+    "streaming_bloom_gate",
     "streaming_cms_counts",
     "streaming_content_dedup",
     "streaming_decontaminate",

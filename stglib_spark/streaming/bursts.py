@@ -1111,6 +1111,120 @@ def streaming_hist_percentiles(
     )
 
 
+def streaming_bloom_gate(
+    docs: DataFrame,
+    value_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    m_bits: int = 1 << 14,
+    seed: str = "bloom",
+) -> DataFrame:
+    """Streaming twin of ``sketches.bloom_bits``/``bloom_probe`` — a
+    live membership gate over an ingest feed: every arriving document
+    probes the Bloom bit state built from PRIOR micro-batches
+    (``bloom_hit`` = all k bits set, "probably seen before"; a miss is
+    GUARANTEED new — the no-false-negative contract survives
+    streaming), then the batch's own bits fold into the state.
+    Probe-then-insert runs at micro-batch granularity, so two copies
+    arriving in the SAME micro-batch both pass the gate — within-batch
+    collapse is the batch-local dedup's job, the same split as the
+    batch ``incremental_dedup``.
+
+    The state story is the whole point: the bitset packs into
+    m_bits/64 longs (2^14 bits = 256 longs) — bounded and
+    STREAM-LENGTH INDEPENDENT, the property the kept-fingerprint /
+    digest-set gates in this module can only approximate with count
+    guards. The trade is false positives (rate grows with fill; size
+    m for the expected corpus) — acceptable when hits fall through to
+    an exact check downstream.
+
+    Bit positions are computed JVM-side with the SAME portable
+    ``hash60`` chain as the batch operator, so a drained stream's
+    verdicts equal the micro-batch-sequential batch replay bit for bit
+    — the parity test's contract; Python only tests/sets bits.
+
+    Scale: the single state key serializes the stateful stage (the
+    bitset is one shared structure). At ingest widths where that
+    matters, shard the bit space across keys and reassemble per-doc
+    verdicts, or run the batch ``bloom_probe`` per micro-batch in
+    ``foreachBatch`` against a bits table — this kernel is the
+    single-box shape."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        BooleanType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from stglib_spark.operators.dedup import hash60
+
+    if m_bits % 64:
+        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    out_schema = StructType(
+        [
+            StructField(id_col, LongType()),
+            StructField("n_hit_bits", IntegerType()),
+            StructField("bloom_hit", BooleanType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("words", ArrayType(LongType()))]
+    )
+    n_words = m_bits // 64
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            words = np.asarray(state.get[0], dtype=np.int64)
+        else:
+            words = np.zeros(n_words, dtype=np.int64)
+        ids, n_hits, hits, fresh = [], [], [], []
+        for pdf in pdf_iter:
+            for did, plist in zip(pdf[id_col], pdf["__pos"]):
+                pos = np.asarray(plist, dtype=np.int64)
+                bit = (words[pos >> 6] >> (pos & 63)) & 1
+                ids.append(did)
+                n_hits.append(int(bit.sum()))
+                hits.append(bool(bit.all()))
+                fresh.append(pos)
+        # insert AFTER the whole batch probes: batch-granular
+        # probe-then-insert, order-free within the trigger.
+        # bitwise_or.at handles duplicate word indexes (plain |= fancy
+        # indexing would drop all but one bit per word).
+        for pos in fresh:
+            np.bitwise_or.at(
+                words, pos >> 6, np.int64(1) << (pos & 63)
+            )
+        state.update((words.tolist(),))
+        yield pd.DataFrame(
+            {
+                id_col: pd.array(ids, dtype="int64"),
+                "n_hit_bits": pd.array(n_hits, dtype="int32"),
+                "bloom_hit": hits,
+            }
+        )
+
+    val = F.col(value_col).cast("string")
+    keyed = docs.select(
+        F.lit(0).alias("__g"),
+        F.col(id_col).cast("long").alias(id_col),
+        F.array(
+            *[(hash60(val, seed=f"{seed}{i}") % m_bits) for i in range(k)]
+        ).alias("__pos"),
+    )
+    return keyed.groupBy("__g").applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_cms_counts(
     docs: DataFrame,
     value_col: str = "text",

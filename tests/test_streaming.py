@@ -1562,3 +1562,76 @@ def test_streaming_cms_counts_matches_batch(spark, checkpoint_dir, tmp_path):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_streaming_bloom_gate_matches_batch(spark, checkpoint_dir, tmp_path):
+    """The streaming Bloom gate's verdicts must equal a micro-batch-
+    sequential batch replay bit for bit: probe each trigger's docs
+    against bloom_bits of all PRIOR triggers, then fold the trigger's
+    bits in. Repeated values across triggers must hit; first sightings
+    must miss unless the (deliberately small) bit space already
+    false-positives them — and the batch replay reproduces even those."""
+    import os
+
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from stglib_spark.operators.sketches import bloom_bits, bloom_probe
+    from stglib_spark.streaming import streaming_bloom_gate
+
+    k_, m_ = 3, 1 << 10
+    t0 = pd.Timestamp("2024-06-01 08:00:00")
+    rows = [
+        (i, f"tok{i % 23}", t0 + pd.Timedelta(seconds=i)) for i in range(90)
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "ts"])
+    d = str(tmp_path / "bloomstream")
+    os.makedirs(d)
+    for j in range(3):
+        spark.createDataFrame(pdf.iloc[j * 30 : (j + 1) * 30]).coalesce(
+            1
+        ).write.parquet(f"{d}/part{j}")
+    schema = spark.read.parquet(f"{d}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_bloom_gate(stream, "text", "doc_id", k=k_, m_bits=m_)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("bloomstream")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["doc_id"]: (r["n_hit_bits"], r["bloom_hit"])
+        for r in spark.sql("SELECT * FROM bloomstream").collect()
+    }
+    assert len(streamed) == 90  # every doc verdicts exactly once
+
+    # batch replay at micro-batch granularity
+    batch_verdicts = {}
+    bits_so_far = None
+    for j in range(3):
+        bdf = spark.createDataFrame(pdf.iloc[j * 30 : (j + 1) * 30])
+        if bits_so_far is None:
+            # empty filter: zero positions set
+            bits_so_far = bloom_bits(bdf.limit(0), "text", k=k_, m_bits=m_)
+        probed = bloom_probe(
+            bdf, bits_so_far, "text", "doc_id", k=k_, m_bits=m_
+        )
+        for r in probed.collect():
+            batch_verdicts[r["doc_id"]] = (r["n_hit_bits"], r["bloom_hit"])
+        bits_so_far = (
+            bits_so_far.unionByName(bloom_bits(bdf, "text", k=k_, m_bits=m_))
+            .distinct()
+            .localCheckpoint()
+        )
+    assert streamed == batch_verdicts
+    # the gate did real work: later copies of batch-0 tokens hit
+    assert any(hit for _, hit in streamed.values())
+    assert not all(hit for _, hit in streamed.values())
