@@ -93,6 +93,11 @@ HEADLINE = [
     # Count-Min frequency audit (two token passes + bounded counter agg)
     "corpus_dsir_weights",
     "corpus_cms_heavy_hitters",
+    # new in r11 (late): HyperLogLog distinct audit (token explode +
+    # bounded register MAX) and the Bloom ingest gate (bounded bit
+    # table + broadcast probe join)
+    "corpus_hll_distinct",
+    "dedup_bloom_gate",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and

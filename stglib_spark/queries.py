@@ -12865,7 +12865,7 @@ _FRONT = [
     #     and the multimodal phash/media-dedup chain);
     # (b) the 24 r6-aged rows declared in the r10 registry comment;
     # (c) 12 oldest r7-aged rows (the similarity/ANN family + filters).
-    # Refresh SLA: 221 queries / 50 slots => no green row older than 4
+    # Refresh SLA: 223 queries / 50 slots => no green row older than 4
     # rounds. r12 block = the 32 remaining r7-aged rows
     # (corpus_budget_sample corpus_build_packs corpus_datacard_v1/v2/v3
     # corpus_hist_percentiles corpus_kmv_distinct corpus_mixture_allocate
@@ -12877,9 +12877,13 @@ _FRONT = [
     # ts_sessionize_v1 ts_sessionize_v2 ts_sessionize_v3 ts_sessionize_v4
     # wave_cutoff_tail_oracle wave_dftm_plane_oracle
     # wave_elev_stats_oracle wave_psd_welch_oracle
-    # wave_puv_azimuth_oracle) plus the oldest r8 rows (the src_*
-    # vendor roundtrips block) as slots allow.
+    # wave_puv_azimuth_oracle) plus sim_pq_adc_topk and
+    # filt_butterworth_lowpass (displaced from this window's tail by
+    # the two late-r11 sketch queries) and the oldest r8 rows (the
+    # src_* vendor roundtrips block) as slots allow.
     # (a) new/re-planned
+    "corpus_hll_distinct",
+    "dedup_bloom_gate",
     "dedup_winnow_spans",
     "corpus_excise_winnow_spans",
     "corpus_dsir_weights",
