@@ -355,27 +355,58 @@ def hll_registers(
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     groups = list(group_cols or [])
-    w = 60 - p
     val = (
         F.col(value_col) if isinstance(value_col, str) else value_col
     ).cast("string")
+    bucket, rank = hll_bucket_rank(val, p, seed)
+    return (
+        df.select(*groups, bucket.alias("bucket"), rank.alias("__rank"))
+        .groupBy(*groups, "bucket")
+        .agg(F.max("__rank").alias("max_rank"))
+    )
+
+
+def hll_bucket_rank(
+    val: Column, p: int, seed: str
+) -> tuple[Column, Column]:
+    """The (bucket, rank) column pair shared by the batch register
+    aggregate, its streaming twin, and the DuckDB oracle: bucket = top
+    p bits of hash60, rank = leading zeros of the remaining w bits + 1.
+    For rem > 0 the minimal binary string length IS floor(log2)+1,
+    exactly, in both engines; rem = 0 means all w bits are zero →
+    rank w+1."""
+    w = 60 - p
     h = hash60(val, seed=seed)
-    bucket = F.shiftright(h, w).alias("bucket")
+    bucket = F.shiftright(h, w)
     rem = h.bitwiseAND(F.lit((1 << w) - 1))
-    # rank = leading zeros of the w-bit remainder + 1. For rem > 0 the
-    # minimal binary string length IS floor(log2)+1, exactly, in both
-    # engines; rem = 0 means all w bits are zero -> rank w+1.
     rank = (
         F.when(rem == 0, F.lit(w + 1))
         .otherwise(F.lit(w + 1) - F.length(F.bin(rem)))
         .cast("int")
-        .alias("__rank")
     )
-    return (
-        df.select(*groups, bucket, rank)
-        .groupBy(*groups, "bucket")
-        .agg(F.max("__rank").alias("max_rank"))
-    )
+    return bucket, rank
+
+
+def hll_estimate_py(regs, p: int) -> tuple[int, int, float]:
+    """Python replay of `hll_estimate`'s engine arithmetic for the
+    streaming twin's per-emission estimates: arbitrary-precision
+    integer floor division (bit-identical to the decimal(38,0) plan)
+    and the SAME round(m·ln(m/V), 6) linear-counting literal values.
+    ``regs``: a length-2^p array of max ranks, 0 = empty bucket.
+    Returns (n_zero, raw_est, distinct_est)."""
+    import math
+
+    m = 1 << p
+    w = 60 - p
+    a_num, a_den = _hll_alpha(m)
+    n_zero = sum(1 for r in regs if int(r) == 0)
+    s_int = sum(1 << (w + 1 - int(r)) for r in regs)
+    raw = (a_num * m * m * (1 << (w + 1))) // (a_den * s_int)
+    if n_zero > 0 and raw <= 5 * m // 2:
+        est = round(m * math.log(m / n_zero), 6)
+    else:
+        est = float(raw)
+    return n_zero, raw, est
 
 
 def hll_estimate(

@@ -16,6 +16,7 @@ from stglib_spark.streaming.bursts import (
     streaming_burst_average,
     streaming_bloom_gate,
     streaming_cms_counts,
+    streaming_hll_distinct,
     streaming_content_dedup,
     streaming_decontaminate,
     streaming_dedup,
@@ -39,6 +40,7 @@ __all__ = [
     "streaming_burst_average",
     "streaming_bloom_gate",
     "streaming_cms_counts",
+    "streaming_hll_distinct",
     "streaming_content_dedup",
     "streaming_decontaminate",
     "streaming_dedup",

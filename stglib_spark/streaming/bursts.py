@@ -1111,6 +1111,102 @@ def streaming_hist_percentiles(
     )
 
 
+def streaming_hll_distinct(
+    docs: DataFrame,
+    value_col: str = "text",
+    group_col: str = "source",
+    p: int = 8,
+    seed: str = "hll",
+) -> DataFrame:
+    """Streaming twin of ``sketches.hll_registers``/``hll_estimate`` —
+    live per-source distinct-count monitoring with the sketch whose
+    state is a FIXED 2^p-int register array per group (256 ints at
+    p=8), merged by elementwise MAX: bounded, stream-length
+    independent, and cheaper to hold than the KMV twin's hash set once
+    k grows. Bucket/rank compute JVM-side with the SAME column
+    expressions as the batch operator (`sketches.hll_bucket_rank`);
+    Python only folds the per-batch maxima and replays the batch
+    estimate arithmetic in arbitrary-precision integers
+    (`hll_estimate_py` — bit-identical to the decimal(38,0) plan and
+    its linear-counting literals). After the stream drains, each
+    group's last emission equals the batch hll_estimate on the same
+    rows bit for bit — the parity test's contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from stglib_spark.operators.sketches import (
+        hll_bucket_rank,
+        hll_estimate_py,
+    )
+
+    m = 1 << p
+    out_schema = StructType(
+        [
+            StructField(group_col, StringType()),
+            StructField("n_seen", LongType()),
+            StructField("n_zero", IntegerType()),
+            StructField("raw_est", LongType()),
+            StructField("distinct_est", DoubleType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("regs", ArrayType(IntegerType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            stored, seen = state.get
+            regs = np.asarray(stored, dtype=np.int32)
+            seen = int(seen)
+        else:
+            regs, seen = np.zeros(m, dtype=np.int32), 0
+        for pdf in pdf_iter:
+            seen += len(pdf)
+            np.maximum.at(
+                regs,
+                pdf["__b"].to_numpy(dtype=np.int64),
+                pdf["__r"].to_numpy(dtype=np.int32),
+            )
+        state.update((regs.tolist(), seen))
+        n_zero, raw, est = hll_estimate_py(regs, p)
+        yield pd.DataFrame(
+            {
+                group_col: [key[0]],
+                "n_seen": [seen],
+                "n_zero": [n_zero],
+                "raw_est": [raw],
+                "distinct_est": [est],
+            }
+        )
+
+    bucket, rank = hll_bucket_rank(
+        F.col(value_col).cast("string"), p, seed
+    )
+    hashed = docs.select(
+        F.col(group_col), bucket.alias("__b"), rank.alias("__r")
+    )
+    return hashed.groupBy(group_col).applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_bloom_gate(
     docs: DataFrame,
     value_col: str = "text",

@@ -1635,3 +1635,73 @@ def test_streaming_bloom_gate_matches_batch(spark, checkpoint_dir, tmp_path):
     # the gate did real work: later copies of batch-0 tokens hit
     assert any(hit for _, hit in streamed.values())
     assert not all(hit for _, hit in streamed.values())
+
+
+def test_streaming_hll_distinct_matches_batch(spark, checkpoint_dir, tmp_path):
+    """After the stream drains, each group's last HLL emission
+    (n_zero, raw_est, distinct_est) must equal the batch
+    hll_registers -> hll_estimate on the same rows bit for bit; the
+    small group must exit through the linear-counting branch in both
+    paths."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators.sketches import hll_estimate, hll_registers
+    from stglib_spark.streaming import streaming_hll_distinct
+
+    t0 = pd.Timestamp("2024-06-01 08:00:00")
+    rows = [
+        ("big", f"tok{i % 2000}", t0 + pd.Timedelta(seconds=i))
+        for i in range(2400)
+    ] + [
+        ("small", f"w{i % 12}", t0 + pd.Timedelta(seconds=i))
+        for i in range(60)
+    ]
+    pdf = pd.DataFrame(rows, columns=["source", "text", "ts"])
+    d = str(tmp_path / "hllstream")
+    os.makedirs(d)
+    third = len(pdf) // 3
+    for j in range(3):
+        spark.createDataFrame(
+            pdf.iloc[j * third : (j + 1) * third if j < 2 else len(pdf)]
+        ).coalesce(1).write.parquet(f"{d}/part{j}")
+    schema = spark.read.parquet(f"{d}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_hll_distinct(stream, "text", "source", p=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hllstream")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM hllstream").collect()
+    final = {}
+    for r in emitted:  # last update per group = max n_seen
+        if r["source"] not in final or r["n_seen"] > final[r["source"]]["n_seen"]:
+            final[r["source"]] = r
+    batch = {
+        r["source"]: r
+        for r in hll_estimate(
+            hll_registers(spark.createDataFrame(pdf), "text", ["source"], p=8),
+            ["source"],
+            p=8,
+        ).collect()
+    }
+    assert set(final) == {"big", "small"}
+    for g in ("big", "small"):
+        assert (
+            final[g]["n_zero"],
+            final[g]["raw_est"],
+            final[g]["distinct_est"],
+        ) == (batch[g]["n_zero"], batch[g]["raw_est"], batch[g]["distinct_est"]), g
+    # the small group exercised linear counting, the big one did not
+    assert final["small"]["distinct_est"] != float(final["small"]["raw_est"])
+    assert final["big"]["distinct_est"] == float(final["big"]["raw_est"])
