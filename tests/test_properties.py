@@ -765,3 +765,76 @@ def test_winnow_span_coverage_random_plants(spark):
             f"planted run (run_len={run_len}); got {by_pair.get((a, b))}"
         )
         assert max(s.n_fps for s in cands) >= 2
+
+
+def test_hll_bucket_rank_spark_duckdb_python_parity(spark):
+    """The HLL register arithmetic must agree across all three
+    implementations for arbitrary strings: Spark's hll_bucket_rank
+    columns, the DuckDB oracle's shift/bin replay, and a pure-Python
+    bit model (the ground truth for 'leading zeros of the w-bit
+    remainder + 1'). Pinning all three kills the two failure modes a
+    register mismatch could hide in: engine bin() disagreement and an
+    off-by-one in the rank convention."""
+    import duckdb
+    import hashlib
+
+    from stglib_spark.operators.sketches import hll_bucket_rank
+
+    p = 8
+    w = 60 - p
+    rng = np.random.RandomState(123)
+    alphabet = list("abc XYZ 012 \t\n.,;!?éüñ中文🌊")
+    samples = [
+        "".join(rng.choice(alphabet, size=rng.randint(1, 40)))
+        for _ in range(200)
+    ]
+    sdf = spark.createDataFrame([(s,) for s in samples], ["s"])
+    b, r = hll_bucket_rank(F.col("s"), p, "hll")
+    got = {
+        row["s"]: (row["b"], row["r"])
+        for row in sdf.select("s", b.alias("b"), r.alias("r")).collect()
+    }
+    con = duckdb.connect()
+    mask = (1 << w) - 1
+    for s in samples:
+        # pure-Python model
+        h = int(hashlib.md5(("hll" + s).encode()).hexdigest()[:15], 16)
+        rem = h & mask
+        py = (h >> w, (w + 1) if rem == 0 else w - rem.bit_length() + 1)
+        dd = con.execute(
+            f"""SELECT hh >> {w},
+                   CASE WHEN (hh & {mask}) = 0 THEN {w + 1}
+                        ELSE {w + 1} - length(bin(hh & {mask})) END
+            FROM (SELECT (('0x' || substring(md5('hll' || ?), 1, 15))
+                          ::UBIGINT)::BIGINT AS hh)""",
+            [s],
+        ).fetchone()
+        assert got[s] == py == tuple(dd), repr(s)
+    con.close()
+
+
+def test_bloom_no_false_negative_property(spark):
+    """The Bloom contract under randomized parameters: for random value
+    sets, k, and bit-space sizes, EVERY indexed value must probe
+    positive — false negatives are structurally impossible, and this
+    must hold even at saturating fill factors where false positives
+    approach 100%."""
+    from stglib_spark.operators.sketches import bloom_bits, bloom_probe
+
+    rng = np.random.RandomState(9)
+    for trial in range(4):
+        k = int(rng.randint(1, 5))
+        m = 64 << int(rng.randint(0, 4))  # 64..512 bits, incl. saturated
+        n = int(rng.randint(5, 120))
+        vals = [
+            (i, f"v{rng.randint(0, 10**9)}_{i}") for i in range(n)
+        ]
+        df = spark.createDataFrame(vals, "doc_id long, v string")
+        bits = bloom_bits(df, "v", k=k, m_bits=m, seed=f"t{trial}")
+        hit = {
+            r.doc_id: r.bloom_hit
+            for r in bloom_probe(
+                df, bits, "v", "doc_id", k=k, m_bits=m, seed=f"t{trial}"
+            ).collect()
+        }
+        assert all(hit.values()), (trial, k, m, n)
