@@ -98,6 +98,9 @@ HEADLINE = [
     # table + broadcast probe join)
     "corpus_hll_distinct",
     "dedup_bloom_gate",
+    # new in r11 (late): KMV multiset ops — cross-split union/Jaccard/
+    # intersection estimates (two TakeOrdered sketches + a 2k-row merge)
+    "corpus_kmv_overlap",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and

@@ -567,3 +567,83 @@ def bloom_probe(
             (F.col("n_hit_bits") == k).alias("bloom_hit"),
         )
     )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str | Column,
+    k: int = 256,
+    seed: str = "kmv1",
+) -> DataFrame:
+    """KMV set-operation estimates between two value sets (Beyer et al.
+    SIGMOD'07 §5, the multiset-operation half of the KMV sketch this
+    module's `kmv_distinct` omits): from each side's k smallest
+    distinct 60-bit hashes, the combined sketch L = k smallest of
+    L_A ∪ L_B yields
+
+        union_est        = (k−1)·2^60 / h_(k)(L)
+        jaccard_est      = |L ∩ L_A ∩ L_B| / |L|
+        intersection_est = jaccard_est · union_est
+
+    — the standard cross-corpus overlap audit ("how many distinct
+    tokens/URLs/n-grams do these two sources share?") at sketch cost:
+    each side is reduced to k longs BEFORE anything crosses the wire,
+    so two 100 TB corpora compare through 2k rows. When the union
+    holds fewer than k distinct hashes both sketches ARE the full
+    hash sets and every estimate degenerates to the EXACT value —
+    the same Beyer et al. §4 convention as `kmv_distinct`.
+
+    One row out: ``n_kept`` (combined slots filled), ``kth_hash``,
+    ``n_inter`` (combined-sketch hashes present in BOTH sides),
+    ``union_est``, ``jaccard_est``, ``inter_est``. All estimator
+    arithmetic is IEEE-exact in a fixed operation order (one
+    multiply+divide for the union, one divide and one multiply for
+    the rest — no ln/pow), so a DuckDB replay of the same hash chain
+    lands on identical doubles.
+
+    Scale shape: per side one distinct pre-aggregation then
+    sort().limit(k) = TakeOrderedAndProject (k·tasks rows to the
+    merge, never a global window); the cross-side full-outer join and
+    final aggregate touch ≤ 2k rows."""
+    val = (
+        F.col(value_col) if isinstance(value_col, str) else value_col
+    ).cast("string")
+    h = hash60(val, seed=seed).alias("__h")
+
+    def side(df: DataFrame, flag: str) -> DataFrame:
+        return (
+            df.select(h)
+            .distinct()
+            .sort("__h")
+            .limit(int(k))
+            .select("__h", F.lit(1).alias(flag))
+        )
+
+    merged = side(df_a, "__a").join(side(df_b, "__b"), "__h", "full_outer")
+    combined = merged.sort("__h").limit(int(k))
+    kth = F.when(F.count(F.lit(1)) == int(k), F.max("__h"))
+    agg = combined.agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        kth.alias("kth_hash"),
+        F.sum(
+            (F.col("__a").isNotNull() & F.col("__b").isNotNull()).cast(
+                "long"
+            )
+        ).alias("n_inter"),
+    )
+    union_est = F.when(
+        F.col("kth_hash").isNotNull(),
+        F.lit(float(k - 1))
+        * F.lit(_HASH_SPACE)
+        / F.col("kth_hash").cast("double"),
+    ).otherwise(F.col("n_kept").cast("double"))
+    jac = F.col("n_inter").cast("double") / F.col("n_kept").cast("double")
+    return agg.select(
+        "n_kept",
+        "kth_hash",
+        "n_inter",
+        F.round(union_est, 6).alias("union_est"),
+        F.round(jac, 6).alias("jaccard_est"),
+        F.round(jac * union_est, 6).alias("inter_est"),
+    )

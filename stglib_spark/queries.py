@@ -12277,6 +12277,83 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_kmv_overlap",
+    rf"""
+    WITH norm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+    t AS (SELECT doc_id, unnest(string_split(nt, ' ')) AS tok
+          FROM norm WHERE nt <> ''),
+    h AS (SELECT doc_id % 2 AS half, tok,
+                 (('0x' || substring(md5('kmv1' || tok), 1, 15))
+                  ::UBIGINT)::BIGINT AS hh
+          FROM t),
+    la AS (SELECT DISTINCT hh FROM h WHERE half = 0 ORDER BY hh LIMIT 256),
+    lb AS (SELECT DISTINCT hh FROM h WHERE half = 1 ORDER BY hh LIMIT 256),
+    m AS (SELECT coalesce(la.hh, lb.hh) AS hh,
+                 la.hh IS NOT NULL AS a, lb.hh IS NOT NULL AS b
+          FROM la FULL OUTER JOIN lb ON la.hh = lb.hh),
+    c AS (SELECT * FROM m ORDER BY hh LIMIT 256),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_kept,
+                 CASE WHEN count(*) = 256 THEN max(hh) END AS kth_hash,
+                 CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_inter
+          FROM c),
+    e AS (SELECT *,
+                 CASE WHEN kth_hash IS NOT NULL
+                      THEN 255.0 * 1152921504606846976.0
+                           / CAST(kth_hash AS DOUBLE)
+                      ELSE CAST(n_kept AS DOUBLE) END AS ue,
+                 CAST(n_inter AS DOUBLE) / CAST(n_kept AS DOUBLE) AS jr
+          FROM g),
+    tu AS (SELECT count(DISTINCT tok) AS true_union FROM h),
+    ti AS (SELECT count(*) AS true_inter FROM
+             (SELECT DISTINCT tok FROM h WHERE half = 0
+              INTERSECT
+              SELECT DISTINCT tok FROM h WHERE half = 1))
+    SELECT n_kept, kth_hash, n_inter,
+           round(ue, 6) AS union_est,
+           round(jr, 6) AS jaccard_est,
+           round(jr * ue, 6) AS inter_est,
+           true_union, true_inter
+    FROM e, tu, ti
+    """,
+)
+def corpus_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-split distinct-token OVERLAP estimate (operators/
+    sketches.py kmv_overlap, Beyer et al. SIGMOD'07 §5 multiset ops,
+    k=256): the even- and odd-doc halves of the corpus each reduce to
+    their 256 smallest distinct token hashes, and the combined sketch
+    estimates union size, Jaccard, and intersection size — the "how
+    much vocabulary do these two sources share?" audit that would
+    otherwise cost an exact cross-corpus distinct-intersection
+    shuffle. Every estimate is one fixed-order IEEE expression over
+    the portable md5 hash chain, so the driver hashes the ESTIMATES
+    bit-for-bit; `true_union`/`true_inter` (exact) sit beside them as
+    the row's own error audit — the yardstick, not the sketch (drop
+    them at 100 TB). Scale shape: per side a distinct pre-aggregation
+    then sort().limit(k) = TakeOrderedAndProject; everything after
+    touches ≤ 2k rows."""
+    from stglib_spark.operators import sketches
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    norm = dedup_ops.normalize_text(F.col("text"))
+    toks = docs.select(
+        "doc_id", F.explode(text_ops.tokens(norm)).alias("tok")
+    )
+    a = toks.filter(F.col("doc_id") % 2 == 0)
+    b = toks.filter(F.col("doc_id") % 2 == 1)
+    est = sketches.kmv_overlap(a, b, "tok", k=256, seed="kmv1")
+    ta = a.select("tok").distinct()
+    tb = b.select("tok").distinct()
+    tu = ta.unionByName(tb).distinct().agg(
+        F.count(F.lit(1)).alias("true_union")
+    )
+    ti = ta.join(tb, "tok", "left_semi").agg(
+        F.count(F.lit(1)).alias("true_inter")
+    )
+    return est.crossJoin(F.broadcast(tu)).crossJoin(F.broadcast(ti))
+
+
+@register(
     "corpus_hist_percentiles",
     _DATACARD_CTE
     + """
@@ -12877,12 +12954,13 @@ _FRONT = [
     # ts_sessionize_v1 ts_sessionize_v2 ts_sessionize_v3 ts_sessionize_v4
     # wave_cutoff_tail_oracle wave_dftm_plane_oracle
     # wave_elev_stats_oracle wave_psd_welch_oracle
-    # wave_puv_azimuth_oracle) plus sim_pq_adc_topk and
-    # filt_butterworth_lowpass (displaced from this window's tail by
-    # the two late-r11 sketch queries) and the oldest r8 rows (the
-    # src_* vendor roundtrips block) as slots allow.
+    # wave_puv_azimuth_oracle) plus sim_kmeans_assign, sim_pq_adc_topk
+    # and filt_butterworth_lowpass (displaced from this window's tail
+    # by the three late-r11 sketch queries) and the oldest r8 rows
+    # (the src_* vendor roundtrips block) as slots allow.
     # (a) new/re-planned
     "corpus_hll_distinct",
+    "corpus_kmv_overlap",
     "dedup_bloom_gate",
     "dedup_winnow_spans",
     "corpus_excise_winnow_spans",

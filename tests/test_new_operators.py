@@ -975,3 +975,41 @@ def test_bloom_filter_no_fn_fp_and_merge(spark):
         r.position for r in a.unionByName(b).distinct().collect()
     )
     assert merged == sorted(r.position for r in bits.collect())
+
+
+def test_kmv_overlap_exact_when_unsaturated_and_estimates(spark):
+    """Beyer et al. multiset-op invariants: (a) when the union holds
+    fewer than k distinct values the sketch IS the full hash set and
+    union/intersection/Jaccard are EXACT; (b) swapping the two sides
+    changes nothing (the combined sketch is symmetric); (c) at
+    saturation (union >> k) the estimates land within a generous
+    3-sigma band of the truth."""
+    from stglib_spark.operators.sketches import kmv_overlap
+
+    # 60 + 60 values, 20 shared -> union 100, inter 20, all < k=256
+    a = spark.createDataFrame(
+        [(f"s{i}",) for i in range(20)] + [(f"a{i}",) for i in range(40)],
+        "v string",
+    )
+    b = spark.createDataFrame(
+        [(f"s{i}",) for i in range(20)] + [(f"b{i}",) for i in range(40)],
+        "v string",
+    )
+    r = kmv_overlap(a, b, "v", k=256).collect()[0]
+    assert (r.n_kept, r.kth_hash, r.n_inter) == (100, None, 20)
+    assert (r.union_est, r.inter_est, r.jaccard_est) == (100.0, 20.0, 0.2)
+    r2 = kmv_overlap(b, a, "v", k=256).collect()[0]
+    assert r == r2
+
+    # saturated: union 3000, inter 1000
+    big_a = spark.createDataFrame(
+        [(f"x{i}",) for i in range(2000)], "v string"
+    )
+    big_b = spark.createDataFrame(
+        [(f"x{i}",) for i in range(1000, 3000)], "v string"
+    )
+    s = kmv_overlap(big_a, big_b, "v", k=256).collect()[0]
+    assert s.n_kept == 256 and s.kth_hash is not None
+    assert abs(s.union_est - 3000) / 3000 < 0.25, s
+    assert abs(s.jaccard_est - 1000 / 3000) < 0.12, s
+    assert abs(s.inter_est - 1000) / 1000 < 0.45, s
