@@ -101,6 +101,10 @@ HEADLINE = [
     # new in r11 (late): KMV multiset ops — cross-split union/Jaccard/
     # intersection estimates (two TakeOrdered sketches + a 2k-row merge)
     "corpus_kmv_overlap",
+    # new in r11 (late): cluster-quality audit (rides the full LSH ->
+    # verify -> components chain) and the Good-Turing token spectrum
+    "dedup_cluster_quality",
+    "corpus_token_spectrum",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and
@@ -182,6 +186,19 @@ def main() -> None:
         "mm_video_phash_neardup",
         "e2e_rbr_clean_roundtrip",
         "dedup_winnow_candidates",
+        # r11 additions — without these the baseline-set subtotal the
+        # driver gates against r1 silently absorbs every new headline
+        # row (dedup_winnow_spans alone is the heaviest row in the
+        # suite); the first three were missed when their rows joined
+        # the headline mid-r11
+        "dedup_winnow_spans",
+        "corpus_dsir_weights",
+        "corpus_cms_heavy_hitters",
+        "corpus_hll_distinct",
+        "dedup_bloom_gate",
+        "corpus_kmv_overlap",
+        "dedup_cluster_quality",
+        "corpus_token_spectrum",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3

@@ -1100,3 +1100,52 @@ def diversity_stats(
             simpson.alias("simpson_ppm"),
         )
     )
+
+
+def token_freq_spectrum(
+    df: DataFrame,
+    text_col: str = "text",
+    max_f: int = 10,
+) -> DataFrame:
+    """Token frequency-of-frequencies spectrum (the Good–Turing
+    front-end): one row per occurrence count f ∈ 1..max_f (plus one
+    overflow bucket at max_f+1) with ``n_types`` (how many distinct
+    tokens occur exactly f times) and ``n_occurrences`` (their total
+    token mass). N₁/N₂ drive Good–Turing OOV-rate estimates; the
+    hapax share (f=1) is the standard vocabulary-health signal for a
+    crawl (OCR garbage and boilerplate both distort it in opposite
+    directions); and the cumulative mass below a cut answers "how
+    many tokens does a min_count=f vocabulary truncation discard"
+    BEFORE anyone trains a tokenizer on 100 TB.
+
+    Scale shape: one token-count aggregate (map-side combinable,
+    distinct-token keys), then a ≤ max_f+1-row spectrum aggregate;
+    the grand total joins back as a broadcast 1-row table (the
+    token_census pattern) — the corpus is scanned once."""
+    from stglib_spark.operators.dedup import normalize_text
+    from stglib_spark.operators.text import tokens
+
+    toks = df.select(
+        F.explode(tokens(normalize_text(F.col(text_col)))).alias("__tok")
+    )
+    counts = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__f"))
+    spec = (
+        counts.select(
+            F.least(F.col("__f"), F.lit(int(max_f) + 1)).alias("freq"),
+            F.col("__f"),
+        )
+        .groupBy("freq")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("__f").alias("n_occurrences"),
+        )
+    )
+    total = spec.agg(F.sum("n_occurrences").alias("__total"))
+    return spec.crossJoin(F.broadcast(total)).select(
+        "freq",
+        "n_types",
+        "n_occurrences",
+        F.round(
+            F.col("n_occurrences").cast("double") / F.col("__total"), 6
+        ).alias("occ_share"),
+    )

@@ -2402,6 +2402,106 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_quality",
+    _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
+    + """,
+    tk AS (
+      SELECT doc_id, list_distinct(toks) AS tok, len(list_distinct(toks)) AS n
+      FROM tok
+    ),
+    ver AS (
+      SELECT c.doc_a, c.doc_b,
+             round(len(list_intersect(a.tok, b.tok))::DOUBLE
+                   / (a.n + b.n - len(list_intersect(a.tok, b.tok))), 6)
+               AS jaccard
+      FROM cand c
+      JOIN tk a ON c.doc_a = a.doc_id
+      JOIN tk b ON c.doc_b = b.doc_id
+      WHERE len(list_intersect(a.tok, b.tok))::DOUBLE
+            / (a.n + b.n - len(list_intersect(a.tok, b.tok))) >= 0.5
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ver
+      UNION SELECT doc_b, doc_a FROM ver
+    ),
+    reach(node, lbl) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.node = e.dst
+    ),
+    clus AS (SELECT node AS doc_id, min(lbl) AS cl FROM reach GROUP BY node),
+    mem AS (SELECT cl, CAST(count(*) AS BIGINT) AS n_members
+            FROM clus GROUP BY cl),
+    eq AS (
+      SELECT c.cl, CAST(count(*) AS BIGINT) AS n_edges,
+             min(v.jaccard) AS min_jaccard,
+             sum(CAST(floor(v.jaccard * 1000000 + 0.5) AS BIGINT)) AS sj
+      FROM ver v JOIN clus c ON v.doc_a = c.doc_id
+      GROUP BY c.cl
+    )
+    SELECT mem.cl AS canonical_id, n_members, n_edges, min_jaccard,
+           round(CAST(sj AS DOUBLE) / CAST(n_edges AS DOUBLE)
+                 / 1000000.0, 6) AS mean_jaccard
+    FROM mem JOIN eq USING (cl)
+    """,
+)
+def dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster dedup-quality audit — the table a curator reads
+    BEFORE signing off on dropping every non-canonical member of each
+    cluster from a 100 TB corpus: for every duplicate cluster, its
+    size, verified-edge count, and the min/mean exact Jaccard over its
+    verified LSH edges. A cluster whose min edge sits at the 0.5
+    threshold is a chaining risk (A~B~C where A,C are unrelated); a
+    cluster with n_edges << n_members·(n_members−1)/2 was stitched by
+    sparse evidence. Reuses the production chain's own artifacts
+    (verified pairs + FastSV components — no new corpus scan); the
+    mean rides order-independent micro-integer sums (floor(j·1e6+0.5),
+    the mixture_allocate trick) so the double division replays
+    bit-for-bit in DuckDB. Scale shape: two map-side-combinable
+    aggregates over cluster keys plus one small join — cost is the
+    dedup chain it audits, not the audit."""
+    docs = load_table(spark, sf_dir, "documents")
+    cands = dedup_ops.minhash_lsh_pairs(
+        docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True
+    )
+    verified = dedup_ops.ngram_jaccard_pairs(
+        docs, candidate_pairs=cands, shingle_n=1, threshold=0.5
+    )
+    clusters = dedup_ops.duplicate_clusters(
+        verified.select("doc_a", "doc_b"), method="auto"
+    )
+    e = verified.join(
+        clusters.withColumnsRenamed(
+            {"doc_id": "doc_a", "canonical_id": "cl"}
+        ),
+        "doc_a",
+    ).withColumn(
+        "__jm",
+        F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long"),
+    )
+    eq = e.groupBy("cl").agg(
+        F.count(F.lit(1)).alias("n_edges"),
+        F.min("jaccard").alias("min_jaccard"),
+        F.sum("__jm").alias("__sj"),
+    )
+    mem = clusters.groupBy(F.col("canonical_id").alias("cl")).agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    return mem.join(eq, "cl").select(
+        F.col("cl").alias("canonical_id"),
+        "n_members",
+        "n_edges",
+        "min_jaccard",
+        F.round(
+            F.col("__sj").cast("double")
+            / F.col("n_edges").cast("double")
+            / F.lit(1e6),
+            6,
+        ).alias("mean_jaccard"),
+    )
+
+
 # --------------------------------------------------------------------------
 # Training-corpus construction (north-star): deterministic stratified
 # sampling, benchmark decontamination, repetition metrics
@@ -2566,6 +2666,39 @@ def corpus_token_census(spark: SparkSession, sf_dir: str) -> DataFrame:
     rollup, grand total joined back as a broadcast 1-row table."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     return corpus_ops.token_census(docs)
+
+
+@register(
+    "corpus_token_spectrum",
+    rf"""
+    WITH norm AS (SELECT {_NORM_SQL} AS nt FROM documents),
+    t AS (SELECT unnest(string_split(nt, ' ')) AS tok
+          FROM norm WHERE nt <> ''),
+    counts AS (SELECT tok, count(*) AS f FROM t GROUP BY tok),
+    spec AS (SELECT least(f, 11) AS freq,
+                    CAST(count(*) AS BIGINT) AS n_types,
+                    CAST(sum(f) AS BIGINT) AS n_occurrences
+             FROM counts GROUP BY least(f, 11))
+    SELECT freq, n_types, n_occurrences,
+           round(CAST(n_occurrences AS DOUBLE)
+                 / (SELECT sum(n_occurrences) FROM spec), 6) AS occ_share
+    FROM spec
+    """,
+)
+def corpus_token_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token frequency-of-frequencies spectrum
+    (corpus.token_freq_spectrum, the Good–Turing front-end): N_f =
+    number of distinct tokens occurring exactly f times (f ≤ 10, one
+    overflow bucket) plus each bucket's token mass and occurrence
+    share. N₁/N₂ drive Good–Turing OOV estimates, the hapax share is
+    the vocabulary-health signal OCR garbage and boilerplate distort
+    in opposite directions, and the cumulative mass below a cut prices
+    a min_count vocabulary truncation before a 100 TB tokenizer run.
+    Scale shape: one map-side-combinable token-count aggregate, one
+    ≤ 11-row spectrum aggregate, grand total as a broadcast 1-row
+    join — a single corpus scan."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    return corpus_ops.token_freq_spectrum(docs)
 
 
 @register(
@@ -12954,14 +13087,17 @@ _FRONT = [
     # ts_sessionize_v1 ts_sessionize_v2 ts_sessionize_v3 ts_sessionize_v4
     # wave_cutoff_tail_oracle wave_dftm_plane_oracle
     # wave_elev_stats_oracle wave_psd_welch_oracle
-    # wave_puv_azimuth_oracle) plus sim_kmeans_assign, sim_pq_adc_topk
-    # and filt_butterworth_lowpass (displaced from this window's tail
-    # by the three late-r11 sketch queries) and the oldest r8 rows
-    # (the src_* vendor roundtrips block) as slots allow.
+    # wave_puv_azimuth_oracle) plus sim_cosine_topk, sim_ivf_recall,
+    # sim_kmeans_assign, sim_pq_adc_topk and filt_butterworth_lowpass
+    # (displaced from this window's tail by the five late-r11 audit
+    # queries) and the oldest r8 rows (the src_* vendor roundtrips
+    # block) as slots allow.
     # (a) new/re-planned
     "corpus_hll_distinct",
     "corpus_kmv_overlap",
+    "corpus_token_spectrum",
     "dedup_bloom_gate",
+    "dedup_cluster_quality",
     "dedup_winnow_spans",
     "corpus_excise_winnow_spans",
     "corpus_dsir_weights",

@@ -1013,3 +1013,23 @@ def test_kmv_overlap_exact_when_unsaturated_and_estimates(spark):
     assert abs(s.union_est - 3000) / 3000 < 0.25, s
     assert abs(s.jaccard_est - 1000 / 3000) < 0.12, s
     assert abs(s.inter_est - 1000) / 1000 < 0.45, s
+
+
+def test_token_freq_spectrum_partitions_vocabulary(spark):
+    """The spectrum is a partition of the vocabulary: sum(n_types) =
+    distinct tokens, sum(n_occurrences) = total tokens, occ_share sums
+    to ~1, and the overflow bucket (max_f+1) holds exactly the tokens
+    above max_f."""
+    from pyspark.sql import functions as F
+    from stglib_spark.operators.corpus import token_freq_spectrum
+
+    # 1 token x20, 2 tokens x5, 3 hapaxes
+    text = " ".join(["zz"] * 20 + ["aa"] * 5 + ["bb"] * 5 + ["x", "y", "w"])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = {r.freq: r for r in token_freq_spectrum(df, max_f=10).collect()}
+    assert rows[1].n_types == 3 and rows[1].n_occurrences == 3
+    assert rows[5].n_types == 2 and rows[5].n_occurrences == 10
+    assert rows[11].n_types == 1 and rows[11].n_occurrences == 20
+    assert sum(r.n_types for r in rows.values()) == 6
+    assert sum(r.n_occurrences for r in rows.values()) == 33
+    assert abs(sum(r.occ_share for r in rows.values()) - 1.0) < 1e-5
