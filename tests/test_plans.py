@@ -633,3 +633,41 @@ def test_oversize_bucket_guard_in_pairing_plans(spark):
                  "mm_video_phash_neardup"):
         plan = plan_of(spark, name)
         assert re.search(r"Window|__bsz", plan), f"{name} lost the bucket guard"
+
+
+def test_hll_register_aggregate_is_partial(spark):
+    """The HLL register build must partial-aggregate map-side (the MAX
+    per (source, bucket) combines before the shuffle) and carry at
+    most the bounded register keys through ONE exchange below the
+    rollup — the 'raw token stream shuffles' failure mode would show
+    as an exchange whose input is the exploded token projection with
+    no partial_max above it."""
+    plan = plan_of(spark, "corpus_hll_distinct")
+    assert count(plan, r"partial_max") >= 1, plan
+    # registers + final rollup + the truth-side aggregates; the sketch
+    # side itself contributes exactly one hash-partitioned exchange
+    # keyed on (source, bucket)
+    assert re.search(r"hashpartitioning\(source[^)]*bucket", plan_of(
+        spark, "corpus_hll_distinct", "simple"
+    )), "register aggregate not keyed on (source, bucket)"
+
+
+def test_bloom_probe_join_broadcasts_bit_table(spark):
+    """The Bloom probe side must join the bounded bit table via
+    BroadcastHashJoin (the table is <= m_bits rows BY CONSTRUCTION) —
+    a SortMergeJoin here would shuffle every probe position row."""
+    plan = plan_of(spark, "dedup_bloom_gate")
+    assert count(plan, r"BroadcastHashJoin") >= 1
+    joins = re.findall(r"(?:SortMergeJoin|ShuffledHashJoin)[^\n]*", plan)
+    # the only allowed non-broadcast joins are the final doc_id-keyed
+    # result merges, never the position probe
+    assert not any("position" in j for j in joins), joins
+
+
+def test_kmv_overlap_sides_compile_to_take_ordered(spark):
+    """Each side's k-smallest selection must compile to
+    TakeOrderedAndProject (per-task top-k, k rows to the merge) —
+    never a global sort or single-partition window over all distinct
+    hashes (the ADVICE r6 scale bug class)."""
+    plan = plan_of(spark, "corpus_kmv_overlap")
+    assert count(plan, r"TakeOrderedAndProject") >= 2, plan
