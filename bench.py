@@ -105,6 +105,10 @@ HEADLINE = [
     # verify -> components chain) and the Good-Turing token spectrum
     "dedup_cluster_quality",
     "corpus_token_spectrum",
+    # new in r11 (late): the acoustic dHash completing the image/video/
+    # audio perceptual-hash triple (WAV decode + energy-delta hash in
+    # one mapInPandas projection + pigeonhole pairing)
+    "mm_audio_phash_neardup",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and
@@ -199,6 +203,7 @@ def main() -> None:
         "corpus_kmv_overlap",
         "dedup_cluster_quality",
         "corpus_token_spectrum",
+        "mm_audio_phash_neardup",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3

@@ -594,3 +594,74 @@ def video_phash_near_pairs(
         F.min("hamming").alias("min_hamming"),
         F.count(F.lit(1)).alias("n_close"),
     )
+
+
+def audio_phash(
+    media: DataFrame,
+    id_col: str = "media_id",
+    content_col: str = "content",
+    n_frames: int = 61,
+) -> DataFrame:
+    """Audio perceptual hash — the acoustic member of the dHash family
+    (`perceptual_hash` for images, `video_phash` for frame sets): the
+    clip partitions into ``n_frames`` equal spans (sample i → frame
+    (i·n_frames)//n, the exact-integer rule an oracle replays), each
+    frame's ENERGY is the integer sum of squared 16-bit PCM codes, and
+    bit k of the (n_frames−1)-bit hash is energy[k+1] > energy[k].
+    Energy-delta signs survive re-encoding, small clicks, and DC
+    offsets the way pixel-gradient signs survive JPEG noise — and a
+    constant gain change scales every energy by the same factor, so
+    the hash is volume-invariant for exact scaling. Clips shorter than
+    ``n_frames`` samples and undecodable payloads hash NULL (dropped
+    before pairing, the perceptual_hash convention).
+
+    Pairing reuses `phash_near_pairs` unchanged (pass
+    ``hash_col='aphash'``): the SimHash pigeonhole machinery is hash-
+    source agnostic. Scale shape: decode + hash run inside ONE
+    `mapInPandas` projection — audio payloads never shuffle; 16-byte
+    (id, hash) rows are all that moves afterwards. Default 61 frames →
+    a 60-bit hash, matching the 60-bit block layout the portable
+    pairing path uses."""
+    import numpy as np
+    import pandas as pd
+
+    if n_frames < 2 or n_frames > 64:
+        raise ValueError(f"n_frames must be in [2, 64], got {n_frames}")
+
+    def fn(batches):
+        from stglib_spark.functions.media import decode_wav
+
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, payload in zip(pdf[id_col], pdf[content_col]):
+                try:
+                    x, _rate = decode_wav(bytes(payload))
+                    n = len(x)
+                    if n < n_frames:
+                        raise ValueError("clip shorter than frame count")
+                    # recover exact PCM codes: decode yields k/32768 in
+                    # float32, exact for |k| < 2^24, so round() is k
+                    pcm = np.round(
+                        x.astype(np.float64) * 32768.0
+                    ).astype(np.int64)
+                    idx = (np.arange(n, dtype=np.int64) * n_frames) // n
+                    e = np.zeros(n_frames, dtype=np.int64)
+                    np.add.at(e, idx, pcm * pcm)
+                    bits = (e[1:] > e[:-1]).astype(np.int64)
+                    h = int(
+                        (bits << np.arange(n_frames - 1, dtype=np.int64))
+                        .sum()
+                    )
+                    ids.append(mid)
+                    hashes.append(h)
+                except Exception:
+                    ids.append(mid)
+                    hashes.append(None)
+            yield pd.DataFrame(
+                {
+                    id_col: pd.array(ids, dtype="int64"),
+                    "aphash": pd.array(hashes, dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(fn, f"{id_col} long, aphash long")

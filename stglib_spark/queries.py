@@ -10988,6 +10988,99 @@ def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mm_audio_phash_neardup",
+    """
+    WITH clips AS (
+      SELECT CAST(i AS BIGINT) AS clip_id, CAST(i // 2 AS BIGINT) AS base,
+             i % 2 = 1 AS odd
+      FROM range(60) t(i)),
+    smp AS (
+      SELECT clip_id, CAST(s AS BIGINT) AS i,
+             CASE WHEN odd AND s = (base * 13) % 1000
+                  THEN ((base * 37 + s * 13) % 97) - 48 + 1
+                  ELSE ((base * 37 + s * 13) % 97) - 48 END AS v
+      FROM clips, range(1000) t(s)),
+    e AS (
+      SELECT clip_id, (i * 61) // 1000 AS fr,
+             CAST(sum(v * v) AS BIGINT) AS en
+      FROM smp GROUP BY clip_id, (i * 61) // 1000),
+    bits AS (
+      SELECT a.clip_id, a.fr AS k,
+             CASE WHEN b.en > a.en THEN 1 ELSE 0 END AS bit
+      FROM e a JOIN e b ON a.clip_id = b.clip_id AND b.fr = a.fr + 1),
+    h AS (
+      SELECT clip_id,
+             CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(k AS INTEGER)))
+                  AS BIGINT) AS ph
+      FROM bits GROUP BY clip_id),
+    bnd AS (
+      SELECT clip_id, ph,
+             (ph >> CAST(16 * j AS INTEGER)) & 65535 AS bh, j
+      FROM h, range(4) t(j)),
+    cand AS (
+      SELECT DISTINCT a.clip_id AS id_a, b.clip_id AS id_b,
+             a.ph AS pa, b.ph AS pb
+      FROM bnd a JOIN bnd b
+        ON a.j = b.j AND a.bh = b.bh AND a.clip_id < b.clip_id)
+    SELECT id_a, id_b, CAST(bit_count(xor(pa, pb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(pa, pb)) <= 3
+    """,
+)
+def mm_audio_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual-hash near-dedup, oracle-checked end-to-end —
+    the acoustic sibling completing the image/video/audio dHash triple
+    (operators/multimodal.audio_phash): synthesize 60 WAV clips in
+    planted pairs (even ids a deterministic pseudo-random int16
+    waveform per base, odd ids the same clip with ONE sample nudged by
+    one PCM code — a click/re-encode stand-in whose ≤ 99 energy
+    perturbation is far below typical inter-frame deltas, so planted
+    pairs survive at Hamming ≈ 0), decode with the REAL RIFF/PCM
+    codec, frame-partition by the exact rule (i·61)//n, hash the
+    energy-delta signs, and pair via the SimHash pigeonhole machinery
+    (16-bit block equi-join + bit_count verify — never all-pairs).
+    DuckDB replays samples → frame energies → delta bits → hash →
+    bands → pairs relationally; the WAV container round-trip is the
+    Spark side's extra mile. Scale shape: decode+hash inside one
+    mapInPandas projection (payloads never shuffle), 16-byte rows
+    after."""
+    from stglib_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def make_wav(batches):
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.functions.media import encode_wav
+
+        s = np.arange(1000, dtype=np.int64)
+        for pdf in batches:
+            payloads = []
+            for i in pdf["id"]:
+                i = int(i)
+                base = i // 2
+                v = ((base * 37 + s * 13) % 97) - 48
+                if i % 2 == 1:
+                    v = v.copy()
+                    v[(base * 13) % 1000] += 1
+                payloads.append(encode_wav(v / 32768.0, 8000))
+            yield pd.DataFrame(
+                {"media_id": pdf["id"], "content": payloads}
+            )
+
+    media = spread(spark.range(60)).mapInPandas(
+        make_wav, "media_id long, content binary"
+    )
+    hashed = mm.audio_phash(media)
+    pairs = mm.phash_near_pairs(
+        hashed, max_hamming=3, blocks=4, hash_col="aphash"
+    )
+    return pairs.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
+@register(
     "e2e_media_dedup_clusters",
     """
     WITH RECURSIVE imgs AS (
@@ -13087,12 +13180,13 @@ _FRONT = [
     # ts_sessionize_v1 ts_sessionize_v2 ts_sessionize_v3 ts_sessionize_v4
     # wave_cutoff_tail_oracle wave_dftm_plane_oracle
     # wave_elev_stats_oracle wave_psd_welch_oracle
-    # wave_puv_azimuth_oracle) plus sim_cosine_topk, sim_ivf_recall,
-    # sim_kmeans_assign, sim_pq_adc_topk and filt_butterworth_lowpass
-    # (displaced from this window's tail by the five late-r11 audit
-    # queries) and the oldest r8 rows (the src_* vendor roundtrips
-    # block) as slots allow.
+    # wave_puv_azimuth_oracle) plus sim_ann_ivf_topk, sim_cosine_topk,
+    # sim_ivf_recall, sim_kmeans_assign, sim_pq_adc_topk and
+    # filt_butterworth_lowpass (displaced from this window's tail by
+    # the six late-r11 audit/sketch/audio queries) and the oldest r8
+    # rows (the src_* vendor roundtrips block) as slots allow.
     # (a) new/re-planned
+    "mm_audio_phash_neardup",
     "corpus_hll_distinct",
     "corpus_kmv_overlap",
     "corpus_token_spectrum",

@@ -1033,3 +1033,41 @@ def test_token_freq_spectrum_partitions_vocabulary(spark):
     assert sum(r.n_types for r in rows.values()) == 6
     assert sum(r.n_occurrences for r in rows.values()) == 33
     assert abs(sum(r.occ_share for r in rows.values()) - 1.0) < 1e-5
+
+
+def test_audio_phash_invariance_and_null_handling(spark):
+    """Audio dHash invariants: (a) an exact 2x gain change scales every
+    frame energy by 4 and leaves the hash IDENTICAL; (b) a one-code
+    click leaves planted pairs within Hamming 3 of each other;
+    (c) undecodable payloads and too-short clips hash NULL and are
+    dropped by the pairing stage."""
+    import numpy as np
+
+    from stglib_spark.functions.media import encode_wav
+    from stglib_spark.operators.multimodal import audio_phash, phash_near_pairs
+
+    s = np.arange(1000)
+    v = (((s * 13 + 7) % 97) - 48).astype(np.float64)
+    rows = [
+        (0, encode_wav(v / 32768.0, 8000)),
+        (1, encode_wav(2 * v / 32768.0, 8000)),      # exact 2x gain
+        (2, encode_wav((v + np.eye(1000)[17] * 1)[0:1000] / 32768.0, 8000)),
+        (3, b"not a wav"),
+        (4, encode_wav(v[:10] / 32768.0, 8000)),      # shorter than frames
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashed = {r.media_id: r.aphash for r in audio_phash(df).collect()}
+    assert hashed[0] is not None and hashed[0] == hashed[1]  # gain-invariant
+    assert hashed[3] is None and hashed[4] is None
+    assert bin(hashed[0] ^ hashed[2]).count("1") <= 3  # click stays close
+
+    pairs = phash_near_pairs(
+        df.sparkSession.createDataFrame(
+            [(k, h) for k, h in hashed.items()], "media_id long, aphash long"
+        ),
+        max_hamming=3,
+        blocks=4,
+        hash_col="aphash",
+    ).collect()
+    ids_in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
+    assert {0, 1} <= ids_in_pairs and 3 not in ids_in_pairs and 4 not in ids_in_pairs
