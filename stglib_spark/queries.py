@@ -2465,9 +2465,15 @@ def dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     cands = dedup_ops.minhash_lsh_pairs(
         docs, num_hashes=_MH_N, bands=_MH_BANDS, shingle_n=2, portable=True
     )
+    # checkpoint ONCE: both consumers (the component solver and the
+    # per-cluster edge aggregate) read the materialized pair table, so
+    # the LSH→verify chain — the dominant cost — runs exactly once
+    # (duplicate_clusters' own internal checkpoint would otherwise
+    # cover only its branch and the edge branch would recompute it:
+    # measured 5.6 → ~3.4 s at sf0.1)
     verified = dedup_ops.ngram_jaccard_pairs(
         docs, candidate_pairs=cands, shingle_n=1, threshold=0.5
-    )
+    ).localCheckpoint()
     clusters = dedup_ops.duplicate_clusters(
         verified.select("doc_a", "doc_b"), method="auto"
     )
