@@ -2893,6 +2893,90 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_ops.unigram_logprob_score(docs, vocab)
 
 
+@register(
+    "corpus_ccnet_buckets",
+    rf"""
+    WITH base AS (
+      SELECT doc_id,
+             CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                  ELSE string_split_regex(lower(trim(text)), '[ \t\n\x0B\f\r]+') END AS tks
+      FROM documents
+    ),
+    vocab AS (
+      SELECT tok, count(*) AS c
+      FROM (SELECT unnest(tks) AS tok FROM base)
+      GROUP BY tok ORDER BY c DESC, tok LIMIT {_UNIGRAM_TOPK}
+    ),
+    tot AS (SELECT CAST(sum(c) AS DOUBLE) AS t FROM vocab),
+    dt AS (SELECT doc_id, unnest(tks) AS tok FROM base),
+    sc AS (
+      SELECT dt.doc_id,
+             coalesce(ln(v.c / (SELECT t FROM tot)), -20.0) AS lp
+      FROM dt LEFT JOIN vocab v USING (tok)
+    ),
+    agg AS (SELECT doc_id, count(*) AS n, sum(lp) AS s FROM sc GROUP BY doc_id),
+    scores AS (
+      SELECT b.doc_id, round(coalesce(a.s / a.n, 0.0), 6) AS mlp
+      FROM (SELECT doc_id FROM base) b LEFT JOIN agg a USING (doc_id)
+    ),
+    hh AS (SELECT doc_id, {{lang_hits}} FROM documents),
+    bb AS (SELECT *, {{lang_best}} AS best FROM hh),
+    cc AS (SELECT *, {{lang_nbest}} AS n_best FROM bb),
+    ll AS (SELECT doc_id, CASE {{lang_when}} ELSE 'und' END AS lang_pred
+           FROM cc),
+    nt AS (
+      SELECT ll.lang_pred, s.mlp,
+             ntile(3) OVER (PARTITION BY ll.lang_pred
+                            ORDER BY s.mlp DESC, s.doc_id) AS bucket
+      FROM scores s JOIN ll USING (doc_id)
+    )
+    SELECT lang_pred, CAST(bucket AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           round(min(mlp), 6) AS min_logprob,
+           round(max(mlp), 6) AS max_logprob
+    FROM nt GROUP BY lang_pred, bucket
+    """.format(
+        lang_hits=_LANG_HITS,
+        lang_best=_LANG_BEST,
+        lang_nbest=_LANG_NBEST,
+        lang_when=_LANG_WHEN,
+    ),
+)
+def corpus_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): per
+    predicted language, rank documents by unigram-LM mean log-prob and
+    split into head/middle/tail terciles (bucket 1 = most fluent) —
+    the canonical quality-stratified mixing table (train on head+
+    middle, audit the tail) a crawl pipeline builds per language
+    BEFORE sampling. Scores are the literal-map unigram projection
+    (scan speed, one bounded vocab shuffle); lang-id is a codegen'd
+    projection; the tercile assignment is one ntile window per
+    language partition with a deterministic (score DESC, doc_id) order
+    on the 6-dp rounded score, so the oracle replays bucket membership
+    exactly. The output is the per-(language, bucket) cut table with
+    min/max scores — the thresholds CCNet publishes per language. At
+    100 TB the per-language sort is the documented cost; the sampled-
+    threshold alternative (hist_percentiles on the score column, then
+    a scan-speed threshold filter) trades exactness for shuffle-free
+    assignment and is the stated scale path."""
+    from pyspark.sql import Window
+
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    vocab = text_ops.unigram_vocab(docs, top_k=_UNIGRAM_TOPK)
+    scored = text_ops.unigram_logprob_score(docs, vocab)
+    langs = text_ops.lang_id(docs).select("doc_id", "lang_pred")
+    joined = scored.join(langs, "doc_id")
+    w = Window.partitionBy("lang_pred").orderBy(
+        F.desc("mean_logprob"), F.asc("doc_id")
+    )
+    b = joined.withColumn("bucket", F.ntile(3).over(w))
+    return b.groupBy("lang_pred", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.min("mean_logprob"), 6).alias("min_logprob"),
+        F.round(F.max("mean_logprob"), 6).alias("max_logprob"),
+    )
+
+
 _CMS_D, _CMS_W, _CMS_TOP = 4, 1024, 20
 _CMS_H = _H60.format(s="'cms' || CAST(ds.d AS VARCHAR) || {v}")
 
@@ -13186,12 +13270,14 @@ _FRONT = [
     # ts_sessionize_v1 ts_sessionize_v2 ts_sessionize_v3 ts_sessionize_v4
     # wave_cutoff_tail_oracle wave_dftm_plane_oracle
     # wave_elev_stats_oracle wave_psd_welch_oracle
-    # wave_puv_azimuth_oracle) plus sim_ann_ivf_topk, sim_cosine_topk,
-    # sim_ivf_recall, sim_kmeans_assign, sim_pq_adc_topk and
-    # filt_butterworth_lowpass (displaced from this window's tail by
-    # the six late-r11 audit/sketch/audio queries) and the oldest r8
-    # rows (the src_* vendor roundtrips block) as slots allow.
+    # wave_puv_azimuth_oracle) plus sim_ann_lsh_topk, sim_ann_ivf_topk,
+    # sim_cosine_topk, sim_ivf_recall, sim_kmeans_assign,
+    # sim_pq_adc_topk and filt_butterworth_lowpass (displaced from this
+    # window's tail by the seven late-r11 audit/sketch/audio queries)
+    # and the oldest r8 rows (the src_* vendor roundtrips block) as
+    # slots allow.
     # (a) new/re-planned
+    "corpus_ccnet_buckets",
     "mm_audio_phash_neardup",
     "corpus_hll_distinct",
     "corpus_kmv_overlap",
