@@ -617,7 +617,9 @@ def audio_phash(
 
     Pairing reuses `phash_near_pairs` unchanged (pass
     ``hash_col='aphash'``): the SimHash pigeonhole machinery is hash-
-    source agnostic. Scale shape: decode + hash run inside ONE
+    source agnostic. The id column keeps the caller's type (string or
+    numeric media ids both work — the family contract
+    `perceptual_hash`/`video_phash` honor). Scale shape: decode + hash run inside ONE
     `mapInPandas` projection — audio payloads never shuffle; 16-byte
     (id, hash) rows are all that moves afterwards. Default 61 frames →
     a 60-bit hash, matching the 60-bit block layout the portable
@@ -659,9 +661,10 @@ def audio_phash(
                     hashes.append(None)
             yield pd.DataFrame(
                 {
-                    id_col: pd.array(ids, dtype="int64"),
+                    id_col: ids,
                     "aphash": pd.array(hashes, dtype="Int64"),
                 }
             )
 
-    return media.mapInPandas(fn, f"{id_col} long, aphash long")
+    id_type = media.schema[id_col].dataType.simpleString()
+    return media.mapInPandas(fn, f"{id_col} {id_type}, aphash long")

@@ -508,12 +508,21 @@ def bloom_bits(
     val = (
         F.col(value_col) if isinstance(value_col, str) else value_col
     ).cast("string")
-    pos = F.explode(
-        F.array(
-            *[(hash60(val, seed=f"{seed}{i}") % m_bits) for i in range(k)]
-        )
-    ).alias("position")
-    return df.select(pos).distinct()
+    return df.select(
+        F.explode(bloom_positions(val, k, m_bits, seed)).alias("position")
+    ).distinct()
+
+
+def bloom_positions(
+    val: Column, k: int, m_bits: int, seed: str
+) -> Column:
+    """The k-element bit-position array shared by the filter build, the
+    batch probe, and the streaming gate (the `hll_bucket_rank` pattern:
+    ONE column builder so the three paths — and the DuckDB oracle —
+    cannot drift apart): position_i = hash60(seed_i || value) % m_bits."""
+    return F.array(
+        *[(hash60(val, seed=f"{seed}{i}") % m_bits) for i in range(k)]
+    )
 
 
 def bloom_probe(
@@ -526,14 +535,17 @@ def bloom_probe(
     seed: str = "bloom",
     broadcast_bits: bool = True,
 ) -> DataFrame:
-    """Probe a `bloom_bits` table: one row per probe with ``n_hit_bits``
-    (how many of its k positions are set) and ``bloom_hit`` (all k set
-    — the filter's membership verdict). Position arithmetic is the
-    SAME engine expression as the build, so hit/miss replays exactly.
+    """Probe a `bloom_bits` table: one row per DISTINCT probe id with
+    ``n_hit_bits`` (how many of its distinct bit positions are set) and
+    ``bloom_hit`` (ALL of them set — the filter's membership verdict).
+    Position arithmetic is the SAME engine expression as the build
+    (`bloom_positions`), so hit/miss replays exactly.
 
-    Each of the k hash rows joins independently (a probe whose two
-    hash functions collide onto one set bit still counts two hits), so
-    ``n_hit_bits == k`` is exactly the textbook all-bits-set test.
+    The test runs over the SET of the probe's positions: a probe whose
+    two hash functions collide onto one bit tests it once (the
+    textbook all-bits-set semantics), and duplicate probe rows for the
+    same id collapse instead of double-counting into a spurious miss —
+    the no-false-negative contract holds for ANY probe multiset.
 
     ``broadcast_bits``: the bit table is bounded by m_bits rows BY
     CONSTRUCTION (not by data volume), so broadcasting is the default
@@ -543,28 +555,29 @@ def bloom_probe(
     val = (
         F.col(value_col) if isinstance(value_col, str) else value_col
     ).cast("string")
+    # distinct (id, position): the textbook test is over the SET of a
+    # probe's bit positions, so (a) two hash rows colliding onto one
+    # bit are tested once, and (b) a doc_id appearing in multiple probe
+    # rows cannot double-count matches into a false NEGATIVE — the
+    # no-FN contract must survive duplicate probe rows.
     pp = probes.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    (hash60(val, seed=f"{seed}{i}") % m_bits)
-                    for i in range(k)
-                ]
-            )
-        ).alias("position"),
-    )
+        F.explode(bloom_positions(val, k, m_bits, seed)).alias("position"),
+    ).distinct()
     bt = bits.withColumn("__set", F.lit(1))
     if broadcast_bits:
         bt = F.broadcast(bt)
     return (
         pp.join(bt, "position", "left")
         .groupBy(id_col)
-        .agg(F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("n_hit_bits"))
+        .agg(
+            F.sum(F.coalesce(F.col("__set"), F.lit(0))).alias("n_hit_bits"),
+            F.count(F.lit(1)).alias("__n_bits"),
+        )
         .select(
             id_col,
             F.col("n_hit_bits").cast("int").alias("n_hit_bits"),
-            (F.col("n_hit_bits") == k).alias("bloom_hit"),
+            (F.col("n_hit_bits") == F.col("__n_bits")).alias("bloom_hit"),
         )
     )
 

@@ -10945,8 +10945,6 @@ def mm_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     square's harmonics decay as 1/k, so no other bin competes)."""
     from stglib_spark.operators import multimodal as mm
 
-    docs = load_table(spark, sf_dir, "documents")
-
     def make_wav(batches):
         import numpy as np
         import pandas as pd
@@ -12201,18 +12199,19 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM idx, sd
     ),
     pp AS (
-      SELECT doc_id,
+      SELECT DISTINCT doc_id,
              (('0x' || substring(md5(s || digest), 1, 15))
               ::UBIGINT)::BIGINT % 16384 AS position
       FROM d, sd WHERE doc_id % 3 <> 0
     ),
     hits AS (
       SELECT pp.doc_id,
-             CAST(count(b.position) AS INTEGER) AS n_hit_bits
+             CAST(count(b.position) AS INTEGER) AS n_hit_bits,
+             CAST(count(*) AS INTEGER) AS n_bits
       FROM pp LEFT JOIN bits b USING (position)
       GROUP BY pp.doc_id
     )
-    SELECT h.doc_id, n_hit_bits, n_hit_bits = 3 AS bloom_hit,
+    SELECT h.doc_id, n_hit_bits, n_hit_bits = n_bits AS bloom_hit,
            d.digest IN (SELECT digest FROM idx) AS true_member
     FROM hits h JOIN d USING (doc_id)
     """,
@@ -13258,8 +13257,8 @@ _FRONT = [
     #     and the multimodal phash/media-dedup chain);
     # (b) the 24 r6-aged rows declared in the r10 registry comment;
     # (c) 12 oldest r7-aged rows (the similarity/ANN family + filters).
-    # Refresh SLA: 223 queries / 50 slots => no green row older than 4
-    # rounds. r12 block = the 32 remaining r7-aged rows
+    # Refresh SLA: 228 queries / 50 slots => no green row older than 4
+    # rounds (5 disciplined windows per full rotation). r12 block = the 32 remaining r7-aged rows
     # (corpus_budget_sample corpus_build_packs corpus_datacard_v1/v2/v3
     # corpus_hist_percentiles corpus_kmv_distinct corpus_mixture_allocate
     # corpus_pack_sequences corpus_redact_pii corpus_token_census

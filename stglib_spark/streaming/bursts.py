@@ -1149,6 +1149,11 @@ def streaming_hll_distinct(
         hll_estimate_py,
     )
 
+    # same envelope as the batch pair (hll_registers 4..16 AND
+    # hll_estimate 7..16): the alpha rational assumes m >= 128, and a p
+    # the batch path rejects has no batch-parity contract to satisfy
+    if not 7 <= p <= 16:
+        raise ValueError(f"p must be in [7, 16], got {p}")
     m = 1 << p
     out_schema = StructType(
         [
@@ -1257,8 +1262,6 @@ def streaming_bloom_gate(
         StructType,
     )
 
-    from stglib_spark.operators.dedup import hash60
-
     if m_bits % 64:
         raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
     out_schema = StructType(
@@ -1281,7 +1284,10 @@ def streaming_bloom_gate(
         ids, n_hits, hits, fresh = [], [], [], []
         for pdf in pdf_iter:
             for did, plist in zip(pdf[id_col], pdf["__pos"]):
-                pos = np.asarray(plist, dtype=np.int64)
+                # unique: the verdict is over the SET of positions
+                # (hash-collision bits test once), matching the batch
+                # probe's distinct semantics bit for bit
+                pos = np.unique(np.asarray(plist, dtype=np.int64))
                 bit = (words[pos >> 6] >> (pos & 63)) & 1
                 ids.append(did)
                 n_hits.append(int(bit.sum()))
@@ -1304,13 +1310,13 @@ def streaming_bloom_gate(
             }
         )
 
+    from stglib_spark.operators.sketches import bloom_positions
+
     val = F.col(value_col).cast("string")
     keyed = docs.select(
         F.lit(0).alias("__g"),
         F.col(id_col).cast("long").alias(id_col),
-        F.array(
-            *[(hash60(val, seed=f"{seed}{i}") % m_bits) for i in range(k)]
-        ).alias("__pos"),
+        bloom_positions(val, k, m_bits, seed).alias("__pos"),
     )
     return keyed.groupBy("__g").applyInPandasWithState(
         fold,

@@ -1071,3 +1071,27 @@ def test_audio_phash_invariance_and_null_handling(spark):
     ).collect()
     ids_in_pairs = {r.id_a for r in pairs} | {r.id_b for r in pairs}
     assert {0, 1} <= ids_in_pairs and 3 not in ids_in_pairs and 4 not in ids_in_pairs
+
+
+def test_bloom_probe_duplicate_probe_rows_no_false_negative(spark):
+    """Regression: a doc_id appearing in MULTIPLE probe rows must still
+    probe positive when its value is indexed — the verdict runs over
+    the distinct (id, position) set, so duplicate rows cannot
+    double-count matches into a spurious miss, and n_hit_bits stays
+    within 0..k."""
+    from stglib_spark.operators.sketches import bloom_bits, bloom_probe
+
+    idx = spark.createDataFrame([(0, "hello")], "doc_id long, v string")
+    bits = bloom_bits(idx, "v", k=3, m_bits=1 << 12, seed="t")
+    probes = spark.createDataFrame(
+        [(0, "hello"), (0, "hello"), (1, "absent")],
+        "doc_id long, v string",
+    )
+    rows = {
+        r.doc_id: r
+        for r in bloom_probe(
+            probes, bits, "v", "doc_id", k=3, m_bits=1 << 12, seed="t"
+        ).collect()
+    }
+    assert rows[0].bloom_hit and rows[0].n_hit_bits <= 3
+    assert not rows[1].bloom_hit
