@@ -10945,6 +10945,8 @@ def mm_audio_stats_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     square's harmonics decay as 1/k, so no other bin competes)."""
     from stglib_spark.operators import multimodal as mm
 
+    docs = load_table(spark, sf_dir, "documents")
+
     def make_wav(batches):
         import numpy as np
         import pandas as pd
@@ -11132,8 +11134,6 @@ def mm_audio_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapInPandas projection (payloads never shuffle), 16-byte rows
     after."""
     from stglib_spark.operators import multimodal as mm
-
-    docs = load_table(spark, sf_dir, "documents")
 
     def make_wav(batches):
         import numpy as np
