@@ -618,6 +618,84 @@ def ngram_jaccard_pairs(
     return out
 
 
+def containment_pairs(
+    df: DataFrame,
+    candidate_pairs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 1,
+    threshold: float = 0.8,
+    shingles_df: DataFrame | None = None,
+    shingle_col: str = "shingles",
+) -> DataFrame:
+    """Asymmetric CONTAINMENT verification for candidate pairs —
+    |A∩B|/|A| and |A∩B|/|B| — the near-SUPERSET detector symmetric
+    Jaccard structurally misses: a short document embedded whole
+    inside a long one has Jaccard ≈ |A|/|B| (tiny) but containment_a
+    ≈ 1. The quote/inclusion/wrapper-page case every dedup pipeline
+    hits (Broder 1997 introduced containment alongside resemblance
+    for exactly this reason).
+
+    Candidate-source caveat that decides recall: MinHash-LSH bands
+    approximate JACCARD, so the embedded-short-doc pairs this verifier
+    exists for often never band-collide — feed it
+    `winnow_candidate_pairs` instead (shared rare substring
+    fingerprints fire regardless of the size ratio; any shared run of
+    ≥ w+k−1 chars produces one). A pair passes when its GREATER
+    containment (6-dp rounded, the oracle contract) reaches
+    ``threshold``.
+
+    Scale shape: identical to `ngram_jaccard_pairs` — shingle sets
+    join onto the (bounded) candidate pairs only, one hash-set
+    intersection per pair, never a cross join; pass ``shingles_df``
+    to reuse a materialized shingle zone."""
+    if shingles_df is not None:
+        sh = shingles_df.select(
+            F.col(id_col), F.col(shingle_col).alias("__sh")
+        ).withColumn("__n", F.size("__sh"))
+    else:
+        sh = spread(df).select(
+            F.col(id_col),
+            word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+        ).withColumn("__n", F.size("__sh"))
+    joined = (
+        candidate_pairs.join(
+            sh.withColumnsRenamed(
+                {id_col: "doc_a", "__sh": "__sha", "__n": "__na"}
+            ),
+            "doc_a",
+        ).join(
+            sh.withColumnsRenamed(
+                {id_col: "doc_b", "__sh": "__shb", "__n": "__nb"}
+            ),
+            "doc_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("__sha"), F.col("__shb")))
+    ca = F.round(
+        F.when(F.col("__na") > 0, inter.cast("double") / F.col("__na"))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    cb = F.round(
+        F.when(F.col("__nb") > 0, inter.cast("double") / F.col("__nb"))
+        .otherwise(F.lit(0.0)),
+        6,
+    )
+    out = joined.select(
+        "doc_a",
+        "doc_b",
+        ca.alias("containment_a"),
+        cb.alias("containment_b"),
+    )
+    if threshold > 0:
+        out = out.filter(
+            F.greatest(F.col("containment_a"), F.col("containment_b"))
+            >= F.lit(threshold)
+        )
+    return out
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -13033,6 +13033,78 @@ def dedup_winnow_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_containment",
+    _WINNOW_CTES
+    + rf""",
+    freq AS (
+      SELECT fp, count(*) AS nd FROM sel GROUP BY fp
+    ),
+    kept AS (
+      SELECT s.doc_id, s.fp FROM sel s JOIN freq f USING (fp)
+      WHERE f.nd <= 64
+    ),
+    cand AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM kept a JOIN kept b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+      HAVING count(*) >= 2
+    ),
+    nrm AS (SELECT doc_id, {{_NORM}} AS t FROM documents),
+    tk AS (
+      SELECT doc_id,
+             list_distinct(string_split(t, ' ')) AS tok,
+             len(list_distinct(string_split(t, ' '))) AS n
+      FROM nrm
+    ),
+    j AS (
+      SELECT c.doc_a, c.doc_b,
+             len(list_intersect(a.tok, b.tok)) AS li,
+             a.n AS na, b.n AS nb
+      FROM cand c
+      JOIN tk a ON c.doc_a = a.doc_id
+      JOIN tk b ON c.doc_b = b.doc_id
+    ),
+    sc AS (
+      SELECT doc_a, doc_b,
+             round(CASE WHEN na > 0 THEN li::DOUBLE / na
+                        ELSE 0.0 END, 6) AS containment_a,
+             round(CASE WHEN nb > 0 THEN li::DOUBLE / nb
+                        ELSE 0.0 END, 6) AS containment_b
+      FROM j
+    )
+    SELECT doc_a, doc_b, containment_a, containment_b
+    FROM sc
+    WHERE greatest(containment_a, containment_b) >= 0.8
+    """.replace("{_NORM}", _NORM_SQL),
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-superset detection (dedup.containment_pairs, Broder 1997's
+    containment beside resemblance): for candidate pairs, the
+    asymmetric scores |A∩B|/|A| and |A∩B|/|B| — a short document
+    embedded whole inside a long one scores containment ≈ 1 where
+    Jaccard ≈ |A|/|B| is tiny, the quote/inclusion/wrapper-page case
+    the symmetric verifier structurally misses. Candidates come from
+    WINNOW fingerprints, not MinHash bands, precisely because LSH
+    approximates Jaccard and would drop these size-skewed pairs before
+    the verifier ever sees them (shared rare substring fingerprints
+    fire regardless of size ratio). Verify = one hash-set intersection
+    per bounded candidate pair on distinct normalized tokens; both
+    scores 6-dp rounded so the gate and the output replay exactly.
+    Scale shape: the winnow candidate chain's guarded equi-join plus
+    a candidate-bounded verify join — no cross join, no new corpus
+    scan beyond the two token passes."""
+    docs = load_table(spark, sf_dir, "documents")
+    fps = text_ops.winnow_fingerprints(docs, exploded=True)
+    cands = dedup_ops.winnow_candidate_pairs(
+        fps, min_shared=2, max_bucket_size=64, oversize="drop",
+        pre_exploded=True,
+    ).select("doc_a", "doc_b")
+    return dedup_ops.containment_pairs(
+        docs, candidate_pairs=cands, shingle_n=1, threshold=0.8
+    )
+
+
 def _winnow_pos_ctes(k: int = 15, w: int = 8) -> str:
     """Position-carrying winnowing replay (`text.
     winnow_fingerprint_positions`): same per-position Karp–Rabin
@@ -13271,11 +13343,13 @@ _FRONT = [
     # wave_elev_stats_oracle wave_psd_welch_oracle
     # wave_puv_azimuth_oracle) plus sim_ann_lsh_topk, sim_ann_ivf_topk,
     # sim_cosine_topk, sim_ivf_recall, sim_kmeans_assign,
-    # sim_pq_adc_topk and filt_butterworth_lowpass (displaced from this
-    # window's tail by the seven late-r11 audit/sketch/audio queries)
-    # and the oldest r8 rows (the src_* vendor roundtrips block) as
-    # slots allow.
+    # sim_pq_adc_topk, filt_butterworth_lowpass and
+    # dedup_embedding_grid (displaced from this window's tail by the
+    # eight late-r11 audit/sketch/audio/containment queries) and the
+    # oldest r8 rows
+    # (the src_* vendor roundtrips block) as slots allow.
     # (a) new/re-planned
+    "dedup_containment",
     "corpus_ccnet_buckets",
     "mm_audio_phash_neardup",
     "corpus_hll_distinct",

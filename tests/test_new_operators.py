@@ -1095,3 +1095,42 @@ def test_bloom_probe_duplicate_probe_rows_no_false_negative(spark):
     }
     assert rows[0].bloom_hit and rows[0].n_hit_bits <= 3
     assert not rows[1].bloom_hit
+
+
+def test_containment_catches_embedded_doc_jaccard_misses(spark):
+    """A short document embedded whole inside a long one: containment_a
+    reads ~1 while symmetric Jaccard on the same pair sits far below
+    any dedup threshold -- the near-superset case the asymmetric
+    verifier exists for. Also pins the threshold gate (an unrelated
+    pair drops) and the no-candidates-no-crossjoin contract (only fed
+    pairs are scored)."""
+    from pyspark.sql import functions as F
+    from stglib_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog near the river"
+    long_ = short + " " + " ".join(f"filler{i} word{i*7%13}" for i in range(120))
+    docs = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "completely unrelated text here")],
+        "doc_id long, text string",
+    )
+    cands = spark.createDataFrame(
+        [(1, 2), (1, 3)], "doc_a long, doc_b long"
+    )
+    cont = {
+        (r.doc_a, r.doc_b): (r.containment_a, r.containment_b)
+        for r in containment_pairs(
+            docs, candidate_pairs=cands, shingle_n=1, threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)][0] == 1.0  # fully contained
+    assert (1, 3) not in cont  # unrelated pair gated out
+    jac = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, candidate_pairs=cands, shingle_n=1
+        ).collect()
+    }
+    assert jac[(1, 2)] < 0.2  # Jaccard would never flag the pair
