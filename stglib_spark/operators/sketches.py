@@ -359,8 +359,12 @@ def hll_registers(
         F.col(value_col) if isinstance(value_col, str) else value_col
     ).cast("string")
     bucket, rank = hll_bucket_rank(val, p, seed)
+    # NULLs carry no distinct value: hashing one yields a (NULL, NULL)
+    # register row that hll_estimate would count in __n_present while
+    # its shiftleft term vanishes from the sum — skewing n_zero/raw_est
     return (
-        df.select(*groups, bucket.alias("bucket"), rank.alias("__rank"))
+        df.where(val.isNotNull())
+        .select(*groups, bucket.alias("bucket"), rank.alias("__rank"))
         .groupBy(*groups, "bucket")
         .agg(F.max("__rank").alias("max_rank"))
     )
@@ -545,7 +549,14 @@ def bloom_probe(
     two hash functions collide onto one bit tests it once (the
     textbook all-bits-set semantics), and duplicate probe rows for the
     same id collapse instead of double-counting into a spurious miss —
-    the no-false-negative contract holds for ANY probe multiset.
+    the no-false-negative contract holds for any multiset of probe
+    rows carrying ONE value per id. That is the operator's contract:
+    ``id_col`` identifies a probe VALUE (the gates in this repo probe
+    (doc_id, text) pairs with unique ids). Rows with DIFFERENT values
+    under one id would union their position sets into a single
+    verdict — an indexed value could then read bloom_hit=false off
+    another value's misses; pre-dedupe to one value per id (or mint a
+    synthetic id per value) before probing.
 
     ``broadcast_bits``: the bit table is bounded by m_bits rows BY
     CONSTRUCTION (not by data volume), so broadcasting is the default

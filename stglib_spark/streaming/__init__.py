@@ -14,6 +14,7 @@ from stglib_spark.streaming.bursts import (
     export_nc_batch_writer,
     read_events_stream,
     streaming_burst_average,
+    bloom_gate_verdicts,
     streaming_bloom_gate,
     streaming_cms_counts,
     streaming_hll_distinct,
@@ -38,6 +39,7 @@ __all__ = [
     "export_nc_batch_writer",
     "read_events_stream",
     "streaming_burst_average",
+    "bloom_gate_verdicts",
     "streaming_bloom_gate",
     "streaming_cms_counts",
     "streaming_hll_distinct",

@@ -1200,7 +1200,10 @@ def streaming_hll_distinct(
     bucket, rank = hll_bucket_rank(
         F.col(value_col).cast("string"), p, seed
     )
-    hashed = docs.select(
+    # NULL values hash to a NULL bucket that would NaN-poison the
+    # register fold (to_numpy(int64) raises) — and the batch operator
+    # skips them too, so dropping them here preserves parity
+    hashed = docs.where(F.col(value_col).isNotNull()).select(
         F.col(group_col), bucket.alias("__b"), rank.alias("__r")
     )
     return hashed.groupBy(group_col).applyInPandasWithState(
@@ -1219,11 +1222,12 @@ def streaming_bloom_gate(
     k: int = 3,
     m_bits: int = 1 << 14,
     seed: str = "bloom",
+    n_shards: int = 4,
 ) -> DataFrame:
     """Streaming twin of ``sketches.bloom_bits``/``bloom_probe`` — a
     live membership gate over an ingest feed: every arriving document
     probes the Bloom bit state built from PRIOR micro-batches
-    (``bloom_hit`` = all k bits set, "probably seen before"; a miss is
+    (all probed bits set = "probably seen before"; a miss is
     GUARANTEED new — the no-false-negative contract survives
     streaming), then the batch's own bits fold into the state.
     Probe-then-insert runs at micro-batch granularity, so two copies
@@ -1231,25 +1235,33 @@ def streaming_bloom_gate(
     collapse is the batch-local dedup's job, the same split as the
     batch ``incremental_dedup``.
 
-    The state story is the whole point: the bitset packs into
-    m_bits/64 longs (2^14 bits = 256 longs) — bounded and
+    The state story is the whole point: the bit space is SHARDED into
+    ``n_shards`` contiguous position ranges, one state key per range,
+    so the stateful stage parallelizes across executors instead of
+    serializing on a single shared bitset; each shard's state packs
+    its slice into (m_bits/n_shards)/64 longs — bounded and
     STREAM-LENGTH INDEPENDENT, the property the kept-fingerprint /
     digest-set gates in this module can only approximate with count
-    guards. The trade is false positives (rate grows with fill; size
-    m for the expected corpus) — acceptable when hits fall through to
-    an exact check downstream.
+    guards. Shards own DISJOINT bit ranges, so per-shard
+    probe-then-insert composes to exactly the unsharded semantics.
+    The trade is false positives (rate grows with fill; size m for
+    the expected corpus) — acceptable when hits fall through to an
+    exact check downstream.
+
+    Returns PER-(id, shard) partial verdicts — ``n_probe_bits`` of the
+    doc's distinct positions landed in this shard, ``n_hit_bits`` of
+    them were set, ``shard_hit`` = all of them set. Reassemble per-doc
+    verdicts with ``bloom_gate_verdicts`` (a doc's positions partition
+    across shards, so bloom_hit = every shard partial hit and
+    n_hit_bits = the partial sum). ``id_col`` keeps the caller's
+    column type, matching batch ``bloom_probe`` (and its one-value-
+    per-id contract).
 
     Bit positions are computed JVM-side with the SAME portable
     ``hash60`` chain as the batch operator, so a drained stream's
-    verdicts equal the micro-batch-sequential batch replay bit for bit
-    — the parity test's contract; Python only tests/sets bits.
-
-    Scale: the single state key serializes the stateful stage (the
-    bitset is one shared structure). At ingest widths where that
-    matters, shard the bit space across keys and reassemble per-doc
-    verdicts, or run the batch ``bloom_probe`` per micro-batch in
-    ``foreachBatch`` against a bits table — this kernel is the
-    single-box shape."""
+    reassembled verdicts equal the micro-batch-sequential batch replay
+    bit for bit — the parity test's contract; Python only tests/sets
+    bits."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupStateTimeout
@@ -1262,34 +1274,43 @@ def streaming_bloom_gate(
         StructType,
     )
 
-    if m_bits % 64:
-        raise ValueError(f"m_bits must be a multiple of 64, got {m_bits}")
+    if n_shards < 1 or m_bits % n_shards:
+        raise ValueError(f"n_shards must divide m_bits, got {n_shards}")
+    shard_w = m_bits // n_shards
+    if shard_w % 64:
+        raise ValueError(
+            f"m_bits/n_shards must be a multiple of 64, got {shard_w}"
+        )
     out_schema = StructType(
         [
-            StructField(id_col, LongType()),
+            StructField(id_col, docs.schema[id_col].dataType),
+            StructField("shard", IntegerType()),
+            StructField("n_probe_bits", IntegerType()),
             StructField("n_hit_bits", IntegerType()),
-            StructField("bloom_hit", BooleanType()),
+            StructField("shard_hit", BooleanType()),
         ]
     )
     state_schema = StructType(
         [StructField("words", ArrayType(LongType()))]
     )
-    n_words = m_bits // 64
 
     def fold(key, pdf_iter, state):
+        shard = int(key[0])
         if state.exists:
             words = np.asarray(state.get[0], dtype=np.int64)
         else:
-            words = np.zeros(n_words, dtype=np.int64)
-        ids, n_hits, hits, fresh = [], [], [], []
+            words = np.zeros(shard_w // 64, dtype=np.int64)
+        base = shard * shard_w
+        ids, n_probe, n_hits, hits, fresh = [], [], [], [], []
         for pdf in pdf_iter:
-            for did, plist in zip(pdf[id_col], pdf["__pos"]):
+            for did, grp in pdf.groupby(id_col, sort=False):
                 # unique: the verdict is over the SET of positions
                 # (hash-collision bits test once), matching the batch
                 # probe's distinct semantics bit for bit
-                pos = np.unique(np.asarray(plist, dtype=np.int64))
+                pos = np.unique(grp["__pos"].to_numpy(dtype=np.int64)) - base
                 bit = (words[pos >> 6] >> (pos & 63)) & 1
                 ids.append(did)
+                n_probe.append(len(pos))
                 n_hits.append(int(bit.sum()))
                 hits.append(bool(bit.all()))
                 fresh.append(pos)
@@ -1304,9 +1325,11 @@ def streaming_bloom_gate(
         state.update((words.tolist(),))
         yield pd.DataFrame(
             {
-                id_col: pd.array(ids, dtype="int64"),
+                id_col: ids,
+                "shard": pd.array([shard] * len(ids), dtype="int32"),
+                "n_probe_bits": pd.array(n_probe, dtype="int32"),
                 "n_hit_bits": pd.array(n_hits, dtype="int32"),
-                "bloom_hit": hits,
+                "shard_hit": hits,
             }
         )
 
@@ -1314,16 +1337,32 @@ def streaming_bloom_gate(
 
     val = F.col(value_col).cast("string")
     keyed = docs.select(
-        F.lit(0).alias("__g"),
-        F.col(id_col).cast("long").alias(id_col),
-        bloom_positions(val, k, m_bits, seed).alias("__pos"),
+        F.col(id_col),
+        F.explode(bloom_positions(val, k, m_bits, seed)).alias("__pos"),
+    ).withColumn(
+        "__shard", (F.col("__pos") / F.lit(shard_w)).cast("int")
     )
-    return keyed.groupBy("__g").applyInPandasWithState(
+    return keyed.groupBy("__shard").applyInPandasWithState(
         fold,
         out_schema,
         state_schema,
         "update",
         GroupStateTimeout.NoTimeout,
+    )
+
+
+def bloom_gate_verdicts(partials: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Reassemble ``streaming_bloom_gate``'s per-(id, shard) partials
+    into per-doc verdicts: positions partition across disjoint shard
+    ranges, so bloom_hit = EVERY shard partial all-hit and n_hit_bits
+    is the partial sum — identical to batch ``bloom_probe``'s columns.
+    Runs on the drained output (or inside foreachBatch)."""
+    return (
+        partials.groupBy(id_col)
+        .agg(
+            F.sum("n_hit_bits").cast("int").alias("n_hit_bits"),
+            F.min("shard_hit").alias("bloom_hit"),
+        )
     )
 
 

@@ -1565,19 +1565,26 @@ def test_streaming_cms_counts_matches_batch(spark, checkpoint_dir, tmp_path):
 
 
 def test_streaming_bloom_gate_matches_batch(spark, checkpoint_dir, tmp_path):
-    """The streaming Bloom gate's verdicts must equal a micro-batch-
-    sequential batch replay bit for bit: probe each trigger's docs
-    against bloom_bits of all PRIOR triggers, then fold the trigger's
-    bits in. Repeated values across triggers must hit; first sightings
-    must miss unless the (deliberately small) bit space already
-    false-positives them — and the batch replay reproduces even those."""
+    """The streaming Bloom gate's REASSEMBLED verdicts must equal a
+    micro-batch-sequential batch replay bit for bit: probe each
+    trigger's docs against bloom_bits of all PRIOR triggers, then fold
+    the trigger's bits in. Repeated values across triggers must hit;
+    first sightings must miss unless the (deliberately small) bit
+    space already false-positives them — and the batch replay
+    reproduces even those. The gate runs SHARDED (4 disjoint bit
+    ranges, one state key each — the parallel-state design), so the
+    test also pins that the partials really spread across ≥4 shards
+    and that the caller's id type survives untouched."""
     import os
 
     import pandas as pd
 
     from pyspark.sql import functions as F
     from stglib_spark.operators.sketches import bloom_bits, bloom_probe
-    from stglib_spark.streaming import streaming_bloom_gate
+    from stglib_spark.streaming import (
+        bloom_gate_verdicts,
+        streaming_bloom_gate,
+    )
 
     k_, m_ = 3, 1 << 10
     t0 = pd.Timestamp("2024-06-01 08:00:00")
@@ -1597,7 +1604,9 @@ def test_streaming_bloom_gate_matches_batch(spark, checkpoint_dir, tmp_path):
         .option("maxFilesPerTrigger", 1)
         .parquet(d + "/*")
     )
-    out = streaming_bloom_gate(stream, "text", "doc_id", k=k_, m_bits=m_)
+    out = streaming_bloom_gate(
+        stream, "text", "doc_id", k=k_, m_bits=m_, n_shards=4
+    )
     q = (
         out.writeStream.format("memory")
         .queryName("bloomstream")
@@ -1607,9 +1616,14 @@ def test_streaming_bloom_gate_matches_batch(spark, checkpoint_dir, tmp_path):
         .start()
     )
     q.awaitTermination(120)
+    partials = spark.sql("SELECT * FROM bloomstream")
+    # the state really sharded: partials from ≥4 distinct bit ranges,
+    # and the id column kept the source's long type (no silent cast)
+    assert partials.select("shard").distinct().count() >= 4
+    assert dict(partials.dtypes)["doc_id"] == dict(stream.dtypes)["doc_id"]
     streamed = {
         r["doc_id"]: (r["n_hit_bits"], r["bloom_hit"])
-        for r in spark.sql("SELECT * FROM bloomstream").collect()
+        for r in bloom_gate_verdicts(partials, "doc_id").collect()
     }
     assert len(streamed) == 90  # every doc verdicts exactly once
 
