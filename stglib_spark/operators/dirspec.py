@@ -10,8 +10,18 @@ Dm→wd_4062).
 Spark-first: the dask Client is replaced by a shuffle on the burst key +
 ``applyInPandas`` — identical embarrassing parallelism, but elastic to
 cluster size and with Arrow-batched transfer. Input selection per burst
-('optimized': AST when clean else pressure, waves.py:391-453) happens
-inside the kernel and is recorded in the ``diwasp_type`` column.
+('optimized': AST when clean else pressure, waves.py:391-453;
+'optimized-nd': the non-directional elev/pres variant, waves.py:433-445)
+happens inside the kernel and is recorded in the ``diwasp_type`` column.
+
+For pressure-derived inputs (puv/pres, directly or selected by an
+optimized mode) the reference restores the pressure-attenuated
+high-frequency energy AFTER the estimator (core/waves.py:479-527): a
+Kp-based cutoff (user wave_fcut/wave_Kpmin or the Jones & Monismith
+auto-cutoff) splices an f⁻⁴ tail into the 1-D spectrum (make_tail) and
+into every direction column of the directional spectrum
+(make_dspec_tail, :900-909), and Hs/Tp/Tm then come from moments of the
+TAILED spectrum (:529-535). That block runs inside the kernel here.
 """
 
 from __future__ import annotations
@@ -31,6 +41,13 @@ from pyspark.sql.types import (
 )
 
 from stglib_spark.functions.diwasp import dirspec
+from stglib_spark.operators.waves import (
+    define_cutoff_np,
+    make_dspec_tail_np,
+    make_tail_np,
+    make_user_cutoff_np,
+    qkfs_np,
+)
 
 
 def make_mwd(freqs: np.ndarray, dirs_deg: np.ndarray, dspec: np.ndarray) -> float:
@@ -63,6 +80,7 @@ def diwasp_schema(burst_col: str = "burst_time") -> StructType:
             StructField("diwasp_dspec", ArrayType(ArrayType(DoubleType()))),
             StructField("wh_4061", DoubleType()),
             StructField("wp_peak", DoubleType()),
+            StructField("wp_4060", DoubleType()),
             StructField("wvdir", DoubleType()),
             StructField("dwvdir", DoubleType()),
             StructField("wd_4062", DoubleType()),
@@ -103,6 +121,13 @@ def make_diwasp_ds(
     data_type = str(config.get("diwasp", "puv"))
     nfreqs = int(config.get("diwasp_nfreqs", 32))
     ndirs = int(config.get("diwasp_ndirs", 36))
+    # tail controls (core/waves.py:497-520): explicit user cutoff wins,
+    # else the J&M auto-cutoff with the fractional-noise knob
+    fcut = config.get("wave_fcut")
+    fcut = float(fcut) if fcut is not None else None
+    kpmin = config.get("wave_Kpmin")
+    kpmin = float(kpmin) if kpmin is not None else None
+    noise = float(config.get("wave_fractional_noise", 0.9))
     # reference default EP['smooth']='ON', overridable via diwasp_smooth
     # (core/waves.py:28,54-55)
     smooth = str(config.get("diwasp_smooth", "ON")).upper() == "ON"
@@ -128,6 +153,15 @@ def make_diwasp_ds(
             if data_type == "optimized":
                 dtype_used = (
                     "suv" if ast is not None and not np.isnan(ast).any() else "puv"
+                )
+            elif data_type == "optimized-nd":
+                # non-directional per-burst selection (waves.py:433-445):
+                # elevation when the AST trace is clean, pressure when it
+                # carries any NaN (or is absent entirely)
+                dtype_used = (
+                    "elev"
+                    if ast is not None and not np.isnan(ast).any()
+                    else "pres"
                 )
             if dtype_used in ("puv", "pres") and np.isnan(p).any():
                 idx = np.arange(len(p))
@@ -180,16 +214,56 @@ def make_diwasp_ds(
                 )
             except Exception:
                 continue
-            dm = make_mwd(res["freqs"], res["dirs_deg"], res["S"])
+            f_out = res["freqs"]
+            fspec = res["fspec"]
+            S = res["S"]
+            hs, tp = res["hs"], res["tp"]
+            if dtype_used in ("puv", "pres"):
+                # post-estimation cutoff + f⁻⁴ tail (core/waves.py:
+                # 479-527): pressure attenuates high frequencies by
+                # Kp = cosh(k·z)/cosh(k·h); above the cutoff the
+                # deattenuated spectrum is noise-dominated, so the
+                # reference splices a canonical f⁻⁴ rolloff into BOTH
+                # the 1-D and the directional spectrum
+                k = qkfs_np(2 * np.pi * f_out, depth)
+                with np.errstate(invalid="ignore", over="ignore"):
+                    kp = np.cosh(k * zp) / np.cosh(k * depth)
+                kp[np.isnan(k)] = 1.0
+                if fcut is not None or kpmin is not None:
+                    tailind = make_user_cutoff_np(f_out, kp, fcut, kpmin)
+                else:
+                    # reference passes the pressure-equivalent spectrum
+                    # Snn·Kp² to the J&M cutoff (waves.py:520)
+                    tailind = define_cutoff_np(
+                        f_out, fspec * kp**2, kp, noise
+                    )
+                if not np.isnan(tailind):
+                    fspec = make_tail_np(f_out, fspec, tailind)
+                    S = make_dspec_tail_np(f_out, S, tailind)
+                    # moments of the TAILED spectrum on the output grid
+                    # (waves.py:529-535 make_moment/make_Hs/make_Tp)
+                    m0t = float(np.trapz(fspec, f_out))
+                    hs = 4.0 * np.sqrt(m0t)
+                    fpk = f_out[int(np.argmax(np.nan_to_num(fspec)))]
+                    tp = 1.0 / fpk if fpk > 0 else float("nan")
+            # mean period Tm = √(m0/m2) from the final (possibly tailed)
+            # output-grid spectrum (waves.py:531 make_Tm); for untailed
+            # types hs/tp stay on the estimation grid (the r9 decision:
+            # a near-delta IMLM spectrum loses energy under regrid)
+            m0 = float(np.trapz(fspec, f_out))
+            m2 = float(np.trapz(fspec * f_out**2, f_out))
+            tm = float(np.sqrt(m0 / m2)) if m2 > 0 else float("nan")
+            dm = make_mwd(f_out, res["dirs_deg"], S)
             rows.append(
                 {
                     burst_col: bt,
-                    "diwasp_frequency": res["freqs"].tolist(),
+                    "diwasp_frequency": f_out.tolist(),
                     "diwasp_direction": res["dirs_deg"].tolist(),
-                    "diwasp_fspec": res["fspec"].tolist(),
-                    "diwasp_dspec": [row.tolist() for row in res["S"]],
-                    "wh_4061": res["hs"],
-                    "wp_peak": res["tp"],
+                    "diwasp_fspec": fspec.tolist(),
+                    "diwasp_dspec": [row.tolist() for row in S],
+                    "wh_4061": hs,
+                    "wp_peak": tp,
+                    "wp_4060": tm,
                     "wvdir": res["dtp_deg"],
                     "dwvdir": res["dp_deg"],
                     "wd_4062": dm,
@@ -206,6 +280,7 @@ def make_diwasp_ds(
                 "diwasp_dspec",
                 "wh_4061",
                 "wp_peak",
+                "wp_4060",
                 "wvdir",
                 "dwvdir",
                 "wd_4062",

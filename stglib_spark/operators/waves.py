@@ -98,6 +98,29 @@ def make_tail_np(f: np.ndarray, pnn: np.ndarray, tailind: float) -> np.ndarray:
     return out
 
 
+def make_dspec_tail_np(
+    f: np.ndarray, dspec: np.ndarray, tailind: float
+) -> np.ndarray:
+    """f⁻⁴ tail spliced into every direction column of a directional
+    spectrum (core/waves.py:900-909 make_dspec_tail — the reference
+    loops make_tail per direction; vectorized here as one outer
+    product). ``dspec`` is (n_freq, n_dir); rows at index ≥ tailind are
+    replaced by dspec[tailind, :] scaled by (f/f_tail)⁻⁴, so the tailed
+    directional spectrum still integrates (over direction) to the
+    tailed 1-D spectrum when the base row does."""
+    if np.isnan(tailind):
+        return np.full_like(dspec, np.nan)
+    ti = int(tailind)
+    out = dspec.copy()
+    if ti < dspec.shape[0]:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = (f[ti:] / f[ti]) ** -4
+        out[ti:, :] = dspec[ti, :][None, :] * ratio[:, None]
+        if f[ti] == 0:
+            out[ti:, :] = np.nan
+    return out
+
+
 def burst_wave_stats_kernel(
     pdf: pd.DataFrame,
     sample_rate: float,

@@ -10064,6 +10064,203 @@ def wave_cutoff_tail_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "wave_dspec_tail_oracle",
+    """
+    WITH seeds AS (
+      SELECT date_trunc('day', ts) AS burst, avg(value) AS seed
+      FROM events GROUP BY 1
+    ), params AS (
+      SELECT burst,
+             4 + CAST(floor(fmod(seed, 5)) AS INT) AS p,
+             0.05 + 0.04 * floor(fmod(seed, 4)) AS c
+      FROM seeds
+    ), grid AS (
+      SELECT burst, p, c, k.k, 0.05 * (k.k + 1) AS f,
+             CASE WHEN k.k <= p
+                  THEN 30.0 * pow((0.05 * (k.k + 1)) / (0.05 * (p + 1)), 2)
+                  ELSE 30.0 * pow((0.05 * (p + 1)) / (0.05 * (k.k + 1)), 12)
+             END + 0.13 AS pxx,
+             1.0 - c * k.k AS kp
+      FROM params CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS k) k
+    ), dgrid AS MATERIALIZED (
+      SELECT g.burst, g.k, g.f, g.kp, d.d,
+             g.pxx * ((d.d + 1) / 7.0) AS dval
+      FROM grid g CROSS JOIN (SELECT unnest(generate_series(0, 5)) AS d) d
+    ), fsp AS MATERIALIZED (
+      -- fspec defined analytically as pxx*(4/7): sevenths never
+      -- terminate in decimal OR binary, so no value lands on a 6dp
+      -- rounding boundary (pxx*1.75 put 84/2880 rows exactly on one);
+      -- one shared multiply replays bit-for-bit — a cross-engine SUM
+      -- over the direction columns would not
+      SELECT burst, k, f, kp, pxx * (4.0 / 7.0) AS fs FROM grid
+    ), cuts AS (
+      SELECT burst,
+             12.0 * avg(fs * kp * kp) FILTER (WHERE f >= 0.9 * 0.8)
+               AS noisecut
+      FROM fsp GROUP BY burst
+    ), fpk AS (
+      SELECT burst, (list(f ORDER BY fs * kp * kp DESC, k))[1] AS fp
+      FROM fsp GROUP BY burst
+    ), inds AS (
+      SELECT s.burst,
+             coalesce(max(s.k) FILTER (WHERE s.fs * s.kp * s.kp
+                                             > cu.noisecut), 0)
+               AS noisecutind,
+             count(*) FILTER (WHERE s.f < 1.1 * pk.fp) AS fpeakcutind,
+             coalesce(max(s.k + 1) FILTER (WHERE s.kp > 0.1), 0) AS kpcutind
+      FROM fsp s JOIN cuts cu USING (burst) JOIN fpk pk USING (burst)
+      GROUP BY s.burst
+    ), ti AS (
+      SELECT burst,
+             CASE WHEN noisecutind > fpeakcutind AND noisecutind <= kpcutind
+                  THEN noisecutind
+                  WHEN noisecutind > fpeakcutind AND noisecutind > kpcutind
+                  THEN kpcutind
+             END AS tailind
+      FROM inds
+    ), base AS (
+      SELECT s.burst, s.fs AS fs_ti, s.f AS f_ti
+      FROM fsp s JOIN ti ON ti.burst = s.burst AND s.k = ti.tailind
+    ), dbase AS (
+      SELECT g.burst, g.d, g.dval AS dv_ti
+      FROM dgrid g JOIN ti ON ti.burst = g.burst AND g.k = ti.tailind
+    ), fst AS MATERIALIZED (
+      SELECT s.burst, s.k, s.f,
+             CASE WHEN t.tailind IS NULL THEN NULL
+                  WHEN s.k < t.tailind THEN s.fs
+                  ELSE b.fs_ti * pow(s.f / b.f_ti, -4.0)
+             END AS fst
+      FROM fsp s
+      LEFT JOIN ti t USING (burst)
+      LEFT JOIN base b USING (burst)
+    ), mom AS (
+      SELECT a.burst,
+             sum((a2.f - a.f) * (a.fst + a2.fst) / 2.0) AS m0,
+             sum((a2.f - a.f)
+                 * (a.fst * a.f * a.f + a2.fst * a2.f * a2.f) / 2.0) AS m2
+      FROM fst a JOIN fst a2 ON a2.burst = a.burst AND a2.k = a.k + 1
+      GROUP BY a.burst
+    )
+    SELECT g.burst, CAST(g.k AS INTEGER) AS k, CAST(g.d AS INTEGER) AS d,
+           CAST(t.tailind AS DOUBLE) AS tailind,
+           round(CASE WHEN t.tailind IS NULL THEN NULL
+                      WHEN g.k < t.tailind THEN g.dval
+                      ELSE db.dv_ti * pow(g.f / b.f_ti, -4.0)
+                 END, 6) AS dspec_t,
+           round(f.fst, 6) AS fspec_t,
+           round(4.0 * sqrt(m.m0), 6) AS wh_4061,
+           round(sqrt(m.m0 / m.m2), 6) AS wp_4060
+    FROM dgrid g
+    LEFT JOIN ti t USING (burst)
+    LEFT JOIN base b USING (burst)
+    LEFT JOIN dbase db ON db.burst = g.burst AND db.d = g.d
+    LEFT JOIN fst f ON f.burst = g.burst AND f.k = g.k
+    LEFT JOIN mom m ON m.burst = g.burst
+    """,
+)
+def wave_dspec_tail_oracle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANALYTIC ORACLE for the DIWASP post-estimation tail block
+    (VERDICT r11 task #1 — reference core/waves.py:479-527 + 900-909):
+    synthetic 16x6 directional spectra — the `wave_cutoff_tail_oracle`
+    peaked-pxx recipe spread over 6 direction columns with rational
+    weights (d+1)/6 — drive the REAL production kernels
+    (`waves.define_cutoff_np` on the pressure-equivalent integrated
+    spectrum fspec*Kp², `make_tail_np` on the 1-D spectrum,
+    `make_dspec_tail_np` on every direction column, then trapezoid
+    moments m0/m2 -> Hs/Tm of the TAILED spectrum — exactly the
+    `dirspec.make_diwasp_ds` puv/pres flow). Every branch of the J&M
+    cutoff (noise vs fpeak vs Kp>0.1, incl. the no-cutoff NaN case) and
+    the f^-4 splice are closed-form computable in SQL; argmax of the
+    Kp-weighted spectrum is computed honestly (not assumed at the pxx
+    peak) because the Kp ramp can shift it."""
+    ev = load_table(spark, sf_dir, "events")
+    seeds = ev.groupBy(F.date_trunc("day", F.col("ts")).alias("burst")).agg(
+        F.avg("value").alias("seed")
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+        import pandas as pd
+
+        from stglib_spark.operators.waves import (
+            define_cutoff_np,
+            make_dspec_tail_np,
+            make_tail_np,
+        )
+
+        rows = []
+        k = np.arange(16)
+        f = 0.05 * (k + 1)
+        w = (np.arange(6) + 1) / 7.0
+        for _, row in pdf.iterrows():
+            seed = float(row["seed"])
+            p = 4 + int(np.floor(np.fmod(seed, 5)))
+            c = 0.05 + 0.04 * np.floor(np.fmod(seed, 4))
+            fp = 0.05 * (p + 1)
+            # noise floor 0.13 (not the cutoff-oracle's 0.1): at the
+            # peak bin the power ratio is exactly 1 and 30.1 = 7*4.3,
+            # so the /7 weights cancelled into an exact 6dp rounding
+            # boundary; 30.13 is not divisible by 7
+            pxx = np.where(
+                k <= p, 30.0 * (f / fp) ** 2, 30.0 * (fp / f) ** 12
+            ) + 0.13
+            dspec = pxx[:, None] * w[None, :]
+            kp = 1.0 - c * k
+            # analytic non-terminating multiplier — see the oracle's
+            # fsp comment
+            fspec = pxx * (4.0 / 7.0)
+            tailind = define_cutoff_np(f, fspec * kp**2, kp)
+            fst = make_tail_np(f, fspec, tailind)
+            dst = make_dspec_tail_np(f, dspec, tailind)
+            m0 = float(np.trapz(fst, f))
+            m2 = float(np.trapz(fst * f**2, f))
+            wh = 4.0 * np.sqrt(m0) if m0 >= 0 else float("nan")
+            tm = float(np.sqrt(m0 / m2)) if m2 > 0 else float("nan")
+            for i in range(16):
+                for d in range(6):
+                    rows.append(
+                        {
+                            "burst": row["burst"],
+                            "k": int(i),
+                            "d": int(d),
+                            "tailind": float(tailind),
+                            "dspec_t": float(dst[i, d]),
+                            "fspec_t": float(fst[i]),
+                            "wh_4061": wh,
+                            "wp_4060": tm,
+                        }
+                    )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "burst", "k", "d", "tailind",
+                "dspec_t", "fspec_t", "wh_4061", "wp_4060",
+            ],
+        )
+
+    res = seeds.groupBy("burst").applyInPandas(
+        kernel,
+        "burst timestamp, k int, d int, tailind double, "
+        "dspec_t double, fspec_t double, wh_4061 double, wp_4060 double",
+    )
+
+    def _nn(c):
+        col = F.col(c)
+        return F.when(~F.isnan(col), _r6(col)).alias(c)
+
+    return res.select(
+        "burst",
+        "k",
+        "d",
+        F.when(~F.isnan(F.col("tailind")), F.col("tailind")).alias("tailind"),
+        _nn("dspec_t"),
+        _nn("fspec_t"),
+        _nn("wh_4061"),
+        _nn("wp_4060"),
+    )
+
+
+@register(
     "sonar_xy_linear_oracle",
     """
     WITH ax AS (SELECT -10.0 + 2.5 * i AS v FROM generate_series(0, 8) t(i)),
@@ -11368,6 +11565,22 @@ def _diwasp_oracle_sql(
     )
     dxq_rows = ",\n      ".join(f"({q},{r(dxq[q])})" for q in range(11))
     dfo_rows = ",\n      ".join(f"({o},{r(dfo[o])})" for o in range(7))
+    # post-estimation tail (core/waves.py:479-527): the fixture pins
+    # wave_fcut = 0.6, so tailind = searchsorted(f_out, 0.6) and the
+    # f^-4 ratios off the base row are PLAN-TIME literals computed with
+    # the same numpy expression the kernel runs (make_tail_np /
+    # make_dspec_tail_np scale by (f/f_ti)^-4 from row ti)
+    fcut = 0.6
+    ti = int(_np.searchsorted(f_out, fcut))
+    tfac = (f_out[ti:] / f_out[ti]) ** -4.0
+    tail_rows = ",\n      ".join(
+        f"({ti + j},{r(float(tfac[j]))})" for j in range(len(tfac))
+    )
+    ofreq_rows = ",\n      ".join(
+        f"({o},{r(float(f_out[o]))},{r(float(f_out[o] ** 2))},"
+        f"{r(float(1.0 / f_out[o]))})"
+        for o in range(8)
+    )
 
     def TANH(x):
         return f"(1.0 - 2.0/(exp(2.0*({x})) + 1.0))"
@@ -11414,7 +11627,7 @@ def _diwasp_oracle_sql(
       WHERE x.k <= 7
       GROUP BY x.b, x.k, t.d, t.dideg),
     nrm AS (SELECT b, k, {r(ddir)} * sum(sf) AS norm FROM sfj GROUP BY b, k),
-    s1 AS (
+    s1 AS MATERIALIZED (
       SELECT j.b, j.k, j.d, j.dideg,
         CASE WHEN raw IS NULL OR isnan(raw) OR raw < 0 THEN 0.0 ELSE raw END AS s
       FROM (
@@ -11509,7 +11722,7 @@ def _diwasp_oracle_sql(
       SELECT b, k, d, dideg,
         CASE WHEN isfinite(e) AND e >= 0 THEN e ELSE 0.0 END AS er
       FROM is{miter}),
-    s1 AS (
+    s1 AS MATERIALIZED (
       SELECT f.b, f.k, f.d, f.dideg,
         CASE WHEN f.norm > 0 THEN z.s0 * f.er / f.norm ELSE 0.0 END AS s
       FROM (
@@ -11587,12 +11800,9 @@ def _diwasp_oracle_sql(
       FROM xps x JOIN trf t ON t.b = x.b AND t.k = x.k
       WHERE x.m = 0 AND x.n = 0 AND x.k <= 7),
     {est_sql},
-    hsb AS (SELECT b, 4.0 * sqrt(sum(s) * 0.125 * {r(ddir)}) AS hs
-            FROM s1 GROUP BY b),
     fint AS (SELECT b, k, sum(s) * {r(ddir)} AS fi FROM s1 GROUP BY b, k),
     ipk AS (SELECT b, (list(k ORDER BY fi DESC, k))[1] AS kpk
             FROM fint GROUP BY b),
-    tpb AS (SELECT i.b, f.invf AS tp FROM ipk i JOIN freqs f ON f.k = i.kpk),
     dtpb AS (
       SELECT s1.b, (list(s1.dideg ORDER BY s1.s DESC, s1.d))[1] AS dtp
       FROM s1 JOIN ipk ON ipk.b = s1.b AND s1.k = ipk.kpk GROUP BY s1.b),
@@ -11621,10 +11831,48 @@ def _diwasp_oracle_sql(
       JOIN smw w ON g.o BETWEEN 2 AND 5 AND g.q BETWEEN 2 AND 9
       JOIN sgrid nb ON nb.b = g.b AND nb.o = g.o + w.doo AND nb.q = g.q + w.dqq
       GROUP BY g.b, g.o, g.q),
-    sm AS (
+    sm AS MATERIALIZED (
+      -- MATERIALIZED: referenced by smt/fsp and probe joins — DuckDB
+      -- 1.0 inlines CTEs per reference, re-running the whole spectral
+      -- chain each time (measured 534 s vs 0.2 s at sf0.01)
       SELECT g.b, g.o, g.q, coalesce(a.sval, g.s) AS s
       FROM sgrid g LEFT JOIN smagg a ON a.b=g.b AND a.o=g.o AND a.q=g.q),
     fsp AS (SELECT b, o, sum(s) * {r(dd_out)} AS fs FROM sm GROUP BY b, o),
+    tailf(o, tf) AS (VALUES
+      {tail_rows}),
+    fspt AS (
+      -- make_tail_np bit-faithfully: rows >= tailind replaced by the
+      -- base row scaled by the plan-time (f/f_ti)^-4 literal
+      SELECT g.b, g.o,
+        CASE WHEN g.o < {ti} THEN g.fs ELSE b0.fs * t.tf END AS fs
+      FROM fsp g
+      LEFT JOIN tailf t ON t.o = g.o
+      LEFT JOIN fsp b0 ON b0.b = g.b AND b0.o = {ti}),
+    smt AS (
+      -- make_dspec_tail_np: the same splice per direction column
+      SELECT g.b, g.o, g.q,
+        CASE WHEN g.o < {ti} THEN g.s ELSE b0.s * t.tf END AS s
+      FROM sm g
+      LEFT JOIN tailf t ON t.o = g.o
+      LEFT JOIN sm b0 ON b0.b = g.b AND b0.q = g.q AND b0.o = {ti}),
+    ofreq(o, fo, fo2, invf) AS (VALUES
+      {ofreq_rows}),
+    mom AS (
+      -- trapezoid moments m0/m2 of the TAILED output-grid spectrum
+      -- (core/waves.py:529-535 make_moment)
+      SELECT a.b,
+        sum(x.df * (a.fs + a2.fs) / 2.0) AS m0,
+        sum(x.df * (a.fs * fa.fo2 + a2.fs * fb.fo2) / 2.0) AS m2
+      FROM dfo x
+      JOIN fspt a  ON a.o = x.o
+      JOIN fspt a2 ON a2.b = a.b AND a2.o = x.o + 1
+      JOIN ofreq fa ON fa.o = x.o
+      JOIN ofreq fb ON fb.o = x.o + 1
+      GROUP BY a.b),
+    hst AS (SELECT b, 4.0 * sqrt(m0) AS hs, sqrt(m0 / m2) AS tm FROM mom),
+    tpk AS (SELECT b, (list(o ORDER BY fs DESC, o))[1] AS opk
+            FROM fspt GROUP BY b),
+    tpt AS (SELECT t.b, f.invf AS tp FROM tpk t JOIN ofreq f ON f.o = t.opk),
     odirs(q, cq, sq) AS (VALUES
       {outdir_rows}),
     dxq(q, dx) AS (VALUES
@@ -11636,8 +11884,8 @@ def _diwasp_oracle_sql(
         sum(x.dx * (g.s * od.sq + g2.s * od2.sq) / 2.0) AS iy_s,
         sum(x.dx * (g.s * od.cq + g2.s * od2.cq) / 2.0) AS iy_c
       FROM dxq x
-      JOIN sm g  ON g.q = x.q
-      JOIN sm g2 ON g2.b = g.b AND g2.o = g.o AND g2.q = x.q + 1
+      JOIN smt g  ON g.q = x.q
+      JOIN smt g2 ON g2.b = g.b AND g2.o = g.o AND g2.q = x.q + 1
       JOIN odirs od  ON od.q = x.q
       JOIN odirs od2 ON od2.q = x.q + 1
       GROUP BY g.b, g.o),
@@ -11663,19 +11911,24 @@ def _diwasp_oracle_sql(
            ELSE TIMESTAMP '2021-06-01 01:00:00' END AS burst_time,
       round(h.hs, 6) AS wh_4061,
       round(t.tp, 6) AS wp_peak,
+      round(h.tm, 6) AS wp_4060,
       round(dt.dtp, 6) AS wvdir,
       round(dp.dp, 6) AS dwvdir,
       round(m.dm, 6) AS wd_4062,
       'puv' AS diwasp_type,
       round(f3.fs, 6) AS fspec_3,
+      round(f6.fs, 6) AS fspec_6,
       round(s22.s, 6) AS dspec_2_2,
-      round(s37.s, 6) AS dspec_3_7
-    FROM hsb h
-    JOIN tpb t USING (b) JOIN dtpb dt USING (b) JOIN dpb dp USING (b)
+      round(s37.s, 6) AS dspec_3_7,
+      round(s67.s, 6) AS dspec_6_7
+    FROM hst h
+    JOIN tpt t USING (b) JOIN dtpb dt USING (b) JOIN dpb dp USING (b)
     JOIN mwd m USING (b)
-    JOIN fsp f3 ON f3.b = h.b AND f3.o = 3
-    JOIN sm s22 ON s22.b = h.b AND s22.o = 2 AND s22.q = 2
-    JOIN sm s37 ON s37.b = h.b AND s37.o = 3 AND s37.q = 7
+    JOIN fspt f3 ON f3.b = h.b AND f3.o = 3
+    JOIN fspt f6 ON f6.b = h.b AND f6.o = 6
+    JOIN smt s22 ON s22.b = h.b AND s22.o = 2 AND s22.q = 2
+    JOIN smt s37 ON s37.b = h.b AND s37.o = 3 AND s37.q = 7
+    JOIN smt s67 ON s67.b = h.b AND s67.o = 6 AND s67.q = 7
     ORDER BY burst_time
     """
 
@@ -11728,6 +11981,11 @@ def _diwasp_e2e_run(
         "diwasp_dres": 12,
         "diwasp_nfreqs": 8,
         "diwasp_ndirs": 12,
+        # pins the post-estimation tail branch ON with a deterministic
+        # cutoff index (searchsorted(f_out, 0.6) = 5): the puv chain
+        # splices the f^-4 tail into fspec AND dspec, then recomputes
+        # Hs/Tp/Tm from moments of the tailed spectrum
+        "wave_fcut": 0.6,
     }
     if miter is not None:
         config["diwasp_iter"] = miter
@@ -11737,13 +11995,16 @@ def _diwasp_e2e_run(
         "burst_time",
         _r6("wh_4061").alias("wh_4061"),
         _r6("wp_peak").alias("wp_peak"),
+        _r6("wp_4060").alias("wp_4060"),
         _r6("wvdir").alias("wvdir"),
         _r6("dwvdir").alias("dwvdir"),
         _r6("wd_4062").alias("wd_4062"),
         "diwasp_type",
         _r6(F.col("diwasp_fspec").getItem(3)).alias("fspec_3"),
+        _r6(F.col("diwasp_fspec").getItem(6)).alias("fspec_6"),
         _r6(F.col("diwasp_dspec").getItem(2).getItem(2)).alias("dspec_2_2"),
         _r6(F.col("diwasp_dspec").getItem(3).getItem(7)).alias("dspec_3_7"),
+        _r6(F.col("diwasp_dspec").getItem(6).getItem(7)).alias("dspec_6_7"),
     )
 
 
@@ -11757,7 +12018,12 @@ def e2e_diwasp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage — `_burst_keyed` → `make_diwasp_ds`'s per-burst
     `applyInPandas` → the full `functions.diwasp.dirspec` chain
     (detrend → Welch CSD → Newton dispersion → transfer functions →
-    DFTM estimator → regrid → 5×5 smoothing → infospec) → diwasp
+    DFTM estimator → regrid → 5×5 smoothing → infospec) → the
+    POST-ESTIMATION TAIL block (reference core/waves.py:479-527:
+    wave_fcut=0.6 pins tailind=5, the f⁻⁴ splice lands in fspec AND
+    every dspec column via make_tail/make_dspec_tail, and Hs/Tp/Tm
+    recompute from trapezoid moments of the TAILED output-grid
+    spectrum — hashed via wh_4061/wp_4060/fspec_6/dspec_6_7) → diwasp
     parquet zone — and RE-READ the zone. DuckDB replays every stage
     numerically (see `_diwasp_oracle_sql`). DFTM keeps the replay
     deterministic (no iteration-count coupling beyond the dispersion
@@ -11787,7 +12053,9 @@ def e2e_diwasp_imlm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     zone → `_burst_keyed` → `make_diwasp_ds` per-burst `applyInPandas`
     → detrend → Welch CSD → Newton dispersion → transfer functions →
     IMLM (inverse-CSD seed + 5 relaxed iterations, `diwasp_iter: 5`) →
-    regrid → 5×5 smoothing → infospec → diwasp parquet zone, re-read
+    regrid → 5×5 smoothing → infospec → the post-estimation cutoff +
+    f⁻⁴ tail (wave_fcut=0.6, same replay as the DFTM row) → diwasp
+    parquet zone, re-read
     and hashed. The DuckDB oracle replays the full chain numerically;
     the IMLM block runs in real arithmetic (kx = 0 makes the transfer
     tensor real-symmetric, so Hermitian imaginary parts cancel in every

@@ -149,3 +149,154 @@ def test_smoothspec_kernel_semantics():
     S2[4, 4] = 1.0
     out2 = smoothspec(S2)
     assert np.isfinite(out2[2:-2, 2:-2]).all()
+
+
+def test_make_dspec_tail_np_matches_per_column_make_tail():
+    """make_dspec_tail (core/waves.py:900-909) is make_tail applied to
+    each direction column; the vectorized kernel must match exactly,
+    and NaN tailind must NaN the whole spectrum (the reference's
+    no-valid-cutoff branch)."""
+    from stglib_spark.operators.waves import make_dspec_tail_np, make_tail_np
+
+    rng = np.random.RandomState(7)
+    f = np.linspace(0.1, 1.0, 10)
+    dspec = rng.rand(10, 6)
+    ti = 4.0
+    out = make_dspec_tail_np(f, dspec, ti)
+    for d in range(6):
+        np.testing.assert_allclose(out[:, d], make_tail_np(f, dspec[:, d], ti))
+    # below the cutoff untouched; above it the f^-4 splice off row ti
+    np.testing.assert_array_equal(out[:4], dspec[:4])
+    np.testing.assert_allclose(out[7, 2], dspec[4, 2] * (f[7] / f[4]) ** -4)
+    assert np.isnan(make_dspec_tail_np(f, dspec, float("nan"))).all()
+
+
+def _diwasp_burst_df(spark, with_ast=None, n=512, fs=2.0, h=10.0, zp=0.5,
+                     T=8.0, a=0.5, theta_deg=60.0, n_bursts=1):
+    """Monochromatic linear-wave PUV burst(s) as a Spark DataFrame in
+    make_diwasp_ds's input shape; optional per-burst AST column
+    (with_ast: list of 'clean'|'nan' per burst)."""
+    import pandas as pd
+
+    t = np.arange(n) / fs
+    om = 2 * np.pi / T
+    k = wavenumber(np.array([om]), np.array([h]))[0]
+    th = np.radians(theta_deg)
+    frames = []
+    for b in range(n_bursts):
+        eta = a * np.cos(om * t + 0.3 * b)
+        p = (h - zp) + eta * np.cosh(k * zp) / np.cosh(k * h)
+        uamp = a * om * np.cosh(k * 1.0) / np.sinh(k * h)
+        u = uamp * np.cos(om * t + 0.3 * b) * np.cos(th)
+        v = uamp * np.cos(om * t + 0.3 * b) * np.sin(th)
+        pdf = pd.DataFrame(
+            {
+                "burst_time": pd.Timestamp("2024-03-01") + pd.Timedelta(hours=b),
+                "sample": np.arange(n),
+                "P_1ac": p,
+                "u_1205": u,
+                "v_1206": v,
+            }
+        )
+        if with_ast is not None:
+            ast = h - zp + eta
+            if with_ast[b] == "nan":
+                ast[5] = np.nan
+            pdf["brange"] = ast
+        frames.append(pdf)
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def test_make_diwasp_ds_tail_branch(spark):
+    """The pres/puv DIWASP chain must apply the post-estimation cutoff +
+    f^-4 tail (reference core/waves.py:479-527): above the wave_fcut
+    index the 1-D spectrum follows the canonical rolloff, every
+    direction column of the dspec is the scaled base row, and
+    Hs/Tp/Tm recompute from moments of the TAILED spectrum."""
+    from stglib_spark.operators.dirspec import make_diwasp_ds
+
+    # output grid must RESOLVE the internal estimation grid (nfreqs ≥
+    # nfft/2) or the reference's output-grid moments inflate on narrow
+    # spectra — the interpspec >2% Hs-drift warning in the reference
+    cfg = {
+        "sample_interval": 0.5,
+        "pressure_sensor_height": 0.5,
+        "diwasp": "puv",
+        "diwasp_method": "DFTM",
+        "diwasp_nfft": 64,
+        "diwasp_dres": 36,
+        "diwasp_nfreqs": 32,
+        "diwasp_ndirs": 12,
+    }
+    df = _diwasp_burst_df(spark)
+    row_auto = make_diwasp_ds(df, cfg).collect()[0]
+    row_cut = make_diwasp_ds(df, {**cfg, "wave_fcut": 0.5}).collect()[0]
+
+    f = np.asarray(row_cut["diwasp_frequency"])
+    fspec = np.asarray(row_cut["diwasp_fspec"])
+    dspec = np.asarray(row_cut["diwasp_dspec"])
+    ti = int(np.searchsorted(f, 0.5))
+    # f^-4 splice in the 1-D spectrum and in every direction column
+    np.testing.assert_allclose(
+        fspec[ti:], fspec[ti] * (f[ti:] / f[ti]) ** -4, rtol=1e-12
+    )
+    for j in range(ti, len(f)):
+        np.testing.assert_allclose(
+            dspec[j], dspec[ti] * (f[j] / f[ti]) ** -4, rtol=1e-12
+        )
+    # stats from moments of the TAILED output-grid spectrum
+    m0 = np.trapz(fspec, f)
+    m2 = np.trapz(fspec * f**2, f)
+    assert row_cut["wh_4061"] == pytest.approx(4 * np.sqrt(m0), rel=1e-12)
+    assert row_cut["wp_4060"] == pytest.approx(np.sqrt(m0 / m2), rel=1e-12)
+    assert row_cut["wp_peak"] == pytest.approx(
+        1.0 / f[int(np.argmax(fspec))], rel=1e-12
+    )
+    # physics: the monochromatic Hs stays near 4·sqrt(a^2/2)
+    assert row_cut["wh_4061"] == pytest.approx(4 * np.sqrt(0.5**2 / 2), rel=0.15)
+    # the auto-cutoff (J&M) branch also runs without user fcut and
+    # either tails or rejects — it must not crash and must keep Tp
+    assert row_auto["wp_peak"] == pytest.approx(8.0, rel=0.2)
+
+
+def test_make_diwasp_ds_optimized_nd(spark):
+    """optimized-nd input selection (reference core/waves.py:433-445):
+    per burst, elevation when the AST trace is clean, pressure when it
+    carries NaNs — recorded in diwasp_type; the pres-selected burst
+    additionally rides the tail branch."""
+    from stglib_spark.operators.dirspec import make_diwasp_ds
+
+    cfg = {
+        "sample_interval": 0.5,
+        "pressure_sensor_height": 0.5,
+        "diwasp": "optimized-nd",
+        "diwasp_method": "DFTM",
+        "diwasp_nfft": 64,
+        "diwasp_dres": 36,
+        "diwasp_nfreqs": 32,
+        "diwasp_ndirs": 12,
+        "wave_fcut": 0.5,
+    }
+    df = _diwasp_burst_df(spark, with_ast=["clean", "nan"], n_bursts=2)
+    rows = {
+        r["diwasp_type"]: r
+        for r in make_diwasp_ds(df, cfg, ast_col="brange")
+        .orderBy("burst_time")
+        .collect()
+    }
+    assert set(rows) == {"elev", "pres"}
+    # the pres burst got the tail; the elev burst did not
+    f = np.asarray(rows["pres"]["diwasp_frequency"])
+    fs_p = np.asarray(rows["pres"]["diwasp_fspec"])
+    ti = int(np.searchsorted(f, 0.5))
+    np.testing.assert_allclose(
+        fs_p[ti:], fs_p[ti] * (f[ti:] / f[ti]) ** -4, rtol=1e-12
+    )
+    fs_e = np.asarray(rows["elev"]["diwasp_fspec"])
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = fs_e[ti + 1 :] / (fs_e[ti] * (f[ti + 1 :] / f[ti]) ** -4)
+    assert not np.allclose(ratio, 1.0)
+    # both recover the monochromatic wave
+    for r in rows.values():
+        assert r["wp_peak"] == pytest.approx(8.0, rel=0.2)
+        assert r["wh_4061"] == pytest.approx(4 * np.sqrt(0.5**2 / 2), rel=0.2)
