@@ -604,7 +604,13 @@ def run_diwasp(spark: SparkSession, config: dict[str, Any]) -> str:
         for c in ("u_1205", "v_1206"):
             if c not in df.columns:
                 df = df.withColumn(c, F.lit(0.0))
-    out = dirspec.make_diwasp_ds(df, config, pressure_col=pcol)
+    # optimized / optimized-nd per-burst input selection reads the AST
+    # trace when the clean zone carries one (reference core/waves.py:
+    # 339-346 ds["brangeAST"])
+    acol = next(
+        (c for c in ("brangeAST", "brange") if c in df.columns), None
+    )
+    out = dirspec.make_diwasp_ds(df, config, pressure_col=pcol, ast_col=acol)
     history.insert_history(
         f"Computed DIWASP directional spectra "
         f"({config.get('diwasp_method', 'IMLM')} estimator)."

@@ -11483,6 +11483,7 @@ def _diwasp_oracle_sql(
     method: str = "DFTM",
     miter: int = 5,
     mods: tuple = ((16, 8), (16, 8), (16, 8)),
+    nd: bool = False,
 ) -> str:
     """Generate the DuckDB replay of the FULL run_diwasp stage on a
     crafted 2-burst PUV corpus (VERDICT r8 task #5 — retires the last
@@ -11514,7 +11515,16 @@ def _diwasp_oracle_sql(
     on the INTERNAL grid (hs/tp/dtp/dp) + mean direction by double
     trapezoid on the smoothed output grid. Every grid/window constant
     is computed in Python with the same numpy ops and embedded as a
-    repr'd literal, so only data-dependent arithmetic replays in SQL."""
+    repr'd literal, so only data-dependent arithmetic replays in SQL.
+
+    ``nd=True`` (VERDICT r11 task #3) replays the OPTIMIZED-ND variant
+    (reference core/waves.py:433-445): a single-sensor corpus where
+    burst 0 carries a clean AST trace (→ ``elev``, transfer gain 1, no
+    tail, internal-grid infospec stats) and burst 1 a NaN-poisoned one
+    (→ ``pres``, Kp transfer with the 0.1 floor, post-estimation f^-4
+    tail + tailed-moment stats). With one sensor the DFTM contraction
+    collapses to s0(f)/(2π) — uniform in direction — so the whole
+    directional pipeline stays exactly replayable."""
     import numpy as _np
 
     r = repr
@@ -11731,10 +11741,65 @@ def _diwasp_oracle_sql(
       JOIN ss0 z USING (b, k))""")
         est_sql = ",\n    ".join(imlm_ctes)
 
-    return f"""
-    WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
-    bs AS (SELECT unnest(generate_series(0, 1)) AS b),
-    samples AS (
+    if nd:
+        # single-sensor DFTM: ht = t0*(t0*1) then xps*ht (the einsum
+        # product order), e/norm division BEFORE the s0 multiply —
+        # replaying functions/diwasp.py dftm() op for op
+        est_sql = f"""sfj AS (
+      SELECT x.b, x.k, t.d, t.dideg, x.re * (t.t0 * t.t0) AS sf
+      FROM xps x JOIN trmt t ON t.b = x.b AND t.k = x.k
+      WHERE x.m = 0 AND x.n = 0 AND x.k <= 7),
+    nrm AS (SELECT b, k, {{r(ddir)}} * sum(sf) AS norm FROM sfj GROUP BY b, k),
+    s1 AS MATERIALIZED (
+      SELECT j.b, j.k, j.d, j.dideg,
+        CASE WHEN raw IS NULL OR isnan(raw) OR raw < 0 THEN 0.0 ELSE raw END AS s
+      FROM (
+        SELECT j.b, j.k, j.d, j.dideg,
+          CASE WHEN n.norm <> 0 THEN z.s0 * (j.sf / n.norm) ELSE 0.0 END AS raw
+        FROM sfj j JOIN nrm n USING (b, k) JOIN ss0 z USING (b, k)) j)"""
+        est_sql = est_sql.replace("{r(ddir)}", r(ddir))
+
+    if nd:
+        samples_chan = f"""samples AS (
+      SELECT b, i,
+        10.0 + (((7*i + 13*b) % {mods[0][0]}) - {mods[0][1]}) / 64.0 AS p,
+        CASE WHEN b = 1 AND i = 5 THEN NULL
+             ELSE 10.0 + (((5*i + 3*b + 4) % {mods[1][0]})
+                          - {mods[1][1]}) / 64.0 END AS a
+      FROM bs, idx),
+    chan AS (
+      -- optimized-nd selection is fixture-determined: burst 0's AST is
+      -- clean (elev), burst 1's carries a NaN (pres)
+      SELECT b, i, 0 AS m, CASE WHEN b = 0 THEN a ELSE p END AS x
+      FROM samples),"""
+        trmt_ss0 = """trmt AS (
+      SELECT t.b, t.k, dd.d, dd.dideg,
+             CASE WHEN t.b = 0 THEN 1.0 ELSE t.kzp END AS t0
+      FROM trf t, dirs dd),
+    ss0 AS (
+      SELECT x.b, x.k,
+        x.re / ((CASE WHEN x.b = 0 THEN 1.0 ELSE t.kzp END)
+              * (CASE WHEN x.b = 0 THEN 1.0 ELSE t.kzp END)) AS s0
+      FROM xps x JOIN trf t ON t.b = x.b AND t.k = x.k
+      WHERE x.m = 0 AND x.n = 0 AND x.k <= 7),"""
+        fs_tail_case = (
+            f"CASE WHEN g.b = 0 OR g.o < {ti} THEN g.fs "
+            f"ELSE b0.fs * t.tf END"
+        )
+        s_tail_case = (
+            f"CASE WHEN g.b = 0 OR g.o < {ti} THEN g.s "
+            f"ELSE b0.s * t.tf END"
+        )
+        stat_ctes = f"""hsi AS (SELECT b, 4.0 * sqrt(sum(s) * 0.125 * {r(ddir)}) AS hs
+           FROM s1 GROUP BY b),
+    tpi AS (SELECT i.b, f.invf AS tp FROM ipk i JOIN freqs f ON f.k = i.kpk),
+    """
+        wh_expr = "CASE WHEN h.b = 0 THEN hi.hs ELSE h.hs END"
+        tp_expr = "CASE WHEN h.b = 0 THEN ti2.tp ELSE t.tp END"
+        dtype_expr = "CASE WHEN h.b = 0 THEN 'elev' ELSE 'pres' END"
+        extra_joins = "JOIN hsi hi USING (b) JOIN tpi ti2 USING (b)\n    "
+    else:
+        samples_chan = f"""samples AS (
       SELECT b, i,
         10.0 + (((7*i + 13*b) % {mods[0][0]}) - {mods[0][1]}) / 64.0 AS p,
         (((5*i + 3*b + 4) % {mods[1][0]}) - {mods[1][1]}) / 64.0 AS u,
@@ -11743,7 +11808,28 @@ def _diwasp_oracle_sql(
     chan AS (
       SELECT b, i, 0 AS m, p AS x FROM samples
       UNION ALL SELECT b, i, 1, u FROM samples
-      UNION ALL SELECT b, i, 2, v FROM samples),
+      UNION ALL SELECT b, i, 2, v FROM samples),"""
+        trmt_ss0 = """trmt AS (
+      SELECT t.b, t.k, dd.d, dd.dideg,
+             t.kzp AS t0, t.omega * t.kzv * dd.cosd AS t1,
+             t.omega * t.kzv * dd.sind AS t2
+      FROM trf t, dirs dd),
+    ss0 AS (
+      SELECT x.b, x.k, x.re / (t.kzp * t.kzp) AS s0
+      FROM xps x JOIN trf t ON t.b = x.b AND t.k = x.k
+      WHERE x.m = 0 AND x.n = 0 AND x.k <= 7),"""
+        fs_tail_case = f"CASE WHEN g.o < {ti} THEN g.fs ELSE b0.fs * t.tf END"
+        s_tail_case = f"CASE WHEN g.o < {ti} THEN g.s ELSE b0.s * t.tf END"
+        stat_ctes = ""
+        wh_expr = "h.hs"
+        tp_expr = "t.tp"
+        dtype_expr = "'puv'"
+        extra_joins = ""
+
+    return f"""
+    WITH idx AS (SELECT unnest(generate_series(0, 63)) AS i),
+    bs AS (SELECT unnest(generate_series(0, 1)) AS b),
+    {samples_chan}
     fit AS (
       SELECT b, m, (sum(i*x) - 31.5*sum(x)) / 21840.0 AS slope,
              sum(x)/64.0 AS mu
@@ -11790,15 +11876,7 @@ def _diwasp_oracle_sql(
                {COSH(f'{r(zp)}*wn')} / {SINH('depth*wn')} AS kzv_raw
         FROM wns) w JOIN freqs f USING (k)
       WHERE w.k <= 7),
-    trmt AS (
-      SELECT t.b, t.k, dd.d, dd.dideg,
-             t.kzp AS t0, t.omega * t.kzv * dd.cosd AS t1,
-             t.omega * t.kzv * dd.sind AS t2
-      FROM trf t, dirs dd),
-    ss0 AS (
-      SELECT x.b, x.k, x.re / (t.kzp * t.kzp) AS s0
-      FROM xps x JOIN trf t ON t.b = x.b AND t.k = x.k
-      WHERE x.m = 0 AND x.n = 0 AND x.k <= 7),
+    {trmt_ss0}
     {est_sql},
     fint AS (SELECT b, k, sum(s) * {r(ddir)} AS fi FROM s1 GROUP BY b, k),
     ipk AS (SELECT b, (list(k ORDER BY fi DESC, k))[1] AS kpk
@@ -11844,14 +11922,14 @@ def _diwasp_oracle_sql(
       -- make_tail_np bit-faithfully: rows >= tailind replaced by the
       -- base row scaled by the plan-time (f/f_ti)^-4 literal
       SELECT g.b, g.o,
-        CASE WHEN g.o < {ti} THEN g.fs ELSE b0.fs * t.tf END AS fs
+        {fs_tail_case} AS fs
       FROM fsp g
       LEFT JOIN tailf t ON t.o = g.o
       LEFT JOIN fsp b0 ON b0.b = g.b AND b0.o = {ti}),
     smt AS (
       -- make_dspec_tail_np: the same splice per direction column
       SELECT g.b, g.o, g.q,
-        CASE WHEN g.o < {ti} THEN g.s ELSE b0.s * t.tf END AS s
+        {s_tail_case} AS s
       FROM sm g
       LEFT JOIN tailf t ON t.o = g.o
       LEFT JOIN sm b0 ON b0.b = g.b AND b0.q = g.q AND b0.o = {ti}),
@@ -11869,7 +11947,7 @@ def _diwasp_oracle_sql(
       JOIN ofreq fa ON fa.o = x.o
       JOIN ofreq fb ON fb.o = x.o + 1
       GROUP BY a.b),
-    hst AS (SELECT b, 4.0 * sqrt(m0) AS hs, sqrt(m0 / m2) AS tm FROM mom),
+    {stat_ctes}hst AS (SELECT b, 4.0 * sqrt(m0) AS hs, sqrt(m0 / m2) AS tm FROM mom),
     tpk AS (SELECT b, (list(o ORDER BY fs DESC, o))[1] AS opk
             FROM fspt GROUP BY b),
     tpt AS (SELECT t.b, f.invf AS tp FROM tpk t JOIN ofreq f ON f.o = t.opk),
@@ -11909,13 +11987,13 @@ def _diwasp_oracle_sql(
     SELECT
       CASE WHEN h.b = 0 THEN TIMESTAMP '2021-06-01 00:00:00'
            ELSE TIMESTAMP '2021-06-01 01:00:00' END AS burst_time,
-      round(h.hs, 6) AS wh_4061,
-      round(t.tp, 6) AS wp_peak,
+      round({wh_expr}, 6) AS wh_4061,
+      round({tp_expr}, 6) AS wp_peak,
       round(h.tm, 6) AS wp_4060,
       round(dt.dtp, 6) AS wvdir,
       round(dp.dp, 6) AS dwvdir,
       round(m.dm, 6) AS wd_4062,
-      'puv' AS diwasp_type,
+      {dtype_expr} AS diwasp_type,
       round(f3.fs, 6) AS fspec_3,
       round(f6.fs, 6) AS fspec_6,
       round(s22.s, 6) AS dspec_2_2,
@@ -11923,7 +12001,7 @@ def _diwasp_oracle_sql(
       round(s67.s, 6) AS dspec_6_7
     FROM hst h
     JOIN tpt t USING (b) JOIN dtpb dt USING (b) JOIN dpb dp USING (b)
-    JOIN mwd m USING (b)
+    {extra_joins}JOIN mwd m USING (b)
     JOIN fspt f3 ON f3.b = h.b AND f3.o = 3
     JOIN fspt f6 ON f6.b = h.b AND f6.o = 6
     JOIN smt s22 ON s22.b = h.b AND s22.o = 2 AND s22.q = 2
@@ -11939,6 +12017,7 @@ def _diwasp_e2e_run(
     mods: tuple,
     method: str,
     miter: int | None = None,
+    nd: bool = False,
 ) -> DataFrame:
     """Shared fixture builder + stage driver for the diwasp e2e oracles:
     write the crafted 2-burst PUV clean zone (64 samples/burst on exact
@@ -11969,6 +12048,24 @@ def _diwasp_e2e_run(
         ((F.pmod(3 * i + 11 * b + 9, mods[2][0]) - mods[2][1]) / 64.0)
         .alias("v_1206"),
     )
+    if nd:
+        # optimized-nd fixture: burst 0's AST trace is clean (the kernel
+        # selects 'elev'), burst 1's carries one NaN ('pres' + tail)
+        bcol = F.col("burst")
+        clean = clean.withColumn(
+            "brangeAST",
+            F.when(
+                (bcol == 1) & (F.col("sample") == 5),
+                F.lit(None).cast("double"),
+            ).otherwise(
+                F.lit(10.0)
+                + (
+                    F.pmod(5 * F.col("sample") + 3 * bcol + 4, mods[1][0])
+                    - mods[1][1]
+                )
+                / 64.0
+            ),
+        )
     clean.write.mode("overwrite").parquet(os.path.join(d, f"{prefix}_clean"))
     config = {
         "output_dir": d,
@@ -11987,6 +12084,8 @@ def _diwasp_e2e_run(
         # Hs/Tp/Tm from moments of the tailed spectrum
         "wave_fcut": 0.6,
     }
+    if nd:
+        config["diwasp"] = "optimized-nd"
     if miter is not None:
         config["diwasp_iter"] = miter
     zone = pipeline.run_diwasp(spark, config)
@@ -12072,6 +12171,31 @@ def e2e_diwasp_imlm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _diwasp_e2e_run(
         spark, "e2e_diwaspimlm", ((23, 11), (19, 9), (17, 8)), "IMLM",
         miter=5,
+    )
+
+
+@register("e2e_diwasp_nd_roundtrip", _diwasp_oracle_sql(nd=True))
+def e2e_diwasp_nd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END DIWASP STAGE oracle, OPTIMIZED-ND branch (VERDICT r11
+    task #3 — reference core/waves.py:433-445): per-burst
+    non-directional input selection driven through the PRODUCTION
+    `pipeline.run_diwasp` stage. The crafted clean zone carries a
+    brangeAST column — burst 0's trace is clean, so the kernel selects
+    'elev' (transfer gain 1, untailed, internal-grid infospec stats);
+    burst 1's trace has a NaN, so it selects 'pres' (Kp transfer with
+    the 0.1 floor, post-estimation f^-4 tail, Hs/Tp/Tm from tailed
+    output-grid moments). diwasp_type hashes the per-burst selection
+    itself. The DuckDB replay exploits the single-sensor structure:
+    the DFTM contraction collapses to the surface-equivalent
+    auto-spectrum spread uniformly over direction, so regrid /
+    smoothing / tail / moments replay exactly as in the puv rows.
+
+    Scale shape: identical to the other diwasp rows — one shuffle on
+    the burst key, Arrow batches through the kernel, zone parquet
+    bounds lineage."""
+    return _diwasp_e2e_run(
+        spark, "e2e_diwaspnd", ((16, 8), (16, 8), (16, 8)), "DFTM",
+        nd=True,
     )
 
 
