@@ -686,6 +686,10 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     id_col = config.get("doc_id_col", "doc_id")
     text_col = config.get("text_col", "text")
     shingle_n = int(config.get("shingle_n", 3))
+    # verification may gate on a different gram size than the LSH sketch
+    # (e.g. 2-gram MinHash candidates verified by unigram Jaccard);
+    # defaults to the sketch size so the shingle zone is reused
+    verify_n = int(config.get("verify_shingle_n", shingle_n))
     num_hashes = int(config.get("num_hashes", 64))
     bands = int(config.get("bands", 16))
     threshold = float(config.get("jaccard_threshold", 0.0))
@@ -728,13 +732,21 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
     history.insert_history(
         f"MinHash({num_hashes})+LSH({bands} bands) candidate pairs."
     )
-    paths["candidates"] = _write_zone(pairs, config, "candidates", history)
-    cand = spark.read.parquet(paths["candidates"])
+    if config.get("dedup_materialize_candidates", True):
+        paths["candidates"] = _write_zone(pairs, config, "candidates", history)
+        cand = spark.read.parquet(paths["candidates"])
+    else:
+        # a consumer that only needs the VERIFIED pairs (e.g. the
+        # cluster-quality audit) can skip the candidate zone round-trip;
+        # checkpoint so the LSH chain still runs exactly once even when
+        # the verifier's semi-join pulls candidate ids a second time
+        cand = pairs.localCheckpoint()
 
-    if materialize:
+    if materialize and verify_n == shingle_n:
         verify_shingles = sh
     else:
-        # storage-lean path: re-shingle only docs that appear in a pair
+        # storage-lean path (or a verify-gram size differing from the
+        # sketch's): re-shingle only docs that appear in a pair
         cand_ids = (
             cand.select(F.col("doc_a").alias(id_col))
             .union(cand.select(F.col("doc_b").alias(id_col)))
@@ -744,7 +756,7 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
             docs.join(cand_ids, id_col, "left_semi")
         ).select(
             F.col(id_col),
-            dedup_ops.word_shingles(F.col(text_col), shingle_n).alias("shingles"),
+            dedup_ops.word_shingles(F.col(text_col), verify_n).alias("shingles"),
         )
 
     verified = dedup_ops.ngram_jaccard_pairs(
@@ -759,6 +771,23 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
         f"(threshold {threshold})."
     )
     paths["dedup"] = _write_zone(verified, config, "dedup", history)
+    if config.get("dedup_components"):
+        # opt-in components zone: cluster the PERSISTED verified pairs
+        # (read data, not lineage — the FastSV iterations re-read their
+        # input, so clustering the zone avoids re-running the whole
+        # LSH→verify chain per iteration) and keep the (doc_id,
+        # canonical_id) map as its own artifact for downstream audits
+        ver = spark.read.parquet(paths["dedup"])
+        clusters = dedup_ops.duplicate_clusters(
+            ver.select("doc_a", "doc_b"), method="auto"
+        )
+        history.insert_history(
+            "Resolved duplicate clusters (connected components) "
+            "into components zone."
+        )
+        paths["components"] = _write_zone(
+            clusters, config, "components", history
+        )
     return paths
 
 
