@@ -101,14 +101,19 @@ HEADLINE = [
     # new in r11 (late): KMV multiset ops — cross-split union/Jaccard/
     # intersection estimates (two TakeOrdered sketches + a 2k-row merge)
     "corpus_kmv_overlap",
-    # new in r11 (late): cluster-quality audit (rides the full LSH ->
-    # verify -> components chain) and the Good-Turing token spectrum
+    # new in r11 (late): cluster-quality audit (r12: drives run_dedup
+    # and audits its persisted verified-pairs + components zones) and
+    # the Good-Turing token spectrum
     "dedup_cluster_quality",
     "corpus_token_spectrum",
     # new in r11 (late): the acoustic dHash completing the image/video/
     # audio perceptual-hash triple (WAV decode + energy-delta hash in
     # one mapInPandas projection + pigeonhole pairing)
     "mm_audio_phash_neardup",
+    # new in r12: the DIWASP cutoff+tail analytic oracle and the
+    # per-rule QA/QC affected-count audit table
+    "wave_dspec_tail_oracle",
+    "qaqc_notes_audit",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and
@@ -121,6 +126,7 @@ HEADLINE = [
 E2E_STAGE = [
     "e2e_diwasp_roundtrip",
     "e2e_diwasp_imlm_roundtrip",
+    "e2e_diwasp_nd_roundtrip",
     "e2e_sonar_xy_roundtrip",
     "e2e_glx_waves_roundtrip",
     "e2e_pressure_waves_roundtrip",
@@ -204,6 +210,9 @@ def main() -> None:
         "dedup_cluster_quality",
         "corpus_token_spectrum",
         "mm_audio_phash_neardup",
+        # r12 additions
+        "wave_dspec_tail_oracle",
+        "qaqc_notes_audit",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3

@@ -1231,6 +1231,103 @@ def qaqc_diff_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "qaqc_notes_audit",
+    """
+    WITH d AS (
+      SELECT event_id, value,
+             value - lag(value) OVER w AS dprev,
+             lead(value) OVER w - value AS dnext,
+             median(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING)
+               AS med
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT 'value' AS var, 'min' AS rule,
+           CAST(count(*) FILTER (WHERE value IS NOT NULL AND value < 2.0)
+                AS BIGINT) AS affected
+    FROM d
+    UNION ALL
+    SELECT 'value', 'max',
+           CAST(count(*) FILTER (WHERE value IS NOT NULL AND value > 95.0)
+                AS BIGINT)
+    FROM d
+    UNION ALL
+    SELECT 'value', 'med_diff',
+           CAST(count(*) FILTER (WHERE value IS NOT NULL
+                                   AND abs(value - med) > 30.0) AS BIGINT)
+    FROM d
+    UNION ALL
+    SELECT 'value', 'max_blip',
+           CAST(count(*) FILTER (WHERE value IS NOT NULL
+                                   AND dprev > 40.0 AND dnext < -40.0)
+                AS BIGINT)
+    FROM d
+    UNION ALL
+    SELECT 'value', 'maxabs_diff',
+           CAST(count(*) FILTER (WHERE value IS NOT NULL
+                                   AND abs(dprev) >= 60.0) AS BIGINT)
+    FROM d
+    """,
+)
+def qaqc_notes_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-RULE AUDIT TABLE parity (VERDICT r11 task #8 — reference
+    utils.py:1361-1373 insert_note: every applied QA/QC rule appends a
+    per-variable note recording how many cells it affected). Runs the
+    PRODUCTION rule engine (`apply_qaqc(..., keep_audit_cols=True)`,
+    the same audit columns `QaqcResult.audit_counts` reads) over a
+    five-rule config spanning the gate families (value bounds, rolling
+    median, blip, first-difference) and returns the (var, rule,
+    affected_count) table — affected = was-valid-and-newly-nulled,
+    exactly the reference's note count. The counts stay distributed
+    (one map-side-combinable aggregation over all rules at once, then
+    a 1-row→5-row unpivot) — no driver-side dict. This row makes the
+    audit contract regression-proof: a rule whose predicate drifts
+    changes its count and the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    res = qaqc_ops.apply_qaqc(
+        ev,
+        {
+            "value_min": 2.0,
+            "value_max": 95.0,
+            "value_med_diff": (5, 30.0),
+            "value_max_blip": 40.0,
+            "value_maxabs_diff": 60.0,
+        },
+        ["value"],
+        qaqc_ops.SeriesSpec(
+            time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
+        ),
+        keep_audit_cols=True,
+    )
+    aggs = [
+        F.sum(
+            F.when(
+                F.col(f"__was_valid_{i}") & F.col(f"__bad_{i}"), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias(f"__c{i}")
+        for i in range(len(res.rules))
+    ]
+    one = res.df.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r.var).alias("var"),
+                F.lit(r.rule).alias("rule"),
+                F.col(f"__c{i}").alias("affected"),
+            )
+            for i, r in enumerate(res.rules)
+        ]
+    )
+    return (
+        one.select(F.explode(rows).alias("x"))
+        .select("x.var", "x.rule", "x.affected")
+    )
+
+
+@register(
     "qaqc_med_diff",
     """
     WITH m AS (
@@ -13753,96 +13850,83 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # then (b) every query whose last driver row is oldest — rotate, don't
 # re-check only what changed.
 _FRONT = [
-    # --- round 11 policy: window = first 50 entries, driver-graded.
-    # (a) NEW or RE-PLANNED this round first: dedup_winnow_spans (the
-    #     MOSS match-reporting half, VERDICT r10 task #6) plus every
-    #     consumer of the two-center star reduction (commit 23daf0e
-    #     landed AFTER the r10 driver run, so the whole guarded
-    #     candidate-pair family re-grades: dedup LSH/simhash/edit/
-    #     winnow, incremental-near, split-leakage, embedding-neardup,
-    #     and the multimodal phash/media-dedup chain);
-    # (b) the 24 r6-aged rows declared in the r10 registry comment;
-    # (c) 12 oldest r7-aged rows (the similarity/ANN family + filters).
-    # Refresh SLA: 228 queries / 50 slots => no green row older than 4
-    # rounds (5 disciplined windows per full rotation). r12 block = the 32 remaining r7-aged rows
-    # (corpus_budget_sample corpus_build_packs corpus_datacard_v1/v2/v3
-    # corpus_hist_percentiles corpus_kmv_distinct corpus_mixture_allocate
-    # corpus_pack_sequences corpus_redact_pii corpus_token_census
-    # corpus_url_domains filt_filtfilt_oracle filt_iir_recursion_oracle
-    # sim_bucket_centroids sonar_xy_linear_oracle sonar_xy_regrid
-    # src_sg_hex_roundtrip src_son_roundtrip text_bigram_logprob
-    # text_fingerprint text_unigram_logprob ts_dedup_ctrl
-    # ts_sessionize_v1 ts_sessionize_v2 ts_sessionize_v3 ts_sessionize_v4
-    # wave_cutoff_tail_oracle wave_dftm_plane_oracle
-    # wave_elev_stats_oracle wave_psd_welch_oracle
-    # wave_puv_azimuth_oracle) plus sim_ann_lsh_topk, sim_ann_ivf_topk,
-    # sim_cosine_topk, sim_ivf_recall, sim_kmeans_assign,
-    # sim_pq_adc_topk, filt_butterworth_lowpass and
-    # dedup_embedding_grid (displaced from this window's tail by the
-    # eight late-r11 audit/sketch/audio/containment queries) and the
-    # oldest r8 rows
-    # (the src_* vendor roundtrips block) as slots allow.
+    # --- round 12 policy: window = first 50 entries, driver-graded.
+    # (a) NEW or RE-PLANNED this round first: the DIWASP tail tier
+    #     (wave_dspec_tail_oracle NEW; both e2e diwasp stage oracles
+    #     re-pinned with the post-estimation cutoff + f^-4 tail ON;
+    #     e2e_diwasp_nd_roundtrip NEW — optimized-nd input selection),
+    #     qaqc_notes_audit (NEW — per-rule affected-count audit),
+    #     dedup_cluster_quality (re-pointed at the persisted run_dedup
+    #     verified-pairs + components zones), corpus_hll_distinct
+    #     (hll_registers now drops NULL values pre-bucket);
+    # (b) the declared r12 rotation block: all 40 real r7-aged rows
+    #     (the two deliberate-RED hugeint probes stay out — they are
+    #     not green rows, so the green-row SLA does not apply);
+    # (c) the 3 oldest r8 rows as slots allow (src_* vendor family).
+    # Refresh SLA: 232 queries / 50 slots => no green row older than 4
+    # rounds. r13 block = the 43 remaining r8-aged rows: corpus_datacard
+    # corpus_overlap_matrix corpus_simpson_diversity corpus_train_split
+    # dedup_semantic mm_decode_real_png mm_video_frames_real
+    # qaqc_bad_ens_indiv sim_pq_train snk_cf_lint
+    # snk_profile_split_roundtrip text_quality_logreg ts_sessionize and
+    # the src_{abss,aqd,aqdhr,aqdwv,areacomp,argonaut,campbell,eco_ntu,
+    # eofe_point,eofe_profile,exo,glx,hobo,iq,lisst,marotte,mayfly,
+    # microcat,pd0_bt,pd0_vbeam,pd0_waves,qrev,rdi_mat,rdi_sens,sgtid,
+    # sgwb,tcm,troll,trublue,vec}_roundtrip family — plus new-r13
+    # queries first and the oldest r9 rows as slots allow.
     # (a) new/re-planned
-    "dedup_containment",
-    "corpus_ccnet_buckets",
-    "mm_audio_phash_neardup",
-    "corpus_hll_distinct",
-    "corpus_kmv_overlap",
-    "corpus_token_spectrum",
-    "dedup_bloom_gate",
+    "wave_dspec_tail_oracle",
+    "e2e_diwasp_roundtrip",
+    "e2e_diwasp_imlm_roundtrip",
+    "e2e_diwasp_nd_roundtrip",
+    "qaqc_notes_audit",
     "dedup_cluster_quality",
-    "dedup_winnow_spans",
-    "corpus_excise_winnow_spans",
-    "corpus_dsir_weights",
-    "corpus_cms_heavy_hitters",
-    "dedup_lsh_bucket_cap",
-    "dedup_minhash_lsh",
-    "dedup_token_jaccard",
-    "dedup_clusters",
-    "dedup_simhash",
-    "dedup_edit_similarity",
-    "dedup_winnow_candidates",
-    "dedup_incremental_near",
-    "dedup_split_leakage",
-    "sim_embedding_neardup",
-    "mm_phash_neardup",
-    "mm_video_phash_neardup",
-    "e2e_media_dedup_clusters",
-    # (b) r6-aged refresh block
-    "phys_pres2dep_density",
-    "phys_spd2uv",
-    "phys_transfer_function",
-    "phys_troll_salinity",
-    "phys_wind_dir_correct",
-    "phys_z_geometry",
-    "prof_clip_profiles",
-    "prof_ragged_index",
-    "q1_pricing_summary",
-    "q3_top_revenue_orders",
-    "q5_nation_revenue",
-    "qaqc_diff_rules",
-    "qaqc_fliers",
-    "qaqc_mask_expr",
-    "qaqc_med_diff",
-    "qaqc_trim_warmup",
-    "text_tfidf_keywords",
-    "ts_burst_keys",
-    "ts_burst_nan_fill",
-    "ts_dedup",
-    "ts_epic_time_codec",
-    "ts_seagauge_tides",
-    "ts_shift_clock_drift",
-    "vel_vbper_gate",
-    # (c) oldest r7-aged backfill
-    "dedup_exact",
+    "corpus_hll_distinct",
+    # (b) the declared 40-row r7-aged block
+    "corpus_budget_sample",
+    "corpus_build_packs",
+    "corpus_datacard_v1",
+    "corpus_datacard_v2",
+    "corpus_datacard_v3",
+    "corpus_hist_percentiles",
+    "corpus_kmv_distinct",
+    "corpus_mixture_allocate",
+    "corpus_pack_sequences",
+    "corpus_redact_pii",
+    "corpus_token_census",
+    "corpus_url_domains",
     "dedup_embedding_grid",
-    "sim_ann_lsh_topk",
+    "filt_butterworth_lowpass",
+    "filt_filtfilt_oracle",
+    "filt_iir_recursion_oracle",
     "sim_ann_ivf_topk",
+    "sim_ann_lsh_topk",
+    "sim_bucket_centroids",
     "sim_cosine_topk",
     "sim_ivf_recall",
     "sim_kmeans_assign",
     "sim_pq_adc_topk",
-    "filt_butterworth_lowpass",
+    "sonar_xy_linear_oracle",
+    "sonar_xy_regrid",
+    "src_sg_hex_roundtrip",
+    "src_son_roundtrip",
+    "text_bigram_logprob",
+    "text_fingerprint",
+    "text_unigram_logprob",
+    "ts_dedup_ctrl",
+    "ts_sessionize_v1",
+    "ts_sessionize_v2",
+    "ts_sessionize_v3",
+    "ts_sessionize_v4",
+    "wave_cutoff_tail_oracle",
+    "wave_dftm_plane_oracle",
+    "wave_elev_stats_oracle",
+    "wave_psd_welch_oracle",
+    "wave_puv_azimuth_oracle",
+    # (c) oldest r8 backfill
+    "src_rbr_profile_roundtrip",
+    "src_rsk_roundtrip",
+    "src_sig_roundtrip",
 ]
 
 
