@@ -253,7 +253,9 @@ def make_diwasp_ds(
             m0 = float(np.trapz(fspec, f_out))
             m2 = float(np.trapz(fspec * f_out**2, f_out))
             tm = float(np.sqrt(m0 / m2)) if m2 > 0 else float("nan")
-            dm = make_mwd(f_out, res["dirs_deg"], S)
+            # the reference assembler stores diwasp_dm rounded to whole
+            # degrees (core/waves.py:219 np.round(Dm, 0))
+            dm = float(np.round(make_mwd(f_out, res["dirs_deg"], S), 0))
             rows.append(
                 {
                     burst_col: bt,

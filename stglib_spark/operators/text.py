@@ -805,6 +805,20 @@ def canonicalize_url(url: Column) -> Column:
     return out
 
 
+def canonicalize_text(text: Column) -> Column:
+    """Exact-dedup canonical form — `dedup.normalize_text` (lowercase,
+    punctuation→gone, whitespace collapsed; the shared normalization
+    every dedup signal rides) plus DIGIT FOLDING: every unicode digit
+    run collapses to ``0``, so near-identical pages differing only in
+    timestamps, view counts, prices, or version strings map to one key
+    (the Lee et al. 2022 normalize-then-match recipe). Pure regex
+    projection — no UDF, no shuffle; the downstream dedup shuffles
+    only the canonical form's 16-byte md5, never text."""
+    from stglib_spark.operators.dedup import normalize_text
+
+    return F.regexp_replace(normalize_text(text), r"\p{N}+", "0")
+
+
 def tfidf_keywords(
     df: DataFrame,
     top_k: int = 3,

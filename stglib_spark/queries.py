@@ -2282,6 +2282,50 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_canonical_text",
+    f"""
+    WITH c AS (
+      SELECT doc_id,
+             md5(regexp_replace({_NORM_SQL}, '\\p{{N}}+', '0', 'g')) AS ck,
+             md5(text) AS rk
+      FROM documents)
+    SELECT min(doc_id) AS doc_id,
+           CAST(count(*) AS BIGINT) AS dup_count,
+           CAST(count(DISTINCT rk) AS BIGINT) AS n_raw_variants
+    FROM c GROUP BY ck
+    """,
+)
+def dedup_canonical_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form exact dedup (`text.canonicalize_text` — the
+    shared dedup normalization PLUS digit folding, the Lee et al. 2022
+    normalize-then-match step): near-identical pages differing only in
+    timestamps / view counts / version numbers collapse to one key.
+    Returns one row per canonical group: the kept (minimum) doc_id,
+    the group size, and how many RAW text variants the canonicalization
+    merged — n_raw_variants > 1 is exactly the lift over plain
+    `dedup_exact`. Scale shape: one regex projection at scan speed,
+    then a single groupBy shuffle on the canonical md5 (digest-only —
+    text never shuffles); the raw-variant count shuffles a second
+    16-byte digest inside the SAME exchange."""
+    docs = load_table(spark, sf_dir, "documents")
+    ck = F.md5(text_ops.canonicalize_text(F.col("text")))
+    return (
+        docs.select(
+            "doc_id",
+            ck.alias("__ck"),
+            F.md5(F.col("text")).alias("__rk"),
+        )
+        .groupBy("__ck")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+            F.countDistinct("__rk").alias("n_raw_variants"),
+        )
+        .drop("__ck")
+    )
+
+
+@register(
     "dedup_exact",
     f"""
     WITH d AS (SELECT doc_id, md5({_NORM_SQL}) AS digest FROM documents)
@@ -12086,14 +12130,17 @@ def _diwasp_oracle_sql(
       JOIN inner_tr a2 ON a2.b = a.b AND a2.o = x.o + 1
       GROUP BY a.b),
     mwd AS (
+      -- the assembler rounds diwasp_dm to whole degrees
+      -- (core/waves.py:219)
+      SELECT b, round(dm_raw, 0) AS dm FROM (
       SELECT b,
         CASE WHEN cx = 0 THEN (CASE WHEN sx >= 0 THEN 90.0 ELSE 270.0 END)
              WHEN sx > 0 AND cx < 0 THEN 180.0 - degrees(atan(abs(sx/cx)))
              WHEN sx < 0 AND cx < 0 THEN 180.0 + degrees(atan(abs(sx/cx)))
              WHEN sx < 0 AND cx > 0 THEN 360.0 - degrees(atan(abs(sx/cx)))
              ELSE degrees(atan(abs(sx/cx)))
-        END AS dm
-      FROM outer_tr)
+        END AS dm_raw
+      FROM outer_tr))
     SELECT
       CASE WHEN h.b = 0 THEN TIMESTAMP '2021-06-01 00:00:00'
            ELSE TIMESTAMP '2021-06-01 01:00:00' END AS burst_time,
@@ -13923,10 +13970,12 @@ _FRONT = [
     "wave_elev_stats_oracle",
     "wave_psd_welch_oracle",
     "wave_puv_azimuth_oracle",
+    # (a-late) canonical-text dedup (NEW this round — graded now;
+    # src_sig_roundtrip yields its slot and refreshes in the r13 block)
+    "dedup_canonical_text",
     # (c) oldest r8 backfill
     "src_rbr_profile_roundtrip",
     "src_rsk_roundtrip",
-    "src_sig_roundtrip",
 ]
 
 

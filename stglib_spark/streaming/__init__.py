@@ -30,6 +30,7 @@ from stglib_spark.streaming.bursts import (
     streaming_phash_gate,
     streaming_winnow_gate,
     streaming_puv,
+    streaming_qaqc_audit,
     streaming_sessionize,
     streaming_topk_cosine,
     streaming_wave_stats,
@@ -55,6 +56,7 @@ __all__ = [
     "streaming_phash_gate",
     "streaming_winnow_gate",
     "streaming_puv",
+    "streaming_qaqc_audit",
     "streaming_sessionize",
     "streaming_topk_cosine",
     "streaming_wave_stats",

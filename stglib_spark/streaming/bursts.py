@@ -642,12 +642,26 @@ def export_nc_batch_writer(
 
     def _write(batch_df, batch_id: int) -> None:
         # the batch holds only windows the watermark just closed — a
-        # handful of rows; per-window filtering is driver-cheap
+        # handful of rows; per-window filtering is driver-cheap. The
+        # collect is bounded BY CONTRACT (one row per closed burst per
+        # trigger); the cap below turns a contract violation (e.g. a
+        # caller feeding raw samples instead of windowed aggregates)
+        # into a loud error instead of a silent driver OOM + file storm
+        max_windows = 10_000
         wins = [
             r[0]
-            for r in batch_df.select(time_col).distinct().collect()
+            for r in batch_df.select(time_col)
+            .distinct()
+            .limit(max_windows + 1)
+            .collect()
             if r[0] is not None
         ]
+        if len(wins) > max_windows:
+            raise ValueError(
+                f"export_nc_batch_writer: >{max_windows} distinct burst "
+                f"windows in one micro-batch — input is not a "
+                f"watermark-closed windowed aggregate"
+            )
         for w in sorted(wins):
             name = f"{prefix}_{w.strftime('%Y%m%d%H%M%S')}.nc"
             one = batch_df.filter(F.col(time_col) == F.lit(w)).withColumnRenamed(
@@ -659,6 +673,134 @@ def export_nc_batch_writer(
             write_netcdf(one, os.path.join(output_dir, name), attrs=gattrs)
 
     return _write
+
+
+def streaming_qaqc_audit(
+    events: DataFrame,
+    config: dict,
+    value_col: str = "value",
+    series_col: str = "user_id",
+    time_col: str = "ts",
+    order_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of the QA/QC per-rule audit (`qaqc_notes_audit` /
+    `QaqcResult.audit_counts`, reference utils.py:1361-1373 note
+    counts): live cumulative affected-cell counters per (series, rule)
+    over an ingest feed — the table an operator watches to see a gate
+    suddenly start tripping (sensor failure) without re-running the
+    batch audit.
+
+    Supports the rules whose state is BOUNDED per series: the value
+    gates ``<v>_min`` / ``<v>_max`` (stateless) and the first-difference
+    gates ``<v>_maxabs_diff`` / ``<v>_min_diff`` / ``<v>_max_diff``
+    (state = the previous RAW row value carried across micro-batch
+    boundaries, exactly the batch rule's lag). Rules needing lookahead
+    or rolling windows (blip, med_diff) belong to the batch/windowed
+    path. State per series is one double + one counter per rule —
+    constant memory regardless of feed volume.
+
+    Emits cumulative (series, var, rule, affected) rows per trigger;
+    after the stream drains, the last emission per series sums across
+    series to the batch ``apply_qaqc`` audit counts bit for bit (the
+    parity test's contract), provided the feed is in series-time order
+    like the batch window."""
+    import math
+
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    v = value_col
+    rules: list[tuple[str, float]] = []
+    for key in ("min", "max", "min_diff", "max_diff", "maxabs_diff"):
+        if config.get(f"{v}_{key}") is not None:
+            rules.append((key, float(config[f"{v}_{key}"])))
+    if not rules:
+        raise ValueError(f"no supported {v}_* rules in config")
+
+    out_schema = StructType(
+        [
+            StructField(series_col, StringType()),
+            StructField("var", StringType()),
+            StructField("rule", StringType()),
+            StructField("affected", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [
+            StructField("last_val", DoubleType()),
+            StructField("has_prev", LongType()),
+            StructField("counts", ArrayType(LongType())),
+        ]
+    )
+
+    def fold(key, pdf_iter, state):
+        if state.exists:
+            last_val, has_prev, stored = state.get
+            counts = np.asarray(stored, dtype=np.int64)
+        else:
+            last_val, has_prev, counts = math.nan, 0, np.zeros(
+                len(rules), dtype=np.int64
+            )
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([time_col, order_col])
+            vals = pdf[v].to_numpy(dtype=float)
+            if not len(vals):
+                continue
+            prev = np.empty_like(vals)
+            prev[0] = last_val if has_prev else math.nan
+            prev[1:] = vals[:-1]
+            # reference ediff1d(to_begin=0): the series' very first row
+            # has diff 0; later batch heads diff against the carried
+            # previous raw value — identical to the batch window's lag
+            diff = np.where(np.isnan(prev), 0.0, vals - prev)
+            was_valid = ~np.isnan(vals)
+            for i, (rule, t) in enumerate(rules):
+                if rule == "min":
+                    bad = vals < t
+                elif rule == "max":
+                    bad = vals > t
+                elif rule == "min_diff":
+                    bad = diff < t
+                elif rule == "max_diff":
+                    bad = diff > t
+                else:  # maxabs_diff rides the RAW lag (batch rule
+                    # qaqc.py: abs(c - prev) >= t; NaN compares False)
+                    with np.errstate(invalid="ignore"):
+                        bad = np.abs(vals - prev) >= t
+                counts[i] += int(np.sum(was_valid & bad))
+            last_val, has_prev = float(vals[-1]), 1
+        state.update((last_val, has_prev, counts.tolist()))
+        yield pd.DataFrame(
+            {
+                series_col: [key[0]] * len(rules),
+                "var": [v] * len(rules),
+                "rule": [r for r, _ in rules],
+                "affected": pd.array(counts, dtype="int64"),
+            }
+        )
+
+    keyed = events.select(
+        F.col(series_col).cast("string").alias(series_col),
+        F.col(time_col),
+        F.col(order_col),
+        F.col(v).cast("double").alias(v),
+    )
+    return keyed.groupBy(series_col).applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
 
 
 def streaming_content_dedup(

@@ -365,3 +365,34 @@ def test_split_leakage_reports_straddling_neardups(spark):
         assert splits[r["train_doc_id"]] == "train"
         assert r["split"] == splits[r["doc_id"]]
         assert r["jaccard"] >= 0.5
+
+
+def test_canonicalize_text_folds_digits_and_merges_variants(spark):
+    """canonicalize_text = normalize_text + digit folding (Lee et al.
+    2022 normalize-then-match): trivially-reworded copies — case,
+    punctuation, whitespace, and ANY numbers (timestamps, view counts,
+    versions) — must map to one canonical key; genuinely different
+    words must not."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+    from stglib_spark.operators.text import canonicalize_text
+
+    rows = [
+        (1, "Release v2.31 — viewed 1,204 times on 2024-06-01!"),
+        (2, "release   V7.8 viewed 99 times on 1999-01-31"),
+        (3, "Release version viewed many times"),  # words differ -> distinct
+        (4, "第42章 完"),  # unicode digits+letters survive normalization
+        (5, "第9999章 完"),
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = {
+        r["doc_id"]: r["ck"]
+        for r in df.select(
+            "doc_id", canonicalize_text(F.col("text")).alias("ck")
+        ).collect()
+    }
+    # punctuation strips WITHOUT inserting spaces (v2.31 -> v231 -> v0)
+    assert out[1] == out[2] == "release v0 viewed 0 times on 0"
+    assert out[3] != out[1]
+    assert out[4] == out[5] == "第0章 完"

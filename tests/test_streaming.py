@@ -1719,3 +1719,73 @@ def test_streaming_hll_distinct_matches_batch(spark, checkpoint_dir, tmp_path):
     # the small group exercised linear counting, the big one did not
     assert final["small"]["distinct_est"] != float(final["small"]["raw_est"])
     assert final["big"]["distinct_est"] == float(final["big"]["raw_est"])
+
+
+def test_streaming_qaqc_audit_matches_batch(spark, checkpoint_dir, tmp_path):
+    """After the stream drains, the cumulative per-series rule counters
+    summed across series must equal the batch apply_qaqc audit counts
+    bit for bit — including first-differences that SPAN micro-batch
+    boundaries (the carried last-raw-value state)."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators import qaqc as qaqc_ops
+    from stglib_spark.streaming import streaming_qaqc_audit
+
+    t0 = pd.Timestamp("2024-06-01 08:00:00")
+    rows = []
+    for i in range(120):
+        u = f"u{i % 3}"
+        # a sawtooth with occasional spikes so every rule trips somewhere
+        val = float((i * 7) % 100) + (400.0 if i % 37 == 0 else 0.0)
+        rows.append((i, u, val, t0 + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"])
+    d = str(tmp_path / "qaqcauditstream")
+    os.makedirs(d)
+    for j in range(3):
+        spark.createDataFrame(pdf.iloc[j * 40 : (j + 1) * 40]).coalesce(
+            1
+        ).write.parquet(f"{d}/part{j}")
+    schema = spark.read.parquet(f"{d}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    cfg = {"value_min": 5.0, "value_max": 95.0, "value_maxabs_diff": 60.0}
+    out = streaming_qaqc_audit(stream, cfg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qaqcauditstream")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM qaqcauditstream").collect()
+    # cumulative counters: keep the max per (series, rule)
+    final = {}
+    for r in emitted:
+        k = (r["user_id"], r["rule"])
+        final[k] = max(final.get(k, 0), r["affected"])
+    streamed = {}
+    for (u, rule), n in final.items():
+        streamed[rule] = streamed.get(rule, 0) + n
+
+    res = qaqc_ops.apply_qaqc(
+        spark.createDataFrame(pdf),
+        cfg,
+        ["value"],
+        qaqc_ops.SeriesSpec(
+            time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
+        ),
+        keep_audit_cols=True,
+    )
+    batch = {
+        k.split(":")[1]: v for k, v in res.audit_counts().items()
+    }
+    assert streamed == batch
+    assert sum(batch.values()) > 0  # every family really tripped
+    assert all(v > 0 for v in batch.values())
