@@ -110,10 +110,11 @@ HEADLINE = [
     # audio perceptual-hash triple (WAV decode + energy-delta hash in
     # one mapInPandas projection + pigeonhole pairing)
     "mm_audio_phash_neardup",
-    # new in r12: the DIWASP cutoff+tail analytic oracle and the
-    # per-rule QA/QC affected-count audit table
+    # new in r12: the DIWASP cutoff+tail analytic oracle, the per-rule
+    # QA/QC affected-count audit table, and the quality-score ROC-AUC
     "wave_dspec_tail_oracle",
     "qaqc_notes_audit",
+    "corpus_quality_auc",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and
@@ -213,6 +214,7 @@ def main() -> None:
         # r12 additions
         "wave_dspec_tail_oracle",
         "qaqc_notes_audit",
+        "corpus_quality_auc",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3

@@ -917,6 +917,59 @@ def gate_documents(
     )
 
 
+def ranking_auc(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    label_col: str = "keep",
+) -> DataFrame:
+    """Exact ROC-AUC (Mann–Whitney U) of a continuous score against a
+    boolean label, with the standard 0.5 credit for score ties — the
+    curation diagnostic answering "does the soft quality score rank
+    the kept documents above the dropped ones" before a threshold is
+    chosen for a 100 TB filter pass.
+
+    AUC = Σ_s np_s·(2·cumneg_{<s} + nn_s) / (2·n_pos·n_neg), grouping
+    by DISTINCT score: every term is exact integer arithmetic until
+    one final division, so the value replays bit-for-bit in a SQL
+    oracle.
+
+    Scale shape: one map-side-combinable groupBy on the score, then a
+    single-partition cumulative window — but over the per-score
+    AGGREGATE table, whose row count is bounded by the score's 6-dp
+    codomain in [0, 1] (≤ 1e6+1 rows) regardless of corpus size, the
+    same bounded-summary-window argument as the as-of join's bucket
+    carry. Returns one row: (n_pos, n_neg, auc); auc is NULL when
+    either class is empty."""
+    lab = F.col(label_col).cast("int")
+    g = df.groupBy(F.col(score_col).alias("__s")).agg(
+        F.sum(lab).cast("long").alias("__np"),
+        F.sum(1 - lab).cast("long").alias("__nn"),
+    )
+    w = Window.orderBy("__s").rowsBetween(Window.unboundedPreceding, -1)
+    c = g.withColumn(
+        "__cumneg", F.coalesce(F.sum("__nn").over(w), F.lit(0).cast("long"))
+    )
+    agg = c.agg(
+        F.sum("__np").cast("long").alias("n_pos"),
+        F.sum("__nn").cast("long").alias("n_neg"),
+        F.sum(
+            F.col("__np") * (2 * F.col("__cumneg") + F.col("__nn"))
+        ).cast("long").alias("__num"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            F.round(
+                F.col("__num")
+                / (2.0 * F.col("n_pos") * F.col("n_neg")),
+                6,
+            ),
+        ).alias("auc"),
+    )
+
+
 def mixture_allocate(
     df: DataFrame,
     total_budget: int,

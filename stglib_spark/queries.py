@@ -13414,6 +13414,82 @@ def dedup_edit_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_quality_auc",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '[ 	
+
+]+')) END AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[ 	
+
+]+', '', 'g')) AS n_nospace,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter(string_split_regex(lower(trim(text)), '[ 	
+
+]+'),
+                           x -> x IN ('the','and','of','is','to'))) END AS n_stop
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tok > 0 THEN n_nospace / n_tok ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio
+      FROM t
+    ), sc AS (
+      SELECT
+        round(
+          (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+          + least(stop_ratio * 2.5, 0.25), 6) AS s,
+        NOT (n_chars < 50 OR n_chars > 100000
+             OR NOT (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+             OR alpha_ratio < 0.5 OR punct_ratio > 0.2) AS keep
+      FROM r
+    ), g AS (
+      SELECT s,
+             CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS np,
+             CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS nn
+      FROM sc GROUP BY s
+    ), c AS (
+      SELECT np, nn,
+             coalesce(sum(nn) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumneg
+      FROM g
+    )
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CASE WHEN sum(np) > 0 AND sum(nn) > 0
+                THEN round(sum(np * (2 * cumneg + nn))
+                           / (2.0 * sum(np) * sum(nn)), 6) END AS auc
+    FROM c
+    """,
+)
+def corpus_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-CLASSIFIER EVALUATION — exact tie-aware ROC-AUC
+    (`corpus.ranking_auc`, Mann–Whitney U) of the soft composite
+    `quality_score` against the hard Gopher-gate `keep` label: the
+    number a curator checks before trusting the continuous score to
+    threshold a 100 TB filter pass (does the score actually rank
+    gate-kept documents above gate-dropped ones?). Score and label
+    compute in ONE corpus scan (both are pure projections — no join);
+    the AUC itself is exact integer arithmetic over per-score class
+    counts until one final division, replayed bit-for-bit by DuckDB.
+    Scale shape: one groupBy on the 6-dp score (codomain-bounded ≤
+    1e6+1 groups), cumulative window over that bounded aggregate —
+    never over documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    both = corpus_ops.gate_documents(text_ops.quality_score(docs))
+    return corpus_ops.ranking_auc(both, "quality_score", "keep")
+
+
+@register(
     "corpus_quality_funnel",
     r"""
     WITH t AS (
@@ -13970,12 +14046,13 @@ _FRONT = [
     "wave_elev_stats_oracle",
     "wave_psd_welch_oracle",
     "wave_puv_azimuth_oracle",
-    # (a-late) canonical-text dedup (NEW this round — graded now;
-    # src_sig_roundtrip yields its slot and refreshes in the r13 block)
+    # (a-late) canonical-text dedup + quality-score ROC-AUC (NEW this
+    # round — graded now; src_sig/src_rsk yield their slots and
+    # refresh in the r13 block)
     "dedup_canonical_text",
+    "corpus_quality_auc",
     # (c) oldest r8 backfill
     "src_rbr_profile_roundtrip",
-    "src_rsk_roundtrip",
 ]
 
 

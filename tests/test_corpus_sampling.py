@@ -396,3 +396,39 @@ def test_canonicalize_text_folds_digits_and_merges_variants(spark):
     assert out[1] == out[2] == "release v0 viewed 0 times on 0"
     assert out[3] != out[1]
     assert out[4] == out[5] == "第0章 完"
+
+
+def test_ranking_auc_exact_with_ties(spark):
+    """ranking_auc must equal the hand-computed Mann–Whitney AUC with
+    0.5 credit for ties, and NULL out when a class is empty."""
+    import pandas as pd
+
+    from stglib_spark.operators.corpus import ranking_auc
+
+    # scores: pos at {0.9, 0.7, 0.5}, neg at {0.7, 0.3, 0.1}
+    # pairs: 3x3 = 9; concordant: 0.9>{.7,.3,.1}=3, 0.7>{.3,.1}=2,
+    # 0.5>{.3,.1}=2 -> 7; ties: (0.7,0.7) -> 0.5; AUC = 7.5/9
+    rows = [
+        (1, 0.9, True), (2, 0.7, True), (3, 0.5, True),
+        (4, 0.7, False), (5, 0.3, False), (6, 0.1, False),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "score", "keep"])
+    )
+    r = ranking_auc(df, "score", "keep").collect()[0]
+    assert (r["n_pos"], r["n_neg"]) == (3, 3)
+    assert r["auc"] == round(7.5 / 9, 6)
+    # perfect separation -> 1.0
+    perfect = spark.createDataFrame(
+        pd.DataFrame(
+            [(1, 0.9, True), (2, 0.8, True), (3, 0.2, False)],
+            columns=["doc_id", "score", "keep"],
+        )
+    )
+    assert ranking_auc(perfect, "score", "keep").collect()[0]["auc"] == 1.0
+    # one-class input -> NULL auc, not a crash
+    onecls = spark.createDataFrame(
+        pd.DataFrame([(1, 0.9, True), (2, 0.8, True)],
+                     columns=["doc_id", "score", "keep"])
+    )
+    assert ranking_auc(onecls, "score", "keep").collect()[0]["auc"] is None
