@@ -115,6 +115,7 @@ HEADLINE = [
     "wave_dspec_tail_oracle",
     "qaqc_notes_audit",
     "corpus_quality_auc",
+    "corpus_quality_pr_sweep",
 ]
 
 # Stage-composition oracles (VERDICT r8 task #8): timed ONCE each and
@@ -215,6 +216,7 @@ def main() -> None:
         "wave_dspec_tail_oracle",
         "qaqc_notes_audit",
         "corpus_quality_auc",
+        "corpus_quality_pr_sweep",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3

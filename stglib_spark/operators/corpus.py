@@ -970,6 +970,63 @@ def ranking_auc(
     )
 
 
+def threshold_sweep(
+    df: DataFrame,
+    score_col: str = "quality_score",
+    label_col: str = "keep",
+) -> DataFrame:
+    """Precision / recall / F1 at EVERY achievable threshold — the
+    operating-characteristic table behind `ranking_auc`'s single
+    number, read to pick the score cut for a 100 TB filter pass
+    (predict positive when score ≥ threshold; the achievable
+    thresholds are exactly the distinct score values).
+
+    Same scale shape as `ranking_auc`: one map-side-combinable groupBy
+    on the 6-dp score, then cumulative sums over the codomain-bounded
+    (≤ 1e6+1 rows) per-score aggregate ordered descending — never a
+    window over documents. Counts are exact integers; the ratios are
+    single integer/integer divisions, so every row replays bit-for-bit
+    in a SQL oracle."""
+    lab = F.col(label_col).cast("int")
+    g = df.groupBy(F.col(score_col).alias("threshold")).agg(
+        F.sum(lab).cast("long").alias("__np"),
+        F.sum(1 - lab).cast("long").alias("__nn"),
+    )
+    w = (
+        Window.orderBy(F.col("threshold").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    c = g.select(
+        "threshold",
+        F.sum("__np").over(w).alias("tp"),
+        F.sum("__nn").over(w).alias("fp"),
+        (F.sum("__np").over(tot) - F.sum("__np").over(w)).alias("fn"),
+        (F.sum("__nn").over(tot) - F.sum("__nn").over(w)).alias("tn"),
+    )
+    prec = F.col("tp") / (F.col("tp") + F.col("fp"))
+    rec = F.when(
+        F.col("tp") + F.col("fn") > 0,
+        F.col("tp") / (F.col("tp") + F.col("fn")),
+    )
+    f1 = F.when(
+        2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+        2 * F.col("tp") / (2 * F.col("tp") + F.col("fp") + F.col("fn")),
+    )
+    return c.select(
+        "threshold",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.round(prec, 6).alias("precision"),
+        F.round(rec, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
 def mixture_allocate(
     df: DataFrame,
     total_budget: int,

@@ -611,9 +611,23 @@ def run_diwasp(spark: SparkSession, config: dict[str, Any]) -> str:
         (c for c in ("brangeAST", "brange") if c in df.columns), None
     )
     out = dirspec.make_diwasp_ds(df, config, pressure_col=pcol, ast_col=acol)
+    # diwasp_inputs attr parity (core/waves.py:233-245): record what fed
+    # the estimator; per-burst selections land in the diwasp_type column
+    dtype = str(config.get("diwasp", "puv"))
+    inputs = {
+        "optimized": "optimized for ['elev', 'velx', 'vely'] or "
+                     "['pres', 'velx', 'vely']",
+        "optimized-nd": "optimized for ['elev'] or ['pres']",
+        "puv": "['pres', 'velx', 'vely']",
+        "suv": "['elev', 'velx', 'vely']",
+        "pres": "['pres']",
+        "elev": "['elev']",
+    }.get(dtype, dtype)
+    config = {**config, "diwasp_inputs": inputs}
     history.insert_history(
         f"Computed DIWASP directional spectra "
-        f"({config.get('diwasp_method', 'IMLM')} estimator)."
+        f"({config.get('diwasp_method', 'IMLM')} estimator, "
+        f"inputs {inputs})."
     )
     return _write_zone(out, config, "diwasp", history)
 

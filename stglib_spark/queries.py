@@ -13490,6 +13490,86 @@ def corpus_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "corpus_quality_pr_sweep",
+    r"""
+    WITH t AS (
+      SELECT doc_id, text,
+             length(text) AS n_chars,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '[ 	
+
+]+')) END AS n_tok,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+             length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+             length(regexp_replace(text, '[ 	
+
+]+', '', 'g')) AS n_nospace,
+             CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(list_filter(string_split_regex(lower(trim(text)), '[ 	
+
+]+'),
+                           x -> x IN ('the','and','of','is','to'))) END AS n_stop
+      FROM documents
+    ), r AS (
+      SELECT doc_id, n_chars,
+             CASE WHEN n_chars > 0 THEN n_alpha / n_chars ELSE 0.0 END AS alpha_ratio,
+             CASE WHEN n_chars > 0 THEN n_punct / n_chars ELSE 0.0 END AS punct_ratio,
+             CASE WHEN n_tok > 0 THEN n_nospace / n_tok ELSE 0.0 END AS mean_token_len,
+             CASE WHEN n_tok > 0 THEN n_stop / n_tok ELSE 0.0 END AS stop_ratio
+      FROM t
+    ), sc AS (
+      SELECT
+        round(
+          (CASE WHEN n_chars >= 50 AND n_chars <= 100000 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN mean_token_len >= 2.0 AND mean_token_len <= 12.0 THEN 0.25 ELSE 0.0 END)
+          + (CASE WHEN punct_ratio <= 0.2 THEN 0.25 ELSE 0.0 END)
+          + least(stop_ratio * 2.5, 0.25), 6) AS s,
+        NOT (n_chars < 50 OR n_chars > 100000
+             OR NOT (mean_token_len >= 2.0 AND mean_token_len <= 12.0)
+             OR alpha_ratio < 0.5 OR punct_ratio > 0.2) AS keep
+      FROM r
+    ), g AS (
+      SELECT s AS threshold,
+             CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS np,
+             CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS nn
+      FROM sc GROUP BY s
+    ), c AS (
+      SELECT threshold,
+             sum(np) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+             sum(nn) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+             sum(np) OVER () - sum(np) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fn,
+             sum(nn) OVER () - sum(nn) OVER (ORDER BY threshold DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tn
+      FROM g
+    )
+    SELECT threshold,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           round(tp / (tp + fp), 6) AS precision,
+           CASE WHEN tp + fn > 0 THEN round(tp / (tp + fn), 6) END AS recall,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN round(2 * tp / (2 * tp + fp + fn), 6) END AS f1
+    FROM c
+    """,
+)
+def corpus_quality_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPERATING-CHARACTERISTIC TABLE for the quality score
+    (`corpus.threshold_sweep`): precision/recall/F1 at every
+    achievable threshold against the hard Gopher keep label — the
+    table behind `corpus_quality_auc`'s single number, read to choose
+    the score cut before a 100 TB filter pass. Counts are exact
+    integers from cumulative sums over the 6-dp-codomain-bounded
+    per-score aggregate (never a window over documents); each ratio is
+    one integer/integer division, bit-exact in DuckDB."""
+    docs = load_table(spark, sf_dir, "documents")
+    both = corpus_ops.gate_documents(text_ops.quality_score(docs))
+    return corpus_ops.threshold_sweep(both, "quality_score", "keep")
+
+
+@register(
     "corpus_quality_funnel",
     r"""
     WITH t AS (
@@ -14051,9 +14131,10 @@ _FRONT = [
     # refresh in the r13 block)
     "dedup_canonical_text",
     "corpus_quality_auc",
-    # (c) oldest r8 backfill
-    "src_rbr_profile_roundtrip",
+    "corpus_quality_pr_sweep",
 ]
+# (the r8 src_* rows displaced by the late-r12 additions refresh in the
+# declared r13 block along with the rest of the r8-aged family)
 
 
 def _ordered(mapping: dict) -> dict:

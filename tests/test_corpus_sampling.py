@@ -432,3 +432,34 @@ def test_ranking_auc_exact_with_ties(spark):
                      columns=["doc_id", "score", "keep"])
     )
     assert ranking_auc(onecls, "score", "keep").collect()[0]["auc"] is None
+
+
+def test_threshold_sweep_confusion_counts(spark):
+    """threshold_sweep must emit the exact confusion matrix at every
+    distinct score, predicting positive at score >= threshold."""
+    import pandas as pd
+
+    from stglib_spark.operators.corpus import threshold_sweep
+
+    rows = [
+        (1, 0.9, True), (2, 0.7, True), (3, 0.5, True),
+        (4, 0.7, False), (5, 0.3, False), (6, 0.1, False),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "score", "keep"])
+    )
+    out = {r["threshold"]: r for r in threshold_sweep(df, "score", "keep").collect()}
+    assert set(out) == {0.9, 0.7, 0.5, 0.3, 0.1}
+    # at 0.7: predicted positive = {0.9, 0.7, 0.7} -> tp=2 fp=1 fn=1 tn=2
+    r = out[0.7]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (2, 1, 1, 2)
+    assert r["precision"] == round(2 / 3, 6)
+    assert r["recall"] == round(2 / 3, 6)
+    assert r["f1"] == round(2 * 2 / (2 * 2 + 1 + 1), 6)
+    # lowest threshold keeps everything: recall 1, tn 0
+    r = out[0.1]
+    assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (3, 3, 0, 0)
+    assert r["recall"] == 1.0
+    # highest threshold: only the top doc
+    r = out[0.9]
+    assert (r["tp"], r["fp"]) == (1, 0) and r["precision"] == 1.0
