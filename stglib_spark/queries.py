@@ -14066,7 +14066,7 @@ _FRONT = [
     #     (the two deliberate-RED hugeint probes stay out — they are
     #     not green rows, so the green-row SLA does not apply);
     # (c) the 3 oldest r8 rows as slots allow (src_* vendor family).
-    # Refresh SLA: 232 queries / 50 slots => no green row older than 4
+    # Refresh SLA: 235 queries / 50 slots => no green row older than 4
     # rounds. r13 block = the 43 remaining r8-aged rows: corpus_datacard
     # corpus_overlap_matrix corpus_simpson_diversity corpus_train_split
     # dedup_semantic mm_decode_real_png mm_video_frames_real

@@ -671,3 +671,30 @@ def test_kmv_overlap_sides_compile_to_take_ordered(spark):
     hashes (the ADVICE r6 scale bug class)."""
     plan = plan_of(spark, "corpus_kmv_overlap")
     assert count(plan, r"TakeOrderedAndProject") >= 2, plan
+
+
+def test_quality_auc_window_feeds_on_bounded_aggregate(spark):
+    """ranking_auc's cumulative pass is a single-partition window — but
+    it must consume the per-score AGGREGATE (codomain-bounded ≤ 1e6+1
+    rows), never document rows: the plan has exactly one parquet scan
+    (score and label are projections of one pass — no join), and below
+    the SinglePartition exchange sits the hash aggregate on the score
+    key with map-side partial aggregation."""
+    plan = plan_of(spark, "corpus_quality_auc", mode="simple")
+    assert count(plan, r"Scan parquet") == 1, plan
+    assert count(plan, r"SortMergeJoin|BroadcastHashJoin|CartesianProduct") == 0, plan
+    i = plan.find("Exchange SinglePartition")
+    assert i != -1, plan
+    below = plan[i:]
+    assert "HashAggregate" in below and "partial_sum" in below, plan
+
+
+def test_quality_pr_sweep_same_bounded_window_shape(spark):
+    """threshold_sweep shares ranking_auc's scale shape: one scan, no
+    join, cumulative windows over the per-score aggregate only."""
+    plan = plan_of(spark, "corpus_quality_pr_sweep", mode="simple")
+    assert count(plan, r"Scan parquet") == 1, plan
+    assert count(plan, r"SortMergeJoin|BroadcastHashJoin|CartesianProduct") == 0, plan
+    i = plan.find("Exchange SinglePartition")
+    assert i != -1, plan
+    assert "HashAggregate" in plan[i:], plan
