@@ -119,7 +119,17 @@ def make_diwasp_ds(
     miter = int(config.get("diwasp_iter", 50))
     dres = int(config.get("diwasp_dres", 90))
     data_type = str(config.get("diwasp", "puv"))
-    nfreqs = int(config.get("diwasp_nfreqs", 32))
+    # frequency grid (core/waves.py:101-111): an explicit diwasp_freqs
+    # list wins; diwasp_nfreqs keeps this engine's linspace grid; with
+    # NEITHER set the reference default applies per burst — nfreqs =
+    # nfft/2 bins from flo = round(32/burst_duration, 3) up to
+    # fhi = min(2 Hz, Nyquist) on an arange grid
+    freqs_cfg = config.get("diwasp_freqs")
+    freqs_cfg = (
+        np.asarray(freqs_cfg, dtype=float) if freqs_cfg is not None else None
+    )
+    nfreqs_cfg = config.get("diwasp_nfreqs")
+    nfreqs = int(nfreqs_cfg) if nfreqs_cfg is not None else 32
     ndirs = int(config.get("diwasp_ndirs", 36))
     # tail controls (core/waves.py:497-520): explicit user cutoff wins,
     # else the J&M auto-cutoff with the fractional-noise knob
@@ -195,7 +205,25 @@ def make_diwasp_ds(
                 raise ValueError(f"unknown diwasp data type {dtype_used}")
 
             nyq = fs / 2.0
-            freqs_out = np.linspace(nyq / nfreqs, nyq * 0.95, nfreqs)
+            if freqs_cfg is not None:
+                freqs_out = freqs_cfg
+            elif nfreqs_cfg is not None:
+                freqs_out = np.linspace(nyq / nfreqs, nyq * 0.95, nfreqs)
+            else:
+                # reference default grid (core/waves.py:101-111):
+                # per-burst nfft (next pow2 of nsamps/nsegs is the
+                # WELCH chain's rule; the diwasp chain uses the raw
+                # 2^(8+log2(fs)) capped at nsamps like dirspec itself)
+                nsamps = len(p)
+                nf = int(nfft) if nfft else int(
+                    2 ** (8 + np.round(np.log2(fs)))
+                )
+                nf = min(nf, nsamps)
+                nf -= nf % 2
+                nfr = nf / 2
+                flo = float(np.round(1.0 / (nsamps / fs / 32.0), 3))
+                fhi = 2.0 if nyq > 2 else nyq
+                freqs_out = np.arange(flo, fhi, (fhi - flo) / nfr)
             dirs_out = np.arange(0.0, 360.0, 360.0 / ndirs)
             try:
                 res = dirspec(

@@ -300,3 +300,39 @@ def test_make_diwasp_ds_optimized_nd(spark):
     for r in rows.values():
         assert r["wp_peak"] == pytest.approx(8.0, rel=0.2)
         assert r["wh_4061"] == pytest.approx(4 * np.sqrt(0.5**2 / 2), rel=0.2)
+
+
+def test_make_diwasp_ds_reference_default_freq_grid(spark):
+    """With neither diwasp_freqs nor diwasp_nfreqs configured, the
+    output frequency axis must follow the reference default
+    (core/waves.py:101-111): nfft/2 bins on an arange grid from
+    round(32/burst_duration, 3) to min(2 Hz, Nyquist); an explicit
+    diwasp_freqs list must pass through verbatim."""
+    from stglib_spark.operators.dirspec import make_diwasp_ds
+
+    cfg = {
+        "sample_interval": 0.5,  # fs = 2 -> nyq = 1 -> fhi = 1
+        "pressure_sensor_height": 0.5,
+        "diwasp": "puv",
+        "diwasp_method": "DFTM",
+        "diwasp_nfft": 64,
+        "diwasp_dres": 36,
+        "diwasp_ndirs": 12,
+        "wave_fcut": 0.5,
+    }
+    df = _diwasp_burst_df(spark)  # 512 samples at 2 Hz -> 256 s burst
+    f = np.asarray(
+        make_diwasp_ds(df, cfg).collect()[0]["diwasp_frequency"]
+    )
+    nsamps, fs = 512, 2.0
+    flo = float(np.round(1.0 / (nsamps / fs / 32.0), 3))  # 0.125
+    fhi = 1.0
+    expected = np.arange(flo, fhi, (fhi - flo) / 32.0)  # nfft/2 bins
+    np.testing.assert_allclose(f, expected)
+    # explicit grid passes through
+    grid = [0.1, 0.2, 0.3, 0.4]
+    f2 = np.asarray(
+        make_diwasp_ds(df, {**cfg, "diwasp_freqs": grid})
+        .collect()[0]["diwasp_frequency"]
+    )
+    np.testing.assert_allclose(f2, grid)
