@@ -243,6 +243,8 @@ def dirspec(
     dres: int = 180,
     miter: int = 50,
     smooth: bool = True,
+    dunit: str = "naut",
+    xaxisdir: float = 90.0,
 ) -> dict:
     """Full directional-spectrum estimation for one burst
     (dirspec.py:23-189 flow): detrend → csd matrix → wavenumber →
@@ -294,8 +296,23 @@ def dirspec(
     S1 = np.real(S1)
     S1[np.isnan(S1) | (S1 < 0)] = 0.0
 
-    dirs_out_rad = np.radians(dirs_out_deg)
-    S = interp_spectrum(S1, F[ffs], pidirs, freqs_out, dirs_out_rad)
+    # output direction basis (private/spectobasis.py): the reference
+    # DEFAULT axis is NAUTICAL compass degrees with xaxisdir=90 — the
+    # output label D samples the internal cartesian angle
+    # 270 − D − (90 − xaxisdir) degrees, and the density converts to
+    # per-(Hz·degree) via the π/180 Jacobian (interpspec scales by
+    # 1/facout BEFORE dirspec's smoothspec call — same order here).
+    # dunit='cart' keeps this engine's earlier cartesian-radians axis.
+    naut = str(dunit).lower().startswith("nau")
+    if naut:
+        d_eval = np.radians(270.0 - (dirs_out_deg + (90.0 - xaxisdir)))
+        dens = np.pi / 180.0
+    else:
+        d_eval = np.radians(dirs_out_deg)
+        dens = 1.0
+    S = interp_spectrum(S1, F[ffs], pidirs, freqs_out, d_eval)
+    if naut:
+        S = S * dens
     if smooth:
         # reference default EP['smooth']='ON' (core/waves.py:28,
         # dirspec.py:165-168): smooth the REGRIDDED output spectrum
@@ -314,9 +331,25 @@ def dirspec(
     dirs_int_deg = np.degrees(pidirs) % 360.0
     dtp = dirs_int_deg[int(np.argmax(S1[ipk, :]))]
     dp = dirs_int_deg[int(np.argmax(np.sum(S1, axis=0)))]
-    # fspec on the output frequency grid for the assembled dataset
-    dd_out = dirs_out_rad[1] - dirs_out_rad[0] if len(dirs_out_rad) > 1 else 1.0
-    fspec = np.sum(S, axis=1) * dd_out
+    if naut:
+        # internal-grid peak directions converted to the output frame
+        # (D = 180 + xaxisdir − θ mod 360), so every direction output
+        # shares the reference's compass convention
+        dtp = float(np.mod(180.0 + xaxisdir - dtp, 360.0))
+        dp = float(np.mod(180.0 + xaxisdir - dp, 360.0))
+    # fspec on the output frequency grid for the assembled dataset:
+    # trapezoid over the degree axis for the nautical basis (the
+    # reference's Snn = trapezoid(Dnn, x=dirs), core/waves.py:478);
+    # rectangular radian sum for the legacy cartesian basis
+    if naut:
+        fspec = np.trapz(S, dirs_out_deg, axis=1)
+    else:
+        dd_out = (
+            np.radians(dirs_out_deg[1] - dirs_out_deg[0])
+            if len(dirs_out_deg) > 1
+            else 1.0
+        )
+        fspec = np.sum(S, axis=1) * dd_out
     return {
         "S": S,
         "freqs": freqs_out,

@@ -141,6 +141,11 @@ def make_diwasp_ds(
     # reference default EP['smooth']='ON', overridable via diwasp_smooth
     # (core/waves.py:28,54-55)
     smooth = str(config.get("diwasp_smooth", "ON")).upper() == "ON"
+    # output direction basis (core/waves.py:26,48-49 + spectobasis):
+    # reference default NAUTICAL compass degrees, xaxisdir=90;
+    # diwasp_dunit='cart' keeps the legacy cartesian-radians basis
+    dunit = str(config.get("diwasp_dunit", "naut"))
+    xaxisdir = float(config.get("diwasp_xaxisdir", 90.0))
 
     cols = [burst_col, sample_col, pressure_col, u_col, v_col]
     if ast_col:
@@ -239,6 +244,8 @@ def make_diwasp_ds(
                     dres=dres,
                     miter=miter,
                     smooth=smooth,
+                    dunit=dunit,
+                    xaxisdir=xaxisdir,
                 )
             except Exception:
                 continue

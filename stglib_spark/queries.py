@@ -12036,24 +12036,33 @@ def _diwasp_oracle_sql(
     ipk AS (SELECT b, (list(k ORDER BY fi DESC, k))[1] AS kpk
             FROM fint GROUP BY b),
     dtpb AS (
-      SELECT s1.b, (list(s1.dideg ORDER BY s1.s DESC, s1.d))[1] AS dtp
+      -- internal cartesian argmax label converted to the compass frame
+      -- (D = 270 - theta mod 360, xaxisdir=90)
+      SELECT s1.b,
+             fmod(270.0 - (list(s1.dideg ORDER BY s1.s DESC, s1.d))[1]
+                  + 360.0, 360.0) AS dtp
       FROM s1 JOIN ipk ON ipk.b = s1.b AND s1.k = ipk.kpk GROUP BY s1.b),
     dsum AS (SELECT b, d, dideg, sum(s) AS sd FROM s1 GROUP BY b, d, dideg),
-    dpb AS (SELECT b, (list(dideg ORDER BY sd DESC, d))[1] AS dp
+    dpb AS (SELECT b,
+                   fmod(270.0 - (list(dideg ORDER BY sd DESC, d))[1]
+                        + 360.0, 360.0) AS dp
             FROM dsum GROUP BY b),
     imap(o, j, wgt, t) AS (VALUES
       {interp_sql}),
     sfreq AS (
       SELECT m.o, a.b, a.d,
-        m.wgt * (a.s + m.t * (bn.s - a.s)) AS s
+        m.wgt * (a.s + m.t * (bn.s - a.s)) * 0.017453292519943295 AS s
       FROM imap m
       JOIN s1 a ON a.k = m.j
       JOIN s1 bn ON bn.b = a.b AND bn.d = a.d
                 AND bn.k = (CASE WHEN m.j < 7 THEN m.j + 1 ELSE 7 END)),
     sgrid AS (
+      -- nautical output basis (spectobasis, xaxisdir=90): label D=30q
+      -- samples the internal cartesian angle 270-D, i.e. internal
+      -- index d = (3 - q) mod 12 — still a pure permutation
       SELECT f.b, f.o, dd.d AS q, f.s
       FROM sfreq f JOIN (SELECT unnest(generate_series(0, 11)) AS d) dd
-        ON f.d = (dd.d + 6) % 12),
+        ON f.d = (3 - dd.d + 12) % 12),
     smw(doo, dqq, wgt) AS (VALUES
       (-2,0,0.25),(-1,0,0.5),(0,0,2.0),(1,0,0.5),(2,0,0.25),
       (0,-2,0.25),(0,-1,0.5),(0,1,0.5),(0,2,0.25)),
@@ -12069,7 +12078,11 @@ def _diwasp_oracle_sql(
       -- chain each time (measured 534 s vs 0.2 s at sf0.01)
       SELECT g.b, g.o, g.q, coalesce(a.sval, g.s) AS s
       FROM sgrid g LEFT JOIN smagg a ON a.b=g.b AND a.o=g.o AND a.q=g.q),
-    fsp AS (SELECT b, o, sum(s) * {r(dd_out)} AS fs FROM sm GROUP BY b, o),
+    fsp AS (
+      -- Snn = trapezoid(Dnn, x=dirs_degrees) (core/waves.py:478)
+      SELECT g.b, g.o, sum(30.0 * (g.s + g2.s) / 2.0) AS fs
+      FROM sm g JOIN sm g2 ON g2.b = g.b AND g2.o = g.o AND g2.q = g.q + 1
+      WHERE g.q < 11 GROUP BY g.b, g.o),
     tailf(o, tf) AS (VALUES
       {tail_rows}),
     fspt AS (

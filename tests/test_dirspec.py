@@ -44,6 +44,7 @@ def test_dirspec_recovers_direction_and_frequency(method):
         nfft=512,
         dres=90,
         miter=20,
+        dunit="cart",  # assertions below are in the cartesian frame
     )
     assert res["tp"] == pytest.approx(8.0, rel=0.15)
     # peak direction within one grid step of the true travel direction
@@ -100,7 +101,7 @@ def test_spread_sea_energy_and_direction(method, hs_rtol, dir_tol):
     dirs = np.arange(0.0, 360.0, 10.0)
     res = dirspec(
         data, ["pres", "velx", "vely"], layout, 10.25, 4.0, freqs, dirs,
-        method=method, nfft=512, dres=90, miter=20,
+        method=method, nfft=512, dres=90, miter=20, dunit="cart",
     )
     expected_hs = 4 * np.sqrt(np.var(eta))
     assert res["hs"] == pytest.approx(expected_hs, rel=hs_rtol)
@@ -336,3 +337,45 @@ def test_make_diwasp_ds_reference_default_freq_grid(spark):
         .collect()[0]["diwasp_frequency"]
     )
     np.testing.assert_allclose(f2, grid)
+
+
+def test_dirspec_nautical_basis_vs_cartesian():
+    """The reference-default NAUTICAL output basis (spectobasis,
+    xaxisdir=90): output label D carries the internal cartesian angle
+    270-D, the density converts to per-(Hz*degree) (x pi/180), fspec
+    integrates by trapezoid over the degree axis, and peak directions
+    convert to the compass frame — energy (Hs) is basis-invariant."""
+    theta = 60.0
+    data = _puv_wave(theta_deg=theta)
+    layout = np.array([[0.0, 0, 0], [0.0, 0, 0], [0.5, 1.0, 1.0]])
+    freqs = np.linspace(0.02, 0.5, 25)
+    dirs = np.arange(0.0, 360.0, 10.0)
+    # smooth=False: smoothspec's untouched 2-cell margins live at
+    # FIXED axis indexes, so post-smooth spectra are not pure
+    # permutations of each other (true of the reference as well) —
+    # the basis relation is exact on the unsmoothed regrid
+    kw = dict(method="DFTM", nfft=512, dres=36, miter=20, smooth=False)
+    cart = dirspec(data, ["pres", "velx", "vely"], layout, 10.25, 4.0,
+                   freqs, dirs, dunit="cart", **kw)
+    naut = dirspec(data, ["pres", "velx", "vely"], layout, 10.25, 4.0,
+                   freqs, dirs, dunit="naut", **kw)
+    # axis relabeling: naut spectrum at D equals cart spectrum at
+    # (270 - D) % 360, scaled by the per-degree Jacobian
+    d_map = [int(((270.0 - d) % 360.0) / 10.0) for d in dirs]
+    # atol floor: one wrap-point cell interpolates to ~1e-17 with a
+    # different rounding path between the two evaluation angle sets
+    np.testing.assert_allclose(
+        naut["S"], cart["S"][:, d_map] * (np.pi / 180.0),
+        rtol=1e-10, atol=1e-15,
+    )
+    # energy is basis-invariant (trapezoid vs rect differ only by the
+    # open circular endpoints at this resolution)
+    m0_c = np.sum(cart["fspec"]) * (freqs[1] - freqs[0])
+    m0_n = np.sum(naut["fspec"]) * (freqs[1] - freqs[0])
+    assert m0_n == pytest.approx(m0_c, rel=0.05)
+    assert naut["hs"] == cart["hs"]  # internal-grid Hs untouched
+    # peak directions land in the compass frame
+    assert naut["dp_deg"] == pytest.approx((270.0 - cart["dp_deg"]) % 360.0)
+    assert naut["dtp_deg"] == pytest.approx(
+        (270.0 - cart["dtp_deg"]) % 360.0
+    )
