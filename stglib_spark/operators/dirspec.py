@@ -46,6 +46,7 @@ from stglib_spark.operators.waves import (
     make_dspec_tail_np,
     make_tail_np,
     make_user_cutoff_np,
+    next_power_of_2,
     qkfs_np,
 )
 
@@ -116,8 +117,12 @@ def make_diwasp_ds(
     zuv = float(zuv) if zuv is not None else zp
     method = str(config.get("diwasp_method", "IMLM"))
     nfft = config.get("diwasp_nfft")
+    # reference default nfft: next power of 2 of nsamps/nsegs
+    # (core/waves.py:95-99, nsegs default 16) — applied per burst in
+    # the kernel when diwasp_nfft is not configured
+    nsegs = int(config.get("diwasp_nsegs", 16))
     miter = int(config.get("diwasp_iter", 50))
-    dres = int(config.get("diwasp_dres", 90))
+    dres = int(config.get("diwasp_dres", 180))  # reference default
     data_type = str(config.get("diwasp", "puv"))
     # frequency grid (core/waves.py:101-111): an explicit diwasp_freqs
     # list wins; diwasp_nfreqs keeps this engine's linspace grid; with
@@ -145,7 +150,11 @@ def make_diwasp_ds(
     # reference default NAUTICAL compass degrees, xaxisdir=90;
     # diwasp_dunit='cart' keeps the legacy cartesian-radians basis
     dunit = str(config.get("diwasp_dunit", "naut"))
-    xaxisdir = float(config.get("diwasp_xaxisdir", 90.0))
+    # the reference's config key is diwasp_xdir (waves.py:45-46);
+    # diwasp_xaxisdir accepted as an alias
+    xaxisdir = float(
+        config.get("diwasp_xdir", config.get("diwasp_xaxisdir", 90.0))
+    )
 
     cols = [burst_col, sample_col, pressure_col, u_col, v_col]
     if ast_col:
@@ -210,20 +219,22 @@ def make_diwasp_ds(
                 raise ValueError(f"unknown diwasp data type {dtype_used}")
 
             nyq = fs / 2.0
+            # per-burst nfft: explicit diwasp_nfft wins, else the
+            # reference wrapper's next_power_of_2(nsamps/nsegs)
+            # (core/waves.py:98-99) — never dirspec's internal default
+            nsamps = len(p)
+            nf_burst = (
+                int(nfft)
+                if nfft
+                else max(next_power_of_2(int(nsamps / nsegs)), 8)
+            )
             if freqs_cfg is not None:
                 freqs_out = freqs_cfg
             elif nfreqs_cfg is not None:
                 freqs_out = np.linspace(nyq / nfreqs, nyq * 0.95, nfreqs)
             else:
-                # reference default grid (core/waves.py:101-111):
-                # per-burst nfft (next pow2 of nsamps/nsegs is the
-                # WELCH chain's rule; the diwasp chain uses the raw
-                # 2^(8+log2(fs)) capped at nsamps like dirspec itself)
-                nsamps = len(p)
-                nf = int(nfft) if nfft else int(
-                    2 ** (8 + np.round(np.log2(fs)))
-                )
-                nf = min(nf, nsamps)
+                # reference default grid (core/waves.py:101-111)
+                nf = min(nf_burst, nsamps)
                 nf -= nf % 2
                 nfr = nf / 2
                 flo = float(np.round(1.0 / (nsamps / fs / 32.0), 3))
@@ -240,7 +251,7 @@ def make_diwasp_ds(
                     freqs_out,
                     dirs_out,
                     method=method,
-                    nfft=int(nfft) if nfft else None,
+                    nfft=nf_burst,
                     dres=dres,
                     miter=miter,
                     smooth=smooth,

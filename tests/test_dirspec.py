@@ -330,6 +330,14 @@ def test_make_diwasp_ds_reference_default_freq_grid(spark):
     fhi = 1.0
     expected = np.arange(flo, fhi, (fhi - flo) / 32.0)  # nfft/2 bins
     np.testing.assert_allclose(f, expected)
+    # with diwasp_nfft ALSO unset, nfft follows the reference wrapper:
+    # next_power_of_2(nsamps/nsegs) = next_pow2(512/16) = 32 -> 16 bins
+    cfg_nodefaults = {k: v for k, v in cfg.items() if k != "diwasp_nfft"}
+    f3 = np.asarray(
+        make_diwasp_ds(df, cfg_nodefaults).collect()[0]["diwasp_frequency"]
+    )
+    assert len(f3) == 16
+    np.testing.assert_allclose(f3, np.arange(flo, fhi, (fhi - flo) / 16.0))
     # explicit grid passes through
     grid = [0.1, 0.2, 0.3, 0.4]
     f2 = np.asarray(
