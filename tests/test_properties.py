@@ -838,3 +838,31 @@ def test_bloom_no_false_negative_property(spark):
             ).collect()
         }
         assert all(hit.values()), (trial, k, m, n)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    nf=st.integers(6, 24),
+    nd=st.integers(3, 12),
+    ti=st.integers(1, 23),
+    seed=st.integers(0, 10_000),
+)
+def test_dspec_tail_integrates_to_tailed_fspec(nf, nd, ti, seed):
+    """The docstring contract of make_dspec_tail_np: because every
+    direction column scales by the SAME (f/f_ti)^-4 ratios, the tailed
+    directional spectrum still integrates (over direction, any
+    quadrature) to the tail of the integrated 1-D spectrum — i.e.
+    tail(integrate(D)) == integrate(tail(D)) whenever the 1-D base row
+    is the integral of the dspec base row. Linearity, for ANY spectrum
+    shape and cutoff index."""
+    from stglib_spark.operators.waves import make_dspec_tail_np, make_tail_np
+
+    rng = np.random.RandomState(seed)
+    ti = min(ti, nf - 1)
+    f = np.linspace(0.05, 1.0, nf)
+    dspec = rng.rand(nf, nd) * 10.0
+    w = rng.rand(nd) + 0.1  # arbitrary positive quadrature weights
+    fspec = dspec @ w
+    lhs = make_tail_np(f, fspec, float(ti))
+    rhs = make_dspec_tail_np(f, dspec, float(ti)) @ w
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-12)
