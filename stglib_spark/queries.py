@@ -22,6 +22,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from stglib_spark.scratch import scratch_dir
 from stglib_spark.session import fast_round, load_table, spread
 
 _log = logging.getLogger(__name__)
@@ -2605,11 +2606,10 @@ def dedup_cluster_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     (floor(j·1e6+0.5), the mixture_allocate trick) so the double
     division replays bit-for-bit in DuckDB."""
     import os
-    import tempfile
 
     from stglib_spark import pipeline
 
-    d = tempfile.mkdtemp(prefix="clusterq_")
+    d = scratch_dir(prefix="clusterq_")
     config = {
         "documents_path": os.path.join(sf_dir, "documents.parquet"),
         "output_dir": d,
@@ -3561,12 +3561,11 @@ def src_aqd_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     distance + cell size. DuckDB replays the closed form; a hash match
     proves the whole multi-file join pipeline."""
     import os
-    import tempfile
 
     from stglib_spark.sources import aqd as aqd_src
 
     n, nb = 480, 5
-    d = tempfile.mkdtemp(prefix="aqdrt_")
+    d = scratch_dir(prefix="aqdrt_")
     base = os.path.join(d, "dep")
     sen_lines = []
     for i in range(n):
@@ -3666,12 +3665,11 @@ def src_vec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     microseconds (32 Hz → 31250 µs). DuckDB replays the closed form;
     a hash match proves header join and sample-clock arithmetic."""
     import os
-    import tempfile
 
     from stglib_spark.sources import aqd as aqd_src
 
     nb, ns = 20, 24
-    d = tempfile.mkdtemp(prefix="vecrt_")
+    d = scratch_dir(prefix="vecrt_")
     base = os.path.join(d, "dep")
     vhd_lines = []
     for b in range(1, nb + 1):
@@ -3779,12 +3777,11 @@ def src_aqdhr_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     and bindist from the hdr's vertical cell-center distance table
     (AQDCCD). DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import aqd as aqd_src
 
     n, nb = 167, 3
-    d = tempfile.mkdtemp(prefix="aqdhrrt_")
+    d = scratch_dir(prefix="aqdhrrt_")
     base = os.path.join(d, "dep")
     sen_lines = []
     for i in range(n):
@@ -3902,12 +3899,11 @@ def src_aqdwv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays the closed form; a hash match proves cap + truncation +
     join agree with the reference's reshape."""
     import os
-    import tempfile
 
     from stglib_spark.sources import aqd as aqd_src
 
     nsamp = 32
-    d = tempfile.mkdtemp(prefix="aqdwvrt_")
+    d = scratch_dir(prefix="aqdwvrt_")
     base = os.path.join(d, "dep")
     whd_lines = []
     for k in range(8):
@@ -3993,12 +3989,11 @@ def src_exo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     vendor→EPIC renames (Temperature→T_28, Salinity→S_41,
     Turbidity→Turb). DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import csv as csv_src
 
     n = 480
-    d = tempfile.mkdtemp(prefix="exort_")
+    d = scratch_dir(prefix="exort_")
     p = os.path.join(d, "kor_export.csv")
     lines = [
         "sep=,",
@@ -4066,12 +4061,11 @@ def src_rbr_profile_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation's ``profile`` id (rows between casts keep NULL).
     DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import csv as csv_src
 
     n = 600
-    d = tempfile.mkdtemp(prefix="rbrprofrt_")
+    d = scratch_dir(prefix="rbrprofrt_")
     p = os.path.join(d, "cast_data.csv")
     t0 = "2021-07-01 00:"
     data = ["Time,Pressure,Temperature,Conductivity"]
@@ -4134,12 +4128,11 @@ def src_sgtid_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     transform after load). DuckDB replays the closed form with the
     identical IEEE-754 double division."""
     import os
-    import tempfile
 
     from stglib_spark.sources import sg as sg_src
 
     n = 500
-    d = tempfile.mkdtemp(prefix="sgtidrt_")
+    d = scratch_dir(prefix="sgtidrt_")
     p = os.path.join(d, "dep.tid")
     lines = ["* SBE 26plus tide measurements"]
     for i in range(n):
@@ -4190,12 +4183,11 @@ def src_rsk_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form."""
     import os
     import sqlite3
-    import tempfile
 
     from stglib_spark.sources import rsk as rsk_src
 
     n = 400
-    d = tempfile.mkdtemp(prefix="rskrt_")
+    d = scratch_dir(prefix="rskrt_")
     p = os.path.join(d, "dep.rsk")
     base_ms = 1630454400000  # 2021-09-01 00:00:00 UTC
     con = sqlite3.connect(p)
@@ -4270,11 +4262,10 @@ def src_qrev_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     datetime parse, midpoint transect time, field casts, and the
     negation convention. DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import qrev as qrev_src
 
-    d = tempfile.mkdtemp(prefix="qrevrt_")
+    d = scratch_dir(prefix="qrevrt_")
     p = os.path.join(d, "meas.xml")
     base_min = 10 * 60  # 10:00:00
     parts = ["<Channel>"]
@@ -4368,11 +4359,10 @@ def src_eco_ntu_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     gives the same double, making the cross-engine hash
     deterministic. DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="econturt_")
+    d = scratch_dir(prefix="econturt_")
     p = os.path.join(d, "ntu.raw")
     lines = ["ECO NTU-1234\tRecords=200"]
     for j in range(200):
@@ -4411,11 +4401,10 @@ def src_hobo_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (AbsPres_kPa/10 → P_1, Temp_C → T_28). DuckDB replays the closed
     form with the identical IEEE-754 division."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="hobort_")
+    d = scratch_dir(prefix="hobort_")
     p = os.path.join(d, "hobo.csv")
     lines = [
         "Plot Title: dep1 (LGR S/N: 1234567)",
@@ -4482,14 +4471,13 @@ def src_sig_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-form (time, bin) explosion. DuckDB replays the closed form."""
     import datetime as _dt
     import os
-    import tempfile
 
     import numpy as np
 
     from stglib_spark.functions.mat5 import savemat
     from stglib_spark.sources import sig_mat
 
-    d = tempfile.mkdtemp(prefix="sigrt_")
+    d = scratch_dir(prefix="sigrt_")
     base = os.path.join(d, "dep")
     dn0 = _dt.datetime(2021, 6, 1).toordinal() + 366
     nt, nc = 40, 4
@@ -4571,11 +4559,10 @@ def src_lisst_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     consumed). DuckDB replays the closed form; the array column is
     probed at both ends via element_at."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="lisstrt_")
+    d = scratch_dir(prefix="lisstrt_")
     p = os.path.join(d, "lisst.csv")
     rows = []
     i = 0
@@ -4659,11 +4646,10 @@ def src_microcat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side header sniff contract (serial number, sample interval)
     is asserted in-line. DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="mcrt_")
+    d = scratch_dir(prefix="mcrt_")
     p = os.path.join(d, "mc.asc")
     lines = [
         "* SBE37-SM V 3.0  SERIAL NO. 12345   10 Sep 2021 00:00:00",
@@ -4714,11 +4700,10 @@ def src_trublue_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     The driver-side header sniff contract (model, serial) is asserted
     in-line. DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="tbrt_")
+    d = scratch_dir(prefix="tbrt_")
     p = os.path.join(d, "tb.csv")
     lines = [
         "Transducer Model : TB255",
@@ -4771,11 +4756,10 @@ def src_troll_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse, jitter correction, metadata sniff, and the fractional-second
     average shift. DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="trollrt_")
+    d = scratch_dir(prefix="trollrt_")
     p = os.path.join(d, "troll.csv")
     lines = [
         "Device,Aqua TROLL 200",
@@ -4823,11 +4807,10 @@ def src_mayfly_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     double casts, and the sentinel→NULL rewrite. DuckDB replays the
     closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="mayflyrt_")
+    d = scratch_dir(prefix="mayflyrt_")
     p = os.path.join(d, "mayfly.csv")
     lines = [
         "Sampling Feature UUID: 0a1b2c3d",
@@ -4879,11 +4862,10 @@ def src_glx_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything-else→double cast split, and the time sort. DuckDB
     replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="glxrt_")
+    d = scratch_dir(prefix="glxrt_")
     for f in (0, 1):
         lines = [
             '"TOA5","wave_radar","CR1000X","12345","glx"',
@@ -4949,7 +4931,6 @@ def src_rdi_mat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explosion, and sens EPIC renames. DuckDB replays the closed
     form."""
     import os
-    import tempfile
 
     import numpy as np
 
@@ -4958,7 +4939,7 @@ def src_rdi_mat_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     import datetime as _dt
 
-    d = tempfile.mkdtemp(prefix="rdirt_")
+    d = scratch_dir(prefix="rdirt_")
     nt, nc = 60, 3
     epoch0 = (_dt.datetime(2021, 11, 15) - _dt.datetime(1970, 1, 1)).total_seconds()
     for f, seg in enumerate(("seg_a", "seg_b")):
@@ -5043,14 +5024,13 @@ def src_abss_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     long-form explosion with 1-based reference dims. DuckDB replays
     the closed form."""
     import os
-    import tempfile
 
     import numpy as np
 
     from stglib_spark.functions.mat5 import savemat
     from stglib_spark.sources import abss_mat
 
-    d = tempfile.mkdtemp(prefix="abssrt_")
+    d = scratch_dir(prefix="abssrt_")
     nbin, ntx = 16, 2
     bb = np.arange(nbin, dtype=np.float64)[:, None]
     xx = np.arange(ntx, dtype=np.float64)[None, :]
@@ -5086,11 +5066,10 @@ def _eofe_fixture() -> tuple[str, dict]:
     echo-count body (the interleaved layout the single-pass parser
     handles), instrument header on top."""
     import os
-    import tempfile
 
     from stglib_spark.sources import eofe
 
-    d = tempfile.mkdtemp(prefix="eofert_")
+    d = scratch_dir(prefix="eofert_")
     p = os.path.join(d, "ea400.log")
     lines = [
         "#DeviceID 123456 EA400",
@@ -5218,11 +5197,10 @@ def src_sgwb_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-based sample numbering, and the expected-count truncation.
     DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import sg as sg_src
 
-    d = tempfile.mkdtemp(prefix="sgwbrt_")
+    d = scratch_dir(prefix="sgwbrt_")
     p = os.path.join(d, "dep.wb")
     lines = ["SBE 26plus wave burst data"]
     for b in range(8):
@@ -5264,11 +5242,10 @@ def src_tcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     headerless explicit-schema scan, ISO parse, and double casts.
     DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="tcmrt_")
+    d = scratch_dir(prefix="tcmrt_")
     p = os.path.join(d, "tcm_CR.txt")
     lines = ["ISO 8601 Time,Speed (cm/s),Bearing (degrees),Velocity-N (cm/s),Velocity-E (cm/s)"]
     for j in range(250):
@@ -5313,11 +5290,10 @@ def src_marotte_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     ISO parse, header drop, and double casts. DuckDB replays the
     closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="marrt_")
+    d = scratch_dir(prefix="marrt_")
     p = os.path.join(d, "mar.csv")
     lines = ["datetime,speed (m/s),heading (degrees CW from North),speed upper (m/s),speed lower (m/s),tilt (radians),direction (radians CCW from East),batt (volts),temp (Celsius)"]
     for j in range(300):
@@ -5366,11 +5342,10 @@ def src_campbell_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse, units-row drop, and the NAN→NULL try_cast chain. DuckDB
     replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="cmpbrt_")
+    d = scratch_dir(prefix="cmpbrt_")
     p = os.path.join(d, "met.dat")
     lines = [
         '"TOA5","met_station","CR1000","54321","met"',
@@ -5419,11 +5394,10 @@ def src_argonaut_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from the six integer parts, header drop via the null-time filter,
     double casts, and the time sort. DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import vendor_csv as vc
 
-    d = tempfile.mkdtemp(prefix="argrt_")
+    d = scratch_dir(prefix="argrt_")
     p = os.path.join(d, "arg.dat")
     lines = ["Year Month Day Hour Minute Second Vel1 Vel2 SNR1"]
     for j in range(200):
@@ -5463,11 +5437,10 @@ def src_rdi_sens_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert the `.log` → RDI-prefixed attrs sniff contract in-line.
     DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import rdi_mat
 
-    d = tempfile.mkdtemp(prefix="rdisensrt_")
+    d = scratch_dir(prefix="rdisensrt_")
     p = os.path.join(d, "seg_a.txt")
     lines = ["Year,Month,Day,Hour,Min,Sec,Pressure"]
     for j in range(180):
@@ -5512,11 +5485,10 @@ def src_areacomp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     STRING under the uniform-type rule — and walk it through the
     PRODUCTION driver-side parse. DuckDB replays the closed form."""
     import os
-    import tempfile
 
     from stglib_spark.sources import qrev as qrev_src
 
-    d = tempfile.mkdtemp(prefix="areacomprt_")
+    d = scratch_dir(prefix="areacomprt_")
     p = os.path.join(d, "rating.csv")
     lines = [
         "AreaComp 3.1 export",
@@ -5620,11 +5592,10 @@ def _pd0_rt_ensembles() -> list:
 
 def _pd0_rt_path() -> str:
     import os
-    import tempfile
 
     from stglib_spark.sources import pd0 as pd0_src
 
-    d = tempfile.mkdtemp(prefix="pd0rt_")
+    d = scratch_dir(prefix="pd0rt_")
     p = os.path.join(d, "dep.000")
     pd0_src.write_pd0(p, _pd0_rt_ensembles())
     return p
@@ -5942,7 +5913,6 @@ def src_iq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB replays the closed form."""
     import datetime as _dt
     import os
-    import tempfile
 
     import numpy as np
 
@@ -5951,7 +5921,7 @@ def src_iq_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stglib_spark.sources import iq_mat
 
     nt = 150
-    d = tempfile.mkdtemp(prefix="iqrt_")
+    d = scratch_dir(prefix="iqrt_")
     p = os.path.join(d, "iq_export.mat")
     off_us = (
         _dt.datetime(2021, 5, 20) - _dt.datetime(2000, 1, 1)
@@ -6023,9 +5993,8 @@ def snk_profile_split_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition-inferred profile key — survives the round trip
     bit-exactly. DuckDB replays the closed form."""
     import os
-    import tempfile
 
-    d = tempfile.mkdtemp(prefix="profsplit_")
+    d = scratch_dir(prefix="profsplit_")
     out_dir = os.path.join(d, "clean")
     src = spark.range(400).select(
         F.timestamp_micros(
@@ -6096,14 +6065,13 @@ def e2e_rbr_clean_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     'test-only' rows — stage orchestration, zone write/read, config
     plumbing — into driver-graded evidence."""
     import os
-    import tempfile
 
     from stglib_spark import pipeline
     from stglib_spark.session import pin_utc
 
     pin_utc(spark)
     n = 720
-    d = tempfile.mkdtemp(prefix="e2erbr_")
+    d = scratch_dir(prefix="e2erbr_")
     csv_path = os.path.join(d, "deployment.csv")
     lines = ["Time,Pressure,Temperature,Turbidity"]
     for i in range(n):
@@ -6239,7 +6207,6 @@ def e2e_glx_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     replays every stage in closed form; the threshold comparisons sit
     ≥0.18 from every computed value so the rule is ulp-safe."""
     import os
-    import tempfile
 
     from stglib_spark.__main__ import main
     from stglib_spark.session import pin_utc
@@ -6251,7 +6218,7 @@ def e2e_glx_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         3: [32, -32, 32, -32, 32, -32, 32, -32],
     }
     zeros = [0] * 8
-    d = tempfile.mkdtemp(prefix="e2eglxwv_")
+    d = scratch_dir(prefix="e2eglxwv_")
     path = os.path.join(d, "glx_waves.dat")
     lines = [
         '"TOA5","wave_radar","CR1000X","12345","glx"',
@@ -6426,7 +6393,6 @@ def e2e_pressure_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     np.tanh / exp-form ulp divergence is empirically below the 1e-6
     snap on this fixed data."""
     import os
-    import tempfile
 
     from stglib_spark import pipeline
     from stglib_spark.session import pin_utc
@@ -6438,7 +6404,7 @@ def e2e_pressure_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         3: [32, -23, 0, 23, -32, 23, 0, -23],
     }
     zeros = [0] * 8
-    d = tempfile.mkdtemp(prefix="e2epw_")
+    d = scratch_dir(prefix="e2epw_")
     path = os.path.join(d, "deployment.csv")
     lines = ["Time,Pressure"]
     for g in range(6):
@@ -6706,7 +6672,6 @@ def e2e_puv_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     wave_cutoff_tail_oracle."""
     import datetime as dt
     import os
-    import tempfile
 
     from stglib_spark import pipeline
     from stglib_spark.session import pin_utc
@@ -6731,7 +6696,7 @@ def e2e_puv_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             v = (sgn * 0.5 * tab[i % 16] * 0.015625
                  + ((g * 29 + i * 13) % 16 - 8) * 0.015625)
             rows.append((t, p, u, v))
-    d = tempfile.mkdtemp(prefix="e2epuv_")
+    d = scratch_dir(prefix="e2epuv_")
     config = {
         "output_dir": d,
         "filename": "e2e_puv",
@@ -6829,7 +6794,6 @@ def e2e_cli_export_nc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     (parquet NULL → toPandas NaN → nc double NaN is the documented
     export edge)."""
     import os
-    import tempfile
 
     from stglib_spark.__main__ import main
     from stglib_spark.functions.netcdf3 import read_nc3
@@ -6837,7 +6801,7 @@ def e2e_cli_export_nc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from stglib_spark.sources.netcdf import read_netcdf
 
     pin_utc(spark)
-    d = tempfile.mkdtemp(prefix="e2ecli_")
+    d = scratch_dir(prefix="e2ecli_")
     csv_path = os.path.join(d, "deployment.csv")
     lines = ["Time,Pressure,Temperature,Turbidity"]
     for i in range(240):
@@ -7021,9 +6985,8 @@ def e2e_corpus_all_packs(spark: SparkSession, sf_dir: str) -> DataFrame:
     packs zone; DuckDB replays ALL five stages in closed form
     (recursive-CTE connected components stand in for FastSV)."""
     import os
-    import tempfile
 
-    d = tempfile.mkdtemp(prefix="e2ecorpusall_")
+    d = scratch_dir(prefix="e2ecorpusall_")
     from stglib_spark import pipeline
 
     config = {
@@ -10953,11 +10916,10 @@ def e2e_sonar_xy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     batches, zone parquet bounds lineage — same contract as the wave
     and diwasp stages."""
     import os
-    import tempfile
 
     from stglib_spark import pipeline
 
-    d = tempfile.mkdtemp(prefix="e2esonarxy_")
+    d = scratch_dir(prefix="e2esonarxy_")
     base_epoch = 1622505600  # 2021-06-01 00:00:00 UTC
     sweeps = spark.range(2).select(
         F.timestamp_seconds(F.lit(base_epoch) + F.col("id") * 3600).alias(
@@ -11613,11 +11575,10 @@ def e2e_media_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     layout is what a 100 TB image corpus needs: pixels decode exactly
     once, everything downstream moves 16-byte hash rows."""
     import os
-    import tempfile
 
     from stglib_spark import pipeline
 
-    d = tempfile.mkdtemp(prefix="e2emedia_")
+    d = scratch_dir(prefix="e2emedia_")
     media_path = os.path.join(d, "media")
     _planted_pgm_media(spark).write.mode("overwrite").parquet(media_path)
     config = {
@@ -12197,11 +12158,10 @@ def _diwasp_e2e_run(
     and re-read/select the hashed columns. One copy of the fixture —
     the DFTM and IMLM rows differ only in mods/method/iterations."""
     import os
-    import tempfile
 
     from stglib_spark import pipeline
 
-    d = tempfile.mkdtemp(prefix=f"e2e{prefix}_")
+    d = scratch_dir(prefix=f"e2e{prefix}_")
     base_epoch = 1622505600  # 2021-06-01 00:00:00 UTC
     b = (F.col("id") / 64).cast("long")
     i = F.pmod(F.col("id"), 64)
