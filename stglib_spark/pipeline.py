@@ -62,6 +62,23 @@ def _write_zone(
     return path
 
 
+def _load_history(config: dict[str, Any], zone: str) -> History:
+    """Seed a stage's History from the SOURCE zone's sidecar — the
+    reference's append-only cross-stage history contract (each stage
+    opens the previous netCDF, whose ``history`` attr already carries
+    every earlier line, and appends; utils.py:238-250). Missing sidecar
+    (stage run standalone on a foreign zone) → empty log, same as the
+    reference on a file with no history attr."""
+    h = History()
+    sidecar = _zone_path(config, zone) + ".meta.json"
+    if os.path.exists(sidecar):
+        with open(sidecar, encoding="utf-8") as f:
+            meta = json.load(f)
+        h.entries = list(meta.get("history", []))
+        h.notes = {k: list(v) for k, v in meta.get("notes", {}).items()}
+    return h
+
+
 def run_ingest(spark: SparkSession, config: dict[str, Any]) -> str:
     """Stage 1 (*2cdf): vendor file → raw zone (SURVEY §3.1)."""
     history = History()
@@ -78,7 +95,8 @@ def run_ingest(spark: SparkSession, config: dict[str, Any]) -> str:
         )
         history.insert_history("Applied clock corrections.")
     history.insert_history(
-        f"Ingested {config['input_path']} with adapter {config['instrument']}."
+        f"Ingested {os.path.basename(config['input_path'])} "
+        f"with adapter {config['instrument']}."
     )
     return _write_zone(df, config, "raw", history)
 
@@ -86,7 +104,7 @@ def run_ingest(spark: SparkSession, config: dict[str, Any]) -> str:
 def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
     """Stage 2 (cdf2nc): raw zone → clean zone (SURVEY §3.2 order:
     clip → atmos correct → derives → QA/QC → audit)."""
-    history = History()
+    history = _load_history(config, "raw")
     df = spark.read.parquet(_zone_path(config, "raw"))
 
     df = clip_ops.clip_ds(df, config)
@@ -366,6 +384,8 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             ),
         )
         avg_history = History()
+        avg_history.entries = list(history.entries)
+        avg_history.notes = {k: list(v) for k, v in history.notes.items()}
         avg_history.insert_history(
             f"Averaged over {config['average_interval']} s intervals."
         )
@@ -450,7 +470,7 @@ def _velocity_stack(
 def run_waves(spark: SparkSession, config: dict[str, Any]) -> str:
     """Stage 3 (nc2waves): clean zone → wave statistics product
     (SURVEY §3.3)."""
-    history = History()
+    history = _load_history(config, "clean")
     # burst keys re-derived from the clock even when ingest marked bursts:
     # clipping may have removed leading rows and shifted count-based
     # burst boundaries (waves.py:2037-2091)
@@ -526,7 +546,7 @@ def run_xy(spark: SparkSession, config: dict[str, Any]) -> str:
     (son/nc2xy.py:67-123)."""
     from stglib_spark.operators import sonar
 
-    history = History()
+    history = _load_history(config, "clean")
     df = spark.read.parquet(_zone_path(config, "clean"))
     out = sonar.polar_to_xy(
         df,
@@ -594,7 +614,7 @@ def run_diwasp(spark: SparkSession, config: dict[str, Any]) -> str:
     core/waves.py:263-306 replaced by per-burst applyInPandas)."""
     from stglib_spark.operators import dirspec
 
-    history = History()
+    history = _load_history(config, "clean")
     df = _burst_keyed(spark.read.parquet(_zone_path(config, "clean")), config)
     pcol = "P_1ac" if "P_1ac" in df.columns else "P_1"
     if "u_1205" not in df.columns or "v_1206" not in df.columns:

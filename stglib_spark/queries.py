@@ -6760,7 +6760,8 @@ def e2e_puv_waves_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
            'CF-1.6' AS conventions,
            CAST(0.75 AS DOUBLE) AS iih,
            'cli_export' AS filename_attr,
-           'Clipped to deployment window / good ranges.; Applied QA/QC '
+           'Ingested deployment.csv with adapter rbr.; Clipped to '
+             || 'deployment window / good ranges.; Applied QA/QC '
              || 'rule engine.' AS history,
            'dbar' AS p1_units,
            'Uncorrected pressure' AS p1_long_name,

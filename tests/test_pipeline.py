@@ -108,6 +108,16 @@ def test_pipeline_end_to_end(spark, burst_csv):
     waves = spark.read.parquet(paths["waves"])
     rows = waves.orderBy("burst_time").collect()
     assert len(rows) == 10
+    # cross-stage history carry (reference utils.py:238-250 append-only
+    # contract): the waves sidecar holds ingest + clean + waves lines
+    wmeta = json.load(open(paths["waves"] + ".meta.json"))
+    whist = wmeta["history"]
+    assert any(h.startswith("Ingested ") for h in whist)
+    assert any("Clipped" in h for h in whist)
+    assert any("QA/QC" in h for h in whist)
+    assert any("wave statistics" in h for h in whist)
+    # and the per-variable QA notes carried too
+    assert any("values nulled" in n for n in wmeta["notes"].get("T_28", []))
     # Hs oracle: surface Hs = 4·sqrt(a²/2) = 1.131 (the injected pressure
     # was pre-attenuated by Kp, so the engine's Kp correction recovers the
     # surface amplitude)
