@@ -259,6 +259,19 @@ VAR_ATTRS: dict[str, dict[str, object]] = {
         "long_name": "Total water depth",
         "standard_name": "sea_floor_depth_below_sea_surface",
     },
+    "burst_time": {
+        "standard_name": "time",
+        "axis": "T",
+        "long_name": "burst start time (UTC)",
+    },
+    "m0": {
+        "units": "m^2",
+        "long_name": "Zeroth moment of the wave elevation spectrum",
+    },
+    "m2": {
+        "units": "m^2 s-2",
+        "long_name": "Second moment of the wave elevation spectrum",
+    },
     "water_level": {
         "units": "m",
         "long_name": "Water level NAVD88",

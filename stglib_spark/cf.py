@@ -41,11 +41,17 @@ def check_dataframe(
     """
     problems: list[str] = []
     fields = {f.name: f for f in df.schema.fields}
-    if "time" not in fields:
+    # wave/burst products carry their time axis as burst_time (the
+    # reference's s-a.nc time dim is the burst start); either name
+    # satisfies the axis requirement, but it must be a real timestamp
+    tcol = "time" if "time" in fields else (
+        "burst_time" if "burst_time" in fields else None
+    )
+    if tcol is None:
         problems.append("missing 'time' column")
-    elif not isinstance(fields["time"].dataType, TimestampType):
+    elif not isinstance(fields[tcol].dataType, TimestampType):
         problems.append(
-            f"'time' must be TIMESTAMP, got {fields['time'].dataType.simpleString()}"
+            f"'{tcol}' must be TIMESTAMP, got {fields[tcol].dataType.simpleString()}"
         )
 
     meta = collect_var_attrs(df)

@@ -666,7 +666,12 @@ def run_export_nc(
     from stglib_spark.sources.netcdf import write_netcdf
 
     zone_path = _zone_path(config, zone)
-    df = apply_var_attrs(spark.read.parquet(zone_path))
+    df = spark.read.parquet(zone_path)
+    if "time" not in df.columns and "burst_time" in df.columns:
+        # wave products: the burst start IS the product's time axis
+        # (the reference's s-a.nc time dimension)
+        df = df.withColumnRenamed("burst_time", "time")
+    df = apply_var_attrs(df)
 
     history = ""
     sidecar = zone_path + ".meta.json"

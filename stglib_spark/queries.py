@@ -6879,6 +6879,148 @@ def e2e_cli_export_nc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_attrs_fidelity_roundtrip",
+    """
+    SELECT * FROM (VALUES
+      ('global', '', 'Conventions', 'CF-1.6'),
+      ('global', '', 'export_zone', 'waves'),
+      ('global', '', 'filename', 'e2e_attrsfid'),
+      ('global', '', 'history', 'Ingested deployment.csv with adapter rbr.; Clipped to deployment window / good ranges.; Applied QA/QC rule engine.; Computed wave statistics (Welch spectral chain).'),
+      ('global', '', 'initial_instrument_height', '0.5'),
+      ('global', '', 'institution', 'USGS Coastal and Marine Geology Program'),
+      ('global', '', 'instrument', 'rbr'),
+      ('global', '', 'sample_interval', '1.0'),
+      ('global', '', 'title', 'Attrs fidelity deployment'),
+      ('global', '', 'wave_duration', '128'),
+      ('global', '', 'wave_fcut', '0.45'),
+      ('global', '', 'wave_interval', '3600'),
+      ('var', 'frequency', 'standard_name', 'sea_surface_wave_frequency'),
+      ('var', 'frequency', 'units', 'Hz'),
+      ('var', 'frequency', 'long_name', 'Frequency'),
+      ('var', 'm0', 'units', 'm^2'),
+      ('var', 'm0', 'long_name', 'Zeroth moment of the wave elevation spectrum'),
+      ('var', 'm2', 'units', 'm^2 s-2'),
+      ('var', 'm2', 'long_name', 'Second moment of the wave elevation spectrum'),
+      ('var', 'pspec', 'note', 'Use caution: all spectra are provisional'),
+      ('var', 'pspec', 'standard_name', 'sea_surface_wave_variance_spectral_density'),
+      ('var', 'pspec', 'units', 'm^2/Hz'),
+      ('var', 'pspec', 'long_name', 'Pressure-derived non-directional wave energy spectrum'),
+      ('var', 'time', 'units', 'seconds since 1970-01-01 00:00:00 +00:00'),
+      ('var', 'time', 'standard_name', 'time'),
+      ('var', 'time', 'calendar', 'proleptic_gregorian'),
+      ('var', 'time', 'axis', 'T'),
+      ('var', 'time', 'long_name', 'time (UTC)'),
+      ('var', 'water_depth', 'standard_name', 'sea_floor_depth_below_sea_surface'),
+      ('var', 'water_depth', 'units', 'm'),
+      ('var', 'water_depth', 'long_name', 'Total water depth'),
+      ('var', 'wh_4061', 'standard_name', 'sea_surface_wave_significant_height'),
+      ('var', 'wh_4061', 'units', 'm'),
+      ('var', 'wh_4061', 'epic_code', '4061'),
+      ('var', 'wh_4061', 'long_name', 'Significant wave height'),
+      ('var', 'wp_4060', 'standard_name', 'sea_surface_wave_mean_period_from_variance_spectral_density_second_frequency_moment'),
+      ('var', 'wp_4060', 'units', 's'),
+      ('var', 'wp_4060', 'epic_code', '4060'),
+      ('var', 'wp_4060', 'long_name', 'Average wave period'),
+      ('var', 'wp_peak', 'standard_name', 'sea_surface_wave_period_at_variance_spectral_density_maximum'),
+      ('var', 'wp_peak', 'units', 's'),
+      ('var', 'wp_peak', 'epic_code', '4063'),
+      ('var', 'wp_peak', 'long_name', 'Dominant (peak) wave period'),
+      ('lint', '', 'n_problems', '0')
+    ) AS t(scope, var, attr, value)
+    """,
+)
+def e2e_attrs_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END ATTRIBUTE/HISTORY FIDELITY oracle (VERDICT r12 task
+    #7; reference history contract utils.py:238-250, CF/EPIC variable
+    attrs utils.py:352-749): drive the PRODUCTION CLI through all FOUR
+    stages — csv2cdf -> cdf2nc -> nc2waves -> exportnc (export_zone:
+    waves, the ``s-a.nc`` product) — on a synthetic 1 Hz RBR pressure
+    deployment, then re-read the final classic netCDF-3 file and emit
+    the COMPLETE (scope, var, attr, value) table: every global
+    attribute (including the cross-stage ``history`` chain — the
+    ingest, clip, QA/QC and waves lines must all survive the three
+    zone boundaries and the nc write), every variable's CF attributes
+    (units / long_name / standard_name / epic_code from
+    attrs.VAR_ATTRS, carried parquet -> nc), and the production
+    ``cf.check_dataframe`` lint verdict on the exported frame (must be
+    zero problems). The waves product renames burst_time -> time at
+    export and writes the per-burst spectra as a true 2-D
+    (time, frequency) variable with its axis. The oracle is the exact
+    literal table — any stage dropping or rewriting an attribute
+    hash-mismatches."""
+    import os
+
+    from stglib_spark.__main__ import main
+    from stglib_spark.attrs import apply_var_attrs
+    from stglib_spark.cf import check_dataframe
+    from stglib_spark.functions.netcdf3 import read_nc3
+    from stglib_spark.session import pin_utc
+
+    pin_utc(spark)
+    tabs = {
+        1: [32, 23, 0, -23, -32, -23, 0, 23],
+        2: [32, 0, -32, 0, 32, 0, -32, 0],
+        3: [32, -23, 0, 23, -32, 23, 0, -23],
+    }
+    zeros = [0] * 8
+    d = scratch_dir(prefix="e2eattrs_")
+    csv_path = os.path.join(d, "deployment.csv")
+    lines = ["Time,Pressure"]
+    for g in range(6):
+        tab = tabs.get(g, zeros)
+        for i in range(128):
+            secs = g * 3600 + i
+            hh, mm, ss = secs // 3600, (secs // 60) % 60, secs % 60
+            val = 1 + (tab[i % 8] + (g * 37 + i * 11) % 16 - 8) * 0.015625
+            lines.append(f"2021-09-01 {hh:02d}:{mm:02d}:{ss:02d},{val:.6f}")
+    with open(csv_path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    gatts_path = os.path.join(d, "gatts.txt")
+    with open(gatts_path, "w") as fh:
+        fh.write(
+            "title; Attrs fidelity deployment\n"
+            "institution; USGS Coastal and Marine Geology Program\n"
+            "Conventions; CF-1.6\n"
+        )
+    yaml_path = os.path.join(d, "config.yaml")
+    with open(yaml_path, "w") as fh:
+        fh.write(
+            "filename: e2e_attrsfid\n"
+            "good_dates:\n"
+            "  - ['2021-09-01 01:00:00', '2021-09-01 04:03:00']\n"
+            "wave_interval: 3600\n"
+            "sample_interval: 1.0\n"
+            "wave_duration: 128\n"
+            "wave_fcut: 0.45\n"
+            "initial_instrument_height: 0.5\n"
+            "export_zone: waves\n"
+        )
+    args_common = [gatts_path, yaml_path, "--input", csv_path,
+                   "--output-dir", d]
+    with _session_conf_guard(spark):
+        for step in ("csv2cdf", "cdf2nc", "nc2waves", "exportnc"):
+            rc = main(["rbr", step, *args_common])
+            if rc != 0:
+                raise RuntimeError(f"CLI step {step} failed with rc={rc}")
+    nc = read_nc3(os.path.join(d, "e2e_attrsfids-a.nc"))
+    rows = []
+    for k, v in nc["attrs"].items():
+        rows.append(("global", "", str(k), str(v)))
+    for name, var in nc["variables"].items():
+        for k, v in var["attrs"].items():
+            rows.append(("var", str(name), str(k), str(v)))
+    # lint the exported frame exactly as run_export_nc constructed it,
+    # against the FINAL artifact's global attrs
+    frame = spark.read.parquet(os.path.join(d, "e2e_attrsfid_waves"))
+    frame = apply_var_attrs(frame.withColumnRenamed("burst_time", "time"))
+    problems = check_dataframe(frame, dict(nc["attrs"]))
+    rows.append(("lint", "", "n_problems", str(len(problems))))
+    return spark.createDataFrame(
+        rows, "scope string, var string, attr string, value string"
+    )
+
+
+@register(
     "e2e_corpus_all_packs",
     _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + r""",

@@ -245,8 +245,46 @@ def _write_netcdf3(
         pdf = pdf.sort_values("time")
         times = pdf["time"].to_numpy()
         dims = {"time": len(times)}
+        # per-row numeric arrays of one shared length (wave spectra:
+        # frequency/pspec from the burst kernels) export as 2-D
+        # (time, frequency) variables, the reference's s-a.nc shape;
+        # the 'frequency' column doubles as the axis variable. Ragged
+        # arrays (per-burst nfft) stay parquet-only.
+        array_cols = {}
         for col in pdf.columns:
-            if col == "time":
+            series = pdf[col]
+            if (
+                series.dtype == object
+                and len(series)
+                and isinstance(series.iloc[0], (list, np.ndarray))
+            ):
+                lens = {len(v) for v in series}
+                if len(lens) == 1:
+                    array_cols[col] = np.array(
+                        [np.asarray(v, dtype=np.float64) for v in series]
+                    )
+        axis_name = None
+        if array_cols:
+            width = next(iter(array_cols.values())).shape[1]
+            if all(m.shape[1] == width for m in array_cols.values()):
+                axis_name = "frequency" if "frequency" in array_cols else None
+                if axis_name is not None:
+                    dims[axis_name] = width
+                    variables[axis_name] = {
+                        "dims": (axis_name,),
+                        "data": array_cols[axis_name][0],
+                        "attrs": var_attrs.get(axis_name, {}),
+                    }
+                    for col, mat in array_cols.items():
+                        if col == axis_name:
+                            continue
+                        variables[col] = {
+                            "dims": ("time", axis_name),
+                            "data": mat,
+                            "attrs": var_attrs.get(col, {}),
+                        }
+        for col in pdf.columns:
+            if col == "time" or (axis_name is not None and col in array_cols):
                 continue
             series = pdf[col]
             if series.dtype == object and len(series) and not isinstance(
