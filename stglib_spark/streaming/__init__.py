@@ -31,6 +31,7 @@ from stglib_spark.streaming.bursts import (
     streaming_winnow_gate,
     streaming_puv,
     streaming_qaqc_audit,
+    streaming_qaqc_lookahead_audit,
     streaming_sessionize,
     streaming_topk_cosine,
     streaming_wave_stats,
@@ -57,6 +58,7 @@ __all__ = [
     "streaming_winnow_gate",
     "streaming_puv",
     "streaming_qaqc_audit",
+    "streaming_qaqc_lookahead_audit",
     "streaming_sessionize",
     "streaming_topk_cosine",
     "streaming_wave_stats",

@@ -1789,3 +1789,172 @@ def test_streaming_qaqc_audit_matches_batch(spark, checkpoint_dir, tmp_path):
     assert streamed == batch
     assert sum(batch.values()) > 0  # every family really tripped
     assert all(v > 0 for v in batch.values())
+
+
+def test_streaming_qaqc_lookahead_audit_matches_batch(
+    spark, checkpoint_dir, tmp_path
+):
+    """Bounded-buffer lookahead twin (blip + centered rolling median):
+    after the replay drains — including L null heartbeat rows per
+    series that resolve the tail — the cumulative counters equal the
+    batch apply_qaqc audit counts bit for bit, including windows that
+    SPAN micro-batch boundaries. The null padding is provably neutral:
+    batch counts on the padded frame equal batch counts on the raw
+    frame (asserted below)."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators import qaqc as qaqc_ops
+    from stglib_spark.streaming import streaming_qaqc_lookahead_audit
+
+    t0 = pd.Timestamp("2024-06-01 08:00:00")
+    rows = []
+    for i in range(120):
+        u = f"u{i % 3}"
+        val = float((i * 7) % 100)
+        if i % 23 == 0:
+            val += 300.0  # isolated blip: up then immediately down
+        if i % 31 == 0:
+            val = None  # NULL cells: dropped from median, never counted
+        rows.append((i, u, val, t0 + pd.Timedelta(seconds=i)))
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "value", "ts"])
+    cfg = {"value_max_blip": 150.0, "value_med_diff": (5, 80.0)}
+    lookahead = 2  # max(5 // 2, 1)
+
+    # heartbeat tail: L null rows per series resolve the pending buffer
+    pad = []
+    for j, u in enumerate(sorted(pdf["user_id"].unique())):
+        for m in range(lookahead):
+            pad.append(
+                (
+                    1000 + j * lookahead + m,
+                    u,
+                    None,
+                    t0 + pd.Timedelta(seconds=500 + j * lookahead + m),
+                )
+            )
+    padded = pd.concat(
+        [pdf, pd.DataFrame(pad, columns=pdf.columns)], ignore_index=True
+    )
+
+    d = str(tmp_path / "qaqclookstream")
+    os.makedirs(d)
+    n_parts = 3
+    step = (len(padded) + n_parts - 1) // n_parts
+    for j in range(n_parts):
+        spark.createDataFrame(padded.iloc[j * step : (j + 1) * step]).coalesce(
+            1
+        ).write.parquet(f"{d}/part{j}")
+    schema = spark.read.parquet(f"{d}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_qaqc_lookahead_audit(stream, cfg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qaqclookstream")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM qaqclookstream").collect()
+    final = {}
+    for r in emitted:
+        k = (r["user_id"], r["rule"])
+        final[k] = max(final.get(k, 0), r["affected"])
+    streamed = {}
+    for (u, rule), n in final.items():
+        streamed[rule] = streamed.get(rule, 0) + n
+
+    spec = qaqc_ops.SeriesSpec(
+        time_col="ts", series_cols=("user_id",), order_cols=("ts", "event_id")
+    )
+
+    def batch_counts(frame):
+        res = qaqc_ops.apply_qaqc(
+            spark.createDataFrame(frame),
+            cfg,
+            ["value"],
+            spec,
+            keep_audit_cols=True,
+        )
+        return {k.split(":")[1]: v for k, v in res.audit_counts().items()}
+
+    batch_padded = batch_counts(padded)
+    assert streamed == batch_padded
+    # the heartbeat padding changed nothing on the real rows
+    assert batch_padded == batch_counts(pdf)
+    assert all(v > 0 for v in batch_padded.values())
+
+
+def test_streaming_qaqc_lookahead_single_row_batches(
+    spark, checkpoint_dir, tmp_path
+):
+    """Degenerate replay: every micro-batch delivers ONE row, so each
+    trigger resolves at most one pending row and tiny batches smaller
+    than the lookahead must not requeue already-scored context rows
+    (the resolved-index-never-moves-backwards guard)."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators import qaqc as qaqc_ops
+    from stglib_spark.streaming import streaming_qaqc_lookahead_audit
+
+    t0 = pd.Timestamp("2024-06-01 08:00:00")
+    vals = [10.0, 12.0, 250.0, 11.0, 14.0, None, 13.0, 15.0, 260.0, 12.0,
+            None, None]  # trailing heartbeats resolve the tail (L=2)
+    pdf = pd.DataFrame(
+        {
+            "event_id": range(len(vals)),
+            "user_id": ["u0"] * len(vals),
+            "value": vals,
+            "ts": [t0 + pd.Timedelta(seconds=i) for i in range(len(vals))],
+        }
+    )
+    cfg = {"value_max_blip": 100.0, "value_med_diff": (5, 90.0)}
+    d = str(tmp_path / "qaqclook1row")
+    os.makedirs(d)
+    for j in range(len(pdf)):
+        spark.createDataFrame(pdf.iloc[j : j + 1]).coalesce(1).write.parquet(
+            f"{d}/part{j:02d}"
+        )
+    schema = spark.read.parquet(f"{d}/part00").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_qaqc_lookahead_audit(stream, cfg)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qaqclook1row")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM qaqclook1row").collect()
+    streamed = {}
+    for r in emitted:
+        streamed[r["rule"]] = max(streamed.get(r["rule"], 0), r["affected"])
+
+    res = qaqc_ops.apply_qaqc(
+        spark.createDataFrame(pdf),
+        cfg,
+        ["value"],
+        qaqc_ops.SeriesSpec(
+            time_col="ts", series_cols=("user_id",),
+            order_cols=("ts", "event_id"),
+        ),
+        keep_audit_cols=True,
+    )
+    batch = {k.split(":")[1]: v for k, v in res.audit_counts().items()}
+    assert streamed == batch
+    assert batch["max_blip"] == 2
