@@ -143,6 +143,11 @@ def make_diwasp_ds(
     kpmin = config.get("wave_Kpmin")
     kpmin = float(kpmin) if kpmin is not None else None
     noise = float(config.get("wave_fractional_noise", 0.9))
+    # diagnostic switch: diwasp_tail: OFF skips the post-estimation
+    # cutoff + f^-4 splice entirely (reference behavior is always-on
+    # for pressure-derived inputs; OFF exists for A/B cost isolation
+    # and for inspecting the raw estimator output)
+    tail_on = str(config.get("diwasp_tail", "ON")).upper() != "OFF"
     # reference default EP['smooth']='ON', overridable via diwasp_smooth
     # (core/waves.py:28,54-55)
     smooth = str(config.get("diwasp_smooth", "ON")).upper() == "ON"
@@ -264,7 +269,7 @@ def make_diwasp_ds(
             fspec = res["fspec"]
             S = res["S"]
             hs, tp = res["hs"], res["tp"]
-            if dtype_used in ("puv", "pres"):
+            if tail_on and dtype_used in ("puv", "pres"):
                 # post-estimation cutoff + f⁻⁴ tail (core/waves.py:
                 # 479-527): pressure attenuates high frequencies by
                 # Kp = cosh(k·z)/cosh(k·h); above the cutoff the

@@ -14180,86 +14180,91 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # staleness finding): (a) queries new or re-planned THIS round first,
 # then (b) every query whose last driver row is oldest — rotate, don't
 # re-check only what changed.
+#
+# REFRESH SLA (re-stated in r13 per VERDICT r12 what's-wrong #2): the
+# registry outgrew the old 4-round arithmetic (236 queries / 50 graded
+# slots = 4.7 rounds per full rotation), so the standing contract is now
+# "no green row's driver evidence is older than FIVE rounds", and
+# registry growth is capped at 250 entries (5 rounds x 50 slots); adding
+# a query beyond that requires retiring or merging a subsumed row in the
+# same round. Current census: 236 registered (incl. the 2 deliberate-RED
+# hugeint probes and the 4 rows-only FFT kernels with green closed-form
+# companions).
 _FRONT = [
-    # --- round 12 policy: window = first 50 entries, driver-graded.
-    # (a) NEW or RE-PLANNED this round first: the DIWASP tail tier
-    #     (wave_dspec_tail_oracle NEW; both e2e diwasp stage oracles
-    #     re-pinned with the post-estimation cutoff + f^-4 tail ON;
-    #     e2e_diwasp_nd_roundtrip NEW — optimized-nd input selection),
-    #     qaqc_notes_audit (NEW — per-rule affected-count audit),
-    #     dedup_cluster_quality (re-pointed at the persisted run_dedup
-    #     verified-pairs + components zones), corpus_hll_distinct
-    #     (hll_registers now drops NULL values pre-bucket);
-    # (b) the declared r12 rotation block: all 40 real r7-aged rows
-    #     (the two deliberate-RED hugeint probes stay out — they are
-    #     not green rows, so the green-row SLA does not apply);
-    # (c) the 3 oldest r8 rows as slots allow (src_* vendor family).
-    # Refresh SLA: 235 queries / 50 slots => no green row older than 4
-    # rounds. r13 block = the 43 remaining r8-aged rows: corpus_datacard
-    # corpus_overlap_matrix corpus_simpson_diversity corpus_train_split
-    # dedup_semantic mm_decode_real_png mm_video_frames_real
-    # qaqc_bad_ens_indiv sim_pq_train snk_cf_lint
-    # snk_profile_split_roundtrip text_quality_logreg ts_sessionize and
-    # the src_{abss,aqd,aqdhr,aqdwv,areacomp,argonaut,campbell,eco_ntu,
-    # eofe_point,eofe_profile,exo,glx,hobo,iq,lisst,marotte,mayfly,
-    # microcat,pd0_bt,pd0_vbeam,pd0_waves,qrev,rdi_mat,rdi_sens,sgtid,
-    # sgwb,tcm,troll,trublue,vec}_roundtrip family — plus new-r13
-    # queries first and the oldest r9 rows as slots allow.
+    # --- round 13 policy: window = first 50 entries, driver-graded.
+    # (a) NEW or RE-PLANNED this round first:
+    #     e2e_attrs_fidelity_roundtrip (NEW — four-stage CLI attrs/
+    #       history/lint fidelity oracle, VERDICT r12 task #7),
+    #     e2e_cli_export_nc_roundtrip (re-pinned — history now carries
+    #       across stage boundaries, so the expected attr changed),
+    #     corpus_quality_auc + corpus_quality_pr_sweep (re-planned —
+    #       independent held-out label, VERDICT r12 task #6);
+    # (b) the declared r13 rotation block: all 46 r8-aged rows (the
+    #     src_* vendor-roundtrip ingest tier + the 12 non-src r8 rows).
+    # r14 block = the 46 r9-aged rows: clip_deployment clip_good_dates
+    # corpus_decontaminate corpus_dup_ngram_frac corpus_remove_boilerplate
+    # corpus_remove_dup_spans corpus_repetition_stats
+    # corpus_stratified_sample dedup_priority_source
+    # e2e_glx_waves_roundtrip e2e_pressure_waves_roundtrip
+    # e2e_puv_waves_roundtrip e2e_rbr_clean_roundtrip mm_audio_stats_real
+    # mm_decode_real_jpeg mm_video_frames_mjpg phys_dispersion_qkfs
+    # phys_pres2dep_ssc phys_salinity_spcon q2/q4/q6-q22 (the 19 TPC-H
+    # relational rows) qaqc_ast_quality_trim qaqc_bad_ens
+    # qaqc_burst_min_kill qaqc_diff_pct qaqc_mask_trim_by
+    # qaqc_maxabs_diff_2d text_chunk_documents — plus new-r14 queries
+    # first and the oldest r10 rows as slots allow.
     # (a) new/re-planned
-    "wave_dspec_tail_oracle",
-    "e2e_diwasp_roundtrip",
-    "e2e_diwasp_imlm_roundtrip",
-    "e2e_diwasp_nd_roundtrip",
-    "qaqc_notes_audit",
-    "dedup_cluster_quality",
-    "corpus_hll_distinct",
-    # (b) the declared 40-row r7-aged block
-    "corpus_budget_sample",
-    "corpus_build_packs",
-    "corpus_datacard_v1",
-    "corpus_datacard_v2",
-    "corpus_datacard_v3",
-    "corpus_hist_percentiles",
-    "corpus_kmv_distinct",
-    "corpus_mixture_allocate",
-    "corpus_pack_sequences",
-    "corpus_redact_pii",
-    "corpus_token_census",
-    "corpus_url_domains",
-    "dedup_embedding_grid",
-    "filt_butterworth_lowpass",
-    "filt_filtfilt_oracle",
-    "filt_iir_recursion_oracle",
-    "sim_ann_ivf_topk",
-    "sim_ann_lsh_topk",
-    "sim_bucket_centroids",
-    "sim_cosine_topk",
-    "sim_ivf_recall",
-    "sim_kmeans_assign",
-    "sim_pq_adc_topk",
-    "sonar_xy_linear_oracle",
-    "sonar_xy_regrid",
-    "src_sg_hex_roundtrip",
-    "src_son_roundtrip",
-    "text_bigram_logprob",
-    "text_fingerprint",
-    "text_unigram_logprob",
-    "ts_dedup_ctrl",
-    "ts_sessionize_v1",
-    "ts_sessionize_v2",
-    "ts_sessionize_v3",
-    "ts_sessionize_v4",
-    "wave_cutoff_tail_oracle",
-    "wave_dftm_plane_oracle",
-    "wave_elev_stats_oracle",
-    "wave_psd_welch_oracle",
-    "wave_puv_azimuth_oracle",
-    # (a-late) canonical-text dedup + quality-score ROC-AUC (NEW this
-    # round — graded now; src_sig/src_rsk yield their slots and
-    # refresh in the r13 block)
-    "dedup_canonical_text",
+    "e2e_attrs_fidelity_roundtrip",
+    "e2e_cli_export_nc_roundtrip",
     "corpus_quality_auc",
     "corpus_quality_pr_sweep",
+    # (b) the declared 46-row r8-aged block
+    "corpus_datacard",
+    "corpus_overlap_matrix",
+    "corpus_simpson_diversity",
+    "corpus_train_split",
+    "dedup_semantic",
+    "mm_decode_real_png",
+    "mm_video_frames_real",
+    "qaqc_bad_ens_indiv",
+    "sim_pq_train",
+    "snk_cf_lint",
+    "snk_profile_split_roundtrip",
+    "src_abss_roundtrip",
+    "src_aqd_roundtrip",
+    "src_aqdhr_roundtrip",
+    "src_aqdwv_roundtrip",
+    "src_areacomp_roundtrip",
+    "src_argonaut_roundtrip",
+    "src_campbell_roundtrip",
+    "src_eco_ntu_roundtrip",
+    "src_eofe_point_roundtrip",
+    "src_eofe_profile_roundtrip",
+    "src_exo_roundtrip",
+    "src_glx_roundtrip",
+    "src_hobo_roundtrip",
+    "src_iq_roundtrip",
+    "src_lisst_roundtrip",
+    "src_marotte_roundtrip",
+    "src_mayfly_roundtrip",
+    "src_microcat_roundtrip",
+    "src_pd0_bt_roundtrip",
+    "src_pd0_vbeam_roundtrip",
+    "src_pd0_waves_roundtrip",
+    "src_qrev_roundtrip",
+    "src_rbr_profile_roundtrip",
+    "src_rdi_mat_roundtrip",
+    "src_rdi_sens_roundtrip",
+    "src_rsk_roundtrip",
+    "src_sgtid_roundtrip",
+    "src_sgwb_roundtrip",
+    "src_sig_roundtrip",
+    "src_tcm_roundtrip",
+    "src_troll_roundtrip",
+    "src_trublue_roundtrip",
+    "src_vec_roundtrip",
+    "text_quality_logreg",
+    "ts_sessionize",
 ]
 # (the r8 src_* rows displaced by the late-r12 additions refresh in the
 # declared r13 block along with the rest of the r8-aged family)
