@@ -39,7 +39,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "step",
         nargs="?",
-        help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | exportnc | dedup | mediadedup | corpus | corpusall | all",
+        help="*2cdf | cdf2nc | nc2waves | nc2diwasp | nc2xy | exportnc | exportspec | dedup | mediadedup | corpus | corpusall | all",
     )
     p.add_argument("gatts", nargs="?", help="global attributes file (key; value lines)")
     p.add_argument("config", nargs="?", help="YAML instrument config")
@@ -94,6 +94,9 @@ def main(argv: list[str] | None = None) -> int:
             path = pipeline.run_diwasp(spark, config)
         elif step == "nc2xy":
             path = pipeline.run_xy(spark, config)
+        elif step in ("exportspec", "export_spec"):
+            # DIWASP text-file products (writespec contract)
+            path = pipeline.export_diwasp_spec(spark, config)
         elif step in ("exportnc", "export_nc"):
             path = pipeline.run_export_nc(
                 spark, config, zone=config.get("export_zone", "clean")

@@ -360,3 +360,55 @@ def dirspec(
         "dtp_deg": float(dtp),
         "dp_deg": float(dp),
     }
+
+
+def write_spec_text(path, xaxisdir, freqs, dirs, S):
+    """Serialize one directional spectrum to the DIWASP V1.4 text
+    container (reference ``lib/pyDIWASP/writespec.py:23-37``): a single
+    column of numbers — ``xaxisdir``, ``nf``, ``nd``, the frequency
+    axis, the direction axis, a ``999`` separator, then the real part
+    of S flattened row-major (frequency-major). One value per line in
+    exponential notation, full double precision (``%.18e``, the
+    np.savetxt default the format was defined with), so the file
+    round-trips bit-exactly."""
+    freqs = np.asarray(freqs, dtype=float).ravel()
+    dirs = np.asarray(dirs, dtype=float).ravel()
+    S = np.real(np.asarray(S))
+    nf, nd = len(freqs), len(dirs)
+    if S.shape != (nf, nd):
+        raise ValueError(f"S shape {S.shape} != (nf={nf}, nd={nd})")
+    stream = np.concatenate(
+        [
+            np.array([float(xaxisdir), float(nf), float(nd)]),
+            freqs,
+            dirs,
+            np.array([999.0]),
+            S.ravel(),
+        ]
+    )
+    with open(path, "w", encoding="ascii") as f:
+        for v in stream:
+            f.write("%.18e\n" % v)
+
+
+def read_spec_text(path):
+    """Parse a DIWASP V1.4 spectrum file back into
+    ``(xaxisdir, freqs, dirs, S)``; validates the header lengths and
+    the 999 separator. Inverse of :func:`write_spec_text`."""
+    vals = np.loadtxt(path, dtype=float).ravel()
+    if len(vals) < 4:
+        raise ValueError(f"{path}: truncated DIWASP spec file")
+    xaxisdir = float(vals[0])
+    nf, nd = int(vals[1]), int(vals[2])
+    want = 3 + nf + nd + 1 + nf * nd
+    if len(vals) != want:
+        raise ValueError(
+            f"{path}: expected {want} values for nf={nf} nd={nd}, "
+            f"got {len(vals)}"
+        )
+    freqs = vals[3:3 + nf]
+    dirs = vals[3 + nf:3 + nf + nd]
+    if vals[3 + nf + nd] != 999.0:
+        raise ValueError(f"{path}: missing 999 separator")
+    S = vals[3 + nf + nd + 1:].reshape(nf, nd)
+    return xaxisdir, freqs, dirs, S

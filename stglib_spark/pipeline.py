@@ -652,6 +652,48 @@ def run_diwasp(spark: SparkSession, config: dict[str, Any]) -> str:
     return _write_zone(out, config, "diwasp", history)
 
 
+def export_diwasp_spec(spark: SparkSession, config: dict[str, Any]) -> str:
+    """Export the diwasp zone's per-burst directional spectra as DIWASP
+    V1.4 text files (the reference's ``writespec`` output contract,
+    lib/pyDIWASP/writespec.py) — one ``<filename>_<burst ISO>.spec``
+    per burst under ``<output_dir>/<filename>_spec/``. Collect-to-driver
+    is the per-deployment export edge, same contract as run_export_nc;
+    the zone stays the scale artifact."""
+    from stglib_spark.functions.diwasp import write_spec_text
+
+    zone_path = _zone_path(config, "diwasp")
+    rows = (
+        spark.read.parquet(zone_path)
+        .select(
+            "burst_time",
+            "diwasp_frequency",
+            "diwasp_direction",
+            "diwasp_dspec",
+        )
+        .orderBy("burst_time")
+        .collect()
+    )
+    xaxisdir = float(
+        config.get("diwasp_xdir", config.get("diwasp_xaxisdir", 90.0))
+    )
+    out_dir = os.path.join(
+        config.get("output_dir", "/root/repo/.tmp/zones"),
+        config.get("filename", "deployment") + "_spec",
+    )
+    os.makedirs(out_dir, exist_ok=True)
+    name = config.get("filename", "deployment")
+    for r in rows:
+        stamp = r["burst_time"].strftime("%Y%m%dT%H%M%S")
+        write_spec_text(
+            os.path.join(out_dir, f"{name}_{stamp}.spec"),
+            xaxisdir,
+            r["diwasp_frequency"],
+            r["diwasp_direction"],
+            r["diwasp_dspec"],
+        )
+    return out_dir
+
+
 def run_export_nc(
     spark: SparkSession, config: dict[str, Any], zone: str = "clean"
 ) -> str:

@@ -387,3 +387,83 @@ def test_dirspec_nautical_basis_vs_cartesian():
     assert naut["dtp_deg"] == pytest.approx(
         (270.0 - cart["dtp_deg"]) % 360.0
     )
+
+
+def test_write_read_spec_text_roundtrip(tmp_path):
+    """DIWASP V1.4 text container: header triple, axes, 999 separator,
+    row-major S; full-precision roundtrip for arbitrary doubles."""
+    import numpy as np
+    import pytest
+
+    from stglib_spark.functions.diwasp import read_spec_text, write_spec_text
+
+    rng = np.random.default_rng(7)
+    freqs = rng.random(6) * 0.5
+    dirs = np.arange(9) * 40.0
+    S = rng.random((6, 9)) * 1e-3
+    path = str(tmp_path / "burst.spec")
+    write_spec_text(path, 90.0, freqs, dirs, S)
+    xaxisdir, f2, d2, S2 = read_spec_text(path)
+    assert xaxisdir == 90.0
+    assert np.array_equal(f2, freqs)  # bit-exact through %.18e
+    assert np.array_equal(d2, dirs)
+    assert np.array_equal(S2, S)
+    # layout: one value per line, sentinel where the format demands it
+    lines = open(path).read().split()
+    assert len(lines) == 3 + 6 + 9 + 1 + 54
+    assert float(lines[3 + 6 + 9]) == 999.0
+    with pytest.raises(ValueError):
+        write_spec_text(str(tmp_path / "bad.spec"), 90.0, freqs, dirs, S.T)
+    # corrupt the separator -> reader refuses
+    lines[3 + 6 + 9] = "0.0"
+    bad = str(tmp_path / "corrupt.spec")
+    open(bad, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError):
+        read_spec_text(bad)
+
+
+def test_export_diwasp_spec_stage(spark, tmp_path):
+    """pipeline.export_diwasp_spec: one <filename>_<burstISO>.spec per
+    burst from the diwasp zone, re-readable with the production
+    reader."""
+    import os
+
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stglib_spark import pipeline
+    from stglib_spark.functions.diwasp import read_spec_text
+
+    d = str(tmp_path)
+    zone = spark.range(3).select(
+        F.timestamp_seconds(F.lit(1622505600) + F.col("id") * 1800).alias(
+            "burst_time"
+        ),
+        F.expr(
+            "transform(sequence(0, 3),"
+            " k -> CAST(k + 1 AS DOUBLE) / CAST(8 AS DOUBLE))"
+        ).alias("diwasp_frequency"),
+        F.expr(
+            "transform(sequence(0, 5),"
+            " d -> CAST(d AS DOUBLE) * CAST(60 AS DOUBLE))"
+        ).alias("diwasp_direction"),
+        F.expr(
+            "transform(sequence(0, 3), k -> transform(sequence(0, 5),"
+            " d -> CAST(k * 6 + d + id AS DOUBLE) / CAST(3 AS DOUBLE)))"
+        ).alias("diwasp_dspec"),
+    )
+    zone.write.mode("overwrite").parquet(os.path.join(d, "dep_diwasp"))
+    out_dir = pipeline.export_diwasp_spec(
+        spark, {"output_dir": d, "filename": "dep", "diwasp_xdir": 45.0}
+    )
+    names = sorted(os.listdir(out_dir))
+    assert names == [
+        "dep_20210601T000000.spec",
+        "dep_20210601T003000.spec",
+        "dep_20210601T010000.spec",
+    ]
+    xaxisdir, freqs, dirs, S = read_spec_text(os.path.join(out_dir, names[2]))
+    assert xaxisdir == 45.0
+    assert np.array_equal(freqs, (np.arange(4) + 1) / 8.0)
+    assert S.shape == (4, 6)
+    assert S[1, 2] == (1 * 6 + 2 + 2) / 3.0
