@@ -73,6 +73,20 @@ def main(argv: list[str] | None = None) -> int:
     from stglib_spark.session import get_spark
 
     config = load_config(args.gatts, args.config)
+    # reference pre-flight gate (utils.py:1572-1577), non-strict here:
+    # warn instead of raise so partial configs still run
+    from stglib_spark.config import check_globalatts
+
+    missing = check_globalatts(config)
+    if missing:
+        import warnings
+
+        warnings.warn(
+            f"global attributes missing {missing} — the reference "
+            "requires these (most likely in the gatts file)",
+            UserWarning,
+            stacklevel=1,
+        )
     config.setdefault("instrument", args.instrument)
     for key in ("input_path", "atmpres_path", "output_dir"):
         if getattr(args, key):

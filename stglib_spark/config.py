@@ -80,6 +80,28 @@ def load_config(gatts_path: str | None = None, yaml_path: str | None = None) -> 
     return merge_config(gatts, yaml_config)
 
 
+#: gatts keys the reference hard-requires before any processing
+#: (core/utils.py:1572-1577 check_valid_globalatts_metadata)
+REQUIRED_GLOBALATTS = ("WATER_DEPTH", "latitude", "longitude", "MOORING")
+
+
+def check_globalatts(metadata: dict[str, Any], strict: bool = False) -> list[str]:
+    """The reference's pre-flight metadata gate
+    (utils.py:1572-1577): WATER_DEPTH / latitude / longitude / MOORING
+    must be defined, most likely in the global attributes file. Returns
+    the missing keys; ``strict=True`` reproduces the reference's raise.
+    The CLI runs this non-strict and warns, so synthetic/partial
+    configs still process while real deployments see the same message
+    the reference users do."""
+    missing = [k for k in REQUIRED_GLOBALATTS if k not in metadata]
+    if missing and strict:
+        raise KeyError(
+            f"{missing[0]} must be defined, most likely in global "
+            "attributes file"
+        )
+    return missing
+
+
 class History:
     """Append-only processing-history log (utils.py:238-250 insert_history)
     plus per-variable notes with affected counts (utils.py:1361-1373)."""

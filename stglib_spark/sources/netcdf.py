@@ -301,10 +301,25 @@ def _write_netcdf3(
             }
 
     epoch = np.asarray(times, dtype="datetime64[us]").astype("int64") / 1e6
+    # reference time-encoding contract (utils.py:1545-1569
+    # check_time_fits_in_int32 / check_time_encoding): CF-prefer i4
+    # seconds when every stamp is whole-second and fits in int32; keep
+    # double (with the reference's overflow warning) otherwise
+    time_data = epoch.astype(np.float64)
+    if len(epoch) and np.all(epoch == np.floor(epoch)):
+        if np.nanmax(np.abs(epoch)) > (2**31 - 1):
+            import warnings
+
+            warnings.warn(
+                "32-bit integer overflow on time; "
+                "setting encoding to i4 will fail"
+            )
+        else:
+            time_data = epoch.astype(np.int32)
     variables = {
         "time": {
             "dims": ("time",),
-            "data": epoch.astype(np.float64),
+            "data": time_data,
             "attrs": {
                 "units": _TIME_UNITS,
                 "standard_name": "time",

@@ -49,3 +49,57 @@ def test_write_report(tmp_path, spark):
     assert "OK" in open(out).read()
     write_report(["bad thing"], out)
     assert "bad thing" in open(out).read()
+
+
+def test_check_globalatts_required_keys():
+    """Reference pre-flight gate (utils.py:1572-1577): WATER_DEPTH /
+    latitude / longitude / MOORING must be defined; strict mode
+    reproduces the reference's raise, non-strict returns the list."""
+    import pytest
+
+    from stglib_spark.config import check_globalatts
+
+    full = {"WATER_DEPTH": 10.0, "latitude": 40.0, "longitude": -70.0,
+            "MOORING": "1234"}
+    assert check_globalatts(full) == []
+    partial = {"latitude": 40.0}
+    assert check_globalatts(partial) == [
+        "WATER_DEPTH", "longitude", "MOORING"
+    ]
+    with pytest.raises(KeyError, match="WATER_DEPTH must be defined"):
+        check_globalatts(partial, strict=True)
+
+
+def test_time_encoding_prefers_int32(tmp_path, spark):
+    """Reference check_time_encoding (utils.py:1556-1569): whole-second
+    in-range times export as i4; sub-second stays double."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stglib_spark.attrs import apply_var_attrs
+    from stglib_spark.functions.netcdf3 import read_nc3
+    from stglib_spark.sources.netcdf import write_netcdf
+
+    whole = apply_var_attrs(
+        spark.range(4).select(
+            F.timestamp_seconds(F.lit(1622505600) + F.col("id")).alias("time"),
+            F.col("id").cast("double").alias("P_1"),
+        )
+    )
+    p1 = str(tmp_path / "whole.nc")
+    write_netcdf(whole, p1, attrs={"title": "t"})
+    nc = read_nc3(p1)
+    assert nc["variables"]["time"]["data"].dtype == np.dtype(">i4")
+
+    frac = apply_var_attrs(
+        spark.range(4).select(
+            F.timestamp_seconds(
+                F.lit(1622505600) + F.col("id") * F.lit(0.5)
+            ).alias("time"),
+            F.col("id").cast("double").alias("P_1"),
+        )
+    )
+    p2 = str(tmp_path / "frac.nc")
+    write_netcdf(frac, p2, attrs={"title": "t"})
+    nc2 = read_nc3(p2)
+    assert nc2["variables"]["time"]["data"].dtype == np.dtype(">f8")
