@@ -32,6 +32,7 @@ from stglib_spark.streaming.bursts import (
     streaming_puv,
     streaming_qaqc_audit,
     streaming_qaqc_lookahead_audit,
+    streaming_quality_class_counts,
     streaming_sessionize,
     streaming_topk_cosine,
     streaming_wave_stats,
@@ -59,6 +60,7 @@ __all__ = [
     "streaming_puv",
     "streaming_qaqc_audit",
     "streaming_qaqc_lookahead_audit",
+    "streaming_quality_class_counts",
     "streaming_sessionize",
     "streaming_topk_cosine",
     "streaming_wave_stats",

@@ -983,6 +983,80 @@ def streaming_qaqc_lookahead_audit(
     )
 
 
+def streaming_quality_class_counts(
+    docs: DataFrame,
+    time_col: str = "ts",
+    text_col: str = "text",
+) -> DataFrame:
+    """Streaming twin of the quality-score evaluator inputs
+    (`corpus.ranking_auc`/`threshold_sweep`, r13 held-out-label
+    re-plan): live per-score (positives, negatives) class counters
+    over an ingest feed — the running table a curation dashboard folds
+    into a ROC-AUC/PR sweep without re-scanning the corpus.
+
+    Scale shape mirrors the batch argument exactly: the score and the
+    held-out label compute STATELESSLY per arriving row (the same
+    single-projection `quality_score` + `heldout_label` expressions,
+    JVM-side), and the only state is one (np, nn) counter pair per
+    DISTINCT 6-dp score — bounded by the score's codomain (≤ 1e6+1
+    keys, a few hundred in practice) regardless of feed volume.
+    Counters add across micro-batches, so the drained emission per
+    score equals the batch per-score aggregate bit for bit; folding
+    the final emissions through the batch AUC formula reproduces
+    `ranking_auc` exactly (integer arithmetic end to end) — the parity
+    test's contract."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    from stglib_spark.operators.corpus import heldout_label
+    from stglib_spark.operators.text import quality_score
+
+    scored = heldout_label(
+        quality_score(docs, text_col=text_col), text_col=text_col
+    ).select(
+        F.col(time_col),
+        F.col("quality_score").alias("__s"),
+        F.col("label_clean").cast("int").alias("__lab"),
+    )
+
+    out_schema = StructType(
+        [
+            StructField("quality_score", DoubleType()),
+            StructField("n_pos", LongType()),
+            StructField("n_neg", LongType()),
+        ]
+    )
+    state_schema = StructType(
+        [StructField("np_", LongType()), StructField("nn_", LongType())]
+    )
+
+    def fold(key, pdf_iter, state):
+        np_, nn_ = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            lab = pdf["__lab"].to_numpy(dtype=np.int64)
+            np_ += int(lab.sum())
+            nn_ += int(len(lab) - lab.sum())
+        state.update((np_, nn_))
+        yield pd.DataFrame(
+            {"quality_score": [key[0]], "n_pos": [np_], "n_neg": [nn_]}
+        )
+
+    return scored.groupBy("__s").applyInPandasWithState(
+        fold,
+        out_schema,
+        state_schema,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_content_dedup(
     docs: DataFrame,
     text_col: str = "text",

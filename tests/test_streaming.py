@@ -1958,3 +1958,97 @@ def test_streaming_qaqc_lookahead_single_row_batches(
     batch = {k.split(":")[1]: v for k, v in res.audit_counts().items()}
     assert streamed == batch
     assert batch["max_blip"] == 2
+
+
+def test_streaming_quality_class_counts_auc_parity(
+    spark, checkpoint_dir, tmp_path
+):
+    """Drained per-score class counters folded through the batch AUC
+    formula reproduce corpus.ranking_auc bit for bit (integer
+    arithmetic end to end), and the per-score rows equal the batch
+    aggregate."""
+    import os
+
+    import pandas as pd
+
+    from stglib_spark.operators.corpus import heldout_label, ranking_auc
+    from stglib_spark.operators.text import quality_score
+    from stglib_spark.streaming import streaming_quality_class_counts
+
+    t0 = pd.Timestamp("2024-06-01 08:00:00")
+    texts = []
+    for i in range(90):
+        if i % 4 == 0:
+            texts.append("the quick brown fox jumps over the lazy dog " * 3)
+        elif i % 4 == 1:
+            texts.append(("word " * (20 + i)).strip())  # repetitive
+        elif i % 4 == 2:
+            texts.append(
+                "alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa is of the and to " + f"suffix{i}"
+            )
+        else:
+            texts.append("x" * (10 + i % 7))  # short / odd shape
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(texts)),
+            "text": texts,
+            "ts": [t0 + pd.Timedelta(seconds=i) for i in range(len(texts))],
+        }
+    )
+    d = str(tmp_path / "qualstream")
+    os.makedirs(d)
+    for j in range(3):
+        spark.createDataFrame(pdf.iloc[j * 30 : (j + 1) * 30]).coalesce(
+            1
+        ).write.parquet(f"{d}/part{j}")
+    schema = spark.read.parquet(f"{d}/part0").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/*")
+    )
+    out = streaming_quality_class_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("qualstream")
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql("SELECT * FROM qualstream").collect()
+    final = {}
+    for r in emitted:  # cumulative counters: last emission per score wins
+        k = r["quality_score"]
+        cur = final.get(k, (0, 0))
+        final[k] = (max(cur[0], r["n_pos"]), max(cur[1], r["n_neg"]))
+
+    batch = heldout_label(quality_score(spark.createDataFrame(pdf)))
+    agg = {
+        r["quality_score"]: (r["np"], r["nn"])
+        for r in batch.groupBy("quality_score")
+        .agg(
+            F.sum(F.col("label_clean").cast("int")).alias("np"),
+            F.sum(1 - F.col("label_clean").cast("int")).alias("nn"),
+        )
+        .collect()
+    }
+    assert final == agg
+    assert len(agg) >= 3  # several distinct scores actually occurred
+
+    # fold the drained counters through the batch AUC formula
+    items = sorted(final.items())
+    cumneg, num, n_pos, n_neg = 0, 0, 0, 0
+    for s_, (np_, nn_) in items:
+        num += np_ * (2 * cumneg + nn_)
+        cumneg += nn_
+        n_pos += np_
+        n_neg += nn_
+    streamed_auc = round(num / (2.0 * n_pos * n_neg), 6)
+    batch_auc = ranking_auc(
+        batch, "quality_score", "label_clean"
+    ).collect()[0]
+    assert (n_pos, n_neg) == (batch_auc["n_pos"], batch_auc["n_neg"])
+    assert streamed_auc == batch_auc["auc"]
