@@ -1583,84 +1583,15 @@ def ts_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --- r7 driver-bisection family (VERDICT r6 task #1). ts_sessionize was
-# driver hash-red in r5 AND r6 while passing bit-exact locally; the
+# --- r7 driver-bisection aftermath (VERDICT r6 task #1). ts_sessionize
+# was driver hash-red in r5 AND r6 while passing bit-exact locally; the
 # diagnosed cause is DuckDB's sum(BIGINT)→HUGEINT→float64 pandas export
 # ("123.0" vs "123" under a formatted-value hash). The fixed main query
-# CASTs the sum; these variants prove the diagnosis THROUGH the driver:
-# v1-v3 add one column at a time (all expected green), v4 adds the
-# ABSOLUTE session-start epoch (the r5 timezone suspect — if green, the
-# public start_us column returns in r8), and the probe re-registers the
-# r6 uncast form (expected red IF the HUGEINT diagnosis is right).
-
-
-@register(
-    "ts_sessionize_v1",
-    _SESSIONIZE_CTE
-    + """
-    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
-           CAST(count(*) AS INTEGER) AS n_events
-    FROM sess GROUP BY user_id, session_id
-    """,
-)
-def ts_sessionize_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisection v1: ids and counts only — no sums, no epochs."""
-    return _sessionize_agg(spark, sf_dir).select(
-        "user_id", "session_id", "n_events"
-    )
-
-
-@register(
-    "ts_sessionize_v2",
-    _SESSIONIZE_CTE
-    + """
-    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
-           CAST(count(*) AS INTEGER) AS n_events,
-           max(us) - min(us) AS duration_us
-    FROM sess GROUP BY user_id, session_id
-    """,
-)
-def ts_sessionize_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisection v2: + duration_us (µs difference of window aggregates)."""
-    return _sessionize_agg(spark, sf_dir).select(
-        "user_id", "session_id", "n_events", "duration_us"
-    )
-
-
-@register(
-    "ts_sessionize_v3",
-    _SESSIONIZE_CTE
-    + """
-    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
-           CAST(count(*) AS INTEGER) AS n_events,
-           min(us) - min(user_min_us) AS start_rel_us
-    FROM sess GROUP BY user_id, session_id
-    """,
-)
-def ts_sessionize_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisection v3: + start_rel_us (relative to the user's first event)."""
-    return _sessionize_agg(spark, sf_dir).select(
-        "user_id", "session_id", "n_events", "start_rel_us"
-    )
-
-
-@register(
-    "ts_sessionize_v4",
-    _SESSIONIZE_CTE
-    + """
-    SELECT user_id, CAST(session_id AS INTEGER) AS session_id,
-           CAST(count(*) AS INTEGER) AS n_events,
-           min(us) AS start_us
-    FROM sess GROUP BY user_id, session_id
-    """,
-)
-def ts_sessionize_v4(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisection v4: + ABSOLUTE session-start epoch-µs — the r5 timezone
-    suspect. Green here means absolute epochs are driver-safe and the
-    public `start_us` column returns to the main query in r8."""
-    return _sessionize_agg(spark, sf_dir).select(
-        "user_id", "session_id", "n_events", "start_us"
-    )
+# CASTs the sum. The column-subset bisection variants (v1..v4) that
+# proved the diagnosis through the driver were RETIRED in r13 under the
+# registry-cap policy (fully subsumed by the green main query); the
+# deliberate-RED probe below re-registers the r6 uncast form and stays
+# as the standing documentation of the trap (expected red).
 
 
 @register(
@@ -7383,7 +7314,9 @@ def snk_netcdf3_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Shared CTE for corpus_datacard and its r7 driver-bisection variants
+# Shared CTE for corpus_datacard and its deliberate-RED hugeint probe
+# (the r7 column-subset bisection variants were retired in r13 — see the
+# registry-cap policy note above _FRONT)
 # (VERDICT r6 task #1) — see the ts_sessionize family note: the r5/r6
 # driver reds are diagnosed as DuckDB sum(BIGINT)→HUGEINT→float64
 # pandas export; the fixed queries CAST every integer-sum output, the
@@ -7474,7 +7407,7 @@ def corpus_datacard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _datacard_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full datacard aggregate; corpus_datacard and its _v* bisection
+    """Full datacard aggregate; corpus_datacard and its hugeint-probe
     variants select column subsets from this one plan."""
     docs = spread(load_table(spark, sf_dir, "documents"))
     q = text_ops.quality_score(docs).select(
@@ -7505,59 +7438,6 @@ def _datacard_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("__micro").alias("quality_micro_sum"),
         _interp10(5).alias("quality_p50_micro10"),
         _interp10(9).alias("quality_p90_micro10"),
-    )
-
-
-@register(
-    "corpus_datacard_v1",
-    _DATACARD_CTE
-    + """
-    SELECT source, lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(n_tok) AS BIGINT) AS n_tokens
-    FROM r GROUP BY source, lang
-    """,
-)
-def corpus_datacard_v1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisection v1: doc/token counts only — no digests, no sums of
-    derived integers."""
-    return _datacard_agg(spark, sf_dir).select(
-        "source", "lang", "n_docs", "n_tokens"
-    )
-
-
-@register(
-    "corpus_datacard_v2",
-    _DATACARD_CTE
-    + """
-    SELECT source, lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(count(*) - count(DISTINCT md5(text)) AS BIGINT) AS n_exact_dups
-    FROM r GROUP BY source, lang
-    """,
-)
-def corpus_datacard_v2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisection v2: + exact-duplicate count (md5 digest distinct)."""
-    return _datacard_agg(spark, sf_dir).select(
-        "source", "lang", "n_docs", "n_exact_dups"
-    )
-
-
-@register(
-    "corpus_datacard_v3",
-    _DATACARD_CTE
-    + """
-    SELECT source, lang,
-           CAST(count(*) AS BIGINT) AS n_docs,
-           CAST(sum(micro) AS BIGINT) AS quality_micro_sum
-    FROM r GROUP BY source, lang
-    """,
-)
-def corpus_datacard_v3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bisection v3: + micro-integer quality sum, CAST back to BIGINT
-    (DuckDB sum(BIGINT) is HUGEINT otherwise)."""
-    return _datacard_agg(spark, sf_dir).select(
-        "source", "lang", "n_docs", "quality_micro_sum"
     )
 
 
@@ -14282,9 +14162,14 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "no green row's driver evidence is older than FIVE rounds", and
 # registry growth is capped at 250 entries (5 rounds x 50 slots); adding
 # a query beyond that requires retiring or merging a subsumed row in the
-# same round. Current census: 236 registered (incl. the 2 deliberate-RED
+# same round. Current census: 230 registered (incl. the 2 deliberate-RED
 # hugeint probes and the 4 rows-only FFT kernels with green closed-form
-# companions).
+# companions). Retired r13 under that policy: the 7 column-subset
+# bisection variants ts_sessionize_v1..v4 / corpus_datacard_v1..v3 —
+# historical driver-bisection diagnostics for the DuckDB HUGEINT export
+# trap, fully subsumed by ts_sessionize / corpus_datacard (both still
+# registered and rotated; the trap itself stays documented by the two
+# deliberate-RED hugeint probes).
 _FRONT = [
     # --- round 13 policy: window = first 50 entries, driver-graded.
     # (a) NEW or RE-PLANNED this round first:
