@@ -258,11 +258,16 @@ def _write_netcdf3(
                 and len(series)
                 and isinstance(series.iloc[0], (list, np.ndarray))
             ):
+                if any(v is None for v in series):
+                    continue  # null arrays: stay parquet-only
                 lens = {len(v) for v in series}
                 if len(lens) == 1:
-                    array_cols[col] = np.array(
-                        [np.asarray(v, dtype=np.float64) for v in series]
-                    )
+                    try:
+                        array_cols[col] = np.array(
+                            [np.asarray(v, dtype=np.float64) for v in series]
+                        )
+                    except (TypeError, ValueError):
+                        continue  # non-numeric arrays: stay parquet-only
         axis_name = None
         if array_cols:
             width = next(iter(array_cols.values())).shape[1]

@@ -323,3 +323,33 @@ def test_nc3_integer_range_promotion(tmp_path):
     assert out["variables"]["small"]["data"].dtype == np.dtype(">i4")
     assert int(np.ravel(out["attrs"]["counter"])[0]) == 40000
     assert int(np.ravel(out["attrs"]["tiny"])[0]) == 5
+
+
+def test_writer_skips_nonnumeric_and_null_arrays(tmp_path, spark):
+    """2-D array export only engages for complete numeric equal-length
+    arrays; string-array and null-array columns stay parquet-only (the
+    pre-r13 skip behavior) instead of crashing the writer."""
+    from pyspark.sql import functions as F
+
+    from stglib_spark.attrs import apply_var_attrs
+    from stglib_spark.functions.netcdf3 import read_nc3
+    from stglib_spark.sources.netcdf import write_netcdf
+
+    df = apply_var_attrs(
+        spark.range(3).select(
+            F.timestamp_seconds(F.lit(1622505600) + F.col("id")).alias(
+                "time"
+            ),
+            F.col("id").cast("double").alias("P_1"),
+            F.array(F.lit("a"), F.lit("b")).alias("tags"),
+            F.when(
+                F.col("id") == 1, F.array(F.lit(1.0), F.lit(2.0))
+            ).alias("maybe_arr"),
+        )
+    )
+    path = str(tmp_path / "mixed.nc")
+    write_netcdf(df, path, attrs={"title": "t"})
+    nc = read_nc3(path)
+    assert "P_1" in nc["variables"]
+    assert "tags" not in nc["variables"]
+    assert "maybe_arr" not in nc["variables"]
