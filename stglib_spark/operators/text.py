@@ -151,6 +151,51 @@ def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "lang_pred") -
     return df.withColumn(out_col, pred)
 
 
+SCRIPT_RANGES: dict[str, tuple[str, str]] = {
+    # (Spark/Java regex class, DuckDB/RE2 regex class) per Unicode block
+    "latin": ("A-Za-z", "A-Za-z"),
+    "cyrillic": ("\u0400-\u04ff", "\\x{0400}-\\x{04FF}"),
+    "greek": ("\u0370-\u03ff", "\\x{0370}-\\x{03FF}"),
+    "arabic": ("\u0600-\u06ff", "\\x{0600}-\\x{06FF}"),
+    "cjk": ("\u4e00-\u9fff", "\\x{4E00}-\\x{9FFF}"),
+    "hangul": ("\uac00-\ud7af", "\\x{AC00}-\\x{D7AF}"),
+}
+
+
+def script_counts(
+    df: DataFrame, text_col: str = "text", pred_col: str = "script_pred"
+) -> DataFrame:
+    """Unicode-script detection — the writing-system complement to the
+    stopword-marker ``lang_id`` (script tells Cyrillic from Latin
+    before any wordlist applies; the standard first cut in multilingual
+    corpus triage). Adds one exact integer character count per major
+    script block (``n_latin``, ``n_cyrillic``, ``n_greek``,
+    ``n_arabic``, ``n_cjk``, ``n_hangul``) plus the dominant-script
+    label: highest count wins, ties and zero-hit rows -> 'und' (the
+    ``lang_id`` tie convention). Counts via regexp_replace + length —
+    one codegen'd projection, no UDF, scan speed at 100 TB."""
+    t = F.col(text_col)
+    counts = {
+        name: F.length(F.regexp_replace(t, f"[^{java}]", ""))
+        for name, (java, _) in SCRIPT_RANGES.items()
+    }
+    best = F.greatest(*counts.values())
+    n_best = None
+    for c in counts.values():
+        term = (c == best).cast("int")
+        n_best = term if n_best is None else n_best + term
+    chain = None
+    for name, c in counts.items():
+        cond = (c == best) & (best > 0) & (n_best == 1)
+        chain = (
+            F.when(cond, F.lit(name))
+            if chain is None
+            else chain.when(cond, F.lit(name))
+        )
+    out = df.withColumns({f"n_{k}": v for k, v in counts.items()})
+    return out.withColumn(pred_col, chain.otherwise(F.lit("und")))
+
+
 def doc_fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fingerprint") -> DataFrame:
     """Deterministic document fingerprint: md5 of the normalized text
     (lowercased, punctuation stripped, whitespace collapsed) — the exact

@@ -2199,6 +2199,69 @@ _NORM_SQL = _norm_sql()
 
 
 @register(
+    "text_script_detect",
+    """
+    SELECT * FROM (VALUES
+      (0, 16, 0, 0, 0, 0, 0, 'latin'),
+      (1, 0, 36, 0, 0, 0, 0, 'cyrillic'),
+      (2, 0, 0, 15, 0, 0, 0, 'greek'),
+      (3, 0, 0, 0, 17, 0, 0, 'arabic'),
+      (4, 0, 0, 0, 0, 10, 0, 'cjk'),
+      (5, 0, 0, 0, 0, 0, 8, 'hangul'),
+      (6, 21, 8, 0, 0, 0, 0, 'latin'),
+      (7, 3, 3, 0, 0, 0, 0, 'und'),
+      (8, 0, 0, 0, 0, 0, 0, 'und'),
+      (9, 0, 0, 0, 0, 0, 0, 'und'),
+      (10, 10, 0, 0, 0, 13, 0, 'cjk'),
+      (11, 5, 0, 28, 0, 0, 0, 'greek')
+    ) AS t(doc_id, n_latin, n_cyrillic, n_greek, n_arabic, n_cjk, n_hangul,
+           script_pred)
+    """,
+)
+def text_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNICODE-SCRIPT DETECTION (`text.script_counts`) — the
+    writing-system first cut of multilingual corpus triage (script
+    separates Cyrillic from Latin before any wordlist applies; the
+    stopword-marker `text_lang_id` handles the within-script step):
+    exact per-block character counts (Latin, Cyrillic, Greek, Arabic,
+    CJK, Hangul) plus the dominant-script label with the lang_id tie
+    convention (ties and zero-hit rows -> 'und'). Runs the PRODUCTION
+    operator over a fixed mixed-script fixture covering every block,
+    script-dominant mixes, an exact latin/cyrillic tie, an empty row,
+    and a symbols-only row; the oracle is the hand-verified literal
+    table, so the Java-regex Unicode classes are pinned against
+    independently counted expectations rather than replayed through a
+    second regex engine. One codegen'd projection — no UDF, no
+    shuffle."""
+    rows = [
+        (0, 'the quick brown fox'),
+        (1, 'Съешь же ещё этих мягких французских булок'),
+        (2, 'Θάλασσα και ήλιος'),
+        (3, 'مرحبا بالعالم اليوم'),
+        (4, '数据处理引擎测试文本'),
+        (5, '한국어 텍스트 예시'),
+        (6, 'mixed Кирилица and latin text here'),
+        (7, 'abc Юяэ'),
+        (8, ''),
+        (9, '1234 !!! ??? ...'),
+        (10, '短 mixed 中文 heavy 文本本文字字符多数派'),
+        (11, 'ΑΒΓ αβγ mixed λίγο ελληνικά κείμενο εδώ'),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = text_ops.script_counts(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_latin").cast("int").alias("n_latin"),
+        F.col("n_cyrillic").cast("int").alias("n_cyrillic"),
+        F.col("n_greek").cast("int").alias("n_greek"),
+        F.col("n_arabic").cast("int").alias("n_arabic"),
+        F.col("n_cjk").cast("int").alias("n_cjk"),
+        F.col("n_hangul").cast("int").alias("n_hangul"),
+        "script_pred",
+    )
+
+
+@register(
     "text_fingerprint",
     f"SELECT doc_id, md5({_NORM_SQL}) AS fingerprint FROM documents",
 )
@@ -14162,7 +14225,7 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "no green row's driver evidence is older than FIVE rounds", and
 # registry growth is capped at 250 entries (5 rounds x 50 slots); adding
 # a query beyond that requires retiring or merging a subsumed row in the
-# same round. Current census: 230 registered (incl. the 2 deliberate-RED
+# same round. Current census: 231 registered (incl. the 2 deliberate-RED
 # hugeint probes and the 4 rows-only FFT kernels with green closed-form
 # companions). Retired r13 under that policy: the 7 column-subset
 # bisection variants ts_sessionize_v1..v4 / corpus_datacard_v1..v3 —
@@ -14192,7 +14255,8 @@ _FRONT = [
     # relational rows) qaqc_ast_quality_trim qaqc_bad_ens
     # qaqc_burst_min_kill qaqc_diff_pct qaqc_mask_trim_by
     # qaqc_maxabs_diff_2d text_chunk_documents — plus new-r14 queries
-    # FIRST (snk_diwasp_spec_roundtrip, registered r13) and the oldest
+    # FIRST (snk_diwasp_spec_roundtrip and text_script_detect,
+    # registered r13) and the oldest
     # r10 rows as slots allow.
     # (a) new/re-planned
     "e2e_attrs_fidelity_roundtrip",

@@ -1134,3 +1134,17 @@ def test_containment_catches_embedded_doc_jaccard_misses(spark):
         ).collect()
     }
     assert jac[(1, 2)] < 0.2  # Jaccard would never flag the pair
+
+
+def test_script_counts_plan_is_single_projection(spark):
+    """script_counts stays a pure codegen'd projection — no shuffle, no
+    UDF, scan speed at 100 TB."""
+    from stglib_spark.operators.text import script_counts
+    from stglib_spark.session import load_table
+
+    df = script_counts(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    )
+    plan = df._jdf.queryExecution().simpleString()
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
