@@ -115,6 +115,17 @@ def make_diwasp_ds(
     zp = float(zp) if zp is not None else 0.0
     zuv = config.get("velocity_sample_volume_height")
     zuv = float(zuv) if zuv is not None else zp
+    # pressure-sensor horizontal offsets (vec/nc2waves.py:380-415
+    # make_diwasp_layout): enter the puv/pres layout x/y rows, feeding
+    # the estimator's co-array phase terms
+    px = float(config.get("px_offset", 0) or 0)
+    py = float(config.get("py_offset", 0) or 0)
+    # per-burst sample-count conditioning (core/waves.py:130-140):
+    # explicit diwasp_nsamps wins; diwasp_pow2: 'true' floors each
+    # burst to its largest power of 2
+    nsamps_cfg = config.get("diwasp_nsamps")
+    nsamps_cfg = int(nsamps_cfg) if nsamps_cfg is not None else None
+    pow2 = str(config.get("diwasp_pow2", "")).lower() == "true"
     method = str(config.get("diwasp_method", "IMLM"))
     nfft = config.get("diwasp_nfft")
     # reference default nfft: next power of 2 of nsamps/nsegs
@@ -175,6 +186,14 @@ def make_diwasp_ds(
             u = grp[u_col].to_numpy(dtype=float)
             v = grp[v_col].to_numpy(dtype=float)
             ast = grp[ast_col].to_numpy(dtype=float) if ast_col else None
+            if nsamps_cfg or pow2:
+                use = (
+                    min(nsamps_cfg, len(p))
+                    if nsamps_cfg
+                    else 2 ** int(np.log2(len(p)))
+                )
+                p, u, v = p[:use], u[:use], v[:use]
+                ast = ast[:use] if ast is not None else None
             if len(p) < 64:
                 continue
 
@@ -207,7 +226,7 @@ def make_diwasp_ds(
             if dtype_used == "puv":
                 data = np.column_stack([p, u, v])
                 datatypes = ["pres", "velx", "vely"]
-                layout = np.array([[0.0, 0, 0], [0.0, 0, 0], [zp, zuv, zuv]])
+                layout = np.array([[px, 0, 0], [py, 0, 0], [zp, zuv, zuv]])
             elif dtype_used == "suv":
                 data = np.column_stack([ast, u, v])
                 datatypes = ["elev", "velx", "vely"]
@@ -215,7 +234,7 @@ def make_diwasp_ds(
             elif dtype_used == "pres":
                 data = p[:, None]
                 datatypes = ["pres"]
-                layout = np.array([[0.0], [0.0], [zp]])
+                layout = np.array([[px], [py], [zp]])
             elif dtype_used == "elev":
                 data = ast[:, None]
                 datatypes = ["elev"]

@@ -23,7 +23,7 @@ from typing import Sequence
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import StructType
 
 from stglib_spark.functions.signal import butter_ba, filtfilt, medfilt
@@ -140,14 +140,53 @@ def filtered_water_level(
     cutoff_seconds: float = 360.0,
     group_cols: Sequence[str] = (),
     time_col: str = "time",
+    fill_tolerance_seconds: float | None = None,
 ) -> DataFrame:
     """create_filtered_water_level_var (utils.py:1715-1756): 4th-order
     lowpass Butterworth at a 6-minute (360 s) default cutoff, written to
-    ``<var>_filt``."""
+    ``<var>_filt``.
+
+    ``fill_tolerance_seconds`` (glx.py:335-355, ``wlfilt_tolerance``,
+    reference default "60 s"): NaN gaps in the input are temporarily
+    filled with the NEAREST valid sample within the tolerance so the
+    IIR recursion doesn't poison everything downstream of a small gap;
+    after filtering, cells where the ORIGINAL input was null are
+    re-nulled. Both passes are window expressions — no extra shuffle
+    beyond the filter's own per-group ordering."""
     sr = 1.0 / float(sample_interval_seconds)
     cut = 1.0 / float(cutoff_seconds)
-    tagged = df.withColumn(f"{var}_filt", F.col(var))
-    return butter_filter(
+    src = F.col(var)
+    if fill_tolerance_seconds is not None and fill_tolerance_seconds > 0:
+        order = [F.col(time_col)]
+        w = Window.partitionBy(*[F.col(c) for c in group_cols]).orderBy(*order)
+        wdesc = Window.partitionBy(
+            *[F.col(c) for c in group_cols]
+        ).orderBy(*[F.col(time_col).desc()])
+        ts = F.col(time_col).cast("double")
+        prev_v = F.last(F.when(src.isNotNull(), src), True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        prev_t = F.last(F.when(src.isNotNull(), ts), True).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        next_v = F.last(F.when(src.isNotNull(), src), True).over(
+            wdesc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        next_t = F.last(F.when(src.isNotNull(), ts), True).over(
+            wdesc.rowsBetween(Window.unboundedPreceding, -1)
+        )
+        tol = float(fill_tolerance_seconds)
+        d_prev = F.when(prev_t.isNotNull(), ts - prev_t)
+        d_next = F.when(next_t.isNotNull(), next_t - ts)
+        nearest = F.when(
+            d_prev.isNotNull()
+            & (d_prev <= tol)
+            & (d_next.isNull() | (d_prev <= d_next)),
+            prev_v,
+        ).when(d_next.isNotNull() & (d_next <= tol), next_v)
+        src = F.coalesce(F.col(var), nearest)
+    tagged = df.withColumn(f"{var}_filt", src)
+    out = butter_filter(
         tagged,
         f"{var}_filt",
         sample_rate=sr,
@@ -157,6 +196,13 @@ def filtered_water_level(
         group_cols=group_cols,
         time_col=time_col,
     )
+    if fill_tolerance_seconds is not None and fill_tolerance_seconds > 0:
+        # reference re-nulls where the raw series was null (glx.py:352)
+        out = out.withColumn(
+            f"{var}_filt",
+            F.when(F.col(var).isNotNull(), F.col(f"{var}_filt")),
+        )
+    return out
 
 
 def apply_config_filters(

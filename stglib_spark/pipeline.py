@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from stglib_spark.config import History
 from stglib_spark.operators import clip as clip_ops
-from stglib_spark.operators import joins, physics, qaqc, timeops
+from stglib_spark.operators import joins, physics, qaqc, timeops, transforms
 from stglib_spark.operators import waves as wave_ops
 from stglib_spark.sources import ingest
 
@@ -109,6 +109,31 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
 
     df = clip_ops.clip_ds(df, config)
     history.insert_history("Clipped to deployment window / good ranges.")
+
+    # linear sensor recalibration <FAMILY>_offset / <FAMILY>_scale
+    # (abss.py:274-333 scale_vars): v' = (v - offset) * scale, recorded
+    # in history; family names resolve to whichever spelling the zone
+    # carries (vendor or EPIC)
+    for fam, cands in (
+        ("P_1", ("P_1", "Pressure", "pressure")),
+        ("Tx", ("Tx_1211", "Temperature")),
+        ("Bat", ("Bat_106", "Battery", "batt")),
+    ):
+        off = float(config.get(f"{fam}_offset", 0) or 0)
+        scale = float(config.get(f"{fam}_scale", 1) or 1)
+        if off == 0 and scale == 1:
+            continue
+        col = next((c for c in cands if c in df.columns), None)
+        if col is None:
+            continue
+        df = df.withColumn(col, (F.col(col) - F.lit(off)) * F.lit(scale))
+        history.insert_history(
+            f"{col} data corrected using an offset of {off} and scale "
+            f"factor of {scale}."
+        )
+        history.insert_note(
+            col, f"offset {off}, scale {scale} applied."
+        )
 
     raw_pcol = next(
         (c for c in ("P_1", "Pressure", "pressure") if c in df.columns), None
@@ -237,6 +262,45 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
 
     df = _velocity_stack(df, config, history, pcol)
 
+    if (
+        "speed" in df.columns
+        and "heading" in df.columns
+        and "u_1205" not in df.columns
+    ):
+        # tilt-current-meter clean path (mar.py:88-96 + ds_rename_vars
+        # :334-346): u/v from speed/heading, CF renames, then magnetic
+        # variation ONLY when correct_mag_var is TRUE
+        u, v = transforms.spd2uv(F.col("speed"), F.col("heading"))
+        df = df.withColumns({"u_1205": u, "v_1206": v})
+        ren = {"speed": "CS_300", "heading": "CD_310", "temp": "T_28"}
+        df = df.withColumnsRenamed(
+            {k: t for k, t in ren.items() if k in df.columns}
+        )
+        history.insert_history(
+            "Computed u/v from speed/heading; renamed to CF names."
+        )
+        if (
+            str(config.get("correct_mag_var", "")).upper() == "TRUE"
+            and config.get("magnetic_variation") is not None
+        ):
+            magvar = float(config["magnetic_variation"])
+            ru, rv = transforms.magvar_rotate(
+                F.col("u_1205"), F.col("v_1206"), magvar
+            )
+            df = df.withColumns(
+                {
+                    "u_1205": ru,
+                    "v_1206": rv,
+                    "CD_310": transforms.magvar_correct_heading(
+                        F.col("CD_310"), magvar
+                    ),
+                }
+            )
+            history.insert_history(
+                f"Corrected horizontal velocities and direction for "
+                f"magnetic variation of {magvar}."
+            )
+
     from stglib_spark.sources import resolve_instrument
 
     if resolve_instrument(str(config.get("instrument", ""))) in (
@@ -259,11 +323,16 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
 
     if config.get("filtered_wl") and "water_level" in df.columns:
         # filtered_wl: "true" (doc/config.rst; utils.py:1715-1756):
-        # 4th-order 6-min lowpass water level → water_level_filt
+        # 4th-order 6-min lowpass water level → water_level_filt;
+        # wlfilt_tolerance (glx.py:335-355, default "60 s") nearest-fills
+        # small gaps before the IIR pass and re-nulls them after
+        tol_raw = str(config.get("wlfilt_tolerance", "60 s"))
+        tol_s = float(tol_raw.split()[0]) if tol_raw.split() else 60.0
         df = filter_ops.filtered_water_level(
             df,
             "water_level",
             sample_interval_seconds=float(config.get("sample_interval", 60.0)),
+            fill_tolerance_seconds=tol_s,
         )
         history.insert_history("Created filtered water level (6-min lowpass).")
 

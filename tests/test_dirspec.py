@@ -538,3 +538,65 @@ def test_spec_text_roundtrip_property():
         assert np.array_equal(S2, S)
 
     check()
+
+
+def test_diwasp_nsamps_pow2_and_px_py_offsets(spark):
+    """diwasp_nsamps / diwasp_pow2 truncate each burst before analysis
+    (core/waves.py:130-140); px/py offsets move the pressure sensor in
+    the layout (vec/nc2waves.py:380-415) and change the directional
+    result while leaving the non-directional spectrum intact."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from stglib_spark.operators import dirspec as ds_ops
+
+    b = (F.col("id") / 100).cast("long")
+    i = F.pmod(F.col("id"), 100)
+    clean = spark.range(100).select(
+        b.alias("burst"),
+        i.cast("long").alias("sample"),
+        F.timestamp_seconds(F.lit(1622505600) + b * 3600 + i.cast("double"))
+        .alias("time"),
+        (F.lit(10.0) + (F.pmod(7 * i, 16) - 8) / 64.0).alias("P_1ac"),
+        ((F.pmod(5 * i + 4, 16) - 8) / 64.0).alias("u_1205"),
+        ((F.pmod(3 * i + 9, 16) - 8) / 64.0).alias("v_1206"),
+    ).withColumn("burst_time", F.timestamp_seconds(F.lit(1622505600)))
+    base_cfg = {
+        "sample_interval": 1.0,
+        "pressure_sensor_height": 0.5,
+        "diwasp": "puv",
+        "diwasp_method": "DFTM",
+        "diwasp_nfft": 16,
+        "diwasp_nfreqs": 6,
+        "diwasp_ndirs": 8,
+        "diwasp_dres": 8,
+        "wave_fcut": 0.45,
+    }
+    # pow2: 100 samples -> 64 used; nsamps: explicit 64 -> identical
+    r_pow2 = ds_ops.make_diwasp_ds(
+        clean, {**base_cfg, "diwasp_pow2": "true"}
+    ).collect()[0]
+    r_n64 = ds_ops.make_diwasp_ds(
+        clean, {**base_cfg, "diwasp_nsamps": 64}
+    ).collect()[0]
+    assert r_pow2["diwasp_fspec"] == r_n64["diwasp_fspec"]
+    r_all = ds_ops.make_diwasp_ds(clean, base_cfg).collect()[0]
+    assert r_all["diwasp_fspec"] != r_pow2["diwasp_fspec"]
+
+    # px/py offsets: the directional spectrum moves materially; the
+    # integrated 1-D spectrum only drifts at the estimator's
+    # redistribution level (<1% here — DFTM re-spreads energy under the
+    # phase-shifted co-array)
+    r_off = ds_ops.make_diwasp_ds(
+        clean, {**base_cfg, "px_offset": 0.4, "py_offset": -0.2}
+    ).collect()[0]
+    assert np.allclose(
+        np.array(r_all["diwasp_fspec"], dtype=float),
+        np.array(r_off["diwasp_fspec"], dtype=float),
+        rtol=1e-2, atol=1e-12, equal_nan=True,
+    )
+    assert not np.allclose(
+        np.array(r_all["diwasp_dspec"], dtype=float),
+        np.array(r_off["diwasp_dspec"], dtype=float),
+        rtol=1e-6, atol=1e-12, equal_nan=True,
+    )

@@ -16,7 +16,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from stglib_spark.operators.waves import qkfs_np
-from stglib_spark.pipeline import run_all
+from stglib_spark.pipeline import _zone_path, run_all, run_clean
 from stglib_spark.sources import ingest
 from stglib_spark.sources.binary import write_demo_file
 
@@ -1089,3 +1089,105 @@ def test_e2e_queries_leave_session_confs_untouched(spark):
         spark.conf.set("spark.sql.shuffle.partitions", pre_test)
         spark.conf.set("spark.sql.session.timeZone", "UTC")
 
+
+
+def test_scale_offset_calibration(spark, tmp_path):
+    """<FAMILY>_offset / <FAMILY>_scale (abss scale_vars semantics):
+    v' = (v - offset) * scale, applied at clean with history + note."""
+    cfg = {
+        "output_dir": str(tmp_path),
+        "filename": "cal",
+        "P_1_offset": 2.0,
+        "P_1_scale": 1.5,
+        "Tx_offset": 0.5,
+    }
+    raw = spark.createDataFrame(
+        [("2021-06-01 00:00:00", 10.0, 20.0), ("2021-06-01 00:01:00", 12.0, 21.0)],
+        "ts string, Pressure double, Tx_1211 double",
+    ).select(F.col("ts").cast("timestamp").alias("time"), "Pressure", "Tx_1211")
+    raw.write.mode("overwrite").parquet(_zone_path(cfg, "raw"))
+    path = run_clean(spark, cfg)
+    rows = {r["time"].minute: r for r in spark.read.parquet(path).collect()}
+    assert rows[0]["Pressure"] == (10.0 - 2.0) * 1.5
+    assert rows[1]["Pressure"] == (12.0 - 2.0) * 1.5
+    assert rows[0]["Tx_1211"] == 20.0 - 0.5
+    meta = json.load(open(path + ".meta.json"))
+    hist = " ".join(meta["history"])
+    assert "offset of 2.0 and scale factor of 1.5" in hist
+    assert any("offset" in n for n in meta["notes"].get("Pressure", []))
+
+
+def test_marotte_clean_spd2uv_and_correct_mag_var(spark, tmp_path):
+    """Tilt-current-meter clean path (mar.py:88-96): u/v from
+    speed/heading, CF renames, magvar ONLY when correct_mag_var TRUE."""
+    import math
+
+    raw = spark.createDataFrame(
+        [("2021-06-01 00:00:00", 1.0, 90.0, 15.0)],
+        "ts string, speed double, heading double, temp double",
+    ).select(
+        F.col("ts").cast("timestamp").alias("time"), "speed", "heading", "temp"
+    )
+    for flag, magvar, expect_rot in (
+        ("TRUE", 10.0, True),
+        ("FALSE", 10.0, False),
+    ):
+        cfg = {
+            "output_dir": str(tmp_path),
+            "filename": f"mar{flag}",
+            "correct_mag_var": flag,
+            "magnetic_variation": magvar,
+        }
+        raw.write.mode("overwrite").parquet(_zone_path(cfg, "raw"))
+        path = run_clean(spark, cfg)
+        row = spark.read.parquet(path).collect()[0]
+        assert {"u_1205", "v_1206", "CS_300", "CD_310", "T_28"} <= set(
+            spark.read.parquet(path).columns
+        )
+        # speed 1 @ heading 90 -> u = 1, v = 0 (oceanographic to-dir)
+        if expect_rot:
+            th = math.radians(magvar)
+            assert row["u_1205"] == pytest.approx(math.cos(th), abs=1e-12)
+            assert row["v_1206"] == pytest.approx(-math.sin(th), abs=1e-12)
+            assert row["CD_310"] == pytest.approx(100.0)
+        else:
+            assert row["u_1205"] == pytest.approx(1.0, abs=1e-12)
+            assert abs(row["v_1206"]) < 1e-12
+            assert row["CD_310"] == pytest.approx(90.0)
+
+
+def test_filtered_wl_tolerance_fills_small_gaps(spark, tmp_path):
+    """wlfilt_tolerance (glx.py:335-355): NaN gaps within tolerance are
+    nearest-filled before the lowpass so neighbours stay finite, and
+    the gap cells re-null after; gaps beyond tolerance leave the IIR
+    output NaN around them."""
+    import numpy as np
+    import pandas as pd
+
+    t0 = pd.Timestamp("2021-06-01")
+    n = 240
+    vals = [float(np.sin(i / 20.0)) for i in range(n)]
+    vals[100] = None  # single small gap (fillable within 60 s)
+    pdf = pd.DataFrame(
+        {
+            "time": [t0 + pd.Timedelta(seconds=60 * i) for i in range(n)],
+            "water_level": vals,
+        }
+    )
+    cfg = {
+        "output_dir": str(tmp_path),
+        "filename": "wlf",
+        "filtered_wl": True,
+        "sample_interval": 60.0,
+    }
+    spark.createDataFrame(pdf).write.mode("overwrite").parquet(
+        _zone_path(cfg, "raw")
+    )
+    path = run_clean(spark, cfg)
+    out = spark.read.parquet(path).orderBy("time").collect()
+    # the gap cell itself re-nulls...
+    assert out[100]["water_level_filt"] is None
+    # ...but its neighbours got a finite filtered value (the fill kept
+    # the recursion alive through the gap)
+    assert out[101]["water_level_filt"] is not None
+    assert out[150]["water_level_filt"] is not None
