@@ -376,3 +376,65 @@ def session_stats(
         .agg(*aggs)
         .withColumn("session_id", F.col("session_id").cast("int"))
     )
+
+
+def subdivide_bursts(
+    df: DataFrame,
+    samples_per_subburst: int,
+    sub_interval_seconds: float,
+    burst_col: str = "burst_time",
+    sample_col: str = "sample",
+) -> DataFrame:
+    """Split long recorded bursts into smaller analysis bursts — the
+    Seagauge ``average_wave_interval`` reshape (sg/wvsnc2waves.py:59-108
+    make_wave_bursts): burst-header formats stamp every sample with the
+    burst START time, so the subdivision derives from the recorded
+    sample index, not the clock. New burst_time = old + (sample // n) ·
+    sub_interval; new sample = sample % n. Pure column math — no
+    shuffle, no reshape."""
+    n = int(samples_per_subburst)
+    sub = (F.col(sample_col) / n).cast("long")
+    return df.withColumns(
+        {
+            burst_col: F.timestamp_seconds(
+                F.col(burst_col).cast("double")
+                + sub * float(sub_interval_seconds)
+            ),
+            sample_col: F.pmod(F.col(sample_col), F.lit(n)).cast(
+                df.schema[sample_col].dataType.simpleString()
+            ),
+        }
+    )
+
+
+def average_tide_bursts(
+    df: DataFrame,
+    interval_seconds: float,
+    duration_seconds: float,
+    sample_rate_hz: float,
+    value_cols: list[str],
+    burst_col: str = "burst_time",
+    sample_col: str = "sample",
+    time_col: str = "time",
+) -> DataFrame:
+    """Seagauge tide averaging from wave bursts (sg/cdf2nc.py:147-205
+    avg_tide_bursts): subdivide each recorded burst into
+    ``average_tide_interval`` windows and average only the FIRST
+    ``average_tide_duration`` seconds of each window (the reference's
+    pad-and-reshape with column truncation). One map-side-combinable
+    groupBy on derived keys — no physical reshape; emitted time =
+    burst start + window index · interval."""
+    cols_per = int(round(float(interval_seconds) * float(sample_rate_hz)))
+    values_avg = int(round(float(duration_seconds) * float(sample_rate_hz)))
+    sub = (F.col(sample_col) / cols_per).cast("long")
+    within = F.pmod(F.col(sample_col), F.lit(cols_per))
+    slim = df.filter(within < values_avg).withColumn("__sub", sub)
+    aggs = [F.avg(c).alias(c) for c in value_cols]
+    out = slim.groupBy(burst_col, "__sub").agg(*aggs)
+    return out.select(
+        F.timestamp_seconds(
+            F.col(burst_col).cast("double")
+            + F.col("__sub") * float(interval_seconds)
+        ).alias(time_col),
+        *value_cols,
+    )

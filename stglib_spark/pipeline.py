@@ -423,6 +423,42 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
     split = "profile" if config.get("split_profiles") else None
     path = _write_zone(clean, config, "clean", history, partition_by=split)
 
+    if (
+        config.get("average_tide_interval")
+        and config.get("average_tide_duration")
+        and "burst_time" in clean.columns
+        and "sample" in clean.columns
+    ):
+        # Seagauge tide averaging from wave bursts (sg/cdf2nc.py:147-205
+        # avg_tide_bursts): companion 'tide' zone of interval-averaged
+        # pressure at burst + k*interval stamps
+        sr = config.get("sample_rate")
+        sr = (
+            float(sr)
+            if sr is not None
+            else 1.0 / float(config.get("sample_interval", 1.0))
+        )
+        pcols = [c for c in ("P_1ac", "P_1") if c in clean.columns]
+        if pcols:
+            tides = timeops.average_tide_bursts(
+                clean,
+                interval_seconds=float(config["average_tide_interval"]),
+                duration_seconds=float(config["average_tide_duration"]),
+                sample_rate_hz=sr,
+                value_cols=pcols,
+            )
+            tide_history = History()
+            tide_history.entries = list(history.entries)
+            tide_history.notes = {
+                k: list(v) for k, v in history.notes.items()
+            }
+            tide_history.insert_history(
+                f"Averaged tide bursts over "
+                f"{config['average_tide_interval']} s intervals "
+                f"({config['average_tide_duration']} s duration)."
+            )
+            _write_zone(tides, config, "tide", tide_history)
+
     if config.get("average_interval"):
         # the reference's "-a.nc" averaged companion product
         # (sig/cdf2nc.py:320-379, mar.py:259-331): tumbling-interval means
@@ -629,6 +665,24 @@ def run_xy(spark: SparkSession, config: dict[str, Any]) -> str:
 def _burst_keyed(df: DataFrame, config: dict[str, Any]) -> DataFrame:
     """Shared front half of the analyze stages: derive burst keys and trim
     to wave_duration (SURVEY §3.3 steps 2-3)."""
+    if (
+        config.get("average_wave_interval")
+        and config.get("sample_interval")
+        and "burst_time" in df.columns
+        and "sample" in df.columns
+    ):
+        # Seagauge long-burst subdivision (sg/wvsnc2waves.py:16-18,
+        # 59-108): split each recorded burst into average_wave_interval
+        # analysis bursts before the spectral chain
+        spb = int(
+            float(config["average_wave_interval"])
+            / float(config["sample_interval"])
+        )
+        df = timeops.subdivide_bursts(
+            df,
+            samples_per_subburst=spb,
+            sub_interval_seconds=float(config["average_wave_interval"]),
+        )
     if config.get("wave_interval"):
         # wave_start_time (doc/config.rst; glx.py:158-165): trim the
         # continuous record to the given start and tile bursts from it

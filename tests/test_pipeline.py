@@ -1191,3 +1191,65 @@ def test_filtered_wl_tolerance_fills_small_gaps(spark, tmp_path):
     # the recursion alive through the gap)
     assert out[101]["water_level_filt"] is not None
     assert out[150]["water_level_filt"] is not None
+
+
+def test_average_wave_interval_subdivides_bursts(spark, tmp_path):
+    """average_wave_interval (sg/wvsnc2waves.py:16-18 make_wave_bursts):
+    a long recorded burst splits into smaller analysis bursts keyed
+    from the sample index (burst-header formats stamp all samples with
+    the burst start)."""
+    from stglib_spark.pipeline import _burst_keyed
+
+    t0 = 1622505600
+    df = spark.range(512).select(
+        F.timestamp_seconds(F.lit(t0)).alias("burst_time"),
+        F.timestamp_seconds(F.lit(t0)).alias("time"),
+        F.col("id").cast("long").alias("sample"),
+        (F.col("id").cast("double") / 512.0).alias("P_1"),
+    )
+    cfg = {"average_wave_interval": 128, "sample_interval": 1.0}
+    out = _burst_keyed(df, cfg)
+    bursts = sorted(
+        r["burst_time"].timestamp() for r in
+        out.select("burst_time").distinct().collect()
+    )
+    assert bursts == [t0, t0 + 128, t0 + 256, t0 + 384]
+    # within-subburst sample indexes restart at 0
+    firsts = out.filter(F.col("sample") == 0).count()
+    assert firsts == 4
+
+
+def test_average_tide_bursts_zone(spark, tmp_path):
+    """average_tide_interval/duration (sg/cdf2nc.py:147-205
+    avg_tide_bursts): tide zone averages only the first duration
+    seconds of each interval window, stamped burst+k*interval."""
+    cfg = {
+        "output_dir": str(tmp_path),
+        "filename": "sgt",
+        "average_tide_interval": 60.0,
+        "average_tide_duration": 30.0,
+        "sample_rate": 1.0,
+    }
+    t0 = 1622505600
+    raw = spark.range(240).select(
+        F.timestamp_seconds(F.lit(t0)).alias("burst_time"),
+        F.timestamp_seconds(F.lit(t0)).alias("time"),
+        F.col("id").cast("long").alias("sample"),
+        F.col("id").cast("double").alias("P_1"),
+    )
+    raw.write.mode("overwrite").parquet(_zone_path(cfg, "raw"))
+    run_clean(spark, cfg)
+    import os
+
+    tide_path = _zone_path(cfg, "tide")
+    assert os.path.isdir(tide_path)
+    rows = {
+        r["time"].timestamp(): r["P_1"]
+        for r in spark.read.parquet(tide_path).collect()
+    }
+    # window k averages samples [60k, 60k+30): mean = 60k + 14.5
+    assert len(rows) == 4
+    for k in range(4):
+        assert rows[t0 + 60.0 * k] == 60.0 * k + 14.5
+    meta = json.load(open(tide_path + ".meta.json"))
+    assert any("tide bursts" in h for h in meta["history"])
