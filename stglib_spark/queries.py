@@ -1671,6 +1671,58 @@ def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_sg_tide_average",
+    """
+    WITH s AS (
+      SELECT b.b, i.i
+      FROM (SELECT unnest([0, 1, 2]) AS b) b
+      CROSS JOIN (SELECT unnest(generate_series(0, 239)) AS i) i
+    ), rows_ AS (
+      SELECT b, i,
+             CAST(1622505600 + b * 3600 AS BIGINT) AS burst_epoch,
+             (CAST(7 * i + 13 * b AS DOUBLE) - 800.0) / 16.0 AS p
+      FROM s
+    ), keyed AS (
+      SELECT burst_epoch, i // 60 AS sub, p
+      FROM rows_ WHERE i % 60 < 30
+    )
+    SELECT to_timestamp(burst_epoch + sub * 60) AS time,
+           round(avg(p), 6) AS p_1
+    FROM keyed GROUP BY burst_epoch, sub
+    """,
+)
+def ts_sg_tide_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEAGAUGE TIDE AVERAGING oracle (`timeops.average_tide_bursts`,
+    reference sg/cdf2nc.py:147-205 avg_tide_bursts; registered r13, r14
+    graded block): subdivide each burst-start-stamped wave burst into
+    ``average_tide_interval`` windows and average only the FIRST
+    ``average_tide_duration`` seconds of each — the reference's
+    pad-and-reshape replaced by a derived-key filter + one
+    map-side-combinable groupBy (no physical reshape, no window
+    function). Fixture: 3 bursts x 240 samples at 1 Hz on an exact
+    1/16 grid, 60 s windows, 30 s duration; DuckDB replays the derived
+    keys and the windowed means exactly (grid sums are
+    order-independent in double)."""
+    b = (F.col("id") / 240).cast("long")
+    i = F.pmod(F.col("id"), 240)
+    rows = spark.range(720).select(
+        F.timestamp_seconds(F.lit(1622505600) + b * 3600).alias(
+            "burst_time"
+        ),
+        i.cast("long").alias("sample"),
+        (((7 * i + 13 * b).cast("double") - 800.0) / 16.0).alias("P_1"),
+    )
+    out = timeops.average_tide_bursts(
+        rows,
+        interval_seconds=60.0,
+        duration_seconds=30.0,
+        sample_rate_hz=1.0,
+        value_cols=["P_1"],
+    )
+    return out.select("time", _r6("P_1").alias("p_1"))
+
+
+@register(
     "ts_burst_average",
     """
     SELECT date_trunc('hour', ts) AS burst_time,
@@ -14225,7 +14277,7 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "no green row's driver evidence is older than FIVE rounds", and
 # registry growth is capped at 250 entries (5 rounds x 50 slots); adding
 # a query beyond that requires retiring or merging a subsumed row in the
-# same round. Current census: 231 registered (incl. the 2 deliberate-RED
+# same round. Current census: 232 registered (incl. the 2 deliberate-RED
 # hugeint probes and the 4 rows-only FFT kernels with green closed-form
 # companions). Retired r13 under that policy: the 7 column-subset
 # bisection variants ts_sessionize_v1..v4 / corpus_datacard_v1..v3 —
@@ -14255,8 +14307,8 @@ _FRONT = [
     # relational rows) qaqc_ast_quality_trim qaqc_bad_ens
     # qaqc_burst_min_kill qaqc_diff_pct qaqc_mask_trim_by
     # qaqc_maxabs_diff_2d text_chunk_documents — plus new-r14 queries
-    # FIRST (snk_diwasp_spec_roundtrip and text_script_detect,
-    # registered r13) and the oldest
+    # FIRST (snk_diwasp_spec_roundtrip, text_script_detect and
+    # ts_sg_tide_average, registered r13) and the oldest
     # r10 rows as slots allow.
     # (a) new/re-planned
     "e2e_attrs_fidelity_roundtrip",
