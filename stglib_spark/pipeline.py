@@ -855,9 +855,14 @@ def run_export_nc(
     gattrs.setdefault("institution", config.get("institution", "unknown"))
     gattrs["history"] = history or "exported by stglib_spark"
 
-    suffix = {"clean": "-a.nc", "raw": "-raw.cdf.nc", "waves": "s-a.nc"}.get(
-        zone, f"-{zone}.nc"
-    )
+    # reference filename suffixes incl. the diwasp product
+    # (rsk/cdf2nc.py:130-147; sig/cdf2nc.py:233-266 s_diwasp-a.nc)
+    suffix = {
+        "clean": "-a.nc",
+        "raw": "-raw.cdf.nc",
+        "waves": "s-a.nc",
+        "diwasp": "s_diwasp-a.nc",
+    }.get(zone, f"-{zone}.nc")
     out = os.path.join(
         config.get("output_dir", "/root/repo/.tmp/zones"),
         config.get("filename", "deployment") + suffix,

@@ -263,16 +263,29 @@ def _write_netcdf3(
                 lens = {len(v) for v in series}
                 if len(lens) == 1:
                     try:
-                        array_cols[col] = np.array(
+                        mat = np.array(
                             [np.asarray(v, dtype=np.float64) for v in series]
                         )
                     except (TypeError, ValueError):
                         continue  # non-numeric arrays: stay parquet-only
+                    if mat.ndim != 2:
+                        # nested arrays (directional spectra) need a
+                        # third dim classic nc3 writing doesn't model
+                        # here: stay parquet-only
+                        continue
+                    array_cols[col] = mat
         axis_name = None
         if array_cols:
             width = next(iter(array_cols.values())).shape[1]
             if all(m.shape[1] == width for m in array_cols.values()):
-                axis_name = "frequency" if "frequency" in array_cols else None
+                axis_name = next(
+                    (
+                        c
+                        for c in ("frequency", "diwasp_frequency")
+                        if c in array_cols
+                    ),
+                    None,
+                )
                 if axis_name is not None:
                     dims[axis_name] = width
                     variables[axis_name] = {

@@ -353,3 +353,45 @@ def test_writer_skips_nonnumeric_and_null_arrays(tmp_path, spark):
     assert "P_1" in nc["variables"]
     assert "tags" not in nc["variables"]
     assert "maybe_arr" not in nc["variables"]
+
+
+def test_diwasp_zone_exports_without_nested_arrays(tmp_path, spark):
+    """Exporting a diwasp zone (nested array<array> dspec) writes the
+    1-D stats and the (time, frequency) fspec, skips the 3-D dspec, and
+    uses the reference's s_diwasp-a.nc suffix."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from stglib_spark import pipeline
+    from stglib_spark.functions.netcdf3 import read_nc3
+
+    d = str(tmp_path)
+    zone = spark.range(2).select(
+        F.timestamp_seconds(F.lit(1622505600) + F.col("id") * 3600).alias(
+            "burst_time"
+        ),
+        F.expr(
+            "transform(sequence(0, 3),"
+            " k -> CAST(k + 1 AS DOUBLE) / CAST(8 AS DOUBLE))"
+        ).alias("diwasp_frequency"),
+        F.expr(
+            "transform(sequence(0, 3), k -> transform(sequence(0, 5),"
+            " d -> CAST(k + d + id AS DOUBLE)))"
+        ).alias("diwasp_dspec"),
+        (F.col("id").cast("double") + 0.5).alias("wh_4061"),
+    )
+    zone.write.mode("overwrite").parquet(os.path.join(d, "dep_diwasp"))
+    out = pipeline.run_export_nc(
+        spark,
+        {"output_dir": d, "filename": "dep", "title": "t",
+         "institution": "i", "Conventions": "CF-1.11"},
+        zone="diwasp",
+    )
+    assert out.endswith("deps_diwasp-a.nc")
+    nc = read_nc3(out)
+    assert "wh_4061" in nc["variables"]
+    assert nc["variables"]["diwasp_frequency"]["dims"] == (
+        "diwasp_frequency",
+    )
+    assert "diwasp_dspec" not in nc["variables"]  # 3-D: parquet-only
