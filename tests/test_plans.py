@@ -698,3 +698,13 @@ def test_quality_pr_sweep_same_bounded_window_shape(spark):
     i = plan.find("Exchange SinglePartition")
     assert i != -1, plan
     assert "HashAggregate" in plan[i:], plan
+
+
+def test_sg_tide_average_is_partial_agg_no_window(spark):
+    """average_tide_bursts must stay a derived-key groupBy with
+    map-side partial aggregation — no window function, no physical
+    reshape (the reference pads-and-reshapes in memory; at 100 TB the
+    combine-before-shuffle shape is the whole point)."""
+    plan = plan_of(spark, "ts_sg_tide_average", mode="simple")
+    assert "Window" not in plan, plan
+    assert "partial_avg" in plan or "partial_sum" in plan, plan
