@@ -272,6 +272,50 @@ VAR_ATTRS: dict[str, dict[str, object]] = {
         "units": "m^2 s-2",
         "long_name": "Second moment of the wave elevation spectrum",
     },
+    "dwvdir": {
+        "units": "degree",
+        "long_name": "Dominant wave direction",
+        "note": (
+            "Compass direction from which waves are propagating as "
+            "defined by the direction band with greatest total energy "
+            "summed over all frequencies"
+        ),
+    },
+    "wd_4062": {
+        "units": "degree",
+        "long_name": "Mean wave direction",
+        "standard_name": "sea_surface_wave_from_direction",
+        "epic_code": 4062,
+    },
+    # pyDIWASP product variables (core/utils.py:577-700 ds_add_wave_attrs)
+    "diwasp_frequency": {
+        "standard_name": "sea_surface_wave_frequency",
+        "long_name": "Frequency",
+        "units": "Hz",
+    },
+    "diwasp_direction": {
+        "long_name": "Direction (from, relative to true north)",
+        "units": "degrees",
+    },
+    "diwasp_fspec": {
+        "long_name": (
+            "Frequency (non-directional) wave energy spectrum from pyDIWASP"
+        ),
+        "units": "m^2/Hz",
+        "note": "Use caution: all spectra are provisional",
+        "standard_name": "sea_surface_wave_variance_spectral_density",
+    },
+    "diwasp_dspec": {
+        "long_name": "Directional wave energy spectrum from pyDIWASP",
+        "units": "m^2/Hz/degree",
+        "note": "Use caution: all spectra are provisional",
+        "standard_name": (
+            "sea_surface_wave_directional_variance_spectral_density"
+        ),
+    },
+    "diwasp_type": {
+        "long_name": "pyDIWASP input data type used in optimized method",
+    },
     "water_level": {
         "units": "m",
         "long_name": "Water level NAVD88",

@@ -767,10 +767,28 @@ def run_diwasp(spark: SparkSession, config: dict[str, Any]) -> str:
         "elev": "['elev']",
     }.get(dtype, dtype)
     config = {**config, "diwasp_inputs": inputs}
+    # ds_add_pydiwasp_history parity (core/utils.py:295-309): the
+    # history line names the input data, the cutoff mode, and the tail
+    dtype_h = config.get("diwasp", "puv")
+    if config.get("wave_fcut") is not None:
+        cut_h = (
+            f"assigning cutoff using user specified f < "
+            f"{config['wave_fcut']}Hz (note: this is outside the Jones & "
+            f"Monismith (2007) method and should used with caution)"
+        )
+    elif config.get("wave_Kpmin") is not None:
+        cut_h = (
+            f"assigning cutoff using user specified Kp > "
+            f"{config['wave_Kpmin']} (note: this is outside the Jones & "
+            f"Monismith (2007) method and should used with caution)"
+        )
+    else:
+        cut_h = "assigning cutoff following Jones & Monismith (2007)"
     history.insert_history(
-        f"Computed DIWASP directional spectra "
-        f"({config.get('diwasp_method', 'IMLM')} estimator, "
-        f"inputs {inputs})."
+        f"Directional Wave statistics computed using pyDIWASP with "
+        f"{dtype_h} input data "
+        f"({config.get('diwasp_method', 'IMLM')} estimator, inputs "
+        f"{inputs}), {cut_h}, and applying f^-4 tail past cutoff."
     )
     return _write_zone(out, config, "diwasp", history)
 
