@@ -14,7 +14,7 @@ delegates to it exactly like the reference.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
-from pyspark.sql.types import TimestampType
+from pyspark.sql.types import StringType, TimestampType
 
 from stglib_spark.attrs import collect_var_attrs
 
@@ -59,7 +59,13 @@ def check_dataframe(
         if name in _COORD_COLS or name.startswith("__"):
             continue
         attrs = meta.get(name, {})
-        if "units" not in attrs:
+        # CF units apply to numeric data variables; character/label
+        # variables (e.g. diwasp_type) carry only a long_name — the
+        # reference writes them exactly so (utils.py diwasp_type attrs)
+        is_string = isinstance(fields[name].dataType, StringType) if (
+            name in fields
+        ) else False
+        if "units" not in attrs and not is_string:
             problems.append(f"variable '{name}': missing units attribute")
         if "long_name" not in attrs and "standard_name" not in attrs:
             problems.append(

@@ -7067,6 +7067,139 @@ def e2e_attrs_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_diwasp_export_fidelity",
+    """
+    SELECT * FROM (VALUES
+      ('global', '', 'Conventions', 'CF-1.11'),
+      ('global', '', 'diwasp', 'puv'),
+      ('global', '', 'diwasp_dres', '12'),
+      ('global', '', 'diwasp_method', 'DFTM'),
+      ('global', '', 'diwasp_ndirs', '12'),
+      ('global', '', 'diwasp_nfft', '16'),
+      ('global', '', 'diwasp_nfreqs', '8'),
+      ('global', '', 'filename', 'dwfid'),
+      ('global', '', 'history', 'Directional Wave statistics computed using pyDIWASP with puv input data (DFTM estimator, inputs [''pres'', ''velx'', ''vely'']), assigning cutoff using user specified f < 0.6Hz (note: this is outside the Jones & Monismith (2007) method and should used with caution), and applying f^-4 tail past cutoff.'),
+      ('global', '', 'institution', 'test suite'),
+      ('global', '', 'pressure_sensor_height', '0.5'),
+      ('global', '', 'sample_interval', '0.5'),
+      ('global', '', 'title', 'DIWASP export fidelity'),
+      ('global', '', 'wave_fcut', '0.6'),
+      ('var', 'diwasp_frequency', 'standard_name', 'sea_surface_wave_frequency'),
+      ('var', 'diwasp_frequency', 'units', 'Hz'),
+      ('var', 'diwasp_frequency', 'long_name', 'Frequency'),
+      ('var', 'diwasp_fspec', 'long_name', 'Frequency (non-directional) wave energy spectrum from pyDIWASP'),
+      ('var', 'diwasp_fspec', 'units', 'm^2/Hz'),
+      ('var', 'diwasp_fspec', 'note', 'Use caution: all spectra are provisional'),
+      ('var', 'diwasp_fspec', 'standard_name', 'sea_surface_wave_variance_spectral_density'),
+      ('var', 'diwasp_type', 'long_name', 'pyDIWASP input data type used in optimized method'),
+      ('var', 'dwvdir', 'units', 'degree'),
+      ('var', 'dwvdir', 'long_name', 'Dominant wave direction'),
+      ('var', 'dwvdir', 'note', 'Compass direction from which waves are propagating as defined by the direction band with greatest total energy summed over all frequencies'),
+      ('var', 'time', 'units', 'seconds since 1970-01-01 00:00:00 +00:00'),
+      ('var', 'time', 'standard_name', 'time'),
+      ('var', 'time', 'calendar', 'proleptic_gregorian'),
+      ('var', 'time', 'axis', 'T'),
+      ('var', 'time', 'long_name', 'time (UTC)'),
+      ('var', 'wd_4062', 'units', 'degree'),
+      ('var', 'wd_4062', 'long_name', 'Mean wave direction'),
+      ('var', 'wd_4062', 'standard_name', 'sea_surface_wave_from_direction'),
+      ('var', 'wd_4062', 'epic_code', '4062'),
+      ('var', 'wh_4061', 'standard_name', 'sea_surface_wave_significant_height'),
+      ('var', 'wh_4061', 'units', 'm'),
+      ('var', 'wh_4061', 'epic_code', '4061'),
+      ('var', 'wh_4061', 'long_name', 'Significant wave height'),
+      ('var', 'wp_4060', 'standard_name', 'sea_surface_wave_mean_period_from_variance_spectral_density_second_frequency_moment'),
+      ('var', 'wp_4060', 'units', 's'),
+      ('var', 'wp_4060', 'epic_code', '4060'),
+      ('var', 'wp_4060', 'long_name', 'Average wave period'),
+      ('var', 'wp_peak', 'standard_name', 'sea_surface_wave_period_at_variance_spectral_density_maximum'),
+      ('var', 'wp_peak', 'units', 's'),
+      ('var', 'wp_peak', 'epic_code', '4063'),
+      ('var', 'wp_peak', 'long_name', 'Dominant (peak) wave period'),
+      ('var', 'wvdir', 'units', 'degree'),
+      ('var', 'wvdir', 'long_name', 'Direction of peak period'),
+      ('var', 'wvdir', 'standard_name', 'sea_surface_wave_from_direction_at_variance_spectral_density_maximum'),
+      ('lint', '', 'n_problems', '0')
+    ) AS t(scope, var, attr, value)
+    """,
+)
+def e2e_diwasp_export_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIWASP PRODUCT attrs/lint fidelity oracle (the s_diwasp-a.nc
+    sibling of e2e_attrs_fidelity_roundtrip; registered r13, r14 graded
+    block): run the PRODUCTION nc2diwasp stage on a crafted 2-burst PUV
+    clean zone, export the diwasp zone through run_export_nc (the
+    reference's s_diwasp-a.nc suffix), and emit the COMPLETE
+    (scope, var, attr, value) table of the final classic netCDF-3 file
+    — the pyDIWASP history line with the user-cutoff caution wording
+    (utils.py:295-309 ds_add_pydiwasp_history), every product
+    variable's CF attrs incl. the (time, diwasp_frequency) 2-D fspec
+    and its axis, the string-typed diwasp_type label (long_name only —
+    CF units don't apply to character variables), and a zero-problem
+    cf lint against the exported frame. The oracle is the literal
+    table."""
+    import os
+
+    from stglib_spark import pipeline
+    from stglib_spark.attrs import apply_var_attrs
+    from stglib_spark.cf import check_dataframe
+    from stglib_spark.functions.netcdf3 import read_nc3
+    from stglib_spark.session import pin_utc
+
+    pin_utc(spark)
+    d = scratch_dir(prefix="e2edwfid_")
+    b = (F.col("id") / 64).cast("long")
+    i = F.pmod(F.col("id"), 64)
+    clean = spark.range(128).select(
+        b.alias("burst"),
+        i.cast("long").alias("sample"),
+        F.timestamp_seconds(
+            F.lit(1622505600) + b * 3600 + i.cast("double") * 0.5
+        ).alias("time"),
+        (F.lit(10.0) + (F.pmod(7 * i + 13 * b, 16) - 8) / 64.0).alias(
+            "P_1ac"
+        ),
+        ((F.pmod(5 * i + 3 * b + 4, 16) - 8) / 64.0).alias("u_1205"),
+        ((F.pmod(3 * i + 11 * b + 9, 16) - 8) / 64.0).alias("v_1206"),
+    )
+    clean.write.mode("overwrite").parquet(os.path.join(d, "dwfid_clean"))
+    config = {
+        "output_dir": d,
+        "filename": "dwfid",
+        "sample_interval": 0.5,
+        "pressure_sensor_height": 0.5,
+        "diwasp": "puv",
+        "diwasp_method": "DFTM",
+        "diwasp_nfft": 16,
+        "diwasp_dres": 12,
+        "diwasp_nfreqs": 8,
+        "diwasp_ndirs": 12,
+        "wave_fcut": 0.6,
+        "title": "DIWASP export fidelity",
+        "institution": "test suite",
+        "Conventions": "CF-1.11",
+    }
+    with _session_conf_guard(spark):
+        pipeline.run_diwasp(spark, config)
+        out = pipeline.run_export_nc(spark, config, zone="diwasp")
+    if not out.endswith("dwfids_diwasp-a.nc"):
+        raise RuntimeError(f"unexpected product name {out}")
+    nc = read_nc3(out)
+    rows = []
+    for k, v in nc["attrs"].items():
+        rows.append(("global", "", str(k), str(v)))
+    for name, var in nc["variables"].items():
+        for k, v in var["attrs"].items():
+            rows.append(("var", str(name), str(k), str(v)))
+    frame = spark.read.parquet(os.path.join(d, "dwfid_diwasp"))
+    frame = apply_var_attrs(frame.withColumnRenamed("burst_time", "time"))
+    problems = check_dataframe(frame, dict(nc["attrs"]))
+    rows.append(("lint", "", "n_problems", str(len(problems))))
+    return spark.createDataFrame(
+        rows, "scope string, var string, attr string, value string"
+    )
+
+
+@register(
     "e2e_corpus_all_packs",
     _MH_CAND_CTES.replace("WITH ", "WITH RECURSIVE ", 1)
     + r""",
@@ -14277,7 +14410,7 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "no green row's driver evidence is older than FIVE rounds", and
 # registry growth is capped at 250 entries (5 rounds x 50 slots); adding
 # a query beyond that requires retiring or merging a subsumed row in the
-# same round. Current census: 232 registered (incl. the 2 deliberate-RED
+# same round. Current census: 233 registered (incl. the 2 deliberate-RED
 # hugeint probes and the 4 rows-only FFT kernels with green closed-form
 # companions). Retired r13 under that policy: the 7 column-subset
 # bisection variants ts_sessionize_v1..v4 / corpus_datacard_v1..v3 —
@@ -14307,8 +14440,9 @@ _FRONT = [
     # relational rows) qaqc_ast_quality_trim qaqc_bad_ens
     # qaqc_burst_min_kill qaqc_diff_pct qaqc_mask_trim_by
     # qaqc_maxabs_diff_2d text_chunk_documents — plus new-r14 queries
-    # FIRST (snk_diwasp_spec_roundtrip, text_script_detect and
-    # ts_sg_tide_average, registered r13) and the oldest
+    # FIRST (snk_diwasp_spec_roundtrip, text_script_detect,
+    # ts_sg_tide_average and e2e_diwasp_export_fidelity, registered
+    # r13 — exactly filling r14's 4 new + 46 r9-aged slots) and the oldest
     # r10 rows as slots allow.
     # (a) new/re-planned
     "e2e_attrs_fidelity_roundtrip",

@@ -274,35 +274,35 @@ def _write_netcdf3(
                         # here: stay parquet-only
                         continue
                     array_cols[col] = mat
-        axis_name = None
-        if array_cols:
-            width = next(iter(array_cols.values())).shape[1]
-            if all(m.shape[1] == width for m in array_cols.values()):
-                axis_name = next(
-                    (
-                        c
-                        for c in ("frequency", "diwasp_frequency")
-                        if c in array_cols
-                    ),
-                    None,
-                )
-                if axis_name is not None:
-                    dims[axis_name] = width
-                    variables[axis_name] = {
-                        "dims": (axis_name,),
-                        "data": array_cols[axis_name][0],
-                        "attrs": var_attrs.get(axis_name, {}),
-                    }
-                    for col, mat in array_cols.items():
-                        if col == axis_name:
-                            continue
-                        variables[col] = {
-                            "dims": ("time", axis_name),
-                            "data": mat,
-                            "attrs": var_attrs.get(col, {}),
-                        }
+        axis_name = next(
+            (
+                c
+                for c in ("frequency", "diwasp_frequency")
+                if c in array_cols
+            ),
+            None,
+        )
+        if axis_name is not None:
+            # export the family sharing the axis width; other-width
+            # array columns (e.g. a direction axis with no 2-D data
+            # expressible in classic nc3) stay parquet-only
+            width = array_cols[axis_name].shape[1]
+            dims[axis_name] = width
+            variables[axis_name] = {
+                "dims": (axis_name,),
+                "data": array_cols[axis_name][0],
+                "attrs": var_attrs.get(axis_name, {}),
+            }
+            for col, mat in array_cols.items():
+                if col == axis_name or mat.shape[1] != width:
+                    continue
+                variables[col] = {
+                    "dims": ("time", axis_name),
+                    "data": mat,
+                    "attrs": var_attrs.get(col, {}),
+                }
         for col in pdf.columns:
-            if col == "time" or (axis_name is not None and col in array_cols):
+            if col == "time" or col in array_cols:
                 continue
             series = pdf[col]
             if series.dtype == object and len(series) and not isinstance(
