@@ -416,25 +416,74 @@ def average_tide_bursts(
     burst_col: str = "burst_time",
     sample_col: str = "sample",
     time_col: str = "time",
+    burst_duration_seconds: float | None = None,
 ) -> DataFrame:
     """Seagauge tide averaging from wave bursts (sg/cdf2nc.py:147-205
     avg_tide_bursts): subdivide each recorded burst into
     ``average_tide_interval`` windows and average only the FIRST
-    ``average_tide_duration`` seconds of each window (the reference's
-    pad-and-reshape with column truncation). One map-side-combinable
-    groupBy on derived keys — no physical reshape; emitted time =
-    burst start + window index · interval."""
+    ``average_tide_duration`` seconds of each window. The reference
+    pads each burst to ``ceil(SGBurstDuration/interval)·cols`` with
+    NaN and takes ``np.mean`` (NaN-poisoning, not nanmean) over the
+    first ``values_avg`` samples of every window, so:
+
+    - a window whose averaged slice runs past the recorded samples
+      (sample count not a multiple of interval·rate) averages NaN
+      padding → NaN;
+    - fully-padded trailing windows are still EMITTED, as NaN rows;
+    - any nulled sample (e.g. from QA/QC) inside the averaged slice
+      poisons the whole window to NaN.
+
+    Replayed here without a physical reshape: one map-side-combinable
+    groupBy on derived keys computing ``(count, avg)`` per variable,
+    then the mean is gated ``when(count == values_avg, avg)`` — a
+    missing or null sample anywhere in the slice nulls the window,
+    exactly np.mean over the padded row. When ``burst_duration_seconds``
+    (the reference's SGBurstDuration attr) is given, the full
+    ``ceil(burst_duration/interval)`` window grid is emitted per burst
+    via a post-aggregation left join (both sides are burst-count-sized,
+    so the join is broadcastable and never touches sample-level data).
+    Emitted time = burst start + window index · interval."""
     cols_per = int(round(float(interval_seconds) * float(sample_rate_hz)))
     values_avg = int(round(float(duration_seconds) * float(sample_rate_hz)))
+    # np.mean over slice(0, values_avg) of a cols_per-wide row can see
+    # at most cols_per entries
+    gate_n = min(values_avg, cols_per)
     sub = (F.col(sample_col) / cols_per).cast("long")
     within = F.pmod(F.col(sample_col), F.lit(cols_per))
     slim = df.filter(within < values_avg).withColumn("__sub", sub)
-    aggs = [F.avg(c).alias(c) for c in value_cols]
-    out = slim.groupBy(burst_col, "__sub").agg(*aggs)
-    return out.select(
+    aggs = []
+    for c in value_cols:
+        aggs.append(F.count(c).alias(f"__n_{c}"))
+        aggs.append(F.avg(c).alias(f"__a_{c}"))
+    agg = slim.groupBy(burst_col, "__sub").agg(*aggs)
+    if burst_duration_seconds is not None:
+        import math
+
+        n_windows = math.ceil(
+            float(burst_duration_seconds) / float(interval_seconds)
+        )
+        grid = (
+            df.select(burst_col)
+            .distinct()
+            .select(
+                burst_col,
+                F.explode(
+                    F.sequence(
+                        F.lit(0).cast("long"),
+                        F.lit(n_windows - 1).cast("long"),
+                    )
+                ).alias("__sub"),
+            )
+        )
+        agg = grid.join(F.broadcast(agg), [burst_col, "__sub"], "left")
+    gated = [
+        F.when(F.col(f"__n_{c}") == gate_n, F.col(f"__a_{c}")).alias(c)
+        for c in value_cols
+    ]
+    return agg.select(
         F.timestamp_seconds(
             F.col(burst_col).cast("double")
             + F.col("__sub") * float(interval_seconds)
         ).alias(time_col),
-        *value_cols,
+        *gated,
     )

@@ -440,12 +440,19 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
         )
         pcols = [c for c in ("P_1ac", "P_1") if c in clean.columns]
         if pcols:
+            # SGBurstDuration drives the reference's full padded window
+            # grid (rows = ceil(SGBurstDuration/interval), trailing
+            # windows emitted as NaN — sg/cdf2nc.py:149-196)
+            burst_dur = config.get("SGBurstDuration")
             tides = timeops.average_tide_bursts(
                 clean,
                 interval_seconds=float(config["average_tide_interval"]),
                 duration_seconds=float(config["average_tide_duration"]),
                 sample_rate_hz=sr,
                 value_cols=pcols,
+                burst_duration_seconds=(
+                    float(burst_dur) if burst_dur is not None else None
+                ),
             )
             tide_history = History()
             tide_history.entries = list(history.entries)

@@ -1676,41 +1676,58 @@ def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT b.b, i.i
       FROM (SELECT unnest([0, 1, 2]) AS b) b
-      CROSS JOIN (SELECT unnest(generate_series(0, 239)) AS i) i
+      CROSS JOIN (SELECT unnest(generate_series(0, 249)) AS i) i
     ), rows_ AS (
       SELECT b, i,
              CAST(1622505600 + b * 3600 AS BIGINT) AS burst_epoch,
-             (CAST(7 * i + 13 * b AS DOUBLE) - 800.0) / 16.0 AS p
+             CASE WHEN NOT (b = 1 AND i = 70)
+                  THEN (CAST(7 * i + 13 * b AS DOUBLE) - 800.0) / 16.0
+             END AS p
       FROM s
     ), keyed AS (
       SELECT burst_epoch, i // 60 AS sub, p
       FROM rows_ WHERE i % 60 < 30
+    ), agg AS (
+      SELECT burst_epoch, sub, count(p) AS n, avg(p) AS a
+      FROM keyed GROUP BY burst_epoch, sub
+    ), grid AS (
+      SELECT DISTINCT r.burst_epoch, w.sub
+      FROM rows_ r
+      CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS sub) w
     )
-    SELECT to_timestamp(burst_epoch + sub * 60) AS time,
-           round(avg(p), 6) AS p_1
-    FROM keyed GROUP BY burst_epoch, sub
+    SELECT to_timestamp(g.burst_epoch + g.sub * 60) AS time,
+           CASE WHEN a.n = 30 THEN round(a.a, 6) END AS p_1
+    FROM grid g LEFT JOIN agg a
+      ON g.burst_epoch = a.burst_epoch AND g.sub = a.sub
     """,
 )
 def ts_sg_tide_average(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SEAGAUGE TIDE AVERAGING oracle (`timeops.average_tide_bursts`,
-    reference sg/cdf2nc.py:147-205 avg_tide_bursts; registered r13, r14
-    graded block): subdivide each burst-start-stamped wave burst into
+    reference sg/cdf2nc.py:147-205 avg_tide_bursts; registered r13,
+    re-pinned r14 for the reference's np.mean-over-pad semantics):
+    subdivide each burst-start-stamped wave burst into
     ``average_tide_interval`` windows and average only the FIRST
-    ``average_tide_duration`` seconds of each — the reference's
-    pad-and-reshape replaced by a derived-key filter + one
-    map-side-combinable groupBy (no physical reshape, no window
-    function). Fixture: 3 bursts x 240 samples at 1 Hz on an exact
-    1/16 grid, 60 s windows, 30 s duration; DuckDB replays the derived
-    keys and the windowed means exactly (grid sums are
-    order-independent in double)."""
-    b = (F.col("id") / 240).cast("long")
-    i = F.pmod(F.col("id"), 240)
-    rows = spark.range(720).select(
+    ``average_tide_duration`` seconds of each. The reference pads each
+    burst to ceil(SGBurstDuration/interval)·cols with NaN and takes
+    np.mean (NOT nanmean), so a window whose slice runs past the
+    recorded samples, a fully-padded trailing window, or a window with
+    a QA/QC-nulled sample all emit NaN rows. Fixture exercises all
+    three: 3 bursts x 250 samples (NOT a multiple of the 60-sample
+    window) at 1 Hz on an exact 1/16 grid, SGBurstDuration 300 s → 5
+    windows/burst (window 4's slice [240,270) has only 10 samples →
+    null), 60 s windows, 30 s duration, and one nulled sample at
+    (b=1, i=70) poisoning burst 1's window 1. DuckDB replays the
+    derived keys, the full grid, and the count-gated means exactly
+    (grid sums are order-independent in double)."""
+    b = (F.col("id") / 250).cast("long")
+    i = F.pmod(F.col("id"), 250)
+    p = ((7 * i + 13 * b).cast("double") - 800.0) / 16.0
+    rows = spark.range(750).select(
         F.timestamp_seconds(F.lit(1622505600) + b * 3600).alias(
             "burst_time"
         ),
         i.cast("long").alias("sample"),
-        (((7 * i + 13 * b).cast("double") - 800.0) / 16.0).alias("P_1"),
+        F.when(~((b == 1) & (i == 70)), p).alias("P_1"),
     )
     out = timeops.average_tide_bursts(
         rows,
@@ -1718,6 +1735,7 @@ def ts_sg_tide_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         duration_seconds=30.0,
         sample_rate_hz=1.0,
         value_cols=["P_1"],
+        burst_duration_seconds=300.0,
     )
     return out.select("time", _r6("P_1").alias("p_1"))
 

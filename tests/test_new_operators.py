@@ -1148,3 +1148,84 @@ def test_script_counts_plan_is_single_projection(spark):
     plan = df._jdf.queryExecution().simpleString()
     assert "Exchange" not in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_average_tide_bursts_matches_reference_pad_semantics(spark):
+    """Replay the reference's avg_tide_bursts loop (sg/cdf2nc.py:149-196:
+    NaN-pad each burst to ceil(SGBurstDuration/interval)*cols, np.mean —
+    NOT nanmean — over the first values_avg samples of every window)
+    in numpy and demand bit-identical output, including NaN windows from
+    (a) a slice that runs into the padding, (b) fully-padded trailing
+    windows, (c) a QA/QC-nulled sample inside the slice."""
+    import math
+
+    from stglib_spark.operators.timeops import average_tide_bursts
+
+    rng = np.random.default_rng(7)
+    for nsamps, interval, duration, burst_dur, rate, kill in [
+        (250, 60.0, 30.0, 300.0, 1.0, (1, 70)),   # non-multiple + null
+        (240, 60.0, 30.0, 240.0, 1.0, None),      # exact-multiple happy path
+        (100, 60.0, 30.0, 300.0, 1.0, None),      # trailing windows all pad
+        (120, 30.0, 40.0, 120.0, 1.0, None),      # duration > interval
+        (200, 50.0, 25.0, 180.0, 2.0, (0, 3)),    # 2 Hz, null in window 0
+    ]:
+        n_bursts = 3
+        t0 = 1622505600.0
+        burst_gap = 3600.0
+        data = rng.normal(size=(n_bursts, nsamps))
+        if kill is not None:
+            data[kill] = np.nan
+
+        # --- reference replay (pad + reshape + np.mean over slice) ---
+        cols = int(interval * rate)
+        rows_per = math.ceil(burst_dur / interval)
+        values_avg = int(duration * rate)
+        expected = {}
+        for b in range(n_bursts):
+            no_pads = rows_per * cols - nsamps
+            padded = np.pad(
+                data[b], (0, no_pads), mode="constant",
+                constant_values=np.nan,
+            ).reshape(rows_per, cols)
+            for j in range(rows_per):
+                ts = t0 + b * burst_gap + j * interval
+                expected[ts] = np.mean(padded[j, slice(0, values_avg)])
+
+        # --- Spark ---
+        recs = []
+        for b in range(n_bursts):
+            for i in range(nsamps):
+                v = data[b, i]
+                recs.append(
+                    (t0 + b * burst_gap, i, None if np.isnan(v) else float(v))
+                )
+        df = spark.createDataFrame(
+            recs, "burst_epoch double, sample long, P_1 double"
+        ).select(
+            F.timestamp_seconds("burst_epoch").alias("burst_time"),
+            "sample",
+            "P_1",
+        )
+        out = average_tide_bursts(
+            df,
+            interval_seconds=interval,
+            duration_seconds=duration,
+            sample_rate_hz=rate,
+            value_cols=["P_1"],
+            burst_duration_seconds=burst_dur,
+        )
+        got = {
+            r["time"].timestamp(): r["P_1"] for r in out.collect()
+        }
+        assert set(got) == set(expected), (nsamps, interval)
+        for ts, exp in expected.items():
+            g = got[ts]
+            if np.isnan(exp):
+                assert g is None, (nsamps, interval, ts, g)
+            else:
+                # np.mean pairwise-sums, Spark avg sequential-sums — the
+                # association differs at ~1 ulp on random doubles; the
+                # NaN-ness and grid are the semantics under test
+                assert g == pytest.approx(exp, rel=1e-12), (
+                    nsamps, interval, ts, g, exp,
+                )

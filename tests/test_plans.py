@@ -704,7 +704,12 @@ def test_sg_tide_average_is_partial_agg_no_window(spark):
     """average_tide_bursts must stay a derived-key groupBy with
     map-side partial aggregation — no window function, no physical
     reshape (the reference pads-and-reshapes in memory; at 100 TB the
-    combine-before-shuffle shape is the whole point)."""
+    combine-before-shuffle shape is the whole point). The r14 full
+    window grid (NaN trailing windows) joins two burst-count-sized
+    post-aggregation frames — it must stay broadcast, never
+    sort-merge over sample-level data."""
     plan = plan_of(spark, "ts_sg_tide_average", mode="simple")
     assert "Window" not in plan, plan
     assert "partial_avg" in plan or "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
