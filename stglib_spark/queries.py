@@ -14437,86 +14437,83 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # registered and rotated; the trap itself stays documented by the two
 # deliberate-RED hugeint probes).
 _FRONT = [
-    # --- round 13 policy: window = first 50 entries, driver-graded.
-    # (a) NEW or RE-PLANNED this round first:
-    #     e2e_attrs_fidelity_roundtrip (NEW — four-stage CLI attrs/
-    #       history/lint fidelity oracle, VERDICT r12 task #7),
-    #     e2e_cli_export_nc_roundtrip (re-pinned — history now carries
-    #       across stage boundaries, so the expected attr changed),
-    #     corpus_quality_auc + corpus_quality_pr_sweep (re-planned —
-    #       independent held-out label, VERDICT r12 task #6);
-    # (b) the declared r13 rotation block: all 46 r8-aged rows (the
-    #     src_* vendor-roundtrip ingest tier + the 12 non-src r8 rows).
-    # r14 block = the 46 r9-aged rows: clip_deployment clip_good_dates
-    # corpus_decontaminate corpus_dup_ngram_frac corpus_remove_boilerplate
-    # corpus_remove_dup_spans corpus_repetition_stats
-    # corpus_stratified_sample dedup_priority_source
-    # e2e_glx_waves_roundtrip e2e_pressure_waves_roundtrip
-    # e2e_puv_waves_roundtrip e2e_rbr_clean_roundtrip mm_audio_stats_real
-    # mm_decode_real_jpeg mm_video_frames_mjpg phys_dispersion_qkfs
-    # phys_pres2dep_ssc phys_salinity_spcon q2/q4/q6-q22 (the 19 TPC-H
-    # relational rows) qaqc_ast_quality_trim qaqc_bad_ens
-    # qaqc_burst_min_kill qaqc_diff_pct qaqc_mask_trim_by
-    # qaqc_maxabs_diff_2d text_chunk_documents — plus new-r14 queries
-    # FIRST (snk_diwasp_spec_roundtrip, text_script_detect,
-    # ts_sg_tide_average and e2e_diwasp_export_fidelity, registered
-    # r13 — exactly filling r14's 4 new + 46 r9-aged slots) and the oldest
-    # r10 rows as slots allow.
-    # (a) new/re-planned
-    "e2e_attrs_fidelity_roundtrip",
-    "e2e_cli_export_nc_roundtrip",
-    "corpus_quality_auc",
-    "corpus_quality_pr_sweep",
-    # (b) the declared 46-row r8-aged block
-    "corpus_datacard",
-    "corpus_overlap_matrix",
-    "corpus_simpson_diversity",
-    "corpus_train_split",
-    "dedup_semantic",
-    "mm_decode_real_png",
-    "mm_video_frames_real",
-    "qaqc_bad_ens_indiv",
-    "sim_pq_train",
-    "snk_cf_lint",
-    "snk_profile_split_roundtrip",
-    "src_abss_roundtrip",
-    "src_aqd_roundtrip",
-    "src_aqdhr_roundtrip",
-    "src_aqdwv_roundtrip",
-    "src_areacomp_roundtrip",
-    "src_argonaut_roundtrip",
-    "src_campbell_roundtrip",
-    "src_eco_ntu_roundtrip",
-    "src_eofe_point_roundtrip",
-    "src_eofe_profile_roundtrip",
-    "src_exo_roundtrip",
-    "src_glx_roundtrip",
-    "src_hobo_roundtrip",
-    "src_iq_roundtrip",
-    "src_lisst_roundtrip",
-    "src_marotte_roundtrip",
-    "src_mayfly_roundtrip",
-    "src_microcat_roundtrip",
-    "src_pd0_bt_roundtrip",
-    "src_pd0_vbeam_roundtrip",
-    "src_pd0_waves_roundtrip",
-    "src_qrev_roundtrip",
-    "src_rbr_profile_roundtrip",
-    "src_rdi_mat_roundtrip",
-    "src_rdi_sens_roundtrip",
-    "src_rsk_roundtrip",
-    "src_sgtid_roundtrip",
-    "src_sgwb_roundtrip",
-    "src_sig_roundtrip",
-    "src_tcm_roundtrip",
-    "src_troll_roundtrip",
-    "src_trublue_roundtrip",
-    "src_vec_roundtrip",
-    "text_quality_logreg",
-    "ts_sessionize",
+    # --- round 14 policy: window = first 50 entries, driver-graded.
+    # (a) NEW (registered r13, never driver-graded) first —
+    #     ts_sg_tide_average was RE-PINNED this round for the
+    #     reference's np.mean-over-pad semantics (full window grid,
+    #     null incomplete/poisoned windows; VERDICT r13 task #1);
+    # (b) the declared 46-slot r14 rotation block: all 45 r9-aged rows
+    #     (clip/corpus/dedup_priority/e2e-wave/mm/phys rows, the 19
+    #     TPC-H relational rows, the qaqc r9 family,
+    #     text_chunk_documents) + the oldest r10 row
+    #     (agg_brange_argmax) filling the last slot.
+    # r15 block = the remaining 38 r10-aged rows: agg_linregress
+    # agg_mean_minf agg_min_max_attrs agg_top_third_threshold
+    # coord_beam2enu coord_beam2enu_4beam corpus_pps_sample
+    # corpus_quality_funnel corpus_shard_manifest dedup_incremental_batch
+    # dedup_url_canonical e2e_corpus_all_packs e2e_sonar_xy_roundtrip
+    # filt_median_smoother mm_decode_real_bmp phys_boundary_elevation
+    # phys_direction_conventions qaqc_min_max qaqc_std_gates
+    # qaqc_trim_single_bins qaqc_wave_stats_trims snk_netcdf3_roundtrip
+    # src_pd0_roundtrip text_html_extract text_lang_id text_quality_score
+    # text_token_stats text_winnow_fingerprints ts_asof_atmos_correct
+    # ts_burst_average ts_circular_mean_daily ts_gap_fill_hourly
+    # ts_interval_average_duration ts_value_percentiles vel_agc_cor_gates
+    # vel_snr_gate vel_trim_sidelobe wave_imlm_relax_oracle — with any
+    # new-r14 registrations FIRST, then oldest-r11 rows as slots allow.
+    # (a) new/re-pinned
+    "snk_diwasp_spec_roundtrip",
+    "text_script_detect",
+    "ts_sg_tide_average",
+    "e2e_diwasp_export_fidelity",
+    # (b) the declared 46-slot block (45 r9-aged + oldest r10)
+    "clip_deployment",
+    "clip_good_dates",
+    "corpus_decontaminate",
+    "corpus_dup_ngram_frac",
+    "corpus_remove_boilerplate",
+    "corpus_remove_dup_spans",
+    "corpus_repetition_stats",
+    "corpus_stratified_sample",
+    "dedup_priority_source",
+    "e2e_glx_waves_roundtrip",
+    "e2e_pressure_waves_roundtrip",
+    "e2e_puv_waves_roundtrip",
+    "e2e_rbr_clean_roundtrip",
+    "mm_audio_stats_real",
+    "mm_decode_real_jpeg",
+    "mm_video_frames_mjpg",
+    "phys_dispersion_qkfs",
+    "phys_pres2dep_ssc",
+    "phys_salinity_spcon",
+    "q2_min_cost_supplier",
+    "q4_order_priority",
+    "q6_forecast_revenue",
+    "q7_nation_volume",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_late_shipment_priority",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_revenue",
+    "q20_dominant_shipper",
+    "q21_waiting_supplier",
+    "q22_dormant_customers",
+    "qaqc_ast_quality_trim",
+    "qaqc_bad_ens",
+    "qaqc_burst_min_kill",
+    "qaqc_diff_pct",
+    "qaqc_mask_trim_by",
+    "qaqc_maxabs_diff_2d",
+    "text_chunk_documents",
+    "agg_brange_argmax",
 ]
-# (the r8 src_* rows displaced by the late-r12 additions refresh in the
-# declared r13 block along with the rest of the r8-aged family)
 
 
 def _ordered(mapping: dict) -> dict:
