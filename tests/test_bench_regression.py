@@ -55,3 +55,52 @@ def test_main_exit_codes(tmp_path, capsys):
     assert main([base, base]) == 0  # identical = clean
     out = capsys.readouterr().out
     assert "TOTAL" in out and "REGRESSION" in out
+
+
+def test_classify_three_way_verdicts():
+    """--prev-ref verdicts (VERDICT r13 task #4): interleaved
+    previous-code medians separate code from environment."""
+    from bench_regression import classify
+
+    # current code 2x slower than previous code in the SAME session
+    assert classify(2.0, 1.0, 1.0, 1.3) == "code-regression"
+    # both code versions equally slow now, and slow vs the committed
+    # number -> the box, not the code
+    assert classify(2.0, 1.95, 1.0, 1.3) == "environment"
+    # both versions equal and the rerun lands back near the committed
+    # baseline -> the flagged capture was a one-off
+    assert classify(1.1, 1.05, 1.0, 1.3) == "ambient-noise"
+    # between the same-band and the threshold -> inconclusive
+    assert classify(1.25, 1.0, 1.0, 1.3) == "inconclusive"
+    # no previous-code median -> legacy two-way fallback
+    assert classify(1.1, None, 1.0, 1.3) == "ambient-noise"
+    assert classify(2.0, None, 1.0, 1.3) == "confirmed-regression"
+    assert classify(None, None, 1.0, 1.3) == "not-rerunnable"
+
+
+def test_purge_and_import_swaps_checkouts(tmp_path):
+    """The worktree swap must import the other checkout's registry and
+    restore the main one afterwards."""
+    import subprocess
+
+    from bench_regression import _purge_and_import
+
+    repo = "/root/repo"
+    wt = str(tmp_path / "wt")
+    subprocess.run(
+        ["git", "-C", repo, "worktree", "add", "--detach", "--force",
+         wt, "HEAD"],
+        check=True, capture_output=True,
+    )
+    try:
+        reg_wt = _purge_and_import(wt, [repo, wt])
+        assert reg_wt.__file__.startswith(wt), reg_wt.__file__
+        reg_main = _purge_and_import(repo, [repo, wt])
+        assert reg_main.__file__.startswith(repo + "/"), reg_main.__file__
+        assert "q1_pricing_summary" in reg_main.QUERIES
+    finally:
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "remove", "--force", wt],
+            capture_output=True,
+        )
+        _purge_and_import(repo, [repo, wt])

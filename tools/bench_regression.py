@@ -68,32 +68,97 @@ def compare(base: dict, new: dict, threshold: float) -> tuple[list[tuple], int]:
     return rows, flagged
 
 
+def classify(
+    med_now: float | None,
+    med_prev_code: float | None,
+    t_prev: float | None,
+    threshold: float,
+    same_band: float = 1.15,
+) -> str:
+    """Three-way verdict separating code from environment (VERDICT r13
+    task #4). With a previous-code median measured INTERLEAVED in the
+    same session:
+
+    - current code slower than previous code by > threshold in the same
+      environment → ``code-regression`` (only code differs);
+    - the two code versions within ``same_band`` of each other →
+      ``environment`` when both reproduce the slow number (the whole box
+      is slower — r13's concurrent-tenant case) or ``ambient-noise``
+      when the rerun lands back within threshold of the committed
+      baseline (the flagged capture was a one-off);
+    - anything in between → ``inconclusive``.
+
+    Without a previous-code median (no --prev-ref), falls back to the
+    r12 two-way logic: rerun within threshold of t_prev =
+    ambient-noise, else confirmed-regression (which cannot distinguish
+    code from environment — hence --prev-ref).
+    """
+    if med_now is None:
+        return "not-rerunnable"
+    if med_prev_code is None:
+        if t_prev and med_now / t_prev <= threshold:
+            return "ambient-noise"
+        return "confirmed-regression"
+    ratio = med_now / med_prev_code if med_prev_code > 0 else float("inf")
+    if ratio > threshold:
+        return "code-regression"
+    if ratio <= same_band:
+        if t_prev and med_now / t_prev <= threshold:
+            return "ambient-noise"
+        return "environment"
+    return "inconclusive"
+
+
+def _purge_and_import(repo_root: str, known_roots: list[str]):
+    """Swap which checkout's stglib_spark is imported. The SparkSession
+    (JVM) survives the swap — queries receive it as an argument."""
+    import importlib
+
+    for m in list(sys.modules):
+        if m == "stglib_spark" or m.startswith("stglib_spark."):
+            del sys.modules[m]
+    sys.path[:] = [p for p in sys.path if p not in known_roots]
+    sys.path.insert(0, repo_root)
+    importlib.invalidate_caches()
+    from stglib_spark import queries as registry
+
+    return registry
+
+
 def adjudicate(
     flagged: list[tuple], sf_dir: str, reruns: int, threshold: float,
-    baseline_file: str, current_file: str,
+    baseline_file: str, current_file: str, prev_ref: str | None = None,
 ) -> dict:
     """Re-time each flagged query with bench.py's protocol (noop sink,
     sf0.01 warm pass, interleaved passes, per-query median) in ONE
-    session, and classify: rerun_median within threshold of t_prev =
-    ambient-noise (the committed number was a drift artifact), else
-    confirmed-regression. Machine-written so the committed adjudication
-    can't drift from what actually ran."""
+    session. With ``prev_ref`` (a git ref of the previous round's
+    code), each pass also times the query against a detached worktree
+    of that ref — same session, same JVM, interleaved — so the verdict
+    can separate code from environment: {code-regression, environment,
+    ambient-noise, inconclusive}. 1/5/15-min load averages are
+    recorded at start and end so a contaminated box is visible in the
+    artifact. Machine-written so the committed adjudication can't
+    drift from what actually ran."""
     import os
     import statistics
+    import subprocess
+    import tempfile
     import time
 
-    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     record = {
         "baseline_file": baseline_file,
         "current_file": current_file,
         "sf_dir": sf_dir,
         "threshold": threshold,
         "reruns": reruns,
+        "prev_ref": prev_ref,
+        "loadavg_start": list(os.getloadavg()),
         "rows": [],
     }
     if not flagged:
         return record
-    from stglib_spark import queries as registry
+    sys.path.insert(0, repo)
     from stglib_spark.session import get_spark
 
     spark = get_spark("bench-adjudicate")
@@ -101,29 +166,63 @@ def adjudicate(
     warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.01")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
-    names = [name for name, _, _ in flagged if name in registry.QUERIES]
-    for name in names:
-        registry.QUERIES[name](spark, warm_dir).write.format("noop").mode(
-            "overwrite"
-        ).save()
-    runs: dict[str, list[float]] = {n: [] for n in names}
-    for _ in range(max(1, reruns)):
+
+    worktree = None
+    roots = [repo]
+    if prev_ref:
+        worktree = tempfile.mkdtemp(prefix="bench-adj-prev-")
+        subprocess.run(
+            ["git", "-C", repo, "worktree", "add", "--detach", "--force",
+             worktree, prev_ref],
+            check=True, capture_output=True,
+        )
+        roots.append(worktree)
+
+    def _time_pass(registry, names, runs):
         for name in names:
+            if name not in registry.QUERIES:
+                continue
             t0 = time.perf_counter()
             registry.QUERIES[name](spark, sf_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
             runs[name].append(round(time.perf_counter() - t0, 3))
-    spark.stop()
+
+    try:
+        names = [name for name, _, _ in flagged]
+        # warm both code versions once
+        for root in roots:
+            reg = _purge_and_import(root, roots)
+            for name in names:
+                if name in reg.QUERIES:
+                    reg.QUERIES[name](spark, warm_dir).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+        runs_now: dict[str, list[float]] = {n: [] for n in names}
+        runs_prev: dict[str, list[float]] = {n: [] for n in names}
+        for _ in range(max(1, reruns)):
+            _time_pass(_purge_and_import(repo, roots), names, runs_now)
+            if worktree:
+                _time_pass(
+                    _purge_and_import(worktree, roots), names, runs_prev
+                )
+        spark.stop()
+    finally:
+        if worktree:
+            subprocess.run(
+                ["git", "-C", repo, "worktree", "remove", "--force",
+                 worktree],
+                capture_output=True,
+            )
+        # leave the current repo importable for any caller after us
+        _purge_and_import(repo, roots)
+
+    record["loadavg_end"] = list(os.getloadavg())
     for name, t_prev, t_now in flagged:
-        times = runs.get(name, [])
+        times = runs_now.get(name, [])
         med = round(statistics.median(times), 3) if times else None
-        if med is None:
-            verdict = "not-rerunnable"
-        elif t_prev and med / t_prev <= threshold:
-            verdict = "ambient-noise"
-        else:
-            verdict = "confirmed-regression"
+        ptimes = runs_prev.get(name, []) if worktree else []
+        pmed = round(statistics.median(ptimes), 3) if ptimes else None
         record["rows"].append(
             {
                 "query": name,
@@ -131,7 +230,9 @@ def adjudicate(
                 "t_now": t_now,
                 "rerun_times": times,
                 "rerun_median": med,
-                "verdict": verdict,
+                "prev_code_times": ptimes,
+                "prev_code_median": pmed,
+                "verdict": classify(med, pmed, t_prev, threshold),
             }
         )
     return record
@@ -150,6 +251,12 @@ def main(argv: list[str] | None = None) -> int:
                     help="data dir for --adjudicate reruns")
     ap.add_argument("--reruns", type=int, default=3,
                     help="interleaved rerun passes per flagged query")
+    ap.add_argument("--prev-ref", default=None, metavar="GIT_REF",
+                    help="git ref of the previous round's code; flagged "
+                         "queries are also re-timed against a detached "
+                         "worktree of this ref, interleaved in the same "
+                         "warm session, so the verdict separates "
+                         "code-regression from environment")
     ap.add_argument("--expect-scale", type=float, default=None,
                     help="scale-gate mode: `current` ran on N x the data of "
                          "`baseline` (e.g. 10 for sf1 vs sf0.1); a query is "
@@ -183,7 +290,7 @@ def main(argv: list[str] | None = None) -> int:
         ]
         record = adjudicate(
             flagged_rows, args.sf_dir, args.reruns, threshold,
-            args.baseline, args.current,
+            args.baseline, args.current, prev_ref=args.prev_ref,
         )
         with open(args.adjudicate, "w", encoding="utf-8") as f:
             json.dump(record, f, indent=2)
@@ -192,9 +299,11 @@ def main(argv: list[str] | None = None) -> int:
         for r in record["rows"]:
             print(f"  {r['query']}: median {r['rerun_median']}s vs "
                   f"prev {r['t_prev']}s -> {r['verdict']}", file=sys.stderr)
-        # reruns settle the question; exit red only on confirmed rows
+        # reruns settle the question; exit red only on rows the code
+        # itself (or a two-way fallback rerun) confirms
         return 1 if any(
-            r["verdict"] == "confirmed-regression" for r in record["rows"]
+            r["verdict"] in ("confirmed-regression", "code-regression")
+            for r in record["rows"]
         ) else 0
     if flagged:
         kind = "scaled superlinearly" if args.expect_scale else "regressed"
