@@ -7109,7 +7109,17 @@ def e2e_attrs_fidelity_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
       ('var', 'diwasp_fspec', 'units', 'm^2/Hz'),
       ('var', 'diwasp_fspec', 'note', 'Use caution: all spectra are provisional'),
       ('var', 'diwasp_fspec', 'standard_name', 'sea_surface_wave_variance_spectral_density'),
+      ('var', 'diwasp_direction', 'long_name', 'Direction (from, relative to true north)'),
+      ('var', 'diwasp_direction', 'units', 'degrees'),
+      ('var', 'diwasp_dspec', 'long_name', 'Directional wave energy spectrum from pyDIWASP'),
+      ('var', 'diwasp_dspec', 'units', 'm^2/Hz/degree'),
+      ('var', 'diwasp_dspec', 'note', 'Use caution: all spectra are provisional'),
+      ('var', 'diwasp_dspec', 'standard_name', 'sea_surface_wave_directional_variance_spectral_density'),
       ('var', 'diwasp_type', 'long_name', 'pyDIWASP input data type used in optimized method'),
+      ('data', 'diwasp_dspec', 'dims', 'time,diwasp_frequency,diwasp_direction'),
+      ('data', 'diwasp_dspec', 'shape', '2x8x12'),
+      ('data', 'diwasp_dspec', 'nc_equals_zone', 'True'),
+      ('data', 'diwasp_direction', 'nc_equals_zone', 'True'),
       ('var', 'dwvdir', 'units', 'degree'),
       ('var', 'dwvdir', 'long_name', 'Dominant wave direction'),
       ('var', 'dwvdir', 'note', 'Compass direction from which waves are propagating as defined by the direction band with greatest total energy summed over all frequencies'),
@@ -7208,6 +7218,34 @@ def e2e_diwasp_export_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for name, var in nc["variables"].items():
         for k, v in var["attrs"].items():
             rows.append(("var", str(name), str(k), str(v)))
+    # r14 (VERDICT r13 task #5): the 3-D dspec must survive the nc
+    # roundtrip bit-exactly — the parquet zone is ground truth
+    import numpy as np
+
+    zone = spark.read.parquet(os.path.join(d, "dwfid_diwasp"))
+    zpdf = zone.select(
+        "burst_time", "diwasp_direction", "diwasp_dspec"
+    ).toPandas().sort_values("burst_time")
+    zcube = np.array(
+        [np.asarray(v, dtype=np.float64) for v in zpdf["diwasp_dspec"]]
+    )
+    dvar = nc["variables"]["diwasp_dspec"]
+    rows.append(("data", "diwasp_dspec", "dims", ",".join(dvar["dims"])))
+    rows.append(
+        ("data", "diwasp_dspec", "shape",
+         "x".join(str(s) for s in dvar["data"].shape))
+    )
+    rows.append(
+        ("data", "diwasp_dspec", "nc_equals_zone",
+         str(bool(np.array_equal(dvar["data"], zcube))))
+    )
+    zdir = np.asarray(zpdf["diwasp_direction"].iloc[0], dtype=np.float64)
+    rows.append(
+        ("data", "diwasp_direction", "nc_equals_zone",
+         str(bool(np.array_equal(
+             nc["variables"]["diwasp_direction"]["data"], zdir
+         ))))
+    )
     frame = spark.read.parquet(os.path.join(d, "dwfid_diwasp"))
     frame = apply_var_attrs(frame.withColumnRenamed("burst_time", "time"))
     problems = check_dataframe(frame, dict(nc["attrs"]))

@@ -210,7 +210,9 @@ def _write_netcdf3(
             if col in skip:
                 continue
             series = piv[col]
-            if series.dtype == object and not isinstance(series.iloc[0], str):
+            if series.dtype == object and not all(
+                isinstance(v, str) for v in series
+            ):
                 continue  # array columns are not representable in classic nc3
             if profile_cols is not None:
                 is_2d = col in profile_cols and series.dtype != object
@@ -248,32 +250,39 @@ def _write_netcdf3(
         # per-row numeric arrays of one shared length (wave spectra:
         # frequency/pspec from the burst kernels) export as 2-D
         # (time, frequency) variables, the reference's s-a.nc shape;
-        # the 'frequency' column doubles as the axis variable. Ragged
-        # arrays (per-burst nfft) stay parquet-only.
+        # the 'frequency' column doubles as the axis variable. Nested
+        # arrays of one shared (frequency, direction) shape export as
+        # 3-D variables — the reference's dspec in s_diwasp-a.nc
+        # (rsk/nc2waves.py:85-211) — keyed off the direction axis
+        # column. Ragged arrays (per-burst nfft) stay parquet-only.
+        # Detection is whole-column, not first-row (a column mixing
+        # scalars and arrays stays parquet-only).
         array_cols = {}
+        nested_cols = {}
         for col in pdf.columns:
             series = pdf[col]
-            if (
-                series.dtype == object
-                and len(series)
-                and isinstance(series.iloc[0], (list, np.ndarray))
-            ):
-                if any(v is None for v in series):
-                    continue  # null arrays: stay parquet-only
-                lens = {len(v) for v in series}
-                if len(lens) == 1:
-                    try:
-                        mat = np.array(
-                            [np.asarray(v, dtype=np.float64) for v in series]
-                        )
-                    except (TypeError, ValueError):
-                        continue  # non-numeric arrays: stay parquet-only
-                    if mat.ndim != 2:
-                        # nested arrays (directional spectra) need a
-                        # third dim classic nc3 writing doesn't model
-                        # here: stay parquet-only
-                        continue
-                    array_cols[col] = mat
+            if series.dtype != object or not len(series):
+                continue
+            is_arr = [
+                isinstance(v, (list, np.ndarray)) for v in series
+            ]
+            if not any(is_arr):
+                continue
+            if not all(is_arr):
+                continue  # mixed scalar/null/array rows: parquet-only
+            lens = {len(v) for v in series}
+            if len(lens) != 1:
+                continue
+            try:
+                mat = np.array(
+                    [np.asarray(v, dtype=np.float64) for v in series]
+                )
+            except (TypeError, ValueError):
+                continue  # non-numeric arrays: stay parquet-only
+            if mat.ndim == 2:
+                array_cols[col] = mat
+            elif mat.ndim == 3:
+                nested_cols[col] = mat
         axis_name = next(
             (
                 c
@@ -284,8 +293,8 @@ def _write_netcdf3(
         )
         if axis_name is not None:
             # export the family sharing the axis width; other-width
-            # array columns (e.g. a direction axis with no 2-D data
-            # expressible in classic nc3) stay parquet-only
+            # array columns stay parquet-only unless they serve as
+            # the direction axis of a 3-D spectrum
             width = array_cols[axis_name].shape[1]
             dims[axis_name] = width
             variables[axis_name] = {
@@ -293,20 +302,55 @@ def _write_netcdf3(
                 "data": array_cols[axis_name][0],
                 "attrs": var_attrs.get(axis_name, {}),
             }
+            dir_name = next(
+                (
+                    c
+                    for c in ("direction", "diwasp_direction")
+                    if c in array_cols
+                ),
+                None,
+            )
+            dir_width = (
+                array_cols[dir_name].shape[1]
+                if dir_name is not None
+                else None
+            )
+            dir_used = dir_name is not None and any(
+                cube.shape[1:] == (width, dir_width)
+                for cube in nested_cols.values()
+            )
+            if dir_used:
+                dims[dir_name] = dir_width
+                variables[dir_name] = {
+                    "dims": (dir_name,),
+                    "data": array_cols[dir_name][0],
+                    "attrs": var_attrs.get(dir_name, {}),
+                }
             for col, mat in array_cols.items():
                 if col == axis_name or mat.shape[1] != width:
+                    continue
+                if dir_used and col == dir_name:
                     continue
                 variables[col] = {
                     "dims": ("time", axis_name),
                     "data": mat,
                     "attrs": var_attrs.get(col, {}),
                 }
+            if dir_used:
+                for col, cube in nested_cols.items():
+                    if cube.shape[1:] != (width, dir_width):
+                        continue  # unmatched shape: parquet-only
+                    variables[col] = {
+                        "dims": ("time", axis_name, dir_name),
+                        "data": cube,
+                        "attrs": var_attrs.get(col, {}),
+                    }
         for col in pdf.columns:
-            if col == "time" or col in array_cols:
+            if col == "time" or col in array_cols or col in nested_cols:
                 continue
             series = pdf[col]
-            if series.dtype == object and len(series) and not isinstance(
-                series.iloc[0], str
+            if series.dtype == object and len(series) and not all(
+                isinstance(v, str) for v in series
             ):
                 continue
             data = series.to_numpy()
