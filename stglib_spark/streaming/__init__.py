@@ -14,6 +14,7 @@ from stglib_spark.streaming.bursts import (
     export_nc_batch_writer,
     read_events_stream,
     streaming_burst_average,
+    streaming_tide_average,
     bloom_gate_verdicts,
     streaming_bloom_gate,
     streaming_cms_counts,
@@ -42,6 +43,7 @@ __all__ = [
     "export_nc_batch_writer",
     "read_events_stream",
     "streaming_burst_average",
+    "streaming_tide_average",
     "bloom_gate_verdicts",
     "streaming_bloom_gate",
     "streaming_cms_counts",

@@ -68,6 +68,55 @@ def streaming_burst_average(
     return agg.select(F.col("w.start").alias("burst_time"), "value_avg", "n")
 
 
+def streaming_tide_average(
+    samples: DataFrame,
+    interval_seconds: float,
+    duration_seconds: float,
+    sample_rate_hz: float,
+    value_col: str = "P_1",
+    burst_col: str = "burst_time",
+    sample_col: str = "sample",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``timeops.average_tide_bursts`` (Seagauge tide
+    averaging, sg/cdf2nc.py:149-196): a tumbling aggregate on the
+    DERIVED window start ``burst + (sample // cols_per) · interval``,
+    averaging only the first ``values_avg`` samples of each window,
+    with the reference's np.mean-over-pad gate — a window whose slice
+    is short (samples past the recorded burst) or contains a nulled
+    sample emits a NULL mean, exactly the batch operator's
+    ``when(count == values_avg, avg)``.
+
+    State bound: one (count, sum) pair per open window per value
+    column — windows close when the watermark passes their derived
+    start, so state is O(open windows), never O(samples). The batch
+    operator's full ``ceil(burst_duration/interval)`` grid (trailing
+    windows that contain NO samples at all) is a batch-side
+    completion: a stream has no row to trigger an empty window, the
+    same way the reference's in-memory pad has no streaming analogue
+    — parity is over windows with at least one in-slice sample."""
+    cols_per = int(round(float(interval_seconds) * float(sample_rate_hz)))
+    values_avg = int(round(float(duration_seconds) * float(sample_rate_hz)))
+    gate_n = min(values_avg, cols_per)
+    sub = (F.col(sample_col) / cols_per).cast("long")
+    wstart = F.timestamp_seconds(
+        F.col(burst_col).cast("double") + sub * float(interval_seconds)
+    )
+    within = F.pmod(F.col(sample_col), F.lit(cols_per))
+    src = (
+        samples.withColumn("__wstart", wstart)
+        .withWatermark("__wstart", watermark)
+        .filter(within < values_avg)
+    )
+    agg = src.groupBy("__wstart").agg(
+        F.count(value_col).alias("__n"), F.avg(value_col).alias("__a")
+    )
+    return agg.select(
+        F.col("__wstart").alias("time"),
+        F.when(F.col("__n") == gate_n, F.col("__a")).alias(value_col),
+    )
+
+
 def streaming_sessionize(
     events: DataFrame,
     gap: str = "30 minutes",

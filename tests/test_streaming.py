@@ -2052,3 +2052,84 @@ def test_streaming_quality_class_counts_auc_parity(
     ).collect()[0]
     assert (n_pos, n_neg) == (batch_auc["n_pos"], batch_auc["n_neg"])
     assert streamed_auc == batch_auc["auc"]
+
+
+def test_streaming_tide_average_matches_batch(spark, checkpoint_dir):
+    """streaming_tide_average must reproduce the batch
+    average_tide_bursts bit-exactly across micro-batch boundaries —
+    including the np.mean-over-pad count-gate (null window for a short
+    slice and for a QA/QC-nulled sample). Files are cut INSIDE window
+    2's averaged slice so its (count, sum) state must merge across two
+    micro-batches."""
+    import os
+
+    from stglib_spark.operators.timeops import average_tide_bursts
+    from stglib_spark.streaming import streaming_tide_average
+
+    d = tempfile.mkdtemp(prefix="tide", dir="/root/repo/.tmp")
+    src_dir = os.path.join(d, "samples")
+    t0 = 1622505600
+    # 3 bursts x 250 samples (non-multiple of the 60-sample window),
+    # exact 1/16-grid values, one nulled sample inside burst 1 window 1
+    b = (F.col("id") / 250).cast("long")
+    i = F.pmod(F.col("id"), 250)
+    p = ((7 * i + 13 * b).cast("double") - 800.0) / 16.0
+    # one file per (burst, half) — the cut at sample 125 lands inside
+    # window 2's slice [120, 150)
+    half = (i / 125).cast("long")
+    rows = spark.range(750).select(
+        F.timestamp_seconds(F.lit(t0) + b * 3600).alias("burst_time"),
+        i.cast("long").alias("sample"),
+        F.when(~((b == 1) & (i == 70)), p).alias("P_1"),
+        (b * 2 + half).alias("__f"),
+    )
+    rows.repartition(1).write.partitionBy("__f").mode(
+        "overwrite"
+    ).parquet(src_dir)
+
+    kw = dict(
+        interval_seconds=60.0,
+        duration_seconds=30.0,
+        sample_rate_hz=1.0,
+    )
+    batch = {
+        r["time"].timestamp(): r["P_1"]
+        for r in average_tide_bursts(
+            spark.read.parquet(src_dir).drop("__f"),
+            value_cols=["P_1"],
+            **kw,
+        ).collect()
+    }
+
+    schema = "burst_time timestamp, sample long, P_1 double"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = streaming_tide_average(stream, value_col="P_1", **kw)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tide_avg")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r["time"].timestamp(): r["P_1"]
+        for r in spark.sql("SELECT * FROM tide_avg").collect()
+    }
+    assert streamed.keys() == batch.keys()
+    for k, exp in batch.items():
+        if exp is None:
+            assert streamed[k] is None, k
+        else:
+            # 1/16-grid fixture: sums are exact, parity is bit-exact
+            assert streamed[k] == exp, (k, streamed[k], exp)
+    # the gate actually fired: burst 1 window 1 (nulled sample) and
+    # every burst's short window 4 are null
+    assert streamed[t0 + 3600 + 60.0] is None
+    for bb in range(3):
+        assert streamed[t0 + bb * 3600 + 240.0] is None
