@@ -14474,6 +14474,15 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # trap, fully subsumed by ts_sessionize / corpus_datacard (both still
 # registered and rotated; the trap itself stays documented by the two
 # deliberate-RED hugeint probes).
+#
+# Declared retirement candidates (r14, to execute if the census nears
+# the cap): (a) src_pd0_bt/_vbeam/_waves_roundtrip each pin a DISTINCT
+# PD0 section decoder (bottom-track 0x0600, Sentinel-V vbeam,
+# Wavesmon waves) and are NOT subsumed by src_pd0_roundtrip — keep
+# unless squeezed; (b) of the three diwasp e2e variants
+# (e2e_diwasp_roundtrip / _imlm_ / _nd_), the _nd_ row subsumes the
+# base row's input-selection path, so e2e_diwasp_roundtrip is the
+# first to merge if a slot is needed.
 _FRONT = [
     # --- round 14 policy: window = first 50 entries, driver-graded.
     # (a) NEW (registered r13, never driver-graded) first —
