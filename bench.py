@@ -30,9 +30,7 @@ from stglib_spark.session import get_spark
 # rows whose code or plan changed THIS round: always in the printed
 # per-query window (rotate out once adjudicated stable)
 CHANGED_THIS_ROUND = {
-    "corpus_quality_auc",       # r13: independent held-out label
-    "corpus_quality_pr_sweep",  # r13: independent held-out label
-    "dedup_cluster_quality",    # r13: zones under the swept scratch root
+    "ts_sg_tide_average",  # r14: np.mean-over-pad gate + window grid
 }
 
 HEADLINE = [
@@ -118,6 +116,9 @@ HEADLINE = [
     # audio perceptual-hash triple (WAV decode + energy-delta hash in
     # one mapInPandas projection + pigeonhole pairing)
     "mm_audio_phash_neardup",
+    # new in r14: Seagauge tide averaging — derived-key partial agg +
+    # broadcast grid join; the r14 semantics re-pin must stay visible
+    "ts_sg_tide_average",
     # new in r12: the DIWASP cutoff+tail analytic oracle, the per-rule
     # QA/QC affected-count audit table, and the quality-score ROC-AUC
     "wave_dspec_tail_oracle",
@@ -145,6 +146,9 @@ E2E_STAGE = [
     "e2e_cli_export_nc_roundtrip",
     "e2e_corpus_all_packs",
     "e2e_media_dedup_clusters",
+    # new in r14: the s_diwasp-a.nc export-fidelity chain incl. the 3-D
+    # dspec nc roundtrip
+    "e2e_diwasp_export_fidelity",
 ]
 
 
@@ -226,6 +230,8 @@ def main() -> None:
         "qaqc_notes_audit",
         "corpus_quality_auc",
         "corpus_quality_pr_sweep",
+        # r14 additions
+        "ts_sg_tide_average",
     }
     baseline_set = round(
         sum(v for k, v in times.items() if k not in later_additions), 3
