@@ -58,6 +58,11 @@ def main() -> None:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--sf-dirs", nargs="*", default=None,
                     help="dir:scale pairs, e.g. /root/repo/.tmp/sf1:1.0")
+    ap.add_argument("--append", action="store_true",
+                    help="append rows to an existing --out artifact "
+                         "(replacing same-named queries) — used to "
+                         "re-run rows that died, e.g. under a larger "
+                         "heap")
     args = ap.parse_args()
 
     points = DEFAULT_POINTS
@@ -79,21 +84,53 @@ def main() -> None:
     record = {
         "points": [{"dir": d, "sf": s} for d, s in points],
         "passes": args.passes,
+        "driver_mem": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         "loadavg_start": list(os.getloadavg()),
         "rows": [],
     }
+    if args.append and args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        keep = [r for r in prior.get("rows", [])
+                if r["query"] not in args.queries]
+        record["rows"] = keep
+
+    def _flush():
+        if args.out:
+            with open(args.out, "w") as f:
+                json.dump(record, f, indent=2)
     warm_dir = "/root/testdata/sf0.01"
     for name in args.queries:
         fn = registry.QUERIES[name]
-        fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
         times = {}
-        for d, s in points:  # smallest first
+        err = None
+        try:
+            fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:
+            err = f"warm: {type(e).__name__}: {str(e)[:200]}"
+            print(f"ROW {name}: ERROR {err}", flush=True)
+        for d, s in points if err is None else []:  # smallest first
             per = []
-            for _ in range(max(1, args.passes)):
-                t0 = time.perf_counter()
-                fn(spark, d).write.format("noop").mode("overwrite").save()
-                per.append(round(time.perf_counter() - t0, 3))
+            try:
+                for _ in range(max(1, args.passes)):
+                    t0 = time.perf_counter()
+                    fn(spark, d).write.format("noop").mode("overwrite").save()
+                    per.append(round(time.perf_counter() - t0, 3))
+            except Exception as e:  # record (e.g. OOM at sf10), move on
+                err = f"sf{s}: {type(e).__name__}: {str(e)[:200]}"
+                print(f"ROW {name}: ERROR {err}", flush=True)
+                break
             times[s] = per
+        if err is not None or len(times) < 2:
+            record["rows"].append(
+                {"query": name,
+                 "times": {str(s): per for s, per in times.items()},
+                 "error": err or "fewer than 2 points"}
+            )
+            _flush()
+            continue
         fitted = fit_exponent(
             [(s, statistics.median(per)) for s, per in times.items()]
         )
@@ -114,14 +151,14 @@ def main() -> None:
             "exponent_tail": round(tail, 3),
         }
         record["rows"].append(row)
+        _flush()
         print(f"ROW {name}: medians={row['medians']} "
               f"b={row['exponent']} b_tail={row['exponent_tail']}",
               flush=True)
     spark.stop()
     record["loadavg_end"] = list(os.getloadavg())
+    _flush()
     if args.out:
-        with open(args.out, "w") as f:
-            json.dump(record, f, indent=2)
         print(f"-> {args.out}")
 
 
