@@ -1253,3 +1253,47 @@ def test_average_tide_bursts_zone(spark, tmp_path):
         assert rows[t0 + 60.0 * k] == 60.0 * k + 14.5
     meta = json.load(open(tide_path + ".meta.json"))
     assert any("tide bursts" in h for h in meta["history"])
+
+
+def test_average_tide_bursts_zone_full_grid_and_nan_gate(spark, tmp_path):
+    """With SGBurstDuration set, run_clean's tide zone emits the
+    reference's FULL ceil(duration/interval) window grid (sg/cdf2nc.py:
+    149-196): trailing windows whose slice runs into the NaN padding
+    are null rows, and a QA/QC-nulled sample poisons its window."""
+    cfg = {
+        "output_dir": str(tmp_path),
+        "filename": "sgt2",
+        "average_tide_interval": 60.0,
+        "average_tide_duration": 30.0,
+        "sample_rate": 1.0,
+        "SGBurstDuration": 300.0,
+        # null one sample inside window 1's averaged slice [60, 90)
+        "P_1_min": 1.0,
+    }
+    t0 = 1622505600
+    # 250 samples (not a multiple of 60): window 4's slice [240, 270)
+    # has only 10 recorded samples; sample 70 gets value 0.5 -> nulled
+    # by the min rule
+    raw = spark.range(250).select(
+        F.timestamp_seconds(F.lit(t0)).alias("burst_time"),
+        F.timestamp_seconds(F.lit(t0)).alias("time"),
+        F.col("id").cast("long").alias("sample"),
+        F.when(F.col("id") == 70, 0.5)
+        .otherwise(F.col("id").cast("double") + 10.0)
+        .alias("P_1"),
+    )
+    raw.write.mode("overwrite").parquet(_zone_path(cfg, "raw"))
+    run_clean(spark, cfg)
+    rows = {
+        r["time"].timestamp(): r["P_1"]
+        for r in spark.read.parquet(_zone_path(cfg, "tide")).collect()
+    }
+    # full 5-window grid emitted
+    assert sorted(rows) == [t0 + 60.0 * k for k in range(5)]
+    # windows 0, 2, 3: plain means of samples [60k, 60k+30) (+10 offset)
+    for k in (0, 2, 3):
+        assert rows[t0 + 60.0 * k] == 60.0 * k + 14.5 + 10.0
+    # window 1: poisoned by the QA/QC-nulled sample 70
+    assert rows[t0 + 60.0] is None
+    # window 4: slice runs into the padding (10 of 30 samples)
+    assert rows[t0 + 240.0] is None
