@@ -7226,8 +7226,10 @@ def e2e_diwasp_export_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
     zpdf = zone.select(
         "burst_time", "diwasp_direction", "diwasp_dspec"
     ).toPandas().sort_values("burst_time")
-    zcube = np.array(
-        [np.asarray(v, dtype=np.float64) for v in zpdf["diwasp_dspec"]]
+    from stglib_spark.sources.netcdf import numeric_cell
+
+    zcube = np.stack(
+        [numeric_cell(v) for v in zpdf["diwasp_dspec"]]
     )
     dvar = nc["variables"]["diwasp_dspec"]
     rows.append(("data", "diwasp_dspec", "dims", ",".join(dvar["dims"])))

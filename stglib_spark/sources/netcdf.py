@@ -23,6 +23,21 @@ from stglib_spark.sources import register_adapter
 _TIME_UNITS = "seconds since 1970-01-01 00:00:00 +00:00"
 
 
+def numeric_cell(v) -> "np.ndarray":
+    """One toPandas cell of an array column → float ndarray (1-D for
+    array<double>, 2-D for array<array<double>>). Arrow-enabled
+    ``toPandas`` delivers nested cells as OBJECT ndarrays of float64
+    arrays, which numpy ≥ 2 refuses to coerce in one
+    ``np.asarray(cell, dtype=float64)`` call ("setting an array element
+    with a sequence") even when the nesting is perfectly rectangular —
+    the same cell as a plain list of lists (Arrow off) converts fine.
+    Convert row-wise so both spellings work; ragged nesting still
+    raises ValueError (np.stack) for callers that gate on it."""
+    if len(v) and isinstance(v[0], (list, np.ndarray)):
+        return np.stack([np.asarray(r, dtype=np.float64) for r in v])
+    return np.asarray(v, dtype=np.float64)
+
+
 _CF_UNIT_SECONDS = {
     "microseconds": 1e-6,
     "milliseconds": 1e-3,
@@ -274,11 +289,9 @@ def _write_netcdf3(
             if len(lens) != 1:
                 continue
             try:
-                mat = np.array(
-                    [np.asarray(v, dtype=np.float64) for v in series]
-                )
+                mat = np.stack([numeric_cell(v) for v in series])
             except (TypeError, ValueError):
-                continue  # non-numeric arrays: stay parquet-only
+                continue  # non-numeric/ragged arrays: stay parquet-only
             if mat.ndim == 2:
                 array_cols[col] = mat
             elif mat.ndim == 3:

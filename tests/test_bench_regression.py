@@ -80,13 +80,25 @@ def test_classify_three_way_verdicts():
 
 def test_purge_and_import_swaps_checkouts(tmp_path):
     """The worktree swap must import the other checkout's registry and
-    restore the main one afterwards."""
+    restore the main one afterwards. The ORIGINAL module objects (and
+    sys.path) are snapshotted and restored verbatim — re-importing on
+    cleanup would leave every already-imported test module holding
+    stale class objects (pytest.raises against a superseded exception
+    class, unpicklable closures), which broke 4 unrelated tests in the
+    full-suite order when this test first landed."""
     import subprocess
+    import sys
 
     from bench_regression import _purge_and_import
 
     repo = "/root/repo"
     wt = str(tmp_path / "wt")
+    saved_modules = {
+        m: mod
+        for m, mod in sys.modules.items()
+        if m == "stglib_spark" or m.startswith("stglib_spark.")
+    }
+    saved_path = list(sys.path)
     subprocess.run(
         ["git", "-C", repo, "worktree", "add", "--detach", "--force",
          wt, "HEAD"],
@@ -103,4 +115,8 @@ def test_purge_and_import_swaps_checkouts(tmp_path):
             ["git", "-C", repo, "worktree", "remove", "--force", wt],
             capture_output=True,
         )
-        _purge_and_import(repo, [repo, wt])
+        for m in list(sys.modules):
+            if m == "stglib_spark" or m.startswith("stglib_spark."):
+                del sys.modules[m]
+        sys.modules.update(saved_modules)
+        sys.path[:] = saved_path
