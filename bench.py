@@ -149,6 +149,9 @@ E2E_STAGE = [
     # new in r14: the s_diwasp-a.nc export-fidelity chain incl. the 3-D
     # dspec nc roundtrip
     "e2e_diwasp_export_fidelity",
+    # new late-r14: the sonar sweep-averaged companion product
+    # (.81R files -> sweep sets -> clean -> sonavg zone)
+    "e2e_son_average_roundtrip",
 ]
 
 

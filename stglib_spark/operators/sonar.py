@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, functions as F
 
 from stglib_spark.session import pin_grouping
 from pyspark.sql.types import (
@@ -115,3 +115,172 @@ def polar_to_xy(
         .groupBy(time_col)
         .applyInPandas(apply_fn, schema)
     )
+
+
+# attitude spellings: vendor name ↔ post-ds_rename_vars EPIC name
+# (son/cdf2nc.py:172-182) — the averager accepts either
+_ANGLE_FAMILIES = (
+    ("Hdg_1215", "Heading"),
+    ("GyroHeading",),
+    ("Ptch_1216", "Pitch"),
+    ("Roll_1217", "Roll"),
+)
+
+
+def correct_theta(head_angle: Column, heading: Column) -> Column:
+    """Image angle → compass radians (son/cdf2nc.py:153-169
+    correct_theta): reverse and add 90° (math → north-up compass),
+    add the heading offset 360 − Hdg to point north, wrap to [0, 360),
+    convert to radians."""
+    deg = -head_angle + 90.0 + (360.0 - heading)
+    return F.radians(F.pmod(deg, F.lit(360.0)))
+
+
+def magvar_correct_heading(heading: Column, magvar: float) -> Column:
+    """Sonar heading magnetic-variation correction (son/cdf2nc.py:
+    136-150 magvar_correct): heading + magvar, ROUNDED TO 1 DP, wrapped
+    to [0, 360). numpy's ``.round(1)`` is HALF-EVEN, so ``bround`` —
+    F.round (half-up) diverges on representable midpoints (e.g. the
+    vendor grid's 512·45/2048 = 11.25 plus an integral magvar)."""
+    return F.pmod(F.bround(heading + F.lit(float(magvar)), 1), F.lit(360.0))
+
+
+def average_sweeps(
+    df: DataFrame,
+    time_col: str = "time",
+    scan_col: str = "scan",
+    sweep_col: str = "sweep",
+    image_col: str = "sonar_image",
+) -> DataFrame:
+    """Sweep-averaged sonar product (son/cdf2nc.py:103-131: ``ds.mean(
+    dim="sweep")`` + recomputed angles + vector-averaged attitudes) —
+    the reference's second ``b_<R>m-a.nc`` output of the son cdf2nc
+    stage. Per (time, scan) group over the sweep rows:
+
+    - plain numeric vars: xarray ``mean`` skips NaN → ``F.avg`` matches;
+    - ``HeadAngle``/``SonarAngle``: RECOMPUTED from the averaged
+      positions with the reference's hard-coded 0.3°/count factor
+      (cdf2nc.py:109-110), not averaged themselves;
+    - Hdg/Gyro/Ptch/Roll: vector mean of unit vectors
+      (cdf2nc.py:185-212 vector_avg_angles) with ``np.mean``
+      POISONING semantics — np.mean (not nanmean) over the sweep axis
+      NaNs the whole average when any sweep's angle is missing, so the
+      mean is gated ``when(count(a) == count(*), …)``; result wrapped
+      to [0, 360) like the reference's ``% 360``;
+    - array columns (the echo trace, SlantRange/HorizontalRange):
+      element-wise mean across sweeps, computed with nested
+      higher-order functions over ``collect_list`` so the whole
+      product stays ONE map-side-combinable groupBy — no second
+      shuffle, no UDF, no explode of the points axis.
+
+    Scale shape: one hash aggregate on (time, scan); state per group is
+    n_sweeps echo arrays (the reference holds the full cube in RAM).
+    """
+    numeric_elems = ("tinyint", "smallint", "int", "bigint", "float", "double")
+    array_cols = [
+        c
+        for c, t in df.dtypes
+        if t.startswith("array<") and t[6:-1] in numeric_elems
+    ]
+    if image_col in df.columns and image_col not in array_cols:
+        array_cols.append(image_col)
+    scalar_specials = {time_col, scan_col, sweep_col, *array_cols}
+    angle_cols = []
+    for fam in _ANGLE_FAMILIES:
+        col = next((c for c in fam if c in df.columns), None)
+        if col is not None:
+            angle_cols.append(col)
+    scalar_specials.update(angle_cols)
+    numeric = {
+        "tinyint", "smallint", "int", "bigint", "float", "double",
+    }
+    plain = [
+        c
+        for c, t in df.dtypes
+        if t in numeric and c not in scalar_specials
+    ]
+    aggs = [F.avg(c).alias(c) for c in plain]
+    for a in angle_cols:
+        rad = F.radians(F.col(a))
+        vec = F.degrees(F.atan2(F.avg(F.sin(rad)), F.avg(F.cos(rad))))
+        aggs.append(
+            F.when(
+                F.count(a) == F.count(F.lit(1)), F.pmod(vec, F.lit(360.0))
+            ).alias(a)
+        )
+    for ac in array_cols:
+        aggs.append(F.collect_list(ac).alias(f"__arr_{ac}"))
+    out = df.groupBy(time_col, scan_col).agg(*aggs)
+    recompute = {}
+    if "HeadPosition" in plain:
+        recompute["HeadAngle"] = 0.3 * (F.col("HeadPosition") - 600.0)
+    if "SonarPosition" in plain:
+        recompute["SonarAngle"] = 0.3 * (F.col("SonarPosition") - 600.0)
+    if recompute:
+        out = out.withColumns(recompute)
+    for ac in array_cols:
+        out = out.withColumn(
+            ac, _elementwise_mean(F.col(f"__arr_{ac}"))
+        ).drop(f"__arr_{ac}")
+    return out
+
+
+def _elementwise_mean(lst: Column) -> Column:
+    """array-of-arrays → element-wise mean over the outer axis, null
+    elements skipped per position (xarray ``mean`` over a collapsing
+    dim); pure nested higher-order functions, no UDF."""
+
+    def per_index(i: Column) -> Column:
+        acc = F.aggregate(
+            lst,
+            F.struct(
+                F.lit(0.0).alias("s"), F.lit(0).cast("long").alias("c")
+            ),
+            lambda a, arr: F.struct(
+                (
+                    a["s"]
+                    + F.coalesce(F.get(arr, i).cast("double"), F.lit(0.0))
+                ).alias("s"),
+                (
+                    a["c"]
+                    + F.when(F.get(arr, i).isNotNull(), 1)
+                    .otherwise(0)
+                    .cast("long")
+                ).alias("c"),
+            ),
+        )
+        return F.when(acc["c"] > 0, acc["s"] / acc["c"])
+
+    width = F.size(F.element_at(lst, 1))
+    return F.transform(F.sequence(F.lit(0), width - 1), per_index)
+
+
+def slant_geometry(
+    df: DataFrame,
+    total_range: float,
+    npoints: int,
+    hgt_col: str = "sonar_hgt",
+    slant_col: str = "SlantRange",
+    horz_col: str = "HorizontalRange",
+) -> DataFrame:
+    """Per-point slant/horizontal range arrays (son/cdf2nc.py:49-70):
+    slant_j = (j+1)·R/n for the n echo points (the reference's
+    ``np.arange(first, last, step)`` with first = step = R/n), nulled
+    where not strictly greater than the height above bed (side of the
+    cone inside the bed), and horizontal = sqrt(slant² − hgt²) — the
+    rho axis the polar→cartesian regrid consumes. One codegen'd
+    projection; the arrays are per-ROW, derived, never shuffled."""
+    step = float(total_range) / int(npoints)
+    slant = F.transform(
+        F.sequence(F.lit(1), F.lit(int(npoints))),
+        lambda j: F.when(
+            j.cast("double") * step > F.col(hgt_col),
+            j.cast("double") * step,
+        ),
+    )
+    out = df.withColumn(slant_col, slant)
+    horz = F.transform(
+        F.col(slant_col),
+        lambda s: F.sqrt(s * s - F.col(hgt_col) * F.col(hgt_col)),
+    )
+    return out.withColumn(horz_col, horz)

@@ -391,7 +391,13 @@ def subdivide_bursts(
     burst START time, so the subdivision derives from the recorded
     sample index, not the clock. New burst_time = old + (sample // n) ·
     sub_interval; new sample = sample % n. Pure column math — no
-    shuffle, no reshape."""
+    shuffle, no reshape. Off the divisible path the reference CRASHES
+    (its ``np.reshape(..., (-1, n))`` over the whole flattened cube
+    needs total%n == 0 and exactly SGBurstDuration/interval rows per
+    burst, else the dim lengths mismatch); here a non-divisible burst
+    yields a well-defined partial final sub-burst, which the
+    downstream spectral kernels' min-sample gates then reject —
+    graceful superset, never silently different numbers."""
     n = int(samples_per_subburst)
     sub = (F.col(sample_col) / n).cast("long")
     return df.withColumns(
@@ -487,3 +493,48 @@ def average_tide_bursts(
         ).alias(time_col),
         *gated,
     )
+
+
+def interpolate_na_time(
+    df: DataFrame,
+    value_col: str,
+    time_col: str = "time",
+    by: Sequence[str] = (),
+) -> DataFrame:
+    """Linear time interpolation of nulls — xarray's
+    ``interpolate_na(dim="time")`` with its defaults (the sonar height
+    series, son/cdf2nc.py:27): a null between two valid samples takes
+    the time-weighted linear blend; leading/trailing nulls STAY null
+    (xarray does not extrapolate without fill_value). Window
+    expressions over the existing time order — last/first non-null
+    value-and-stamp on each side, one projection, no shuffle beyond
+    the (optional) ``by`` partitioning."""
+    by = list(by)
+    w_prev = (
+        Window.partitionBy(*by)
+        .orderBy(time_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(*by)
+        .orderBy(time_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    v = F.col(value_col)
+    stamped = F.when(
+        v.isNotNull(),
+        F.struct(F.col(time_col).cast("double").alias("t"), v.alias("x")),
+    )
+    prev = F.last(stamped, ignorenulls=True).over(w_prev)
+    nxt = F.first(stamped, ignorenulls=True).over(w_next)
+    t = F.col(time_col).cast("double")
+    frac = (t - prev["t"]) / (nxt["t"] - prev["t"])
+    filled = F.when(v.isNotNull(), v).otherwise(
+        F.when(
+            prev.isNotNull() & nxt.isNotNull(),
+            F.when(
+                nxt["t"] == prev["t"], prev["x"]
+            ).otherwise(prev["x"] + (nxt["x"] - prev["x"]) * frac),
+        )
+    )
+    return df.withColumn(value_col, filled)

@@ -390,6 +390,69 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             f"Trimmed brangeAST below ast_quality threshold {thr:.4g}."
         )
 
+    if "sonar_image" in df.columns:
+        # Imagenex sonar clean block (son/cdf2nc.py:19-77): EPIC
+        # renames, height above bed from the companion brange file,
+        # per-point slant/horizontal range, heading magvar (with the
+        # reference's .round(1)), compass theta
+        from stglib_spark.operators import sonar as sonar_ops
+
+        for old, new in (
+            ("Pitch", "Ptch_1216"),
+            ("Roll", "Roll_1217"),
+            ("Heading", "Hdg_1215"),
+        ):
+            if old in df.columns:
+                df = df.withColumnRenamed(old, new)
+        if config.get("brange_file") and config.get("height_var"):
+            # nearest-time reindex of the other instrument's bed range
+            # onto the sonar clock, linear-filled, offset by the two
+            # initial heights (son/cdf2nc.py:19-44)
+            from stglib_spark.operators.joins import asof_join
+
+            hght = spark.read.parquet(config["brange_file"]).select(
+                "time", F.col(config["height_var"]).alias("__bed")
+            )
+            hght_diff = float(
+                config.get("brange_initial_instrument_height", 0.0)
+            ) - float(config.get("initial_instrument_height", 0.0))
+            df = asof_join(
+                df, hght, on="time", value_cols=["__bed"],
+                direction="nearest",
+            )
+            df = timeops.interpolate_na_time(df, "__bed")
+            df = df.withColumn(
+                "sonar_hgt", F.col("__bed") - F.lit(hght_diff)
+            ).drop("__bed")
+            history.insert_note(
+                "sonar_hgt",
+                f"sonar height calculated from {config['height_var']} "
+                f"variable in {config['brange_file']} using initial "
+                f"height offset of {hght_diff:.2f}",
+            )
+            if config.get("sonar_range") and config.get("SONNDataPoints"):
+                df = sonar_ops.slant_geometry(
+                    df,
+                    total_range=float(config["sonar_range"]),
+                    npoints=int(config["SONNDataPoints"]),
+                )
+        if config.get("magnetic_variation") and "Hdg_1215" in df.columns:
+            magvar = float(config["magnetic_variation"])
+            df = df.withColumn(
+                "Hdg_1215",
+                sonar_ops.magvar_correct_heading(F.col("Hdg_1215"), magvar),
+            )
+            history.insert_history(
+                f"Heading rotated using magnetic variation of {magvar}."
+            )
+        if "HeadAngle" in df.columns and "Hdg_1215" in df.columns:
+            df = df.withColumn(
+                "theta",
+                sonar_ops.correct_theta(
+                    F.col("HeadAngle"), F.col("Hdg_1215")
+                ),
+            )
+
     if "Turb_std_max" in config:
         # NTU spelling (doc/config.rst) of the generic max-std gate
         config = {**config, "Turb_max_std": config["Turb_std_max"]}
@@ -422,6 +485,30 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
     history.insert_history("Applied QA/QC rule engine.")
     split = "profile" if config.get("split_profiles") else None
     path = _write_zone(clean, config, "clean", history, partition_by=split)
+
+    if "sweep" in clean.columns and "scan" in clean.columns and (
+        "sonar_image" in clean.columns
+    ):
+        # sweep-averaged companion product (son/cdf2nc.py:103-131 —
+        # the reference's second b_<R>m-a.nc): mean over the sweep dim,
+        # recomputed Head/Sonar angles, vector-averaged attitudes,
+        # theta recomputed from the AVERAGED angles
+        from stglib_spark.operators import sonar as sonar_ops
+
+        clean_out = spark.read.parquet(path)
+        avg = sonar_ops.average_sweeps(clean_out.drop("theta"))
+        if "HeadAngle" in avg.columns and "Hdg_1215" in avg.columns:
+            avg = avg.withColumn(
+                "theta",
+                sonar_ops.correct_theta(
+                    F.col("HeadAngle"), F.col("Hdg_1215")
+                ),
+            )
+        son_history = History()
+        son_history.entries = list(history.entries)
+        son_history.notes = {k: list(v) for k, v in history.notes.items()}
+        son_history.insert_history("Averaged sonar sweeps.")
+        _write_zone(avg, config, "sonavg", son_history)
 
     if (
         config.get("average_tide_interval")

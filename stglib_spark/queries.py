@@ -11391,6 +11391,151 @@ def e2e_sonar_xy_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "e2e_son_average_roundtrip",
+    """
+    WITH dims AS (
+      SELECT t.t, sw.sw, sc.sc
+      FROM (SELECT unnest([0, 1]) AS t) t
+      CROSS JOIN (SELECT unnest([1, 2, 3]) AS sw) sw
+      CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS sc) sc
+    ), base AS (
+      SELECT t, sw, sc,
+             CAST(600 + 13 * t + 7 * sc + sw AS DOUBLE) AS hp,
+             CAST(690 + 3 * t + sw AS DOUBLE) AS sp,
+             ((1000 + 311 * sw + 97 * t) % 16384) * 360.0 / 16384 AS hdg0,
+             ((2000 + 119 * sw + 13 * sc) % 16384) * 360.0 / 16384 AS gy,
+             (60 + sw) * 360.0 / 16384 AS pt,
+             (100 + sc) * 360.0 / 16384 AS rl
+      FROM dims
+    ), mag AS (
+      -- per-scan heading magvar with the reference's .round(1)
+      -- (son/cdf2nc.py:136-150); 12.7 is not dyadic so no value sits
+      -- on a 1-dp midpoint and round == round-half-even here
+      SELECT *, fmod(round(hdg0 + 12.7, 1), 360) AS hdg FROM base
+    ), vec AS (
+      SELECT t, sc,
+             avg(hp) AS head_pos_d,
+             0.3 * (avg(hp) - 600) AS head_angle_d,
+             0.3 * (avg(sp) - 600) AS sonar_angle_d,
+             fmod(fmod(degrees(atan2(avg(sin(radians(hdg))),
+                  avg(cos(radians(hdg))))), 360) + 360, 360) AS hdg_m,
+             fmod(fmod(degrees(atan2(avg(sin(radians(gy))),
+                  avg(cos(radians(gy))))), 360) + 360, 360) AS gyro_m,
+             fmod(fmod(degrees(atan2(avg(sin(radians(pt))),
+                  avg(cos(radians(pt))))), 360) + 360, 360) AS ptch_m,
+             fmod(fmod(degrees(atan2(avg(sin(radians(rl))),
+                  avg(cos(radians(rl))))), 360) + 360, 360) AS roll_m
+      FROM mag GROUP BY t, sc
+    ), img AS (
+      SELECT b.t, b.sc, j.j,
+             avg(CAST((31 * b.t + 17 * b.sw + 7 * b.sc + 3 * j.j) % 256
+                 AS DOUBLE)) AS m
+      FROM dims b
+      CROSS JOIN (SELECT unnest(generate_series(0, 251)) AS j) j
+      GROUP BY b.t, b.sc, j.j
+    ), imga AS (
+      SELECT t, sc, round(sum(m), 6) AS img_sum,
+             round(max(CASE WHEN j = 0 THEN m END), 6) AS img_first,
+             round(max(CASE WHEN j = 251 THEN m END), 6) AS img_last
+      FROM img GROUP BY t, sc
+    )
+    SELECT CASE WHEN v.t = 0 THEN TIMESTAMP '2021-06-15 06:30:00'
+                ELSE TIMESTAMP '2021-06-15 07:30:15.5' END AS time,
+           CAST(v.sc AS BIGINT) AS scan,
+           round(head_pos_d, 6) AS head_pos,
+           round(head_angle_d, 6) AS head_angle,
+           round(sonar_angle_d, 6) AS sonar_angle,
+           round(hdg_m, 6) AS hdg,
+           round(gyro_m, 6) AS gyro,
+           round(ptch_m, 6) AS ptch,
+           round(roll_m, 6) AS roll,
+           round(radians(fmod(-head_angle_d + 90 + (360 - hdg_m), 360)),
+                 6) AS theta,
+           i.img_first, i.img_last, i.img_sum
+    FROM vec v JOIN imga i ON v.t = i.t AND v.sc = i.sc
+    """,
+)
+def e2e_son_average_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END SONAR SWEEP-AVERAGE oracle (NEW r14 — the reference's
+    second cdf2nc product, son/cdf2nc.py:103-131): write 6 layout-exact
+    .81R fixture files (2 sweep SETS × 3 sweeps, names carrying the
+    mmdd/set/sweep-id chars of raw2cdf.py:145-205, header clocks per
+    set), run the PRODUCTION chain — run_ingest (file-name sweep-set
+    grouping + header-clock stamps) → run_clean (EPIC renames, heading
+    magvar with the reference's half-even .round(1), per-scan theta) —
+    and re-read the sweep-averaged companion zone: plain means, the
+    0.3°/count recomputed Head/Sonar angles, np.mean-semantics
+    vector-averaged attitudes, theta recomputed from the AVERAGED
+    angles, and the element-wise echo mean (first/last element + total)
+    pinned against a DuckDB literal replay of every formula. All inputs
+    sit on the vendor's dyadic 360/16384 grid so both engines see
+    bit-identical doubles into the trig."""
+    import os
+
+    from stglib_spark import pipeline
+    from stglib_spark.sources.son import write_81r
+
+    d = scratch_dir(prefix="e2esonavg_")
+    raw_dir = os.path.join(d, "81r")
+    os.makedirs(raw_dir, exist_ok=True)
+    for t, (setc, clock) in enumerate(
+        (("01", "2021063000.00"), ("02", "2021073015.50"))
+    ):
+        for sw in (1, 2, 3):
+            tag = "abc"[sw - 1] * 2
+            scans = [
+                dict(
+                    head_position=600 + 13 * t + 7 * sc + sw,
+                    sonar_position=690 + 3 * t + sw,
+                    heading_raw=(1000 + 311 * sw + 97 * t) % 16384,
+                    gyro_raw=(2000 + 119 * sw + 13 * sc) % 16384,
+                    pitch_raw=60 + sw,
+                    roll_raw=100 + sc,
+                    profile_range=100 + sc,
+                    ping_number=t * 100 + sw * 10 + sc,
+                    echo=[
+                        (31 * t + 17 * sw + 7 * sc + 3 * j) % 256
+                        for j in range(252)
+                    ],
+                    clock=clock,
+                )
+                for sc in range(1, 5)
+            ]
+            write_81r(
+                os.path.join(raw_dir, f"0615{setc}{tag}.81R"), scans
+            )
+    config = {
+        "output_dir": d,
+        "filename": "sonfid",
+        "input_path": raw_dir,
+        "instrument": "son",
+        "magnetic_variation": 12.7,
+    }
+    with _session_conf_guard(spark):
+        pipeline.run_ingest(spark, config)
+        pipeline.run_clean(spark, config)
+    avg = spark.read.parquet(os.path.join(d, "sonfid_sonavg"))
+    img = F.col("sonar_image")
+    return avg.select(
+        "time",
+        F.col("scan").cast("long").alias("scan"),
+        _r6(F.col("HeadPosition")).alias("head_pos"),
+        _r6(F.col("HeadAngle")).alias("head_angle"),
+        _r6(F.col("SonarAngle")).alias("sonar_angle"),
+        _r6(F.col("Hdg_1215")).alias("hdg"),
+        _r6(F.col("GyroHeading")).alias("gyro"),
+        _r6(F.col("Ptch_1216")).alias("ptch"),
+        _r6(F.col("Roll_1217")).alias("roll"),
+        _r6(F.col("theta")).alias("theta"),
+        _r6(F.element_at(img, 1)).alias("img_first"),
+        _r6(F.element_at(img, 252)).alias("img_last"),
+        _r6(F.aggregate(img, F.lit(0.0), lambda a, x: a + x)).alias(
+            "img_sum"
+        ),
+    )
+
+
+@register(
     "mm_decode_real_bmp",
     """
     SELECT doc_id AS media_id,
@@ -14468,7 +14613,7 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "no green row's driver evidence is older than FIVE rounds", and
 # registry growth is capped at 250 entries (5 rounds x 50 slots); adding
 # a query beyond that requires retiring or merging a subsumed row in the
-# same round. Current census: 233 registered (incl. the 2 deliberate-RED
+# same round. Current census: 234 registered (incl. the 2 deliberate-RED
 # hugeint probes and the 4 rows-only FFT kernels with green closed-form
 # companions). Retired r13 under that policy: the 7 column-subset
 # bisection variants ts_sessionize_v1..v4 / corpus_datacard_v1..v3 —
@@ -14487,16 +14632,22 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first to merge if a slot is needed.
 _FRONT = [
     # --- round 14 policy: window = first 50 entries, driver-graded.
-    # (a) NEW (registered r13, never driver-graded) first —
+    # (a) NEW registrations first: e2e_son_average_roundtrip
+    #     (REGISTERED LATE r14 — the sonar sweep-averaged companion
+    #     product, son/cdf2nc.py:103-131, closing the last son-family
+    #     stage gap) and the 4 r13-registered rows;
     #     ts_sg_tide_average was RE-PINNED this round for the
     #     reference's np.mean-over-pad semantics (full window grid,
     #     null incomplete/poisoned windows; VERDICT r13 task #1);
     # (b) the declared 46-slot r14 rotation block: all 45 r9-aged rows
     #     (clip/corpus/dedup_priority/e2e-wave/mm/phys rows, the 19
     #     TPC-H relational rows, the qaqc r9 family,
-    #     text_chunk_documents) + the oldest r10 row
-    #     (agg_brange_argmax) filling the last slot.
-    # r15 block = the remaining 38 r10-aged rows: agg_linregress
+    #     text_chunk_documents); the late registration displaces the
+    #     oldest r10 row (agg_brange_argmax) from slot 50 to the TOP
+    #     of the r15 block — it ages to r10+5 = r15, still inside the
+    #     SLA when r15 grades it first.
+    # r15 block = agg_brange_argmax (displaced above, grade FIRST),
+    # then the remaining 38 r10-aged rows: agg_linregress
     # agg_mean_minf agg_min_max_attrs agg_top_third_threshold
     # coord_beam2enu coord_beam2enu_4beam corpus_pps_sample
     # corpus_quality_funnel corpus_shard_manifest dedup_incremental_batch
@@ -14511,6 +14662,7 @@ _FRONT = [
     # vel_snr_gate vel_trim_sidelobe wave_imlm_relax_oracle — with any
     # new-r14 registrations FIRST, then oldest-r11 rows as slots allow.
     # (a) new/re-pinned
+    "e2e_son_average_roundtrip",
     "snk_diwasp_spec_roundtrip",
     "text_script_detect",
     "ts_sg_tide_average",

@@ -66,9 +66,11 @@ def _sg_wb(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
 
 @register_adapter("son_81r")
 def _son_81r(spark: SparkSession, path: str, config: dict[str, Any]) -> DataFrame:
-    from stglib_spark.sources.son import read_81r
+    from stglib_spark.sources.son import assign_sweep_sets, read_81r
 
-    return read_81r(spark, path)
+    # file-name sweep-set grouping (raw2cdf.py:145-205): sets → time
+    # steps, sweeps dense-ranked, incomplete trailing sets trimmed
+    return assign_sweep_sets(read_81r(spark, path))
 
 
 @register_adapter("mat")

@@ -44,12 +44,17 @@ SON_SCHEMA = StructType(
         StructField("HeadAngle", DoubleType()),
         StructField("StepDirection", IntegerType()),
         StructField("ProfileRange", IntegerType()),
+        StructField("SonarPosition", IntegerType()),
         StructField("SonarAngle", DoubleType()),
         StructField("Pitch", DoubleType()),
         StructField("Roll", DoubleType()),
         StructField("Heading", DoubleType()),
         StructField("GyroHeading", DoubleType()),
         StructField("sonar_image", ArrayType(IntegerType())),
+        # the FILE's first-ping clock: mmdd from the file name +
+        # %Y%H%M%S.%f ASCII at header bytes 14:27 (sonutils.py:73-77);
+        # None when the header carries no parseable stamp
+        StructField("file_time_epoch", DoubleType()),
     ]
 )
 
@@ -130,12 +135,30 @@ def parse_return_header(buf: bytes, step_size: float) -> dict[str, Any]:
         "HeadAngle": (head_pos - 600) * step_size,
         "StepDirection": (buf[6] & 64) >> 6,
         "ProfileRange": _u14(buf[8], buf[9]),
+        "SonarPosition": _u14(buf[12], buf[13]),
         "SonarAngle": 0.3 * (_u14(buf[12], buf[13]) - 600),
         "Pitch": (pitch_raw - 16384 * pitch_sign) * 360 / 16384,
         "Roll": _u14(buf[16], buf[17]) * 360 / 16384,
         "Heading": _u14(buf[18], buf[19]) * 360 / 16384,
         "GyroHeading": _u14(buf[21], buf[22]) * 360 / 16384,
     }
+
+
+def parse_file_time(buf: bytes, source: str) -> float | None:
+    """First-ping clock (sonutils.py:73-77): '%m%d' from the file name's
+    chars [-12:-8] + the ASCII '%Y%H%M%S.%f' stamp at header bytes
+    14:27. Returns epoch seconds (UTC), or None when either piece is
+    absent/corrupt — synthetic fixtures leave the stamp zeroed."""
+    import datetime as dt
+
+    try:
+        dstr = source[-12:-8] + buf[14:27].decode("ascii").replace(
+            "\x00", ""
+        )
+        t = dt.datetime.strptime(dstr, "%m%d%Y%H%M%S.%f")
+        return t.replace(tzinfo=dt.timezone.utc).timestamp()
+    except (ValueError, UnicodeDecodeError, IndexError):
+        return None
 
 
 def parse_81r(content: bytes, source: str) -> Iterator[Row]:
@@ -145,6 +168,7 @@ def parse_81r(content: bytes, source: str) -> Iterator[Row]:
     rh_bytes = header["SONReturnHeaderBytes"]
     npings = len(content) // total
     data_off = PING_HEADER_BYTES + DEVICE_LIST_BYTES + sw_bytes + rh_bytes
+    file_time = parse_file_time(content[:PING_HEADER_BYTES], source)
 
     for i in range(npings):
         rec = content[i * total : (i + 1) * total]
@@ -175,12 +199,14 @@ def parse_81r(content: bytes, source: str) -> Iterator[Row]:
             HeadAngle=rh["HeadAngle"],
             StepDirection=rh["StepDirection"],
             ProfileRange=rh["ProfileRange"],
+            SonarPosition=rh["SonarPosition"],
             SonarAngle=rh["SonarAngle"],
             Pitch=rh["Pitch"],
             Roll=rh["Roll"],
             Heading=rh["Heading"],
             GyroHeading=rh["GyroHeading"],
             sonar_image=echo,
+            file_time_epoch=file_time,
         )
 
 
@@ -222,6 +248,8 @@ def encode_81r(scans: list[dict[str, Any]], data_bits: int = 8) -> bytes:
         ph[3] = 1  # 881A-GS
         struct.pack_into("<I", ph, 4, total)
         ph[319] = 0x01 if s.get("up", True) else 0x00
+        if s.get("clock"):  # '%Y%H%M%S.%f'-style 13-char ASCII stamp
+            ph[14:27] = s["clock"].encode("ascii")[:13].ljust(13, b"\x00")
         ph[324] = 1  # polar
         struct.pack_into("<f", ph, 338, s.get("sound_velocity", 1500.0))
         struct.pack_into("<f", ph, 373, s.get("range_resolution", 0.02))
@@ -256,3 +284,74 @@ def write_81r(path: str, scans: list[dict[str, Any]], data_bits: int = 8) -> Non
     """File-based .81R fixture writer (round-trip tests)."""
     with open(path, "wb") as f:
         f.write(encode_81r(scans, data_bits=data_bits))
+
+
+def assign_sweep_sets(df: DataFrame) -> DataFrame:
+    """File-name → (time, sweep) keys, the reference's sweep-set
+    grouping (son/raw2cdf.py:145-205): a deployment folder holds
+    ``<prefix><NN><ss>.81R`` files where the basename's chars [6:8]
+    are the sweep id and the basename minus its last 6 chars names the
+    sweep SET; each set becomes one time step (dims (time, sweep,
+    scan, points)), stamped with the set's first file's header clock.
+    Trailing files beyond a whole number of sets are dropped
+    (raw2cdf.py:150-155 trims the listing tail; files are taken in
+    sorted-name order here — os.listdir order is not reproducible).
+    Sweep ids dense-rank to 1..n (the reference's coord is also 1..n
+    but in Python-set order — averaging is order-invariant).
+
+    Scale shape: every derived frame is one row per FILE (thousands at
+    most, ~10^5 smaller than scan rows), so the trim window and both
+    key joins broadcast; sample-level data never shuffles here."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    base = F.element_at(F.split(F.col("source_file"), "/"), -1)
+    rows = df.withColumn("__basename", base)
+    files = (
+        rows.groupBy("__basename")
+        .agg(F.min("file_time_epoch").alias("__ft"))
+        .withColumn("__sweep_id", F.substring(F.col("__basename"), 7, 2))
+        .withColumn(
+            "__set",
+            F.expr(
+                "substring(__basename, 1, length(__basename) - 6)"
+            ),
+        )
+    )
+    stats = files.agg(
+        F.countDistinct("__sweep_id").alias("__ns"),
+        F.count(F.lit(1)).alias("__nf"),
+    )
+    ranked = files.crossJoin(F.broadcast(stats)).withColumn(
+        "__rn",
+        F.row_number().over(Window.orderBy("__basename")),
+    )
+    kept = ranked.filter(
+        F.col("__rn") <= F.col("__nf") - F.pmod(F.col("__nf"), F.col("__ns"))
+    )
+    set_times = kept.groupBy("__set").agg(
+        F.min(F.struct("__basename", "__ft")).getField("__ft").alias(
+            "__set_epoch"
+        )
+    )
+    sweep_rank = (
+        kept.select("__sweep_id")
+        .distinct()
+        .withColumn(
+            "sweep",
+            F.row_number().over(Window.orderBy("__sweep_id")).cast("int"),
+        )
+    )
+    keys = (
+        kept.join(F.broadcast(set_times), "__set")
+        .join(F.broadcast(sweep_rank), "__sweep_id")
+        .select(
+            "__basename",
+            F.timestamp_seconds(F.col("__set_epoch")).alias("time"),
+            "sweep",
+        )
+    )
+    return (
+        rows.join(F.broadcast(keys), "__basename")
+        .drop("__basename", "file_time_epoch")
+    )

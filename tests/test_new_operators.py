@@ -1229,3 +1229,202 @@ def test_average_tide_bursts_matches_reference_pad_semantics(spark):
                 assert g == pytest.approx(exp, rel=1e-12), (
                     nsamps, interval, ts, g, exp,
                 )
+
+
+# --- sonar sweep-average product (son/cdf2nc.py:103-131, r14) ---------------
+
+
+def _sweep_fixture_rows():
+    """(time, sweep, scan) cube with one poisoned heading and a null
+    image element; angles on the 360/16384 vendor grid."""
+    rows = []
+    for t in range(2):
+        for sw in range(1, 4):
+            for sc in range(1, 3):
+                hdg = (
+                    None
+                    if (t == 1 and sw == 2 and sc == 1)
+                    else ((1000 + 311 * sw + 7 * sc) % 16384) * 360.0 / 16384
+                )
+                img = [
+                    None if (sw == 3 and j == 2) else float(sw * 10 + j)
+                    for j in range(4)
+                ]
+                rows.append(
+                    (
+                        t,
+                        sw,
+                        sc,
+                        600 + 10 * t + sc + sw,
+                        700 + 5 * t + sw,
+                        hdg,
+                        float(3 * sw + sc),
+                        img,
+                    )
+                )
+    return rows
+
+
+def test_average_sweeps_reference_replay(spark):
+    """Numpy replay of son/cdf2nc.py:103-131: xarray mean (skipna) for
+    plain vars and per image element, vector_avg_angles with np.mean
+    POISONING for headings, Head/Sonar angles recomputed at 0.3°/count
+    from the AVERAGED positions."""
+    from stglib_spark.operators.sonar import average_sweeps
+
+    rows = _sweep_fixture_rows()
+    df = spark.createDataFrame(
+        rows,
+        "t int, sweep int, scan int, HeadPosition int, SonarPosition int,"
+        " Hdg_1215 double, Ptch_1216 double, sonar_image array<double>",
+    )
+    out = (
+        average_sweeps(df, time_col="t")
+        .orderBy("t", "scan")
+        .toPandas()
+        .set_index(["t", "scan"])
+    )
+    by_group: dict = {}
+    for (t, sw, sc, hp, sp, hdg, ptch, img) in rows:
+        by_group.setdefault((t, sc), []).append((hp, sp, hdg, ptch, img))
+    for (t, sc), grp in by_group.items():
+        hps = np.array([g[0] for g in grp], dtype=float)
+        sps = np.array([g[1] for g in grp], dtype=float)
+        hdgs = np.array(
+            [np.nan if g[2] is None else g[2] for g in grp], dtype=float
+        )
+        r = out.loc[(t, sc)]
+        np.testing.assert_allclose(r["HeadPosition"], hps.mean())
+        # cdf2nc.py:109-110: recomputed, hard-coded 0.3
+        np.testing.assert_allclose(r["HeadAngle"], 0.3 * (hps.mean() - 600))
+        np.testing.assert_allclose(r["SonarAngle"], 0.3 * (sps.mean() - 600))
+        # vector_avg_angles (cdf2nc.py:185-212): plain np.mean — NaN poisons
+        a = np.radians(hdgs)
+        expect = (
+            np.degrees(np.arctan2(np.mean(np.sin(a)), np.mean(np.cos(a))))
+            % 360
+        )
+        if np.isnan(expect):
+            assert np.isnan(r["Hdg_1215"])
+        else:
+            np.testing.assert_allclose(r["Hdg_1215"], expect, rtol=1e-12)
+        # image: xarray mean over sweep = per-element nanmean
+        cube = np.array(
+            [[np.nan if v is None else v for v in g[4]] for g in grp]
+        )
+        np.testing.assert_allclose(
+            np.asarray(r["sonar_image"], dtype=float),
+            np.nanmean(cube, axis=0),
+        )
+
+
+def test_correct_theta_matches_reference(spark):
+    """son/cdf2nc.py:153-169: θ = deg2rad((−HeadAngle+90+(360−Hdg)) % 360)."""
+    from stglib_spark.operators.sonar import correct_theta
+
+    df = spark.createDataFrame(
+        [(0.0, 35.0), (123.9, 359.9), (-30.0, 0.1)], "ha double, hdg double"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            correct_theta(F.col("ha"), F.col("hdg"))
+        ).collect()
+    ]
+    for (ha, hdg), g in zip([(0.0, 35.0), (123.9, 359.9), (-30.0, 0.1)], got):
+        np.testing.assert_allclose(
+            g, np.deg2rad((-ha + 90 + (360 - hdg)) % 360), rtol=1e-12
+        )
+
+
+def test_magvar_correct_heading_rounds_first(spark):
+    """son/cdf2nc.py:136-150: heading+magvar ROUNDED to 1 dp, then %360."""
+    from stglib_spark.operators.sonar import magvar_correct_heading
+
+    df = spark.createDataFrame([(21.97265625,), (359.96,)], "h double")
+    got = [
+        r[0]
+        for r in df.select(
+            magvar_correct_heading(F.col("h"), 13.0)
+        ).collect()
+    ]
+    np.testing.assert_allclose(got[0], round(21.97265625 + 13.0, 1) % 360)
+    np.testing.assert_allclose(got[1], round(359.96 + 13.0, 1) % 360)
+
+
+def test_assign_sweep_sets_trims_and_stamps(spark):
+    """raw2cdf.py:145-205: basename[6:8] = sweep id, basename[:-6] =
+    set; trailing files beyond whole sets are trimmed; each set is
+    stamped with its first file's clock; sweeps dense-rank 1..n."""
+    import os
+    import tempfile
+
+    from stglib_spark.sources.son import assign_sweep_sets, read_81r, write_81r
+
+    d = tempfile.mkdtemp()
+    for setc, clock in (("01", "2021063000.00"), ("02", "2021073015.50")):
+        for sw in ("aa", "bb", "cc"):
+            write_81r(
+                os.path.join(d, f"0615{setc}{sw}.81R"),
+                [dict(head_position=601, sonar_position=700, clock=clock)],
+            )
+    # one incomplete trailing set — must be trimmed
+    write_81r(
+        os.path.join(d, "061503aa.81R"),
+        [dict(head_position=999, sonar_position=700, clock="2021083000.00")],
+    )
+    out = assign_sweep_sets(read_81r(spark, d)).toPandas()
+    assert len(out) == 6
+    assert 999 not in set(out["HeadPosition"])
+    stamps = sorted(str(t) for t in out["time"].unique())
+    assert stamps == ["2021-06-15 06:30:00", "2021-06-15 07:30:15.500000"]
+    assert sorted(out["sweep"].unique()) == [1, 2, 3]
+
+
+def test_interpolate_na_time_linear_no_extrapolate(spark):
+    """xarray interpolate_na(dim='time') defaults (son/cdf2nc.py:27):
+    interior nulls take the time-weighted blend, edges stay null."""
+    import datetime as dt
+
+    from stglib_spark.operators.timeops import interpolate_na_time
+
+    t0 = dt.datetime(2021, 6, 1)
+    rows = [
+        (t0 + dt.timedelta(seconds=s), v)
+        for s, v in [
+            (0, None),
+            (10, 1.0),
+            (20, None),
+            (40, 4.0),
+            (50, None),
+        ]
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, v double")
+    got = (
+        interpolate_na_time(df, "v").orderBy("time").toPandas()["v"].tolist()
+    )
+    assert got[0] is None or np.isnan(got[0])
+    np.testing.assert_allclose(got[1], 1.0)
+    # 20 s is 1/3 of the way from 10 s to 40 s: 1 + (4-1)/3
+    np.testing.assert_allclose(got[2], 2.0)
+    np.testing.assert_allclose(got[3], 4.0)
+    assert got[4] is None or np.isnan(got[4])
+
+
+def test_slant_geometry_masks_below_bed(spark):
+    """son/cdf2nc.py:49-70: slant_j = (j+1)·R/n, nulled at or below the
+    bed height; horizontal = sqrt(slant² − hgt²)."""
+    from stglib_spark.operators.sonar import slant_geometry
+
+    df = spark.createDataFrame([(1.0,), (0.0,)], "sonar_hgt double")
+    out = slant_geometry(df, total_range=5.0, npoints=5).toPandas()
+    r = out[out["sonar_hgt"] == 1.0].iloc[0]
+    s0 = r["SlantRange"][0]  # 1.0 m not > 1.0 m bed height → masked
+    assert s0 is None or np.isnan(s0)
+    np.testing.assert_allclose(r["SlantRange"][1:], [2.0, 3.0, 4.0, 5.0])
+    np.testing.assert_allclose(
+        [x for x in r["HorizontalRange"][1:]],
+        np.sqrt(np.array([4.0, 9.0, 16.0, 25.0]) - 1.0),
+    )
+    r0 = out[out["sonar_hgt"] == 0.0].iloc[0]
+    np.testing.assert_allclose(r0["HorizontalRange"], [1, 2, 3, 4, 5])

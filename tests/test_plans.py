@@ -713,3 +713,32 @@ def test_sg_tide_average_is_partial_agg_no_window(spark):
     assert "partial_avg" in plan or "partial_sum" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_sonar_average_sweeps_single_aggregate(spark):
+    """average_sweeps (r14, son/cdf2nc.py:103-131) must compile to ONE
+    hash aggregate on (time, scan) — the echo element-wise mean rides
+    nested higher-order functions over collect_list, so there is no
+    Window, no second Exchange, no Python UDF, and no explode of the
+    points axis."""
+    df = spark.range(24).selectExpr(
+        "CAST(id / 12 AS INT) AS t",
+        "CAST(id % 3 + 1 AS INT) AS sweep",
+        "CAST(id % 4 + 1 AS INT) AS scan",
+        "CAST(610 + id AS INT) AS HeadPosition",
+        "CAST(700 + id AS INT) AS SonarPosition",
+        "CAST(id * 7 % 360 AS DOUBLE) AS Hdg_1215",
+        "array(CAST(id AS DOUBLE), CAST(id + 1 AS DOUBLE)) AS sonar_image",
+    )
+    from stglib_spark.operators.sonar import average_sweeps
+
+    out = average_sweeps(df, time_col="t")
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "simple"
+        )
+    )
+    assert "Window" not in plan, plan
+    assert "Generate" not in plan, plan  # no explode
+    assert "Python" not in plan, plan  # no UDF
+    assert count(plan, r"Exchange") == 1, plan
