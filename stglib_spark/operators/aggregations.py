@@ -77,12 +77,55 @@ def interval_average(
     value_cols: Sequence[str],
     series_cols: Sequence[str] = (),
     minf: float | None = None,
+    expected_n: int | None = None,
+    origin_epoch_seconds: float | None = None,
+    poison: bool = False,
+    vector_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Tumbling-interval average, restricted to the first
     ``duration_seconds`` of each interval (mar.py:259-331,
     sig/cdf2nc.py:320-379). The duration restriction is a filter inside the
-    window, not a second pass."""
-    win = F.window(F.col(time_col), f"{int(interval_seconds)} seconds")
+    window, not a second pass.
+
+    Reference-fidelity knobs (r14 — the mar/sig variants differ):
+
+    - ``origin_epoch_seconds``: tile windows from the record's first
+      timestamp instead of the epoch — mar.py:268-274 builds its
+      date_range from ``ds.time[0]``, so a deployment that starts
+      mid-interval gets t0-aligned windows, not clock-aligned ones.
+    - ``expected_n``: the a-priori samples-per-interval (interval·rate,
+      or duration·rate). With ``minf``, the valid-count gate compares
+      against ``int(minf · expected_n)`` — sig/cdf2nc.py:341/360 gates
+      on the FIXED per-burst sample count (the reference gap-fills
+      first so every interval has the full slot count), not on the
+      interval's own row count. Without it the legacy
+      fraction-of-own-rows gate applies (irregular series).
+    - ``poison``: mar.py:279-315 ``avg_cont`` semantics — the record is
+      NaN-padded to whole intervals and averaged with plain ``np.mean``
+      (not nanmean), so an incomplete final interval or any nulled
+      sample inside the averaged slice yields a NULL row (emitted, not
+      dropped). Implemented as ``when(count(v) == expected_n, avg(v))``;
+      requires ``expected_n``.
+    - ``vector_cols``: attitude variables vector-averaged instead
+      (utils.py:1907-1923 make_vector_average_vars — xarray skipna
+      means of the unit vectors, result in (−180, 180]; sig wraps ONLY
+      Hdg_1215 to [0, 360) afterwards, cdf2nc.py:350 — that wrap is
+      the caller's).
+    """
+    if poison and expected_n is None:
+        raise ValueError("poison=True requires expected_n")
+    start_clause = "0 seconds"
+    if origin_epoch_seconds is not None:
+        off_ms = int(
+            round((float(origin_epoch_seconds) % float(interval_seconds)) * 1000)
+        )
+        start_clause = f"{off_ms} milliseconds"
+    win = F.window(
+        F.col(time_col),
+        f"{int(interval_seconds)} seconds",
+        f"{int(interval_seconds)} seconds",
+        start_clause,
+    )
     out = df.withColumn("__win", win)
     if duration_seconds is not None:
         in_dur = (
@@ -92,7 +135,25 @@ def interval_average(
     aggs = []
     for v in value_cols:
         c = F.col(v)
-        if minf is not None:
+        if v in vector_cols:
+            rad = F.radians(c)
+            aggs.append(
+                F.degrees(
+                    F.atan2(F.avg(F.sin(rad)), F.avg(F.cos(rad)))
+                ).alias(v)
+            )
+        elif poison:
+            aggs.append(
+                F.when(F.count(c) == F.lit(int(expected_n)), F.avg(c)).alias(v)
+            )
+        elif minf is not None and expected_n is not None:
+            aggs.append(
+                F.when(
+                    F.count(c) >= F.lit(int(float(minf) * int(expected_n))),
+                    F.avg(c),
+                ).otherwise(F.lit(None)).alias(v)
+            )
+        elif minf is not None:
             # expected samples unknown a priori in irregular series: gate on
             # fraction of the interval's own row count (null values count
             # against the fraction, matching ds_mean_count_minf)

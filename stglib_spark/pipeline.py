@@ -555,7 +555,7 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
 
     if config.get("average_interval"):
         # the reference's "-a.nc" averaged companion product
-        # (sig/cdf2nc.py:320-379, mar.py:259-331): tumbling-interval means
+        # (sig/cdf2nc.py:320-379, mar.py:258-331): tumbling-interval means
         # of every numeric variable, restricted to average_duration, with
         # the optional min-valid-fraction gate
         from stglib_spark.operators.aggregations import interval_average
@@ -568,26 +568,77 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
             for c, t in clean_out.dtypes
             if t in ("double", "float") and c != "time"
         ]
+        interval_s = int(config["average_interval"])
+        duration_s = (
+            int(config["average_duration"])
+            if config.get("average_duration")
+            else None
+        )
+        sr = config.get("sample_rate")
+        if sr is None and config.get("sample_interval"):
+            sr = 1.0 / float(config["sample_interval"])
+        expected_n = None
+        if sr is not None:
+            # sig/cdf2nc.py:329-331 / mar.py:262,300-303: the a-priori
+            # samples-per-interval the valid-count gates compare against
+            expected_n = int(
+                (float(duration_s) if duration_s else float(interval_s))
+                * float(sr)
+            )
+        inst = str(config.get("instrument", "")).lower()
+        # mar.py:258-331 avg_cont (tilt current meter, continuous):
+        # windows tile from the record's FIRST stamp, the tail is
+        # NaN-padded, and plain np.mean poisons — any nulled sample or
+        # short final interval emits a NULL row
+        poison = inst in ("mar", "tcm") and expected_n is not None
+        origin = None
+        if poison:
+            t0_row = clean_out.agg(F.min("time").alias("t0")).collect()[0]
+            if t0_row["t0"] is not None:
+                origin = t0_row["t0"].timestamp()
+        # sig/cdf2nc.py:334-350: attitude variables vector-average
+        # (skipna unit-vector means); only Hdg_1215 wraps to [0, 360)
+        vector_cols = [
+            c
+            for c in ("Hdg_1215", "Ptch_1216", "Roll_1217")
+            if c in avg_vals
+        ]
         averaged = interval_average(
             clean_out,
             time_col="time",
-            interval_seconds=int(config["average_interval"]),
-            duration_seconds=(
-                int(config["average_duration"])
-                if config.get("average_duration")
-                else None
-            ),
+            interval_seconds=interval_s,
+            duration_seconds=duration_s,
             value_cols=avg_vals,
             minf=(
                 float(config["mean_minf"]) if config.get("mean_minf") else None
             ),
+            expected_n=expected_n,
+            origin_epoch_seconds=origin,
+            poison=poison,
+            vector_cols=vector_cols,
         )
+        if "Hdg_1215" in vector_cols:
+            averaged = averaged.withColumn(
+                "Hdg_1215", F.pmod(F.col("Hdg_1215"), F.lit(360.0))
+            )
         avg_history = History()
         avg_history.entries = list(history.entries)
         avg_history.notes = {k: list(v) for k, v in history.notes.items()}
-        avg_history.insert_history(
-            f"Averaged over {config['average_interval']} s intervals."
-        )
+        histtext = f"Averaged over {config['average_interval']} s intervals."
+        if config.get("mean_minf") and expected_n is not None:
+            # the reference's audit sentence (sig/cdf2nc.py:358-364)
+            histtext += (
+                f" Mean of data set computed where valid points >= "
+                f"{int(expected_n * float(config['mean_minf']))} out of "
+                f"possible {expected_n} per average, otherwise set mean "
+                f"to fill value."
+            )
+        if vector_cols:
+            histtext += (
+                f" Data variables {vector_cols} averaged using vector "
+                f"averaging"
+            )
+        avg_history.insert_history(histtext)
         _write_zone(averaged, config, "avg", avg_history)
     return path
 

@@ -1776,6 +1776,80 @@ def ts_interval_average_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ts_mar_avg_cont",
+    """
+    WITH s AS (
+      SELECT CAST(i AS BIGINT) AS i FROM range(150) t(i)
+    ), rows_ AS (
+      SELECT i, i // 60 AS w,
+             CASE WHEN i <> 70
+                  THEN (CAST(20 * 64 + (i % 7) * 9 AS DOUBLE)) / 64.0
+             END AS t28,
+             CASE WHEN i <> 70
+                  THEN (CAST((i % 11) * 5 - 25 AS DOUBLE)) / 64.0
+             END AS u,
+             CASE WHEN i <> 70
+                  THEN (CAST((i % 13) * 3 - 18 AS DOUBLE)) / 64.0
+             END AS v
+      FROM s
+    )
+    SELECT to_timestamp(1622505630 + w * 60) AS time,
+           CASE WHEN count(t28) = 60 THEN round(avg(t28), 6) END AS t_28,
+           CASE WHEN count(u) = 60 THEN round(avg(u), 6) END AS u_1205,
+           CASE WHEN count(v) = 60 THEN round(avg(v), 6) END AS v_1206
+    FROM rows_ GROUP BY w
+    """,
+)
+def ts_mar_avg_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TILT-CURRENT-METER CONTINUOUS AVERAGING oracle (NEW late r14;
+    `aggregations.interval_average` with the mar.py:258-331 `avg_cont`
+    semantics): windows tile from the record's FIRST timestamp (the
+    reference's date_range starts at ds.time[0] — here :30 past the
+    minute, so epoch-aligned windows would mis-bin every sample), the
+    NaN-padded tail and any nulled sample POISON their window to an
+    emitted NULL row (plain np.mean, not nanmean), and timestamps are
+    t0 + k·interval. Fixture: 150 samples at 1 Hz from 00:00:30, one
+    nulled sample at i=70 (poisons window 1), a 30-sample tail (padded
+    to 60 → window 2 null); values on exact 1/64 grids so the 60-term
+    means are order-independent in double."""
+    import datetime as dt
+
+    from stglib_spark.operators.aggregations import interval_average
+
+    t0 = 1622505630  # 2021-06-01 00:00:30 UTC
+    i = F.col("id")
+    present = i != 70
+    rows = spark.range(150).select(
+        F.timestamp_seconds(F.lit(t0) + i).alias("time"),
+        F.when(present, (20 * 64 + (i % 7) * 9).cast("double") / 64.0).alias(
+            "T_28"
+        ),
+        F.when(present, ((i % 11) * 5 - 25).cast("double") / 64.0).alias(
+            "u_1205"
+        ),
+        F.when(present, ((i % 13) * 3 - 18).cast("double") / 64.0).alias(
+            "v_1206"
+        ),
+    )
+    out = interval_average(
+        rows,
+        time_col="time",
+        interval_seconds=60,
+        duration_seconds=None,
+        value_cols=["T_28", "u_1205", "v_1206"],
+        expected_n=60,
+        origin_epoch_seconds=float(t0),
+        poison=True,
+    )
+    return out.select(
+        "time",
+        _r6(F.col("T_28")).alias("t_28"),
+        _r6(F.col("u_1205")).alias("u_1205"),
+        _r6(F.col("v_1206")).alias("v_1206"),
+    )
+
+
+@register(
     "ts_circular_mean_daily",
     """
     SELECT date_trunc('day', ts) AS day,
@@ -14613,7 +14687,7 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # "no green row's driver evidence is older than FIVE rounds", and
 # registry growth is capped at 250 entries (5 rounds x 50 slots); adding
 # a query beyond that requires retiring or merging a subsumed row in the
-# same round. Current census: 234 registered (incl. the 2 deliberate-RED
+# same round. Current census: 235 registered (incl. the 2 deliberate-RED
 # hugeint probes and the 4 rows-only FFT kernels with green closed-form
 # companions). Retired r13 under that policy: the 7 column-subset
 # bisection variants ts_sessionize_v1..v4 / corpus_datacard_v1..v3 —
@@ -14646,7 +14720,8 @@ _FRONT = [
     #     oldest r10 row (agg_brange_argmax) from slot 50 to the TOP
     #     of the r15 block — it ages to r10+5 = r15, still inside the
     #     SLA when r15 grades it first.
-    # r15 block = agg_brange_argmax (displaced above, grade FIRST),
+    # r15 block = ts_mar_avg_cont (NEW late r14) then agg_brange_argmax
+    # (displaced above, grade FIRST among aged rows),
     # then the remaining 38 r10-aged rows: agg_linregress
     # agg_mean_minf agg_min_max_attrs agg_top_third_threshold
     # coord_beam2enu coord_beam2enu_4beam corpus_pps_sample
@@ -14713,6 +14788,11 @@ _FRONT = [
     "qaqc_mask_trim_by",
     "qaqc_maxabs_diff_2d",
     "text_chunk_documents",
+    # --- below the 50-slot r14 graded window; leads the r15 block ---
+    # ts_mar_avg_cont registered late r14 (mar avg_cont poison/origin
+    # semantics) — grade FIRST in r15 with the displaced
+    # agg_brange_argmax right behind it
+    "ts_mar_avg_cont",
     "agg_brange_argmax",
 ]
 

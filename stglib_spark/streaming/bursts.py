@@ -48,8 +48,12 @@ def streaming_burst_average(
     min_count: int | None = None,
 ) -> DataFrame:
     """Tumbling-window burst average with late-data watermark —
-    streaming twin of interval_average (mar.py:259-331 semantics +
-    utils.py:2044-2086 min-valid gate)."""
+    streaming twin of interval_average's epoch-tiled row-count-gated
+    path (utils.py:2044-2086 min-valid gate). The batch operator's r14
+    fidelity knobs (mar.py:258-331 np.mean poisoning, t0-tiled origin,
+    sig's fixed expected_n gate) are batch-side config — a poison twin
+    would gate ``count(value) == expected_n`` the same way the tide
+    twin does (streaming_tide_average)."""
     win = F.window(F.col("ts"), f"{int(interval_seconds)} seconds")
     src = events.withWatermark("ts", watermark)
     if duration_seconds is not None:

@@ -1428,3 +1428,125 @@ def test_slant_geometry_masks_below_bed(spark):
     )
     r0 = out[out["sonar_hgt"] == 0.0].iloc[0]
     np.testing.assert_allclose(r0["HorizontalRange"], [1, 2, 3, 4, 5])
+
+
+# --- interval_average reference-fidelity knobs (mar/sig variants, r14) ------
+
+
+def test_interval_average_mar_poison_and_origin(spark):
+    """mar.py:258-331 avg_cont replay: windows tile from the record's
+    FIRST stamp (not the epoch), the NaN-padded tail and any nulled
+    sample poison their window to a NULL row (emitted, not dropped)."""
+    import datetime as dt
+
+    from stglib_spark.operators.aggregations import interval_average
+
+    t0 = dt.datetime(2021, 6, 1, 0, 0, 30)  # mid-minute: origin matters
+    rows = [
+        (
+            t0 + dt.timedelta(seconds=i),
+            None if i == 70 else float(20 + i % 7),
+        )
+        for i in range(150)
+    ]
+    df = spark.createDataFrame(rows, "time timestamp, T_28 double")
+    out = (
+        interval_average(
+            df,
+            time_col="time",
+            interval_seconds=60,
+            duration_seconds=None,
+            value_cols=["T_28"],
+            expected_n=60,
+            origin_epoch_seconds=t0.replace(
+                tzinfo=dt.timezone.utc
+            ).timestamp(),
+            poison=True,
+        )
+        .orderBy("time")
+        .toPandas()
+    )
+    # reference: rows = ceil(150/60) = 3, stamps t0 + k*60
+    assert len(out) == 3
+    assert [str(t) for t in out["time"]] == [
+        "2021-06-01 00:00:30",
+        "2021-06-01 00:01:30",
+        "2021-06-01 00:02:30",
+    ]
+    vals = [None if v is None or np.isnan(v) else v for v in out["T_28"]]
+    expect0 = np.mean([20 + i % 7 for i in range(60)])
+    np.testing.assert_allclose(vals[0], expect0)
+    assert vals[1] is None  # nulled sample at i=70 poisons window 1
+    assert vals[2] is None  # 30-sample tail NaN-padded to 60 -> NaN
+
+
+def test_interval_average_sig_fixed_expected_gate(spark):
+    """sig/cdf2nc.py:341-364: with expected_n, the minf gate compares
+    against int(minf·expected_n) — a sparse interval whose own rows all
+    validate must still fail (the legacy own-count gate would pass)."""
+    import datetime as dt
+
+    from stglib_spark.operators.aggregations import interval_average
+
+    t0 = dt.datetime(2021, 6, 1)
+    rows = [
+        (t0 + dt.timedelta(seconds=s), float(s)) for s in (0, 1, 2, 3)
+    ]  # 4 of an expected 10 samples, all valid
+    df = spark.createDataFrame(rows, "time timestamp, v double")
+    gated = interval_average(
+        df,
+        time_col="time",
+        interval_seconds=10,
+        duration_seconds=None,
+        value_cols=["v"],
+        minf=0.5,
+        expected_n=10,
+    ).toPandas()
+    assert gated["v"].isna().all()  # 4 < int(0.5*10)
+    legacy = interval_average(
+        df,
+        time_col="time",
+        interval_seconds=10,
+        duration_seconds=None,
+        value_cols=["v"],
+        minf=0.5,
+    ).toPandas()
+    np.testing.assert_allclose(legacy["v"].iloc[0], 1.5)
+
+
+def test_interval_average_vector_cols_unwrapped(spark):
+    """utils.py:1907-1923 via sig/cdf2nc.py:334-350: attitude vars
+    vector-average with skipna unit-vector means; the result stays in
+    (−180, 180] — sig wraps only Hdg_1215 afterwards (the caller's
+    job)."""
+    import datetime as dt
+
+    from stglib_spark.operators.aggregations import interval_average
+
+    t0 = dt.datetime(2021, 6, 1)
+    rows = [
+        (t0 + dt.timedelta(seconds=s), p, r)
+        for s, (p, r) in enumerate(
+            [(-170.0, 10.0), (170.0, None), (-170.0, 30.0), (170.0, 20.0)]
+        )
+    ]
+    df = spark.createDataFrame(
+        rows, "time timestamp, Ptch_1216 double, Roll_1217 double"
+    )
+    out = interval_average(
+        df,
+        time_col="time",
+        interval_seconds=60,
+        duration_seconds=None,
+        value_cols=["Ptch_1216", "Roll_1217"],
+        vector_cols=["Ptch_1216", "Roll_1217"],
+    ).toPandas()
+    # ±170 pairs average to ±180, NOT 0 (the arithmetic-mean trap)
+    assert abs(abs(out["Ptch_1216"].iloc[0]) - 180.0) < 1e-9
+    # skipna: the None roll drops out of the unit-vector means
+    a = np.radians([10.0, 30.0, 20.0])
+    np.testing.assert_allclose(
+        out["Roll_1217"].iloc[0],
+        np.degrees(np.arctan2(np.mean(np.sin(a)), np.mean(np.cos(a)))),
+        rtol=1e-12,
+    )
