@@ -186,7 +186,9 @@ def boundary_elevation(
         wd = float(config["WATER_DEPTH"])
         sign = 1.0 if down else -1.0
         out = F.lit(wd) + brange * F.lit(sign) - F.lit(iih)
-    return F.round(out, 3)
+    # eofe.py:510 rounds with xarray/numpy HALF-EVEN — bround, not
+    # Spark's half-up round (diverges on representable mm ties)
+    return F.bround(out, 3)
 
 
 def _density_sql(s: str, t: str, p_dbar: str) -> str:

@@ -50,11 +50,13 @@ def shift_time(
         frac = (F.row_number().over(w) - F.lit(1)).cast("double") / F.greatest(
             F.count(F.lit(1)).over(wall) - F.lit(1), F.lit(1)
         )
-        drift_us = F.round(-float(clock_drift) * frac * 1e6, 0).cast("long")
+        drift_us = F.bround(-float(clock_drift) * frac * 1e6, 0).cast("long")
         # apply drift then round the timestamp to the nearest second
         shifted_us = F.unix_micros(t) + drift_us
         t = F.timestamp_seconds(
-            F.round(shifted_us.cast("double") / 1e6, 0).cast("long")
+            # utils.py:1040 ds.time.dt.round("1s") is pandas HALF-EVEN
+            # on the .5 s ties a drift ramp produces — bround
+            F.bround(shifted_us.cast("double") / 1e6, 0).cast("long")
         )
     return out.withColumn(time_col, t)
 

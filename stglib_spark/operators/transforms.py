@@ -85,7 +85,10 @@ def wind_dir_correct(
             )
         else:
             d = d + off
-    d = F.round(d + F.lit(float(magnetic_variation)), 0)
+    # met.py:150 .round(0) is numpy HALF-EVEN: with a .5-ending
+    # declination every second degree ties, and half-up would be
+    # wrong on all the even ones — bround
+    d = F.bround(d + F.lit(float(magnetic_variation)), 0)
     return F.pmod(d, F.lit(360.0))
 
 

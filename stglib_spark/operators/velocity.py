@@ -83,7 +83,9 @@ def trim_vel(
             first_df = df.agg(F.min(bd).alias("__first_bd"))
             df = df.crossJoin(F.broadcast(first_df))
             first = F.col("__first_bd")
-        idx = F.round((bd - first) / F.lit(bin_size)).cast("int")
+        # sig/cdf2nc.py:1826 snaps bin indices with numpy HALF-EVEN
+        # rounding; exact half-bin geometry ties are representable
+        idx = F.bround((bd - first) / F.lit(bin_size)).cast("int")
         return df.filter(
             (idx >= F.lit(int(lo))) & (idx < F.lit(int(hi)))
         ).drop("__first_bd")

@@ -1550,3 +1550,57 @@ def test_interval_average_vector_cols_unwrapped(spark):
         np.degrees(np.arctan2(np.mean(np.sin(a)), np.mean(np.cos(a)))),
         rtol=1e-12,
     )
+
+
+def test_half_even_rounding_sites_match_numpy(spark):
+    """r14 class-audit closure: every reference site that rounds with
+    numpy/pandas HALF-EVEN semantics must use bround. Ties are the
+    only inputs where the conventions differ — pin them."""
+    from stglib_spark.operators.physics import boundary_elevation
+    from stglib_spark.operators.transforms import wind_dir_correct
+
+    # met.py:150: dir + a .5-ending declination ties on every degree;
+    # numpy rounds 113.5 -> 114 (even) and 112.5 -> 112 (even)
+    df = spark.createDataFrame(
+        [(100.0,), (99.0,)], "d double"
+    ).withColumn(
+        "out",
+        wind_dir_correct(F.col("d"), F.lit(None).cast("timestamp"), 13.5),
+    )
+    got = {r["d"]: r["out"] for r in df.collect()}
+    assert got[100.0] == np.round(100.0 + 13.5)  # 114.0 (even)
+    assert got[99.0] == np.round(99.0 + 13.5)  # 112.0 (even)
+
+    # eofe.py:510: boundary elevation rounds to mm half-even; 0.0625
+    # chains make exact .0005 ties representable
+    cfg = {"WATER_DEPTH": 10.0, "initial_instrument_height": 0.0}
+    bdf = spark.createDataFrame(
+        [(0.9615,), (0.9625,)], "brange double"
+    ).withColumn("be", boundary_elevation(F.col("brange"), cfg))
+    vals = {r["brange"]: r["be"] for r in bdf.collect()}
+    for b in (0.9615, 0.9625):
+        np.testing.assert_allclose(vals[b], np.round(10.0 - b, 3))
+
+
+def test_shift_time_drift_rounds_half_even(spark):
+    """utils.py:1040 rounds the drift-shifted clock with pandas
+    dt.round('1s') — half-even on the exact .5 s ties a linear drift
+    ramp produces. 3 samples, drift 1 s → shifts 0, −0.5, −1 s; the
+    middle sample's ±.5 tie must round to the EVEN second, exactly as
+    pandas does."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from stglib_spark.operators.timeops import shift_time
+
+    t0 = dt.datetime(2021, 6, 1, 0, 0, 1)  # odd second: tie rounds DOWN to 0
+    rows = [(t0 + dt.timedelta(seconds=10 * i),) for i in range(3)]
+    df = spark.createDataFrame(rows, "time timestamp")
+    out = shift_time(df, clock_drift=1.0).orderBy("time").toPandas()
+    expect = (
+        pd.Series([pd.Timestamp(r[0]) for r in rows])
+        + pd.to_timedelta([0.0, -0.5, -1.0], unit="s")
+    ).dt.round("1s")
+    got = [pd.Timestamp(t) for t in out["time"]]
+    assert got == list(expect), (got, list(expect))
