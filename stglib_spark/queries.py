@@ -9894,19 +9894,32 @@ def phys_direction_conventions(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH d AS (
       SELECT event_id, ts, ((event_id * 17) % 360)::DOUBLE AS wd
       FROM events
+    ), v AS (
+      SELECT event_id,
+             (CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
+                   THEN wd ELSE wd + 8.0 END) + (-12.5) AS raw
+      FROM d
+    ), r AS (
+      -- numpy HALF-EVEN round (met.py:150): every row here is an
+      -- exact .5 tie (integer degrees minus a .5 declination), where
+      -- DuckDB's round() would go half-away-from-zero instead
+      SELECT event_id,
+             CASE WHEN raw - floor(raw) = 0.5
+                  THEN floor(raw)
+                       + (CAST(floor(raw) AS BIGINT) % 2 + 2) % 2
+                  ELSE round(raw, 0) END AS rounded
+      FROM v
     )
     SELECT event_id,
-           ((round(
-              (CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00'
-                    THEN wd ELSE wd + 8.0 END) + (-12.5), 0)
-             % 360.0) + 360.0) % 360.0 AS wd_true
-    FROM d
+           ((rounded % 360.0) + 360.0) % 360.0 AS wd_true
+    FROM r
     """,
 )
 def phys_wind_dir_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Met wind-direction correction (met.py:100-162): dir_offset applied
-    from dir_offset_time onward, magnetic→true rotation, rounded and
-    wrapped to [0, 360)."""
+    from dir_offset_time onward, magnetic→true rotation, rounded
+    HALF-EVEN (numpy .round — the fixture's .5 declination makes every
+    row a tie, r14) and wrapped to [0, 360)."""
     ev = load_table(spark, sf_dir, "events")
     wd = ((F.col("event_id") * 17) % 360).cast("double")
     out = transforms.wind_dir_correct(
