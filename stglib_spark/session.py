@@ -68,6 +68,13 @@ def get_spark(app_name: str = "stglib_spark", cpus: int | None = None) -> SparkS
         )
         .config("spark.ui.enabled", "false")
     )
+    # measurement hook (tools/profile_query.py): extra confs that must be
+    # set before the context builds, e.g. event logging —
+    # SPARK_GRAFT_EXTRA_CONF="spark.eventLog.enabled=true;spark.eventLog.dir=/tmp/ev"
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in filter(None, extra.split(";")):
+        k, _, v = kv.partition("=")
+        builder = builder.config(k.strip(), v.strip())
     spark = builder.getOrCreate()
     ensure_package_shipped(spark)
     _warm_collation_support(spark)
