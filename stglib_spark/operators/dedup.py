@@ -295,8 +295,17 @@ def _annotate_bucket_sizes(
         if len(rep_cols) == 1
         else F.min(F.struct(*[F.col(c) for c in rep_cols]))
     )
+    # __bsz counts the representative column, NOT lit(1) — identical
+    # under the notnull pre-filter above, but it keeps rep_cols[0] alive
+    # in the census branch after column pruning. In drop mode __mn is
+    # pruned as dead, and with count(lit(1)) the census would then
+    # project the member table down to the bucket keys BELOW the pinned
+    # exchange — a different canonical subtree, so the exchange is not
+    # reused and the whole upstream (kernel/shingle/hash chain) executes
+    # a second time just to feed the stop list (measured r14 on
+    # dedup_winnow_candidates: two full MapInPandas stages per run).
     per_bucket = pinned.groupBy(*bucket_keys).agg(
-        F.count(F.lit(1)).alias("__bsz"), mn.alias("__mn")
+        F.count(F.col(rep_cols[0])).alias("__bsz"), mn.alias("__mn")
     )
     if observation is not None:
         over = F.col("__bsz") > max_bucket_size
@@ -867,15 +876,42 @@ def winnow_match_spans(
 
     if max_gap is None:
         max_gap = w + k - 1
-    pinned = pos_df.repartition(F.col("fp"))
+    # explicit notnull pre-filter BELOW the pinned exchange (the
+    # _annotate_bucket_sizes recipe): the pair join infers
+    # isnotnull(fp, doc) on its sides while the census branch infers
+    # only isnotnull(fp) — without the shared filter the two branches'
+    # exchange subtrees canonicalize differently and the kernel runs
+    # once per branch
+    pinned = pos_df.filter(
+        F.col("fp").isNotNull() & F.col(id_col).isNotNull()
+    ).repartition(F.col("fp"))
     # MOSS common-match exclusion: document-frequency stop list. No
     # forced broadcast — distinct low-df fingerprints grow with corpus
     # size (the streaming_winnow_gate r10 finding); co-partitioned on
     # fp, the join costs no exchange, and AQE may still upgrade it to
-    # broadcast from the MEASURED size.
+    # broadcast from the MEASURED size. The census is a TWO-LEVEL
+    # aggregate — (fp, doc) dedup then a per-fp row count — instead of
+    # count_distinct: a single count_distinct plans its dedup level
+    # with an ENSURE_REQUIREMENTS exchange on (fp, doc), which does NOT
+    # canonicalize against the pinned repartition(fp), so the whole
+    # upstream kernel executed a second time just to feed the stop
+    # list (measured r14: two ~1 s serial kernel stages per run).
+    # hashpartitioning(fp) satisfies ClusteredDistribution(fp, doc) —
+    # every partitioning column is in the clustering set — so both
+    # levels run inside the pinned exchange's stage and the kernel
+    # executes exactly once.
+    # min("pos") at the dedup level (instead of a bare distinct) keeps
+    # `pos` alive through column pruning so the census branch's pruned
+    # projection matches the join branches' exactly; count(__p0) at the
+    # outer level equals the distinct-doc count because the kernel never
+    # emits a null pos. Both aggregate levels' ClusteredDistribution is
+    # satisfied by hashpartitioning(fp), so the census executes inside
+    # the reused pinned exchange's stage.
     fp_ok = (
-        pinned.groupBy("fp")
-        .agg(F.count_distinct(id_col).alias("__nd"))
+        pinned.groupBy("fp", id_col)
+        .agg(F.min("pos").alias("__p0"))
+        .groupBy("fp")
+        .agg(F.count("__p0").alias("__nd"))
         .filter(F.col("__nd") <= max_doc_freq)
         .select("fp")
     )

@@ -18,6 +18,8 @@ import math
 import pandas as pd
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
+from stglib_spark.session import spread
+
 # Minimal per-language stopword marker sets for the n-gram/stopword
 # heuristic language ID. Chosen to be high-frequency and disjoint.
 LANG_MARKERS: dict[str, list[str]] = {
@@ -331,7 +333,7 @@ def winnow_fingerprints(
                 )
                 yield out
 
-        return df.select(
+        return spread(df).select(
             F.col(id_col),
             *[F.col(c) for c in keep_cols],
             F.col(text_col).alias("__text"),
@@ -345,7 +347,7 @@ def winnow_fingerprints(
             out.append([] if sel is None else sel.tolist())
         return pd.Series(out)
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col),
         *[F.col(c) for c in keep_cols],
         _winnow(F.col(text_col)).alias(out_col),
@@ -459,7 +461,7 @@ def winnow_fingerprint_positions(
                 }
             )
 
-    return df.select(
+    return spread(df).select(
         F.col(id_col), F.col(text_col).alias("__text")
     ).mapInPandas(_winnow_pos, f"{id_col} {id_type}, fp long, pos int")
 

@@ -231,7 +231,13 @@ def spread(df: DataFrame, multiplier: int = 1) -> DataFrame:
     partitions (a single small parquet file arrives as ONE partition, which
     serializes CPU-heavy per-row work on one core). Never shrinks: at real
     scale the scan already has thousands of partitions and this is a no-op,
-    so the shuffle cost is only paid exactly when it buys parallelism."""
+    so the shuffle cost is only paid exactly when it buys parallelism.
+
+    Streaming DataFrames pass through untouched: the partition probe
+    (``df.rdd``) is illegal on a streaming source, and micro-batch
+    parallelism is the source's concern (maxFilesPerTrigger et al.)."""
+    if df.isStreaming:
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism * multiplier
     if df.rdd.getNumPartitions() < target:
