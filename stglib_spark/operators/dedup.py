@@ -976,6 +976,7 @@ def simhash_near_pairs(
     oversize: str = "star",
     observation=None,
     star_centers: int = 2,
+    materialize: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs by SimHash: pigeonhole on ``blocks`` 16-bit
     blocks (Hamming ≤ blocks−1 guarantees ≥1 identical block), equi-join
@@ -990,6 +991,18 @@ def simhash_near_pairs(
             f"pigeonhole recall guarantee requires max_hamming ≤ blocks-1 "
             f"({max_hamming} > {blocks - 1}); raise `blocks`"
         )
+    if materialize:
+        # Lazy-materialize the (id, simhash) table when the upstream is an
+        # expensive kernel (media decode in the phash family). The banded
+        # table forks into the bucket census and the pair join; the census
+        # prunes the simhash payload below its exchange, so the two branch
+        # subtrees canonicalize differently and AQE executes the upstream
+        # once PER BRANCH (measured r14: the full decode+hash kernel ran
+        # twice per mm_*_neardup query). 16 bytes/row, so the checkpoint
+        # footprint is negligible at any corpus size; eager=False keeps the
+        # materialization inside the consuming action. Text-side callers
+        # (cheap native simhash) keep the default and stay pure lineage.
+        fingerprints = fingerprints.localCheckpoint(eager=False)
     width = 64 // blocks
     stacked = fingerprints.select(
         F.col(id_col),

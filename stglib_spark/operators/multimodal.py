@@ -387,6 +387,10 @@ def phash_near_pairs(
         fps, id_col="doc_id", max_hamming=max_hamming, blocks=blocks,
         max_bucket_size=max_bucket_size, oversize=oversize,
         observation=observation,
+        # the upstream is the media decode kernel - materialize the
+        # 16-byte/row hash table so the census and pair branches share
+        # one kernel execution (see simhash_near_pairs)
+        materialize=True,
     )
     return pairs.select(
         F.col("doc_a").alias("id_a"),
@@ -483,6 +487,11 @@ def video_phash_near_pairs(
     any frame pair at Hamming ≤ blocks−1 shares a block, so no
     qualifying pair can be missed."""
     width = 64 // blocks
+    # lazy-materialize the per-frame hash table: the bucket census and
+    # the pair join prune different columns below their exchanges, so
+    # without this the video decode kernel executes once per branch
+    # (same finding as simhash_near_pairs' materialize flag)
+    frame_hashes = frame_hashes.localCheckpoint(eager=False)
     stacked = frame_hashes.select(
         F.col(id_col).alias("vid"),
         F.col("frame_idx").alias("f"),

@@ -578,7 +578,12 @@ def test_phash_neardup_bucketed_pairing_no_all_pairs(spark):
     plan = plan_of(spark, "mm_phash_neardup")
     assert count(plan, r"CartesianProduct") == 0, plan
     assert count(plan, r"BroadcastNestedLoopJoin") == 0, plan
-    assert "MapInPandas" in plan, plan
+    # r14: the decode+hash kernel is lazily materialized (localCheckpoint
+    # in simhash_near_pairs(materialize=True)) so the census and pair
+    # branches share ONE kernel execution — the kernel then appears as a
+    # Scan ExistingRDD leaf instead of an inline MapInPandas node; both
+    # forms keep payloads out of every shuffle
+    assert "MapInPandas" in plan or "Scan ExistingRDD" in plan, plan
     # the block equi-join (any hash-join family node qualifies)
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin)", plan), plan
 
