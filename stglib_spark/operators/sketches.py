@@ -220,6 +220,7 @@ def cms_sketch(
     depth: int = 4,
     width: int = 1024,
     seed: str = "cms",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Count–Min sketch (Cormode & Muthukrishnan 2005) as a mergeable
     counter table: one row per (group, d, col) with the counter value —
@@ -243,7 +244,17 @@ def cms_sketch(
     depth fan-out is an explode of a d-element literal-struct array
     (JVM, no UDF), and the only shuffle is the (group, d, col)
     counter aggregate — map-side combinable, width·depth keys per
-    group regardless of input size."""
+    group regardless of input size.
+
+    ``weight_col`` feeds PRE-AGGREGATED (value, weight) rows: counters
+    become sums of weights instead of row counts — bit-identical to
+    sketching the raw stream (a counter is the total multiplicity
+    landing in its cell either way), but the ``depth`` md5 evaluations
+    run once per DISTINCT value rather than once per occurrence. The
+    heavy-hitters query pre-counts tokens (one map-side-combinable
+    aggregate) and sketches the count table (r14: 4 md5/occurrence →
+    4 md5/distinct token; the counter-aggregate input shrinks from
+    depth×occurrences to depth×vocab rows)."""
     groups = list(group_cols or [])
     val = (
         F.col(value_col) if isinstance(value_col, str) else value_col
@@ -259,12 +270,14 @@ def cms_sketch(
             ]
         )
     ).alias("dc")
-    return (
-        df.select(*groups, rows)
-        .select(*groups, F.col("dc.d").alias("d"), F.col("dc.col").alias("col"))
-        .groupBy(*groups, "d", "col")
-        .agg(F.count(F.lit(1)).alias("count"))
+    carry = [*groups] + ([weight_col] if weight_col else [])
+    exploded = df.select(*carry, rows).select(
+        *carry, F.col("dc.d").alias("d"), F.col("dc.col").alias("col")
     )
+    cnt = (
+        F.sum(F.col(weight_col)) if weight_col else F.count(F.lit(1))
+    ).alias("count")
+    return exploded.groupBy(*groups, "d", "col").agg(cnt)
 
 
 def cms_point_estimates(

@@ -3322,15 +3322,22 @@ def corpus_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.explode(text_ops.tokens(F.lower(F.col("text")))).alias("tok")
     )
+    # one map-side-combinable token-count aggregate feeds BOTH the
+    # exact-truth top-K and the sketch (weight_col): counters are
+    # identical, but the depth-row md5 fan-out runs per distinct token
+    # instead of per occurrence (r14 — the sketch stage was the
+    # heaviest in the query at 30 s of task time on sf0.1)
+    tok_counts = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
     top = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("true_count"))
-        .orderBy(F.col("true_count").desc(), F.col("tok"))
+        tok_counts.orderBy(F.col("true_count").desc(), F.col("tok"))
         .limit(_CMS_TOP)
         .collect()
     )
     sk = sketch_ops.cms_sketch(
-        toks, "tok", depth=_CMS_D, width=_CMS_W, seed="cms"
+        tok_counts, "tok", depth=_CMS_D, width=_CMS_W, seed="cms",
+        weight_col="true_count",
     )
     est = sketch_ops.cms_point_estimates(
         sk, [r["tok"] for r in top], depth=_CMS_D, width=_CMS_W, seed="cms"
@@ -13858,18 +13865,32 @@ def corpus_kmv_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spread(load_table(spark, sf_dir, "documents"))
     norm = dedup_ops.normalize_text(F.col("text"))
+    # One tokenize pass + ONE vocab-scale aggregate shared by all five
+    # consumers (r14; was five independent tokenize+distinct subtrees,
+    # profiled as five ~300-900 ms stages re-hashing the corpus). Side
+    # membership packs into a single bit_or bitmask column so every
+    # branch prunes to the identical {tok, __s} set and the aggregate
+    # subtrees stay canonically equal — the exchange is planned once
+    # and reused (a per-side boolean pair would diverge under column
+    # pruning and re-run the tokenize per branch). The always-true
+    # `__s >= 1` filter on the union count exists only to reference
+    # __s for the same reason. Same rows out: membership-in-side is
+    # exactly what the filters recover, and the sketch/truth math is
+    # unchanged downstream of the token sets.
     toks = docs.select(
-        "doc_id", F.explode(text_ops.tokens(norm)).alias("tok")
+        F.when(F.col("doc_id") % 2 == 0, F.lit(1))
+        .otherwise(F.lit(2))
+        .alias("__side"),
+        F.explode(text_ops.tokens(norm)).alias("tok"),
     )
-    a = toks.filter(F.col("doc_id") % 2 == 0)
-    b = toks.filter(F.col("doc_id") % 2 == 1)
+    grouped = toks.groupBy("tok").agg(F.bit_or("__side").alias("__s"))
+    a = grouped.filter(F.col("__s").bitwiseAND(1) == 1).select("tok")
+    b = grouped.filter(F.col("__s").bitwiseAND(2) == 2).select("tok")
     est = sketches.kmv_overlap(a, b, "tok", k=256, seed="kmv1")
-    ta = a.select("tok").distinct()
-    tb = b.select("tok").distinct()
-    tu = ta.unionByName(tb).distinct().agg(
+    tu = grouped.filter(F.col("__s") >= 1).agg(
         F.count(F.lit(1)).alias("true_union")
     )
-    ti = ta.join(tb, "tok", "left_semi").agg(
+    ti = grouped.filter(F.col("__s") == 3).agg(
         F.count(F.lit(1)).alias("true_inter")
     )
     return est.crossJoin(F.broadcast(tu)).crossJoin(F.broadcast(ti))
