@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from stglib_spark.operators.dedup import hash60, word_shingles
+from stglib_spark.operators.text import _ALPHA
 
 
 def sample_key(col: Column, seed: str = "") -> Column:
@@ -891,11 +892,11 @@ def gate_documents(
     n_chars = F.length(t)
     alpha_ratio = F.when(
         n_chars > 0,
-        F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / n_chars,
+        (F.length(t) - F.length(F.translate(t, _ALPHA, ""))) / n_chars,
     ).otherwise(F.lit(0.0))
     punct_ratio = F.when(
         n_chars > 0,
-        F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / n_chars,
+        (F.length(t) - F.length(F.translate(t, ".,;:!?", ""))) / n_chars,
     ).otherwise(F.lit(0.0))
     mean_tok = mean_token_length(t)
     gates = [
@@ -942,8 +943,10 @@ def heldout_label(
     toks = tokens(t)
     n_tok = F.size(toks)
     n_uniq = F.size(F.array_distinct(toks))
-    n_digit = F.length(F.regexp_replace(t, r"[^0-9]", ""))
-    n_upper = F.length(F.regexp_replace(t, r"[^A-Z]", ""))
+    n_digit = F.length(t) - F.length(F.translate(t, "0123456789", ""))
+    n_upper = F.length(t) - F.length(
+        F.translate(t, _ALPHA[:26], "")
+    )
     clean = (
         (n_tok > 0)
         & (n_uniq * 2 > n_tok)

@@ -37,6 +37,27 @@ LANG_MARKERS: dict[str, list[str]] = {
 WS = r"[ \t\n\x0B\f\r]"
 
 
+
+
+# Character-class CENSUS via translate: length(t) − length(translate(t,
+# chars, '')) counts exactly the characters in `chars` — identical to
+# length(regexp_replace(t, '[^chars]', '')) for a literal ASCII class,
+# but translate is a per-char set lookup instead of an NFA pass
+# (measured ~2× on the sf0.1 quality projections, r14). Only usable for
+# EXPLICIT char lists (the Unicode script blocks keep their regex).
+def _count_chars(col: Column, chars: str) -> Column:
+    return F.length(col) - F.length(F.translate(col, chars, ""))
+
+
+_ALPHA = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz"
+)
+_DIGIT = "0123456789"
+_PUNCT_FULL = ".,;:!?'\"()[]{}-"
+_PUNCT6 = ".,;:!?"
+_WS_CHARS = " \t\n\x0B\f\r"
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty string → empty array (split of '' in
     Spark yields [''], which must not count as a token)."""
@@ -69,10 +90,10 @@ def char_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         {
             "n_chars_calc": F.length(t),
             "n_tokens": token_count(t),
-            "n_alpha": F.length(F.regexp_replace(t, r"[^A-Za-z]", "")),
-            "n_digit": F.length(F.regexp_replace(t, r"[^0-9]", "")),
-            "n_punct": F.length(F.regexp_replace(t, r"[^.,;:!?'\"()\[\]{}-]", "")),
-            "n_space": F.length(F.regexp_replace(t, r"[^ ]", "")),
+            "n_alpha": _count_chars(t, _ALPHA),
+            "n_digit": _count_chars(t, _DIGIT),
+            "n_punct": _count_chars(t, _PUNCT_FULL),
+            "n_space": _count_chars(t, " "),
         }
     )
 
@@ -81,7 +102,7 @@ def mean_token_length(text: Column) -> Column:
     """Mean token length = len(text without whitespace) / token count."""
     n = token_count(text)
     return F.when(
-        n > 0, F.length(F.regexp_replace(text, WS + "+", "")) / n
+        n > 0, (F.length(text) - _count_chars(text, _WS_CHARS)) / n
     ).otherwise(F.lit(0.0))
 
 
@@ -104,8 +125,8 @@ def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     n_chars = F.length(t)
     n_tok = token_count(t)
-    alpha_ratio = F.when(n_chars > 0, F.length(F.regexp_replace(t, r"[^A-Za-z]", "")) / n_chars).otherwise(F.lit(0.0))
-    punct_ratio = F.when(n_chars > 0, F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / n_chars).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, _count_chars(t, _ALPHA) / n_chars).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, _count_chars(t, _PUNCT6) / n_chars).otherwise(F.lit(0.0))
     mean_tok = mean_token_length(t)
     len_ok = (n_chars >= 50) & (n_chars <= 100000)
     tok_ok = (mean_tok >= 2.0) & (mean_tok <= 12.0)
