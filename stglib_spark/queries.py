@@ -12009,7 +12009,7 @@ def _planted_pgm_media(spark: SparkSession) -> DataFrame:
                 )
             yield pd.DataFrame({"media_id": pdf["id"], "content": payloads})
 
-    return spread(spark.range(60)).mapInPandas(
+    return spark.range(60).mapInPandas(
         make_pgm, "media_id long, content binary"
     )
 
@@ -12161,7 +12161,7 @@ def mm_audio_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {"media_id": pdf["id"], "content": payloads}
             )
 
-    media = spread(spark.range(60)).mapInPandas(
+    media = spark.range(60).mapInPandas(
         make_wav, "media_id long, content binary"
     )
     hashed = mm.audio_phash(media)
@@ -13090,7 +13090,7 @@ def mm_video_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 payloads.append(encode_avi(frames, fps=4.0))
             yield pd.DataFrame({"media_id": pdf["id"], "content": payloads})
 
-    media = spread(spark.range(20)).mapInPandas(
+    media = spark.range(20).mapInPandas(
         make_avi, "media_id long, content binary"
     )
     fh = mm.video_phash(media)
