@@ -31,6 +31,16 @@ from stglib_spark.session import get_spark
 # per-query window (rotate out once adjudicated stable)
 CHANGED_THIS_ROUND = {
     "ts_sg_tide_average",  # r14: np.mean-over-pad gate + window grid
+    # r14 optimization round: plan-shape / kernel changes (see
+    # OPTIMIZATION_r14.md) — winnow single-kernel + spread, mm hash
+    # materialization, KMV one-pass bitmask, weighted CMS sketch
+    "dedup_winnow_spans",
+    "dedup_winnow_candidates",
+    "corpus_kmv_overlap",
+    "corpus_cms_heavy_hitters",
+    "mm_phash_neardup",
+    "mm_audio_phash_neardup",
+    "mm_video_phash_neardup",
 }
 
 HEADLINE = [
