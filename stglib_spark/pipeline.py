@@ -1130,6 +1130,17 @@ def run_dedup(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
             F.col(id_col),
             dedup_ops.word_shingles(F.col(text_col), verify_n).alias("shingles"),
         )
+        # The verifier references this subtree once per pair SIDE, and
+        # the two joins key on different columns, so nothing below them
+        # canonicalizes — without a materialization barrier the
+        # candidate-doc text is semi-joined and shingled TWICE (profiled
+        # as twin 32-task stages). The checkpoint must be EAGER: the two
+        # join sides launch as concurrent query stages, and a lazy
+        # checkpoint would be computed by both before either persists
+        # it. State is bounded by the candidate docs' shingles
+        # (disk-spillable, candidates ≪ corpus behind a selective LSH) —
+        # one extra write of that slice buys back a full text walk.
+        verify_shingles = verify_shingles.localCheckpoint(eager=True)
 
     verified = dedup_ops.ngram_jaccard_pairs(
         docs,

@@ -335,6 +335,31 @@ def test_duplicate_clusters_empty_and_nonconvergence_guard(spark):
     assert got == {i: 0 for i in range(7)}
 
 
+def test_duplicate_clusters_driver_string_ids(spark):
+    """The driver union-find's pandas/Arrow return path must preserve
+    string ids exactly (content-addressed jsonl corpora cluster on hash
+    strings, where a dtype coercion or ordering slip would silently
+    re-key the canonical map)."""
+    from stglib_spark.operators.dedup import duplicate_clusters
+
+    pairs = spark.createDataFrame(
+        [("sha-b", "sha-a"), ("sha-c", "sha-b"), ("sha-x", "sha-y")],
+        "doc_a string, doc_b string",
+    )
+    got = {
+        r["doc_id"]: r["canonical_id"]
+        for r in duplicate_clusters(pairs, method="auto").collect()
+    }
+    assert got == {
+        "sha-a": "sha-a", "sha-b": "sha-a", "sha-c": "sha-a",
+        "sha-x": "sha-x", "sha-y": "sha-x",
+    }
+    out_schema = duplicate_clusters(pairs, method="auto").schema
+    assert [f.dataType.simpleString() for f in out_schema] == [
+        "string", "string"
+    ]
+
+
 def test_duplicate_clusters_star_matches_hash_to_min(spark):
     """The large-star/small-star variant labels the mixed fixture (chain +
     triangle + isolated pair) identically to the default method."""
