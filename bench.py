@@ -41,6 +41,11 @@ CHANGED_THIS_ROUND = {
     "mm_phash_neardup",
     "mm_audio_phash_neardup",
     "mm_video_phash_neardup",
+    # r14 optimization round: driver union-find returns via pandas/Arrow
+    # (no PythonRDD in the components write); storage-lean verify
+    # shingles eagerly checkpointed
+    "dedup_clusters",
+    "dedup_cluster_quality",
 }
 
 HEADLINE = [
