@@ -881,9 +881,16 @@ def winnow_match_spans(
     # isnotnull(fp, doc) on its sides while the census branch infers
     # only isnotnull(fp) — without the shared filter the two branches'
     # exchange subtrees canonicalize differently and the kernel runs
-    # once per branch
+    # once per branch. pos.isNotNull is in the shared filter too (r15,
+    # ADVICE r14): the kernel never emits null pos, so it is a no-op on
+    # the production path, but it makes the census's count(__p0) ≡
+    # count_distinct equivalence unconditional for an externally
+    # supplied pos_df (an all-null (fp, doc) group would otherwise be
+    # census-invisible yet still enter the pair join).
     pinned = pos_df.filter(
-        F.col("fp").isNotNull() & F.col(id_col).isNotNull()
+        F.col("fp").isNotNull()
+        & F.col(id_col).isNotNull()
+        & F.col("pos").isNotNull()
     ).repartition(F.col("fp"))
     # MOSS common-match exclusion: document-frequency stop list. No
     # forced broadcast — distinct low-df fingerprints grow with corpus

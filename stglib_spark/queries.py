@@ -1695,7 +1695,7 @@ def ts_gap_fill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM rows_ r
       CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS sub) w
     )
-    SELECT to_timestamp(g.burst_epoch + g.sub * 60) AS time,
+    SELECT make_timestamp((g.burst_epoch + g.sub * 60) * 1000000) AS time,
            CASE WHEN a.n = 30 THEN round(a.a, 6) END AS p_1
     FROM grid g LEFT JOIN agg a
       ON g.burst_epoch = a.burst_epoch AND g.sub = a.sub
@@ -1793,7 +1793,7 @@ def ts_interval_average_duration(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS v
       FROM s
     )
-    SELECT to_timestamp(1622505630 + w * 60) AS time,
+    SELECT make_timestamp((1622505630 + w * 60) * 1000000) AS time,
            CASE WHEN count(t28) = 60 THEN round(avg(t28), 6) END AS t_28,
            CASE WHEN count(u) = 60 THEN round(avg(u), 6) END AS u_1205,
            CASE WHEN count(v) = 60 THEN round(avg(v), 6) END AS v_1206
@@ -14739,95 +14739,79 @@ def corpus_excise_winnow_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 # base row's input-selection path, so e2e_diwasp_roundtrip is the
 # first to merge if a slot is needed.
 _FRONT = [
-    # --- round 14 policy: window = first 50 entries, driver-graded.
-    # (a) NEW registrations first: e2e_son_average_roundtrip
-    #     (REGISTERED LATE r14 — the sonar sweep-averaged companion
-    #     product, son/cdf2nc.py:103-131, closing the last son-family
-    #     stage gap) and the 4 r13-registered rows;
-    #     ts_sg_tide_average was RE-PINNED this round for the
-    #     reference's np.mean-over-pad semantics (full window grid,
-    #     null incomplete/poisoned windows; VERDICT r13 task #1);
-    # (b) the declared 46-slot r14 rotation block: all 45 r9-aged rows
-    #     (clip/corpus/dedup_priority/e2e-wave/mm/phys rows, the 19
-    #     TPC-H relational rows, the qaqc r9 family,
-    #     text_chunk_documents); the late registration displaces the
-    #     oldest r10 row (agg_brange_argmax) from slot 50 to the TOP
-    #     of the r15 block — it ages to r10+5 = r15, still inside the
-    #     SLA when r15 grades it first.
-    # r15 block = ts_mar_avg_cont (NEW late r14) then agg_brange_argmax
-    # (displaced above, grade FIRST among aged rows),
-    # then the remaining 38 r10-aged rows: agg_linregress
-    # agg_mean_minf agg_min_max_attrs agg_top_third_threshold
-    # coord_beam2enu coord_beam2enu_4beam corpus_pps_sample
-    # corpus_quality_funnel corpus_shard_manifest dedup_incremental_batch
-    # dedup_url_canonical e2e_corpus_all_packs e2e_sonar_xy_roundtrip
-    # filt_median_smoother mm_decode_real_bmp phys_boundary_elevation
-    # phys_direction_conventions qaqc_min_max qaqc_std_gates
-    # qaqc_trim_single_bins qaqc_wave_stats_trims snk_netcdf3_roundtrip
-    # src_pd0_roundtrip text_html_extract text_lang_id text_quality_score
-    # text_token_stats text_winnow_fingerprints ts_asof_atmos_correct
-    # ts_burst_average ts_circular_mean_daily ts_gap_fill_hourly
-    # ts_interval_average_duration ts_value_percentiles vel_agc_cor_gates
-    # vel_snr_gate vel_trim_sidelobe wave_imlm_relax_oracle — with any
-    # new-r14 registrations FIRST, then oldest-r11 rows as slots allow.
-    # (a) new/re-pinned
-    "e2e_son_average_roundtrip",
-    "snk_diwasp_spec_roundtrip",
-    "text_script_detect",
+    # --- round 15 policy: window = first 50 entries, driver-graded.
+    # (a) ORACLE-FIXED this round first: ts_sg_tide_average (r14's one
+    #     driver-red row — the oracle's to_timestamp() returned
+    #     TIMESTAMPTZ vs Spark's tz-naive timestamp_seconds; re-pinned
+    #     to the make_timestamp(epoch_us) idiom, VERDICT r14 task #1)
+    #     and ts_mar_avg_cont (NEW late r14, same latent to_timestamp
+    #     bug, fixed before its first grading);
+    # (b) the 10 r14-optimizer-touched rows whose plan/kernel changed
+    #     without driver-side evidence (VERDICT r14 task #2 — done =
+    #     all 10 green in CORRECTNESS_r15). text_quality_score is both
+    #     optimizer-touched AND r10-aged, so it fills one slot for both
+    #     obligations;
+    # (c) agg_brange_argmax (displaced from slot 50 in r14 — ages to
+    #     r10+5 = r15, graded FIRST among aged rows per the r14
+    #     declaration) and the remaining 37 r10-aged rows of the
+    #     declared r15 rotation block.
+    # 2 + 10 + 1 + 37 = exactly 50.
+    # r16 block (if a round follows) = any row whose plan the r15
+    # optimizer touched that did not fit this window — declared in
+    # OPTIMIZATION_r15.md — then the oldest r11-graded rows.
+    # (a) oracle-fixed this round
     "ts_sg_tide_average",
-    "e2e_diwasp_export_fidelity",
-    # (b) the declared 46-slot block (45 r9-aged + oldest r10)
-    "clip_deployment",
-    "clip_good_dates",
-    "corpus_decontaminate",
-    "corpus_dup_ngram_frac",
-    "corpus_remove_boilerplate",
-    "corpus_remove_dup_spans",
-    "corpus_repetition_stats",
-    "corpus_stratified_sample",
-    "dedup_priority_source",
-    "e2e_glx_waves_roundtrip",
-    "e2e_pressure_waves_roundtrip",
-    "e2e_puv_waves_roundtrip",
-    "e2e_rbr_clean_roundtrip",
-    "mm_audio_stats_real",
-    "mm_decode_real_jpeg",
-    "mm_video_frames_mjpg",
-    "phys_dispersion_qkfs",
-    "phys_pres2dep_ssc",
-    "phys_salinity_spcon",
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_late_shipment_priority",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_revenue",
-    "q20_dominant_shipper",
-    "q21_waiting_supplier",
-    "q22_dormant_customers",
-    "qaqc_ast_quality_trim",
-    "qaqc_bad_ens",
-    "qaqc_burst_min_kill",
-    "qaqc_diff_pct",
-    "qaqc_mask_trim_by",
-    "qaqc_maxabs_diff_2d",
-    "text_chunk_documents",
-    # --- below the 50-slot r14 graded window; leads the r15 block ---
-    # ts_mar_avg_cont registered late r14 (mar avg_cont poison/origin
-    # semantics) — grade FIRST in r15 with the displaced
-    # agg_brange_argmax right behind it
     "ts_mar_avg_cont",
+    # (b) r14 optimizer-touched, driver evidence outstanding
+    "corpus_kmv_overlap",
+    "corpus_cms_heavy_hitters",
+    "mm_phash_neardup",
+    "mm_audio_phash_neardup",
+    "mm_video_phash_neardup",
+    "dedup_winnow_spans",
+    "dedup_winnow_candidates",
+    "dedup_clusters",
+    "dedup_cluster_quality",
+    "text_quality_score",
+    # (c) displaced-from-r14 + the 37 remaining r10-aged rows
     "agg_brange_argmax",
+    "agg_linregress",
+    "agg_mean_minf",
+    "agg_min_max_attrs",
+    "agg_top_third_threshold",
+    "coord_beam2enu",
+    "coord_beam2enu_4beam",
+    "corpus_pps_sample",
+    "corpus_quality_funnel",
+    "corpus_shard_manifest",
+    "dedup_incremental_batch",
+    "dedup_url_canonical",
+    "e2e_corpus_all_packs",
+    "e2e_sonar_xy_roundtrip",
+    "filt_median_smoother",
+    "mm_decode_real_bmp",
+    "phys_boundary_elevation",
+    "phys_direction_conventions",
+    "qaqc_min_max",
+    "qaqc_std_gates",
+    "qaqc_trim_single_bins",
+    "qaqc_wave_stats_trims",
+    "snk_netcdf3_roundtrip",
+    "src_pd0_roundtrip",
+    "text_html_extract",
+    "text_lang_id",
+    "text_token_stats",
+    "text_winnow_fingerprints",
+    "ts_asof_atmos_correct",
+    "ts_burst_average",
+    "ts_circular_mean_daily",
+    "ts_gap_fill_hourly",
+    "ts_interval_average_duration",
+    "ts_value_percentiles",
+    "vel_agc_cor_gates",
+    "vel_snr_gate",
+    "vel_trim_sidelobe",
+    "wave_imlm_relax_oracle",
 ]
 
 

@@ -48,9 +48,34 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     return df.sort_values(list(df.columns), na_position="last").reset_index(drop=True)
 
 
+def _tz_aware_cols(df: pd.DataFrame) -> set[str]:
+    return {
+        c
+        for c in df.columns
+        if isinstance(df[c].dtype, pd.DatetimeTZDtype)
+    }
+
+
 def compare(spark_df, duck_df: pd.DataFrame, name: str) -> list[str]:
     problems: list[str] = []
-    s = _normalize(spark_df.toPandas())
+    s_raw = spark_df.toPandas()
+    # The driver grades FORMATTED values, so TIMESTAMPTZ ("…+00:00") vs
+    # plain TIMESTAMP fails schema+hash even when the instants agree.
+    # _normalize strips tz for value comparison — check awareness FIRST
+    # (this exact blind spot masked ts_sg_tide_average's to_timestamp
+    # oracle for a full round).
+    s_tz, d_tz = _tz_aware_cols(s_raw), _tz_aware_cols(duck_df)
+    for c in sorted(s_tz ^ d_tz):
+        side = "spark" if c in s_tz else "oracle"
+        problems.append(
+            f"{name}: column {c} is tz-aware on the {side} side only — "
+            f"the driver's formatted-value hash would differ "
+            f"('…+00:00' suffix); use make_timestamp(epoch_us) in the "
+            f"oracle, not to_timestamp()"
+        )
+    if problems:
+        return problems
+    s = _normalize(s_raw)
     d = _normalize(duck_df)
     if len(s) != len(d):
         problems.append(f"{name}: row count {len(s)} vs oracle {len(d)}")

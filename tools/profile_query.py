@@ -66,8 +66,10 @@ def parse_eventlog(job_window: tuple[float, float]):
                     continue
                 if not (job_window[0] <= sub <= job_window[1]):
                     continue
+                # a key can exist with a null Value — `or 0` (not
+                # .get default) keeps the metric sums numeric
                 acc = {
-                    a.get("Name"): a.get("Value")
+                    a.get("Name"): (a.get("Value") or 0)
                     for a in si.get("Accumulables", [])
                 }
                 rows.append(
@@ -114,7 +116,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument(
+        "--runs",
+        type=lambda v: max(1, int(v)),
+        default=3,
+        help="timed runs per query (floored at 1: window/best are "
+        "unbound otherwise)",
+    )
     ap.add_argument("--plan", action="store_true", help="print final plan")
     ap.add_argument("--warm-dir", default="/root/testdata/sf0.01")
     args = ap.parse_args()
