@@ -164,30 +164,36 @@ def _minhash_from_exploded(
     exploded: DataFrame, id_col: str, num_hashes: int, portable: bool
 ) -> DataFrame:
     # arithmetic in the prime field M (largest 32-bit prime) so
-    # h1 + i·h2 can never overflow a long under ANSI mode
-    m = F.lit(4294967291)
+    # h1 + i·h2 can never overflow a long under ANSI mode.
+    #
+    # The repetitive per-hash expressions are built as SQL strings parsed
+    # JVM-side in ONE py4j roundtrip each (r15, guide §5 driver work):
+    # the Column-builder formulation cost ~7 py4j socket roundtrips per
+    # hash function (~0.6 s of pure driver latency per query
+    # construction at num_hashes=32, measured with cProfile — the same
+    # latency on a 1000-executor cluster). The parsed expressions are
+    # identical, so results and plan canonicalization are unchanged.
+    m = 4294967291
     if portable:
         # one md5 per shingle, split into independent 60-bit halves; the
         # digest is materialized as a column so it is computed once
         exploded = exploded.select(
             F.col(id_col), F.md5(F.col("__sh")).alias("__d")
-        ).select(
-            F.col(id_col),
-            F.pmod(
-                F.conv(F.substring(F.col("__d"), 1, 15), 16, 10).cast("long"), m
-            ).alias("__h1"),
-            F.pmod(
-                F.conv(F.substring(F.col("__d"), 17, 15), 16, 10).cast("long"), m
-            ).alias("__h2"),
+        ).selectExpr(
+            id_col,
+            f"pmod(CAST(conv(substring(__d, 1, 15), 16, 10) AS BIGINT), {m})"
+            " AS __h1",
+            f"pmod(CAST(conv(substring(__d, 17, 15), 16, 10) AS BIGINT), {m})"
+            " AS __h2",
         )
     else:
-        exploded = exploded.select(
-            F.col(id_col),
-            F.pmod(F.xxhash64(F.col("__sh")), m).alias("__h1"),
-            F.pmod(F.xxhash64(F.lit("mh2"), F.col("__sh")), m).alias("__h2"),
+        exploded = exploded.selectExpr(
+            id_col,
+            f"pmod(xxhash64(__sh), {m}) AS __h1",
+            f"pmod(xxhash64('mh2', __sh), {m}) AS __h2",
         )
     aggs = [
-        F.min(F.pmod(F.col("__h1") + F.lit(i) * F.col("__h2"), m)).alias(f"mh_{i}")
+        F.expr(f"min(pmod(__h1 + {i} * __h2, {m})) AS mh_{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy(id_col).agg(*aggs)
@@ -502,29 +508,33 @@ def lsh_pairs_from_signatures(
     a ``pyspark.sql.Observation`` to read how many members hit the
     cap."""
     r = num_hashes // bands
+    # per-band expressions as JVM-parsed SQL strings (r15, guide §5):
+    # the Column-builder form paid ~1 s of py4j roundtrips per query
+    # construction at 8-16 bands; the parsed trees are identical (the
+    # portable branch spells out hash60's conv/substring/md5 chain).
     if portable:
         band_cols = [
-            hash60(
-                F.concat_ws("|", *[F.col(f"mh_{b * r + i}") for i in range(r)])
-            ).alias(f"band_{b}")
+            "CAST(conv(substring(md5(concat_ws('|', "
+            + ", ".join(f"mh_{b * r + i}" for i in range(r))
+            + ")), 1, 15), 16, 10) AS BIGINT)"
+            f" AS band_{b}"
             for b in range(bands)
         ]
     else:
         band_cols = [
-            F.xxhash64(*[F.col(f"mh_{b * r + i}") for i in range(r)]).alias(f"band_{b}")
+            "xxhash64("
+            + ", ".join(f"mh_{b * r + i}" for i in range(r))
+            + f") AS band_{b}"
             for b in range(bands)
         ]
-    banded = sigs.select(F.col(id_col), *band_cols)
-    stacked = banded.select(
-        F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(F.lit(b).alias("band"), F.col(f"band_{b}").alias("bh"))
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bb"),
+    banded = sigs.selectExpr(f"`{id_col}`", *band_cols)
+    stacked = banded.selectExpr(
+        f"`{id_col}`",
+        "explode(array("
+        + ", ".join(
+            f"named_struct('band', {b}, 'bh', band_{b})" for b in range(bands)
+        )
+        + ")) AS bb",
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
     if max_bucket_size is None:
         left = stacked.alias("l")

@@ -101,6 +101,37 @@ class QaqcResult:
         row = self.df.agg(*aggs).collect()[0]
         return {k: int(v or 0) for k, v in row.asDict().items()}
 
+    def observed_audit(self):
+        """Affected-cell counts WITHOUT a separate aggregation pass:
+        returns ``(df, get_counts)`` where ``df`` carries the same
+        per-rule aggregates as :meth:`audit_counts` attached as a
+        ``pyspark.sql.Observation`` — they are computed for free during
+        the caller's next action on ``df`` (e.g. the clean-zone write),
+        instead of re-running the whole QA/QC projection just to count
+        (one full extra pass per run_clean, guide §1.2 "don't compute
+        things twice"). ``get_counts()`` blocks until that action has
+        run and returns the identical {var:rule -> n} map."""
+        from pyspark.sql import Observation
+
+        if self.rules and "__was_valid_0" not in self.df.columns:
+            raise ValueError(
+                "audit columns were stripped; call "
+                "apply_qaqc(..., keep_audit_cols=True) to use observed_audit()"
+            )
+        aggs = [
+            F.sum(
+                F.when(F.col(f"__was_valid_{i}") & F.col(f"__bad_{i}"), 1).otherwise(0)
+            ).alias(f"{r.var}:{r.rule}")
+            for i, r in enumerate(self.rules)
+        ]
+        if not aggs:
+            return self.df, dict
+        obs = Observation()
+        return (
+            self.df.observe(obs, *aggs),
+            lambda: {k: int(v or 0) for k, v in obs.get.items()},
+        )
+
 
 def translate_mask_expr(expr: str, suffix: str = "") -> str:
     """Translate the reference's mask-expression mini-DSL to ANSI SQL.

@@ -683,13 +683,12 @@ def bigram_model(
     tie-breaks by token). Two bounded map-side-combinable aggregates —
     shuffle width is the vocabulary, never the corpus — collected once
     as model artifacts (the IVF-codebook pattern)."""
-    uni = (
+    uni_q = (
         df.select(F.explode(tokens(F.lower(F.col(text_col)))).alias("tok"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), F.col("tok"))
         .limit(top_k_vocab)
-        .collect()
     )
     toks = tokens(F.lower(F.col(text_col)))
     n = F.size(toks)
@@ -701,15 +700,23 @@ def bigram_model(
         ),
         lambda s: s["w2"].isNotNull(),
     )
-    bi = (
+    bi_q = (
         df.select(F.explode(pairs).alias("p"))
         .select(F.col("p")["w1"].alias("w1"), F.col("p")["w2"].alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
         .orderBy(F.col("c").desc(), "w1", "w2")
         .limit(top_k_bigrams)
-        .collect()
     )
+    # the two training aggregates are independent corpus scans — collect
+    # them concurrently (guide §2.6) so the bigram pass back-fills the
+    # unigram pass's straggler tail instead of waiting for it
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        bi_fut = pool.submit(bi_q.collect)
+        uni = uni_q.collect()
+        bi = bi_fut.result()
     return (
         [(r["tok"], r["c"]) for r in uni],
         [(r["w1"], r["w2"], r["c"]) for r in bi],

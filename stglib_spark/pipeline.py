@@ -44,6 +44,7 @@ def _write_zone(
     zone: str,
     history: History,
     partition_by: str | None = None,
+    post_write=None,
 ) -> str:
     path = _zone_path(config, zone)
     writer = df.write.mode("overwrite")
@@ -52,6 +53,12 @@ def _write_zone(
         # (rsk/cdf2nc.py:212-239) as partitioned parquet
         writer = writer.partitionBy(partition_by)
     writer.parquet(path)
+    if post_write is not None:
+        # history lines that depend on metrics the write itself computed
+        # (Observation-attached audit counts) land between the parquet
+        # write and the sidecar dump, so the sidecar carries them exactly
+        # as the sequential formulation did
+        post_write()
     sidecar = {
         "history": history.entries,
         "notes": history.notes,
@@ -477,14 +484,28 @@ def run_clean(spark: SparkSession, config: dict[str, Any]) -> str:
         burst_col="burst" if "burst" in df.columns else None,
     )
     result = qaqc.apply_qaqc(df, config, value_cols, spec, keep_audit_cols=True)
-    counts = result.audit_counts()
-    for key, count in counts.items():
-        var, rule = key.split(":", 1)
-        history.insert_note(var, f"{rule}: {count} values nulled.")
-    clean = result.df.select(*[c for c in result.df.columns if not c.startswith("__")])
-    history.insert_history("Applied QA/QC rule engine.")
+    # the per-rule affected counts ride the clean-zone write as an
+    # Observation (r15): audit_counts() re-ran the entire QA/QC
+    # projection as a second aggregation job just to count — at 100 TB
+    # that is a second full pass of the clean chain. Identical counts,
+    # identical sidecar (the notes land via post_write, between the
+    # parquet write and the sidecar dump).
+    observed, get_counts = result.observed_audit()
+    clean = observed.select(
+        *[c for c in result.df.columns if not c.startswith("__")]
+    )
+
+    def _audit_notes() -> None:
+        for key, count in get_counts().items():
+            var, rule = key.split(":", 1)
+            history.insert_note(var, f"{rule}: {count} values nulled.")
+        history.insert_history("Applied QA/QC rule engine.")
+
     split = "profile" if config.get("split_profiles") else None
-    path = _write_zone(clean, config, "clean", history, partition_by=split)
+    path = _write_zone(
+        clean, config, "clean", history, partition_by=split,
+        post_write=_audit_notes,
+    )
 
     if "sweep" in clean.columns and "scan" in clean.columns and (
         "sonar_image" in clean.columns
@@ -1316,8 +1337,49 @@ def run_corpus(spark: SparkSession, config: dict[str, Any]) -> dict[str, str]:
         qz, lang_col="lang_pred", tokens_col="n_tokens"
     )
     history.insert_history("Per-language token census from the quality zone.")
-    paths["census"] = _write_zone(census, config, "census", history)
+    # The census zone and the mix→packs chain both read ONLY the
+    # materialized quality zone and never each other, so the census
+    # write runs on a driver thread while the main thread proceeds to
+    # mix/packs (guide §2.6 — concurrent independent jobs back-fill the
+    # tail of each other's stages instead of serializing ~0.3-0.5 s of
+    # fixed write latency). The thread snapshots History at this point,
+    # so the census sidecar carries exactly the entries it does on the
+    # sequential path.
+    import copy as _copy
+    from concurrent.futures import ThreadPoolExecutor
 
+    census_hist = _copy.deepcopy(history)
+    with ThreadPoolExecutor(max_workers=1) as _pool:
+        census_fut = _pool.submit(
+            _write_zone, census, config, "census", census_hist
+        )
+        paths.update(
+            _run_corpus_mix_packs(
+                spark, config, qz, history, seq_len, n_shards, seed,
+                fractions, id_col, text_col,
+            )
+        )
+        paths["census"] = census_fut.result()
+    return paths
+
+
+def _run_corpus_mix_packs(
+    spark: SparkSession,
+    config: dict[str, Any],
+    qz: DataFrame,
+    history: History,
+    seq_len: int,
+    n_shards: int,
+    seed: str,
+    fractions: dict,
+    id_col: str,
+    text_col: str,
+) -> dict[str, str]:
+    """Mix → packs tail of run_corpus (split out so the census write can
+    overlap it; same operations in the same order)."""
+    from stglib_spark.operators import corpus as corpus_ops
+
+    paths: dict[str, str] = {}
     mix = corpus_ops.stratified_sample(
         qz,
         strata=F.col("quality_bucket"),
@@ -1531,7 +1593,15 @@ def run_corpus_all(
     pairs = spark.read.parquet(paths["dedup"]).filter(
         F.col("jaccard") >= threshold
     )
-    clusters = dedup_ops.duplicate_clusters(pairs)
+    # method="auto" (r15): the verified duplicate graph is ~0.1-1% of
+    # docs, so below the bounded driver threshold components resolve in
+    # ONE exact union-find pass instead of O(log n) checkpointed FastSV
+    # join rounds — each round is 2-3 sequential jobs of pure scheduler
+    # latency at this edge scale (profiled: the FastSV tail was ~15 of
+    # e2e_corpus_all_packs' 54 stages). Above the threshold the same
+    # call falls back to distributed FastSV; identical component-minimum
+    # output either way (the contract every other caller already uses).
+    clusters = dedup_ops.duplicate_clusters(pairs, method="auto")
     losers = clusters.filter(
         F.col("doc_id") != F.col("canonical_id")
     ).select(F.col("doc_id").alias(id_col))

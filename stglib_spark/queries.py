@@ -3403,13 +3403,22 @@ def corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesces replays the merged map exactly), so scoring is one
     corpus scan at projection speed. Feed the weights to a threshold
     or `corpus_pps_sample` for the resampling step."""
+    from concurrent.futures import ThreadPoolExecutor
+
     docs = spread(load_table(spark, sf_dir, "documents"))
-    tv = text_ops.unigram_vocab(
-        docs.filter(F.col("source") == "src0"), top_k=_UNIGRAM_TOPK
-    )
-    rv = text_ops.unigram_vocab(
-        docs.filter(F.col("source") != "src0"), top_k=_UNIGRAM_TOPK
-    )
+    # the target and raw vocab trains are independent corpus scans —
+    # collect them concurrently (guide §2.6) instead of serializing two
+    # full explode/count jobs
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        rv_fut = pool.submit(
+            text_ops.unigram_vocab,
+            docs.filter(F.col("source") != "src0"),
+            top_k=_UNIGRAM_TOPK,
+        )
+        tv = text_ops.unigram_vocab(
+            docs.filter(F.col("source") == "src0"), top_k=_UNIGRAM_TOPK
+        )
+        rv = rv_fut.result()
     return text_ops.dsir_logratio_score(docs, tv, rv)
 
 
