@@ -291,11 +291,20 @@ def ivf_refine(
     dim = len(centroids[0][1])
     for _ in range(iters):
         assigned = ivf_assign(df, centroids, vec_col)
-        v = F.col(vec_col).cast("array<double>")
+        # per-element expressions as JVM-parsed SQL strings (r15, guide
+        # §5): the Column-builder form paid ~4 py4j roundtrips per
+        # element per iteration (dim=64 → ~0.2 s of driver latency per
+        # Lloyd iteration); parsed trees are identical
         means = (
-            assigned.select(F.col("ivf_cell"), *[v[i].alias(f"_e{i}") for i in range(dim)])
+            assigned.selectExpr(
+                "ivf_cell",
+                *[
+                    f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)[{i}] AS _e{i}"
+                    for i in range(dim)
+                ],
+            )
             .groupBy("ivf_cell")
-            .agg(*[F.avg(f"_e{i}").alias(f"_e{i}") for i in range(dim)])
+            .agg(*[F.expr(f"avg(_e{i}) AS _e{i}") for i in range(dim)])
             .collect()
         )
         updated = {r["ivf_cell"]: [r[f"_e{i}"] for i in range(dim)] for r in means}

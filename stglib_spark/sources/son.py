@@ -307,6 +307,14 @@ def assign_sweep_sets(df: DataFrame) -> DataFrame:
 
     base = F.element_at(F.split(F.col("source_file"), "/"), -1)
     rows = df.withColumn("__basename", base)
+    # localCheckpoint the per-file table (r15): four key-derivation
+    # branches (stats, trim ranking, set times, sweep ranks) reference
+    # this aggregate, and its input is the Python binary parse — an RDD
+    # leaf that RE-EXECUTES per referencing branch (profiled: the .81R
+    # files were parsed ~5x per ingest, each paying a Python-worker
+    # round trip). Materializing the tiny one-row-per-FILE table caps
+    # the parse count at two (this aggregate + the final sample-level
+    # join); state is bounded by the deployment's file count.
     files = (
         rows.groupBy("__basename")
         .agg(F.min("file_time_epoch").alias("__ft"))
@@ -317,6 +325,7 @@ def assign_sweep_sets(df: DataFrame) -> DataFrame:
                 "substring(__basename, 1, length(__basename) - 6)"
             ),
         )
+        .localCheckpoint(eager=True)
     )
     stats = files.agg(
         F.countDistinct("__sweep_id").alias("__ns"),
