@@ -30,22 +30,22 @@ from stglib_spark.session import get_spark
 # rows whose code or plan changed THIS round: always in the printed
 # per-query window (rotate out once adjudicated stable)
 CHANGED_THIS_ROUND = {
-    "ts_sg_tide_average",  # r14: np.mean-over-pad gate + window grid
-    # r14 optimization round: plan-shape / kernel changes (see
-    # OPTIMIZATION_r14.md) — winnow single-kernel + spread, mm hash
-    # materialization, KMV one-pass bitmask, weighted CMS sketch
-    "dedup_winnow_spans",
-    "dedup_winnow_candidates",
-    "corpus_kmv_overlap",
-    "corpus_cms_heavy_hitters",
-    "mm_phash_neardup",
-    "mm_audio_phash_neardup",
-    "mm_video_phash_neardup",
-    # r14 optimization round: driver union-find returns via pandas/Arrow
-    # (no PythonRDD in the components write); storage-lean verify
-    # shingles eagerly checkpointed
-    "dedup_clusters",
+    # r15: oracle SQL re-pinned (to_timestamp TIMESTAMPTZ → the
+    # make_timestamp idiom); kept in the window until driver-graded
+    "ts_sg_tide_average",
+    # r15 optimization round (see OPTIMIZATION_r15.md): JVM-parsed
+    # expression construction for the MinHash/LSH chain and the Lloyd
+    # means, reader-schema cache, Observation-fused QA/QC audit,
+    # run_corpus_all auto cluster resolution, overlapped census /
+    # vocab-train jobs. Rows below are the touched later_additions
+    # (the r1-baseline rows touched — dedup_minhash_lsh/token_jaccard/
+    # clusters/semantic etc. — print unconditionally).
     "dedup_cluster_quality",
+    "sim_kmeans_assign",
+    "text_bigram_logprob",
+    "corpus_dsir_weights",
+    "dedup_incremental_near",
+    "dedup_incremental_batch",
 }
 
 HEADLINE = [

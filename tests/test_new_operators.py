@@ -1629,3 +1629,44 @@ def test_shift_time_drift_rounds_half_even(spark):
     ).dt.round("1s")
     got = [pd.Timestamp(t) for t in out["time"]]
     assert got == list(expect), (got, list(expect))
+
+
+def test_duplicate_clusters_hybrid_matches_fastsv(spark):
+    """The r15 hybrid (one star-contraction round, then FastSV) labels
+    the mixed fixture, a deep path, a clone-clique, random graphs, and
+    degenerate inputs identically to the default FastSV — including
+    self-loop-only nodes, which survive via the belt-and-braces node
+    join."""
+    import random
+
+    from stglib_spark.operators.dedup import duplicate_clusters
+
+    def labels(pairs, method):
+        return {
+            r["doc_id"]: r["canonical_id"]
+            for r in duplicate_clusters(
+                pairs, max_iterations=25, method=method
+            ).collect()
+        }
+
+    fixtures = [
+        # chain + triangle + isolated pair + self-loop-only node
+        [(10, 11), (11, 12), (12, 13), (20, 21), (21, 22), (20, 22),
+         (30, 31), (40, 40)],
+        # deep path (diameter 60)
+        [(i, i + 1) for i in range(60)],
+        # clone-clique (the near-dup topology the hybrid targets)
+        [(a, b) for a in range(50, 60) for b in range(50, 60) if a < b],
+    ]
+    rng = random.Random(7)
+    for _ in range(3):
+        n = 40
+        fixtures.append(
+            [(rng.randrange(n), rng.randrange(n)) for _ in range(50)]
+        )
+    for edges in fixtures:
+        pairs = spark.createDataFrame(edges, "doc_a long, doc_b long")
+        assert labels(pairs, "hybrid") == labels(pairs, "fastsv"), edges
+
+    empty = spark.createDataFrame([], "doc_a long, doc_b long")
+    assert duplicate_clusters(empty, method="hybrid").count() == 0
