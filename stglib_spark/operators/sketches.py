@@ -342,6 +342,7 @@ def hll_registers(
     group_cols: list[str] | None = None,
     p: int = 8,
     seed: str = "hll",
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """HyperLogLog register table (Flajolet, Fusy, Gandouet, Meunier
     2007): one row per (group, bucket) with the max rank observed —
@@ -364,7 +365,15 @@ def hll_registers(
 
     Scale shape: the (bucket, rank) pair is one projection over the
     scan; the only shuffle is the (group, bucket) MAX aggregate —
-    map-side combinable, ≤ 2^p keys per group regardless of input."""
+    map-side combinable, ≤ 2^p keys per group regardless of input.
+
+    ``extra_aggs`` (aliased aggregate Columns) ride the same register
+    aggregate — e.g. a per-bucket ``count(1)`` over a pre-distincted
+    input rolls up to the group's exact distinct count in
+    ``hll_estimate``, letting an estimate-vs-truth audit share ONE
+    input pass instead of re-scanning the corpus (and keeping the
+    optimizer from eliding the distinct below a max-only aggregate,
+    which duplicate-insensitivity would otherwise allow)."""
     if not 4 <= p <= 16:
         raise ValueError(f"p must be in [4, 16], got {p}")
     groups = list(group_cols or [])
@@ -379,7 +388,7 @@ def hll_registers(
         df.where(val.isNotNull())
         .select(*groups, bucket.alias("bucket"), rank.alias("__rank"))
         .groupBy(*groups, "bucket")
-        .agg(F.max("__rank").alias("max_rank"))
+        .agg(F.max("__rank").alias("max_rank"), *(extra_aggs or []))
     )
 
 
@@ -430,6 +439,7 @@ def hll_estimate(
     registers: DataFrame,
     group_cols: list[str] | None = None,
     p: int = 8,
+    extra_aggs: list[Column] | None = None,
 ) -> DataFrame:
     """Distinct-count estimate from a `hll_registers` table, one row
     per group: ``n_zero`` (empty buckets), ``raw_est`` (the floor of
@@ -462,12 +472,22 @@ def hll_estimate(
     m = 1 << p
     w = 60 - p
     a_num, a_den = _hll_alpha(m)
+    # extra_aggs (aliased Columns over the register table, e.g.
+    # sum() of an hll_registers extra_aggs count) ride this rollup and
+    # are appended after distinct_est — one job serves the estimate and
+    # any audit columns instead of a second input pass + join
+    extras = list(extra_aggs or [])
     agg = registers.groupBy(*groups).agg(
         F.count(F.lit(1)).alias("__n_present"),
         F.sum(
             F.expr(f"shiftleft(CAST(1 AS BIGINT), {w + 1} - max_rank)")
         ).alias("__s_present"),
+        *extras,
     )
+    extra_names = [
+        c for c in agg.columns
+        if c not in groups and c not in ("__n_present", "__s_present")
+    ]
     n_zero = (F.lit(m) - F.col("__n_present")).cast("int")
     s_int = (
         F.col("__s_present")
@@ -490,6 +510,7 @@ def hll_estimate(
         n_zero.alias("n_zero"),
         raw.alias("raw_est"),
         F.round(est, 6).alias("distinct_est"),
+        *[F.col(c) for c in extra_names],
     )
 
 

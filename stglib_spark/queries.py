@@ -13804,12 +13804,30 @@ def corpus_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(text_ops.tokens(norm)).alias("tok")
     )
-    regs = sketches.hll_registers(toks, "tok", ["source"], p=8, seed="hll")
-    est = sketches.hll_estimate(regs, ["source"], p=8)
-    truth = toks.groupBy("source").agg(
-        F.count_distinct("tok").alias("true_distinct")
+    # ONE tokenize pass, ONE linear chain (r15, guide §2.3/§2.4): the
+    # old estimate-vs-truth join re-ran the full normalize + tokenize +
+    # explode scan per branch (54 s + 79 s of task time at sf0.1, the
+    # register side hashing every token OCCURRENCE). Both consumers are
+    # functions of the DISTINCT (source, tok) set — the register MAX is
+    # duplicate-insensitive and count_distinct(tok) IS count over the
+    # distinct pairs (tokens() never emits null) — so the sketch hashes
+    # the pre-distincted stream (md5 per distinct token, the
+    # corpus_cms_heavy_hitters trick) and the exact count rides the SAME
+    # register aggregate as a per-bucket count(1) rolled up by
+    # hll_estimate: distinct tokens per source = Σ over buckets of
+    # distinct tokens in the bucket. The per-bucket count also keeps the
+    # optimizer from eliding the distinct under a max-only aggregate
+    # (RemoveRedundantAggregates). No second scan, no join.
+    dt = toks.distinct()
+    regs = sketches.hll_registers(
+        dt, "tok", ["source"], p=8, seed="hll",
+        extra_aggs=[F.count(F.lit(1)).alias("__nt")],
     )
-    return est.join(truth, "source").select(
+    est = sketches.hll_estimate(
+        regs, ["source"], p=8,
+        extra_aggs=[F.sum("__nt").alias("true_distinct")],
+    )
+    return est.select(
         "source", "n_zero", "raw_est", "distinct_est", "true_distinct"
     )
 

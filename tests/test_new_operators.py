@@ -954,6 +954,56 @@ def test_hll_estimate_accuracy_merge_and_lc(spark):
         hll_estimate(hll_registers(df, "tok", p=6, seed="x"), p=6)
 
 
+def test_hll_extra_aggs_fused_truth(spark):
+    """The r15 one-pass estimate-vs-truth fusion (corpus_hll_distinct):
+    (a) a per-bucket count(1) over a pre-distincted input, summed by
+    hll_estimate's rollup, equals count_distinct exactly — per group;
+    (b) the sketch columns (n_zero/raw_est/distinct_est) are bit-
+    identical with and without extra_aggs riding the aggregates;
+    (c) extra_aggs=None keeps the legacy column set (no schema drift
+    for existing callers)."""
+    from pyspark.sql import functions as F
+    from stglib_spark.operators.sketches import hll_estimate, hll_registers
+
+    rows = [
+        ("a", f"v{i % 37}") for i in range(300)
+    ] + [("b", f"w{i % 11}") for i in range(50)] + [("b", None)]
+    df = spark.createDataFrame(rows, "g string, tok string")
+
+    dt = df.distinct()
+    regs = hll_registers(
+        dt, "tok", ["g"], p=8,
+        extra_aggs=[F.count(F.lit(1)).alias("__nt")],
+    )
+    fused = hll_estimate(
+        regs, ["g"], p=8,
+        extra_aggs=[F.sum("__nt").alias("true_distinct")],
+    )
+    got = {r.g: r for r in fused.collect()}
+    truth = {
+        r.g: r.td
+        for r in df.groupBy("g")
+        .agg(F.count_distinct("tok").alias("td"))
+        .collect()
+    }
+    assert {g: r.true_distinct for g, r in got.items()} == truth
+
+    plain = {
+        r.g: r
+        for r in hll_estimate(
+            hll_registers(df, "tok", ["g"], p=8), ["g"], p=8
+        ).collect()
+    }
+    assert set(plain) == set(got)
+    for g in plain:
+        assert (
+            plain[g].n_zero, plain[g].raw_est, plain[g].distinct_est
+        ) == (got[g].n_zero, got[g].raw_est, got[g].distinct_est)
+    assert hll_estimate(
+        hll_registers(df, "tok", ["g"], p=8), ["g"], p=8
+    ).columns == ["g", "n_zero", "raw_est", "distinct_est"]
+
+
 def test_bloom_filter_no_fn_fp_and_merge(spark):
     """Bloom-filter invariants: (a) NO false negatives ever -- every
     indexed value probes positive; (b) a deliberately tiny bit space
