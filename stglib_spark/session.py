@@ -81,6 +81,9 @@ def get_spark(app_name: str = "stglib_spark", cpus: int | None = None) -> SparkS
     return spark
 
 
+_WARMED: set[str] = set()
+
+
 def _warm_collation_support(spark: SparkSession) -> None:
     """Force the one-time ICU collation class initialization at session
     startup instead of mid-query.
@@ -94,7 +97,22 @@ def _warm_collation_support(spark: SparkSession) -> None:
     on an empty session keeps query times free of JVM warm-up artifacts.
     Per-executor JVMs on a real cluster pay the same init once each —
     amortized over the executor lifetime either way.
+
+    Idempotent per SparkContext (r15): ``get_spark`` is called by every
+    CLI stage entry (``__main__.main``), so a 4-stage e2e chain re-ran
+    the worker-pool warm FOUR times inside one session — a ~10 s-task-
+    time 32-task no-op job per call (profiled: 5 of
+    e2e_attrs_fidelity_roundtrip's 20 stages were warm re-runs, ~2.5 s
+    of its 5.2 s wall). The warm exists to initialize a SESSION, not a
+    call site; key on applicationId exactly like the package-ship guard.
     """
+    try:
+        key = spark.sparkContext.applicationId
+    except Exception:
+        key = ""
+    if key in _WARMED:
+        return
+    _WARMED.add(key)
     try:
         spark.sql("select lower('ΣAa'), upper('σaA'), initcap('ßx')").collect()
     except Exception:
