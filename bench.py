@@ -46,6 +46,9 @@ CHANGED_THIS_ROUND = {
     "corpus_dsir_weights",
     "dedup_incremental_near",
     "dedup_incremental_batch",
+    # r15 late: estimate-vs-truth fused into the register aggregate
+    # (one tokenize pass — OPTIMIZATION_r15.md §14)
+    "corpus_hll_distinct",
 }
 
 HEADLINE = [

@@ -14167,6 +14167,13 @@ def corpus_quality_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB. Scale shape: one groupBy on the 6-dp score
     (codomain-bounded ≤ 1e6+1 groups), cumulative window over that
     bounded aggregate — never over documents."""
+    # NO spread() here (r15, measured): parallelizing the scan moved
+    # the score+label projection above a round-robin exchange, where
+    # the lambda-bearing expression tree leaves whole-stage codegen and
+    # loses common-subexpression elimination — 0.7 s → 16 s of task
+    # time for a NEUTRAL wall (the single 660 ms scan task was never
+    # the row's bottleneck; construction latency is). Fused over the
+    # scan, the projection stays subexpression-eliminated.
     docs = load_table(spark, sf_dir, "documents")
     both = corpus_ops.heldout_label(text_ops.quality_score(docs))
     return corpus_ops.ranking_auc(both, "quality_score", "label_clean")
@@ -14253,6 +14260,8 @@ def corpus_quality_pr_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     cumulative sums over the 6-dp-codomain-bounded per-score aggregate
     (never a window over documents); each ratio is one
     integer/integer division, bit-exact in DuckDB."""
+    # NO spread() — same measured reason as corpus_quality_auc (the
+    # post-exchange projection loses subexpression elimination)
     docs = load_table(spark, sf_dir, "documents")
     both = corpus_ops.heldout_label(text_ops.quality_score(docs))
     return corpus_ops.threshold_sweep(both, "quality_score", "label_clean")
